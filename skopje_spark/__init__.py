@@ -1,0 +1,26 @@
+"""skopje_spark — a PySpark-native analytics/ETL engine.
+
+A from-scratch re-expression of the capabilities of the reference ETL
+framework (Vostanis/skopje): declarative Extract → Transform → Load
+pipelines whose *query layer is Spark SQL itself*, plus the LLM-data
+pipeline operators (dedup, similarity search, multimodal columns, text
+analysis) required for 100 TB-scale training-data work.
+
+Public surface (mirrors the reference's small re-export set,
+``/root/reference/src/lib.rs:7-13``):
+
+- :mod:`skopje_spark.session`   — SparkSession builder tuned for the engine
+- :mod:`skopje_spark.tables`    — fixture/table loaders
+- :mod:`skopje_spark.pipeline`  — Extract/Transform/Load node graph
+- :mod:`skopje_spark.sources`   — parquet/json/csv/jdbc/http/binary sources
+- :mod:`skopje_spark.sinks`     — parquet/jdbc(staging-swap)/console sinks
+- :mod:`skopje_spark.operators` — keymap, dedup, similarity, text, asof
+- :mod:`skopje_spark.functions` — date/scalar utility functions
+- :mod:`skopje_spark.queries`   — the declared operator-demo query registry
+"""
+
+from skopje_spark.session import get_spark
+from skopje_spark.tables import load_table, register_views
+
+__all__ = ["get_spark", "load_table", "register_views"]
+__version__ = "0.1.0"

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers (SURVEY.md §2C D1/D2):
+
+- exact          — content-hash groupBy (sha256)
+- ngram-jaccard  — exact set-similarity on word shingles
+- minhash (+LSH) — probabilistic Jaccard, banded for candidate pruning
+- simhash        — bitwise near-dup fingerprint
+- embedding      — cosine near-dup (see operators.similarity)
+
+Determinism contract: every hash is derived from **sha256** (identical
+across engines/platforms) rather than murmur/xxhash, so the DuckDB
+oracle reproduces results bit-for-bit. Spark's builtin ``hash()`` /
+``xxhash64()`` would be faster; at 100 TB swap `_token_hash` for
+``xxhash64`` (one-line change) once cross-engine parity is no longer
+required — noted per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skopje_spark.queries.rounding import dround
+
+# Prime > 2^32 for universal hashing; (a, b) pairs are fixed so runs
+# are reproducible. 16 hashes = 4 bands x 4 rows.
+MINHASH_PRIME = 4294967311
+MINHASH_COEFFS = [
+    (3, 1), (5, 7), (11, 13), (17, 19),
+    (23, 29), (31, 37), (41, 43), (47, 53),
+    (59, 61), (67, 71), (73, 79), (83, 89),
+    (97, 101), (103, 107), (109, 113), (127, 131),
+]
+LSH_BANDS = 4  # 4 rows per band
+
+
+def _token_hash(col):
+    """Deterministic 32-bit token hash from sha256 (cross-engine
+    reproducible; swap for xxhash64 when only Spark must agree)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("bigint")
+
+
+def normalize_text(col):
+    """Canonical text form shared by all dedup tiers: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct token set per document."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-gram set per document.
+
+    Built with array HOFs (transform over a sequence of start offsets)
+    — stays in whole-stage codegen, no UDF.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # guard: sequence(1, 0) would generate a *descending* range, so
+    # short documents (< n tokens) must yield an empty shingle set
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """D1 exact dedup: sha256 over normalized content → groups with
+    count > 1, canonical = min id. Map-side partial agg; the shuffle
+    carries (hash → partial count/min), i.e. bytes ∝ distinct hashes.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one deterministic representative (min id) per distinct
+    normalized content — the engine's `copy`-contract dedup stage
+    (``/root/reference/src/load/pg.rs:19-20``)."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """D2a exact n-gram Jaccard near-dup pairs.
+
+    Plan shape: shingle-set explode → self equi-join **on shingle**
+    (the crucial bit: candidate pairs only materialize where sets
+    overlap — never an all-pairs product) → per-pair intersection
+    count → Jaccard. At 100 TB add a df-frequency cut (drop shingles
+    appearing in > f docs) to bound the join fan-out on stop-shingles.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            dround(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """MinHash signature matrix: one column per hash function.
+
+    sig_i(doc) = min over tokens of (a_i·H(token) + b_i) mod P.
+    Computed as 16 min-aggregates over the exploded token set — one
+    shuffle on doc id, partial mins map-side.
+    """
+    t = tokens(df, id_col, text_col).withColumn("h", _token_hash(F.col("token")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return t.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """D2b MinHash-LSH candidate pairs: band the 16-hash signature into
+    4 bands of 4; docs sharing any full band become candidates.
+
+    Scale: the band-bucket join is an equi-join on (band_id, band_sig)
+    — collision buckets are tiny for honest data, and a skewed bucket
+    (boilerplate shingles) is handled by AQE skew-join splitting.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(band).alias("band_id"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_sig"
+                ),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    a = all_bands.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_sig"
+    )
+    b = all_bands.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_sig"
+    )
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """D2c SimHash fingerprint: per token-hash bit j, vote +1/-1; the
+    fingerprint sets bit j iff the vote is positive.
+
+    One aggregate pass: 32 conditional sums over the exploded token
+    set, then a single arithmetic recombination — all codegen'd.
+    """
+    t = tokens(df, id_col, text_col).withColumn("h", _token_hash(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = t.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return voted.select(
+        F.col(id_col), fingerprint.cast("bigint").alias("simhash")
+    )

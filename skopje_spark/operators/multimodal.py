@@ -1,0 +1,116 @@
+"""Multimodal columns (SURVEY.md §2C D5): opaque binary payloads with
+typed metadata, processed by Arrow-batched pandas functions.
+
+Container constraint: no image/audio codecs are installed, so the
+*decode kernels* are stubbed (deterministic fake or
+``NotImplementedError``), while everything Spark-side is real and
+tested: schema, binary source, partition sizing, ``mapInPandas``
+batch shape, and metadata extraction.
+
+Scale notes:
+- payloads stay in executor memory as Arrow binary columns — never
+  collected, never round-tripped through Python row-at-a-time;
+- ``spark.sql.files.maxPartitionBytes`` bounds per-task bytes for the
+  ``binaryFile`` source; for row-group parquet payloads the same knob
+  applies to the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried alongside every binary payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a multimodal-shaped table from the documents fixture:
+    payload = utf-8 bytes of the text (stand-in for image/audio bytes)
+    + typed metadata struct."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def read_binary_dir(spark, path: str, pattern: str = "*") -> DataFrame:
+    """Binary/multimodal source: one row per file with (path,
+    modificationTime, length, content) — the engine's blob-ingestion
+    analog of the reference's download/unzip staging
+    (``/root/reference/src/extract/http.rs:74-124``,
+    ``/root/reference/src/extract/fs.rs:19-60``)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+
+
+def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
+    """STUB decode kernel — deterministic fake dimensions derived from
+    the payload bytes (a real deployment would call PIL/ffmpeg here;
+    those codecs are not installed in this container).
+
+    The fake is pure arithmetic on byte length and first byte so tests
+    (and the SQL oracle) can verify the full plumbing end-to-end.
+    """
+    byte_len = payloads.apply(len).astype("int64")
+    first = payloads.apply(lambda b: b[0] if len(b) else 0).astype("int64")
+    return pd.DataFrame(
+        {
+            "byte_len": byte_len,
+            "width": (first % 64 + 1).astype("int32") * 16,
+            "height": ((byte_len % 64) + 1).astype("int32") * 16,
+            "n_frames": ((byte_len % 8) + 1).astype("int32"),
+        }
+    )
+
+
+def decode_media_real(payloads: pd.Series) -> pd.DataFrame:  # pragma: no cover
+    """Real codec entry point — intentionally unimplemented here."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not available in this environment; "
+        "swap decode_media_batch for this function when they are"
+    )
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas``: batches stream
+    through Python with zero row-at-a-time overhead; output schema is
+    fixed (DECODED_SCHEMA) so downstream plans stay columnar."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = decode_media_batch(pdf["payload"])
+            out.insert(0, "doc_id", pdf[id_col].astype("int64").values)
+            yield out[[f.name for f in DECODED_SCHEMA.fields]]
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )

@@ -1,0 +1,136 @@
+"""Text analysis operators (SURVEY.md §2C D4): quality scoring,
+language ID, token counting, document fingerprinting.
+
+Everything is built-in-function composition (no UDFs): at 100 TB these
+run inside whole-stage codegen over the scan, shuffling nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from skopje_spark.queries.rounding import dround
+
+from skopje_spark.operators.dedup import normalize_text
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic;
+# deterministic and oracle-reproducible (plain regex counts)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# \w-style word tokens OR single non-space punctuation — a BPE-ish
+# pre-tokenizer shape, kept RE2/Java-regex compatible
+TOKEN_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def word_tokens(text: Column) -> Column:
+    return F.filter(F.split(normalize_text(text), " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Regex token count (word pieces + punctuation singles)."""
+    return F.size(F.regexp_extract_all(normalize_text(text), F.lit(TOKEN_PATTERN), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = word_tokens(text)
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    )
+    return F.when(F.size(toks) > 0, stops / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring feature block: lengths, token stats, ratios and
+    a composite keep/drop flag (the usual pre-training filter shape)."""
+    text = F.col(text_col)
+    toks = word_tokens(text)
+    n_words = F.size(toks)
+    avg_wlen = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        dround(avg_wlen, 4).alias("avg_word_len"),
+        dround(stopword_ratio(text), 4).alias("stopword_ratio"),
+        dround(punct_ratio(text), 4).alias("punct_ratio"),
+        token_count(text).alias("n_tokens"),
+        (
+            (F.length(text) >= 32)
+            & (n_words >= 8)
+            & (F.size(F.array_distinct(toks)) / F.greatest(n_words, F.lit(1)) > 0.2)
+        )
+        .cast("int")
+        .alias("quality_keep"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-language marker-hit counts over the word-token set."""
+    toks = word_tokens(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        out.append(
+            (lang, F.size(F.filter(toks, lambda t: t.isin(*markers))))
+        )
+    return out
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of marker-hit counts with a
+    deterministic tiebreak (language name ascending); 'und' when no
+    marker hits at all."""
+    scores = lang_scores(F.col(text_col))
+    pairs = F.array(
+        *[F.struct(cnt.alias("hits"), F.lit(lang).alias("lang")) for lang, cnt in scores]
+    )
+    # max by (hits desc, lang asc): sort ascending by (hits, reversed lang)
+    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    # array_max ties on lang descending; invert by preferring earliest
+    # lexicographic lang among max hits via a second pass
+    max_hits = best.getField("hits")
+    winners = F.filter(pairs, lambda s: s.getField("hits") == max_hits)
+    pred = F.when(
+        max_hits > 0, F.array_min(winners).getField("lang")
+    ).otherwise(F.lit("und"))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: sha256 over the canonical normalized form
+    (lowercase, punctuation stripped, whitespace collapsed) — stable
+    under cosmetic edits; plus a 16-hex short form for bucketing."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    full = F.sha2(canon, 256)
+    return df.select(
+        F.col(id_col),
+        full.alias("fingerprint"),
+        F.substring(full, 1, 16).alias("fingerprint16"),
+    )

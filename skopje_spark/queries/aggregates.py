@@ -1,0 +1,196 @@
+"""Aggregation catalog: hash agg, distinct, approx, rollup/cube/
+grouping sets, filtered agg, statistical aggregates.
+
+All numeric aggregate outputs are ROUNDed identically on both sides
+(engine summation order differs ⇒ raw doubles differ in last ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import davg, dround
+from skopje_spark.tables import load_table
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                       AS n_orders,
+           (CASE WHEN (SUM(o_totalprice)) < 0 THEN -(FLOOR((-(SUM(o_totalprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 END)    AS total_price,
+           ((CASE WHEN (SUM(o_totalprice)) < 0 THEN -(FLOOR((-(SUM(o_totalprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 END) / COUNT(o_totalprice))    AS avg_price,
+           (CASE WHEN (MIN(o_totalprice)) < 0 THEN -(FLOOR((-(MIN(o_totalprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((MIN(o_totalprice)) * 100.0 + 0.5) / 100.0 END)    AS min_price,
+           (CASE WHEN (MAX(o_totalprice)) < 0 THEN -(FLOOR((-(MAX(o_totalprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((MAX(o_totalprice)) * 100.0 + 0.5) / 100.0 END)    AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max — partial (map-side) + final agg is
+    automatic; shuffle carries only one row per group per mapper."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("total_price"),
+        davg(F.col("o_totalprice"), 2).alias("avg_price"),
+        dround(F.min("o_totalprice"), 2).alias("min_price"),
+        dround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)            AS n_supp,
+           COUNT(DISTINCT l_partkey)            AS n_part,
+           (CASE WHEN (SUM(DISTINCT l_quantity)) < 0 THEN -(FLOOR((-(SUM(DISTINCT l_quantity))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(DISTINCT l_quantity)) * 100.0 + 0.5) / 100.0 END)   AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates — Spark expands to a two-phase plan
+    (dedup-then-agg) automatically."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        dround(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (no oracle: sketch estimates
+    are engine-specific; DuckDB's approx_distinct uses a different
+    sketch). Driver records the weaker rows-only check. The companion
+    exact query q_agg_distinct is fully oracle-checked.
+
+    Scale: HLL sketches merge associatively — constant memory per
+    group vs. the exact path's full dedup shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, (CASE WHEN (SUM(o_totalprice)) < 0 THEN -(FLOOR((-(SUM(o_totalprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 END) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → ()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ((CASE WHEN (SUM(o_totalprice)) < 0 THEN -(FLOOR((-(SUM(o_totalprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 END) / COUNT(o_totalprice)) AS avg_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations of two keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("o_totalprice"), 2).alias("avg_total"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql (exercises the SQL parse →
+    Catalyst path the reference delegates to Postgres)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05)                    AS n_high_disc,
+           (CASE WHEN (SUM(l_extendedprice) FILTER (WHERE l_quantity > 25)) < 0 THEN -(FLOOR((-(SUM(l_extendedprice) FILTER (WHERE l_quantity > 25))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(l_extendedprice) FILTER (WHERE l_quantity > 25)) * 100.0 + 0.5) / 100.0 END) AS rev_bulk,
+           (CASE WHEN (SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END)) < 0 THEN -(FLOOR((-(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END)) * 100.0 + 0.5) / 100.0 END)
+                                                                         AS rev_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "filtered"),
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (FILTER clause ≅ sum(when))."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_disc"),
+        dround(
+            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 2
+        ).alias("rev_bulk"),
+        dround(
+            F.sum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)
+            ),
+            2,
+        ).alias("rev_taxed"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           (CASE WHEN (STDDEV_SAMP(c_acctbal)) < 0 THEN -(FLOOR((-(STDDEV_SAMP(c_acctbal))) * 10000.0 + 0.5) / 10000.0) ELSE FLOOR((STDDEV_SAMP(c_acctbal)) * 10000.0 + 0.5) / 10000.0 END)      AS sd_bal,
+           (CASE WHEN (VAR_SAMP(c_acctbal)) < 0 THEN -(FLOOR((-(VAR_SAMP(c_acctbal))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((VAR_SAMP(c_acctbal)) * 100.0 + 0.5) / 100.0 END)         AS var_bal,
+           (CASE WHEN (CORR(c_acctbal, c_custkey)) < 0 THEN -(FLOOR((-(CORR(c_acctbal, c_custkey))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((CORR(c_acctbal, c_custkey)) * 1000000.0 + 0.5) / 1000000.0 END)  AS corr_bal_key,
+           (CASE WHEN (MEDIAN(c_acctbal)) < 0 THEN -(FLOOR((-(MEDIAN(c_acctbal))) * 10000.0 + 0.5) / 10000.0) ELSE FLOOR((MEDIAN(c_acctbal)) * 10000.0 + 0.5) / 10000.0 END)           AS median_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/exact median.
+
+    Scale: exact median requires a per-group sort — fine for bounded
+    group counts; at 100 TB prefer approx_percentile (sketch-mergeable).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        dround(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        dround(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+        dround(F.corr("c_acctbal", "c_custkey"), 6).alias("corr_bal_key"),
+        dround(F.median("c_acctbal"), 4).alias("median_bal"),
+    )

@@ -1,0 +1,241 @@
+"""Join catalog: every join shape from SURVEY.md §2B.
+
+Inner/left/right/full equi joins, semi/anti (the reference's
+`fetch_or_insert` miss-detection, ``/root/reference/src/extract/pg.rs:67-99``),
+cross, non-equi range join, and the composed as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.asof import asof_join
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import davg, dround
+from skopje_spark.tables import load_table
+
+
+@register(
+    "q_join_inner_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    tags=("join", "broadcast"),
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with an explicit broadcast of the dimension.
+
+    Scale: nation is 25 rows at any SF — broadcasting removes the
+    shuffle entirely (BroadcastHashJoin in the plan).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers kept even with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left; Spark plans it as the flipped
+    left join after optimization)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    SELECT s_suppkey, s_name, c_custkey, c_name
+    FROM supplier FULL OUTER JOIN customer ON s_suppkey = c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on partially-overlapping key domains (suppkey ⊂
+    custkey range) — unmatched rows survive from both sides."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(c, s.s_suppkey == c.c_custkey, "full_outer").select(
+        "s_suppkey", "s_name", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 5000
+    )
+    """,
+    tags=("join", "semi"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — existence check without duplication (the
+    `fetch_if_exists` pattern, ``/root/reference/src/extract/pg.rs:43-65``)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 5000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the miss-detection half of the reference's
+    `fetch_or_insert` upsert (``/root/reference/src/extract/pg.rs:79-94``)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, os AS o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS os FROM orders)
+    """,
+    tags=("join", "cross"),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny inputs (guarded: both sides bounded)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    st = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus"))
+        .distinct()
+    )
+    return r.crossJoin(st).select("r_name", "o_orderstatus")
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT s_suppkey, COUNT(c_custkey) AS n_close,
+           ((CASE WHEN (SUM(c_acctbal)) < 0 THEN -(FLOOR((-(SUM(c_acctbal))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(c_acctbal)) * 100.0 + 0.5) / 100.0 END) / COUNT(c_acctbal)) AS avg_close_bal
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+    GROUP BY s_suppkey
+    """,
+    tags=("join", "range", "nonequi"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: customers within ±50 account
+    balance of each supplier.
+
+    Scale: planned as BroadcastNestedLoopJoin with supplier broadcast
+    (the small side). At 100 TB one would band both sides into
+    ``floor(acctbal/50)`` buckets and equi-join on adjacent buckets —
+    turning O(n·m) into a co-partitioned join; noted as the scale path.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (c.c_acctbal >= s.s_acctbal - 50.0) & (c.c_acctbal <= s.s_acctbal + 50.0),
+            "left",
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("c_custkey").alias("n_close"),
+            davg(F.col("c_acctbal"), 2).alias("avg_close_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderkey  AS last_order_key,
+           r.o_orderdate AS last_order_date
+    FROM events e
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+    ORDER BY event_id
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order
+    at-or-before the event time (composed operator, see
+    :func:`skopje_spark.operators.asof.asof_join`)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderkey"),
+            F.col("o_orderdate"),
+        )
+    )
+    out = asof_join(
+        e,
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        direction="backward",
+        left_id=["event_id"],
+        tiebreak=["o_orderkey"],
+        how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_orderdate").alias("last_order_date"),
+    ).orderBy("event_id")

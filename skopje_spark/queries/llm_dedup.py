@@ -1,0 +1,172 @@
+"""Dedup queries over the documents fixture (SURVEY.md §2C D1/D2).
+
+The MinHash and SimHash oracle SQL is *generated* from the same
+(a, b) coefficient table the Spark operators use, so both engines
+compute the identical deterministic sketch (sha256-derived token
+hashes — see operators.dedup docstring for the scale/hash tradeoff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.dedup import (
+    LSH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from skopje_spark.queries import register
+from skopje_spark.tables import load_table
+
+# shared normalized-token CTE (DuckDB dialect; 'g' flag = global replace,
+# matching Spark regexp_replace's replace-all default)
+_TOKS_CTE = r"""
+toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(sha256(token), 1, 8))::BIGINT AS h FROM toks
+)
+"""
+
+
+@register(
+    "q_dedup_exact_hash",
+    oracle=r"""
+    SELECT
+      sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      COUNT(*)    AS n_copies,
+      MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact dedup accounting: every normalized-content hash with
+    its copy count and deterministic canonical id (min doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    # same aggregation as operators.dedup.exact_duplicates but keeping
+    # singleton groups so the result is non-trivial on dup-free data
+    return _exact_all(d)
+
+
+def _exact_all(d: DataFrame) -> DataFrame:
+    from skopje_spark.operators.dedup import normalize_text
+
+    return (
+        d.select("doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           (CASE WHEN (n_common / (sa.sz + sb.sz - n_common)) < 0 THEN -(FLOOR((-(n_common / (sa.sz + sb.sz - n_common))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((n_common / (sa.sz + sb.sz - n_common)) * 1000000.0 + 0.5) / 1000000.0 END) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2a exact 3-gram Jaccard near-dup pairs (threshold 0.5 — the
+    fixture plants pairs at ~0.98). Join fans out on shared shingles
+    only, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n    ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    rows = len(MINHASH_COEFFS) // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        sig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {sig} AS band_sig FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+    WITH {_TOKS_CTE},
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band_id, band_sig)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@register("q_dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2b MinHash-LSH candidate pairs (16 sha256-derived hashes,
+    4 bands × 4 rows). Oracle-exact because both engines use identical
+    universal-hash coefficients over identical sha256 token hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH {_TOKS_CTE},
+    votes AS (
+      SELECT doc_id,
+      {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2c SimHash 32-bit fingerprints per document (near-dup docs
+    land at small Hamming distance; clustering pass is round-2 work)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=32)

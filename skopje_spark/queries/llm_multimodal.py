@@ -1,0 +1,62 @@
+"""Multimodal-column queries (§2C D5): binary payloads + typed
+metadata + the Arrow-batched (stubbed) decode kernel.
+
+The payload is the utf-8 encoding of the document text (no codecs in
+this container — see operators.multimodal); all byte-level arithmetic
+is therefore oracle-reproducible in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.multimodal import attach_payload, decode_media
+from skopje_spark.queries import register
+from skopje_spark.tables import load_table
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text)                               AS payload_sha,
+           'application/octet-stream'                 AS media_type
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct: byte length, content sha256,
+    media type — the schema every multimodal table in the engine
+    carries (payload itself excluded from the result for hashing)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = attach_payload(d, "text")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("payload_sha"),
+        F.col("media_meta.media_type").alias("media_type"),
+    )
+
+
+@register(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)            AS byte_len,
+           CAST((ascii(substr(text, 1, 1)) % 64 + 1) * 16 AS INT) AS width,
+           CAST(((octet_length(encode(text)) % 64) + 1) * 16 AS INT) AS height,
+           CAST((octet_length(encode(text)) % 8) + 1 AS INT)     AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed media decode through the real ``mapInPandas`` plumbing:
+    Arrow batches of (doc_id, payload) → deterministic fake
+    (width, height, n_frames). The oracle reproduces the stub's byte
+    arithmetic, proving the batch pipeline end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_payload(d, "text"), id_col="doc_id")

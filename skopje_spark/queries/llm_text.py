@@ -1,0 +1,122 @@
+"""Text-analysis queries over the documents fixture (§2C D4).
+
+Oracle SQL is generated from the same lexicons/patterns as the Spark
+operators (single source of truth in operators.text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from skopje_spark.operators.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    TOKEN_PATTERN,
+    fingerprint,
+    lang_id,
+    quality_features,
+)
+from skopje_spark.queries import register
+from skopje_spark.tables import load_table
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
+
+
+def _quality_oracle() -> str:
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    )
+    SELECT
+      doc_id,
+      LENGTH(text) AS n_chars_actual,
+      len(toks)    AS n_words,
+      (CASE WHEN (CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, t -> CAST(LENGTH(t) AS DOUBLE))) / len(toks)
+            ELSE 0.0 END) < 0 THEN -(FLOOR((-(CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, t -> CAST(LENGTH(t) AS DOUBLE))) / len(toks)
+            ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) ELSE FLOOR((CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, t -> CAST(LENGTH(t) AS DOUBLE))) / len(toks)
+            ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 END) AS avg_word_len,
+      (CASE WHEN (CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, t -> list_contains([{stops}], t))) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END) < 0 THEN -(FLOOR((-(CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, t -> list_contains([{stops}], t))) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) ELSE FLOOR((CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, t -> list_contains([{stops}], t))) / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 END) AS stopword_ratio,
+      (CASE WHEN (CASE WHEN LENGTH(text) > 0
+            THEN LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE)
+            ELSE 0.0 END) < 0 THEN -(FLOOR((-(CASE WHEN LENGTH(text) > 0
+            THEN LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE)
+            ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) ELSE FLOOR((CASE WHEN LENGTH(text) > 0
+            THEN LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / CAST(LENGTH(text) AS DOUBLE)
+            ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 END) AS punct_ratio,
+      len(regexp_extract_all({_NORM}, '{TOKEN_PATTERN}')) AS n_tokens,
+      CAST(LENGTH(text) >= 32 AND len(toks) >= 8
+           AND len(list_distinct(toks)) / CAST(GREATEST(len(toks), 1) AS DOUBLE) > 0.2
+           AS INT) AS quality_keep
+    FROM base
+    """
+
+
+@register("q_text_quality", oracle=_quality_oracle(), tags=("text", "quality"))
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature block: char/word/token counts, average
+    word length, stopword + punctuation ratios, composite keep flag."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d, "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    rows = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, l.lang,
+             len(list_filter(toks, t -> list_contains(l.markers, t))) AS n_hits
+      FROM base, (VALUES {rows}) AS l(lang, markers)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn
+      FROM hits
+    )
+    SELECT doc_id, CASE WHEN n_hits = 0 THEN 'und' ELSE lang END AS pred_lang
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("q_text_lang_id", oracle=_langid_oracle(), tags=("text", "langid"))
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-lexicon
+    hits (deterministic tiebreak; 'und' when nothing matches)."""
+    d = load_table(spark, sf_dir, "documents")
+    return lang_id(d, "doc_id", "text")
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g'))) AS fingerprint,
+           substr(sha256(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+             '\s+', ' ', 'g'))), 1, 16) AS fingerprint16
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form sha256 document fingerprint + 16-hex short form."""
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d, "doc_id", "text")

@@ -1,0 +1,55 @@
+"""Cross-engine-deterministic rounding.
+
+``ROUND(x, n)`` differs between engines at .xx5 boundaries: Spark
+rounds HALF_UP on the shortest decimal representation of the double,
+DuckDB rounds on the binary value. With 2-decimal-granularity money
+columns, products land exactly on boundaries constantly, so plain
+ROUND produces off-by-one-cent hash mismatches.
+
+Fix: round-half-away-from-zero computed *arithmetically* —
+``floor(|x|·10ⁿ + 0.5)/10ⁿ`` with the sign reapplied. Every operation
+(multiply, add, floor, divide) is an IEEE-754-deterministic primitive,
+so Spark and DuckDB produce bit-identical doubles by construction.
+
+Both the Spark Column helper and the SQL-text generator live here so
+queries and their oracles share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column | str, n: int = 2) -> Column:
+    """Deterministic round-half-away-from-zero to n decimals (Spark)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    s = float(10**n)
+    pos = F.floor(col * s + F.lit(0.5)) / s
+    neg = -(F.floor((-col) * s + F.lit(0.5)) / s)
+    return F.when(col < 0, neg).otherwise(pos)
+
+
+def dround_sql(expr: str, n: int = 2) -> str:
+    """Deterministic round-half-away-from-zero to n decimals (DuckDB SQL)."""
+    s = float(10**n)
+    return (
+        f"(CASE WHEN ({expr}) < 0 "
+        f"THEN -(FLOOR((-({expr})) * {s} + 0.5) / {s}) "
+        f"ELSE FLOOR(({expr}) * {s} + 0.5) / {s} END)"
+    )
+
+
+def davg(col: Column, n: int = 2) -> Column:
+    """Deterministic average of fixed-granularity data: round the SUM
+    to its exact decimal granularity (safe — the true sum *is* an
+    n-decimal number, so the boundary is never genuinely hit), then
+    divide by the count. Both engines produce the identical double, so
+    the quotient needs no further rounding."""
+    return dround(F.sum(col), n) / F.count(col)
+
+
+def davg_sql(expr: str, n: int = 2) -> str:
+    """SQL twin of :func:`davg`."""
+    return f"({dround_sql(f'SUM({expr})', n)} / COUNT({expr}))"

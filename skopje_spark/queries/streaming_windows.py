@@ -1,0 +1,162 @@
+"""Event-time window queries over the events fixture (§2B streaming
+rows), executed in batch mode — ``window()`` / ``session_window()``
+semantics are identical under Structured Streaming (the streaming/
+module wires the same expressions behind readStream + watermark; see
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround
+from skopje_spark.tables import load_table
+
+
+@register(
+    "q_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           (CASE WHEN (SUM(value)) < 0 THEN -(FLOOR((-(SUM(value))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 END) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type.
+
+    Streaming form: identical expression after
+    ``readStream…withWatermark('ts', '10 minutes')`` — state is one
+    aggregate row per (window, type), evicted at watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT *,
+             CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS s0
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_id, value, s0 AS window_start FROM starts
+      UNION ALL
+      SELECT event_id, value, s0 - INTERVAL 30 MINUTE AS window_start FROM starts
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           (CASE WHEN (SUM(value)) < 0 THEN -(FLOOR((-(SUM(value))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 END) AS total_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): every event lands in
+    exactly 2 windows. The oracle materializes the same assignment via
+    explicit window-start arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "q_window_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE  AS session_end,
+           COUNT(*)                      AS n_events,
+           (CASE WHEN (SUM(value)) < 0 THEN -(FLOOR((-(SUM(value))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 END)          AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session"),
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user: Spark's
+    ``session_window`` vs. the classic lag/flag/cumsum sessionization
+    in the oracle. ``session_window.end = max(ts) + gap`` by Spark's
+    definition, mirrored in the oracle.
+
+    Streaming form: ``applyInPandasWithState``-free — session_window
+    is natively mergeable state in Structured Streaming."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_events_json_enrich",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           (CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(json_extract(props, '$.k'))) AS k_avg
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "json"),
+)
+def q_events_json_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + aggregation — the reference's
+    serde-deserialize step (``/root/reference/src/extract/http.rs:139``)
+    as a streaming-safe columnar expression."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("k_total"),
+        (F.sum(k) / F.count(k)).alias("k_avg"),
+    )

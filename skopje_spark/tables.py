@@ -1,0 +1,61 @@
+"""Fixture table loaders.
+
+All engine demo queries read the driver-generated parquet tables
+(``TESTDATA.md``): TPC-H-ish star schema + ``events`` (stream shape) +
+``documents``/``embeddings`` (LLM-data shape).
+
+Scale note: ``spark.read.parquet`` is the scan operator; predicate
+pushdown and column pruning reach the parquet reader automatically when
+queries express filters/projections declaratively (verify via
+``.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan).
+
+    The events table is written with parquet TIMESTAMP(NANOS), which
+    Spark only reads via the nanosAsLong legacy mode; the fixture's
+    nanos are always whole microseconds, so converting with integer
+    division to a real timestamp is lossless (and matches DuckDB's
+    native ns→µs read).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
