@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() materializes the whole
+plan without driver-side row transfer). A warmup pass on sf0.001
+absorbs JVM/codegen warmup so the timed numbers reflect plan
+execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_window_frames",
+    "q_topk_per_group",
+    "q_join_asof",
+    "q_window_session",
+    "q_explode_wordcount",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk_bruteforce",
+    "q_similarity_blocked_pairs",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from skopje_spark.queries import load_all
+    from skopje_spark.session import get_spark
+
+    spark = get_spark(app_name="skopje-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warmup: tiny SF exercises codegen + parquet reader init
+    for name in HEADLINE[:3]:
+        registry[name].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from skopje_spark.queries.rounding import dround
+from skopje_spark.tables import ensure_parallelism
 
 # Prime > 2^32 for universal hashing; (a, b) pairs are fixed so runs
 # are reproducible. 16 hashes = 4 bands x 4 rows.
@@ -49,6 +50,7 @@ def normalize_text(col):
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) distinct token set per document."""
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col),
@@ -65,7 +67,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     Built with array HOFs (transform over a sequence of start offsets)
     — stays in whole-stage codegen, no UDF.
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the token array as a real column BEFORE the HOF:
+    # expressions referenced inside transform() lambdas are NOT
+    # common-subexpression-eliminated, so an inline split() would be
+    # re-evaluated for every element_at call — O(len·n_shingles)
+    # per document instead of O(len)
+    df = ensure_parallelism(df).withColumn(
+        "__toks", F.split(normalize_text(F.col(text_col)), " ")
+    )
+    toks = F.col("__toks")
     # guard: sequence(1, 0) would generate a *descending* range, so
     # short documents (< n tokens) must yield an empty shingle set
     idxs = F.when(
@@ -160,11 +170,17 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature matrix: one column per hash function.
 
-    sig_i(doc) = min over tokens of (a_i·H(token) + b_i) mod P.
-    Computed as 16 min-aggregates over the exploded token set — one
+    sig_i(doc) = min over 3-gram shingles of (a_i·H(shingle) + b_i)
+    mod P — shingles (not unigram tokens) so the sketch approximates
+    the same Jaccard space as :func:`jaccard_pairs`; unigram sets are
+    degenerate on small vocabularies (every doc resembles every other,
+    collapsing LSH bands into O(n²) candidates).
+    Computed as 16 min-aggregates over the exploded shingle set — one
     shuffle on doc id, partial mins map-side.
     """
-    t = tokens(df, id_col, text_col).withColumn("h", _token_hash(F.col("token")))
+    t = shingles(df, id_col, text_col, 3).withColumn(
+        "h", _token_hash(F.col("shingle"))
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
             f"mh{i}"
@@ -186,33 +202,52 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signatures(df, id_col, text_col)
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
-    bands = []
-    for band in range(LSH_BANDS):
-        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
+    # one pass over the signature: explode 4 (band_id, band_sig)
+    # structs per doc rather than unioning 4 projections of the
+    # signature subtree (which would recompute it per band)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band_id"),
-                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
-                    "band_sig"
-                ),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{band * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("band_sig"),
             )
-        )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    a = all_bands.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_sig"
+            for band in range(LSH_BANDS)
+        ]
     )
-    b = all_bands.select(
-        F.col(id_col).alias("id_b"), "band_id", "band_sig"
+    all_bands = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(F.col(id_col), F.col("b.band_id"), F.col("b.band_sig"))
+    # bucket-local pair generation: one shuffle on the bucket key, no
+    # self-join (which would re-evaluate the whole signature pipeline
+    # for each side). Buckets are small by construction; a giant
+    # bucket means degenerate near-identical content and is the
+    # pathological case LSH banding exists to avoid.
+    buckets = all_bands.groupBy("band_id", "band_sig").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x: F.transform(
+                            F.col("ids"),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                ),
+                lambda s: s.getField("id_a") < s.getField("id_b"),
+            )
+        ).alias("p")
     )
-    return (
-        a.join(b, ["band_id", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -45,6 +45,28 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _np_dot_udf():
+    """Arrow-batched numpy dot product: the hot path for pairwise
+    scoring. Interpreted HOF lambdas cost ~1 µs/element; numpy einsum
+    over an Arrow batch is ~100× faster and BLAS-vectorized. Values
+    can differ from the sequential fold in the last ulp (pairwise vs
+    sequential summation) — results are rounded to 6 dp downstream,
+    where that difference is invisible."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: this module uses postponed annotation
+    # evaluation, which pandas_udf cannot introspect — the explicit
+    # returnType plus bare args select the scalar pandas-UDF path
+    def np_dot(a, b):
+        am = np.stack(a.to_numpy()).astype("float64")
+        bm = np.stack(b.to_numpy()).astype("float64")
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    return pandas_udf(np_dot, "double")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_df: DataFrame,
@@ -80,25 +102,48 @@ def blocked_neardup_pairs(
     The equi-join on the block key bounds the pair space; AQE splits a
     skewed block. For unblocked data, derive the key via
     :func:`rh_lsh_buckets` first.
+
+    Execution shape (sized for scale):
+    1. norms precomputed once per vector (not once per pair);
+    2. the block join produces (ids, vecs) pairs, then an explicit
+       repartition spreads pair scoring across all cores — the join
+       itself only parallelizes over distinct block keys, which may be
+       far fewer than cores (10 labels here);
+    3. scoring = one Arrow-batched numpy dot per pair.
     """
-    a = embeddings.select(
+    np_dot = _np_dot_udf()
+    with_norm = embeddings.select(
         F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
+    a = with_norm.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    return (
+    b = with_norm.select(
+        F.col("__blk"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        .repartition(F.col("id_a"), F.col("id_b"))
+    )
+    return (
+        pairs.select(
             F.col("__blk").alias(block_col),
             "id_a",
             "id_b",
-            dround(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            dround(
+                np_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

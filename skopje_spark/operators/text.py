@@ -56,6 +56,9 @@ def punct_ratio(text: Column) -> Column:
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Quality-scoring feature block: lengths, token stats, ratios and
     a composite keep/drop flag (the usual pre-training filter shape)."""
+    from skopje_spark.tables import ensure_parallelism
+
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     toks = word_tokens(text)
     n_words = F.size(toks)

@@ -38,6 +38,24 @@ hashed AS (
 )
 """
 
+# 3-gram shingle CTE + sha256 hash (minhash operates in shingle space)
+_SHINGLE_HASH_CTE = r"""
+tokarr AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM tokarr,
+       UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1)
+                   ELSE []::BIGINT[] END) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS h FROM sh
+)
+"""
+
 
 @register(
     "q_dedup_exact_hash",
@@ -123,7 +141,7 @@ def _minhash_oracle() -> str:
         )
     bands = "\n  UNION ALL\n  ".join(band_selects)
     return f"""
-    WITH {_TOKS_CTE},
+    WITH {_SHINGLE_HASH_CTE},
     sig AS (
       SELECT doc_id,
       {mins}
@@ -140,9 +158,10 @@ def _minhash_oracle() -> str:
 
 @register("q_dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "minhash", "lsh"))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2b MinHash-LSH candidate pairs (16 sha256-derived hashes,
-    4 bands × 4 rows). Oracle-exact because both engines use identical
-    universal-hash coefficients over identical sha256 token hashes."""
+    """D2b MinHash-LSH candidate pairs (16 sha256-derived hashes over
+    3-gram shingles, 4 bands × 4 rows). Oracle-exact because both
+    engines use identical universal-hash coefficients over identical
+    sha256 shingle hashes."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text")
 

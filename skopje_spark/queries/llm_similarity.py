@@ -30,7 +30,7 @@ from skopje_spark.tables import load_table
     SELECT vec_id,
            (CASE WHEN (list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) < 0 THEN -(FLOOR((-(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) * 1000000.0 + 0.5) / 1000000.0 END) AS cos_sim
     FROM embeddings, q
-    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) DESC, vec_id
+    ORDER BY (CASE WHEN (list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) < 0 THEN -(FLOOR((-(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) * 1000000.0 + 0.5) / 1000000.0 END) DESC, vec_id
     LIMIT 10
     """,
     tags=("similarity", "topk", "bruteforce"),
@@ -55,7 +55,7 @@ def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
            (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0 THEN -(FLOOR((-(list_cosine_similarity(a.v, b.v))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 END) AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    WHERE (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0 THEN -(FLOOR((-(list_cosine_similarity(a.v, b.v))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.35
     """,
     tags=("similarity", "pairs", "blocked"),
 )

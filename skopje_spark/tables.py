@@ -55,6 +55,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int = 32) -> DataFrame:
+    """Repartition iff the scan produced fewer partitions than cores.
+
+    Small dimension files (documents/embeddings fixtures are a few MB)
+    arrive as a single input partition, which serializes CPU-heavy
+    per-row operators (shingling, hashing, vector math) onto one task.
+    A round-robin repartition of a few MB costs nothing and unlocks
+    full-core parallelism. At 100 TB inputs span thousands of files and
+    this is a no-op (getNumPartitions is metadata-only, no job).
+    """
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLE_NAMES:
