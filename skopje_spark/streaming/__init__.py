@@ -1,0 +1,30 @@
+"""Structured Streaming surface (mandated extension; the reference has
+no stream abstraction — SURVEY §1.1)."""
+
+from skopje_spark.streaming.streams import (
+    dedup_within_watermark,
+    file_stream,
+    foreach_batch_sink,
+    parquet_stream_sink,
+    rate_stream,
+    run_available_now,
+    running_totals,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    with_watermark,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "file_stream",
+    "foreach_batch_sink",
+    "parquet_stream_sink",
+    "rate_stream",
+    "run_available_now",
+    "running_totals",
+    "session_agg",
+    "sliding_agg",
+    "tumbling_agg",
+    "with_watermark",
+]

@@ -1,0 +1,199 @@
+"""Structured Streaming surface: sources, event-time windows,
+watermarked dedup, custom stateful sessionization, and sinks.
+
+The reference has no streaming (SURVEY §1.1: no stream abstraction
+exists in skopje) — this is mandated extension surface (§2B streaming
+rows). Design: every transformation here is the *same expression* the
+batch queries use (``skopje_spark/queries/streaming_windows.py``);
+streaming is a property of the source/sink, not of the operators. That
+is Structured Streaming's core contract, and it is what makes these
+operators testable in batch against a DuckDB oracle while remaining
+deployable as incremental pipelines.
+
+Scale notes:
+
+- Watermarks bound state: an unbounded streaming agg at 100 TB/day is
+  an OOM; every stateful helper takes an explicit watermark delay.
+- File sources use ``maxFilesPerTrigger`` to bound micro-batch size;
+  availableNow triggers drain a backlog in bounded batches.
+- ``foreachBatch`` is the escape hatch for sinks Spark lacks (JDBC
+  staging-swap per micro-batch, idempotent by batch_id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+# -- sources ----------------------------------------------------------------
+
+def file_stream(spark: SparkSession, path: str, *, schema: StructType | str,
+                fmt: str = "json", max_files_per_trigger: int | None = None,
+                **options: str) -> DataFrame:
+    """Incremental directory scan — the streaming analog of the batch
+    file sources. Schema is mandatory (streaming cannot infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def rate_stream(spark: SparkSession, *, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic ``(timestamp, value)`` source for wiring tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+# -- event-time transformations --------------------------------------------
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound; required before any stateful op below."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(df: DataFrame, ts_col: str, every: str, *keys: str,
+                 aggs: dict[str, Any] | None = None,
+                 watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time window aggregate. ``aggs`` maps output name
+    → Column; default counts events."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.groupBy(F.window(ts_col, every).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), *keys, *aggs.keys())
+    )
+
+
+def sliding_agg(df: DataFrame, ts_col: str, size: str, slide: str, *keys: str,
+                aggs: dict[str, Any] | None = None,
+                watermark: str | None = None) -> DataFrame:
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.groupBy(F.window(ts_col, size, slide).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), *keys, *aggs.keys())
+    )
+
+
+def session_agg(df: DataFrame, ts_col: str, gap: str, *keys: str,
+                aggs: dict[str, Any] | None = None,
+                watermark: str | None = None) -> DataFrame:
+    """Session windows — natively mergeable state in Structured
+    Streaming (no custom state function needed)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), *keys, *aggs.keys())
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str,
+                           delay: str) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark window are dropped; state for keys older than
+    the watermark is evicted. The streaming form of the engine's D1
+    exact-dedup operator."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+# -- custom stateful operator ----------------------------------------------
+
+def running_totals(df: DataFrame, key_col: str, value_col: str,
+                   *, timeout_ms: int | None = None) -> DataFrame:
+    """Arbitrary-state example: per-key running (count, sum) maintained
+    across micro-batches via ``applyInPandasWithState`` — the engine's
+    pattern for operators Spark's built-in state can't express.
+
+    Emits one ``(key, n, total)`` row per key per micro-batch.
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    return (
+        df.select(F.col(key_col), F.col(value_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType="key string, n long, total double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+# -- sinks ------------------------------------------------------------------
+
+def run_available_now(stream_df: DataFrame, *, name: str = "result",
+                      output_mode: str = "append") -> DataFrame:
+    """Drain everything currently available into an in-memory table and
+    return it as a batch DataFrame — the test/verification sink."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def parquet_stream_sink(stream_df: DataFrame, path: str, checkpoint: str, *,
+                        output_mode: str = "append",
+                        available_now: bool = False):
+    """Exactly-once file sink (checkpointed offsets + atomic commits)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path).option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_sink(stream_df: DataFrame, checkpoint: str,
+                       fn: Callable[[DataFrame, int], None], *,
+                       available_now: bool = False):
+    """Micro-batch escape hatch: ``fn(batch_df, batch_id)`` runs as a
+    batch job per trigger — how streaming reaches JDBC/staging-swap
+    sinks. ``batch_id`` is the idempotence key (reruns of a failed
+    batch present the same id)."""
+    writer = stream_df.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

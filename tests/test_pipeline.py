@@ -1,0 +1,113 @@
+"""Pipeline graph + file source/sink round-trips (SURVEY §2A E1/E2,
+S1/S2, L1/L2 analogs)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.pipeline import Pipeline
+from skopje_spark.sinks import csv_sink, json_sink, parquet_sink
+from skopje_spark.sources import (
+    binary_source,
+    csv_source,
+    json_source,
+    parquet_source,
+    unzip,
+)
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    p = Pipeline("etl")
+    p.source("orders", lambda ctx: parquet_source(
+        ctx.spark, os.path.join(ctx.conf["sf_dir"], "orders.parquet")))
+    p.source("customer", lambda ctx: parquet_source(
+        ctx.spark, os.path.join(ctx.conf["sf_dir"], "customer.parquet")))
+    p.transform(
+        "joined",
+        lambda ctx, o, c: o.join(c, o.o_custkey == c.c_custkey).groupBy(
+            "c_mktsegment").agg(F.count(F.lit(1)).alias("n_orders")),
+        deps=["orders", "customer"],
+    )
+    p.sink("save", lambda ctx, df: parquet_sink(df, out, mode="overwrite"),
+           dep="joined")
+    results = p.run(spark, conf={"sf_dir": sf_dir})
+
+    assert results["joined"].columns == ["c_mktsegment", "n_orders"]
+    back = spark.read.parquet(out)
+    assert back.count() == results["joined"].count() > 0
+
+
+def test_pipeline_rejects_cycles_and_dups(spark):
+    p = Pipeline()
+    p.source("a", lambda ctx: None)
+    with pytest.raises(ValueError, match="duplicate"):
+        p.source("a", lambda ctx: None)
+    with pytest.raises(ValueError, match="unknown"):
+        p.transform("t", lambda ctx, x: x, deps=["missing"])
+
+
+def test_json_source_multiline_and_lines(spark, tmp_path):
+    # whole-file document (the reference's read_json semantics)
+    doc = tmp_path / "doc.json"
+    doc.write_text(json.dumps({"name": "x", "vals": [1, 2, 3]}))
+    df = json_source(spark, str(doc), multi_line=True)
+    row = df.first()
+    assert row["name"] == "x" and list(row["vals"]) == [1, 2, 3]
+
+    # json-lines (splittable scale path), explicit schema: no inference pass
+    lines = tmp_path / "lines.json"
+    lines.write_text("\n".join(json.dumps({"k": i}) for i in range(5)))
+    df2 = json_source(spark, str(lines), schema="k long")
+    assert df2.count() == 5
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    path = str(tmp_path / "nation_csv")
+    csv_sink(nation, path, mode="overwrite")
+    back = csv_source(spark, path, schema=nation.schema)
+    assert back.count() == nation.count() == 25
+
+
+def test_json_sink_round_trip(spark, sf_dir, tmp_path):
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    path = str(tmp_path / "region_json")
+    json_sink(region, path, mode="overwrite")
+    assert json_source(spark, path).count() == 5
+
+
+def test_parquet_sink_dedup_contract_and_partitioning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "x"), (2, "b", "y")], "id int, v string, p string"
+    )
+    out = str(tmp_path / "part")
+    parquet_sink(df, out, mode="overwrite", partition_by=["p"],
+                 dedup_keys=["id"])
+    assert os.path.isdir(os.path.join(out, "p=x"))  # directory partitioning
+    assert spark.read.parquet(out).count() == 2     # pre-copy dedup (pg.rs:19-20)
+
+
+def test_unzip_then_read(spark, tmp_path):
+    zpath = tmp_path / "archive.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for i in range(3):
+            zf.writestr(f"sub/part{i}.json", json.dumps({"i": i}))
+    extracted = unzip(str(zpath), str(tmp_path / "out"))
+    assert len(extracted) == 3
+    df = json_source(spark, str(tmp_path / "out" / "sub"), schema="i long")
+    assert df.count() == 3
+
+
+def test_binary_source(spark, tmp_path):
+    (tmp_path / "blob1.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "blob2.bin").write_bytes(b"\x03\x04")
+    df = binary_source(spark, str(tmp_path), glob="*.bin")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert rows["blob1.bin"]["length"] == 3
+    assert bytes(rows["blob2.bin"]["content"]) == b"\x03\x04"
