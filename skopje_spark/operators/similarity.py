@@ -99,53 +99,61 @@ def blocked_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
-    The equi-join on the block key bounds the pair space; AQE splits a
-    skewed block. For unblocked data, derive the key via
-    :func:`rh_lsh_buckets` first.
+    Execution shape (sized for scale): ONE shuffle of the n input rows
+    on the block key, then `applyInPandas` computes each block's full
+    pairwise cosine matrix with a single BLAS matmul and emits only
+    above-threshold pairs. The alternative — self-join on the block key
+    then per-pair scoring — shuffles O(Σ|block|²) fat rows (two vectors
+    each); this shuffles O(n).
 
-    Execution shape (sized for scale):
-    1. norms precomputed once per vector (not once per pair);
-    2. the block join produces (ids, vecs) pairs, then an explicit
-       repartition spreads pair scoring across all cores — the join
-       itself only parallelizes over distinct block keys, which may be
-       far fewer than cores (10 labels here);
-    3. scoring = one Arrow-batched numpy dot per pair.
+    Constraint: one block must fit in one worker (|block| vectors +
+    |block|² scores). That is the standard blocked-ANN contract; at
+    100 TB keep blocks ≤ ~50k vectors by refining the blocking key
+    (e.g. label × LSH bucket via :func:`rh_lsh_buckets`) — a giant
+    block means the blocking key is not doing its job. For unblocked
+    corpora derive the key from LSH buckets.
     """
-    np_dot = _np_dot_udf()
-    with_norm = embeddings.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col)).alias("__n"),
+    import numpy as np
+    import pandas as pd
+
+    id_t = dict(embeddings.dtypes)[id_col]
+    blk_t = dict(embeddings.dtypes)[block_col]
+    out_schema = (
+        f"{block_col} {blk_t}, id_a {id_t}, id_b {id_t}, cos_sim double"
     )
-    a = with_norm.select(
-        F.col("__blk"),
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = with_norm.select(
-        F.col("__blk"),
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    pairs = (
-        a.join(b, "__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .repartition(F.col("id_a"), F.col("id_b"))
-    )
-    return (
-        pairs.select(
-            F.col("__blk").alias(block_col),
-            "id_a",
-            "id_b",
-            dround(
-                np_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
-                6,
-            ).alias("cos_sim"),
+    scale = 10.0 ** 6
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__v"].to_numpy()).astype("float64")
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        S = (M @ M.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = S[iu, ju]
+        # round-half-away-from-zero at 6 dp (matches dround / oracle)
+        c = np.where(
+            c < 0, -(np.floor(-c * scale + 0.5) / scale),
+            np.floor(c * scale + 0.5) / scale,
         )
-        .filter(F.col("cos_sim") >= threshold)
+        keep = c >= threshold
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cos_sim": c[keep],
+            }
+        )
+
+    return (
+        embeddings.select(
+            F.col(block_col),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        .groupBy(block_col)
+        .applyInPandas(score_block, out_schema)
     )
 
 
