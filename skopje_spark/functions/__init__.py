@@ -62,7 +62,9 @@ def convert_date(col: Column | str, fmt: str = "yyyy-MM-dd") -> Column:
     ``/root/reference/src/util.rs:9-15``). Non-matching input → NULL
     (the engine-idiomatic version of the reference's logged error)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c, fmt)
+    # try_to_date: ANSI mode (Spark 4 default) makes to_date THROW on
+    # malformed input; the reference's contract is log-and-continue
+    return F.try_to_date(c, fmt)
 
 
 def _to_spark_type(py_type) -> DataType:

@@ -69,10 +69,12 @@ def load_all() -> dict[str, QueryDef]:
         llm_similarity,
         llm_text,
         relational,
+        relational_extra,
         scalars,
         setops,
         streaming_windows,
         subqueries,
+        tpch_extra,
         window_funcs,
     )
 

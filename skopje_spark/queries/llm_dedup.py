@@ -189,3 +189,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     land at small Hamming distance; clustering pass is round-2 work)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=32)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0
+             THEN -(FLOOR((-(list_cosine_similarity(a.v, b.v))) * 1000000.0 + 0.5) / 1000000.0)
+             ELSE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.4
+    )
+    SELECT DISTINCT id_b AS dropped_id FROM pairs ORDER BY dropped_id
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2d embedding-cosine near-dup drop list: any vector whose cosine
+    to a lower-id vector in the same block exceeds the threshold is
+    dropped (keep-lowest-id policy — deterministic and SQL-expressible,
+    unlike greedy transitive clustering which is round-2 work).
+
+    Scale: inherits :func:`blocked_neardup_pairs`'s one-shuffle
+    applyInPandas plan; the drop-list aggregate is a distinct over the
+    (already small) above-threshold pair set."""
+    from skopje_spark.operators.similarity import blocked_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+    )
+    return (
+        pairs.select(F.col("id_b").alias("dropped_id"))
+        .distinct()
+        .orderBy("dropped_id")
+    )

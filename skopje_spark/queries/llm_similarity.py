@@ -77,8 +77,8 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, brute-force only those cells (~30% of the corpus).
 
     No oracle: the probe set depends on engine-internal tie handling
-    in centroid ranking; correctness is covered by unit tests checking
-    recall ≥ 0.8 vs the exact top-k at fixture scale.
+    in centroid ranking; correctness is covered by a unit test checking
+    the result equals the exact top-k restricted to the probed cells.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.orderBy("vec_id").limit(1)

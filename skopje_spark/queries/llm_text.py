@@ -7,6 +7,7 @@ operators (single source of truth in operators.text).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from skopje_spark.operators.text import (
     EN_STOPWORDS,
@@ -100,6 +101,46 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits (deterministic tiebreak; 'und' when nothing matches)."""
     d = load_table(spark, sf_dir, "documents")
     return lang_id(d, "doc_id", "text")
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all({_NORM}, '{TOKEN_PATTERN}')) AS n_re_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct_tokens,
+           (CASE WHEN (CASE WHEN len({_TOKS}) > 0
+              THEN len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)
+              ELSE 0.0 END) < 0 THEN -(FLOOR((-(CASE WHEN len({_TOKS}) > 0
+              THEN len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)
+              ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0) ELSE FLOOR((CASE WHEN len({_TOKS}) > 0
+              THEN len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)
+              ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 END) AS type_token_ratio
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace words and the BPE-ish
+    regex pre-tokenizer (word pieces + punctuation singles) — plus
+    type/token ratio. Narrow per-row map, no shuffle."""
+    from skopje_spark.operators.text import token_count, word_tokens
+    from skopje_spark.queries.rounding import dround
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    ttr = F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)) / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        token_count(F.col("text")).alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        dround(ttr, 4).alias("type_token_ratio"),
+    )
 
 
 @register(

@@ -1,0 +1,143 @@
+"""Reshaping + sampling queries: pivot, unpivot, deterministic sample.
+
+Pivot/unpivot round out the §2B relational surface (PostgreSQL users
+express these as crosstab / UNION ALL — both SQL shapes a skopje
+``fetch_stmt`` could carry). The hash sample is the training-data
+holdout split primitive: deterministic, key-stable, engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround, dround_sql
+from skopje_spark.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_events",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      {", ".join(
+          dround_sql(
+              f"COALESCE(SUM(value) FILTER (WHERE event_type = '{t}'), 0.0)", 4
+          ) + f" AS {t}"
+          for t in EVENT_TYPES
+      )}
+    FROM events
+    GROUP BY day
+    """,
+    tags=("pivot", "agg"),
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event-type value matrix. Explicit pivot values so
+    the plan is a single pass (no distinct-values pre-query) — the
+    100 TB form; dynamic pivot would scan twice."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return pivoted.select(
+        "day",
+        *[dround(F.coalesce(F.col(t), F.lit(0.0)), 4).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "q_unpivot_lineitem",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag,
+             SUM(l_extendedprice) AS extendedprice,
+             SUM(l_discount) AS discount,
+             SUM(l_tax) AS tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, {dround_sql("amount", 4)} AS amount
+    FROM base
+    UNPIVOT (amount FOR measure IN (extendedprice, discount, tax))
+    ORDER BY l_returnflag, measure
+    """,
+    tags=("unpivot", "reshape"),
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the built-in unpivot operator — a
+    narrow per-row expansion, no shuffle beyond the base aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.groupBy("l_returnflag").agg(
+        F.sum("l_extendedprice").alias("extendedprice"),
+        F.sum("l_discount").alias("discount"),
+        F.sum("l_tax").alias("tax"),
+    )
+    return (
+        base.unpivot(
+            ["l_returnflag"],
+            ["extendedprice", "discount", "tax"],
+            "measure",
+            "amount",
+        )
+        .select("l_returnflag", "measure", dround("amount", 4).alias("amount"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+# Knuth multiplicative hash — exact in BIGINT arithmetic on both
+# engines, so the sample membership is bit-identical cross-engine and
+# stable under re-partitioning (unlike rand()-based sampling).
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_MOD} < {_MOD} // 10
+    ORDER BY doc_id
+    """,
+    tags=("sample", "filter"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% key-hash sample (train/holdout splitting).
+
+    Scale: a pure narrow filter — no shuffle, no state, and the same
+    doc is in the same split on every engine/run/partitioning, which
+    rand()/TABLESAMPLE cannot guarantee."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (
+        d.filter(bucket < _MOD // 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_MOD} < {_MOD} // 5
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("sample", "agg"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum counts of a deterministic 20% sample — the
+    monitoring query behind stratified split QA."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (
+        d.filter(bucket < _MOD // 5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("source")
+    )
