@@ -1,0 +1,97 @@
+"""Plan-shape assertions: the 100 TB scale contract, pinned in CI.
+
+Row-level tests can't see a lost pushdown or a join that degenerated
+to a cartesian product — these tests read the physical plan and fail
+if a scale-critical property regresses."""
+
+from __future__ import annotations
+
+import pytest
+
+from skopje_spark.plans import (
+    has_codegen,
+    join_strategies,
+    plan_text,
+    pushed_filters,
+    scan_schemas,
+)
+from skopje_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _df(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = _df(spark, sf_dir, "q1_pricing_summary")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reached the parquet scan
+    schema = " ".join(scan_schemas(df))
+    # pruned: the scan must NOT read the unused join keys
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert has_codegen(df)
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = _df(spark, sf_dir, "q6_forecast_revenue")
+    pushed = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed to scan"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """q5: region/nation/customer/supplier dims must broadcast — a
+    shuffle of lineitem against a 5-row dim is the classic scale bug."""
+    df = _df(spark, sf_dir, "q5_region_revenue")
+    strats = join_strategies(df)
+    assert strats, "no joins found in q5 plan"
+    assert "CartesianProduct" not in strats
+    assert "BroadcastHashJoin" in strats
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    """No catalog query may contain a CartesianProduct node. (The
+    1-row-broadcast crossJoins in similarity scoring legitimately plan
+    as BroadcastNestedLoopJoin — bounded by the broadcast side — and
+    are allowed.)"""
+    offenders = []
+    for name, qd in REGISTRY.items():
+        try:
+            plan = plan_text(qd.fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface plan bugs
+            offenders.append(f"{name}: explain failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The asof composition must not contain any join operator — its
+    whole point is one shuffle + one window."""
+    from skopje_spark.plans import num_shuffles
+
+    df = _df(spark, sf_dir, "q_join_asof")
+    assert join_strategies(df) == []
+    # exactly: 1 key shuffle for the window + 1 range shuffle for the
+    # presentation orderBy
+    assert num_shuffles(df) <= 2
+
+
+def test_topk_uses_ordered_limit_not_global_sort(spark, sf_dir):
+    df = _df(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan_text(df)
+
+
+def test_broadcast_join_hint_respected(spark, sf_dir):
+    df = _df(spark, sf_dir, "q_join_inner_broadcast")
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+@pytest.mark.parametrize("name", ["q_dedup_minhash_lsh", "q_text_quality"])
+def test_llm_operators_stay_in_codegen(spark, sf_dir, name):
+    """Dedup/text hot paths are built-in expressions — they must keep
+    whole-stage codegen (a Python UDF in the middle would break it)."""
+    assert has_codegen(_df(spark, sf_dir, name))

@@ -1,0 +1,131 @@
+"""Structured Streaming wiring tests: file source → event-time ops →
+sinks, drained with availableNow so they run bounded in CI.
+
+The operator bodies are the same expressions the batch queries verify
+against DuckDB (streaming_windows.py); these tests pin the *streaming*
+properties — incremental drain, watermarked dedup state, cross-batch
+custom state, exactly-once file sink."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from skopje_spark.streaming import (
+    dedup_within_watermark,
+    file_stream,
+    foreach_batch_sink,
+    parquet_stream_sink,
+    run_available_now,
+    running_totals,
+    tumbling_agg,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id string, value double"
+
+
+def _write_events(dirpath, rows, fname="part0.json"):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / fname, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rows():
+    return [
+        {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:05:10", "user_id": "a", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01T00:05:20", "user_id": "b", "value": 3.0},
+        {"event_id": 3, "ts": "2024-01-01T00:05:20", "user_id": "b", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01T00:22:00", "user_id": "b", "value": 4.0},
+    ]
+
+
+def test_tumbling_agg_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_events(src, _rows())
+    stream = file_stream(spark, str(src), schema=SCHEMA)
+    agg = tumbling_agg(stream, "ts", "10 minutes", "user_id",
+                       aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+                       watermark="1 minute")
+    got = run_available_now(agg, name="t_tumble", output_mode="append")
+
+    batch = tumbling_agg(
+        spark.read.schema(SCHEMA).json(str(src)), "ts", "10 minutes", "user_id",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+    )
+    # append mode emits only windows the watermark has finalized: the
+    # last window (no later event to advance the watermark past its
+    # end) correctly stays in state — so compare finalized windows
+    final_wm = "2024-01-01T00:21:00"  # max ts (00:22) - 1 min delay
+    finalized = batch.filter(F.col("window_end") <= F.lit(final_wm).cast("timestamp"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, finalized.collect()))
+    assert got.count() > 0
+
+
+def test_dedup_within_watermark_drops_dup(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_events(src, _rows())
+    stream = file_stream(spark, str(src), schema=SCHEMA)
+    out = run_available_now(
+        dedup_within_watermark(stream, ["event_id"], "ts", "10 minutes"),
+        name="t_dedup",
+    )
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4]  # duplicate event_id=3 dropped
+
+
+def test_running_totals_state_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    # two files → with maxFilesPerTrigger=1 the state must carry over
+    _write_events(src, _rows()[:2], "b0.json")
+    _write_events(src, _rows()[2:], "b1.json")
+    stream = file_stream(
+        spark, str(src), schema=SCHEMA, max_files_per_trigger=1
+    )
+    out = run_available_now(
+        running_totals(stream, "user_id", "value"),
+        name="t_state", output_mode="update",
+    )
+    # last emitted row per key holds the final running state
+    final = {
+        r["key"]: (r["n"], r["total"])
+        for r in out.orderBy("n").collect()  # ascending: later rows overwrite
+    }
+    assert final["a"] == (2, 3.0)
+    assert final["b"] == (3, 10.0)
+
+
+def test_parquet_sink_exactly_once_restart(spark, tmp_path):
+    src, out, ckpt = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_events(src, _rows())
+    q = parquet_stream_sink(
+        file_stream(spark, str(src), schema=SCHEMA), out, ckpt,
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 5
+    # restart with the same checkpoint: no new input → no duplicates
+    q2 = parquet_stream_sink(
+        file_stream(spark, str(src), schema=SCHEMA), out, ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_foreach_batch_sink_receives_batches(spark, tmp_path):
+    src, ckpt = tmp_path / "src", str(tmp_path / "ck2")
+    _write_events(src, _rows())
+    seen: list[tuple[int, int]] = []
+
+    def fn(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = foreach_batch_sink(
+        file_stream(spark, str(src), schema=SCHEMA), ckpt, fn,
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert sum(n for _, n in seen) == 5
