@@ -62,7 +62,37 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-gram set per document.
+    """(id, shingle) distinct word n-gram set per document."""
+    return _shingles_raw(df, id_col, text_col, n).distinct()
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, hex_chars: int = 15
+) -> DataFrame:
+    """(id, h) distinct shingle-hash set per document, h = first
+    ``hex_chars`` hex digits of sha256 (60 bits at 15 — collision-free
+    in practice, cross-engine reproducible).
+
+    Hashing BEFORE the distinct keeps every downstream shuffle key
+    (distinct, set-size groupBy, the self-join) an 8-byte long instead
+    of a ~25-byte string — at 100 TB that is the difference between
+    shuffling shingle text and shuffling fixed-width ints.
+    """
+    return (
+        _shingles_raw(df, id_col, text_col, n)
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, hex_chars), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+
+
+def _shingles_raw(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) with per-document duplicates — callers pick the
+    dedup representation (string or hash space).
 
     Built with array HOFs (transform over a sequence of start offsets)
     — stays in whole-stage codegen, no UDF.
@@ -87,10 +117,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -131,27 +158,34 @@ def jaccard_pairs(
 ) -> DataFrame:
     """D2a exact n-gram Jaccard near-dup pairs.
 
-    Plan shape: shingle-set explode → self equi-join **on shingle**
-    (the crucial bit: candidate pairs only materialize where sets
-    overlap — never an all-pairs product) → per-pair intersection
-    count → Jaccard. At 100 TB add a df-frequency cut (drop shingles
-    appearing in > f docs) to bound the join fan-out on stop-shingles.
+    Plan shape: shingle-hash sets (60-bit longs, not strings — see
+    :func:`shingle_hashes`) → self equi-join **on the hash** (the
+    crucial bit: candidate pairs only materialize where sets overlap —
+    never an all-pairs product) → per-pair intersection count →
+    Jaccard. At 100 TB add a df-frequency cut (drop shingles appearing
+    in > f docs) to bound the join fan-out on stop-shingles.
     """
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # set size rides along every shingle row via a window instead of a
+    # separate aggregate + two join-backs: that version evaluated the
+    # whole shingle pipeline once per branch (4-5 scans); this one has
+    # two branches whose shared window-exchange is ReusedExchange'd —
+    # the expensive sha256+distinct runs once
+    sh = shingle_hashes(df, id_col, text_col, n).withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), "h", F.col("set_size").alias("size_b")
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size_a/size_b are functionally dependent on the ids — adding
+        # them as group keys avoids any post-agg join-back
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             dround(
@@ -178,8 +212,12 @@ def minhash_signatures(
     Computed as 16 min-aggregates over the exploded shingle set — one
     shuffle on doc id, partial mins map-side.
     """
-    t = shingles(df, id_col, text_col, 3).withColumn(
-        "h", _token_hash(F.col("shingle"))
+    # hash before distinct: the dedup shuffle carries 8-byte longs and
+    # min() is insensitive to the (vanishing) hash-collision case
+    t = (
+        _shingles_raw(df, id_col, text_col, 3)
+        .select(F.col(id_col), _token_hash(F.col("shingle")).alias("h"))
+        .distinct()
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(

@@ -97,7 +97,8 @@ def _exact_all(d: DataFrame) -> DataFrame:
       FROM documents
     ),
     sh AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(sha256(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
       FROM toks,
            UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1)
                        ELSE []::BIGINT[] END) AS t(i)
@@ -105,7 +106,7 @@ def _exact_all(d: DataFrame) -> DataFrame:
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM sh a JOIN sh b USING (h)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
