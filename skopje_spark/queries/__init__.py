@@ -75,6 +75,7 @@ def load_all() -> dict[str, QueryDef]:
         streaming_windows,
         subqueries,
         tpch_extra,
+        udfs,
         window_funcs,
     )
 

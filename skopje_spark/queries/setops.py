@@ -132,3 +132,45 @@ def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     )
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey
+    """,
+    tags=("setop", "intersect", "all"),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: each nationkey appears
+    min(count_left, count_right) times."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .intersectAll(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey
+    """,
+    tags=("setop", "except", "all"),
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: count_left - count_right
+    occurrences survive."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .exceptAll(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
