@@ -1,0 +1,118 @@
+"""Property-based tests (SURVEY §5 item 3) for the parity-critical
+primitives.
+
+`dround` is the lynchpin: every float-valued oracle comparison rests
+on Spark and DuckDB computing bit-identical rounded doubles. The
+property tests drive all three implementations (Spark Column, DuckDB
+SQL, pure-Python reference) over generated inputs in one batch per
+example set, not one job per value."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from skopje_spark.operators.keymap import keymap_assign
+from skopje_spark.queries.rounding import dround, dround_sql
+
+FLOATS = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+def _py_dround(x: float, n: int) -> float:
+    s = float(10 ** n)
+    return -(math.floor(-x * s + 0.5) / s) if x < 0 else math.floor(x * s + 0.5) / s
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(FLOATS, min_size=1, max_size=50), st.integers(0, 6))
+def test_dround_spark_duckdb_python_agree(spark_global, values, n):
+    spark = spark_global
+    sdf = spark.createDataFrame([(v,) for v in values], "x double")
+    got_spark = [
+        r["y"] for r in sdf.select(dround("x", n).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    sql = f"SELECT {dround_sql('?::DOUBLE', n)}"
+    nparams = sql.count("?")  # dround_sql repeats the expression
+    got_duck = [con.execute(sql, [v] * nparams).fetchone()[0] for v in values]
+    expect = [_py_dround(v, n) for v in values]
+    assert got_spark == expect
+    assert got_duck == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(st.integers(0, 30), max_size=8),
+    st.sets(st.text(st.characters(categories=("Ll",)), min_size=1, max_size=5), max_size=6),
+)
+def test_keymap_gapfill_matches_sequential_reference(spark_global, keys, values):
+    """Distributed gap-fill == the reference's sequential scan-from-0
+    (keymap.rs:129-147) for arbitrary key sets and incoming values."""
+    spark = spark_global
+    existing = sorted(keys)
+    dim_rows = [(k, f"v{k}") for k in existing]
+    dim = spark.createDataFrame(dim_rows or [(0, "v0")], "key bigint, value string")
+    if not dim_rows:
+        dim = dim.limit(0)
+    new_vals = sorted(v for v in values if v not in {f"v{k}" for k in existing})
+    incoming = spark.createDataFrame(
+        [(v,) for v in new_vals] or [("x",)], "value string"
+    )
+    if not new_vals:
+        incoming = incoming.limit(0)
+
+    out = {r["value"]: r["key"] for r in
+           keymap_assign(dim, incoming, policy="gapfill").collect()}
+
+    # sequential reference: assign smallest free key, in value order
+    used = set(existing)
+    expect = {f"v{k}": k for k in existing}
+    for v in new_vals:
+        k = 0
+        while k in used:
+            k += 1
+        used.add(k)
+        expect[v] = k
+    assert out == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+        min_size=2, max_size=6,
+    )
+)
+def test_jaccard_bounds_and_hash_space_equivalence(spark_global, texts):
+    """Pair scores stay in (0, 1]; hashed-shingle jaccard equals
+    string-shingle jaccard computed in python (collision-free at this
+    scale)."""
+    from skopje_spark.operators.dedup import jaccard_pairs
+
+    spark = spark_global
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+
+    def sset(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for (a, b), j in got.items():
+        sa, sb = sset(texts[a]), sset(texts[b])
+        expect = len(sa & sb) / len(sa | sb)
+        assert j == pytest.approx(_py_dround(expect, 6))
+        assert 0.0 < j <= 1.0
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    """Module-scoped alias so hypothesis examples reuse one session."""
+    return spark
