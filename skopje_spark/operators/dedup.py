@@ -312,3 +312,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return voted.select(
         F.col(id_col), fingerprint.cast("bigint").alias("simhash")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id,
+    cluster_id) with cluster_id = min doc id in the component — the
+    canonical-representative assignment that turns pairwise candidates
+    into dedup groups.
+
+    Algorithm: iterative min-label propagation (each node adopts the
+    smallest label among itself and its neighbors) until a fixpoint,
+    bounded by ``max_iterations``. Each round is one shuffle (neighbor
+    min) + one join; rounds needed = graph diameter, and near-dup
+    graphs are shallow (dups of dups of X are dups of X). At true
+    100 TB component scale switch to the large-star/small-star
+    alternation (Kiveris et al.), which contracts diameter
+    logarithmically with the same join/agg primitives.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # undirected: propagate both ways
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        adj.select(F.col("src").alias("id")).distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            adj.join(labels, adj.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+            )
+        )
+        # one small action per round decides convergence — the count
+        # runs on the aggregated boolean, not the data
+        n_changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -229,3 +229,50 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("dropped_id")
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0
+             THEN -(FLOOR((-(list_cosine_similarity(a.v, b.v))) * 1000000.0 + 0.5) / 1000000.0)
+             ELSE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.4
+    ),
+    adj AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM adj),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT a.src, re.r FROM adj a JOIN reach re ON a.dst = re.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: embedding-cosine candidate pairs →
+    connected components → (doc_id, cluster_id = min id in component).
+
+    Spark side: iterative min-label propagation
+    (:func:`skopje_spark.operators.dedup.neardup_clusters`); oracle
+    side: a recursive CTE computing min reachable id — genuinely
+    different algorithms, same fixpoint, hash-compared.
+    """
+    from skopje_spark.operators.dedup import neardup_clusters
+    from skopje_spark.operators.similarity import blocked_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+    )
+    return neardup_clusters(pairs).orderBy("doc_id")

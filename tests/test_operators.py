@@ -278,3 +278,14 @@ def test_token_count_known_values(spark):
     df = spark.createDataFrame([("Hello, world! x2",)], "t string")
     # tokens: hello , world ! x2  → 5 (word pieces + punctuation singles)
     assert df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"] == 5
+
+
+def test_neardup_clusters_transitive(spark):
+    """Chains collapse to one component; disjoint pairs stay apart."""
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
