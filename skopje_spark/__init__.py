@@ -19,8 +19,43 @@ Public surface (mirrors the reference's small re-export set,
 - :mod:`skopje_spark.queries`   — the declared operator-demo query registry
 """
 
+from skopje_spark.functions import convert_date, convert_timestamp, schema_of
+from skopje_spark.operators.asof import asof_join
+from skopje_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    neardup_clusters,
+    simhash,
+)
+from skopje_spark.operators.keymap import keymap_assign, keymap_lookup
+from skopje_spark.operators.similarity import (
+    blocked_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
 from skopje_spark.tables import load_table, register_views
 
-__all__ = ["get_spark", "load_table", "register_views"]
+__all__ = [
+    "Pipeline",
+    "asof_join",
+    "blocked_neardup_pairs",
+    "convert_date",
+    "convert_timestamp",
+    "cosine_topk",
+    "dedup_exact",
+    "get_spark",
+    "ivf_topk",
+    "jaccard_pairs",
+    "keymap_assign",
+    "keymap_lookup",
+    "load_table",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "register_views",
+    "schema_of",
+    "simhash",
+]
 __version__ = "0.1.0"
