@@ -66,10 +66,16 @@ def join_strategies(df: DataFrame) -> list[str]:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Count of Exchange operators in the (pre-AQE) physical plan —
-    simple mode, where each node prints exactly once."""
+    """Count of SHUFFLE Exchange operators in the (pre-AQE) physical
+    plan — simple mode, where each node prints exactly once.
+    BroadcastExchange (no shuffle) and ReusedExchange (already counted
+    at its definition) are excluded."""
     return sum(
-        1 for line in plan_text(df, "simple").splitlines() if "Exchange" in line
+        1
+        for line in plan_text(df, "simple").splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )
 
 
