@@ -21,13 +21,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational flagships
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    # windows / reshaping
     "q_window_frames",
     "q_topk_per_group",
     "q_join_asof",
     "q_window_session",
+    "q_pivot_events",
+    # LLM-data operators
     "q_explode_wordcount",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",

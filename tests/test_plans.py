@@ -95,3 +95,26 @@ def test_llm_operators_stay_in_codegen(spark, sf_dir, name):
     """Dedup/text hot paths are built-in expressions — they must keep
     whole-stage codegen (a Python UDF in the middle would break it)."""
     assert has_codegen(_df(spark, sf_dir, name))
+
+
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """A partitionBy'd dataset scanned with a partition predicate must
+    prune at the file-index level (PartitionFilters), reading only the
+    matching directory — the mechanism date-partitioned 100 TB tables
+    rely on."""
+    from skopje_spark.sinks import parquet_sink
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 5 AS STRING) AS shard"
+    )
+    out = str(tmp_path / "parts")
+    parquet_sink(df, out, mode="overwrite", partition_by=["shard"])
+    scan = spark.read.parquet(out).filter("shard = '3'")
+    part_filters = [
+        line.strip()
+        for line in plan_text(scan).splitlines()
+        if line.strip().startswith("PartitionFilters:")
+    ]
+    assert part_filters and "shard" in part_filters[0]
+    assert "= 3" in part_filters[0] or "(shard" in part_filters[0]
+    assert scan.count() == 200
