@@ -155,6 +155,7 @@ def jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """D2a exact n-gram Jaccard near-dup pairs.
 
@@ -162,15 +163,31 @@ def jaccard_pairs(
     :func:`shingle_hashes`) → self equi-join **on the hash** (the
     crucial bit: candidate pairs only materialize where sets overlap —
     never an all-pairs product) → per-pair intersection count →
-    Jaccard. At 100 TB add a df-frequency cut (drop shingles appearing
-    in > f docs) to bound the join fan-out on stop-shingles.
+    Jaccard.
+
+    ``max_df`` is the 100 TB fan-out bound: drop shingles appearing in
+    more than ``max_df`` documents before the join. The join cost is
+    Σ df(h)² over shingle hashes — boilerplate "stop-shingles" with
+    df in the millions dominate it quadratically while carrying no
+    dedup signal. Jaccard is then computed over the cut shingle
+    universe (set sizes included), a standard and well-defined
+    approximation; ``None`` keeps exact semantics.
     """
+    sh = shingle_hashes(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = (
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     # set size rides along every shingle row via a window instead of a
     # separate aggregate + two join-backs: that version evaluated the
     # whole shingle pipeline once per branch (4-5 scans); this one has
     # two branches whose shared window-exchange is ReusedExchange'd —
     # the expensive sha256+distinct runs once
-    sh = shingle_hashes(df, id_col, text_col, n).withColumn(
+    sh = sh.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     a = sh.select(

@@ -276,3 +276,48 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
     )
     return neardup_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "q_dedup_jaccard_dfcut",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(sha256(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
+      FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    sh AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS dfreq FROM sh0
+      ) WHERE dfreq <= 20
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           (CASE WHEN (n_common / (sa.sz + sb.sz - n_common)) < 0 THEN -(FLOOR((-(n_common / (sa.sz + sb.sz - n_common))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((n_common / (sa.sz + sb.sz - n_common)) * 1000000.0 + 0.5) / 1000000.0 END) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    tags=("dedup", "jaccard", "dfcut", "scale"),
+)
+def q_dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs with the document-frequency cut (drop
+    shingles in > 20 docs) — the fan-out bound that makes exact
+    set-similarity tractable at corpus scale. Same pipeline as
+    q_dedup_ngram_jaccard, max_df=20."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=20)
