@@ -62,6 +62,7 @@ def load_all() -> dict[str, QueryDef]:
     the full registry."""
     from skopje_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         keymap_demo,
         llm_dedup,

@@ -1,0 +1,176 @@
+"""Event-analytics queries: sessionization, funnels, retention cohorts.
+
+The query shapes a product-analytics user would run through the
+reference's ``fetch_stmt`` delegation (SURVEY §2B) — all window-function
+compositions, no UDFs, every step shuffle-planned on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skopje_spark.queries import register
+from skopje_spark.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_sessionize_gaps",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    tags=("analytics", "sessionize", "window"),
+)
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session boundary is a
+    > 30 min silence; session number = running sum of boundary flags.
+
+    The window-composition alternative to the built-in session_window
+    (q_window_session): works in any plain-SQL engine, keeps event
+    grain available mid-query, one shuffle on user_id shared by both
+    windows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > SESSION_GAP_MIN * 60
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(boundary | F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(wrun))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+    tags=("analytics", "funnel"),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage's
+    earliest qualifying event must be strictly after the previous
+    stage's. Three keyed aggregates + two equi-joins on user_id — the
+    shuffles co-partition, so stages pipeline on the same key."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           week_offset, COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen day,
+    counted distinct per week offset. first-seen is a keyed aggregate
+    joined back on user_id (co-partitioned with the activity scan)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_day")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
