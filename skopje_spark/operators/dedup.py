@@ -229,12 +229,11 @@ def minhash_signatures(
     Computed as 16 min-aggregates over the exploded shingle set — one
     shuffle on doc id, partial mins map-side.
     """
-    # hash before distinct: the dedup shuffle carries 8-byte longs and
-    # min() is insensitive to the (vanishing) hash-collision case
-    t = (
-        _shingles_raw(df, id_col, text_col, 3)
-        .select(F.col(id_col), _token_hash(F.col("shingle")).alias("h"))
-        .distinct()
+    # no distinct at all: MIN over a multiset equals MIN over its set,
+    # so the per-document shingle dedup shuffle is pure waste here —
+    # the signature aggregate is the only shuffle this operator needs
+    t = _shingles_raw(df, id_col, text_col, 3).select(
+        F.col(id_col), _token_hash(F.col("shingle")).alias("h")
     )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(

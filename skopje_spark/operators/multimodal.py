@@ -114,3 +114,107 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), "payload").mapInPandas(
         run, schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, *, width: int = 32, height: int = 32,
+                 id_col: str = "doc_id") -> DataFrame:
+    """STUB resize over ``mapInPandas``: the fake kernel truncates/pads
+    the payload to width*height bytes (a real deployment swaps in
+    PIL.Image.resize — codecs absent in this container); the Spark
+    side — Arrow batching, fixed output schema, payload staying off
+    the driver — is the real, tested plumbing."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].apply(
+                lambda b: bytes(b[:target]).ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, *, every_n: int = 2,
+                  id_col: str = "doc_id") -> DataFrame:
+    """STUB frame sampling: the decode stub's n_frames partitions the
+    payload into equal byte slices ("frames"); every ``every_n``-th is
+    emitted — a one-to-many ``mapInPandas`` expansion, the shape real
+    video frame-sampling has (one input row, k output rows, no
+    driver involvement)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, chunks = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) % 8) + 1  # decode-stub arithmetic
+                step = max(len(b) // n_frames, 1)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    nos.append(fno)
+                    chunks.append(b[fno * step:(fno + 1) * step])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_bytes": chunks}
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+def extract_features(df: DataFrame, *, dim: int = 16,
+                     id_col: str = "doc_id") -> DataFrame:
+    """STUB feature extraction: a deterministic byte-histogram
+    embedding (real deployments swap in a vision/audio encoder). The
+    output column is ``array<float>`` — exactly what the similarity
+    operators consume, closing the multimodal → embedding →
+    dedup/search loop inside the engine."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist, _ = np.histogram(arr % dim, bins=dim, range=(0, dim))
+                v = hist.astype("float64")
+                n = float(np.linalg.norm(v))
+                feats.append((v / n if n else v).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "embedding": feats}
+            )
+
+    return df.select(F.col(id_col), "payload").mapInPandas(
+        run, schema="doc_id long, embedding array<float>"
+    )

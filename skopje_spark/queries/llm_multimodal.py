@@ -60,3 +60,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, proving the batch pipeline end-to-end."""
     d = load_table(spark, sf_dir, "documents")
     return decode_media(attach_payload(d, "text"), id_col="doc_id")
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, blen, (blen % 8) + 1 AS n_frames,
+             GREATEST(blen // ((blen % 8) + 1), 1) AS step
+      FROM base
+    )
+    SELECT d.doc_id, CAST(f.fno AS INT) AS frame_no,
+           CAST(LEAST(d.step, GREATEST(d.blen - f.fno * d.step, 0)) AS BIGINT)
+             AS frame_len
+    FROM dims d, UNNEST(range(0, d.n_frames, 2)) AS f(fno)
+    ORDER BY doc_id, frame_no
+    """,
+    tags=("multimodal", "frames", "mapInPandas"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the one-to-many mapInPandas expansion:
+    every 2nd stub-decoded frame per document, verified by frame
+    count + per-frame byte length (the oracle reproduces the stub's
+    slicing arithmetic)."""
+    from skopje_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(d, "text"), every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
+    ).orderBy("doc_id", "frame_no")

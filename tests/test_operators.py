@@ -289,3 +289,37 @@ def test_neardup_clusters_transitive(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+# --- multimodal ------------------------------------------------------
+
+def test_multimodal_resize_and_frames_and_features(spark):
+    from skopje_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abcdefgh" * 4), (2, "xy")], "doc_id bigint, text string"
+    )
+    m = attach_payload(d, "text")
+
+    r = {row["doc_id"]: row for row in resize_media(m, width=4, height=4).collect()}
+    assert all(len(bytes(row["payload"])) == 16 for row in r.values())
+    assert bytes(r[2]["payload"])[:2] == b"xy"          # content preserved
+    assert bytes(r[2]["payload"])[2:] == b"\0" * 14     # padded
+
+    frames = sample_frames(m, every_n=1).collect()
+    by_doc = {}
+    for row in frames:
+        by_doc.setdefault(row["doc_id"], []).append(row)
+    # decode-stub arithmetic: n_frames = len % 8 + 1 → 32B → 1, 2B → 3
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 3
+
+    feats = {row["doc_id"]: row["embedding"]
+             for row in extract_features(m, dim=8).collect()}
+    assert len(feats[1]) == 8
+    import math
+    assert math.isclose(sum(x * x for x in feats[1]), 1.0, rel_tol=1e-5)
