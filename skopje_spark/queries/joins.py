@@ -239,3 +239,31 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_order_key"),
         F.col("o_orderdate").alias("last_order_date"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_join_range_banded",
+    oracle="""
+    SELECT s_suppkey, COUNT(c_custkey) AS n_close,
+           ((CASE WHEN (SUM(c_acctbal)) < 0 THEN -(FLOOR((-(SUM(c_acctbal))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(c_acctbal)) * 100.0 + 0.5) / 100.0 END) / COUNT(c_acctbal)) AS avg_close_bal
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+    GROUP BY s_suppkey
+    """,
+    tags=("join", "range", "banded", "scale"),
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ±50-balance range join as q_join_range, executed as a
+    banded EQUI-join (floor(v/50) bucket key, 3-band replication) —
+    hash-joinable, co-partitioned, no nested loop. Identical oracle to
+    q_join_range: same result, scale-correct physical plan
+    (:func:`skopje_spark.operators.rangejoin.banded_range_join`)."""
+    from skopje_spark.operators.rangejoin import banded_range_join
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    joined = banded_range_join(s, c, "s_acctbal", "c_acctbal", 50.0, how="left")
+    return joined.groupBy("s_suppkey").agg(
+        F.count("c_custkey").alias("n_close"),
+        davg(F.col("c_acctbal"), 2).alias("avg_close_bal"),
+    )

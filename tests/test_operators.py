@@ -323,3 +323,21 @@ def test_multimodal_resize_and_frames_and_features(spark):
     assert len(feats[1]) == 8
     import math
     assert math.isclose(sum(x * x for x in feats[1]), 1.0, rel_tol=1e-5)
+
+
+def test_banded_range_join_boundary_semantics(spark):
+    from skopje_spark.operators.rangejoin import banded_range_join
+
+    left = spark.createDataFrame([(1, 100.0), (2, 500.0)], "lid int, lv double")
+    right = spark.createDataFrame(
+        [(10, 50.0), (11, 150.0), (12, 151.0), (13, 400.0)],
+        "rid int, rv double",
+    )
+    inner = banded_range_join(left, right, "lv", "rv", 50.0).collect()
+    pairs = {(r["lid"], r["rid"]) for r in inner}
+    # inclusive at exactly radius (150-100=50); 151 excluded; 400 vs 500 excluded
+    assert pairs == {(1, 10), (1, 11)}
+
+    left_j = banded_range_join(left, right, "lv", "rv", 50.0, how="left")
+    got = {(r["lid"], r["rid"]) for r in left_j.collect()}
+    assert got == {(1, 10), (1, 11), (2, None)}  # unmatched left retained

@@ -118,3 +118,13 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
     assert part_filters and "shard" in part_filters[0]
     assert "= 3" in part_filters[0] or "(shard" in part_filters[0]
     assert scan.count() == 200
+
+
+def test_banded_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The banded formulation must plan as hash/sort-merge equi-joins —
+    no BroadcastNestedLoopJoin, no CartesianProduct (the whole point
+    versus the naive q_join_range)."""
+    df = _df(spark, sf_dir, "q_join_range_banded")
+    strats = set(join_strategies(df))
+    assert "CartesianProduct" not in strats
+    assert "BroadcastNestedLoopJoin" not in strats
