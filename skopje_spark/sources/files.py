@@ -38,11 +38,36 @@ def parquet_source(spark: SparkSession, path: str, *,
 
 def json_source(spark: SparkSession, path: str, *,
                 schema: StructType | str | None = None,
-                multi_line: bool = False) -> DataFrame:
+                multi_line: bool = False,
+                mode: str = "PERMISSIVE",
+                corrupt_col: str | None = None) -> DataFrame:
     """JSON scan (`read_json` analog). ``multi_line=True`` reads one
     JSON document per file — the reference's whole-file semantics;
-    default is JSON-lines, the splittable scale-path layout."""
-    reader = spark.read
+    default is JSON-lines, the splittable scale-path layout.
+
+    Malformed-record policy (the reference logs-and-errors per file,
+    ``/root/reference/src/extract/fs.rs:11``; at 100 TB one bad record
+    must not kill a 10-hour job):
+
+    - ``mode='PERMISSIVE'`` (default): bad records become nulls; pass
+      ``corrupt_col`` to additionally capture the raw text in a
+      dead-letter column for quarantine-and-continue pipelines.
+    - ``mode='DROPMALFORMED'``: silently skip bad records.
+    - ``mode='FAILFAST'``: abort on first bad record (CI/strict loads).
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col capture requires an explicit schema")
+        if isinstance(schema, str):
+            schema = f"{schema}, {corrupt_col} string"
+        else:
+            from pyspark.sql.types import StringType, StructField
+
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.option("multiLine", str(multi_line).lower()).json(path)

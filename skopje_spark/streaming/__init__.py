@@ -10,6 +10,7 @@ from skopje_spark.streaming.streams import (
     run_available_now,
     running_totals,
     session_agg,
+    sessionize_stateful,
     sliding_agg,
     tumbling_agg,
     with_watermark,
@@ -24,6 +25,7 @@ __all__ = [
     "run_available_now",
     "running_totals",
     "session_agg",
+    "sessionize_stateful",
     "sliding_agg",
     "tumbling_agg",
     "with_watermark",

@@ -156,6 +156,80 @@ def running_totals(df: DataFrame, key_col: str, value_col: str,
     )
 
 
+def sessionize_stateful(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionizer over ``applyInPandasWithState``:
+    per-key open-session state (start, last-seen, count) carried across
+    micro-batches; a session CLOSES and is emitted when a new event
+    arrives more than ``gap_seconds`` after the last one.
+
+    This is the operator shape Spark's built-in ``session_window``
+    cannot express: emit-on-close with the open session held in state
+    indefinitely (the builtin emits on watermark only). State per key
+    is O(1) — three scalars — so key cardinality, not event volume,
+    bounds memory.
+
+    Emits ``(key, session_start, session_end, n_events)`` for every
+    CLOSED session; the final open session stays in state (flush by
+    sending a sentinel event past the gap, or read state at teardown).
+    """
+    import pandas as pd
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        events = []
+        for pdf in pdfs:
+            events.append(pdf[[ts_col]])
+        ts_sorted = (
+            pd.concat(events)[ts_col].sort_values() if events else pd.Series([])
+        )
+        for ts in ts_sorted:
+            t = ts.value // 1000  # pandas ns → µs
+            if last is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_seconds * 1_000_000:
+                closed.append((key[0], start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["key", "session_start", "session_end", "n_events"]
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return (
+        df.select(F.col(key_col), F.col(ts_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "key string, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # -- sinks ------------------------------------------------------------------
 
 def run_available_now(stream_df: DataFrame, *, name: str = "result",

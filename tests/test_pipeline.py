@@ -111,3 +111,23 @@ def test_binary_source(spark, tmp_path):
     rows = {os.path.basename(r["path"]): r for r in df.collect()}
     assert rows["blob1.bin"]["length"] == 3
     assert bytes(rows["blob2.bin"]["content"]) == b"\x03\x04"
+
+
+def test_json_source_corrupt_record_policies(spark, tmp_path):
+    """Dead-letter handling: PERMISSIVE captures the raw bad line in a
+    quarantine column, DROPMALFORMED skips it, FAILFAST raises."""
+    p = tmp_path / "mixed.json"
+    p.write_text('{"k": 1}\nnot json at all\n{"k": 3}\n')
+
+    df = json_source(spark, str(p), schema="k long", corrupt_col="_bad")
+    rows = df.collect()
+    assert sorted(r["k"] for r in rows if r["k"] is not None) == [1, 3]
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert bad == ["not json at all"]
+
+    dropped = json_source(spark, str(p), schema="k long", mode="DROPMALFORMED")
+    assert sorted(r["k"] for r in dropped.collect()) == [1, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        json_source(spark, str(p), schema="k long", mode="FAILFAST").collect()

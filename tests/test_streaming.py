@@ -129,3 +129,41 @@ def test_foreach_batch_sink_receives_batches(spark, tmp_path):
     )
     q.awaitTermination()
     assert sum(n for _, n in seen) == 5
+
+
+def test_sessionize_stateful_closes_on_gap_across_batches(spark, tmp_path):
+    """Sessions split on >30 min gaps, with state carried across
+    micro-batches: the events of one session arrive in TWO batches and
+    must still form one session."""
+    from skopje_spark.streaming import sessionize_stateful
+
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "src"
+    # batch 0: two events 5 min apart (one open session for user a)
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:05:00", "user_id": "a", "value": 1.0},
+    ], "b0.json")
+    # batch 1: +10 min (same session), then a 2 h gap → closes session 1,
+    # then another event closing nothing yet
+    _write_events(src, [
+        {"event_id": 3, "ts": "2024-01-01T00:15:00", "user_id": "a", "value": 1.0},
+        {"event_id": 4, "ts": "2024-01-01T02:30:00", "user_id": "a", "value": 1.0},
+    ], "b1.json")
+    # FileStreamSource picks files oldest-mtime-first; both writes land
+    # in the same tick, so pin mtimes to make batch order deterministic
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 100, now - 100))
+    _os.utime(src / "b1.json", (now, now))
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    out = run_available_now(
+        sessionize_stateful(stream, "user_id", "ts", gap_seconds=1800),
+        name="t_sess", output_mode="append",
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # only the CLOSED session is emitted
+    s = rows[0]
+    assert s["key"] == "a" and s["n_events"] == 3
+    assert s["session_start"].minute == 0 and s["session_end"].minute == 15
