@@ -187,7 +187,8 @@ def _simhash_oracle(bits: int = 32) -> str:
 @register("q_dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2c SimHash 32-bit fingerprints per document (near-dup docs
-    land at small Hamming distance; clustering pass is round-2 work)."""
+    land at small Hamming distance; see q_dedup_clusters for the
+    transitive clustering pass over candidate pairs)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "doc_id", "text", bits=32)
 

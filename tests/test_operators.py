@@ -341,3 +341,41 @@ def test_banded_range_join_boundary_semantics(spark):
     left_j = banded_range_join(left, right, "lv", "rv", 50.0, how="left")
     got = {(r["lid"], r["rid"]) for r in left_j.collect()}
     assert got == {(1, 10), (1, 11), (2, None)}  # unmatched left retained
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-validation of the union-window asof against
+    pandas.merge_asof (fixed seeds → deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n_l, n_r = 40, 30
+        left = pd.DataFrame({
+            "uid": rng.randint(0, 5, n_l).astype(str),
+            "ts": pd.to_datetime(rng.randint(0, 10_000, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        }).sort_values("ts").reset_index(drop=True)
+        right = pd.DataFrame({
+            "uid": rng.randint(0, 5, n_r).astype(str),
+            "rts": pd.to_datetime(rng.randint(0, 10_000, n_r), unit="s"),
+            "val": rng.randint(0, 1000, n_r),
+        }).drop_duplicates(["uid", "rts"]).sort_values("rts").reset_index(drop=True)
+
+        expect = pd.merge_asof(
+            left, right, left_on="ts", right_on="rts", by="uid",
+            direction="backward",
+        )
+        from skopje_spark.operators.asof import asof_join
+
+        sl = spark.createDataFrame(left)
+        sr = spark.createDataFrame(right)
+        got = asof_join(
+            sl, sr, ["uid"], "ts", "rts", direction="backward",
+            left_id=["lid"],
+        ).toPandas().sort_values("lid").reset_index(drop=True)
+
+        exp_vals = expect.sort_values("lid")["val"].astype("float64").reset_index(drop=True)
+        got_vals = got["val"].astype("float64").reset_index(drop=True)
+        pd.testing.assert_series_equal(exp_vals, got_vals, check_names=False)
