@@ -137,3 +137,36 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         full.alias("fingerprint"),
         F.substring(full, 1, 16).alias("fingerprint16"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme behind
+    MOSS): hash every character k-gram, slide a window of w
+    consecutive hashes, keep each window's minimum — a position-robust
+    fingerprint set that survives local edits (unlike the whole-text
+    sha256 of :func:`fingerprint`).
+
+    All array HOFs over the normalized text — no UDF, no shuffle
+    before the final distinct. The O(n·w) window-min via slice is fine
+    at document granularity; a deque-based O(n) pandas kernel is the
+    swap-in if w grows large. sha256-prefix hashes keep the selection
+    cross-engine deterministic.
+    """
+    norm = normalize_text(F.col(text_col))
+    gram_hash = (
+        f"transform(sequence(1, greatest(length(__norm) - {k} + 1, 0)), "
+        f"i -> cast(conv(substr(sha2(substring(__norm, i, {k}), 256), 1, 15), 16, 10) as bigint))"
+    )
+    window_min = (
+        f"transform(sequence(1, greatest(size(__grams) - {w} + 1, 1)), "
+        f"j -> array_min(slice(__grams, j, {w})))"
+    )
+    return (
+        df.withColumn("__norm", norm)
+        .filter(F.length("__norm") >= k)
+        .withColumn("__grams", F.expr(gram_hash))
+        .withColumn("__fps", F.expr(window_min))
+        .select(F.col(id_col), F.explode(F.array_distinct("__fps")).alias("fp"))
+    )

@@ -161,3 +161,42 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form sha256 document fingerprint + 16-hex short form."""
     d = load_table(spark, sf_dir, "documents")
     return fingerprint(d, "doc_id", "text")
+
+
+@register(
+    "q_text_winnow",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+      WHERE LENGTH({_NORM}) >= 5
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, GREATEST(LENGTH(norm) - 5 + 1, 0) + 1),
+               i -> ('0x' || substr(sha256(substr(norm, i, 5)), 1, 15))::BIGINT
+             ) AS h
+      FROM base
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_transform(range(1, GREATEST(len(h) - 4 + 1, 1) + 1),
+               j -> list_min(h[j:j+3])
+             ) AS fps
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM wins
+    ORDER BY doc_id, fp
+    """,
+    tags=("text", "fingerprint", "winnowing", "rolling-hash"),
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5 char-grams, window 4):
+    the edit-robust fingerprint set per document. Both engines select
+    window minima over identical sha256-prefix hashes, so the sets are
+    bit-identical."""
+    from skopje_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=5, w=4).orderBy(
+        "doc_id", "fp"
+    )

@@ -379,3 +379,20 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         exp_vals = expect.sort_values("lid")["val"].astype("float64").reset_index(drop=True)
         got_vals = got["val"].astype("float64").reset_index(drop=True)
         pd.testing.assert_series_equal(exp_vals, got_vals, check_names=False)
+
+
+def test_winnow_fingerprints_edit_robust(spark):
+    """A local edit changes only nearby fingerprints: the winnowed
+    sets of original vs locally-edited text overlap heavily, while the
+    whole-document sha256 fingerprint changes completely."""
+    from skopje_spark.operators.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    edited = base.replace("lazy", "hazy", 1)  # one local edit
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text").collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    overlap = len(s1 & s2) / len(s1 | s2)
+    assert overlap > 0.5  # most fingerprints survive the edit
+    assert s1 != s2       # but the edit is detectable
