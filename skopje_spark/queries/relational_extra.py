@@ -141,3 +141,43 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("source")
     )
+
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS check_name, CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'range:l_discount', CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.5) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'fk:o_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    ORDER BY check_name
+    """,
+    tags=("quality", "validation", "etl"),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over the star schema: null check, key
+    uniqueness, value-range check, and FK referential integrity (the
+    constraints Postgres enforced for the reference, run as explicit
+    pre-sink operators here)."""
+    from skopje_spark.operators.quality import (
+        check_foreign_key,
+        check_in_range,
+        check_not_null,
+        check_unique,
+        run_checks,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return run_checks(
+        check_not_null(o, "o_custkey"),
+        check_unique(o, ["o_orderkey"]),
+        check_in_range(l, "l_discount", 0.0, 0.5),
+        check_foreign_key(o, "o_custkey", c, "c_custkey"),
+    ).orderBy("check_name")

@@ -131,3 +131,75 @@ def test_json_source_corrupt_record_policies(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="Malformed|FAILFAST"):
         json_source(spark, str(p), schema="k long", mode="FAILFAST").collect()
+
+
+def test_etl_end_to_end_http_keymap_load(spark, tmp_path):
+    """The reference's whole reason to exist, as one pipeline: scrape
+    an API (local server), assign surrogate keys to a string dimension
+    via KeyMap, quality-check, and load partitioned parquet
+    (macro sketch: skopje-macros/src/lib.rs:14-23 pairs HTTP_GET with
+    PG_INSERT; this is that loop on the lake)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from skopje_spark.operators.keymap import keymap_assign, keymap_lookup
+    from skopje_spark.operators.quality import check_foreign_key
+    from skopje_spark.pipeline import Pipeline
+    from skopje_spark.sources.http import fetch_json
+
+    payload = [
+        {"symbol": "AAA", "price": 1.5, "ts": 1716400000},
+        {"symbol": "BBB", "price": 2.5, "ts": 1716486400},
+        {"symbol": "AAA", "price": 1.7, "ts": 1716572800},
+    ]
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/symbols"
+    out = str(tmp_path / "facts")
+
+    try:
+        p = Pipeline("scrape")
+        p.source("quotes", lambda ctx: fetch_json(
+            ctx.spark, ctx.conf["url"], schema="symbol string, price double, ts long"))
+        p.source("dim", lambda ctx: ctx.spark.createDataFrame(
+            [(0, "AAA")], "key bigint, value string"))  # pre-existing dim
+        p.transform(
+            "dim_updated",
+            lambda ctx, q, d: keymap_assign(
+                d, q.selectExpr("symbol AS value"), policy="dense"),
+            deps=["quotes", "dim"],
+        )
+        p.transform(
+            "facts",
+            lambda ctx, q, d: keymap_lookup(
+                d, q.selectExpr("symbol AS value", "price",
+                                "to_date(from_unixtime(ts)) AS day")),
+            deps=["quotes", "dim_updated"],
+        )
+        p.sink("save", lambda ctx, df: parquet_sink(
+            df, out, mode="overwrite", partition_by=["day"]), dep="facts")
+        results = p.run(spark, conf={"url": url})
+    finally:
+        srv.shutdown()
+
+    # surrogate keys resolved for every fact; BBB got a new key (1)
+    facts = spark.read.parquet(out)
+    assert facts.count() == 3 and facts.filter("key IS NULL").count() == 0
+    keys = {r["key"] for r in facts.collect()}
+    assert keys == {0, 1}
+    # referential integrity against the updated dimension
+    fk = check_foreign_key(facts, "key", results["dim_updated"], "key")
+    assert fk.collect()[0]["n_violations"] == 0
