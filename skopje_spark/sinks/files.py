@@ -60,3 +60,41 @@ def json_sink(df: DataFrame, path: str, *, mode: str = "append",
               dedup_keys: list[str] | None = None,
               repartition: int | None = None) -> None:
     _prep(df, dedup_keys, repartition).write.mode(mode).json(path)
+
+
+def parquet_upsert(spark, path: str, updates: DataFrame,
+                   keys: list[str]) -> None:
+    """Merge-upsert into a parquet dataset: rows matching ``keys`` are
+    replaced by the update, others kept — the table-level form of the
+    reference's `fetch_or_insert` get-or-create
+    (``/root/reference/src/extract/pg.rs:67-99``).
+
+    Plan: anti-join existing against update keys → union updates →
+    write to a staging directory → directory swap. The swap is a
+    single rename (crash before it leaves the old data intact; crash
+    between the two renames loses only the old copy, never both) —
+    the plain-filesystem analog of the JDBC staging-table pattern
+    (sinks/jdbc.py); a table format with a transaction log (e.g.
+    Delta/Iceberg) is the production-grade replacement.
+
+    Scale: the anti-join shuffles on ``keys`` like any keyed join;
+    updates are usually ≪ existing → AQE broadcasts the key set.
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__stage"
+    retired = path.rstrip("/") + "__old"
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        keep = existing.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    merged.write.mode("overwrite").parquet(staging)
+
+    shutil.rmtree(retired, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)

@@ -203,3 +203,26 @@ def test_etl_end_to_end_http_keymap_load(spark, tmp_path):
     # referential integrity against the updated dimension
     fk = check_foreign_key(facts, "key", results["dim_updated"], "key")
     assert fk.collect()[0]["n_violations"] == 0
+
+
+def test_parquet_upsert_merge_semantics(spark, tmp_path):
+    from skopje_spark.sinks.files import parquet_upsert
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "one", 10.0), (2, "two", 20.0)], "k bigint, name string, v double"
+    )
+    parquet_upsert(spark, path, base, ["k"])
+    assert spark.read.parquet(path).count() == 2
+
+    updates = spark.createDataFrame(
+        [(2, "TWO", 22.0), (3, "three", 30.0)], "k bigint, name string, v double"
+    )
+    parquet_upsert(spark, path, updates, ["k"])
+    got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # 1 kept, 2 replaced, 3 inserted
+    assert got == {1: ("one", 10.0), 2: ("TWO", 22.0), 3: ("three", 30.0)}
+
+    # idempotent re-apply
+    parquet_upsert(spark, path, updates, ["k"])
+    assert spark.read.parquet(path).count() == 3
