@@ -226,3 +226,39 @@ def test_parquet_upsert_merge_semantics(spark, tmp_path):
     # idempotent re-apply
     parquet_upsert(spark, path, updates, ["k"])
     assert spark.read.parquet(path).count() == 3
+
+
+def test_pipeline_from_spec_json_document(spark, sf_dir, tmp_path):
+    """Declarative spec → graph → run: the reference's never-shipped
+    attribute-macro API (skopje-macros/src/lib.rs:12-75), with SQL
+    transforms standing in for the delegated fetch_stmt strings."""
+    from skopje_spark.spec import pipeline_from_spec
+
+    out = str(tmp_path / "seg")
+    spec = {
+        "name": "declarative-demo",
+        "nodes": [
+            {"name": "orders", "kind": "source", "format": "parquet",
+             "path": "${sf_dir}/orders.parquet"},
+            {"name": "customer", "kind": "source", "format": "parquet",
+             "path": "${sf_dir}/customer.parquet"},
+            {"name": "seg_rev", "kind": "transform",
+             "deps": ["orders", "customer"],
+             "sql": """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                              SUM(o_totalprice) AS revenue
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_mktsegment"""},
+            {"name": "save", "kind": "sink", "format": "parquet",
+             "dep": "seg_rev", "path": out, "mode": "overwrite"},
+        ],
+    }
+    p = pipeline_from_spec(spec)
+    results = p.run(spark, conf={"sf_dir": sf_dir})
+    back = spark.read.parquet(out)
+    assert back.count() == results["seg_rev"].count() > 0
+    assert set(back.columns) == {"c_mktsegment", "n_orders", "revenue"}
+
+    # same spec as a JSON string round-trips
+    import json as _json
+    p2 = pipeline_from_spec(_json.dumps(spec))
+    assert sorted(p2._nodes) == sorted(p._nodes)
