@@ -76,6 +76,7 @@ def load_all() -> dict[str, QueryDef]:
         streaming_windows,
         subqueries,
         tpch_extra,
+        tpch_extra2,
         udfs,
         window_funcs,
     )
