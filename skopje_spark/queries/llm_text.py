@@ -200,3 +200,39 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, "doc_id", "text", k=5, w=4).orderBy(
         "doc_id", "fp"
     )
+
+
+@register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT * FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * (nd.n_docs + 1.0) / (d.df + 1.0) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (nd.n_docs + 1.0) / (d.df + 1.0) DESC, t.term
+             ) AS rank
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+    ) WHERE rank <= 5
+    """,
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF
+    (operators/text.tfidf_top_terms). Linear IDF (N+1)/(df+1) — same
+    ranking as the log form, but a ratio of exact integers, so the
+    score hash-matches across engines. Tokenization is the shared
+    whitespace tokenizer, identical to the DuckDB-side ``_TOKS``."""
+    from skopje_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)

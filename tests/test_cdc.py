@@ -1,0 +1,87 @@
+"""Unit tests for operators/cdc.py: snapshot diff, changelog apply,
+SCD2 historization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.cdc import apply_changes, scd2_apply, snapshot_diff
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_snapshot_diff_classifies_iud(spark):
+    old = _df(spark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"])
+    new = _df(spark, [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], ["k", "s", "v"])
+    got = {
+        r["k"]: r["__op"]
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert got == {1: "D", 3: "U", 4: "I"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, s string")
+    new = spark.createDataFrame([(1, None), (2, None)], "k int, s string")
+    got = {r["k"]: r["__op"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    # NULL == NULL is "unchanged"; x -> NULL is an update
+    assert got == {2: "U"}
+
+
+def test_apply_changes_roundtrip_randomized(spark):
+    # property: apply(old, diff(old, new)) == new, on hash-derived data
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2654435761 % 97).alias("v"),
+    )
+    old = base.filter(F.col("k") % 7 != 0)
+    new = base.filter(F.col("k") % 5 != 0).withColumn(
+        "v", F.when(F.col("k") % 3 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    diff = snapshot_diff(old, new, keys=["k"])
+    applied = apply_changes(old, diff, keys=["k"])
+    assert applied.exceptAll(new).count() == 0
+    assert new.exceptAll(applied).count() == 0
+
+
+def test_scd2_apply_slices(spark):
+    dim = _df(
+        spark,
+        [
+            (1, "a", "2020-01-01", None, 1),   # unchanged (update equal)
+            (2, "b", "2020-01-01", None, 1),   # changed -> close + new
+            (3, "c", "2020-01-01", None, 1),   # untouched (no update)
+            (9, "z", "2019-01-01", "2020-01-01", 0),  # history passthrough
+        ],
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    )
+    upd = _df(spark, [(1, "a"), (2, "B"), (5, "e")], ["k", "attr"])
+    out = scd2_apply(dim, upd, keys=["k"], track_cols=["attr"], load_ts="2021-06-01")
+    rows = {(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "a", "2020-01-01", None, 1),
+        (2, "b", "2020-01-01", "2021-06-01", 0),
+        (2, "B", "2021-06-01", None, 1),
+        (3, "c", "2020-01-01", None, 1),
+        (5, "e", "2021-06-01", None, 1),
+        (9, "z", "2019-01-01", "2020-01-01", 0),
+    }
+
+
+def test_scd2_invariants(spark):
+    # after any apply: exactly one current row per live key, and closed
+    # rows have valid_to set
+    dim = spark.createDataFrame(
+        [(i, f"v{i}", "2020-01-01", None, 1) for i in range(50)],
+        "k int, attr string, valid_from string, valid_to string, is_current int",
+    )
+    upd = _df(spark, [(i, f"w{i}" if i % 2 else f"v{i}") for i in range(30, 70)],
+              ["k", "attr"])
+    out = scd2_apply(dim, upd, keys=["k"], track_cols=["attr"], load_ts="2021-01-01")
+    per_key = out.filter(F.col("is_current") == 1).groupBy("k").count()
+    assert per_key.filter(F.col("count") != 1).count() == 0
+    assert out.filter((F.col("is_current") == 0) & F.col("valid_to").isNull()).count() == 0
