@@ -194,3 +194,75 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.corr("c_acctbal", "c_custkey"), 6).alias("corr_bal_key"),
         dround(F.median("c_acctbal"), 4).alias("median_bal"),
     )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.50) AS qty_p50,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           quantile_cont(l_extendedprice, 0.50) AS price_p50
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (JVM-side
+    ``percentile``, not the pandas-UDAF median in q_udaf_grouped_median
+    — this is the built-in path). Both engines use the standard
+    h=(n-1)p linear interpolation; quantities are integer-valued and
+    the p-fractions are exact binaries, so results match bit-for-bit."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("qty_p25"),
+            F.percentile("l_quantity", 0.50).alias("qty_p50"),
+            F.percentile("l_quantity", 0.75).alias("qty_p75"),
+            F.percentile("l_extendedprice", 0.50).alias("price_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_rollup_incremental",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (CASE WHEN (SUM(l_quantity)) < 0 THEN -(FLOOR((-(SUM(l_quantity))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 END) AS l_quantity_sum,
+           MIN(l_quantity) AS l_quantity_min,
+           MAX(l_quantity) AS l_quantity_max,
+           ((CASE WHEN (SUM(l_quantity)) < 0 THEN -(FLOOR((-(SUM(l_quantity))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 END) / COUNT(*)) AS l_quantity_avg,
+           (CASE WHEN (SUM(l_extendedprice)) < 0 THEN -(FLOOR((-(SUM(l_extendedprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0 END) AS l_extendedprice_sum,
+           MIN(l_extendedprice) AS l_extendedprice_min,
+           MAX(l_extendedprice) AS l_extendedprice_max,
+           ((CASE WHEN (SUM(l_extendedprice)) < 0 THEN -(FLOOR((-(SUM(l_extendedprice))) * 100.0 + 0.5) / 100.0) ELSE FLOOR((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0 END) / COUNT(*)) AS l_extendedprice_avg
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "incremental", "rollup-maintenance"),
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): the fact
+    table arrives as two batches (ship year < 1999 / ≥ 1999), each
+    aggregated into mergeable partial state; the merged + finalized
+    rollup must equal the oracle's single-pass aggregate over the full
+    table. Merging touches only |keys| state rows — the batch-size-
+    independent cost that makes daily 100 TB rollup loads feasible."""
+    from skopje_spark.operators.rollup import (
+        rollup_finalize,
+        rollup_merge,
+        rollup_state,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    keys, vals = ["l_returnflag"], ["l_quantity", "l_extendedprice"]
+    prior = rollup_state(l.filter(F.col("l_shipdate") < cut), keys, vals)
+    delta = rollup_state(l.filter(F.col("l_shipdate") >= cut), keys, vals)
+    return rollup_finalize(rollup_merge([prior, delta], keys, vals), keys, vals)

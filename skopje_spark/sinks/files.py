@@ -98,3 +98,49 @@ def parquet_upsert(spark, path: str, updates: DataFrame,
         os.rename(path, retired)
     os.rename(staging, path)
     shutil.rmtree(retired, ignore_errors=True)
+
+
+def orc_sink(df: DataFrame, path: str, *, mode: str = "append",
+             partition_by: list[str] | None = None,
+             dedup_keys: list[str] | None = None,
+             repartition: int | None = None) -> None:
+    """Columnar ORC sink — same contract surface as :func:`parquet_sink`."""
+    df = _prep(df, dedup_keys, repartition)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def compact_parquet(spark, path: str, *,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ⌈total_bytes / target⌉ files and swap it in atomically (same
+    staged-rename as :func:`parquet_upsert`).
+
+    The classic lake-maintenance job: streaming/incremental appends
+    leave thousands of KB-sized files whose per-file open/footer cost
+    dominates scans at 100 TB; compaction restores ~`target` file
+    sizes (default 128 MB, matching
+    ``spark.sql.files.maxPartitionBytes`` so one file ≈ one scan
+    partition). Returns the file count written. Coalesce (not
+    repartition) — compaction must not pay a shuffle.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + "__stage"
+    retired = path.rstrip("/") + "__old"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return n_files

@@ -118,3 +118,11 @@ def unzip(zip_file: str, out_dir: str, *, max_workers: int = 8) -> list[str]:
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             return list(pool.map(_extract, names))
+
+
+def orc_source(spark: SparkSession, path: str, *,
+               columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — the other columnar lake format Spark reads natively
+    (predicate pushdown and column pruning work as for parquet)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
