@@ -1,0 +1,119 @@
+"""Deterministic sampling / split operators for training-data curation.
+
+The reference has no sampling surface (its pipelines move whole
+tables); these are the corpus-curation operators a 100 TB pretraining
+pipeline layers on top — train/holdout splitting, per-source quotas,
+and mixture (per-source rate) sampling.
+
+Everything is keyed on a Knuth multiplicative hash of a stable integer
+key, never ``rand()``:
+
+- membership is reproducible across engines, runs, and repartitioning
+  (the DuckDB oracles recompute the identical buckets);
+- a document lands in the same split on every re-run, which is the
+  property dataset versioning actually needs;
+- the filter is a narrow map — no shuffle, no state, pushed into the
+  scan's codegen stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash in exact BIGINT arithmetic (same constants
+# as queries/relational_extra.py's hash-sample demos).
+KNUTH = 2654435761
+MOD = 4294967296
+
+
+def hash_bucket(key: Column | str, mod: int = MOD) -> Column:
+    """Deterministic bucket in [0, mod) from an integer key column."""
+    if isinstance(key, str):
+        key = F.col(key)
+    b = (key * F.lit(KNUTH)) % F.lit(MOD)
+    return b if mod == MOD else b % F.lit(mod)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    *,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash range.
+
+    ``splits`` maps name -> fraction (must sum to ≤ 1; remainder gets
+    the last split). Assignment is by cumulative half-open hash ranges
+    in declaration order, so re-dividing the tail (e.g. moving docs
+    between val and test) never touches membership of any earlier
+    split — the stability property incremental dataset builds rely on.
+    """
+    bucket = hash_bucket(key_col)
+    expr = None
+    lo = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        lo += splits[name]
+        cond = bucket < F.lit(int(lo * MOD))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically
+    (lowest hash-bucket first, key tiebreak) — per-domain / per-source
+    quotas that stop one crawl domain from dominating the corpus.
+
+    Scale: one shuffle on the group key + a bounded per-group sort.
+    An exact cap fundamentally requires co-locating each group; for
+    groups too hot to sort (a single domain with 10⁹ docs), take a
+    rate-based pre-filter (``mixture_sample`` with rate ≈
+    cap/est_count) first and cap the survivors.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: Mapping[str, float],
+    key_col: str,
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group rate sampling — the "data mixture" step that reweights
+    sources (oversample books, downsample web) before training.
+
+    Row passes iff hash_bucket(key) < rate(group)·MOD. Pure narrow
+    filter: no shuffle, evaluated inside the scan stage, and a row's
+    fate depends only on (key, its group's rate) — raising a group's
+    rate strictly grows its sample (nested samples, as in
+    telescoping dataset ablations).
+    """
+    bucket = hash_bucket(key_col)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(group_col) == name
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        float(default_rate)
+    )
+    return df.filter(bucket < rate * F.lit(MOD))

@@ -213,3 +213,104 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied in order. Patterns stay inside
+# the RE2 ∩ Java-regex common subset (no lookaround, no backrefs) so
+# the Spark operator and the DuckDB oracle compile the same automaton.
+# Email requires an alphabetic TLD (avoids eating version strings);
+# a numeric-host address like user@10.0.0.1 therefore degrades to
+# user@<IP> via the IPv4 rule rather than <EMAIL>.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,3}-\d{3}-\d{3,4}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    text: Column, patterns: list[tuple[str, str, str]] = PII_PATTERNS
+) -> Column:
+    """Scrub PII spans with typed placeholder tokens.
+
+    A chain of JVM-side regexp_replace calls — per-row, no shuffle, no
+    UDF; at 100 TB this is a pure map fused into the scan stage.
+    """
+    for _, pat, repl in patterns:
+        text = F.regexp_replace(text, pat, repl)
+    return text
+
+
+def redact_pii_sql(
+    expr: str, patterns: list[tuple[str, str, str]] = PII_PATTERNS
+) -> str:
+    """DuckDB-dialect mirror of :func:`redact_pii` (single source of
+    truth: the same PII_PATTERNS table). Single-quoted literals in
+    DuckDB pass backslashes through to RE2 unmodified."""
+    for _, pat, repl in patterns:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Repetition features (Gopher-style repetitiousness signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, *, ngram: int = 2
+) -> DataFrame:
+    """Per-document repetition signals used by quality filters:
+
+    - ``top_word_frac`` — occurrences of the most frequent token over
+      total tokens (boilerplate/spam pages score high);
+    - ``dup_word_frac`` — fraction of token occurrences beyond each
+      token's first (1 − distinct/total);
+    - ``dup_gram_frac`` — fraction of word ``ngram``-gram occurrences
+      whose gram appears more than once (token-level variant of the
+      Gopher duplicate-n-gram-character rule).
+
+    Plan: one explode + two hash aggregates per granularity, joined on
+    the document key — every shuffle key is (doc_id[, token]), so the
+    job partitions by document and scales linearly in corpus size.
+    """
+    from skopje_spark.operators.dedup import _shingles_raw
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    words = per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_n"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
+    per_gram = (
+        _shingles_raw(df, id_col, text_col, ngram)
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grams = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_gram_n"),
+    )
+    return (
+        words.join(grams, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            dround(F.col("top_word_n") / F.col("n_words"), 4).alias("top_word_frac"),
+            dround(
+                1.0 - F.col("n_distinct_words") / F.col("n_words"), 4
+            ).alias("dup_word_frac"),
+            dround(
+                F.coalesce(F.col("dup_gram_n"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("dup_gram_frac"),
+        )
+    )

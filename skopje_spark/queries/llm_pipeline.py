@@ -1,0 +1,320 @@
+"""Training-data curation queries: PII redaction, repetition-based
+quality signals, deterministic splits/quotas/mixtures, and benchmark
+contamination checks.
+
+These extend the reference's ETL surface (which moves whole tables,
+`/root/reference/src/etl.rs:14-28`) with the corpus-curation operators
+a pretraining pipeline needs. All membership decisions are Knuth-hash
+deterministic (operators/sampling.py), so every oracle recomputes the
+exact same sample — no rand() anywhere.
+
+The PII fixture text is synthesized deterministically from customer
+keys (the fixtures carry no real PII), identically on both engines, so
+the redaction regexes are exercised on realistic email/phone/IP spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.sampling import (
+    KNUTH,
+    MOD,
+    cap_per_group,
+    hash_bucket,
+    mixture_sample,
+    split_assign,
+)
+from skopje_spark.operators.text import (
+    redact_pii,
+    redact_pii_sql,
+    repetition_features,
+)
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround, dround_sql
+from skopje_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_PII_RAW_SQL = (
+    "'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)"
+    " || '@example.com or call +1-'"
+    " || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')"
+    " || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR)"
+    " || '.0.' || CAST(c_custkey % 100 AS VARCHAR)"
+)
+
+
+def _pii_raw_col() -> F.Column:
+    k = F.col("c_custkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        s(k),
+        F.lit("@example.com or call +1-"),
+        F.lpad(s(k % 1000), 3, "0"),
+        F.lit("-555-"),
+        F.lpad(s(k % 10000), 4, "0"),
+        F.lit(" from 10."),
+        s(k % 256),
+        F.lit(".0."),
+        s(k % 100),
+    )
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=f"""
+    SELECT c_custkey,
+           {redact_pii_sql(_PII_RAW_SQL)} AS clean_text
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("text", "pii", "llm-pipeline"),
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py:redact_pii): typed placeholder
+    substitution for emails, phone numbers, and IPv4 addresses over a
+    deterministically synthesized contact blurb per customer. The
+    regex chain is a pure JVM-side map fused into the scan — zero
+    shuffle at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            redact_pii(_pii_raw_col()).alias("clean_text"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate signals
+# ---------------------------------------------------------------------------
+
+_REP_TOKS = r"""
+t AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '')) AS tok
+  FROM documents
+),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+words AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_word_n,
+         COUNT(*) AS n_distinct_words
+  FROM per_tok GROUP BY doc_id
+),
+tokarr AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+  FROM documents
+),
+per_gram AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM (
+    SELECT doc_id, ts[i] || ' ' || ts[i+1] AS shingle
+    FROM tokarr,
+         UNNEST(CASE WHEN len(ts) >= 2 THEN range(1, len(ts)) ELSE [] END) AS u(i)
+  ) GROUP BY doc_id, shingle
+),
+grams AS (
+  SELECT doc_id, SUM(c) AS n_grams,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_gram_n
+  FROM per_gram GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH {_REP_TOKS}
+    SELECT w.doc_id,
+           w.n_words,
+           {dround_sql('w.top_word_n / CAST(w.n_words AS DOUBLE)', 4)} AS top_word_frac,
+           {dround_sql('1.0 - w.n_distinct_words / CAST(w.n_words AS DOUBLE)', 4)} AS dup_word_frac,
+           {dround_sql('COALESCE(g.dup_gram_n, 0) / CAST(GREATEST(COALESCE(g.n_grams, 0), 1) AS DOUBLE)', 4)} AS dup_gram_frac
+    FROM words w LEFT JOIN grams g USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py:
+    repetition_features): top-word fraction, duplicate-token fraction,
+    duplicate-bigram fraction — the boilerplate/spam detectors quality
+    filters threshold on. Shuffles only on (doc_id[, token]) keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_features(d, "doc_id", "text", ngram=2).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits, quotas, mixtures
+# ---------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_TRAIN_HI = int(0.8 * MOD)
+_VAL_HI = int(0.9 * MOD)
+
+
+@register(
+    "q_sample_split_assign",
+    oracle=f"""
+    SELECT split, source, COUNT(*) AS n_docs
+    FROM (
+      SELECT source,
+             CASE WHEN (doc_id * {KNUTH}) % {MOD} < {_TRAIN_HI} THEN 'train'
+                  WHEN (doc_id * {KNUTH}) % {MOD} < {_VAL_HI} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, source
+    ORDER BY split, source
+    """,
+    tags=("sample", "split", "llm-pipeline"),
+)
+def q_sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named train/val/test assignment by hash-range prefix
+    (operators/sampling.py:split_assign). Prefix ranges mean growing
+    'train' never moves a doc between 'val' and 'test' — the stability
+    property dataset versioning needs. Narrow map + one count shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id", _SPLITS)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+@register(
+    "q_sample_group_cap",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id
+    ) <= 20
+    ORDER BY doc_id
+    """,
+    tags=("sample", "quota", "llm-pipeline"),
+)
+def q_sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (operators/sampling.py:cap_per_group): keep at
+    most 20 docs per source, lowest-hash first — stops one crawl
+    domain from dominating the corpus. One shuffle on the group key;
+    for pathologically hot groups, rate-prefilter then cap."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        cap_per_group(d, ["source"], "doc_id", 20)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+@register(
+    "q_sample_mixture",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE (doc_id * {KNUTH}) % {MOD}
+          < (CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.25 ELSE 0.1 END) * {MOD}
+    ORDER BY doc_id
+    """,
+    tags=("sample", "mixture", "llm-pipeline"),
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting (operators/sampling.py:mixture_sample):
+    per-source keep rates (oversample src0, downsample the long tail).
+    Nested property: raising a rate strictly grows that source's
+    sample. Pure narrow filter — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(d, "source", _MIX_RATES, "doc_id", default_rate=_MIX_DEFAULT)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+_BENCH_CUT = MOD // 20  # ~5% of docs play the "benchmark set"
+
+
+@register(
+    "q_contamination_ngram",
+    oracle=f"""
+    WITH tokarr AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM tokarr,
+           UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1) ELSE [] END) AS u(i)
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE (doc_id * {KNUTH}) % {MOD} < {_BENCH_CUT}
+    ),
+    train AS (
+      SELECT * FROM sh
+      WHERE NOT ((doc_id * {KNUTH}) % {MOD} < {_BENCH_CUT})
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.shingle) AS n_contaminated,
+           {dround_sql('COUNT(b.shingle) / CAST(COUNT(*) AS DOUBLE)', 4)} AS contaminated_frac
+    FROM train t LEFT JOIN bench b USING (shingle)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "contamination", "llm-pipeline"),
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: per training doc, how many of
+    its distinct word 3-grams also appear in the held-out benchmark
+    slice (~5% of docs by hash). The standard pre-training hygiene
+    check (n-gram overlap à la GPT-3/PaLM decontamination).
+
+    Scale plan: grams are compared in 60-bit sha256-hash space
+    (operators/dedup.py:shingle_hashes), so the join key is an 8-byte
+    long; the benchmark gram set is tiny relative to the corpus and is
+    broadcast — the 100 TB training side never shuffles."""
+    from skopje_spark.operators.dedup import shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d, "doc_id", "text", 3)
+    is_bench = hash_bucket("doc_id") < _BENCH_CUT
+    bench_h = (
+        sh.filter(is_bench).select("h").distinct().withColumn("__hit", F.lit(1))
+    )
+    train = sh.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench_h), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_contaminated"),
+            dround(F.count("__hit") / F.count(F.lit(1)), 4).alias(
+                "contaminated_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
