@@ -12,6 +12,8 @@ from skopje_spark.streaming.streams import (
     session_agg,
     sessionize_stateful,
     sliding_agg,
+    stream_static_join,
+    stream_stream_join,
     tumbling_agg,
     with_watermark,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "session_agg",
     "sessionize_stateful",
     "sliding_agg",
+    "stream_static_join",
+    "stream_stream_join",
     "tumbling_agg",
     "with_watermark",
 ]

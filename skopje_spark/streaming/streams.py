@@ -271,3 +271,42 @@ def foreach_batch_sink(stream_df: DataFrame, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_static_join(stream_df: DataFrame, static_df: DataFrame,
+                       on: list[str] | str, *, how: str = "inner",
+                       hint_broadcast: bool = True) -> DataFrame:
+    """Enrich a stream against a static dimension (the streaming form
+    of the reference's KeyMap lookup, ``/root/reference/src/keymap.rs:52-75``).
+
+    The static side is re-resolved per micro-batch and, with
+    ``hint_broadcast``, shipped to executors instead of shuffling the
+    unbounded stream side — the only sane plan when the stream is the
+    100 TB side. Stateless: no watermark needed."""
+    if hint_broadcast:
+        static_df = F.broadcast(static_df)
+    return stream_df.join(static_df, on, how)
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame, *,
+                       on: str, left_ts: str, right_ts: str,
+                       watermark: str, within: str,
+                       how: str = "inner") -> DataFrame:
+    """Windowed stream-stream equi-join: match rows with equal ``on``
+    keys whose event times lie within ``within`` of each other.
+
+    Both sides get a ``watermark`` so the join state is bounded: a
+    buffered row can be evicted once the other side's watermark passes
+    its timestamp + ``within`` — without the time bound the state
+    grows forever. Outer variants emit unmatched rows only after that
+    eviction point (late-data-safe NULL completion)."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}")
+           >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)

@@ -1,0 +1,145 @@
+"""Unit tests: versioned snapshot table (time travel, atomic commit,
+upsert-as-commit, vacuum), manifest data skipping, and the streaming
+join helpers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.sinks.versioned import (
+    latest_version,
+    vacuum,
+    versioned_read,
+    versioned_upsert,
+    versioned_write,
+)
+from skopje_spark.sources.skipping import (
+    pruned_scan,
+    write_clustered,
+    write_manifest,
+)
+from skopje_spark.streaming import (
+    file_stream,
+    run_available_now,
+    stream_static_join,
+    stream_stream_join,
+)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, ["k", "v"])
+
+
+def test_versioned_write_read_time_travel(spark, tmp_path):
+    path = str(tmp_path / "vt")
+    v0 = versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    v1 = versioned_write(_kv(spark, [(1, "a2"), (3, "c")]), path)
+    assert (v0, v1) == (0, 1)
+    assert latest_version(path) == 1
+    # latest reflects the last commit; pinned read sees history
+    assert {r["v"] for r in versioned_read(spark, path).collect()} == {"a2", "c"}
+    assert {r["v"] for r in versioned_read(spark, path, version=0).collect()} == {
+        "a",
+        "b",
+    }
+
+
+def test_versioned_upsert_merges_and_preserves_history(spark, tmp_path):
+    path = str(tmp_path / "vu")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    versioned_upsert(spark, path, _kv(spark, [(2, "B"), (4, "d")]), ["k"])
+    now = dict((r["k"], r["v"]) for r in versioned_read(spark, path).collect())
+    assert now == {1: "a", 2: "B", 3: "c", 4: "d"}
+    before = dict(
+        (r["k"], r["v"]) for r in versioned_read(spark, path, version=0).collect()
+    )
+    assert before == {1: "a", 2: "b", 3: "c"}
+
+
+def test_vacuum_drops_old_keeps_current(spark, tmp_path):
+    path = str(tmp_path / "vv")
+    for i in range(4):
+        versioned_write(_kv(spark, [(i, str(i))]), path)
+    removed = vacuum(path, keep=2)
+    assert removed == [0, 1]
+    assert versioned_read(spark, path).count() == 1  # v3 intact
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, path, version=0)
+
+
+def test_pruned_scan_skips_files_and_matches_full_scan(spark, tmp_path):
+    path = str(tmp_path / "skip")
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 13).alias("x")
+    )
+    write_clustered(df, path, "id", n_files=16)
+    n = write_manifest(spark, path, ["id"])
+    assert n == 16
+    pruned = pruned_scan(spark, path, "id", 100, 299)
+    full = spark.read.parquet(path).filter((F.col("id") >= 100) & (F.col("id") <= 299))
+    # correctness: identical result set
+    assert pruned.exceptAll(full).count() == 0 and full.exceptAll(pruned).count() == 0
+    # skipping: touches a strict subset of files
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # empty-range predicate still yields a typed, empty result
+    assert pruned_scan(spark, path, "id", 50000, 60000).count() == 0
+
+
+def _write_json(dirpath, rows, fname="p0.json"):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / fname, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_static_join_enriches(spark, tmp_path):
+    src = tmp_path / "ss_src"
+    _write_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": "a", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:00:20", "user_id": "b", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01T00:00:30", "user_id": "zz", "value": 3.0},
+        ],
+    )
+    stream = file_stream(
+        spark, str(src), schema="event_id long, ts timestamp, user_id string, value double"
+    )
+    dim = spark.createDataFrame([("a", "alice"), ("b", "bob")], ["user_id", "name"])
+    out = run_available_now(
+        stream_static_join(stream, dim, "user_id"), name="ssj"
+    )
+    got = {(r["event_id"], r["name"]) for r in out.collect()}
+    assert got == {(1, "alice"), (2, "bob")}
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    imp, clk = tmp_path / "imp", tmp_path / "clk"
+    _write_json(
+        imp,
+        [
+            {"ad": "x", "its": "2024-01-01T00:00:00"},
+            {"ad": "y", "its": "2024-01-01T00:10:00"},
+        ],
+    )
+    _write_json(
+        clk,
+        [
+            {"ad": "x", "cts": "2024-01-01T00:03:00"},   # within 5 min of x
+            {"ad": "y", "cts": "2024-01-01T00:30:00"},   # too late for y
+        ],
+    )
+    left = file_stream(spark, str(imp), schema="ad string, its timestamp")
+    right = file_stream(spark, str(clk), schema="ad string, cts timestamp")
+    joined = stream_stream_join(
+        left, right, on="ad", left_ts="its", right_ts="cts",
+        watermark="1 minute", within="5 minutes",
+    )
+    out = run_available_now(joined.select(F.col("l.ad").alias("ad")), name="ssj2")
+    assert [r["ad"] for r in out.collect()] == ["x"]
+    # checkpoint dirs cleaned up by tmp_path; nothing persistent
+    assert os.path.isdir(str(imp))
