@@ -45,6 +45,20 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def l2_norm(a: Column) -> Column:
+    """Euclidean length in double precision (public alias of the
+    internal fold — same accumulation order as the DuckDB oracles)."""
+    return _norm(a)
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-length rescale: x / ||x||. A pure element-wise HOF map —
+    no shuffle, stays in codegen; the standard prep before cosine ANN
+    (post-normalization, cosine == dot)."""
+    n = _norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def _np_dot_udf():
     """Arrow-batched numpy dot product: the hot path for pairwise
     scoring. Interpreted HOF lambdas cost ~1 µs/element; numpy einsum

@@ -13,10 +13,14 @@ from pyspark.sql import functions as F
 from skopje_spark.operators.similarity import (
     blocked_neardup_pairs,
     cosine_topk,
+    ivf_centroids,
     ivf_topk,
+    l2_norm,
+    l2_normalize,
     rh_lsh_buckets,
 )
 from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround
 from skopje_spark.tables import load_table
 
 
@@ -102,4 +106,110 @@ def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.groupBy("lsh_bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("lsh_bucket")
+    )
+
+
+@register(
+    "q_embed_normalize",
+    oracle="""
+    SELECT vec_id,
+           (CASE WHEN (sqrt(nsq)) < 0 THEN -(FLOOR((-(sqrt(nsq))) * 1000000.0 + 0.5) / 1000000.0)
+                 ELSE FLOOR((sqrt(nsq)) * 1000000.0 + 0.5) / 1000000.0 END) AS norm,
+           (CASE WHEN (CAST(embedding[1] AS DOUBLE) / sqrt(nsq)) < 0
+                 THEN -(FLOOR((-(CAST(embedding[1] AS DOUBLE) / sqrt(nsq))) * 10000.0 + 0.5) / 10000.0)
+                 ELSE FLOOR((CAST(embedding[1] AS DOUBLE) / sqrt(nsq)) * 10000.0 + 0.5) / 10000.0 END) AS unit_first,
+           (CASE WHEN (posdig / sqrt(nsq)) < 0
+                 THEN -(FLOOR((-(posdig / sqrt(nsq))) * 10000.0 + 0.5) / 10000.0)
+                 ELSE FLOOR((posdig / sqrt(nsq)) * 10000.0 + 0.5) / 10000.0 END) AS unit_posdigest
+    FROM (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * i)) AS posdig
+      FROM embeddings
+    )
+    ORDER BY vec_id
+    """,
+    tags=("embedding", "similarity", "llm-pipeline"),
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (operators/similarity.py:l2_normalize): unit
+    vectors + lengths, projected to order-sensitive scalar digests
+    (first element + position-weighted sum Σ unit[i]·i — any element
+    swap or scale error changes the digest) so the cross-engine hash
+    compares scalars. Element-wise HOF map in codegen — zero shuffle;
+    after this step cosine reduces to a plain dot product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    unit = l2_normalize(emb)
+    posdigest = F.aggregate(
+        F.zip_with(
+            unit,
+            F.sequence(F.lit(1), F.size(emb)),
+            lambda x, i: x * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        dround(l2_norm(emb), 6).alias("norm"),
+        dround(F.element_at(unit, 1), 4).alias("unit_first"),
+        dround(posdigest, 4).alias("unit_posdigest"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_embed_centroids",
+    oracle="""
+    WITH px AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    m AS (
+      SELECT label, i, AVG(val) AS mean_val FROM px GROUP BY label, i
+    )
+    SELECT label,
+           COUNT(*) AS n_dims,
+           (CASE WHEN (SUM(CASE WHEN i = 1 THEN mean_val END)) < 0
+                 THEN -(FLOOR((-(SUM(CASE WHEN i = 1 THEN mean_val END))) * 10000.0 + 0.5) / 10000.0)
+                 ELSE FLOOR((SUM(CASE WHEN i = 1 THEN mean_val END)) * 10000.0 + 0.5) / 10000.0 END) AS c_first,
+           (CASE WHEN (SUM(mean_val * i)) < 0
+                 THEN -(FLOOR((-(SUM(mean_val * i))) * 10000.0 + 0.5) / 10000.0)
+                 ELSE FLOOR((SUM(mean_val * i)) * 10000.0 + 0.5) / 10000.0 END) AS c_posdigest
+    FROM m GROUP BY label ORDER BY label
+    """,
+    tags=("embedding", "similarity", "llm-pipeline"),
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py:
+    ivf_centroids — the IVF coarse-quantizer / k-means update step),
+    digested to scalars (dim count, first element, position-weighted
+    sum) for the cross-engine hash. posexplode → (cell, pos) mean →
+    ordered re-assembly; shuffle keys are (label, pos), so the job
+    scales with dim × n_labels, not corpus size.
+
+    DuckDB's AVG and Spark's avg may differ in the last ulp (different
+    summation trees over 500 floats), hence 4-dp digests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = ivf_centroids(e, vec_col="embedding", cell_col="label")
+    cent = F.col("centroid")
+    posdigest = F.aggregate(
+        F.zip_with(
+            cent,
+            F.sequence(F.lit(1), F.size(cent)),
+            lambda x, i: x * i.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        c.select(
+            F.col("cell").alias("label"),
+            F.size(cent).cast("bigint").alias("n_dims"),
+            dround(F.element_at(cent, 1), 4).alias("c_first"),
+            dround(posdigest, 4).alias("c_posdigest"),
+        )
+        .orderBy("label")
     )

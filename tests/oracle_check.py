@@ -48,6 +48,9 @@ def _canon(v):
         return bytes(v).hex()
     if isinstance(v, list):
         return tuple(_canon(x) for x in v)
+    if type(v).__module__ == "numpy" and hasattr(v, "tolist"):
+        c = v.tolist()  # ndarray -> nested lists; numpy scalar -> python scalar
+        return _canon(c) if isinstance(c, list) else _canon(c)
     return v
 
 

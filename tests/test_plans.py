@@ -128,3 +128,18 @@ def test_banded_range_join_is_hash_not_nested_loop(spark, sf_dir):
     strats = set(join_strategies(df))
     assert "CartesianProduct" not in strats
     assert "BroadcastNestedLoopJoin" not in strats
+
+
+def test_group_cap_pushes_limit_below_shuffle(spark, sf_dir):
+    """cap_per_group must trigger WindowGroupLimit (partial top-k
+    before the group-key shuffle) — at scale the cap filters each map
+    partition down to ≤cap rows per group before any data moves."""
+    df = _df(spark, sf_dir, "q_sample_group_cap")
+    assert "WindowGroupLimit" in plan_text(df)
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast: the (100 TB) training
+    side stays partition-local through the contamination join."""
+    df = _df(spark, sf_dir, "q_contamination_ngram")
+    assert "BroadcastHashJoin" in join_strategies(df) or "BroadcastHashJoin" in plan_text(df)
