@@ -266,3 +266,31 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = rollup_state(l.filter(F.col("l_shipdate") < cut), keys, vals)
     delta = rollup_state(l.filter(F.col("l_shipdate") >= cut), keys, vals)
     return rollup_finalize(rollup_merge([prior, delta], keys, vals), keys, vals)
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle=None,
+    tags=("agg", "approx", "sketch"),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's KLL-style quantile sketch
+    (``approx_percentile``, accuracy 1/10000). Rows-only check, like
+    q_agg_approx_distinct: the sketch is engine-specific, so DuckDB's
+    approx_quantile would legitimately differ — the exact-percentile
+    twin (q_agg_percentile) carries the cross-engine value check.
+
+    Scale: the sketch is fixed-size and mergeable — partial aggregates
+    combine map-side, so the shuffle carries one sketch per group, not
+    the data; this is THE way to do percentiles at 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("price_quantiles"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -267,3 +267,47 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_custkey").alias("n_close"),
         davg(F.col("c_acctbal"), 2).alias("avg_close_bal"),
     )
+
+
+@register(
+    "q_join_fuzzy_blocked",
+    oracle="""
+    SELECT a.p_brand,
+           COUNT(*) AS n_close_pairs,
+           MIN(levenshtein(a.p_name, b.p_name)) AS min_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY a.p_brand
+    ORDER BY a.p_brand
+    """,
+    tags=("join", "fuzzy", "similarity"),
+)
+def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: near-identical part names (edit
+    distance ≤ 3) within a brand block — the entity-resolution shape
+    (same-block candidate pairs + string-distance filter).
+
+    Scale: the equi-key on p_brand makes this a hash join, never a
+    cartesian; candidate fan-out is bounded by block size squared. At
+    100 TB you'd tighten blocks further (brand × name-prefix, or a
+    q-gram/LSH prefilter à la operators/dedup.py) — the plan shape
+    stays the same hash-join + post-filter."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 3)
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.min(dist).alias("min_dist"),
+        )
+        .orderBy("p_brand")
+    )
