@@ -282,15 +282,26 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the sketch is fixed-size and mergeable — partial aggregates
     combine map-side, so the shuffle carries one sketch per group, not
-    the data; this is THE way to do percentiles at 100 TB."""
+    the data; this is THE way to do percentiles at 100 TB.
+
+    Output is flattened to scalar columns (p50/p95/p99) — the driver's
+    rows-only canonicalizer sorts on every column and cannot sort an
+    array column, so the sketch result must be scalar-shaped."""
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.expr(
                 "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("price_quantiles"),
+            ).alias("qs"),
             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("p50_price"),
+            F.col("qs")[1].alias("p95_price"),
+            F.col("qs")[2].alias("p99_price"),
+            "approx_orders",
         )
         .orderBy("l_returnflag")
     )
