@@ -1,0 +1,183 @@
+"""Sequence packing and document chunking for LLM training pipelines.
+
+The reference's load path pushes rows into Postgres
+(``/root/reference/src/load/pg.rs:50-117``); a training-data lake's
+load path instead lands *fixed-length token sequences*. Two operators
+cover the standard shapes:
+
+- :func:`chunk_text` — split each document into overlapping
+  fixed-width character windows (retrieval / embedding prep).
+- :func:`pack_concat_chunk` — "concatenate and chunk" pretraining
+  packing: lay every document end-to-end on a global token axis in a
+  deterministic order, then cut the axis into ``ctx_len``-token
+  sequences. A document that straddles a cut contributes tokens to
+  both sequences, exactly like the common GPT-style data loader.
+
+Scale design — the packing offset is a **global prefix sum**, and the
+naive formulation (``sum().over(Window.orderBy(id))`` with no
+partition key) collapses all data onto ONE task. :func:`global_prefix_sum`
+does it in two passes instead:
+
+1. range-repartition by the order key + sort within partitions, then
+   one ``mapInPandas`` sweep computes each partition's *local* running
+   sum (no shuffle beyond the range exchange);
+2. the per-partition totals (one number per partition — a few KB at
+   any scale) are prefix-summed and broadcast-joined back as base
+   offsets.
+
+Cost at 100 TB: one range shuffle of the (id, weight) projection — the
+same price as a global sort, which any deterministic packing needs —
+plus an O(num_partitions) driver step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = 800,
+    overlap: int = 100,
+) -> DataFrame:
+    """Overlapping character windows: chunk *i* covers
+    ``[i*(chunk_len-overlap), i*(chunk_len-overlap) + chunk_len)``.
+    Windows start while ``start < length - overlap`` (every chunk after
+    the first contributes ≥ ``chunk_len - overlap`` new characters), and
+    an empty/short document still yields its chunk 0.
+
+    Pure narrow ops — ``sequence`` + ``explode`` + ``substring`` — so
+    the whole thing stays in whole-stage codegen with no shuffle."""
+    if not 0 <= overlap < chunk_len:
+        raise ValueError("require 0 <= overlap < chunk_len")
+    step = chunk_len - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.substring(F.col(text_col), F.col("chunk_start") + 1, chunk_len).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` over the global
+    ``order_col`` order, without a single-task global window.
+
+    Returns the input columns plus ``out_col`` = sum of all weights
+    strictly before the row. Equivalent to
+    ``sum(w).over(Window.orderBy(order_col).rowsBetween(unboundedPreceding, -1))``
+    but scalable: see module docstring for the two-pass plan."""
+    import pandas as pd
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    fields = ranged.schema.fields
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    out_schema += f", `__local` bigint"
+
+    def local_cumsum(batches):
+        running = 0
+        for pdf in batches:
+            w = pdf[weight_col].fillna(0).astype("int64")
+            local = w.cumsum() - w + running  # exclusive, carried across batches
+            running += int(w.sum())
+            pdf = pdf.copy()
+            pdf["__local"] = local
+            yield pdf
+
+    local = ranged.mapInPandas(local_cumsum, schema=out_schema)
+    # one action over a persisted frame so both consumers see the same
+    # partitioning decision
+    local = local.persist()
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("tot"))
+        .collect()
+    )
+    base = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        base[row["__pid"]] = acc
+        acc += int(row["tot"] or 0)
+    base_df = df.sparkSession.createDataFrame(
+        [(int(p), int(b)) for p, b in base.items()], "__pid int, __base bigint"
+    )
+    out = (
+        local.join(F.broadcast(base_df), "__pid")
+        .withColumn(out_col, F.col("__base") + F.col("__local"))
+        .drop("__pid", "__base", "__local")
+    )
+    return out
+
+
+def pack_concat_chunk(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: Column | str = "n_tokens",
+    ctx_len: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid end-to-end in
+    ``id_col`` order; sequence *s* owns token span
+    ``[s*ctx_len, (s+1)*ctx_len)``. Output: one row per (document,
+    sequence) overlap with the token count the document contributes —
+    the shuffle-light description a sequence-assembly job consumes.
+
+    Zero-token documents are dropped (they occupy no span)."""
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    t = df.select(F.col(id_col), tok.cast("long").alias("__tok")).filter(
+        F.col("__tok") > 0
+    )
+    with_off = global_prefix_sum(
+        t, order_col=id_col, weight_col="__tok", out_col="__start"
+    )
+    end = F.col("__start") + F.col("__tok")
+    first_seq = F.floor(F.col("__start") / ctx_len)
+    last_seq = F.floor((end - 1) / ctx_len)
+    return (
+        with_off.select(
+            id_col,
+            F.col("__tok"),
+            F.col("__start"),
+            F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("seq_id").cast("long").alias("seq_id"),
+            (
+                F.least(F.col("__start") + F.col("__tok"), (F.col("seq_id") + 1) * ctx_len)
+                - F.greatest(F.col("__start"), F.col("seq_id") * ctx_len)
+            )
+            .cast("long")
+            .alias("seq_tokens"),
+        )
+    )

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QueryDef]:
         keymap_demo,
         llm_dedup,
         llm_multimodal,
+        llm_packing,
         llm_pipeline,
         llm_similarity,
         llm_text,

@@ -144,3 +144,15 @@ def compact_parquet(spark, path: str, *,
     os.rename(staging, path)
     shutil.rmtree(retired, ignore_errors=True)
     return n_files
+
+
+def xml_sink(df: DataFrame, path: str, *, row_tag: str = "row",
+             root_tag: str = "rows", mode: str = "append",
+             dedup_keys: list[str] | None = None,
+             repartition: int | None = None) -> None:
+    """XML sink (built into Spark since 4.0) — for feeds consumed by
+    XML-only downstream systems; same contract surface as
+    :func:`parquet_sink`."""
+    df = _prep(df, dedup_keys, repartition)
+    (df.write.mode(mode).format("xml")
+       .option("rowTag", row_tag).option("rootTag", root_tag).save(path))

@@ -126,3 +126,19 @@ def orc_source(spark: SparkSession, path: str, *,
     (predicate pushdown and column pruning work as for parquet)."""
     df = spark.read.orc(path)
     return df.select(*columns) if columns else df
+
+
+def xml_source(spark: SparkSession, path: str, *, row_tag: str,
+               schema: StructType | str | None = None,
+               columns: list[str] | None = None) -> DataFrame:
+    """XML scan (built into Spark since 4.0): one row per ``row_tag``
+    element, attributes surfaced as ``_attr`` columns. The
+    semi-structured cousin of the reference's serde-JSON extract
+    (`read_json`, ``/root/reference/src/extract/fs.rs:6-13``) for
+    feed/sitemap/export payloads. Schema inference scans the files
+    once — declare a schema in production to skip that pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    return df.select(*columns) if columns else df

@@ -58,3 +58,22 @@ def test_rollup_merge_associative(spark):
     assert full.exceptAll(merged_once).count() == 0
     assert merged_once.exceptAll(merged_nested).count() == 0
     assert merged_nested.exceptAll(full).count() == 0
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from skopje_spark.sinks.files import xml_sink
+    from skopje_spark.sources.files import xml_source
+
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    )
+    path = str(tmp_path / "t_xml")
+    xml_sink(df, path, row_tag="item", root_tag="items", mode="overwrite")
+    back = xml_source(spark, path, row_tag="item",
+                      schema="id long, g long, name string")
+    assert back.count() == 50
+    assert back.exceptAll(df).count() == 0
+    # inferred-schema read + column pruning
+    cols = xml_source(spark, path, row_tag="item", columns=["id", "name"]).columns
+    assert cols == ["id", "name"]

@@ -1,0 +1,101 @@
+"""Packing/chunking operator tests (operators/packing.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.packing import (
+    chunk_text,
+    global_prefix_sum,
+    pack_concat_chunk,
+)
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    random.seed(7)
+    rows = [(i, random.randint(0, 50)) for i in random.sample(range(10000), 500)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(13)
+
+    got = global_prefix_sum(df, order_col="id", weight_col="w", out_col="off")
+    naive = df.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("w").over(
+                Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    assert sorted(got.collect()) == sorted(naive.collect())
+
+
+def test_global_prefix_sum_empty(spark):
+    df = spark.createDataFrame([], "id long, w long")
+    assert global_prefix_sum(df, order_col="id", weight_col="w").count() == 0
+
+
+def test_chunk_text_reconstructs_document(spark):
+    docs = [
+        (1, "abcdefghij" * 37),  # 370 chars
+        (2, "x"),
+        (3, ""),
+        (4, "y" * 120),  # exactly chunk_len
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunks = chunk_text(df, chunk_len=120, overlap=20).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in docs:
+        parts = by_doc[doc_id]
+        assert parts[0].chunk_id == 0  # even empty docs yield chunk 0
+        # strip each chunk's 20-char overlap with its predecessor
+        rebuilt = parts[0].chunk_text + "".join(
+            p.chunk_text[20:] for p in parts[1:]
+        )
+        assert rebuilt == text
+        # successive chunks overlap by exactly 20 chars of content
+        for prev, cur in zip(parts, parts[1:]):
+            assert prev.chunk_text[cur.chunk_start - prev.chunk_start:] == \
+                cur.chunk_text[: len(prev.chunk_text) - (cur.chunk_start - prev.chunk_start)]
+
+
+def test_pack_concat_chunk_invariants(spark):
+    random.seed(11)
+    rows = [(i, random.randint(1, 700)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ctx = 256
+    packed = pack_concat_chunk(df, tokens_col="n_tokens", ctx_len=ctx)
+    packed.persist()
+
+    total = sum(w for _, w in rows)
+    per_seq = {
+        r.seq_id: r.t
+        for r in packed.groupBy("seq_id").agg(F.sum("seq_tokens").alias("t")).collect()
+    }
+    # sequences tile the token axis: every one full except the last
+    n_seqs = -(-total // ctx)
+    assert set(per_seq) == set(range(n_seqs))
+    last = n_seqs - 1
+    for s, t in per_seq.items():
+        assert t == (ctx if s != last else total - ctx * last)
+
+    # conservation per document: contributions sum to its token count
+    per_doc = {
+        r.doc_id: r.t
+        for r in packed.groupBy("doc_id").agg(F.sum("seq_tokens").alias("t")).collect()
+    }
+    assert per_doc == dict(rows)
+    packed.unpersist()
+
+
+def test_pack_drops_zero_token_docs(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 5)], "doc_id long, n_tokens long"
+    )
+    packed = pack_concat_chunk(df, tokens_col="n_tokens", ctx_len=8)
+    assert sorted(r.doc_id for r in packed.select("doc_id").distinct().collect()) == [1, 3]
