@@ -181,3 +181,33 @@ def pack_concat_chunk(
             .alias("seq_tokens"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+    pos_col: str = "shuffle_pos",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving: every
+    row gets a stable position on a pseudo-random axis — the rank of
+    ``sha256(id || salt)``. Changing ``salt`` re-deals the order;
+    re-running does not. With ``n_shards``, also emit the output shard
+    (``pos % n_shards``) for round-robin sharded writes.
+
+    Scale: rank = exclusive prefix-count over the hash order, computed
+    with :func:`global_prefix_sum` (range shuffle + broadcast offsets),
+    never a one-task global window."""
+    keyed = df.withColumn(
+        "__skey", F.sha2(F.concat(F.col(id_col).cast("string"), F.lit(salt)), 256)
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_prefix_sum(
+        keyed, order_col="__skey", weight_col="__one", out_col=pos_col
+    ).drop("__skey", "__one")
+    if n_shards is not None:
+        ranked = ranked.withColumn(
+            "shard", F.pmod(F.col(pos_col), F.lit(n_shards)).cast("long")
+        )
+    return ranked

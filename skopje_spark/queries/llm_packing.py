@@ -108,3 +108,73 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("seq_tokens").alias("n_tokens"),
         )
     )
+
+
+_PASS = 200  # disjoint passage width for passage-level dedup
+
+
+@register(
+    "q_dedup_passage",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0), {_PASS}))
+               AS st
+      FROM documents
+    )
+    SELECT sha256(substr(text, st + 1, {_PASS})) AS passage_sha,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM s
+    GROUP BY 1
+    HAVING COUNT(*) > 1 AND COUNT(DISTINCT doc_id) > 1
+    """,
+    tags=("packing", "dedup", "text"),
+)
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: cut every document into disjoint
+    200-char passages (chunk_text with overlap=0) and report passages
+    appearing in more than one document — the sub-document dedup tier
+    between whole-doc hashing (q_dedup_exact_hash) and fuzzy matching
+    (q_dedup_ngram_jaccard), which catches boilerplate shared across
+    otherwise-distinct pages.
+
+    Scale: one map-side-combined groupBy on a 32-byte digest; the text
+    itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    c = chunk_text(d, chunk_len=_PASS, overlap=0)
+    return (
+        c.groupBy(F.sha2("chunk_text", 256).alias("passage_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter((F.col("n_occurrences") > 1) & (F.col("n_docs") > 1))
+    )
+
+
+@register(
+    "q_shuffle_deterministic",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sha256(CAST(doc_id AS VARCHAR) || 'epoch0'))
+                - 1 AS BIGINT) AS shuffle_pos,
+           CAST((ROW_NUMBER() OVER (ORDER BY sha256(CAST(doc_id AS VARCHAR) || 'epoch0'))
+                - 1) % 8 AS BIGINT) AS shard
+    FROM documents
+    """,
+    tags=("packing", "shuffle", "sampling"),
+)
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (epoch-salted): every document gets
+    a stable pseudo-random position = rank of sha256(doc_id||salt), and
+    a round-robin output shard. This is how a 100 TB corpus gets a
+    reproducible training order: new salt per epoch, no RNG state, any
+    subset of shards re-derivable.
+
+    Scale: rank comes from the two-pass prefix sum in
+    operators/packing.py, not a single-task global window."""
+    from skopje_spark.operators.packing import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, salt="epoch0", n_shards=8)

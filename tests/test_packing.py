@@ -99,3 +99,25 @@ def test_pack_drops_zero_token_docs(spark):
     )
     packed = pack_concat_chunk(df, tokens_col="n_tokens", ctx_len=8)
     assert sorted(r.doc_id for r in packed.select("doc_id").distinct().collect()) == [1, 3]
+
+
+def test_deterministic_shuffle_properties(spark):
+    from skopje_spark.operators.packing import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = deterministic_shuffle(df, salt="s1", n_shards=4)
+    b = deterministic_shuffle(df, salt="s1", n_shards=4)
+    c = deterministic_shuffle(df, salt="s2", n_shards=4)
+
+    pa = {r.doc_id: r.shuffle_pos for r in a.collect()}
+    pb = {r.doc_id: r.shuffle_pos for r in b.collect()}
+    pc = {r.doc_id: r.shuffle_pos for r in c.collect()}
+    assert pa == pb  # reproducible
+    assert pa != pc  # salt re-deals
+    assert sorted(pa.values()) == list(range(500))  # a permutation
+
+    # round-robin shards are exactly balanced
+    sizes = sorted(
+        r.n for r in a.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [125, 125, 125, 125]
