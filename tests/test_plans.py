@@ -143,3 +143,40 @@ def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
     side stays partition-local through the contamination join."""
     df = _df(spark, sf_dir, "q_contamination_ngram")
     assert "BroadcastHashJoin" in join_strategies(df) or "BroadcastHashJoin" in plan_text(df)
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    """q_chunk_documents must be a pure map plan: zero shuffles, whole
+    text column pruning aside, and codegen throughout."""
+    from skopje_spark.plans import num_shuffles
+
+    df = _df(spark, sf_dir, "q_chunk_documents")
+    assert num_shuffles(df) == 0
+    assert has_codegen(df)
+    schema = " ".join(scan_schemas(df))
+    assert "lang" not in schema and "source" not in schema  # pruned
+
+
+def test_passage_dedup_single_shuffle(spark, sf_dir):
+    """q_dedup_passage shuffles digests only: the groupBy exchange plus
+    the second exchange Spark plans for the distinct aggregate
+    (countDistinct doc_id) — and the document text must not cross
+    either."""
+    from skopje_spark.plans import num_shuffles
+
+    df = _df(spark, sf_dir, "q_dedup_passage")
+    assert num_shuffles(df) <= 2
+    txt = plan_text(df)
+    ex = txt[txt.index("Exchange"):]
+    first_exchange_line = ex.splitlines()[0]
+    assert "text" not in first_exchange_line  # only digests shuffle
+
+
+def test_packing_has_no_single_partition_window(spark, sf_dir):
+    """The packing offset must come from the two-pass prefix sum — a
+    plan containing a partition-less Window (SinglePartition exchange)
+    would collapse the corpus onto one task."""
+    for name in ("q_pack_sequences", "q_shuffle_deterministic"):
+        txt = plan_text(_df(spark, sf_dir, name))
+        assert "Window" not in txt, f"{name} uses a global window"
+        assert "SinglePartition" not in txt, f"{name} funnels to one task"
