@@ -144,3 +144,32 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, l.o_orderkey, l.o_totalprice
+    FROM nation n, LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 2
+    ) l
+"""
+
+
+@register(
+    "q_lateral_topk",
+    oracle=_LATERAL_SQL,
+    tags=("subquery", "lateral"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: the two
+    highest-value orders per nation. Catalyst decorrelates this into a
+    ranked join (no per-nation re-execution); the deterministic
+    tie-break (o_orderkey) pins the LIMIT boundary for the oracle.
+
+    Scale: decorrelation is what makes LATERAL usable at 100 TB — a
+    naive nested-loop would rescan orders once per outer row."""
+    _views(spark, sf_dir, "nation", "orders", "customer")
+    return spark.sql(_LATERAL_SQL)
