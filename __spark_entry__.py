@@ -25,64 +25,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return load_all()["q3_shipping_priority"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The catalog is larger than a bounded correctness sweep may sample, so
-# the dict leads with a curated set that spans SURVEY.md §2 end to end —
-# relational flagships, every join/agg/window family, reshaping,
-# sampling, CDC, streaming windows, UDFs, and the full LLM-data-pipeline
-# surface (dedup, similarity, text, packing, multimodal). Everything
-# else follows in registry order; total coverage is unchanged.
-_PRIORITY = [
-    # TPC-H-style relational flagships
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q7_volume_shipping", "q9_product_profit", "q10_returned_items",
-    "q18_large_volume_customers",
-    # join family
-    "q_join_inner_broadcast", "q_join_full_outer", "q_join_semi",
-    "q_join_anti", "q_join_asof", "q_join_range_banded",
-    "q_join_fuzzy_blocked",
-    # aggregation family
-    "q_agg_basic", "q_agg_grouping_sets", "q_agg_percentile",
-    "q_rollup_incremental",
-    # windows / event analytics
-    "q_window_ranking", "q_window_frames", "q_topk_per_group",
-    "q_sessionize_gaps",
-    # set ops / subqueries
-    "q_except_all", "q_cte", "q_correlated_exists",
-    # scalar functions / reshaping
-    "q_date_funcs", "q_json_funcs", "q_explode_wordcount",
-    "q_pivot_events", "q_unpivot_lineitem",
-    # splits / quotas / mixtures
-    "q_sample_split_assign", "q_sample_group_cap", "q_sample_mixture",
-    # CDC / SCD2 / keymap
-    "q_cdc_roundtrip", "q_scd2_apply", "q_keymap_gapfill_assign",
-    # streaming windows (batch-verified)
-    "q_window_tumbling", "q_window_session",
-    # UDF surface
-    "q_udf_pandas_scalar", "q_udaf_grouped_median",
-    # dedup
-    "q_dedup_exact_hash", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-    "q_dedup_simhash", "q_dedup_clusters", "q_dedup_embedding",
-    # similarity
-    "q_similarity_topk_bruteforce", "q_similarity_blocked_pairs",
-    "q_embed_centroids",
-    # text analysis
-    "q_text_quality", "q_text_tokens", "q_text_lang_id", "q_text_winnow",
-    "q_text_pii_redact", "q_text_repetition",
-    # packing / contamination / multimodal
-    "q_chunk_documents", "q_pack_sequences", "q_contamination_ngram",
-    "q_multimodal_meta",
-]
+# The catalog is larger than a bounded correctness sweep may sample.
+# Rather than a hand-curated priority list (which biases verification
+# toward author-picked queries), the iteration order is DERIVED from
+# verification history: queries are sorted least-recently-driver-checked
+# first, computed from the CORRECTNESS_r*.json files the driver itself
+# writes.  Never-checked queries lead (in neutral registry order), then
+# queries whose last green/row is oldest.  A bounded sweep therefore
+# always exercises the least-battle-tested code first, and the order
+# auto-rotates every round with no author input.
+def _last_checked_round() -> dict[str, int]:
+    """Map query name -> highest round number with a CORRECTNESS row."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered():
     from skopje_spark.queries import load_all
 
     reg = load_all()
-    missing = [n for n in _PRIORITY if n not in reg]
-    assert not missing, f"priority list names unknown queries: {missing}"
-    ordered = {n: reg[n] for n in _PRIORITY}
-    ordered.update((n, qd) for n, qd in reg.items() if n not in ordered)
-    return ordered
+    last = _last_checked_round()
+    idx = {n: i for i, n in enumerate(reg)}
+    names = sorted(reg, key=lambda n: (last.get(n, 0), idx[n]))
+    return {n: reg[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
