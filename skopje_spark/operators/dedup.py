@@ -330,35 +330,91 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
 
 
+def _storage_rdd_ids(sc) -> set[int]:
+    """IDs of RDDs currently holding storage (cached or checkpointed)."""
+    return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Free storage for specific RDD ids (used to drop a superseded
+    ``localCheckpoint`` generation — ``DataFrame.unpersist`` does not
+    reach checkpoint blocks). Best-effort: if the private bridge is
+    unavailable the blocks are left to the context cleaner."""
+    if not ids:
+        return
+    try:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in ids:
+                kv._2().unpersist(False)
+    except Exception:  # pragma: no cover - cleaner fallback
+        pass
+
+
+def _checkpoint_generation(df: DataFrame, prev_ids: set[int]) -> tuple[DataFrame, set[int]]:
+    """Materialize ``df`` into a fresh ``localCheckpoint`` generation,
+    then free the storage of the previous generation. Returns the
+    checkpointed frame (whose plan is a flat scan — lineage truncated)
+    and the RDD ids backing it."""
+    sc = df.sparkSession.sparkContext
+    before = _storage_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    mine = _storage_rdd_ids(sc) - before
+    _unpersist_rdd_ids(sc, prev_ids)
+    return out, mine
+
+
 def neardup_clusters(
     pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 20, algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (doc_id,
     cluster_id) with cluster_id = min doc id in the component — the
     canonical-representative assignment that turns pairwise candidates
     into dedup groups.
 
-    Algorithm: iterative min-label propagation (each node adopts the
-    smallest label among itself and its neighbors) until a fixpoint,
-    bounded by ``max_iterations``. Each round is one shuffle (neighbor
-    min) + one join; rounds needed = graph diameter, and near-dup
-    graphs are shallow (dups of dups of X are dups of X). At true
-    100 TB component scale switch to the large-star/small-star
-    alternation (Kiveris et al.), which contracts diameter
-    logarithmically with the same join/agg primitives.
+    ``algorithm="label"``: iterative min-label propagation (each node
+    adopts the smallest label among itself and its neighbors) until a
+    fixpoint, bounded by ``max_iterations``. Each round is one shuffle
+    (neighbor min) + one join; rounds needed = graph diameter — right
+    for the shallow graphs near-dup candidates produce (dups of dups
+    of X are dups of X).
+
+    ``algorithm="star"``: large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond"), which
+    contracts long paths logarithmically — O(log² n) rounds on any
+    graph — the 100 TB path for deep or adversarial dup graphs.
+
+    Scale notes: every iteration ends in an eager ``localCheckpoint``
+    that truncates lineage (otherwise the logical plan doubles per
+    round and Catalyst analysis itself becomes the bottleneck) and the
+    previous generation's storage is freed, so peak footprint is two
+    label tables regardless of round count. The final generation stays
+    checkpointed until the session drops it — one table, bounded. On a
+    multi-executor cluster prefer reliable ``checkpoint()`` (HDFS) if
+    executor loss mid-loop must be survivable.
     """
+    if algorithm == "star":
+        return _neardup_clusters_star(pairs, id_a=id_a, id_b=id_b,
+                                      max_iterations=max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r} (label|star)")
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    # undirected: propagate both ways
+    # undirected: propagate both ways; checkpoint once so the (possibly
+    # expensive) upstream pair generator runs a single time, not once
+    # per iteration
     adj = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    adj, adj_ids = _checkpoint_generation(adj, set())
     labels = (
         adj.select(F.col("src").alias("id")).distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    gen_ids: set[int] = set()
     for _ in range(max_iterations):
         neighbor_min = (
             adj.join(labels, adj.dst == labels.id)
@@ -375,10 +431,102 @@ def neardup_clusters(
                 (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
             )
         )
-        # one small action per round decides convergence — the count
-        # runs on the aggregated boolean, not the data
+        # eager checkpoint: one materialization per round; the
+        # convergence probe below reads the checkpointed data, not the
+        # full lineage
+        updated, gen_ids = _checkpoint_generation(updated, gen_ids)
         n_changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
+    if gen_ids:
+        # labels now scans its own checkpoint generation; the adjacency
+        # checkpoint is no longer reachable from it
+        _unpersist_rdd_ids(adj.sparkSession.sparkContext, adj_ids)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _neardup_clusters_star(
+    pairs: DataFrame, *, id_a: str, id_b: str, max_iterations: int,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.).
+
+    Each round rewires edges toward component minimums:
+
+    - **large-star** (per node u): every neighbor v > u is re-pointed
+      at m = min(N(u) ∪ {u}) — long tails collapse toward small ids;
+    - **small-star** (per node u over its ≤-neighbors): u and every
+      smaller neighbor are re-pointed at the local minimum.
+
+    The edge set converges to a star forest — every non-root node holds
+    exactly the edge (node, component-min). Both steps are one
+    groupBy-min + one join (no ``collect_set``, so high-degree hubs
+    never materialize an adjacency list on one task), and each round is
+    checkpointed like the label loop. Rounds needed: O(log² n) on any
+    graph vs. O(diameter) for min-label — use this for deep chains.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    nodes, node_ids = _checkpoint_generation(nodes, set())
+    # canonical orientation big→small, self-loops dropped
+    edges = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+        F.least(F.col(id_a), F.col(id_b)).alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    edges, gen_ids = _checkpoint_generation(edges, set())
+    prev_sig = None
+    for _ in range(max_iterations):
+        # --- large-star: over the symmetric adjacency ---
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # --- small-star: over the big→small orientation ---
+        o_mins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        sm = F.least(F.col("mn"), F.col("u"))
+        small = (
+            large.join(o_mins, "u")
+            .select(
+                F.array(
+                    F.struct(F.col("v").alias("a"), sm.alias("b")),
+                    F.struct(F.col("u").alias("a"), sm.alias("b")),
+                ).alias("pairs2")
+            )
+            .select(F.explode("pairs2").alias("p"))
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest(F.col("u"), F.col("v")).alias("u"),
+                F.least(F.col("u"), F.col("v")).alias("v"),
+            )
+            .distinct()
+        )
+        edges, gen_ids = _checkpoint_generation(small, gen_ids)
+        # convergence: edge multiset unchanged (count + order-free hash)
+        sig_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("u", "v").cast("bigint")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = (
+        nodes.join(edges, nodes.id == edges.u, "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("v"), F.col("id")).alias("cluster_id"),
+        )
+    )
+    # materialize the answer, then free everything intermediate; the
+    # one final (doc_id, cluster_id) generation is what the caller reads
+    labels, _ = _checkpoint_generation(labels, node_ids | gen_ids)
+    return labels

@@ -76,6 +76,56 @@ def chunk_text(
     )
 
 
+_PREFIX_SUM_RESERVED = ("__pid", "__local", "__base")
+
+
+def _range_bucket_bounds(
+    df: DataFrame, order_col: str, n_parts: int, per_part: int = 32
+) -> list:
+    """Sample ``order_col`` once on the driver and cut the sample into
+    ``n_parts - 1`` ascending split points. The bounds are collected a
+    single time and baked into the downstream plan as **literals**, so
+    every pass over the data assigns the same bucket to the same row —
+    the cross-pass consistency that ``repartitionByRange`` (which
+    re-samples per job) could only provide by persisting the frame.
+
+    Cost: one count + one sampled scan of the single order column —
+    both column-pruned at the source."""
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    target = n_parts * per_part
+    fraction = min(1.0, target / cnt)
+    sample = [
+        r[0]
+        for r in df.select(order_col).sample(False, fraction, seed=42).collect()
+        if r[0] is not None
+    ]
+    if not sample:
+        sample = [
+            r[0] for r in df.select(order_col).limit(target).collect()
+            if r[0] is not None
+        ]
+    sample.sort()
+    bounds: list = []
+    for i in range(1, n_parts):
+        cand = sample[min(i * len(sample) // n_parts, len(sample) - 1)]
+        if not bounds or cand > bounds[-1]:
+            bounds.append(cand)
+    return bounds
+
+
+def _bucket_of(col: Column, bounds: list) -> Column:
+    """Bucket index = number of split points <= value (nulls → bucket
+    0, matching NULLS FIRST sort order). A chained sum of comparisons
+    stays in whole-stage codegen; for thousands of buckets swap in a
+    binary search over an array literal."""
+    expr: Column = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(col >= F.lit(b), 1).otherwise(0)
+    return expr.cast("int")
+
+
 def global_prefix_sum(
     df: DataFrame,
     *,
@@ -90,36 +140,27 @@ def global_prefix_sum(
     Returns the input columns plus ``out_col`` = sum of all weights
     strictly before the row. Equivalent to
     ``sum(w).over(Window.orderBy(order_col).rowsBetween(unboundedPreceding, -1))``
-    but scalable: see module docstring for the two-pass plan."""
-    import pandas as pd
+    but scalable. The bucket id is a **deterministic function of the
+    row** (broadcast literal bounds, see :func:`_range_bucket_bounds`),
+    so the per-bucket totals pass and the per-row cumsum pass agree
+    without persisting anything — no cached state survives this call,
+    and nothing the size of the data is ever held in executor storage
+    (the previous design persisted the full frame, which is a
+    non-starter at 100 TB)."""
+    clash = [c for c in _PREFIX_SUM_RESERVED if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum reserves column names {clash}; rename them first"
+        )
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    bounds = _range_bucket_bounds(df, order_col, n_parts)
+    keyed = df.withColumn("__pid", _bucket_of(F.col(order_col), bounds))
 
-    fields = ranged.schema.fields
-    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
-    out_schema += f", `__local` bigint"
-
-    def local_cumsum(batches):
-        running = 0
-        for pdf in batches:
-            w = pdf[weight_col].fillna(0).astype("int64")
-            local = w.cumsum() - w + running  # exclusive, carried across batches
-            running += int(w.sum())
-            pdf = pdf.copy()
-            pdf["__local"] = local
-            yield pdf
-
-    local = ranged.mapInPandas(local_cumsum, schema=out_schema)
-    # one action over a persisted frame so both consumers see the same
-    # partitioning decision
-    local = local.persist()
+    # pass 1: per-bucket totals → exclusive base offsets (n_parts rows;
+    # map-side partial agg, column-pruned scan of order+weight only)
     totals = (
-        local.groupBy("__pid")
+        keyed.groupBy("__pid")
         .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("tot"))
         .collect()
     )
@@ -129,14 +170,41 @@ def global_prefix_sum(
         base[row["__pid"]] = acc
         acc += int(row["tot"] or 0)
     base_df = df.sparkSession.createDataFrame(
-        [(int(p), int(b)) for p, b in base.items()], "__pid int, __base bigint"
+        [(int(p), int(b)) for p, b in base.items()] or [(0, 0)],
+        "__pid int, __base bigint",
     )
-    out = (
+
+    # pass 2: co-locate each bucket (hash on __pid — a bucket must land
+    # whole in one partition for the per-bucket carry to be exact; range
+    # repartition could split it), sort within, one streaming cumsum
+    # sweep per bucket (carry kept across Arrow batches)
+    ranged = keyed.repartition(n_parts, F.col("__pid")).sortWithinPartitions(
+        "__pid", order_col
+    )
+
+    fields = ranged.schema.fields
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+    out_schema += ", `__local` bigint"
+
+    def local_cumsum(batches):
+        carry: dict = {}
+        for pdf in batches:
+            w = pdf[weight_col].fillna(0).astype("int64")
+            pids = pdf["__pid"]
+            local = w.groupby(pids).cumsum() - w
+            local = local + pids.map(lambda p: carry.get(p, 0)).astype("int64")
+            for p, s in w.groupby(pids).sum().items():
+                carry[p] = carry.get(p, 0) + int(s)
+            pdf = pdf.copy()
+            pdf["__local"] = local
+            yield pdf
+
+    local = ranged.mapInPandas(local_cumsum, schema=out_schema)
+    return (
         local.join(F.broadcast(base_df), "__pid")
         .withColumn(out_col, F.col("__base") + F.col("__local"))
         .drop("__pid", "__base", "__local")
     )
-    return out
 
 
 def pack_concat_chunk(

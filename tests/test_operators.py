@@ -396,3 +396,75 @@ def test_winnow_fingerprints_edit_robust(spark):
     overlap = len(s1 & s2) / len(s1 | s2)
     assert overlap > 0.5  # most fingerprints survive the edit
     assert s1 != s2       # but the edit is detectable
+
+
+def test_neardup_clusters_star_matches_label(spark):
+    """Large-star/small-star reaches the same fixpoint as min-label
+    propagation on assorted graph shapes."""
+    import random
+
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    random.seed(23)
+    edges = set()
+    # several random components over disjoint id ranges
+    for lo in (0, 100, 200):
+        ids = list(range(lo, lo + 30))
+        for _ in range(40):
+            edges.add((random.choice(ids), random.choice(ids)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a bigint, id_b bigint")
+    by_label = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, algorithm="label", max_iterations=60).collect()
+    }
+    by_star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, algorithm="star").collect()
+    }
+    assert by_star == by_label
+
+
+def test_neardup_clusters_star_deep_chain_bounded(spark):
+    """A 60-node path graph: min-label would need 60 diameter rounds;
+    the star alternation contracts it in O(log n) checkpointed rounds
+    (pre-checkpoint lineage growth made this shape hang)."""
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, algorithm="star", max_iterations=12).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_neardup_clusters_label_deep_chain_checkpointed(spark):
+    """min-label on a 25-deep path completes in bounded time: each round
+    is checkpointed so the plan stays flat instead of doubling 25x."""
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, max_iterations=30).collect()
+    }
+    assert got == {i: 0 for i in range(26)}
+
+
+def test_neardup_clusters_frees_intermediate_generations(spark):
+    """At most the final label generation stays in storage after the
+    loop — superseded checkpoints are unpersisted as they are replaced."""
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    neardup_clusters(pairs).collect()
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    assert len(after - before) <= 1

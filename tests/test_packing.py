@@ -121,3 +121,40 @@ def test_deterministic_shuffle_properties(spark):
         r.n for r in a.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes == [125, 125, 125, 125]
+
+
+def test_global_prefix_sum_leaves_no_cached_state(spark):
+    """The two-pass prefix sum must not leak persisted/cached RDDs into
+    executor storage (it previously persisted the full frame)."""
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    df = spark.createDataFrame([(i, i % 7) for i in range(300)], "id long, w long")
+    global_prefix_sum(df, order_col="id", weight_col="w").collect()
+    after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    assert after - before == set()
+
+
+def test_global_prefix_sum_rejects_reserved_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "id long, w long, __pid int")
+    with pytest.raises(ValueError, match="__pid"):
+        global_prefix_sum(df, order_col="id", weight_col="w")
+
+
+def test_global_prefix_sum_string_order_key(spark):
+    """String order keys (the deterministic-shuffle path) bucket and
+    sum identically to the single-task window."""
+    rows = [(f"{(i * 37) % 101:03d}-{i}", 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, w long").repartition(7)
+    got = global_prefix_sum(df, order_col="k", weight_col="w", out_col="off")
+    naive = df.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("w").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    assert sorted(got.collect()) == sorted(naive.collect())
