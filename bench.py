@@ -41,6 +41,11 @@ HEADLINE = [
     "q_similarity_topk_bruteforce",
     "q_similarity_blocked_pairs",
     "q_text_quality",
+    # iterative / two-pass operators (driver-actioned inside the query:
+    # checkpointed clustering rounds, prefix-sum passes)
+    "q_dedup_clusters",
+    "q_pack_sequences",
+    "q_shuffle_deterministic",
 ]
 
 

@@ -92,22 +92,63 @@ def decode_media_batch(payloads: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_media_real(payloads: pd.Series) -> pd.DataFrame:  # pragma: no cover
-    """Real codec entry point — intentionally unimplemented here."""
-    raise NotImplementedError(
-        "media codecs (PIL/ffmpeg) are not available in this environment; "
-        "swap decode_media_batch for this function when they are"
-    )
+def _pil():  # pragma: no cover - container has no codecs
+    """Feature-detect a real image codec once per process."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
 
 
-def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+HAVE_CODECS = _pil() is not None
+
+
+def decode_media_real(payloads: pd.Series) -> pd.DataFrame:
+    """Real codec decode: PIL when available (width/height from the
+    actual image header, n_frames from the container), otherwise
+    raises — callers choose it via ``decode_media(real=True)``, which
+    feature-checks first."""
+    Image = _pil()
+    if Image is None:  # pragma: no cover - exercised only with codecs
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this environment; "
+            "decode_media(real=False) uses the deterministic stub kernel"
+        )
+    import io  # pragma: no cover - below runs only with codecs installed
+
+    def one(b):
+        with Image.open(io.BytesIO(bytes(b))) as im:
+            return len(b), im.width, im.height, getattr(im, "n_frames", 1)
+
+    rows = [one(b) for b in payloads]
+    return pd.DataFrame(
+        rows, columns=["byte_len", "width", "height", "n_frames"]
+    ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id",
+                 real: bool | None = None) -> DataFrame:
     """Arrow-batched decode over ``mapInPandas``: batches stream
     through Python with zero row-at-a-time overhead; output schema is
-    fixed (DECODED_SCHEMA) so downstream plans stay columnar."""
+    fixed (DECODED_SCHEMA) so downstream plans stay columnar.
+
+    ``real=None`` auto-selects: the PIL kernel when codecs exist in
+    the environment, the deterministic stub otherwise. Forcing
+    ``real=True`` without codecs raises up front (on the driver), not
+    per-task on executors."""
+    if real is None:
+        real = HAVE_CODECS
+    if real and _pil() is None:
+        raise NotImplementedError(
+            "decode_media(real=True) requires PIL, which is not installed"
+        )
+    kernel = decode_media_real if real else decode_media_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = decode_media_batch(pdf["payload"])
+            out = kernel(pdf["payload"])
             out.insert(0, "doc_id", pdf[id_col].astype("int64").values)
             yield out[[f.name for f in DECODED_SCHEMA.fields]]
 

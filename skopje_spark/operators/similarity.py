@@ -237,6 +237,86 @@ def ivf_centroids(
     )
 
 
+def _centroid_literal(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment as a pure narrow map.
+
+    The centroid table is driver-side (k × dim doubles — a few KB) and
+    is baked into the plan as literals, so assignment is whole-stage
+    codegen over the corpus: no join, no shuffle, no UDF. Ties break to
+    the lowest cell id (``array_position`` finds the first maximum).
+    At very large k (≥ ~256) switch to a pandas-UDF matmul against a
+    broadcast centroid matrix instead of a k-term expression.
+    """
+    scores = F.array(
+        *[cosine(F.col(vec_col), _centroid_literal(c)) for c in centroids]
+    )
+    return embeddings.withColumn(
+        out_col,
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+    )
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd k-means coarse quantizer: ``iters`` assign/update rounds,
+    returning (embeddings + ``cell`` assignment column, final centroid
+    list). This replaces label-as-cell for IVF: cells follow the
+    actual vector geometry, so probing few cells still captures the
+    query's true neighbors.
+
+    Per round: assignment is a narrow codegen map (broadcast-literal
+    centroids, :func:`kmeans_assign`); the update is one posexplode +
+    (cell, pos) mean shuffle — the same associative partial-agg shape
+    at any scale. Seeds are the k vectors with the smallest
+    ``xxhash64(id)``: deterministic, reproducible, order-independent.
+    """
+    seeds = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in row[vec_col]] for row in seeds]
+    if not centroids:
+        raise ValueError("kmeans_cells: empty input")
+    for _ in range(iters):
+        assigned = kmeans_assign(embeddings, centroids, vec_col=vec_col)
+        means = (
+            assigned.select(
+                F.col("cell"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        # empty cells keep their previous centroid (standard Lloyd fix)
+        centroids = [
+            [pos_map[p] for p in sorted(pos_map)] if (pos_map := by_cell.get(i)) else c
+            for i, c in enumerate(centroids)
+        ]
+    return kmeans_assign(embeddings, centroids, vec_col=vec_col), centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_df: DataFrame,
@@ -261,9 +341,13 @@ def ivf_topk(
         .select("cell", cosine(F.col("centroid"), F.col("__qvec")).alias("c"))
         .orderBy(F.desc("c"))
         .limit(n_probe)
-        .select("cell")
+        # distinct name so the semi-join condition can't collide with a
+        # corpus column also called "cell" (the k-means path)
+        .select(F.col("cell").alias("__probe_cell"))
     )
     candidates = embeddings.join(
-        F.broadcast(probe), embeddings[cell_col] == F.col("cell"), "left_semi"
+        F.broadcast(probe),
+        embeddings[cell_col] == F.col("__probe_cell"),
+        "left_semi",
     )
     return cosine_topk(candidates, query_df, id_col=id_col, vec_col=vec_col, k=k)

@@ -91,6 +91,28 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_similarity_ivf_kmeans", oracle=None, tags=("similarity", "ivf", "kmeans", "ann"))
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over a true k-means coarse quantizer (3 Lloyd
+    rounds, 8 cells, deterministic seeds) instead of label-as-cell:
+    cells follow vector geometry, so 3 probed cells capture most real
+    neighbors (recall floor asserted in tests/test_operators.py).
+
+    No oracle: the quantizer is iterative (not SQL-expressible);
+    rows-only here, quantitative recall-vs-bruteforce in the unit
+    suite.
+    """
+    from skopje_spark.operators.similarity import kmeans_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_cells(e, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+    q = assigned.orderBy("vec_id").limit(1)
+    return ivf_topk(
+        assigned, q, id_col="vec_id", vec_col="embedding", cell_col="cell",
+        n_probe=3, k=10,
+    )
+
+
 @register("q_similarity_lsh_buckets", oracle=None, tags=("similarity", "lsh"))
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (8 planes → 256 buckets).

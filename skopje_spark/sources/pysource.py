@@ -85,25 +85,96 @@ def _split_urls(raw: str) -> list[str]:
     return [u.strip() for u in seps.split(",") if u.strip()]
 
 
-def _compile_filter(f: Filter):
+# Spark does NOT re-apply filters accepted by pushFilters, so an
+# absorbed predicate must evaluate with exactly Spark's semantics.
+# Two guards make that true:
+#  1. only absorb filters over columns of JSON-primitive declared types
+#     whose literal is itself a JSON-native primitive — a DateType /
+#     DecimalType / TimestampType literal arrives as a Python
+#     date/Decimal and would compare (or crash) against raw JSON
+#     strings/numbers;
+#  2. coerce each record through the declared schema BEFORE applying
+#     predicates (and before yielding), so predicates always see the
+#     value Spark itself would see.
+_JSON_PRIMITIVE_SPARK_TYPES = (
+    # simpleString() names: LongType -> "bigint", IntegerType -> "int", …
+    "string", "bigint", "int", "smallint", "tinyint", "double", "float", "boolean",
+)
+
+
+def _coerce_primitive(value, type_name: str):
+    """Lenient JSON→declared-type coercion (mirrors spark.read.json:
+    unconvertible values become NULL, never an executor crash)."""
+    if value is None:
+        return None
+    if type_name == "string":
+        return value if isinstance(value, str) else json.dumps(value)
+    if type_name == "boolean":
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str) and value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        return None
+    if type_name in ("bigint", "int", "smallint", "tinyint"):
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float):
+            return int(value)
+        if isinstance(value, str):
+            try:
+                return int(float(value)) if "." in value else int(value)
+            except ValueError:
+                return None
+        return None
+    if type_name in ("double", "float"):
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, (int, float)):
+            return float(value)
+        if isinstance(value, str):
+            try:
+                return float(value)
+            except ValueError:
+                return None
+        return None
+    return value
+
+
+def _compile_filter(f: Filter, coercible_cols: dict[str, str]):
     """Translate a pushed-down Catalyst filter into a row predicate.
-    Returns None for shapes we don't handle (Spark re-applies those)."""
+    Returns None for shapes we don't handle (Spark re-applies those).
+    Predicates run on schema-coerced records, so a comparison can never
+    see a type Spark itself would not produce for the column."""
     attr = getattr(f, "attribute", None)  # composite filters (Not/…) have none
     col = attr[0] if attr is not None and len(attr) == 1 else None
-    if col is None:
+    if col is None or col not in coercible_cols:
+        return None
+    if isinstance(f, IsNotNull):
+        return lambda r: r.get(col) is not None
+    value = getattr(f, "value", None)
+    if isinstance(value, bool):
+        literal_ok = isinstance(f, EqualTo)  # no ordering on booleans
+    else:
+        literal_ok = isinstance(value, (str, int, float))
+    if not literal_ok:
         return None
     if isinstance(f, EqualTo):
         return lambda r: r.get(col) == f.value
+    same_family = (
+        (lambda v: isinstance(v, str))
+        if isinstance(value, str)
+        else (lambda v: isinstance(v, (int, float)) and not isinstance(v, bool))
+    )
     if isinstance(f, GreaterThan):
-        return lambda r: r.get(col) is not None and r[col] > f.value
+        return lambda r: r.get(col) is not None and same_family(r[col]) and r[col] > f.value
     if isinstance(f, GreaterThanOrEqual):
-        return lambda r: r.get(col) is not None and r[col] >= f.value
+        return lambda r: r.get(col) is not None and same_family(r[col]) and r[col] >= f.value
     if isinstance(f, LessThan):
-        return lambda r: r.get(col) is not None and r[col] < f.value
+        return lambda r: r.get(col) is not None and same_family(r[col]) and r[col] < f.value
     if isinstance(f, LessThanOrEqual):
-        return lambda r: r.get(col) is not None and r[col] <= f.value
-    if isinstance(f, IsNotNull):
-        return lambda r: r.get(col) is not None
+        return lambda r: r.get(col) is not None and same_family(r[col]) and r[col] <= f.value
     return None
 
 
@@ -123,9 +194,16 @@ class RestJsonReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept the filters we can evaluate during the fetch; yield
         back the rest for Spark to apply. Filtering here means rejected
-        rows are dropped before Arrow serialization to the JVM."""
+        rows are dropped before Arrow serialization to the JVM. Only
+        filters over JSON-primitive columns with JSON-native literals
+        are absorbed — everything else goes back to Spark."""
+        coercible = {
+            fld.name: fld.dataType.simpleString()
+            for fld in self.schema.fields
+            if fld.dataType.simpleString() in _JSON_PRIMITIVE_SPARK_TYPES
+        }
         for f in filters:
-            pred = _compile_filter(f)
+            pred = _compile_filter(f, coercible)
             if pred is not None:
                 self.predicates.append(pred)
             else:
@@ -142,12 +220,17 @@ class RestJsonReader(DataSourceReader):
         if self.records_field is not None and isinstance(data, dict):
             data = data[self.records_field]
         rows = data if isinstance(data, list) else [data]
-        names = self.schema.fieldNames()
+        fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
         for rec in rows:
             if not isinstance(rec, dict):
-                rec = {names[0]: rec}
-            if all(p(rec) for p in self.predicates):
-                yield tuple(rec.get(n) for n in names)
+                rec = {fields[0][0]: rec}
+            # coerce FIRST: predicates and output both see declared types
+            coerced = {
+                name: _coerce_primitive(rec.get(name), tname)
+                for name, tname in fields
+            }
+            if all(p(coerced) for p in self.predicates):
+                yield tuple(coerced[name] for name, _ in fields)
 
 
 class RestJsonDataSource(DataSource):
@@ -276,29 +359,62 @@ class NdjsonWriter(DataSourceWriter):
         return _StagedFile(staged=staged, final=os.path.join(self.path, name),
                            rows=n)
 
+    def _sweep_staging(self) -> None:
+        """Remove every staged file, not just message-listed ones —
+        failed or speculative task attempts stage files that never get
+        a commit message and would otherwise leak forever."""
+        staging = os.path.join(self.path, "_staging")
+        if not os.path.isdir(staging):
+            return
+        for name in os.listdir(staging):
+            try:
+                os.remove(os.path.join(staging, name))
+            except OSError:
+                pass
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass
+
     def commit(self, messages: list[_StagedFile]) -> None:
         # driver side: all partitions succeeded — publish atomically-ish
         # (rename per file + manifest last). The all-or-nothing contract
         # of the reference's single-transaction insert
         # (/root/reference/src/load/pg.rs:60-81).
+        manifest_path = os.path.join(self.path, "_MANIFEST")
+        prior_files: list[str] = []
+        prior_rows = 0
         if self.overwrite:
             for old in os.listdir(self.path):
                 if old.endswith(".ndjson"):
                     os.remove(os.path.join(self.path, old))
+        else:
+            # append: the new manifest must keep describing every file
+            # from earlier commits, not just this batch's
+            try:
+                with open(manifest_path) as f:
+                    prior = json.load(f)
+                prior_files = list(prior.get("files", []))
+                prior_rows = int(prior.get("rows", 0))
+            except (OSError, ValueError):
+                pass
         for m in messages:
             os.replace(m.staged, m.final)
         manifest = {
-            "files": sorted(os.path.basename(m.final) for m in messages),
-            "rows": sum(m.rows for m in messages),
+            "files": sorted(
+                set(prior_files) | {os.path.basename(m.final) for m in messages}
+            ),
+            "rows": prior_rows + sum(m.rows for m in messages),
         }
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump(manifest, f)
+        self._sweep_staging()  # leftovers from speculative attempts
 
     def abort(self, messages: list[_StagedFile]) -> None:
-        # any partition failed — drop staged output; nothing published
-        for m in messages:
-            if m is not None and os.path.exists(m.staged):
-                os.remove(m.staged)
+        # any partition failed — drop ALL staged output (including files
+        # from attempts that produced no commit message); nothing
+        # published
+        self._sweep_staging()
 
 
 class NdjsonSinkDataSource(DataSource):

@@ -468,3 +468,148 @@ def test_neardup_clusters_frees_intermediate_generations(spark):
     neardup_clusters(pairs).collect()
     after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     assert len(after - before) <= 1
+
+
+# --- quantitative accuracy floors (no query is "rows >= 0"-verified) --
+
+def test_ivf_kmeans_recall_beats_label_quantizer(spark):
+    """On clustered data a true k-means quantizer recovers the cluster
+    structure: probing 2/8 cells keeps >= 90% of the exact top-10,
+    while geometry-blind label cells lose most of it. (The random
+    embeddings fixture has no cluster structure, so this contract is
+    only testable on data that does.)"""
+    import random
+
+    from skopje_spark.operators.similarity import kmeans_cells
+
+    random.seed(31)
+    dim, per = 32, 30
+    centers = [
+        [random.gauss(0, 1) for _ in range(dim)] for _ in range(8)
+    ]
+    rows = []
+    for c, center in enumerate(centers):
+        for j in range(per):
+            vec = [x + random.gauss(0, 0.05) for x in center]
+            vid = c * per + j
+            rows.append((vid, vec, vid % 8))  # label uncorrelated w/ geometry
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    q = e.orderBy("vec_id").limit(1)
+    exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+
+    assigned, cents = kmeans_cells(e, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+    qa = assigned.orderBy("vec_id").limit(1)
+    got_kmeans = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, qa, cell_col="cell", n_probe=2, k=10).collect()
+    }
+    got_label = {
+        r["vec_id"]
+        for r in ivf_topk(e, q, cell_col="label", n_probe=2, k=10).collect()
+    }
+    recall_kmeans = len(got_kmeans & exact) / 10
+    recall_label = len(got_label & exact) / 10
+    assert len(cents) == 8
+    assert recall_kmeans >= 0.9
+    assert recall_kmeans > recall_label
+
+
+def test_lsh_bucket_recall_on_near_duplicates(spark):
+    """Vectors with cosine ~1 must collide: tiny perturbations of a
+    base vector land in the same bucket >= 90% of the time, while
+    random vector pairs are spread across many buckets."""
+    import math
+    import random
+
+    from skopje_spark.operators.similarity import rh_lsh_buckets
+
+    random.seed(5)
+    dim = 64
+    rows = []
+    for i in range(60):
+        base = [random.gauss(0, 1) for _ in range(dim)]
+        near = [x + random.gauss(0, 1e-4) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, near))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = {
+        r["vec_id"]: r["lsh_bucket"]
+        for r in rh_lsh_buckets(df, n_planes=8, dim=dim).collect()
+    }
+    same = sum(1 for i in range(60) if b[2 * i] == b[2 * i + 1])
+    assert same >= 54  # >= 90% near-dup pair collision
+    assert len(set(b.values())) >= 8  # corpus spreads over many buckets
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate is within 3x the configured rsd of the exact
+    distinct count (not merely 'returns rows')."""
+    from skopje_spark.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rows = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.06 * r["exact"])
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """approx_percentile ranks land within the configured accuracy's
+    rank tolerance of the exact percentiles."""
+    from skopje_spark.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    vals = sorted(r["l_extendedprice"] for r in l.select("l_extendedprice").collect())
+    n = len(vals)
+    got = l.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("p")
+    ).collect()[0]["p"]
+    for pct, g in zip((0.5, 0.95, 0.99), got):
+        # rank error bound: accuracy=10000 -> within n/10000 ranks
+        lo = vals[max(0, int(pct * n) - max(2, n // 10000) - 1)]
+        hi = vals[min(n - 1, int(pct * n) + max(2, n // 10000) + 1)]
+        assert lo <= g <= hi
+
+
+def test_decode_media_real_codec_feature_gate(spark):
+    """With codecs installed the real PIL kernel decodes true
+    dimensions; without, the stub path still works and forcing
+    real=True fails fast on the driver. Skipped-not-failed either way."""
+    from skopje_spark.operators.multimodal import (
+        HAVE_CODECS,
+        attach_payload,
+        decode_media,
+    )
+
+    d = spark.createDataFrame([(1, "abc" * 10)], "doc_id bigint, text string")
+    m = attach_payload(d, "text")
+    # auto mode always works: stub here, PIL where codecs exist
+    rows = decode_media(m).collect()
+    assert rows[0]["byte_len"] == 30
+
+    if not HAVE_CODECS:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            decode_media(m, real=True)
+        _pytest.skip("no media codecs in this container; real path gated off")
+
+    # real-codec branch (runs only where PIL exists): decode a 1x1 PNG
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    png = spark.createDataFrame([(7, bytearray(buf.getvalue()))],
+                                "doc_id bigint, payload binary")
+    out = decode_media(png, real=True).collect()[0]
+    assert (out["width"], out["height"]) == (3, 2)

@@ -146,8 +146,8 @@ def test_ndjson_sink_two_phase_commit(spark, tmp_path):
 
     manifest = json.load(open(os.path.join(out, "_MANIFEST")))
     assert manifest["rows"] == 10
-    # staged dir holds no leftovers; all published files in manifest
-    assert os.listdir(os.path.join(out, "_staging")) == []
+    # staged dir fully swept (commit removes it); manifest lists all files
+    assert not os.path.isdir(os.path.join(out, "_staging"))
     published = sorted(f for f in os.listdir(out) if f.endswith(".ndjson"))
     assert published == manifest["files"]
     back = [
@@ -222,3 +222,78 @@ def test_feed_stream_end_to_end(spark, tmp_path):
     got = spark.read.json(out)
     assert got.count() == 8
     assert sorted(r.id for r in got.collect()) == list(range(8))
+
+
+def test_ndjson_sink_append_merges_manifest(spark, tmp_path):
+    """A second append commit keeps earlier files in the manifest."""
+    register_all(spark)
+    out = str(tmp_path / "sink_merge")
+    os.makedirs(out)
+    for lo in (0, 10):
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(lo, lo + 10)], "id long, name string"
+        )
+        df.repartition(2).write.format("skopje_ndjson").option("path", out).mode(
+            "append"
+        ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    published = sorted(f for f in os.listdir(out) if f.endswith(".ndjson"))
+    assert manifest["rows"] == 20
+    assert manifest["files"] == published  # both batches described
+    back = [
+        json.loads(line)
+        for f in published
+        for line in open(os.path.join(out, f))
+    ]
+    assert sorted(r["id"] for r in back) == list(range(20))
+
+
+def test_ndjson_abort_sweeps_unlisted_staged_files(tmp_path):
+    """abort() removes staged files from attempts that never produced a
+    commit message (failed/speculative tasks)."""
+    from pyspark.sql.types import StructType
+
+    from skopje_spark.sources.pysource import NdjsonWriter
+
+    out = str(tmp_path / "sink_abort")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-orphan.ndjson"), "w") as f:
+        f.write('{"id": 1}\n')
+    w = NdjsonWriter(StructType.fromDDL("id long"), {"path": out}, overwrite=False)
+    w.abort([])  # no commit messages at all
+    assert not os.path.isdir(staging)
+
+
+def test_rest_reader_coerces_before_filtering():
+    """Pushed filters evaluate on schema-coerced values, so a JSON
+    string '15' in a long column passes `score > 10` instead of
+    crashing or silently dropping; non-JSON-primitive literals are
+    never absorbed."""
+    import datetime
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id long, score long, name string")
+    r = RestJsonReader(schema, {"urls": "http://x/unused"})
+    leftover = list(r.pushFilters([GreaterThan(("score",), 10)]))
+    assert leftover == [] and len(r.predicates) == 1
+
+    from skopje_spark.sources.pysource import _coerce_primitive
+
+    rec = {
+        n: _coerce_primitive(v, t)
+        for (n, v), t in zip(
+            {"id": 1, "score": "15", "name": 7}.items(), ("bigint", "bigint", "string")
+        )
+    }
+    assert rec == {"id": 1, "score": 15, "name": "7"}
+    assert r.predicates[0](rec)
+    # unparseable numeric -> NULL -> filtered out, matching Spark's cast
+    assert _coerce_primitive("abc", "bigint") is None
+
+    # a date literal is not JSON-native: the filter must be yielded back
+    r2 = RestJsonReader(schema, {"urls": "http://x/unused"})
+    back = list(r2.pushFilters([EqualTo(("name",), datetime.date(2024, 1, 1))]))
+    assert len(back) == 1 and r2.predicates == []
