@@ -1,0 +1,154 @@
+"""Bloom-filter membership pre-filtering for dedup-against-a-corpus.
+
+The training-data shape: drop from a huge ``train`` table every row
+whose key already exists in a ``seen`` corpus (previous crawl, another
+shard, a benchmark set). A plain ``left_anti`` join shuffles the full
+train side on the key. A Bloom filter of the seen keys turns that into:
+
+1. build a fixed-size bitmap of the seen keys — one narrow scan, one
+   small bitmap per partition OR-merged on the driver (no shuffle;
+   bitmap size is a constant independent of data volume);
+2. broadcast the bitmap; rows whose key is *definitely absent*
+   (any probe bit unset) pass through with **zero** join work — at a
+   1% false-positive rate that is ~99% of the novel rows;
+3. only the "maybe present" sliver (true dupes + fpp of the novel
+   rows) goes through the exact anti-join for confirmation.
+
+The result is EXACTLY equal to the plain anti-join — the filter is an
+accelerator, not an approximation — so the operator is fully
+oracle-checkable (``q_dedup_bloom_anti``).
+
+Determinism: probe positions come from sha256 slices (cross-engine
+reproducible, like every hash in :mod:`skopje_spark.operators.dedup`);
+swap for xxhash64 when only Spark must agree. Positions are computed
+JVM-side in whole-stage codegen; only the vectorized bitmap probe runs
+in a pandas UDF over the broadcast bitmap.
+
+Reference parity: the reference dedupes by primary-key conflict inside
+Postgres (`ON CONFLICT DO NOTHING`, /root/reference/src/load/pg.rs:76);
+at lake scale the membership sketch replaces the unique index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_BITS = 1 << 20
+DEFAULT_K = 5
+
+
+def _bit_positions(col: Column, *, num_bits: int, k: int) -> list[Column]:
+    """k deterministic probe positions per value: independent sha256
+    slices (salted per probe) mod num_bits, all JVM-side codegen."""
+    out = []
+    for i in range(k):
+        h = F.sha2(F.concat(col.cast("string"), F.lit(f"#bloom{i}")), 256)
+        # 15 hex chars = 60 bits, safely inside bigint
+        out.append(
+            F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+                   F.lit(num_bits))
+        )
+    return out
+
+
+def build_bloom(
+    seen: DataFrame,
+    key: str | Column,
+    *,
+    num_bits: int = DEFAULT_NUM_BITS,
+    k: int = DEFAULT_K,
+):
+    """Bitmap of the seen keys as a numpy uint8 array (num_bits/8
+    bytes). One narrow pass: each partition folds its keys into a local
+    bitmap (``mapInPandas``), the driver ORs the per-partition bitmaps.
+    No shuffle; driver traffic = num_partitions × bitmap_size. At very
+    high partition counts coalesce the projection first or tree-reduce.
+
+    Size num_bits for the target false-positive rate:
+    fpp ≈ (1 - e^(-k·n/m))^k — e.g. m=2^20, k=5 holds ~1e5 keys at
+    fpp < 1%."""
+    import numpy as np
+    import pandas as pd
+
+    keyc = F.col(key) if isinstance(key, str) else key
+    nbytes = num_bits // 8
+    prj = seen.select(
+        F.array(*_bit_positions(keyc, num_bits=num_bits, k=k)).alias("__pos")
+    )
+
+    def to_bitmap(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            for ps in pdf["__pos"]:
+                a = np.asarray(ps, dtype=np.int64)
+                np.bitwise_or.at(bm, a >> 3, (1 << (a & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in prj.mapInPandas(to_bitmap, "bm binary").collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out
+
+
+def might_contain(
+    df: DataFrame,
+    bitmap,
+    key: str | Column,
+    *,
+    num_bits: int = DEFAULT_NUM_BITS,
+    k: int = DEFAULT_K,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Adds a boolean ``out_col``: False = key definitely not in the
+    seen corpus (no false negatives); True = present or a false
+    positive. Probe positions are JVM-computed; the pandas UDF only
+    indexes the broadcast bitmap (vectorized per row)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    keyc = F.col(key) if isinstance(key, str) else key
+    b = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    def probe(pos_series):
+        import pandas as pd
+
+        bm = np.frombuffer(b.value, dtype=np.uint8)
+
+        def one(ps):
+            a = np.asarray(ps, dtype=np.int64)
+            return bool(np.all((bm[a >> 3] >> (a & 7)) & 1))
+
+        return pd.Series([one(ps) for ps in pos_series])
+
+    mc = pandas_udf(probe, "boolean")
+    return df.withColumn(
+        out_col, mc(F.array(*_bit_positions(keyc, num_bits=num_bits, k=k)))
+    )
+
+
+def bloom_anti_join(
+    train: DataFrame,
+    seen: DataFrame,
+    *,
+    train_key: str = "key",
+    seen_key: str | None = None,
+    num_bits: int = DEFAULT_NUM_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Rows of ``train`` whose key does NOT appear in ``seen`` —
+    bit-identical to ``train.join(seen, key, "left_anti")``, but only
+    the bloom-positive sliver reaches the join. Definite negatives
+    (the overwhelming majority of novel rows) never shuffle."""
+    seen_key = seen_key or train_key
+    bm = build_bloom(seen, seen_key, num_bits=num_bits, k=k)
+    flagged = might_contain(
+        train, bm, train_key, num_bits=num_bits, k=k, out_col="__maybe"
+    )
+    definite = flagged.filter(~F.col("__maybe"))
+    confirm = flagged.filter(F.col("__maybe")).join(
+        seen.select(F.col(seen_key).alias(train_key)).distinct(),
+        on=train_key,
+        how="left_anti",
+    )
+    return definite.unionByName(confirm).drop("__maybe")

@@ -280,6 +280,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_clusters_star",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0
+             THEN -(FLOOR((-(list_cosine_similarity(a.v, b.v))) * 1000000.0 + 0.5) / 1000000.0)
+             ELSE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.4
+    ),
+    adj AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM adj),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT a.src, re.r FROM adj a JOIN reach re ON a.dst = re.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+    tags=("dedup", "clusters", "iterative", "star"),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixpoint as q_dedup_clusters, computed with the
+    large-star/small-star alternation (Kiveris et al.) — the O(log² n)
+    100 TB path for deep dup graphs — against the identical
+    recursive-CTE oracle. Three genuinely different algorithms
+    (min-label, star, recursive CTE) must all agree."""
+    from skopje_spark.operators.dedup import neardup_clusters
+    from skopje_spark.operators.similarity import blocked_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+    )
+    return neardup_clusters(pairs, algorithm="star").orderBy("doc_id")
+
+
+@register(
     "q_dedup_jaccard_dfcut",
     oracle=r"""
     WITH toks AS (
@@ -322,3 +366,40 @@ def q_dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_ngram_jaccard, max_df=20."""
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=20)
+
+
+@register(
+    "q_dedup_bloom_anti",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+      FROM documents
+    ),
+    seen AS (SELECT k FROM keyed WHERE doc_id % 5 = 0)
+    SELECT doc_id FROM keyed t
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.k = t.k)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "bloom", "membership"),
+)
+def q_dedup_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-against-a-corpus via Bloom pre-filter: drop every document
+    whose normalized-text hash appears in the 'seen' corpus (here: the
+    doc_id %% 5 == 0 slice). Bit-identical to a plain left_anti join —
+    the bloom bitmap only routes definite-novel rows around the join
+    (operators/bloom.py) — so the DuckDB NOT EXISTS oracle matches
+    exactly, false positives and all."""
+    from skopje_spark.operators.bloom import bloom_anti_join
+    from skopje_spark.operators.dedup import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("__key")
+    )
+    seen = keyed.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select("__key")
+    return (
+        bloom_anti_join(keyed, seen, train_key="__key")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

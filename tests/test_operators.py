@@ -613,3 +613,40 @@ def test_decode_media_real_codec_feature_gate(spark):
                                 "doc_id bigint, payload binary")
     out = decode_media(png, real=True).collect()[0]
     assert (out["width"], out["height"]) == (3, 2)
+
+
+# --- bloom membership ------------------------------------------------
+
+def test_bloom_anti_join_equals_exact_anti_join(spark):
+    """The bloom path must be an accelerator, not an approximation:
+    result set identical to the plain left_anti join (false positives
+    are confirmed away; no false negatives exist by construction)."""
+    import random
+
+    from skopje_spark.operators.bloom import bloom_anti_join
+
+    random.seed(17)
+    train = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(400)], "id long, key string"
+    )
+    seen_ids = random.sample(range(400), 150) + [10_000 + i for i in range(50)]
+    seen = spark.createDataFrame(
+        [(f"key-{i}",) for i in seen_ids], "key string"
+    )
+    got = {r["id"] for r in bloom_anti_join(train, seen, train_key="key").collect()}
+    exact = {r["id"] for r in train.join(seen, "key", "left_anti").collect()}
+    assert got == exact
+
+
+def test_bloom_no_false_negatives_and_low_fpp(spark):
+    """Every seen key probes True; fresh keys probe True at well under
+    the configured fpp envelope (m=2^20, k=5, n=500 -> fpp ~ 1e-10)."""
+    from skopje_spark.operators.bloom import build_bloom, might_contain
+
+    seen = spark.createDataFrame([(f"s{i}",) for i in range(500)], "key string")
+    fresh = spark.createDataFrame([(f"f{i}",) for i in range(500)], "key string")
+    bm = build_bloom(seen, "key")
+    hits_seen = might_contain(seen, bm, "key").filter("might_contain").count()
+    hits_fresh = might_contain(fresh, bm, "key").filter("might_contain").count()
+    assert hits_seen == 500      # no false negatives, ever
+    assert hits_fresh <= 5       # ~0 expected at this m/n
