@@ -32,6 +32,8 @@ plus an O(num_partitions) driver step.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,16 +82,17 @@ _PREFIX_SUM_RESERVED = ("__pid", "__local", "__base")
 
 
 def _range_bucket_bounds(
-    df: DataFrame, order_col: str, n_parts: int, per_part: int = 32
-) -> list:
-    """Sample ``order_col`` once on the driver and cut the sample into
-    ``n_parts - 1`` ascending split points. The bounds are collected a
-    single time and baked into the downstream plan as **literals**, so
-    every pass over the data assigns the same bucket to the same row —
-    the cross-pass consistency that ``repartitionByRange`` (which
-    re-samples per job) could only provide by persisting the frame.
+    df: DataFrame, order_cols: list[str], n_parts: int, per_part: int = 32
+) -> list[tuple]:
+    """Sample the order key(s) once on the driver and cut the sample
+    into ``n_parts - 1`` ascending split tuples. The bounds are
+    collected a single time and baked into the downstream plan as
+    **literals**, so every pass over the data assigns the same bucket
+    to the same row — the cross-pass consistency that
+    ``repartitionByRange`` (which re-samples per job) could only
+    provide by persisting the frame.
 
-    Cost: one count + one sampled scan of the single order column —
+    Cost: one count + one sampled scan of just the order columns —
     both column-pruned at the source."""
     cnt = df.count()
     if cnt == 0:
@@ -97,17 +100,17 @@ def _range_bucket_bounds(
     target = n_parts * per_part
     fraction = min(1.0, target / cnt)
     sample = [
-        r[0]
-        for r in df.select(order_col).sample(False, fraction, seed=42).collect()
-        if r[0] is not None
+        tuple(r)
+        for r in df.select(*order_cols).sample(False, fraction, seed=42).collect()
+        if all(v is not None for v in r)
     ]
     if not sample:
         sample = [
-            r[0] for r in df.select(order_col).limit(target).collect()
-            if r[0] is not None
+            tuple(r) for r in df.select(*order_cols).limit(target).collect()
+            if all(v is not None for v in r)
         ]
     sample.sort()
-    bounds: list = []
+    bounds: list[tuple] = []
     for i in range(1, n_parts):
         cand = sample[min(i * len(sample) // n_parts, len(sample) - 1)]
         if not bounds or cand > bounds[-1]:
@@ -115,47 +118,62 @@ def _range_bucket_bounds(
     return bounds
 
 
-def _bucket_of(col: Column, bounds: list) -> Column:
-    """Bucket index = number of split points <= value (nulls → bucket
-    0, matching NULLS FIRST sort order). A chained sum of comparisons
-    stays in whole-stage codegen; for thousands of buckets swap in a
-    binary search over an array literal."""
+def _bucket_of(cols: list[Column], bounds: list[tuple]) -> Column:
+    """Bucket index = number of split tuples lexicographically <= the
+    row's order key (all-null keys → bucket 0, matching NULLS FIRST
+    sort order). A chained sum of comparisons stays in whole-stage
+    codegen; for thousands of buckets swap in a binary search over an
+    array literal."""
     expr: Column = F.lit(0)
     for b in bounds:
-        expr = expr + F.when(col >= F.lit(b), 1).otherwise(0)
+        # lexicographic (c1,c2,…) >= (b1,b2,…), built right-to-left
+        ge = cols[-1] >= F.lit(b[-1])
+        for c, lit in zip(reversed(cols[:-1]), reversed(b[:-1])):
+            ge = (c > F.lit(lit)) | ((c == F.lit(lit)) & ge)
+        expr = expr + F.when(ge, 1).otherwise(0)
     return expr.cast("int")
 
 
 def global_prefix_sum(
     df: DataFrame,
     *,
-    order_col: str,
+    order_col: str | Sequence[str],
     weight_col: str,
     out_col: str = "offset",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` over the global
-    ``order_col`` order, without a single-task global window.
+    ``order_col`` order (a single column or a lexicographic list of
+    columns, e.g. ``["score", "doc_id"]`` for deterministic
+    tie-breaking), without a single-task global window.
 
     Returns the input columns plus ``out_col`` = sum of all weights
     strictly before the row. Equivalent to
-    ``sum(w).over(Window.orderBy(order_col).rowsBetween(unboundedPreceding, -1))``
+    ``sum(w).over(Window.orderBy(*order).rowsBetween(unboundedPreceding, -1))``
     but scalable. The bucket id is a **deterministic function of the
     row** (broadcast literal bounds, see :func:`_range_bucket_bounds`),
     so the per-bucket totals pass and the per-row cumsum pass agree
     without persisting anything — no cached state survives this call,
     and nothing the size of the data is ever held in executor storage
     (the previous design persisted the full frame, which is a
-    non-starter at 100 TB)."""
+    non-starter at 100 TB).
+
+    When multiple order columns are given, secondary columns must be
+    non-null on rows where earlier columns tie (null secondaries would
+    make the literal-bounds bucketing disagree with NULLS FIRST sort
+    order at bucket edges)."""
     clash = [c for c in _PREFIX_SUM_RESERVED if c in df.columns]
     if clash:
         raise ValueError(
             f"global_prefix_sum reserves column names {clash}; rename them first"
         )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    bounds = _range_bucket_bounds(df, order_col, n_parts)
-    keyed = df.withColumn("__pid", _bucket_of(F.col(order_col), bounds))
+    bounds = _range_bucket_bounds(df, order_cols, n_parts)
+    keyed = df.withColumn(
+        "__pid", _bucket_of([F.col(c) for c in order_cols], bounds)
+    )
 
     # pass 1: per-bucket totals → exclusive base offsets (n_parts rows;
     # map-side partial agg, column-pruned scan of order+weight only)
@@ -179,7 +197,7 @@ def global_prefix_sum(
     # repartition could split it), sort within, one streaming cumsum
     # sweep per bucket (carry kept across Arrow batches)
     ranged = keyed.repartition(n_parts, F.col("__pid")).sortWithinPartitions(
-        "__pid", order_col
+        "__pid", *order_cols
     )
 
     fields = ranged.schema.fields

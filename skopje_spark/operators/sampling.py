@@ -117,3 +117,37 @@ def mixture_sample(
         float(default_rate)
     )
     return df.filter(bucket < rate * F.lit(MOD))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    n: int,
+    *,
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row scores u^(1/w) with u ∈ (0,1]
+    derived from the Knuth hash of its key — not ``rand()`` — and the
+    top-n scores win. P(selected) is proportional to weight in the
+    without-replacement sense, and the same corpus always yields the
+    same sample (the property dataset versioning needs; the mixture
+    analog of :func:`mixture_sample` when quotas are row counts, not
+    rates — e.g. "sample 1M docs weighted by quality score").
+
+    Scale: the score is a narrow codegen map; top-n is
+    TakeOrderedAndProject (per-partition heaps) — no global sort, no
+    shuffle of the corpus. Rows with weight <= 0 never win.
+
+    The stored score is ln(u)/w — the same ordering as u^(1/w) (ln is
+    monotone) with far better float behavior for tiny u, and a single
+    libm call both Spark and the DuckDB oracle reproduce."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_bucket(key_col) + F.lit(1.0)) / F.lit(float(MOD + 1))
+    return (
+        df.filter(w > 0)
+        .withColumn(score_col, F.log(u) / w.cast("double"))
+        .orderBy(F.desc(score_col), F.asc(key_col))
+        .limit(n)
+    )

@@ -318,3 +318,65 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             ln(((doc_id * {KNUTH}) % {MOD} + 1) / ({MOD} + 1.0)) / length(text) AS sc
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id FROM s ORDER BY sc DESC, doc_id LIMIT 100
+    """,
+    tags=("sample", "weighted", "llm-pipeline"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 100 documents, weight = text
+    length (operators/sampling.py:weighted_sample — Efraimidis-Spirakis
+    with hash-derived randomness, so both engines select the identical
+    set). Narrow score map + TakeOrderedAndProject; no corpus shuffle."""
+    from skopje_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(d, "doc_id", F.length("text"), 100)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(length(text) AS BIGINT) AS text_len, doc_id,
+             ROW_NUMBER() OVER (ORDER BY length(text), doc_id) - 1 AS rk,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN rk < ((n // 8) + 1) * (n % 8)
+                THEN rk // ((n // 8) + 1)
+                ELSE (n % 8) + (rk - ((n // 8) + 1) * (n % 8)) // GREATEST(n // 8, 1)
+                END AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(text_len) AS min_text_len,
+           MAX(text_len) AS max_text_len
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "histogram", "llm-pipeline"),
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency histogram of document lengths, 8 buckets
+    (operators/stats.py:equidepth_histogram). The oracle's single-task
+    NTILE-style window is exactly what the operator avoids: the same
+    integer bucket arithmetic rides the scalable two-pass prefix sum,
+    with ties broken by doc_id in both engines."""
+    from skopje_spark.operators.stats import equidepth_histogram
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.length("text").cast("bigint").alias("text_len"), "doc_id"
+    )
+    return equidepth_histogram(d, "text_len", "doc_id", n_buckets=8)

@@ -158,3 +158,69 @@ def test_global_prefix_sum_string_order_key(spark):
         ),
     )
     assert sorted(got.collect()) == sorted(naive.collect())
+
+
+def test_global_prefix_sum_composite_order_key(spark):
+    """Multi-column (value, id) order: exclusive prefix sum matches the
+    single-task window with the same lexicographic ordering."""
+    import random as _r
+
+    _r.seed(3)
+    rows = [(i, _r.randint(0, 9), _r.randint(1, 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long, w long").repartition(9)
+    got = global_prefix_sum(df, order_col=["v", "id"], weight_col="w", out_col="off")
+    naive = df.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("w").over(
+                Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    assert sorted(got.collect()) == sorted(naive.collect())
+
+
+def test_equidepth_histogram_matches_ntile(spark):
+    """Bucket sizes differ by at most 1, tile the whole input, and
+    agree with the single-task NTILE reference."""
+    import random as _r
+
+    from skopje_spark.operators.stats import equidepth_histogram
+
+    _r.seed(9)
+    rows = [(i, _r.randint(0, 50)) for i in range(203)]
+    df = spark.createDataFrame(rows, "doc_id long, text_len long")
+    got = equidepth_histogram(df, "text_len", "doc_id", n_buckets=8).collect()
+    sizes = [r["n_rows"] for r in sorted(got, key=lambda r: r["bucket"])]
+    assert sum(sizes) == 203
+    assert max(sizes) - min(sizes) <= 1
+    ref = (
+        df.withColumn("b", F.ntile(8).over(Window.orderBy("text_len", "doc_id")))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("text_len").alias("mn"),
+             F.max("text_len").alias("mx"))
+        .collect()
+    )
+    ref_by = {r["b"] - 1: (r["n"], r["mn"], r["mx"]) for r in ref}
+    got_by = {r["bucket"]: (r["n_rows"], r["min_text_len"], r["max_text_len"])
+              for r in got}
+    assert got_by == ref_by
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    """Same input -> same sample; heavier rows are sampled more often
+    (aggregate check over disjoint weight tiers)."""
+    from skopje_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 80).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", 80).collect())
+    assert a == b  # reproducible
+    heavy = sum(1 for i in a if i % 10 == 0)
+    # 100 heavy rows with 100x weight: expect they dominate the sample
+    assert heavy >= 50
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "id long, w long")
+    assert [r["id"] for r in weighted_sample(df2, "id", "w", 10).collect()] == [3]
