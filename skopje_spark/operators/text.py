@@ -314,3 +314,34 @@ def repetition_features(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+def frequent_ngrams(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, top_k: int = 20
+) -> DataFrame:
+    """Corpus-wide heavy hitters over word n-grams: the standard
+    boilerplate / template detector (headers, footers, licence blocks
+    surface as n-grams with anomalously high document frequency).
+    Output: ``(ngram, n_docs, n_occ)`` — top ``top_k`` by document
+    frequency, total order (n_docs desc, n_occ desc, ngram asc) so the
+    cut is deterministic.
+
+    Scale: one groupBy on the gram (map-side partial agg collapses
+    each partition to its local gram counts before the shuffle), then
+    top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps, no global sort). The shuffle key is gram TEXT here for
+    oracle transparency; at 100 TB group on the 60-bit shingle hash
+    (operators/dedup.py:shingle_hashes) and join the top-k hashes back
+    to text — the count pass then shuffles 8-byte longs."""
+    from skopje_spark.operators.dedup import _shingles_raw
+
+    sh = _shingles_raw(df, id_col, text_col, n)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("ngram"))
+        .limit(top_k)
+    )

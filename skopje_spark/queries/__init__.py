@@ -72,6 +72,7 @@ def load_all() -> dict[str, QueryDef]:
         llm_pipeline,
         llm_similarity,
         llm_text,
+        profiling,
         relational,
         relational_extra,
         scalars,

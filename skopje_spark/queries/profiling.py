@@ -1,0 +1,68 @@
+"""Corpus profiling queries: dataset-card column statistics and
+boilerplate (frequent n-gram) detection.
+
+The reference moves tables whole (`/root/reference/src/etl.rs:14-28`)
+and never inspects content; these queries add the intake-side
+profiling passes a 100 TB corpus needs before any curation decision:
+what's in each column, and which templated text dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from skopje_spark.operators.profile import profile_columns, profile_columns_sql
+from skopje_spark.operators.text import frequent_ngrams
+from skopje_spark.queries import register
+from skopje_spark.tables import load_table
+
+_DOC_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+@register(
+    "q_profile_columns",
+    oracle=profile_columns_sql("documents", _DOC_COLS),
+    tags=("profile", "stats", "llm-pipeline"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset-card profile of every documents column: null
+    rate, exact distinct count, native-typed min/max (cast to string
+    after the aggregate), mean value width
+    (operators/profile.py:profile_columns). Single agg + one-row
+    reshape; the oracle is GENERATED from the same column list, so the
+    two sides agree by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return profile_columns(d, _DOC_COLS)
+
+
+@register(
+    "q_ngram_boilerplate",
+    oracle="""
+    WITH tokarr AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS ngram
+      FROM tokarr,
+           UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1) ELSE [] END) AS u(i)
+    )
+    SELECT ngram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM sh
+    GROUP BY ngram
+    ORDER BY n_docs DESC, n_occ DESC, ngram
+    LIMIT 20
+    """,
+    tags=("profile", "text", "boilerplate", "llm-pipeline"),
+)
+def q_ngram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word 3-grams by document frequency — the boilerplate /
+    template detector (operators/text.py:frequent_ngrams). Map-side
+    partial agg on the gram, TakeOrderedAndProject top-k; the cut is a
+    total order (n_docs, n_occ, ngram) so both engines pick the
+    identical 20 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return frequent_ngrams(d, "doc_id", "text", n=3, top_k=20)
