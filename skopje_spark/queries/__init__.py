@@ -66,6 +66,7 @@ def load_all() -> dict[str, QueryDef]:
         cdc_scd,
         joins,
         keymap_demo,
+        layout,
         llm_dedup,
         llm_multimodal,
         llm_packing,
