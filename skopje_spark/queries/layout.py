@@ -80,3 +80,44 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zcell")
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           SUM(l_quantity) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("layout", "bucketing", "join"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join through BUCKETED storage
+    (sinks/bucketed.py): orders and lineitem are first written
+    hash-bucketed on orderkey, then joined bucket-to-bucket with zero
+    exchanges (the write-side shuffle is paid once; every later join
+    on the key is shuffle-free — the plan shape is pinned in
+    tests/test_bucketed.py). Result identical to the plain join, which
+    is exactly what the oracle checks."""
+    from skopje_spark.sinks.bucketed import bucketed_join, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "q_bkt_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "q_bkt_lineitem",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    return (
+        bucketed_join(spark, "q_bkt_orders", "q_bkt_lineitem", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

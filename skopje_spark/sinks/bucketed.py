@@ -1,0 +1,58 @@
+"""Bucketed tables: pre-shuffled storage for shuffle-free joins.
+
+The reference's Postgres load side relies on the database's own
+indexes for join locality (`/root/reference/src/load/pg.rs:1-40`); the
+lakehouse equivalent is HASH BUCKETING: write each table pre-hashed on
+its join key into N buckets, and every later equi-join or aggregation
+on that key reads co-located buckets with NO exchange at all. At
+100 TB this turns the recurring fact⋈fact join from the pipeline's
+dominant shuffle (both sides, every run) into a zero-shuffle local
+merge — the write-side shuffle is paid ONCE.
+
+Spark only honors bucket metadata through the catalog
+(``saveAsTable``), not path-based ``parquet(path)`` writes; tables
+land in ``spark.sql.warehouse.dir``. Keep ``n_buckets`` aligned
+between tables meant to join (matching bucket counts join
+bucket-to-bucket; mismatched counts fall back to a shuffle on one
+side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key_col: str,
+    *,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a catalog table hash-bucketed (and by default
+    sorted) on ``key_col``. Sorting within buckets lets a later
+    sort-merge join skip its sort when each bucket holds one file —
+    the join becomes a pure streaming merge of pre-sorted runs."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key_col)
+    if sort:
+        w = w.sortBy(key_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two co-bucketed catalog tables on their bucket key.
+
+    The ``merge`` hint pins sort-merge (a broadcast would hide the
+    bucketing evidence); with both sides bucketed to the same count on
+    ``key_col`` the physical plan contains ZERO Exchange operators —
+    asserted in tests/test_bucketed.py via plans.num_shuffles."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, on=key_col, how=how)
