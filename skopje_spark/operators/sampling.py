@@ -151,3 +151,48 @@ def weighted_sample(
         .orderBy(F.desc(score_col), F.asc(key_col))
         .limit(n)
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    budgets: dict[str, int],
+    *,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Fill a per-group WEIGHT BUDGET (e.g. "30 B tokens of code, 70 B
+    of web") deterministically: within each group, rows are taken in
+    Knuth-hash order of their key until the next row would overflow
+    the group's budget. Same corpus → same selection, and quotas are
+    exact to the last whole row (take-while, no probabilistic rates —
+    the row-count analog of :func:`mixture_sample`).
+
+    Scale: the within-group running total does NOT use a
+    ``Window.partitionBy(group)`` — with a handful of sources that is
+    one task per source, each streaming a corpus-sized partition.
+    Instead the composite-key two-pass prefix sum
+    (operators/packing.py:global_prefix_sum over (group, hash, key))
+    computes the global running total, and each group's base offset
+    (min over ~|groups| rows) is broadcast-subtracted — every stage
+    range-partitions across the full cluster regardless of how few
+    groups there are."""
+    from skopje_spark.operators.packing import global_prefix_sum
+
+    d = df.withColumn("__u", hash_bucket(key_col))
+    ps = global_prefix_sum(
+        d,
+        order_col=[group_col, "__u", key_col],
+        weight_col=weight_col,
+        out_col="__cum",
+    )
+    base = ps.groupBy(group_col).agg(F.min("__cum").alias("__base"))
+    budget = F.lit(int(default_budget))
+    for g, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == g, int(b)).otherwise(budget)
+    return (
+        ps.join(F.broadcast(base), group_col)
+        .filter(F.col("__cum") - F.col("__base") + F.col(weight_col) <= budget)
+        .drop("__u", "__cum", "__base")
+    )

@@ -380,3 +380,51 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("text_len"), "doc_id"
     )
     return equidepth_histogram(d, "text_len", "doc_id", n_buckets=8)
+
+
+_BUDGETS = {"src0": 3000, "src1": 5000}
+_BUDGET_DEFAULT = 2000
+
+
+@register(
+    "q_sample_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             (doc_id * {KNUTH}) % {MOD} AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT *, COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY u, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM s
+    )
+    SELECT doc_id, source, n_chars FROM c
+    WHERE cum + n_chars <= (CASE WHEN source = 'src0' THEN 3000
+                                 WHEN source = 'src1' THEN 5000
+                                 ELSE 2000 END)
+    ORDER BY doc_id
+    """,
+    tags=("sample", "budget", "llm-pipeline"),
+)
+def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-budget fill
+    (operators/sampling.py:budget_sample): docs are taken in
+    deterministic hash order until each source's budget would
+    overflow (src0 3k chars, src1 5k, others 2k — swap n_chars for a
+    token count to make it a token budget). The oracle's per-group
+    window is what the operator replaces with the range-partitioned
+    prefix sum, so quotas stay exact with any number of groups on any
+    cluster width."""
+    from skopje_spark.operators.sampling import budget_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        budget_sample(
+            d, "source", "n_chars", "doc_id", _BUDGETS,
+            default_budget=_BUDGET_DEFAULT,
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -89,3 +89,38 @@ def test_redact_pii_spans(spark):
     out = df.select("expect", redact_pii(F.col("text")).alias("got")).collect()
     for r in out:
         assert r["got"] == r["expect"], (r["got"], r["expect"])
+
+
+def test_budget_sample_exact_takewhile(spark):
+    """Each group's taken weight is maximal without overflowing the
+    budget under the fixed hash order, and the result is reproducible."""
+    from skopje_spark.operators.sampling import budget_sample, hash_bucket
+
+    rows = [(i, "a" if i % 2 else "b", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    budgets = {"a": 150, "b": 80}
+    got = budget_sample(df, "grp", "w", "id", budgets).collect()
+    again = budget_sample(df, "grp", "w", "id", budgets).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    # python reference: take-while in (hash, id) order per group
+    KNUTH, MOD = 2654435761, 4294967296
+    want = []
+    by_grp = {}
+    for i, g, w in rows:
+        by_grp.setdefault(g, []).append((((i * KNUTH) % MOD), i, w))
+    for g, items in by_grp.items():
+        items.sort()
+        cum = 0
+        for _, i, w in items:
+            if cum + w <= budgets[g]:
+                want.append((i, g, w))
+                cum += w
+            # NOT break: smaller later rows may still fit? No — take-while
+            # semantics stop at first overflow; mirror the operator:
+            else:
+                break
+    assert sorted(t[0] for t in got) == sorted(t[0] for t in want)
+    for g in budgets:
+        tot = sum(w for i, gg, w in want if gg == g)
+        assert tot <= budgets[g]
