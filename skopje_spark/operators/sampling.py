@@ -194,5 +194,5 @@ def budget_sample(
     return (
         ps.join(F.broadcast(base), group_col)
         .filter(F.col("__cum") - F.col("__base") + F.col(weight_col) <= budget)
-        .drop("__u", "__cum", "__base")
+        .select(*df.columns)
     )

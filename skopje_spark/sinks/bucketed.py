@@ -19,7 +19,28 @@ side).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_table_and_orphan(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode="overwrite")`` idempotent across driver
+    sessions.  A fresh session has an empty in-memory metastore, so
+    ``overwrite`` can't see — and refuses to replace — a managed-table
+    directory left in ``spark.sql.warehouse.dir`` by a previous session
+    (LOCATION_ALREADY_EXISTS).  Drop the catalog entry if present, then
+    remove any orphaned location on disk."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if warehouse.startswith(prefix):
+            warehouse = warehouse[len(prefix):]
+            break
+    loc = Path(warehouse) / table.split(".")[-1].lower()
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -34,6 +55,7 @@ def write_bucketed(
     sorted) on ``key_col``. Sorting within buckets lets a later
     sort-merge join skip its sort when each bucket holds one file —
     the join becomes a pure streaming merge of pre-sorted runs."""
+    _drop_table_and_orphan(df.sparkSession, table)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key_col)
     if sort:
         w = w.sortBy(key_col)
