@@ -72,7 +72,7 @@ def build_bloom(
     import pandas as pd
 
     keyc = F.col(key) if isinstance(key, str) else key
-    nbytes = num_bits // 8
+    nbytes = (num_bits + 7) // 8  # round up: probes reach bit num_bits-1
     prj = seen.select(
         F.array(*_bit_positions(keyc, num_bits=num_bits, k=k)).alias("__pos")
     )
@@ -108,6 +108,11 @@ def might_contain(
     from pyspark.sql.functions import pandas_udf
 
     keyc = F.col(key) if isinstance(key, str) else key
+    if len(bitmap) < (num_bits + 7) // 8:
+        raise ValueError(
+            f"bitmap has {len(bitmap)} bytes; num_bits={num_bits} needs "
+            f"{(num_bits + 7) // 8} — build and probe must agree on num_bits"
+        )
     b = df.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 
     def probe(pos_series):

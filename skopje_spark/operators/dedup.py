@@ -331,8 +331,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def _storage_rdd_ids(sc) -> set[int]:
-    """IDs of RDDs currently holding storage (cached or checkpointed)."""
-    return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    """IDs of RDDs currently holding storage (cached or checkpointed).
+    Best-effort like :func:`_unpersist_rdd_ids`: on runtimes without the
+    private JVM bridge (Spark Connect) return empty and leave cleanup to
+    the context cleaner."""
+    try:
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    except Exception:  # pragma: no cover - connect/bridge-less runtime
+        return set()
 
 
 def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
@@ -519,8 +525,14 @@ def _neardup_clusters_star(
         if sig == prev_sig:
             break
         prev_sig = sig
+    # collapse to one edge per node before labeling: if the loop hit
+    # max_iterations (or the cheap signature collided and stopped early)
+    # a node may still hold several edges — min(v) degrades to one
+    # (possibly non-minimal) label per node, like the label path,
+    # instead of emitting duplicate doc_id rows
+    roots = edges.groupBy("u").agg(F.min("v").alias("v"))
     labels = (
-        nodes.join(edges, nodes.id == edges.u, "left")
+        nodes.join(roots, nodes.id == roots.u, "left")
         .select(
             F.col("id").alias("doc_id"),
             F.coalesce(F.col("v"), F.col("id")).alias("cluster_id"),

@@ -109,6 +109,8 @@ def _range_bucket_bounds(
             tuple(r) for r in df.select(*order_cols).limit(target).collect()
             if all(v is not None for v in r)
         ]
+    if not sample:  # every order key null → single bucket
+        return []
     sample.sort()
     bounds: list[tuple] = []
     for i in range(1, n_parts):

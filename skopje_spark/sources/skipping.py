@@ -122,6 +122,9 @@ def zorder_col(
     scale = (1 << bits) - 1
     cells = []
     for c, (lo, hi) in zip(cols, ranges):
+        if lo is None or hi is None:  # all-null column: constant cell 0
+            cells.append(F.lit(0).cast("long"))
+            continue
         span = max(int(hi) - int(lo), 1)
         cell = F.floor(((c - F.lit(int(lo))) * F.lit(scale)) / F.lit(span)).cast(
             "long"

@@ -650,3 +650,45 @@ def test_bloom_no_false_negatives_and_low_fpp(spark):
     hits_fresh = might_contain(fresh, bm, "key").filter("might_contain").count()
     assert hits_seen == 500      # no false negatives, ever
     assert hits_fresh <= 5       # ~0 expected at this m/n
+
+
+def test_neardup_clusters_star_nonconverged_one_row_per_node(spark):
+    """Cut off before the star-forest fixpoint: every node still gets
+    exactly ONE (doc_id, cluster_id) row — the post-loop min-collapse
+    degrades to a possibly-non-minimal label, never duplicate rows."""
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    rows = neardup_clusters(pairs, algorithm="star", max_iterations=1).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == list(range(41))        # one row per node, no dupes
+    assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
+
+
+def test_bloom_non_multiple_of_8_bits(spark):
+    """num_bits that isn't a byte multiple: probes reach bit num_bits-1,
+    so the bitmap must round UP — and build/probe must agree."""
+    import pytest
+
+    from skopje_spark.operators.bloom import (
+        bloom_anti_join, build_bloom, might_contain,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(60)], "id long, key string"
+    )
+    seen = spark.createDataFrame([(f"key-{i}",) for i in range(0, 60, 3)], "key string")
+    got = {
+        r["id"]
+        for r in bloom_anti_join(
+            train, seen, train_key="key", num_bits=1021, k=3
+        ).collect()
+    }
+    exact = {r["id"] for r in train.join(seen, "key", "left_anti").collect()}
+    assert got == exact
+    # mismatched num_bits between build and probe is rejected up front
+    bm = build_bloom(seen, "key", num_bits=64)
+    with pytest.raises(ValueError):
+        might_contain(train, bm, "key", num_bits=1 << 20)

@@ -224,3 +224,19 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark):
     # zero/negative weights never selected
     df2 = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "id long, w long")
     assert [r["id"] for r in weighted_sample(df2, "id", "w", 10).collect()] == [3]
+
+
+def test_global_prefix_sum_all_null_order_key(spark):
+    """Every order key null: the bound sampler finds nothing to cut on
+    and falls back to a single bucket instead of IndexError; nulls sort
+    first so the sum is still a valid running total."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.packing import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, 2) for i in range(20)], "id long, w long"
+    ).withColumn("k", F.lit(None).cast("long"))
+    out = global_prefix_sum(df, order_col="k", weight_col="w", out_col="cum")
+    sums = sorted(r["cum"] for r in out.collect())
+    assert sums == [2 * i for i in range(20)]  # exclusive running offset

@@ -74,3 +74,18 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
 def test_column_ranges_exact(spark):
     df = spark.createDataFrame([(3, 10), (7, -2), (5, 4)], "a long, b long")
     assert column_ranges(df, ["a", "b"]) == [(3, 7), (-2, 10)]
+
+
+def test_zorder_all_null_column_defaults_to_cell_zero(spark):
+    """An all-null clustered column yields (None, None) ranges; the
+    z-value must treat it as constant cell 0 instead of int(None)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (5,), (9,)], "a long").withColumn(
+        "b", F.lit(None).cast("long")
+    )
+    ranges = column_ranges(df, ["a", "b"])
+    assert ranges[1] == (None, None)
+    z = df.select(zorder_col([F.col("a"), F.col("b")], ranges, bits=4).alias("z"))
+    vals = sorted(r["z"] for r in z.collect())
+    assert vals[0] >= 0 and len(vals) == 3
