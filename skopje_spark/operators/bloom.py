@@ -108,7 +108,11 @@ def might_contain(
     from pyspark.sql.functions import pandas_udf
 
     keyc = F.col(key) if isinstance(key, str) else key
-    if len(bitmap) < (num_bits + 7) // 8:
+    if len(bitmap) != (num_bits + 7) // 8:
+        # both directions matter: a SMALLER probe range over a larger
+        # bitmap passes an index-bounds check yet maps keys to different
+        # bit positions than the build did — silent false negatives that
+        # break the no-false-negative contract of bloom_anti_join
         raise ValueError(
             f"bitmap has {len(bitmap)} bytes; num_bits={num_bits} needs "
             f"{(num_bits + 7) // 8} — build and probe must agree on num_bits"

@@ -400,6 +400,15 @@ def neardup_clusters(
     checkpointed until the session drops it — one table, bounded. On a
     multi-executor cluster prefer reliable ``checkpoint()`` (HDFS) if
     executor loss mid-loop must be survivable.
+
+    Convergence caveat: cluster ids are canonical (the true component
+    minimum) only when the loop reaches a fixpoint within
+    ``max_iterations``. If the cap cuts the loop short, every node
+    still gets exactly one row, but a deep component may surface as
+    several cluster ids (labels that are themselves relabeled nodes).
+    The star path runs one extra label-compression join after the loop
+    to collapse one remaining level; raise ``max_iterations`` for
+    adversarially deep graphs.
     """
     if algorithm == "star":
         return _neardup_clusters_star(pairs, id_a=id_a, id_b=id_b,
@@ -531,6 +540,13 @@ def _neardup_clusters_star(
     # (possibly non-minimal) label per node, like the label path,
     # instead of emitting duplicate doc_id rows
     roots = edges.groupBy("u").agg(F.min("v").alias("v"))
+    # one extra label-compression join: after an early cut a label can
+    # itself be a relabeled node — follow one parent hop (u→v→gv) so a
+    # one-level-deep residue still collapses to its component minimum
+    grand = roots.select(F.col("u").alias("v"), F.col("v").alias("gv"))
+    roots = roots.join(grand, "v", "left").select(
+        "u", F.least(F.col("v"), F.coalesce(F.col("gv"), F.col("v"))).alias("v")
+    )
     labels = (
         nodes.join(roots, nodes.id == roots.u, "left")
         .select(

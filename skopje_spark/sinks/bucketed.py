@@ -38,7 +38,18 @@ def _drop_table_and_orphan(spark: SparkSession, table: str) -> None:
         if warehouse.startswith(prefix):
             warehouse = warehouse[len(prefix):]
             break
-    loc = Path(warehouse) / table.split(".")[-1].lower()
+    parts = table.lower().split(".")
+    if len(parts) == 1:
+        loc = Path(warehouse) / parts[0]
+    elif len(parts) == 2:
+        # a qualified db.tbl managed table lives at warehouse/<db>.db/<tbl>;
+        # deriving warehouse/<tbl> would miss the real orphan AND could
+        # rmtree an unrelated default-database table with the same name
+        loc = Path(warehouse) / f"{parts[0]}.db" / parts[1]
+    else:
+        raise ValueError(
+            f"write_bucketed supports bare or db-qualified names, got {table!r}"
+        )
     if loc.exists():
         shutil.rmtree(loc, ignore_errors=True)
 
