@@ -338,8 +338,14 @@ def ivf_topk(
     q = F.broadcast(query_df.select(F.col(vec_col).alias("__qvec")))
     probe = (
         cents.crossJoin(q)
-        .select("cell", cosine(F.col("centroid"), F.col("__qvec")).alias("c"))
-        .orderBy(F.desc("c"))
+        # rank cells on the ROUNDED centroid score with the cell id as
+        # tiebreak: probe selection becomes a deterministic function of
+        # the data, reproducible across engines (the DuckDB oracle for
+        # q_similarity_ivf_topk re-derives the same probe set) and
+        # across summation orders (raw doubles differ in the last ulp
+        # between a posexplode-mean and a columnar AVG)
+        .select("cell", dround(cosine(F.col("centroid"), F.col("__qvec")), 6).alias("c"))
+        .orderBy(F.desc("c"), F.asc("cell"))
         .limit(n_probe)
         # distinct name so the semi-join condition can't collide with a
         # corpus column also called "cell" (the k-means path)

