@@ -8,6 +8,7 @@ from skopje_spark.streaming.streams import (
     parquet_stream_sink,
     rate_stream,
     run_available_now,
+    run_available_now_with_progress,
     running_totals,
     session_agg,
     sessionize_stateful,
@@ -25,6 +26,7 @@ __all__ = [
     "parquet_stream_sink",
     "rate_stream",
     "run_available_now",
+    "run_available_now_with_progress",
     "running_totals",
     "session_agg",
     "sessionize_stateful",

@@ -244,6 +244,24 @@ def run_available_now(stream_df: DataFrame, *, name: str = "result",
     return stream_df.sparkSession.table(name)
 
 
+def run_available_now_with_progress(
+    stream_df: DataFrame, *, name: str = "result", output_mode: str = "append"
+) -> tuple[DataFrame, list[dict]]:
+    """:func:`run_available_now` plus the per-micro-batch progress
+    reports (``numInputRows``, ``stateOperators[].numRowsTotal`` …) —
+    the observability hook for asserting bounded state-store growth in
+    soak tests and for production state-size dashboards. Spark retains
+    the last 100 progress updates per query (configurable via
+    ``spark.sql.streaming.numRecentProgressUpdates``)."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    progress = list(q.recentProgress)
+    return stream_df.sparkSession.table(name), progress
+
+
 def parquet_stream_sink(stream_df: DataFrame, path: str, checkpoint: str, *,
                         output_mode: str = "append",
                         available_now: bool = False):

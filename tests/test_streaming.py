@@ -167,3 +167,62 @@ def test_sessionize_stateful_closes_on_gap_across_batches(spark, tmp_path):
     s = rows[0]
     assert s["key"] == "a" and s["n_events"] == 3
     assert s["session_start"].minute == 0 and s["session_end"].minute == 15
+
+
+def test_sessionize_state_bounded_over_many_batches(spark, tmp_path):
+    """Soak: 12 micro-batches through the stateful sessionizer must
+    keep the state store at O(distinct keys) rows — state carries the
+    open session only (three scalars per key), never the event
+    history. A growing numRowsTotal here is the 100 TB streaming
+    failure mode (state ∝ volume) this operator is designed to avoid."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from skopje_spark.streaming import (
+        run_available_now_with_progress,
+        sessionize_stateful,
+    )
+
+    src = tmp_path / "src"
+    users = ["a", "b", "c", "d", "e"]
+    base = dt.datetime(2024, 1, 1)
+    n_batches = 12
+    eid = 0
+    for b in range(n_batches):
+        rows = []
+        for u in users:
+            # user e jumps 3 h at batch 6: closes its open session while
+            # everyone else's stays open — emission without state growth
+            ts = base + dt.timedelta(minutes=5 * b)
+            if u == "e" and b >= 6:
+                ts += dt.timedelta(hours=3)
+            eid += 1
+            rows.append({
+                "event_id": eid, "ts": ts.isoformat(),
+                "user_id": u, "value": 1.0,
+            })
+        _write_events(src, rows, f"b{b:02d}.json")
+    now = _time.time()
+    for b in range(n_batches):
+        t = now - (n_batches - b) * 10
+        _os.utime(src / f"b{b:02d}.json", (t, t))
+
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    out, progress = run_available_now_with_progress(
+        sessionize_stateful(stream, "user_id", "ts", gap_seconds=1800),
+        name="t_sess_soak", output_mode="append",
+    )
+
+    fed = [p for p in progress if p["numInputRows"] > 0 and p["stateOperators"]]
+    assert len(fed) >= 10, f"expected >=10 data-carrying micro-batches, got {len(fed)}"
+    for p in fed:
+        n_state = p["stateOperators"][0]["numRowsTotal"]
+        assert n_state <= len(users), (
+            f"state store grew past key cardinality: {n_state} rows "
+            f"in batch {p['batchId']}"
+        )
+    # the 3 h jump closed exactly one session; state stayed at 5 keys
+    closed = out.collect()
+    assert len(closed) == 1 and closed[0]["key"] == "e"
+    assert closed[0]["n_events"] == 6
