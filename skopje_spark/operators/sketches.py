@@ -1,0 +1,133 @@
+"""Mergeable sketch state: persistable partial aggregates for
+incremental analytics (Datasketches HLL + KLL, built into Spark 4).
+
+The 100 TB pattern these enable: compute a fixed-size sketch per
+ingestion slice (day, partition, source), PERSIST the binary sketch
+column, and answer "distinct users this quarter" / "p95 latency this
+month" by merging a few thousand kilobyte-sized states — never
+rescanning the raw data. This is the distinct/quantile analog of
+``operators/rollup.py``'s sum/count partial-state maintenance
+(reference parity: the reference delegates all aggregation to Postgres
+SQL, /root/reference/src/extract/pg.rs:12-22; sketch state is the
+Spark-native scale path for the two aggregates that don't decompose
+into sums).
+
+Determinism notes (the properties the oracle verdicts rely on):
+
+- HLL union is a per-bucket max — commutative and associative — so the
+  merged estimate is a pure function of the item *set*, independent of
+  slice boundaries and merge order.
+- KLL is RANDOMIZED by construction: compaction keeps odd or even
+  survivors on a coin flip (that randomness is what makes the rank
+  estimate unbiased), so two merges of the very same state bytes give
+  different sketches. Only the rank-error bound (~1.65% of n at 99%
+  confidence for k=200) is guaranteed. Downstream checks must
+  therefore assert rank bands (estimate between the exact elements at
+  rank (p±ε)·n with ε well above the bound), never exact or even
+  run-to-run-equal values — that is how the oracle verdict for
+  q_sketch_quantile_merge is built. :func:`kll_merge` still pins the
+  cross-slice fold order (``sort_array`` on slice id) to remove the
+  one variance source that is under our control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_state",
+    "hll_merge",
+    "hll_estimate",
+    "kll_state",
+    "kll_merge",
+    "kll_quantiles",
+]
+
+
+def hll_state(
+    df: DataFrame, keys: list[str], col: str, *, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch of ``col`` — the storable partial state.
+    One aggregation pass; the shuffle carries 2^lg_k-byte sketches,
+    not values."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({col}, {lg_k})").alias("hll_state")
+    )
+
+
+def hll_merge(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Union any number of per-slice state tables into one state per
+    key. Associative + commutative (per-bucket max), so slices can be
+    merged in any order, incrementally, across days or clusters."""
+    if not states:
+        raise ValueError("hll_merge needs at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.expr("hll_union_agg(hll_state, true)").alias("hll_state")
+    )
+
+
+def hll_estimate(state: DataFrame, *, out_col: str = "approx_distinct") -> DataFrame:
+    """Finalize: estimate distinct counts from the state."""
+    return state.withColumn(out_col, F.expr("hll_sketch_estimate(hll_state)"))
+
+
+def kll_state(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    *,
+    slice_col: str | Column | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Per-(key, slice) KLL quantile sketch of double ``col``. The
+    slice id (e.g. ingestion day) is carried alongside the sketch so
+    merges can replay in a deterministic order."""
+    cols = [F.col(c) for c in keys]
+    if slice_col is not None:
+        sl = F.col(slice_col) if isinstance(slice_col, str) else slice_col
+        cols = cols + [sl.alias("kll_slice")]
+    return (
+        df.select(*cols, F.col(col).cast("double").alias("__v"))
+        .groupBy(*[c for c in keys] + (["kll_slice"] if slice_col is not None else []))
+        .agg(F.expr(f"kll_sketch_agg_double(__v, {k})").alias("kll_state"))
+    )
+
+
+def kll_merge(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge per-slice KLL states into one per key, folding in
+    ascending ``kll_slice`` order (sort_array over (slice, sketch)
+    structs) so the cross-slice merge order never depends on task
+    scheduling. KLL compaction itself is coin-flip randomized (see
+    module docstring), so consumers assert rank bands, not exact
+    values."""
+    slices = F.sort_array(
+        F.collect_list(F.struct(F.col("kll_slice"), F.col("kll_state")))
+    )
+    merged = F.aggregate(
+        F.slice(slices, 2, F.greatest(F.size(slices) - 1, F.lit(0))),
+        F.element_at(slices, 1).getField("kll_state"),
+        lambda acc, s: F.call_function(
+            "kll_sketch_merge_double", acc, s.getField("kll_state")
+        ),
+    )
+    return state.groupBy(*keys).agg(merged.alias("kll_state"))
+
+
+def kll_quantiles(
+    state: DataFrame, probs: list[float], *, prefix: str = "p"
+) -> DataFrame:
+    """Finalize: extract quantile estimates from the merged state as
+    scalar columns (p50, p95, …)."""
+    arr = F.call_function(
+        "kll_sketch_get_quantile_double",
+        F.col("kll_state"),
+        F.array(*[F.lit(float(p)) for p in probs]),
+    )
+    out = state
+    for i, p in enumerate(probs):
+        out = out.withColumn(f"{prefix}{int(round(p * 100))}", F.get(arr, i))
+    return out.drop("kll_state")

@@ -78,6 +78,7 @@ def load_all() -> dict[str, QueryDef]:
         relational_extra,
         scalars,
         setops,
+        sketch_state,
         streaming_windows,
         subqueries,
         tpch_extra,

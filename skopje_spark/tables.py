@@ -36,21 +36,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy parquet scan).
 
-    The events table is written with parquet TIMESTAMP(NANOS), which
-    Spark only reads via the nanosAsLong legacy mode; the fixture's
-    nanos are always whole microseconds, so converting with integer
-    division to a real timestamp is lossless (and matches DuckDB's
-    native ns→µs read).
+    The events table's ``ts`` column has shipped in two physical
+    shapes across fixture generations, both normalized here to a plain
+    session-tz TIMESTAMP so every downstream query sees one type:
+
+    - TIMESTAMP(NANOS): Spark only reads it via the nanosAsLong
+      legacy mode; the fixture's nanos are whole microseconds, so
+      integer division to a real timestamp is lossless (and matches
+      DuckDB's native ns→µs read).
+    - timestamp[us] with isAdjustedToUTC=false: Spark infers
+      TIMESTAMP_NTZ, which many timestamp ops (cast to numeric,
+      window intervals vs literals) won't accept; casting NTZ →
+      TIMESTAMP keeps the wall-clock value under the UTC session
+      zone, exactly how DuckDB reads the same file.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
