@@ -357,3 +357,81 @@ def ivf_topk(
         "left_semi",
     )
     return cosine_topk(candidates, query_df, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine for a BATCH of M query vectors in one pass.
+
+    Scale shape (the reason this exists next to :func:`cosine_topk`):
+    the M queries are collected once (M is small by contract — a
+    request batch, not a table; for table-sized query sets use
+    :func:`blocked_neardup_pairs`) and closed over as a dense M×d
+    matrix. Each corpus partition scores all M queries with a single
+    BLAS matmul and keeps only its LOCAL top-k per query — correct
+    because any global top-k row is necessarily in its partition's
+    top-k. The global reduce then ranks M × partitions × k candidate
+    rows — independent of corpus size — so the corpus is never
+    shuffled and is read exactly once for all M queries, instead of
+    M times via repeated single-query calls.
+
+    Scores are rounded (dround 6) with ``id_col`` as tiebreak BEFORE
+    ranking, so the selected set is a deterministic function of the
+    data and reproducible by the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qrows = (
+        queries_df.select(qid_col, vec_col).orderBy(qid_col).collect()
+    )  # M rows — bounded by the operator contract, like k-means centroids
+    if not qrows:
+        raise ValueError("cosine_topk_batch needs at least one query vector")
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    dts = dict(embeddings.dtypes)
+    qdts = dict(queries_df.dtypes)
+    out_schema = f"{qid_col} {qdts[qid_col]}, {id_col} {dts[id_col]}, cos_sim double"
+    scale = 10.0 ** 6
+
+    def _round6(s: "np.ndarray") -> "np.ndarray":
+        # dround semantics: round-half-away-from-zero, IEEE-deterministic
+        return np.where(
+            s < 0,
+            -(np.floor((-s) * scale + 0.5) / scale),
+            np.floor(s * scale + 0.5) / scale,
+        )
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            S = _round6(Xn @ Qn.T)  # n×M, one matmul for all queries
+            ids = pdf[id_col].to_numpy()
+            for j, qid in enumerate(qids):
+                s = S[:, j]
+                take = np.lexsort((ids, -s))[:k]  # (-cos, id) total order
+                yield pd.DataFrame(
+                    {qid_col: qid, id_col: ids[take], "cos_sim": s[take]}
+                )
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(part, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -314,3 +314,42 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q_similarity_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 3
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {dround_sql('list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv)', 6)} AS cos_sim
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+    """,
+    tags=("similarity", "topk", "batch"),
+)
+def q_similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force top-5 for the 3 smallest-vec_id query
+    vectors in ONE corpus pass (operators/similarity.py:
+    cosine_topk_batch): per-partition BLAS matmul scores all queries
+    at once, local top-k per query, global rank over the
+    M×partitions×k candidates. The corpus is read once and never
+    shuffled — vs M separate scans for repeated cosine_topk calls."""
+    from skopje_spark.operators.similarity import cosine_topk_batch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_batch(
+        e, queries, id_col="vec_id", vec_col="embedding", qid_col="query_id", k=5
+    )

@@ -692,3 +692,26 @@ def test_bloom_non_multiple_of_8_bits(spark):
     bm = build_bloom(seen, "key", num_bits=64)
     with pytest.raises(ValueError):
         might_contain(train, bm, "key", num_bits=1 << 20)
+
+
+def test_cosine_topk_batch_matches_single_query_calls(spark, sf_dir):
+    """The batched one-pass top-k must equal k independent
+    single-query cosine_topk calls, per query."""
+    from skopje_spark.operators.similarity import cosine_topk, cosine_topk_batch
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in cosine_topk_batch(
+        e, queries, qid_col="query_id", k=5
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for qr in queries.collect():
+        single = cosine_topk(
+            e, e.filter(F.col("vec_id") == qr["query_id"]), k=5
+        ).collect()
+        want = [(r["vec_id"], r["cos_sim"]) for r in single]
+        assert got[qr["query_id"]] == want, qr["query_id"]
