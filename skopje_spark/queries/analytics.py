@@ -174,3 +174,40 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+@register(
+    "q_fill_forward",
+    oracle="""
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+    tags=("analytics", "window", "gapfill"),
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward): every
+    event carries the value of the user's most recent *purchase*,
+    null until the first one. `last(..., ignorenulls)` over a running
+    row frame — the standard sparse-to-dense imputation for feature
+    timelines and slowly-updating reference values.
+
+    Scale: one shuffle on user_id (shared shape with the other event
+    windows), running frame evaluated in a single pass per partition.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

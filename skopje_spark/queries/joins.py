@@ -311,3 +311,38 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew", "salted"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py:salted_join): the fact side
+    carries a random salt, the dimension side is replicated n_salts
+    times, spreading any hot orderkey across 8 shuffle partitions.
+    Row-level results are identical to a plain join — which is exactly
+    what the oracle checks by running the UNSALTED join.
+
+    Scale: the explicit remedy when one key is so hot that even AQE's
+    skew-split partitions overwhelm a task; costs n_salts extra copies
+    of the SMALL side only.
+    """
+    from skopje_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(l, o, "l_orderkey", n_salts=8)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+    )
