@@ -180,3 +180,45 @@ def test_packing_has_no_single_partition_window(spark, sf_dir):
         txt = plan_text(_df(spark, sf_dir, name))
         assert "Window" not in txt, f"{name} uses a global window"
         assert "SinglePartition" not in txt, f"{name} funnels to one task"
+
+
+def test_batch_topk_one_exchange_after_partial_limit(spark, sf_dir):
+    """cosine_topk_batch: the corpus is scored in place (MapInPandas
+    directly over the scan), per-partition candidates are pruned by a
+    PARTIAL WindowGroupLimit before the only Exchange, and the scan
+    reads just (id, vector). The one shuffle moves M×partitions×k
+    candidate rows — never the corpus."""
+    from skopje_spark.queries import load_all
+
+    df = load_all()["q_similarity_batch_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_sketch_shuffle_carries_partial_sketches(spark, sf_dir):
+    """Sketch-state queries must combine map-side: the shuffle carries
+    partial HLL/KLL buffers (partial_hll_sketch_agg /
+    partial_kll_sketch_agg below the Exchange), never raw values."""
+    from skopje_spark.queries import load_all
+
+    reg = load_all()
+    p1 = (
+        reg["q_sketch_incremental_distinct"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_hll_sketch_agg" in p1, p1
+    assert "partial_hll_union_agg" in p1, p1
+    p2 = (
+        reg["q_sketch_quantile_merge"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_kll_sketch_agg_double" in p2, p2
