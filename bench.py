@@ -46,6 +46,12 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_pack_sequences",
     "q_shuffle_deterministic",
+    # round-5 additions: batched ANN and mergeable sketch state
+    # (the quantile sketch query is excluded on purpose: its in-query
+    # exact-rank verifier — a full per-group sort window — would
+    # dominate the timing and measure the verifier, not the operator)
+    "q_similarity_batch_topk",
+    "q_sketch_incremental_distinct",
 ]
 
 
