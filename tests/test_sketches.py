@@ -102,3 +102,25 @@ def test_kll_merge_band_holds_under_reordering(spark):
                 assert lo <= r["p50"] <= hi, (r["g"], r["p50"], lo, hi)
     finally:
         st.unpersist()
+
+
+def test_hll_state_survives_parquet_roundtrip(spark, tmp_path):
+    """The binary sketch column is persistable: write per-slice states
+    to parquet, read them back in a later 'session', merge with fresh
+    states, estimate — the incremental pattern the module exists for."""
+    df = _fixture(spark)
+    old = hll_state(df.filter(F.col("day") < 3), ["g"], "v")
+    path = str(tmp_path / "hll_states")
+    old.write.mode("overwrite").parquet(path)
+
+    reloaded = spark.read.parquet(path)
+    fresh = hll_state(df.filter(F.col("day") >= 3), ["g"], "v")
+    merged = hll_estimate(hll_merge([reloaded, fresh], ["g"]))
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    got = {r["g"]: r["approx_distinct"] for r in merged.collect()}
+    assert set(got) == set(exact)
+    for g, n in exact.items():
+        assert abs(got[g] - n) <= max(3, 0.05 * n)
