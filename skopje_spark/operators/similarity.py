@@ -435,3 +435,79 @@ def cosine_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Build a PERSISTED IVF index: k-means-quantize the corpus once,
+    write vectors partitioned by cell plus a tiny centroid table.
+
+    Layout: ``path/vectors/cell=<i>/...parquet`` + ``path/centroids``.
+    Build-once/query-many — the index costs one quantize + one
+    partitioned write; every later :func:`ivf_index_topk` reads ONLY
+    the probed cells' directories (parquet partition pruning), i.e.
+    ~n_probe/k of the corpus bytes, with no Spark job needed to rank
+    cells. This is the data-lake equivalent of an ANN index at 100 TB.
+    """
+    assigned, centroids = kmeans_cells(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_index_write`).
+
+    Cell ranking happens driver-side on the kilobyte centroid table
+    (same deterministic rule as :func:`ivf_topk`: 6-dp-rounded cosine,
+    cell id tiebreak), then only the probed ``cell=`` partitions are
+    scanned — the plan's PartitionFilters prune the rest of the corpus
+    before any I/O.
+    """
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    qv = [float(x) for x in query_df.select(vec_col).collect()[0][0]]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1e-300
+
+    def score(c):
+        dot = sum(a * b for a, b in zip(c, qv))
+        n = math.sqrt(sum(a * a for a in c)) or 1e-300
+        s = dot / (n * qn)
+        scale = 10.0 ** 6
+        return (
+            -(math.floor(-s * scale + 0.5) / scale)
+            if s < 0
+            else math.floor(s * scale + 0.5) / scale
+        )
+
+    ranked = sorted(
+        ((score([float(x) for x in r["centroid"]]), r["cell"]) for r in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [cell for _, cell in ranked[:n_probe]]
+    vecs = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
+    return cosine_topk(vecs, query_df, id_col=id_col, vec_col=vec_col, k=k)

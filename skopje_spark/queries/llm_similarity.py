@@ -353,3 +353,57 @@ def q_similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_batch(
         e, queries, id_col="vec_id", vec_col="embedding", qid_col="query_id", k=5
     )
+
+
+@register(
+    "q_similarity_ivf_persisted",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    top1 AS (
+      SELECT vec_id,
+             {dround_sql('list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)', 6)} AS cos_sim
+      FROM embeddings, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(10 AS BIGINT) AS k_returned,
+           CAST(0 AS BIGINT) AS n_outside_top50,
+           vec_id AS top1_id, cos_sim AS top1_sim
+    FROM top1
+    """,
+    tags=("similarity", "ivf", "index", "persisted"),
+)
+def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many ANN: write the k-means IVF index to disk
+    (vectors partitioned by cell + centroid table), then answer the
+    query through the PERSISTED index — cell ranking driver-side on
+    the kilobyte centroid table, corpus scan partition-pruned to the
+    3 probed cell directories (plan-asserted in test_operators).
+
+    Same containment-verdict oracle as q_similarity_ivf_kmeans: the
+    quantizer is iterative, so the oracle checks k rows returned, all
+    inside the exact top-50, plus the brute-forced exact top-1.
+    """
+    import hashlib
+
+    from skopje_spark.operators.similarity import ivf_index_topk, ivf_index_write
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/skopje_ivf_index_{tag}"
+    ivf_index_write(e, path, id_col="vec_id", vec_col="embedding", k=8, iters=3)
+
+    q = e.orderBy("vec_id").limit(1)
+    approx = ivf_index_topk(spark, path, q, n_probe=3, k=10)
+    exact50 = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=50)
+    top1 = exact50.limit(1).select(
+        F.col("vec_id").alias("top1_id"), F.col("cos_sim").alias("top1_sim")
+    )
+    outside = approx.join(exact50.select("vec_id"), "vec_id", "left_anti")
+    return (
+        approx.agg(F.count(F.lit(1)).alias("k_returned"))
+        .crossJoin(F.broadcast(outside.agg(F.count(F.lit(1)).alias("n_outside_top50"))))
+        .crossJoin(F.broadcast(top1))
+    )

@@ -715,3 +715,29 @@ def test_cosine_topk_batch_matches_single_query_calls(spark, sf_dir):
         ).collect()
         want = [(r["vec_id"], r["cos_sim"]) for r in single]
         assert got[qr["query_id"]] == want, qr["query_id"]
+
+
+def test_ivf_index_persist_and_probe(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probing the on-disk index returns the same
+    top-k as the in-memory IVF over identical cells, and the probe
+    scan partition-prunes to exactly the probed cell directories."""
+    from skopje_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_index_write,
+        ivf_topk,
+        kmeans_cells,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(e, path, k=8, iters=3)
+
+    q = e.orderBy("vec_id").limit(1)
+    got = ivf_index_topk(spark, path, q, n_probe=3, k=10)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell#" in plan and " IN (" in plan, plan
+
+    assigned, _ = kmeans_cells(e, k=8, iters=3)
+    want = ivf_topk(assigned, q, cell_col="cell", n_probe=3, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
