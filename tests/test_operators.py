@@ -741,3 +741,36 @@ def test_ivf_index_persist_and_probe(spark, sf_dir, tmp_path):
     assigned, _ = kmeans_cells(e, k=8, iters=3)
     want = ivf_topk(assigned, q, cell_col="cell", n_probe=3, k=10)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_bloom_rejects_smaller_probe_range(spark):
+    """The dangerous mismatch direction: probing with a SMALLER
+    num_bits than the build passes an index-bounds check yet maps keys
+    to different bit positions — silent false negatives. Both
+    directions must be rejected up front."""
+    from skopje_spark.operators.bloom import build_bloom, might_contain
+
+    seen = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    train = spark.createDataFrame([(1, "k1")], "id long, key string")
+    bm = build_bloom(seen, "key", num_bits=1 << 12)
+    with pytest.raises(ValueError):
+        might_contain(train, bm, "key", num_bits=64)
+
+
+def test_star_clusters_every_node_labeled_on_early_cut(spark):
+    """A deep chain with max_iterations=1: the star loop cannot
+    converge, but the post-loop min-collapse + one-hop label
+    compression must still emit exactly one row per node (ids may be
+    non-canonical — the documented early-cut degradation)."""
+    from skopje_spark.operators.dedup import neardup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    out = neardup_clusters(
+        chain, id_a="id_a", id_b="id_b", max_iterations=1, algorithm="star"
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert sorted(ids) == list(range(13))  # one row per node, none dropped
+    for r in out:
+        assert r["cluster_id"] <= r["doc_id"]

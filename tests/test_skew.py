@@ -63,3 +63,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     # co-located: the join itself requires no shuffle of either side
     assert num_shuffles(joined) == 0
     assert joined.count() == 5000
+
+
+def test_bucketed_qualified_name_orphan_path(spark, tmp_path):
+    """ADVICE r3: a db-qualified table's orphan lives at
+    warehouse/<db>.db/<tbl>; deriving warehouse/<tbl> could rmtree an
+    unrelated default-database table. The cleanup must target the
+    right directory and reject >2-part names."""
+    import pytest as _pytest
+
+    from skopje_spark.sinks.bucketed import _drop_table_and_orphan
+
+    # bare names and db-qualified names resolve without touching
+    # unrelated paths; 3-part names are rejected up front
+    _drop_table_and_orphan(spark, "nonexistent_tbl")
+    _drop_table_and_orphan(spark, "somedb.nonexistent_tbl")
+    with _pytest.raises(ValueError):
+        _drop_table_and_orphan(spark, "cat.db.tbl")
