@@ -32,24 +32,30 @@ def _drop_table_and_orphan(spark: SparkSession, table: str) -> None:
     directory left in ``spark.sql.warehouse.dir`` by a previous session
     (LOCATION_ALREADY_EXISTS).  Drop the catalog entry if present, then
     remove any orphaned location on disk."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    parts = table.lower().split(".")
+    if len(parts) > 2:
+        raise ValueError(
+            f"write_bucketed supports bare or db-qualified names, got {table!r}"
+        )
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    except Exception:
+        # SCHEMA_NOT_FOUND: IF EXISTS does not cover a missing database,
+        # which is the normal state of a fresh in-memory metastore while
+        # the on-disk orphan (cleaned below) still exists
+        pass
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if warehouse.startswith(prefix):
             warehouse = warehouse[len(prefix):]
             break
-    parts = table.lower().split(".")
     if len(parts) == 1:
         loc = Path(warehouse) / parts[0]
-    elif len(parts) == 2:
+    else:
         # a qualified db.tbl managed table lives at warehouse/<db>.db/<tbl>;
         # deriving warehouse/<tbl> would miss the real orphan AND could
         # rmtree an unrelated default-database table with the same name
         loc = Path(warehouse) / f"{parts[0]}.db" / parts[1]
-    else:
-        raise ValueError(
-            f"write_bucketed supports bare or db-qualified names, got {table!r}"
-        )
     if loc.exists():
         shutil.rmtree(loc, ignore_errors=True)
 
