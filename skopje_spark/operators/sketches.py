@@ -42,6 +42,8 @@ __all__ = [
     "kll_state",
     "kll_merge",
     "kll_quantiles",
+    "hll_stream_sink",
+    "hll_read_estimate",
 ]
 
 
@@ -131,3 +133,46 @@ def kll_quantiles(
     for i, p in enumerate(probs):
         out = out.withColumn(f"{prefix}{int(round(p * 100))}", F.get(arr, i))
     return out.drop("kll_state")
+
+
+def hll_stream_sink(
+    stream_df,
+    keys: list[str],
+    col: str,
+    state_path: str,
+    checkpoint: str,
+    *,
+    lg_k: int = 12,
+    available_now: bool = True,
+):
+    """Continuous distinct maintenance: each micro-batch appends its
+    per-key HLL state (tagged with ``batch_id``) to a parquet state
+    table; :func:`hll_read_estimate` answers "distinct so far" by
+    merging the states — no event is ever rescanned.
+
+    Exactly-once for free: HLL union is a per-bucket max, so merging a
+    replayed batch's state twice equals merging it once — duplicate
+    appends from micro-batch retries cannot inflate the estimate
+    (property-tested in tests/test_sketches.py).
+    """
+    from pyspark.sql import functions as FF
+
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        st = hll_state(batch_df, keys, col, lg_k=lg_k).withColumn(
+            "batch_id", FF.lit(batch_id)
+        )
+        st.write.mode("append").parquet(state_path)
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )
+
+
+def hll_read_estimate(spark, state_path: str, keys: list[str]) -> DataFrame:
+    """Merge every persisted micro-batch state and estimate distinct
+    counts per key — the O(batches × keys) read side of
+    :func:`hll_stream_sink`."""
+    st = spark.read.parquet(state_path).select(*keys, "hll_state")
+    return hll_estimate(hll_merge([st], keys))

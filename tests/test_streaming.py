@@ -226,3 +226,52 @@ def test_sessionize_state_bounded_over_many_batches(spark, tmp_path):
     closed = out.collect()
     assert len(closed) == 1 and closed[0]["key"] == "e"
     assert closed[0]["n_events"] == 6
+
+
+def test_hll_stream_sink_counts_distinct_without_rescan(spark, tmp_path):
+    """Continuous distinct via per-batch HLL states: 3 micro-batches of
+    events append their sketch states; the reader's merged estimate
+    tracks the exact distinct-user count, and re-appending a batch's
+    state (a retry replay) cannot inflate it — HLL union idempotence
+    is the exactly-once story."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.sketches import hll_read_estimate, hll_stream_sink
+
+    src = tmp_path / "src"
+    import os as _os
+    import time as _time
+
+    rows, eid = [], 0
+    for b in range(3):
+        batch = []
+        for u in range(b * 20, b * 20 + 40):  # 20 new + 20 overlapping users
+            eid += 1
+            batch.append({
+                "event_id": eid, "ts": f"2024-01-01T00:{b:02d}:00",
+                "user_id": f"u{u}", "value": 1.0,
+            })
+        _write_events(src, batch, f"b{b}.json")
+        rows.extend(batch)
+    now = _time.time()
+    for b in range(3):
+        _os.utime(src / f"b{b}.json", (now - (3 - b) * 10, now - (3 - b) * 10))
+
+    state = str(tmp_path / "hll_states")
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    stream = stream.withColumn("g", F.lit("all"))
+    q = hll_stream_sink(
+        stream, ["g"], "user_id", state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+
+    est = hll_read_estimate(spark, state, ["g"]).collect()
+    exact = len({r["user_id"] for r in rows})
+    assert len(est) == 1
+    assert abs(est[0]["approx_distinct"] - exact) <= max(3, 0.05 * exact)
+
+    # replay: duplicate one batch's state rows — estimate must not move
+    one = spark.read.parquet(state).limit(1)
+    one.write.mode("append").parquet(state)
+    est2 = hll_read_estimate(spark, state, ["g"]).collect()
+    assert est2[0]["approx_distinct"] == est[0]["approx_distinct"]
