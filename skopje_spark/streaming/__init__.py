@@ -16,6 +16,7 @@ from skopje_spark.streaming.streams import (
     stream_static_join,
     stream_stream_join,
     tumbling_agg,
+    tumbling_distinct_agg,
     with_watermark,
 )
 
@@ -34,5 +35,6 @@ __all__ = [
     "stream_static_join",
     "stream_stream_join",
     "tumbling_agg",
+    "tumbling_distinct_agg",
     "with_watermark",
 ]

@@ -328,3 +328,27 @@ def stream_stream_join(left: DataFrame, right: DataFrame, *,
            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how)
+
+
+def tumbling_distinct_agg(
+    df: DataFrame, ts_col: str, every: str, distinct_col: str, *keys: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate DISTINCT per tumbling window via an HLL sketch agg —
+    the streaming answer to "distinct users per window".
+
+    Exact streaming distinct needs every seen value in the state store
+    (state ∝ cardinality — the 100 TB failure mode); the sketch keeps
+    O(2^lg_k) bytes per (window, keys) group, merges map-side, and is
+    within ~1/sqrt(2^lg_k) of exact. Pair with ``with_watermark``
+    upstream so closed windows finalize and state is evicted."""
+    win = F.window(F.col(ts_col), every)
+    return (
+        df.groupBy(win, *[F.col(k) for k in keys])
+        .agg(F.expr(f"hll_sketch_agg({distinct_col}, {lg_k})").alias("__hll"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *[F.col(k) for k in keys],
+            F.expr("hll_sketch_estimate(__hll)").alias("approx_distinct"),
+        )
+    )

@@ -275,3 +275,61 @@ def test_hll_stream_sink_counts_distinct_without_rescan(spark, tmp_path):
     one.write.mode("append").parquet(state)
     est2 = hll_read_estimate(spark, state, ["g"]).collect()
     assert est2[0]["approx_distinct"] == est[0]["approx_distinct"]
+
+
+def test_tumbling_distinct_stream_matches_batch_exact(spark, tmp_path):
+    """Streaming windowed HLL distinct: the drained stream's per-window
+    estimates match batch-exact distinct counts in band, with O(2^lg_k)
+    state per window instead of one state row per seen value."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.streaming import (
+        run_available_now,
+        tumbling_distinct_agg,
+        with_watermark,
+    )
+
+    src = tmp_path / "src"
+    rows = []
+    for i in range(300):
+        rows.append({
+            "event_id": i, "ts": f"2024-01-01T0{i // 150}:{(i % 60):02d}:00",
+            "user_id": f"u{i % 83}", "value": 1.0,
+        })
+    _write_events(src, rows, "b0.json")
+    # sentinel far past every window so watermark finalizes them all
+    _write_events(src, [{
+        "event_id": 9999, "ts": "2024-01-02T00:00:00", "user_id": "zz", "value": 0.0,
+    }], "b1.json")
+    import os as _os
+    import time as _time
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    out = run_available_now(
+        tumbling_distinct_agg(
+            with_watermark(stream, "ts", "5 minutes"), "ts", "30 minutes", "user_id"
+        ),
+        name="t_hll_win", output_mode="append",
+    ).collect()
+
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "event_id long, ts string, user_id string, value double",
+    )
+    exact = {
+        r["window_start"]: r["n"]
+        for r in batch.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "30 minutes")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .collect()
+    }
+    got = {r["window_start"]: r["approx_distinct"] for r in out}
+    assert len(got) >= len(exact) - 1  # every base window finalized
+    for ws, n in got.items():
+        if ws in exact:
+            assert abs(n - exact[ws]) <= max(3, 0.05 * exact[ws]), (ws, n, exact[ws])
