@@ -69,7 +69,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_part_exact,
            COUNT(*) AS n_rows,
-           TRUE AS hll_within_band
+           CAST(1 AS INTEGER) AS hll_within_band
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "approx"),
@@ -79,9 +79,12 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic verdict: the sketch estimate itself is
     engine-specific (DuckDB's approx_distinct uses a different
     sketch), so the query emits the EXACT distinct count (both
-    engines agree) plus a boolean asserting the HLL estimate landed
-    within 3×rsd of it. Spark's HLL++ is deterministic for fixed
-    input, so the boolean is stable — and the oracle can assert TRUE.
+    engines agree) plus an INTEGER flag asserting the HLL estimate
+    landed within 3×rsd of it. Spark's HLL++ is deterministic for
+    fixed input, so the flag is stable — and the oracle asserts 1.
+    (Integer, not boolean: no green query had ever shipped a boolean
+    column through the driver's hash compare, so flags reuse the
+    longest-verified type instead.)
 
     Scale: HLL sketches merge associatively — constant memory per
     group vs. the exact path's full dedup shuffle; the exact twin here
@@ -98,9 +101,9 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n_part_exact",
         "n_rows",
-        (F.abs(F.col("approx") - F.col("n_part_exact")) <= band).alias(
-            "hll_within_band"
-        ),
+        (F.abs(F.col("approx") - F.col("n_part_exact")) <= band)
+        .cast("int")
+        .alias("hll_within_band"),
     )
 
 
@@ -306,8 +309,8 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN rn = CEIL(0.50 * n) THEN l_extendedprice END) AS p50_exact,
            MAX(CASE WHEN rn = CEIL(0.95 * n) THEN l_extendedprice END) AS p95_exact,
            MAX(CASE WHEN rn = CEIL(0.99 * n) THEN l_extendedprice END) AS p99_exact,
-           TRUE AS pctl_within_band,
-           TRUE AS orders_within_band
+           CAST(1 AS INTEGER) AS pctl_within_band,
+           CAST(1 AS INTEGER) AS orders_within_band
     FROM ranked GROUP BY l_returnflag
     """,
     tags=("agg", "approx", "sketch"),
@@ -373,8 +376,10 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             close(F.col("qs")[0], "p50_exact")
             & close(F.col("qs")[1], "p95_exact")
             & close(F.col("qs")[2], "p99_exact")
-        ).alias("pctl_within_band"),
-        (F.abs(F.col("approx_orders") - F.col("n_orders")) <= hll_band).alias(
-            "orders_within_band"
-        ),
+        )
+        .cast("int")
+        .alias("pctl_within_band"),
+        (F.abs(F.col("approx_orders") - F.col("n_orders")) <= hll_band)
+        .cast("int")
+        .alias("orders_within_band"),
     )

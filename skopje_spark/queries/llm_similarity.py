@@ -183,7 +183,7 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_similarity_lsh_buckets",
     oracle="""
-    SELECT COUNT(*) AS n_vecs, TRUE AS buckets_ok FROM embeddings
+    SELECT COUNT(*) AS n_vecs, CAST(1 AS INTEGER) AS buckets_ok FROM embeddings
     """,
     tags=("similarity", "lsh"),
 )
@@ -206,7 +206,9 @@ def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct(F.col("lsh_bucket")) <= F.lit(256))
             & (F.min("lsh_bucket") >= F.lit(0))
             & (F.max("lsh_bucket") <= F.lit(255))
-        ).alias("buckets_ok"),
+        )
+        .cast("int")
+        .alias("buckets_ok"),
     )
 
 

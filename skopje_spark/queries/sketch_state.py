@@ -3,7 +3,8 @@ per-slice mergeable states, merge, and verify against exact answers.
 
 Oracle pattern: sketch internals are engine-specific, so each query
 emits the EXACT answer (both engines compute it) plus deterministic
-in-band verdict booleans the oracle asserts as TRUE — same recipe as
+deterministic in-band verdict flags (INTEGER 1 — safer to hash
+cross-engine than booleans) the oracle asserts too — same recipe as
 q_agg_approx_distinct / q_agg_approx_percentile.
 """
 
@@ -29,7 +30,7 @@ from skopje_spark.tables import load_table
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey) AS n_supp_exact,
-           TRUE AS hll_within_band
+           CAST(1 AS INTEGER) AS hll_within_band
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("sketch", "hll", "incremental", "agg"),
@@ -56,9 +57,9 @@ def q_sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     return exact.join(est, "l_returnflag").select(
         "l_returnflag",
         "n_supp_exact",
-        (F.abs(F.col("approx_distinct") - F.col("n_supp_exact")) <= band).alias(
-            "hll_within_band"
-        ),
+        (F.abs(F.col("approx_distinct") - F.col("n_supp_exact")) <= band)
+        .cast("int")
+        .alias("hll_within_band"),
     )
 
 
@@ -75,8 +76,8 @@ def q_sketch_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT l_returnflag,
            MAX(CASE WHEN rn = CEIL(0.50 * n) THEN l_extendedprice END) AS p50_exact,
            MAX(CASE WHEN rn = CEIL(0.95 * n) THEN l_extendedprice END) AS p95_exact,
-           TRUE AS p50_in_band,
-           TRUE AS p95_in_band
+           CAST(1 AS INTEGER) AS p50_in_band,
+           CAST(1 AS INTEGER) AS p95_in_band
     FROM ranked GROUP BY l_returnflag
     """,
     tags=("sketch", "kll", "incremental", "agg"),
@@ -140,10 +141,10 @@ def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "p50_exact",
         "p95_exact",
-        ((F.col("p50") >= F.col("p50_lo")) & (F.col("p50") <= F.col("p50_hi"))).alias(
-            "p50_in_band"
-        ),
-        ((F.col("p95") >= F.col("p95_lo")) & (F.col("p95") <= F.col("p95_hi"))).alias(
-            "p95_in_band"
-        ),
+        ((F.col("p50") >= F.col("p50_lo")) & (F.col("p50") <= F.col("p50_hi")))
+        .cast("int")
+        .alias("p50_in_band"),
+        ((F.col("p95") >= F.col("p95_lo")) & (F.col("p95") <= F.col("p95_hi")))
+        .cast("int")
+        .alias("p95_in_band"),
     )
