@@ -1,11 +1,14 @@
 """Multimodal columns (SURVEY.md §2C D5): opaque binary payloads with
 typed metadata, processed by Arrow-batched pandas functions.
 
-Container constraint: no image/audio codecs are installed, so the
-*decode kernels* are stubbed (deterministic fake or
-``NotImplementedError``), while everything Spark-side is real and
-tested: schema, binary source, partition sizing, ``mapInPandas``
-batch shape, and metadata extraction.
+Container constraint: no image/audio codec *libraries* are installed.
+The kernels are therefore tiered: a REAL pure-struct/numpy BMP codec
+(encode, header decode, nearest-neighbor resize — runs everywhere, see
+the BMP section below), an env-gated PIL kernel for compressed
+formats, and a deterministic stub fallback for opaque payloads.
+Everything Spark-side is real and tested regardless of tier: schema,
+binary source, partition sizing, ``mapInPandas`` batch shape, and
+metadata extraction.
 
 Scale notes:
 - payloads stay in executor memory as Arrow binary columns — never
@@ -135,7 +138,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     fixed (DECODED_SCHEMA) so downstream plans stay columnar.
 
     ``real=None`` auto-selects: the PIL kernel when codecs exist in
-    the environment, the deterministic stub otherwise. Forcing
+    the environment, otherwise the sniffing kernel that REALLY decodes
+    BMP headers (pure struct — works in this container) and falls back
+    to the deterministic stub arithmetic for other payloads. Forcing
     ``real=True`` without codecs raises up front (on the driver), not
     per-task on executors."""
     if real is None:
@@ -144,7 +149,7 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
         raise NotImplementedError(
             "decode_media(real=True) requires PIL, which is not installed"
         )
-    kernel = decode_media_real if real else decode_media_batch
+    kernel = decode_media_real if real else decode_media_bmp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,22 +182,27 @@ FRAME_SCHEMA = T.StructType(
 
 def resize_media(df: DataFrame, *, width: int = 32, height: int = 32,
                  id_col: str = "doc_id") -> DataFrame:
-    """STUB resize over ``mapInPandas``: the fake kernel truncates/pads
-    the payload to width*height bytes (a real deployment swaps in
-    PIL.Image.resize — codecs absent in this container); the Spark
-    side — Arrow batching, fixed output schema, payload staying off
-    the driver — is the real, tested plumbing."""
+    """Resize over ``mapInPandas``. BMP payloads get a REAL
+    nearest-neighbor resample (decode → integer-index remap →
+    re-encode, see :func:`resize_bmp` — no codec libraries needed);
+    other payloads fall back to the stub truncate/pad kernel (a full
+    deployment swaps in PIL.Image.resize). Arrow batching, fixed
+    output schema, payloads never touching the driver — the Spark
+    plumbing is identical either way."""
     target = width * height
+
+    def _one(raw) -> bytes:
+        b = bytes(raw)
+        if is_bmp(b):
+            return resize_bmp(b, width, height)
+        return b[:target].ljust(target, b"\0")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["payload"].apply(
-                lambda b: bytes(b[:target]).ljust(target, b"\0")
-            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "payload": resized,
+                    "payload": pdf["payload"].apply(_one),
                     "width": width,
                     "height": height,
                 }
@@ -259,3 +269,144 @@ def extract_features(df: DataFrame, *, dim: int = 16,
     return df.select(F.col(id_col), "payload").mapInPandas(
         run, schema="doc_id long, embedding array<float>"
     )
+
+
+# --- real BMP kernel (pure struct+numpy — no codec libraries) --------
+#
+# BMP (24bpp uncompressed) is simple enough to encode/decode with
+# stdlib struct and numpy, which upgrades the decode/resize path from
+# "deterministic fake" to a REAL image codec that runs in this
+# container. decode_media / resize_media sniff the payload header and
+# use the real kernel for BMP payloads, the stub for everything else;
+# PIL (when installed) still covers compressed formats.
+
+import struct as _struct
+
+_BMP_HEADER_LEN = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _bmp_row_size(width: int) -> int:
+    return (3 * width + 3) // 4 * 4  # 24bpp rows padded to 4 bytes
+
+
+def bmp_pattern(width: int, height: int, seed: int = 0):
+    """Deterministic test pattern (top-down h×w×3, BGR): every pixel is
+    closed-form arithmetic on (x, y, seed), so any consumer — a unit
+    test or a SQL oracle — can recompute pixels without the file."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    b = (xx + yy + 3 * seed) % 256
+    g = (3 * xx + 5 * yy + 2 * seed) % 256
+    r = (7 * xx + 13 * yy + seed) % 256
+    return np.stack([b, g, r], axis=-1).astype("uint8")
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode a top-down h×w×3 BGR uint8 array as a real 24bpp BMP."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype="uint8")
+    h, w = px.shape[:2]
+    row_size = _bmp_row_size(w)
+    img_size = row_size * h
+    head = _struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_LEN + img_size, 0, 0, _BMP_HEADER_LEN
+    )
+    info = _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    padded = np.zeros((h, row_size), dtype="uint8")
+    padded[:, : 3 * w] = px.reshape(h, 3 * w)
+    return head + info + padded[::-1].tobytes()  # BMP stores bottom-up
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A real BMP file of the deterministic test pattern."""
+    return encode_bmp(bmp_pattern(width, height, seed))
+
+
+def is_bmp(b: bytes) -> bool:
+    """Strict sniff: magic, header present, declared size == actual."""
+    if len(b) < _BMP_HEADER_LEN or b[:2] != b"BM":
+        return False
+    (declared,) = _struct.unpack("<I", b[2:6])
+    return declared == len(b)
+
+
+def decode_bmp_header(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bits-per-pixel, pixel-data offset) from a real
+    BMP header — an actual binary decode, no codec library."""
+    if not is_bmp(b):
+        raise ValueError("not a BMP payload")
+    (offset,) = _struct.unpack("<I", b[10:14])
+    _, w, h, _, bpp = _struct.unpack("<IiiHH", b[14:30])
+    return w, abs(h), bpp, offset
+
+
+def bmp_pixels(b: bytes):
+    """Top-down h×w×3 BGR uint8 pixel array from a 24bpp BMP."""
+    import numpy as np
+
+    w, h, bpp, off = decode_bmp_header(b)
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    row_size = _bmp_row_size(w)
+    arr = np.frombuffer(b, dtype="uint8", count=row_size * h, offset=off)
+    px = arr.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    return px[::-1]  # stored bottom-up
+
+
+def resize_bmp(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize: decode pixels, resample with
+    integer index maps, re-encode — a complete image pipeline with
+    zero external dependencies."""
+    import numpy as np
+
+    px = bmp_pixels(b)
+    h, w = px.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return encode_bmp(px[yi][:, xi])
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Multimodal fixture with REAL image payloads: a deterministic
+    per-row BMP whose dimensions derive from the id (width=8+id%16,
+    height=8+id%8), so both the decode kernel and a SQL oracle can be
+    checked against closed-form arithmetic."""
+    import pandas as pd  # noqa: F401  (kernel below is pandas-batched)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                make_bmp(8 + int(i) % 16, 8 + int(i) % 8, seed=int(i) % 32)
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
+    """Real-decode kernel: parse actual BMP headers; non-BMP payloads
+    fall back to the stub arithmetic (mixed corpora decode in one
+    pass, like a real pipeline sniffing magic bytes)."""
+    rows = []
+    for raw in payloads:
+        b = bytes(raw)
+        if is_bmp(b):
+            w, h, _, _ = decode_bmp_header(b)
+            rows.append((len(b), w, h, 1))
+        else:
+            first = b[0] if b else 0
+            rows.append(
+                (len(b), (first % 64 + 1) * 16, ((len(b) % 64) + 1) * 16,
+                 (len(b) % 8) + 1)
+            )
+    return pd.DataFrame(
+        rows, columns=["byte_len", "width", "height", "n_frames"]
+    ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})

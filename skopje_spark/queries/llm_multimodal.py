@@ -95,3 +95,32 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_no",
         F.octet_length("frame_bytes").cast("bigint").alias("frame_len"),
     ).orderBy("doc_id", "frame_no")
+
+
+@register(
+    "q_multimodal_bmp_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT)  AS height,
+           CAST(54 + (8 + doc_id % 8) *
+                (CAST(FLOOR((3 * (8 + doc_id % 16) + 3) / 4) AS BIGINT) * 4)
+                AS BIGINT) AS byte_len
+    FROM documents
+    """,
+    tags=("multimodal", "bmp", "real-codec", "decode"),
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec libraries: per-doc BMP payloads
+    (dimensions derived from doc_id) are encoded executor-side, then
+    decode_media parses the actual BMP headers back. The oracle
+    recomputes width/height/byte-length from the closed-form BMP
+    layout arithmetic (54-byte header + 4-byte-padded 24bpp rows) —
+    so any disagreement between encoder and decoder, or any header
+    mis-write, hash-mismatches. This is a true end-to-end binary
+    codec check, not a stub."""
+    from skopje_spark.operators.multimodal import attach_bmp_payload, decode_media
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = attach_bmp_payload(d, "doc_id")
+    return decode_media(m).select("doc_id", "width", "height", "byte_len")

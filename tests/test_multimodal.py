@@ -1,0 +1,35 @@
+
+
+def test_bmp_real_decode_mixed_corpus(spark):
+    """One decode pass over a mixed corpus: BMP payloads yield REAL
+    header dimensions, opaque payloads fall back to stub arithmetic."""
+    from skopje_spark.operators.multimodal import decode_media, make_bmp
+
+    rows = [
+        (1, make_bmp(20, 11, seed=3)),
+        (2, b"not an image at all, just bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (20, 11)  # real decode
+    assert got[1]["byte_len"] == 54 + 11 * ((3 * 20 + 3) // 4 * 4)
+    assert got[2]["width"] == ((rows[1][1][0] % 64) + 1) * 16  # stub path
+
+
+def test_bmp_real_resize_preserves_pattern(spark):
+    """resize_media on BMP payloads is a real nearest-neighbor
+    resample: output is a valid BMP at target size whose (0,0) pixel
+    equals the source's (0,0) pixel."""
+    from skopje_spark.operators.multimodal import (
+        bmp_pixels,
+        decode_bmp_header,
+        make_bmp,
+        resize_media,
+    )
+
+    src = make_bmp(24, 16, seed=7)
+    df = spark.createDataFrame([(1, src)], "doc_id long, payload binary")
+    out = resize_media(df, width=10, height=6).collect()[0]
+    b = bytes(out["payload"])
+    assert decode_bmp_header(b)[:2] == (10, 6)
+    assert (bmp_pixels(b)[0, 0] == bmp_pixels(src)[0, 0]).all()
