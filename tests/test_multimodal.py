@@ -33,3 +33,33 @@ def test_bmp_real_resize_preserves_pattern(spark):
     b = bytes(out["payload"])
     assert decode_bmp_header(b)[:2] == (10, 6)
     assert (bmp_pixels(b)[0, 0] == bmp_pixels(src)[0, 0]).all()
+
+
+def test_bmp_roundtrip_property():
+    """Encode→decode is the identity on pixels for arbitrary sizes
+    (including widths whose rows need 1-3 padding bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from skopje_spark.operators.multimodal import (
+        bmp_pattern,
+        bmp_pixels,
+        decode_bmp_header,
+        make_bmp,
+        resize_bmp,
+    )
+
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        seed=st.integers(min_value=0, max_value=255),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(w, h, seed):
+        b = make_bmp(w, h, seed)
+        assert decode_bmp_header(b)[:2] == (w, h)
+        assert (bmp_pixels(b) == bmp_pattern(w, h, seed)).all()
+        r = resize_bmp(b, max(1, w // 2), max(1, h // 2))
+        assert decode_bmp_header(r)[:2] == (max(1, w // 2), max(1, h // 2))
+
+    check()
