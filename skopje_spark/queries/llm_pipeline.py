@@ -428,3 +428,70 @@ def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text,
+             len(regexp_extract_all(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_tokens
+      FROM base
+      WHERE LENGTH(text) >= 32 AND len(toks) >= 8
+        AND len(list_distinct(toks)) / CAST(GREATEST(len(toks), 1) AS DOUBLE) > 0.2
+    ),
+    dd AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM q
+    ),
+    s AS (
+      SELECT * FROM dd
+      WHERE rn = 1 AND (doc_id * {KNUTH}) % {MOD} < {MOD // 2}
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY source
+    """,
+    tags=("llm-pipeline", "curation", "composed"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass composed from the engine's own operators
+    in one plan: quality gate (quality_features keep flag) → exact
+    dedup (sha256-normalized, min-id representative, dedup_exact) →
+    deterministic 50% Knuth-hash sample (hash_bucket) → per-source
+    doc/token accounting. The oracle re-derives every stage in SQL, so
+    the cross-engine hash verifies the COMPOSITION, not just the
+    pieces — the end-to-end "raw corpus in, training corpus out"
+    contract.
+
+    Scale: quality gate and sample are narrow filters in the scan
+    stage; dedup is one digest-keyed shuffle; accounting is a
+    map-side-combined agg. Nothing materializes between stages —
+    Catalyst pipelines the whole pass."""
+    from skopje_spark.operators.dedup import dedup_exact
+    from skopje_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_features(d, "doc_id", "text")
+        .filter(F.col("quality_keep") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    kept = d.select("doc_id", "source", "text").join(q, "doc_id")
+    dd = dedup_exact(kept, "doc_id", "text")
+    sampled = dd.filter(hash_bucket("doc_id") < MOD // 2)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
