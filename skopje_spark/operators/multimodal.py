@@ -194,7 +194,13 @@ def resize_media(df: DataFrame, *, width: int = 32, height: int = 32,
     def _one(raw) -> bytes:
         b = bytes(raw)
         if is_bmp(b):
-            return resize_bmp(b, width, height)
+            try:
+                return resize_bmp(b, width, height)
+            except ValueError:
+                # sniffed as BMP but not pixel-decodable (non-24bpp,
+                # truncated pixel data): degrade to the stub kernel
+                # instead of failing the whole task
+                pass
         return b[:target].ljust(target, b"\0")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -336,7 +342,9 @@ def is_bmp(b: bytes) -> bool:
 
 def decode_bmp_header(b: bytes) -> tuple[int, int, int, int]:
     """(width, height, bits-per-pixel, pixel-data offset) from a real
-    BMP header — an actual binary decode, no codec library."""
+    BMP header — an actual binary decode, no codec library. Height is
+    returned as magnitude; row order (a negative raw height means
+    top-down storage) is handled inside :func:`bmp_pixels`."""
     if not is_bmp(b):
         raise ValueError("not a BMP payload")
     (offset,) = _struct.unpack("<I", b[10:14])
@@ -345,16 +353,23 @@ def decode_bmp_header(b: bytes) -> tuple[int, int, int, int]:
 
 
 def bmp_pixels(b: bytes):
-    """Top-down h×w×3 BGR uint8 pixel array from a 24bpp BMP."""
+    """Top-down h×w×3 BGR uint8 pixel array from a 24bpp BMP.
+
+    Handles both storage orders: positive biHeight = bottom-up rows
+    (the common case, flipped here), negative biHeight = top-down
+    (Windows-encoder variant, read as-is)."""
     import numpy as np
 
     w, h, bpp, off = decode_bmp_header(b)
     if bpp != 24:
         raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    (_, _, raw_h, _, _) = _struct.unpack("<IiiHH", b[14:30])
     row_size = _bmp_row_size(w)
+    if len(b) < off + row_size * h:
+        raise ValueError("BMP pixel data truncated")
     arr = np.frombuffer(b, dtype="uint8", count=row_size * h, offset=off)
     px = arr.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
-    return px[::-1]  # stored bottom-up
+    return px if raw_h < 0 else px[::-1]
 
 
 def resize_bmp(b: bytes, width: int, height: int) -> bytes:
@@ -392,21 +407,21 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
-    """Real-decode kernel: parse actual BMP headers; non-BMP payloads
-    fall back to the stub arithmetic (mixed corpora decode in one
-    pass, like a real pipeline sniffing magic bytes)."""
-    rows = []
-    for raw in payloads:
-        b = bytes(raw)
-        if is_bmp(b):
-            w, h, _, _ = decode_bmp_header(b)
-            rows.append((len(b), w, h, 1))
-        else:
-            first = b[0] if b else 0
-            rows.append(
-                (len(b), (first % 64 + 1) * 16, ((len(b) % 64) + 1) * 16,
-                 (len(b) % 8) + 1)
-            )
-    return pd.DataFrame(
-        rows, columns=["byte_len", "width", "height", "n_frames"]
-    ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
+    """Sniffing kernel: REAL header decode for BMP payloads, with
+    non-BMP rows delegated to :func:`decode_media_batch` (one source
+    of truth for the stub arithmetic, and the vectorized fast path
+    stays vectorized for stub-only batches — mixed corpora decode in
+    one pass, like a real pipeline sniffing magic bytes)."""
+    mask = payloads.apply(lambda raw: is_bmp(bytes(raw)))
+    out = decode_media_batch(payloads)
+    if mask.any():
+        bmp_rows = payloads[mask].apply(
+            lambda raw: decode_bmp_header(bytes(raw))[:2]
+        )
+        out.loc[mask.values, "width"] = [w for w, _ in bmp_rows]
+        out.loc[mask.values, "height"] = [h for _, h in bmp_rows]
+        out.loc[mask.values, "n_frames"] = 1
+        out = out.astype(
+            {"width": "int32", "height": "int32", "n_frames": "int32"}
+        )
+    return out

@@ -135,7 +135,6 @@ def blocked_neardup_pairs(
     out_schema = (
         f"{block_col} {blk_t}, id_a {id_t}, id_b {id_t}, cos_sim double"
     )
-    scale = 10.0 ** 6
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id")
@@ -144,12 +143,9 @@ def blocked_neardup_pairs(
         norms = np.sqrt(np.einsum("ij,ij->i", M, M))
         S = (M @ M.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
-        c = S[iu, ju]
-        # round-half-away-from-zero at 6 dp (matches dround / oracle)
-        c = np.where(
-            c < 0, -(np.floor(-c * scale + 0.5) / scale),
-            np.floor(c * scale + 0.5) / scale,
-        )
+        from skopje_spark.queries.rounding import dround_np
+
+        c = dround_np(S[iu, ju], 6)  # matches dround / the SQL oracle
         keep = c >= threshold
         return pd.DataFrame(
             {
@@ -384,7 +380,11 @@ def cosine_topk_batch(
 
     Scores are rounded (dround 6) with ``id_col`` as tiebreak BEFORE
     ranking, so the selected set is a deterministic function of the
-    data and reproducible by the DuckDB oracle.
+    data and reproducible by the DuckDB oracle. Like
+    :func:`blocked_neardup_pairs`, the BLAS matmul's pairwise
+    summation can differ from a sequential fold in the last ulp —
+    the 6-dp rounding absorbs it (same accepted risk class as every
+    float oracle in this repo).
     """
     import numpy as np
     import pandas as pd
@@ -400,18 +400,11 @@ def cosine_topk_batch(
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
+    from skopje_spark.queries.rounding import dround_np
+
     dts = dict(embeddings.dtypes)
     qdts = dict(queries_df.dtypes)
     out_schema = f"{qid_col} {qdts[qid_col]}, {id_col} {dts[id_col]}, cos_sim double"
-    scale = 10.0 ** 6
-
-    def _round6(s: "np.ndarray") -> "np.ndarray":
-        # dround semantics: round-half-away-from-zero, IEEE-deterministic
-        return np.where(
-            s < 0,
-            -(np.floor((-s) * scale + 0.5) / scale),
-            np.floor(s * scale + 0.5) / scale,
-        )
 
     def part(it):
         for pdf in it:
@@ -419,7 +412,7 @@ def cosine_topk_batch(
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            S = _round6(Xn @ Qn.T)  # n×M, one matmul for all queries
+            S = dround_np(Xn @ Qn.T, 6)  # n×M, one matmul for all queries
             ids = pdf[id_col].to_numpy()
             for j, qid in enumerate(qids):
                 s = S[:, j]
@@ -456,17 +449,21 @@ def ivf_index_write(
     ~n_probe/k of the corpus bytes, with no Spark job needed to rank
     cells. This is the data-lake equivalent of an ANN index at 100 TB.
     """
-    assigned, centroids = kmeans_cells(
+    assigned, _ = kmeans_cells(
         embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    return centroids
+    # persist the per-cell means of the FINAL assignment (ivf_centroids),
+    # not kmeans_cells' last-update list: ivf_topk ranks probes against
+    # ivf_centroids of the same table, so the persisted index must score
+    # cells with the identical centroid values or the two paths could
+    # probe different cells near rounded-score ties
+    cents = ivf_centroids(assigned, vec_col=vec_col, cell_col="cell")
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return [
+        [float(x) for x in r["centroid"]]
+        for r in cents.orderBy("cell").collect()
+    ]
 
 
 def ivf_index_topk(
@@ -489,6 +486,8 @@ def ivf_index_topk(
     """
     import math
 
+    from skopje_spark.queries.rounding import dround_scalar
+
     cents = spark.read.parquet(f"{path}/centroids").collect()
     qv = [float(x) for x in query_df.select(vec_col).collect()[0][0]]
     qn = math.sqrt(sum(x * x for x in qv)) or 1e-300
@@ -496,13 +495,7 @@ def ivf_index_topk(
     def score(c):
         dot = sum(a * b for a, b in zip(c, qv))
         n = math.sqrt(sum(a * a for a in c)) or 1e-300
-        s = dot / (n * qn)
-        scale = 10.0 ** 6
-        return (
-            -(math.floor(-s * scale + 0.5) / scale)
-            if s < 0
-            else math.floor(s * scale + 0.5) / scale
-        )
+        return dround_scalar(dot / (n * qn), 6)
 
     ranked = sorted(
         ((score([float(x) for x in r["centroid"]]), r["cell"]) for r in cents),

@@ -53,3 +53,27 @@ def davg(col: Column, n: int = 2) -> Column:
 def davg_sql(expr: str, n: int = 2) -> str:
     """SQL twin of :func:`davg`."""
     return f"({dround_sql(f'SUM({expr})', n)} / COUNT({expr}))"
+
+
+def dround_np(arr, n: int = 6):
+    """numpy twin of :func:`dround` — same round-half-away-from-zero,
+    element-wise. One definition for every Arrow/pandas kernel so the
+    boundary rule can never drift from the Column/SQL versions."""
+    import numpy as np
+
+    s = float(10**n)
+    return np.where(
+        arr < 0,
+        -(np.floor((-arr) * s + 0.5) / s),
+        np.floor(arr * s + 0.5) / s,
+    )
+
+
+def dround_scalar(x: float, n: int = 6) -> float:
+    """Pure-Python twin of :func:`dround` for driver-side scalars."""
+    import math
+
+    s = float(10**n)
+    if x < 0:
+        return -(math.floor((-x) * s + 0.5) / s)
+    return math.floor(x * s + 0.5) / s

@@ -37,13 +37,18 @@ def _drop_table_and_orphan(spark: SparkSession, table: str) -> None:
         raise ValueError(
             f"write_bucketed supports bare or db-qualified names, got {table!r}"
         )
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-    except Exception:
+    except AnalysisException as e:
         # SCHEMA_NOT_FOUND: IF EXISTS does not cover a missing database,
         # which is the normal state of a fresh in-memory metastore while
-        # the on-disk orphan (cleaned below) still exists
-        pass
+        # the on-disk orphan (cleaned below) still exists. Anything else
+        # (live table that won't drop, metastore fault) must surface —
+        # proceeding would rmtree data the catalog still points at.
+        if "SCHEMA_NOT_FOUND" not in str(e):
+            raise
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if warehouse.startswith(prefix):

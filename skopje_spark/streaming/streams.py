@@ -236,12 +236,9 @@ def run_available_now(stream_df: DataFrame, *, name: str = "result",
                       output_mode: str = "append") -> DataFrame:
     """Drain everything currently available into an in-memory table and
     return it as a batch DataFrame — the test/verification sink."""
-    q = (
-        stream_df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return run_available_now_with_progress(
+        stream_df, name=name, output_mode=output_mode
+    )[0]
 
 
 def run_available_now_with_progress(

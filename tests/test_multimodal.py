@@ -10,7 +10,10 @@ def test_bmp_real_decode_mixed_corpus(spark):
         (2, b"not an image at all, just bytes"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    # real=False pins the sniffing BMP kernel: with PIL installed the
+    # auto kernel would be decode_media_real, which cannot open the
+    # deliberately-opaque second payload
+    got = {r["doc_id"]: r for r in decode_media(df, real=False).collect()}
     assert (got[1]["width"], got[1]["height"]) == (20, 11)  # real decode
     assert got[1]["byte_len"] == 54 + 11 * ((3 * 20 + 3) // 4 * 4)
     assert got[2]["width"] == ((rows[1][1][0] % 64) + 1) * 16  # stub path
@@ -63,3 +66,23 @@ def test_bmp_roundtrip_property():
         assert decode_bmp_header(r)[:2] == (max(1, w // 2), max(1, h // 2))
 
     check()
+
+
+def test_bmp_top_down_variant_not_mirrored():
+    """Negative biHeight (top-down storage, the Windows-encoder
+    variant) must decode in correct row order, not vertically
+    mirrored."""
+    import struct
+
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import bmp_pattern, bmp_pixels, encode_bmp
+
+    px = bmp_pattern(6, 4, seed=9)
+    b = bytearray(encode_bmp(px))
+    # flip to top-down: negate biHeight and store rows top-first
+    struct.pack_into("<i", b, 22, -4)
+    rows = np.zeros((4, (3 * 6 + 3) // 4 * 4), dtype="uint8")
+    rows[:, : 18] = px.reshape(4, 18)
+    b[54:] = rows.tobytes()
+    assert (bmp_pixels(bytes(b)) == px).all()
