@@ -34,15 +34,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose last green/row is oldest.  A bounded sweep therefore
 # always exercises the least-battle-tested code first, and the order
 # auto-rotates every round with no author input.
-def _last_checked_round() -> dict[str, int]:
-    """Map query name -> highest round number with a CORRECTNESS row."""
+def _check_history(here: str | None = None) -> dict[str, tuple[int, bool]]:
+    """Map query name -> (highest round with a CORRECTNESS row, latest green?).
+
+    A row is green when it has no error and its value-hash matched the
+    oracle; ``no_oracle`` / exception rows count as red so they are
+    re-verified with priority.
+    """
     import glob
     import json
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    last: dict[str, int] = {}
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -53,18 +59,33 @@ def _last_checked_round() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+        for name, row in rows.items():
+            green = row.get("err") is None and bool(row.get("hash_match"))
+            prev = hist.get(name)
+            if prev is None or rnd > prev[0]:
+                hist[name] = (rnd, green)
+    return hist
 
 
 def _ordered():
+    # Latest-red queries lead the sweep (so a bounded 50-slot check always
+    # re-verifies anything whose last driver word was a failure), then
+    # least-recently-checked, then neutral registry order.
     from skopje_spark.queries import load_all
 
     reg = load_all()
-    last = _last_checked_round()
+    hist = _check_history()
     idx = {n: i for i, n in enumerate(reg)}
-    names = sorted(reg, key=lambda n: (last.get(n, 0), idx[n]))
+
+    def key(n):
+        rnd, green = hist.get(n, (0, False))
+        # never-checked queries (rnd=0, green=False) sort with the reds
+        # but after them (higher rnd first within red? no: ascending rnd
+        # puts never-checked at the very front of the red block, which is
+        # right -- no evidence at all beats stale-red for urgency).
+        return (green, rnd, idx[n])
+
+    names = sorted(reg, key=key)
     return {n: reg[n] for n in names}
 
 
