@@ -333,11 +333,34 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def is_bmp(b: bytes) -> bool:
-    """Strict sniff: magic, header present, declared size == actual."""
+    """Sniff on magic + plausible header, not on bfSize equality.
+
+    Real-world encoders commonly write 0 or a padded value into the
+    bfSize field, so requiring ``declared == len(b)`` (the old strict
+    rule) silently routed genuine BMPs to the stub kernel. The sniff
+    now accepts any payload whose magic, DIB header, pixel-data offset
+    and bpp are coherent and whose (uncompressed) pixel data fits in
+    the buffer — which is exactly what :func:`bmp_pixels` needs to
+    decode it. bfSize is ignored entirely; payloads this repo
+    generates (:func:`encode_bmp`) still carry the exact value.
+    """
     if len(b) < _BMP_HEADER_LEN or b[:2] != b"BM":
         return False
-    (declared,) = _struct.unpack("<I", b[2:6])
-    return declared == len(b)
+    (offset,) = _struct.unpack("<I", b[10:14])
+    hdr_size, w, h, planes, bpp = _struct.unpack("<IiiHH", b[14:30])
+    if hdr_size < 40 or planes != 1 or bpp not in (1, 4, 8, 16, 24, 32):
+        return False
+    if w <= 0 or h == 0 or w > 1 << 20 or abs(h) > 1 << 20:
+        return False
+    if offset < 14 + hdr_size or offset > len(b):
+        return False
+    if bpp == 24:
+        (compression,) = _struct.unpack("<I", b[30:34])
+        if compression != 0:  # BI_RGB only — the kernel reads raw rows
+            return False
+        if len(b) < offset + _bmp_row_size(w) * abs(h):
+            return False
+    return True
 
 
 def decode_bmp_header(b: bytes) -> tuple[int, int, int, int]:
@@ -418,10 +441,15 @@ def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
         bmp_rows = payloads[mask].apply(
             lambda raw: decode_bmp_header(bytes(raw))[:2]
         )
-        out.loc[mask.values, "width"] = [w for w, _ in bmp_rows]
-        out.loc[mask.values, "height"] = [h for _, h in bmp_rows]
-        out.loc[mask.values, "n_frames"] = 1
-        out = out.astype(
-            {"width": "int32", "height": "int32", "n_frames": "int32"}
+        import numpy as np
+
+        # assign same-dtype arrays: pandas ≥2.2 deprecates implicit
+        # int64-list → int32-column assignment
+        out.loc[mask.values, "width"] = np.asarray(
+            [w for w, _ in bmp_rows], dtype=out["width"].dtype
         )
+        out.loc[mask.values, "height"] = np.asarray(
+            [h for _, h in bmp_rows], dtype=out["height"].dtype
+        )
+        out.loc[mask.values, "n_frames"] = np.asarray(1, dtype=out["n_frames"].dtype)
     return out

@@ -42,7 +42,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with the repo-wide zero-norm convention: a
+    zero vector scores ~0 against anything (the denominator is clamped
+    at 1e-300, matching the numpy kernels in
+    :func:`cosine_topk_batch` / :func:`blocked_neardup_pairs` and the
+    driver-side scorer in :func:`ivf_index_topk`), never NaN — so the
+    single-query and batch paths rank degenerate inputs identically."""
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
 def l2_norm(a: Column) -> Column:
@@ -140,7 +146,7 @@ def blocked_neardup_pairs(
         pdf = pdf.sort_values("__id")
         ids = pdf["__id"].to_numpy()
         M = np.stack(pdf["__v"].to_numpy()).astype("float64")
-        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        norms = np.maximum(np.sqrt(np.einsum("ij,ij->i", M, M)), 1e-300)
         S = (M @ M.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
         from skopje_spark.queries.rounding import dround_np

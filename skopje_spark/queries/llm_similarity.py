@@ -138,8 +138,8 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, q
       ORDER BY cos_sim DESC, vec_id LIMIT 1
     )
-    SELECT CAST(10 AS BIGINT) AS k_returned,
-           CAST(0 AS BIGINT) AS n_outside_top50,
+    SELECT CAST(1 AS INTEGER) AS k_in_range,
+           CAST(1 AS INTEGER) AS containment_ok,
            vec_id AS top1_id, cos_sim AS top1_sim
     FROM top1
     """,
@@ -151,12 +151,16 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quantizer is iterative (not SQL-expressible), so the oracle
     checks a deterministic verdict the sketch-free engine can
-    recompute: the IVF path must return exactly k rows, every one of
-    them inside the EXACT top-50 by cosine (measured head-room: all
-    results rank ≤ 19 at every fixture SF), and the exact top-1
-    (the query vector itself) — which DuckDB brute-forces — is
-    emitted for a real cross-engine value check. Quantitative
-    recall-vs-label-quantizer floors live in tests/test_operators.py.
+    recompute, with TOLERANCE rather than exact data-dependent counts
+    (the previous hardcoded k_returned=10 / n_outside_top50=0 verdict
+    would break on a fixture-SF or seed change without any real bug):
+    ``k_in_range`` = 1..k rows returned, ``containment_ok`` = at most
+    3 of the 10 results outside the EXACT top-50 by cosine. Measured
+    head-room at sf0.001/0.01/0.1: k_returned=10 and n_outside=0, so
+    the tolerance is pure slack. The exact top-1 (the query vector
+    itself) — which DuckDB brute-forces — is emitted for a real
+    cross-engine value check. Quantitative recall-vs-label-quantizer
+    floors live in tests/test_operators.py.
     """
     from skopje_spark.operators.similarity import kmeans_cells
 
@@ -174,10 +178,22 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outside = approx.join(exact50.select("vec_id"), "vec_id", "left_anti")
     return (
-        approx.agg(F.count(F.lit(1)).alias("k_returned"))
-        .crossJoin(F.broadcast(outside.agg(F.count(F.lit(1)).alias("n_outside_top50"))))
+        approx.agg(_k_in_range(10))
+        .crossJoin(F.broadcast(outside.agg(_containment_ok(3))))
         .crossJoin(F.broadcast(top1))
     )
+
+
+def _k_in_range(k: int):
+    """Verdict: the ANN path returned between 1 and k rows."""
+    n = F.count(F.lit(1))
+    return ((n >= 1) & (n <= k)).cast("int").alias("k_in_range")
+
+
+def _containment_ok(tol: int):
+    """Verdict: at most ``tol`` results fall outside the exact top-50
+    (measured head-room at every fixture SF: zero outside)."""
+    return (F.count(F.lit(1)) <= tol).cast("int").alias("containment_ok")
 
 
 @register(
@@ -370,8 +386,8 @@ def q_similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, q
       ORDER BY cos_sim DESC, vec_id LIMIT 1
     )
-    SELECT CAST(10 AS BIGINT) AS k_returned,
-           CAST(0 AS BIGINT) AS n_outside_top50,
+    SELECT CAST(1 AS INTEGER) AS k_in_range,
+           CAST(1 AS INTEGER) AS containment_ok,
            vec_id AS top1_id, cos_sim AS top1_sim
     FROM top1
     """,
@@ -384,17 +400,26 @@ def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kilobyte centroid table, corpus scan partition-pruned to the
     3 probed cell directories (plan-asserted in test_operators).
 
-    Same containment-verdict oracle as q_similarity_ivf_kmeans: the
-    quantizer is iterative, so the oracle checks k rows returned, all
-    inside the exact top-50, plus the brute-forced exact top-1.
+    Same tolerance-verdict oracle as q_similarity_ivf_kmeans:
+    ``k_in_range`` (1..k rows) and ``containment_ok`` (≤3 of 10
+    outside the exact top-50; measured zero outside at every fixture
+    SF), plus the brute-forced exact top-1 as the cross-engine value
+    check.
     """
-    import hashlib
+    import atexit
+    import shutil
+    import tempfile
 
     from skopje_spark.operators.similarity import ivf_index_topk, ivf_index_write
 
     e = load_table(spark, sf_dir, "embeddings")
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    path = f"/tmp/skopje_ivf_index_{tag}"
+    # unique per-invocation dir: two concurrent runs against the same
+    # sf_dir can't overwrite each other's index mid-scan, and nothing
+    # durable is left behind (the returned DataFrame is evaluated by
+    # the caller before process exit, so cleanup runs at atexit — the
+    # scan of the probed cell= dirs happens before then)
+    path = tempfile.mkdtemp(prefix="skopje_ivf_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     ivf_index_write(e, path, id_col="vec_id", vec_col="embedding", k=8, iters=3)
 
     q = e.orderBy("vec_id").limit(1)
@@ -405,7 +430,7 @@ def q_similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outside = approx.join(exact50.select("vec_id"), "vec_id", "left_anti")
     return (
-        approx.agg(F.count(F.lit(1)).alias("k_returned"))
-        .crossJoin(F.broadcast(outside.agg(F.count(F.lit(1)).alias("n_outside_top50"))))
+        approx.agg(_k_in_range(10))
+        .crossJoin(F.broadcast(outside.agg(_containment_ok(3))))
         .crossJoin(F.broadcast(top1))
     )

@@ -86,3 +86,49 @@ def test_bmp_top_down_variant_not_mirrored():
     rows[:, : 18] = px.reshape(4, 18)
     b[54:] = rows.tobytes()
     assert (bmp_pixels(bytes(b)) == px).all()
+
+
+def test_bmp_sniff_tolerates_real_world_bfsize():
+    """Encoders commonly write 0 (or a padded value) into bfSize; the
+    sniff must still route such payloads to the real kernel (advice
+    r5): magic + coherent header + pixel data fitting the buffer is
+    the contract, not bfSize equality."""
+    import struct
+
+    from skopje_spark.operators.multimodal import bmp_pattern, bmp_pixels, encode_bmp, is_bmp
+
+    px = bmp_pattern(10, 7, seed=4)
+    b = bytearray(encode_bmp(px))
+    struct.pack_into("<I", b, 2, 0)  # bfSize = 0, like many real encoders
+    assert is_bmp(bytes(b))
+    assert (bmp_pixels(bytes(b)) == px).all()
+    struct.pack_into("<I", b, 2, len(b) + 512)  # padded declared size
+    assert is_bmp(bytes(b))
+
+
+def test_bmp_sniff_rejects_incoherent_headers():
+    """The relaxed sniff still rejects payloads the kernel cannot
+    decode: bad magic, truncated pixel data, compressed 24bpp,
+    absurd dimensions, out-of-range pixel offset."""
+    import struct
+
+    from skopje_spark.operators.multimodal import bmp_pattern, encode_bmp, is_bmp
+
+    good = bytearray(encode_bmp(bmp_pattern(8, 5, seed=1)))
+    assert is_bmp(bytes(good))
+
+    assert not is_bmp(b"")
+    assert not is_bmp(b"PK" + bytes(good[2:]))          # wrong magic
+    assert not is_bmp(bytes(good[:-10]))                # truncated pixels
+
+    compressed = bytearray(good)
+    struct.pack_into("<I", compressed, 30, 1)           # BI_RLE8
+    assert not is_bmp(bytes(compressed))
+
+    huge = bytearray(good)
+    struct.pack_into("<i", huge, 18, 1 << 24)           # absurd width
+    assert not is_bmp(bytes(huge))
+
+    bad_off = bytearray(good)
+    struct.pack_into("<I", bad_off, 10, len(good) + 1)  # offset past end
+    assert not is_bmp(bytes(bad_off))

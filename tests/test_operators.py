@@ -774,3 +774,30 @@ def test_star_clusters_every_node_labeled_on_early_cut(spark):
     assert sorted(ids) == list(range(13))  # one row per node, none dropped
     for r in out:
         assert r["cluster_id"] <= r["doc_id"]
+
+
+def test_cosine_zero_norm_convention_unified(spark):
+    """A zero vector must score ~0 (never NaN) in BOTH the HOF cosine
+    path and the batched numpy kernel, so single-query and batch
+    top-k rank degenerate corpora identically (advice r5)."""
+    from skopje_spark.operators.similarity import cosine_topk, cosine_topk_batch
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),   # degenerate corpus vector
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 1).select("vec_id", "embedding")
+
+    single = cosine_topk(e, q, k=3).collect()
+    assert [r["vec_id"] for r in single] == [1, 3, 2]
+    zero_row = [r for r in single if r["vec_id"] == 2][0]
+    assert zero_row["cos_sim"] == 0.0  # clamped denominator, not NaN
+
+    batch = cosine_topk_batch(
+        e, q.select(F.col("vec_id").alias("query_id"), "embedding"), k=3
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in sorted(batch, key=lambda r: -r["cos_sim"])] == [
+        (r["vec_id"], r["cos_sim"]) for r in single
+    ]
