@@ -44,6 +44,8 @@ __all__ = [
     "kll_quantiles",
     "hll_stream_sink",
     "hll_read_estimate",
+    "kll_stream_sink",
+    "kll_read_quantiles",
 ]
 
 
@@ -176,3 +178,59 @@ def hll_read_estimate(spark, state_path: str, keys: list[str]) -> DataFrame:
     :func:`hll_stream_sink`."""
     st = spark.read.parquet(state_path).select(*keys, "hll_state")
     return hll_estimate(hll_merge([st], keys))
+
+
+def kll_stream_sink(
+    stream_df,
+    keys: list[str],
+    col: str,
+    state_path: str,
+    checkpoint: str,
+    *,
+    k: int = 200,
+    available_now: bool = True,
+):
+    """Continuous quantile maintenance — the KLL twin of
+    :func:`hll_stream_sink`: each micro-batch appends its per-key KLL
+    state tagged with ``batch_id``; :func:`kll_read_quantiles` answers
+    "p95 so far" by merging the states, never rescanning events.
+
+    Exactly-once differs from HLL: KLL merge is NOT idempotent (a
+    duplicated state double-weights its values), so the read side
+    deduplicates to ONE state per (key, batch_id) before merging —
+    ``batch_id`` is stable across micro-batch retries (foreachBatch
+    contract), which restores replay safety without requiring the
+    sketch bytes themselves to be reproducible (they aren't; KLL
+    compaction is coin-flip randomized).
+    """
+    from pyspark.sql import functions as FF
+
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        st = kll_state(batch_df, keys, col, k=k).withColumn(
+            "batch_id", FF.lit(batch_id)
+        )
+        st.write.mode("append").parquet(state_path)
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )
+
+
+def kll_read_quantiles(
+    spark, state_path: str, keys: list[str], probs: list[float]
+) -> DataFrame:
+    """Read side of :func:`kll_stream_sink`: one deterministic
+    survivor per (key, batch_id) — min over the binary state, so a
+    retried batch's duplicate append is discarded rather than
+    double-counted — then the pinned-order :func:`kll_merge` fold
+    (batch_id as the slice) and quantile extraction. O(batches × keys)
+    work regardless of how many events the states summarize."""
+    st = (
+        spark.read.parquet(state_path)
+        .groupBy(*keys, "batch_id")
+        .agg(F.min("kll_state").alias("kll_state"))
+        .withColumnRenamed("batch_id", "kll_slice")
+    )
+    return kll_quantiles(kll_merge(st, keys), probs)

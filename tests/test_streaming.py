@@ -333,3 +333,73 @@ def test_tumbling_distinct_stream_matches_batch_exact(spark, tmp_path):
     for ws, n in got.items():
         if ws in exact:
             assert abs(n - exact[ws]) <= max(3, 0.05 * exact[ws]), (ws, n, exact[ws])
+
+
+def test_kll_stream_sink_quantiles_survive_replay(spark, tmp_path):
+    """Continuous quantiles via per-batch KLL states: 3 micro-batches
+    append their sketch states; the reader's merged p50/p95 stay
+    inside a rank band around the exact order statistics, and
+    re-appending a batch's state rows (a retry replay) cannot
+    double-weight the stream — the read side keeps one state per
+    (key, batch_id). KLL values are randomized run-to-run, so all
+    assertions are bands, never exact equality (see
+    operators/sketches.py module docstring)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.sketches import kll_read_quantiles, kll_stream_sink
+
+    src = tmp_path / "src"
+    rows, eid = [], 0
+    for b in range(3):
+        batch = []
+        for i in range(200):
+            eid += 1
+            batch.append({
+                "event_id": eid, "ts": f"2024-01-01T00:{b:02d}:00",
+                "user_id": f"u{eid}", "value": float(eid),  # values 1..600
+            })
+        _write_events(src, batch, f"b{b}.json")
+        rows.extend(batch)
+    now = _time.time()
+    for b in range(3):
+        _os.utime(src / f"b{b}.json", (now - (3 - b) * 10, now - (3 - b) * 10))
+
+    state = str(tmp_path / "kll_states")
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    stream = stream.withColumn("g", F.lit("all"))
+    q = kll_stream_sink(
+        stream, ["g"], "value", state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+
+    # one state per (key, batch) landed
+    st = spark.read.parquet(state)
+    assert st.count() == 3 and st.select("batch_id").distinct().count() == 3
+
+    exact = sorted(r["value"] for r in rows)
+    n = len(exact)
+
+    def band(p, eps=0.07):
+        lo = exact[max(0, int((p - eps) * n) - 1)]
+        hi = exact[min(n - 1, int((p + eps) * n))]
+        return lo, hi
+
+    def assert_in_band(got):
+        for p, col in [(0.5, "p50"), (0.95, "p95")]:
+            lo, hi = band(p)
+            assert lo <= got[col] <= hi, (col, got[col], lo, hi)
+
+    est = kll_read_quantiles(spark, state, ["g"], [0.5, 0.95]).collect()
+    assert len(est) == 1
+    assert_in_band(est[0])
+
+    # replay: duplicate one batch's state rows — the dedup-by-batch_id
+    # read must not double-weight it (p50 of 1..600 would shift far
+    # outside the band if batch 0's values counted twice)
+    one = spark.read.parquet(state).limit(1)
+    one.write.mode("append").parquet(state)
+    est2 = kll_read_quantiles(spark, state, ["g"], [0.5, 0.95]).collect()
+    assert_in_band(est2[0])
