@@ -466,10 +466,111 @@ def ivf_index_write(
     # probe different cells near rounded-score ties
     cents = ivf_centroids(assigned, vec_col=vec_col, cell_col="cell")
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    return [
+    cent_list = [
         [float(x) for x in r["centroid"]]
         for r in cents.orderBy("cell").collect()
     ]
+    # build-time fit baseline for ivf_index_append's staleness metric:
+    # mean cosine between each vector and its assigned centroid
+    _write_index_stats(
+        assigned, cent_list, f"{path}/stats", phase="build", vec_col=vec_col
+    )
+    return cent_list
+
+
+def _assigned_cosine(vec_col: str, centroids: list[list[float]]) -> Column:
+    """max over centroids of cosine(vec, centroid) — the fit of a
+    vector to its (best) cell, as one codegen expression."""
+    return F.array_max(
+        F.array(*[cosine(F.col(vec_col), _centroid_literal(c)) for c in centroids])
+    )
+
+
+def _write_index_stats(
+    df: DataFrame,
+    centroids: list[list[float]],
+    stats_path: str,
+    *,
+    phase: str,
+    vec_col: str,
+) -> float:
+    """Append one (phase, n, mean_assigned_cos) row; returns the mean."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(_assigned_cosine(vec_col, centroids)).alias("mean_assigned_cos"),
+    ).collect()[0]
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(phase, int(row["n"]), float(row["mean_assigned_cos"]))],
+        "phase string, n long, mean_assigned_cos double",
+    ).write.mode("append").parquet(stats_path)
+    return float(row["mean_assigned_cos"])
+
+
+def ivf_index_append(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors to a persisted IVF index WITHOUT re-quantizing.
+
+    Real corpora grow; rebuilding the quantizer per ingest would cost a
+    full corpus pass. Instead each new vector is assigned to its
+    nearest EXISTING centroid (broadcast-literal codegen map — no
+    shuffle, no join, exactly :func:`kmeans_assign`) and appended to
+    that ``cell=`` partition, so every later :func:`ivf_index_topk`
+    sees it with zero read-path changes.
+
+    The cost of never re-quantizing is drift: appended data may fit
+    the frozen centroids worse than the build corpus did, degrading
+    recall. The returned staleness metric quantifies that — the drop
+    between the build-time mean assigned-cosine (persisted in
+    ``path/stats``) and the appended batch's mean. Callers trigger a
+    rebuild (:func:`ivf_index_write` on the union) when the drop
+    crosses their threshold; a batch that fits as well as the original
+    corpus scores a drop ≈ 0.
+
+    Returns ``{"n_appended", "build_mean_cos", "append_mean_cos",
+    "staleness_drop"}`` (``build_mean_cos``/``staleness_drop`` are
+    None for indexes built before stats existed).
+    """
+    spark = embeddings.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    if not cent_rows:
+        raise ValueError(f"no centroids found under {path}")
+    cells = [r["cell"] for r in cent_rows]
+    cents = [[float(x) for x in r["centroid"]] for r in cent_rows]
+
+    # assignment position -> the index's actual cell id (cells can be
+    # non-contiguous if a quantizer cell ended up empty at build time)
+    cell_of_pos = F.array(*[F.lit(int(c)) for c in cells])
+    assigned = kmeans_assign(
+        embeddings, cents, vec_col=vec_col, out_col="__pos"
+    ).withColumn(
+        "cell", F.element_at(cell_of_pos, F.col("__pos") + 1)
+    ).drop("__pos")
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+    append_mean = _write_index_stats(
+        embeddings, cents, f"{path}/stats", phase="append", vec_col=vec_col
+    )
+    n_appended = embeddings.count()
+    build_mean = None
+    try:
+        stats = spark.read.parquet(f"{path}/stats")
+        b = stats.filter(F.col("phase") == "build").collect()
+        if b:
+            build_mean = float(b[0]["mean_assigned_cos"])
+    except Exception:  # pre-stats index layout
+        pass
+    return {
+        "n_appended": int(n_appended),
+        "build_mean_cos": build_mean,
+        "append_mean_cos": append_mean,
+        "staleness_drop": (build_mean - append_mean) if build_mean is not None else None,
+    }
 
 
 def ivf_index_topk(

@@ -801,3 +801,71 @@ def test_cosine_zero_norm_convention_unified(spark):
     assert [(r["vec_id"], r["cos_sim"]) for r in sorted(batch, key=lambda r: -r["cos_sim"])] == [
         (r["vec_id"], r["cos_sim"]) for r in single
     ]
+
+
+def test_ivf_index_append_matches_rebuild_on_probed_cells(spark, sf_dir, tmp_path):
+    """Appending to a persisted IVF index (no re-quantize) must be
+    indistinguishable at query time from an index whose vectors/ dirs
+    were built from the union with the SAME frozen centroids: the
+    probed-cell top-k equals brute-force over the union rows assigned
+    to the probed cells. The append also reports a staleness metric
+    anchored to the build-time fit baseline."""
+    from skopje_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_append,
+        ivf_index_topk,
+        kmeans_assign,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    extra = e.filter(F.col("vec_id") % 5 == 0)
+
+    from skopje_spark.operators.similarity import ivf_index_write
+
+    path = str(tmp_path / "ivf")
+    ivf_index_write(base, path, k=8, iters=3)
+    stats = ivf_index_append(extra, path)
+
+    assert stats["n_appended"] == extra.count()
+    assert stats["build_mean_cos"] is not None
+    # same-distribution append: fit within a few percent of build fit
+    assert abs(stats["staleness_drop"]) < 0.1, stats
+
+    q = e.orderBy("vec_id").limit(1)
+    got = ivf_index_topk(spark, path, q, n_probe=3, k=10)
+
+    # expected: re-derive the probe set with the FROZEN stored
+    # centroids (the same deterministic rule ivf_index_topk applies:
+    # 6-dp-rounded cosine, cell-id tiebreak), re-assign the union with
+    # those frozen centroids, brute-force only the probed cells
+    import math
+
+    from skopje_spark.queries.rounding import dround_scalar
+
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cent_list = [[float(x) for x in r["centroid"]] for r in cents]
+    qv = [float(x) for x in q.select("embedding").collect()[0][0]]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def score(c):
+        dot = sum(a * b for a, b in zip(c, qv))
+        return dround_scalar(dot / (math.sqrt(sum(a * a for a in c)) * qn), 6)
+
+    ranked = sorted(
+        ((score(cent_list[i]), r["cell"]) for i, r in enumerate(cents)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [cell for _, cell in ranked[:3]]
+
+    # kmeans_assign emits list POSITIONS; remap to the index's actual
+    # cell ids exactly like ivf_index_append does (robust to an empty
+    # build cell making the id space non-contiguous)
+    cell_of_pos = F.array(*[F.lit(int(r["cell"])) for r in cents])
+    union_assigned = kmeans_assign(
+        base.unionByName(extra), cent_list, out_col="__pos"
+    ).withColumn("cell", F.element_at(cell_of_pos, F.col("__pos") + 1))
+    candidates = union_assigned.filter(F.col("cell").isin(probe))
+    want = cosine_topk(candidates, q, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
