@@ -154,3 +154,23 @@ def q_sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("p95_in_band"),
     )
+
+
+def sketch_quantile_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY production path of q_sketch_quantile_merge: per-slice
+    KLL state build → pinned-order merge → quantile extraction, WITHOUT
+    the exact-rank verifier (a full per-group sort window that exists
+    only to check the answer and would dominate — and misattribute —
+    the timing). Not registered in the catalog: its raw quantile values
+    are randomized by KLL compaction, so it cannot carry a value-hash
+    oracle; correctness of the same path is covered by
+    q_sketch_quantile_merge's banded verdict."""
+    l = load_table(spark, sf_dir, "lineitem")
+    st = kll_state(
+        l,
+        ["l_returnflag"],
+        "l_extendedprice",
+        slice_col=F.date_trunc("month", F.col("l_shipdate")),
+        k=200,
+    )
+    return kll_quantiles(kll_merge(st, ["l_returnflag"]), [0.5, 0.95])
