@@ -1,147 +1,99 @@
-"""Distributed graph primitives: star-contraction connected components.
+"""Iterative graph analytics on edge DataFrames: fixed-iteration
+PageRank.
 
-The near-dup clustering surface (`operators/dedup.py:neardup_clusters`)
-uses min-label propagation, whose round count equals the graph
-diameter. That is fine for shallow near-dup graphs, but a 100 TB corpus
-can contain long duplication chains (A≈B≈C≈…), and diameter-many
-shuffles is the wrong asymptotic. This module implements the
-**large-star / small-star alternation** (Kiveris et al., *Connected
-Components in MapReduce and Beyond*, SoCC'14), which converges in
-O(log² n) rounds regardless of diameter, using only groupBy/join
-primitives — every round is embarrassingly parallel and
-shuffle-bounded by the current edge count, which shrinks monotonically
-toward one star per component.
+Companion to the connected-components fixpoint in
+``operators/dedup.py`` (neardup_clusters): where that converges a
+labeling, this powers importance scoring over a relationship graph —
+e.g. ranking suppliers by how central they are to high-degree
+customers, or domains by inbound links in a crawl.
 
-Reference parity note: the reference engine (Vostanis/skopje) has no
-graph operator at all — it delegates relational SQL to Postgres
-(src/etl.rs) and ships no recursive/iterative surface. This module is
-part of the §2C LLM-data extension inventory (near-dup clustering at
-scale), not a literal port.
+Scale shape per iteration: one shuffle to aggregate contributions by
+destination (sum is a partial agg — map-side combined), one join of
+ranks onto edges on the source key. Ranks are O(nodes) rows, edges
+are the big side and are never mutated or re-partitioned; with edges
+pre-bucketed by ``src`` every iteration's join is shuffle-free on the
+big side. Iterations are FIXED (not run-to-convergence) so the result
+is a closed-form composition both engines can reproduce — the DuckDB
+oracle chains one CTE per iteration.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Cheap convergence check: (edge count, xor-ish hash sum).
-
-    One action per round over a map-side-combinable aggregate — the
-    driver never sees the edges themselves, only two longs.
-    """
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        # bit_xor, not sum: xxhash64 spans the full long range and a
-        # long-sum would overflow (an error under Spark 4's ANSI mode)
-        F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
-    ).first()
-    return (row["n"], row["h"] if row["h"] is not None else 0)
-
-
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ⁺(u)).
-
-    Operates on the bidirectional edge list; emits (v, m) for each
-    neighbor v > u, where m = min over u's closed neighborhood. One
-    groupBy (map-side min) + one re-join-free window-less pass: the
-    min is attached via a groupBy + join on the grouping key, which
-    Spark plans as a single shuffle reused by both sides under AQE.
-    """
-    nbr_min = edges.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
-    )
-    return (
-        edges.join(nbr_min, "src")
-        .filter(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-
-
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor ≤ u (and u itself) to min(Γ⁻(u) ∪ {u}).
-
-    Input edges are first directed high→low; for each center u the
-    strictly-smaller neighborhood plus u itself is re-pointed at its
-    minimum, turning shallow trees into stars.
-    """
-    directed = edges.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
-    nbr_min = directed.groupBy("src").agg(F.min("dst").alias("m"))
-    re_pointed = directed.join(nbr_min, "src").select(
-        F.col("dst").alias("src"), F.col("m").alias("dst")
-    )
-    center = nbr_min.select(F.col("src"), F.col("m").alias("dst"))
-    return (
-        re_pointed.unionByName(center)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-
-
-def connected_components_star(
-    pairs: DataFrame,
+def pagerank(
+    edges: DataFrame,
     *,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    max_iterations: int = 25,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping: float = 0.85,
 ) -> DataFrame:
-    """Connected components via large-star/small-star alternation →
-    (doc_id, cluster_id) with cluster_id = min node id in the component
-    — same output contract as ``dedup.neardup_clusters``, different
-    asymptotics (O(log² n) rounds vs O(diameter)).
+    """Fixed-iteration PageRank over a directed edge list.
 
-    Each round: one large-star pass + one small-star pass (two
-    shuffles), then a two-long fingerprint action to detect the
-    fixpoint. ``localCheckpoint`` truncates the lineage every round so
-    the plan stays O(1) deep — without it, iterative DataFrame
-    algorithms compile ever-growing DAGs and stall the driver long
-    before the executors are busy.
+    Requires every node to have out-degree ≥ 1 (undirected graphs:
+    emit both directions — then the requirement holds by
+    construction and no dangling-mass redistribution term is needed,
+    keeping the recurrence exactly
+    ``r' = (1-d)/n + d·Σ_in r/outdeg``). Returns ``(node,
+    norm_rank)`` with ranks normalized to mean 1 (multiplied by n) so
+    magnitudes are scale-free.
 
-    At the fixpoint the edge set is exactly the star assignment
-    (node → component minimum); isolated input nodes (present in
-    ``pairs`` but never re-pointed) keep themselves as cluster id.
+    Raises if a dangling node exists: silently wrong ranks are worse
+    than a loud contract.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    # bidirectional for the first large-star pass
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # materialize the edge list once (same pattern as the clustering
+    # fixpoint in operators/dedup.py): it is referenced by the degree
+    # count, the dangling check, and every iteration's join — without
+    # this, a lazily derived edge list (e.g. a join+distinct) would be
+    # recomputed per action and per iteration
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
-
-    prev = _fingerprint(edges)
-    for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _fingerprint(edges)
-        if cur == prev:
-            break
-        prev = cur
-        # re-bidirect for the next large-star pass
-        edges = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint(eager=True)  # reused every iteration
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+    dangling = nodes.join(
+        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).limit(1).count()
+    if dangling:
+        raise ValueError(
+            "pagerank: graph has nodes with out-degree 0; emit both edge "
+            "directions (undirected) or add self-loops before calling"
         )
 
-    # stars point node → min; strip any residual upward duplicates and
-    # label isolated nodes with themselves
-    stars = (
-        edges.select(
-            F.greatest("src", "dst").alias("id"), F.least("src", "dst").alias("m")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
         )
-        .groupBy("id")
-        .agg(F.min("m").alias("cluster_id"))
-    )
-    return nodes.join(stars, "id", "left").select(
-        F.col("id").alias("doc_id"),
-        F.coalesce("cluster_id", "id").alias("cluster_id"),
-    )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # O(nodes) rows; truncating per-iteration lineage keeps the
+            # plan depth constant regardless of iters
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", (F.col("rank") * F.lit(float(n))).alias("norm_rank"))

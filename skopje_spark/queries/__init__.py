@@ -77,6 +77,7 @@ def load_all() -> dict[str, QueryDef]:
         relational,
         relational_extra,
         scalars,
+        scale_ops,
         setops,
         sketch_state,
         streaming_windows,

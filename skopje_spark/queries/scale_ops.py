@@ -1,0 +1,412 @@
+"""Round-6 scale operators as oracle-checked catalog queries:
+embedding compression (int8 quantize, JL projection), bounded-state
+heavy hitters, fixed-iteration PageRank, distribution window
+functions, and corpus-LM document scoring.
+
+Oracle discipline (see queries/__init__): digests and verdicts are
+built only from constructions both engines compute bit-identically
+(sequential list folds, integer arithmetic, the dround primitive) or
+from mathematically order-independent guarantees (the Misra–Gries
+band), so the value hashes are stable across engines and partition
+layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround, dround_sql
+from skopje_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+
+
+_SYM_ROUND_SQL = (
+    "CASE WHEN ({x}) < 0 THEN -FLOOR(-({x}) + 0.5) ELSE FLOOR(({x}) + 0.5) END"
+)
+
+
+@register(
+    "q_embed_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> ABS(x))) / 127.0 AS qscale
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id, qscale,
+             CASE WHEN qscale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(
+                       {_SYM_ROUND_SQL.format(x='x / qscale')} AS BIGINT))
+             END AS qv
+      FROM scaled
+    )
+    SELECT vec_id,
+           qscale,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * i)) AS BIGINT) AS q_posdigest,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sqsum,
+           qv[1] AS q_first
+    FROM q
+    ORDER BY vec_id
+    """,
+    tags=("embedding", "quantize", "compression", "llm-pipeline"),
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (operators/quantize.py): scale = max|x|/127, codes in [-127,127] —
+    the 4× storage cut applied before persisting an embedding lake.
+
+    Exact cross-engine oracle: the scale is comparison+division only
+    (no summation, bit-deterministic) and the codes are integers, so
+    the emitted digests (position-weighted sum, sum of squares, first
+    code) hash identically. Reconstruction-error bounds are
+    unit-checked in tests/test_scale_ops.py.
+    """
+    from skopje_spark.operators.quantize import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, vec_col="embedding")
+    idx = F.sequence(F.lit(1), F.size("qvec"))
+    return q.select(
+        "vec_id",
+        "qscale",
+        F.aggregate(
+            F.zip_with(F.col("qvec"), idx, lambda qq, i: qq.cast("long") * i),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_posdigest"),
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda qq: qq.cast("long") * qq.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("q_sqsum"),
+        F.element_at("qvec", 1).cast("long").alias("q_first"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# JL random projection
+
+
+def _proj_dim_sql(plane: int) -> str:
+    """One projected dimension, with the Hadamard sign row inlined as
+    LITERALS (the Spark plan bakes the same values in as literals, so
+    the two engines share the matrix by construction rather than by
+    re-derivation)."""
+    from skopje_spark.operators.quantize import projection_signs
+
+    signs = ", ".join(f"{s:.1f}" for s in projection_signs(plane, 64))
+    return (
+        f"list_sum(list_transform(range(1, len(v) + 1), "
+        f"i -> v[i] * ([{signs}])[i])) / 4.0"
+    )
+
+
+@register(
+    "q_embed_random_projection",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id,
+             {", ".join(f"({_proj_dim_sql(p)}) AS y{p}" for p in range(16))}
+      FROM base
+    )
+    SELECT vec_id,
+           {dround_sql('y0', 6)} AS proj_first,
+           {dround_sql('+'.join(f'y{p} * {p + 1}' for p in range(16)), 6)}
+             AS proj_posdigest,
+           {dround_sql('sqrt(' + '+'.join(f'y{p} * y{p}' for p in range(16)) + ')', 6)}
+             AS proj_norm
+    FROM proj
+    ORDER BY vec_id
+    """,
+    tags=("embedding", "projection", "jl", "compression", "llm-pipeline"),
+)
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign-matrix projection 64→16
+    (operators/quantize.py): the dimensionality cut applied before ANN
+    indexing or pairwise scans. The ±1 matrix is literal-baked into
+    the plan (codegen narrow map, no shuffle/join/UDF).
+
+    Oracle: DuckDB regenerates the deterministic sign pattern from the
+    same index arithmetic and folds each output dim SEQUENTIALLY, the
+    same left-to-right order as Spark's F.aggregate — bit-identical
+    doubles, rounded once at the digest. Geometry preservation
+    (pairwise cosine drift) is unit-checked in
+    tests/test_scale_ops.py.
+    """
+    from skopje_spark.operators.quantize import random_projection
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = random_projection(e, vec_col="embedding", out_dim=16, dim=64)
+    y = F.col("proj")
+    idx = F.sequence(F.lit(1), F.size("proj"))
+    return p.select(
+        "vec_id",
+        dround(F.element_at(y, 1), 6).alias("proj_first"),
+        dround(
+            F.aggregate(
+                F.zip_with(y, idx, lambda v, i: v * i.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("proj_posdigest"),
+        dround(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(y, lambda v: v * v),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("proj_norm"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra–Gries)
+
+
+@register(
+    "q_freq_heavy_hitters",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS exact_cnt,
+           CAST(1 AS INTEGER) AS found,
+           CAST(1 AS INTEGER) AS est_in_band
+    FROM events GROUP BY event_type ORDER BY exact_cnt DESC, event_type
+    """,
+    tags=("freq", "sketch", "heavy-hitters", "llm-pipeline"),
+)
+def q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters over event_type (m=64 counters per
+    partition — state O(partitions×m), never O(distinct)).
+
+    Verdict oracle built on the MERGEABLE-SUMMARY guarantee, which is
+    independent of row order and partitioning: every item with true
+    frequency above n/(m+1) must be found, and its estimate must lie
+    in [exact − n/(m+1), exact]. The query emits the exact counts
+    (both engines compute those) plus the two guarantee flags; the
+    decrement path that the low-cardinality fixture can't trigger is
+    exercised on synthetic high-cardinality data in
+    tests/test_scale_ops.py.
+    """
+    from skopje_spark.operators.freq import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, "event_type", m=64)
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    joined = exact.join(hh, exact["event_type"] == hh["item"], "left")
+    return (
+        joined.filter(F.col("exact_cnt") > F.col("err_bound"))
+        .select(
+            "event_type",
+            "exact_cnt",
+            F.col("item").isNotNull().cast("int").alias("found"),
+            (
+                F.col("item").isNotNull()
+                & (F.col("est") <= F.col("exact_cnt"))
+                & (F.col("est") >= F.col("exact_cnt") - F.col("err_bound"))
+            )
+            .cast("int")
+            .alias("est_in_band"),
+        )
+        .orderBy(F.desc("exact_cnt"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+_PR_EDGES_SQL = """
+    pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    i_{out} AS (
+      SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS inflow
+      FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT nodes.node,
+             ((1.0 - 0.85) / nn.n + 0.85 * COALESCE(i_{out}.inflow, 0.0)) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN i_{out} ON nodes.node = i_{out}.node
+    )
+"""
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGES_SQL},
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql('r0', 'r1')},
+    {_pr_iter_sql('r1', 'r2')}
+    SELECT node, {dround_sql('r2.rank * nn.n', 6)} AS norm_rank
+    FROM r2 CROSS JOIN nn
+    WHERE node LIKE 's%'
+    ORDER BY norm_rank DESC, node LIMIT 15
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank (d=0.85) over the undirected
+    customer–supplier trade graph (distinct pairs from
+    orders⋈lineitem, both directions emitted so out-degree ≥ 1 by
+    construction — operators/graph.py), reporting the 15 most central
+    suppliers with mean-1-normalized ranks.
+
+    Fixed iterations make the result a closed-form composition the
+    DuckDB oracle reproduces with one CTE per iteration; inflow sums
+    differ only in summation order (dround-absorbed, the repo's
+    accepted float-oracle risk class).
+    """
+    from skopje_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("c"), F.col("c")).alias("src"),
+        F.concat(F.lit("s"), F.col("s")).alias("dst"),
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iters=2, damping=0.85)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", dround(F.col("norm_rank"), 6).alias("norm_rank"))
+        .orderBy(F.desc("norm_rank"), "node")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions
+
+
+@register(
+    "q_window_distribution",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           NTILE(4) OVER w AS price_quartile,
+           {dround_sql('PERCENT_RANK() OVER w', 9)} AS pct_rank,
+           {dround_sql('CUME_DIST() OVER w', 9)} AS cume
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """,
+    tags=("window", "distribution", "ntile"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank /
+    cume_dist — per return flag over price. The ORDER BY carries the
+    full unique key (orderkey, linenumber tiebreak): ntile assigns by
+    ROW position, so any tie left unordered would make bucket
+    membership scheduling-dependent; with a total order all three
+    functions are exact rational arithmetic both engines agree on.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w).alias("price_quartile"),
+        dround(F.percent_rank().over(w), 9).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM document scoring
+
+
+@register(
+    "q_text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           {dround_sql('AVG(-ln(freq.c / tot.t))', 6)} AS mean_nll
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "lm", "llm-pipeline"),
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the CCNet-style quality signal): a
+    corpus unigram model p(w) = count/total, each document scored by
+    its mean negative log-probability — low = common boilerplate-ish
+    text, high = rare-token (or noisy) text.
+
+    Scale: one groupBy(token) builds the model (shuffle ∝ vocabulary,
+    map-side combined); scoring joins tokens to the model on the token
+    key — both sides already partitioned by the same key after the
+    build, and at 100 TB the model can instead be broadcast after a
+    min-count cut. No UDF anywhere; ln/avg differences are
+    dround-absorbed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )

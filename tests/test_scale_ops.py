@@ -1,0 +1,185 @@
+"""Operator-level guarantees for the round-6 scale operators
+(quantize / projection / heavy hitters / pagerank) — the properties
+the catalog oracles can't see: error bounds, geometry preservation,
+the Misra–Gries decrement path, and plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_quantize_int8_reconstruction_bound(spark, sf_dir):
+    """Per-element reconstruction error ≤ scale/2 (round-to-nearest),
+    codes within [-127, 127], and all-zero vectors decode to exact
+    zeros."""
+    from skopje_spark.operators.quantize import dequantize_int8, quantize_int8
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(200)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    q = dequantize_int8(quantize_int8(e.unionByName(zero.withColumn(
+        "label", F.lit(0)).select("vec_id", "embedding", "label"))))
+
+    checked = q.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("dqvec"),
+                lambda x, y: F.abs(x - y),
+            )
+        ).alias("max_err"),
+        (F.col("qscale") / 2 + F.lit(1e-12)).alias("bound"),
+        F.array_max(F.transform("qvec", F.abs)).alias("max_code"),
+        "vec_id",
+    ).collect()
+    for r in checked:
+        assert r["max_err"] <= r["bound"], r["vec_id"]
+        assert r["max_code"] <= 127
+    zrow = [r for r in checked if r["vec_id"] == 999_999][0]
+    assert zrow["max_err"] == 0.0 and zrow["max_code"] == 0
+
+
+def test_quantize_preserves_cosine_within_band(spark, sf_dir):
+    """Dequantized vectors must stay cosine-close to the originals —
+    the property that makes int8 storage usable for ANN (~0.2%
+    typical error; assert a loose 2% band)."""
+    from skopje_spark.operators.quantize import dequantize_int8, quantize_int8
+    from skopje_spark.operators.similarity import cosine
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    dq = dequantize_int8(quantize_int8(e))
+    drift = dq.select(
+        (1 - cosine(F.col("embedding"), F.col("dqvec"))).alias("d")
+    ).agg(F.max("d")).collect()[0][0]
+    assert drift < 0.02, drift
+
+
+def test_random_projection_preserves_pairwise_geometry(spark, sf_dir):
+    """JL: pairwise cosine in the 16-dim projection tracks the 64-dim
+    cosine. ε for out_dim=16 is large, so assert correlation-style
+    bounds: mean |drift| well under the JL ε and no catastrophic
+    inversion (near-identical stays near-identical)."""
+    import itertools
+    import math
+
+    from skopje_spark.operators.quantize import random_projection
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(30)
+    rows = random_projection(e, out_dim=16, dim=64).select(
+        "vec_id", "embedding", "proj"
+    ).collect()
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-300
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-300
+        return dot / (na * nb)
+
+    drifts = []
+    for r1, r2 in itertools.combinations(rows, 2):
+        c64 = cos([float(x) for x in r1["embedding"]], [float(x) for x in r2["embedding"]])
+        c16 = cos(r1["proj"], r2["proj"])
+        drifts.append(abs(c64 - c16))
+    mean_drift = sum(drifts) / len(drifts)
+    assert mean_drift < 0.25, mean_drift
+    assert max(drifts) < 0.75, max(drifts)
+
+
+def test_quantize_and_projection_plans_are_narrow(spark, sf_dir):
+    """Both kernels must be pure narrow maps: no Exchange (shuffle),
+    no Python UDF in the plan — the property that makes them free at
+    100 TB."""
+    from skopje_spark.operators.quantize import quantize_int8, random_projection
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    for df in (quantize_int8(e), random_projection(e)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+
+def test_heavy_hitters_guarantee_under_decrements(spark):
+    """Synthetic high-cardinality stream (3 planted heavy items over
+    5000 distinct light ones, m=16 so compress fires constantly):
+    every item with f > n/(m+1) is found, estimates are in
+    [f − n/(m+1), f], and nothing is overcounted."""
+    from skopje_spark.operators.freq import heavy_hitters
+
+    rows = []
+    for i in range(6000):
+        rows.append((f"light_{i % 5000}",))
+    for h, reps in [("hot_a", 2500), ("hot_b", 1500), ("hot_c", 900)]:
+        rows.extend([(h,)] * reps)
+    df = spark.createDataFrame(rows, "item_val string").repartition(8)
+    n = len(rows)
+    m = 16
+    got = {r["item"]: r for r in heavy_hitters(df, "item_val", m=m).collect()}
+    err = n / (m + 1)
+
+    exact = {"hot_a": 2500, "hot_b": 1500, "hot_c": 900}
+    for item, f_true in exact.items():
+        if f_true > err:
+            assert item in got, item
+        if item in got:
+            assert got[item]["est"] <= f_true
+            assert got[item]["est"] >= f_true - err
+            assert abs(got[item]["err_bound"] - err) < 1e-9
+    # no light item can be overcounted above its true frequency (2)
+    for item, r in got.items():
+        if item.startswith("light_"):
+            assert r["est"] <= 2
+
+
+def test_heavy_hitters_exact_when_cardinality_fits(spark):
+    """With distinct ≤ m no decrement ever fires, so estimates are
+    exact — the regime the catalog query exercises on event_type."""
+    from skopje_spark.operators.freq import heavy_hitters
+
+    rows = [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    got = {r["item"]: r["est"] for r in heavy_hitters(df, "v", m=8).collect()}
+    assert got == {"a": 10, "b": 5, "c": 1}
+
+
+def test_pagerank_star_and_symmetry(spark):
+    """On an undirected star the hub outranks every leaf and leaves
+    tie exactly; on a symmetric cycle all ranks are exactly equal
+    (mean-1 normalization ⇒ 1.0)."""
+    from skopje_spark.operators.graph import pagerank
+
+    star = []
+    for leaf in ["l1", "l2", "l3", "l4"]:
+        star.append(("hub", leaf))
+        star.append((leaf, "hub"))
+    ranks = {
+        r["node"]: r["norm_rank"]
+        for r in pagerank(
+            spark.createDataFrame(star, "src string, dst string"), iters=3
+        ).collect()
+    }
+    assert ranks["hub"] > ranks["l1"]
+    assert ranks["l1"] == ranks["l2"] == ranks["l3"] == ranks["l4"]
+    assert abs(sum(ranks.values()) / len(ranks) - 1.0) < 1e-9  # mean-1
+
+    cycle = [("a", "b"), ("b", "c"), ("c", "a")]
+    cr = {
+        r["node"]: r["norm_rank"]
+        for r in pagerank(
+            spark.createDataFrame(cycle, "src string, dst string"), iters=4
+        ).collect()
+    }
+    assert all(abs(v - 1.0) < 1e-9 for v in cr.values()), cr
+
+
+def test_pagerank_rejects_dangling_nodes(spark):
+    from skopje_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="out-degree 0"):
+        pagerank(e)
