@@ -124,3 +124,61 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     m = attach_bmp_payload(d, "doc_id")
     return decode_media(m).select("doc_id", "width", "height", "byte_len")
+
+
+@register(
+    "q_multimodal_wav_decode",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             200 + doc_id % 128 AS n,
+             doc_id % 32 AS seed,
+             8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n, rate,
+             list_transform(range(0, n),
+               i -> (i * i * 7 + i * 13 * seed + seed * seed * 3) % 65536
+                    - 32768) AS s
+      FROM params
+    )
+    SELECT doc_id,
+           n AS n_samples,
+           rate AS sample_rate,
+           44 + 2 * n AS byte_len,
+           (CASE WHEN (sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / n)) < 0
+                 THEN -(FLOOR((-(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / n))) * 1000000.0 + 0.5) / 1000000.0)
+                 ELSE FLOOR((sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / n)) * 1000000.0 + 0.5) / 1000000.0 END) AS rms,
+           CAST(list_sum(list_transform(range(2, n + 1),
+               i -> CASE WHEN (s[i - 1] < 0) != (s[i] < 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS zcc
+    FROM samp
+    """,
+    tags=("multimodal", "wav", "audio", "real-codec", "decode"),
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec libraries (operators/audio.py —
+    the WAV/PCM16 twin of q_multimodal_bmp_decode): per-doc WAV
+    payloads (waveform length/seed/rate derived from doc_id) are
+    encoded executor-side with a real RIFF/WAVE encoder, then
+    decode_audio parses the actual headers back and computes RMS
+    energy and zero-crossing counts from the DECODED samples. The
+    oracle recomputes every feature from the closed-form waveform
+    arithmetic — an encoder bug, header mis-write, or sample
+    misdecode hash-mismatches. Sum-of-squares is exact int64 on both
+    sides; RMS rounds once at 6 dp."""
+    from skopje_spark.operators.audio import attach_wav_payload, decode_audio
+    from skopje_spark.queries.rounding import dround
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = attach_wav_payload(d, "doc_id")
+    out = decode_audio(w, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "byte_len",
+        dround(F.col("rms"), 6).alias("rms"),
+        "zcc",
+    )

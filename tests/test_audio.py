@@ -1,0 +1,112 @@
+"""Real WAV/PCM16 codec tests (operators/audio.py) — the audio twin
+of the BMP suite in test_multimodal.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_wav_roundtrip_property():
+    """Encode→decode is the identity on samples for arbitrary lengths,
+    seeds and rates; resample changes length proportionally."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from skopje_spark.operators.audio import (
+        decode_wav_header,
+        make_wav,
+        pcm_pattern,
+        resample_wav,
+        wav_samples,
+    )
+
+    @given(
+        n=st.integers(min_value=1, max_value=2000),
+        seed=st.integers(min_value=0, max_value=255),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(n, seed, rate):
+        b = make_wav(n, seed, rate)
+        ch, r, bits, ns, off = decode_wav_header(b)
+        assert (ch, r, bits, ns, off) == (1, rate, 16, n, 44)
+        assert (wav_samples(b) == pcm_pattern(n, seed)).all()
+        half = resample_wav(b, rate // 2)
+        assert decode_wav_header(half)[3] == max(1, int(round(n / 2)))
+        assert decode_wav_header(half)[1] == rate // 2
+
+    check()
+
+
+def test_wav_sniff_rejects_incoherent_payloads():
+    from skopje_spark.operators.audio import is_wav, make_wav
+
+    good = bytearray(make_wav(100, seed=3))
+    assert is_wav(bytes(good))
+    assert not is_wav(b"")
+    assert not is_wav(b"RIFX" + bytes(good[4:]))        # wrong magic
+    assert not is_wav(bytes(good[:50]))                 # truncated data
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3                                     # non-PCM format tag
+    assert not is_wav(bytes(bad_fmt))
+
+
+def test_wav_resample_preserves_waveform_shape():
+    """Nearest-neighbor upsample by 2 duplicates each sample (exact
+    index-map semantics, like the BMP resize contract)."""
+    import numpy as np
+
+    from skopje_spark.operators.audio import make_wav, resample_wav, wav_samples
+
+    b = make_wav(50, seed=7, sample_rate=8000)
+    up = resample_wav(b, 16000)
+    s, su = wav_samples(b), wav_samples(up)
+    assert len(su) == 100
+    assert (su == np.repeat(s, 2)).all()
+
+
+def test_decode_audio_features_match_closed_form(spark):
+    """The Spark decode path (real header parse + sample decode inside
+    mapInPandas) reproduces hand-computed features for a known
+    waveform."""
+    import math
+
+    import numpy as np
+
+    from skopje_spark.operators.audio import (
+        attach_wav_payload,
+        decode_audio,
+        pcm_pattern,
+    )
+
+    d = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in decode_audio(attach_wav_payload(d, "doc_id")).collect()
+    }
+    for i in range(20):
+        n, seed = 200 + i % 128, i % 32
+        s = pcm_pattern(n, seed).astype("int64")
+        r = out[i]
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == 8000 + (i % 4) * 4000
+        assert r["byte_len"] == 44 + 2 * n
+        assert r["rms"] == pytest.approx(math.sqrt(int(np.sum(s * s)) / n))
+        neg = s < 0
+        assert r["zcc"] == int(np.sum(neg[1:] != neg[:-1]))
+
+
+def test_wav_payloads_never_collected_to_driver(spark):
+    """The decode plan is mapInPandas over mapInPandas — no collect,
+    no Exchange of payload bytes."""
+    from skopje_spark.operators.audio import attach_wav_payload, decode_audio
+
+    d = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = (
+        decode_audio(attach_wav_payload(d, "doc_id"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
