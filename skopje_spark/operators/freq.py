@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "mg_stream_sink", "mg_read_heavy_hitters"]
 
 
 def _mg_compress(counters: dict, m: int) -> dict:
@@ -92,4 +92,95 @@ def heavy_hitters(
         "item",
         "est",
         (F.col("__n") / F.lit(float(m + 1))).alias("err_bound"),
+    )
+
+
+def mg_stream_sink(
+    stream_df,
+    col: str,
+    state_path: str,
+    checkpoint: str,
+    *,
+    m: int = 64,
+    available_now: bool = True,
+):
+    """Continuous heavy-hitter maintenance — the Misra–Gries member of
+    the streaming sketch family (HLL distinct, KLL quantiles, MG
+    frequencies; see operators/sketches.py): each micro-batch appends
+    its m-counter summary rows tagged with ``batch_id``;
+    :func:`mg_read_heavy_hitters` merges them by summation without
+    rescanning events.
+
+    Like KLL (and unlike HLL), summation is not replay-idempotent, so
+    the read side deduplicates to one summary per (item, batch_id) —
+    batch_id is stable across micro-batch retries. The per-batch
+    summary is itself MG-compressed, so state appended per batch is
+    O(m + 1) rows regardless of batch size or cardinality.
+    """
+    from pyspark.sql import functions as FF
+
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        import pandas as pd  # noqa: F401
+
+        item_t = dict(batch_df.dtypes)[col]
+
+        def part(batches):
+            import pandas as pd
+
+            counters: dict = {}
+            n_p = 0
+            for pdf in batches:
+                n_p += len(pdf)
+                for k, v in pdf[col].value_counts(dropna=True).items():
+                    counters[k] = counters.get(k, 0) + int(v)
+                counters = _mg_compress(counters, m)
+            out = pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+            yield pd.concat(
+                [out, pd.DataFrame({"item": [None], "cnt": [n_p]})],
+                ignore_index=True,
+            )
+
+        (
+            batch_df.select(col)
+            .mapInPandas(part, schema=f"item {item_t}, cnt long")
+            # one summary row per item per batch: partition partials
+            # merge by sum BEFORE landing, so state grows O(m)/batch
+            .groupBy("item")
+            .agg(FF.sum("cnt").alias("cnt"))
+            .withColumn("batch_id", FF.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )
+
+
+def mg_read_heavy_hitters(spark, state_path: str, *, m: int = 64) -> DataFrame:
+    """Read side of :func:`mg_stream_sink`: dedup to one summary per
+    (item, batch_id) — max over the count, so a retried batch's
+    duplicate append is discarded — then merge by summation. The
+    guarantee degrades gracefully with per-batch compression: est ∈
+    [f − n/(m+1)·batches_compressed, f]; err_bound reports the sum of
+    per-batch error budgets (n/(m+1)) exactly as the batch view of
+    the bound."""
+    from pyspark.sql import functions as FF
+
+    st = spark.read.parquet(state_path)
+    dedup = st.groupBy("item", "batch_id").agg(FF.max("cnt").alias("cnt"))
+    est = (
+        dedup.filter(FF.col("item").isNotNull())
+        .groupBy("item")
+        .agg(FF.sum("cnt").alias("est"))
+    )
+    total = dedup.filter(FF.col("item").isNull()).agg(FF.sum("cnt").alias("__n"))
+    return est.crossJoin(FF.broadcast(total)).select(
+        "item",
+        "est",
+        (FF.col("__n") / float(m + 1)).alias("err_bound"),
     )

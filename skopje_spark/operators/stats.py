@@ -62,3 +62,46 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``value_col``
+    along ``order_cols``: y₀ = x₀, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁ (pandas
+    ``ewm(adjust=False)`` semantics — the standard smoothing signal
+    for per-entity time series).
+
+    The recurrence is inherently sequential per key, so it runs as an
+    Arrow ``applyInPandas`` group kernel (pandas' C ewm loop): ONE
+    shuffle on the key, per-group state O(group). This is the same
+    execution contract as the grouped-median UDAF — a group must fit a
+    worker, which per-entity time series do; an unbounded single key
+    needs time-sliced keys plus carry-in state instead (the streaming
+    twin: running_totals in streaming/streams.py).
+    """
+    import pandas as pd  # noqa: F401
+
+    out_fields = ", ".join(
+        f"{c} {t}" for c, t in df.select(*keys, *order_cols, value_col).dtypes
+    )
+    schema = f"{out_fields}, {out_col} double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return (
+        df.select(*keys, *order_cols, value_col)
+        .groupBy(*keys)
+        .applyInPandas(smooth, schema)
+    )

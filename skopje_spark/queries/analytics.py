@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround, dround_sql
 from skopje_spark.tables import load_table
 
 SESSION_GAP_MIN = 30
@@ -210,4 +211,42 @@ def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "q_ewma_smoothing",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           {dround_sql(
+               "SUM(CASE WHEN b.rn = 1 THEN POWER(0.8, a.rn - 1) * b.value "
+               "ELSE 0.2 * POWER(0.8, a.rn - b.rn) * b.value END)", 6)}
+             AS ewma_val
+    FROM seq a JOIN seq b ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+    tags=("analytics", "ewma", "timeseries", "udaf"),
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values over time (α = 0.2,
+    operators/stats.py:ewma — Arrow applyInPandas recurrence, one
+    shuffle on the key). The oracle expands the recurrence into its
+    closed-form weighted sum (y_i = (1-α)^i·x_0 + Σ α(1-α)^(i-j)x_j)
+    with a per-user self-join — an independent derivation, so a wrong
+    fold order or α handling mismatches; float drift between the
+    recurrence and the closed form is dround-absorbed."""
+    from skopje_spark.operators.stats import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    sm = ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.2, out_col="ewma_raw"
+    )
+    return sm.select(
+        "user_id", "event_id", dround(F.col("ewma_raw"), 6).alias("ewma_val")
     )

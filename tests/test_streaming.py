@@ -403,3 +403,59 @@ def test_kll_stream_sink_quantiles_survive_replay(spark, tmp_path):
     one.write.mode("append").parquet(state)
     est2 = kll_read_quantiles(spark, state, ["g"], [0.5, 0.95]).collect()
     assert_in_band(est2[0])
+
+
+def test_mg_stream_sink_heavy_hitters_survive_replay(spark, tmp_path):
+    """Streaming Misra–Gries: 3 micro-batches append O(m) summary rows
+    each; the merged read finds the planted heavy item with an
+    in-bound estimate, and replaying a batch's state rows cannot
+    double-count (dedup by batch_id)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.freq import mg_read_heavy_hitters, mg_stream_sink
+
+    src = tmp_path / "src"
+    rows, eid = [], 0
+    for b in range(3):
+        batch = []
+        for i in range(300):
+            eid += 1
+            # 1/3 of rows are the hot user, the rest long-tail
+            uid = "hot" if i % 3 == 0 else f"u{eid}"
+            batch.append({
+                "event_id": eid, "ts": f"2024-01-01T00:{b:02d}:00",
+                "user_id": uid, "value": 1.0,
+            })
+        _write_events(src, batch, f"b{b}.json")
+        rows.extend(batch)
+    now = _time.time()
+    for b in range(3):
+        _os.utime(src / f"b{b}.json", (now - (3 - b) * 10, now - (3 - b) * 10))
+
+    state = str(tmp_path / "mg_states")
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    q = mg_stream_sink(
+        stream, "user_id", state, str(tmp_path / "ckpt"), m=16, available_now=True
+    )
+    q.awaitTermination()
+
+    n = len(rows)
+    exact_hot = sum(1 for r in rows if r["user_id"] == "hot")
+
+    def check():
+        got = {r["item"]: r for r in mg_read_heavy_hitters(spark, state, m=16).collect()}
+        assert "hot" in got
+        r = got["hot"]
+        assert r["est"] <= exact_hot
+        assert r["est"] >= exact_hot - r["err_bound"]
+        assert abs(r["err_bound"] - n / 17) < 1e-9
+        return r["est"]
+
+    est1 = check()
+    # replay: duplicate one batch's state rows — estimate must not move
+    one_batch = spark.read.parquet(state).filter(F.col("batch_id") == 0)
+    one_batch.write.mode("append").parquet(state)
+    assert check() == est1
