@@ -55,6 +55,10 @@ HEADLINE = [
     "q_similarity_batch_topk",
     "q_sketch_incremental_distinct",
     "q_sketch_quantile_ops",
+    # round-6 additions: compression kernels, graph, corpus-LM scoring
+    "q_embed_quantize_int8",
+    "q_graph_pagerank",
+    "q_text_unigram_logprob",
 ]
 
 

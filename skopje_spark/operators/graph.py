@@ -32,6 +32,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 2,
     damping: float = 0.85,
+    validate: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -43,39 +44,55 @@ def pagerank(
     norm_rank)`` with ranks normalized to mean 1 (multiplied by n) so
     magnitudes are scale-free.
 
-    Raises if a dangling node exists: silently wrong ranks are worse
-    than a loud contract.
+    ``validate`` raises if a dangling node exists (silently wrong
+    ranks are worse than a loud contract); callers whose edge
+    construction guarantees the invariant — e.g. emitting both
+    directions of an undirected graph — pass ``validate=False`` to
+    skip the anti-join scan it costs.
     """
-    # materialize the edge list once (same pattern as the clustering
-    # fixpoint in operators/dedup.py): it is referenced by the degree
-    # count, the dangling check, and every iteration's join — without
-    # this, a lazily derived edge list (e.g. a join+distinct) would be
-    # recomputed per action and per iteration
+    # ONE materialization of the (possibly expensively derived) edge
+    # list, then every iteration-invariant derived table — out-degree,
+    # node set — is one cheap pass over the materialized edges and is
+    # itself checkpointed (all O(nodes)). Every node has out-degree
+    # >= 1 by contract, so the node set is exactly distinct(src); each
+    # iteration then costs two key-partitioned joins + one dst
+    # aggregation over materialized inputs, nothing re-derived (same
+    # lineage-bounding pattern as the clustering fixpoint in
+    # operators/dedup.py).
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint(eager=True)  # reused every iteration
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        outdeg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    )  # distinct(src) for free: outdeg is already one row per src
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")
-    dangling = nodes.join(
-        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
-    ).limit(1).count()
-    if dangling:
-        raise ValueError(
-            "pagerank: graph has nodes with out-degree 0; emit both edge "
-            "directions (undirected) or add self-loops before calling"
+    if validate:
+        dangling = (
+            e.select(F.col("dst").alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_anti")
+            .limit(1)
+            .count()
         )
+        if dangling:
+            raise ValueError(
+                "pagerank: graph has nodes with out-degree 0; emit both edge "
+                "directions (undirected) or add self-loops before calling"
+            )
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    weighted = e.join(outdeg, "src")  # lazy: both sides materialized
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            weighted.join(ranks, weighted["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),

@@ -307,7 +307,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("s")).alias("dst"),
     )
     edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iters=2, damping=0.85)
+    # both directions emitted above => out-degree >= 1 by construction
+    ranks = pagerank(edges, iters=2, damping=0.85, validate=False)
     return (
         ranks.filter(F.col("node").startswith("s"))
         .select("node", dround(F.col("norm_rank"), 6).alias("norm_rank"))
