@@ -181,3 +181,123 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_in_range(l, "l_discount", 0.0, 0.5),
         check_foreign_key(o, "o_custkey", c, "c_custkey"),
     ).orderBy("check_name")
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH target AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    source AS (
+      SELECT o_custkey, SUM(o_totalprice) AS total
+      FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(t.c_custkey, s.o_custkey) AS custkey,
+           CASE WHEN t.c_custkey IS NOT NULL AND s.o_custkey IS NOT NULL THEN 'updated'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action,
+           {dround_sql('CASE WHEN t.c_custkey IS NOT NULL AND s.o_custkey IS NOT NULL '
+                       'THEN t.c_acctbal + s.total '
+                       'WHEN t.c_custkey IS NULL THEN s.total '
+                       'ELSE t.c_acctbal END', 2)} AS merged_val
+    FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.o_custkey
+    """,
+    tags=("merge", "upsert", "join", "relational"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a pure relational plan — the way an
+    engine without a transactional table format executes an upsert
+    (and the shape behind sinks/files.py:parquet_upsert): full outer
+    join of target and source on the key, then per-row action
+    classification (matched → update, source-only → insert,
+    target-only → keep). One shuffle join at any scale; the oracle is
+    an independent FULL OUTER derivation of the same contract."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    target = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_acctbal"
+    )
+    source = (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    j = target.join(source, target["c_custkey"] == source["o_custkey"], "full_outer")
+    matched = target["c_custkey"].isNotNull() & source["o_custkey"].isNotNull()
+    return j.select(
+        F.coalesce(target["c_custkey"], source["o_custkey"]).alias("custkey"),
+        F.when(matched, F.lit("updated"))
+        .when(target["c_custkey"].isNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action"),
+        dround(
+            F.when(matched, target["c_acctbal"] + source["total"])
+            .when(target["c_custkey"].isNull(), source["total"])
+            .otherwise(target["c_acctbal"]),
+            2,
+        ).alias("merged_val"),
+    )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_linenumber % 3, 0) AS trio,
+           COALESCE(NULLIF(l_linenumber % 3, 0), -1) AS trio_filled,
+           CAST(NULLIF(l_linenumber % 3, 0) IS NOT DISTINCT FROM
+                NULLIF(l_partkey % 3, 0) AS INTEGER) AS nullsafe_eq,
+           CAST(NULLIF(l_linenumber % 3, 0) IS NULL AS INTEGER) AS is_null_flag
+    FROM lineitem
+    """,
+    tags=("null", "semantics", "relational", "scalar"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: NULLIF / COALESCE / null-safe
+    equality (Spark's <=> vs SQL's IS NOT DISTINCT FROM) / IS NULL —
+    the semantics every Postgres fetch_stmt leans on and the classic
+    cross-engine divergence trap (NULL = NULL is NULL, but
+    NULL <=> NULL is TRUE; the oracle checks every row agrees)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    trio = F.nullif(F.col("l_linenumber") % 3, F.lit(0))
+    trio_p = F.nullif(F.col("l_partkey") % 3, F.lit(0))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        trio.alias("trio"),
+        F.coalesce(trio, F.lit(-1)).alias("trio_filled"),
+        trio.eqNullSafe(trio_p).cast("int").alias("nullsafe_eq"),
+        trio.isNull().cast("int").alias("is_null_flag"),
+    )
+
+
+@register(
+    "q_agg_misc",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(bool_and(l_quantity > 0) AS INTEGER) AS all_positive,
+           CAST(bool_or(l_discount > 0.05) AS INTEGER) AS any_discounted,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "misc", "count_if", "bool"),
+)
+def q_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long tail of the aggregate surface: conditional counting
+    (count_if / FILTER clause), universal and existential boolean
+    aggregates, and a deterministic set digest (sort_array over
+    collect_set — collection order is scheduling-dependent, the
+    sorted join is not)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_and(F.col("l_quantity") > 0).cast("int").alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.05).cast("int").alias("any_discounted"),
+        F.array_join(
+            F.sort_array(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
+    )
