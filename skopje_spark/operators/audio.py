@@ -87,16 +87,22 @@ def make_wav(n_samples: int, seed: int = 0, sample_rate: int = 8000) -> bytes:
 
 def is_wav(b: bytes) -> bool:
     """Sniff on magic + coherent header (same philosophy as is_bmp:
-    no exact chunk-size equality — encoders pad and lie — just enough
-    coherence that :func:`wav_samples` can decode it)."""
+    no exact chunk-size equality — encoders pad and lie — just header
+    fields an uncompressed-PCM parser can act on). A payload passing
+    this is a structurally valid PCM container; :func:`wav_samples`
+    additionally requires mono/16-bit and raises loudly otherwise."""
     if len(b) < _WAV_HEADER_LEN or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return False
     if b[12:16] != b"fmt ":
         return False
-    fmt, channels, rate, _, _, bits = _struct.unpack("<HHIIHH", b[20:36])
+    fmt, channels, rate, _, block_align, bits = _struct.unpack("<HHIIHH", b[20:36])
     if fmt != 1 or channels < 1 or channels > 8:
         return False
     if rate < 1 or rate > 1_000_000 or bits not in (8, 16, 24, 32):
+        return False
+    # block_align is the divisor for the sample count: must be the
+    # PCM-consistent value and never 0 (a zero would crash the decode)
+    if block_align != channels * (bits // 8) or block_align == 0:
         return False
     if b[36:40] != b"data":
         return False
@@ -133,6 +139,8 @@ def resample_wav(b: bytes, new_rate: int) -> bytes:
 
     _, rate, _, n, _ = decode_wav_header(b)
     s = wav_samples(b)
+    if n == 0:  # structurally valid empty data chunk: stays empty
+        return encode_wav(s, new_rate)
     new_n = max(1, int(round(n * new_rate / rate)))
     idx = np.minimum((np.arange(new_n) * n) // new_n, n - 1)
     return encode_wav(s[idx], new_rate)

@@ -42,6 +42,36 @@ def _mg_compress(counters: dict, m: int) -> dict:
     return {k: c - sub for k, c in counters.items() if c > sub}
 
 
+def _mg_partials(df: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries as ``(item, cnt)`` rows —
+    at most m item rows plus one NULL-item sentinel (carrying the
+    partition's row count, so the error bound needs no second data
+    pass) per partition. Shared by the batch and streaming paths so
+    the kernel cannot diverge between them. NULL values in ``col``
+    are not counted (the sentinel key is NULL)."""
+    import pandas as pd  # noqa: F401
+
+    item_t = dict(df.dtypes)[col]
+
+    def part(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            for k, v in pdf[col].value_counts(dropna=True).items():
+                counters[k] = counters.get(k, 0) + int(v)
+            counters = _mg_compress(counters, m)
+        out = pd.DataFrame(
+            {"item": list(counters), "cnt": list(counters.values())}
+        )
+        sent = pd.DataFrame({"item": [None], "cnt": [n_p]})
+        yield pd.concat([out, sent], ignore_index=True)
+
+    return df.select(col).mapInPandas(part, schema=f"item {item_t}, cnt long")
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -56,30 +86,13 @@ def heavy_hitters(
     [f(item) − err_bound, f(item)] and ``err_bound = n/(m+1)``;
     every item with f > err_bound is guaranteed to appear. ``item``
     keeps the input column's type.
+
+    The input is summarized in ONE pass: the O(partitions × m)
+    partials table is localCheckpointed before it feeds both the
+    total-count and per-item branches below — without that, the two
+    branches would each re-run the full scan + MG sweep.
     """
-    import pandas as pd
-
-    item_t = dict(df.dtypes)[col]
-
-    def part(batches):
-        counters: dict = {}
-        n_p = 0
-        for pdf in batches:
-            n_p += len(pdf)
-            vc = pdf[col].value_counts(dropna=True)
-            add = vc.to_dict()
-            for k, v in add.items():
-                counters[k] = counters.get(k, 0) + int(v)
-            counters = _mg_compress(counters, m)
-        out = pd.DataFrame(
-            {"item": list(counters), "cnt": list(counters.values())}
-        )
-        # sentinel row carries the partition's row count so the error
-        # bound needs no second pass over the data
-        sent = pd.DataFrame({"item": [None], "cnt": [n_p]})
-        yield pd.concat([out, sent], ignore_index=True)
-
-    partials = df.select(col).mapInPandas(part, schema=f"item {item_t}, cnt long")
+    partials = _mg_partials(df, col, m).localCheckpoint(eager=True)
     total = partials.filter(F.col("item").isNull()).agg(
         F.sum("cnt").alias("__n")
     )
@@ -122,31 +135,8 @@ def mg_stream_sink(
     from skopje_spark.streaming.streams import foreach_batch_sink
 
     def write_batch(batch_df, batch_id: int) -> None:
-        import pandas as pd  # noqa: F401
-
-        item_t = dict(batch_df.dtypes)[col]
-
-        def part(batches):
-            import pandas as pd
-
-            counters: dict = {}
-            n_p = 0
-            for pdf in batches:
-                n_p += len(pdf)
-                for k, v in pdf[col].value_counts(dropna=True).items():
-                    counters[k] = counters.get(k, 0) + int(v)
-                counters = _mg_compress(counters, m)
-            out = pd.DataFrame(
-                {"item": list(counters), "cnt": list(counters.values())}
-            )
-            yield pd.concat(
-                [out, pd.DataFrame({"item": [None], "cnt": [n_p]})],
-                ignore_index=True,
-            )
-
         (
-            batch_df.select(col)
-            .mapInPandas(part, schema=f"item {item_t}, cnt long")
+            _mg_partials(batch_df, col, m)
             # one summary row per item per batch: partition partials
             # merge by sum BEFORE landing, so state grows O(m)/batch
             .groupBy("item")

@@ -471,9 +471,13 @@ def ivf_index_write(
         for r in cents.orderBy("cell").collect()
     ]
     # build-time fit baseline for ivf_index_append's staleness metric:
-    # mean cosine between each vector and its assigned centroid
+    # mean cosine between each vector and its assigned centroid.
+    # mode=overwrite: a REBUILD at the same path must reset the stats
+    # history too, or the next append would read a stale (possibly
+    # ambiguous) pre-rebuild baseline alongside the fresh one
     _write_index_stats(
-        assigned, cent_list, f"{path}/stats", phase="build", vec_col=vec_col
+        assigned, cent_list, f"{path}/stats", phase="build", vec_col=vec_col,
+        mode="overwrite",
     )
     return cent_list
 
@@ -493,18 +497,23 @@ def _write_index_stats(
     *,
     phase: str,
     vec_col: str,
-) -> float:
-    """Append one (phase, n, mean_assigned_cos) row; returns the mean."""
+    mode: str = "append",
+) -> tuple[int, float | None]:
+    """Write one (phase, n, mean_assigned_cos) row; returns (n, mean).
+    An empty df writes n=0 with a NULL mean (avg over zero rows) and
+    returns (0, None) rather than crashing."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(_assigned_cosine(vec_col, centroids)).alias("mean_assigned_cos"),
     ).collect()[0]
+    n = int(row["n"])
+    mean = float(row["mean_assigned_cos"]) if n else None
     spark = df.sparkSession
     spark.createDataFrame(
-        [(phase, int(row["n"]), float(row["mean_assigned_cos"]))],
+        [(phase, n, mean)],
         "phase string, n long, mean_assigned_cos double",
-    ).write.mode("append").parquet(stats_path)
-    return float(row["mean_assigned_cos"])
+    ).write.mode(mode).parquet(stats_path)
+    return n, mean
 
 
 def ivf_index_append(
@@ -553,23 +562,33 @@ def ivf_index_append(
     ).drop("__pos")
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
 
-    append_mean = _write_index_stats(
+    n_appended, append_mean = _write_index_stats(
         embeddings, cents, f"{path}/stats", phase="append", vec_col=vec_col
     )
-    n_appended = embeddings.count()
     build_mean = None
     try:
         stats = spark.read.parquet(f"{path}/stats")
-        b = stats.filter(F.col("phase") == "build").collect()
+        # ivf_index_write overwrites stats on (re)build, so at most one
+        # build row exists; filter defensively anyway
+        b = [
+            r
+            for r in stats.filter(F.col("phase") == "build").collect()
+            if r["mean_assigned_cos"] is not None
+        ]
         if b:
             build_mean = float(b[0]["mean_assigned_cos"])
     except Exception:  # pre-stats index layout
         pass
+    drop = (
+        build_mean - append_mean
+        if build_mean is not None and append_mean is not None
+        else None
+    )
     return {
-        "n_appended": int(n_appended),
+        "n_appended": n_appended,
         "build_mean_cos": build_mean,
         "append_mean_cos": append_mean,
-        "staleness_drop": (build_mean - append_mean) if build_mean is not None else None,
+        "staleness_drop": drop,
     }
 
 

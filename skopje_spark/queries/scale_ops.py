@@ -191,7 +191,9 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS exact_cnt,
            CAST(1 AS INTEGER) AS found,
            CAST(1 AS INTEGER) AS est_in_band
-    FROM events GROUP BY event_type ORDER BY exact_cnt DESC, event_type
+    FROM events GROUP BY event_type
+    HAVING COUNT(*) > (SELECT COUNT(*) / 65.0 FROM events)
+    ORDER BY exact_cnt DESC, event_type
     """,
     tags=("freq", "sketch", "heavy-hitters", "llm-pipeline"),
 )
@@ -202,9 +204,15 @@ def q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verdict oracle built on the MERGEABLE-SUMMARY guarantee, which is
     independent of row order and partitioning: every item with true
     frequency above n/(m+1) must be found, and its estimate must lie
-    in [exact − n/(m+1), exact]. The query emits the exact counts
-    (both engines compute those) plus the two guarantee flags; the
-    decrement path that the low-cardinality fixture can't trigger is
+    in [exact − n/(m+1), exact]. BOTH engines restrict to the
+    guaranteed-heavy set with the same n/(m+1) threshold derived from
+    exact counts (the Spark filter and the oracle's HAVING are the
+    same predicate — a fixture whose item falls below the threshold
+    drops out of both sides instead of desyncing them), and the
+    verdict flags come from the guarantee, with the threshold (not the
+    left-join's nullable err_bound) as the band width so a missed item
+    really does emit found=0 rather than being silently filtered. The
+    decrement path the low-cardinality fixture can't trigger is
     exercised on synthetic high-cardinality data in
     tests/test_scale_ops.py.
     """
@@ -213,9 +221,15 @@ def q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hh = heavy_hitters(ev, "event_type", m=64)
     exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    joined = exact.join(hh, exact["event_type"] == hh["item"], "left")
+    thresh = exact.agg(
+        (F.sum("exact_cnt") / F.lit(65.0)).alias("__thresh")
+    )
+    joined = (
+        exact.crossJoin(F.broadcast(thresh))
+        .join(hh, exact["event_type"] == hh["item"], "left")
+    )
     return (
-        joined.filter(F.col("exact_cnt") > F.col("err_bound"))
+        joined.filter(F.col("exact_cnt") > F.col("__thresh"))
         .select(
             "event_type",
             "exact_cnt",
@@ -223,7 +237,7 @@ def q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("item").isNotNull()
                 & (F.col("est") <= F.col("exact_cnt"))
-                & (F.col("est") >= F.col("exact_cnt") - F.col("err_bound"))
+                & (F.col("est") >= F.col("exact_cnt") - F.col("__thresh"))
             )
             .cast("int")
             .alias("est_in_band"),

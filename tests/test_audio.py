@@ -110,3 +110,38 @@ def test_wav_payloads_never_collected_to_driver(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_wav_sniff_rejects_inconsistent_block_align():
+    """block_align must be the PCM-consistent channels*bits/8 and
+    nonzero — a zero would crash the sample-count division (r6
+    self-review)."""
+    import struct
+
+    from skopje_spark.operators.audio import is_wav, make_wav
+
+    good = bytearray(make_wav(64, seed=1))
+    assert is_wav(bytes(good))
+    zero_align = bytearray(good)
+    struct.pack_into("<H", zero_align, 32, 0)
+    assert not is_wav(bytes(zero_align))
+    wrong_align = bytearray(good)
+    struct.pack_into("<H", wrong_align, 32, 3)   # mono16 must be 2
+    assert not is_wav(bytes(wrong_align))
+
+
+def test_wav_empty_data_chunk_resamples_to_empty():
+    import struct
+
+    from skopje_spark.operators.audio import (
+        decode_wav_header,
+        encode_wav,
+        is_wav,
+        resample_wav,
+    )
+
+    empty = encode_wav([], 8000)
+    assert is_wav(empty)
+    assert decode_wav_header(empty)[3] == 0
+    out = resample_wav(empty, 16000)
+    assert decode_wav_header(out)[3] == 0 and decode_wav_header(out)[1] == 16000

@@ -869,3 +869,34 @@ def test_ivf_index_append_matches_rebuild_on_probed_cells(spark, sf_dir, tmp_pat
     candidates = union_assigned.filter(F.col("cell").isin(probe))
     want = cosine_topk(candidates, q, k=10)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_ivf_index_rebuild_resets_stats_and_empty_append(spark, sf_dir, tmp_path):
+    """A rebuild at the same path must reset the stats history (the
+    next append reads the FRESH build baseline, not a stale one), and
+    an empty append returns n_appended=0 instead of crashing (r6
+    self-review)."""
+    from skopje_spark.operators.similarity import ivf_index_append, ivf_index_write
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    extra = e.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf")
+
+    ivf_index_write(base, path, k=4, iters=2)
+    ivf_index_append(extra, path)
+    # rebuild on the union: stats history must collapse to one build row
+    ivf_index_write(base.unionByName(extra), path, k=4, iters=2)
+    stats = spark.read.parquet(f"{path}/stats")
+    assert stats.count() == 1
+    assert stats.collect()[0]["phase"] == "build"
+
+    empty = extra.limit(0)
+    res = ivf_index_append(empty, path)
+    assert res["n_appended"] == 0
+    assert res["append_mean_cos"] is None and res["staleness_drop"] is None
+    # a real append after the rebuild sees the fresh baseline
+    res2 = ivf_index_append(extra.limit(50), path)
+    assert res2["build_mean_cos"] is not None
+    assert res2["staleness_drop"] is not None

@@ -204,3 +204,16 @@ def test_ewma_recurrence_known_values(spark):
     assert got[("a", 3)] == 27.5        # 0.5*40 + 0.5*15
     assert got[("b", 1)] == 100.0
     assert got[("b", 2)] == 50.0
+
+
+def test_heavy_hitters_single_pass_plan(spark):
+    """The partials table is checkpointed before feeding the total and
+    per-item branches: the returned plan must NOT contain the
+    MG mapInPandas subtree twice (or at all — it is materialized)."""
+    from skopje_spark.operators.freq import heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 10, "v string")
+    got = heavy_hitters(df, "v", m=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    assert {r["item"]: r["est"] for r in got.collect()} == {"a": 50, "b": 10}
