@@ -558,3 +558,31 @@ def _neardup_clusters_star(
     # one final (doc_id, cluster_id) generation is what the caller reads
     labels, _ = _checkpoint_generation(labels, node_ids | gen_ids)
     return labels
+
+
+def dedup_canonical(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rank_cols: list[Column] | None = None,
+) -> DataFrame:
+    """Keep-BEST dedup: one representative per distinct normalized
+    content, chosen by a quality ordering instead of min-id — the
+    policy real curation uses (keep the longest / highest-quality
+    copy, drop mirrors and truncations of it). ``rank_cols`` is the
+    descending-priority ordering; default: longest text first, then
+    min id as the deterministic tiebreak.
+
+    Same plan shape as :func:`dedup_exact` (hash-partitioned window,
+    one shuffle, bytes ∝ rows); only the ORDER BY differs."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    order = (
+        list(rank_cols)
+        if rank_cols is not None
+        else [F.length(F.col(text_col)).desc()]
+    ) + [F.col(id_col).asc()]
+    w = Window.partitionBy(h).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")

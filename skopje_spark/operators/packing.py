@@ -299,3 +299,58 @@ def deterministic_shuffle(
             "shard", F.pmod(F.col(pos_col), F.lit(n_shards)).cast("long")
         )
     return ranked
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_chunk: int = 64,
+    overlap: int = 16,
+    token_pattern: str = "[A-Za-z0-9]+",
+) -> DataFrame:
+    """Token-window chunking — the context-length-aware sibling of
+    :func:`chunk_text`: tokenize with a shared regex, then emit
+    overlapping windows of ``tokens_per_chunk`` tokens (stride
+    ``tokens_per_chunk - overlap``). This is how documents are split
+    for a fixed-context model when chunk boundaries must fall between
+    tokens, not mid-word at a byte offset.
+
+    Chunk *i* covers tokens ``[i*stride, i*stride + tokens_per_chunk)``
+    (1-based slice internally); windows start while ``start <= n`` so
+    every token lands in ≥ 1 chunk; tokenless documents yield no rows
+    (nothing to pack). Pure narrow ops — ``regexp_extract_all`` +
+    ``sequence`` + ``posexplode`` + ``slice`` — no UDF, no shuffle,
+    whole-stage codegen end to end.
+    """
+    if not 0 <= overlap < tokens_per_chunk:
+        raise ValueError("require 0 <= overlap < tokens_per_chunk")
+    step = tokens_per_chunk - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0)
+    n = F.size(toks)
+    # chunk starts (0-based): 0, step, 2*step, ... while start < n
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(step)) * step, F.lit(step)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_id", "tok_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("__toks"), F.col("tok_start").cast("int") + 1, tokens_per_chunk
+            ).alias("__chunk_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk_toks").alias("n_chunk_tokens"),
+            F.array_join("__chunk_toks", " ").alias("chunk_text"),
+        )
+    )

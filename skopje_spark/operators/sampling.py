@@ -196,3 +196,39 @@ def budget_sample(
         .filter(F.col("__cum") - F.col("__base") + F.col(weight_col) <= budget)
         .select(*df.columns)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    *,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture weights over group sizes: weight_g ∝
+    n_g^τ, normalized to sum 1 — the standard multilingual/multi-source
+    rebalancing rule (τ=1 keeps natural proportions, τ→0 approaches
+    uniform; τ≈0.3–0.7 is the usual LLM-mixing range). Returns one row
+    per group with its count, normalized sampling weight, and the
+    up/down-sampling factor vs natural frequency.
+
+    Everything after the one groupBy is a broadcast of G scalar rows —
+    the weight table is meant to feed :func:`mixture_sample` /
+    :func:`weighted_sample` as their rates input at any corpus scale.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    powed = counts.withColumn("__w", F.pow(F.col("n").cast("double"), F.lit(tau)))
+    z = powed.agg(
+        F.sum("__w").alias("__z"), F.sum("n").alias("__total")
+    )
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            "n",
+            (F.col("__w") / F.col("__z")).alias("weight"),
+            # sampling factor vs natural share: >1 = upsample this group
+            ((F.col("__w") / F.col("__z")) / (F.col("n") / F.col("__total"))).alias(
+                "boost"
+            ),
+        )
+    )

@@ -250,3 +250,66 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sm.select(
         "user_id", "event_id", dround(F.col("ewma_raw"), 6).alias("ewma_val")
     )
+
+
+@register(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, l.l_extendedprice, med.med,
+             ABS(l.l_extendedprice - med.med) AS adev
+      FROM lineitem l JOIN med USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT dev.l_returnflag,
+           {dround_sql('ANY_VALUE(dev.med)', 2)} AS med,
+           {dround_sql('ANY_VALUE(mad.mad)', 2)} AS mad,
+           COUNT(*) FILTER (
+             WHERE dev.adev > 3 * 1.4826 * mad.mad
+           ) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM dev JOIN mad USING (l_returnflag)
+    GROUP BY dev.l_returnflag
+    """,
+    tags=("analytics", "outlier", "mad", "robust-stats"),
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per
+    group, med = median(x), mad = median(|x − med|), outlier ⇔
+    |x − med| > 3·1.4826·mad (1.4826 scales MAD to σ under
+    normality). The robust alternative to z-scores — one extreme
+    value cannot drag the threshold. Two exact-percentile passes +
+    one join; at scale swap the exact medians for the KLL sketch path
+    (operators/sketches.py) without changing the contract. Medians
+    are interpolated order statistics both engines compute
+    identically; ANY_VALUE is safe because med/mad are constant per
+    group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("med")
+    )
+    dev = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            dround(F.first("med"), 2).alias("med"),
+            dround(F.first("mad"), 2).alias("mad"),
+            F.count_if(
+                F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -495,3 +495,113 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "q_chunk_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z0-9]+') AS t,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             list_slice(t, i * 48 + 1, i * 48 + 64) AS ct
+      FROM toks, UNNEST(range(0, CAST(FLOOR((n - 1) / 48) AS BIGINT) + 1)) AS u(i)
+      WHERE n > 0
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(ct) AS INTEGER) AS n_chunk_tokens,
+           sha256(array_to_string(ct, ' ')) AS chunk_sha
+    FROM chunks
+    """,
+    tags=("chunking", "tokens", "packing", "llm-pipeline"),
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/packing.py:chunk_by_tokens):
+    64-token chunks with 16-token overlap — the context-length-aware
+    split used when chunk boundaries must fall between tokens. Exact
+    oracle: DuckDB re-derives the same token windows (shared regex,
+    same stride arithmetic) and both engines hash each chunk's
+    reassembled text, so one token off in any window mismatches."""
+    from skopje_spark.operators.packing import chunk_by_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_by_tokens(
+        d, tokens_per_chunk=64, overlap=16, token_pattern="[A-Za-z0-9]+"
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"),
+    )
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    z AS (
+      SELECT SUM(POWER(CAST(n AS DOUBLE), 0.5)) AS z, SUM(n) AS total
+      FROM counts
+    )
+    SELECT source, n,
+           {dround_sql('POWER(CAST(n AS DOUBLE), 0.5) / z.z', 6)} AS weight,
+           {dround_sql('(POWER(CAST(n AS DOUBLE), 0.5) / z.z) / (CAST(n AS DOUBLE) / z.total)', 6)}
+             AS boost
+    FROM counts CROSS JOIN z
+    ORDER BY source
+    """,
+    tags=("sampling", "mixture", "temperature", "llm-pipeline"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced mixture weights per source (τ=0.5 —
+    operators/sampling.py:temperature_weights): the rule that decides
+    how hard to up-sample small sources and down-sample dominant ones
+    before a training run; the emitted weight table is the rates input
+    for mixture_sample/weighted_sample. Closed-form oracle recomputes
+    n^τ / Σ n^τ and the boost vs natural share."""
+    from skopje_spark.operators.sampling import temperature_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = temperature_weights(d, "source", tau=0.5)
+    return w.select(
+        "source",
+        "n",
+        dround(F.col("weight"), 6).alias("weight"),
+        dround(F.col("boost"), 6).alias("boost"),
+    ).orderBy("source")
+
+
+@register(
+    "q_dedup_canonical",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY length(text) DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("dedup", "canonical", "curation", "llm-pipeline"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best exact dedup (operators/dedup.py:dedup_canonical):
+    one survivor per normalized-content group chosen by quality
+    ordering (longest text, then min id) rather than min-id — the
+    curation policy that keeps the fullest copy and drops mirrors /
+    truncations. The oracle re-derives the identical normalization
+    (collapse whitespace, trim, lowercase), grouping hash, and
+    ordering."""
+    from skopje_spark.operators.dedup import dedup_canonical
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup_canonical(d, "doc_id", "text")
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")

@@ -217,3 +217,73 @@ def test_heavy_hitters_single_pass_plan(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan, plan
     assert {r["item"]: r["est"] for r in got.collect()} == {"a": 50, "b": 10}
+
+
+def test_chunk_by_tokens_coverage_and_overlap(spark):
+    """Every token lands in >= 1 chunk; consecutive chunks share
+    exactly `overlap` tokens; tokenless docs yield no rows."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+        (2, "only three tokens"),
+        (3, "!!! ... ???"),                          # no [A-Za-z0-9]+ tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from skopje_spark.operators.packing import chunk_by_tokens
+
+    out = chunk_by_tokens(df, tokens_per_chunk=4, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"].split(" "))
+        )
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks; last has 2 tokens
+    c1 = [t for _, t in sorted(by_doc[1])]
+    assert len(c1) == 5 and c1[0] == ["t0", "t1", "t2", "t3"]
+    assert c1[-1] == ["t8", "t9"]
+    for a, b in zip(c1, c1[1:]):
+        assert a[2:] == b[:len(a[2:])]  # 2-token overlap
+    assert {t for ch in c1 for t in ch} == {f"t{i}" for i in range(10)}
+    assert [t for _, t in sorted(by_doc[2])] == [
+        ["only", "three", "tokens"], ["tokens"]
+    ]
+    assert 3 not in by_doc
+
+
+def test_temperature_weights_properties(spark):
+    """Weights sum to 1; tau=1 reproduces natural shares; tau=0 is
+    uniform; tau=0.5 boosts small groups (boost > 1) and shrinks
+    dominant ones."""
+    import math
+
+    from skopje_spark.operators.sampling import temperature_weights
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "src string")
+
+    for tau, expect_big in [(1.0, 0.9), (0.0, 0.5)]:
+        w = {r["src"]: r for r in temperature_weights(df, "src", tau=tau).collect()}
+        assert math.isclose(sum(r["weight"] for r in w.values()), 1.0)
+        assert math.isclose(w["big"]["weight"], expect_big, rel_tol=1e-9)
+
+    w = {r["src"]: r for r in temperature_weights(df, "src", tau=0.5).collect()}
+    assert w["small"]["boost"] > 1.0 > w["big"]["boost"]
+    assert math.isclose(
+        w["small"]["weight"] / w["big"]["weight"], math.sqrt(100 / 900), rel_tol=1e-9
+    )
+
+
+def test_dedup_canonical_keeps_longest_copy(spark):
+    """Same normalized content at different lengths: keep-best keeps
+    the longest raw text, not the min id (contrast dedup_exact)."""
+    rows = [
+        (1, "alpha beta"),
+        (2, "ALPHA   BETA"),      # same normalized content, longer raw
+        (3, "unrelated text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from skopje_spark.operators.dedup import dedup_canonical, dedup_exact
+
+    best = sorted(r["doc_id"] for r in dedup_canonical(df, "doc_id", "text").collect())
+    assert best == [2, 3]  # id 2 wins its group on raw length
+    first = sorted(r["doc_id"] for r in dedup_exact(df, "doc_id", "text").collect())
+    assert first == [1, 3]  # min-id policy for contrast
