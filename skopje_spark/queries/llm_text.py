@@ -236,3 +236,52 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term,
+             COUNT(*) AS df,
+             sha256(array_to_string(list_sort(list(doc_id)), ',')) AS posting_sha
+      FROM toks GROUP BY term
+    )
+    SELECT term, df, posting_sha
+    FROM postings
+    ORDER BY df DESC, term LIMIT 10
+    """,
+    tags=("text", "index", "retrieval", "llm-pipeline"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the text-retrieval primitive: distinct
+    (doc, term) pairs → posting list per term (sorted doc ids), with
+    document frequency. Emits the 10 highest-df terms with a sha256
+    digest of each posting list, so a single missing or extra doc in
+    any list hash-mismatches.
+
+    Scale: one shuffle keyed on term; posting lists are built with
+    sort_array(collect_list) per term — per-term list size is the
+    df, bounded for real vocabularies by stopword cuts (the same
+    max_df lever as the dedup shingle joins). Conjunctive retrieval
+    over the index is unit-checked in tests/test_scale_ops.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    ).distinct()
+    postings = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sha2(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ","), 256
+        ).alias("posting_sha"),
+    )
+    return postings.orderBy(F.desc("df"), "term").limit(10)

@@ -414,7 +414,9 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    # total token count derived from the vocab-sized freq table, NOT a
+    # third scan of the corpus: sum(c) == count(tokens) by construction
+    total = freq.agg(F.sum("c").cast("double").alias("t"))
     return (
         toks.join(freq, "tok")
         .crossJoin(F.broadcast(total))

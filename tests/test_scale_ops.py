@@ -287,3 +287,30 @@ def test_dedup_canonical_keeps_longest_copy(spark):
     assert best == [2, 3]  # id 2 wins its group on raw length
     first = sorted(r["doc_id"] for r in dedup_exact(df, "doc_id", "text").collect())
     assert first == [1, 3]  # min-id policy for contrast
+
+
+def test_inverted_index_conjunctive_retrieval(spark):
+    """AND-retrieval over posting lists: intersecting two terms'
+    postings returns exactly the docs containing both."""
+    rows = [
+        (1, "spark engine for data"),
+        (2, "data pipeline in spark"),
+        (3, "pure python pipeline"),
+        (4, "spark spark spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    ).distinct()
+    # conjunctive query = semi-join per term then intersect — here via
+    # groupBy count over the 2-term restriction (docs matching both)
+    hits = (
+        toks.filter(F.col("term").isin("spark", "pipeline"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == 2)
+    )
+    assert sorted(r["doc_id"] for r in hits.collect()) == [2]
