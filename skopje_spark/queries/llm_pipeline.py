@@ -604,4 +604,4 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     out = dedup_canonical(d, "doc_id", "text")
-    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    return out.select("doc_id", "lang", "n_chars")

@@ -92,7 +92,7 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("q_sqsum"),
         F.element_at("qvec", 1).cast("long").alias("q_first"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +177,7 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("proj_norm"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +413,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized; materialized once so the total and the scoring join
+    # below don't each recompute it (each recompute = one more full
+    # corpus scan — Spark does not share common subplans across jobs)
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # total token count derived from the vocab-sized freq table, NOT a
     # third scan of the corpus: sum(c) == count(tokens) by construction
     total = freq.agg(F.sum("c").cast("double").alias("t"))
@@ -425,5 +432,4 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             dround(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("mean_nll"),
         )
-        .orderBy("doc_id")
     )
