@@ -15,7 +15,7 @@ the redaction regexes are exercised on realistic email/phone/IP spans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from skopje_spark.operators.sampling import (
@@ -605,3 +605,96 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = dedup_canonical(d, "doc_id", "text")
     return out.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_corpus_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, lang,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks
+      FROM documents
+    ),
+    lang_share AS (
+      SELECT source, lang, COUNT(*) AS n_docs_lang
+      FROM per_doc GROUP BY source, lang
+    ),
+    src AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+      FROM per_doc GROUP BY source
+    )
+    SELECT src.source, src.n_docs, src.total_tokens,
+           {dround_sql(
+              'SUM(-(CAST(n_docs_lang AS DOUBLE) / src.n_docs) '
+              '* ln(CAST(n_docs_lang AS DOUBLE) / src.n_docs))', 6)}
+             AS lang_entropy
+    FROM src JOIN lang_share USING (source)
+    GROUP BY src.source, src.n_docs, src.total_tokens
+    ORDER BY src.source
+    """,
+    tags=("profiling", "report", "entropy", "llm-pipeline"),
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card per source: document count, total token
+    count, and the Shannon entropy of the language distribution (the
+    diversity number a data card quotes; 0 = monolingual source).
+    Two keyed aggregates + one vocabulary-free scan — the shape of a
+    daily corpus-health job at any scale. ln/avg float drift is
+    dround-absorbed; token counts are exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("n_toks"),
+    )
+    lang_share = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_lang")
+    )
+    src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    p = F.col("n_docs_lang").cast("double") / F.col("n_docs")
+    return (
+        src.join(lang_share, "source")
+        .groupBy("source", "n_docs", "total_tokens")
+        .agg(dround(F.sum(-p * F.log(p)), 6).alias("lang_entropy"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_dedup_time_window",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM seq
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+    """,
+    tags=("dedup", "window", "events", "retry-collapse"),
+)
+def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed dedup (retry-collapse): drop an event when the
+    SAME (user, type) occurred within the last 30 minutes — the batch
+    twin of the streaming dedup_within_watermark, and the recrawl
+    rule 'same content seen again too soon is a duplicate'. A lag
+    window per key; rows survive when they open a new 30-minute
+    island. One shuffle on the dedup key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        e.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("ts").cast("long") - F.col("__prev") > 30 * 60)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
