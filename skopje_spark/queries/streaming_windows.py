@@ -160,3 +160,59 @@ def q_events_json_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("k_total"),
         (F.sum(k) / F.count(k)).alias("k_avg"),
     )
+
+
+@register(
+    "q_stream_exec_tumbling",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           (CASE WHEN (SUM(value)) < 0
+                 THEN -(FLOOR((-(SUM(value))) * 100.0 + 0.5) / 100.0)
+                 ELSE FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 END)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling", "executed-stream"),
+)
+def q_stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution inside the correctness
+    loop — unlike the batch-mode window queries above, this one runs
+    ``readStream`` over the events parquet (tables.stream_events),
+    drains it with an availableNow trigger into a memory sink
+    (complete-mode 30-minute tumbling aggregation), and returns the
+    sink table. The oracle is plain batch SQL, so the driver's hash
+    compare proves the micro-batched streaming execution path itself
+    produces batch-identical answers — the exactly-once/unified-API
+    claim, checked, not asserted."""
+    import uuid
+
+    from skopje_spark.tables import stream_events
+
+    sink = f"q_stream_exec_{uuid.uuid4().hex[:12]}"
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window("ts", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

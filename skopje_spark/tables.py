@@ -55,15 +55,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return _normalize_events_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Both physical ts shapes (see load_table docstring) → TIMESTAMP."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a STREAMING DataFrame: the same parquet
+    file read through the Structured Streaming file source (the path
+    is treated as a glob), with the identical ts normalization as the
+    batch loader — so batch and streaming plans over events are
+    drop-in exchangeable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source requires a DIRECTORY base path; point
+    # it at sf_dir and restrict the listing to the events file
+    return _normalize_events_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int = 32) -> DataFrame:
