@@ -222,3 +222,31 @@ def test_sketch_shuffle_carries_partial_sketches(spark, sf_dir):
         .toString()
     )
     assert "partial_kll_sketch_agg_double" in p2, p2
+
+
+def test_round6_narrow_kernels_no_shuffle(spark, sf_dir):
+    """The compression and chunking kernels must stay zero-Exchange
+    whole-stage-codegen maps over pruned scans — their entire 100 TB
+    value is that they are free to apply on a write path."""
+    for name, cols in [
+        ("q_embed_quantize_int8", ("vec_id", "embedding")),
+        ("q_embed_random_projection", ("vec_id", "embedding")),
+        ("q_chunk_tokens", ("doc_id", "text")),
+    ]:
+        df = _df(spark, sf_dir, name)
+        txt = plan_text(df)
+        assert "Exchange" not in txt, (name, txt)
+        schema = " ".join(scan_schemas(df))
+        for c in cols:
+            assert c in schema, (name, c)
+        # pruned: no unrelated fixture column in any scan
+        assert "label" not in schema and "lang" not in schema, (name, schema)
+
+
+def test_unigram_logprob_single_corpus_scan(spark, sf_dir):
+    """The corpus is read exactly once: the vocab freq table is
+    materialized, so neither the total-count aggregate nor the
+    scoring join re-derives it (each re-derivation = one more full
+    corpus scan)."""
+    df = _df(spark, sf_dir, "q_text_unigram_logprob")
+    assert plan_text(df).count("ReadSchema") == 1, plan_text(df)
