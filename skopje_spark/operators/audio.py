@@ -101,8 +101,9 @@ def is_wav(b: bytes) -> bool:
     if rate < 1 or rate > 1_000_000 or bits not in (8, 16, 24, 32):
         return False
     # block_align is the divisor for the sample count: must be the
-    # PCM-consistent value and never 0 (a zero would crash the decode)
-    if block_align != channels * (bits // 8) or block_align == 0:
+    # PCM-consistent value (necessarily nonzero given channels >= 1
+    # and bits >= 8, so a zero divisor can never reach the decode)
+    if block_align != channels * (bits // 8):
         return False
     if b[36:40] != b"data":
         return False

@@ -91,6 +91,12 @@ def heavy_hitters(
     partials table is localCheckpointed before it feeds both the
     total-count and per-item branches below — without that, the two
     branches would each re-run the full scan + MG sweep.
+
+    Side effect of that choice: calling this function EAGERLY executes
+    the scan+sweep (it is not a lazy plan builder), and the small
+    checkpointed partials stay in executor storage until the returned
+    DataFrame is garbage collected. Batch-only: for streams use
+    :func:`mg_stream_sink`.
     """
     partials = _mg_partials(df, col, m).localCheckpoint(eager=True)
     total = partials.filter(F.col("item").isNull()).agg(

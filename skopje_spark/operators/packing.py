@@ -318,21 +318,28 @@ def chunk_by_tokens(
     tokens, not mid-word at a byte offset.
 
     Chunk *i* covers tokens ``[i*stride, i*stride + tokens_per_chunk)``
-    (1-based slice internally); windows start while ``start <= n`` so
-    every token lands in ≥ 1 chunk; tokenless documents yield no rows
-    (nothing to pack). Pure narrow ops — ``regexp_extract_all`` +
-    ``sequence`` + ``posexplode`` + ``slice`` — no UDF, no shuffle,
-    whole-stage codegen end to end.
+    (1-based slice internally); windows start while
+    ``start < n - overlap`` (same stop rule as :func:`chunk_text`), so
+    every token lands in ≥ 1 chunk AND no trailing chunk is a strict
+    subset of its predecessor — the last window always contributes at
+    least one new token (a subset tail would silently over-weight
+    document endings in the packed corpus). Tokenless documents yield
+    no rows (nothing to pack). Pure narrow ops —
+    ``regexp_extract_all`` + ``sequence`` + ``posexplode`` + ``slice``
+    — no UDF, no shuffle, whole-stage codegen end to end.
     """
     if not 0 <= overlap < tokens_per_chunk:
         raise ValueError("require 0 <= overlap < tokens_per_chunk")
     step = tokens_per_chunk - overlap
     toks = F.regexp_extract_all(F.col(text_col), F.lit(token_pattern), 0)
     n = F.size(toks)
-    # chunk starts (0-based): 0, step, 2*step, ... while start < n
+    # chunk starts (0-based): 0, step, ... while start < n - overlap;
+    # the final start s satisfies s + tokens_per_chunk >= n (coverage)
+    # because tokens_per_chunk = step + overlap
+    max_start = F.floor(F.greatest(n - overlap - 1, F.lit(0)) / F.lit(step)) * step
     starts = F.when(
         n > 0,
-        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(step)) * step, F.lit(step)),
+        F.sequence(F.lit(0), max_start, F.lit(step)),
     ).otherwise(F.array().cast("array<bigint>"))
     return (
         df.select(

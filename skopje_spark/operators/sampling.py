@@ -214,8 +214,15 @@ def temperature_weights(
     Everything after the one groupBy is a broadcast of G scalar rows —
     the weight table is meant to feed :func:`mixture_sample` /
     :func:`weighted_sample` as their rates input at any corpus scale.
+    The G-row counts table is localCheckpointed (eager — the corpus
+    scan runs here) so the normalizer aggregate below reuses it
+    instead of re-running the groupBy subtree with its own full scan.
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     powed = counts.withColumn("__w", F.pow(F.col("n").cast("double"), F.lit(tau)))
     z = powed.agg(
         F.sum("__w").alias("__z"), F.sum("n").alias("__total")

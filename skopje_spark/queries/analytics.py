@@ -272,7 +272,8 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dround_sql('ANY_VALUE(dev.med)', 2)} AS med,
            {dround_sql('ANY_VALUE(mad.mad)', 2)} AS mad,
            COUNT(*) FILTER (
-             WHERE dev.adev > 3 * 1.4826 * mad.mad
+             WHERE {dround_sql('dev.adev', 6)}
+                   > {dround_sql('3 * 1.4826 * mad.mad', 6)}
            ) AS n_outliers,
            COUNT(*) AS n_rows
     FROM dev JOIN mad USING (l_returnflag)
@@ -285,22 +286,31 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, med = median(x), mad = median(|x − med|), outlier ⇔
     |x − med| > 3·1.4826·mad (1.4826 scales MAD to σ under
     normality). The robust alternative to z-scores — one extreme
-    value cannot drag the threshold. Two exact-percentile passes +
-    one join; at scale swap the exact medians for the KLL sketch path
-    (operators/sketches.py) without changing the contract. Medians
-    are interpolated order statistics both engines compute
-    identically; ANY_VALUE is safe because med/mad are constant per
-    group."""
+    value cannot drag the threshold. Two scans of the corpus (the
+    inherent two passes: one to reach each percentile stage), with
+    the tiny per-group med/mad tables localCheckpointed so neither
+    percentile subtree is re-derived by a later branch; at scale swap
+    the exact medians for the KLL sketch path (operators/sketches.py)
+    without changing the contract. Both the deviation and the
+    threshold are rounded to 6 dp BEFORE the comparison, so the
+    outlier count cannot desync on a last-ulp interpolation
+    difference between the engines' percentile implementations."""
     l = load_table(spark, sf_dir, "lineitem")
-    med = l.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("med")
+    med = (
+        l.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", 0.5).alias("med"))
+        .localCheckpoint(eager=True)  # G rows; reused by both passes
     )
     dev = l.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         "med",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("l_returnflag").agg(F.percentile("adev", 0.5).alias("mad"))
+    mad = (
+        dev.groupBy("l_returnflag")
+        .agg(F.percentile("adev", 0.5).alias("mad"))
+        .localCheckpoint(eager=True)  # G rows
+    )
     return (
         dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
@@ -308,7 +318,8 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.first("med"), 2).alias("med"),
             dround(F.first("mad"), 2).alias("mad"),
             F.count_if(
-                F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+                dround(F.col("adev"), 6)
+                > dround(F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 6)
             ).alias("n_outliers"),
             F.count(F.lit(1)).alias("n_rows"),
         )

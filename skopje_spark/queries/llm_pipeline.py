@@ -509,7 +509,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks AS (
       SELECT doc_id, i AS chunk_id,
              list_slice(t, i * 48 + 1, i * 48 + 64) AS ct
-      FROM toks, UNNEST(range(0, CAST(FLOOR((n - 1) / 48) AS BIGINT) + 1)) AS u(i)
+      FROM toks,
+           UNNEST(range(0, CAST(FLOOR(GREATEST(n - 17, 0) / 48) AS BIGINT) + 1))
+             AS u(i)
       WHERE n > 0
     )
     SELECT doc_id, chunk_id,
@@ -669,14 +671,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_time_window",
     oracle="""
     WITH seq AS (
-      SELECT event_id, user_id, event_type, ts,
-             LAG(ts) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id) AS prev_ts
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_us
       FROM events
     )
     SELECT event_id, user_id, event_type
     FROM seq
-    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+    WHERE prev_us IS NULL OR us - prev_us > 1800000000
     """,
     tags=("dedup", "window", "events", "retry-collapse"),
 )
@@ -686,15 +689,20 @@ def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the streaming dedup_within_watermark, and the recrawl
     rule 'same content seen again too soon is a duplicate'. A lag
     window per key; rows survive when they open a new 30-minute
-    island. One shuffle on the dedup key."""
+    island. One shuffle on the dedup key.
+
+    Gap arithmetic is exact MICROSECONDS on both engines
+    (unix_micros / epoch_us) — a seconds-truncating cast would desync
+    from the oracle for gaps inside (1800 s, 1801 s)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    prev = F.lag(F.col("ts").cast("long")).over(w)
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
     return (
         e.withColumn("__prev", prev)
         .filter(
             F.col("__prev").isNull()
-            | (F.col("ts").cast("long") - F.col("__prev") > 30 * 60)
+            | (us - F.col("__prev") > F.lit(1_800_000_000))
         )
         .select("event_id", "user_id", "event_type")
     )

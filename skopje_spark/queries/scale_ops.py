@@ -220,7 +220,13 @@ def q_freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hh = heavy_hitters(ev, "event_type", m=64)
-    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # tiny per-type table, checkpointed so the threshold aggregate
+    # reuses it instead of re-scanning events
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)
+    )
     thresh = exact.agg(
         (F.sum("exact_cnt") / F.lit(65.0)).alias("__thresh")
     )

@@ -210,9 +210,16 @@ def q_stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    # complete-mode output is bounded by aggregate cardinality
+    # (windows × event types), so materializing it locally is safe —
+    # and lets us DROP the memory-sink temp view immediately instead
+    # of leaking one uuid-named in-memory table per invocation
+    result = spark.table(sink).select(
         F.col("w.start").alias("window_start"),
         "event_type",
         "n_events",
         "total_value",
     )
+    rows = result.collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(rows, result.schema)

@@ -236,16 +236,17 @@ def test_chunk_by_tokens_coverage_and_overlap(spark):
         by_doc.setdefault(r["doc_id"], []).append(
             (r["chunk_id"], r["chunk_text"].split(" "))
         )
-    # doc 1: starts 0,2,4,6,8 -> 5 chunks; last has 2 tokens
+    # doc 1: starts 0,2,4,6 -> 4 chunks; the last contributes new
+    # tokens (no subset tail: start 8 would repeat chunk [6,10)'s
+    # suffix only)
     c1 = [t for _, t in sorted(by_doc[1])]
-    assert len(c1) == 5 and c1[0] == ["t0", "t1", "t2", "t3"]
-    assert c1[-1] == ["t8", "t9"]
+    assert len(c1) == 4 and c1[0] == ["t0", "t1", "t2", "t3"]
+    assert c1[-1] == ["t6", "t7", "t8", "t9"]
     for a, b in zip(c1, c1[1:]):
         assert a[2:] == b[:len(a[2:])]  # 2-token overlap
     assert {t for ch in c1 for t in ch} == {f"t{i}" for i in range(10)}
-    assert [t for _, t in sorted(by_doc[2])] == [
-        ["only", "three", "tokens"], ["tokens"]
-    ]
+    # short doc: ONE chunk, not a duplicated-subset second chunk
+    assert [t for _, t in sorted(by_doc[2])] == [["only", "three", "tokens"]]
     assert 3 not in by_doc
 
 
