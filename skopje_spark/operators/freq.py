@@ -21,6 +21,11 @@ Execution shape: one pass, mapInPandas partials (vectorized
 value_counts per Arrow batch + an O(m log m) compress), then one
 shuffle of at most (m+1) rows per partition — state and network are
 O(partitions × m), never O(distinct).
+
+Provenance: a §2C-class extension beyond the reference's surface —
+the reference delegates all aggregation to Postgres SQL strings
+(/root/reference/src/extract/pg.rs:12-22), which has no bounded-state
+frequency operator; this is the Spark-native scale path for it.
 """
 
 from __future__ import annotations

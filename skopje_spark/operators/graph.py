@@ -15,6 +15,12 @@ pre-bucketed by ``src`` every iteration's join is shuffle-free on the
 big side. Iterations are FIXED (not run-to-convergence) so the result
 is a closed-form composition both engines can reproduce — the DuckDB
 oracle chains one CTE per iteration.
+
+Provenance: a §2C-class extension — the reference has no graph
+abstraction at all (SURVEY §1.1: no streams/graphs/time-series; its
+relational surface is delegated SQL, /root/reference/src/extract/
+pg.rs:12-22); iterative analytics is Spark-native capability added on
+the same edge-DataFrame model as the dedup clustering fixpoint.
 """
 
 from __future__ import annotations
