@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skopje_spark.queries import register
-from skopje_spark.queries.rounding import davg, dround
+from skopje_spark.queries.rounding import davg, dround, dround_sql
 from skopje_spark.tables import load_table
 
 
@@ -382,4 +382,34 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("approx_orders") - F.col("n_orders")) <= hll_band)
         .cast("int")
         .alias("orders_within_band"),
+    )
+
+
+@register(
+    "q_agg_corr",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dround_sql('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+           {dround_sql('covar_samp(l_quantity, l_extendedprice)', 4)} AS qty_price_covar,
+           {dround_sql('covar_pop(l_quantity, l_discount)', 6)} AS qty_disc_covar_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "corr", "covar", "stats"),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregate surface: Pearson correlation and
+    sample/population covariance per group — the quick feature-pair
+    diagnostics every profiling pass runs. Single-shuffle partial
+    aggregation (corr/covar decompose into sum/sum-of-products
+    moments); last-ulp moment-accumulation differences between
+    engines are dround-absorbed."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        dround(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        dround(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar_pop"
+        ),
     )

@@ -324,3 +324,38 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "q_feature_standardize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_returnflag,
+             AVG(l_extendedprice) AS mu,
+             stddev_samp(l_extendedprice) AS sigma
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           {dround_sql('(l.l_extendedprice - stats.mu) / stats.sigma', 6)} AS price_z
+    FROM lineitem l JOIN stats USING (l_returnflag)
+    """,
+    tags=("analytics", "standardize", "zscore", "feature-prep"),
+)
+def q_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score standardization — the feature-prep
+    transform applied before any distance-based model sees a column:
+    one tiny per-group (mu, sigma) aggregate broadcast back onto the
+    rows, a narrow map afterwards. Spark avg/stddev_samp and DuckDB's
+    agree to the last few ulps; the emitted z is rounded once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    stats = l.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sigma"),
+    )
+    return l.join(F.broadcast(stats), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(
+            (F.col("l_extendedprice") - F.col("mu")) / F.col("sigma"), 6
+        ).alias("price_z"),
+    )
