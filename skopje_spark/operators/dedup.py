@@ -216,6 +216,105 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs at ``threshold`` via PREFIX
+    FILTERING — same output as :func:`jaccard_pairs`, asymptotically
+    smaller candidate space.
+
+    :func:`jaccard_pairs` joins on EVERY shared shingle, so its
+    candidate cost is Σ df(h)² over the whole shingle universe. The
+    prefix filter (Chaudhuri et al., "A Primitive Operator for
+    Similarity Joins", ICDE'06; Bayardo et al., WWW'07) shrinks that
+    to the rarest few shingles per document: order the universe
+    globally by document frequency ascending (rarest first, hash as
+    tiebreak) and keep only each document's first
+
+        L = |S| - ceil(threshold * |S|) + 1
+
+    shingles as its *prefix*. Completeness: J(A,B) >= t implies
+    |A∩B| >= ceil(t·max(|A|,|B|)) =: α, and two sets with overlap
+    >= α must collide within their (|S| - α + 1)-prefixes of any
+    shared total order — if all common elements sat above A's prefix
+    boundary they would have to fit in A's (α-1)-element suffix.
+    Candidates additionally satisfy the length filter
+    ceil(t·|large|) <= |small| (necessary for J >= t). Each candidate
+    pair is then VERIFIED against the full shingle sets, so the
+    result is exact — bit-identical to :func:`jaccard_pairs` at the
+    same (n, threshold), which is how the unit test pins it.
+
+    At 100 TB this is the difference between joining on boilerplate
+    stop-shingles (df in the millions, quadratic fan-out, zero
+    signal) and joining on near-unique content: candidate volume is
+    Σ over PREFIX shingles of df_prefix(h)², with prefixes ~(1-t) of
+    each set and skewed toward df≈1 hashes. Unlike ``max_df`` cuts
+    this loses nothing: the high-df shingles still participate in
+    verification, just never in pair generation.
+    """
+    sh = shingle_hashes(df, id_col, text_col, n)
+    sh = sh.withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    # global order: rarity ascending, hash tiebreak -> position in doc
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("h").asc())
+    )
+    prefix_len = F.col("set_size") - F.ceil(
+        F.lit(float(threshold)) * F.col("set_size")
+    ) + F.lit(1)
+    prefix = (
+        sh.withColumn("pos", pos)
+        .filter(F.col("pos") <= prefix_len)
+        .select(id_col, "h", "set_size")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "h", F.col("set_size").alias("size_b")
+    )
+    cands = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces ceil(t*max) <= min
+        .filter(
+            F.ceil(
+                F.lit(float(threshold))
+                * F.greatest(F.col("size_a"), F.col("size_b"))
+            )
+            <= F.least(F.col("size_a"), F.col("size_b"))
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    # verification: exact intersection over the FULL sets
+    full = sh.select(id_col, "h")
+    inter = (
+        cands.join(full.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+        .join(full.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            dround(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -403,3 +403,50 @@ def q_dedup_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_dedup_jaccard_prefix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(sha256(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
+      FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (h)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           (CASE WHEN (n_common / (sa.sz + sb.sz - n_common)) < 0 THEN -(FLOOR((-(n_common / (sa.sz + sb.sz - n_common))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((n_common / (sa.sz + sb.sz - n_common)) * 1000000.0 + 0.5) / 1000000.0 END) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.6
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "scale"),
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs at 0.6 via PREFIX FILTERING
+    (operators/dedup.py:jaccard_pairs_prefix): pair generation joins
+    only each document's rarest L = |S| - ceil(0.6|S|) + 1 shingles
+    (global rarity order), then full-set verification restores exact
+    semantics. The oracle is the plain all-shared-shingles Jaccard SQL
+    — the prefix filter is provably lossless, and this query proves it
+    cross-engine. Unlike q_dedup_jaccard_dfcut, nothing is dropped:
+    same answers as the naive join with a candidate space scaled down
+    to the rare end of the df distribution."""
+    from skopje_spark.operators.dedup import jaccard_pairs_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.6)

@@ -186,6 +186,59 @@ def test_jaccard_and_minhash_find_planted_near_dup(spark):
     assert (1, 2) in mh_pairs  # exact dups always share every band
 
 
+def test_jaccard_prefix_equals_plain_and_shrinks_candidates(spark, sf_dir):
+    """The prefix filter is provably lossless: jaccard_pairs_prefix
+    must be row-identical to jaccard_pairs at the same (n, threshold)
+    on real fixture docs, while generating a strictly smaller pair
+    space (the whole point of the filter)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        shingle_hashes,
+    )
+    from skopje_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    for thr in (0.4, 0.7):
+        plain = sorted(
+            tuple(r) for r in jaccard_pairs(
+                d, "doc_id", "text", n=3, threshold=thr
+            ).collect()
+        )
+        pref = sorted(
+            tuple(r) for r in jaccard_pairs_prefix(
+                d, "doc_id", "text", n=3, threshold=thr
+            ).collect()
+        )
+        assert pref == plain and plain  # identical, non-trivial
+
+    # candidate-space reduction: sum df(h)^2 over prefix shingles is
+    # well below the same sum over all shingles
+    sh = shingle_hashes(d, "doc_id", "text", 3)
+    sh = sh.withColumn(
+        "set_size", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    )
+    thr = 0.7
+    pref_len = F.col("set_size") - F.ceil(F.lit(thr) * F.col("set_size")) + F.lit(1)
+    prefix = sh.withColumn("pos", pos).filter(F.col("pos") <= pref_len)
+
+    def pair_space(frame):
+        return (
+            frame.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("dfh"))
+            .agg(F.sum(F.col("dfh") * F.col("dfh")))
+            .collect()[0][0]
+        )
+
+    full_cost, prefix_cost = pair_space(sh), pair_space(prefix)
+    assert prefix_cost < full_cost / 2
+
+
 def test_simhash_properties(spark):
     d = _docs(spark)
     fps = {r["doc_id"]: r["simhash"] for r in simhash(d, "doc_id", "text").collect()}
