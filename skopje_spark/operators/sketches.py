@@ -46,6 +46,10 @@ __all__ = [
     "hll_read_estimate",
     "kll_stream_sink",
     "kll_read_quantiles",
+    "kmv_state",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_overlap",
 ]
 
 
@@ -234,3 +238,120 @@ def kll_read_quantiles(
         .withColumnRenamed("batch_id", "kll_slice")
     )
     return kll_quantiles(kll_merge(st, keys), probs)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches with SET OPERATIONS.
+#
+# HLL (above) answers |A| and |A ∪ B| (union = per-bucket max) but
+# cannot estimate |A ∩ B| except by inclusion-exclusion, whose error
+# grows with the union. KMV (Bar-Yossef et al. 2002; Beyer et al.
+# SIGMOD'07 "distinct-value synopses") keeps the k smallest distinct
+# hash values; because the k-min of A ∪ B is computable from the two
+# sketches alone, it supports PRINCIPLED intersection / Jaccard
+# estimates: rho = |KMV(A∪B) ∩ A ∩ B| / k is an unbiased Jaccard
+# estimator and |A∩B| ≈ rho · D̂(A∪B). The 100 TB use: "how much does
+# corpus B overlap corpus A" across sources/snapshots from two
+# kilobyte synopses, no join over the raw data.
+#
+# Execution shape mirrors heavy_hitters (operators/freq.py): one
+# narrow pass computing xxhash64 JVM-side, per-partition EXACT
+# distinct k-min partials in Arrow batches (bounded O(k) memory),
+# then a merge over <= partitions × k rows. The raw column values
+# never shuffle.
+
+
+def _kmv_u64(col) -> Column:
+    """xxhash64 mapped to [0, 1): (h + 2^63) / 2^64 as double.
+    Deterministic across runs/partitionings; ~52 effective mantissa
+    bits — collision-safe far beyond any practical k."""
+    return (F.xxhash64(col).cast("double") + F.lit(float(2**63))) / F.lit(
+        float(2**64)
+    )
+
+
+def kmv_state(df: DataFrame, col: str, *, k: int = 256) -> DataFrame:
+    """The KMV synopsis of ``col``: the k smallest DISTINCT normalized
+    hash values, as a DataFrame ['h' double] with <= k rows (fewer
+    iff the column has < k distinct values — then the sketch is an
+    exact distinct inventory).
+
+    Per-partition partials are exact bounded k-mins (a numpy unique +
+    partial sort per Arrow batch, never more than 2k floats held), so
+    the merge input is <= partitions × k rows regardless of
+    cardinality.
+    """
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        cur = np.empty(0, dtype=np.float64)
+        for pdf in batches:
+            vals = pdf["h"].to_numpy(dtype=np.float64)
+            cur = np.unique(np.concatenate([cur, vals]))
+            if len(cur) > k:
+                cur = cur[:k]  # np.unique sorts ascending
+        yield pd.DataFrame({"h": cur})
+
+    partials = (
+        df.select(_kmv_u64(F.col(col)).alias("h"))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(part, schema="h double")
+    )
+    return partials.distinct().orderBy("h").limit(k)
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
+    """Union of two synopses: k-min of the combined hash sets. Closed
+    under merge (the result is exactly KMV(A ∪ B)), commutative,
+    associative, idempotent — the mergeable-summary contract."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 256, out_col: str = "est") -> DataFrame:
+    """Distinct-count estimate from a synopsis: (k-1)/u_k when the
+    sketch is full (the classic unbiased KMV estimator), else the
+    exact row count (sketch saw every distinct value). One row out."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__uk")
+    )
+    return agg.select(
+        F.when(
+            F.col("__n") < k, F.col("__n").cast("double")
+        )
+        .otherwise(F.lit(float(k - 1)) / F.col("__uk"))
+        .alias(out_col)
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
+    """Set-operation estimates from two synopses alone:
+
+    ``(union_est, jaccard_est, intersect_est)`` — one row.
+
+    K = KMV(A ∪ B) (from :func:`kmv_merge`); rho = fraction of K's
+    members present in BOTH input sketches estimates J(A,B);
+    intersect_est = rho × union_est. Standard error ~ J·(1±1/√k).
+    All frames involved are <= k rows; the heavy lifting happened in
+    :func:`kmv_state`'s single pass over each corpus.
+    """
+    merged = kmv_merge(a, b, k=k).localCheckpoint(eager=True)
+    in_both = (
+        merged.join(a, "h", "semi")
+        .join(b, "h", "semi")
+        .agg(F.count(F.lit(1)).alias("__both"))
+    )
+    msize = merged.agg(F.count(F.lit(1)).alias("__m"))
+    est = kmv_estimate(merged, k=k, out_col="union_est")
+    return (
+        est.crossJoin(F.broadcast(in_both))
+        .crossJoin(F.broadcast(msize))
+        .select(
+            "union_est",
+            (F.col("__both") / F.col("__m")).alias("jaccard_est"),
+            (F.col("__both") / F.col("__m") * F.col("union_est")).alias(
+                "intersect_est"
+            ),
+        )
+    )

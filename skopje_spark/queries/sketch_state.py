@@ -174,3 +174,100 @@ def sketch_quantile_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=200,
     )
     return kll_quantiles(kll_merge(st, ["l_returnflag"]), [0.5, 0.95])
+
+
+@register(
+    "q_sketch_kmv_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate <  DATE '1995-07-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-07-01')
+    SELECT
+      (SELECT COUNT(*) FROM a) AS exact_a,
+      (SELECT COUNT(*) FROM b) AS exact_b,
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS exact_union,
+      (SELECT COUNT(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS exact_inter,
+      CAST(1 AS INTEGER) AS a_in_band,
+      CAST(1 AS INTEGER) AS union_in_band,
+      CAST(1 AS INTEGER) AS inter_in_band,
+      CAST(1 AS INTEGER) AS jaccard_in_band
+    """,
+    tags=("sketch", "kmv", "setops", "agg"),
+)
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap from two kilobyte synopses: KMV sketches
+    (operators/sketches.py:kmv_state, k=256) of the distinct customer
+    sets ordering before/after a date cut, combined into union /
+    intersection / Jaccard estimates WITHOUT joining the raw sides —
+    the "how much does snapshot B overlap corpus A" question HLL
+    cannot answer except by inclusion-exclusion.
+
+    Verdict bands vs the k=256 estimator noise (sigma ~ 1/sqrt(k-1)
+    = 6.3% relative; rho sigma = sqrt(J(1-J)/256) <= 0.031 absolute):
+    counts at ±20% relative (~3.2 sigma), Jaccard at ±0.10 absolute
+    (>=3.2 sigma) — measured errors at sf0.001/0.01/0.1 stay under a
+    third of each band (see tests/test_sketches.py). Exact values ride
+    along so the driver hash still pins real numbers, not just flags.
+    """
+    from skopje_spark.operators.sketches import kmv_overlap, kmv_state
+
+    k = 256
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-07-01").cast("date")
+    a_side = o.filter(F.col("o_orderdate") < cut)
+    b_side = o.filter(F.col("o_orderdate") >= cut)
+
+    sa = kmv_state(a_side, "o_custkey", k=k)
+    sb = kmv_state(b_side, "o_custkey", k=k)
+    est_a = sa.agg(F.count(F.lit(1)).alias("__na"), F.max("h").alias("__ua")).select(
+        F.when(F.col("__na") < k, F.col("__na").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("__ua"))
+        .alias("a_est")
+    )
+    ov = kmv_overlap(sa, sb, k=k)
+
+    # the verdict needs four exact counts; derive them in one pass over
+    # a (custkey, in_a, in_b) frame instead of four distinct scans
+    flags = (
+        o.select(
+            "o_custkey",
+            (F.col("o_orderdate") < cut).cast("int").alias("ia"),
+            (F.col("o_orderdate") >= cut).cast("int").alias("ib"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+        .agg(
+            F.sum("in_a").alias("exact_a"),
+            F.sum("in_b").alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+        )
+    )
+    rel = 0.20
+    return (
+        flags.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            (F.abs(F.col("a_est") - F.col("exact_a")) <= rel * F.col("exact_a"))
+            .cast("int")
+            .alias("a_in_band"),
+            (F.abs(F.col("union_est") - F.col("exact_union")) <= rel * F.col("exact_union"))
+            .cast("int")
+            .alias("union_in_band"),
+            (F.abs(F.col("intersect_est") - F.col("exact_inter")) <= rel * F.col("exact_inter"))
+            .cast("int")
+            .alias("inter_in_band"),
+            (
+                F.abs(
+                    F.col("jaccard_est")
+                    - F.col("exact_inter") / F.col("exact_union")
+                )
+                <= 0.10
+            )
+            .cast("int")
+            .alias("jaccard_in_band"),
+        )
+    )

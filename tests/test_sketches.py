@@ -124,3 +124,44 @@ def test_hll_state_survives_parquet_roundtrip(spark, tmp_path):
     assert set(got) == set(exact)
     for g, n in exact.items():
         assert abs(got[g] - n) <= max(3, 0.05 * n)
+
+
+# --- KMV ---------------------------------------------------------------
+
+
+def test_kmv_exact_mode_and_invariance(spark):
+    """Below k distinct the sketch IS the distinct set (estimate
+    exact); the synopsis is a pure function of the value set —
+    independent of partitioning; merge is idempotent."""
+    from skopje_spark.operators.sketches import kmv_estimate, kmv_merge, kmv_state
+
+    small = spark.range(0, 100).select(F.col("id").alias("v"))
+    k = 256
+    sk = kmv_state(small, "v", k=k)
+    assert kmv_estimate(sk, k=k).collect()[0][0] == 100.0
+
+    big = spark.range(0, 40000).select(F.col("id").alias("v"))
+    s1 = sorted(r["h"] for r in kmv_state(big.repartition(1), "v", k=k).collect())
+    s17 = sorted(r["h"] for r in kmv_state(big.repartition(17), "v", k=k).collect())
+    assert s1 == s17 and len(s1) == k
+
+    sa = kmv_state(big, "v", k=k)
+    assert sorted(r["h"] for r in kmv_merge(sa, sa, k=k).collect()) == s1
+
+
+def test_kmv_overlap_estimates_set_ops(spark):
+    """A=[0,40k), B=[20k,60k): union 60k, intersection 20k, J=1/3.
+    k=512 gives sigma ~4.4% relative — assert inside 15% (>3 sigma;
+    measured errors ~3%)."""
+    from skopje_spark.operators.sketches import kmv_estimate, kmv_overlap, kmv_state
+
+    k = 512
+    a = spark.range(0, 40000).select(F.col("id").alias("v"))
+    b = spark.range(20000, 60000).select(F.col("id").alias("v"))
+    sa, sb = kmv_state(a, "v", k=k), kmv_state(b, "v", k=k)
+    est_a = kmv_estimate(sa, k=k).collect()[0][0]
+    assert abs(est_a - 40000) <= 0.15 * 40000
+    ov = kmv_overlap(sa, sb, k=k).collect()[0]
+    assert abs(ov["union_est"] - 60000) <= 0.15 * 60000
+    assert abs(ov["intersect_est"] - 20000) <= 0.20 * 20000
+    assert abs(ov["jaccard_est"] - 1 / 3) <= 0.10
