@@ -33,7 +33,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "mg_stream_sink", "mg_read_heavy_hitters"]
+__all__ = [
+    "heavy_hitters",
+    "mg_stream_sink",
+    "mg_read_heavy_hitters",
+    "cms_build",
+    "cms_merge",
+    "cms_query",
+]
 
 
 def _mg_compress(counters: dict, m: int) -> dict:
@@ -184,4 +191,90 @@ def mg_read_heavy_hitters(spark, state_path: str, *, m: int = 64) -> DataFrame:
         "item",
         "est",
         (FF.col("__n") / float(m + 1)).alias("err_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: point-queryable frequency estimates in O(depth × width)
+# state — the complement of Misra–Gries above. MG answers "which items are
+# frequent" (it FORGETS the tail); CMS answers "how often does item x occur"
+# for ANY x, with a one-sided guarantee:
+#
+#     exact(x)  <=  est(x)  <=  exact(x) + eps·N      (eps ~ e/width)
+#
+# the lower bound DETERMINISTIC (hash collisions only ever add), the upper
+# probabilistic per hash row with failure ~ exp(-depth) after the min.
+# Mergeable by cell-wise summation (Cormode & Muthukrishnan '05), so slices
+# sketch independently and the states union — same persistence pattern as
+# the HLL/KLL/MG family in operators/sketches.py.
+
+
+def _cms_cells(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
+    """(r, bucket) cell per item per hash row r: bucket_r(x) =
+    pmod(xxhash64(x, r), width). All JVM-side codegen."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(col).alias("__x"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(depth)])
+            ).alias("r"),
+        )
+        .select(
+            "r",
+            F.pmod(F.xxhash64(F.col("__x"), F.col("r")), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def cms_build(df: DataFrame, col: str, *, depth: int = 4, width: int = 2048) -> DataFrame:
+    """Build the sketch: sparse (r, bucket, cnt) cell counts. The
+    groupBy's map-side partial aggregation bounds the shuffle at
+    partitions × depth × width rows however large or skewed the
+    input; the stored state is at most depth × width cells."""
+    return (
+        _cms_cells(df, col, depth, width)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise summation — the two sketches must share (depth,
+    width, hash family), which they do by construction here since the
+    hash family is fixed (xxhash64 seeded by row index)."""
+    return a.union(b).groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    cms: DataFrame, probes: DataFrame, col: str, *, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point-query estimates for every row of ``probes[col]``:
+    est(x) = min over hash rows of the cell count (0 for an empty
+    cell — x was never seen by that row). Returns ``(col, est)``.
+
+    The probe side fans out to depth rows per probe and hash-joins
+    the O(depth × width) cell table — never the original data."""
+    cells = (
+        probes.select(F.col(col))
+        .distinct()
+        .select(
+            col,
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r"),
+        )
+        .select(
+            col,
+            "r",
+            F.pmod(F.xxhash64(F.col(col), F.col("r")), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        cells.join(cms, ["r", "bucket"], "left")
+        .select(col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est"))
     )

@@ -439,3 +439,76 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("mean_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch point queries
+
+
+@register(
+    "q_freq_cms_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS exact_cnt,
+           CAST(1 AS INTEGER) AS est_ge_exact,
+           CAST(1 AS INTEGER) AS est_in_band
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("freq", "sketch", "cms", "incremental"),
+)
+def q_freq_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/freq.py:cms_build):
+    per-user event counts estimated from a depth=4 × width=2048 cell
+    table built INCREMENTALLY — one sketch per event_id-parity slice
+    (two independent "loads"), merged by cell-wise summation — then
+    point-queried for every user_id.
+
+    Verdict recipe: est >= exact is CMS's deterministic one-sided
+    guarantee (collisions only add), asserted per user. The upper
+    band est <= exact + 8·N/width is probabilistic per hash row
+    (Markov: P[row overcount >= 8·N/width] <= 1/8) and the min over 4
+    independent rows makes the per-user failure <= 1/4096; measured
+    at the fixtures the estimates are EXACT (150 distinct users never
+    collide in all 4 rows of a 2048-wide sketch), so the band carries
+    orders-of-magnitude headroom. Exact counts ride along so the
+    driver hash pins real frequencies, not just flags.
+    """
+    from skopje_spark.operators.freq import cms_build, cms_merge, cms_query
+
+    depth, width = 4, 2048
+    ev = load_table(spark, sf_dir, "events")
+    first = cms_build(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+        "user_id",
+        depth=depth,
+        width=width,
+    )
+    second = cms_build(
+        ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        "user_id",
+        depth=depth,
+        width=width,
+    )
+    cms = cms_merge(first, second).localCheckpoint(eager=True)
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    n_total = exact.agg(F.sum("exact_cnt").alias("__n"))
+    est = cms_query(cms, ev, "user_id", depth=depth, width=width)
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).cast("int").alias("est_ge_exact"),
+            (
+                F.col("est")
+                <= F.col("exact_cnt") + F.lit(8.0) * F.col("__n") / F.lit(float(width))
+            )
+            .cast("int")
+            .alias("est_in_band"),
+        )
+        .orderBy("user_id")
+    )

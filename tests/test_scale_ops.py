@@ -315,3 +315,41 @@ def test_inverted_index_conjunctive_retrieval(spark):
         .filter(F.col("n_terms") == 2)
     )
     assert sorted(r["doc_id"] for r in hits.collect()) == [2]
+
+
+def test_cms_guarantees_under_forced_collisions(spark):
+    """width=32 against 5000 distinct keys forces every cell to
+    collide heavily: the deterministic lower bound (est >= exact) must
+    still hold for every probe, the eps-band (est <= exact + e·N/width
+    at 3 deviations) for the min-over-depth estimate, and a merged
+    two-slice sketch must equal the single-pass sketch cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.freq import cms_build, cms_merge, cms_query
+
+    depth, width = 4, 32
+    # zipf-ish: key k appears ~ (5000/k) times, capped
+    base = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.least(F.lit(50), (F.lit(5000) / (F.col("id") + 1)).cast("int")).alias("n"),
+    )
+    data = base.select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "k")
+    n_total = data.count()
+
+    cms = cms_build(data, "k", depth=depth, width=width)
+    probes = base.select("k")
+    est = {r["k"]: r["est"] for r in cms_query(cms, probes, "k", depth=depth, width=width).collect()}
+    exact = {r["k"]: r["n"] for r in base.collect()}
+
+    band = 3 * 2.718 * n_total / width
+    assert all(est[k] >= exact[k] for k in exact)  # deterministic side
+    assert all(est[k] <= exact[k] + band for k in exact)
+
+    # merge ≡ single build (cell-wise summation is lossless)
+    a = cms_build(data.filter(F.col("k") % 2 == 0), "k", depth=depth, width=width)
+    b = cms_build(data.filter(F.col("k") % 2 == 1), "k", depth=depth, width=width)
+    merged = {
+        (r["r"], r["bucket"]): r["cnt"] for r in cms_merge(a, b).collect()
+    }
+    single = {(r["r"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert merged == single
