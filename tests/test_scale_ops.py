@@ -353,3 +353,96 @@ def test_cms_guarantees_under_forced_collisions(spark):
     }
     single = {(r["r"], r["bucket"]): r["cnt"] for r in cms.collect()}
     assert merged == single
+
+
+def test_pq_exact_when_codebook_covers_corpus(spark):
+    """Degenerate-exactness contract: with at least as many
+    sub-centroids as distinct vectors, training converges to the
+    points themselves, reconstruction is exact, and ADC ranking ==
+    exact L2 ranking."""
+    from skopje_spark.operators.quantize import (
+        pq_decode_literal,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=4, ksub=32, iters=2, dim=16)
+    enc = pq_encode(df, books)
+    dec = pq_decode_literal(books)
+    for r in enc.collect():
+        rec = dec(r["codes"])
+        err = max(abs(a - b) for a, b in zip(rec, [float(x) for x in r["embedding"]]))
+        assert err < 1e-9, (r["vec_id"], err)
+
+    q = rows[3][1]
+    got = [r["vec_id"] for r in pq_topk(enc, books, q, k=5).collect()]
+    exact = sorted(
+        rows,
+        key=lambda t: (sum((a - b) ** 2 for a, b in zip(t[1], q)), t[0]),
+    )[:5]
+    assert got == [t[0] for t in exact]
+
+
+def test_pq_rerank_containment_on_fixture(spark, sf_dir):
+    """The catalog configuration (m=16, ksub=32, shortlist 64, exact
+    re-rank): top-10 must sit inside the exact top-50 with zero
+    exceptions — the measured headroom behind the oracle's tol=3."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.quantize import pq_encode, pq_topk_rerank, pq_train
+    from skopje_spark.operators.similarity import cosine_topk, l2_normalize
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    en = e.select("vec_id", l2_normalize(F.col("embedding")).alias("nv"))
+    books = pq_train(en, vec_col="nv", m=16, ksub=32, iters=3)
+    enc = pq_encode(en, books, vec_col="nv")
+    q = [float(x) for x in en.orderBy("vec_id").first()["nv"]]
+    approx = pq_topk_rerank(enc, books, q, vec_col="nv", k=10, shortlist=64)
+    exact = cosine_topk(
+        e, e.orderBy("vec_id").limit(1), id_col="vec_id", vec_col="embedding", k=50
+    )
+    a_ids = {r["vec_id"] for r in approx.collect()}
+    e_ids = {r["vec_id"] for r in exact.collect()}
+    assert len(a_ids) == 10
+    assert a_ids <= e_ids, a_ids - e_ids
+
+    # determinism: re-encoding yields identical codes
+    c1 = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    c2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(en, books, vec_col="nv").collect()}
+    assert c1 == c2
+
+
+def test_pq_adc_plan_has_no_shuffle_or_python(spark, sf_dir):
+    """The ADC scoring path (codes -> shortlist) must be pure codegen
+    + TakeOrderedAndProject: no Exchange, no Python in the plan. (The
+    ENCODE step is Arrow-batched Python by design; the QUERY path is
+    not allowed to be.)"""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.quantize import pq_topk
+    from skopje_spark.tables import load_table
+
+    # pre-encoded stand-in: the plan test needs the codes column, not
+    # real training
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.array(*[F.lit(i % 4) for i in range(8)]).alias("codes"),
+    )
+    books = [[[0.0] * 8 for _ in range(4)] for _ in range(8)]
+    plan = (
+        pq_topk(e, books, [0.1] * 64, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
