@@ -512,3 +512,100 @@ def q_freq_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM document scoring
+
+
+@register(
+    "q_text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 2 THEN range(1, len(ts))
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    bg  AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(ts) AS tok FROM toks)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           {dround_sql('AVG(-ln((c12 + 0.5) / (c1 + 0.5 * v)))', 6)} AS mean_nll2
+    FROM pairs JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "lm", "bigram", "llm-pipeline"),
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring — the second-order refinement of
+    q_text_unigram_logprob (the CCNet/KenLM-style perplexity filter
+    distilled to SQL-expressible form): corpus model
+    p(w2|w1) = (c(w1,w2) + 0.5) / (c(w1) + 0.5·V) (add-half
+    smoothing over vocabulary V), each document scored by the mean
+    negative log-probability of its bigrams. Word-salad and
+    shuffled/templated text scores high even when its unigram mix
+    looks natural — the signal n-gram quality filters actually use.
+
+    Scale shape: bigram formation is a NARROW map (the token array
+    zipped with its own tail — no window, no per-doc shuffle);
+    the model is one groupBy(w1, w2) with map-side combine; scoring
+    re-joins pairs to the model on the same (w1, w2) key. The
+    denominator table c(w1) is derived from the bigram model (sum
+    over w2), never from a second corpus pass, and V rides along as a
+    broadcast scalar. No UDF anywhere; ln/avg engine differences are
+    dround-absorbed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    arr = d.select("doc_id", ts.alias("ts")).filter(F.size("ts") >= 2)
+    pairs = arr.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+
+    # bigram model: vocab²-bounded, materialized once (the ctx table
+    # and the scoring join both reuse it)
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = (
+        d.select(F.explode(ts).alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("v"))
+    )
+    return (
+        pairs.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dround(
+                F.avg(
+                    -F.log(
+                        (F.col("c12") + F.lit(0.5))
+                        / (F.col("c1") + F.lit(0.5) * F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("mean_nll2"),
+        )
+        .orderBy("doc_id")
+    )

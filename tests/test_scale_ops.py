@@ -446,3 +446,45 @@ def test_pq_adc_plan_has_no_shuffle_or_python(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_bigram_lm_detects_word_salad(spark, monkeypatch, tmp_path):
+    """The property the second-order model exists for: two documents
+    with IDENTICAL unigram content but different word ORDER must split
+    — the coherent one (repeating its bigrams) scores low, the
+    scrambled one (novel bigrams everywhere) scores high. The unigram
+    scorer cannot separate them by construction."""
+    from skopje_spark.queries import load_all
+
+    coherent = "the cat sat on the mat " * 6
+    words = coherent.split()
+    # deterministic derangement-ish scramble: interleave halves
+    half = len(words) // 2
+    scrambled = " ".join(
+        w for pair in zip(words[:half], words[half:][::-1]) for w in pair
+    )
+    df = spark.createDataFrame(
+        [(1, coherent), (2, scrambled)], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    import skopje_spark.tables as tables
+
+    real_load = tables.load_table
+
+    def fake_load(spark_, sf_dir, name):
+        if name == "documents":
+            return spark_.read.parquet(path)
+        return real_load(spark_, sf_dir, name)
+
+    monkeypatch.setattr(tables, "load_table", fake_load)
+    import skopje_spark.queries.scale_ops as so
+
+    monkeypatch.setattr(so, "load_table", fake_load)
+
+    out = {
+        r["doc_id"]: r["mean_nll2"]
+        for r in load_all()["q_text_bigram_logprob"].fn(spark, "ignored").collect()
+    }
+    assert out[2] > out[1] + 0.3, out
