@@ -40,6 +40,8 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_query",
+    "cms_stream_sink",
+    "cms_read_state",
 ]
 
 
@@ -278,3 +280,51 @@ def cms_query(
         .groupBy(col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def cms_stream_sink(
+    stream_df,
+    col: str,
+    state_path: str,
+    checkpoint: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    available_now: bool = True,
+):
+    """Continuous count-min maintenance — the CMS member of the
+    streaming sketch family (HLL distinct, KLL quantiles, MG top
+    items, CMS point frequencies): each micro-batch appends its own
+    sparse cell table tagged with ``batch_id``; state appended per
+    batch is at most depth × width rows regardless of batch size.
+    Cell-wise summation is not replay-idempotent (same caveat as
+    KLL/MG), so the read side deduplicates to one cell table per
+    (batch_id) — batch_id is stable across micro-batch retries."""
+    from pyspark.sql import functions as FF
+
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            cms_build(batch_df, col, depth=depth, width=width)
+            .withColumn("batch_id", FF.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )
+
+
+def cms_read_state(spark, state_path: str) -> DataFrame:
+    """Read side of :func:`cms_stream_sink`: collapse any replayed
+    batch appends (max per cell within a batch — a batch's cell table
+    is deterministic, so max == the single true value), then merge all
+    batches by cell-wise summation. The result is a regular sketch
+    frame for :func:`cms_query`."""
+    from pyspark.sql import functions as FF
+
+    st = spark.read.parquet(state_path)
+    dedup = st.groupBy("batch_id", "r", "bucket").agg(FF.max("cnt").alias("cnt"))
+    return dedup.groupBy("r", "bucket").agg(FF.sum("cnt").alias("cnt"))

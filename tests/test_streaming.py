@@ -459,3 +459,57 @@ def test_mg_stream_sink_heavy_hitters_survive_replay(spark, tmp_path):
     one_batch = spark.read.parquet(state).filter(F.col("batch_id") == 0)
     one_batch.write.mode("append").parquet(state)
     assert check() == est1
+
+
+def test_cms_stream_sink_point_queries_survive_replay(spark, tmp_path):
+    """Streaming count-min: 3 micro-batches append O(depth×width) cell
+    rows each; the merged read answers point queries with the
+    deterministic est >= exact guarantee and est == exact for the
+    planted hot user (no collisions at width 2048 over ~1k distinct);
+    replaying a batch's state rows cannot double-count."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.freq import cms_query, cms_read_state, cms_stream_sink
+
+    src = tmp_path / "src"
+    rows, eid = [], 0
+    for b in range(3):
+        batch = []
+        for i in range(300):
+            eid += 1
+            uid = "hot" if i % 3 == 0 else f"u{eid}"
+            batch.append({
+                "event_id": eid, "ts": f"2024-01-01T00:{b:02d}:00",
+                "user_id": uid, "value": 1.0,
+            })
+        _write_events(src, batch, f"b{b}.json")
+        rows.extend(batch)
+    now = _time.time()
+    for b in range(3):
+        _os.utime(src / f"b{b}.json", (now - (3 - b) * 10, now - (3 - b) * 10))
+
+    state = str(tmp_path / "cms_states")
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    q = cms_stream_sink(
+        stream, "user_id", state, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+
+    exact_hot = sum(1 for r in rows if r["user_id"] == "hot")
+    probes = spark.createDataFrame([("hot",), ("u5",), ("never_seen",)], "user_id string")
+
+    def check():
+        cms = cms_read_state(spark, state)
+        got = {r["user_id"]: r["est"] for r in cms_query(cms, probes, "user_id").collect()}
+        assert got["hot"] >= exact_hot
+        assert got["hot"] == exact_hot  # no collisions at this width
+        assert got["u5"] >= 1
+        return got
+
+    got1 = check()
+    one_batch = spark.read.parquet(state).filter(F.col("batch_id") == 0)
+    one_batch.write.mode("append").parquet(state)
+    assert check() == got1
