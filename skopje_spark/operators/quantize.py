@@ -34,6 +34,8 @@ __all__ = [
     "pq_decode_literal",
     "pq_topk",
     "pq_topk_rerank",
+    "ivf_pq_index_write",
+    "ivf_pq_topk",
 ]
 
 
@@ -388,6 +390,192 @@ def pq_topk_rerank(
     qlit = F.array(*[F.lit(float(x)) for x in query])
     return (
         cand.join(encoded_with_vec.select(id_col, vec_col), id_col)
+        .select(id_col, cosine(F.col(vec_col), qlit).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two halves composed — the coarse k-means layout of
+# operators/similarity.ivf_index_write prunes WHICH partitions are
+# read; residual product quantization compresses WHAT is read for
+# scoring. A probe therefore touches ~n_probe/k of the corpus
+# DIRECTORIES and, within them, only the (id, cell, codes) columns
+# (parquet column pruning keeps the full vectors on disk until the
+# final shortlist re-rank). This is the layout every billion-scale
+# vector store (FAISS IVFADC, SCaNN, Milvus) converges on, expressed
+# as a parquet lake + Catalyst plans.
+#
+# Residual encoding: each vector is PQ-coded as (x − centroid(cell)),
+# not x itself. Residuals are centered near zero with far less
+# between-cell variance, so the same codebook budget yields a tighter
+# quantization than raw-vector PQ — the standard IVFADC refinement.
+
+
+def _cell_centroid_literal(centroids_by_cell: dict[int, list[float]]):
+    """cell-id -> centroid, as a literal 2D array indexed by a dense
+    probe of cell ids (callers map cell to its position first)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in centroids_by_cell[c]])
+            for c in sorted(centroids_by_cell)
+        ]
+    )
+
+
+def ivf_pq_index_write(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    m: int = 16,
+    ksub: int = 32,
+    dim: int = 64,
+) -> None:
+    """Build the composed index at ``path``: k-means coarse cells
+    (one quantize pass), residual PQ codebooks (Arrow-batched Lloyd
+    over x − centroid(cell)), then ONE partitioned write of
+    (id, vector, codes) by cell plus two kilobyte side tables
+    (centroids, codebooks). Build-once/query-many."""
+    from skopje_spark.operators.similarity import ivf_centroids, kmeans_cells
+
+    spark = embeddings.sparkSession
+    assigned, _ = kmeans_cells(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    cents = ivf_centroids(assigned, vec_col=vec_col, cell_col="cell")
+    cent_rows = cents.orderBy("cell").collect()
+    by_cell = {
+        int(r["cell"]): [float(x) for x in r["centroid"]] for r in cent_rows
+    }
+    # dense position of each cell id for literal indexing
+    pos_of_cell = {c: i for i, c in enumerate(sorted(by_cell))}
+    pos_lit = F.array(
+        *[
+            F.lit(pos_of_cell.get(c, 0))
+            for c in range(max(by_cell) + 1)
+        ]
+    )
+    cent_lit = _cell_centroid_literal(by_cell)
+    resid = assigned.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_lit, F.element_at(pos_lit, F.col("cell") + 1) + 1),
+            lambda x, c: x.cast("double") - c,
+        ),
+    )
+    books = pq_train(
+        resid, id_col=id_col, vec_col="__resid", m=m, ksub=ksub, iters=iters, dim=dim
+    )
+    encoded = pq_encode(resid, books, vec_col="__resid").drop("__resid")
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (sub, code, books[sub][code])
+        for sub in range(len(books))
+        for code in range(len(books[sub]))
+    ]
+    spark.createDataFrame(
+        book_rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 10,
+    shortlist: int = 64,
+) -> DataFrame:
+    """Query the composed index: rank cells driver-side on the
+    centroid table, scan ONLY the probed ``cell=`` partitions, ADC
+    the codes against PER-CELL lookup tables (the residual query
+    q − centroid(cell) differs per probed cell, so each probe gets
+    its own driver-computed m × ksub table — still kilobytes, baked
+    as one cell-indexed 3D literal), shortlist, then exact-cosine
+    re-rank only those rows. Returns (id, cos_sim) descending."""
+    import math
+
+    from skopje_spark.operators.similarity import cosine
+    from skopje_spark.queries.rounding import dround_scalar
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    qv = [float(x) for x in query_df.select(vec_col).collect()[0][0]]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1e-300
+
+    def cell_score(c):
+        dot = sum(a * b for a, b in zip(c, qv))
+        n = math.sqrt(sum(a * a for a in c)) or 1e-300
+        return dround_scalar(dot / (n * qn), 6)
+
+    by_cell = {
+        int(r["cell"]): [float(x) for x in r["centroid"]] for r in cent_rows
+    }
+    ranked = sorted(
+        ((cell_score(v), c) for c, v in by_cell.items()), key=lambda t: (-t[0], t[1])
+    )
+    probe = [c for _, c in ranked[:n_probe]]
+
+    books: dict[tuple[int, int], list[float]] = {
+        (r["sub"], r["code"]): [float(x) for x in r["centroid"]] for r in book_rows
+    }
+    m = 1 + max(s for s, _ in books)
+    ksub = 1 + max(c for _, c in books)
+    dsub = len(books[(0, 0)])
+    # per-probed-cell LUTs over the residual query
+    lut3d = []
+    for c in probe:
+        rq = [qv[j] - by_cell[c][j] for j in range(len(qv))]
+        lut3d.append(
+            [
+                [
+                    sum(
+                        (rq[sub * dsub + j] - books[(sub, code)][j]) ** 2
+                        for j in range(dsub)
+                    )
+                    for code in range(ksub)
+                ]
+                for sub in range(m)
+            ]
+        )
+    lut_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in cell_lut])
+            for cell_lut in lut3d
+        ]
+    )
+    # probed cell id -> its LUT slot
+    slot = None
+    for i, c in enumerate(probe):
+        cond = F.col("cell") == int(c)
+        slot = F.when(cond, i) if slot is None else slot.when(cond, i)
+
+    vecs = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
+    cell_lut = F.element_at(lut_lit, slot + 1)
+    score = None
+    for sub in range(m):
+        term = F.element_at(
+            F.element_at(cell_lut, sub + 1), F.element_at("codes", sub + 1) + 1
+        )
+        score = term if score is None else score + term
+    cand = (
+        vecs.select(id_col, score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        cand.join(vecs.select(id_col, vec_col), id_col)
         .select(id_col, cosine(F.col(vec_col), qlit).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)

@@ -488,3 +488,32 @@ def test_bigram_lm_detects_word_salad(spark, monkeypatch, tmp_path):
         for r in load_all()["q_text_bigram_logprob"].fn(spark, "ignored").collect()
     }
     assert out[2] > out[1] + 0.3, out
+
+
+def test_ivfpq_index_probe_prunes_and_contains(spark, sf_dir, tmp_path):
+    """The composed index: probed query reads ONLY the n_probe cell=
+    partitions (PartitionFilters in the scan, not a post-filter), and
+    the re-ranked top-10 sits inside the exact whole-corpus top-50
+    (measured zero exceptions — the headroom behind the catalog
+    oracle's tol=3)."""
+    from skopje_spark.operators.quantize import ivf_pq_index_write, ivf_pq_topk
+    from skopje_spark.operators.similarity import cosine_topk
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_index_write(e, path, k=8, iters=2, m=16, ksub=32)
+
+    q = e.orderBy("vec_id").limit(1)
+    got = ivf_pq_topk(spark, path, q, n_probe=3, k=10, shortlist=64)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    ids = {r["vec_id"] for r in got.collect()}
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(
+            e, q, id_col="vec_id", vec_col="embedding", k=50
+        ).collect()
+    }
+    assert len(ids) == 10 and ids <= exact, ids - exact
