@@ -685,3 +685,97 @@ def dedup_canonical(
     return df.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document coverage by CROSS-DOCUMENT duplicated n-gram spans
+    — the "how much of this page exists elsewhere in the corpus"
+    signal (the inter-document complement of
+    text.repetition_features' intra-document ratios; the span-level
+    view that pair-level Jaccard aggregates away).
+
+    Returns ``(id, n_tokens, covered_tokens, dup_coverage)`` where a
+    token is covered iff it lies inside at least one n-token window
+    whose normalized text also appears in ANOTHER document.
+
+    Plan shape: positioned n-gram hashes come from a narrow
+    transform+posexplode over the token array (no join against the
+    text); cross-doc df is one groupBy(h) carrying count_distinct(id)
+    — shuffle keyed on the 60-bit hash; coverage is the classic
+    interval-union window (sort spans by start within doc, running
+    max end, add only the unseen tail of each span), one shuffle by
+    document id. Nothing ever pairs documents, so cost is linear in
+    corpus tokens however many duplicates exist.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__ts")).withColumn(
+        "__n_tokens", F.size("__ts")
+    )
+    grams = base.filter(F.size("__ts") >= n).select(
+        id_col,
+        "__n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ts") - (n - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat_ws(" ", F.slice(F.col("__ts"), i, n)), 256
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("__p0", "h"),
+    ).select(
+        id_col, "__n_tokens", (F.col("__p0") + 1).alias("pos"), "h"
+    )
+    docs_per_h = grams.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    dup_spans = (
+        grams.join(docs_per_h, "h")
+        .filter(F.col("__docs") >= 2)
+        .select(id_col, "__n_tokens", "pos", (F.col("pos") + n - 1).alias("end"))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        dup_spans.withColumn("__prev_end", F.max("end").over(w))
+        .withColumn(
+            "__new",
+            F.greatest(
+                F.lit(0),
+                F.col("end")
+                - F.greatest(F.col("pos") - 1, F.coalesce(F.col("__prev_end"), F.lit(0))),
+            ),
+        )
+        .groupBy(id_col, "__n_tokens")
+        .agg(F.sum("__new").alias("covered_tokens"))
+    )
+    return (
+        base.select(id_col, "__n_tokens")
+        .join(covered.drop("__n_tokens"), id_col, "left")
+        .select(
+            id_col,
+            F.col("__n_tokens").alias("n_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias("covered_tokens"),
+            dround(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.greatest(F.col("__n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )

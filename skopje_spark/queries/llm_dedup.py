@@ -450,3 +450,69 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.6)
+
+
+@register(
+    "q_dedup_span_coverage",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, i + 7 AS "end",
+             ('0x' || substr(sha256(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+             ), 1, 15))::BIGINT AS h
+      FROM base,
+           UNNEST(CASE WHEN len(ts) >= 8 THEN range(1, len(ts) - 6)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    dup AS (
+      SELECT doc_id, pos, "end"
+      FROM grams
+      WHERE h IN (
+        SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      )
+    ),
+    isl AS (
+      SELECT doc_id, pos, "end",
+             MAX("end") OVER (PARTITION BY doc_id ORDER BY pos, "end"
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM dup
+    ),
+    cov AS (
+      SELECT doc_id,
+             SUM(GREATEST(0, "end" - GREATEST(pos - 1, COALESCE(prev_end, 0))))
+               AS covered_tokens
+      FROM isl GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.ts) AS n_tokens,
+           CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           (CASE WHEN (COALESCE(cov.covered_tokens, 0) / GREATEST(len(b.ts), 1)) < 0
+                 THEN -(FLOOR((-(COALESCE(cov.covered_tokens, 0) / GREATEST(len(b.ts), 1))) * 1000000.0 + 0.5) / 1000000.0)
+                 ELSE FLOOR((COALESCE(cov.covered_tokens, 0) / GREATEST(len(b.ts), 1)) * 1000000.0 + 0.5) / 1000000.0 END)
+             AS dup_coverage
+    FROM base b LEFT JOIN cov ON cov.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "spans", "coverage", "llm-pipeline"),
+)
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage
+    (operators/dedup.py:dup_span_coverage): for every document, the
+    fraction of its tokens lying inside an 8-gram window that also
+    appears in ANOTHER document — the span-level "how much of this
+    page exists elsewhere" curation signal (the inter-document
+    complement of q_text_repetition's intra-document ratios).
+    Positioned hashes are a narrow array map, cross-doc df one
+    hash-keyed groupBy, coverage the interval-union window — no
+    document pairing anywhere, cost linear in corpus tokens."""
+    from skopje_spark.operators.dedup import dup_span_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(d, "doc_id", "text", n=8).orderBy("doc_id")

@@ -953,3 +953,31 @@ def test_ivf_index_rebuild_resets_stats_and_empty_append(spark, sf_dir, tmp_path
     res2 = ivf_index_append(extra.limit(50), path)
     assert res2["build_mean_cos"] is not None
     assert res2["staleness_drop"] is not None
+
+
+def test_dup_span_coverage_interval_union(spark):
+    """Hand-computed: docs 1 and 2 share a 10-token run (overlapping
+    duplicated 8-gram windows must merge, not double-count); doc 3 is
+    unique. Coverage(1) = 10/14, coverage(2) = 10/12, coverage(3)=0,
+    and a short doc (<8 tokens) reports 0 without erroring."""
+    from skopje_spark.operators.dedup import dup_span_coverage
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    d = spark.createDataFrame(
+        [
+            (1, "one two three four " + shared),          # 4 + 10 = 14 tokens
+            (2, shared + " kilo lima"),                   # 10 + 2 = 12 tokens
+            (3, "totally unrelated words live here without any twin at all"),
+            (4, "too short for windows"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dup_span_coverage(d, "doc_id", "text", n=8).collect()
+    }
+    assert got[1]["covered_tokens"] == 10 and got[1]["n_tokens"] == 14
+    assert abs(got[1]["dup_coverage"] - round(10 / 14, 6)) < 1e-9
+    assert got[2]["covered_tokens"] == 10 and got[2]["n_tokens"] == 12
+    assert got[3]["covered_tokens"] == 0
+    assert got[4]["covered_tokens"] == 0 and got[4]["n_tokens"] == 4
