@@ -59,7 +59,44 @@ HEADLINE = [
     "q_embed_quantize_int8",
     "q_graph_pagerank",
     "q_text_unigram_logprob",
+    # late round-6 additions: prefix-filtered similarity join, PQ ANN
+    # query path, bigram LM scoring. q_similarity_pq_rerank and
+    # q_similarity_ivfpq_topk are excluded like the persisted-index
+    # queries: their timing is dominated by the build-once training/
+    # index write, which per-query repetition would mismeasure; the
+    # bench-only q_pq_adc_query below times the recurring production
+    # cost (ADC shortlist + exact re-rank over a prebuilt encoding).
+    "q_dedup_jaccard_prefix",
+    "q_pq_adc_query",
+    "q_text_bigram_logprob",
 ]
+
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_adc_query(spark, sf_dir):
+    """Bench-only: the PQ QUERY path alone. Codebooks + encoding are
+    built once per sf_dir (the build-once artifact a real deployment
+    persists); timed passes measure ADC scoring + shortlist + exact
+    re-rank — the per-query cost."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.quantize import pq_encode, pq_topk_rerank, pq_train
+    from skopje_spark.operators.similarity import l2_normalize
+    from skopje_spark.tables import load_table
+
+    if sf_dir not in _PQ_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        en = e.select("vec_id", l2_normalize(F.col("embedding")).alias("nv"))
+        books = pq_train(en, vec_col="nv", m=16, ksub=32, iters=3)
+        enc = pq_encode(en, books, vec_col="nv").localCheckpoint(eager=True)
+        query = [float(x) for x in en.orderBy("vec_id").first()["nv"]]
+        _PQ_CACHE[sf_dir] = (books, enc, query)
+    books, enc, query = _PQ_CACHE[sf_dir]
+    return pq_topk_rerank(
+        enc, books, query, vec_col="nv", k=10, shortlist=64
+    )
 
 
 def _bench_only():
@@ -68,7 +105,10 @@ def _bench_only():
     carries the banded correctness verdict)."""
     from skopje_spark.queries.sketch_state import sketch_quantile_ops
 
-    return {"q_sketch_quantile_ops": sketch_quantile_ops}
+    return {
+        "q_sketch_quantile_ops": sketch_quantile_ops,
+        "q_pq_adc_query": _pq_adc_query,
+    }
 
 
 def main() -> None:

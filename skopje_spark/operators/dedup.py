@@ -257,8 +257,12 @@ def jaccard_pairs_prefix(
     this loses nothing: the high-df shingles still participate in
     verification, just never in pair generation.
     """
-    sh = shingle_hashes(df, id_col, text_col, n)
-    sh = sh.withColumn(
+    base = shingle_hashes(df, id_col, text_col, n)
+    # the window columns exist only to build the prefix; the
+    # verification branch reads `base` directly so it shares the
+    # cheaper pre-window subplan instead of dragging two window
+    # exchanges into a branch that doesn't use them
+    sh = base.withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
     # global order: rarity ascending, hash tiebreak -> position in doc
@@ -294,7 +298,7 @@ def jaccard_pairs_prefix(
         .distinct()
     )
     # verification: exact intersection over the FULL sets
-    full = sh.select(id_col, "h")
+    full = base
     inter = (
         cands.join(full.select(F.col(id_col).alias("id_a"), "h"), "id_a")
         .join(full.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
