@@ -295,8 +295,8 @@ def kmv_state(df: DataFrame, col: str, *, k: int = 256) -> DataFrame:
         yield pd.DataFrame({"h": cur})
 
     partials = (
-        df.select(_kmv_u64(F.col(col)).alias("h"))
-        .filter(F.col(col).isNotNull())
+        df.filter(F.col(col).isNotNull())
+        .select(_kmv_u64(F.col(col)).alias("h"))
         .mapInPandas(part, schema="h double")
     )
     return partials.distinct().orderBy("h").limit(k)
