@@ -250,3 +250,56 @@ def test_unigram_logprob_single_corpus_scan(spark, sf_dir):
     corpus scan)."""
     df = _df(spark, sf_dir, "q_text_unigram_logprob")
     assert plan_text(df).count("ReadSchema") == 1, plan_text(df)
+
+
+def test_bigram_logprob_no_python_and_pruned_scan(spark, sf_dir):
+    """Bigram formation must be the narrow array-zip map (no Python
+    anywhere in the plan) over a text-only pruned scan; the model
+    joins are hash joins on (w1, w2) — no cartesian, no broadcast of
+    the corpus side."""
+    df = _df(spark, sf_dir, "q_text_bigram_logprob")
+    txt = plan_text(df)
+    assert "Python" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+    schema = " ".join(scan_schemas(df))
+    assert "text" in schema and "label" not in schema, schema
+
+
+def test_cms_shuffle_is_partially_aggregated(spark, sf_dir):
+    """The CMS build's groupBy(r, bucket) must partial-aggregate
+    map-side — that is what bounds the shuffle at
+    partitions × depth × width rows regardless of input skew."""
+    from skopje_spark.operators.freq import cms_build
+    from skopje_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    txt = plan_text(cms_build(ev, "user_id"))
+    # partial_count before the exchange, final after it
+    assert "partial_count" in txt, txt
+    assert txt.index("partial_count") > txt.index("Exchange") or (
+        "HashAggregate" in txt
+    ), txt
+
+
+def test_span_coverage_never_pairs_documents(spark, sf_dir):
+    """dup_span_coverage joins hash->df and doc->coverage — never a
+    doc×doc pair space: no cartesian, no self-join fan-out beyond the
+    positioned-gram explode, and every join is an equi hash/SMJ."""
+    df = _df(spark, sf_dir, "q_dedup_span_coverage")
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+
+
+def test_kmv_state_partials_precede_tiny_topk(spark):
+    """kmv_state's plan: Arrow partials (bounded k-min per partition)
+    feed a global TakeOrdered/limit over <= partitions × k rows — the
+    raw column never shuffles."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.sketches import kmv_state
+
+    df = spark.range(0, 10000).select(F.col("id").alias("v"))
+    txt = plan_text(kmv_state(df, "v", k=64))
+    assert "ArrowEvalPython" in txt or "MapInPandas" in txt, txt
+    assert "TakeOrderedAndProject" in txt or "GlobalLimit" in txt, txt
