@@ -493,9 +493,18 @@ def q_freq_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cms = cms_merge(first, second).localCheckpoint(eager=True)
 
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # per-user exact counts double as the probe set: checkpointed so
+    # the total, the probe fan-out, and the verdict join all reuse one
+    # events aggregation instead of three scans
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)
+    )
     n_total = exact.agg(F.sum("exact_cnt").alias("__n"))
-    est = cms_query(cms, ev, "user_id", depth=depth, width=width)
+    est = cms_query(
+        cms, exact.select("user_id"), "user_id", depth=depth, width=width
+    )
     return (
         exact.join(est, "user_id")
         .crossJoin(F.broadcast(n_total))

@@ -208,7 +208,7 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     third of each band (see tests/test_sketches.py). Exact values ride
     along so the driver hash still pins real numbers, not just flags.
     """
-    from skopje_spark.operators.sketches import kmv_overlap, kmv_state
+    from skopje_spark.operators.sketches import kmv_estimate, kmv_overlap, kmv_state
 
     k = 256
     o = load_table(spark, sf_dir, "orders")
@@ -218,11 +218,7 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sa = kmv_state(a_side, "o_custkey", k=k)
     sb = kmv_state(b_side, "o_custkey", k=k)
-    est_a = sa.agg(F.count(F.lit(1)).alias("__na"), F.max("h").alias("__ua")).select(
-        F.when(F.col("__na") < k, F.col("__na").cast("double"))
-        .otherwise(F.lit(float(k - 1)) / F.col("__ua"))
-        .alias("a_est")
-    )
+    est_a = kmv_estimate(sa, k=k, out_col="a_est")
     ov = kmv_overlap(sa, sb, k=k)
 
     # the verdict needs four exact counts; derive them in one pass over
