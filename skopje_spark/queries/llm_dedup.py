@@ -516,3 +516,54 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dup_span_coverage(d, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+@register(
+    "q_corpus_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(sha256(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
+      FROM toks,
+           UNNEST(CASE WHEN len(ts) >= 3 THEN range(1, len(ts) - 1)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (h)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           (CASE WHEN (n_common / (sa.sz + sb.sz - n_common)) < 0 THEN -(FLOOR((-(n_common / (sa.sz + sb.sz - n_common))) * 1000000.0 + 0.5) / 1000000.0) ELSE FLOOR((n_common / (sa.sz + sb.sz - n_common)) * 1000000.0 + 0.5) / 1000000.0 END) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("dedup", "corpus", "overlap", "llm-pipeline"),
+)
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level content-overlap matrix: exact 3-gram Jaccard
+    between every pair of ingestion sources — the "which feeds are
+    re-crawling each other" report that decides dedup ordering and
+    mixture weights before any doc-level pass runs. Pure composition:
+    the doc-level shingle machinery at source granularity
+    (operators/dedup.py:jaccard_pairs with id_col="source" — the
+    shingle set per source is the union over its documents, and the
+    pair space is |sources|², trivially bounded). The KMV sketch path
+    (q_sketch_kmv_overlap) is the approximate scale-out twin; this
+    one is exact and oracle-pinned."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(d, "source", "text", n=3, threshold=0.0)
+        .withColumnRenamed("id_a", "source_a")
+        .withColumnRenamed("id_b", "source_b")
+        .orderBy("source_a", "source_b")
+    )
