@@ -63,3 +63,77 @@ def run_checks(*checks: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def table_digest(
+    df: DataFrame,
+    key_cols: list[str],
+    cols: list[str],
+    *,
+    n_buckets: int = 64,
+    exact: bool = True,
+) -> DataFrame:
+    """Merkle-style bucketed table fingerprints: ``(bucket, n_rows,
+    digest)`` where rows are routed to ``n_buckets`` by a hash of
+    their key and each bucket's digest is an ORDER-INDEPENDENT sha256
+    over its row hashes (sorted before folding).
+
+    The 100 TB use: validating that two copies of a table — primary
+    vs replica, pre- vs post-migration, two lake regions — agree,
+    WITHOUT shipping or sorting either table: each side computes its
+    digest frame locally (one scan + one n_buckets-sized shuffle),
+    the comparison is O(n_buckets) rows, and a mismatch pinpoints
+    which key range to re-scan. This is the anti-entropy pattern of
+    replicated stores (Merkle trees, flattened one level) expressed
+    as a DataFrame aggregate.
+
+    Determinism contract (what makes digests comparable across
+    engines, partitionings, and row orders): row hash = sha256 over
+    unit-separated canonical strings; bucket = 60-bit sha-derived key
+    hash mod n_buckets (NOT xxhash — reproducible in DuckDB); bucket
+    digest = sha256 over the lexicographically sorted row hashes.
+    Columns must be string-safe types (ints/strings/dates) — doubles
+    format differently across engines and belong in a rounded string
+    column if needed.
+
+    Two tiers:
+
+    - ``exact=True`` (default): the cryptographic sorted-fold digest.
+      Per-bucket state is the row-hash list (32 B/row), so size
+      n_buckets ~ rows / what-fits-one-task; right for validation
+      sweeps where buckets are millions, not billions, of rows.
+    - ``exact=False``: bounded-state incremental digest — SUM and
+      XOR of the 60-bit row-hash ints (both commutative, map-side
+      combined, O(1) per bucket however large). Collision resistance
+      is that of a 120-bit additive checksum, not sha256 — ample for
+      anti-entropy ("did anything change, and in which bucket"), and
+      the only tier whose state stays bounded at any bucket size.
+    """
+    key_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    row_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    bucket = F.pmod(
+        F.conv(F.substring(F.sha2(key_str, 256), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    rh = F.sha2(row_str, 256)
+    rows = df.select(bucket.alias("bucket"), rh.alias("__rh"))
+    if not exact:
+        h60 = F.conv(F.substring(F.col("__rh"), 1, 15), 16, 10).cast("bigint")
+        return (
+            rows.withColumn("__h", h60)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                # decimal accumulator: a sum of 60-bit ints overflows
+                # int64 within ~16 rows; decimal(38,0) holds ~1e38
+                F.sum(F.col("__h").cast("decimal(38,0)")).alias("digest_sum"),
+                # bit_xor: commutative/associative, map-side combined
+                F.expr("bit_xor(__h)").alias("digest_xor"),
+            )
+        )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sha2(
+            F.concat_ws("", F.sort_array(F.collect_list("__rh"))), 256
+        ).alias("digest"),
+    )

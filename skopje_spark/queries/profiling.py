@@ -66,3 +66,48 @@ def q_ngram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical 20 rows."""
     d = load_table(spark, sf_dir, "documents")
     return frequent_ngrams(d, "doc_id", "text", n=3, top_k=20)
+
+
+@register(
+    "q_table_digest",
+    oracle=r"""
+    WITH rowed AS (
+      SELECT
+        ('0x' || substr(sha256(concat_ws(chr(31),
+            CAST(o_orderkey AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket,
+        sha256(concat_ws(chr(31),
+            CAST(o_orderkey AS VARCHAR),
+            CAST(o_custkey AS VARCHAR),
+            o_orderstatus,
+            o_orderpriority,
+            CAST(o_orderdate AS VARCHAR))) AS rh
+      FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           sha256(string_agg(rh, '' ORDER BY rh)) AS digest
+    FROM rowed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("quality", "digest", "anti-entropy", "lake"),
+)
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style bucketed fingerprints of the orders table
+    (operators/quality.py:table_digest): 64 buckets keyed by a
+    sha-derived hash of o_orderkey, each carrying an order-independent
+    sha256 digest of its rows — the anti-entropy primitive for
+    validating replicas/migrations by comparing O(64) rows instead of
+    re-scanning either side. The oracle re-derives every digest in
+    DuckDB, proving the fingerprints are ENGINE-portable: a replica
+    validated by a different engine entirely still agrees bucket for
+    bucket."""
+    from skopje_spark.operators.quality import table_digest
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_digest(
+        o,
+        ["o_orderkey"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+        n_buckets=64,
+    ).orderBy("bucket")

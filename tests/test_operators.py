@@ -981,3 +981,48 @@ def test_dup_span_coverage_interval_union(spark):
     assert got[2]["covered_tokens"] == 10 and got[2]["n_tokens"] == 12
     assert got[3]["covered_tokens"] == 0
     assert got[4]["covered_tokens"] == 0 and got[4]["n_tokens"] == 4
+
+
+def test_table_digest_invariance_and_sensitivity(spark):
+    """Digests are pure functions of table CONTENT: invariant under
+    repartitioning and row order; a single-cell change flips exactly
+    the one bucket holding that key (both tiers); the bounded tier's
+    sum digest is mergeable (union == per-bucket sum of parts)."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.quality import table_digest
+
+    rows = [(i, f"v{i % 17}", f"p{i % 5}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, a string, b string")
+    keys, cols, nb = ["k"], ["k", "a", "b"], 16
+
+    def snap(frame, **kw):
+        return {
+            r["bucket"]: tuple(r[c] for c in frame.columns if c != "bucket")
+            for r in frame.collect()
+        }
+
+    d1 = snap(table_digest(df.repartition(1), keys, cols, n_buckets=nb))
+    d17 = snap(table_digest(df.repartition(17), keys, cols, n_buckets=nb))
+    assert d1 == d17 and len(d1) == nb
+
+    flipped = df.withColumn(
+        "a", F.when(F.col("k") == 123, F.lit("CHANGED")).otherwise(F.col("a"))
+    )
+    d_flip = snap(table_digest(flipped, keys, cols, n_buckets=nb))
+    assert sum(1 for b in d1 if d1[b] != d_flip[b]) == 1
+
+    # bounded tier: same invariance + sensitivity + additive merge
+    b_all = snap(table_digest(df, keys, cols, n_buckets=nb, exact=False))
+    b_flip = snap(table_digest(flipped, keys, cols, n_buckets=nb, exact=False))
+    assert sum(1 for b in b_all if b_all[b] != b_flip[b]) == 1
+    lo = table_digest(df.filter(F.col("k") < 250), keys, cols, n_buckets=nb, exact=False)
+    hi = table_digest(df.filter(F.col("k") >= 250), keys, cols, n_buckets=nb, exact=False)
+    merged = {
+        r["bucket"]: (r["n"], r["s"])
+        for r in lo.unionByName(hi)
+        .groupBy("bucket")
+        .agg(F.sum("n_rows").alias("n"), F.sum("digest_sum").alias("s"))
+        .collect()
+    }
+    assert merged == {b: (v[0], v[1]) for b, v in b_all.items()}
