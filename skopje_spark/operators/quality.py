@@ -137,3 +137,56 @@ def table_digest(
             F.concat_ws("", F.sort_array(F.collect_list("__rh"))), 256
         ).alias("digest"),
     )
+
+
+def table_digest_update(
+    digest: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    key_cols: list[str],
+    cols: list[str],
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Incremental maintenance of the BOUNDED-STATE digest tier
+    (:func:`table_digest` with ``exact=False``): fold a changelog
+    into an existing digest frame WITHOUT rescanning the table.
+
+    Possible because the sum/xor tier is a group homomorphism — sum
+    is invertible (subtract removed rows) and xor self-inverse (xor
+    again removes) — so
+    ``update(digest(old), inserts, deletes) == digest(new)``
+    EXACTLY (property-tested against operators/cdc.py's snapshot
+    diff). An UPDATE is a delete of the old row + insert of the new
+    one, which is precisely what cdc_snapshot_diff emits. The exact
+    sha tier cannot be maintained this way (sorted folds don't
+    subtract); the pattern is: maintain sum/xor continuously, recompute
+    the sha tier only for buckets whose cheap digest moved.
+
+    Cost: O(|changes|) scan + one n_buckets-sized shuffle; the table
+    itself is never touched.
+    """
+    deltas = []
+    for frame, sign in ((inserts, 1), (deletes, -1)):
+        d = table_digest(frame, key_cols, cols, n_buckets=n_buckets, exact=False)
+        deltas.append(
+            d.select(
+                "bucket",
+                (F.col("n_rows") * sign).alias("n_rows"),
+                (F.col("digest_sum") * sign).alias("digest_sum"),
+                F.col("digest_xor").alias("digest_xor"),
+            )
+        )
+    all_parts = digest.select(
+        "bucket", "n_rows", "digest_sum", "digest_xor"
+    ).unionByName(deltas[0]).unionByName(deltas[1])
+    return (
+        all_parts.groupBy("bucket")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("digest_sum").alias("digest_sum"),
+            F.expr("bit_xor(digest_xor)").alias("digest_xor"),
+        )
+        # buckets whose rows all vanished collapse to the empty state
+        .filter(F.col("n_rows") > 0)
+    )

@@ -85,3 +85,59 @@ def test_scd2_invariants(spark):
     per_key = out.filter(F.col("is_current") == 1).groupBy("k").count()
     assert per_key.filter(F.col("count") != 1).count() == 0
     assert out.filter((F.col("is_current") == 0) & F.col("valid_to").isNull()).count() == 0
+
+
+def test_digest_update_tracks_snapshot_diff(spark):
+    """Incremental view maintenance of the bounded digest: folding a
+    CDC changelog (with before-images for U/D, as real changelogs
+    carry) into digest(old) must equal digest(new) computed from
+    scratch — exactly, including counts, sums, and xors."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.cdc import snapshot_diff
+    from skopje_spark.operators.quality import table_digest, table_digest_update
+
+    old = spark.createDataFrame(
+        [(i, f"v{i % 13}", i % 7) for i in range(300)],
+        "k bigint, a string, b int",
+    )
+    # new: 10 deletes, 10 updates, 15 inserts
+    new = (
+        old.filter(F.col("k") >= 10)
+        .withColumn(
+            "a",
+            F.when(F.col("k") < 20, F.concat(F.col("a"), F.lit("_upd"))).otherwise(
+                F.col("a")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(1000 + i, f"new{i}", i) for i in range(15)],
+                "k bigint, a string, b int",
+            )
+        )
+    )
+    keys, cols, nb = ["k"], ["k", "a", "b"], 8
+    diff = snapshot_diff(old, new, keys)
+    ins = diff.filter(F.col("__op").isin("I", "U")).select("k", "a", "b")
+    # before-images for the delete side of U and for D
+    del_keys = diff.filter(F.col("__op").isin("D", "U")).select("k")
+    dels = old.join(del_keys, "k", "semi")
+
+    updated = table_digest_update(
+        table_digest(old, keys, cols, n_buckets=nb, exact=False),
+        ins,
+        dels,
+        keys,
+        cols,
+        n_buckets=nb,
+    )
+    fresh = table_digest(new, keys, cols, n_buckets=nb, exact=False)
+
+    def snap(frame):
+        return {
+            r["bucket"]: (r["n_rows"], r["digest_sum"], r["digest_xor"])
+            for r in frame.collect()
+        }
+
+    assert snap(updated) == snap(fresh)
