@@ -190,3 +190,24 @@ def table_digest_update(
         # buckets whose rows all vanished collapse to the empty state
         .filter(F.col("n_rows") > 0)
     )
+
+
+def check_k_anonymity(
+    df: DataFrame, quasi_cols: list[str], *, k: int = 10
+) -> DataFrame:
+    """Risky quasi-identifier groups: combinations of ``quasi_cols``
+    shared by FEWER than ``k`` rows — the k-anonymity screen run on
+    training data before release (a record in a group of size < k is
+    re-identifiable by those attributes). Returns the violating
+    combinations with their group sizes; empty means the table is
+    k-anonymous w.r.t. the chosen quasi-identifiers.
+
+    One groupBy on the quasi-identifier key (map-side combined);
+    emitted rows ∝ violating combos only — nothing row-level leaves
+    the executors.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

@@ -111,3 +111,28 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
         n_buckets=64,
     ).orderBy("bucket")
+
+
+@register(
+    "q_dq_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS group_size
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING COUNT(*) < 10
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    tags=("quality", "privacy", "k-anonymity"),
+)
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen (operators/quality.py:check_k_anonymity):
+    customer quasi-identifier combos (market segment × nation) held
+    by fewer than k=10 customers — each is a re-identification risk
+    the release pipeline must generalize or suppress. One map-side-
+    combined groupBy; output ∝ violations."""
+    from skopje_spark.operators.quality import check_k_anonymity
+
+    c = load_table(spark, sf_dir, "customer")
+    return check_k_anonymity(c, ["c_mktsegment", "c_nationkey"], k=10).orderBy(
+        "c_mktsegment", "c_nationkey"
+    )
