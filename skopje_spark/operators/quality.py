@@ -211,3 +211,22 @@ def check_k_anonymity(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def check_l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, *, l: int = 3
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — the l-diversity refinement of
+    :func:`check_k_anonymity` (a k-anonymous group still leaks the
+    sensitive value if everyone in it shares one). Returns violating
+    combos with group size and distinct-sensitive count; one groupBy,
+    output ∝ violations."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )

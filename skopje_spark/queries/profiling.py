@@ -136,3 +136,31 @@ def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_k_anonymity(c, ["c_mktsegment", "c_nationkey"], k=10).orderBy(
         "c_mktsegment", "c_nationkey"
     )
+
+
+@register(
+    "q_dq_l_diversity",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT o_orderstatus) AS n_sensitive
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderstatus) < 3
+    ORDER BY o_custkey
+    """,
+    tags=("quality", "privacy", "l-diversity"),
+)
+def q_dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen (operators/quality.py:check_l_diversity):
+    groups — here per-customer order histories — whose sensitive
+    attribute (order status) takes fewer than l=3 distinct values.
+    The refinement k-anonymity misses: a large group still leaks the
+    sensitive value when everyone in it shares one. One groupBy,
+    output ∝ violations."""
+    from skopje_spark.operators.quality import check_l_diversity
+
+    o = load_table(spark, sf_dir, "orders")
+    return check_l_diversity(o, ["o_custkey"], "o_orderstatus", l=3).orderBy(
+        "o_custkey"
+    )
