@@ -618,3 +618,85 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    i_{out} AS (
+      SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS inflow
+      FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT nodes.node,
+             ((1.0 - 0.85) * p.pv + 0.85 * COALESCE(i_{out}.inflow, 0.0)) AS rank
+      FROM nodes JOIN p ON nodes.node = p.node
+      LEFT JOIN i_{out} ON nodes.node = i_{out}.node
+    )
+"""
+
+
+@register(
+    "q_graph_ppr",
+    oracle=f"""
+    WITH {_PR_EDGES_SQL},
+    seeds AS (
+      SELECT node FROM nodes WHERE node LIKE 'c%' ORDER BY node LIMIT 3
+    ),
+    ks AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+    p AS (
+      SELECT nodes.node,
+             CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ks.k ELSE 0.0 END AS pv
+      FROM nodes CROSS JOIN ks LEFT JOIN seeds ON nodes.node = seeds.node
+    ),
+    r0 AS (SELECT node, pv AS rank FROM p),
+    {_ppr_iter_sql('r0', 'r1')},
+    {_ppr_iter_sql('r1', 'r2')}
+    SELECT node, {dround_sql('r2.rank * nn.n', 6)} AS norm_rank
+    FROM r2 CROSS JOIN nn
+    WHERE node LIKE 's%'
+    ORDER BY norm_rank DESC, node LIMIT 15
+    """,
+    tags=("graph", "pagerank", "personalized", "iterative"),
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:pagerank with
+    seeds): teleport restricted to the 3 lexicographically-first
+    customer nodes, ranking suppliers by PROXIMITY to those seed
+    customers rather than global centrality — the TrustRank-style
+    propagate-from-vetted-seeds signal used to score crawl/graph data
+    from a trusted whitelist. Same per-iteration cost as uniform
+    PageRank (the teleport vector is a literal membership test);
+    oracle chains one CTE per iteration with the seeded teleport
+    term."""
+    from skopje_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = [
+        r["src"]
+        for r in edges.filter(F.col("src").startswith("c"))
+        .select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(3)
+        .collect()
+    ]
+    ranks = pagerank(edges, iters=2, validate=False, seeds=seeds)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", dround(F.col("norm_rank"), 6).alias("norm_rank"))
+        .orderBy(F.col("norm_rank").desc(), "node")
+        .limit(15)
+    )

@@ -560,3 +560,31 @@ def test_ivfpq_append_frozen_quantizers_and_staleness(spark, sf_dir, tmp_path):
     # probe and scored at ~1
     assert 10_000_000 in by_id, got
     assert by_id[10_000_000] > 0.999, got
+
+
+def test_personalized_pagerank_hand_values_and_seed_contract(spark):
+    """Two-node graph a<->b, seed {a}, d=0.85, 2 iterations —
+    hand-computed: r1=(0.15, 0.85), r2=(0.8725, 0.1275) (×n=2 for the
+    mean-1 normalization). Mass concentrates near the seed, unlike
+    uniform PR where the symmetric graph ties. Absent seeds raise."""
+    from skopje_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    ranks = {
+        r["node"]: r["norm_rank"]
+        for r in pagerank(edges, iters=2, seeds=["a"]).collect()
+    }
+    assert abs(ranks["a"] - 0.8725 * 2) < 1e-9
+    assert abs(ranks["b"] - 0.1275 * 2) < 1e-9
+
+    uniform = {
+        r["node"]: r["norm_rank"] for r in pagerank(edges, iters=2).collect()
+    }
+    assert uniform["a"] == uniform["b"]  # symmetry ties without seeds
+
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(edges, seeds=["zz"])
+    with pytest.raises(ValueError, match="empty seed"):
+        pagerank(edges, seeds=[])
