@@ -230,3 +230,39 @@ def check_l_diversity(
         )
         .filter(F.col("n_sensitive") < l)
     )
+
+
+def digest_compare(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Compare two digest frames (:func:`table_digest` output, either
+    tier): one row per bucket with both sides' row counts and a
+    ``match`` flag. The anti-entropy verdict — O(n_buckets) rows
+    joined, neither table touched; mismatched buckets name the key
+    ranges to re-sync. Buckets missing on one side (possible in the
+    exact tier when a bucket is empty) compare as mismatched unless
+    missing on both."""
+    av = a.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col(a.columns[-1]).alias("__da"),
+    )
+    bv = b.select(
+        "bucket",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col(b.columns[-1]).alias("__db"),
+    )
+    return (
+        av.join(bv, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_rows_a"), F.lit(0)).alias("n_rows_a"),
+            F.coalesce(F.col("n_rows_b"), F.lit(0)).alias("n_rows_b"),
+            (
+                F.col("__da").eqNullSafe(F.col("__db"))
+                & F.coalesce(F.col("n_rows_a"), F.lit(0)).eqNullSafe(
+                    F.coalesce(F.col("n_rows_b"), F.lit(0))
+                )
+            )
+            .cast("int")
+            .alias("match"),
+        )
+    )

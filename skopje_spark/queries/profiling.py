@@ -10,6 +10,7 @@ what's in each column, and which templated text dominates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from skopje_spark.operators.profile import profile_columns, profile_columns_sql
 from skopje_spark.operators.text import frequent_ngrams
@@ -164,3 +165,58 @@ def q_dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_l_diversity(o, ["o_custkey"], "o_orderstatus", l=3).orderBy(
         "o_custkey"
     )
+
+
+@register(
+    "q_digest_replica_drift",
+    oracle=r"""
+    WITH rowed AS (
+      SELECT o_orderkey,
+        ('0x' || substr(sha256(concat_ws(chr(31),
+            CAST(o_orderkey AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket,
+        sha256(concat_ws(chr(31),
+            CAST(o_orderkey AS VARCHAR),
+            CAST(o_custkey AS VARCHAR),
+            o_orderstatus,
+            CAST(o_orderdate AS VARCHAR))) AS rh
+      FROM orders
+    ),
+    da AS (
+      SELECT bucket, COUNT(*) AS n_rows_a,
+             sha256(string_agg(rh, '' ORDER BY rh)) AS d
+      FROM rowed GROUP BY bucket
+    ),
+    db AS (
+      SELECT bucket, COUNT(*) AS n_rows_b,
+             sha256(string_agg(rh, '' ORDER BY rh)) AS d
+      FROM rowed WHERE o_orderkey % 997 <> 0 GROUP BY bucket
+    )
+    SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+           COALESCE(da.n_rows_a, 0) AS n_rows_a,
+           COALESCE(db.n_rows_b, 0) AS n_rows_b,
+           CAST(da.d IS NOT DISTINCT FROM db.d
+                AND COALESCE(da.n_rows_a, 0) IS NOT DISTINCT FROM COALESCE(db.n_rows_b, 0)
+                AS INTEGER) AS match
+    FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+    ORDER BY bucket
+    """,
+    tags=("quality", "digest", "anti-entropy", "replication"),
+)
+def q_digest_replica_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end anti-entropy run
+    (operators/quality.py:table_digest + digest_compare): the orders
+    table vs a drifted replica (every 997th order key silently lost),
+    compared digest-by-digest. Only the buckets holding lost keys
+    flip to match=0 — those name the key ranges to re-sync; the rest
+    prove untouched WITHOUT re-reading either side. Both engines
+    re-derive both fingerprint sets, so the query also proves the
+    comparison itself is engine-portable."""
+    from skopje_spark.operators.quality import digest_compare, table_digest
+
+    o = load_table(spark, sf_dir, "orders")
+    replica = o.filter(F.pmod(F.col("o_orderkey"), F.lit(997)) != 0)
+    keys = ["o_orderkey"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    da = table_digest(o, keys, cols, n_buckets=64)
+    db = table_digest(replica, keys, cols, n_buckets=64)
+    return digest_compare(da, db).orderBy("bucket")
