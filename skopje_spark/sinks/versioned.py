@@ -122,3 +122,25 @@ def vacuum(path: str, *, keep: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)
     return removed
+
+
+def versioned_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC from time travel: the I/U/D changelog between two committed
+    snapshots (``to_version`` defaults to the committed latest) —
+    operators/cdc.py's snapshot_diff over the two pinned reads. This
+    is the read-side complement of :func:`versioned_upsert`: downstream
+    consumers (digest maintenance via quality.table_digest_update,
+    incremental rollups, replica sync) pull exactly what changed
+    between commits without the writer having to emit a changelog."""
+    from skopje_spark.operators.cdc import snapshot_diff
+
+    old = versioned_read(spark, path, version=from_version)
+    new = versioned_read(spark, path, version=to_version)
+    return snapshot_diff(old, new, keys)
