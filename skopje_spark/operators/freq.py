@@ -258,7 +258,23 @@ def cms_query(
     cell — x was never seen by that row). Returns ``(col, est)``.
 
     The probe side fans out to depth rows per probe and hash-joins
-    the O(depth × width) cell table — never the original data."""
+    the O(depth × width) cell table — never the original data.
+
+    Self-description guard: a sketch frame that carries ``depth`` /
+    ``width`` metadata columns (:func:`cms_read_state` output) is
+    validated against this call's parameters — querying a sketch
+    built at another geometry would silently hash probes into the
+    wrong cells and return garbage estimates, so it raises instead."""
+    if "depth" in cms.columns and "width" in cms.columns:
+        meta = cms.select("depth", "width").distinct().collect()
+        if len(meta) > 1:
+            raise ValueError(f"cms_query: mixed sketch geometries in state: {meta}")
+        if meta and (meta[0]["depth"] != depth or meta[0]["width"] != width):
+            raise ValueError(
+                f"cms_query: sketch was built with depth={meta[0]['depth']} "
+                f"width={meta[0]['width']}, queried with depth={depth} width={width}"
+            )
+        cms = cms.drop("depth", "width")
     cells = (
         probes.select(F.col(col))
         .distinct()
@@ -308,6 +324,10 @@ def cms_stream_sink(
         (
             cms_build(batch_df, col, depth=depth, width=width)
             .withColumn("batch_id", FF.lit(batch_id))
+            # self-describing state: geometry rides with the cells so
+            # readers can't silently query at a different (depth, width)
+            .withColumn("depth", FF.lit(depth))
+            .withColumn("width", FF.lit(width))
             .write.mode("append")
             .parquet(state_path)
         )
@@ -321,10 +341,30 @@ def cms_read_state(spark, state_path: str) -> DataFrame:
     """Read side of :func:`cms_stream_sink`: collapse any replayed
     batch appends (max per cell within a batch — a batch's cell table
     is deterministic, so max == the single true value), then merge all
-    batches by cell-wise summation. The result is a regular sketch
-    frame for :func:`cms_query`."""
+    batches by cell-wise summation. The result is a sketch frame for
+    :func:`cms_query` that KEEPS the persisted ``depth``/``width``
+    metadata columns, so a query at mismatched geometry raises
+    instead of silently mis-hashing; mixed geometries within one
+    state directory (a sink reconfigured mid-stream) raise here."""
     from pyspark.sql import functions as FF
 
     st = spark.read.parquet(state_path)
+    if "depth" in st.columns and "width" in st.columns:
+        meta = st.select("depth", "width").distinct().collect()
+        if len(meta) != 1:
+            raise ValueError(
+                f"cms_read_state: mixed sketch geometries in {state_path}: {meta}"
+            )
+        d, w = meta[0]["depth"], meta[0]["width"]
+        dedup = st.groupBy("batch_id", "r", "bucket").agg(
+            FF.max("cnt").alias("cnt")
+        )
+        return (
+            dedup.groupBy("r", "bucket")
+            .agg(FF.sum("cnt").alias("cnt"))
+            .withColumn("depth", FF.lit(d))
+            .withColumn("width", FF.lit(w))
+        )
+    # legacy state written before geometry persistence: no guard possible
     dedup = st.groupBy("batch_id", "r", "bucket").agg(FF.max("cnt").alias("cnt"))
     return dedup.groupBy("r", "bucket").agg(FF.sum("cnt").alias("cnt"))

@@ -94,7 +94,13 @@ def table_digest(
     digest = sha256 over the lexicographically sorted row hashes.
     Columns must be string-safe types (ints/strings/dates) — doubles
     format differently across engines and belong in a rounded string
-    column if needed.
+    column if needed. NULLs are encoded explicitly as a ``chr(0)``
+    sentinel BEFORE folding (portable: ``coalesce(cast(c as
+    varchar), chr(0))`` in DuckDB), so rows differing only in which
+    column is NULL hash differently — plain ``concat_ws`` silently
+    drops NULL arguments and would make ``(x, NULL, 'v')`` and
+    ``(x, 'v', NULL)`` collide. Contract: chr(0) must not appear in
+    live string data (it can't in cast-from-numeric/date output).
 
     Two tiers:
 
@@ -109,8 +115,14 @@ def table_digest(
       anti-entropy ("did anything change, and in which bucket"), and
       the only tier whose state stays bounded at any bucket size.
     """
-    key_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    row_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    def _canon(c: str) -> Column:
+        # NULL -> chr(0) sentinel: concat_ws skips NULL args, which
+        # would collapse '(x, NULL, v)' and '(x, v, NULL)' to the
+        # same string; coalescing first keeps every separator slot.
+        return F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+
+    key_str = F.concat_ws("\x1f", *[_canon(c) for c in key_cols])
+    row_str = F.concat_ws("\x1f", *[_canon(c) for c in cols])
     bucket = F.pmod(
         F.conv(F.substring(F.sha2(key_str, 256), 1, 15), 16, 10).cast("bigint"),
         F.lit(n_buckets),
@@ -157,11 +169,17 @@ def table_digest_update(
     again removes) — so
     ``update(digest(old), inserts, deletes) == digest(new)``
     EXACTLY (property-tested against operators/cdc.py's snapshot
-    diff). An UPDATE is a delete of the old row + insert of the new
-    one, which is precisely what cdc_snapshot_diff emits. The exact
-    sha tier cannot be maintained this way (sorted folds don't
-    subtract); the pattern is: maintain sum/xor continuously, recompute
-    the sha tier only for buckets whose cheap digest moved.
+    diff). An UPDATE is a delete of the OLD row image + insert of the
+    new one. Note the changelog wiring: cdc_snapshot_diff /
+    versioned_changes emit U and D rows carrying NEW-side values only
+    (D rows carry the key), so ``deletes`` must be built by joining
+    the U/D keys back to the OLD snapshot for their before-images
+    (exactly what tests/test_cdc.py does) — feeding changelog rows in
+    directly would subtract the wrong images and silently drift from
+    the fresh digest. The exact sha tier cannot be maintained this
+    way (sorted folds don't subtract); the pattern is: maintain
+    sum/xor continuously, recompute the sha tier only for buckets
+    whose cheap digest moved.
 
     Cost: O(|changes|) scan + one n_buckets-sized shuffle; the table
     itself is never touched.
@@ -239,16 +257,31 @@ def digest_compare(a: DataFrame, b: DataFrame) -> DataFrame:
     joined, neither table touched; mismatched buckets name the key
     ranges to re-sync. Buckets missing on one side (possible in the
     exact tier when a bucket is empty) compare as mismatched unless
-    missing on both."""
+    missing on both.
+
+    EVERY non-bucket column participates in the match (packed into a
+    struct with positional field names so the two sides compare
+    field-by-field): the bounded tier's state is (n_rows, digest_sum,
+    digest_xor) and all three must agree — checking only the last
+    column would degrade the 120-bit sum+xor checksum to the 60-bit
+    xor alone, passing change pairs whose row-hash xors cancel while
+    the sums differ."""
+
+    def _packed(df: DataFrame) -> Column:
+        rest = [c for c in df.columns if c != "bucket"]
+        return F.struct(
+            *[F.col(c).alias(f"f{i}") for i, c in enumerate(rest)]
+        )
+
     av = a.select(
         "bucket",
         F.col("n_rows").alias("n_rows_a"),
-        F.col(a.columns[-1]).alias("__da"),
+        _packed(a).alias("__da"),
     )
     bv = b.select(
         "bucket",
         F.col("n_rows").alias("n_rows_b"),
-        F.col(b.columns[-1]).alias("__db"),
+        _packed(b).alias("__db"),
     )
     return (
         av.join(bv, "bucket", "full_outer")

@@ -75,13 +75,13 @@ def q_ngram_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rowed AS (
       SELECT
         ('0x' || substr(sha256(concat_ws(chr(31),
-            CAST(o_orderkey AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket,
+            COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)))), 1, 15))::BIGINT % 64 AS bucket,
         sha256(concat_ws(chr(31),
-            CAST(o_orderkey AS VARCHAR),
-            CAST(o_custkey AS VARCHAR),
-            o_orderstatus,
-            o_orderpriority,
-            CAST(o_orderdate AS VARCHAR))) AS rh
+            COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+            COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+            COALESCE(o_orderstatus, chr(0)),
+            COALESCE(o_orderpriority, chr(0)),
+            COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)))) AS rh
       FROM orders
     )
     SELECT bucket,
@@ -173,12 +173,12 @@ def q_dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rowed AS (
       SELECT o_orderkey,
         ('0x' || substr(sha256(concat_ws(chr(31),
-            CAST(o_orderkey AS VARCHAR))), 1, 15))::BIGINT % 64 AS bucket,
+            COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)))), 1, 15))::BIGINT % 64 AS bucket,
         sha256(concat_ws(chr(31),
-            CAST(o_orderkey AS VARCHAR),
-            CAST(o_custkey AS VARCHAR),
-            o_orderstatus,
-            CAST(o_orderdate AS VARCHAR))) AS rh
+            COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+            COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+            COALESCE(o_orderstatus, chr(0)),
+            COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)))) AS rh
       FROM orders
     ),
     da AS (
@@ -227,7 +227,7 @@ def q_digest_replica_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT
       ('0x' || substr(sha256(concat_ws(chr(31),
-          CAST(o_orderkey AS VARCHAR))), 1, 15))::BIGINT % 32 AS bucket,
+          COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)))), 1, 15))::BIGINT % 32 AS bucket,
       COUNT(*) AS n_rows,
       CAST(1 AS INTEGER) AS ivm_matches_fresh
     FROM orders

@@ -136,9 +136,13 @@ def versioned_changes(
     snapshots (``to_version`` defaults to the committed latest) —
     operators/cdc.py's snapshot_diff over the two pinned reads. This
     is the read-side complement of :func:`versioned_upsert`: downstream
-    consumers (digest maintenance via quality.table_digest_update,
-    incremental rollups, replica sync) pull exactly what changed
-    between commits without the writer having to emit a changelog."""
+    consumers (incremental rollups, replica sync, digest maintenance)
+    pull exactly what changed between commits without the writer
+    having to emit a changelog. Caveat for digest maintenance
+    (quality.table_digest_update): U and D rows carry NEW-side values
+    only, so the delete-side BEFORE-images must be fetched by joining
+    the changed keys back to the ``from_version`` snapshot — see
+    table_digest_update's docstring for the wiring."""
     from skopje_spark.operators.cdc import snapshot_diff
 
     old = versioned_read(spark, path, version=from_version)

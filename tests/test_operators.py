@@ -1026,3 +1026,44 @@ def test_table_digest_invariance_and_sensitivity(spark):
         .collect()
     }
     assert merged == {b: (v[0], v[1]) for b, v in b_all.items()}
+
+
+def test_table_digest_null_position_sensitivity(spark):
+    """Rows differing only in WHICH column is NULL must hash
+    differently: concat_ws drops NULL args, so without the chr(0)
+    sentinel (x, NULL, 'v') and (x, 'v', NULL) would both canonicalize
+    to 'x\\x1fv' and the digest could not see the drift."""
+    from skopje_spark.operators.quality import table_digest
+
+    a = spark.createDataFrame([(1, None, "v")], "k bigint, a string, b string")
+    b = spark.createDataFrame([(1, "v", None)], "k bigint, a string, b string")
+    keys, cols = ["k"], ["k", "a", "b"]
+    for exact in (True, False):
+        da = table_digest(a, keys, cols, n_buckets=4, exact=exact).collect()
+        db = table_digest(b, keys, cols, n_buckets=4, exact=exact).collect()
+        assert len(da) == len(db) == 1 and da[0]["bucket"] == db[0]["bucket"]
+        assert tuple(da[0]) != tuple(db[0]), f"exact={exact}"
+
+
+def test_digest_compare_checks_every_state_column(spark):
+    """digest_compare on the bounded tier must compare digest_sum AND
+    digest_xor (and n_rows): a change pair whose row-hash xors cancel
+    while the sums differ must report match=0 — comparing only the
+    last column would degrade the 120-bit checksum to the 60-bit xor."""
+    from decimal import Decimal
+
+    from skopje_spark.operators.quality import digest_compare
+
+    schema = (
+        "bucket bigint, n_rows bigint, digest_sum decimal(38,0), digest_xor bigint"
+    )
+    a = spark.createDataFrame([(0, 2, Decimal(100), 7)], schema)
+    # same xor, same count, different sum — the xor-cancelling drift
+    b = spark.createDataFrame([(0, 2, Decimal(164), 7)], schema)
+    assert digest_compare(a, b).collect()[0]["match"] == 0
+    assert digest_compare(a, a).collect()[0]["match"] == 1
+    # exact tier still works (n_rows + digest both in the struct)
+    ea = spark.createDataFrame([(0, 2, "abc")], "bucket bigint, n_rows bigint, digest string")
+    eb = spark.createDataFrame([(0, 2, "abd")], "bucket bigint, n_rows bigint, digest string")
+    assert digest_compare(ea, eb).collect()[0]["match"] == 0
+    assert digest_compare(ea, ea).collect()[0]["match"] == 1

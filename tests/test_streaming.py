@@ -514,6 +514,16 @@ def test_cms_stream_sink_point_queries_survive_replay(spark, tmp_path):
     one_batch.write.mode("append").parquet(state)
     assert check() == got1
 
+    # geometry guard: the persisted state is self-describing, so
+    # querying at a mismatched (depth, width) raises instead of
+    # silently mis-hashing probes into the wrong cells
+    import pytest as _pytest
+
+    cms = cms_read_state(spark, state)
+    assert {"depth", "width"} <= set(cms.columns)
+    with _pytest.raises(ValueError, match="width=64"):
+        cms_query(cms, probes, "user_id", depth=4, width=64)
+
 
 def test_kmv_stream_sink_read_equals_batch_sketch(spark, tmp_path):
     """Streaming KMV: the merged read must EQUAL the batch-mode
