@@ -717,39 +717,14 @@ def dup_span_coverage(
     document id. Nothing ever pairs documents, so cost is linear in
     corpus tokens however many duplicates exist.
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), toks.alias("__ts")).withColumn(
-        "__n_tokens", F.size("__ts")
-    )
-    grams = base.filter(F.size("__ts") >= n).select(
-        id_col,
-        "__n_tokens",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__ts") - (n - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.sha2(
-                            F.concat_ws(" ", F.slice(F.col("__ts"), i, n)), 256
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-            )
-        ).alias("__p0", "h"),
-    ).select(
-        id_col, "__n_tokens", (F.col("__p0") + 1).alias("pos"), "h"
-    )
+    base, grams = _positioned_gram_hashes(df, id_col, text_col, n)
     docs_per_h = grams.groupBy("h").agg(
         F.count_distinct(F.col(id_col)).alias("__docs")
     )
     dup_spans = (
         grams.join(docs_per_h, "h")
         .filter(F.col("__docs") >= 2)
-        .select(id_col, "__n_tokens", "pos", (F.col("pos") + n - 1).alias("end"))
+        .select(id_col, "pos", "end")
     )
     w = (
         Window.partitionBy(id_col)
@@ -766,12 +741,12 @@ def dup_span_coverage(
                 - F.greatest(F.col("pos") - 1, F.coalesce(F.col("__prev_end"), F.lit(0))),
             ),
         )
-        .groupBy(id_col, "__n_tokens")
+        .groupBy(id_col)
         .agg(F.sum("__new").alias("covered_tokens"))
     )
     return (
         base.select(id_col, "__n_tokens")
-        .join(covered.drop("__n_tokens"), id_col, "left")
+        .join(covered, id_col, "left")
         .select(
             id_col,
             F.col("__n_tokens").alias("n_tokens"),
@@ -781,5 +756,170 @@ def dup_span_coverage(
                 / F.greatest(F.col("__n_tokens"), F.lit(1)),
                 6,
             ).alias("dup_coverage"),
+        )
+    )
+
+
+def _positioned_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span machinery: ``base(id, __ts, __n_tokens)`` over
+    normalized tokens plus ``grams(id, pos, end, h)`` — 60-bit sha
+    hash of each positioned n-gram window (1-based inclusive span).
+    Narrow transform+posexplode; text is never joined."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__ts")).withColumn(
+        "__n_tokens", F.size("__ts")
+    )
+    grams = (
+        base.filter(F.size("__ts") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__ts") - (n - 1)),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.sha2(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("__ts"), i, n)
+                                ),
+                                256,
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                )
+            ).alias("__p0", "h"),
+        )
+        .select(
+            id_col,
+            (F.col("__p0") + 1).alias("pos"),
+            (F.col("__p0") + n).alias("end"),
+            "h",
+        )
+    )
+    return base, grams
+
+
+def dup_span_trim(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL — the rewrite step on top of
+    :func:`dup_span_coverage`'s measurement (the published
+    exact-substring-dedup treatment: excise every cross-document
+    duplicated span, keeping its first occurrence corpus-wide).
+
+    Policy, at token granularity over the NORMALIZED token stream
+    (trimming composes with the dedup family, which all operate
+    post-normalization):
+
+    - an n-gram window is *duplicated* iff its normalized text occurs
+      in >= 2 distinct documents (same predicate as coverage);
+    - for each duplicated gram, the KEEPER is the corpus-first
+      occurrence — minimum (doc_id, pos), a total order, so the
+      result is deterministic under any partitioning;
+    - every non-keeper occurrence becomes a removal span; a token is
+      dropped iff it lies inside >= 1 removal span (keeper spans are
+      not shielded from overlapping removals — the policy is
+      per-occurrence, exactly "delete every duplicated occurrence
+      but the first").
+
+    Returns ``(id, n_tokens, kept_tokens, trimmed_text)`` — one row
+    per input document (fully-duplicated documents survive with
+    ``trimmed_text = ''``), so re-running coverage on the output is
+    the natural residual check (property-tested ~ 0).
+
+    Plan shape: keeper election is ONE map-side-combined groupBy(h)
+    (min of a (doc, pos) struct + distinct-doc count) — no window
+    over h, so a boilerplate gram shared by millions of documents
+    costs one combiner row per partition, not a sorted mega-group.
+    Removal application is the classic delta-encoding trick: +1 at
+    span start, -1 past span end, running sum per document over
+    token positions; a token is kept iff its coverage depth is 0.
+    Everything shuffles on bounded keys (h, then (doc, pos), then
+    doc); nothing ever pairs documents — linear in corpus tokens.
+    """
+    base, grams = _positioned_gram_hashes(df, id_col, text_col, n)
+    stats = grams.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs"),
+        F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
+            "__keep"
+        ),
+    )
+    removes = (
+        grams.join(stats.filter(F.col("__docs") >= 2), "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__keep.kid"))
+                & (F.col("pos") == F.col("__keep.kpos"))
+            )
+        )
+        .select(id_col, "pos", "end")
+    )
+    deltas = (
+        removes.select(id_col, F.col("pos").alias("tpos"), F.lit(1).alias("__d"))
+        .unionByName(
+            removes.select(
+                id_col, (F.col("end") + 1).alias("tpos"), F.lit(-1).alias("__d")
+            )
+        )
+        .groupBy(id_col, "tpos")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    tokens = base.select(
+        id_col,
+        "__n_tokens",
+        F.posexplode("__ts").alias("__p0", "__tok"),
+    ).select(id_col, "__n_tokens", (F.col("__p0") + 1).alias("tpos"), "__tok")
+    wc = (
+        Window.partitionBy(id_col)
+        .orderBy("tpos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = tokens.join(deltas, [id_col, "tpos"], "left").withColumn(
+        "__depth", F.sum(F.coalesce(F.col("__delta"), F.lit(0))).over(wc)
+    )
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.max("__n_tokens").alias("__n_tokens"),
+            F.sum(F.when(F.col("__depth") == 0, 1).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__depth") == 0,
+                                F.struct(F.col("tpos"), F.col("__tok")),
+                            )
+                        )
+                    ),
+                    lambda x: x["__tok"],
+                ),
+                " ",
+            ).alias("trimmed_text"),
+        )
+    )
+    # empty documents produce no token rows; restore them with 0/''
+    return (
+        base.select(id_col, "__n_tokens")
+        .join(rebuilt.drop("__n_tokens"), id_col, "left")
+        .select(
+            id_col,
+            F.col("__n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
         )
     )

@@ -567,3 +567,94 @@ def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id_b", "source_b")
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q_dedup_span_trim",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, i + 7 AS "end",
+             ('0x' || substr(sha256(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+             ), 1, 15))::BIGINT AS h
+      FROM base,
+           UNNEST(CASE WHEN len(ts) >= 8 THEN range(1, len(ts) - 6)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    duph AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    keepers AS (
+      SELECT h, doc_id AS kid, pos AS kpos FROM (
+        SELECT g.h, g.doc_id, g.pos,
+               ROW_NUMBER() OVER (PARTITION BY g.h ORDER BY g.doc_id, g.pos) AS rn
+        FROM grams g JOIN duph USING (h)
+      ) WHERE rn = 1
+    ),
+    removes AS (
+      SELECT g.doc_id, g.pos, g."end"
+      FROM grams g JOIN keepers k USING (h)
+      WHERE NOT (g.doc_id = k.kid AND g.pos = k.kpos)
+    ),
+    deltas AS (
+      SELECT doc_id, pos AS tpos, 1 AS d FROM removes
+      UNION ALL
+      SELECT doc_id, "end" + 1 AS tpos, -1 AS d FROM removes
+    ),
+    dsum AS (
+      SELECT doc_id, tpos, SUM(d) AS delta FROM deltas GROUP BY doc_id, tpos
+    ),
+    tokens AS (
+      SELECT doc_id, i AS tpos, ts[i] AS tok, len(ts) AS n
+      FROM base, UNNEST(range(1, len(ts) + 1)) AS t(i)
+    ),
+    marked AS (
+      SELECT t.doc_id, t.tpos, t.tok, t.n,
+             SUM(COALESCE(d.delta, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.tpos
+             ) AS depth
+      FROM tokens t LEFT JOIN dsum d
+        ON d.doc_id = t.doc_id AND d.tpos = t.tpos
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             SUM(CASE WHEN depth = 0 THEN 1 ELSE 0 END) AS kept_tokens,
+             string_agg(CASE WHEN depth = 0 THEN tok END, ' ' ORDER BY tpos)
+               AS trimmed
+      FROM marked GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(r.trimmed, '') AS trimmed_text
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    tags=("dedup", "spans", "trim", "llm-pipeline"),
+)
+def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL
+    (operators/dedup.py:dup_span_trim) — the rewrite step on top of
+    q_dedup_span_coverage's measurement: every cross-document
+    duplicated 8-gram span is excised except its corpus-first
+    occurrence (min (doc_id, pos) — a total order, so both engines
+    elect identical keepers), and documents are reassembled from
+    their surviving tokens. The oracle re-derives keeper election,
+    the +1/-1 span-delta depth sums, and the full TRIMMED TEXT of
+    every document in DuckDB — a hash mismatch on any single kept or
+    dropped token anywhere in the corpus fails the query.
+
+    Scale: keeper election is one map-side-combined groupBy(h) (no
+    per-h window on the Spark side); span application is delta
+    encoding + one running sum per document; nothing pairs documents
+    — linear in corpus tokens like the coverage query."""
+    from skopje_spark.operators.dedup import dup_span_trim
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_span_trim(d, "doc_id", "text", n=8).orderBy("doc_id")

@@ -1067,3 +1067,49 @@ def test_digest_compare_checks_every_state_column(spark):
     eb = spark.createDataFrame([(0, 2, "abd")], "bucket bigint, n_rows bigint, digest string")
     assert digest_compare(ea, eb).collect()[0]["match"] == 0
     assert digest_compare(ea, ea).collect()[0]["match"] == 1
+
+
+def test_dup_span_trim_keep_first_policy(spark):
+    """Exact-substring removal (operators/dedup.py:dup_span_trim):
+    cross-doc duplicated 3-gram spans are excised everywhere but
+    their corpus-first occurrence; intra-doc-only repeats are NOT
+    trimmed (cross-doc predicate); fully-duplicated docs survive as
+    empty rows; residual coverage on the trimmed corpus is zero;
+    deterministic under repartitioning."""
+    from skopje_spark.operators.dedup import dup_span_coverage, dup_span_trim
+
+    rows = [
+        (1, "a b c d e f"),            # corpus-first: untouched
+        (2, "x y a b c d z"),          # shares 'a b c','b c d' -> loses a..d
+        (3, "a b c d e f"),            # exact copy -> fully removed
+        (4, "p q r"),                  # unique -> untouched
+        (5, "m n o m n o m n o"),      # intra-doc repeats only -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r for r in dup_span_trim(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1]["trimmed_text"] == "a b c d e f" and got[1]["kept_tokens"] == 6
+    assert got[2]["trimmed_text"] == "x y z" and got[2]["kept_tokens"] == 3
+    assert got[3]["trimmed_text"] == "" and got[3]["kept_tokens"] == 0
+    assert got[3]["n_tokens"] == 6
+    assert got[4]["trimmed_text"] == "p q r"
+    assert got[5]["trimmed_text"] == "m n o m n o m n o"
+
+    trimmed = dup_span_trim(df, "doc_id", "text", n=3).withColumnRenamed(
+        "trimmed_text", "text"
+    )
+    residual = dup_span_coverage(
+        trimmed.filter(F.col("kept_tokens") > 0), "doc_id", "text", n=3
+    ).collect()
+    assert all(r["covered_tokens"] == 0 for r in residual)
+
+    again = {
+        r["doc_id"]: r
+        for r in dup_span_trim(
+            df.repartition(7), "doc_id", "text", n=3
+        ).collect()
+    }
+    assert {k: v["trimmed_text"] for k, v in got.items()} == {
+        k: v["trimmed_text"] for k, v in again.items()
+    }
