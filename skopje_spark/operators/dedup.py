@@ -923,3 +923,104 @@ def dup_span_trim(
             F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 3,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup — the composed
+    cluster-then-prune operator (SemDeDup-style): k-means cells
+    partition the corpus by vector geometry, each cell's pairwise
+    cosine matrix is scored with one BLAS matmul
+    (similarity.blocked_neardup_pairs — O(n) shuffle, never a
+    self-join), and within every near-dup pair the worse side is
+    dropped.
+
+    Survivor policy: keeper = higher ``rank_col`` (ties and the
+    default policy: LOWER id — deterministic total order). A dropped
+    row's ``dup_of`` is its best (minimum-id) direct keeper, which
+    may itself have been dropped by a still-better row — the
+    standard star-chain approximation of greedy ε-ball pruning;
+    exact transitive grouping is what dedup_clusters provides when
+    needed.
+
+    Approximation contract (inherent to the published method): only
+    SAME-CELL pairs are scored, so a near-dup pair straddling a cell
+    boundary survives. Identical vectors always share a cell
+    (assignment is a pure function of the vector), so exact
+    duplicates are always caught.
+
+    Returns every input row + accounting columns: ``cell`` (k-means
+    cell), ``kept`` (1/0), ``dup_of`` (keeper id or NULL),
+    ``dup_cos`` (highest similarity to any keeper, NULL when kept).
+
+    Scale: one centroid-assignment narrow map + one O(n) shuffle on
+    cell + per-cell BLAS + one groupBy on the dropped id + one left
+    join — no pairing outside cells, no driver state beyond the k
+    centroids."""
+    from skopje_spark.operators.similarity import (
+        blocked_neardup_pairs,
+        kmeans_cells,
+    )
+
+    assigned, _cents = kmeans_cells(
+        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    pairs = blocked_neardup_pairs(
+        assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        threshold=threshold,
+    )
+    if rank_col is None:
+        # blocked_neardup_pairs emits id_a < id_b
+        oriented = pairs.select(
+            F.col("id_a").alias("__keep"),
+            F.col("id_b").alias("__drop"),
+            "cos_sim",
+        )
+    else:
+        ranks = embeddings.select(
+            F.col(id_col).alias("__rid"), F.col(rank_col).alias("__rank")
+        )
+        p = (
+            pairs.join(
+                ranks.select(
+                    F.col("__rid").alias("id_a"), F.col("__rank").alias("__ra")
+                ),
+                "id_a",
+            )
+            .join(
+                ranks.select(
+                    F.col("__rid").alias("id_b"), F.col("__rank").alias("__rb")
+                ),
+                "id_b",
+            )
+        )
+        a_wins = (F.col("__ra") > F.col("__rb")) | (
+            (F.col("__ra") == F.col("__rb")) & (F.col("id_a") < F.col("id_b"))
+        )
+        oriented = p.select(
+            F.when(a_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("__keep"),
+            F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("__drop"),
+            "cos_sim",
+        )
+    drops = oriented.groupBy("__drop").agg(
+        F.min("__keep").alias("dup_of"),
+        F.max("cos_sim").alias("dup_cos"),
+    )
+    return (
+        assigned.join(
+            drops, assigned[id_col] == drops["__drop"], "left"
+        )
+        .drop("__drop")
+        .withColumn("kept", F.col("dup_of").isNull().cast("int"))
+    )

@@ -658,3 +658,74 @@ def q_dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dup_span_trim(d, "doc_id", "text", n=8).orderBy("doc_id")
+
+
+@register(
+    "q_dedup_semantic",
+    oracle="""
+    SELECT vec_id,
+           CAST(0 AS INTEGER) AS is_twin,
+           CAST(1 AS INTEGER) AS verdict_ok,
+           CAST(0.0 AS DOUBLE) AS dup_cos
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           CAST(1 AS INTEGER) AS is_twin,
+           CAST(1 AS INTEGER) AS verdict_ok,
+           CAST(1.0 AS DOUBLE) AS dup_cos
+    FROM embeddings WHERE vec_id % 50 = 0
+    ORDER BY vec_id
+    """,
+    tags=("dedup", "semantic", "embeddings", "llm-pipeline"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed semantic dedup (operators/dedup.py:semantic_dedup =
+    kmeans_cells → per-cell BLAS cosine pairs → keep-best pruning)
+    with a planted-twin verdict oracle: every 50th vector gets an
+    IDENTICAL twin at id+1000000; the operator must (a) drop every
+    twin with ``dup_of`` pointing at its original and cos 1.0, and
+    (b) keep every base vector — the fixture's natural max pairwise
+    cosine is ~0.51, far under the 0.95 threshold (verified
+    cross-engine when this oracle was authored), so any base drop or
+    surviving twin flips a verdict and fails the hash.
+
+    ``verdict_ok`` folds both directions: for twins, dropped AND
+    correctly attributed; for base rows, kept with no keeper.
+    ``dup_cos`` pins the similarity accounting (1.0 for identical
+    twins, 0.0 sentinel for kept rows) through the hash compare.
+
+    Scale: one narrow centroid assignment + one O(n) shuffle on the
+    k-means cell + per-cell matmul + one groupBy — the SemDeDup
+    query shape; no self-join, no cross-cell pairing."""
+    from skopje_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        e.unionByName(twins),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.95,
+        k=8,
+        iters=3,
+    )
+    is_twin = (F.col("vec_id") >= 1000000).cast("int")
+    twin_ok = (
+        (F.col("kept") == 0)
+        & (F.col("dup_of") == F.col("vec_id") - 1000000)
+        & (F.abs(F.col("dup_cos") - 1.0) < 1e-9)
+    )
+    base_ok = (F.col("kept") == 1) & F.col("dup_of").isNull()
+    return out.select(
+        "vec_id",
+        is_twin.alias("is_twin"),
+        F.when(is_twin == 1, twin_ok.cast("int"))
+        .otherwise(base_ok.cast("int"))
+        .alias("verdict_ok"),
+        F.when(is_twin == 1, F.round(F.col("dup_cos"), 6))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_cos"),
+    ).orderBy("vec_id")

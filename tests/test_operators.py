@@ -1113,3 +1113,52 @@ def test_dup_span_trim_keep_first_policy(spark):
     assert {k: v["trimmed_text"] for k, v in got.items()} == {
         k: v["trimmed_text"] for k, v in again.items()
     }
+
+
+def test_semantic_dedup_clustered_twins(spark):
+    """Composed semantic dedup (operators/dedup.py:semantic_dedup):
+    planted near-identical twins are pruned within their k-means
+    cell, all distinct vectors survive, rank_col flips the survivor,
+    and accounting columns carry the keeper + similarity."""
+    import math
+
+    from skopje_spark.operators.dedup import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = []
+    # two well-separated clusters of distinct vectors
+    for i in range(8):
+        rows.append((i, unit(0.15 * i), 1.0 + i))            # cluster A
+        rows.append((100 + i, unit(3.1416 + 0.15 * i), 1.0)) # cluster B
+    # identical twins of vec 3 and vec 104 (higher ids)
+    rows.append((900, unit(0.15 * 3), 0.5))
+    rows.append((901, unit(3.1416 + 0.15 * 4), 0.5))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, quality double")
+
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.999, k=2, iters=3
+    ).collect()}
+    assert len(out) == len(rows)
+    assert out[900]["kept"] == 0 and out[900]["dup_of"] == 3
+    assert out[901]["kept"] == 0 and out[901]["dup_of"] == 104
+    assert abs(out[900]["dup_cos"] - 1.0) < 1e-9
+    kept = [v for v in out.values() if v["kept"] == 1]
+    assert sorted(v["vec_id"] for v in kept) == sorted(
+        r[0] for r in rows if r[0] not in (900, 901)
+    )
+    # twins share their original's cell by construction
+    assert out[900]["cell"] == out[3]["cell"]
+
+    # rank policy: make the twin BETTER than the original -> it wins
+    df2 = df.withColumn(
+        "quality",
+        F.when(F.col("vec_id") == 900, 99.0).otherwise(F.col("quality")),
+    )
+    out2 = {r["vec_id"]: r for r in semantic_dedup(
+        df2, id_col="vec_id", vec_col="embedding", threshold=0.999, k=2,
+        iters=3, rank_col="quality",
+    ).collect()}
+    assert out2[900]["kept"] == 1
+    assert out2[3]["kept"] == 0 and out2[3]["dup_of"] == 900
