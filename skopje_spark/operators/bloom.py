@@ -6,8 +6,9 @@ shard, a benchmark set). A plain ``left_anti`` join shuffles the full
 train side on the key. A Bloom filter of the seen keys turns that into:
 
 1. build a fixed-size bitmap of the seen keys — one narrow scan, one
-   small bitmap per partition OR-merged on the driver (no shuffle;
-   bitmap size is a constant independent of data volume);
+   small bitmap per partition, OR-merged in two levels (executor-side
+   group OR, then the driver ORs only the group results; bitmap size
+   is a constant independent of data volume);
 2. broadcast the bitmap; rows whose key is *definitely absent*
    (any probe bit unset) pass through with **zero** join work — at a
    1% false-positive rate that is ~99% of the novel rows;
@@ -58,37 +59,84 @@ def build_bloom(
     *,
     num_bits: int = DEFAULT_NUM_BITS,
     k: int = DEFAULT_K,
+    tree_groups: int | None = 32,
 ):
     """Bitmap of the seen keys as a numpy uint8 array (num_bits/8
-    bytes). One narrow pass: each partition folds its keys into a local
-    bitmap (``mapInPandas``), the driver ORs the per-partition bitmaps.
-    No shuffle; driver traffic = num_partitions × bitmap_size. At very
-    high partition counts coalesce the projection first or tree-reduce.
+    bytes). One narrow pass: each partition folds its keys into a
+    local bitmap (``mapInPandas``), then the per-partition bitmaps are
+    OR-combined in TWO levels: partitions hash into ``tree_groups``
+    groups whose members OR executor-side (one small shuffle of
+    bitmap rows), and the driver ORs only the group results — driver
+    memory is O(tree_groups × bitmap), NOT O(partitions × bitmap)
+    (at 10k partitions × 128 KiB the single-level OR would hold
+    ~1.2 GB on the driver; two-level holds 4 MiB).
+    ``tree_groups=None`` selects the legacy single-level driver OR
+    (kept for the bit-identity unit test).
 
     Size num_bits for the target false-positive rate:
     fpp ≈ (1 - e^(-k·n/m))^k — e.g. m=2^20, k=5 holds ~1e5 keys at
     fpp < 1%."""
     import numpy as np
+
+    nbytes = (num_bits + 7) // 8  # round up: probes reach bit num_bits-1
+    partials = _bloom_partials(
+        seen, key, num_bits=num_bits, k=k, tree_groups=tree_groups
+    )
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials.collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out
+
+
+def _bloom_partials(
+    seen: DataFrame,
+    key: str | Column,
+    *,
+    num_bits: int,
+    k: int,
+    tree_groups: int | None,
+) -> DataFrame:
+    """The pre-collect bitmap frame: one row per non-empty partition
+    (``tree_groups=None``) or one row per partition GROUP after the
+    executor-side OR level — whatever reaches ``collect()`` in
+    :func:`build_bloom`. Split out so the driver-row bound is a
+    testable surface."""
+    import numpy as np
     import pandas as pd
 
     keyc = F.col(key) if isinstance(key, str) else key
-    nbytes = (num_bits + 7) // 8  # round up: probes reach bit num_bits-1
+    nbytes = (num_bits + 7) // 8
     prj = seen.select(
-        F.array(*_bit_positions(keyc, num_bits=num_bits, k=k)).alias("__pos")
+        F.array(*_bit_positions(keyc, num_bits=num_bits, k=k)).alias("__pos"),
+        F.spark_partition_id().alias("__pid"),
     )
+
+    n_groups = int(tree_groups) if tree_groups else 0
 
     def to_bitmap(batches):
         bm = np.zeros(nbytes, dtype=np.uint8)
+        gid, seen_rows = 0, False
         for pdf in batches:
+            if len(pdf) and not seen_rows:
+                gid = int(pdf["__pid"].iloc[0]) % n_groups if n_groups else 0
+                seen_rows = True
             for ps in pdf["__pos"]:
                 a = np.asarray(ps, dtype=np.int64)
                 np.bitwise_or.at(bm, a >> 3, (1 << (a & 7)).astype(np.uint8))
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
+        if seen_rows:  # empty partitions contribute nothing to the OR
+            yield pd.DataFrame({"gid": [gid], "bm": [bm.tobytes()]})
 
-    out = np.zeros(nbytes, dtype=np.uint8)
-    for row in prj.mapInPandas(to_bitmap, "bm binary").collect():
-        out |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return out
+    partials = prj.mapInPandas(to_bitmap, "gid int, bm binary")
+    if not n_groups:
+        return partials.select("bm")
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for buf in pdf["bm"]:
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    return partials.groupBy("gid").applyInPandas(or_group, "bm binary")
 
 
 def might_contain(

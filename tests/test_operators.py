@@ -1162,3 +1162,31 @@ def test_semantic_dedup_clustered_twins(spark):
     ).collect()}
     assert out2[900]["kept"] == 1
     assert out2[3]["kept"] == 0 and out2[3]["dup_of"] == 900
+
+
+def test_bloom_tree_reduce_bit_identical_and_bounded_driver_rows(spark):
+    """Two-level bitmap OR (operators/bloom.py:build_bloom
+    tree_groups): bit-identical to the legacy single-level driver OR
+    at every fan-in, while the frame reaching collect() carries at
+    most tree_groups rows instead of one per partition."""
+    import numpy as np
+
+    from skopje_spark.operators.bloom import _bloom_partials, build_bloom
+
+    seen = spark.createDataFrame(
+        [(f"key{i}",) for i in range(2000)], "key string"
+    ).repartition(64)
+    nb, k = 1 << 14, 5
+    legacy = build_bloom(seen, "key", num_bits=nb, k=k, tree_groups=None)
+    for groups in (1, 4, 32):
+        tree = build_bloom(seen, "key", num_bits=nb, k=k, tree_groups=groups)
+        assert np.array_equal(tree, legacy), f"groups={groups}"
+        n_rows = _bloom_partials(
+            seen, "key", num_bits=nb, k=k, tree_groups=groups
+        ).count()
+        assert n_rows <= groups
+    # legacy path really is per-partition (the thing the tree removes)
+    assert (
+        _bloom_partials(seen, "key", num_bits=nb, k=k, tree_groups=None).count()
+        > 32
+    )
