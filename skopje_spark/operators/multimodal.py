@@ -112,7 +112,16 @@ def decode_media_real(payloads: pd.Series) -> pd.DataFrame:
     """Real codec decode: PIL when available (width/height from the
     actual image header, n_frames from the container), otherwise
     raises — callers choose it via ``decode_media(real=True)``, which
-    feature-checks first."""
+    feature-checks first.
+
+    STATUS — unverified by environment: PIL is not installable in
+    this sandbox (no-install policy; retried and closed in round 7),
+    so this compressed-format tier (JPEG/PNG/...) has never executed
+    here and its two tests are env-gated skips. Treat it as
+    EXPERIMENTAL until run where PIL exists. The verified honest-
+    kernel coverage is the uncompressed tier: the pure-struct BMP
+    codec below and the WAV/PCM16 codec in operators/audio.py, both
+    oracle-checked with closed-form binary fixtures."""
     Image = _pil()
     if Image is None:  # pragma: no cover - exercised only with codecs
         raise NotImplementedError(
