@@ -53,6 +53,23 @@ def _bit_positions(col: Column, *, num_bits: int, k: int) -> list[Column]:
     return out
 
 
+def bit_positions_py(value, *, num_bits: int, k: int) -> list[int]:
+    """Driver-side Python twin of :func:`_bit_positions` — same sha256
+    recipe, so a value probed here hits exactly the bits the Spark
+    expression set (unit-pinned agreement). Lets metadata consumers
+    (e.g. sources/skipping.py's point-lookup pruning) probe per-file
+    bitmaps without launching a job."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = hashlib.sha256(
+            (str(value) + f"#bloom{i}").encode("utf-8")
+        ).hexdigest()
+        out.append(int(h[:15], 16) % num_bits)
+    return out
+
+
 def build_bloom(
     seen: DataFrame,
     key: str | Column,

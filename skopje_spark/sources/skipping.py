@@ -48,17 +48,76 @@ def write_clustered(
 
 
 def write_manifest(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    *,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 17,
+    bloom_k: int = 5,
 ) -> int:
-    """Build the per-file min/max manifest for ``cols``; returns the
-    number of data files covered. One distributed aggregation over the
-    table — rerun after each batch of appends (cheap relative to the
-    write itself)."""
+    """Build the per-file manifest for ``cols``: min/max intervals
+    plus, for each column in ``bloom_cols``, a per-file bloom bitmap
+    (``bloom_<col>`` binary column, geometry recorded alongside as
+    ``__bloom_bits``/``__bloom_k`` so readers can't probe at the
+    wrong size — same self-description contract as the CMS state).
+    Returns the number of data files covered.
+
+    Min/max prunes RANGE predicates but is blind for point lookups on
+    high-cardinality columns whose per-file ranges all overlap (a
+    random user_id lands inside every file's [min,max]); the bloom
+    bitmap answers "is this exact value definitely absent from this
+    file" — the Parquet bloom-filter / Delta stats idea at manifest
+    granularity, reusing operators/bloom.py's probe recipe.
+
+    Cost: one distributed aggregation for min/max + one
+    groupBy(file).applyInPandas pass folding each file's probe
+    positions into a numpy bitmap (bitmap bytes ∝ files ×
+    bloom_bits/8, 16 KiB/file at defaults) — rerun after each append
+    batch, cheap relative to the write itself."""
+    import numpy as np
+    import pandas as pd
+
+    from skopje_spark.operators.bloom import _bit_positions
+
     df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     man = df.groupBy("__file").agg(*aggs)
+
+    if bloom_cols:
+        nbytes = (bloom_bits + 7) // 8
+        pos_cols = [
+            F.array(
+                *_bit_positions(F.col(c), num_bits=bloom_bits, k=bloom_k)
+            ).alias(f"__pos_{c}")
+            for c in bloom_cols
+        ]
+        prj = df.select("__file", *pos_cols)
+        out_schema = "__file string, " + ", ".join(
+            f"bloom_{c} binary" for c in bloom_cols
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            row = {"__file": [pdf["__file"].iloc[0]]}
+            for c in bloom_cols:
+                bm = np.zeros(nbytes, dtype=np.uint8)
+                for ps in pdf[f"__pos_{c}"]:
+                    a = np.asarray(ps, dtype=np.int64)
+                    np.bitwise_or.at(
+                        bm, a >> 3, (1 << (a & 7)).astype(np.uint8)
+                    )
+                row[f"bloom_{c}"] = [bm.tobytes()]
+            return pd.DataFrame(row)
+
+        blooms = prj.groupBy("__file").applyInPandas(fold, out_schema)
+        man = (
+            man.join(blooms, "__file")
+            .withColumn("__bloom_bits", F.lit(bloom_bits))
+            .withColumn("__bloom_k", F.lit(bloom_k))
+        )
+
     man.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, MANIFEST_DIR)
     )
@@ -86,6 +145,56 @@ def pruned_scan(
         ).collect()
     ]
     pred: Column = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not hits:
+        return spark.read.parquet(path).filter(pred).limit(0)
+    return spark.read.parquet(*hits).filter(pred)
+
+
+def pruned_point_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+) -> DataFrame:
+    """Point lookup ``col == value`` scanning only files that can
+    contain it: min/max interval check AND, when the manifest carries
+    a ``bloom_<col>`` bitmap, a driver-side bloom probe (k sha256
+    bits via operators/bloom.bit_positions_py — the exact positions
+    the build set). The bloom set is a SUBSET of the min/max
+    survivors by construction (both conditions must hold), and the
+    exact predicate is re-applied after the scan, so pruning never
+    changes results — it only closes the gap where every file's
+    [min,max] straddles a high-cardinality point.
+
+    Driver cost: O(#files) manifest rows (bitmap bytes included —
+    16 KiB/file at default geometry; trim bloom_bits if manifests
+    grow hot), k hash probes per file, no job launched to decide."""
+    import numpy as np
+
+    from skopje_spark.operators.bloom import bit_positions_py
+
+    man_df = spark.read.parquet(os.path.join(path, MANIFEST_DIR))
+    rows = man_df.filter(
+        (F.col(f"min_{col}") <= F.lit(value))
+        & (F.col(f"max_{col}") >= F.lit(value))
+    ).collect()
+
+    bloom_col = f"bloom_{col}"
+    hits = []
+    for r in rows:
+        if bloom_col in man_df.columns:
+            bm = np.frombuffer(bytes(r[bloom_col]), dtype=np.uint8)
+            pos = np.asarray(
+                bit_positions_py(
+                    value, num_bits=int(r["__bloom_bits"]), k=int(r["__bloom_k"])
+                ),
+                dtype=np.int64,
+            )
+            if not np.all((bm[pos >> 3] >> (pos & 7)) & 1):
+                continue  # definitely absent from this file
+        hits.append(r["__file"])
+
+    pred: Column = F.col(col) == F.lit(value)
     if not hits:
         return spark.read.parquet(path).filter(pred).limit(0)
     return spark.read.parquet(*hits).filter(pred)
