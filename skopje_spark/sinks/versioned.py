@@ -58,14 +58,21 @@ def latest_version(path: str) -> int | None:
         return None
 
 
-def versioned_write(df: DataFrame, path: str) -> int:
+def versioned_write(
+    df: DataFrame, path: str, *, meta: dict[str, str] | None = None
+) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``;
     returns the new version number.
 
     The snapshot is written to ``v=N`` in full, then the ``_LATEST``
     pointer is swapped with os.replace — the POSIX-atomic step that
     makes the commit all-or-nothing for readers.
-    """
+
+    ``meta`` key/value pairs are written as ``_meta_<key>`` files
+    INSIDE the snapshot directory BEFORE the pointer swap, so commit
+    data and commit metadata become visible in the same atomic step —
+    the transaction-marker mechanism exactly-once stream merges hang
+    their batch ledger on (Delta's txn appId/version idea)."""
     os.makedirs(path, exist_ok=True)
     current = latest_version(path)
     n = (current + 1) if current is not None else (
@@ -73,11 +80,24 @@ def versioned_write(df: DataFrame, path: str) -> int:
     )
     snap = os.path.join(path, f"v={n}")
     df.write.mode("errorifexists").parquet(snap)
+    for k, v in (meta or {}).items():
+        with open(os.path.join(snap, f"_meta_{k}"), "w") as f:
+            f.write(str(v))
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest")
     with os.fdopen(fd, "w") as f:
         f.write(str(n))
     os.replace(tmp, _pointer_path(path))
     return n
+
+
+def snapshot_meta(path: str, key: str, *, version: int) -> str | None:
+    """Read one ``_meta_<key>`` marker from a committed snapshot, or
+    None when that commit carries no such marker."""
+    try:
+        with open(os.path.join(path, f"v={version}", f"_meta_{key}")) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
 
 
 def versioned_read(
@@ -96,7 +116,12 @@ def versioned_read(
 
 
 def versioned_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    meta: dict[str, str] | None = None,
 ) -> int:
     """MERGE as a snapshot commit: next version = (current rows not
     matching an update key) ∪ updates. The current snapshot is read,
@@ -104,7 +129,69 @@ def versioned_upsert(
     """
     current = versioned_read(spark, path)
     kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-    return versioned_write(kept.unionByName(updates), path)
+    return versioned_write(kept.unionByName(updates), path, meta=meta)
+
+
+def last_stream_batch(path: str) -> int | None:
+    """Highest micro-batch id durably applied to the table: walk
+    committed versions newest-first for the most recent commit that
+    carries a ``stream_batch_id`` marker (manual commits interleaved
+    with stream commits carry none and are skipped). O(#versions)
+    file reads — bounded by vacuum retention."""
+    committed = latest_version(path)
+    if committed is None:
+        return None
+    for v in sorted(_versions(path), reverse=True):
+        if v > committed:
+            continue  # written but never committed
+        m = snapshot_meta(path, "stream_batch_id", version=v)
+        if m is not None:
+            return int(m)
+    return None
+
+
+def versioned_stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """EXACTLY-ONCE streaming MERGE into the versioned table:
+    ``foreachBatch`` + :func:`versioned_upsert`, made idempotent by a
+    batch-id ledger riding inside each commit.
+
+    Structured Streaming guarantees at-least-once delivery to
+    foreachBatch — a batch that crashed mid-apply is REPLAYED with
+    the same ``batch_id``. Each successful apply here commits the
+    batch id as a ``stream_batch_id`` marker inside the snapshot
+    (written before the pointer swap, so data and ledger are atomic
+    together); a replayed or restarted batch whose id is <= the
+    ledger is skipped without touching the table. Replays therefore
+    leave BOTH the row content and the version history identical —
+    the same pattern proven for the sketch streaming sinks, upgraded
+    from dedup-on-read to dedup-on-write.
+
+    First batch on an empty table commits v=0 directly; later batches
+    run the anti-join MERGE. Returns the streaming query."""
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_stream_batch(path)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
+        meta = {"stream_batch_id": str(batch_id)}
+        if latest_version(path) is None:
+            versioned_write(batch_df, path, meta=meta)
+        else:
+            versioned_upsert(
+                batch_df.sparkSession, path, batch_df, keys, meta=meta
+            )
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, apply_batch, available_now=available_now
+    )
 
 
 def vacuum(path: str, *, keep: int = 2) -> list[int]:

@@ -570,3 +570,63 @@ def test_kmv_stream_sink_read_equals_batch_sketch(spark, tmp_path):
     spark.read.parquet(state).write.mode("append").parquet(state)
     got2 = sorted(r["h"] for r in kmv_read_state(spark, state, k=64).collect())
     assert got2 == expected
+
+
+def test_versioned_stream_upsert_exactly_once_replay_soak(spark, tmp_path):
+    """Streaming → versioned store exactly-once merge
+    (sinks/versioned.py:versioned_stream_upsert): three micro-batches
+    upsert by key into a time-traveled table; a full replay from a
+    FRESH checkpoint (batch ids restart at 0 — the at-least-once
+    worst case) is absorbed by the in-commit batch ledger, leaving
+    version history AND row content byte-identical."""
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import (
+        last_stream_batch,
+        latest_version,
+        versioned_read,
+        versioned_stream_upsert,
+    )
+
+    src = tmp_path / "vsu_src"
+    batches = [
+        [{"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": "a", "value": 1.0},
+         {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": "b", "value": 2.0}],
+        [{"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": "b", "value": 20.0},  # update
+         {"event_id": 3, "ts": "2024-01-01T00:03:00", "user_id": "c", "value": 3.0}],
+        [{"event_id": 4, "ts": "2024-01-01T00:04:00", "user_id": "d", "value": 4.0}],
+    ]
+    for i, b in enumerate(batches):
+        _write_events(src, b, f"b{i}.json")
+    now = _time.time()
+    for i in range(3):
+        _os.utime(src / f"b{i}.json", (now - (3 - i) * 10, now - (3 - i) * 10))
+
+    table = str(tmp_path / "vsu_table")
+
+    def run(ckpt):
+        stream = file_stream(spark, str(src), schema=SCHEMA, max_files_per_trigger=1)
+        q = versioned_stream_upsert(
+            stream, table, ["event_id"], str(tmp_path / ckpt), available_now=True
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    want = {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+    got = {r["event_id"]: r["value"] for r in versioned_read(spark, table).collect()}
+    assert got == want
+    v_after = latest_version(table)
+    assert v_after == 2  # one commit per micro-batch, v=0..2
+    assert last_stream_batch(table) == 2
+
+    # replay soak: fresh checkpoint, same source -> same batch ids
+    # re-presented from 0; every one must be skipped by the ledger
+    run("ck2")
+    assert latest_version(table) == v_after
+    assert last_stream_batch(table) == 2
+    got2 = {r["event_id"]: r["value"] for r in versioned_read(spark, table).collect()}
+    assert got2 == want
+    # time travel history untouched: v=0 still holds only batch 0
+    v0 = {r["event_id"]: r["value"] for r in versioned_read(spark, table, version=0).collect()}
+    assert v0 == {1: 1.0, 2: 2.0}
