@@ -635,3 +635,125 @@ def ivf_index_topk(
     probe = [cell for _, cell in ranked[:n_probe]]
     vecs = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
     return cosine_topk(vecs, query_df, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def ann_probe_report(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobes: list[int] | tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+) -> DataFrame:
+    """Recall-vs-cost sweep over a persisted IVF index
+    (:func:`ivf_index_write`): for each ``n_probe`` in ``nprobes``,
+    the mean recall@k of the probed search against the exact
+    whole-corpus top-k, alongside what the probe actually COSTS —
+    files opened and rows scanned in the probed ``cell=`` partitions.
+    Index tuning becomes a queryable DataFrame: pick the knee of the
+    recall/files-read curve instead of guessing n_probe.
+
+    ``query_df`` is a TUNING SAMPLE (one row per query vector; keep
+    it tens-to-hundreds — each query costs one exact scan plus one
+    job per n_probe). Cell ranking and recall bookkeeping are
+    driver-side on kilobyte artifacts (centroid table, top-k id
+    lists); the corpus is only touched by the scans being measured.
+
+    Output: ``(n_probe, n_queries, mean_recall_at_k, mean_files_read,
+    mean_rows_scanned, frac_rows_scanned)``, one row per n_probe,
+    recall monotonically non-decreasing in n_probe (unit-pinned)."""
+    import math
+    import os as _os
+
+    from skopje_spark.queries.rounding import dround_scalar
+
+    cents = [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cell_meta = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_rows = sum(cell_meta.values()) or 1
+
+    def files_in(cell: int) -> int:
+        d = _os.path.join(path, "vectors", f"cell={cell}")
+        try:
+            return sum(
+                1
+                for f in _os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        except FileNotFoundError:
+            return 0
+
+    def ranked_cells(qv: list[float]) -> list[int]:
+        qn = math.sqrt(sum(x * x for x in qv)) or 1e-300
+
+        def score(c):
+            dot = sum(a * b for a, b in zip(c, qv))
+            n = math.sqrt(sum(a * a for a in c)) or 1e-300
+            return dround_scalar(dot / (n * qn), 6)
+
+        return [
+            cell
+            for _, cell in sorted(
+                ((score(c), cell) for cell, c in cents),
+                key=lambda t: (-t[0], t[1]),
+            )
+        ]
+
+    all_vecs = spark.read.parquet(f"{path}/vectors")
+    queries = query_df.select(id_col, vec_col).collect()
+    sweep = sorted(set(int(p) for p in nprobes))
+    acc = {p: {"recall": 0.0, "files": 0, "rows": 0} for p in sweep}
+
+    for qrow in queries:
+        qv = [float(x) for x in qrow[vec_col]]
+        one_q = spark.createDataFrame(
+            [(qrow[id_col], qv)], f"{id_col} long, {vec_col} array<double>"
+        )
+        exact = {
+            r[id_col]
+            for r in cosine_topk(
+                all_vecs, one_q, id_col=id_col, vec_col=vec_col, k=k
+            ).collect()
+        }
+        order = ranked_cells(qv)
+        for p in sweep:
+            probe = order[:p]
+            vecs = all_vecs.where(F.col("cell").isin(probe))
+            approx = {
+                r[id_col]
+                for r in cosine_topk(
+                    vecs, one_q, id_col=id_col, vec_col=vec_col, k=k
+                ).collect()
+            }
+            acc[p]["recall"] += len(approx & exact) / max(len(exact), 1)
+            acc[p]["files"] += sum(files_in(c) for c in probe)
+            acc[p]["rows"] += sum(cell_meta.get(c, 0) for c in probe)
+
+    nq = max(len(queries), 1)
+    report = [
+        (
+            p,
+            len(queries),
+            round(acc[p]["recall"] / nq, 6),
+            acc[p]["files"] / nq,
+            acc[p]["rows"] / nq,
+            round(acc[p]["rows"] / nq / total_rows, 6),
+        )
+        for p in sweep
+    ]
+    return spark.createDataFrame(
+        report,
+        "n_probe int, n_queries int, mean_recall_at_k double, "
+        "mean_files_read double, mean_rows_scanned double, "
+        "frac_rows_scanned double",
+    )

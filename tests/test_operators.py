@@ -1190,3 +1190,50 @@ def test_bloom_tree_reduce_bit_identical_and_bounded_driver_rows(spark):
         _bloom_partials(seen, "key", num_bits=nb, k=k, tree_groups=None).count()
         > 32
     )
+
+
+def test_ann_probe_report_recall_monotone_cost_increasing(spark, tmp_path):
+    """IVF tuning report (operators/similarity.py:ann_probe_report):
+    on clustered data, recall@k is monotonically non-decreasing in
+    n_probe and reaches 1.0 at full probe; scan cost strictly grows;
+    costs are the true per-cell file/row counts."""
+    import math
+    import random
+
+    from skopje_spark.operators.similarity import ann_probe_report, ivf_index_write
+
+    rng = random.Random(7)
+    rows = []
+    # 4 well-separated clusters in 8-d
+    for c in range(4):
+        center = [0.0] * 8
+        center[c * 2] = 10.0
+        for i in range(60):
+            rows.append(
+                (
+                    c * 1000 + i,
+                    [x + rng.uniform(-0.5, 0.5) for x in center],
+                )
+            )
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ivfrep")
+    ivf_index_write(e, path, k=4, iters=3)
+
+    queries = spark.createDataFrame(
+        [rows[5], rows[65], rows[130]], "vec_id bigint, embedding array<double>"
+    )
+    rep = {
+        r["n_probe"]: r
+        for r in ann_probe_report(
+            spark, path, queries, nprobes=(1, 2, 4), k=10
+        ).collect()
+    }
+    recalls = [rep[p]["mean_recall_at_k"] for p in (1, 2, 4)]
+    assert recalls == sorted(recalls), "recall must be monotone in n_probe"
+    assert math.isclose(rep[4]["mean_recall_at_k"], 1.0)
+    assert rep[1]["mean_recall_at_k"] > 0.5  # clustered: 1 probe finds most
+    rows_scanned = [rep[p]["mean_rows_scanned"] for p in (1, 2, 4)]
+    assert rows_scanned == sorted(rows_scanned) and rows_scanned[0] < rows_scanned[-1]
+    files = [rep[p]["mean_files_read"] for p in (1, 2, 4)]
+    assert files == sorted(files) and files[0] > 0
+    assert math.isclose(rep[4]["frac_rows_scanned"], 1.0)
