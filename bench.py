@@ -69,6 +69,15 @@ HEADLINE = [
     "q_dedup_jaccard_prefix",
     "q_pq_adc_query",
     "q_text_bigram_logprob",
+    # round-7 additions: exact-substring span removal, composed
+    # semantic dedup. q_text_bpe_tokens is excluded like the
+    # persisted-index queries: its timing is dominated by the
+    # build-once merge training; the bench-only q_bpe_encode_count
+    # below times the recurring Arrow-batched encode path over a
+    # prebuilt merge table.
+    "q_dedup_span_trim",
+    "q_dedup_semantic",
+    "q_bpe_encode_count",
 ]
 
 
@@ -99,6 +108,24 @@ def _pq_adc_query(spark, sf_dir):
     )
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe_encode_count(spark, sf_dir):
+    """Bench-only: the BPE ENCODE path alone. The merge table is
+    learned once per sf_dir (the build-once artifact a deployment
+    persists via BpeModel.to_rows); timed passes measure the
+    Arrow-batched subword counting every token-denominated operator
+    pays per document."""
+    from skopje_spark.operators.tokenizer import bpe_train, token_count_bpe
+    from skopje_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = bpe_train(d, "text", num_merges=200, max_words=8192)
+    return token_count_bpe(d.select("doc_id", "text"), "text", _BPE_CACHE[sf_dir])
+
+
 def _bench_only():
     """Callables timed like catalog queries but not oracle-registered
     (their raw outputs are randomized sketches; the catalog twin
@@ -108,6 +135,7 @@ def _bench_only():
     return {
         "q_sketch_quantile_ops": sketch_quantile_ops,
         "q_pq_adc_query": _pq_adc_query,
+        "q_bpe_encode_count": _bpe_encode_count,
     }
 
 

@@ -1024,3 +1024,57 @@ def semantic_dedup(
         .drop("__drop")
         .withColumn("kept", F.col("dup_of").isNull().cast("int"))
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination screen: for every TRAIN document, how
+    many of its distinct n-gram shingles also occur anywhere in the
+    BENCHMARK corpus — the published eval-contamination check run
+    before training (a train doc containing benchmark n-grams leaks
+    the eval into the model). Returns one row per train document:
+    ``(id, n_grams, n_shared, contamination, flagged)`` where
+    contamination = shared / distinct grams (0 for short docs) and
+    ``flagged`` = n_shared >= min_shared.
+
+    Plan shape: both sides reduce to 60-bit shingle-hash sets
+    (shingle_hashes — hashed before distinct, so every shuffle key is
+    an 8-byte long); the benchmark side collapses to its DISTINCT
+    gram set (tiny next to train — benchmarks are MBs, corpora TBs);
+    the check is one left-semi hash join train-grams ⋉ bench-grams +
+    two map-side-combined groupBys. Train text never pairs with
+    benchmark text; cost is linear in train tokens + bench tokens.
+    """
+    tg = shingle_hashes(train, id_col, text_col, n)
+    sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    bg = shingle_hashes(bench, id_col, text_col, n).select("h").distinct()
+    shared = (
+        tg.join(bg, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            dround(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("contamination"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared)
+            .cast("int")
+            .alias("flagged"),
+        )
+    )

@@ -345,3 +345,74 @@ def frequent_ngrams(
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the classic lexical
+    scoring the inverted index (q_inverted_index) exists to serve:
+
+        score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)      (Lucene form)
+
+    Returns the ``top_k`` documents as ``(id, score)``, ordered by
+    the 6-dp-rounded score with the id as total-order tiebreak (both
+    engines pick identical rows).
+
+    Scale: corpus statistics (N, avgdl) are a one-row broadcast; per-
+    term df is a |query|-row broadcast; the only corpus-sized work is
+    the token explode + two map-side-combined groupBys, with the tf
+    table filtered to query terms BEFORE any shuffle — scoring cost
+    follows the query's postings, not the corpus. No UDF anywhere.
+    """
+    from skopje_spark.tables import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*query_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "__term_score",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(dround(F.sum("__term_score"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)

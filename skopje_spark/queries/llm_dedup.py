@@ -729,3 +729,73 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("dup_cos"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q_decontaminate",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM documents
+    ),
+    tr AS (SELECT * FROM base WHERE doc_id % 20 <> 0),
+    be AS (SELECT * FROM base WHERE doc_id % 20 = 0),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(sha256(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+             ), 1, 15))::BIGINT AS h
+      FROM tr, UNNEST(CASE WHEN len(ts) >= 8 THEN range(1, len(ts) - 6)
+                           ELSE []::BIGINT[] END) AS t(i)
+    ),
+    bg AS (
+      SELECT DISTINCT
+             ('0x' || substr(sha256(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+             ), 1, 15))::BIGINT AS h
+      FROM be, UNNEST(CASE WHEN len(ts) >= 8 THEN range(1, len(ts) - 6)
+                           ELSE []::BIGINT[] END) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM tg WHERE h IN (SELECT h FROM bg) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+           FLOOR((COALESCE(sh.n_shared, 0) /
+                  GREATEST(COALESCE(s.n_grams, 0), 1)) * 1000000.0 + 0.5)
+             / 1000000.0 AS contamination,
+           CAST(COALESCE(sh.n_shared, 0) >= 1 AS INTEGER) AS flagged
+    FROM tr t
+    LEFT JOIN sizes s ON s.doc_id = t.doc_id
+    LEFT JOIN sh ON sh.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "decontamination", "eval-leakage", "llm-pipeline"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen
+    (operators/dedup.py:contamination_report): every 20th document
+    plays the held-out benchmark; the remaining corpus is scored for
+    8-gram overlap against it — the published eval-leakage check run
+    before training. The oracle re-derives per-document shared-gram
+    counts and contamination fractions, so a single missed or
+    phantom overlap anywhere in the corpus hash-mismatches.
+
+    Scale: both sides reduce to 60-bit shingle-hash sets; the check
+    is one left-semi join (train grams ⋉ distinct bench grams — the
+    bench side is tiny next to any real corpus) plus map-side-
+    combined counts. Train and benchmark text never pair."""
+    from skopje_spark.operators.dedup import contamination_report
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    return contamination_report(
+        train, bench, n=8, min_shared=1
+    ).orderBy("doc_id")

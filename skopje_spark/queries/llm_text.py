@@ -375,3 +375,60 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_retrieval_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('vector', 'hash', 'stream')
+      GROUP BY doc_id, tok
+    ),
+    dft AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ) AS raw
+      FROM tf
+      JOIN dft USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           FLOOR(raw * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "retrieval", "bm25", "llm-pipeline"),
+)
+def q_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/text.py:bm25_scores) for the
+    query {vector, hash, stream} with Lucene idf, k1=1.2, b=0.75 —
+    top-10 documents under a (rounded score, doc_id) total order so
+    both engines select identical rows; the oracle re-derives every
+    corpus statistic (N, avgdl, df, tf) and the full scoring formula.
+
+    Scale: corpus stats and per-term df are broadcast one-row /
+    |query|-row tables; tf is filtered to the query's terms BEFORE
+    its shuffle, so scoring cost follows the postings of three terms,
+    not the corpus; TakeOrderedAndProject caps the sort at k."""
+    from skopje_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        d, ["vector", "hash", "stream"], k1=1.2, b=0.75, top_k=10
+    )

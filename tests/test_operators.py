@@ -1237,3 +1237,67 @@ def test_ann_probe_report_recall_monotone_cost_increasing(spark, tmp_path):
     files = [rep[p]["mean_files_read"] for p in (1, 2, 4)]
     assert files == sorted(files) and files[0] > 0
     assert math.isclose(rep[4]["frac_rows_scanned"], 1.0)
+
+
+def test_contamination_report_flags_leaked_docs(spark):
+    """Decontamination screen (operators/dedup.py:contamination_report):
+    a train doc embedding a benchmark 3-gram is flagged with the right
+    shared-gram count and fraction; clean and short docs report 0."""
+    from skopje_spark.operators.dedup import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we know the capital of france is paris obviously"),  # leaked
+            (2, "completely unrelated text about spark engines here"),
+            (3, "to be"),  # < n tokens -> no grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            train, bench, n=3, min_shared=2
+        ).collect()
+    }
+    # doc 1: tokens 3..8 match bench exactly -> shared 3-grams =
+    # all 4 windows of "the capital of france is paris"
+    assert got[1]["n_shared"] == 4 and got[1]["flagged"] == 1
+    assert got[1]["n_grams"] == 7  # 9 tokens -> 7 distinct 3-grams
+    assert abs(got[1]["contamination"] - round(4 / 7, 6)) < 1e-9
+    assert got[2]["n_shared"] == 0 and got[2]["flagged"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["contamination"] == 0.0
+
+
+def test_bm25_golden_ranking(spark):
+    """BM25 (operators/text.py:bm25_scores): rare-term matches outrank
+    common-term matches; tf saturates; scores match a hand-computed
+    golden value."""
+    import math
+
+    from skopje_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "apple banana cherry"),
+        (2, "apple apple apple banana"),
+        (3, "banana banana banana banana"),
+        (4, "durian elderberry fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(
+        df, ["apple"], k1=1.2, b=0.75, top_k=10
+    ).collect()}
+    assert set(got) == {1, 2}  # only docs containing 'apple'
+    assert got[2] > got[1]  # higher tf wins (same-ish length)
+    # golden: doc 1 -> tf=1, dl=3, avgdl=3.5, N=4, df=2
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.5))
+    assert abs(got[1] - round(expect, 6)) < 1e-6
+    # multi-term query unions postings
+    got2 = {r["doc_id"]: r["score"] for r in bm25_scores(
+        df, ["apple", "fig"], top_k=10
+    ).collect()}
+    assert set(got2) == {1, 2, 4}
+    assert got2[4] > got2[2]  # rare term (df=1) outscores saturated tf
