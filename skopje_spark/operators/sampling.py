@@ -239,3 +239,51 @@ def temperature_weights(
             ),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    out_col: str = "split",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test split that near-duplicates can NEVER straddle —
+    the leakage-safe sibling of :func:`split_assign`. A plain
+    by-document hash split puts a page and its mirror on opposite
+    sides of the boundary, leaking test content into training; this
+    operator splits by DEDUP CLUSTER instead: near-dup pairs
+    (MinHash-LSH at ``threshold``) → connected components
+    (dedup.neardup_clusters) → every document inherits its
+    component's representative id as the split key, so a whole
+    near-dup family lands on one side together.
+
+    Singleton documents (no near-dup) use their own id — for them the
+    assignment degrades exactly to :func:`split_assign`. Adds
+    ``cluster_id`` (the component representative) alongside
+    ``out_col`` for audit.
+
+    Scale: LSH banding + iterative min-label propagation are the
+    existing bucketed/bounded plans (nothing all-pairs); the final
+    assignment is one broadcast-sized join of cluster labels (rows ∝
+    documents IN clusters, a small fraction of any deduped corpus)
+    plus the same narrow hash-range expression as split_assign.
+
+    ``pairs`` overrides the candidate generator: any (id_a, id_b)
+    frame — embedding-cosine pairs, exact-Jaccard pairs — defines the
+    leakage graph instead of text MinHash (the query catalog uses the
+    embedding-cosine graph so the DuckDB oracle can re-derive the
+    components with a recursive CTE)."""
+    from skopje_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col)
+    clusters = neardup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    labeled = df.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return split_assign(labeled, "cluster_id", splits, out_col=out_col)

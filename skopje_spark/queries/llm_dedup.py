@@ -799,3 +799,85 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(
         train, bench, n=8, min_shared=1
     ).orderBy("doc_id")
+
+
+def _split_case_sql(splits: dict[str, float], bucket_expr: str) -> str:
+    """CASE expression reproducing sampling.split_assign's cumulative
+    half-open hash ranges BIT-FOR-BIT: boundaries are computed with
+    the same float accumulation + int() truncation the Spark side
+    uses, so the two engines cannot disagree at range edges."""
+    from skopje_spark.operators.sampling import MOD
+
+    names = list(splits)
+    lo = 0.0
+    whens = []
+    for name in names[:-1]:
+        lo += splits[name]
+        whens.append(f"WHEN {bucket_expr} < {int(lo * MOD)} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+_LSS_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0
+             THEN -(FLOOR((-(list_cosine_similarity(a.v, b.v))) * 1000000.0 + 0.5) / 1000000.0)
+             ELSE FLOOR((list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 END) >= 0.4
+    ),
+    adj AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM adj),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT a.src, re.r FROM adj a JOIN reach re ON a.dst = re.id
+    ),
+    cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    lab AS (
+      SELECT emb.vec_id,
+             COALESCE(cc.cluster_id, emb.vec_id) AS cluster_id
+      FROM embeddings emb LEFT JOIN cc ON cc.id = emb.vec_id
+    )
+    SELECT vec_id, cluster_id,
+           {_split_case_sql(_LSS_SPLITS, "(cluster_id * 2654435761) % 4294967296")} AS split
+    FROM lab ORDER BY vec_id
+    """,
+    tags=("sampling", "split", "leakage", "dedup", "llm-pipeline"),
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split
+    (operators/sampling.py:leakage_safe_split): near-dup components
+    (embedding-cosine pairs ≥ 0.4 within label → connected
+    components) are assigned to splits AS A UNIT via the Knuth hash
+    of the component representative — a document and its mirror can
+    never straddle the train/test boundary. The oracle independently
+    re-derives the components with a recursive CTE AND the split
+    names with bit-identical boundary arithmetic, so both the
+    grouping and every single assignment are hash-pinned.
+
+    Scale: the leakage graph comes from the existing bucketed pair
+    generators; label propagation is the bounded iterative plan;
+    the final assignment is a narrow hash-range expression — the
+    corpus never shuffles for the split itself."""
+    from skopje_spark.operators.sampling import leakage_safe_split
+    from skopje_spark.operators.similarity import blocked_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_neardup_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.4
+    )
+    out = leakage_safe_split(
+        e, _LSS_SPLITS, id_col="vec_id", pairs=pairs
+    )
+    return out.select("vec_id", "cluster_id", "split").orderBy("vec_id")

@@ -1301,3 +1301,33 @@ def test_bm25_golden_ranking(spark):
     ).collect()}
     assert set(got2) == {1, 2, 4}
     assert got2[4] > got2[2]  # rare term (df=1) outscores saturated tf
+
+
+def test_leakage_safe_split_families_never_straddle(spark):
+    """leakage_safe_split (operators/sampling.py): a near-dup family
+    always lands in ONE split; singletons degrade exactly to
+    split_assign on their own id."""
+    from skopje_spark.operators.sampling import leakage_safe_split, split_assign
+
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, fam),
+        (2, fam + " extra"),           # near-dup of 1
+        (3, fam.replace("dog", "cat")),  # near-dup of 1
+        (10, "completely different text about spark engines here today"),
+        (11, "another unrelated document concerning parquet file layouts"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    splits = {"train": 0.5, "test": 0.5}
+    out = {r["doc_id"]: r for r in leakage_safe_split(
+        df, splits, threshold=0.5
+    ).collect()}
+    fam_splits = {out[i]["split"] for i in (1, 2, 3)}
+    assert len(fam_splits) == 1, "family must not straddle splits"
+    assert all(out[i]["cluster_id"] == 1 for i in (1, 2, 3))
+    plain = {r["doc_id"]: r["split"] for r in split_assign(
+        df, "doc_id", splits
+    ).collect()}
+    for i in (10, 11):  # singletons: cluster_id = own id -> same as plain
+        assert out[i]["cluster_id"] == i
+        assert out[i]["split"] == plain[i]
