@@ -370,3 +370,26 @@ def chunk_by_bpe_tokens(
         )
     )
     return chunked
+
+
+def bpe_model_write(spark, model: BpeModel, path: str) -> None:
+    """Persist the merge table as a tiny parquet artifact
+    ``(new_id, left_id, right_id)`` — the build-once tokenizer a
+    deployment trains on one corpus snapshot and reuses for every
+    later encode/count job (token budgets must not drift because a
+    re-train saw new data). The byte-level base vocab is implicit
+    (ids 0-255), so the file IS the whole model."""
+    rows = model.to_rows()
+    spark.createDataFrame(
+        rows, "new_id int, left_id int, right_id int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_model_read(spark, path: str) -> BpeModel:
+    """Load a persisted merge table back into a :class:`BpeModel`;
+    round-trips exactly (merge order restored from new_id)."""
+    rows = [
+        (r["new_id"], r["left_id"], r["right_id"])
+        for r in spark.read.parquet(path).collect()
+    ]
+    return BpeModel.from_rows(rows)

@@ -208,3 +208,18 @@ def test_budget_sample_with_bpe_counts(spark):
     assert sorted(r["doc_id"] for r in rows) == sorted(
         r["doc_id"] for r in again
     )
+
+
+def test_bpe_model_parquet_roundtrip(spark, tmp_path):
+    """Persisted merge table round-trips exactly: same merges, same
+    vocab, same encodings — the deployment artifact contract."""
+    from skopje_spark.operators.tokenizer import bpe_model_read, bpe_model_write
+
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    model = bpe_train(df, "text", num_merges=48)
+    path = str(tmp_path / "bpe_model")
+    bpe_model_write(spark, model, path)
+    back = bpe_model_read(spark, path)
+    assert back.merges == model.merges and back.vocab == model.vocab
+    for _, t in CORPUS:
+        assert back.encode(t) == model.encode(t)
