@@ -432,3 +432,104 @@ def q_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         d, ["vector", "hash", "stream"], k1=1.2, b=0.75, top_k=10
     )
+
+
+@register(
+    "q_chunk_bpe",
+    oracle="""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CAST(1 AS INTEGER) AS sizes_ok,
+           CAST(1 AS INTEGER) AS coverage_ok,
+           CAST(1 AS INTEGER) AS reassembly_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokenizer", "chunking", "bpe", "llm-pipeline"),
+)
+def q_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-window chunking end-to-end
+    (operators/tokenizer.py:chunk_by_bpe_tokens): every document is
+    cut into windows of BPE tokens and three laws are verified
+    in-band per document, all pinned to 1 by the oracle next to the
+    REAL byte length:
+
+    - ``sizes_ok``: every overlapped window holds <= 32 tokens and
+      every non-final window is exactly full;
+    - ``coverage_ok``: the overlapped window count equals the
+      closed-form ceil((n_tok - overlap) / stride) law (every token
+      covered, no subset tail);
+    - ``reassembly_ok``: the overlap=0 chunks' BYTE payloads
+      concatenate (in chunk order) to the exact UTF-8 bytes of the
+      document — the losslessness contract at chunk granularity.
+
+    Scale: one encode UDF per variant + narrow sequence/posexplode/
+    slice; the reassembly check is an aggregate of binary concat in
+    chunk_id order, one shuffle on doc_id."""
+    from skopje_spark.operators.tokenizer import (
+        bpe_train,
+        chunk_by_bpe_tokens,
+        token_count_bpe,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = bpe_train(d, "text", num_merges=64, max_words=8192)
+    tpc, ov = 32, 8
+    step = tpc - ov
+
+    over = chunk_by_bpe_tokens(
+        d, model, tokens_per_chunk=tpc, overlap=ov
+    )
+    # non-final windows full: count chunks with n_chunk_tokens < tpc;
+    # at most one (the last) may be short
+    shorts = over.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_chunk_tokens").alias("max_sz"),
+        F.sum((F.col("n_chunk_tokens") < tpc).cast("int")).alias("n_short"),
+    )
+    ntok = token_count_bpe(d, "text", model, out_col="n_tok").select(
+        "doc_id", "n_tok"
+    )
+    flat = chunk_by_bpe_tokens(d, model, tokens_per_chunk=tpc, overlap=0)
+    reasm = flat.groupBy("doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_bytes"))
+                ),
+                lambda x: x["chunk_bytes"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("__joined")
+    )
+    expected = F.when(
+        F.col("n_tok") > 0,
+        F.greatest(
+            F.ceil((F.col("n_tok") - ov) / F.lit(step)), F.lit(1)
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        d.join(ntok, "doc_id")
+        .join(shorts, "doc_id", "left")
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            (
+                (F.coalesce(F.col("max_sz"), F.lit(0)) <= tpc)
+                & (F.coalesce(F.col("n_short"), F.lit(0)) <= 1)
+            )
+            .cast("int")
+            .alias("sizes_ok"),
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .eqNullSafe(expected.cast("bigint"))
+            .cast("int")
+            .alias("coverage_ok"),
+            F.coalesce(F.col("__joined"), F.lit(b""))
+            .eqNullSafe(F.col("text").cast("binary"))
+            .cast("int")
+            .alias("reassembly_ok"),
+        )
+        .orderBy("doc_id")
+    )
