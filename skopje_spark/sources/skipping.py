@@ -73,14 +73,33 @@ def write_manifest(
     Cost: one distributed aggregation for min/max + one
     groupBy(file).applyInPandas pass folding each file's probe
     positions into a numpy bitmap (bitmap bytes ∝ files ×
-    bloom_bits/8, 16 KiB/file at defaults) — rerun after each append
-    batch, cheap relative to the write itself."""
+    bloom_bits/8, 16 KiB/file at defaults). After appends, prefer
+    :func:`update_manifest` — it stats only the NEW files."""
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    man = _manifest_frame(
+        df, cols, bloom_cols=bloom_cols, bloom_bits=bloom_bits, bloom_k=bloom_k
+    )
+    man.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, MANIFEST_DIR)
+    )
+    return man.count()
+
+
+def _manifest_frame(
+    df,
+    cols: list[str],
+    *,
+    bloom_cols: list[str] | None,
+    bloom_bits: int,
+    bloom_k: int,
+) -> DataFrame:
+    """Per-file stats frame for any DataFrame carrying a ``__file``
+    column — shared by the full rebuild and the incremental update."""
     import numpy as np
     import pandas as pd
 
     from skopje_spark.operators.bloom import _bit_positions
 
-    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -117,11 +136,69 @@ def write_manifest(
             .withColumn("__bloom_bits", F.lit(bloom_bits))
             .withColumn("__bloom_k", F.lit(bloom_k))
         )
+    return man
 
-    man.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, MANIFEST_DIR)
+
+def update_manifest(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """Incremental manifest maintenance after appends: stat ONLY data
+    files the existing manifest does not cover, union with the old
+    rows, and atomically swap the manifest directory — O(new files)
+    compute however large the table (the Delta-log property; a full
+    :func:`write_manifest` rebuild re-scans everything).
+
+    Column list and bloom geometry are taken FROM the existing
+    manifest (its schema + recorded ``__bloom_bits``/``__bloom_k``),
+    so an update can never silently change the pruning contract;
+    ``cols`` must match the manifest's stat columns (validated).
+    Files are keyed by the same ``input_file_name`` URIs the builder
+    records, so coverage is exact. Returns files covered after the
+    update."""
+    import shutil
+    import tempfile
+
+    man_path = os.path.join(path, MANIFEST_DIR)
+    old = spark.read.parquet(man_path)
+    want_stats = {f"min_{c}" for c in cols} | {f"max_{c}" for c in cols}
+    have_stats = {c for c in old.columns if c.startswith(("min_", "max_"))}
+    if want_stats != have_stats:
+        raise ValueError(
+            f"update_manifest: cols {sorted(want_stats)} do not match the "
+            f"existing manifest's {sorted(have_stats)} — rebuild with "
+            f"write_manifest to change stat columns"
+        )
+    bloom_cols = [c[6:] for c in old.columns if c.startswith("bloom_")]
+    if bloom_cols:
+        geo = old.select("__bloom_bits", "__bloom_k").first()
+        bloom_bits, bloom_k = int(geo["__bloom_bits"]), int(geo["__bloom_k"])
+    else:
+        bloom_bits, bloom_k = 1 << 17, 5
+
+    covered = {r["__file"] for r in old.select("__file").collect()}
+    current = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name()
     )
-    return man.count()
+    all_files = {
+        r["__file"] for r in current.select("__file").distinct().collect()
+    }
+    new_files = sorted(all_files - covered)
+    if not new_files:
+        return len(covered)
+
+    fresh = _manifest_frame(
+        spark.read.parquet(*[f.replace("file://", "") for f in new_files])
+        .withColumn("__file", F.input_file_name()),
+        cols,
+        bloom_cols=bloom_cols or None,
+        bloom_bits=bloom_bits,
+        bloom_k=bloom_k,
+    )
+    merged = old.unionByName(fresh).localCheckpoint(eager=True)
+    # stage + atomic-ish swap: never read and overwrite the same dir
+    tmp = tempfile.mkdtemp(dir=path, prefix="._manifest_new")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(man_path)
+    os.replace(tmp, man_path)
+    return merged.count()
 
 
 def pruned_scan(

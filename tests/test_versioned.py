@@ -238,3 +238,70 @@ def test_bloom_manifest_point_lookup_prunes_where_minmax_cannot(spark, tmp_path)
 
     # absent value: definitely-absent everywhere -> empty typed frame
     assert pruned_point_scan(spark, path, "uid", -12345).count() == 0
+
+
+def test_update_manifest_incremental_equals_rebuild(spark, tmp_path):
+    """Incremental manifest maintenance (sources/skipping.py:
+    update_manifest): after an append, stat-ing only the new files
+    yields the same manifest rows as a full rebuild (min/max AND
+    bloom bitmaps), pruning stays exact, and mismatched stat columns
+    are rejected."""
+    import pytest as _pytest
+
+    from skopje_spark.sources.skipping import update_manifest
+
+    path = str(tmp_path / "incman")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("uid"),
+    )
+    write_clustered(df, path, "id", n_files=8)
+    n0 = write_manifest(
+        spark, path, ["id", "uid"], bloom_cols=["uid"], bloom_bits=1 << 14
+    )
+    assert n0 == 8
+
+    extra = spark.range(4000, 5000).select(
+        F.col("id"),
+        F.conv(F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("uid"),
+    )
+    extra.coalesce(2).write.mode("append").parquet(path)
+
+    n1 = update_manifest(spark, path, ["id", "uid"])
+    assert n1 > n0
+
+    import os as _os
+
+    from skopje_spark.sources.skipping import MANIFEST_DIR, pruned_point_scan
+
+    inc_rows = sorted(
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in spark.read.parquet(_os.path.join(path, MANIFEST_DIR)).collect()
+    )
+    # full rebuild (same geometry) must produce identical rows
+    write_manifest(
+        spark, path, ["id", "uid"], bloom_cols=["uid"], bloom_bits=1 << 14
+    )
+    full_rows = sorted(
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r)
+        for r in spark.read.parquet(_os.path.join(path, MANIFEST_DIR)).collect()
+    )
+    assert inc_rows == full_rows
+
+    # pruning still exact for an appended-range key
+    target = extra.filter(F.col("id") == 4500).collect()[0]["uid"]
+    got = sorted(r["id"] for r in pruned_point_scan(spark, path, "uid", target).collect())
+    want = sorted(
+        r["id"] for r in spark.read.parquet(path).filter(F.col("uid") == target).collect()
+    )
+    assert got == want and got  # found it
+
+    # idempotent: nothing new -> same coverage, no error
+    assert update_manifest(spark, path, ["id", "uid"]) == n1
+
+    with _pytest.raises(ValueError, match="do not match"):
+        update_manifest(spark, path, ["id"])
