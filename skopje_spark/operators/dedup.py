@@ -973,6 +973,11 @@ def semantic_dedup(
     assigned, _cents = kmeans_cells(
         embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
     )
+    # materialize the assignment once: it feeds BOTH the pair scoring
+    # and the final accounting join, and re-deriving it would repeat
+    # the k×dim literal-cosine assignment map (the most expensive
+    # codegen in the plan) plus the source scan
+    assigned = assigned.localCheckpoint(eager=True)
     pairs = blocked_neardup_pairs(
         assigned,
         id_col=id_col,

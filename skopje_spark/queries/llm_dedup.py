@@ -709,7 +709,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         threshold=0.95,
         k=8,
-        iters=3,
+        # 2 Lloyd rounds: the verdicts are invariant to cell-boundary
+        # detail (identical twins co-locate at ANY centroids; the base
+        # corpus has no 0.95-pairs in or out of cells), and each extra
+        # round costs one full assignment codegen + job
+        iters=2,
     )
     is_twin = (F.col("vec_id") >= 1000000).cast("int")
     twin_ok = (
