@@ -162,6 +162,9 @@ def mg_stream_sink(
             .groupBy("item")
             .agg(FF.sum("cnt").alias("cnt"))
             .withColumn("batch_id", FF.lit(batch_id))
+            # self-describing state: m rides with the rows so the read
+            # side can't report an error bound the state doesn't support
+            .withColumn("m", FF.lit(m))
             .write.mode("append")
             .parquet(state_path)
         )
@@ -178,10 +181,27 @@ def mg_read_heavy_hitters(spark, state_path: str, *, m: int = 64) -> DataFrame:
     guarantee degrades gracefully with per-batch compression: est ∈
     [f − n/(m+1)·batches_compressed, f]; err_bound reports the sum of
     per-batch error budgets (n/(m+1)) exactly as the batch view of
-    the bound."""
+    the bound.
+
+    Self-description guard (same contract as the CMS state): when the
+    persisted ``m`` differs from this call's, the reported
+    ``err_bound`` = n/(m+1) would claim a tightness the m-counter
+    summaries never provided — mismatches raise instead."""
     from pyspark.sql import functions as FF
 
     st = spark.read.parquet(state_path)
+    if "m" in st.columns:
+        meta = st.select("m").distinct().collect()
+        if len(meta) != 1:
+            raise ValueError(
+                f"mg_read_heavy_hitters: mixed summary sizes in "
+                f"{state_path}: {sorted(r['m'] for r in meta)}"
+            )
+        if meta[0]["m"] != m:
+            raise ValueError(
+                f"mg_read_heavy_hitters: state was built with "
+                f"m={meta[0]['m']}, read with m={m}"
+            )
     dedup = st.groupBy("item", "batch_id").agg(FF.max("cnt").alias("cnt"))
     est = (
         dedup.filter(FF.col("item").isNotNull())

@@ -381,6 +381,9 @@ def kmv_stream_sink(
         (
             kmv_state(batch_df, col, k=k)
             .withColumn("batch_id", F.lit(batch_id))
+            # self-describing state: k rides with the rows so readers
+            # can't silently take a k-min the batches never kept
+            .withColumn("k", F.lit(k))
             .write.mode("append")
             .parquet(state_path)
         )
@@ -395,6 +398,24 @@ def kmv_read_state(spark, state_path: str, *, k: int = 256) -> DataFrame:
     all batch synopses — exactly ``KMV(all values seen)`` restricted
     to values that made some batch's k-min, which contains the true
     global k-min (a global k-min hash is a k-min of its own batch a
-    fortiori). Feed to :func:`kmv_estimate` / :func:`kmv_overlap`."""
+    fortiori). Feed to :func:`kmv_estimate` / :func:`kmv_overlap`.
+
+    Self-description guard (same contract as the CMS state): the
+    persisted ``k`` must match this call's — a union k-min taken at
+    k larger than any batch kept is NOT a valid KMV synopsis (its
+    tail hashes were censored by the batch sketches) and would bias
+    the estimator, so geometry mismatch raises instead."""
     st = spark.read.parquet(state_path)
+    if "k" in st.columns:
+        meta = st.select("k").distinct().collect()
+        if len(meta) != 1:
+            raise ValueError(
+                f"kmv_read_state: mixed sketch sizes in {state_path}: "
+                f"{sorted(r['k'] for r in meta)}"
+            )
+        if meta[0]["k"] != k:
+            raise ValueError(
+                f"kmv_read_state: state was built with k={meta[0]['k']}, "
+                f"read with k={k}"
+            )
     return st.select("h").distinct().orderBy("h").limit(k)

@@ -455,6 +455,14 @@ def test_mg_stream_sink_heavy_hitters_survive_replay(spark, tmp_path):
         return r["est"]
 
     est1 = check()
+
+    # geometry guard: reading at another m would report an error bound
+    # the summaries never supported
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m=64"):
+        mg_read_heavy_hitters(spark, state, m=64)
+
     # replay: duplicate one batch's state rows — estimate must not move
     one_batch = spark.read.parquet(state).filter(F.col("batch_id") == 0)
     one_batch.write.mode("append").parquet(state)
@@ -570,6 +578,13 @@ def test_kmv_stream_sink_read_equals_batch_sketch(spark, tmp_path):
     spark.read.parquet(state).write.mode("append").parquet(state)
     got2 = sorted(r["h"] for r in kmv_read_state(spark, state, k=64).collect())
     assert got2 == expected
+
+    # geometry guard: a union k-min at k the batches never kept is not
+    # a valid synopsis — mismatched read raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=128"):
+        kmv_read_state(spark, state, k=128)
 
 
 def test_versioned_stream_upsert_exactly_once_replay_soak(spark, tmp_path):
