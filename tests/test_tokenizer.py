@@ -223,3 +223,50 @@ def test_bpe_model_parquet_roundtrip(spark, tmp_path):
     assert back.merges == model.merges and back.vocab == model.vocab
     for _, t in CORPUS:
         assert back.encode(t) == model.encode(t)
+
+
+def test_bpe_property_roundtrip_arbitrary_unicode():
+    """Hypothesis: the pre-tokenizer tiles ANY string losslessly and
+    encode∘decode is the identity for ANY unicode text under ANY
+    trained model — the byte-level no-unknown-tokens contract."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    model = bpe_train_from_counts(_counts([t for _, t in CORPUS]), num_merges=64)
+    pat = re.compile(PRETOKEN_PATTERN)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def check(t):
+        assert "".join(pat.findall(t)) == t
+        ids = model.encode(t)
+        assert model.decode(ids) == t
+        assert len(ids) <= len(t.encode("utf-8"))
+
+    check()
+
+
+def test_bpe_property_word_additivity():
+    """Hypothesis: encoding a concatenation of pre-token-aligned parts
+    equals concatenating the encodings — the law that makes the
+    distinct-word corpus accounting path (q_text_bpe_tokens's second
+    path) exact."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    model = bpe_train_from_counts(_counts([t for _, t in CORPUS]), num_merges=64)
+    pat = re.compile(PRETOKEN_PATTERN)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=120))
+    def check(t):
+        words = pat.findall(t)
+        whole = model.encode(t)
+        parts = [i for w in words for i in model.encode_word(w)]
+        assert whole == parts
+
+    check()
