@@ -79,6 +79,13 @@ def versioned_write(
         max(_versions(path), default=-1) + 1
     )
     snap = os.path.join(path, f"v={n}")
+    # crash residue: a writer that died between snapshot write and
+    # pointer swap leaves an UNCOMMITTED v=n directory (readers never
+    # see it — they follow the pointer). Clear it so the table cannot
+    # wedge permanently on errorifexists; single-writer discipline is
+    # assumed (as for any pointer-swap store).
+    if os.path.isdir(snap) and (current is None or n > current):
+        shutil.rmtree(snap)
     df.write.mode("errorifexists").parquet(snap)
     for k, v in (meta or {}).items():
         with open(os.path.join(snap, f"_meta_{k}"), "w") as f:

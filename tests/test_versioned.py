@@ -305,3 +305,32 @@ def test_update_manifest_incremental_equals_rebuild(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="do not match"):
         update_manifest(spark, path, ["id"])
+
+
+def test_versioned_write_recovers_from_crashed_commit(spark, tmp_path):
+    """A writer that died after writing its snapshot but before the
+    pointer swap leaves an uncommitted v=N directory; the next commit
+    must clear the residue and succeed instead of wedging forever on
+    errorifexists — readers never saw the orphan (they follow the
+    pointer), so removal is safe under single-writer discipline."""
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        latest_version,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "crashv")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    assert latest_version(path) == 0
+
+    # simulate the crash: v=1 exists (with data files!) but was never
+    # committed — the pointer still says 0
+    _kv(spark, [(9, "junk")]).write.parquet(_os.path.join(path, "v=1"))
+    assert latest_version(path) == 0
+
+    v = versioned_write(_kv(spark, [(2, "b")]), path)
+    assert v == 1 and latest_version(path) == 1
+    got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got == {2: "b"}  # the junk residue is gone
