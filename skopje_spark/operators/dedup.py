@@ -811,6 +811,7 @@ def dup_span_trim(
     text_col: str,
     *,
     n: int = 8,
+    scope: str = "cross",
 ) -> DataFrame:
     """Exact-substring duplicate REMOVAL — the rewrite step on top of
     :func:`dup_span_coverage`'s measurement (the published
@@ -822,7 +823,11 @@ def dup_span_trim(
     post-normalization):
 
     - an n-gram window is *duplicated* iff its normalized text occurs
-      in >= 2 distinct documents (same predicate as coverage);
+      in >= 2 distinct documents (``scope="cross"``, the default —
+      same predicate as coverage) or >= 2 times ANYWHERE including
+      within one document (``scope="all"`` — the full published
+      exact-substring-dedup predicate, which also collapses
+      internal boilerplate repeats);
     - for each duplicated gram, the KEEPER is the corpus-first
       occurrence — minimum (doc_id, pos), a total order, so the
       result is deterministic under any partitioning;
@@ -847,9 +852,16 @@ def dup_span_trim(
     Everything shuffles on bounded keys (h, then (doc, pos), then
     doc); nothing ever pairs documents — linear in corpus tokens.
     """
+    if scope not in ("cross", "all"):
+        raise ValueError(f"scope must be 'cross' or 'all', got {scope!r}")
     base, grams = _positioned_gram_hashes(df, id_col, text_col, n)
+    dup_measure = (
+        F.count_distinct(F.col(id_col))
+        if scope == "cross"
+        else F.count(F.lit(1))
+    )
     stats = grams.groupBy("h").agg(
-        F.count_distinct(F.col(id_col)).alias("__docs"),
+        dup_measure.alias("__docs"),
         F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias(
             "__keep"
         ),

@@ -1331,3 +1331,24 @@ def test_leakage_safe_split_families_never_straddle(spark):
     for i in (10, 11):  # singletons: cluster_id = own id -> same as plain
         assert out[i]["cluster_id"] == i
         assert out[i]["split"] == plain[i]
+
+
+def test_dup_span_trim_scope_all_collapses_intra_doc_repeats(spark):
+    """scope='all' extends the duplication predicate to intra-document
+    repeats (the full exact-substring-dedup treatment): the second
+    occurrence of a repeated run inside ONE doc is excised, while
+    scope='cross' leaves it (cross-doc predicate only)."""
+    from skopje_spark.operators.dedup import dup_span_trim
+
+    rows = [(5, "m n o x y m n o z w")]  # 'm n o' repeats within doc 5
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cross = dup_span_trim(df, "doc_id", "text", n=3, scope="cross").collect()[0]
+    assert cross["trimmed_text"] == "m n o x y m n o z w"
+    allsc = dup_span_trim(df, "doc_id", "text", n=3, scope="all").collect()[0]
+    assert allsc["trimmed_text"] == "m n o x y z w"
+    assert allsc["kept_tokens"] == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scope"):
+        dup_span_trim(df, "doc_id", "text", n=3, scope="bogus")

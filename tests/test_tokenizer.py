@@ -270,3 +270,24 @@ def test_bpe_property_word_additivity():
         assert whole == parts
 
     check()
+
+
+def test_pack_sequences_with_bpe_counts(spark):
+    """BPE counts drive sequence packing: pack_concat_chunk consumes
+    token_count_bpe's column, and the span accounting conserves every
+    subword token exactly (sum of per-sequence contributions == total
+    BPE tokens)."""
+    from skopje_spark.operators.packing import pack_concat_chunk
+
+    df = spark.createDataFrame(
+        [(i, ("alpha beta gamma " * (i % 5 + 1)).strip()) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    model = bpe_train(df, "text", num_merges=32)
+    d = token_count_bpe(df, "text", model, out_col="n_bpe_tokens")
+    ctx = 16
+    packed = pack_concat_chunk(d, id_col="doc_id", tokens_col="n_bpe_tokens", ctx_len=ctx)
+    rows = packed.collect()
+    total = sum(r["n_bpe_tokens"] for r in d.collect())
+    assert sum(r["seq_tokens"] for r in rows) == total
+    assert all(r["seq_tokens"] <= ctx for r in rows)
