@@ -23,13 +23,24 @@ from skopje_spark.functions import convert_date, convert_timestamp, schema_of
 from skopje_spark.operators.asof import asof_join
 from skopje_spark.operators.cdc import apply_changes, scd2_apply, snapshot_diff
 from skopje_spark.operators.dedup import (
+    contamination_report,
     dedup_exact,
+    dup_span_trim,
     jaccard_pairs,
     minhash_lsh_pairs,
     neardup_clusters,
+    semantic_dedup,
     simhash,
 )
 from skopje_spark.operators.keymap import keymap_assign, keymap_lookup
+from skopje_spark.operators.sampling import leakage_safe_split
+from skopje_spark.operators.text import bm25_scores
+from skopje_spark.operators.tokenizer import (
+    BpeModel,
+    bpe_encode,
+    bpe_train,
+    token_count_bpe,
+)
 from skopje_spark.operators.similarity import (
     blocked_neardup_pairs,
     cosine_topk,
@@ -40,26 +51,35 @@ from skopje_spark.session import get_spark
 from skopje_spark.tables import load_table, register_views
 
 __all__ = [
+    "BpeModel",
     "Pipeline",
     "apply_changes",
     "asof_join",
     "blocked_neardup_pairs",
+    "bm25_scores",
+    "bpe_encode",
+    "bpe_train",
+    "contamination_report",
     "convert_date",
     "convert_timestamp",
     "cosine_topk",
     "dedup_exact",
+    "dup_span_trim",
     "get_spark",
     "ivf_topk",
     "jaccard_pairs",
     "keymap_assign",
     "keymap_lookup",
+    "leakage_safe_split",
     "load_table",
     "minhash_lsh_pairs",
     "neardup_clusters",
     "register_views",
     "scd2_apply",
     "schema_of",
+    "semantic_dedup",
     "simhash",
     "snapshot_diff",
+    "token_count_bpe",
 ]
 __version__ = "0.1.0"
