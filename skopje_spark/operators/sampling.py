@@ -30,7 +30,10 @@ MOD = 4294967296
 
 
 def hash_bucket(key: Column | str, mod: int = MOD) -> Column:
-    """Deterministic bucket in [0, mod) from an integer key column."""
+    """Deterministic bucket in [0, mod) from an INTEGER key column
+    (exact bigint arithmetic — the DuckDB oracles re-derive it; for
+    string keys, hash to an int first, e.g. the 60-bit sha recipe in
+    operators/dedup.shingle_hashes)."""
     if isinstance(key, str):
         key = F.col(key)
     b = (key * F.lit(KNUTH)) % F.lit(MOD)

@@ -365,7 +365,9 @@ def bm25_scores(
 
     Returns the ``top_k`` documents as ``(id, score)``, ordered by
     the 6-dp-rounded score with the id as total-order tiebreak (both
-    engines pick identical rows).
+    engines pick identical rows). N and avgdl count documents with at
+    least one token (tokenless docs can match nothing and are out of
+    the statistics on both engines).
 
     Scale: corpus statistics (N, avgdl) are a one-row broadcast; per-
     term df is a |query|-row broadcast; the only corpus-sized work is

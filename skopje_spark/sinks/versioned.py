@@ -181,7 +181,13 @@ def versioned_stream_upsert(
     from dedup-on-read to dedup-on-write.
 
     First batch on an empty table commits v=0 directly; later batches
-    run the anti-join MERGE. Returns the streaming query."""
+    run the anti-join MERGE. Returns the streaming query.
+
+    Retention caveat: the ledger lives in the commits themselves, so
+    ``vacuum`` must retain at least the newest stream-marked commit
+    (the default keep>=1 always does unless manual commits follow a
+    long-stopped stream); one stream per table (single-writer, as for
+    the store itself)."""
     from skopje_spark.streaming.streams import foreach_batch_sink
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -192,6 +192,9 @@ def update_manifest(spark: SparkSession, path: str, cols: list[str]) -> int:
         bloom_bits=bloom_bits,
         bloom_k=bloom_k,
     )
+    # eager checkpoint BEFORE the swap: the merged plan reads the old
+    # manifest directory, which the swap below replaces — a lazy plan
+    # re-executed after the swap would double-read the new manifest
     merged = old.unionByName(fresh).localCheckpoint(eager=True)
     # stage + atomic-ish swap: never read and overwrite the same dir
     tmp = tempfile.mkdtemp(dir=path, prefix="._manifest_new")
