@@ -706,3 +706,137 @@ def q_dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "q_curation_pipeline_v2",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text FROM raw
+      WHERE LENGTH(text) >= 32 AND len(toks) >= 8
+        AND len(list_distinct(toks)) / CAST(GREATEST(len(toks), 1) AS DOUBLE) > 0.2
+    ),
+    dd AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    base AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      FROM dd
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, i + 7 AS "end",
+             ('0x' || substr(sha256(
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+               ts[i+4] || ' ' || ts[i+5] || ' ' || ts[i+6] || ' ' || ts[i+7]
+             ), 1, 15))::BIGINT AS h
+      FROM base,
+           UNNEST(CASE WHEN len(ts) >= 8 THEN range(1, len(ts) - 6)
+                       ELSE []::BIGINT[] END) AS t(i)
+    ),
+    duph AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    keepers AS (
+      SELECT h, doc_id AS kid, pos AS kpos FROM (
+        SELECT g.h, g.doc_id, g.pos,
+               ROW_NUMBER() OVER (PARTITION BY g.h ORDER BY g.doc_id, g.pos) AS rn
+        FROM grams g JOIN duph USING (h)
+      ) WHERE rn = 1
+    ),
+    removes AS (
+      SELECT g.doc_id, g.pos, g."end"
+      FROM grams g JOIN keepers k USING (h)
+      WHERE NOT (g.doc_id = k.kid AND g.pos = k.kpos)
+    ),
+    deltas AS (
+      SELECT doc_id, pos AS tpos, 1 AS d FROM removes
+      UNION ALL SELECT doc_id, "end" + 1 AS tpos, -1 AS d FROM removes
+    ),
+    dsum AS (
+      SELECT doc_id, tpos, SUM(d) AS delta FROM deltas GROUP BY doc_id, tpos
+    ),
+    tokens AS (
+      SELECT doc_id, i AS tpos
+      FROM base, UNNEST(range(1, len(ts) + 1)) AS t(i)
+    ),
+    marked AS (
+      SELECT t.doc_id, t.tpos,
+             SUM(COALESCE(d.delta, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.tpos
+             ) AS depth
+      FROM tokens t LEFT JOIN dsum d
+        ON d.doc_id = t.doc_id AND d.tpos = t.tpos
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN depth = 0 THEN 1 ELSE 0 END) AS kept_tokens
+      FROM marked GROUP BY doc_id
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(p.kept_tokens) AS BIGINT) AS kept_tokens,
+           FLOOR((SUM(p.kept_tokens) / CAST(GREATEST(SUM(p.n_tokens), 1) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS keep_ratio
+    FROM base b JOIN per_doc p USING (doc_id)
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+    tags=("llm-pipeline", "curation", "composed", "spans"),
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation pass composed end-to-end in one catalog
+    query: quality gate (quality_features keep flag) → exact dedup
+    (min-id representative) → cross-document duplicated-SPAN removal
+    (dup_span_trim — the exact-substring rewrite, not just a doc
+    filter) → per-source doc/token accounting with the post-trim keep
+    ratio. The oracle re-derives every stage INCLUDING keeper
+    election and span-delta token depths, so the hash verifies the
+    COMPOSITION of the whole rewrite pipeline cross-engine — "raw
+    corpus in, trimmed training corpus out".
+
+    Scale: the gates are narrow scan-stage filters; dedup is one
+    digest-keyed shuffle; the trim adds the linear positioned-hash
+    machinery (nothing pairs documents); accounting is map-side
+    combined. No stage materializes to the driver."""
+    from skopje_spark.operators.dedup import dedup_exact, dup_span_trim
+    from skopje_spark.operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_features(d, "doc_id", "text")
+        .filter(F.col("quality_keep") == 1)
+        .select("doc_id")
+    )
+    kept = d.select("doc_id", "source", "text").join(q, "doc_id")
+    dd = dedup_exact(kept, "doc_id", "text")
+    trimmed = dup_span_trim(dd, "doc_id", "text", n=8)
+    return (
+        trimmed.join(dd.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("kept_tokens").cast("bigint").alias("kept_tokens"),
+            dround(
+                F.sum("kept_tokens")
+                / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )
