@@ -26,6 +26,16 @@ Each transform's dependencies are registered as temp views under their
 node names before the SQL runs, so the SQL references them like
 tables. ``${key}`` placeholders in ``path``/``url``/``sql`` interpolate
 from ``Pipeline.run(conf=...)`` at execution time.
+
+Transforms may instead name a built-in OPERATOR (``"op"`` nodes) —
+the engine's curation operators exposed declaratively::
+
+    {"name": "trimmed", "kind": "transform", "deps": ["docs"],
+     "op": "dup_span_trim",
+     "args": {"id_col": "doc_id", "text_col": "text", "n": 8}}
+
+so a whole quality → dedup → span-trim → split pass is a spec
+document, no Python required (see ``_op_registry`` for the names).
 """
 
 from __future__ import annotations
@@ -83,8 +93,68 @@ def _make_source(node: dict):
     return fn
 
 
+def _op_registry() -> dict:
+    """Named operator transforms for ``op`` nodes — the curation
+    operators exposed declaratively (lazy imports keep spec loading
+    light and cycle-free). Each value is ``(n_deps, callable)`` where
+    the callable takes that many DataFrames then keyword args."""
+    from skopje_spark.operators.bloom import bloom_anti_join
+    from skopje_spark.operators.dedup import (
+        contamination_report,
+        dedup_canonical,
+        dedup_exact,
+        dup_span_trim,
+        semantic_dedup,
+    )
+    from skopje_spark.operators.sampling import (
+        cap_per_group,
+        leakage_safe_split,
+        mixture_sample,
+        split_assign,
+    )
+    from skopje_spark.operators.text import bm25_scores, quality_features
+
+    return {
+        "dedup_exact": (1, dedup_exact),
+        "dedup_canonical": (1, dedup_canonical),
+        "dup_span_trim": (1, dup_span_trim),
+        "semantic_dedup": (1, semantic_dedup),
+        "quality_features": (1, quality_features),
+        "bm25_scores": (1, bm25_scores),
+        "split_assign": (1, split_assign),
+        "leakage_safe_split": (1, leakage_safe_split),
+        "cap_per_group": (1, cap_per_group),
+        "mixture_sample": (1, mixture_sample),
+        "contamination_report": (2, contamination_report),
+        "bloom_anti_join": (2, bloom_anti_join),
+    }
+
+
 def _make_transform(node: dict):
     deps = list(node["deps"])
+    if ("sql" in node) == ("op" in node):
+        raise ValueError(
+            f"transform {node.get('name')!r} needs exactly one of 'sql' or 'op'"
+        )
+
+    if "op" in node:
+        op_name, kwargs = node["op"], dict(node.get("args", {}))
+
+        def fn(ctx: PipelineContext, *dfs: DataFrame) -> DataFrame:
+            reg = _op_registry()
+            if op_name not in reg:
+                raise ValueError(
+                    f"unknown op {op_name!r}; available: {sorted(reg)}"
+                )
+            n_deps, op = reg[op_name]
+            if len(dfs) != n_deps:
+                raise ValueError(
+                    f"op {op_name!r} takes {n_deps} dep(s), node has {len(dfs)}"
+                )
+            return op(*dfs, **kwargs)
+
+        return fn
+
     sql = node["sql"]
 
     def fn(ctx: PipelineContext, *dfs: DataFrame) -> DataFrame:

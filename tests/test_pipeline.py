@@ -262,3 +262,80 @@ def test_pipeline_from_spec_json_document(spark, sf_dir, tmp_path):
     import json as _json
     p2 = pipeline_from_spec(_json.dumps(spec))
     assert sorted(p2._nodes) == sorted(p._nodes)
+
+
+def test_pipeline_spec_op_transforms_curation_chain(spark, sf_dir, tmp_path):
+    """Declarative OP transforms: the full curation chain — exact
+    dedup → span trim → leakage-safe split — as a spec document with
+    no Python transform code; results match calling the operators
+    directly, and bad specs fail loudly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.dedup import dedup_exact, dup_span_trim
+    from skopje_spark.spec import pipeline_from_spec
+
+    out = str(tmp_path / "curated")
+    spec = {
+        "name": "curation-declarative",
+        "nodes": [
+            {"name": "docs", "kind": "source", "format": "parquet",
+             "path": "${sf_dir}/documents.parquet"},
+            {"name": "dd", "kind": "transform", "deps": ["docs"],
+             "op": "dedup_exact",
+             "args": {"id_col": "doc_id", "text_col": "text"}},
+            {"name": "trimmed", "kind": "transform", "deps": ["dd"],
+             "op": "dup_span_trim",
+             "args": {"id_col": "doc_id", "text_col": "text", "n": 8}},
+            {"name": "save", "kind": "sink", "format": "parquet",
+             "dep": "trimmed", "path": out, "mode": "overwrite"},
+        ],
+    }
+    p = pipeline_from_spec(spec)
+    p.run(spark, conf={"sf_dir": sf_dir})
+    got = spark.read.parquet(out)
+
+    from skopje_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    want = dup_span_trim(
+        dedup_exact(d, "doc_id", "text"), "doc_id", "text", n=8
+    )
+    assert sorted(
+        tuple(r) for r in got.select("doc_id", "kept_tokens").collect()
+    ) == sorted(tuple(r) for r in want.select("doc_id", "kept_tokens").collect())
+
+    # two-dep op node: contamination against a benchmark slice
+    spec2 = {
+        "name": "decontam",
+        "nodes": [
+            {"name": "docs", "kind": "source", "format": "parquet",
+             "path": "${sf_dir}/documents.parquet"},
+            {"name": "bench", "kind": "transform", "deps": ["docs"],
+             "sql": "SELECT * FROM docs WHERE doc_id % 20 = 0"},
+            {"name": "train", "kind": "transform", "deps": ["docs"],
+             "sql": "SELECT * FROM docs WHERE doc_id % 20 <> 0"},
+            {"name": "report", "kind": "transform",
+             "deps": ["train", "bench"],
+             "op": "contamination_report", "args": {"n": 8}},
+        ],
+    }
+    res = pipeline_from_spec(spec2).run(spark, conf={"sf_dir": sf_dir})
+    rep = res["report"]
+    assert {"doc_id", "n_grams", "n_shared", "contamination", "flagged"} <= set(
+        rep.columns
+    )
+    assert rep.count() == d.filter(F.col("doc_id") % 20 != 0).count()
+
+    with _pytest.raises(ValueError, match="exactly one of"):
+        pipeline_from_spec({"name": "bad", "nodes": [
+            {"name": "t", "kind": "transform", "deps": [],
+             "sql": "SELECT 1", "op": "dedup_exact"}]})
+    bad = pipeline_from_spec({"name": "bad2", "nodes": [
+        {"name": "docs", "kind": "source", "format": "parquet",
+         "path": "${sf_dir}/documents.parquet"},
+        {"name": "t", "kind": "transform", "deps": ["docs"],
+         "op": "no_such_op"}]})
+    with _pytest.raises(ValueError, match="unknown op"):
+        bad.run(spark, conf={"sf_dir": sf_dir})
