@@ -174,9 +174,9 @@ def table_digest_update(
     versioned_changes emit U and D rows carrying NEW-side values only
     (D rows carry the key), so ``deletes`` must be built by joining
     the U/D keys back to the OLD snapshot for their before-images
-    (exactly what tests/test_cdc.py does) — feeding changelog rows in
-    directly would subtract the wrong images and silently drift from
-    the fresh digest. The exact sha tier cannot be maintained this
+    (exactly what sinks/versioned.py:versioned_digest_frames does —
+    use it) — feeding changelog rows in directly would subtract the
+    wrong images and silently drift from the fresh digest. The exact sha tier cannot be maintained this
     way (sorted folds don't subtract); the pattern is: maintain
     sum/xor continuously, recompute the sha tier only for buckets
     whose cheap digest moved.

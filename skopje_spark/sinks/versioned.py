@@ -248,3 +248,44 @@ def versioned_changes(
     old = versioned_read(spark, path, version=from_version)
     new = versioned_read(spark, path, version=to_version)
     return snapshot_diff(old, new, keys)
+
+
+def versioned_digest_frames(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The CORRECT (inserts, deletes) pair for incremental digest
+    maintenance (quality.table_digest_update) between two commits —
+    the wiring the changelog alone cannot provide: U rows carry
+    NEW-side values only, so the delete side fetches the U keys'
+    BEFORE-images from the ``from_version`` snapshot (D rows already
+    carry old values).
+
+    ``inserts`` = new images of I and U rows; ``deletes`` = old
+    images of U and D rows. Feeding these to table_digest_update
+    makes ``update(digest(old)) == digest(new)`` EXACTLY
+    (unit-pinned, including updates that change digest columns —
+    the case naive changelog wiring silently corrupts).
+
+    Cost: the changelog diff (one full-outer key join) + one
+    left-semi join of the old snapshot against the U keys."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.cdc import snapshot_diff
+
+    old = versioned_read(spark, path, version=from_version)
+    new = versioned_read(spark, path, version=to_version)
+    ch = snapshot_diff(old, new, keys)
+    cols = old.columns
+    inserts = ch.filter(F.col("__op").isin("I", "U")).select(*cols)
+    u_keys = ch.filter(F.col("__op") == "U").select(*keys)
+    deletes = (
+        old.join(u_keys, keys, "left_semi")
+        .select(*cols)
+        .unionByName(ch.filter(F.col("__op") == "D").select(*cols))
+    )
+    return inserts, deletes

@@ -141,3 +141,60 @@ def test_digest_update_tracks_snapshot_diff(spark):
         }
 
     assert snap(updated) == snap(fresh)
+
+
+def test_versioned_digest_frames_fold_exactly(spark, tmp_path):
+    """versioned_digest_frames closes the time-travel → digest-IVM
+    loop: folding its (inserts, deletes) into the v0 digest equals
+    the fresh digest of the latest snapshot in every bucket —
+    INCLUDING updates that change digest columns, the case where
+    feeding the raw changelog (U rows carry new values only) silently
+    diverges (also pinned here)."""
+    from skopje_spark.operators.quality import table_digest, table_digest_update
+    from skopje_spark.sinks.versioned import (
+        versioned_digest_frames,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "digivm")
+    rows0 = [(i, f"v{i % 7}", f"p{i % 3}") for i in range(200)]
+    df0 = spark.createDataFrame(rows0, "k bigint, a string, b string")
+    versioned_write(df0, path)
+
+    # v1: delete k<20, update a for 20<=k<40 (changes a digest col),
+    # insert 200..230
+    rows1 = (
+        [(i, "CHANGED", f"p{i % 3}") for i in range(20, 40)]
+        + [(i, f"v{i % 7}", f"p{i % 3}") for i in range(40, 200)]
+        + [(i, f"v{i % 7}", f"p{i % 3}") for i in range(200, 230)]
+    )
+    versioned_write(spark.createDataFrame(rows1, "k bigint, a string, b string"), path)
+
+    keys, cols, nb = ["k"], ["k", "a", "b"], 16
+    d0 = table_digest(df0, keys, cols, n_buckets=nb, exact=False)
+    ins, dels = versioned_digest_frames(spark, path, keys, from_version=0)
+    ivm = table_digest_update(d0, ins, dels, keys, cols, n_buckets=nb)
+    fresh = table_digest(
+        versioned_read(spark, path), keys, cols, n_buckets=nb, exact=False
+    )
+
+    def snap(frame):
+        return {
+            r["bucket"]: (r["n_rows"], r["digest_sum"], r["digest_xor"])
+            for r in frame.collect()
+        }
+
+    assert snap(ivm) == snap(fresh)
+
+    # the naive wiring — raw changelog rows as both sides — diverges
+    # for the updated keys (it subtracts NEW images, not before-images)
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.cdc import snapshot_diff
+
+    ch = snapshot_diff(df0, versioned_read(spark, path), keys)
+    naive_ins = ch.filter(F.col("__op").isin("I", "U")).select("k", "a", "b")
+    naive_del = ch.filter(F.col("__op").isin("U", "D")).select("k", "a", "b")
+    naive = table_digest_update(d0, naive_ins, naive_del, keys, cols, n_buckets=nb)
+    assert snap(naive) != snap(fresh)
