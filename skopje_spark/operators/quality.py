@@ -171,12 +171,13 @@ def table_digest_update(
     EXACTLY (property-tested against operators/cdc.py's snapshot
     diff). An UPDATE is a delete of the OLD row image + insert of the
     new one. Note the changelog wiring: cdc_snapshot_diff /
-    versioned_changes emit U and D rows carrying NEW-side values only
-    (D rows carry the key), so ``deletes`` must be built by joining
-    the U/D keys back to the OLD snapshot for their before-images
-    (exactly what sinks/versioned.py:versioned_digest_frames does —
-    use it) — feeding changelog rows in directly would subtract the
-    wrong images and silently drift from the fresh digest. The exact sha tier cannot be maintained this
+    versioned_changes emit U rows with NEW-side values (D rows do
+    carry old images), so the delete side must fetch U keys'
+    BEFORE-images from the old snapshot — exactly what
+    sinks/versioned.py:versioned_digest_frames does; use it. Feeding
+    raw changelog rows in directly subtracts the wrong images for
+    updates and silently drifts from the fresh digest (unit-pinned in
+    tests/test_cdc.py). The exact sha tier cannot be maintained this
     way (sorted folds don't subtract); the pattern is: maintain
     sum/xor continuously, recompute the sha tier only for buckets
     whose cheap digest moved.

@@ -239,10 +239,10 @@ def versioned_changes(
     consumers (incremental rollups, replica sync, digest maintenance)
     pull exactly what changed between commits without the writer
     having to emit a changelog. Caveat for digest maintenance
-    (quality.table_digest_update): U and D rows carry NEW-side values
-    only, so the delete-side BEFORE-images must be fetched by joining
-    the changed keys back to the ``from_version`` snapshot — see
-    table_digest_update's docstring for the wiring."""
+    (quality.table_digest_update): U rows carry NEW-side values (D
+    rows carry old images), so U keys' BEFORE-images must come from
+    the ``from_version`` snapshot — :func:`versioned_digest_frames`
+    does that wiring; use it."""
     from skopje_spark.operators.cdc import snapshot_diff
 
     old = versioned_read(spark, path, version=from_version)
