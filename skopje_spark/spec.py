@@ -36,6 +36,12 @@ the engine's curation operators exposed declaratively::
 
 so a whole quality → dedup → span-trim → split pass is a spec
 document, no Python required (see ``_op_registry`` for the names).
+
+Streaming pipelines are specs too: ``stream_file`` sources, SQL/op
+transforms over the unbounded frame, and ``stream_parquet`` /
+``stream_versioned`` sinks (the exactly-once merge into a versioned
+table). Streaming sink nodes return the StreamingQuery in
+``Pipeline.run``'s result dict — await it to drain.
 """
 
 from __future__ import annotations
@@ -48,8 +54,8 @@ from pyspark.sql import DataFrame
 
 from skopje_spark.pipeline import Pipeline, PipelineContext
 
-_SOURCE_FORMATS = ("parquet", "json", "csv", "binary", "http")
-_SINK_FORMATS = ("parquet", "json", "csv")
+_SOURCE_FORMATS = ("parquet", "json", "csv", "binary", "http", "stream_file")
+_SINK_FORMATS = ("parquet", "json", "csv", "stream_parquet", "stream_versioned")
 
 
 def _interp(value: str, conf: dict[str, Any]) -> str:
@@ -76,6 +82,13 @@ def _make_source(node: dict):
                 schema=node.get("schema"),
             )
         path = _interp(node["path"], ctx.conf)
+        if fmt == "stream_file":
+            from skopje_spark.streaming.streams import file_stream
+
+            return file_stream(
+                ctx.spark, path, schema=node["schema"],
+                max_files_per_trigger=node.get("max_files_per_trigger"),
+            )
         if fmt == "parquet":
             return parquet_source(ctx.spark, path, columns=node.get("columns"))
         if fmt == "json":
@@ -174,6 +187,21 @@ def _make_sink(node: dict):
         from skopje_spark.sinks import csv_sink, json_sink, parquet_sink
 
         path = _interp(node["path"], ctx.conf)
+        if fmt == "stream_parquet":
+            from skopje_spark.streaming.streams import parquet_stream_sink
+
+            return parquet_stream_sink(
+                df, path, _interp(node["checkpoint"], ctx.conf),
+                available_now=node.get("available_now", True),
+            )
+        if fmt == "stream_versioned":
+            from skopje_spark.sinks.versioned import versioned_stream_upsert
+
+            return versioned_stream_upsert(
+                df, path, list(node["keys"]),
+                _interp(node["checkpoint"], ctx.conf),
+                available_now=node.get("available_now", True),
+            )
         mode = node.get("mode", "append")
         dedup = node.get("dedup_keys")
         if fmt == "parquet":

@@ -339,3 +339,60 @@ def test_pipeline_spec_op_transforms_curation_chain(spark, sf_dir, tmp_path):
          "op": "no_such_op"}]})
     with _pytest.raises(ValueError, match="unknown op"):
         bad.run(spark, conf={"sf_dir": sf_dir})
+
+
+def test_pipeline_spec_streaming_to_versioned(spark, tmp_path):
+    """Declarative STREAMING pipeline: stream_file source → SQL
+    transform on the unbounded frame → exactly-once stream_versioned
+    sink, all from one spec document. Drains with availableNow and
+    lands the merged state in the time-traveled table."""
+    import json as _json
+
+    from skopje_spark.sinks.versioned import latest_version, versioned_read
+    from skopje_spark.spec import pipeline_from_spec
+
+    src = tmp_path / "sspec_src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": "b", "value": 2.0},
+        {"event_id": 1, "ts": "2024-01-01T00:02:00", "user_id": "a", "value": 10.0},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in rows[:2]:
+            f.write(_json.dumps(r) + "\n")
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps(rows[2]) + "\n")
+    # pin mtimes so the two files arrive as two ordered micro-batches
+    # (one file per trigger below) — one combined batch would append
+    # both event-1 rows in a single upsert instead of merging them
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    table = str(tmp_path / "sspec_table")
+    spec = {
+        "name": "stream-declarative",
+        "nodes": [
+            {"name": "events", "kind": "source", "format": "stream_file",
+             "path": str(src), "max_files_per_trigger": 1,
+             "schema": "event_id long, ts timestamp, user_id string, value double"},
+            {"name": "scaled", "kind": "transform", "deps": ["events"],
+             "sql": "SELECT event_id, user_id, value * 2 AS value FROM events"},
+            {"name": "merge", "kind": "sink", "format": "stream_versioned",
+             "dep": "scaled", "path": table,
+             "keys": ["event_id"],
+             "checkpoint": str(tmp_path / "sspec_ck")},
+        ],
+    }
+    res = pipeline_from_spec(spec).run(spark)
+    res["merge"].awaitTermination()
+    assert latest_version(table) is not None
+    out_rows = versioned_read(spark, table).collect()
+    assert len(out_rows) == 2  # upsert merged, not appended
+    got = {r["event_id"]: r["value"] for r in out_rows}
+    # upsert semantics: event 1's later batch (10.0 * 2) wins
+    assert got == {1: 20.0, 2: 4.0}
