@@ -127,7 +127,22 @@ def _op_registry() -> dict:
     )
     from skopje_spark.operators.text import bm25_scores, quality_features
 
+    def _with_bpe(op):
+        # tokenizer ops take a model OBJECT; declaratively the model is
+        # its persisted parquet artifact (bpe_model_write), loaded here
+        def fn(df, *, model_path, text_col="text", **kw):
+            from skopje_spark.operators.tokenizer import bpe_model_read
+
+            model = bpe_model_read(df.sparkSession, model_path)
+            return op(df, text_col, model, **kw)
+
+        return fn
+
+    from skopje_spark.operators.tokenizer import bpe_encode, token_count_bpe
+
     return {
+        "token_count_bpe": (1, _with_bpe(token_count_bpe)),
+        "bpe_encode": (1, _with_bpe(bpe_encode)),
         "dedup_exact": (1, dedup_exact),
         "dedup_canonical": (1, dedup_canonical),
         "dup_span_trim": (1, dup_span_trim),

@@ -396,3 +396,40 @@ def test_pipeline_spec_streaming_to_versioned(spark, tmp_path):
     got = {r["event_id"]: r["value"] for r in out_rows}
     # upsert semantics: event 1's later batch (10.0 * 2) wins
     assert got == {1: 20.0, 2: 4.0}
+
+
+def test_pipeline_spec_bpe_count_from_persisted_model(spark, tmp_path):
+    """Declarative subword counting: an op node loads the persisted
+    BPE merge table (bpe_model_write artifact) by path and counts
+    match the in-memory model exactly."""
+    from skopje_spark.operators.tokenizer import (
+        bpe_model_write,
+        bpe_train,
+        token_count_bpe,
+    )
+    from skopje_spark.spec import pipeline_from_spec
+    from skopje_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    model = bpe_train(d, "text", num_merges=64)
+    mp = str(tmp_path / "bpe_model")
+    bpe_model_write(spark, model, mp)
+
+    spec = {
+        "name": "bpe-declarative",
+        "nodes": [
+            {"name": "docs", "kind": "source", "format": "parquet",
+             "path": f"{sf}/documents.parquet", "columns": ["doc_id", "text"]},
+            {"name": "counted", "kind": "transform", "deps": ["docs"],
+             "op": "token_count_bpe",
+             "args": {"model_path": mp, "text_col": "text"}},
+        ],
+    }
+    res = pipeline_from_spec(spec).run(spark)
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in res["counted"].collect()}
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in token_count_bpe(d, "text", model).collect()
+    }
+    assert got == want
