@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame
 from skopje_spark.pipeline import Pipeline, PipelineContext
 
 _SOURCE_FORMATS = ("parquet", "json", "csv", "binary", "http", "stream_file")
-_SINK_FORMATS = ("parquet", "json", "csv", "stream_parquet", "stream_versioned")
+_SINK_FORMATS = ("parquet", "json", "csv", "versioned", "stream_parquet", "stream_versioned")
 
 
 def _interp(value: str, conf: dict[str, Any]) -> str:
@@ -202,6 +202,20 @@ def _make_sink(node: dict):
         from skopje_spark.sinks import csv_sink, json_sink, parquet_sink
 
         path = _interp(node["path"], ctx.conf)
+        if fmt == "versioned":
+            from skopje_spark.sinks.versioned import (
+                versioned_upsert,
+                versioned_write,
+            )
+
+            keys = node.get("keys")
+            if keys:  # MERGE by key into the committed table
+                from skopje_spark.sinks.versioned import latest_version
+
+                if latest_version(path) is None:
+                    return versioned_write(df, path)
+                return versioned_upsert(ctx.spark, path, df, list(keys))
+            return versioned_write(df, path)
         if fmt == "stream_parquet":
             from skopje_spark.streaming.streams import parquet_stream_sink
 

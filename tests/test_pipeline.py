@@ -433,3 +433,31 @@ def test_pipeline_spec_bpe_count_from_persisted_model(spark, tmp_path):
         for r in token_count_bpe(d, "text", model).collect()
     }
     assert got == want
+
+
+def test_pipeline_spec_versioned_batch_sink(spark, tmp_path):
+    """Batch 'versioned' sink: plain commits without keys, MERGE
+    semantics with keys — two runs of a keyed spec upsert instead of
+    duplicating."""
+    from skopje_spark.sinks.versioned import latest_version, versioned_read
+    from skopje_spark.spec import pipeline_from_spec
+
+    table = str(tmp_path / "vspec")
+    sf = "/root/testdata/sf0.001"
+    spec = {
+        "name": "versioned-sink",
+        "nodes": [
+            {"name": "nation", "kind": "source", "format": "parquet",
+             "path": f"{sf}/nation.parquet"},
+            {"name": "small", "kind": "transform", "deps": ["nation"],
+             "sql": "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5"},
+            {"name": "commit", "kind": "sink", "format": "versioned",
+             "dep": "small", "path": table, "keys": ["n_nationkey"]},
+        ],
+    }
+    pipeline_from_spec(spec).run(spark)
+    assert latest_version(table) == 0
+    n0 = versioned_read(spark, table).count()
+    pipeline_from_spec(spec).run(spark)  # same rows -> merge, not append
+    assert latest_version(table) == 1
+    assert versioned_read(spark, table).count() == n0
