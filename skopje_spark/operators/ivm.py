@@ -1,0 +1,230 @@
+"""Incremental view maintenance (IVM): keep a grouped-aggregate
+materialized view current by folding an I/U/D changelog forward,
+never recomputing the base table.
+
+At 100 TB the daily rollup ("rows + revenue by priority") cannot be
+rebuilt per refresh — the base scan alone dwarfs the delta. The
+classic IVM result (self-maintainable SUM/COUNT views under
+insert/update/delete; Gupta & Mumick, "Maintenance of Materialized
+Views: Problems, Techniques, and Applications", IEEE DE Bulletin
+1995) makes the refresh cost O(|changelog| + |view|):
+
+- every changelog row becomes one or two SIGNED micro-rows
+  (I → +new; D → −old; U → −old ∪ +new, i.e. an update is a delete
+  plus an insert, which also handles rows that MOVE between groups);
+- the view itself is re-read as micro-rows of weight ``__n``;
+- one map-side-combined groupBy re-folds view ∪ delta; groups whose
+  count reaches zero vanish.
+
+COUNT and SUM (and AVG = SUM/COUNT at read time) are exactly
+self-maintainable this way. MIN/MAX are NOT under deletes (removing
+the current minimum needs the runner-up, which the view never kept);
+for those :func:`ivm_apply` recomputes ONLY the touched groups from
+the new snapshot — a broadcast semi-join slice, not a full scan.
+
+Changelog shape is :func:`skopje_spark.operators.cdc.snapshot_diff`'s:
+``table_keys + value columns + __op``, where I/U rows carry NEW
+values and D rows carry OLD values. U rows need their before-image
+(the old group key and old measures) — fetched here from the old
+snapshot by table key, per the contract documented in
+operators/quality.py (a changelog alone cannot maintain a digest or
+a view; the delete side of an update must come from the old state).
+
+Scale: the fold is one shuffle over O(|view| + |changelog|) rows;
+before-images are one join of the U-slice against the old snapshot
+on its table key (key-partitioned, AQE-coalesced); min/max refresh
+broadcasts the touched-group list both ways. The base table is never
+scanned except for the min/max slice of the NEW snapshot.
+
+Reference analog: the reference refreshes Postgres state row-by-row
+inside one transaction (`/root/reference/src/load/pg.rs:50-112`);
+this module is the set-based, snapshot-native equivalent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.cdc import OP_COL
+
+N_COL = "__n"
+
+
+def _sum_col(c: str) -> str:
+    return f"__sum_{c}"
+
+
+def _min_col(c: str) -> str:
+    return f"__min_{c}"
+
+
+def _max_col(c: str) -> str:
+    return f"__max_{c}"
+
+
+def ivm_build(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Materialize the view: one row per group with ``__n`` (count),
+    ``__sum_<c>``, ``__min_<c>``, ``__max_<c>``. One map-side-combined
+    groupBy — the only full-table pass IVM ever takes."""
+    aggs = [F.count(F.lit(1)).alias(N_COL)]
+    aggs += [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+    aggs += [F.min(c).alias(_min_col(c)) for c in min_cols]
+    aggs += [F.max(c).alias(_max_col(c)) for c in max_cols]
+    return df.groupBy(*group_keys).agg(*aggs)
+
+
+def changelog_microrows(
+    changelog: DataFrame,
+    old: DataFrame,
+    table_keys: Sequence[str],
+    group_keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Signed micro-rows (``group_keys``, ``__dn`` ±1, signed measure
+    values) from an I/U/D changelog.
+
+    I and the insert half of U read straight off the changelog (NEW
+    values); D reads off the changelog too (snapshot_diff keeps OLD
+    values on deletes); the delete half of U joins the old snapshot on
+    the TABLE key to recover its before-image — including the old
+    GROUP key, so an update that moves a row between groups debits the
+    old group and credits the new one."""
+    op = F.col(OP_COL)
+    plus = changelog.filter(op != "D").select(
+        *group_keys,
+        F.lit(1).alias("__dn"),
+        *[F.col(c).alias(_sum_col(c)) for c in sum_cols],
+    )
+    minus_d = changelog.filter(op == "D").select(
+        *group_keys,
+        F.lit(-1).alias("__dn"),
+        *[(-F.col(c)).alias(_sum_col(c)) for c in sum_cols],
+    )
+    minus_u = (
+        changelog.filter(op == "U")
+        .select(*table_keys)
+        .join(old.select(*table_keys, *group_keys, *sum_cols), list(table_keys))
+        .select(
+            *group_keys,
+            F.lit(-1).alias("__dn"),
+            *[(-F.col(c)).alias(_sum_col(c)) for c in sum_cols],
+        )
+    )
+    return plus.unionByName(minus_d).unionByName(minus_u)
+
+
+def ivm_apply(
+    view: DataFrame,
+    changelog: DataFrame,
+    old: DataFrame,
+    table_keys: Sequence[str],
+    group_keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    new: DataFrame | None = None,
+) -> DataFrame:
+    """Fold a changelog into a :func:`ivm_build` view.
+
+    COUNT/SUM fold exactly: the view's rows and the changelog's signed
+    micro-rows re-aggregate in ONE groupBy over O(|view| + |changes|)
+    rows; groups whose count hits zero are dropped. MIN/MAX (if the
+    view carries them) are recomputed for TOUCHED groups only from
+    ``new`` (required then), via broadcast semi-join — untouched
+    groups keep their stored extrema.
+
+    Invariant (property-tested):
+    ``ivm_apply(ivm_build(old), snapshot_diff(old, new), old, ...)``
+    equals ``ivm_build(new)`` row-for-row (use exact-arithmetic
+    measure types — integers or decimals — so SUM folding is
+    order-independent)."""
+    if (min_cols or max_cols) and new is None:
+        raise ValueError("min/max maintenance requires the new snapshot")
+
+    delta = changelog_microrows(changelog, old, table_keys, group_keys, sum_cols)
+
+    view_rows = view.select(
+        *group_keys,
+        F.col(N_COL).alias("__dn"),
+        *[F.col(_sum_col(c)) for c in sum_cols],
+    )
+    folded = (
+        view_rows.unionByName(delta)
+        .groupBy(*group_keys)
+        .agg(
+            F.sum("__dn").alias(N_COL),
+            *[F.sum(_sum_col(c)).alias(_sum_col(c)) for c in sum_cols],
+        )
+        .filter(F.col(N_COL) > 0)
+    )
+    if not (min_cols or max_cols):
+        return folded
+
+    touched = delta.select(*group_keys).distinct()
+    refreshed = (
+        new.join(F.broadcast(touched), list(group_keys), "left_semi")
+        .groupBy(*group_keys)
+        .agg(
+            *[F.min(c).alias(f"__r_min_{c}") for c in min_cols],
+            *[F.max(c).alias(f"__r_max_{c}") for c in max_cols],
+        )
+    )
+    out = (
+        folded.join(
+            view.select(
+                *group_keys,
+                *[F.col(_min_col(c)).alias(f"__v_min_{c}") for c in min_cols],
+                *[F.col(_max_col(c)).alias(f"__v_max_{c}") for c in max_cols],
+            ),
+            list(group_keys),
+            "left",
+        )
+        .join(F.broadcast(refreshed), list(group_keys), "left")
+    )
+    sel = [*group_keys, N_COL, *[_sum_col(c) for c in sum_cols]]
+    sel += [
+        F.coalesce(F.col(f"__r_min_{c}"), F.col(f"__v_min_{c}")).alias(_min_col(c))
+        for c in min_cols
+    ]
+    sel += [
+        F.coalesce(F.col(f"__r_max_{c}"), F.col(f"__v_max_{c}")).alias(_max_col(c))
+        for c in max_cols
+    ]
+    return out.select(*sel)
+
+
+def ivm_read(
+    view: DataFrame,
+    group_keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    avg_cols: Sequence[str] = (),
+    avg_scale: int = 6,
+) -> DataFrame:
+    """User-facing projection of a view frame: plain column names,
+    AVG derived as SUM/COUNT (round-half-up at ``avg_scale`` dp — the
+    division is done in double on top of the exact stored sum)."""
+    from skopje_spark.queries.rounding import dround
+
+    sel = [*group_keys, F.col(N_COL).alias("n_rows")]
+    sel += [F.col(_sum_col(c)).alias(f"sum_{c}") for c in sum_cols]
+    sel += [
+        dround(
+            F.col(_sum_col(c)).cast("double") / F.col(N_COL).cast("double"),
+            avg_scale,
+        ).alias(f"avg_{c}")
+        for c in avg_cols
+    ]
+    sel += [F.col(_min_col(c)).alias(f"min_{c}") for c in min_cols]
+    sel += [F.col(_max_col(c)).alias(f"max_{c}") for c in max_cols]
+    return view.select(*sel)

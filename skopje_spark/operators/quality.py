@@ -300,3 +300,67 @@ def digest_compare(a: DataFrame, b: DataFrame) -> DataFrame:
             .alias("match"),
         )
     )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    *,
+    eps: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Population stability index between two snapshots' distributions
+    of a categorical column — the standard "has this feature drifted"
+    monitor (rule of thumb: PSI < 0.1 stable, 0.1–0.25 moderate,
+    > 0.25 action). Complements :func:`table_digest`: digests answer
+    "did anything change", PSI answers "did the DISTRIBUTION move,
+    and which categories moved it".
+
+    One row per category in the UNION of both sides, with both raw
+    counts, both Laplace-smoothed shares (additive ``eps`` over the
+    union category count K: p = (c + eps)/(N + eps·K) — keeps the log
+    finite for one-sided categories), and the signed PSI contribution
+    ``(p_a − p_b)·ln(p_a / p_b)`` (always ≥ 0), rounded half-away at
+    ``scale`` dp for cross-engine determinism. Σ contribution = PSI.
+
+    Scale: two map-side-combined groupBys over the column (output =
+    category cardinality), a tiny full-outer join, two scalar totals
+    carried via broadcast-friendly crossJoin — nothing row-scale ever
+    shuffles.
+    """
+    from skopje_spark.queries.rounding import dround
+
+    ca = a.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = b.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    cats = (
+        ca.join(cb, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    totals = cats.agg(
+        F.sum("n_a").alias("__ta"),
+        F.sum("n_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    pa = (F.col("n_a") + F.lit(eps)) / (
+        F.col("__ta") + F.lit(eps) * F.col("__k")
+    )
+    pb = (F.col("n_b") + F.lit(eps)) / (
+        F.col("__tb") + F.lit(eps) * F.col("__k")
+    )
+    return cats.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "n_a",
+        "n_b",
+        dround(pa, scale).alias("share_a"),
+        dround(pb, scale).alias("share_b"),
+        dround((pa - pb) * F.log(pa / pb), scale).alias("psi_contrib"),
+    )

@@ -67,6 +67,7 @@ def load_all() -> dict[str, QueryDef]:
         joins,
         keymap_demo,
         layout,
+        incremental,
         llm_dedup,
         llm_multimodal,
         llm_packing,

@@ -1,0 +1,238 @@
+"""Incremental-maintenance and estimation queries: IVM fold-forward
+of a grouped-aggregate view, sampled join-size estimation, and PSI
+distribution-drift monitoring.
+
+The IVM oracle is the strongest kind in the catalog: the Spark side
+NEVER aggregates the new snapshot for count/sum (it folds a changelog
+into the old view, per operators/ivm.py), while the oracle recomputes
+the aggregate directly from the new snapshot — equality proves the
+maintenance algebra end-to-end. Measures are carried as
+DECIMAL(18,2) so SUM folding is exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround_sql
+from skopje_spark.tables import load_table
+
+_IVM_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       {dround_sql('CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)', 6)} AS avg_price,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q_ivm_agg_update",
+    oracle=_IVM_ORACLE,
+    tags=("ivm", "incremental", "maintenance", "lakeops"),
+)
+def q_ivm_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end (operators/ivm.py).
+
+    An OLD snapshot is derived from orders so that diffing back to
+    orders exercises every changelog path: keys ``% 97 == 0`` are
+    absent from old (→ I), keys ``% 89 == 0`` carry a +100.00 price in
+    old (→ U, with before-images fetched from the old snapshot), and
+    phantom negative-key rows in a ``9-PHANTOM`` priority group exist
+    only in old (→ D, and the whole group's count folds to zero and
+    vanishes). COUNT/SUM/AVG come purely from the fold — the new
+    snapshot is touched only for the MIN/MAX refresh of touched
+    groups; the oracle recomputes everything from the new snapshot
+    directly, so a hash match proves the maintenance algebra.
+
+    Scale: refresh cost is O(|view| + |changelog|) — the 100 TB base
+    is never rescanned for the additive measures.
+    """
+    from skopje_spark.operators.cdc import snapshot_diff
+    from skopje_spark.operators.ivm import ivm_apply, ivm_build, ivm_read
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    new = o
+    k = F.col("o_orderkey")
+    base_old = o.filter(k % 97 != 0).withColumn(
+        "price",
+        F.when(k % 89 == 0, F.col("price") + F.lit(100).cast("decimal(18,2)"))
+        .otherwise(F.col("price"))
+        .cast("decimal(18,2)"),
+    )
+    phantoms = o.filter(k % 101 == 0).select(
+        (-k - 1).alias("o_orderkey"),
+        F.lit("9-PHANTOM").alias("o_orderpriority"),
+        "price",
+    )
+    old = base_old.unionByName(phantoms)
+
+    view0 = ivm_build(
+        old, ["o_orderpriority"], sum_cols=["price"],
+        min_cols=["price"], max_cols=["price"],
+    )
+    changelog = snapshot_diff(old, new, ["o_orderkey"])
+    view1 = ivm_apply(
+        view0,
+        changelog,
+        old,
+        table_keys=["o_orderkey"],
+        group_keys=["o_orderpriority"],
+        sum_cols=["price"],
+        min_cols=["price"],
+        max_cols=["price"],
+        new=new,
+    )
+    out = ivm_read(
+        view1,
+        ["o_orderpriority"],
+        sum_cols=["price"],
+        avg_cols=["price"],
+        min_cols=["price"],
+        max_cols=["price"],
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "avg_price",
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q_join_size_estimate",
+    oracle="""
+    WITH ol AS (
+      SELECT COUNT(*) AS exact_join_size
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    co AS (
+      SELECT COUNT(*) AS exact_join_size
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    SELECT 'orders_lineitem' AS join_name, exact_join_size,
+           1 AS est_in_band FROM ol
+    UNION ALL
+    SELECT 'customer_orders' AS join_name, exact_join_size,
+           1 AS est_in_band FROM co
+    ORDER BY join_name
+    """,
+    tags=("estimate", "join", "sampling", "planner"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from coordinated key samples
+    (operators/estimate.py): both sides keep a key iff the SAME hash
+    of the key lands under the rate, so the sampled sub-join is an
+    unbiased miniature of the real one; Σ f_A·f_B over sampled keys
+    scales by 1/p. Deterministic given the seed — the driver rerun
+    reproduces the identical estimate.
+
+    Verdict bands vs measured deterministic error (the estimate is a
+    fixed number per fixture): orders⋈lineitem at rate 0.2 errs 7.2%
+    at sf0.001 / 0.8% at sf0.01 (band ±15%); customer⋈orders at rate
+    0.3 errs 14.9% at sf0.001 / 4.1% at sf0.01 (band ±25%) — errors
+    shrink with key cardinality, exactly the regime where estimation
+    matters. Exact sizes ride along so the hash pins real numbers.
+    Estimation cost is two pushed-down sampled scans + a tiny count
+    join per pair — never the join itself.
+    """
+    from skopje_spark.operators.estimate import sampled_join_size
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name, a, b, ak, bk, rate, band):
+        est = sampled_join_size(a, b, ak, bk, rate=rate)
+        exact = a.join(b, F.col(ak) == F.col(bk)).agg(
+            F.count(F.lit(1)).alias("exact_join_size")
+        )
+        return exact.crossJoin(F.broadcast(est)).select(
+            F.lit(name).alias("join_name"),
+            "exact_join_size",
+            (
+                F.abs(F.col("est_join_size") - F.col("exact_join_size"))
+                <= F.lit(band) * F.col("exact_join_size")
+            )
+            .cast("int")
+            .alias("est_in_band"),
+        )
+
+    return (
+        one("orders_lineitem", o, l, "o_orderkey", "l_orderkey", 0.2, 0.15)
+        .unionByName(one("customer_orders", c, o, "c_custkey", "o_custkey", 0.3, 0.25))
+        .orderBy("join_name")
+    )
+
+
+_PSI_EPS = 0.5
+_PSI_ORACLE = f"""
+WITH ca AS (
+  SELECT o_orderpriority AS category, COUNT(*) AS n_a
+  FROM orders WHERE o_orderdate < DATE '1995-07-01'
+  GROUP BY o_orderpriority
+),
+cb AS (
+  SELECT o_orderpriority AS category, COUNT(*) AS n_b
+  FROM orders WHERE o_orderdate >= DATE '1995-07-01'
+  GROUP BY o_orderpriority
+),
+cats AS (
+  SELECT COALESCE(ca.category, cb.category) AS category,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+),
+tot AS (
+  SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS k FROM cats
+)
+SELECT category, n_a, n_b,
+       {dround_sql(f'(n_a + {_PSI_EPS}) / (ta + {_PSI_EPS} * k)', 6)} AS share_a,
+       {dround_sql(f'(n_b + {_PSI_EPS}) / (tb + {_PSI_EPS} * k)', 6)} AS share_b,
+       {dround_sql(
+           f'((n_a + {_PSI_EPS}) / (ta + {_PSI_EPS} * k) - (n_b + {_PSI_EPS}) / (tb + {_PSI_EPS} * k))'
+           f' * ln(((n_a + {_PSI_EPS}) / (ta + {_PSI_EPS} * k)) / ((n_b + {_PSI_EPS}) / (tb + {_PSI_EPS} * k)))',
+           6,
+       )} AS psi_contrib
+FROM cats CROSS JOIN tot
+ORDER BY category
+"""
+
+
+@register(
+    "q_drift_psi",
+    oracle=_PSI_ORACLE,
+    tags=("drift", "quality", "monitoring"),
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor
+    (operators/quality.py:psi_drift): order-priority mix before vs
+    after a date cut, one row per category with both counts, both
+    Laplace-smoothed shares, and the signed PSI contribution — the
+    "did the distribution move, and which categories moved it"
+    companion to the digests' "did anything change".
+
+    Scale: two category-cardinality groupBys + a tiny join; nothing
+    row-scale shuffles.
+    """
+    from skopje_spark.operators.quality import psi_drift
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1995-07-01").cast("date")
+    return psi_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        "o_orderpriority",
+        eps=_PSI_EPS,
+    ).orderBy("category")

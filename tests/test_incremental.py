@@ -1,0 +1,171 @@
+"""Units for IVM fold-forward, sampled join-size estimation, and PSI
+drift (operators/ivm.py, operators/estimate.py, quality.psi_drift)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.cdc import snapshot_diff
+from skopje_spark.operators.estimate import key_sample, sampled_join_size
+from skopje_spark.operators.ivm import ivm_apply, ivm_build, ivm_read
+from skopje_spark.operators.quality import psi_drift
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def _view_rows(view):
+    cols = sorted(view.columns)
+    return sorted(tuple(r) for r in view.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    """Old/new snapshot pair exercising I, U (incl. group moves), D,
+    and a group that empties entirely. Integer measures → exact SUM."""
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 20),
+            (3, "b", 30),
+            (4, "b", 40),
+            (5, "gone", 50),  # D: group empties
+            (6, "a", 60),     # U: moves a -> b with a new value
+        ],
+        "id int, grp string, v int",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),     # unchanged
+            (2, "a", 25),     # U in place
+            (3, "b", 30),
+            (4, "b", 40),
+            (6, "b", 61),     # U moved groups
+            (7, "c", 70),     # I into a brand-new group
+        ],
+        "id int, grp string, v int",
+    )
+    return old, new
+
+
+def test_ivm_fold_equals_rebuild(snaps):
+    old, new = snaps
+    view0 = ivm_build(old, ["grp"], sum_cols=["v"])
+    cl = snapshot_diff(old, new, ["id"])
+    folded = ivm_apply(
+        view0, cl, old, table_keys=["id"], group_keys=["grp"], sum_cols=["v"]
+    )
+    assert _view_rows(folded) == _view_rows(ivm_build(new, ["grp"], sum_cols=["v"]))
+
+
+def test_ivm_minmax_refresh_equals_rebuild(snaps):
+    old, new = snaps
+    view0 = ivm_build(
+        old, ["grp"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    cl = snapshot_diff(old, new, ["id"])
+    folded = ivm_apply(
+        view0, cl, old,
+        table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+        min_cols=["v"], max_cols=["v"], new=new,
+    )
+    rebuilt = ivm_build(
+        new, ["grp"], sum_cols=["v"], min_cols=["v"], max_cols=["v"]
+    )
+    assert _view_rows(folded) == _view_rows(rebuilt)
+
+
+def test_ivm_empty_changelog_is_identity(snaps):
+    old, _ = snaps
+    view0 = ivm_build(old, ["grp"], sum_cols=["v"])
+    cl = snapshot_diff(old, old, ["id"])
+    assert cl.count() == 0
+    folded = ivm_apply(
+        view0, cl, old, table_keys=["id"], group_keys=["grp"], sum_cols=["v"]
+    )
+    assert _view_rows(folded) == _view_rows(view0)
+
+
+def test_ivm_minmax_requires_new_snapshot(snaps):
+    old, new = snaps
+    view0 = ivm_build(old, ["grp"], sum_cols=["v"], min_cols=["v"])
+    cl = snapshot_diff(old, new, ["id"])
+    with pytest.raises(ValueError, match="new snapshot"):
+        ivm_apply(
+            view0, cl, old,
+            table_keys=["id"], group_keys=["grp"],
+            sum_cols=["v"], min_cols=["v"],
+        )
+
+
+def test_ivm_read_derives_avg(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "id int, grp string, v int"
+    )
+    view = ivm_build(df, ["grp"], sum_cols=["v"])
+    out = ivm_read(view, ["grp"], sum_cols=["v"], avg_cols=["v"]).collect()[0]
+    assert out["n_rows"] == 2 and out["sum_v"] == 30 and out["avg_v"] == 15.0
+
+
+def test_key_sample_is_all_or_nothing_per_key(spark, sf_dir):
+    """Every sampled key keeps ALL its rows — the property that makes
+    the sampled sub-join an unbiased miniature of the real one."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = key_sample(l, "l_orderkey", rate=0.2)
+    per_key = (
+        l.groupBy("l_orderkey").count()
+        .join(s.groupBy("l_orderkey").count().withColumnRenamed("count", "sc"),
+              "l_orderkey")
+    )
+    assert per_key.filter(F.col("count") != F.col("sc")).count() == 0
+
+
+def test_sampled_join_size_in_band(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.2).collect()[0]
+    exact = o.join(l, o.o_orderkey == l.l_orderkey).count()
+    assert abs(est["est_join_size"] - exact) <= 0.15 * exact
+    assert 0 < est["sampled_keys"] < exact
+
+
+def test_sampled_join_size_deterministic(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.1).collect()[0]
+    b = sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.1).collect()[0]
+    assert a["est_join_size"] == b["est_join_size"]
+    c = sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.1, seed=99)
+    assert c.collect()[0]["est_join_size"] != a["est_join_size"]
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 3 else "y") for i in range(300)], "id int, cat string"
+    )
+    out = psi_drift(df, df, "cat").collect()
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+    assert all(r["share_a"] == r["share_b"] for r in out)
+
+
+def test_psi_detects_shift(spark):
+    a = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(400)], "id int, cat string"
+    )
+    b = spark.createDataFrame(
+        [(i, "x" if i % 10 else "y") for i in range(400)], "id int, cat string"
+    )
+    total = sum(r["psi_contrib"] for r in psi_drift(a, b, "cat").collect())
+    assert total > 0.25  # "action" threshold on a 50/50 -> 90/10 shift
+    assert all(r["psi_contrib"] >= 0 for r in psi_drift(a, b, "cat").collect())
+
+
+def test_psi_one_sided_category_is_finite(spark):
+    a = spark.createDataFrame([(1, "only_a")] * 10, "id int, cat string")
+    b = spark.createDataFrame([(1, "only_b")] * 10, "id int, cat string")
+    rows = psi_drift(a, b, "cat").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["psi_contrib"] is not None and r["psi_contrib"] > 0
