@@ -68,6 +68,7 @@ def load_all() -> dict[str, QueryDef]:
         keymap_demo,
         layout,
         incremental,
+        linkage,
         llm_dedup,
         llm_multimodal,
         llm_packing,

@@ -1,0 +1,79 @@
+"""Units for blocked fuzzy matching and reciprocal rank fusion
+(operators/linkage.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.linkage import fuzzy_pairs_blocked, rrf_fuse
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string")
+
+
+def test_fuzzy_finds_in_block_matches(spark):
+    left = _mk(spark, [(1, "aaxbb")])
+    right = _mk(spark, [(10, "aaybb"), (11, "aazzz"), (12, "aabbb")])
+    out = fuzzy_pairs_blocked(
+        left, right,
+        left_id="id", right_id="id",
+        left_text="name", right_text="name",
+        block=F.substring("name", 1, 2), max_dist=1,
+    ).collect()
+    got = {(r["__lid"], r["__rid"], r["edit_dist"]) for r in out}
+    # aaybb: 1 substitution; aabbb: x->b is 1 sub; aazzz: distance 3 dropped
+    assert got == {(1, 10, 1), (1, 12, 1)}
+
+
+def test_fuzzy_never_crosses_blocks(spark):
+    """A true match in a different block is invisible — the blocking
+    contract (recall = the key's recall)."""
+    left = _mk(spark, [(1, "abcde")])
+    right = _mk(spark, [(2, "zbcde")])  # distance 1 but blocks differ
+    out = fuzzy_pairs_blocked(
+        left, right,
+        left_id="id", right_id="id",
+        left_text="name", right_text="name",
+        block=F.substring("name", 1, 1), max_dist=2,
+    )
+    assert out.count() == 0
+
+
+def test_fuzzy_distance_cap(spark):
+    left = _mk(spark, [(1, "aaaaaa")])
+    right = _mk(spark, [(2, "aaaaab"), (3, "aaabbb")])
+    out = fuzzy_pairs_blocked(
+        left, right,
+        left_id="id", right_id="id",
+        left_text="name", right_text="name",
+        block=F.substring("name", 1, 3), max_dist=2,
+    ).collect()
+    assert {(r["__rid"], r["edit_dist"]) for r in out} == {(2, 1)}
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, score double")
+
+
+def test_rrf_doc_in_both_lists_beats_single_list_leaders(spark):
+    a = _ranked(spark, [(1, 0.9), (2, 0.8), (3, 0.7)])
+    b = _ranked(spark, [(9, 0.99), (3, 0.5), (8, 0.4)])
+    out = rrf_fuse([a, b], id_col="doc_id", top_k=5).collect()
+    # doc 3: 1/63 + 1/62 > any single-list rank-1 (1/61)
+    assert out[0]["doc_id"] == 3 and out[0]["n_lists"] == 2
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 8, 9}
+
+
+def test_rrf_rank_values(spark):
+    a = _ranked(spark, [(1, 0.9)])
+    b = _ranked(spark, [(1, 0.1)])
+    r = rrf_fuse([a, b], id_col="doc_id").collect()[0]
+    assert abs(r["rrf_score"] - round(2 / 61, 6)) < 1e-9
+
+
+def test_rrf_ties_break_by_id(spark):
+    a = _ranked(spark, [(5, 0.5), (3, 0.5)])
+    out = rrf_fuse([a], id_col="doc_id").collect()
+    # equal scores: lower id gets rank 1
+    assert out[0]["doc_id"] == 3 and out[0]["rrf_score"] > out[1]["rrf_score"]
