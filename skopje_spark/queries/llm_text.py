@@ -533,3 +533,62 @@ def q_chunk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_text_bpe_compression",
+    oracle="""
+    SELECT doc_id, cls, n_bytes, is_junk
+    FROM (
+      SELECT doc_id, 'natural' AS cls,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             0 AS is_junk
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'gibberish' AS cls,
+             CAST(32 AS BIGINT) AS n_bytes,
+             1 AS is_junk
+      FROM documents
+    )
+    ORDER BY cls, doc_id
+    """,
+    tags=("text", "bpe", "quality", "llm-pipeline"),
+)
+def q_text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-compression junk filter
+    (operators/tokenizer.py:bpe_compression_ratio): a tokenizer
+    trained on the natural corpus compresses in-distribution text to
+    ~0.18 tokens/byte but hex gibberish (md5 of the doc id — both
+    engines synthesize the identical junk twin per document) to
+    ~1.0, so the 0.5 threshold classifies every document with a >4×
+    margin on each side (measured: natural max 0.214, gibberish min
+    0.9375 at sf0.001/0.01). The oracle pins the verdict for all
+    2·n docs plus the REAL byte lengths — the "looks like the
+    training distribution" filter at tokenizer cost, not LM cost.
+
+    Scale: one distributed word-count pass for training (bounded
+    driver merge loop), one Arrow-batched encode pass for scoring.
+    """
+    from skopje_spark.operators.tokenizer import (
+        bpe_compression_ratio,
+        bpe_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    model = bpe_train(d, "text", num_merges=200, max_words=8192)
+
+    nat = d.select("doc_id", "text", F.lit("natural").alias("cls"))
+    gib = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("text"),
+        F.lit("gibberish").alias("cls"),
+    )
+    scored = bpe_compression_ratio(
+        nat.unionByName(gib), "text", model, out_col="ratio"
+    )
+    return scored.select(
+        "doc_id",
+        "cls",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        (F.col("ratio") > 0.5).cast("int").alias("is_junk"),
+    ).orderBy("cls", "doc_id")

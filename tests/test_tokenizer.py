@@ -291,3 +291,28 @@ def test_pack_sequences_with_bpe_counts(spark):
     total = sum(r["n_bpe_tokens"] for r in d.collect())
     assert sum(r["seq_tokens"] for r in rows) == total
     assert all(r["seq_tokens"] <= ctx for r in rows)
+
+
+def test_bpe_compression_ratio_separates_junk(spark):
+    from skopje_spark.operators.tokenizer import bpe_compression_ratio
+
+    nat = [(i, "the cat sat on the mat and the cat ate the mat") for i in range(8)]
+    gib = [(100 + i, f"a1f{i}b9c04d{i}e7f2{i}8cbb1{i}d0e9a3f4") for i in range(8)]
+    d = spark.createDataFrame(nat, "doc_id int, text string")
+    model = bpe_train(d, "text", num_merges=64, max_words=1024)
+    both = spark.createDataFrame(nat + gib, "doc_id int, text string")
+    out = bpe_compression_ratio(both, "text", model, out_col="r").collect()
+    nat_r = [r["r"] for r in out if r["doc_id"] < 100]
+    gib_r = [r["r"] for r in out if r["doc_id"] >= 100]
+    assert max(nat_r) < min(gib_r)  # trained-corpus text compresses harder
+    assert all(r > 0 for r in nat_r + gib_r)
+
+
+def test_bpe_compression_ratio_empty_text_is_zero(spark):
+    from skopje_spark.operators.tokenizer import bpe_compression_ratio
+
+    d = spark.createDataFrame([(1, "the cat"), (2, "")], "doc_id int, text string")
+    model = bpe_train(d, "text", num_merges=8, max_words=64)
+    rows = {r["doc_id"]: r["r"] for r in
+            bpe_compression_ratio(d, "text", model, out_col="r").collect()}
+    assert rows[2] == 0.0 and rows[1] > 0
