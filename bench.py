@@ -78,6 +78,14 @@ HEADLINE = [
     "q_dedup_span_trim",
     "q_dedup_semantic",
     "q_bpe_encode_count",
+    # late round-7 additions: IVM fold-forward and hybrid retrieval.
+    # q_join_size_estimate is excluded on purpose: the catalog query
+    # runs the EXACT verification join next to the estimate, which
+    # would time the thing the estimator exists to avoid; the
+    # bench-only q_join_size_est_only times the estimation path alone.
+    "q_ivm_agg_update",
+    "q_retrieval_rrf",
+    "q_join_size_est_only",
 ]
 
 
@@ -126,6 +134,19 @@ def _bpe_encode_count(spark, sf_dir):
     return token_count_bpe(d.select("doc_id", "text"), "text", _BPE_CACHE[sf_dir])
 
 
+def _join_size_est_only(spark, sf_dir):
+    """Bench-only: the join-size ESTIMATION path alone (two sampled
+    pushed-down scans + per-key counts + tiny count join) — the
+    pre-join planning cost, without the exact verification join the
+    catalog twin runs for its correctness verdict."""
+    from skopje_spark.operators.estimate import sampled_join_size
+    from skopje_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.05)
+
+
 def _bench_only():
     """Callables timed like catalog queries but not oracle-registered
     (their raw outputs are randomized sketches; the catalog twin
@@ -136,6 +157,7 @@ def _bench_only():
         "q_sketch_quantile_ops": sketch_quantile_ops,
         "q_pq_adc_query": _pq_adc_query,
         "q_bpe_encode_count": _bpe_encode_count,
+        "q_join_size_est_only": _join_size_est_only,
     }
 
 

@@ -32,7 +32,11 @@ from skopje_spark.operators.dedup import (
     semantic_dedup,
     simhash,
 )
+from skopje_spark.operators.estimate import key_sample, sampled_join_size
+from skopje_spark.operators.ivm import ivm_apply, ivm_build, ivm_read
 from skopje_spark.operators.keymap import keymap_assign, keymap_lookup
+from skopje_spark.operators.linkage import fuzzy_pairs_blocked, rrf_fuse
+from skopje_spark.operators.quality import psi_drift
 from skopje_spark.operators.sampling import leakage_safe_split
 from skopje_spark.operators.text import bm25_scores
 from skopje_spark.operators.tokenizer import (
@@ -48,6 +52,7 @@ from skopje_spark.operators.similarity import (
 )
 from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
+from skopje_spark.sinks.versioned import versioned_compact, versioned_ivm_view
 from skopje_spark.tables import load_table, register_views
 
 __all__ = [
@@ -65,21 +70,31 @@ __all__ = [
     "cosine_topk",
     "dedup_exact",
     "dup_span_trim",
+    "fuzzy_pairs_blocked",
     "get_spark",
     "ivf_topk",
+    "ivm_apply",
+    "ivm_build",
+    "ivm_read",
     "jaccard_pairs",
+    "key_sample",
     "keymap_assign",
     "keymap_lookup",
     "leakage_safe_split",
     "load_table",
     "minhash_lsh_pairs",
     "neardup_clusters",
+    "psi_drift",
     "register_views",
+    "rrf_fuse",
+    "sampled_join_size",
     "scd2_apply",
     "schema_of",
     "semantic_dedup",
     "simhash",
     "snapshot_diff",
     "token_count_bpe",
+    "versioned_compact",
+    "versioned_ivm_view",
 ]
 __version__ = "0.1.0"

@@ -289,3 +289,127 @@ def versioned_digest_frames(
         .unionByName(ch.filter(F.col("__op") == "D").select(*cols))
     )
     return inserts, deletes
+
+
+def versioned_compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction as a commit: rewrite the committed latest
+    snapshot into fewer, right-sized files and commit the result as
+    the next version (markers ``op=compact``, ``source_version``).
+    Content-identical by construction; history (and any pinned
+    readers) untouched — compaction is just another snapshot.
+
+    Sizing: ``target_files`` wins if given; otherwise
+    ceil(snapshot bytes / ``target_file_bytes``). The rewrite uses
+    ``coalesce`` when reducing the file count — a NARROW dependency
+    (each output task reads several input files, no shuffle), which is
+    the whole economics of compaction at 100 TB: IO-bound copy, zero
+    exchange. Falls back to ``repartition`` only if asked to *grow*
+    the file count."""
+    import math
+
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    snap = os.path.join(path, f"v={v}")
+    cur = versioned_read(spark, path, version=v)
+    if target_files is None:
+        nbytes = sum(
+            os.path.getsize(os.path.join(snap, f))
+            for f in os.listdir(snap)
+            if f.endswith(".parquet")
+        )
+        target_files = max(1, math.ceil(nbytes / target_file_bytes))
+    n_parts = cur.rdd.getNumPartitions()
+    out = (
+        cur.coalesce(target_files)
+        if target_files <= n_parts
+        else cur.repartition(target_files)
+    )
+    return versioned_write(
+        out, path, meta={"op": "compact", "source_version": str(v)}
+    )
+
+
+def versioned_ivm_view(
+    spark: SparkSession,
+    base_path: str,
+    view_path: str,
+    *,
+    table_keys: list[str],
+    group_keys: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> int:
+    """Materialized grouped-aggregate view OF a versioned table,
+    maintained incrementally ACROSS commits — operators/ivm.py wired
+    to time travel.
+
+    First call (no committed view): full :func:`ivm_build` of the
+    base's committed latest, committed with a ``base_version`` marker.
+    Every later call: CDC changelog between the view's recorded
+    ``base_version`` and the base's current latest
+    (:func:`versioned_changes`), folded into the stored view with
+    :func:`ivm_apply` (U/D before-images come from the PINNED old
+    snapshot — exactly the wiring the digest-maintenance docs
+    mandate), committed as the view's next version with the new
+    marker. Already-current views return their version untouched
+    (refresh is idempotent).
+
+    Refresh cost is O(|view| + |changes|) (+ a touched-group semi-join
+    slice of the new snapshot when min/max are kept) — the base is
+    never re-aggregated after the first call. Retention contract: the
+    base's ``vacuum`` must keep every version still referenced by a
+    view's ``base_version`` marker, or the next refresh falls back to
+    failing loudly on the missing snapshot (never silently
+    full-rebuilding)."""
+    from skopje_spark.operators.cdc import snapshot_diff
+    from skopje_spark.operators.ivm import ivm_apply, ivm_build
+
+    base_v = latest_version(base_path)
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {base_path}")
+    view_v = latest_version(view_path)
+    if view_v is None:
+        view = ivm_build(
+            versioned_read(spark, base_path, version=base_v),
+            group_keys, sum_cols, min_cols, max_cols,
+        )
+        return versioned_write(
+            view, view_path,
+            meta={"base_version": str(base_v), "op": "ivm_full"},
+        )
+
+    marker = snapshot_meta(view_path, "base_version", version=view_v)
+    if marker is None:
+        raise ValueError(
+            f"view at {view_path} v={view_v} carries no base_version marker"
+        )
+    last_base = int(marker)
+    if last_base == base_v:
+        return view_v  # already current
+
+    old = versioned_read(spark, base_path, version=last_base)
+    new = versioned_read(spark, base_path, version=base_v)
+    changelog = snapshot_diff(old, new, table_keys)
+    folded = ivm_apply(
+        versioned_read(spark, view_path, version=view_v),
+        changelog,
+        old,
+        table_keys=table_keys,
+        group_keys=group_keys,
+        sum_cols=sum_cols,
+        min_cols=min_cols,
+        max_cols=max_cols,
+        new=new if (min_cols or max_cols) else None,
+    )
+    return versioned_write(
+        folded, view_path,
+        meta={"base_version": str(base_v), "op": "ivm_incremental"},
+    )

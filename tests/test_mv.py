@@ -1,0 +1,120 @@
+"""Units for versioned-store compaction and the incrementally
+maintained materialized view (sinks/versioned.py:versioned_compact /
+versioned_ivm_view)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from skopje_spark.operators.ivm import ivm_build
+from skopje_spark.sinks.versioned import (
+    latest_version,
+    snapshot_meta,
+    versioned_compact,
+    versioned_ivm_view,
+    versioned_read,
+    versioned_write,
+)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, "id int, grp string, v int")
+
+
+def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _base(spark, [(i, "g", i) for i in range(100)]).repartition(16)
+    versioned_write(df, p)
+    n0 = len([f for f in os.listdir(os.path.join(p, "v=0")) if f.endswith(".parquet")])
+    assert n0 > 1
+    v = versioned_compact(spark, p, target_files=1)
+    assert v == 1
+    n1 = len([f for f in os.listdir(os.path.join(p, "v=1")) if f.endswith(".parquet")])
+    assert n1 == 1
+    assert _rows(versioned_read(spark, p)) == _rows(versioned_read(spark, p, version=0))
+    assert snapshot_meta(p, "op", version=1) == "compact"
+    assert snapshot_meta(p, "source_version", version=1) == "0"
+
+
+def test_compact_autosizes_from_bytes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    versioned_write(_base(spark, [(i, "g", i) for i in range(50)]).repartition(8), p)
+    versioned_compact(spark, p)  # default 128MB target -> 1 file
+    n = len([f for f in os.listdir(os.path.join(p, "v=1")) if f.endswith(".parquet")])
+    assert n == 1
+
+
+def test_ivm_view_full_then_incremental(spark, tmp_path):
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    old_rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (5, "gone", 50)]
+    versioned_write(_base(spark, old_rows), base_p)
+
+    v = versioned_ivm_view(
+        spark, base_p, view_p,
+        table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+    )
+    assert v == 0 and snapshot_meta(view_p, "op", version=0) == "ivm_full"
+
+    # commit a new base snapshot: update, insert, delete, group-empty
+    new_rows = [(1, "a", 11), (2, "b", 20), (3, "b", 30), (7, "c", 70)]
+    versioned_write(_base(spark, new_rows), base_p)
+
+    v = versioned_ivm_view(
+        spark, base_p, view_p,
+        table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+    )
+    assert v == 1 and snapshot_meta(view_p, "op", version=1) == "ivm_incremental"
+    assert snapshot_meta(view_p, "base_version", version=1) == "1"
+
+    expect = ivm_build(_base(spark, new_rows), ["grp"], sum_cols=["v"])
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+
+
+def test_ivm_view_refresh_is_idempotent(spark, tmp_path):
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    versioned_write(_base(spark, [(1, "a", 1)]), base_p)
+    kw = dict(table_keys=["id"], group_keys=["grp"], sum_cols=["v"])
+    v0 = versioned_ivm_view(spark, base_p, view_p, **kw)
+    v1 = versioned_ivm_view(spark, base_p, view_p, **kw)
+    assert v0 == v1 == 0  # base unchanged -> no new view version
+    assert latest_version(view_p) == 0
+
+
+def test_ivm_view_minmax_across_commits(spark, tmp_path):
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    versioned_write(_base(spark, [(1, "a", 10), (2, "a", 99), (3, "b", 5)]), base_p)
+    kw = dict(
+        table_keys=["id"], group_keys=["grp"],
+        sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+    )
+    versioned_ivm_view(spark, base_p, view_p, **kw)
+    # delete the current max of group a — the non-foldable case
+    versioned_write(_base(spark, [(1, "a", 10), (3, "b", 5)]), base_p)
+    versioned_ivm_view(spark, base_p, view_p, **kw)
+    expect = ivm_build(
+        _base(spark, [(1, "a", 10), (3, "b", 5)]),
+        ["grp"], sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+    )
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+
+
+def test_ivm_view_missing_marker_raises(spark, tmp_path):
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    versioned_write(_base(spark, [(1, "a", 1)]), base_p)
+    # a view commit without the marker (e.g. manual write) must fail loudly
+    versioned_write(
+        ivm_build(_base(spark, [(1, "a", 1)]), ["grp"], sum_cols=["v"]), view_p
+    )
+    versioned_write(_base(spark, [(1, "a", 2)]), base_p)
+    with pytest.raises(ValueError, match="base_version"):
+        versioned_ivm_view(
+            spark, base_p, view_p,
+            table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+        )

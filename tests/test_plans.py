@@ -303,3 +303,37 @@ def test_kmv_state_partials_precede_tiny_topk(spark):
     txt = plan_text(kmv_state(df, "v", k=64))
     assert "ArrowEvalPython" in txt or "MapInPandas" in txt, txt
     assert "TakeOrderedAndProject" in txt or "GlobalLimit" in txt, txt
+
+
+def test_join_size_estimator_prunes_to_key_column(spark, sf_dir):
+    """The sampled scans must read ONLY the join key — reading fat
+    rows to count keys would scale the estimator with row width."""
+    from skopje_spark.operators.estimate import sampled_join_size
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.1)
+    for schema in scan_schemas(df):
+        assert "o_totalprice" not in schema and "l_extendedprice" not in schema
+    assert "CartesianProduct" not in plan_text(df)
+
+
+def test_ivm_minmax_refresh_joins_broadcast(spark, sf_dir):
+    """The touched-group semi-join and refresh joins must broadcast —
+    the group list is tiny by contract; shuffling the new snapshot
+    against it would reintroduce the full-refresh cost IVM avoids."""
+    df = REGISTRY["q_ivm_agg_update"].fn(spark, sf_dir)
+    strats = join_strategies(df)
+    assert "CartesianProduct" not in strats
+    assert any("Broadcast" in s for s in strats)
+
+
+def test_fuzzy_match_no_cartesian_and_codegen(spark, sf_dir):
+    """Blocked linkage must plan as an equi-join on the block key
+    (never a cartesian verify-everything), with levenshtein inside
+    codegen, not a UDF stage."""
+    df = REGISTRY["q_fuzzy_match_blocked"].fn(spark, sf_dir)
+    strats = join_strategies(df)
+    assert strats and "CartesianProduct" not in strats
+    assert has_codegen(df)
+    assert "pythonUDF" not in plan_text(df)
