@@ -164,6 +164,7 @@ def versioned_stream_upsert(
     checkpoint: str,
     *,
     available_now: bool = True,
+    on_commit=None,
 ):
     """EXACTLY-ONCE streaming MERGE into the versioned table:
     ``foreachBatch`` + :func:`versioned_upsert`, made idempotent by a
@@ -187,20 +188,33 @@ def versioned_stream_upsert(
     ``vacuum`` must retain at least the newest stream-marked commit
     (the default keep>=1 always does unless manual commits follow a
     long-stopped stream); one stream per table (single-writer, as for
-    the store itself)."""
+    the store itself).
+
+    ``on_commit(spark)``, if given, runs after EVERY batch — fresh or
+    replay-skipped — so idempotent downstream maintenance (e.g. a
+    :func:`versioned_ivm_view` refresh) self-heals across crashes in
+    the commit→hook window."""
     from skopje_spark.streaming.streams import foreach_batch_sink
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = last_stream_batch(path)
-        if last is not None and batch_id <= last:
-            return  # replay of an already-committed batch
-        meta = {"stream_batch_id": str(batch_id)}
-        if latest_version(path) is None:
-            versioned_write(batch_df, path, meta=meta)
-        else:
-            versioned_upsert(
-                batch_df.sparkSession, path, batch_df, keys, meta=meta
-            )
+        fresh = last is None or batch_id > last
+        if fresh:
+            meta = {"stream_batch_id": str(batch_id)}
+            if latest_version(path) is None:
+                versioned_write(batch_df, path, meta=meta)
+            else:
+                versioned_upsert(
+                    batch_df.sparkSession, path, batch_df, keys, meta=meta
+                )
+        # on_commit runs even for replay-SKIPPED batches: a crash in
+        # the window between the base commit and the hook's own work
+        # would otherwise never be healed (the replay skips the commit
+        # and would skip the hook with it). Hooks must therefore be
+        # idempotent when the base is unchanged — versioned_ivm_view
+        # is, by its base_version marker.
+        if on_commit is not None:
+            on_commit(batch_df.sparkSession)
 
     return foreach_batch_sink(
         stream_df, checkpoint, apply_batch, available_now=available_now
@@ -412,4 +426,56 @@ def versioned_ivm_view(
     return versioned_write(
         folded, view_path,
         meta={"base_version": str(base_v), "op": "ivm_incremental"},
+    )
+
+
+def versioned_stream_materialized_view(
+    stream_df: DataFrame,
+    base_path: str,
+    view_path: str,
+    keys: list[str],
+    checkpoint: str,
+    *,
+    group_keys: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+    available_now: bool = True,
+):
+    """Stream → versioned base table → incrementally maintained
+    rollup, exactly-once end to end: each micro-batch MERGEs into the
+    base (ledger-idempotent, :func:`versioned_stream_upsert`) and then
+    folds the base's new commit into the materialized view
+    (:func:`versioned_ivm_view` — O(|view| + |batch|) per refresh, the
+    base is never re-aggregated). A full replay leaves base history,
+    base content, view history, and view content all identical; a
+    crash between base commit and view refresh heals on the next
+    batch because the refresh hook also runs for replay-skipped
+    batches and is idempotent when current.
+
+    Retention: run the base's ``vacuum`` with enough versions to keep
+    the view's last ``base_version`` target (consecutive refreshes
+    need only keep>=2). Returns the streaming query."""
+
+    def refresh(spark: SparkSession) -> None:
+        if latest_version(base_path) is None:
+            return  # nothing committed yet (first batch empty)
+        versioned_ivm_view(
+            spark,
+            base_path,
+            view_path,
+            table_keys=keys,
+            group_keys=group_keys,
+            sum_cols=sum_cols,
+            min_cols=min_cols,
+            max_cols=max_cols,
+        )
+
+    return versioned_stream_upsert(
+        stream_df,
+        base_path,
+        keys,
+        checkpoint,
+        available_now=available_now,
+        on_commit=refresh,
     )
