@@ -41,6 +41,7 @@ from skopje_spark.operators.sampling import leakage_safe_split
 from skopje_spark.operators.text import bm25_scores
 from skopje_spark.operators.tokenizer import (
     BpeModel,
+    bpe_compression_ratio,
     bpe_encode,
     bpe_train,
     token_count_bpe,
@@ -52,7 +53,11 @@ from skopje_spark.operators.similarity import (
 )
 from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
-from skopje_spark.sinks.versioned import versioned_compact, versioned_ivm_view
+from skopje_spark.sinks.versioned import (
+    versioned_compact,
+    versioned_ivm_view,
+    versioned_stream_materialized_view,
+)
 from skopje_spark.tables import load_table, register_views
 
 __all__ = [
@@ -62,6 +67,7 @@ __all__ = [
     "asof_join",
     "blocked_neardup_pairs",
     "bm25_scores",
+    "bpe_compression_ratio",
     "bpe_encode",
     "bpe_train",
     "contamination_report",
@@ -96,5 +102,6 @@ __all__ = [
     "token_count_bpe",
     "versioned_compact",
     "versioned_ivm_view",
+    "versioned_stream_materialized_view",
 ]
 __version__ = "0.1.0"

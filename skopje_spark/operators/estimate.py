@@ -45,8 +45,13 @@ def key_sample(df: DataFrame, key: str, *, rate: float, seed: int = 7) -> DataFr
     """Deterministic key-coordinated sample: keeps every row whose KEY
     hashes under the rate threshold (all-or-nothing per key value, the
     property join estimation needs). The predicate is a plain column
-    expression — Catalyst pushes it into the scan."""
-    h = F.pmod(F.xxhash64(F.col(key).cast("bigint"), F.lit(seed)), F.lit(_MOD))
+    expression — Catalyst pushes it into the scan.
+
+    The key is hashed through its STRING form so the two join sides
+    agree regardless of physical type (int vs bigint columns hash
+    differently raw; a bigint cast would crash ANSI sessions on
+    string/UUID keys and collapse them to one NULL key otherwise)."""
+    h = F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(seed)), F.lit(_MOD))
     return df.filter(h < F.lit(_thr(rate)))
 
 
@@ -70,12 +75,12 @@ def sampled_join_size(
     thr = _thr(rate)
     fa = (
         key_sample(a, a_key, rate=rate, seed=seed)
-        .groupBy(F.col(a_key).cast("bigint").alias("__k"))
+        .groupBy(F.col(a_key).cast("string").alias("__k"))
         .agg(F.count(F.lit(1)).alias("__fa"))
     )
     fb = (
         key_sample(b, b_key, rate=rate, seed=seed)
-        .groupBy(F.col(b_key).cast("bigint").alias("__k"))
+        .groupBy(F.col(b_key).cast("string").alias("__k"))
         .agg(F.count(F.lit(1)).alias("__fb"))
     )
     return fa.join(fb, "__k").agg(

@@ -109,13 +109,34 @@ def changelog_microrows(
         F.lit(-1).alias("__dn"),
         *[(-F.col(c)).alias(_sum_col(c)) for c in sum_cols],
     )
+    # LEFT join + runtime guard, not an inner join: an inner join
+    # would silently DROP the -old debit of any U row whose key is
+    # missing from the old snapshot (truncated changelog, wrong old
+    # version) and the view would diverge without error. The guard
+    # turns that contract violation into a loud job failure.
     minus_u = (
         changelog.filter(op == "U")
         .select(*table_keys)
-        .join(old.select(*table_keys, *group_keys, *sum_cols), list(table_keys))
+        .join(
+            old.select(*table_keys, *group_keys, *sum_cols).withColumn(
+                "__found", F.lit(1)
+            ),
+            list(table_keys),
+            "left",
+        )
         .select(
             *group_keys,
-            F.lit(-1).alias("__dn"),
+            F.when(
+                F.col("__found").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "ivm: U changelog row has no before-image in the "
+                        "old snapshot — changelog and old snapshot disagree"
+                    )
+                ).cast("int"),
+            )
+            .otherwise(F.lit(-1))
+            .alias("__dn"),
             *[(-F.col(c)).alias(_sum_col(c)) for c in sum_cols],
         )
     )

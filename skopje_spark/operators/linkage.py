@@ -42,7 +42,8 @@ def fuzzy_pairs_blocked(
     max_dist: int = 2,
 ) -> DataFrame:
     """Candidate pairs within shared blocks whose edit distance is at
-    most ``max_dist``: (left id, right id, ``edit_dist``).
+    most ``max_dist``: columns ``left_id``, ``right_id``,
+    ``edit_dist``.
 
     ``block`` is a Column expression evaluated against EACH side's
     text column (pass a function of the column name, e.g.
@@ -69,8 +70,8 @@ def fuzzy_pairs_blocked(
     return (
         lb.join(rb, "__blk")
         .select(
-            F.col("__lid"),
-            F.col("__rid"),
+            F.col("__lid").alias("left_id"),
+            F.col("__rid").alias("right_id"),
             dist.alias("edit_dist"),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))

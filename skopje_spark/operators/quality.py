@@ -334,13 +334,18 @@ def psi_drift(
     ca = a.groupBy(F.col(col).alias("category")).agg(
         F.count(F.lit(1)).alias("n_a")
     )
-    cb = b.groupBy(F.col(col).alias("category")).agg(
+    cb = b.groupBy(F.col(col).alias("__cat_b")).agg(
         F.count(F.lit(1)).alias("n_b")
     )
+    # null-safe join: NULL is a legitimate category and must line up
+    # across sides (a plain equi-join would split it into two
+    # one-sided rows and report spurious drift on identical inputs)
     cats = (
-        ca.join(cb, "category", "full_outer")
+        ca.join(
+            cb, F.col("category").eqNullSafe(F.col("__cat_b")), "full_outer"
+        )
         .select(
-            "category",
+            F.coalesce(F.col("category"), F.col("__cat_b")).alias("category"),
             F.coalesce("n_a", F.lit(0)).alias("n_a"),
             F.coalesce("n_b", F.lit(0)).alias("n_b"),
         )

@@ -67,8 +67,8 @@ def q_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1,
     )
     return pairs.select(
-        F.col("__lid").alias("dirty_custkey"),
-        F.col("__rid").alias("clean_custkey"),
+        F.col("left_id").alias("dirty_custkey"),
+        F.col("right_id").alias("clean_custkey"),
         "edit_dist",
     ).orderBy("dirty_custkey", "clean_custkey")
 

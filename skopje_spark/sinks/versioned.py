@@ -190,10 +190,10 @@ def versioned_stream_upsert(
     long-stopped stream); one stream per table (single-writer, as for
     the store itself).
 
-    ``on_commit(spark)``, if given, runs after EVERY batch — fresh or
-    replay-skipped — so idempotent downstream maintenance (e.g. a
-    :func:`versioned_ivm_view` refresh) self-heals across crashes in
-    the commit→hook window."""
+    ``on_commit(spark, batch_df, fresh)``, if given, runs after EVERY
+    batch — fresh or replay-skipped (``fresh`` False) — so idempotent
+    downstream maintenance (e.g. a :func:`versioned_ivm_view` refresh)
+    self-heals across crashes in the commit→hook window."""
     from skopje_spark.streaming.streams import foreach_batch_sink
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -212,9 +212,12 @@ def versioned_stream_upsert(
         # would otherwise never be healed (the replay skips the commit
         # and would skip the hook with it). Hooks must therefore be
         # idempotent when the base is unchanged — versioned_ivm_view
-        # is, by its base_version marker.
+        # is, by its base_version marker. ``fresh`` tells the hook
+        # whether THIS call produced the latest commit (so the batch's
+        # keys bound what changed); replay-skipped calls must not
+        # assume that.
         if on_commit is not None:
-            on_commit(batch_df.sparkSession)
+            on_commit(batch_df.sparkSession, batch_df, fresh)
 
     return foreach_batch_sink(
         stream_df, checkpoint, apply_batch, available_now=available_now
@@ -345,9 +348,17 @@ def versioned_compact(
         if target_files <= n_parts
         else cur.repartition(target_files)
     )
-    return versioned_write(
-        out, path, meta={"op": "compact", "source_version": str(v)}
-    )
+    # inherit the source commit's markers (base_version for maintained
+    # views, stream_batch_id for stream ledgers, ...) so downstream
+    # maintenance that reads the LATEST commit's markers keeps working
+    # across a compaction; compact's own markers overlay them.
+    meta = {
+        f[len("_meta_"):]: open(os.path.join(snap, f)).read()
+        for f in os.listdir(snap)
+        if f.startswith("_meta_")
+    }
+    meta.update({"op": "compact", "source_version": str(v)})
+    return versioned_write(out, path, meta=meta)
 
 
 def versioned_ivm_view(
@@ -360,6 +371,7 @@ def versioned_ivm_view(
     sum_cols: list[str] = (),
     min_cols: list[str] = (),
     max_cols: list[str] = (),
+    touched_keys: DataFrame | None = None,
 ) -> int:
     """Materialized grouped-aggregate view OF a versioned table,
     maintained incrementally ACROSS commits — operators/ivm.py wired
@@ -376,13 +388,22 @@ def versioned_ivm_view(
     marker. Already-current views return their version untouched
     (refresh is idempotent).
 
-    Refresh cost is O(|view| + |changes|) (+ a touched-group semi-join
-    slice of the new snapshot when min/max are kept) — the base is
-    never re-aggregated after the first call. Retention contract: the
-    base's ``vacuum`` must keep every version still referenced by a
-    view's ``base_version`` marker, or the next refresh falls back to
-    failing loudly on the missing snapshot (never silently
-    full-rebuilding)."""
+    Refresh cost: the changelog is one full-outer join of the two base
+    snapshots (each shuffles once) plus the O(|view| + |changes|)
+    fold (+ a touched-group semi-join slice of the new snapshot when
+    min/max are kept) — the base is never re-AGGREGATED after the
+    first call. When the caller KNOWS which table keys can have
+    changed between the two versions (a stream batch's keys, a load
+    manifest), pass them as ``touched_keys``: both snapshots are then
+    pruned to those keys by broadcast semi-join BEFORE diffing, so no
+    base-sized shuffle happens at all — per-refresh cost drops to
+    scan + O(|view| + |touched|). The hint is a correctness contract:
+    a change outside ``touched_keys`` is silently missed.
+
+    Retention contract: the base's ``vacuum`` must keep every version
+    still referenced by a view's ``base_version`` marker, or the next
+    refresh falls back to failing loudly on the missing snapshot
+    (never silently full-rebuilding)."""
     from skopje_spark.operators.cdc import snapshot_diff
     from skopje_spark.operators.ivm import ivm_apply, ivm_build
 
@@ -411,11 +432,18 @@ def versioned_ivm_view(
 
     old = versioned_read(spark, base_path, version=last_base)
     new = versioned_read(spark, base_path, version=base_v)
-    changelog = snapshot_diff(old, new, table_keys)
+    diff_old, diff_new = old, new
+    if touched_keys is not None:
+        from pyspark.sql import functions as _F
+
+        tk = _F.broadcast(touched_keys.select(*table_keys).distinct())
+        diff_old = old.join(tk, list(table_keys), "left_semi")
+        diff_new = new.join(tk, list(table_keys), "left_semi")
+    changelog = snapshot_diff(diff_old, diff_new, table_keys)
     folded = ivm_apply(
         versioned_read(spark, view_path, version=view_v),
         changelog,
-        old,
+        diff_old,
         table_keys=table_keys,
         group_keys=group_keys,
         sum_cols=sum_cols,
@@ -445,21 +473,39 @@ def versioned_stream_materialized_view(
     """Stream → versioned base table → incrementally maintained
     rollup, exactly-once end to end: each micro-batch MERGEs into the
     base (ledger-idempotent, :func:`versioned_stream_upsert`) and then
-    folds the base's new commit into the materialized view
-    (:func:`versioned_ivm_view` — O(|view| + |batch|) per refresh, the
-    base is never re-aggregated). A full replay leaves base history,
-    base content, view history, and view content all identical; a
-    crash between base commit and view refresh heals on the next
-    batch because the refresh hook also runs for replay-skipped
-    batches and is idempotent when current.
+    folds the base's new commit into the materialized view. A full
+    replay leaves base history, base content, view history, and view
+    content all identical; a crash between base commit and view
+    refresh heals on the next batch because the refresh hook also
+    runs for replay-skipped batches and is idempotent when current.
+
+    Per-batch cost: on the common path (this batch produced the
+    latest commit and the view was current before it), the batch's
+    OWN keys are passed to :func:`versioned_ivm_view` as
+    ``touched_keys`` — both base snapshots prune to those keys by
+    broadcast semi-join before diffing, so the refresh never shuffles
+    the base: scan + O(|view| + |batch|). Only the catch-up path (a
+    view found ≥2 commits behind, i.e. after a crash or an external
+    base write) pays the full snapshot diff, once.
 
     Retention: run the base's ``vacuum`` with enough versions to keep
     the view's last ``base_version`` target (consecutive refreshes
     need only keep>=2). Returns the streaming query."""
 
-    def refresh(spark: SparkSession) -> None:
-        if latest_version(base_path) is None:
+    def refresh(spark: SparkSession, batch_df: DataFrame, fresh: bool) -> None:
+        base_v = latest_version(base_path)
+        if base_v is None:
             return  # nothing committed yet (first batch empty)
+        hint = None
+        if fresh:
+            # this batch produced commit base_v; if the view is
+            # exactly one commit behind, everything that changed
+            # between the versions is this batch's key set
+            view_v = latest_version(view_path)
+            if view_v is not None:
+                m = snapshot_meta(view_path, "base_version", version=view_v)
+                if m is not None and int(m) == base_v - 1:
+                    hint = batch_df
         versioned_ivm_view(
             spark,
             base_path,
@@ -469,6 +515,7 @@ def versioned_stream_materialized_view(
             sum_cols=sum_cols,
             min_cols=min_cols,
             max_cols=max_cols,
+            touched_keys=hint,
         )
 
     return versioned_stream_upsert(

@@ -169,3 +169,47 @@ def test_psi_one_sided_category_is_finite(spark):
     assert len(rows) == 2
     for r in rows:
         assert r["psi_contrib"] is not None and r["psi_contrib"] > 0
+
+
+def test_psi_null_category_lines_up_across_sides(spark):
+    """NULL is a legitimate category: identical distributions with
+    NULLs must report zero drift (a non-null-safe join would split the
+    NULL group into two one-sided rows and alarm falsely)."""
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else "x") for i in range(90)],
+        "id int, cat string",
+    )
+    out = psi_drift(df, df, "cat").collect()
+    assert len(out) == 2  # {NULL, 'x'} — one row each, not three
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+
+
+def test_key_sample_works_on_string_keys(spark, sf_dir):
+    """String/UUID-shaped keys must neither crash (ANSI cast) nor
+    collapse to one NULL key; and int vs string physical types of the
+    same values must select the same keys (cross-type join sides)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    as_str = o.selectExpr("cast(o_orderkey as string) as k")
+    sampled_str = key_sample(as_str, "k", rate=0.2)
+    sampled_int = key_sample(o, "o_orderkey", rate=0.2)
+    got_str = {int(r["k"]) for r in sampled_str.select("k").distinct().collect()}
+    got_int = {r["o_orderkey"] for r in
+               sampled_int.select("o_orderkey").distinct().collect()}
+    assert got_str == got_int and 0 < len(got_int) < o.count()
+
+
+def test_microrows_missing_before_image_fails_loudly(spark):
+    """A changelog whose U row has no before-image in the old snapshot
+    must raise, not silently drop the debit."""
+    from pyspark.sql.utils import AnalysisException
+
+    from skopje_spark.operators.ivm import changelog_microrows
+
+    old = spark.createDataFrame([(1, "a", 10)], "id int, grp string, v int")
+    bad_changelog = spark.createDataFrame(
+        [(99, "a", 11, "U")], "id int, grp string, v int, __op string"
+    )
+    delta = changelog_microrows(bad_changelog, old, ["id"], ["grp"], ["v"])
+    with pytest.raises(Exception) as ei:
+        delta.collect()
+    assert "before-image" in str(ei.value)

@@ -21,7 +21,7 @@ def test_fuzzy_finds_in_block_matches(spark):
         left_text="name", right_text="name",
         block=F.substring("name", 1, 2), max_dist=1,
     ).collect()
-    got = {(r["__lid"], r["__rid"], r["edit_dist"]) for r in out}
+    got = {(r["left_id"], r["right_id"], r["edit_dist"]) for r in out}
     # aaybb: 1 substitution; aabbb: x->b is 1 sub; aazzz: distance 3 dropped
     assert got == {(1, 10, 1), (1, 12, 1)}
 
@@ -49,7 +49,7 @@ def test_fuzzy_distance_cap(spark):
         left_text="name", right_text="name",
         block=F.substring("name", 1, 3), max_dist=2,
     ).collect()
-    assert {(r["__rid"], r["edit_dist"]) for r in out} == {(2, 1)}
+    assert {(r["right_id"], r["edit_dist"]) for r in out} == {(2, 1)}
 
 
 def _ranked(spark, rows):

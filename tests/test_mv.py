@@ -171,3 +171,41 @@ def test_stream_materialized_view_exactly_once(spark, tmp_path):
     run("ck2")
     assert latest_version(base_p) == bv and latest_version(view_p) == vv
     assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+
+
+def test_compact_inherits_markers_and_view_still_refreshes(spark, tmp_path):
+    """Compacting a maintained view's own table must not strand it:
+    the compaction commit inherits the source commit's markers
+    (base_version et al.), so the next refresh still resolves."""
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    versioned_write(_base(spark, [(1, "a", 10), (2, "b", 20)]), base_p)
+    kw = dict(table_keys=["id"], group_keys=["grp"], sum_cols=["v"])
+    versioned_ivm_view(spark, base_p, view_p, **kw)
+
+    cv = versioned_compact(spark, view_p, target_files=1)
+    assert snapshot_meta(view_p, "base_version", version=cv) == "0"
+    assert snapshot_meta(view_p, "op", version=cv) == "compact"
+
+    versioned_write(_base(spark, [(1, "a", 11), (2, "b", 20)]), base_p)
+    versioned_ivm_view(spark, base_p, view_p, **kw)  # must not raise
+    expect = ivm_build(
+        _base(spark, [(1, "a", 11), (2, "b", 20)]), ["grp"], sum_cols=["v"]
+    )
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+
+
+def test_ivm_view_touched_keys_hint_prunes_correctly(spark, tmp_path):
+    """With a correct touched_keys hint the pruned-diff refresh equals
+    the full rebuild."""
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    versioned_write(
+        _base(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]), base_p
+    )
+    kw = dict(table_keys=["id"], group_keys=["grp"], sum_cols=["v"])
+    versioned_ivm_view(spark, base_p, view_p, **kw)
+    new_rows = [(1, "a", 10), (2, "b", 25), (3, "b", 30), (4, "c", 40)]
+    versioned_write(_base(spark, new_rows), base_p)
+    hint = spark.createDataFrame([(2,), (4,)], "id int")
+    versioned_ivm_view(spark, base_p, view_p, touched_keys=hint, **kw)
+    expect = ivm_build(_base(spark, new_rows), ["grp"], sum_cols=["v"])
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
