@@ -240,3 +240,88 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         eps=_PSI_EPS,
     ).orderBy("category")
+
+
+@register(
+    "q_ivm_view_lifecycle",
+    oracle=_IVM_ORACLE,  # same target: the maintained view must equal
+    # a direct recompute over orders, whatever lifecycle produced it
+    tags=("ivm", "versioned", "lakeops", "maintenance"),
+)
+def q_ivm_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned materialized-view LIFECYCLE under the driver gate
+    (sinks/versioned.py): commit a perturbed orders snapshot as v0,
+    build the IVM view (full build), commit the true orders as v1,
+    COMPACT the view table (marker inheritance must keep it
+    refreshable), then refresh with a correct ``touched_keys`` hint so
+    both base snapshots prune by broadcast semi-join before diffing.
+    The returned frame reads the maintained view; the oracle
+    recomputes the same aggregate directly from orders — equality
+    proves commit atomicity, marker plumbing, pruned diffing, and the
+    fold algebra together.
+
+    Scale: the refresh never shuffles the base (hinted semi-join
+    pruning) and never re-aggregates it (IVM fold); compaction is a
+    shuffle-free coalesce commit.
+    """
+    import tempfile
+
+    from skopje_spark.operators.ivm import ivm_read
+    from skopje_spark.sinks.versioned import (
+        versioned_compact,
+        versioned_ivm_view,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    v0 = o.filter(k % 97 != 0).withColumn(
+        "price",
+        F.when(k % 89 == 0, F.col("price") + F.lit(100).cast("decimal(18,2)"))
+        .otherwise(F.col("price"))
+        .cast("decimal(18,2)"),
+    ).unionByName(
+        o.filter(k % 101 == 0).select(
+            (-k - 1).alias("o_orderkey"),
+            F.lit("9-PHANTOM").alias("o_orderpriority"),
+            "price",
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="skopje_ivm_view_")
+    base_p, view_p = f"{root}/base", f"{root}/view"
+    kw = dict(
+        table_keys=["o_orderkey"], group_keys=["o_orderpriority"],
+        sum_cols=["price"], min_cols=["price"], max_cols=["price"],
+    )
+    versioned_write(v0, base_p)
+    versioned_ivm_view(spark, base_p, view_p, **kw)
+    versioned_write(o, base_p)
+    versioned_compact(spark, view_p, target_files=1)
+    # every key that differs between v0 and v1 is one of the three
+    # perturbed classes — the hint the stream path derives from its
+    # batch, derived here from the construction
+    touched = o.filter((k % 97 == 0) | (k % 89 == 0)).select("o_orderkey").unionByName(
+        o.filter(k % 101 == 0).select((-k - 1).alias("o_orderkey"))
+    )
+    versioned_ivm_view(spark, base_p, view_p, touched_keys=touched, **kw)
+
+    view = versioned_read(spark, view_p)
+    out = ivm_read(
+        view, ["o_orderpriority"],
+        sum_cols=["price"], avg_cols=["price"],
+        min_cols=["price"], max_cols=["price"],
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "avg_price",
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    ).orderBy("o_orderpriority")
