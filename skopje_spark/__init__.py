@@ -35,7 +35,11 @@ from skopje_spark.operators.dedup import (
 from skopje_spark.operators.estimate import key_sample, sampled_join_size
 from skopje_spark.operators.ivm import ivm_apply, ivm_build, ivm_read
 from skopje_spark.operators.keymap import keymap_assign, keymap_lookup
-from skopje_spark.operators.linkage import fuzzy_pairs_blocked, rrf_fuse
+from skopje_spark.operators.linkage import (
+    fuzzy_pairs_blocked,
+    rrf_fuse,
+    sorted_neighborhood_pairs,
+)
 from skopje_spark.operators.quality import psi_drift
 from skopje_spark.operators.sampling import leakage_safe_split
 from skopje_spark.operators.text import bm25_scores
@@ -99,6 +103,7 @@ __all__ = [
     "semantic_dedup",
     "simhash",
     "snapshot_diff",
+    "sorted_neighborhood_pairs",
     "token_count_bpe",
     "versioned_compact",
     "versioned_ivm_view",

@@ -166,3 +166,62 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
     )
     return rrf_fuse([lex, sem], id_col="doc_id", top_k=10)
+
+
+_SNM_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+),
+leads AS (
+  SELECT id AS left_id, name AS ls,
+         lead(id, 1) OVER w AS r1, lead(name, 1) OVER w AS s1,
+         lead(id, 2) OVER w AS r2, lead(name, 2) OVER w AS s2,
+         lead(id, 3) OVER w AS r3, lead(name, 3) OVER w AS s3
+  FROM base
+  WINDOW w AS (ORDER BY name, id)
+),
+pairs AS (
+  SELECT left_id, ls, r1 AS right_id, s1 AS rs FROM leads WHERE r1 IS NOT NULL
+  UNION ALL
+  SELECT left_id, ls, r2, s2 FROM leads WHERE r2 IS NOT NULL
+  UNION ALL
+  SELECT left_id, ls, r3, s3 FROM leads WHERE r3 IS NOT NULL
+)
+SELECT left_id, right_id, levenshtein(ls, rs) AS edit_dist
+FROM pairs
+WHERE levenshtein(ls, rs) <= 1
+ORDER BY left_id, right_id
+"""
+
+
+@register(
+    "q_linkage_sorted_neighborhood",
+    oracle=_SNM_ORACLE,
+    tags=("linkage", "sorted-neighborhood", "dedup"),
+)
+def q_linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage
+    (operators/linkage.py:sorted_neighborhood_pairs): every customer
+    pairs with its next 3 neighbors in name order, verified at edit
+    distance ≤ 1 — the complementary blocking scheme to
+    q_fuzzy_match_blocked's equality blocks (a window over a sort
+    order catches matches whose block key would differ).
+
+    Scale: NO single-task global window — rows range-bucket by
+    literal driver-sampled bounds (the pack_sequences pattern), the
+    lead chain runs per bucket, and bucket boundaries stitch via a
+    ≤ w(w+1)/2-pairs-per-boundary frame; the oracle's naive global
+    window is the semantic twin the bucketed plan must reproduce
+    exactly.
+    """
+    from skopje_spark.operators.linkage import sorted_neighborhood_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name")),
+        id_col="id",
+        text_col="name",
+        sort_key="name",
+        window=3,
+        max_dist=1,
+    ).orderBy("left_id", "right_id")

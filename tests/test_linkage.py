@@ -77,3 +77,48 @@ def test_rrf_ties_break_by_id(spark):
     out = rrf_fuse([a], id_col="doc_id").collect()
     # equal scores: lower id gets rank 1
     assert out[0]["doc_id"] == 3 and out[0]["rrf_score"] > out[1]["rrf_score"]
+
+
+def test_sorted_neighborhood_equals_naive_global_window(spark):
+    """The bucketed implementation (range buckets + boundary stitch)
+    must produce exactly the pairs of a naive global-order lead chain."""
+    from pyspark.sql import Window
+
+    from skopje_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"name{(i * 37) % 100:03d}x{i}") for i in range(211)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    w = 3
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in sorted_neighborhood_pairs(
+            df, id_col="id", text_col="name", sort_key="name", window=w
+        ).collect()
+    }
+    # naive reference: single-task global window (fine at test size)
+    order = Window.orderBy("name", "id")
+    naive = set()
+    for k in range(1, w + 1):
+        naive |= {
+            (r["l"], r["r"])
+            for r in df.select(
+                F.col("id").alias("l"),
+                F.lead("id", k).over(order).alias("r"),
+            ).filter(F.col("r").isNotNull()).collect()
+        }
+    assert got == naive
+    assert len(got) == 211 * w - w * (w + 1) // 2
+
+
+def test_sorted_neighborhood_verifies_distance(spark):
+    from skopje_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alphb"), (3, "omega")], "id int, name string"
+    )
+    out = sorted_neighborhood_pairs(
+        df, id_col="id", text_col="name", sort_key="name", window=2, max_dist=1
+    ).collect()
+    assert {(r["left_id"], r["right_id"], r["edit_dist"]) for r in out} == {
+        (1, 2, 1)
+    }
