@@ -32,7 +32,7 @@ from skopje_spark.operators.dedup import (
     semantic_dedup,
     simhash,
 )
-from skopje_spark.operators.estimate import key_sample, sampled_join_size
+from skopje_spark.operators.estimate import join_advice, key_sample, sampled_join_size
 from skopje_spark.operators.ivm import ivm_apply, ivm_build, ivm_read
 from skopje_spark.operators.keymap import keymap_assign, keymap_lookup
 from skopje_spark.operators.linkage import (
@@ -86,6 +86,7 @@ __all__ = [
     "ivm_apply",
     "ivm_build",
     "ivm_read",
+    "join_advice",
     "jaccard_pairs",
     "key_sample",
     "keymap_assign",

@@ -90,3 +90,87 @@ def sampled_join_size(
         ).alias("est_join_size"),
         F.count(F.lit(1)).alias("sampled_keys"),
     )
+
+
+def join_advice(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    *,
+    rate: float = 0.05,
+    seed: int = 7,
+    broadcast_bytes: int = 64 * 1024 * 1024,
+    row_bytes: int = 100,
+    skew_share: float = 0.2,
+) -> DataFrame:
+    """Pre-join planning card from the same coordinated sample: one
+    row with the estimated join size, each side's estimated row count
+    and distinct-key count, the heaviest sampled key's share of the
+    estimated output, and a ``recommendation``:
+
+    - ``broadcast_a`` / ``broadcast_b`` — a side's estimated bytes
+      (rows × ``row_bytes``) fit under ``broadcast_bytes``;
+    - ``salt`` — the single heaviest key carries more than
+      ``skew_share`` of the estimated join output (the salted-join /
+      AQE-skew regime);
+    - ``shuffle`` — otherwise: a plain key-partitioned join is fine.
+
+    All inputs to the verdict are sampled estimates scaled by 1/p —
+    the card costs two pushed-down sampled scans, never the join.
+    Row-size is a caller-supplied constant because sampling bytes
+    would need a full-row scan, exactly what this avoids; pass your
+    table's real average when you have catalog stats."""
+    thr = _thr(rate)
+    scale = float(_MOD) / thr
+
+    def side(df, key, fa_name, keys_name):
+        return (
+            key_sample(df, key, rate=rate, seed=seed)
+            .groupBy(F.col(key).cast("string").alias("__k"))
+            .agg(F.count(F.lit(1)).alias(fa_name))
+        )
+
+    fa = side(a, a_key, "__fa", "ka")
+    fb = side(b, b_key, "__fb", "kb")
+    per_key = fa.join(fb, "__k").select(
+        "__k", (F.col("__fa") * F.col("__fb")).cast("double").alias("__v")
+    )
+    card = per_key.agg(
+        (F.coalesce(F.sum("__v"), F.lit(0.0)) * scale).alias("est_join_size"),
+        (F.coalesce(F.max("__v"), F.lit(0.0)) * scale).alias("__max_key_out"),
+    )
+    sa = fa.agg(
+        (F.sum("__fa") * scale).alias("est_rows_a"),
+        (F.count(F.lit(1)) * scale).alias("est_keys_a"),
+    )
+    sb = fb.agg(
+        (F.sum("__fb") * scale).alias("est_rows_b"),
+        (F.count(F.lit(1)) * scale).alias("est_keys_b"),
+    )
+    joined = card.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    top_share = F.when(
+        F.col("est_join_size") > 0,
+        F.col("__max_key_out") / F.col("est_join_size"),
+    ).otherwise(F.lit(0.0))
+    rec = (
+        F.when(
+            F.col("est_rows_a") * F.lit(row_bytes) <= F.lit(broadcast_bytes),
+            F.lit("broadcast_a"),
+        )
+        .when(
+            F.col("est_rows_b") * F.lit(row_bytes) <= F.lit(broadcast_bytes),
+            F.lit("broadcast_b"),
+        )
+        .when(top_share > F.lit(skew_share), F.lit("salt"))
+        .otherwise(F.lit("shuffle"))
+    )
+    return joined.select(
+        "est_join_size",
+        "est_rows_a",
+        "est_rows_b",
+        "est_keys_a",
+        "est_keys_b",
+        top_share.alias("top_key_share"),
+        rec.alias("recommendation"),
+    )

@@ -213,3 +213,46 @@ def test_microrows_missing_before_image_fails_loudly(spark):
     with pytest.raises(Exception) as ei:
         delta.collect()
     assert "before-image" in str(ei.value)
+
+
+def test_join_advice_recommends_broadcast_for_tiny_side(spark, sf_dir):
+    from skopje_spark.operators.estimate import join_advice
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # nation is 25 rows: any sane row_bytes keeps it under the threshold
+    card = join_advice(
+        n, o, "n_nationkey", "o_custkey", rate=0.5
+    ).collect()[0]
+    assert card["recommendation"] == "broadcast_a"
+
+
+def test_join_advice_detects_skew(spark):
+    from skopje_spark.operators.estimate import join_advice
+
+    # one key carries ~90% of the joined mass on both sides
+    a = spark.createDataFrame(
+        [(0,)] * 300 + [(i,) for i in range(1, 40)], "k int"
+    )
+    b = spark.createDataFrame(
+        [(0,)] * 300 + [(i,) for i in range(1, 40)], "k int"
+    )
+    card = join_advice(
+        a, b, "k", "k", rate=0.9, broadcast_bytes=0
+    ).collect()[0]
+    assert card["recommendation"] == "salt"
+    assert card["top_key_share"] > 0.5
+
+
+def test_join_advice_plain_shuffle_case(spark, sf_dir):
+    from skopje_spark.operators.estimate import join_advice
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    card = join_advice(
+        o, l, "o_orderkey", "l_orderkey", rate=0.3, broadcast_bytes=0
+    ).collect()[0]
+    # fan-out <= 7 per order key: no key dominates, no broadcast allowed
+    assert card["recommendation"] == "shuffle"
+    assert card["top_key_share"] < 0.05
+    assert card["est_join_size"] > 0
