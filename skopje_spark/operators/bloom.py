@@ -53,6 +53,28 @@ def _bit_positions(col: Column, *, num_bits: int, k: int) -> list[Column]:
     return out
 
 
+def fold_positions(bm, ps) -> None:
+    """OR one row's probe-position list into ``bm`` (uint8 bitmap
+    array), in place. THE single definition of the positions→bitmap
+    bit layout — the manifest builder (sources/skipping.py) and the
+    partition partials below both call it, so layout or NULL-handling
+    changes cannot diverge between the build side and the probe side.
+
+    NULL-safe: a NULL key hashes to NULL positions (sha2 of NULL);
+    such a row contributes nothing — correct, because NULL never
+    equals any point-lookup value, so dropping it cannot cause a
+    false negative."""
+    import numpy as np
+
+    if ps is None:
+        return
+    clean = [p for p in ps if p is not None and p == p]  # drops None/NaN
+    if not clean:
+        return
+    a = np.asarray(clean, dtype=np.int64)
+    np.bitwise_or.at(bm, a >> 3, (1 << (a & 7)).astype(np.uint8))
+
+
 def bit_positions_py(value, *, num_bits: int, k: int) -> list[int]:
     """Driver-side Python twin of :func:`_bit_positions` — same sha256
     recipe, so a value probed here hits exactly the bits the Spark
@@ -138,8 +160,7 @@ def _bloom_partials(
                 gid = int(pdf["__pid"].iloc[0]) % n_groups if n_groups else 0
                 seen_rows = True
             for ps in pdf["__pos"]:
-                a = np.asarray(ps, dtype=np.int64)
-                np.bitwise_or.at(bm, a >> 3, (1 << (a & 7)).astype(np.uint8))
+                fold_positions(bm, ps)
         if seen_rows:  # empty partitions contribute nothing to the OR
             yield pd.DataFrame({"gid": [gid], "bm": [bm.tobytes()]})
 

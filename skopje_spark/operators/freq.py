@@ -189,18 +189,26 @@ def mg_read_heavy_hitters(spark, state_path: str, *, m: int = 64) -> DataFrame:
     summaries never provided — mismatches raise instead."""
     from pyspark.sql import functions as FF
 
-    st = spark.read.parquet(state_path)
+    # mergeSchema: a state dir written partly before the geometry
+    # column existed must still SURFACE the column (legacy rows as
+    # NULL) — otherwise schema-picking could silently skip the guard
+    st = spark.read.option("mergeSchema", "true").parquet(state_path)
     if "m" in st.columns:
-        meta = st.select("m").distinct().collect()
-        if len(meta) != 1:
+        vals = [r["m"] for r in st.select("m").distinct().collect()]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"mg_read_heavy_hitters: {state_path} mixes geometry-less "
+                f"legacy rows with self-described rows — rebuild the state"
+            )
+        if len(vals) != 1:
             raise ValueError(
                 f"mg_read_heavy_hitters: mixed summary sizes in "
-                f"{state_path}: {sorted(r['m'] for r in meta)}"
+                f"{state_path}: {sorted(vals)}"
             )
-        if meta[0]["m"] != m:
+        if vals[0] != m:
             raise ValueError(
                 f"mg_read_heavy_hitters: state was built with "
-                f"m={meta[0]['m']}, read with m={m}"
+                f"m={vals[0]}, read with m={m}"
             )
     dedup = st.groupBy("item", "batch_id").agg(FF.max("cnt").alias("cnt"))
     est = (
@@ -368,12 +376,16 @@ def cms_read_state(spark, state_path: str) -> DataFrame:
     state directory (a sink reconfigured mid-stream) raise here."""
     from pyspark.sql import functions as FF
 
-    st = spark.read.parquet(state_path)
+    st = spark.read.option("mergeSchema", "true").parquet(state_path)
     if "depth" in st.columns and "width" in st.columns:
         meta = st.select("depth", "width").distinct().collect()
-        if len(meta) != 1:
+        if len(meta) != 1 or any(
+            r["depth"] is None or r["width"] is None for r in meta
+        ):
             raise ValueError(
-                f"cms_read_state: mixed sketch geometries in {state_path}: {meta}"
+                f"cms_read_state: mixed sketch geometries (or geometry-less "
+                f"legacy rows) in {state_path}: "
+                f"{[(r['depth'], r['width']) for r in meta]}"
             )
         d, w = meta[0]["depth"], meta[0]["width"]
         dedup = st.groupBy("batch_id", "r", "bucket").agg(

@@ -663,7 +663,12 @@ def ann_probe_report(
 
     Output: ``(n_probe, n_queries, mean_recall_at_k, mean_files_read,
     mean_rows_scanned, frac_rows_scanned)``, one row per n_probe,
-    recall monotonically non-decreasing in n_probe (unit-pinned)."""
+    recall monotonically non-decreasing in n_probe (unit-pinned).
+
+    Caveat: ``mean_files_read`` counts files via a LOCAL directory
+    listing of the index path; for a remote object-store index it
+    reports 0 (``mean_rows_scanned``/``frac_rows_scanned``, derived
+    from the vectors table itself, stay correct everywhere)."""
     import math
     import os as _os
 
@@ -714,10 +719,14 @@ def ann_probe_report(
     sweep = sorted(set(int(p) for p in nprobes))
     acc = {p: {"recall": 0.0, "files": 0, "rows": 0} for p in sweep}
 
+    # id type follows the caller's frame, not a hard-coded long —
+    # string/int32 id columns must build the same single-query frame
+    id_sql = dict(query_df.dtypes)[id_col]
     for qrow in queries:
         qv = [float(x) for x in qrow[vec_col]]
         one_q = spark.createDataFrame(
-            [(qrow[id_col], qv)], f"{id_col} long, {vec_col} array<double>"
+            [(qrow[id_col], qv)],
+            f"{id_col} {id_sql}, {vec_col} array<double>",
         )
         exact = {
             r[id_col]

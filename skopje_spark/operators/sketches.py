@@ -405,17 +405,24 @@ def kmv_read_state(spark, state_path: str, *, k: int = 256) -> DataFrame:
     k larger than any batch kept is NOT a valid KMV synopsis (its
     tail hashes were censored by the batch sketches) and would bias
     the estimator, so geometry mismatch raises instead."""
-    st = spark.read.parquet(state_path)
+    # mergeSchema + NULL check: see mg_read_heavy_hitters — the guard
+    # must fire for mixed legacy/new state, not be schema-picked away
+    st = spark.read.option("mergeSchema", "true").parquet(state_path)
     if "k" in st.columns:
-        meta = st.select("k").distinct().collect()
-        if len(meta) != 1:
+        vals = [r["k"] for r in st.select("k").distinct().collect()]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"kmv_read_state: {state_path} mixes geometry-less legacy "
+                f"rows with self-described rows — rebuild the state"
+            )
+        if len(vals) != 1:
             raise ValueError(
                 f"kmv_read_state: mixed sketch sizes in {state_path}: "
-                f"{sorted(r['k'] for r in meta)}"
+                f"{sorted(vals)}"
             )
-        if meta[0]["k"] != k:
+        if vals[0] != k:
             raise ValueError(
-                f"kmv_read_state: state was built with k={meta[0]['k']}, "
+                f"kmv_read_state: state was built with k={vals[0]}, "
                 f"read with k={k}"
             )
     return st.select("h").distinct().orderBy("h").limit(k)

@@ -375,7 +375,21 @@ def bm25_scores(
     table filtered to query terms BEFORE any shuffle — scoring cost
     follows the query's postings, not the corpus. No UDF anywhere.
     """
+    import re as _re
+
     from skopje_spark.tables import ensure_parallelism
+
+    # normalize query terms with the SAME rule as corpus tokens
+    # (lowercase [a-z]+ runs) — a verbatim 'Paris' or 'état-major'
+    # could otherwise never match any corpus token, silently
+    query_terms = [
+        t
+        for raw in query_terms
+        for t in _re.findall(r"[a-z]+", str(raw).lower())
+    ]
+    if not query_terms:
+        raise ValueError("bm25_scores: no usable query terms after "
+                         "normalization (lowercase a-z runs)")
 
     toks = ensure_parallelism(df).select(
         F.col(id_col),

@@ -190,9 +190,15 @@ def bpe_train_from_counts(
     Incremental bookkeeping: a pair->{words containing it} inverted
     index means each merge step re-counts only the words that actually
     contain the chosen pair — total work is O(sum word lengths) to
-    build + O(touched words) per merge, not O(V) per merge."""
+    build + O(touched words) per merge, not O(V) per merge.
+
+    The caller's dict is copied up front (bounded by max_words, so
+    cheap): the merge loop rewrites its working dict destructively,
+    and training twice from the same counts must not see the first
+    run's partially-merged leftovers."""
     from collections import Counter, defaultdict
 
+    words = dict(words)
     pair_counts: Counter = Counter()
     pair_words: defaultdict = defaultdict(set)
     for syms, cnt in words.items():

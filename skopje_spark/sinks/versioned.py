@@ -75,17 +75,20 @@ def versioned_write(
     their batch ledger on (Delta's txn appId/version idea)."""
     os.makedirs(path, exist_ok=True)
     current = latest_version(path)
-    n = (current + 1) if current is not None else (
-        max(_versions(path), default=-1) + 1
-    )
-    snap = os.path.join(path, f"v={n}")
     # crash residue: a writer that died between snapshot write and
-    # pointer swap leaves an UNCOMMITTED v=n directory (readers never
-    # see it — they follow the pointer). Clear it so the table cannot
-    # wedge permanently on errorifexists; single-writer discipline is
-    # assumed (as for any pointer-swap store).
-    if os.path.isdir(snap) and (current is None or n > current):
-        shutil.rmtree(snap)
+    # pointer swap leaves UNCOMMITTED v=* directories (readers never
+    # see them — they follow the pointer). Clear EVERY residue above
+    # the pointer — including all of them when no pointer exists yet
+    # (a first-ever commit that crashed must not leave junk that a
+    # later numbering skips over and time travel then serves) — so
+    # the table cannot wedge on errorifexists and version numbering
+    # restarts cleanly; single-writer discipline is assumed (as for
+    # any pointer-swap store).
+    for v in _versions(path):
+        if current is None or v > current:
+            shutil.rmtree(os.path.join(path, f"v={v}"))
+    n = (current + 1) if current is not None else 0
+    snap = os.path.join(path, f"v={n}")
     df.write.mode("errorifexists").parquet(snap)
     for k, v in (meta or {}).items():
         with open(os.path.join(snap, f"_meta_{k}"), "w") as f:
@@ -112,10 +115,19 @@ def versioned_read(
 ) -> DataFrame:
     """Scan one snapshot: the committed latest by default, or a pinned
     ``version`` (time travel). Uncommitted / vacuumed versions raise."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
     if version is None:
-        version = latest_version(path)
-        if version is None:
-            raise FileNotFoundError(f"no committed version at {path}")
+        version = committed
+    elif version > committed:
+        # the directory may exist (a crashed writer's residue) but the
+        # pointer never blessed it — serving it would expose a
+        # half-written snapshot as history
+        raise FileNotFoundError(
+            f"version {version} at {path} is not committed "
+            f"(latest committed: {committed})"
+        )
     snap = os.path.join(path, f"v={version}")
     if not os.path.isdir(snap):
         raise FileNotFoundError(f"version {version} not present at {path}")
@@ -139,12 +151,33 @@ def versioned_upsert(
     return versioned_write(kept.unionByName(updates), path, meta=meta)
 
 
-def last_stream_batch(path: str) -> int | None:
-    """Highest micro-batch id durably applied to the table: walk
-    committed versions newest-first for the most recent commit that
-    carries a ``stream_batch_id`` marker (manual commits interleaved
-    with stream commits carry none and are skipped). O(#versions)
-    file reads — bounded by vacuum retention."""
+def stream_incarnation_id(checkpoint: str) -> str:
+    """Stable id of one logical stream incarnation: a hash of the
+    checkpoint location. Structured Streaming's batch ids are only
+    meaningful WITHIN one checkpoint — a job restarted with a fresh
+    checkpoint renumbers batches from 0 over re-read (and possibly
+    NEW) data, so a ledger keyed by bare batch_id would skip brand-new
+    batches that happen to reuse old numbers and silently drop their
+    data. Scoping the ledger by (incarnation, batch) — Delta's txn
+    (appId, version) idea — confines dedup to true same-checkpoint
+    replays; a new incarnation re-applies everything, which the
+    key-MERGE makes content-idempotent."""
+    import hashlib
+
+    return hashlib.sha256(
+        os.path.abspath(checkpoint).encode("utf-8")
+    ).hexdigest()[:12]
+
+
+def last_stream_batch(path: str, *, stream_id: str | None = None) -> int | None:
+    """Highest micro-batch id durably applied to the table BY the
+    given stream incarnation: walk committed versions newest-first for
+    the most recent commit whose ``stream_batch_id`` marker matches
+    ``stream_id`` (manual commits carry no marker; other incarnations'
+    commits don't constrain this one). ``stream_id=None`` returns the
+    newest stream-marked commit's batch id regardless of incarnation
+    (display/diagnostics). O(#versions) file reads — bounded by vacuum
+    retention."""
     committed = latest_version(path)
     if committed is None:
         return None
@@ -152,9 +185,48 @@ def last_stream_batch(path: str) -> int | None:
         if v > committed:
             continue  # written but never committed
         m = snapshot_meta(path, "stream_batch_id", version=v)
-        if m is not None:
-            return int(m)
+        if m is None:
+            continue
+        sid, _, bid = m.rpartition(":")
+        if stream_id is None or sid == stream_id:
+            return int(bid)
     return None
+
+
+def apply_stream_batch(
+    path: str,
+    keys: list[str],
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    on_commit=None,
+) -> bool:
+    """One ledgered micro-batch apply (the foreachBatch body of
+    :func:`versioned_stream_upsert`, exposed so replay semantics are
+    directly unit-testable): MERGE the batch unless this incarnation's
+    ledger already covers ``batch_id``; run ``on_commit`` either way.
+    Returns whether the batch was freshly applied."""
+    last = last_stream_batch(path, stream_id=stream_id)
+    fresh = last is None or batch_id > last
+    if fresh:
+        meta = {"stream_batch_id": f"{stream_id}:{batch_id}"}
+        if latest_version(path) is None:
+            versioned_write(batch_df, path, meta=meta)
+        else:
+            versioned_upsert(
+                batch_df.sparkSession, path, batch_df, keys, meta=meta
+            )
+    # on_commit runs even for replay-SKIPPED batches: a crash in the
+    # window between the base commit and the hook's own work would
+    # otherwise never be healed (the replay skips the commit and would
+    # skip the hook with it). Hooks must therefore be idempotent when
+    # the base is unchanged — versioned_ivm_view is, by its
+    # base_version marker. ``fresh`` tells the hook whether THIS call
+    # produced the latest commit (so the batch's keys bound what
+    # changed); replay-skipped calls must not assume that.
+    if on_commit is not None:
+        on_commit(batch_df.sparkSession, batch_df, fresh)
+    return fresh
 
 
 def versioned_stream_upsert(
@@ -172,22 +244,29 @@ def versioned_stream_upsert(
 
     Structured Streaming guarantees at-least-once delivery to
     foreachBatch — a batch that crashed mid-apply is REPLAYED with
-    the same ``batch_id``. Each successful apply here commits the
-    batch id as a ``stream_batch_id`` marker inside the snapshot
-    (written before the pointer swap, so data and ledger are atomic
-    together); a replayed or restarted batch whose id is <= the
-    ledger is skipped without touching the table. Replays therefore
-    leave BOTH the row content and the version history identical —
-    the same pattern proven for the sketch streaming sinks, upgraded
-    from dedup-on-read to dedup-on-write.
+    the same ``batch_id`` under the SAME checkpoint. Each successful
+    apply commits ``<incarnation>:<batch_id>`` as a
+    ``stream_batch_id`` marker inside the snapshot (written before
+    the pointer swap, so data and ledger are atomic together), where
+    the incarnation is :func:`stream_incarnation_id` of the
+    checkpoint. A replayed batch whose id is <= this incarnation's
+    ledger is skipped without touching the table — same-checkpoint
+    replays leave BOTH row content and version history identical.
+
+    A job restarted with a FRESH checkpoint is a NEW incarnation:
+    batch ids renumber from 0 over re-read (and possibly new) data,
+    so its batches are deliberately NOT skipped — a bare-batch-id
+    ledger here would silently drop whatever new data landed in the
+    renumbered early batches. Re-applying the re-read prefix is
+    content-idempotent through the key-MERGE (extra versions, no row
+    changes) — correctness first, history compactness second.
 
     First batch on an empty table commits v=0 directly; later batches
     run the anti-join MERGE. Returns the streaming query.
 
     Retention caveat: the ledger lives in the commits themselves, so
-    ``vacuum`` must retain at least the newest stream-marked commit
-    (the default keep>=1 always does unless manual commits follow a
-    long-stopped stream); one stream per table (single-writer, as for
+    ``vacuum`` must retain at least this incarnation's newest
+    stream-marked commit; one stream per table (single-writer, as for
     the store itself).
 
     ``on_commit(spark, batch_df, fresh)``, if given, runs after EVERY
@@ -196,28 +275,12 @@ def versioned_stream_upsert(
     self-heals across crashes in the commit→hook window."""
     from skopje_spark.streaming.streams import foreach_batch_sink
 
+    sid = stream_incarnation_id(checkpoint)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last = last_stream_batch(path)
-        fresh = last is None or batch_id > last
-        if fresh:
-            meta = {"stream_batch_id": str(batch_id)}
-            if latest_version(path) is None:
-                versioned_write(batch_df, path, meta=meta)
-            else:
-                versioned_upsert(
-                    batch_df.sparkSession, path, batch_df, keys, meta=meta
-                )
-        # on_commit runs even for replay-SKIPPED batches: a crash in
-        # the window between the base commit and the hook's own work
-        # would otherwise never be healed (the replay skips the commit
-        # and would skip the hook with it). Hooks must therefore be
-        # idempotent when the base is unchanged — versioned_ivm_view
-        # is, by its base_version marker. ``fresh`` tells the hook
-        # whether THIS call produced the latest commit (so the batch's
-        # keys bound what changed); replay-skipped calls must not
-        # assume that.
-        if on_commit is not None:
-            on_commit(batch_df.sparkSession, batch_df, fresh)
+        apply_stream_batch(
+            path, keys, batch_df, batch_id, sid, on_commit=on_commit
+        )
 
     return foreach_batch_sink(
         stream_df, checkpoint, apply_batch, available_now=available_now

@@ -98,7 +98,7 @@ def _manifest_frame(
     import numpy as np
     import pandas as pd
 
-    from skopje_spark.operators.bloom import _bit_positions
+    from skopje_spark.operators.bloom import _bit_positions, fold_positions
 
     aggs = []
     for c in cols:
@@ -123,10 +123,10 @@ def _manifest_frame(
             for c in bloom_cols:
                 bm = np.zeros(nbytes, dtype=np.uint8)
                 for ps in pdf[f"__pos_{c}"]:
-                    a = np.asarray(ps, dtype=np.int64)
-                    np.bitwise_or.at(
-                        bm, a >> 3, (1 << (a & 7)).astype(np.uint8)
-                    )
+                    # single shared fold (operators/bloom.py) — also
+                    # NULL-safe: rows with a NULL key contribute no
+                    # bits instead of crashing the manifest job
+                    fold_positions(bm, ps)
                 row[f"bloom_{c}"] = [bm.tobytes()]
             return pd.DataFrame(row)
 
@@ -137,6 +137,30 @@ def _manifest_frame(
             .withColumn("__bloom_k", F.lit(bloom_k))
         )
     return man
+
+
+def _list_data_files(spark: SparkSession, path: str) -> set[str]:
+    """Data-file URIs of the table, in ``input_file_name()`` form
+    (``file://`` + absolute path) WITHOUT reading any row data: a
+    filesystem listing for local paths — an O(#files) metadata walk,
+    which is what keeps :func:`update_manifest` O(new files) in I/O,
+    not just in compute. Remote filesystems (a scheme in the path)
+    fall back to a distinct-``input_file_name`` scan, trading a full
+    file read for portability; hidden/underscore entries (the
+    manifest itself, staging dirs, _SUCCESS) are excluded exactly as
+    Spark's reader excludes them."""
+    if "://" in path:
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("__file")
+        )
+        return {r["__file"] for r in df.distinct().collect()}
+    out: set[str] = set()
+    for root, dirs, files in os.walk(os.path.abspath(path)):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.add("file://" + os.path.join(root, f))
+    return out
 
 
 def update_manifest(spark: SparkSession, path: str, cols: list[str]) -> int:
@@ -174,12 +198,7 @@ def update_manifest(spark: SparkSession, path: str, cols: list[str]) -> int:
         bloom_bits, bloom_k = 1 << 17, 5
 
     covered = {r["__file"] for r in old.select("__file").collect()}
-    current = spark.read.parquet(path).withColumn(
-        "__file", F.input_file_name()
-    )
-    all_files = {
-        r["__file"] for r in current.select("__file").distinct().collect()
-    }
+    all_files = _list_data_files(spark, path)
     new_files = sorted(all_files - covered)
     if not new_files:
         return len(covered)

@@ -122,3 +122,21 @@ def test_sorted_neighborhood_verifies_distance(spark):
     assert {(r["left_id"], r["right_id"], r["edit_dist"]) for r in out} == {
         (1, 2, 1)
     }
+
+
+def test_bm25_normalizes_query_terms_and_rejects_empty(spark):
+    import pytest as _pytest
+
+    from skopje_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "paris is large"), (2, "london is larger")], "doc_id int, text string"
+    )
+    # capitalized query must match lowercased corpus tokens
+    up = {r["doc_id"] for r in bm25_scores(df, ["Paris"]).collect()}
+    lo = {r["doc_id"] for r in bm25_scores(df, ["paris"]).collect()}
+    assert up == lo == {1}
+    with _pytest.raises(ValueError, match="no usable query terms"):
+        bm25_scores(df, [])
+    with _pytest.raises(ValueError, match="no usable query terms"):
+        bm25_scores(df, ["123", "!!"])

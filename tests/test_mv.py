@@ -166,11 +166,18 @@ def test_stream_materialized_view_exactly_once(spark, tmp_path):
     bv, vv = latest_version(base_p), latest_version(view_p)
     assert snapshot_meta(view_p, "base_version", version=vv) == str(bv)
 
-    # full replay from a fresh checkpoint: base ledger skips every
-    # batch; view refresh hook runs but is idempotent-when-current
+    # full replay from a fresh checkpoint = new incarnation: batches
+    # re-apply (content-idempotent MERGE, no data lost) and the view
+    # keeps folding empty diffs — BOTH stay content-identical
     run("ck2")
-    assert latest_version(base_p) == bv and latest_version(view_p) == vv
+    assert _rows(versioned_read(spark, base_p)) == _rows(
+        spark.createDataFrame(final_base, schema)
+    )
     assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+    new_vv = latest_version(view_p)
+    assert snapshot_meta(view_p, "base_version", version=new_vv) == str(
+        latest_version(base_p)
+    )
 
 
 def test_compact_inherits_markers_and_view_still_refreshes(spark, tmp_path):
@@ -209,3 +216,24 @@ def test_ivm_view_touched_keys_hint_prunes_correctly(spark, tmp_path):
     versioned_ivm_view(spark, base_p, view_p, touched_keys=hint, **kw)
     expect = ivm_build(_base(spark, new_rows), ["grp"], sum_cols=["v"])
     assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+
+
+def test_first_commit_crash_residue_cleared_and_unserved(spark, tmp_path):
+    """A first-ever commit that crashed after writing v=0 but before
+    the pointer swap must not poison the table: the junk directory is
+    cleared by the next write (which then commits as v=0 itself), and
+    an above-pointer version is never served as time travel."""
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "v=0"))
+    # half-written junk: a parquet file without a committing pointer
+    _base(spark, [(99, "junk", 0)]).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(p, "v=0")
+    )
+    assert latest_version(p) is None
+    v = versioned_write(_base(spark, [(1, "a", 1)]), p)
+    assert v == 0  # numbering restarts cleanly — no skipped junk slot
+    assert [tuple(r) for r in versioned_read(spark, p).collect()] == [(1, "a", 1)]
+    # residue above the pointer is never served
+    os.makedirs(os.path.join(p, "v=5"))
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        versioned_read(spark, p, version=5)

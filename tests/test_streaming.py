@@ -635,13 +635,38 @@ def test_versioned_stream_upsert_exactly_once_replay_soak(spark, tmp_path):
     assert v_after == 2  # one commit per micro-batch, v=0..2
     assert last_stream_batch(table) == 2
 
-    # replay soak: fresh checkpoint, same source -> same batch ids
-    # re-presented from 0; every one must be skipped by the ledger
+    # same-checkpoint replay (the true at-least-once case): the
+    # incarnation ledger absorbs a re-presented batch without a commit
+    from skopje_spark.sinks.versioned import (
+        apply_stream_batch,
+        stream_incarnation_id,
+    )
+
+    sid = stream_incarnation_id(str(tmp_path / "ck1"))
+    assert last_stream_batch(table, stream_id=sid) == 2
+    replay_df = spark.createDataFrame(
+        [(4, "d", 999.0)], "event_id long, user_id string, value double"
+    )
+    assert apply_stream_batch(table, ["event_id"], replay_df, 2, sid) is False
+    assert latest_version(table) == v_after  # no commit, no row change
+    assert versioned_read(spark, table).filter("value = 999.0").count() == 0
+
+    # FRESH checkpoint = new incarnation: batches renumber from 0 over
+    # re-read data, so they must NOT be skipped (a bare-batch-id
+    # ledger would also skip genuinely new data — the bug this
+    # guards); re-applying is content-idempotent through the MERGE
     run("ck2")
-    assert latest_version(table) == v_after
-    assert last_stream_batch(table) == 2
+    assert latest_version(table) > v_after  # re-applied, new commits
     got2 = {r["event_id"]: r["value"] for r in versioned_read(spark, table).collect()}
-    assert got2 == want
+    assert got2 == want  # ...but content identical
     # time travel history untouched: v=0 still holds only batch 0
     v0 = {r["event_id"]: r["value"] for r in versioned_read(spark, table, version=0).collect()}
     assert v0 == {1: 1.0, 2: 2.0}
+
+    # data-loss regression: NEW data + fresh checkpoint — the new
+    # event lands in a renumbered early batch and must survive
+    _write_events(src, [{"event_id": 9, "ts": "2024-01-01T00:09:00",
+                         "user_id": "z", "value": 9.0}], "b9.json")
+    run("ck3")
+    got3 = {r["event_id"]: r["value"] for r in versioned_read(spark, table).collect()}
+    assert got3 == {**want, 9: 9.0}

@@ -316,3 +316,12 @@ def test_bpe_compression_ratio_empty_text_is_zero(spark):
     rows = {r["doc_id"]: r["r"] for r in
             bpe_compression_ratio(d, "text", model, out_col="r").collect()}
     assert rows[2] == 0.0 and rows[1] > 0
+
+
+def test_bpe_train_from_counts_does_not_mutate_input():
+    words = {tuple(b"the"): 10, tuple(b"then"): 5, tuple(b"he"): 7}
+    snapshot = dict(words)
+    m1 = bpe_train_from_counts(words, num_merges=8)
+    assert words == snapshot  # caller's dict untouched
+    m2 = bpe_train_from_counts(words, num_merges=8)
+    assert m1.merges == m2.merges  # retraining reproduces, not drifts

@@ -334,3 +334,28 @@ def test_versioned_write_recovers_from_crashed_commit(spark, tmp_path):
     assert v == 1 and latest_version(path) == 1
     got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
     assert got == {2: "b"}  # the junk residue is gone
+
+
+def test_bloom_manifest_tolerates_null_keys(spark, tmp_path):
+    """A NULL in a bloom column must not crash the manifest build
+    (operators/bloom.py:fold_positions drops NULL probe rows — NULL
+    never equals a point-lookup value, so no false negative), and
+    pruning still returns exact results afterward."""
+    from skopje_spark.sources.skipping import (
+        pruned_point_scan,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "bloomnull")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("uid"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    n = write_manifest(spark, path, ["id", "uid"], bloom_cols=["uid"])
+    assert n >= 1
+    got = pruned_point_scan(spark, path, "uid", "u123").collect()
+    assert [r["id"] for r in got] == [123]
+    assert pruned_point_scan(spark, path, "uid", "nope").count() == 0
