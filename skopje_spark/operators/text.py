@@ -397,16 +397,19 @@ def bm25_scores(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
         ).alias("tok"),
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # ONE (doc, token) aggregate feeds both the document-length branch
+    # and the term-frequency branch: the two consumers share an
+    # identical sub-plan, so Spark reuses the exchange (ReusedExchange
+    # in the physical plan) and the corpus is tokenized ONCE. The
+    # previous shape (dl from one explode, tf from another) re-ran the
+    # regex explode over every document twice.
+    tf_all = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*query_terms))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_all.filter(F.col("tok").isin(*query_terms))
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         tf.join(F.broadcast(df_t), "tok")

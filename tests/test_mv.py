@@ -124,7 +124,9 @@ def test_stream_materialized_view_exactly_once(spark, tmp_path):
     """Stream → versioned base → maintained rollup
     (sinks/versioned.py:versioned_stream_materialized_view): per-batch
     base MERGE + IVM view refresh; a full replay from a fresh
-    checkpoint leaves base AND view history/content identical."""
+    checkpoint (a NEW incarnation) re-applies content-idempotently —
+    base and view stay content-identical and the view tracks the
+    base's latest version."""
     import json as _json
     import os as _os
     import time as _time
