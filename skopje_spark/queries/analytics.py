@@ -359,3 +359,54 @@ def q_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") - F.col("mu")) / F.col("sigma"), 6
         ).alias("price_z"),
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           {dround_sql('CAST(n AS DOUBLE)'
+                       ' / SUM(n) OVER (PARTITION BY prev_type)', 6)} AS p
+    FROM pairs ORDER BY prev_type, next_type
+    """,
+    tags=("analytics", "markov", "transitions", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: (prev_type → next_type) counts and row-normalized
+    probabilities — the "what do users do next" report and the input
+    to any sequence-model sanity check on behavioral data.
+
+    Plan: ONE shuffle on user_id for the lag window (same key every
+    event query here shares), then a map-side-combined count whose
+    output is |types|² rows; the probability normalization windows
+    over that tiny aggregate, not the events. Ordering ties broken by
+    event_id so both engines see the same sequence."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
