@@ -27,6 +27,9 @@ from skopje_spark.operators.dedup import (
     dedup_exact,
     dup_span_trim,
     jaccard_pairs,
+    lsh_index_append,
+    lsh_index_probe,
+    lsh_index_write,
     minhash_lsh_pairs,
     neardup_clusters,
     semantic_dedup,
@@ -93,6 +96,9 @@ __all__ = [
     "keymap_lookup",
     "leakage_safe_split",
     "load_table",
+    "lsh_index_append",
+    "lsh_index_probe",
+    "lsh_index_write",
     "minhash_lsh_pairs",
     "neardup_clusters",
     "psi_drift",

@@ -347,21 +347,16 @@ def minhash_signatures(
     return t.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """D2b MinHash-LSH candidate pairs: band the 16-hash signature into
-    4 bands of 4; docs sharing any full band become candidates.
-
-    Scale: the band-bucket join is an equi-join on (band_id, band_sig)
-    — collision buckets are tiny for honest data, and a skewed bucket
-    (boilerplate shingles) is handled by AQE skew-join splitting.
-    """
-    sig = minhash_signatures(df, id_col, text_col)
+def band_rows(sig: DataFrame, id_col: str) -> DataFrame:
+    """Banded view of a signature frame: ``(id, band_id, band_sig)``,
+    LSH_BANDS rows per document. ONE pass over the signature — the
+    bands explode from an array of structs rather than unioning
+    LSH_BANDS projections of the signature subtree (which would
+    recompute it per band). Shared by the in-memory pair generator
+    (:func:`minhash_lsh_pairs`) and the persisted index
+    (:func:`lsh_index_write`), so the band layout cannot diverge
+    between the two paths."""
     rows_per_band = len(MINHASH_COEFFS) // LSH_BANDS
-    # one pass over the signature: explode 4 (band_id, band_sig)
-    # structs per doc rather than unioning 4 projections of the
-    # signature subtree (which would recompute it per band)
     band_structs = F.array(
         *[
             F.struct(
@@ -377,9 +372,23 @@ def minhash_lsh_pairs(
             for band in range(LSH_BANDS)
         ]
     )
-    all_bands = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("b")
-    ).select(F.col(id_col), F.col("b.band_id"), F.col("b.band_sig"))
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        F.col(id_col), F.col("b.band_id"), F.col("b.band_sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """D2b MinHash-LSH candidate pairs: band the 16-hash signature into
+    4 bands of 4; docs sharing any full band become candidates.
+
+    Scale: the band-bucket join is an equi-join on (band_id, band_sig)
+    — collision buckets are tiny for honest data, and a skewed bucket
+    (boilerplate shingles) is handled by AQE skew-join splitting.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    all_bands = band_rows(sig, id_col)
     # bucket-local pair generation: one shuffle on the bucket key, no
     # self-join (which would re-evaluate the whole signature pipeline
     # for each side). Buckets are small by construction; a giant
@@ -1094,4 +1103,156 @@ def contamination_report(
             .cast("int")
             .alias("flagged"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index: build-once / probe-per-ingest near-dup
+# detection against an existing corpus. The recurring crawl shape at
+# 100 TB is NOT "pair every document with every document" (the
+# in-memory minhash_lsh_pairs sweep) but "is anything in TODAY'S batch
+# a near-duplicate of the corpus we already hold" — which must not
+# re-shingle the corpus per batch. The index stores the corpus's
+# signatures once; each probe re-shingles only the new batch.
+# (Same build/append/probe lifecycle as the IVF ANN index,
+# operators/similarity.py:ivf_index_write — this is its Jaccard-space
+# twin. Reference analog: the unique-index-backed `ON CONFLICT` dedup
+# at /root/reference/src/load/pg.rs:76, which likewise amortizes the
+# seen-set into a persistent structure.)
+# ---------------------------------------------------------------------------
+
+def _lsh_geometry_digest() -> str:
+    """Digest of the hash family (coefficients, prime, band layout).
+    Persisted in the index meta and validated on append/probe, so an
+    index built under one geometry can never be silently probed with
+    another (the CMS state sinks follow the same self-description
+    contract, operators/freq.py)."""
+    import hashlib
+
+    blob = repr((MINHASH_COEFFS, MINHASH_PRIME, LSH_BANDS)).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def _lsh_check_geometry(spark, path: str) -> None:
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    got = {r["geometry"] for r in meta}
+    want = _lsh_geometry_digest()
+    if got != {want}:
+        raise ValueError(
+            f"LSH index at {path} was built with hash geometry {sorted(got)}, "
+            f"current library geometry is {want} — rebuild the index or pin "
+            "the MINHASH_COEFFS/LSH_BANDS the index was created with"
+        )
+
+
+def lsh_index_write(
+    df: DataFrame, path: str, *, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Build a persisted near-dup index of the corpus: MinHash
+    signatures (``path/sigs``: id, mh0..mh15) plus their banded view
+    (``path/bands``: id, band_id, band_sig, partitioned by band_id),
+    plus a one-row geometry meta. One shingle pass over the corpus —
+    every later :func:`lsh_index_probe` touches only these narrow
+    tables (~LSH_BANDS rows × ~30 B per document, independent of
+    document length), never the corpus text again."""
+    sig = minhash_signatures(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    bands = band_rows(sig, "id")
+    bands.write.mode("overwrite").partitionBy("band_id").parquet(f"{path}/bands")
+    df.sparkSession.createDataFrame(
+        [(_lsh_geometry_digest(), len(MINHASH_COEFFS), LSH_BANDS)],
+        "geometry string, n_hashes int, n_bands int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lsh_index_append(
+    df: DataFrame, path: str, *, id_col: str = "doc_id", text_col: str = "text"
+) -> int:
+    """Add new documents to a persisted LSH index without touching the
+    existing entries — unlike the IVF index there is no trained state
+    to go stale: MinHash signatures are per-document, so an append is
+    EXACTLY as good as having built the index on the union (no drift
+    metric needed). Geometry is validated against the index meta
+    first. Returns the number of documents appended.
+
+    Delivery contract: at-least-once. A replayed append duplicates
+    rows for the same id; :func:`lsh_index_probe` collapses them
+    (signatures are deterministic per id, so duplicates are identical
+    and dropDuplicates/distinct restores exactly-once semantics at
+    read time — the same read-side idempotence the sketch state sinks
+    use)."""
+    spark = df.sparkSession
+    _lsh_check_geometry(spark, path)
+    sig = minhash_signatures(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    sig.write.mode("append").parquet(f"{path}/sigs")
+    band_rows(sig, "id").write.mode("append").partitionBy("band_id").parquet(
+        f"{path}/bands"
+    )
+    return df.select(id_col).distinct().count()
+
+
+def lsh_index_probe(
+    batch: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Near-duplicates of the NEW batch against the indexed corpus:
+    ``(id_col, index_id, n_match, est_jaccard)`` for every
+    (batch doc, corpus doc) pair that shares an LSH band and whose
+    signature agreement ``n_match/n_hashes`` (the unbiased MinHash
+    Jaccard estimate) reaches ``threshold``.
+
+    Plan: the batch is shingled ONCE (one shuffle on batch id); the
+    candidate join is an equi-join on (band_id, band_sig) — the index
+    side ships only its narrow band rows, the corpus text is never
+    read. Candidates then join both signature tables (co-keyed
+    shuffles; AQE broadcasts the batch side when small). A skewed
+    band bucket (boilerplate content) is AQE skew-split like every
+    bucket join in this module. ``exclude_same_id`` drops pairs whose
+    ids are equal — the re-ingest case where the batch overlaps the
+    corpus itself; disable when batch and corpus ids are from
+    different namespaces."""
+    spark = batch.sparkSession
+    _lsh_check_geometry(spark, path)
+    n_hashes = len(MINHASH_COEFFS)
+
+    sig_b = minhash_signatures(batch, id_col, text_col)
+    bands_b = band_rows(sig_b, id_col)
+    bands_i = (
+        spark.read.parquet(f"{path}/bands")
+        .withColumnRenamed("id", "index_id")
+        .distinct()  # collapses at-least-once append replays
+    )
+    cand = (
+        bands_b.join(bands_i, ["band_id", "band_sig"])
+        .select(id_col, "index_id")
+        .distinct()
+    )
+    if exclude_same_id:
+        cand = cand.filter(F.col(id_col) != F.col("index_id"))
+
+    sigs_i = spark.read.parquet(f"{path}/sigs").dropDuplicates(["id"])
+    sigs_i = sigs_i.select(
+        F.col("id").alias("index_id"),
+        *[F.col(f"mh{i}").alias(f"imh{i}") for i in range(n_hashes)],
+    )
+    n_match = sum(
+        F.when(F.col(f"mh{i}") == F.col(f"imh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    ).cast("int")
+    return (
+        cand.join(sig_b, id_col)
+        .join(sigs_i, "index_id")
+        .withColumn("n_match", n_match)
+        # k/n_hashes is a dyadic rational for the 16-hash family —
+        # exact in binary, deterministic across engines unrounded
+        .withColumn(
+            "est_jaccard", F.col("n_match") / F.lit(float(n_hashes))
+        )
+        .filter(F.col("n_match") >= int(threshold * n_hashes))
+        .select(id_col, "index_id", "n_match", "est_jaccard")
     )

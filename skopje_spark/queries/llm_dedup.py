@@ -885,3 +885,89 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, _LSS_SPLITS, id_col="vec_id", pairs=pairs
     )
     return out.select("vec_id", "cluster_id", "split").orderBy("vec_id")
+
+
+def _lsh_index_probe_oracle(threshold: float = 0.5) -> str:
+    """Oracle twin of the persisted-index probe: recompute the batch
+    × corpus LSH candidate join and signature agreement entirely in
+    SQL over the SAME parity split. The index layout is invisible to
+    semantics (append == build-on-union for per-document signatures),
+    so the oracle needs no notion of the on-disk index at all."""
+    mins = ",\n      ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    n_hashes = len(MINHASH_COEFFS)
+    rows = n_hashes // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        sig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {sig} AS band_sig FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    match = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id, c.doc_id AS index_id
+      FROM bands p JOIN bands c USING (band_id, band_sig)
+      WHERE p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    )
+    SELECT cand.doc_id, cand.index_id,
+           ({match}) AS n_match,
+           ({match}) / {float(n_hashes)} AS est_jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = cand.doc_id
+    JOIN sig b ON b.doc_id = cand.index_id
+    WHERE ({match}) >= {int(threshold * n_hashes)}
+    ORDER BY cand.doc_id, cand.index_id
+    """
+
+
+@register(
+    "q_dedup_lsh_index_probe",
+    oracle=_lsh_index_probe_oracle(),
+    tags=("dedup", "minhash", "lsh", "index", "incremental", "llm-pipeline"),
+)
+def q_dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening against a PERSISTED corpus index
+    (operators/dedup.py:lsh_index_write/append/probe): even-id
+    documents are the already-held corpus — written to the index in
+    two installments so the append path is exercised — and odd-id
+    documents are the incoming batch, probed without ever re-reading
+    corpus text. Emits every (batch, corpus) pair sharing an LSH band
+    with signature agreement ≥ 8/16 — the crawl-ingest "is today's
+    batch already in the lake" gate.
+
+    The oracle recomputes candidates and agreement from raw text in
+    SQL: index persistence must be semantically invisible (signatures
+    are per-document, so append == build-on-union exactly)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.operators.dedup import (
+        lsh_index_append,
+        lsh_index_probe,
+        lsh_index_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="skopje_lsh_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    lsh_index_write(d.filter("doc_id % 4 = 0"), path)
+    lsh_index_append(d.filter("doc_id % 4 = 2"), path)
+    out = lsh_index_probe(d.filter("doc_id % 2 = 1"), path, threshold=0.5)
+    return out.orderBy("doc_id", "index_id")

@@ -1,0 +1,143 @@
+"""Persisted MinHash-LSH index: build / append / probe lifecycle
+(operators/dedup.py:lsh_index_write, lsh_index_append,
+lsh_index_probe)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.dedup import (
+    lsh_index_append,
+    lsh_index_probe,
+    lsh_index_write,
+    minhash_lsh_pairs,
+)
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away across the wide green field toward the old stone bridge "
+    "by the river where children often play in summer afternoons"
+)
+OTHER = (
+    "completely different content about databases query planning "
+    "distributed execution engines shuffle partitioning and the "
+    "cost model every optimizer must maintain for large clusters"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_probe_finds_planted_near_dup(spark, tmp_path):
+    corpus = _docs(spark, [(1, LOREM), (2, OTHER)])
+    # batch doc 10 = LOREM with a small edit; doc 11 is novel
+    batch = _docs(
+        spark,
+        [
+            (10, LOREM.replace("lazy dog", "sleepy dog")),
+            (11, "entirely novel text about orbital mechanics and " * 3),
+        ],
+    )
+    path = str(tmp_path / "idx")
+    lsh_index_write(corpus, path)
+    out = lsh_index_probe(batch, path, threshold=0.5).collect()
+    flagged = {(r["doc_id"], r["index_id"]) for r in out}
+    assert (10, 1) in flagged
+    hit = next(r for r in out if r["doc_id"] == 10)
+    assert hit["n_match"] >= 8
+    assert hit["est_jaccard"] == hit["n_match"] / 16.0
+    assert all(r["doc_id"] != 11 for r in out), "novel doc must not flag"
+
+
+def test_append_equals_build_on_union(spark, tmp_path):
+    """Per-document signatures have no trained state: an index built
+    in two installments must probe identically to one built on the
+    union in a single write."""
+    half_a = _docs(spark, [(1, LOREM), (2, OTHER)])
+    half_b = _docs(spark, [(3, LOREM + " with an appended tail of words")])
+    batch = _docs(spark, [(20, LOREM)])
+
+    p1 = str(tmp_path / "incremental")
+    lsh_index_write(half_a, p1)
+    assert lsh_index_append(half_b, p1) == 1
+    p2 = str(tmp_path / "oneshot")
+    lsh_index_write(half_a.unionByName(half_b), p2)
+
+    r1 = sorted(map(tuple, lsh_index_probe(batch, p1).collect()))
+    r2 = sorted(map(tuple, lsh_index_probe(batch, p2).collect()))
+    assert r1 == r2
+    assert any(t[1] == 3 for t in r1), "appended doc must be probe-visible"
+
+
+def test_append_replay_is_read_side_idempotent(spark, tmp_path):
+    """At-least-once delivery: replaying an append duplicates index
+    rows, but the probe's distinct/dropDuplicates collapses them —
+    output is row-identical to the single-delivery run."""
+    corpus = _docs(spark, [(1, LOREM)])
+    extra = _docs(spark, [(2, OTHER)])
+    batch = _docs(spark, [(30, LOREM), (31, OTHER + " slightly changed here")])
+    path = str(tmp_path / "idx")
+    lsh_index_write(corpus, path)
+    lsh_index_append(extra, path)
+    once = sorted(map(tuple, lsh_index_probe(batch, path).collect()))
+    lsh_index_append(extra, path)  # replay
+    twice = sorted(map(tuple, lsh_index_probe(batch, path).collect()))
+    assert once == twice and len(once) >= 2
+
+
+def test_geometry_guard_rejects_foreign_index(spark, tmp_path):
+    """An index whose meta records a different hash geometry must be
+    rejected up front, not silently probed with wrong coefficients."""
+    corpus = _docs(spark, [(1, LOREM)])
+    path = str(tmp_path / "idx")
+    lsh_index_write(corpus, path)
+    spark.createDataFrame(
+        [("deadbeefdeadbeef", 16, 4)], "geometry string, n_hashes int, n_bands int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="geometry"):
+        lsh_index_probe(corpus, path)
+    with pytest.raises(ValueError, match="geometry"):
+        lsh_index_append(corpus, path)
+
+
+def test_probe_agrees_with_inmemory_pair_sweep(spark, tmp_path):
+    """Cross-check against minhash_lsh_pairs: for a corpus∪batch
+    universe, the probe's candidate set restricted to (batch, corpus)
+    pairs equals the in-memory sweep's pairs restricted the same way
+    (before the signature-agreement filter)."""
+    corpus = _docs(spark, [(2, LOREM), (4, OTHER)])
+    batch = _docs(
+        spark, [(1, LOREM.replace("summer", "winter")), (3, "unrelated words " * 8)]
+    )
+    path = str(tmp_path / "idx")
+    lsh_index_write(corpus, path)
+    probe = lsh_index_probe(batch, path, threshold=0.0)
+    got = {(r["doc_id"], r["index_id"]) for r in probe.collect()}
+
+    sweep = minhash_lsh_pairs(corpus.unionByName(batch), "doc_id", "text")
+    want = set()
+    for r in sweep.collect():
+        a, b = r["id_a"], r["id_b"]
+        # orient as (batch_odd, corpus_even); drop intra-side pairs
+        if a % 2 == 1 and b % 2 == 0:
+            want.add((a, b))
+        elif b % 2 == 1 and a % 2 == 0:
+            want.add((b, a))
+    assert got == want
+
+
+def test_exclude_same_id_toggle(spark, tmp_path):
+    """Re-ingesting an indexed document: the default drops the
+    self-pair; exclude_same_id=False surfaces it as a perfect match."""
+    corpus = _docs(spark, [(1, LOREM), (2, OTHER)])
+    path = str(tmp_path / "idx")
+    lsh_index_write(corpus, path)
+    reingest = _docs(spark, [(1, LOREM)])
+    none = lsh_index_probe(reingest, path).collect()
+    assert all(r["index_id"] != 1 for r in none)
+    kept = lsh_index_probe(reingest, path, exclude_same_id=False).filter(
+        F.col("index_id") == 1
+    ).collect()
+    assert len(kept) == 1 and kept[0]["n_match"] == 16
