@@ -29,6 +29,7 @@ from skopje_spark.operators.dedup import (
     jaccard_pairs,
     lsh_index_append,
     lsh_index_probe,
+    lsh_index_stream_sink,
     lsh_index_write,
     minhash_lsh_pairs,
     neardup_clusters,
@@ -98,6 +99,7 @@ __all__ = [
     "load_table",
     "lsh_index_append",
     "lsh_index_probe",
+    "lsh_index_stream_sink",
     "lsh_index_write",
     "minhash_lsh_pairs",
     "neardup_clusters",

@@ -1222,8 +1222,22 @@ def lsh_index_probe(
 
     sig_b = minhash_signatures(batch, id_col, text_col)
     bands_b = band_rows(sig_b, id_col)
+    # explicit schema, derived from the sigs table (which persists a
+    # schema-bearing file even when empty): an index built on an empty
+    # corpus — the streaming-from-zero shape — has a bands directory
+    # with no data files, where schema inference would fail
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    sigs_raw = spark.read.parquet(f"{path}/sigs")
+    bands_schema = StructType(
+        [
+            sigs_raw.schema["id"],
+            StructField("band_id", IntegerType()),
+            StructField("band_sig", StringType()),
+        ]
+    )
     bands_i = (
-        spark.read.parquet(f"{path}/bands")
+        spark.read.schema(bands_schema).parquet(f"{path}/bands")
         .withColumnRenamed("id", "index_id")
         .distinct()  # collapses at-least-once append replays
     )
@@ -1235,7 +1249,7 @@ def lsh_index_probe(
     if exclude_same_id:
         cand = cand.filter(F.col(id_col) != F.col("index_id"))
 
-    sigs_i = spark.read.parquet(f"{path}/sigs").dropDuplicates(["id"])
+    sigs_i = sigs_raw.dropDuplicates(["id"])
     sigs_i = sigs_i.select(
         F.col("id").alias("index_id"),
         *[F.col(f"mh{i}").alias(f"imh{i}") for i in range(n_hashes)],
@@ -1255,4 +1269,42 @@ def lsh_index_probe(
         )
         .filter(F.col("n_match") >= int(threshold * n_hashes))
         .select(id_col, "index_id", "n_match", "est_jaccard")
+    )
+
+
+def lsh_index_stream_sink(
+    stream_df,
+    path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Continuous index maintenance: every micro-batch of new
+    documents is appended to the persisted LSH index
+    (:func:`lsh_index_append`), so the crawl-ingest near-dup gate
+    (:func:`lsh_index_probe`) always screens against everything
+    ingested so far — the streaming twin of the sketch state sinks
+    (operators/sketches.py:hll_stream_sink).
+
+    Exactly-once story: appends are at-least-once under micro-batch
+    retries, but signatures are DETERMINISTIC per document, so a
+    replayed batch writes byte-identical rows and the probe's
+    read-side distinct collapses them — no retry can change any probe
+    verdict (unit-pinned). A torn append (sigs landed, bands didn't)
+    leaves the document temporarily invisible to candidates, never
+    wrong; the retry completes it. The index (with its geometry meta)
+    must already exist — build it once with :func:`lsh_index_write`,
+    possibly on an empty frame."""
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col)
+        if batch.isEmpty():
+            return
+        lsh_index_append(batch, path, id_col=id_col, text_col=text_col)
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
     )

@@ -141,3 +141,63 @@ def test_exclude_same_id_toggle(spark, tmp_path):
         F.col("index_id") == 1
     ).collect()
     assert len(kept) == 1 and kept[0]["n_match"] == 16
+
+
+def test_stream_sink_maintains_index_from_zero(spark, tmp_path):
+    """Streaming-from-zero: index built on an EMPTY corpus, three
+    micro-batches of documents appended through the foreachBatch sink;
+    the probe then sees every streamed document, and a full replay
+    from a fresh checkpoint (at-least-once duplication of all batches)
+    leaves every probe verdict identical."""
+    import json
+    import os
+    import time
+
+    from skopje_spark.operators.dedup import lsh_index_stream_sink
+    from skopje_spark.streaming.streams import file_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = [
+        (1, LOREM),
+        (2, OTHER),
+        (3, LOREM.replace("green field", "brown field")),
+    ]
+    now = time.time()
+    for i, (did, text) in enumerate(docs):
+        f = src / f"b{i}.json"
+        f.write_text(json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(f, (now - (3 - i) * 10, now - (3 - i) * 10))
+
+    path = str(tmp_path / "idx")
+    lsh_index_write(
+        spark.createDataFrame([], "doc_id long, text string"), path
+    )
+    # empty index is probe-able (no candidates, no crash)
+    probe_empty = lsh_index_probe(
+        spark.createDataFrame([(99, LOREM)], "doc_id long, text string"), path
+    )
+    assert probe_empty.count() == 0
+
+    stream = file_stream(
+        spark, str(src), schema="doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q = lsh_index_stream_sink(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    batch = spark.createDataFrame([(40, LOREM)], "doc_id long, text string")
+    out1 = sorted(map(tuple, lsh_index_probe(batch, path).collect()))
+    hit_ids = {t[1] for t in out1}
+    assert {1, 3} <= hit_ids, f"streamed near-dups missing: {out1}"
+
+    # replay the WHOLE stream from a fresh checkpoint: every append
+    # duplicates, every verdict must hold
+    stream2 = file_stream(
+        spark, str(src), schema="doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q2 = lsh_index_stream_sink(stream2, path, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    out2 = sorted(map(tuple, lsh_index_probe(batch, path).collect()))
+    assert out1 == out2
