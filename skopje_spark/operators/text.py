@@ -397,19 +397,26 @@ def bm25_scores(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
         ).alias("tok"),
     )
-    # ONE (doc, token) aggregate feeds both the document-length branch
-    # and the term-frequency branch: the two consumers share an
-    # identical sub-plan, so Spark reuses the exchange (ReusedExchange
-    # in the physical plan) and the corpus is tokenized ONCE. The
-    # previous shape (dl from one explode, tf from another) re-ran the
-    # regex explode over every document twice.
-    tf_all = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # Two independent branches, each tokenizing the corpus itself:
+    # document lengths (groupBy doc — shuffle carries one partial per
+    # doc per partition) and query-term frequencies (filtered to the
+    # query's terms BEFORE the shuffle — postings-sized). The tempting
+    # "share one (doc, token) aggregate so the exchange is reused"
+    # refactor was measured 2.5× SLOWER at sf0.1: the shared exchange
+    # shuffles every distinct (doc, token) pair — far more bytes than
+    # both cheap branches combined — and the duplicated tokenize is
+    # embarrassingly parallel map work. Exchange reuse only pays when
+    # the shared subtree is not itself the new bottleneck.
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    tf = tf_all.filter(F.col("tok").isin(*query_terms))
+    tf = (
+        toks.filter(F.col("tok").isin(*query_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         tf.join(F.broadcast(df_t), "tok")
