@@ -62,7 +62,9 @@ from skopje_spark.operators.similarity import (
 from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
+    CommitConflict,
     versioned_compact,
+    versioned_merge_concurrent,
     versioned_ivm_view,
     versioned_stream_materialized_view,
 )
@@ -114,7 +116,9 @@ __all__ = [
     "snapshot_diff",
     "sorted_neighborhood_pairs",
     "token_count_bpe",
+    "CommitConflict",
     "versioned_compact",
+    "versioned_merge_concurrent",
     "versioned_ivm_view",
     "versioned_stream_materialized_view",
 ]

@@ -26,10 +26,20 @@ import os
 import re
 import shutil
 import tempfile
+import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 _VDIR = re.compile(r"^v=(\d+)$")
+
+
+class CommitConflict(RuntimeError):
+    """An optimistic commit lost its race: the table advanced past the
+    writer's base version, or another writer holds the commit lock.
+    Recoverable — re-read the new latest, re-derive the change, retry
+    (:func:`versioned_merge_concurrent` does exactly that)."""
 
 
 def _versions(path: str) -> list[int]:
@@ -58,8 +68,73 @@ def latest_version(path: str) -> int | None:
         return None
 
 
+_UNGUARDED = object()  # sentinel: expected_version not supplied
+
+
+@contextmanager
+def _commit_lock(path: str, timeout_s: float):
+    """Short mutual-exclusion window for the O(1) commit step of
+    guarded writes. Acquired via O_EXCL file create (atomic on POSIX,
+    works across processes AND threads); a lock older than
+    ``timeout_s`` is presumed abandoned by a crashed writer and stolen
+    once. Contention raises :class:`CommitConflict` immediately — the
+    caller's retry loop, not a blocking wait, resolves races (data is
+    staged before the lock, so the critical section is metadata-only
+    and contention windows are milliseconds)."""
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(f"{os.getpid()} {time.time()}")
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except FileNotFoundError:
+                continue  # released in the gap — retry the create
+            if attempt == 0 and age > timeout_s:
+                # crashed writer's residue: steal once, then re-create
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise CommitConflict(
+                f"another commit holds the lock at {path} "
+                f"(held {age:.1f}s; presumed live under {timeout_s}s)"
+            )
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _gc_staged(path: str, timeout_s: float, keep: str) -> None:
+    """Remove staged snapshot directories abandoned by crashed guarded
+    writers (older than ``timeout_s``), sparing ``keep`` (ours).
+    Runs under the commit lock."""
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if not d.startswith(".staged-") or full == keep:
+            continue
+        try:
+            if time.time() - os.path.getmtime(full) > timeout_s:
+                shutil.rmtree(full, ignore_errors=True)
+        except FileNotFoundError:
+            pass
+
+
 def versioned_write(
-    df: DataFrame, path: str, *, meta: dict[str, str] | None = None
+    df: DataFrame,
+    path: str,
+    *,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
 ) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``;
     returns the new version number.
@@ -72,8 +147,49 @@ def versioned_write(
     INSIDE the snapshot directory BEFORE the pointer swap, so commit
     data and commit metadata become visible in the same atomic step —
     the transaction-marker mechanism exactly-once stream merges hang
-    their batch ledger on (Delta's txn appId/version idea)."""
+    their batch ledger on (Delta's txn appId/version idea).
+
+    Concurrency: by default single-writer discipline is assumed (as
+    for any pointer-swap store). Passing ``expected_version`` turns
+    the commit into an optimistic COMPARE-AND-SWAP — it succeeds only
+    if the committed version still equals ``expected_version`` (use
+    ``None`` to assert "table is empty"), else raises
+    :class:`CommitConflict` with nothing published. Guarded commits
+    stage their data files OUTSIDE the critical section (the lock
+    covers only the version check + directory rename + pointer swap —
+    O(1) metadata regardless of snapshot size, so a 100 TB write never
+    serializes writers on data transfer, exactly the Delta/Iceberg
+    commit-protocol shape). Do not mix guarded and unguarded writers
+    on one table: the unguarded path takes no lock."""
     os.makedirs(path, exist_ok=True)
+    if expected_version is not _UNGUARDED:
+        staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(staged)
+        for k, v in (meta or {}).items():
+            with open(os.path.join(staged, f"_meta_{k}"), "w") as f:
+                f.write(str(v))
+        try:
+            with _commit_lock(path, lock_timeout_s):
+                current = latest_version(path)
+                if current != expected_version:
+                    raise CommitConflict(
+                        f"table at {path} is at version {current}, "
+                        f"writer expected {expected_version}"
+                    )
+                for v in _versions(path):
+                    if current is None or v > current:
+                        shutil.rmtree(os.path.join(path, f"v={v}"))
+                _gc_staged(path, lock_timeout_s, keep=staged)
+                n = (current + 1) if current is not None else 0
+                os.replace(staged, os.path.join(path, f"v={n}"))
+                fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest")
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(n))
+                os.replace(tmp, _pointer_path(path))
+                return n
+        except CommitConflict:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
     current = latest_version(path)
     # crash residue: a writer that died between snapshot write and
     # pointer swap leaves UNCOMMITTED v=* directories (readers never
@@ -149,6 +265,53 @@ def versioned_upsert(
     current = versioned_read(spark, path)
     kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
     return versioned_write(kept.unionByName(updates), path, meta=meta)
+
+
+def versioned_merge_concurrent(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    meta: dict[str, str] | None = None,
+    max_retries: int = 5,
+    backoff_s: float = 0.1,
+) -> int:
+    """MERGE safe under CONCURRENT writers: read the latest snapshot
+    (pinned by version), derive merged = (rows not matching an update
+    key) ∪ updates, and commit with compare-and-swap on that base
+    version. A lost race (:class:`CommitConflict`) re-reads the NEW
+    latest and re-derives the merge — the standard optimistic
+    transaction loop, so N writers upserting disjoint keys all land
+    and serialize into N consecutive versions with no lost updates
+    (unit-pinned with racing threads). Exponential backoff between
+    attempts; raises the final conflict after ``max_retries`` losses.
+
+    Semantic note: concurrent writers that touch the SAME key
+    serialize too — last committer wins that key, exactly like
+    sequential upserts in commit order. Readers are unaffected
+    throughout (pointer-swap isolation)."""
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        base = latest_version(path)
+        if base is None:
+            merged = updates
+        else:
+            current = versioned_read(spark, path, version=base)
+            kept = current.join(
+                updates.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = kept.unionByName(updates)
+        try:
+            return versioned_write(
+                merged, path, meta=meta, expected_version=base
+            )
+        except CommitConflict as e:
+            last = e
+            time.sleep(backoff_s * (2**attempt))
+    raise CommitConflict(
+        f"merge at {path} lost {max_retries + 1} commit races; last: {last}"
+    )
 
 
 def stream_incarnation_id(checkpoint: str) -> str:

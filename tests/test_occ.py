@@ -1,0 +1,123 @@
+"""Optimistic concurrency for the versioned store
+(sinks/versioned.py: expected_version CAS commits, _commit_lock,
+versioned_merge_concurrent)."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+from skopje_spark.sinks.versioned import (
+    CommitConflict,
+    latest_version,
+    versioned_merge_concurrent,
+    versioned_read,
+    versioned_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_cas_commit_rejects_stale_base(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert versioned_write(_df(spark, [(1, "a")]), path, expected_version=None) == 0
+    # writer A advances from 0
+    assert versioned_write(_df(spark, [(1, "b")]), path, expected_version=0) == 1
+    # writer B still believes base is 0 → must lose, nothing published
+    with pytest.raises(CommitConflict, match="expected 0"):
+        versioned_write(_df(spark, [(1, "c")]), path, expected_version=0)
+    assert latest_version(path) == 1
+    assert versioned_read(spark, path).collect()[0]["v"] == "b"
+    # a lost race leaves no staged residue behind
+    assert not [d for d in os.listdir(path) if d.startswith(".staged-")]
+
+
+def test_cas_empty_table_assertion(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a")]), path)
+    with pytest.raises(CommitConflict):
+        versioned_write(_df(spark, [(2, "b")]), path, expected_version=None)
+
+
+def test_fresh_lock_conflicts_stale_lock_is_stolen(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a")]), path)
+    lock = os.path.join(path, "_COMMIT_LOCK")
+    # fresh lock (live writer): guarded commit must conflict fast
+    with open(lock, "w") as f:
+        f.write("someone")
+    with pytest.raises(CommitConflict, match="holds the lock"):
+        versioned_write(_df(spark, [(1, "b")]), path, expected_version=0)
+    # stale lock (crashed writer): stolen, commit proceeds
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    assert (
+        versioned_write(
+            _df(spark, [(1, "b")]), path, expected_version=0, lock_timeout_s=600
+        )
+        == 1
+    )
+    assert not os.path.exists(lock)
+
+
+def test_concurrent_merges_all_land(spark, tmp_path):
+    """8 racing writers upserting disjoint keys through the optimistic
+    retry loop: every update lands, versions serialize consecutively,
+    no lost updates."""
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(999, "base")]), path)
+
+    n_writers, errors = 8, []
+
+    def worker(i: int) -> None:
+        try:
+            versioned_merge_concurrent(
+                spark, path, _df(spark, [(i, f"w{i}")]), ["k"],
+                max_retries=16, backoff_s=0.05,
+            )
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert latest_version(path) == n_writers  # base v0 + one commit each
+    rows = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert rows[999] == "base"
+    for i in range(n_writers):
+        assert rows[i] == f"w{i}"
+
+
+def test_same_key_races_serialize_last_commit_wins(spark, tmp_path):
+    """Two writers updating the SAME key: both commits land (two new
+    versions), the later commit's value survives — sequential-upsert
+    semantics in commit order, no torn state."""
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(7, "orig")]), path)
+    results = {}
+
+    def worker(tag: str) -> None:
+        results[tag] = versioned_merge_concurrent(
+            spark, path, _df(spark, [(7, tag)]), ["k"],
+            max_retries=16, backoff_s=0.05,
+        )
+
+    a = threading.Thread(target=worker, args=("alpha",))
+    b = threading.Thread(target=worker, args=("beta",))
+    a.start(); b.start(); a.join(); b.join()
+    assert sorted(results.values()) == [1, 2]
+    winner = max(results, key=results.get)
+    rows = versioned_read(spark, path).collect()
+    assert len(rows) == 1 and rows[0]["v"] == winner
+    # history: the loser's intermediate value is time-travelable
+    loser = min(results, key=results.get)
+    prev = versioned_read(spark, path, version=results[loser]).collect()
+    assert prev[0]["v"] == loser
