@@ -257,14 +257,27 @@ def versioned_upsert(
     keys: list[str],
     *,
     meta: dict[str, str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE as a snapshot commit: next version = (current rows not
     matching an update key) ∪ updates. The current snapshot is read,
     never mutated — a failed upsert leaves the table exactly as it was.
-    """
+
+    ``evolve_schema=True`` permits ADDITIVE schema changes in either
+    direction: columns new in ``updates`` appear in the committed
+    snapshot with NULLs for the kept rows, and columns absent from
+    ``updates`` survive with NULLs for the update rows — Delta's
+    mergeSchema semantics. Earlier snapshots keep their own schema
+    (time travel returns what was committed then). The default stays
+    strict: a drifted schema is more often a bug than an evolution,
+    so it must be opted into per call."""
     current = versioned_read(spark, path)
     kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-    return versioned_write(kept.unionByName(updates), path, meta=meta)
+    return versioned_write(
+        kept.unionByName(updates, allowMissingColumns=evolve_schema),
+        path,
+        meta=meta,
+    )
 
 
 def versioned_merge_concurrent(
@@ -276,6 +289,7 @@ def versioned_merge_concurrent(
     meta: dict[str, str] | None = None,
     max_retries: int = 5,
     backoff_s: float = 0.1,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE safe under CONCURRENT writers: read the latest snapshot
     (pinned by version), derive merged = (rows not matching an update
@@ -301,7 +315,9 @@ def versioned_merge_concurrent(
             kept = current.join(
                 updates.select(*keys).distinct(), keys, "left_anti"
             )
-            merged = kept.unionByName(updates)
+            merged = kept.unionByName(
+                updates, allowMissingColumns=evolve_schema
+            )
         try:
             return versioned_write(
                 merged, path, meta=meta, expected_version=base

@@ -121,3 +121,39 @@ def test_same_key_races_serialize_last_commit_wins(spark, tmp_path):
     loser = min(results, key=results.get)
     prev = versioned_read(spark, path, version=results[loser]).collect()
     assert prev[0]["v"] == loser
+
+
+def test_schema_evolution_opt_in(spark, tmp_path):
+    """evolve_schema=True: an upsert adding a column commits with NULL
+    backfill for kept rows; a later narrow upsert keeps the evolved
+    column (NULL for its own rows); strict default still raises; time
+    travel serves each version's own schema."""
+    from skopje_spark.sinks.versioned import versioned_upsert
+
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a"), (2, "b")]), path)
+
+    wide = spark.createDataFrame([(2, "b2", 9.5)], "k long, v string, score double")
+    with pytest.raises(Exception):  # strict default: schema drift is an error
+        versioned_upsert(spark, path, wide, ["k"])
+    v1 = versioned_upsert(spark, path, wide, ["k"], evolve_schema=True)
+    rows = {r["k"]: r for r in versioned_read(spark, path).collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    narrow = _df(spark, [(3, "c")])
+    versioned_upsert(spark, path, narrow, ["k"], evolve_schema=True)
+    rows = {r["k"]: r for r in versioned_read(spark, path).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["score"] is None and rows[2]["score"] == 9.5
+
+    # time travel: v0 has the original two-column schema
+    v0 = versioned_read(spark, path, version=0)
+    assert v0.columns == ["k", "v"]
+    assert versioned_read(spark, path, version=v1).columns == ["k", "v", "score"]
+
+    # the concurrent merge honors the same flag
+    wider = spark.createDataFrame([(4, "d", 1.0, "x")],
+                                  "k long, v string, score double, tag string")
+    versioned_merge_concurrent(spark, path, wider, ["k"], evolve_schema=True)
+    rows = {r["k"]: r for r in versioned_read(spark, path).collect()}
+    assert rows[4]["tag"] == "x" and rows[1]["tag"] is None
