@@ -31,6 +31,7 @@ from skopje_spark.operators.dedup import (
     lsh_index_probe,
     lsh_index_stream_sink,
     lsh_index_write,
+    lsh_tuning_report,
     minhash_lsh_pairs,
     neardup_clusters,
     semantic_dedup,
@@ -103,6 +104,7 @@ __all__ = [
     "lsh_index_probe",
     "lsh_index_stream_sink",
     "lsh_index_write",
+    "lsh_tuning_report",
     "minhash_lsh_pairs",
     "neardup_clusters",
     "psi_drift",

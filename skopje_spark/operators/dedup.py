@@ -1308,3 +1308,89 @@ def lsh_index_stream_sink(
     return foreach_batch_sink(
         stream_df, checkpoint, write_batch, available_now=available_now
     )
+
+
+def lsh_tuning_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    geometries: tuple[tuple[int, int], ...] = ((16, 1), (8, 2), (4, 4), (2, 8)),
+    jaccards: tuple[float, ...] = (0.3, 0.5, 0.7, 0.9),
+) -> DataFrame:
+    """Band-geometry tuning for MinHash-LSH as a queryable DataFrame —
+    the Jaccard-space twin of the IVF index's
+    :func:`~skopje_spark.operators.similarity.ann_probe_report`:
+    instead of guessing the (bands × rows) split of the 16-hash
+    signature, read the knee off one report.
+
+    One row per ``(bands, rows_per_band)`` geometry with:
+
+    - ``catch_at_jXX`` — the ANALYTIC probability 1 − (1 − j^r)^b
+      that a pair at Jaccard j shares ≥1 band (the S-curve every LSH
+      paper plots), for each requested j;
+    - ``n_candidate_pairs`` — the EMPIRICAL cost on THIS corpus:
+      Σ_buckets C(size, 2), i.e. exactly how many pairs the verify
+      stage would receive under that geometry;
+    - ``n_buckets`` / ``max_bucket`` — skew diagnostics (a giant
+      bucket means boilerplate content and AQE skew-split territory).
+
+    Pick the cheapest geometry whose catch probability at the target
+    similarity is acceptable. Signatures are computed ONCE (eager
+    localCheckpoint) and each geometry adds only one small aggregate
+    over the 16-column signature frame — the corpus text is read a
+    single time however many geometries are swept.
+
+    Every geometry must tile the signature: bands × rows_per_band
+    must equal ``len(MINHASH_COEFFS)`` (validated)."""
+    n_hashes = len(MINHASH_COEFFS)
+    for bands, rows in geometries:
+        if bands * rows != n_hashes:
+            raise ValueError(
+                f"geometry ({bands}, {rows}) does not tile {n_hashes} hashes"
+            )
+
+    sig = minhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    reports = []
+    for bands, rows in geometries:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * rows + j}").cast("string")
+                            for j in range(rows)
+                        ],
+                    ).alias("band_sig"),
+                )
+                for band in range(bands)
+            ]
+        )
+        buckets = (
+            sig.select(F.explode(band_structs).alias("b"))
+            .groupBy("b.band_id", "b.band_sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rep = buckets.agg(
+            F.lit(bands).alias("bands"),
+            F.lit(rows).alias("rows_per_band"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+        ).select("bands", "rows_per_band", "n_candidate_pairs",
+                 "n_buckets", "max_bucket")
+        for j in jaccards:
+            catch = 1.0 - (1.0 - j**rows) ** bands
+            rep = rep.withColumn(
+                f"catch_at_j{int(round(j * 100))}", F.lit(float(catch))
+            )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rows_per_band")

@@ -971,3 +971,70 @@ def q_dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_index_append(d.filter("doc_id % 4 = 2"), path)
     out = lsh_index_probe(d.filter("doc_id % 2 = 1"), path, threshold=0.5)
     return out.orderBy("doc_id", "index_id")
+
+
+def _lsh_tuning_oracle(
+    geometries=((16, 1), (8, 2), (4, 4), (2, 8)),
+    jaccards=(0.3, 0.5, 0.7, 0.9),
+) -> str:
+    """SQL twin of lsh_tuning_report: same signature CTE, one
+    banded-bucket aggregate per geometry, analytic catch columns as
+    repr'd double literals (bit-identical to Spark's F.lit(float))."""
+    mins = ",\n      ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    geo_sqls = []
+    for bands, rows in geometries:
+        band_selects = []
+        for band in range(bands):
+            cols = [f"mh{band * rows + j}" for j in range(rows)]
+            bsig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            band_selects.append(
+                f"SELECT {band} AS band_id, {bsig} AS band_sig FROM sig"
+            )
+        bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+        catch_cols = ", ".join(
+            f"{1.0 - (1.0 - j ** rows) ** bands!r} AS catch_at_j{int(round(j * 100))}"
+            for j in jaccards
+        )
+        geo_sqls.append(f"""
+    SELECT {bands} AS bands, {rows} AS rows_per_band,
+           CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+           COUNT(*) AS n_buckets, MAX(n) AS max_bucket, {catch_cols}
+    FROM (
+      SELECT band_id, band_sig, COUNT(*) AS n FROM (
+      {bands_sql}
+      ) GROUP BY band_id, band_sig
+    )""")
+        unioned = "\n    UNION ALL\n    ".join(geo_sqls)
+    return f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM hashed GROUP BY doc_id
+    )
+    {unioned}
+    ORDER BY rows_per_band
+    """
+
+
+@register(
+    "q_dedup_lsh_tuning",
+    oracle=_lsh_tuning_oracle(),
+    tags=("dedup", "minhash", "lsh", "tuning", "llm-pipeline"),
+)
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-geometry tuning report
+    (operators/dedup.py:lsh_tuning_report): for each (bands × rows)
+    tiling of the 16-hash signature, the analytic catch-probability
+    S-curve at four Jaccard levels next to the EMPIRICAL candidate
+    cost on this corpus (Σ C(bucket, 2), bucket count, max bucket) —
+    the "pick the cheapest geometry that still catches your target
+    similarity" table. Signatures computed once; each geometry is one
+    small aggregate over the 16-column signature frame."""
+    from skopje_spark.operators.dedup import lsh_tuning_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_tuning_report(d, "doc_id", "text")

@@ -201,3 +201,35 @@ def test_stream_sink_maintains_index_from_zero(spark, tmp_path):
     q2.awaitTermination()
     out2 = sorted(map(tuple, lsh_index_probe(batch, path).collect()))
     assert out1 == out2
+
+
+def test_tuning_report_monotonicity(spark):
+    """More rows per band → strictly fewer (≤) candidate pairs and a
+    lower catch probability at fixed Jaccard; catch rises in j within
+    one geometry; (16,1) candidates ≥ every other geometry's."""
+    from skopje_spark.operators.dedup import lsh_tuning_report
+
+    docs = _docs(
+        spark,
+        [(i, LOREM if i % 3 == 0 else (OTHER + f" variant {i}")) for i in range(24)],
+    )
+    rep = {r["rows_per_band"]: r for r in lsh_tuning_report(docs).collect()}
+    assert sorted(rep) == [1, 2, 4, 8]
+    for lo, hi in [(1, 2), (2, 4), (4, 8)]:
+        assert rep[lo]["n_candidate_pairs"] >= rep[hi]["n_candidate_pairs"]
+        for j in (30, 50, 70, 90):
+            assert rep[lo][f"catch_at_j{j}"] > rep[hi][f"catch_at_j{j}"]
+    for r in rep.values():
+        assert (
+            r["catch_at_j30"] < r["catch_at_j50"]
+            < r["catch_at_j70"] < r["catch_at_j90"]
+        )
+    # closed form spot check: (16,1) at j is 1-(1-j)^16
+    assert rep[1]["catch_at_j50"] == 1.0 - 0.5**16
+
+
+def test_tuning_report_rejects_bad_geometry(spark):
+    from skopje_spark.operators.dedup import lsh_tuning_report
+
+    with pytest.raises(ValueError, match="tile"):
+        lsh_tuning_report(_docs(spark, [(1, LOREM)]), geometries=((3, 5),))
