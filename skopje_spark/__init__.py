@@ -45,7 +45,7 @@ from skopje_spark.operators.linkage import (
     rrf_fuse,
     sorted_neighborhood_pairs,
 )
-from skopje_spark.operators.quality import psi_drift
+from skopje_spark.operators.quality import psi_drift, psi_drift_binned
 from skopje_spark.operators.sampling import leakage_safe_split
 from skopje_spark.operators.text import bm25_scores
 from skopje_spark.operators.tokenizer import (
@@ -108,6 +108,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "neardup_clusters",
     "psi_drift",
+    "psi_drift_binned",
     "register_views",
     "rrf_fuse",
     "sampled_join_size",

@@ -369,3 +369,55 @@ def psi_drift(
         dround(pb, scale).alias("share_b"),
         dround((pa - pb) * F.log(pa / pb), scale).alias("psi_contrib"),
     )
+
+
+def psi_drift_binned(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    *,
+    n_bins: int = 20,
+    eps: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """:func:`psi_drift` for NUMERIC columns: both sides are bucketed
+    into ``n_bins`` fixed-width bins spanning [min, max] of the UNION,
+    then the categorical PSI machinery runs on the bin ids — the
+    histogram-drift monitor for continuous features (training-serving
+    skew, snapshot-to-snapshot shift).
+
+    Determinism: bin edges derive from exact MIN/MAX aggregates (no
+    quantiles — percentile interpolation differs across engines in the
+    last ulp and would flip edge bins), and bin assignment is pure
+    IEEE-754 arithmetic, so Spark and a SQL oracle bucket identically.
+    The top edge closes into the last bin; a constant column (max ==
+    min) degenerates to one bin, PSI 0. NULLs form their own category
+    via the null-safe machinery underneath.
+
+    Output: one row per occupied bin with both counts, smoothed
+    shares, and the signed PSI contribution — Σ contribution = PSI,
+    same contract as :func:`psi_drift`. Scale: one extra
+    min/max aggregate (broadcast as a 1-row literal frame) on top of
+    psi_drift's two map-side-combined groupBys; bin count bounds every
+    downstream row count."""
+    vals = a.select(F.col(col).alias("__v")).unionByName(
+        b.select(F.col(col).alias("__v"))
+    )
+    bounds = vals.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        d = df.crossJoin(F.broadcast(bounds))
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        raw = F.floor((F.col(col) - F.col("__lo")) / width)
+        bin_id = F.when(F.col(col).isNull(), F.lit(None).cast("bigint")).otherwise(
+            F.when(width == 0, F.lit(0)).otherwise(
+                F.least(raw, F.lit(n_bins - 1))
+            ).cast("bigint")
+        )
+        return d.select(bin_id.alias("__bin"))
+
+    return psi_drift(binned(a), binned(b), "__bin", eps=eps, scale=scale).withColumnRenamed(
+        "category", "bin_id"
+    )

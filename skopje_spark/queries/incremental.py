@@ -325,3 +325,82 @@ def q_ivm_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").cast("double").alias("min_price"),
         F.col("max_price").cast("double").alias("max_price"),
     ).orderBy("o_orderpriority")
+
+
+_PSI_BINNED_ORACLE = f"""
+WITH va AS (
+  SELECT l_extendedprice AS v FROM lineitem WHERE l_shipdate < DATE '1995-07-01'
+),
+vb AS (
+  SELECT l_extendedprice AS v FROM lineitem WHERE l_shipdate >= DATE '1995-07-01'
+),
+bounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi
+  FROM (SELECT v FROM va UNION ALL SELECT v FROM vb)
+),
+ba AS (
+  SELECT CASE WHEN v IS NULL THEN NULL
+              WHEN (hi - lo) / 20.0 = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+         END AS bin_id
+  FROM va CROSS JOIN bounds
+),
+bb AS (
+  SELECT CASE WHEN v IS NULL THEN NULL
+              WHEN (hi - lo) / 20.0 = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+         END AS bin_id
+  FROM vb CROSS JOIN bounds
+),
+ca AS (SELECT bin_id, COUNT(*) AS n_a FROM ba GROUP BY bin_id),
+cb AS (SELECT bin_id, COUNT(*) AS n_b FROM bb GROUP BY bin_id),
+cats AS (
+  SELECT COALESCE(ca.bin_id, cb.bin_id) AS bin_id,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb
+    ON ca.bin_id IS NOT DISTINCT FROM cb.bin_id
+),
+tot AS (
+  SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS k FROM cats
+)
+SELECT bin_id, n_a, n_b,
+       {dround_sql(f'(n_a + {_PSI_EPS}) / (ta + {_PSI_EPS} * k)', 6)} AS share_a,
+       {dround_sql(f'(n_b + {_PSI_EPS}) / (tb + {_PSI_EPS} * k)', 6)} AS share_b,
+       {dround_sql(
+           f'((n_a + {_PSI_EPS}) / (ta + {_PSI_EPS} * k) - (n_b + {_PSI_EPS}) / (tb + {_PSI_EPS} * k))'
+           f' * ln(((n_a + {_PSI_EPS}) / (ta + {_PSI_EPS} * k)) / ((n_b + {_PSI_EPS}) / (tb + {_PSI_EPS} * k)))',
+           6,
+       )} AS psi_contrib
+FROM cats CROSS JOIN tot
+ORDER BY bin_id
+"""
+
+
+@register(
+    "q_drift_psi_binned",
+    oracle=_PSI_BINNED_ORACLE,
+    tags=("drift", "quality", "monitoring", "histogram"),
+)
+def q_drift_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-PSI drift for a NUMERIC column
+    (operators/quality.py:psi_drift_binned): l_extendedprice
+    distribution before vs after a shipdate cut, bucketed into 20
+    fixed-width bins spanning the union's [min, max]. Bin edges come
+    from exact MIN/MAX (never quantiles — cross-engine percentile
+    interpolation differs in the last ulp and would flip edge bins),
+    so Spark and the oracle bucket every row identically.
+
+    Scale: one min/max aggregate broadcast as a 1-row frame, then the
+    categorical-PSI plan on bin ids — bin count (not row count) bounds
+    every post-scan row set."""
+    from skopje_spark.operators.quality import psi_drift_binned
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-07-01").cast("date")
+    return psi_drift_binned(
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+        "l_extendedprice",
+        n_bins=20,
+        eps=_PSI_EPS,
+    ).orderBy("bin_id")

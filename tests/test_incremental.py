@@ -256,3 +256,35 @@ def test_join_advice_plain_shuffle_case(spark, sf_dir):
     assert card["recommendation"] == "shuffle"
     assert card["top_key_share"] < 0.05
     assert card["est_join_size"] > 0
+
+
+def test_psi_binned_identical_and_shifted(spark):
+    """psi_drift_binned: identical numeric distributions give PSI ≈ 0
+    on every bin; a location shift concentrates mass in disjoint bins
+    and produces a large PSI; NULLs form their own category; a
+    constant column degenerates to one bin with zero drift."""
+    from skopje_spark.operators.quality import psi_drift_binned
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    same = psi_drift_binned(a, a, "x", n_bins=10).collect()
+    assert sum(r["psi_contrib"] for r in same) == 0.0
+    assert len(same) == 10
+
+    b = spark.createDataFrame([(float(i) + 80,) for i in range(100)], "x double")
+    shifted = psi_drift_binned(a, b, "x", n_bins=10).collect()
+    psi = sum(r["psi_contrib"] for r in shifted)
+    assert psi > 0.25  # "action" territory on a hard shift
+    # one-sided bins exist on both ends
+    assert any(r["n_b"] == 0 and r["n_a"] > 0 for r in shifted)
+    assert any(r["n_a"] == 0 and r["n_b"] > 0 for r in shifted)
+
+    withnull = spark.createDataFrame(
+        [(1.0,), (None,), (None,)], "x double"
+    )
+    rep = psi_drift_binned(withnull, withnull, "x", n_bins=4).collect()
+    assert any(r["bin_id"] is None and r["n_a"] == 2 for r in rep)
+
+    const = spark.createDataFrame([(5.0,)] * 8, "x double")
+    one = psi_drift_binned(const, const, "x", n_bins=4).collect()
+    assert len(one) == 1 and one[0]["bin_id"] == 0
+    assert one[0]["psi_contrib"] == 0.0
