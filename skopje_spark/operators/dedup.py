@@ -1220,7 +1220,15 @@ def lsh_index_probe(
     _lsh_check_geometry(spark, path)
     n_hashes = len(MINHASH_COEFFS)
 
-    sig_b = minhash_signatures(batch, id_col, text_col)
+    # eager checkpoint: the signature frame feeds BOTH the band
+    # branch and the agreement join, and Spark does not reliably
+    # reuse the aggregate's exchange across them (measured 0
+    # ReusedExchange) — without this the batch text is shingled
+    # twice. The materialized state is 17 narrow columns per batch
+    # document, negligible beside one redundant corpus-text pass.
+    sig_b = minhash_signatures(batch, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     bands_b = band_rows(sig_b, id_col)
     # explicit schema, derived from the sigs table (which persists a
     # schema-bearing file even when empty): an index built on an empty

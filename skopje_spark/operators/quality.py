@@ -379,6 +379,7 @@ def psi_drift_binned(
     n_bins: int = 20,
     eps: float = 0.5,
     scale: int = 6,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """:func:`psi_drift` for NUMERIC columns: both sides are bucketed
     into ``n_bins`` fixed-width bins spanning [min, max] of the UNION,
@@ -397,23 +398,37 @@ def psi_drift_binned(
     Output: one row per occupied bin with both counts, smoothed
     shares, and the signed PSI contribution — Σ contribution = PSI,
     same contract as :func:`psi_drift`. Scale: one extra
-    min/max aggregate (broadcast as a 1-row literal frame) on top of
+    min/max aggregate (broadcast as a 1-row frame) on top of
     psi_drift's two map-side-combined groupBys; bin count bounds every
-    downstream row count."""
-    vals = a.select(F.col(col).alias("__v")).unionByName(
-        b.select(F.col(col).alias("__v"))
-    )
-    bounds = vals.agg(
-        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
-    )
+    downstream row count. Pass explicit ``bounds=(lo, hi)`` when the
+    feature's range is known (the usual monitoring setup) to skip
+    that extra pass entirely — values outside clamp into the edge
+    bins, exactly what a fixed monitoring histogram should do."""
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        if hi < lo:
+            raise ValueError(f"bounds ({lo}, {hi}) are inverted")
+        bframe = a.sparkSession.createDataFrame(
+            [(lo, hi)], "__lo double, __hi double"
+        )
+    else:
+        vals = a.select(F.col(col).alias("__v")).unionByName(
+            b.select(F.col(col).alias("__v"))
+        )
+        bframe = vals.agg(
+            F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+        )
 
     def binned(df: DataFrame) -> DataFrame:
-        d = df.crossJoin(F.broadcast(bounds))
+        d = df.crossJoin(F.broadcast(bframe))
         width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
         raw = F.floor((F.col(col) - F.col("__lo")) / width)
         bin_id = F.when(F.col(col).isNull(), F.lit(None).cast("bigint")).otherwise(
             F.when(width == 0, F.lit(0)).otherwise(
-                F.least(raw, F.lit(n_bins - 1))
+                # greatest() clamps below-range values (possible only
+                # with explicit bounds) into bin 0, least() clamps
+                # above-range into the last bin
+                F.greatest(F.least(raw, F.lit(n_bins - 1)), F.lit(0))
             ).cast("bigint")
         )
         return d.select(bin_id.alias("__bin"))

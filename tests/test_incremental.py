@@ -288,3 +288,22 @@ def test_psi_binned_identical_and_shifted(spark):
     one = psi_drift_binned(const, const, "x", n_bins=4).collect()
     assert len(one) == 1 and one[0]["bin_id"] == 0
     assert one[0]["psi_contrib"] == 0.0
+
+
+def test_psi_binned_explicit_bounds_clamp(spark):
+    """bounds=(lo, hi) skips the union min/max pass and clamps
+    out-of-range values into the edge bins (fixed monitoring
+    histogram); inverted bounds are rejected."""
+    import pytest
+
+    from skopje_spark.operators.quality import psi_drift_binned
+
+    a = spark.createDataFrame([(-5.0,), (2.0,), (50.0,)], "x double")
+    b = spark.createDataFrame([(2.0,), (2.0,), (2.0,)], "x double")
+    rep = {r["bin_id"]: r for r in
+           psi_drift_binned(a, b, "x", n_bins=4, bounds=(0.0, 8.0)).collect()}
+    assert rep[0]["n_a"] == 1   # -5 clamped into bin 0
+    assert rep[3]["n_a"] == 1   # 50 clamped into last bin
+    assert rep[1]["n_a"] == 1 and rep[1]["n_b"] == 3  # 2.0 in [2,4)
+    with pytest.raises(ValueError, match="inverted"):
+        psi_drift_binned(a, b, "x", bounds=(8.0, 0.0))
