@@ -58,6 +58,7 @@ from skopje_spark.operators.tokenizer import (
 from skopje_spark.operators.similarity import (
     blocked_neardup_pairs,
     cosine_topk,
+    ivf_index_stream_sink,
     ivf_topk,
 )
 from skopje_spark.pipeline import Pipeline
@@ -89,6 +90,7 @@ __all__ = [
     "dup_span_trim",
     "fuzzy_pairs_blocked",
     "get_spark",
+    "ivf_index_stream_sink",
     "ivf_topk",
     "ivm_apply",
     "ivm_build",

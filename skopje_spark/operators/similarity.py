@@ -766,3 +766,98 @@ def ann_probe_report(
         "mean_files_read double, mean_rows_scanned double, "
         "frac_rows_scanned double",
     )
+
+
+def ivf_index_stream_sink(
+    stream_df,
+    path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    on_batch=None,
+):
+    """Continuous ANN-index ingestion: every micro-batch of new
+    vectors is appended to a persisted IVF index
+    (:func:`ivf_index_append` — frozen centroids, no re-quantize), so
+    :func:`ivf_index_topk` always searches everything ingested so far.
+    The vector-space twin of the LSH crawl gate
+    (operators/dedup.py:lsh_index_stream_sink).
+
+    Exactly-once needs a LEDGER here, unlike the LSH sink: appended
+    vector rows are not read-side dedupable (a replayed batch would
+    double its vectors in the probed cells and skew top-k). Each
+    applied batch id is recorded in ``path/_batch_ledger`` scoped by
+    the checkpoint's incarnation id (same (appId, version) idea as
+    the versioned store's stream MERGE); a replayed batch id is
+    skipped whole. Ledger write follows the data append — a crash
+    between the two replays the batch, whose re-append lands AFTER
+    the crash left it half-applied... so the append itself must be
+    atomic-per-batch: parquet's _temporary staging gives task-level
+    atomicity and the ledger commit is the batch-level marker —
+    readers between crash and retry may see a partial batch (ANN
+    results are approximate by contract; the retry completes it, and
+    the ledger guarantees no double-count past that point).
+
+    Scope caveat (same as the sketch sinks' ledgers): protection is
+    per-incarnation — restarting the job with a FRESH checkpoint
+    renumbers batches and re-appends everything. Keep the checkpoint
+    with the index; a deliberate reprocess needs a rebuild
+    (:func:`ivf_index_write`) first.
+
+    ``on_batch(summary_dict)`` receives each applied batch's
+    :func:`ivf_index_append` summary — wire it to alerting on
+    ``staleness_drop`` to know when to rebuild."""
+    from skopje_spark.sinks.versioned import stream_incarnation_id
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    stream_id = stream_incarnation_id(checkpoint)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        ivf_apply_stream_batch(
+            path, batch_df, batch_id, stream_id,
+            id_col=id_col, vec_col=vec_col, on_batch=on_batch,
+        )
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )
+
+
+def ivf_apply_stream_batch(
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_batch=None,
+) -> bool:
+    """One ledgered index append (the foreachBatch body of
+    :func:`ivf_index_stream_sink`, exposed so replay semantics are
+    directly unit-testable): append the batch unless
+    ``(stream_id, batch_id)`` is already in the ledger. Returns
+    whether the batch was freshly applied."""
+    import os as _os
+
+    spark = batch_df.sparkSession
+    ledger = f"{path}/_batch_ledger"
+    if _os.path.isdir(ledger):
+        applied = {
+            (r["stream_id"], r["batch_id"])
+            for r in spark.read.parquet(ledger).collect()
+        }
+        if (stream_id, batch_id) in applied:
+            return False
+    batch = batch_df.select(id_col, vec_col)
+    if batch.isEmpty():
+        return False
+    summary = ivf_index_append(batch, path, id_col=id_col, vec_col=vec_col)
+    spark.createDataFrame(
+        [(stream_id, int(batch_id))], "stream_id string, batch_id long"
+    ).write.mode("append").parquet(ledger)
+    if on_batch is not None:
+        on_batch(dict(summary, batch_id=batch_id))
+    return True

@@ -1352,3 +1352,105 @@ def test_dup_span_trim_scope_all_collapses_intra_doc_repeats(spark):
 
     with _pytest.raises(ValueError, match="scope"):
         dup_span_trim(df, "doc_id", "text", n=3, scope="bogus")
+
+
+def test_ivf_stream_sink_ledger_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming IVF ingestion (similarity.ivf_apply_stream_batch /
+    ivf_index_stream_sink): batches append through a per-incarnation
+    ledger; a replayed batch id is skipped whole (no double-counted
+    vectors), a new batch id lands, and the streamed vectors become
+    searchable via the persisted index."""
+    from skopje_spark.operators.similarity import (
+        ivf_apply_stream_batch,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter("vec_id % 2 = 0")
+    path = str(tmp_path / "ivfidx")
+    ivf_index_write(base, path, k=4, iters=2)
+    n0 = spark.read.parquet(f"{path}/vectors").count()
+
+    batch1 = e.filter("vec_id % 2 = 1").limit(20)
+    summaries = []
+    assert ivf_apply_stream_batch(
+        path, batch1, 0, "streamA", on_batch=summaries.append
+    )
+    n1 = spark.read.parquet(f"{path}/vectors").count()
+    assert n1 == n0 + 20 and summaries[0]["n_appended"] == 20
+
+    # replay of batch 0: skipped whole, vector count unchanged
+    assert not ivf_apply_stream_batch(
+        path, batch1, 0, "streamA", on_batch=summaries.append
+    )
+    assert spark.read.parquet(f"{path}/vectors").count() == n1
+    assert len(summaries) == 1
+
+    # a different incarnation's batch 0 is a DIFFERENT ledger key
+    batch2 = e.filter("vec_id % 2 = 1").orderBy("vec_id").limit(5)
+    assert ivf_apply_stream_batch(path, batch2, 0, "streamB")
+    assert spark.read.parquet(f"{path}/vectors").count() == n1 + 5
+
+    # a streamed vector is findable: querying with an appended vector
+    # must return itself as the top hit (cos = 1)
+    q = e.filter("vec_id % 2 = 1").orderBy("vec_id").limit(1)
+    qid = q.collect()[0]["vec_id"]
+    top = ivf_index_topk(spark, path, q, n_probe=2, k=3).collect()
+    assert top[0]["vec_id"] == qid
+
+
+def test_ivf_stream_sink_end_to_end(spark, tmp_path):
+    """The writeStream wiring itself: vectors streamed from json files
+    land in the index exactly once under availableNow."""
+    import json
+    import os as _os
+    import time as _time
+
+    from skopje_spark.operators.similarity import (
+        ivf_index_stream_sink,
+        ivf_index_write,
+    )
+    from skopje_spark.streaming.streams import file_stream
+
+    dim = 4
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, float(i % 2)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    ivf_index_write(base, path, k=2, iters=2)
+    n0 = spark.read.parquet(f"{path}/vectors").count()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+    for b in range(2):
+        f = src / f"b{b}.json"
+        rows = [
+            {"vec_id": 100 + b * 10 + i, "embedding": [0.1 * i, 1.0, 0.5, 0.2]}
+            for i in range(10)
+        ]
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        _os.utime(f, (now - (2 - b) * 10, now - (2 - b) * 10))
+
+    stream = file_stream(
+        spark, str(src), schema="vec_id long, embedding array<double>",
+        max_files_per_trigger=1,
+    )
+    q = ivf_index_stream_sink(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert spark.read.parquet(f"{path}/vectors").count() == n0 + 20
+    ledger = spark.read.parquet(f"{path}/_batch_ledger")
+    assert ledger.count() == 2
+
+    # restart on the SAME checkpoint: offsets already committed, no
+    # re-append, count stable
+    stream2 = file_stream(
+        spark, str(src), schema="vec_id long, embedding array<double>",
+        max_files_per_trigger=1,
+    )
+    q2 = ivf_index_stream_sink(stream2, path, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{path}/vectors").count() == n0 + 20
