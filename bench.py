@@ -86,6 +86,14 @@ HEADLINE = [
     "q_ivm_agg_update",
     "q_retrieval_rrf",
     "q_join_size_est_only",
+    # round-7 continuation: the crawl-ingest near-dup gate and the
+    # event-sequence transition matrix. q_dedup_lsh_index_probe is
+    # excluded like the other persisted-index queries (its timing is
+    # dominated by the build+append index writes); the bench-only
+    # q_lsh_probe_only times the recurring probe over a prebuilt
+    # index — the per-ingest production cost.
+    "q_lsh_probe_only",
+    "q_event_transitions",
 ]
 
 
@@ -117,6 +125,28 @@ def _pq_adc_query(spark, sf_dir):
 
 
 _BPE_CACHE: dict = {}
+_LSH_CACHE: dict = {}
+
+
+def _lsh_probe_only(spark, sf_dir):
+    """Bench-only: the LSH index PROBE path alone. The even-id corpus
+    index is built once per sf_dir (the build-once artifact a crawl
+    deployment persists); timed passes measure what every ingest pays:
+    shingle the batch, band-join against the index, verify signature
+    agreement."""
+    import tempfile
+
+    from skopje_spark.operators.dedup import lsh_index_probe, lsh_index_write
+    from skopje_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _LSH_CACHE:
+        path = tempfile.mkdtemp(prefix="skopje_bench_lsh_")
+        lsh_index_write(d.filter("doc_id % 2 = 0"), path)
+        _LSH_CACHE[sf_dir] = path
+    return lsh_index_probe(
+        d.filter("doc_id % 2 = 1"), _LSH_CACHE[sf_dir], threshold=0.5
+    )
 
 
 def _bpe_encode_count(spark, sf_dir):
@@ -158,6 +188,7 @@ def _bench_only():
         "q_pq_adc_query": _pq_adc_query,
         "q_bpe_encode_count": _bpe_encode_count,
         "q_join_size_est_only": _join_size_est_only,
+        "q_lsh_probe_only": _lsh_probe_only,
     }
 
 

@@ -337,3 +337,39 @@ def test_fuzzy_match_no_cartesian_and_codegen(spark, sf_dir):
     assert strats and "CartesianProduct" not in strats
     assert has_codegen(df)
     assert "pythonUDF" not in plan_text(df)
+
+
+def test_lsh_probe_recurring_plan_reads_no_text(spark, tmp_path):
+    """The persisted-LSH probe's RETURNED plan — the per-ingest
+    recurring cost — must touch only the index's narrow band/sig
+    tables: no document text column in any scan schema (the batch is
+    shingled exactly once, at probe-call time, into a checkpoint), and
+    no CartesianProduct."""
+    from skopje_spark.operators.dedup import lsh_index_probe, lsh_index_write
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated words number {i} " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    lsh_index_write(docs.filter("doc_id % 2 = 0"), path)
+    probe = lsh_index_probe(docs.filter("doc_id % 2 = 1"), path)
+    p = plan_text(probe)
+    assert "CartesianProduct" not in p
+    for schema in scan_schemas(probe):
+        assert "text" not in schema, f"corpus text read on probe path: {schema}"
+
+
+def test_lsh_tuning_report_is_pure_aggregation(spark):
+    """The geometry sweep must contain no join operator at all — each
+    geometry is one bucket aggregate over the (checkpointed) signature
+    frame, unioned."""
+    from skopje_spark.operators.dedup import lsh_tuning_report
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i} with shared phrases " * 3) for i in range(12)],
+        "doc_id long, text string",
+    )
+    rep = lsh_tuning_report(docs)
+    assert join_strategies(rep) == []
+    assert "CartesianProduct" not in plan_text(rep)
