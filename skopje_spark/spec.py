@@ -139,6 +139,12 @@ def _op_registry() -> dict:
         return fn
 
     from skopje_spark.operators.tokenizer import bpe_encode, token_count_bpe
+    from skopje_spark.operators.quality import psi_drift_binned
+
+    def _lsh_probe_op(df, *, path, **kw):
+        from skopje_spark.operators.dedup import lsh_index_probe
+
+        return lsh_index_probe(df, path, **kw)
 
     return {
         "token_count_bpe": (1, _with_bpe(token_count_bpe)),
@@ -155,6 +161,10 @@ def _op_registry() -> dict:
         "mixture_sample": (1, mixture_sample),
         "contamination_report": (2, contamination_report),
         "bloom_anti_join": (2, bloom_anti_join),
+        # persisted-index probe: the index is its on-disk artifact
+        # (lsh_index_write), addressed by path like the BPE model
+        "lsh_index_probe": (1, _lsh_probe_op),
+        "psi_drift_binned": (2, psi_drift_binned),
     }
 
 

@@ -461,3 +461,51 @@ def test_pipeline_spec_versioned_batch_sink(spark, tmp_path):
     pipeline_from_spec(spec).run(spark)  # same rows -> merge, not append
     assert latest_version(table) == 1
     assert versioned_read(spark, table).count() == n0
+
+
+def test_pipeline_spec_lsh_probe_and_numeric_drift(spark, sf_dir, tmp_path):
+    """Declarative crawl gate + drift monitor: lsh_index_probe op
+    addresses a persisted index by path (like the BPE model artifact);
+    psi_drift_binned is a two-dep op. Both match direct operator
+    calls."""
+    from skopje_spark.operators.dedup import lsh_index_probe, lsh_index_write
+    from skopje_spark.operators.quality import psi_drift_binned
+    from skopje_spark.spec import pipeline_from_spec
+    from skopje_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    lsh_index_write(d.filter("doc_id % 2 = 0"), idx)
+
+    spec = {
+        "name": "crawl-gate",
+        "nodes": [
+            {"name": "docs", "kind": "source", "format": "parquet",
+             "path": "${sf_dir}/documents.parquet"},
+            {"name": "batch", "kind": "transform", "deps": ["docs"],
+             "sql": "SELECT * FROM docs WHERE doc_id % 2 = 1"},
+            {"name": "hits", "kind": "transform", "deps": ["batch"],
+             "op": "lsh_index_probe",
+             "args": {"path": idx, "threshold": 0.5}},
+            {"name": "old", "kind": "transform", "deps": ["docs"],
+             "sql": "SELECT n_chars FROM docs WHERE doc_id % 2 = 0"},
+            {"name": "new", "kind": "transform", "deps": ["docs"],
+             "sql": "SELECT n_chars FROM docs WHERE doc_id % 2 = 1"},
+            {"name": "drift", "kind": "transform", "deps": ["old", "new"],
+             "op": "psi_drift_binned", "args": {"col": "n_chars", "n_bins": 8}},
+        ],
+    }
+    res = pipeline_from_spec(spec).run(spark, conf={"sf_dir": sf_dir})
+
+    want_hits = lsh_index_probe(d.filter("doc_id % 2 = 1"), idx, threshold=0.5)
+    assert sorted(map(tuple, res["hits"].collect())) == sorted(
+        map(tuple, want_hits.collect())
+    )
+    want_drift = psi_drift_binned(
+        d.filter("doc_id % 2 = 0").select("n_chars"),
+        d.filter("doc_id % 2 = 1").select("n_chars"),
+        "n_chars", n_bins=8,
+    )
+    assert sorted(map(tuple, res["drift"].collect())) == sorted(
+        map(tuple, want_drift.collect())
+    )
