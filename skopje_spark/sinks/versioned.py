@@ -556,12 +556,22 @@ def versioned_compact(
     *,
     target_files: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    guarded: bool = False,
 ) -> int:
     """Small-file compaction as a commit: rewrite the committed latest
     snapshot into fewer, right-sized files and commit the result as
     the next version (markers ``op=compact``, ``source_version``).
     Content-identical by construction; history (and any pinned
     readers) untouched — compaction is just another snapshot.
+
+    ``guarded=True`` commits with compare-and-swap on the source
+    version — REQUIRED whenever writers may run concurrently: an
+    unguarded compactor that reads v, rewrites, and commits after
+    another writer landed v+1 would publish a snapshot that silently
+    DROPS that writer's rows (the classic compaction/ingest race).
+    Under the guard the compactor loses the race loudly
+    (:class:`CommitConflict`) and can simply re-run against the new
+    latest; the default stays unguarded for single-writer pipelines.
 
     Sizing: ``target_files`` wins if given; otherwise
     ceil(snapshot bytes / ``target_file_bytes``). The rewrite uses
@@ -600,6 +610,8 @@ def versioned_compact(
         if f.startswith("_meta_")
     }
     meta.update({"op": "compact", "source_version": str(v)})
+    if guarded:
+        return versioned_write(out, path, meta=meta, expected_version=v)
     return versioned_write(out, path, meta=meta)
 
 

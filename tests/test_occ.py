@@ -157,3 +157,31 @@ def test_schema_evolution_opt_in(spark, tmp_path):
     versioned_merge_concurrent(spark, path, wider, ["k"], evolve_schema=True)
     rows = {r["k"]: r for r in versioned_read(spark, path).collect()}
     assert rows[4]["tag"] == "x" and rows[1]["tag"] is None
+
+
+def test_guarded_compaction_loses_race_loudly(spark, tmp_path):
+    """The compaction/ingest race: an unguarded compactor that read v0
+    would overwrite a merge that landed v1 (dropping its rows);
+    guarded=True turns that silent data loss into a CommitConflict,
+    and a re-run against the new latest preserves everything."""
+    from skopje_spark.sinks.versioned import versioned_compact, versioned_upsert
+
+    path = str(tmp_path / "t")
+    versioned_write(
+        _df(spark, [(i, f"v{i}") for i in range(50)]).repartition(8), path
+    )
+
+    # simulate the race: a merge lands AFTER the compactor resolved v0
+    # but BEFORE its commit — with the guard the stale commit must fail.
+    # (Interleave by hand: upsert first, then attempt a guarded commit
+    # carrying expected_version=0 the way the compactor would.)
+    versioned_upsert(spark, path, _df(spark, [(999, "landed")]), ["k"])
+    stale = versioned_read(spark, path, version=0).coalesce(1)
+    with pytest.raises(CommitConflict):
+        versioned_write(stale, path, expected_version=0)
+    assert any(r["k"] == 999 for r in versioned_read(spark, path).collect())
+
+    # the re-run path: guarded compaction against the current latest
+    v = versioned_compact(spark, path, target_files=1, guarded=True)
+    got = versioned_read(spark, path, version=v)
+    assert got.count() == 51 and any(r["k"] == 999 for r in got.collect())
