@@ -404,3 +404,77 @@ def q_drift_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bins=20,
         eps=_PSI_EPS,
     ).orderBy("bin_id")
+
+
+@register(
+    "q_merge_concurrent",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 40 IN (0, 1, 2, 3)
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+           CASE WHEN o_orderkey % 40 IN (0, 1, 2, 3)
+                THEN 'updated' ELSE 'base' END AS tag,
+           5 AS n_versions
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "occ", "concurrency", "merge"),
+)
+def q_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency under the driver gate
+    (sinks/versioned.py:versioned_merge_concurrent): FOUR racing
+    writer threads each MERGE a disjoint key slice (doubled price,
+    'updated' tag) into a versioned orders table through the CAS
+    retry loop. Disjoint keys make the final content deterministic
+    whatever order the races resolve, and the emitted ``n_versions``
+    pins that every writer landed as its OWN commit (base + 4 — a
+    lost update or a writer piggybacking another's commit would
+    change it). The oracle recomputes the expected final table from
+    orders directly; hash equality proves no row was lost, doubled,
+    or torn by the races.
+
+    Scale: each commit is copy-on-write + an O(1) metadata CAS —
+    writers serialize on the version check, never on data transfer."""
+    import atexit
+    import shutil
+    import tempfile
+    import threading
+
+    from skopje_spark.sinks.versioned import (
+        latest_version,
+        versioned_merge_concurrent,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("base").alias("tag"),
+    )
+    path = tempfile.mkdtemp(prefix="skopje_occ_merge_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o, path)
+
+    def worker(i: int) -> None:
+        upd = o.filter(F.col("o_orderkey") % 40 == i).select(
+            "o_orderkey",
+            (F.col("price") * 2).alias("price"),
+            F.lit("updated").alias("tag"),
+        )
+        versioned_merge_concurrent(
+            spark, path, upd, ["o_orderkey"], max_retries=16, backoff_s=0.05
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    n_versions = latest_version(path) + 1
+    return (
+        versioned_read(spark, path)
+        .withColumn("n_versions", F.lit(n_versions))
+        .orderBy("o_orderkey")
+    )
