@@ -66,6 +66,7 @@ from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
     versioned_compact,
+    versioned_history,
     versioned_merge_concurrent,
     versioned_ivm_view,
     versioned_stream_materialized_view,
@@ -123,6 +124,7 @@ __all__ = [
     "token_count_bpe",
     "CommitConflict",
     "versioned_compact",
+    "versioned_history",
     "versioned_merge_concurrent",
     "versioned_ivm_view",
     "versioned_stream_materialized_view",

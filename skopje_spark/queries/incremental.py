@@ -478,3 +478,60 @@ def q_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_versions", F.lit(n_versions))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_history",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT 0 AS version, FALSE AS is_latest, c AS n_rows, '' AS op FROM n
+    UNION ALL
+    SELECT 1, FALSE, c, '' FROM n
+    UNION ALL
+    SELECT 2, TRUE, c, 'compact' FROM n
+    ORDER BY version
+    """,
+    tags=("versioned", "history", "lakeops"),
+)
+def q_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-history introspection (sinks/versioned.py:
+    versioned_history — the DESCRIBE HISTORY surface): build a
+    three-commit table (initial write → key-preserving upsert →
+    compaction) and read its history with metadata-only row counts
+    and commit markers. The oracle pins the full lifecycle: version
+    numbering, latest flag, per-version row counts (the upsert
+    touches only existing keys, so counts stay flat), and the
+    compaction marker — drift in any commit-protocol detail breaks
+    the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_compact,
+        versioned_history,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_vhist_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.filter("o_orderkey % 4 = 0"), path)
+    upd = o.filter("o_orderkey % 8 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"])
+    versioned_compact(spark, path, target_files=1)
+
+    h = versioned_history(spark, path, with_counts=True)
+    return h.select(
+        "version",
+        "is_latest",
+        "n_rows",
+        F.coalesce(
+            F.get_json_object("meta", "$.op"), F.lit("")
+        ).alias("op"),
+    ).orderBy("version")

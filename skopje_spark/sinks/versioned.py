@@ -780,3 +780,51 @@ def versioned_stream_materialized_view(
         available_now=available_now,
         on_commit=refresh,
     )
+
+
+def versioned_history(
+    spark: SparkSession, path: str, *, with_counts: bool = False
+) -> DataFrame:
+    """Commit history of a versioned table as a DataFrame — the
+    DESCRIBE HISTORY surface: one row per COMMITTED version with its
+    file count, byte size, and commit markers (JSON-encoded, sorted
+    keys). Uncommitted residue (crashed writers past the pointer) is
+    excluded, exactly as readers exclude it.
+
+    ``with_counts=True`` adds ``n_rows`` — one metadata-only count per
+    retained version (parquet footer statistics, no data read; still
+    O(retained versions) jobs, which vacuum retention bounds).
+
+    Everything else is driver-side directory metadata — O(retained
+    versions) file stats, no Spark job."""
+    import json
+
+    committed = latest_version(path)
+    rows = []
+    for v in _versions(path):
+        if committed is None or v > committed:
+            continue
+        snap = os.path.join(path, f"v={v}")
+        files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(snap, f)) for f in files)
+        meta = {
+            f[len("_meta_"):]: open(os.path.join(snap, f)).read()
+            for f in os.listdir(snap)
+            if f.startswith("_meta_")
+        }
+        rows.append(
+            (v, v == committed, len(files), nbytes,
+             json.dumps(meta, sort_keys=True))
+        )
+    out = spark.createDataFrame(
+        rows,
+        "version int, is_latest boolean, n_files int, n_bytes long, meta string",
+    )
+    if with_counts:
+        counts = [
+            (r[0], versioned_read(spark, path, version=r[0]).count())
+            for r in rows
+        ]
+        cdf = spark.createDataFrame(counts, "version int, n_rows long")
+        out = out.join(cdf, "version")
+    return out.orderBy("version")

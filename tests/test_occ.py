@@ -185,3 +185,28 @@ def test_guarded_compaction_loses_race_loudly(spark, tmp_path):
     v = versioned_compact(spark, path, target_files=1, guarded=True)
     got = versioned_read(spark, path, version=v)
     assert got.count() == 51 and any(r["k"] == 999 for r in got.collect())
+
+
+def test_versioned_history_surface(spark, tmp_path):
+    """versioned_history: committed versions only (crash residue
+    excluded), latest flagged, byte/file metadata present, counts on
+    demand, markers JSON-sorted."""
+    import json
+    import os as _os
+
+    from skopje_spark.sinks.versioned import versioned_history
+
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a"), (2, "b")]), path)
+    versioned_write(_df(spark, [(1, "a")]), path, meta={"op": "shrink", "z": "1"})
+    # crash residue past the pointer: must not appear in history
+    _os.makedirs(_os.path.join(path, "v=9"))
+    h = versioned_history(spark, path, with_counts=True).collect()
+    assert [r["version"] for r in h] == [0, 1]
+    assert [r["is_latest"] for r in h] == [False, True]
+    assert [r["n_rows"] for r in h] == [2, 1]
+    assert all(r["n_files"] >= 1 and r["n_bytes"] > 0 for r in h)
+    assert json.loads(h[1]["meta"]) == {"op": "shrink", "z": "1"}
+    # without counts: no job-per-version, no n_rows column
+    h2 = versioned_history(spark, path)
+    assert "n_rows" not in h2.columns
