@@ -24,6 +24,7 @@ from skopje_spark.operators.asof import asof_join
 from skopje_spark.operators.cdc import apply_changes, scd2_apply, snapshot_diff
 from skopje_spark.operators.dedup import (
     contamination_report,
+    crawl_ingest_stream,
     dedup_exact,
     dup_span_trim,
     jaccard_pairs,
@@ -84,6 +85,7 @@ __all__ = [
     "bpe_encode",
     "bpe_train",
     "contamination_report",
+    "crawl_ingest_stream",
     "convert_date",
     "convert_timestamp",
     "cosine_topk",

@@ -1402,3 +1402,84 @@ def lsh_tuning_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("rows_per_band")
+
+
+def crawl_ingest_stream(
+    stream_df,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """The full deduplicating crawl-ingest loop as one streaming sink:
+    per micro-batch, (1) probe the batch against the persisted corpus
+    index, (2) keep only NOVEL documents (no near-dup in anything
+    ingested before them), (3) append the novel documents to the
+    output table AND to the index — so every later batch is screened
+    against them too. This is the composition the persisted LSH index
+    exists for: a crawl that never re-reads its own history yet never
+    stores the same content twice (near-dup-wise).
+
+    Exactly-once: the novel-document output is NOT read-side
+    dedupable (unlike index rows), so batches are LEDGERED —
+    ``out_path/_batch_ledger`` records (incarnation, batch_id) AFTER
+    both writes; a replayed ledgered batch is skipped whole. The
+    ledger-last ordering means a crash mid-batch replays it: the
+    index append is read-side idempotent, and the output append is
+    guarded by the ledger... with one torn window (output landed,
+    ledger didn't) resolved by writing the output idempotently — the
+    batch's output files are staged under a per-batch subdirectory
+    ``batch=<incarnation>-<id>`` and rewritten with mode=overwrite on
+    replay, so the retry replaces rather than duplicates.
+
+    Scope notes: batch-INTERNAL near-dups both pass (they arrive
+    together; run a normal pair sweep inside the batch first if that
+    matters). Protection is per-incarnation, like every ledgered sink
+    here: keep the checkpoint with the output.
+
+    Read the output with ``spark.read.parquet(out_path + "/data")``
+    (hive-partitioned by the batch subdirectory)."""
+    from skopje_spark.sinks.versioned import stream_incarnation_id
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    stream_id = stream_incarnation_id(checkpoint)
+    ledger = f"{out_path}/_batch_ledger"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark = batch_df.sparkSession
+        if _os.path.isdir(ledger):
+            applied = {
+                (r["stream_id"], r["batch_id"])
+                for r in spark.read.parquet(ledger).collect()
+            }
+            if (stream_id, batch_id) in applied:
+                return
+        batch = batch_df.select(id_col, text_col)
+        if batch.isEmpty():
+            return
+        hits = lsh_index_probe(
+            batch, index_path, id_col=id_col, text_col=text_col,
+            threshold=threshold,
+        )
+        novel = batch.join(
+            hits.select(id_col).distinct(), id_col, "left_anti"
+        )
+        # per-batch overwrite directory: a replay of a torn batch
+        # REPLACES its own output instead of appending a duplicate
+        novel.write.mode("overwrite").parquet(
+            f"{out_path}/data/batch={stream_id}-{batch_id}"
+        )
+        lsh_index_append(novel, index_path, id_col=id_col, text_col=text_col)
+        spark.createDataFrame(
+            [(stream_id, int(batch_id))], "stream_id string, batch_id long"
+        ).write.mode("append").parquet(ledger)
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, write_batch, available_now=available_now
+    )

@@ -233,3 +233,67 @@ def test_tuning_report_rejects_bad_geometry(spark):
 
     with pytest.raises(ValueError, match="tile"):
         lsh_tuning_report(_docs(spark, [(1, LOREM)]), geometries=((3, 5),))
+
+
+def test_crawl_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """The full crawl loop (dedup.crawl_ingest_stream): batch 2's
+    near-dup of a batch-1 document is dropped because batch 1's novel
+    docs entered the index before batch 2 was screened; novel docs
+    land in the output exactly once, and a full fresh-checkpoint
+    replay... stays per-incarnation (documented) — but a same-
+    checkpoint restart reprocesses nothing and the per-batch overwrite
+    directories make torn-batch retries replace, not duplicate."""
+    import json
+    import os
+    import time
+
+    from skopje_spark.operators.dedup import (
+        crawl_ingest_stream,
+        lsh_index_write,
+    )
+    from skopje_spark.streaming.streams import file_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, LOREM), (2, OTHER)],
+        [(3, LOREM.replace("lazy dog", "sleepy dog")),  # near-dup of 1
+         (4, "genuinely new content about tide pools and " * 4)],
+        [(5, OTHER + " tiny tail"),                      # near-dup of 2
+         (6, LOREM)],                                    # near-dup of 1
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.json"
+        f.write_text(
+            "\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows) + "\n"
+        )
+        os.utime(f, (now - (3 - i) * 10, now - (3 - i) * 10))
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    lsh_index_write(
+        spark.createDataFrame([], "doc_id long, text string"), idx
+    )
+    stream = file_stream(
+        spark, str(src), schema="doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q = crawl_ingest_stream(stream, idx, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/data").collect()}
+    assert kept == {1, 2, 4}, f"expected novel docs only, got {kept}"
+    ledger = spark.read.parquet(f"{out}/_batch_ledger")
+    assert ledger.count() == 3
+
+    # same-checkpoint restart: nothing reprocessed, output unchanged
+    stream2 = file_stream(
+        spark, str(src), schema="doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q2 = crawl_ingest_stream(stream2, idx, out, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out}/data").collect()}
+    assert kept2 == kept
+    assert spark.read.parquet(f"{out}/_batch_ledger").count() == 3
