@@ -1038,3 +1038,132 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return lsh_tuning_report(d, "doc_id", "text")
+
+
+def _crawl_ingest_oracle(threshold: float = 0.5) -> str:
+    """Sequential-novelty recursion, unrolled for 3 batches: doc d in
+    batch i survives iff NO SURVIVOR of an earlier batch is an LSH hit
+    (shares a band AND signature agreement ≥ threshold). Mirrors the
+    streaming loop exactly: the index only ever receives novel docs,
+    so novelty is defined against survivors, not against everything."""
+    mins = ",\n      ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    n_hashes = len(MINHASH_COEFFS)
+    rows = n_hashes // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh{band * rows + j}" for j in range(rows)]
+        bsig = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band_id, {bsig} AS band_sig FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    match = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    min_match = int(threshold * n_hashes)
+    return f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    hitpairs AS (
+      -- LSH hits over the whole universe: share a band AND agree on
+      -- >= {min_match}/{n_hashes} signature rows
+      SELECT DISTINCT p.doc_id AS new_id, c.doc_id AS old_id
+      FROM bands p JOIN bands c USING (band_id, band_sig)
+      JOIN sig a ON a.doc_id = p.doc_id
+      JOIN sig b ON b.doc_id = c.doc_id
+      WHERE p.doc_id <> c.doc_id AND ({match}) >= {min_match}
+    ),
+    kept0 AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    ),
+    kept1 AS (
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id % 3 = 1 AND NOT EXISTS (
+        SELECT 1 FROM hitpairs h JOIN kept0 k ON h.old_id = k.doc_id
+        WHERE h.new_id = d.doc_id)
+    ),
+    kept2 AS (
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id % 3 = 2 AND NOT EXISTS (
+        SELECT 1 FROM hitpairs h
+        WHERE h.new_id = d.doc_id AND h.old_id IN (
+          SELECT doc_id FROM kept0 UNION ALL SELECT doc_id FROM kept1))
+    )
+    SELECT doc_id FROM kept0
+    UNION ALL SELECT doc_id FROM kept1
+    UNION ALL SELECT doc_id FROM kept2
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_crawl_ingest_loop",
+    oracle=_crawl_ingest_oracle(),
+    tags=("dedup", "lsh", "streaming", "crawl", "llm-pipeline"),
+)
+def q_crawl_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END deduplicating crawl loop under the driver gate
+    (operators/dedup.py:crawl_ingest_stream): documents split into 3
+    micro-batches by ``doc_id % 3``, streamed in order through the
+    probe → keep-novel → append loop against an initially empty
+    index. Returned: the surviving doc_ids. The oracle recomputes the
+    SEQUENTIAL novelty recursion in SQL (unrolled 3 levels): a doc
+    survives iff no SURVIVOR of an earlier batch shares an LSH band
+    with ≥ 8/16 signature agreement — the exact semantics of
+    appending only novel docs to the index. Hash equality pins the
+    whole streaming protocol: batch ordering, probe correctness,
+    index growth, and the ledgered exactly-once output."""
+    import atexit
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from skopje_spark.operators.dedup import (
+        crawl_ingest_stream,
+        lsh_index_write,
+    )
+    from skopje_spark.streaming.streams import file_stream
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="skopje_crawl_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    rows = d.collect()
+    for i in range(3):
+        fp = os.path.join(src, f"b{i}.json")
+        with open(fp, "w") as f:
+            for r in rows:
+                if r["doc_id"] % 3 == i:
+                    f.write(json.dumps(
+                        {"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        os.utime(fp, (now - (3 - i) * 10, now - (3 - i) * 10))
+
+    idx = os.path.join(work, "idx")
+    out = os.path.join(work, "out")
+    lsh_index_write(
+        spark.createDataFrame([], "doc_id long, text string"), idx
+    )
+    stream = file_stream(
+        spark, src, schema="doc_id long, text string", max_files_per_trigger=1
+    )
+    q = crawl_ingest_stream(
+        stream, idx, out, os.path.join(work, "ckpt"), threshold=0.5
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out}/data").select("doc_id").orderBy("doc_id")
+    )
