@@ -535,3 +535,62 @@ def q_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("meta", "$.op"), F.lit("")
         ).alias("op"),
     ).orderBy("version")
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0),
+    scored AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 0)
+    SELECT b.o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN 'scored' ELSE 'plain' END AS tier,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                THEN CAST(s.o_orderkey % 100 AS DOUBLE) END AS score,
+           2 AS v0_cols, 3 AS v1_cols
+    FROM base b LEFT JOIN scored s ON b.o_orderkey = s.o_orderkey
+    ORDER BY b.o_orderkey
+    """,
+    tags=("versioned", "schema-evolution", "lakeops"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the driver gate
+    (sinks/versioned.py:versioned_upsert(evolve_schema=True)): commit
+    a 2-column base, then upsert a 3-column slice (new ``score``) —
+    the kept rows must NULL-backfill, the updated rows must carry
+    their score, and TIME TRAVEL must serve each version its OWN
+    column count (emitted as ``v0_cols``/``v1_cols``, read back from
+    the pinned snapshots — a reader of history never sees columns
+    from the future). The oracle recomputes the expected final frame
+    and the schema widths from orders directly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="skopje_evolve_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    base = o.filter("o_orderkey % 4 = 0").withColumn(
+        "tier", F.lit("plain")
+    )
+    versioned_write(base, path)
+    upd = o.filter("o_orderkey % 8 = 0").select(
+        "o_orderkey",
+        F.lit("scored").alias("tier"),
+        (F.col("o_orderkey") % 100).cast("double").alias("score"),
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"], evolve_schema=True)
+
+    v0_cols = len(versioned_read(spark, path, version=0).columns)
+    v1_cols = len(versioned_read(spark, path, version=1).columns)
+    return (
+        versioned_read(spark, path)
+        .withColumn("v0_cols", F.lit(v0_cols))
+        .withColumn("v1_cols", F.lit(v1_cols))
+        .orderBy("o_orderkey")
+    )
