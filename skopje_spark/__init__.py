@@ -69,6 +69,9 @@ from skopje_spark.sinks.versioned import (
     versioned_compact,
     versioned_history,
     versioned_merge_concurrent,
+    versioned_read,
+    versioned_upsert,
+    versioned_write,
     versioned_ivm_view,
     versioned_stream_materialized_view,
 )
@@ -128,6 +131,9 @@ __all__ = [
     "versioned_compact",
     "versioned_history",
     "versioned_merge_concurrent",
+    "versioned_read",
+    "versioned_upsert",
+    "versioned_write",
     "versioned_ivm_view",
     "versioned_stream_materialized_view",
 ]
