@@ -410,3 +410,80 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "q_funnel_timing",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    conv AS (
+      SELECT v.user_id,
+             epoch_us(CAST(v.t1 AS TIMESTAMP)) AS u1,
+             epoch_us(CAST(c.t2 AS TIMESTAMP)) AS u2,
+             epoch_us(CAST(p.t3 AS TIMESTAMP)) AS u3
+      FROM v JOIN c ON v.user_id = c.user_id
+             JOIN p ON v.user_id = p.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           {dround_sql('SUM(u2 - u1) / COUNT(*) / 1000000.0', 6)}
+             AS avg_view_to_click_s,
+           {dround_sql('SUM(u3 - u2) / COUNT(*) / 1000000.0', 6)}
+             AS avg_click_to_purchase_s
+    FROM conv
+    """,
+    tags=("analytics", "funnel", "timing"),
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the full view → click → purchase funnel:
+    mean stage delays over CONVERTING users only. Determinism across
+    engines without trusting double summation order: delays are exact
+    integer MICROSECONDS (``unix_micros`` ≡ DuckDB ``epoch_us``),
+    summed as bigints (order-independent), divided once, rounded
+    once. The three stage aggregates reuse q_funnel_stages' shape —
+    all shuffles co-partition on user_id."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    conv = (
+        v.join(c, "user_id").join(p, "user_id")
+        .select(
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("d12"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("d23"),
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        dround(
+            F.sum("d12") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("avg_view_to_click_s"),
+        dround(
+            F.sum("d23") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("avg_click_to_purchase_s"),
+    )
