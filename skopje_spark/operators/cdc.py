@@ -57,26 +57,35 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
-    o = old.alias("o")
-    n = new.alias("n")
+    # literal presence markers, not key-NULL checks: a matched row can
+    # carry NULL key values (eqNullSafe join), and — the bug that
+    # matters in practice — an update that sets a value to NULL must
+    # emit NULL as the row's NEW image, which a coalesce(new, old)
+    # projection silently replaces with the OLD value (corrupting any
+    # downstream that folds new images, e.g. operators/ivm.py).
+    o = old.withColumn("__o_side", F.lit(True)).alias("o")
+    n = new.withColumn("__n_side", F.lit(True)).alias("n")
     on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     cond = on[0]
     for c in on[1:]:
         cond = cond & c
     joined = o.join(n, cond, "full_outer")
-    first_new_key = F.col(f"n.{keys[0]}")
-    first_old_key = F.col(f"o.{keys[0]}")
+    new_present = F.col("n.__n_side").isNotNull()
+    old_present = F.col("o.__o_side").isNotNull()
     op = (
-        F.when(first_old_key.isNull(), F.lit("I"))
-        .when(first_new_key.isNull(), F.lit("D"))
+        F.when(~old_present, F.lit("I"))
+        .when(~new_present, F.lit("D"))
         .when(_any_differs("o", "n", compare_cols), F.lit("U"))
         .otherwise(F.lit(None))
     )
     out_keys = [
-        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+        F.when(new_present, F.col(f"n.{k}")).otherwise(F.col(f"o.{k}")).alias(k)
+        for k in keys
     ]
+    # I/U rows carry NEW values (NULLs included); D rows carry OLD
     out_vals = [
-        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c) for c in compare_cols
+        F.when(new_present, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+        for c in compare_cols
     ]
     return (
         joined.select(*out_keys, *out_vals, op.alias(OP_COL))

@@ -57,6 +57,17 @@ def _sum_col(c: str) -> str:
     return f"__sum_{c}"
 
 
+def _nn_col(c: str) -> str:
+    """Non-null count companion of ``__sum_<c>``: SUM ignores NULLs,
+    so folding signed values alone cannot distinguish "values cancel
+    to 0" from "no non-null values remain" — but ``ivm_build`` on the
+    new snapshot reports 0 for the first and NULL for the second. The
+    count makes the fold exact for NULLable measure columns (the
+    changelog's U rows carry true NULL new images after the
+    operators/cdc.snapshot_diff side-aware fix)."""
+    return f"__nn_{c}"
+
+
 def _min_col(c: str) -> str:
     return f"__min_{c}"
 
@@ -77,6 +88,7 @@ def ivm_build(
     groupBy — the only full-table pass IVM ever takes."""
     aggs = [F.count(F.lit(1)).alias(N_COL)]
     aggs += [F.sum(c).alias(_sum_col(c)) for c in sum_cols]
+    aggs += [F.count(c).alias(_nn_col(c)) for c in sum_cols]
     aggs += [F.min(c).alias(_min_col(c)) for c in min_cols]
     aggs += [F.max(c).alias(_max_col(c)) for c in max_cols]
     return df.groupBy(*group_keys).agg(*aggs)
@@ -99,15 +111,23 @@ def changelog_microrows(
     GROUP key, so an update that moves a row between groups debits the
     old group and credits the new one."""
     op = F.col(OP_COL)
+
+    def _nn(c, sign: int):
+        return (
+            F.when(F.col(c).isNotNull(), F.lit(sign)).otherwise(F.lit(0))
+        ).alias(_nn_col(c))
+
     plus = changelog.filter(op != "D").select(
         *group_keys,
         F.lit(1).alias("__dn"),
         *[F.col(c).alias(_sum_col(c)) for c in sum_cols],
+        *[_nn(c, 1) for c in sum_cols],
     )
     minus_d = changelog.filter(op == "D").select(
         *group_keys,
         F.lit(-1).alias("__dn"),
         *[(-F.col(c)).alias(_sum_col(c)) for c in sum_cols],
+        *[_nn(c, -1) for c in sum_cols],
     )
     # LEFT join + runtime guard, not an inner join: an inner join
     # would silently DROP the -old debit of any U row whose key is
@@ -138,6 +158,7 @@ def changelog_microrows(
             .otherwise(F.lit(-1))
             .alias("__dn"),
             *[(-F.col(c)).alias(_sum_col(c)) for c in sum_cols],
+            *[_nn(c, -1) for c in sum_cols],
         )
     )
     return plus.unionByName(minus_d).unionByName(minus_u)
@@ -177,13 +198,28 @@ def ivm_apply(
         *group_keys,
         F.col(N_COL).alias("__dn"),
         *[F.col(_sum_col(c)) for c in sum_cols],
+        *[F.col(_nn_col(c)) for c in sum_cols],
     )
     folded = (
         view_rows.unionByName(delta)
         .groupBy(*group_keys)
         .agg(
             F.sum("__dn").alias(N_COL),
-            *[F.sum(_sum_col(c)).alias(_sum_col(c)) for c in sum_cols],
+            *[F.sum(_sum_col(c)).alias(f"__raw_{c}") for c in sum_cols],
+            *[F.sum(_nn_col(c)).cast("long").alias(_nn_col(c)) for c in sum_cols],
+        )
+        .select(
+            *group_keys,
+            N_COL,
+            # SUM semantics: NULL when no non-null values remain in the
+            # group (sum-of-signed-values alone would report 0 there)
+            *[
+                F.when(F.col(_nn_col(c)) > 0, F.col(f"__raw_{c}"))
+                .otherwise(F.lit(None))
+                .alias(_sum_col(c))
+                for c in sum_cols
+            ],
+            *[F.col(_nn_col(c)) for c in sum_cols],
         )
         .filter(F.col(N_COL) > 0)
     )
@@ -212,6 +248,7 @@ def ivm_apply(
         .join(F.broadcast(refreshed), list(group_keys), "left")
     )
     sel = [*group_keys, N_COL, *[_sum_col(c) for c in sum_cols]]
+    sel += [_nn_col(c) for c in sum_cols]
     sel += [
         F.coalesce(F.col(f"__r_min_{c}"), F.col(f"__v_min_{c}")).alias(_min_col(c))
         for c in min_cols

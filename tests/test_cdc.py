@@ -31,6 +31,21 @@ def test_snapshot_diff_null_safe_compare(spark):
     assert got == {2: "U"}
 
 
+def test_snapshot_diff_null_new_image_preserved(spark):
+    # an update that sets a value to NULL must report NULL as the NEW
+    # image (a coalesce(new, old) projection would leak the old value);
+    # deletes still carry their OLD values
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    new = spark.createDataFrame([(1, None)], "k int, v double")
+    rows = {r["k"]: r for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert rows[1]["__op"] == "U" and rows[1]["v"] is None
+    assert rows[2]["__op"] == "D" and rows[2]["v"] == 20.0
+    # and replaying the changelog still reproduces new exactly
+    diff = snapshot_diff(old, new, keys=["k"])
+    replayed = apply_changes(old, diff, keys=["k"]).collect()
+    assert [(r["k"], r["v"]) for r in replayed] == [(1, None)]
+
+
 def test_apply_changes_roundtrip_randomized(spark):
     # property: apply(old, diff(old, new)) == new, on hash-derived data
     base = spark.range(0, 500).select(

@@ -77,6 +77,29 @@ def test_ivm_view_full_then_incremental(spark, tmp_path):
     assert _rows(versioned_read(spark, view_p)) == _rows(expect)
 
 
+def test_ivm_fold_exact_with_null_measures(spark, tmp_path):
+    # updates that set a SUM measure to NULL — including a group whose
+    # EVERY measure value becomes NULL (fold must yield NULL, not 0) —
+    # keep the maintained view identical to a recompute
+    base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
+    old_rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", None)]
+    versioned_write(_base(spark, old_rows), base_p)
+    versioned_ivm_view(
+        spark, base_p, view_p,
+        table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+    )
+    # group b: its only value goes NULL; group a: one value goes NULL;
+    # group c: NULL -> value
+    new_rows = [(1, "a", None), (2, "a", 20), (3, "b", None), (4, "c", 40)]
+    versioned_write(_base(spark, new_rows), base_p)
+    versioned_ivm_view(
+        spark, base_p, view_p,
+        table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+    )
+    expect = ivm_build(_base(spark, new_rows), ["grp"], sum_cols=["v"])
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+
+
 def test_ivm_view_refresh_is_idempotent(spark, tmp_path):
     base_p, view_p = str(tmp_path / "base"), str(tmp_path / "view")
     versioned_write(_base(spark, [(1, "a", 1)]), base_p)
