@@ -216,17 +216,29 @@ def main() -> None:
     for name in HEADLINE:
         fn_of(name)(spark, sf_dir).count()
 
+    # contention self-documentation: loadavg before/after and each
+    # query's min→max spread across its 3 runs ride in the emitted
+    # JSON, so a contaminated reading (busy box inflating outliers)
+    # is adjudicable from the artifact alone — a query whose spread
+    # is several× its min under a high loadavg was measured under
+    # contention, not regressed by code
+    load_start = os.getloadavg()
+
     # timed: min of 3 runs per query — the steady-state estimator,
     # insensitive to stray GC pauses on the shared local JVM
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             fn_of(name)(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best, worst = min(best, dt), max(worst, dt)
         timings[name] = round(best, 3)
+        spreads[name] = round(worst / best, 2) if best > 0 else 1.0
 
+    load_end = os.getloadavg()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -236,6 +248,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "run_spread_max_over_min": spreads,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "ncpus": os.cpu_count(),
             }
         )
     )

@@ -1467,6 +1467,19 @@ def crawl_ingest_stream(
             batch, index_path, id_col=id_col, text_col=text_col,
             threshold=threshold,
         )
+        # torn-window replay safety: if the previous attempt crashed
+        # AFTER the index append but BEFORE the ledger write, the
+        # replayed probe sees the batch's OWN documents in the index —
+        # batch-internal near-dup pairs (documented to "both pass")
+        # would flag each other and the overwrite would silently drop
+        # previously committed rows. Dropping hits whose index side is
+        # in this batch's id set makes the replay reproduce the
+        # original novel set exactly.
+        hits = hits.join(
+            batch.select(F.col(id_col).alias("index_id")).distinct(),
+            "index_id",
+            "left_anti",
+        )
         novel = batch.join(
             hits.select(id_col).distinct(), id_col, "left_anti"
         )

@@ -633,7 +633,19 @@ def ivf_index_topk(
         key=lambda t: (-t[0], t[1]),
     )
     probe = [cell for _, cell in ranked[:n_probe]]
-    vecs = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
+    # dropDuplicates restores exactly-once read semantics after an
+    # at-least-once append replay (ivf_apply_stream_batch crashing in
+    # the append→ledger window re-appends the batch): assignment
+    # against frozen centroids is deterministic, so replayed rows are
+    # IDENTICAL — without the dedup they would occupy two top-k slots.
+    # Cost: one id-shuffle over the probed cells only (~n_probe/k of
+    # the corpus), the same read-side idempotence contract the LSH
+    # index probe uses (operators/dedup.py:lsh_index_probe).
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .where(F.col("cell").isin(probe))
+        .dropDuplicates([id_col])
+    )
     return cosine_topk(vecs, query_df, id_col=id_col, vec_col=vec_col, k=k)
 
 
@@ -714,7 +726,11 @@ def ann_probe_report(
             )
         ]
 
-    all_vecs = spark.read.parquet(f"{path}/vectors")
+    # same read-side dedup as ivf_index_topk: recall arithmetic must
+    # not double-count rows re-appended by a torn stream batch (the
+    # rows/files COST columns keep the raw per-cell counts — physical
+    # duplicates genuinely cost scan time until a rebuild)
+    all_vecs = spark.read.parquet(f"{path}/vectors").dropDuplicates([id_col])
     queries = query_df.select(id_col, vec_col).collect()
     sweep = sorted(set(int(p) for p in nprobes))
     acc = {p: {"recall": 0.0, "files": 0, "rows": 0} for p in sweep}
@@ -785,20 +801,20 @@ def ivf_index_stream_sink(
     The vector-space twin of the LSH crawl gate
     (operators/dedup.py:lsh_index_stream_sink).
 
-    Exactly-once needs a LEDGER here, unlike the LSH sink: appended
-    vector rows are not read-side dedupable (a replayed batch would
-    double its vectors in the probed cells and skew top-k). Each
-    applied batch id is recorded in ``path/_batch_ledger`` scoped by
-    the checkpoint's incarnation id (same (appId, version) idea as
-    the versioned store's stream MERGE); a replayed batch id is
-    skipped whole. Ledger write follows the data append — a crash
-    between the two replays the batch, whose re-append lands AFTER
-    the crash left it half-applied... so the append itself must be
-    atomic-per-batch: parquet's _temporary staging gives task-level
-    atomicity and the ledger commit is the batch-level marker —
-    readers between crash and retry may see a partial batch (ANN
-    results are approximate by contract; the retry completes it, and
-    the ledger guarantees no double-count past that point).
+    Exactly-once is BELT AND BRACES: a ``path/_batch_ledger`` entry
+    per applied batch id, scoped by the checkpoint's incarnation id
+    (same (appId, version) idea as the versioned store's stream
+    MERGE), skips fully-applied replays without re-reading vectors —
+    AND the read path dedups on the id column
+    (:func:`ivf_index_topk` dropDuplicates), which closes the torn
+    window the ledger alone cannot: a crash BETWEEN the data append
+    and the ledger write replays the batch and re-appends its rows.
+    Assignment against frozen centroids is deterministic, so those
+    re-appends are row-identical and the read-side dedup restores
+    exactly-once query semantics; the duplicate files linger as scan
+    cost only, until the next :func:`ivf_index_write` rebuild.
+    Readers between crash and retry may see a partial batch (ANN
+    results are approximate by contract; the retry completes it).
 
     Scope caveat (same as the sketch sinks' ledgers): protection is
     per-incarnation — restarting the job with a FRESH checkpoint

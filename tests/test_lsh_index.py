@@ -235,6 +235,49 @@ def test_tuning_report_rejects_bad_geometry(spark):
         lsh_tuning_report(_docs(spark, [(1, LOREM)]), geometries=((3, 5),))
 
 
+def test_crawl_ingest_torn_replay_keeps_batch_internal_pairs(spark, tmp_path):
+    """Torn-window replay (crash AFTER lsh_index_append, BEFORE the
+    ledger write): the replayed probe sees the batch's OWN documents
+    in the index. Batch-internal near-dup pairs are documented to
+    both pass — the replay must reproduce that, not let them flag
+    each other and overwrite the output without them."""
+    import json
+    import os
+    import time
+
+    from skopje_spark.operators.dedup import (
+        crawl_ingest_stream,
+        lsh_index_append,
+        lsh_index_write,
+    )
+    from skopje_spark.streaming.streams import file_stream
+
+    # one batch holding an internal near-dup pair (1 ~ 2)
+    rows = [(1, LOREM), (2, LOREM.replace("lazy dog", "sleepy dog"))]
+    src = tmp_path / "src"
+    src.mkdir()
+    f = src / "b0.json"
+    f.write_text("\n".join(json.dumps({"doc_id": d, "text": t}) for d, t in rows) + "\n")
+    os.utime(f, (time.time() - 10, time.time() - 10))
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    lsh_index_write(spark.createDataFrame([], "doc_id long, text string"), idx)
+    # simulate the crashed first attempt: the batch's novel set (all of
+    # it — empty index) reached the index, but neither the output's
+    # final state nor the ledger recorded the batch
+    lsh_index_append(_docs(spark, rows), idx)
+
+    stream = file_stream(
+        spark, str(src), schema="doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    q = crawl_ingest_stream(stream, idx, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/data").collect()}
+    assert kept == {1, 2}, f"replay lost batch-internal pair rows: {kept}"
+
+
 def test_crawl_ingest_stream_dedups_across_batches(spark, tmp_path):
     """The full crawl loop (dedup.crawl_ingest_stream): batch 2's
     near-dup of a batch-1 document is dropped because batch 1's novel

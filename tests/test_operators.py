@@ -1401,6 +1401,38 @@ def test_ivf_stream_sink_ledger_exactly_once(spark, sf_dir, tmp_path):
     assert top[0]["vec_id"] == qid
 
 
+def test_ivf_torn_append_replay_does_not_skew_topk(spark, sf_dir, tmp_path):
+    """Torn window (crash AFTER ivf_index_append, BEFORE the ledger
+    write): the replay re-appends the same vectors. The read path's
+    id-dedup must keep top-k free of duplicate ids and identical to
+    the pre-duplication result."""
+    from skopje_spark.operators.similarity import (
+        ivf_apply_stream_batch,
+        ivf_index_append,
+        ivf_index_topk,
+        ivf_index_write,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfidx")
+    ivf_index_write(e.filter("vec_id % 2 = 0"), path, k=4, iters=2)
+    batch = e.filter("vec_id % 2 = 1").limit(10)
+    assert ivf_apply_stream_batch(path, batch, 0, "streamT")
+    q = batch.orderBy("vec_id").limit(1)
+    before = [r["vec_id"] for r in
+              ivf_index_topk(spark, path, q, n_probe=2, k=5).collect()]
+
+    # simulate the crashed attempt's duplicate data append (ledger and
+    # first append already landed; the retry re-appends the batch)
+    ivf_index_append(batch, path)
+
+    after = [r["vec_id"] for r in
+             ivf_index_topk(spark, path, q, n_probe=2, k=5).collect()]
+    assert len(set(after)) == len(after), f"duplicate ids in top-k: {after}"
+    assert set(after) == set(before)
+
+
 def test_ivf_stream_sink_end_to_end(spark, tmp_path):
     """The writeStream wiring itself: vectors streamed from json files
     land in the index exactly once under availableNow."""
