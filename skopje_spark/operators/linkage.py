@@ -132,6 +132,7 @@ def sorted_neighborhood_pairs(
     sort_key: Column | str,
     window: int = 3,
     max_dist: int | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood candidate generation (Hernández & Stolfo,
     SIGMOD 1995) — the OTHER classic blocking scheme: order records by
@@ -172,7 +173,8 @@ def sorted_neighborhood_pairs(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__s"), sk.alias("__sk")
     )
     w = int(window)
-    n_buckets = max(1, base.rdd.getNumPartitions())
+    if n_buckets is None:
+        n_buckets = max(1, base.rdd.getNumPartitions())
     bounds = _range_bucket_bounds(base, ["__sk", "__id"], n_buckets)
     b = base.withColumn(
         "__b", _bucket_of([F.col("__sk"), F.col("__id")], bounds)
@@ -185,6 +187,37 @@ def sorted_neighborhood_pairs(
         .withColumn("__db", F.row_number().over(Window.orderBy("__b")) - 1)
     )
     b = b.join(F.broadcast(ranks), "__b").drop("__b")
+
+    # minimum-size invariant: the boundary stitch below only spans
+    # ADJACENT buckets (d, d+1), which is complete iff every bucket
+    # holds >= window rows — a pair within window steps in global
+    # order then cannot skip over a whole bucket. Sampling skew (or
+    # n_buckets ~ row count) can leave shorter buckets, silently
+    # losing candidates, so undersized CONSECUTIVE buckets are merged
+    # driver-side (O(n_buckets) counts, a tiny broadcast remap) until
+    # the invariant holds; a trailing short group folds backward.
+    sizes = {
+        r["__db"]: r["n"]
+        for r in b.groupBy("__db").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if sizes and min(sizes.values()) < w and len(sizes) > 1:
+        remap: dict[int, int] = {}
+        cur, acc = 0, 0
+        for db in sorted(sizes):
+            remap[db] = cur
+            acc += sizes[db]
+            if acc >= w:
+                cur, acc = cur + 1, 0
+        if acc and cur > 0:  # trailing group still undersized
+            remap = {db: min(g, cur - 1) for db, g in remap.items()}
+        mdf = df.sparkSession.createDataFrame(
+            [(int(db), int(g)) for db, g in remap.items()], "__db int, __mb int"
+        )
+        b = (
+            b.join(F.broadcast(mdf), "__db")
+            .drop("__db")
+            .withColumnRenamed("__mb", "__db")
+        )
 
     order = Window.partitionBy("__db").orderBy("__sk", "__id")
     with_leads = b.select(

@@ -110,6 +110,38 @@ def test_sorted_neighborhood_equals_naive_global_window(spark):
     assert len(got) == 211 * w - w * (w + 1) // 2
 
 
+def test_sorted_neighborhood_undersized_buckets_merge(spark):
+    """With n_buckets ~ row count, range buckets hold fewer rows than
+    the window; without the merge pass, neighbors two buckets away are
+    silently lost. The merged buckets must still equal the naive
+    global-window pair set exactly."""
+    from pyspark.sql import Window
+
+    from skopje_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"name{(i * 37) % 100:03d}x{i}") for i in range(23)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    w = 5
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in sorted_neighborhood_pairs(
+            df, id_col="id", text_col="name", sort_key="name",
+            window=w, n_buckets=16,  # ~1-2 rows per bucket, all < window
+        ).collect()
+    }
+    order = Window.orderBy("name", "id")
+    naive = set()
+    for k in range(1, w + 1):
+        naive |= {
+            (r["l"], r["r"])
+            for r in df.select(
+                F.col("id").alias("l"),
+                F.lead("id", k).over(order).alias("r"),
+            ).filter(F.col("r").isNotNull()).collect()
+        }
+    assert got == naive
+
+
 def test_sorted_neighborhood_verifies_distance(spark):
     from skopje_spark.operators.linkage import sorted_neighborhood_pairs
 
