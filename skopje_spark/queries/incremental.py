@@ -407,6 +407,65 @@ def q_drift_psi_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_partial_rewrite",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 100
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           TRUE AS partial_rewrite
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "merge", "manifest", "lakeops"),
+)
+def q_versioned_partial_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-snapshot MERGE economics under the driver gate
+    (sinks/versioned.py:versioned_upsert): a key-clustered orders
+    table (8 range-bucketed files) takes a narrow upsert (keys <=
+    100, one bucket's range), and the commit's own
+    ``n_files_rewritten``/``n_files_carried`` markers prove most
+    files were CARRIED by reference rather than rewritten — emitted
+    as the ``partial_rewrite`` flag the oracle pins TRUE. Content is
+    pinned identical to the full merge the oracle computes directly;
+    price doubling is exact in binary, so the hash is engine-exact.
+
+    Scale: this is the property that makes frequent MERGEs viable at
+    100 TB — a 1-bucket update writes 1 file + a kilobyte manifest,
+    not the table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_partial_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    base = o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    versioned_write(base, path)
+    upd = o.filter("o_orderkey <= 100").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"])
+    rewritten = int(snapshot_meta(path, "n_files_rewritten", version=1))
+    carried = int(snapshot_meta(path, "n_files_carried", version=1))
+    return (
+        versioned_read(spark, path)
+        .withColumn(
+            "partial_rewrite", F.lit(bool(rewritten <= 4 and carried >= 4))
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,
@@ -486,7 +545,7 @@ def q_merge_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 4 = 0)
     SELECT 0 AS version, FALSE AS is_latest, c AS n_rows, '' AS op FROM n
     UNION ALL
-    SELECT 1, FALSE, c, '' FROM n
+    SELECT 1, FALSE, c, 'merge' FROM n
     UNION ALL
     SELECT 2, TRUE, c, 'compact' FROM n
     ORDER BY version

@@ -1,4 +1,4 @@
-"""Versioned parquet table: atomic snapshots, time travel, vacuum.
+"""Versioned parquet table: manifest snapshots, time travel, vacuum.
 
 The reference's load path overwrites table state in place (Postgres
 upserts, `/root/reference/src/load/pg.rs:50-117`): history is
@@ -6,22 +6,39 @@ destroyed and a reader racing a load sees a half-written table. The
 lake-native fix — the core idea behind Delta/Iceberg, reduced to its
 parquet-only essentials — is:
 
-- every write lands in a fresh, immutable ``v=N`` snapshot directory;
+- data files are IMMUTABLE and live once in a shared ``data/`` pool;
+- a snapshot ``v=N`` is a tiny MANIFEST (file list + per-file
+  stats + the committed schema), not a data copy — commits write
+  O(changed files), never O(table);
 - a tiny ``_LATEST`` pointer file is swapped via atomic rename
-  (os.replace) AFTER the snapshot is fully written;
-- readers resolve the pointer first, then scan only that snapshot —
-  they never observe partial writes, regardless of write duration;
-- old snapshots stay readable (time travel) until ``vacuum``.
+  (os.replace) AFTER the manifest is fully written;
+- readers resolve the pointer first, then scan exactly the files the
+  pinned manifest lists — they never observe partial writes,
+  regardless of write duration;
+- old snapshots stay readable (time travel) until ``vacuum``, which
+  REF-COUNTS data files across retained manifests before deleting.
 
-Scale: the pointer swap is O(1) metadata no matter the table size —
-a 100 TB snapshot commit costs the same rename as a 100 MB one. Data
-files are never rewritten by a commit (writers pay only for their own
-snapshot), and concurrent readers pin whatever version they resolved,
-so long scans are immune to in-flight loads.
+Scale: the pointer swap is O(1) metadata no matter the table size,
+and a MERGE rewrites only the files whose per-file key stats can
+contain a matched key (:func:`versioned_upsert`) — a 1-row upsert on
+a 100 TB table touches one data file plus a manifest, the
+Delta/Iceberg write economics. Concurrent readers pin whatever
+version they resolved, so long scans are immune to in-flight loads.
+
+Commit-backend contract: pointer resolution, version listing, and
+the atomic pointer swap are isolated in :class:`PosixPointerStore`.
+The POSIX implementation's atomicity rests on rename semantics
+(os.replace) and a truthful directory listing — guarantees an
+S3-class object store does NOT provide; a backend for such a store
+must supply an equivalent conditional-put (e.g. If-None-Match on a
+per-version log object, DynamoDB lock, or a commit service) behind
+the same three primitives. Everything above the store is
+backend-agnostic.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -33,6 +50,13 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 _VDIR = re.compile(r"^v=(\d+)$")
+_DATA_DIR = "data"
+_MANIFEST_NAME = "_MANIFEST.json"
+# per-file min/max stats are only recorded for types that round-trip
+# JSON losslessly AND compare consistently between parquet footer
+# values and Spark literals; anything else degrades to "no stats"
+# (the file is then always a rewrite candidate — conservative)
+_STATS_SAFE = (bool, int, float, str)
 
 
 class CommitConflict(RuntimeError):
@@ -42,30 +66,62 @@ class CommitConflict(RuntimeError):
     (:func:`versioned_merge_concurrent` does exactly that)."""
 
 
+class PosixPointerStore:
+    """The three commit-backend primitives every versioned table needs
+    (the correctness boundary called out in the module docstring):
+
+    - :meth:`list_versions` — which ``v=N`` snapshots exist on disk
+      (committed or residue; the pointer decides which is which);
+    - :meth:`read_pointer` — the committed version, or None;
+    - :meth:`swap_pointer` — atomically publish a new version.
+
+    This default implementation is POSIX-filesystem-backed: the swap
+    is ``os.replace`` (atomic rename within a filesystem) and the
+    listing is ``os.listdir`` (assumed complete and fresh). Object
+    stores (S3 et al.) provide NEITHER — rename is copy+delete and
+    listings are not read-after-write-consistent everywhere — so a
+    backend for them must implement the swap as a conditional put
+    (If-None-Match / transactional metadata service) and the listing
+    from the same authoritative source. Swap the module-level
+    ``POINTER_STORE`` (or monkeypatch in tests) to change backends;
+    all commit/read/vacuum paths route through it."""
+
+    def list_versions(self, path: str) -> list[int]:
+        if not os.path.isdir(path):
+            return []
+        out = []
+        for d in os.listdir(path):
+            m = _VDIR.match(d)
+            if m and not d.endswith(".tmp"):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_pointer(self, path: str) -> int | None:
+        try:
+            with open(os.path.join(path, "_LATEST")) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def swap_pointer(self, path: str, version: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(path, "_LATEST"))
+
+
+POINTER_STORE = PosixPointerStore()
+
+
 def _versions(path: str) -> list[int]:
-    if not os.path.isdir(path):
-        return []
-    out = []
-    for d in os.listdir(path):
-        m = _VDIR.match(d)
-        if m and not d.endswith(".tmp"):
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def _pointer_path(path: str) -> str:
-    return os.path.join(path, "_LATEST")
+    return POINTER_STORE.list_versions(path)
 
 
 def latest_version(path: str) -> int | None:
-    """Resolve the committed version from the pointer file (not the
+    """Resolve the committed version from the pointer (not the
     directory listing — a snapshot directory may exist before its
     commit)."""
-    try:
-        with open(_pointer_path(path)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
+    return POINTER_STORE.read_pointer(path)
 
 
 _UNGUARDED = object()  # sentinel: expected_version not supplied
@@ -128,46 +184,119 @@ def _gc_staged(path: str, timeout_s: float, keep: str) -> None:
             pass
 
 
-def versioned_write(
-    df: DataFrame,
+# ---------------------------------------------------------------------------
+# manifest snapshots: a version is a file LIST + schema + stats
+# ---------------------------------------------------------------------------
+
+def _file_entry(abs_path: str, rel_path: str) -> dict:
+    """One manifest entry for a pooled data file: relative path, size,
+    row count, and per-column min/max/null stats lifted from the
+    parquet FOOTER — metadata reads only, no row data. Stats power
+    :func:`versioned_upsert`'s file pruning; columns whose footer
+    stats are absent, truncated, or not JSON-safe get no entry and
+    their files stay conservative rewrite candidates.
+
+    Runs driver-side on the commit's OWN files (O(files in this
+    commit), never O(table)); an object-store deployment would lift
+    the same numbers in the writing tasks instead."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(abs_path)
+    stats: dict[str, dict] = {}
+    for i in range(md.num_columns):
+        # nested columns carry dotted paths — stats only for top-level
+        name = md.schema.column(i).path
+        if "." in name:
+            continue
+        mn = mx = None
+        nulls = 0
+        usable = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                usable = False
+                break
+            try:
+                lo, hi = st.min, st.max
+            except Exception:  # pyarrow can't decode stats for this type
+                usable = False
+                break
+            if not (isinstance(lo, _STATS_SAFE) and isinstance(hi, _STATS_SAFE)):
+                usable = False
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+            nulls = None if st.null_count is None else (
+                None if nulls is None else nulls + st.null_count
+            )
+        if usable:
+            stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+    return {
+        "path": rel_path,
+        "bytes": os.path.getsize(abs_path),
+        "rows": md.num_rows,
+        "stats": stats,
+    }
+
+
+def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
+    """Write ``df``'s partitions as immutable files in the table's
+    shared ``data/`` pool and return their manifest entries. Files get
+    unique names, so concurrent writers never collide and a crashed
+    writer's files are mere unreferenced orphans (collected by
+    :func:`vacuum`'s ref-count pass, age-gated)."""
+    staged = os.path.join(path, f".stage-data-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(staged)
+    pool = os.path.join(path, _DATA_DIR)
+    os.makedirs(pool, exist_ok=True)
+    entries = []
+    prefix = uuid.uuid4().hex[:12]
+    for i, f in enumerate(sorted(os.listdir(staged))):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        name = f"{prefix}-{i:05d}.parquet"
+        os.replace(os.path.join(staged, f), os.path.join(pool, name))
+        rel = f"{_DATA_DIR}/{name}"
+        entries.append(_file_entry(os.path.join(path, rel), rel))
+    shutil.rmtree(staged, ignore_errors=True)
+    return entries
+
+
+def _write_manifest_dir(
+    target: str, schema_json: dict, entries: list[dict],
+    meta: dict[str, str] | None,
+) -> None:
+    os.makedirs(target, exist_ok=True)
+    with open(os.path.join(target, _MANIFEST_NAME), "w") as f:
+        json.dump({"schema": schema_json, "files": entries}, f)
+    for k, v in (meta or {}).items():
+        with open(os.path.join(target, f"_meta_{k}"), "w") as f:
+            f.write(str(v))
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
+        return json.load(f)
+
+
+def _commit_manifest(
     path: str,
-    *,
-    meta: dict[str, str] | None = None,
-    expected_version: int | None | object = _UNGUARDED,
-    lock_timeout_s: float = 600.0,
+    schema_json: dict,
+    entries: list[dict],
+    meta: dict[str, str] | None,
+    expected_version,
+    lock_timeout_s: float,
 ) -> int:
-    """Commit ``df`` as the next snapshot of the table at ``path``;
-    returns the new version number.
-
-    The snapshot is written to ``v=N`` in full, then the ``_LATEST``
-    pointer is swapped with os.replace — the POSIX-atomic step that
-    makes the commit all-or-nothing for readers.
-
-    ``meta`` key/value pairs are written as ``_meta_<key>`` files
-    INSIDE the snapshot directory BEFORE the pointer swap, so commit
-    data and commit metadata become visible in the same atomic step —
-    the transaction-marker mechanism exactly-once stream merges hang
-    their batch ledger on (Delta's txn appId/version idea).
-
-    Concurrency: by default single-writer discipline is assumed (as
-    for any pointer-swap store). Passing ``expected_version`` turns
-    the commit into an optimistic COMPARE-AND-SWAP — it succeeds only
-    if the committed version still equals ``expected_version`` (use
-    ``None`` to assert "table is empty"), else raises
-    :class:`CommitConflict` with nothing published. Guarded commits
-    stage their data files OUTSIDE the critical section (the lock
-    covers only the version check + directory rename + pointer swap —
-    O(1) metadata regardless of snapshot size, so a 100 TB write never
-    serializes writers on data transfer, exactly the Delta/Iceberg
-    commit-protocol shape). Do not mix guarded and unguarded writers
-    on one table: the unguarded path takes no lock."""
+    """Publish (schema, files) as the next version. The manifest is
+    kilobytes — staging + rename + pointer swap are all O(1) in table
+    size; data files were already pooled by the caller. Guarded mode
+    (``expected_version`` given) compare-and-swaps on the committed
+    version under the commit lock, exactly the pre-manifest protocol:
+    the critical section stays metadata-only."""
     os.makedirs(path, exist_ok=True)
     if expected_version is not _UNGUARDED:
         staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")
-        df.write.mode("errorifexists").parquet(staged)
-        for k, v in (meta or {}).items():
-            with open(os.path.join(staged, f"_meta_{k}"), "w") as f:
-                f.write(str(v))
+        _write_manifest_dir(staged, schema_json, entries, meta)
         try:
             with _commit_lock(path, lock_timeout_s):
                 current = latest_version(path)
@@ -182,38 +311,68 @@ def versioned_write(
                 _gc_staged(path, lock_timeout_s, keep=staged)
                 n = (current + 1) if current is not None else 0
                 os.replace(staged, os.path.join(path, f"v={n}"))
-                fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest")
-                with os.fdopen(fd, "w") as f:
-                    f.write(str(n))
-                os.replace(tmp, _pointer_path(path))
+                POINTER_STORE.swap_pointer(path, n)
                 return n
         except CommitConflict:
             shutil.rmtree(staged, ignore_errors=True)
             raise
     current = latest_version(path)
-    # crash residue: a writer that died between snapshot write and
+    # crash residue: a writer that died between manifest write and
     # pointer swap leaves UNCOMMITTED v=* directories (readers never
     # see them — they follow the pointer). Clear EVERY residue above
-    # the pointer — including all of them when no pointer exists yet
-    # (a first-ever commit that crashed must not leave junk that a
-    # later numbering skips over and time travel then serves) — so
-    # the table cannot wedge on errorifexists and version numbering
-    # restarts cleanly; single-writer discipline is assumed (as for
-    # any pointer-swap store).
+    # the pointer — including all of them when no pointer exists yet —
+    # so numbering restarts cleanly; single-writer discipline is
+    # assumed on the unguarded path.
     for v in _versions(path):
         if current is None or v > current:
             shutil.rmtree(os.path.join(path, f"v={v}"))
     n = (current + 1) if current is not None else 0
-    snap = os.path.join(path, f"v={n}")
-    df.write.mode("errorifexists").parquet(snap)
-    for k, v in (meta or {}).items():
-        with open(os.path.join(snap, f"_meta_{k}"), "w") as f:
-            f.write(str(v))
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="._latest")
-    with os.fdopen(fd, "w") as f:
-        f.write(str(n))
-    os.replace(tmp, _pointer_path(path))
+    _write_manifest_dir(os.path.join(path, f"v={n}"), schema_json, entries, meta)
+    POINTER_STORE.swap_pointer(path, n)
     return n
+
+
+def versioned_write(
+    df: DataFrame,
+    path: str,
+    *,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """Commit ``df`` as the next snapshot of the table at ``path``;
+    returns the new version number.
+
+    The data lands as immutable files in the shared ``data/`` pool, a
+    MANIFEST (file list + schema + per-file stats) is written to
+    ``v=N``, then the ``_LATEST`` pointer is swapped — the atomic
+    step (see :class:`PosixPointerStore`) that makes the commit
+    all-or-nothing for readers.
+
+    ``meta`` key/value pairs are written as ``_meta_<key>`` files
+    INSIDE the snapshot directory BEFORE the pointer swap, so commit
+    data and commit metadata become visible in the same atomic step —
+    the transaction-marker mechanism exactly-once stream merges hang
+    their batch ledger on (Delta's txn appId/version idea).
+
+    Concurrency: by default single-writer discipline is assumed (as
+    for any pointer-swap store). Passing ``expected_version`` turns
+    the commit into an optimistic COMPARE-AND-SWAP — it succeeds only
+    if the committed version still equals ``expected_version`` (use
+    ``None`` to assert "table is empty"), else raises
+    :class:`CommitConflict` with nothing published. Data files are
+    pooled OUTSIDE the critical section (the lock covers only the
+    version check + manifest rename + pointer swap — O(1) metadata
+    regardless of snapshot size, so a 100 TB write never serializes
+    writers on data transfer, exactly the Delta/Iceberg
+    commit-protocol shape). Do not mix guarded and unguarded writers
+    on one table: the unguarded path takes no lock."""
+    os.makedirs(path, exist_ok=True)
+    entries = _stage_data_files(df, path)
+    return _commit_manifest(
+        path, df.schema.jsonValue(), entries, meta,
+        expected_version, lock_timeout_s,
+    )
 
 
 def snapshot_meta(path: str, key: str, *, version: int) -> str | None:
@@ -230,7 +389,16 @@ def versioned_read(
     spark: SparkSession, path: str, *, version: int | None = None
 ) -> DataFrame:
     """Scan one snapshot: the committed latest by default, or a pinned
-    ``version`` (time travel). Uncommitted / vacuumed versions raise."""
+    ``version`` (time travel). Uncommitted / vacuumed versions raise.
+
+    The scan reads EXACTLY the files the pinned manifest lists, with
+    the manifest's own schema — so each version serves its
+    as-committed schema (time travel never shows future columns), and
+    files written before an additive evolution NULL-fill the columns
+    they lack (Spark's by-name parquet read with an explicit
+    schema)."""
+    from pyspark.sql.types import StructType
+
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -247,7 +415,77 @@ def versioned_read(
     snap = os.path.join(path, f"v={version}")
     if not os.path.isdir(snap):
         raise FileNotFoundError(f"version {version} not present at {path}")
-    return spark.read.parquet(snap)
+    man = _read_manifest(path, version)
+    schema = StructType.fromJson(man["schema"])
+    files = [os.path.join(path, e["path"]) for e in man["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def _match_files(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    updates: DataFrame,
+    key: str,
+) -> tuple[list[dict], list[dict]]:
+    """Split a manifest's file entries into (candidates, carried):
+    candidates MAY contain a row whose ``key`` matches an update key
+    (conservative superset — correctness never depends on stat
+    precision), carried files provably cannot and ride into the next
+    manifest untouched.
+
+    The check is an interval-containment join of the DISTINCT update
+    keys against the per-file [min, max] stats: the stats frame is
+    O(#files) rows broadcast to the update side, so the decision
+    costs one pass over the update keys however large the table —
+    never a table scan. Files without usable stats for ``key`` (type
+    not stats-safe, truncated footer, pre-stats manifest) are always
+    candidates. NULL update keys need no candidacy at all: the merge
+    anti-join is an equi-join, where NULL never matches (SQL MERGE
+    semantics — NULL-keyed updates insert, they cannot replace)."""
+    from pyspark.sql import functions as F
+
+    key_type = None
+    for fld in updates.schema.fields:
+        if fld.name == key:
+            key_type = fld.dataType
+    cand, stat_rows = [], []
+    for e in entries:
+        st = (e.get("stats") or {}).get(key)
+        if st is None or st.get("min") is None or key_type is None:
+            cand.append(e)
+        else:
+            stat_rows.append(e)
+    if not stat_rows:
+        return cand, []
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sdf = spark.createDataFrame(
+        [(e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+         for e in stat_rows],
+        StructType([
+            StructField("__path", StringType()),
+            StructField("__mn", key_type),
+            StructField("__mx", key_type),
+        ]),
+    )
+    kdf = updates.select(F.col(key).alias("__k")).distinct()
+    matched = {
+        r["__path"]
+        for r in kdf.join(
+            F.broadcast(sdf),
+            (F.col("__k") >= F.col("__mn")) & (F.col("__k") <= F.col("__mx")),
+        ).select("__path").distinct().collect()
+    }
+    carried = []
+    for e in stat_rows:
+        if e["path"] in matched:
+            cand.append(e)
+        else:
+            carried.append(e)
+    return cand, carried
 
 
 def versioned_upsert(
@@ -258,25 +496,97 @@ def versioned_upsert(
     *,
     meta: dict[str, str] | None = None,
     evolve_schema: bool = False,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
 ) -> int:
     """MERGE as a snapshot commit: next version = (current rows not
     matching an update key) ∪ updates. The current snapshot is read,
     never mutated — a failed upsert leaves the table exactly as it was.
 
+    PARTIAL REWRITE (the Delta/Iceberg write economics): only data
+    files whose per-file stats on ``keys[0]`` can contain a matched
+    key are read, anti-joined, and rewritten (:func:`_match_files`);
+    every other file is carried into the new manifest by reference.
+    A 1-row upsert on a key-clustered 100 TB table therefore writes
+    one file plus a kilobyte manifest — against ~O(table) for the
+    naive read-all/rewrite-all merge. Pruning uses the FIRST key
+    column only (sound for composite keys: a file with no first-key
+    overlap cannot hold a full-tuple match); cluster the table on
+    that column (sources/skipping.write_clustered) for tight file
+    ranges. The commit records ``n_files_rewritten`` /
+    ``n_files_carried`` markers, so the economics are auditable from
+    :func:`versioned_history`.
+
     ``evolve_schema=True`` permits ADDITIVE schema changes in either
     direction: columns new in ``updates`` appear in the committed
     snapshot with NULLs for the kept rows, and columns absent from
     ``updates`` survive with NULLs for the update rows — Delta's
-    mergeSchema semantics. Earlier snapshots keep their own schema
-    (time travel returns what was committed then). The default stays
-    strict: a drifted schema is more often a bug than an evolution,
-    so it must be opted into per call."""
-    current = versioned_read(spark, path)
-    kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
-    return versioned_write(
-        kept.unionByName(updates, allowMissingColumns=evolve_schema),
+    mergeSchema semantics. Carried files are NOT rewritten for an
+    evolution; the read path NULL-fills from the manifest schema.
+    Earlier snapshots keep their own schema. The default stays
+    strict: a drifted schema is more often a bug than an evolution.
+
+    ``expected_version`` (internal to the OCC loop) pins the base
+    snapshot AND turns the commit into a compare-and-swap on it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base_v = (
+        latest_version(path)
+        if expected_version is _UNGUARDED
+        else expected_version
+    )
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, base_v)
+    table_schema = StructType.fromJson(man["schema"])
+    table_cols = [f.name for f in table_schema.fields]
+    upd_cols = set(updates.columns)
+    if upd_cols != set(table_cols) and not evolve_schema:
+        raise ValueError(
+            f"upsert schema {sorted(upd_cols)} differs from table schema "
+            f"{sorted(table_cols)} at {path} — pass evolve_schema=True for "
+            "additive evolution"
+        )
+    # evolved schema: table fields, then updates' new fields (order
+    # mirrors unionByName(allowMissingColumns=True))
+    new_fields = list(table_schema.fields)
+    for fld in updates.schema.fields:
+        if fld.name not in set(table_cols):
+            new_fields.append(fld)
+    new_schema = StructType(new_fields)
+
+    cand, carried = _match_files(spark, path, man["files"], updates, keys[0])
+    # existing columns are cast to the TABLE's types so pooled files
+    # never fork physical types (an int batch into a long column)
+    table_type = {f.name: f.dataType for f in table_schema.fields}
+    aligned = updates.select(
+        *[
+            F.col(c).cast(table_type[c]).alias(c) if c in table_type else F.col(c)
+            for c in updates.columns
+        ]
+    )
+    if cand:
+        cand_files = [os.path.join(path, e["path"]) for e in cand]
+        slice_df = spark.read.schema(table_schema).parquet(*cand_files)
+        kept = slice_df.join(aligned.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(aligned, allowMissingColumns=evolve_schema)
+    else:
+        merged = aligned
+    new_entries = _stage_data_files(merged, path)
+    commit_meta = {
+        "op": "merge",
+        "n_files_rewritten": str(len(cand)),
+        "n_files_carried": str(len(carried)),
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
         path,
-        meta=meta,
+        new_schema.jsonValue(),
+        carried + new_entries,
+        commit_meta,
+        expected_version,
+        lock_timeout_s,
     )
 
 
@@ -308,19 +618,18 @@ def versioned_merge_concurrent(
     last: CommitConflict | None = None
     for attempt in range(max_retries + 1):
         base = latest_version(path)
-        if base is None:
-            merged = updates
-        else:
-            current = versioned_read(spark, path, version=base)
-            kept = current.join(
-                updates.select(*keys).distinct(), keys, "left_anti"
-            )
-            merged = kept.unionByName(
-                updates, allowMissingColumns=evolve_schema
-            )
         try:
-            return versioned_write(
-                merged, path, meta=meta, expected_version=base
+            if base is None:
+                return versioned_write(
+                    updates, path, meta=meta, expected_version=None
+                )
+            # partial-rewrite merge pinned to the base manifest; the
+            # commit CASes on the same version, so a racing writer's
+            # carried-file set can never be stitched to ours
+            return versioned_upsert(
+                spark, path, updates, keys,
+                meta=meta, evolve_schema=evolve_schema,
+                expected_version=base,
             )
         except CommitConflict as e:
             last = e
@@ -466,20 +775,55 @@ def versioned_stream_upsert(
     )
 
 
-def vacuum(path: str, *, keep: int = 2) -> list[int]:
-    """Drop all but the newest ``keep`` committed snapshots (never the
-    current pointer target); returns the versions removed. Run it with
-    a retention matched to the longest running reader — a reader
-    pinned to a vacuumed version fails on its next file open, exactly
-    as in Delta."""
+def vacuum(
+    path: str, *, keep: int = 2, min_file_age_s: float = 600.0
+) -> list[int]:
+    """Drop all but the newest ``keep`` COMMITTED snapshots (never the
+    current pointer target), remove uncommitted crash residue above
+    the pointer, then REF-COUNT the data pool: a file is deleted only
+    when no retained manifest references it AND it is older than
+    ``min_file_age_s``. Returns the committed versions removed.
+
+    The keep-window is computed over committed versions only —
+    residue directories never consume retention slots (they are junk,
+    not history), so ``keep=2`` always retains two COMMITTED
+    snapshots. The age gate is the Delta-style guard against the
+    vacuum/writer race: an in-flight writer's freshly pooled (still
+    unreferenced) files and a racing merge's carried-file reads both
+    stay safe as long as retention exceeds the longest write/scan.
+    Run it with retention matched to the longest running reader — a
+    reader pinned to a vacuumed version fails on its next file open,
+    exactly as in Delta."""
     committed = latest_version(path)
-    vs = _versions(path)
+    all_vs = _versions(path)
+    vs = [v for v in all_vs if committed is not None and v <= committed]
     keep_set = set(vs[-keep:]) | ({committed} if committed is not None else set())
     removed = []
     for v in vs:
         if v not in keep_set:
             shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)
+    for v in all_vs:  # crash residue past the pointer
+        if committed is None or v > committed:
+            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    # ref-count the pool across every RETAINED manifest
+    referenced: set[str] = set()
+    for v in keep_set:
+        try:
+            for e in _read_manifest(path, v)["files"]:
+                referenced.add(os.path.basename(e["path"]))
+        except FileNotFoundError:
+            pass
+    pool = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(pool):
+        now = time.time()
+        for f in os.listdir(pool):
+            full = os.path.join(pool, f)
+            try:
+                if f not in referenced and now - os.path.getmtime(full) >= min_file_age_s:
+                    os.unlink(full)
+            except FileNotFoundError:
+                pass
     return removed
 
 
@@ -588,11 +932,8 @@ def versioned_compact(
     snap = os.path.join(path, f"v={v}")
     cur = versioned_read(spark, path, version=v)
     if target_files is None:
-        nbytes = sum(
-            os.path.getsize(os.path.join(snap, f))
-            for f in os.listdir(snap)
-            if f.endswith(".parquet")
-        )
+        # byte sizes come straight off the manifest — no file stats
+        nbytes = sum(e["bytes"] for e in _read_manifest(path, v)["files"])
         target_files = max(1, math.ceil(nbytes / target_file_bytes))
     n_parts = cur.rdd.getNumPartitions()
     out = (
@@ -791,40 +1132,45 @@ def versioned_history(
     keys). Uncommitted residue (crashed writers past the pointer) is
     excluded, exactly as readers exclude it.
 
-    ``with_counts=True`` adds ``n_rows`` — one metadata-only count per
-    retained version (parquet footer statistics, no data read; still
-    O(retained versions) jobs, which vacuum retention bounds).
+    ``with_counts=True`` adds ``n_rows`` — free with manifest
+    snapshots (per-file row counts were lifted from parquet footers
+    at commit time), so history with counts launches NO Spark job.
 
-    Everything else is driver-side directory metadata — O(retained
-    versions) file stats, no Spark job."""
-    import json
-
+    Everything else is driver-side manifest metadata — O(retained
+    versions) manifest reads."""
     committed = latest_version(path)
     rows = []
     for v in _versions(path):
         if committed is None or v > committed:
             continue
         snap = os.path.join(path, f"v={v}")
-        files = [f for f in os.listdir(snap) if f.endswith(".parquet")]
-        nbytes = sum(os.path.getsize(os.path.join(snap, f)) for f in files)
+        man = _read_manifest(path, v)
         meta = {
             f[len("_meta_"):]: open(os.path.join(snap, f)).read()
             for f in os.listdir(snap)
             if f.startswith("_meta_")
         }
         rows.append(
-            (v, v == committed, len(files), nbytes,
-             json.dumps(meta, sort_keys=True))
+            (
+                v,
+                v == committed,
+                len(man["files"]),
+                sum(e["bytes"] for e in man["files"]),
+                sum(e["rows"] for e in man["files"]),
+                json.dumps(meta, sort_keys=True),
+            )
         )
     out = spark.createDataFrame(
         rows,
-        "version int, is_latest boolean, n_files int, n_bytes long, meta string",
+        "version int, is_latest boolean, n_files int, n_bytes long, "
+        "n_rows long, meta string",
     )
-    if with_counts:
-        counts = [
-            (r[0], versioned_read(spark, path, version=r[0]).count())
-            for r in rows
-        ]
-        cdf = spark.createDataFrame(counts, "version int, n_rows long")
-        out = out.join(cdf, "version")
-    return out.orderBy("version")
+    if not with_counts:
+        out = out.drop("n_rows")
+    return out.select(
+        *(
+            ["version", "is_latest", "n_files", "n_bytes", "n_rows", "meta"]
+            if with_counts
+            else ["version", "is_latest", "n_files", "n_bytes", "meta"]
+        )
+    ).orderBy("version")

@@ -28,16 +28,20 @@ def _base(spark, rows):
     return spark.createDataFrame(rows, "id int, grp string, v int")
 
 
+def _n_files(p, v):
+    from skopje_spark.sinks.versioned import _read_manifest
+
+    return len(_read_manifest(p, v)["files"])
+
+
 def test_compact_preserves_content_and_reduces_files(spark, tmp_path):
     p = str(tmp_path / "t")
     df = _base(spark, [(i, "g", i) for i in range(100)]).repartition(16)
     versioned_write(df, p)
-    n0 = len([f for f in os.listdir(os.path.join(p, "v=0")) if f.endswith(".parquet")])
-    assert n0 > 1
+    assert _n_files(p, 0) > 1
     v = versioned_compact(spark, p, target_files=1)
     assert v == 1
-    n1 = len([f for f in os.listdir(os.path.join(p, "v=1")) if f.endswith(".parquet")])
-    assert n1 == 1
+    assert _n_files(p, 1) == 1
     assert _rows(versioned_read(spark, p)) == _rows(versioned_read(spark, p, version=0))
     assert snapshot_meta(p, "op", version=1) == "compact"
     assert snapshot_meta(p, "source_version", version=1) == "0"
@@ -47,8 +51,7 @@ def test_compact_autosizes_from_bytes(spark, tmp_path):
     p = str(tmp_path / "t")
     versioned_write(_base(spark, [(i, "g", i) for i in range(50)]).repartition(8), p)
     versioned_compact(spark, p)  # default 128MB target -> 1 file
-    n = len([f for f in os.listdir(os.path.join(p, "v=1")) if f.endswith(".parquet")])
-    assert n == 1
+    assert _n_files(p, 1) == 1
 
 
 def test_ivm_view_full_then_incremental(spark, tmp_path):

@@ -71,6 +71,158 @@ def test_vacuum_drops_old_keeps_current(spark, tmp_path):
         versioned_read(spark, path, version=0)
 
 
+def test_upsert_partial_rewrite_touches_only_matched_files(spark, tmp_path):
+    """The manifest MERGE economics: on a key-clustered table, a
+    narrow upsert rewrites ONLY the files whose [min,max] key stats
+    can contain a matched key — every other file is carried into the
+    new manifest by reference — while the committed content is
+    identical to a full read-all/rewrite-all merge."""
+    from skopje_spark.sinks.versioned import _read_manifest, snapshot_meta
+
+    path = str(tmp_path / "pr")
+    base = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    versioned_write(base, path)
+    files0 = {e["path"] for e in _read_manifest(path, 0)["files"]}
+    assert len(files0) == 8
+
+    # updates hit keys 10..19 — one range bucket
+    upd = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    versioned_upsert(spark, path, upd, ["k"])
+    files1 = {e["path"] for e in _read_manifest(path, 1)["files"]}
+
+    carried = files0 & files1
+    assert len(carried) == 7, f"expected 7 carried files, got {len(carried)}"
+    assert snapshot_meta(path, "n_files_rewritten", version=1) == "1"
+    assert snapshot_meta(path, "n_files_carried", version=1) == "7"
+
+    # content identical to the full merge, history intact
+    got = {(r["k"], r["v"]) for r in versioned_read(spark, path).collect()}
+    want = {(i, -1 if 10 <= i < 20 else i % 97) for i in range(1000)}
+    assert got == want
+    assert versioned_read(spark, path, version=0).count() == 1000
+
+
+def test_upsert_null_keys_and_statless_files_stay_correct(spark, tmp_path):
+    """NULL update keys follow SQL MERGE semantics (NULL never equals
+    NULL in the match, so they INSERT — same as the pre-manifest
+    merge), and pruning stays conservative around them: the committed
+    result is identical to a full rewrite regardless of which files
+    the stats elected."""
+    path = str(tmp_path / "nullk")
+    base = spark.createDataFrame(
+        [(None, "n0"), (1, "a"), (2, "b"), (50, "z")], "k int, v string"
+    ).repartitionByRange(2, "k")
+    versioned_write(base, path)
+    upd = spark.createDataFrame([(None, "N!"), (2, "B")], "k int, v string")
+    versioned_upsert(spark, path, upd, ["k"])
+    got = {(r["k"], r["v"]) for r in versioned_read(spark, path).collect()}
+    # NULL-keyed rows never match: old NULL row kept, update NULL row
+    # inserted alongside; keyed row 2 replaced
+    assert got == {(None, "n0"), (None, "N!"), (1, "a"), (2, "B"), (50, "z")}
+
+
+def test_vacuum_keep_window_ignores_residue_and_refcounts_pool(spark, tmp_path):
+    """keep counts COMMITTED versions only (crash residue above the
+    pointer never consumes a retention slot — it is deleted, not
+    retained), and the data pool is ref-counted: files referenced by
+    no retained manifest are unlinked once aged, files a retained
+    manifest still lists survive."""
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import _DATA_DIR, _read_manifest
+
+    path = str(tmp_path / "vrc")
+    for i in range(4):
+        versioned_write(_kv(spark, [(i, str(i))]), path)
+    # crash residue above the pointer
+    _os.makedirs(_os.path.join(path, "v=9"))
+
+    v3_files = {e["path"] for e in _read_manifest(path, 3)["files"]}
+    pool = _os.path.join(path, _DATA_DIR)
+    # age every pooled file so the age gate cannot mask the refcount
+    old = _time.time() - 3600
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+
+    removed = vacuum(path, keep=2, min_file_age_s=600)
+    assert removed == [0, 1]
+    assert not _os.path.isdir(_os.path.join(path, "v=9"))  # residue gone
+    # retained versions fully readable; their files survived
+    assert versioned_read(spark, path, version=2).count() == 1
+    assert versioned_read(spark, path).count() == 1
+    kept_pool = {f"{_DATA_DIR}/{f}" for f in _os.listdir(pool)}
+    assert v3_files <= kept_pool
+    # v0/v1's files (unreferenced + aged) are gone from the pool
+    assert len(kept_pool) == len(
+        {e["path"] for e in _read_manifest(path, 2)["files"]} | v3_files
+    )
+
+
+def test_vacuum_age_gate_protects_fresh_orphans(spark, tmp_path):
+    """A freshly pooled orphan (an in-flight or crashed writer's data
+    file, not yet referenced by any manifest) must survive vacuum
+    until it ages past min_file_age_s."""
+    import os as _os
+
+    from skopje_spark.sinks.versioned import _DATA_DIR
+
+    path = str(tmp_path / "vage")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    pool = _os.path.join(path, _DATA_DIR)
+    orphan = _os.path.join(pool, "deadbeef-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not yet committed")
+    vacuum(path, keep=1, min_file_age_s=600)
+    assert _os.path.exists(orphan)  # too fresh to collect
+    old = __import__("time").time() - 3600
+    _os.utime(orphan, (old, old))
+    vacuum(path, keep=1, min_file_age_s=600)
+    assert not _os.path.exists(orphan)
+
+
+def test_pointer_store_interface_routes_all_paths(spark, tmp_path, monkeypatch):
+    """The commit backend contract (PosixPointerStore): swapping in a
+    delegating store routes EVERY pointer resolution, version listing,
+    and atomic swap through the interface — the store is the single
+    correctness boundary an object-store backend must reimplement."""
+    from skopje_spark.sinks import versioned as V
+
+    calls = {"list": 0, "read": 0, "swap": 0}
+
+    class CountingStore(V.PosixPointerStore):
+        def list_versions(self, path):
+            calls["list"] += 1
+            return super().list_versions(path)
+
+        def read_pointer(self, path):
+            calls["read"] += 1
+            return super().read_pointer(path)
+
+        def swap_pointer(self, path, version):
+            calls["swap"] += 1
+            return super().swap_pointer(path, version)
+
+    monkeypatch.setattr(V, "POINTER_STORE", CountingStore())
+    path = str(tmp_path / "ps")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    versioned_upsert(spark, path, _kv(spark, [(1, "A"), (2, "b")]), ["k"])
+    assert {r["k"]: r["v"] for r in versioned_read(spark, path).collect()} == {
+        1: "A",
+        2: "b",
+    }
+    vacuum(path, keep=1, min_file_age_s=0)
+    assert calls["swap"] == 2  # one per commit
+    assert calls["read"] > 0 and calls["list"] > 0
+
+
 def test_pruned_scan_skips_files_and_matches_full_scan(spark, tmp_path):
     path = str(tmp_path / "skip")
     df = spark.range(0, 10000).select(
