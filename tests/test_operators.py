@@ -525,6 +525,31 @@ def test_neardup_clusters_frees_intermediate_generations(spark):
 
 # --- quantitative accuracy floors (no query is "rows >= 0"-verified) --
 
+def test_kmeans_training_numpy_final_assignment_is_codegen(spark, sf_dir):
+    """The numpy training rounds are an internal optimization: the
+    RETURNED assignment must be exactly kmeans_assign (the
+    literal-codegen map downstream oracles bind) evaluated at the
+    returned centroids, and the whole trainer must be deterministic
+    across runs (value-sorted partial fold)."""
+    from skopje_spark.operators.similarity import kmeans_assign, kmeans_cells
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(300)
+    assigned, cents = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", k=5, iters=2
+    )
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(e, cents, vec_col="embedding").collect()
+    }
+    assert got == want
+    _, cents2 = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", k=5, iters=2
+    )
+    assert cents == cents2  # bit-identical across runs
+
+
 def test_ivf_kmeans_recall_beats_label_quantizer(spark):
     """On clustered data a true k-means quantizer recovers the cluster
     structure: probing 2/8 cells keeps >= 90% of the exact top-10,
@@ -1162,6 +1187,42 @@ def test_semantic_dedup_clustered_twins(spark):
     ).collect()}
     assert out2[900]["kept"] == 1
     assert out2[3]["kept"] == 0 and out2[3]["dup_of"] == 900
+
+
+def test_semantic_dedup_multiprobe_catches_boundary_straddlers(spark):
+    """Multi-probe pairing (semantic_dedup n_probe=2): a near-dup
+    pair whose members assign to DIFFERENT top-1 cells is missed at
+    probe=1 (the documented SemDeDup approximation) and caught at
+    probe=2 via the union of 2nd-nearest-cell memberships; single-cell
+    results are otherwise unchanged. Cells are pinned with explicit
+    centroids so the boundary construction is deterministic."""
+    from skopje_spark.operators.dedup import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [0.72, 0.694]),   # top-1 cell 0, 2nd cell 1
+        (2, [0.694, 0.72]),   # top-1 cell 1, 2nd cell 0 — twin of 1
+        (3, [1.0, 0.0]),      # cell-0 anchor
+        (4, [0.0, 1.0]),      # cell-1 anchor
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out1 = {r["vec_id"]: r for r in semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.99,
+        centroids=cents,
+    ).collect()}
+    assert out1[1]["cell"] == 0 and out1[2]["cell"] == 1
+    assert all(out1[i]["kept"] == 1 for i in (1, 2, 3, 4))  # pair missed
+
+    out2 = {r["vec_id"]: r for r in semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", threshold=0.99,
+        centroids=cents, n_probe=2,
+    ).collect()}
+    assert out2[2]["kept"] == 0 and out2[2]["dup_of"] == 1  # pair caught
+    assert out2[2]["dup_cos"] > 0.99
+    assert out2[1]["kept"] == 1 and out2[3]["kept"] == 1 and out2[4]["kept"] == 1
+    # stored cell column keeps top-1 semantics under multi-probe
+    assert out2[1]["cell"] == 0 and out2[2]["cell"] == 1
 
 
 def test_bloom_tree_reduce_bit_identical_and_bounded_driver_rows(spark):
