@@ -955,6 +955,8 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 3,
     rank_col: str | None = None,
+    n_probe: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup — the composed
     cluster-then-prune operator (SemDeDup-style): k-means cells
@@ -973,10 +975,22 @@ def semantic_dedup(
     needed.
 
     Approximation contract (inherent to the published method): only
-    SAME-CELL pairs are scored, so a near-dup pair straddling a cell
-    boundary survives. Identical vectors always share a cell
-    (assignment is a pure function of the vector), so exact
-    duplicates are always caught.
+    SAME-CELL pairs are scored, so at the default ``n_probe=1`` a
+    near-dup pair straddling a cell boundary survives. Identical
+    vectors always share a cell (assignment is a pure function of
+    the vector), so exact duplicates are always caught.
+    ``n_probe>1`` closes the boundary gap for the PAIRING pass only:
+    each vector additionally enters its 2nd..n-th nearest cells
+    (numpy top-n against the trained centroids, Arrow-batched), and
+    pairs are scored over the union of same-cell co-occurrences —
+    ≤ n_probe× the pairing work, the multi-probe IVF idea applied to
+    SemDeDup. The stored ``cell`` column and keep/drop semantics are
+    unchanged; duplicate co-occurrences of a pair collapse by max
+    cosine (scores are identical — same two vectors).
+
+    ``centroids`` (optional) skips quantizer training and assigns
+    against the given list — reuse a trained quantizer across corpora
+    or pin cells deterministically in tests.
 
     Returns every input row + accounting columns: ``cell`` (k-means
     cell), ``kept`` (1/0), ``dup_of`` (keeper id or NULL),
@@ -988,24 +1002,80 @@ def semantic_dedup(
     centroids."""
     from skopje_spark.operators.similarity import (
         blocked_neardup_pairs,
+        kmeans_assign,
         kmeans_cells,
     )
 
-    assigned, _cents = kmeans_cells(
-        embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
-    )
+    if centroids is not None:
+        _cents = [list(map(float, c)) for c in centroids]
+        assigned = kmeans_assign(embeddings, _cents, vec_col=vec_col)
+    else:
+        assigned, _cents = kmeans_cells(
+            embeddings, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+        )
     # materialize the assignment once: it feeds BOTH the pair scoring
     # and the final accounting join, and re-deriving it would repeat
     # the k×dim literal-cosine assignment map (the most expensive
     # codegen in the plan) plus the source scan
     assigned = assigned.localCheckpoint(eager=True)
+    pair_input = assigned.select(id_col, vec_col, "cell")
+    if n_probe > 1:
+        # extra probe memberships: 2nd..n-th nearest cells, numpy
+        # top-n per Arrow batch — narrow map, no shuffle, no codegen
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(_cents, dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        n_extra = min(int(n_probe), len(_cents)) - 1
+        dts = dict(embeddings.dtypes)
+        probe_schema = (
+            f"{id_col} {dts[id_col]}, {vec_col} {dts[vec_col]}, cell int"
+        )
+
+        def extra_probes(it, _Cn=Cn, _p=n_extra):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+                )
+                S = Xn @ _Cn.T
+                # stable descending order (ties to lowest cell, the
+                # kmeans_assign convention); ranks 1.._p after the top
+                order = np.argsort(-S, axis=1, kind="stable")[:, 1 : _p + 1]
+                out = []
+                for j in range(order.shape[1]):
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                id_col: pdf[id_col].to_numpy(),
+                                vec_col: pdf[vec_col],
+                                "cell": order[:, j].astype("int32"),
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        pair_input = pair_input.unionByName(
+            embeddings.select(id_col, vec_col).mapInPandas(
+                extra_probes, probe_schema
+            )
+        )
     pairs = blocked_neardup_pairs(
-        assigned,
+        pair_input,
         id_col=id_col,
         vec_col=vec_col,
         block_col="cell",
         threshold=threshold,
     )
+    if n_probe > 1:
+        # a pair co-occurring in several probed cells appears once per
+        # cell — collapse (scores identical; max is deterministic)
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.max("cos_sim").alias("cos_sim")
+        )
     if rank_col is None:
         # blocked_neardup_pairs emits id_a < id_b
         oriented = pairs.select(
