@@ -462,3 +462,242 @@ def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
         )
         out.loc[mask.values, "n_frames"] = np.asarray(1, dtype=out["n_frames"].dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + Hamming near-dup — the multimodal-corpus
+# dedup signal. dHash (gradient hash, Krawetz's difference hash) and
+# pHash (DCT low-frequency hash) over REAL decoded pixels
+# (:func:`bmp_pixels`), numpy per Arrow batch; candidate pairs come
+# from Hamming-band LSH (the simhash banding idea re-applied to image
+# hashes), never an all-pairs join.
+# ---------------------------------------------------------------------------
+
+_PHASH_BITS = 64
+_PHASH_HEX_LEN = _PHASH_BITS // 4
+
+
+def _gray_resize(px, out_w: int, out_h: int):
+    """Integer grayscale ((b+g+r)//3) + nearest-neighbor resample with
+    the same floor-index maps as :func:`resize_bmp` — every step is
+    exact integer arithmetic, so a SQL oracle can recompute any pixel
+    of the resized grayscale closed-form."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    g = px.astype(np.int64).sum(axis=2) // 3
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return g[yi][:, xi]
+
+
+def dhash_hex(b: bytes) -> str:
+    """64-bit difference hash of a BMP payload as 16 lowercase hex
+    chars: resize the integer grayscale to 9×8, set bit (i, j) when
+    gray[i][j+1] > gray[i][j], pack each row into one byte (bit j is
+    that byte's 2^j), concatenate row bytes as hex. All-integer, so
+    the DuckDB oracle reproduces it bit-for-bit from the closed-form
+    test pattern."""
+    g = _gray_resize(bmp_pixels(b), 9, 8)
+    bits = g[:, 1:] > g[:, :-1]  # 8×8
+    out = []
+    for i in range(8):
+        byte = 0
+        for j in range(8):
+            if bits[i, j]:
+                byte |= 1 << j
+        out.append(f"{byte:02x}")
+    return "".join(out)
+
+
+def phash_hex(b: bytes) -> str:
+    """64-bit DCT perceptual hash as 16 hex chars: 32×32 integer
+    grayscale, orthonormal DCT-II (explicit numpy cosine matrix — no
+    scipy), keep the top-left 8×8 low-frequency block, threshold each
+    coefficient against the median of the block EXCLUDING the DC
+    term. Float DCT means no SQL oracle; robustness is unit-pinned
+    (resize-invariance, distinct-image separation) instead."""
+    import numpy as np
+
+    g = _gray_resize(bmp_pixels(b), 32, 32).astype(np.float64)
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    D[0, :] = np.sqrt(1.0 / n)
+    block = (D @ g @ D.T)[:8, :8].reshape(-1)
+    med = np.median(block[1:])
+    out = []
+    for i in range(8):
+        byte = 0
+        for j in range(8):
+            if block[i * 8 + j] > med:
+                byte |= 1 << j
+        out.append(f"{byte:02x}")
+    return "".join(out)
+
+
+def image_phash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "dhash",
+) -> DataFrame:
+    """Per-image perceptual hash column: ``(id_col, phash)`` with the
+    hash as 16 lowercase hex chars. Arrow-batched mapInPandas over
+    the binary payloads — a narrow map, no shuffle; payloads never
+    leave the executor. ``method`` is ``"dhash"`` (gradient,
+    SQL-oracle-able) or ``"phash"`` (DCT)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"unknown method {method!r}")
+    kernel = dhash_hex if method == "dhash" else phash_hex
+    dts = dict(df.dtypes)
+    schema = f"{id_col} {dts[id_col]}, phash string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [kernel(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def _hamming_hex(a, b):
+    """Hamming distance between two 16-hex-char hash columns, as a
+    codegen expression: each 32-bit half converts via conv(hex) into
+    a long (sign-safe — halves never reach bit 63), XOR, bit_count,
+    sum. No UDF."""
+    total = None
+    for off in (0, 8):
+        ai = F.conv(F.substring(a, off + 1, 8), 16, 10).cast("long")
+        bi = F.conv(F.substring(b, off + 1, 8), 16, 10).cast("long")
+        t = F.bit_count(ai.bitwiseXOR(bi))
+        total = t if total is None else total + t
+    return total
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_dist: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b`` and Hamming distance ≤ ``max_dist``, from a
+    perceptual-hash frame (:func:`image_phash`).
+
+    Plan: Hamming-band LSH — the 64-bit hash splits into ``bands``
+    equal hex substrings; candidates are pairs sharing ANY band
+    (equi-join on (band_id, band_sig), the same bucket-join shape as
+    the MinHash LSH sweep — never an all-pairs join), then the TRUE
+    distance is verified by the codegen XOR/bit_count expression.
+    By pigeonhole the banding is EXACT (zero false negatives) while
+    ``max_dist < bands``: ≤ max_dist differing bits cannot touch all
+    bands, so every qualifying pair shares at least one intact band —
+    enforced here rather than assumed. Identical images (distance 0)
+    always pair.
+
+    Scale: one shuffle on the band key; a bucket of b identical
+    images yields b(b-1)/2 genuine pairs — real duplicates, not a
+    skew artifact; AQE skew-split applies as in every bucket join."""
+    if max_dist >= bands:
+        raise ValueError(
+            f"max_dist={max_dist} needs bands > max_dist (got {bands}) for "
+            "exact banding — raise bands or lower max_dist"
+        )
+    if _PHASH_HEX_LEN % bands:
+        raise ValueError(f"bands={bands} must divide {_PHASH_HEX_LEN}")
+    clen = _PHASH_HEX_LEN // bands
+    h = hashes.select(id_col, hash_col)
+    b = h.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.substring(hash_col, i * clen + 1, clen).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__h", "__b.band_id", "__b.band_sig")
+    left = b.select(
+        "band_id", "band_sig",
+        F.col("__id").alias("id_a"), F.col("__h").alias("__ha"),
+    )
+    right = b.select(
+        "band_id", "band_sig",
+        F.col("__id").alias("id_b"), F.col("__h").alias("__hb"),
+    )
+    cand = (
+        left.join(right, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming_hex(F.col("__ha"), F.col("__hb")))
+        .filter(F.col("hamming") <= int(max_dist))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def bmp_noise_pattern(width: int, height: int, seed: int = 0):
+    """Deterministic NOISE pattern (top-down h×w×3, BGR): quadratic
+    mixes of (x, y, seed) mod 256. Unlike :func:`bmp_pattern` (a
+    smooth gradient whose grayscale is monotone in x — every dHash
+    bit saturates to 1), this pattern has per-pixel structure, so
+    perceptual hashes vary with the seed. Still closed-form integer
+    arithmetic: a SQL oracle recomputes any pixel, any resized
+    grayscale sample, and the full dHash."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(
+        np.arange(width, dtype=np.int64), np.arange(height, dtype=np.int64)
+    )
+    s = int(seed)
+    b = (xx * xx * 7 + yy * yy * 13 + xx * yy * 5 + 31 * s) % 256
+    g = (xx * xx * 3 + yy * yy * 11 + xx * yy * 7 + 17 * s + xx) % 256
+    r = (xx * xx * 5 + yy * yy * 3 + xx * yy * 11 + 23 * s + yy) % 256
+    return np.stack([b, g, r], axis=-1).astype("uint8")
+
+
+def make_noise_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A real BMP file of the deterministic noise pattern."""
+    return encode_bmp(bmp_noise_pattern(width, height, seed))
+
+
+def attach_noise_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Noise-pattern twin of :func:`attach_bmp_payload` (same per-id
+    dimension/seed derivation: width=8+id%16, height=8+id%8,
+    seed=id%32) — ids congruent mod 32 share dims AND seed, so they
+    carry IDENTICAL images: the natural planted-duplicate structure
+    the perceptual-hash dedup query pins."""
+    import pandas as pd  # noqa: F401
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                make_noise_bmp(8 + int(i) % 16, 8 + int(i) % 8, seed=int(i) % 32)
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )

@@ -182,3 +182,103 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("rms"), 6).alias("rms"),
         "zcc",
     )
+
+
+def _dhash_oracle_sql() -> str:
+    """Closed-form DuckDB dHash of the per-doc noise BMP: regenerate
+    the 9×8 resized integer grayscale from the pattern arithmetic
+    (operators/multimodal.bmp_noise_pattern) and pack the 64
+    difference bits into 16 hex chars — bit-for-bit the engine's
+    :func:`~skopje_spark.operators.multimodal.dhash_hex`."""
+
+    def gray(xe: str, ye: str) -> str:
+        b = f"(({xe})*({xe})*7 + ({ye})*({ye})*13 + ({xe})*({ye})*5 + 31*s) % 256"
+        g = f"(({xe})*({xe})*3 + ({ye})*({ye})*11 + ({xe})*({ye})*7 + 17*s + ({xe})) % 256"
+        r = f"(({xe})*({xe})*5 + ({ye})*({ye})*3 + ({xe})*({ye})*11 + 23*s + ({ye})) % 256"
+        return f"((({b}) + ({g}) + ({r})) // 3)"
+
+    row_hex = []
+    for i in range(8):
+        sy = f"(({i}*h)//8)"
+        terms = []
+        for j in range(8):
+            sx0 = f"(({j}*w)//9)"
+            sx1 = f"(({j + 1}*w)//9)"
+            terms.append(
+                f"(CASE WHEN {gray(sx1, sy)} > {gray(sx0, sy)} "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        row_hex.append(
+            "lpad(lower(hex(" + " + ".join(terms) + ")), 2, '0')"
+        )
+    hash_expr = " || ".join(row_hex)
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + doc_id % 8  AS h,
+             doc_id % 32     AS s
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {hash_expr} AS phash FROM p
+    )
+    SELECT doc_id, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) - 1 AS BIGINT) AS n_same
+    FROM hashed
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_image_phash_neardup",
+    oracle=_dhash_oracle_sql(),
+    tags=("multimodal", "phash", "dedup", "image", "llm-pipeline"),
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end
+    (operators/multimodal.image_phash + image_neardup_pairs): every
+    document gets a REAL noise-pattern BMP (dims/seed derived from
+    doc_id — ids congruent mod 32 carry IDENTICAL images), the 64-bit
+    dHash is computed from DECODED pixels, and identical-image
+    partners are found through the Hamming-band LSH pair sweep
+    (4×16-bit bands, exact for distance ≤ 3 by pigeonhole). The
+    oracle recomputes the full dHash closed-form in DuckDB —
+    grayscale, nearest-neighbor sampling, difference bits, hex
+    packing — and the partner counts by hash-value window, so a
+    single wrong bit anywhere in decode → hash → band join →
+    distance verify fails the hash compare.
+
+    Scale: hashing is a narrow Arrow-batched map; pairing is one
+    shuffle on (band_id, band_sig); distance verification is codegen
+    XOR/bit_count. Nothing is all-pairs."""
+    from skopje_spark.operators.multimodal import (
+        attach_noise_bmp_payload,
+        image_neardup_pairs,
+        image_phash,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = image_phash(
+        attach_noise_bmp_payload(d, "doc_id"), id_col="doc_id",
+        payload_col="payload", method="dhash",
+    ).localCheckpoint(eager=True)  # feeds pairing AND the output join
+    pairs = image_neardup_pairs(
+        hashes, id_col="doc_id", hash_col="phash", max_dist=3, bands=4
+    )
+    same = pairs.filter(F.col("hamming") == 0)
+    partners = (
+        same.select(F.col("id_a").alias("doc_id"))
+        .unionAll(same.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_same"),
+        )
+        .orderBy("doc_id")
+    )

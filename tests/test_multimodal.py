@@ -132,3 +132,82 @@ def test_bmp_sniff_rejects_incoherent_headers():
     bad_off = bytearray(good)
     struct.pack_into("<I", bad_off, 10, len(good) + 1)  # offset past end
     assert not is_bmp(bytes(bad_off))
+
+
+def _ham(a: str, b: str) -> int:
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+def test_phash_identical_resize_and_separation():
+    """Perceptual hashes (multimodal.dhash_hex/phash_hex): identical
+    images hash identically; an exact 2x nearest-neighbor upscale is
+    hash-INVARIANT (the floor-index sample maps compose: sampling the
+    upscale hits the same source pixels); distinct noise images are
+    far apart; a single perturbed pixel moves the hash by at most a
+    couple of bits (still a near-dup at distance <= 3)."""
+    from skopje_spark.operators.multimodal import (
+        bmp_noise_pattern,
+        dhash_hex,
+        encode_bmp,
+        make_noise_bmp,
+        phash_hex,
+        resize_bmp,
+    )
+
+    b1 = make_noise_bmp(12, 10, seed=3)
+    assert dhash_hex(b1) == dhash_hex(make_noise_bmp(12, 10, seed=3))
+    assert phash_hex(b1) == phash_hex(make_noise_bmp(12, 10, seed=3))
+
+    big = resize_bmp(b1, 24, 20)
+    assert _ham(dhash_hex(b1), dhash_hex(big)) == 0
+    assert _ham(phash_hex(b1), phash_hex(big)) == 0
+
+    for other_seed in (7, 17, 29):
+        b2 = make_noise_bmp(12, 10, seed=other_seed)
+        assert _ham(dhash_hex(b1), dhash_hex(b2)) > 8
+        assert _ham(phash_hex(b1), phash_hex(b2)) > 8
+
+    px = bmp_noise_pattern(12, 10, 3).copy()
+    px[5, 6, :] = (px[5, 6, :].astype(int) + 120) % 256
+    d = _ham(dhash_hex(b1), dhash_hex(encode_bmp(px)))
+    assert 1 <= d <= 3
+
+
+def test_image_neardup_pairs_banding_exact(spark):
+    """Hamming-band LSH (multimodal.image_neardup_pairs) finds EVERY
+    pair at distance <= 3 (pigeonhole-exact with 4 bands) and never
+    emits a pair above the cap; the brute-force pair set over the
+    collected hashes is the ground truth."""
+    from itertools import combinations
+
+    from skopje_spark.operators.multimodal import (
+        attach_noise_bmp_payload,
+        image_neardup_pairs,
+        image_phash,
+    )
+
+    from pyspark.sql import functions as F
+
+    d = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    hashes = image_phash(
+        attach_noise_bmp_payload(d, "doc_id"), id_col="doc_id",
+        payload_col="payload",
+    )
+    rows = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(rows), 2)
+        if _ham(rows[a], rows[b]) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in image_neardup_pairs(
+            hashes, id_col="doc_id", max_dist=3, bands=4
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous: mod-32 classes collide
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        image_neardup_pairs(hashes, id_col="doc_id", max_dist=4, bands=4)
