@@ -424,3 +424,107 @@ def bpe_model_read(spark, path: str) -> BpeModel:
         for r in spark.read.parquet(path).collect()
     ]
     return BpeModel.from_rows(rows)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model ingest drift: the IVF staleness pattern (a build-time
+# fit baseline persisted beside the artifact, each ingest batch scored
+# against it) applied to the tokenizer. A deployment trains BPE once
+# and encodes forever-after with the frozen merges; when the corpus
+# drifts (new language, code into a prose tokenizer, junk), merges
+# fire less — tokens/byte rises and the merged-token fraction falls —
+# and token budgets silently inflate. The monitor quantifies that so
+# the crawl loop knows when a retrain is due.
+# ---------------------------------------------------------------------------
+
+_DRIFT_STATS = "_drift_stats"
+
+
+def bpe_corpus_stats(df: DataFrame, text_col: str, model: BpeModel) -> dict:
+    """One Arrow-batched encode pass over ``df`` → corpus-level fit of
+    the FROZEN model: ``tokens_per_byte`` (byte-weighted — total
+    tokens / total bytes, not a mean of per-doc ratios) and
+    ``merged_frac`` (fraction of emitted tokens that are MERGED ids
+    ≥ 256 — the OOV-pressure proxy: text the merges were not trained
+    on falls back to raw bytes). No shuffle; one 3-number aggregate."""
+    counted = bpe_encode(df, text_col, model, out_col="__ids")
+    row = counted.agg(
+        F.sum(F.octet_length(F.col(text_col))).alias("b"),
+        F.sum(F.size("__ids")).alias("t"),
+        F.sum(F.size(F.filter(F.col("__ids"), lambda x: x >= 256))).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    b, t, m = int(row["b"] or 0), int(row["t"] or 0), int(row["m"] or 0)
+    return {
+        "n_docs": int(row["n"]),
+        "n_bytes": b,
+        "n_tokens": t,
+        "tokens_per_byte": (t / b) if b else 0.0,
+        "merged_frac": (m / t) if t else 0.0,
+    }
+
+
+def bpe_baseline_write(
+    spark, df: DataFrame, text_col: str, model: BpeModel, path: str
+) -> dict:
+    """Persist the build-time fit baseline next to a model written at
+    ``path`` (underscore-prefixed subdir — hidden from parquet scans
+    of the model itself, like every stats sidecar here). Overwrites:
+    a retrain at the same path must reset its baseline too
+    (the ivf_index_write stats contract). Returns the stats."""
+    s = bpe_corpus_stats(df, text_col, model)
+    spark.createDataFrame(
+        [("build", s["n_docs"], s["n_bytes"], s["n_tokens"],
+          float(s["tokens_per_byte"]), float(s["merged_frac"]))],
+        "phase string, n_docs long, n_bytes long, n_tokens long, "
+        "tokens_per_byte double, merged_frac double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_DRIFT_STATS}")
+    return s
+
+
+def bpe_ingest_check(
+    spark, df: DataFrame, text_col: str, path: str, *, model: BpeModel | None = None
+) -> dict:
+    """Score one ingest batch against the frozen model at ``path``:
+    returns the batch stats plus ``compression_drift`` (batch
+    tokens/byte − build baseline; positive = the frozen merges
+    compress the new data worse) and ``merged_frac_drop`` (baseline
+    merged-token fraction − batch's; positive = OOV pressure). The
+    batch's own row is appended to the stats sidecar (phase='ingest')
+    so drift history is queryable. Callers threshold the drift —
+    exactly :func:`~skopje_spark.operators.similarity.ivf_index_append`'s
+    ``staleness_drop`` contract; both fields are None for models
+    persisted before baselines existed."""
+    if model is None:
+        model = bpe_model_read(spark, path)
+    s = bpe_corpus_stats(df, text_col, model)
+    base_tpb = base_mf = None
+    try:
+        b = [
+            r
+            for r in spark.read.parquet(f"{path}/{_DRIFT_STATS}")
+            .filter(F.col("phase") == "build")
+            .collect()
+        ]
+        if b:
+            base_tpb = float(b[0]["tokens_per_byte"])
+            base_mf = float(b[0]["merged_frac"])
+    except Exception:  # pre-baseline model layout
+        pass
+    spark.createDataFrame(
+        [("ingest", s["n_docs"], s["n_bytes"], s["n_tokens"],
+          float(s["tokens_per_byte"]), float(s["merged_frac"]))],
+        "phase string, n_docs long, n_bytes long, n_tokens long, "
+        "tokens_per_byte double, merged_frac double",
+    ).write.mode("append").parquet(f"{path}/{_DRIFT_STATS}")
+    return dict(
+        s,
+        baseline_tokens_per_byte=base_tpb,
+        baseline_merged_frac=base_mf,
+        compression_drift=(
+            s["tokens_per_byte"] - base_tpb if base_tpb is not None else None
+        ),
+        merged_frac_drop=(
+            base_mf - s["merged_frac"] if base_mf is not None else None
+        ),
+    )

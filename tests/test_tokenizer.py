@@ -325,3 +325,50 @@ def test_bpe_train_from_counts_does_not_mutate_input():
     assert words == snapshot  # caller's dict untouched
     m2 = bpe_train_from_counts(words, num_merges=8)
     assert m1.merges == m2.merges  # retraining reproduces, not drifts
+
+
+def test_bpe_drift_monitor_flags_distribution_shift(spark, tmp_path):
+    """Frozen-model ingest drift (tokenizer.bpe_ingest_check, the IVF
+    staleness pattern): an in-distribution batch scores drift ~ 0; a
+    drifted batch (hex junk into a prose tokenizer) shows positive
+    compression drift AND merged-fraction drop; the stats sidecar
+    accumulates one row per ingest."""
+    from skopje_spark.operators.tokenizer import (
+        bpe_baseline_write,
+        bpe_ingest_check,
+        bpe_model_read,
+        bpe_model_write,
+    )
+
+    nat = [(i, "the cat sat on the mat and the cat ate the mat") for i in range(8)]
+    d = spark.createDataFrame(nat, "doc_id int, text string")
+    model = bpe_train(d, "text", num_merges=64, max_words=1024)
+    path = str(tmp_path / "bpe")
+    bpe_model_write(spark, model, path)
+    base = bpe_baseline_write(spark, d, "text", model, path)
+    assert 0 < base["tokens_per_byte"] < 1 and base["merged_frac"] > 0.5
+
+    # model round-trips with the sidecar in place (underscore-hidden)
+    assert bpe_model_read(spark, path).merges == model.merges
+
+    indist = spark.createDataFrame(
+        [(50 + i, "the mat sat on the cat and the mat ate the cat")
+         for i in range(4)],
+        "doc_id int, text string",
+    )
+    ok = bpe_ingest_check(spark, indist, "text", path)
+    assert abs(ok["compression_drift"]) < 0.1
+    assert abs(ok["merged_frac_drop"]) < 0.2
+
+    junk = spark.createDataFrame(
+        [(100 + i, f"a1f{i}b9c04d{i}e7f2{i}8cbb1{i}d0e9a3f4") for i in range(4)],
+        "doc_id int, text string",
+    )
+    bad = bpe_ingest_check(spark, junk, "text", path)
+    assert bad["compression_drift"] > 0.3
+    assert bad["merged_frac_drop"] > 0.3
+    assert bad["compression_drift"] > ok["compression_drift"]
+
+    hist = spark.read.parquet(f"{path}/_drift_stats")
+    assert hist.filter(F.col("phase") == "ingest").count() == 2
+    assert hist.filter(F.col("phase") == "build").count() == 1
