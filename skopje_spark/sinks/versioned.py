@@ -423,6 +423,69 @@ def versioned_read(
     return spark.read.schema(schema).parquet(*files)
 
 
+def _interval_split(
+    entries: list[dict], col: str, lo, hi
+) -> tuple[list[dict], list[dict]]:
+    """Split manifest entries into (candidates, skipped) for the
+    predicate ``lo <= col <= hi``: skipped files' [min, max] stats
+    PROVE they hold no qualifying row; candidates may. Files without
+    usable stats for ``col`` stay candidates (conservative — pruning
+    never changes results, it only narrows IO). Pure driver-side
+    interval arithmetic over the in-memory manifest: O(#files), no
+    job launched to decide — the Delta/Iceberg data-skipping read
+    contract."""
+    cand: list[dict] = []
+    skipped: list[dict] = []
+    for e in entries:
+        st = (e.get("stats") or {}).get(col)
+        if st is None or st.get("min") is None or st.get("max") is None:
+            cand.append(e)
+        elif st["max"] < lo or st["min"] > hi:
+            skipped.append(e)
+        else:
+            cand.append(e)
+    return cand, skipped
+
+
+def versioned_pruned_read(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan-side file skipping for a versioned snapshot: read only the
+    files whose manifest [min, max] stats on ``col`` can intersect
+    [lo, hi], then re-apply the exact predicate. The MERGE path has
+    pruned writes since the manifest store landed
+    (:func:`versioned_upsert`); this is the symmetric read half — a
+    point/range lookup on a key-clustered 100 TB table opens a
+    handful of files, decided from kilobytes of driver-side manifest,
+    never a table scan.
+
+    Exactness: pruning drops only files PROVEN disjoint, and the
+    residual predicate re-filters the survivors, so the result is
+    row-identical to ``versioned_read(...).filter(lo <= col <= hi)``
+    (driver-oracled by q_versioned_pruned_read; file-count economics
+    unit-pinned in tests/test_versioned.py)."""
+    from pyspark.sql.types import StructType
+
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = committed if version is None else version
+    man = _read_manifest(path, v)
+    schema = StructType.fromJson(man["schema"])
+    cand, _ = _interval_split(man["files"], col, lo, hi)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not cand:
+        return spark.createDataFrame([], schema).filter(pred)
+    files = [os.path.join(path, e["path"]) for e in cand]
+    return spark.read.schema(schema).parquet(*files).filter(pred)
+
+
 def _match_files(
     spark: SparkSession,
     path: str,
