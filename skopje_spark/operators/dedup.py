@@ -1019,7 +1019,11 @@ def semantic_dedup(
     # codegen in the plan) plus the source scan
     assigned = assigned.localCheckpoint(eager=True)
     pair_input = assigned.select(id_col, vec_col, "cell")
-    if n_probe > 1:
+    # n_extra is capped by the number of cells: with k=1 (or a 1-row
+    # corpus collapsing training to one centroid) there is no 2nd cell
+    # to probe, so the extra-probe branch must be skipped entirely —
+    # otherwise the executor task concatenates zero frames and dies.
+    if n_probe > 1 and min(int(n_probe), len(_cents)) - 1 >= 1:
         # extra probe memberships: 2nd..n-th nearest cells, numpy
         # top-n per Arrow batch — narrow map, no shuffle, no codegen
         import numpy as np

@@ -466,6 +466,60 @@ def q_versioned_partial_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_pruned_read",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, TRUE AS pruned_scan
+    FROM orders
+    WHERE o_orderkey BETWEEN 200 AND 900
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "skipping", "manifest", "lakeops"),
+)
+def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side manifest file skipping on a versioned snapshot
+    (sinks/versioned.py:versioned_pruned_read): a key-clustered
+    orders table (8 range-bucketed files) takes a narrow range read
+    ([200, 900] — well inside the first bucket at every sf), and the
+    manifest's own [min, max] interval split proves most files were
+    never opened — emitted as the ``pruned_scan`` flag the oracle
+    pins TRUE. Row content is pinned identical to the filtered full
+    scan the oracle computes directly.
+
+    Scale: the skip decision reads kilobytes of driver-side manifest,
+    so a point/range lookup on a key-clustered 100 TB table opens a
+    handful of files — the read-side twin of the MERGE partial
+    rewrite (q_versioned_partial_rewrite)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_pruned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_pruned_read_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    base = o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    versioned_write(base, path)
+    lo, hi = 200, 900
+    man = _read_manifest(path, 0)
+    cand, skipped = _interval_split(man["files"], "o_orderkey", lo, hi)
+    return (
+        versioned_pruned_read(spark, path, "o_orderkey", lo, hi)
+        .withColumn(
+            "pruned_scan", F.lit(bool(len(cand) <= 2 and len(skipped) >= 6))
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,

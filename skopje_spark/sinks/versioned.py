@@ -438,13 +438,22 @@ def _interval_split(
     skipped: list[dict] = []
     for e in entries:
         st = (e.get("stats") or {}).get(col)
-        if st is None or st.get("min") is None or st.get("max") is None:
+        mn = None if st is None else st.get("min")
+        mx = None if st is None else st.get("max")
+        # NaN-valued footer stats (a writer that folded NaN into
+        # min/max) prove nothing: every ordered comparison with NaN is
+        # false, which would silently mis-skip. Treat as stat-less.
+        if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
             cand.append(e)
-        elif st["max"] < lo or st["min"] > hi:
+        elif mx < lo or mn > hi:
             skipped.append(e)
         else:
             cand.append(e)
     return cand, skipped
+
+
+def _stat_nan(x) -> bool:
+    return isinstance(x, float) and x != x
 
 
 def versioned_pruned_read(
@@ -470,6 +479,7 @@ def versioned_pruned_read(
     row-identical to ``versioned_read(...).filter(lo <= col <= hi)``
     (driver-oracled by q_versioned_pruned_read; file-count economics
     unit-pinned in tests/test_versioned.py)."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     committed = latest_version(path)
@@ -517,7 +527,15 @@ def _match_files(
     cand, stat_rows = [], []
     for e in entries:
         st = (e.get("stats") or {}).get(key)
-        if st is None or st.get("min") is None or key_type is None:
+        mn = None if st is None else st.get("min")
+        # NaN-valued stats prove nothing (see _interval_split) — the
+        # file stays a conservative rewrite candidate
+        if (
+            mn is None
+            or key_type is None
+            or _stat_nan(mn)
+            or _stat_nan(st.get("max"))
+        ):
             cand.append(e)
         else:
             stat_rows.append(e)
@@ -535,12 +553,21 @@ def _match_files(
         ]),
     )
     kdf = updates.select(F.col(key).alias("__k")).distinct()
+    # Spark's equi-join treats NaN = NaN as a match, but NaN fails every
+    # ordered comparison, so the interval test would wrongly carry a
+    # file holding NaN-keyed rows past a NaN-keyed update (the stale row
+    # would survive alongside its replacement). Mirror Delta's NaN
+    # data-skipping carve-out: a NaN update key makes EVERY stats file a
+    # candidate (min/max stats cannot prove NaN-absence).
+    hit = (F.col("__k") >= F.col("__mn")) & (F.col("__k") <= F.col("__mx"))
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(key_type, (FloatType, DoubleType)):
+        hit = hit | F.isnan(F.col("__k"))
     matched = {
         r["__path"]
-        for r in kdf.join(
-            F.broadcast(sdf),
-            (F.col("__k") >= F.col("__mn")) & (F.col("__k") <= F.col("__mx")),
-        ).select("__path").distinct().collect()
+        for r in kdf.join(F.broadcast(sdf), hit)
+        .select("__path").distinct().collect()
     }
     carried = []
     for e in stat_rows:
@@ -866,9 +893,21 @@ def vacuum(
         if v not in keep_set:
             shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)
-    for v in all_vs:  # crash residue past the pointer
+    # Crash residue past the pointer: age-gate on directory mtime (the
+    # same Delta-style guard the pool pass uses) so a vacuum racing an
+    # in-flight commit — whose manifest dir has been renamed into place
+    # but whose pointer swap hasn't landed yet — never deletes the
+    # about-to-be-published version. Genuine crash residue is by
+    # definition old; an in-flight commit's dir is seconds old.
+    now = time.time()
+    for v in all_vs:
         if committed is None or v > committed:
-            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+            vdir = os.path.join(path, f"v={v}")
+            try:
+                if now - os.path.getmtime(vdir) >= min_file_age_s:
+                    shutil.rmtree(vdir, ignore_errors=True)
+            except FileNotFoundError:
+                pass
     # ref-count the pool across every RETAINED manifest
     referenced: set[str] = set()
     for v in keep_set:

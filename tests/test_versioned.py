@@ -142,13 +142,18 @@ def test_vacuum_keep_window_ignores_residue_and_refcounts_pool(spark, tmp_path):
     path = str(tmp_path / "vrc")
     for i in range(4):
         versioned_write(_kv(spark, [(i, str(i))]), path)
-    # crash residue above the pointer
+    # crash residue above the pointer — aged past the residue sweep's
+    # age gate (a FRESH v>committed dir is indistinguishable from an
+    # in-flight commit and must survive; see
+    # test_vacuum_age_gate_protects_in_flight_commit_dir)
     _os.makedirs(_os.path.join(path, "v=9"))
 
     v3_files = {e["path"] for e in _read_manifest(path, 3)["files"]}
     pool = _os.path.join(path, _DATA_DIR)
-    # age every pooled file so the age gate cannot mask the refcount
+    # age every pooled file AND the residue dir so the age gate cannot
+    # mask the refcount / residue semantics under test
     old = _time.time() - 3600
+    _os.utime(_os.path.join(path, "v=9"), (old, old))
     for f in _os.listdir(pool):
         _os.utime(_os.path.join(pool, f), (old, old))
 
@@ -511,3 +516,105 @@ def test_bloom_manifest_tolerates_null_keys(spark, tmp_path):
     got = pruned_point_scan(spark, path, "uid", "u123").collect()
     assert [r["id"] for r in got] == [123]
     assert pruned_point_scan(spark, path, "uid", "nope").count() == 0
+
+
+def test_versioned_pruned_read_matches_filtered_scan(spark, tmp_path):
+    """Scan-side file skipping (versioned_pruned_read): row-identical
+    to the full read + exact filter, while the manifest interval split
+    proves most files were never opened — and an interval past the key
+    range short-circuits to an empty (correctly-typed) frame."""
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_pruned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vpr")
+    df = spark.range(0, 800).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    versioned_write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"), path
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in versioned_pruned_read(spark, path, "k", 100, 250).collect()
+    )
+    exp = sorted(
+        (r["k"], r["v"])
+        for r in versioned_read(spark, path)
+        .filter("k BETWEEN 100 AND 250")
+        .collect()
+    )
+    assert got == exp and len(got) == 151
+    cand, skipped = _interval_split(
+        _read_manifest(path, 0)["files"], "k", 100, 250
+    )
+    assert len(cand) <= 3 and len(skipped) >= 5
+    empty = versioned_pruned_read(spark, path, "k", 10_000, 10_001)
+    assert empty.count() == 0 and [f.name for f in empty.schema] == ["k", "v"]
+
+
+def test_vacuum_age_gate_protects_in_flight_commit_dir(spark, tmp_path):
+    """The residue sweep must not delete a FRESH v>committed directory:
+    a racing commit that has renamed its manifest dir into place but
+    not yet swapped the pointer looks exactly like crash residue, and
+    deleting it would leave _LATEST pointing at a missing manifest.
+    Genuine residue is old; the sweep is age-gated like the pool pass."""
+    import os as _os
+    import time as _time
+
+    path = str(tmp_path / "vres")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    vdir = _os.path.join(path, "v=7")
+    _os.makedirs(vdir)
+    with open(_os.path.join(vdir, "manifest.json"), "w") as f:
+        f.write("{}")
+    vacuum(path, keep=1, min_file_age_s=600)
+    assert _os.path.isdir(vdir)  # fresh: could be an in-flight commit
+    old = _time.time() - 3600
+    _os.utime(vdir, (old, old))
+    vacuum(path, keep=1, min_file_age_s=600)
+    assert not _os.path.exists(vdir)  # aged residue collected
+
+
+def test_upsert_nan_float_keys_replace_stale_rows(spark, tmp_path):
+    """NaN merge keys: Spark's equi-join matches NaN = NaN, but NaN
+    fails every ordered comparison, so interval pruning must never
+    carry a file on the strength of min/max when the update set holds
+    NaN keys — the stale NaN row has to be rewritten away, not survive
+    alongside its replacement."""
+    import math
+
+    path = str(tmp_path / "vnan")
+    base = spark.createDataFrame(
+        [(1.0, "a"), (float("nan"), "old"), (5.0, "b")], "k double, v string"
+    )
+    versioned_write(base.repartitionByRange(2, "k"), path)
+    upd = spark.createDataFrame([(float("nan"), "new")], "k double, v string")
+    versioned_upsert(spark, path, upd, ["k"])
+    rows = versioned_read(spark, path).collect()
+    nan_vals = [r["v"] for r in rows if math.isnan(r["k"])]
+    assert nan_vals == ["new"]  # replaced, not duplicated
+    assert {r["v"] for r in rows if not math.isnan(r["k"])} == {"a", "b"}
+
+
+def test_semantic_dedup_multiprobe_single_cell_is_safe(spark):
+    """n_probe > 1 with k=1 (or a corpus whose training collapses to
+    one centroid) has no 2nd cell to probe — the extra-probe branch
+    must be skipped, not crash concatenating zero frames."""
+    from skopje_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
+        "vec_id int, vec array<double>",
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, id_col="vec_id", vec_col="vec", k=1, n_probe=3,
+            threshold=0.95, iters=2,
+        ).collect()
+    }
+    assert out[1] == 1 and out[2] == 0 and out[3] == 1
