@@ -67,9 +67,11 @@ from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
     versioned_compact,
+    versioned_delete,
     versioned_history,
     versioned_merge_concurrent,
     versioned_read,
+    versioned_restore,
     versioned_upsert,
     versioned_write,
     versioned_ivm_view,
@@ -129,9 +131,11 @@ __all__ = [
     "token_count_bpe",
     "CommitConflict",
     "versioned_compact",
+    "versioned_delete",
     "versioned_history",
     "versioned_merge_concurrent",
     "versioned_read",
+    "versioned_restore",
     "versioned_upsert",
     "versioned_write",
     "versioned_ivm_view",

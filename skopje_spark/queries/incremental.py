@@ -520,6 +520,140 @@ def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_delete_vectors",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, TRUE AS dv_delete
+    FROM orders
+    WHERE o_orderkey % 13 <> 3
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "delete", "deletion-vectors", "lakeops"),
+)
+def q_versioned_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the driver gate
+    (sinks/versioned.py:versioned_delete): a predicate spreading
+    matches across EVERY file of a key-clustered orders table
+    (o_orderkey % 13 = 3) commits as deletion-vector sidecars — the
+    commit's own ``n_files_rewritten`` marker and an unchanged
+    data-file set prove not one data file was rewritten, emitted as
+    the ``dv_delete`` flag the oracle pins TRUE. Content is pinned
+    identical to the direct anti-filter the oracle computes: the read
+    side's (file, row-position) anti-join applies the vectors exactly.
+
+    Scale: this is the DELETE economics a rewrite-style MERGE cannot
+    give — a scattered 0.1% delete on a 100 TB table writes kilobytes
+    of positions + a manifest, where even a partial-rewrite merge
+    would rewrite every file the predicate touches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_dv_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    files0 = {e["path"] for e in _read_manifest(path, 0)["files"]}
+    v1 = versioned_delete(spark, path, "o_orderkey % 13 = 3")
+    files1 = {e["path"] for e in _read_manifest(path, v1)["files"]}
+    dv_only = (
+        snapshot_meta(path, "n_files_rewritten", version=v1) == "0"
+        and files1 == files0  # every data file carried by reference
+        and int(snapshot_meta(path, "n_rows_deleted", version=v1)) > 0
+    )
+    return (
+        versioned_read(spark, path)
+        .withColumn("dv_delete", F.lit(bool(dv_only)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_versioned_dv_lifecycle",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice * 3
+                WHEN o_orderkey % 20 = 4 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           TRUE AS dv_lifecycle
+    FROM orders
+    WHERE o_orderkey % 10 <> 7 OR o_orderkey % 100 = 7
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "delete", "deletion-vectors", "compaction", "lakeops"),
+)
+def q_versioned_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full deletion-vector lifecycle as one driver-gated story:
+    DELETE (o_orderkey % 10 = 7, vectors only — zero rewrites) →
+    MERGE that re-inserts a subset of the deleted keys at price*3 and
+    updates untouched keys (% 20 = 4) at price*2, reading its
+    candidate slice THROUGH the vectors so no deleted row resurrects →
+    COMPACT, whose rewrite goes through the DV-applied read and so
+    materializes the vectors away (the final manifest is pinned
+    DV-free via the ``dv_lifecycle`` flag). The oracle recomputes the
+    end state directly from orders; hash equality proves delete,
+    merge-over-vectors, and materialization compose exactly.
+
+    Scale: each step is the cheap variant — positions for the delete,
+    matched-file rewrite for the merge, narrow coalesce for the
+    compaction — and history stays time-travelable throughout."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_compact,
+        versioned_delete,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_dvlife_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    v1 = versioned_delete(spark, path, "o_orderkey % 10 = 7")
+    upd = (
+        o.filter("o_orderkey % 100 = 7")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .unionByName(
+            o.filter("o_orderkey % 20 = 4").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            )
+        )
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"])
+    v3 = versioned_compact(spark, path, target_files=8)
+    ok = (
+        snapshot_meta(path, "n_files_rewritten", version=v1) == "0"
+        and all(
+            not e.get("dv_files") for e in _read_manifest(path, v3)["files"]
+        )
+    )
+    return (
+        versioned_read(spark, path)
+        .withColumn("dv_lifecycle", F.lit(bool(ok)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,

