@@ -1,0 +1,269 @@
+"""Crawl-ingest text extraction: HTML → text, URL canonicalization,
+and the composed Gopher-style document quality filter.
+
+A web-crawl training corpus arrives as markup and URLs, not clean
+text; before any dedup/quality stage can run, the pipeline needs
+(1) boilerplate-free text out of HTML, (2) canonical URLs so the same
+resource fetched under tracking-parameter / port / case variants
+dedups to one key, and (3) a first-pass rule filter that drops
+machine-generated and junk documents (the "Gopher rules" of Rae et
+al. 2021, §A1.1). The reference engine's curation surface stops at
+typed scalar converts (`/root/reference/src/util.rs`); this tier is
+part of the mandated LLM-pipeline extension.
+
+Scale design: every operator here is a chain of JVM-side expressions
+(`regexp_replace`, `split`, higher-order array functions) — no Python
+in the hot path, whole-stage-codegen throughout, embarrassingly
+parallel per row. Pattern/threshold tables are module-level constants
+shared with the oracle-SQL generators so Spark and DuckDB compute from
+one source of truth.
+
+Honest limits (documented, deliberate): the HTML strip is a regex
+extractor, not an HTML5 parser — unescaped ``<`` inside script bodies
+or attribute values can confuse it (real crawls escape these);
+entity decoding covers the named entities that dominate web text, not
+numeric references. URL canonicalization does not resort query
+parameters (order is preserved) and strips only the tracking keys in
+:data:`URL_TRACKING_PARAMS`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# HTML → text
+# --------------------------------------------------------------------------
+
+# block-content patterns removed wholesale, in order
+HTML_BLOCK_PATTERNS = (
+    r"(?s)<!--.*?-->",                       # comments
+    r"(?is)<script\b[^>]*>.*?</script\s*>",  # script incl. body
+    r"(?is)<style\b[^>]*>.*?</style\s*>",    # style incl. body
+)
+HTML_TAG_PATTERN = r"<[^>]+>"  # any remaining tag → whitespace
+
+# named entities, decoded AFTER tag removal (so a decoded '<' is never
+# re-parsed as markup) with &amp; LAST (so '&amp;lt;' correctly yields
+# the literal '&lt;', the standard double-escape behavior)
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Strip markup from an HTML column: comments, ``<script>`` and
+    ``<style>`` blocks (content included), every remaining tag, then
+    named-entity decode and whitespace collapse. Pure expression chain
+    — codegen'd, no UDF."""
+    c = col
+    for pat in HTML_BLOCK_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, HTML_TAG_PATTERN, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text`, generated from the same
+    pattern tables (RE2 accepts the inline (?is) flags; replacements
+    carry no backreferences by construction, so the '$' vs '\\'
+    dialect difference never arises)."""
+    c = expr
+    for pat in HTML_BLOCK_PATTERNS:
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{HTML_TAG_PATTERN}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        c = f"regexp_replace({c}, '{ent}', '{ch_sql}', 'g')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization
+# --------------------------------------------------------------------------
+
+URL_TRACKING_PARAMS = r"utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid"
+
+# (pattern, replacement) applied in order; NO backreferences (keeps the
+# rule table engine-portable — Java wants $1, RE2 wants \1)
+URL_CANON_RULES = (
+    (r"#.*$", ""),                                   # fragment
+    (rf"({URL_TRACKING_PARAMS})=[^&#]*", ""),        # tracking params
+    (r"\?&+", "?"),                                  # separator repair…
+    (r"&&+", "&"),
+    (r"[?&]+$", ""),                                 # …and dangling tails
+    (r":80/", "/"),                                  # default ports
+    (r":443/", "/"),
+    (r":80$", ""),
+    (r":443$", ""),
+    (r"/+$", ""),                                    # trailing slash(es)
+)
+_URL_HEAD = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"    # scheme://host[:port]
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL column: drop fragments and tracking
+    parameters (repairing separators), strip default ports and
+    trailing slashes, and lowercase the scheme+host (ONLY — paths and
+    query values are case-significant). Idempotent: canonical of a
+    canonical URL is itself. The dedup key for crawl frontier and
+    fetched-content tables."""
+    c = col
+    for pat, repl in URL_CANON_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    head = F.regexp_extract(c, _URL_HEAD, 0)
+    return F.concat(F.lower(head), F.substr(c, F.length(head) + F.lit(1)))
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url`, from the same rule table."""
+    c = expr
+    for pat, repl in URL_CANON_RULES:
+        c = f"regexp_replace({c}, '{pat}', '{repl}', 'g')"
+    head = f"regexp_extract({c}, '{_URL_HEAD}')"
+    # evaluate c once per branch is fine — engines fold the expression
+    return f"(lower({head}) || substr({c}, length({head}) + 1))"
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of a URL (no port) — the per-site aggregation
+    key for crawl politeness/frequency stats."""
+    return F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules
+# --------------------------------------------------------------------------
+
+# "must contain at least min_stopwords of …" — Rae et al. 2021 use
+# exactly this 8-word list
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_DEFAULTS = dict(
+    min_words=50,
+    max_words=100_000,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    max_symbol_ratio=0.1,     # '#' or '…'/'...' per word
+    min_alpha_ratio=0.80,     # words containing ≥1 alphabetic char
+    min_stopwords=2,          # distinct stopwords present
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str, text_col: str, **overrides
+) -> DataFrame:
+    """Per-document Gopher rule flags and the composed ``keep``
+    decision: word-count bounds, mean-word-length bounds, symbol-to-
+    word ratio, alphabetic-word fraction, and distinct-stopword
+    presence (Rae et al. 2021 §A1.1; thresholds overridable, defaults
+    in :data:`GOPHER_DEFAULTS`). Emits the measurements alongside the
+    booleans so downstream triage can see WHY a document fell.
+
+    All higher-order array expressions over one tokenization — a
+    single narrow projection, no shuffle, no UDF; at 100 TB this is a
+    map-only pass that fuses into whatever scan feeds it."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"#", "")
+    )
+    ell = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"\.\.\.", "")
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (hashes + ell / 3).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, alpha.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stops = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stops.alias("n_stopwords"),
+    )
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= p["min_words"])
+         & (F.col("n_words") <= p["max_words"])).alias("ok_words"),
+        ((F.col("mean_word_len") >= p["min_mean_word_len"])
+         & (F.col("mean_word_len") <= p["max_mean_word_len"])).alias("ok_mean_len"),
+        (F.col("symbol_ratio") <= p["max_symbol_ratio"]).alias("ok_symbols"),
+        (F.col("alpha_ratio") >= p["min_alpha_ratio"]).alias("ok_alpha"),
+        (F.col("n_stopwords") >= p["min_stopwords"]).alias("ok_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (F.col("ok_words") & F.col("ok_mean_len") & F.col("ok_symbols")
+         & F.col("ok_alpha") & F.col("ok_stopwords")).alias("keep"),
+    )
+
+
+def gopher_flags_sql(table: str, id_col: str, text_col: str, **overrides) -> str:
+    """DuckDB twin of :func:`gopher_quality_flags` from the same
+    thresholds/stopword list (ratios are compared, never emitted raw —
+    the query layer rounds what it exposes)."""
+    p = {**GOPHER_DEFAULTS, **overrides}
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '') AS t,
+         {text_col} AS raw
+  FROM {table}
+), m AS (
+  SELECT {id_col},
+         len(t) AS n_words,
+         CASE WHEN len(t) > 0
+              THEN CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(t) > 0
+              THEN (LENGTH(raw) - LENGTH(replace(raw, '#', ''))
+                    + (LENGTH(raw) - LENGTH(replace(raw, '...', ''))) / 3) / CAST(len(t) AS DOUBLE)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(t) > 0
+              THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS alpha_ratio,
+         len(list_filter([{stops}], s -> list_contains(t, s))) AS n_stopwords
+  FROM toks
+)
+SELECT {id_col}, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stopwords,
+       (n_words >= {p["min_words"]} AND n_words <= {p["max_words"]}) AS ok_words,
+       (mean_word_len >= {p["min_mean_word_len"]} AND mean_word_len <= {p["max_mean_word_len"]}) AS ok_mean_len,
+       (symbol_ratio <= {p["max_symbol_ratio"]}) AS ok_symbols,
+       (alpha_ratio >= {p["min_alpha_ratio"]}) AS ok_alpha,
+       (n_stopwords >= {p["min_stopwords"]}) AS ok_stopwords,
+       ((n_words >= {p["min_words"]} AND n_words <= {p["max_words"]})
+        AND (mean_word_len >= {p["min_mean_word_len"]} AND mean_word_len <= {p["max_mean_word_len"]})
+        AND (symbol_ratio <= {p["max_symbol_ratio"]})
+        AND (alpha_ratio >= {p["min_alpha_ratio"]})
+        AND (n_stopwords >= {p["min_stopwords"]})) AS keep
+FROM m
+"""

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QueryDef]:
         aggregates,
         analytics,
         cdc_scd,
+        crawl_text,
         joins,
         keymap_demo,
         layout,

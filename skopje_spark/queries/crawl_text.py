@@ -1,0 +1,154 @@
+"""Crawl-ingest text-extraction queries (operators/webtext.py): HTML →
+text, URL canonicalization, and the composed Gopher quality filter.
+
+Oracle strategy: the documents fixture is plain text, so the HTML and
+URL queries SYNTHESIZE their markup/URLs deterministically in-query —
+the same encode-then-decode pattern the multimodal codec queries use —
+and the oracle pins the expected output CLOSED-FORM (it knows the
+synthetic structure; it does not re-run the extraction regexes). That
+proves the extractor recovers the payload, not merely that two engines
+share a regex dialect. The Gopher oracle mirrors the rule arithmetic
+from the same module-level thresholds/stopword table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.webtext import (
+    canonical_url,
+    gopher_flags_sql,
+    gopher_quality_flags,
+    html_to_text,
+    url_host,
+)
+from skopje_spark.queries import register
+from skopje_spark.queries.rounding import dround, dround_sql
+from skopje_spark.tables import load_table
+
+
+@register(
+    "q_html_extract_text",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               source || ' ' || text || ' & more <tags>', '\s+', ' ', 'g'
+           )) AS extracted
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("webtext", "html", "extraction", "crawl"),
+)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (operators/webtext.py:html_to_text):
+    each document is wrapped in a full synthetic page — comment, script
+    block (with escaped operators), style block, heading, entities
+    (&amp; &lt; &gt; &nbsp;) — and the extractor must recover exactly
+    ``source + ' ' + text + ' & more <tags>'``, which the oracle
+    computes closed-form from the base columns. Proves block removal,
+    tag stripping, entity decode order, and whitespace collapse
+    compose correctly.
+
+    Scale: one codegen'd regex chain per row — map-only, fuses into
+    the scan; the 100 TB crawl case is embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html lang="en"><!-- nav --><head>'),
+        F.lit('<script type="text/javascript">if (a&lt;b) { t("x"); }'
+              "</script>"),
+        F.lit("<style>body { color: #fff; }</style></head><body><h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(" &amp; more &lt;tags&gt;&nbsp;</p></body></html>"),
+    )
+    return d.select(
+        "doc_id", html_to_text(html).alias("extracted")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           'https://example.com/docs/' || source || '/?id='
+               || CAST(doc_id AS VARCHAR) AS url_canon,
+           'example.com' AS host
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("webtext", "url", "canonicalization", "crawl", "dedup"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/webtext.py:canonical_url): each
+    document id is dressed as a messy crawl URL — uppercase scheme and
+    host, explicit default port, tracking parameters fore and aft of a
+    real one, a fragment — and canonicalization must produce exactly
+    the clean form the oracle writes down closed-form (lowercased
+    scheme+host, port gone, only ``id`` surviving in the query string,
+    fragment gone), plus the extracted host. This canonical form is
+    the crawl-frontier/dedup key: the same resource fetched under any
+    of these variants collapses to one row.
+
+    Scale: expression-only, map-side, no UDF, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://Example.COM:443/docs/"),
+        F.col("source"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+    )
+    return d.select(
+        "doc_id",
+        canonical_url(url).alias("url_canon"),
+        url_host(url).alias("host"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_ORACLE = f"""
+WITH g AS ({gopher_flags_sql('documents', 'doc_id', 'text')})
+SELECT doc_id, n_words,
+       {dround_sql('mean_word_len', 6)} AS mean_word_len,
+       {dround_sql('symbol_ratio', 6)} AS symbol_ratio,
+       {dround_sql('alpha_ratio', 6)} AS alpha_ratio,
+       n_stopwords, ok_words, ok_mean_len, ok_symbols, ok_alpha,
+       ok_stopwords, keep
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_gopher_filter",
+    oracle=_GOPHER_ORACLE,
+    tags=("webtext", "quality", "gopher", "filter", "crawl"),
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-rule document filter
+    (operators/webtext.py:gopher_quality_flags): word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, and distinct-stopword presence, each emitted as its own
+    flag plus the conjunction ``keep`` — per Rae et al. 2021 §A1.1.
+    The oracle is generated from the SAME threshold/stopword tables
+    (single source of truth), so a drifted rule fails the gate.
+
+    Scale: one tokenization feeding every rule via higher-order array
+    expressions — a single narrow map, no Python, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    out = gopher_quality_flags(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        dround(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        dround(F.col("symbol_ratio"), 6).alias("symbol_ratio"),
+        dround(F.col("alpha_ratio"), 6).alias("alpha_ratio"),
+        "n_stopwords",
+        "ok_words",
+        "ok_mean_len",
+        "ok_symbols",
+        "ok_alpha",
+        "ok_stopwords",
+        "keep",
+    ).orderBy("doc_id")

@@ -1,0 +1,175 @@
+"""Unit tests: crawl-ingest text extraction (operators/webtext.py) —
+HTML → text, URL canonicalization, Gopher quality rules — including
+cross-engine identity with the module's own DuckDB oracle generators
+(the single-source-of-truth contract the driver queries rely on)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.operators.webtext import (
+    GOPHER_STOPWORDS,
+    canonical_url,
+    canonical_url_sql,
+    gopher_flags_sql,
+    gopher_quality_flags,
+    html_to_text,
+    html_to_text_sql,
+    url_host,
+)
+
+HTML_CASES = [
+    # full page: comment, script with escaped operators, style, tags,
+    # entities in the order that trips naive decoders
+    (
+        '<html lang="en"><!-- nav --><head><script type="text/javascript">'
+        'if (a&lt;b) { t("x"); }</script><style>body { color: #fff; }'
+        "</style></head><body><h1>Title</h1>\n<p>Hello &amp; world "
+        "&lt;tag&gt;&nbsp;here</p></body></html>",
+        "Title Hello & world <tag> here",
+    ),
+    ("plain text, no markup", "plain text, no markup"),
+    ("<div><p>a</p><p>b</p></div>", "a b"),
+    # double escape: &amp;lt; is the LITERAL '&lt;', not '<'
+    ("&amp;lt; double escape", "&lt; double escape"),
+    # uppercase tag names; raw '<' inside script body still removed
+    ("<SCRIPT>x<1 oops</SCRIPT>after", "after"),
+    # multiline comment and style
+    ("<!--\nmulti\nline\n--><style>\n.a{}\n</style>kept", "kept"),
+]
+
+URL_CASES = [
+    (
+        "HTTPS://Example.COM:443/Docs/Page/?utm_source=feed&id=7"
+        "&utm_campaign=x#frag",
+        "https://example.com/Docs/Page/?id=7",
+    ),
+    ("http://site.org:80/", "http://site.org"),
+    ("https://a.b/path?gclid=123", "https://a.b/path"),
+    ("https://a.b/path?x=1&fbclid=9&y=2", "https://a.b/path?x=1&y=2"),
+    # non-default port survives; path case preserved
+    ("ftp://Host.Net:2121/File", "ftp://host.net:2121/File"),
+    ("https://x.y/a#b#c", "https://x.y/a"),
+]
+
+
+def test_html_to_text_cases_and_oracle_identity(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_CASES)], "i int, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(HTML_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r}"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, '{h.replace(chr(39), chr(39) * 2)}')"
+            for i, (h, _) in enumerate(HTML_CASES)
+        )
+        + ") v(i, h)"
+    )
+    dd = dict(con.execute(f"SELECT i, {html_to_text_sql('h')} FROM t").fetchall())
+    assert got == dd  # one source of truth, two engines
+
+
+def test_canonical_url_cases_idempotence_and_oracle_identity(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i int, u string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(URL_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r}"
+    # canonical of canonical is itself
+    twice = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonical_url(canonical_url(F.col("u"))).alias("c")
+        ).collect()
+    }
+    assert twice == got
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{u}')" for i, (u, _) in enumerate(URL_CASES))
+        + ") v(i, u)"
+    )
+    dd = dict(con.execute(f"SELECT i, {canonical_url_sql('u')} FROM u").fetchall())
+    assert got == dd
+
+
+def test_url_host_extracts_lowercased_host_without_port(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://Example.COM:443/x",), ("http://a.b/y?z",)], ["u"]
+    )
+    hosts = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).collect()]
+    assert hosts == ["example.com", "a.b"]
+
+
+def test_gopher_rules_fire_individually(spark):
+    long_ok = (
+        "the be to of and that have with "
+        + "plainword " * 60
+    )
+    docs = [
+        (0, long_ok),                   # passes everything
+        (1, "short doc"),               # too few words
+        (2, "### ## # " * 30),          # symbols + no alpha + no stopwords
+        (3, "aa " * 60),                # words ok, no stopwords
+        (4, long_ok + " ..." * 20),     # ellipsis symbol pressure
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(df, "doc_id", "text").collect()
+    }
+    assert out[0]["keep"] and out[0]["n_stopwords"] == len(GOPHER_STOPWORDS)
+    assert not out[1]["keep"] and not out[1]["ok_words"]
+    assert not out[2]["keep"] and not out[2]["ok_symbols"]
+    assert not out[2]["ok_alpha"] and not out[2]["ok_stopwords"]
+    assert not out[3]["keep"] and not out[3]["ok_stopwords"] and out[3]["ok_words"]
+    assert not out[4]["ok_symbols"]  # 20 ellipses / ~68 words > 0.1
+    # thresholds overridable
+    loose = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            df, "doc_id", "text", min_words=1, min_stopwords=0,
+            max_symbol_ratio=99.0, min_alpha_ratio=0.0,
+            min_mean_word_len=0.0,
+        ).collect()
+    }
+    assert all(loose[i]["keep"] for i in (0, 1, 3, 4))
+
+
+def test_gopher_oracle_identity(spark):
+    docs = [
+        (0, "the be to of and that have with " + "word " * 55),
+        (1, "tiny"),
+        (2, "#tag " * 70),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    sp = (
+        gopher_quality_flags(df, "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in docs)
+        + ") v(doc_id, text)"
+    )
+    dd = con.execute(
+        gopher_flags_sql("documents", "doc_id", "text") + " ORDER BY doc_id"
+    ).df()
+    assert list(sp.columns) == list(dd.columns)
+    for c in sp.columns:
+        assert (sp[c].values == dd[c].values).all(), c
