@@ -94,6 +94,16 @@ HEADLINE = [
     # index — the per-ingest production cost.
     "q_lsh_probe_only",
     "q_event_transitions",
+    # round-9 additions: crawl text extraction (codegen regex chains —
+    # the per-document curation cost) and the DV-applied versioned
+    # read. q_versioned_delete_vectors/q_versioned_dv_lifecycle are
+    # excluded like the persisted-index queries: their timing is
+    # dominated by the build-once table writes; the bench-only
+    # q_dv_read_only times the recurring cost — scanning a versioned
+    # table THROUGH its deletion vectors.
+    "q_html_extract_text",
+    "q_gopher_filter",
+    "q_dv_read_only",
 ]
 
 
@@ -177,6 +187,42 @@ def _join_size_est_only(spark, sf_dir):
     return sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.05)
 
 
+_DV_CACHE: dict = {}
+
+
+def _dv_read_only(spark, sf_dir):
+    """Bench-only: the DV-applied versioned READ path alone. The table
+    is written and predicate-deleted once per sf_dir (the build-once
+    lake state); timed passes measure what every downstream consumer
+    pays — the parquet scan with the (file, row-position) anti-join
+    merging the deletion vectors out."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+    from skopje_spark.tables import load_table
+
+    if sf_dir not in _DV_CACHE:
+        path = tempfile.mkdtemp(prefix="skopje_bench_dv_")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        versioned_write(
+            o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+            path,
+        )
+        versioned_delete(spark, path, "o_orderkey % 13 = 3")
+        _DV_CACHE[sf_dir] = path
+    return versioned_read(spark, _DV_CACHE[sf_dir])
+
+
 def _bench_only():
     """Callables timed like catalog queries but not oracle-registered
     (their raw outputs are randomized sketches; the catalog twin
@@ -189,6 +235,7 @@ def _bench_only():
         "q_bpe_encode_count": _bpe_encode_count,
         "q_join_size_est_only": _join_size_est_only,
         "q_lsh_probe_only": _lsh_probe_only,
+        "q_dv_read_only": _dv_read_only,
     }
 
 
