@@ -66,6 +66,9 @@ from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
+    change_feed_advance,
+    change_feed_cursor,
+    versioned_change_feed,
     versioned_compact,
     versioned_delete,
     versioned_history,
@@ -130,6 +133,9 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "token_count_bpe",
     "CommitConflict",
+    "change_feed_advance",
+    "change_feed_cursor",
+    "versioned_change_feed",
     "versioned_compact",
     "versioned_delete",
     "versioned_history",

@@ -654,6 +654,73 @@ def q_versioned_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_change_feed",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+           'update_postimage' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey % 20 = 4
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice, 'insert', 1
+    FROM orders WHERE o_orderkey % 100 = 1
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 2
+    FROM orders WHERE o_orderkey % 10 = 7
+    ORDER BY _commit_version, o_orderkey
+    """,
+    tags=("versioned", "cdf", "change-feed", "incremental", "lakeops"),
+)
+def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed under the driver gate
+    (sinks/versioned.py:versioned_change_feed): a CDF-enabled MERGE
+    (updates at price*2 plus brand-new keys) and a CDF-enabled
+    deletion-vector DELETE each record their LOGICAL changes at commit
+    time; the feed read serves exactly those rows with
+    ``_change_type``/``_commit_version`` attribution — Delta's
+    readChangeFeed contract. The oracle recomputes every expected
+    change row closed-form from orders: hash equality proves the
+    insert/update classification (semi/anti against the candidate
+    slice), the delete row capture, and the version attribution all
+    compose exactly.
+
+    Scale: the feed is O(changes) native parquet — recorded cdc-*
+    pool files, no snapshot diff, no table scan; incremental
+    consumers (replica sync, IVM, re-embedding) pull just what
+    changed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_cdf_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    upd = (
+        o.filter("o_orderkey % 20 = 4")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            o.filter("o_orderkey % 100 = 1").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"], change_feed=True)
+    versioned_delete(spark, path, "o_orderkey % 10 = 7", change_feed=True)
+    return versioned_change_feed(spark, path, from_version=1).orderBy(
+        "_commit_version", "o_orderkey"
+    )
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,

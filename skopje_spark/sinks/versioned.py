@@ -657,10 +657,19 @@ def versioned_upsert(
     evolve_schema: bool = False,
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
+    change_feed: bool = False,
 ) -> int:
     """MERGE as a snapshot commit: next version = (current rows not
     matching an update key) ∪ updates. The current snapshot is read,
     never mutated — a failed upsert leaves the table exactly as it was.
+
+    ``change_feed=True`` additionally records the commit's LOGICAL
+    changes (insert / update_postimage rows) as ``cdc-*`` pool files
+    referenced from the commit's ``cdc_files`` marker — the write-side
+    half of :func:`versioned_change_feed`. Without it, a physical
+    file diff cannot recover logical changes (a partial rewrite
+    rewrites unchanged neighbor rows too), and the read-side fallback
+    pays a full snapshot diff.
 
     PARTIAL REWRITE (the Delta/Iceberg write economics): only data
     files whose per-file stats on ``keys[0]`` can contain a matched
@@ -732,6 +741,7 @@ def versioned_upsert(
         kept = slice_df.join(aligned.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(aligned, allowMissingColumns=evolve_schema)
     else:
+        slice_df = None
         merged = aligned
     new_entries = _stage_data_files(merged, path)
     commit_meta = {
@@ -739,6 +749,29 @@ def versioned_upsert(
         "n_files_rewritten": str(len(cand)),
         "n_files_carried": str(len(carried)),
     }
+    if change_feed:
+        # Delta-CDF-style write-side change recording: classify the
+        # update rows against the candidate slice's EXISTING keys
+        # (matched → update_postimage, unmatched → insert). Costs one
+        # extra pass over the candidate files — the files the merge
+        # reads anyway — never the carried ones.
+        if slice_df is not None:
+            ex_keys = slice_df.select(*keys).distinct()
+            upd_rows = aligned.join(ex_keys, keys, "left_semi")
+            ins_rows = aligned.join(ex_keys, keys, "left_anti")
+        else:
+            upd_rows, ins_rows = None, aligned
+        cdc = _conform(ins_rows, new_schema).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if upd_rows is not None:
+            cdc = cdc.unionByName(
+                _conform(upd_rows, new_schema).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        cdc_rels = _stage_aux_files(cdc, path, kind="cdc")
+        commit_meta["cdc_files"] = json.dumps(cdc_rels)
     commit_meta.update(meta or {})
     return _commit_manifest(
         path,
@@ -807,6 +840,7 @@ def versioned_delete(
     meta: dict[str, str] | None = None,
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
+    change_feed: bool = False,
 ) -> int:
     """DELETE as a merge-on-read commit — the Delta deletion-vector
     design: matching rows are recorded as (file, row-position) pairs in
@@ -863,9 +897,14 @@ def versioned_delete(
         )
         df = df.join(F.broadcast(prior), ["__file", "__pos"], "left_anti")
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    matched = (
-        df.filter(cond).select("__file", "__pos").localCheckpoint(eager=True)
-    )
+    hit = df.filter(cond)
+    if change_feed:
+        # the feed needs the deleted ROWS, not just positions — one
+        # checkpoint serves both projections
+        hit = hit.localCheckpoint(eager=True)
+        matched = hit.select("__file", "__pos")
+    else:
+        matched = hit.select("__file", "__pos").localCheckpoint(eager=True)
     counts = {
         r["__file"]: r["n"]
         for r in matched.groupBy("__file").agg(F.count("*").alias("n")).collect()
@@ -878,11 +917,11 @@ def versioned_delete(
     )
     new_entries = []
     for e in entries:
-        hit = counts.get(os.path.basename(e["path"]), 0)
-        if not hit:
+        n_hit = counts.get(os.path.basename(e["path"]), 0)
+        if not n_hit:
             new_entries.append(e)
             continue
-        dv_rows = int(e.get("dv_rows", 0)) + hit
+        dv_rows = int(e.get("dv_rows", 0)) + n_hit
         if dv_rows >= e["rows"]:
             continue  # every row deleted — drop the file entry outright
         e2 = dict(e)
@@ -896,6 +935,12 @@ def versioned_delete(
         "n_dv_files": str(len(new_rels)),
         "n_rows_deleted": str(total),
     }
+    if change_feed:
+        cdc = hit.drop("__file", "__pos").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        cdc_rels = _stage_aux_files(cdc, path, kind="cdc")
+        commit_meta["cdc_files"] = json.dumps(cdc_rels)
     commit_meta.update(meta or {})
     return _commit_manifest(
         path,
@@ -907,13 +952,32 @@ def versioned_delete(
     )
 
 
-def _stage_dv_files(df: DataFrame, path: str, *, n_files: int) -> list[str]:
-    """Write a (__file, __pos) frame as immutable ``dv-*`` parquet
-    files in the table's shared data pool and return their relative
-    paths. Same crash-safety contract as :func:`_stage_data_files`:
-    unique names, unreferenced on failure, collected by vacuum's
-    age-gated ref-count pass."""
-    staged = os.path.join(path, f".stage-dv-{uuid.uuid4().hex}")
+def _conform(df: DataFrame, schema) -> DataFrame:
+    """Project ``df`` onto ``schema``: present columns cast to the
+    schema's types, absent columns NULL-filled — the same by-name
+    semantics the manifest read path uses."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _stage_aux_files(
+    df: DataFrame, path: str, *, kind: str, n_files: int = 1
+) -> list[str]:
+    """Write an auxiliary frame (deletion vectors, change-feed rows)
+    as immutable ``{kind}-*`` parquet files in the table's shared data
+    pool and return their relative paths. Same crash-safety contract
+    as :func:`_stage_data_files`: unique names, unreferenced on
+    failure, collected by vacuum's age-gated ref-count pass."""
+    staged = os.path.join(path, f".stage-{kind}-{uuid.uuid4().hex}")
     df.coalesce(n_files).write.mode("errorifexists").parquet(staged)
     pool = os.path.join(path, _DATA_DIR)
     os.makedirs(pool, exist_ok=True)
@@ -922,11 +986,15 @@ def _stage_dv_files(df: DataFrame, path: str, *, n_files: int) -> list[str]:
     for i, f in enumerate(sorted(os.listdir(staged))):
         if not f.endswith(".parquet") or f.startswith(("_", ".")):
             continue
-        name = f"dv-{prefix}-{i:05d}.parquet"
+        name = f"{kind}-{prefix}-{i:05d}.parquet"
         os.replace(os.path.join(staged, f), os.path.join(pool, name))
         rels.append(f"{_DATA_DIR}/{name}")
     shutil.rmtree(staged, ignore_errors=True)
     return rels
+
+
+def _stage_dv_files(df: DataFrame, path: str, *, n_files: int) -> list[str]:
+    return _stage_aux_files(df, path, kind="dv", n_files=n_files)
 
 
 def versioned_restore(
@@ -958,6 +1026,129 @@ def versioned_restore(
         path, man["schema"], man["files"], commit_meta,
         _UNGUARDED, lock_timeout_s,
     )
+
+
+def versioned_change_feed(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """The table's CHANGE DATA FEED over a committed version range
+    (``from_version`` .. ``to_version``, both inclusive; ``to``
+    defaults to the committed latest): one row per logical change with
+    ``_change_type`` ∈ {insert, update_postimage, delete} and
+    ``_commit_version`` — Delta's ``readChangeFeed`` contract, the
+    pull side every incremental consumer (replica sync, IVM refresh,
+    downstream re-embedding) builds on.
+
+    Commits written with ``change_feed=True`` serve their recorded
+    ``cdc-*`` pool files — native parquet scans, O(changes) however
+    large the table, no Python in the data path. Commits WITHOUT a
+    recording fall back to a snapshot diff of (v-1, v) — exact but
+    O(table); this needs ``keys`` and is refused otherwise (loud,
+    because silently paying table-scans per commit is how 100 TB
+    pipelines die). ``op=compact`` and ``op=restore`` source commits
+    are content-motion only: compaction contributes no logical
+    changes and is skipped outright; a restore's changes ARE
+    meaningful (it rolls content back) and use the fallback.
+    Version 0 (table creation) contributes every row as ``insert``
+    when asked for — served from the snapshot itself, no diff needed.
+
+    Feed rows across an additive schema evolution align by name with
+    NULL-fill (``allowMissingColumns``), newest schema wins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    hi = committed if to_version is None else to_version
+    if hi > committed:
+        raise FileNotFoundError(
+            f"version {hi} at {path} is not committed (latest: {committed})"
+        )
+    parts: list[DataFrame] = []
+    for v in range(from_version, hi + 1):
+        op = snapshot_meta(path, "op", version=v) or ""
+        if op == "compact":
+            continue  # physical motion, zero logical changes
+        cdc_json = snapshot_meta(path, "cdc_files", version=v)
+        if v == 0:
+            frame = versioned_read(spark, path, version=0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        elif cdc_json is not None:
+            rels = json.loads(cdc_json)
+            man = _read_manifest(path, v)
+            schema = StructType.fromJson(man["schema"]).add(
+                "_change_type", "string"
+            )
+            frame = spark.read.schema(schema).parquet(
+                *[os.path.join(path, r) for r in rels]
+            )
+        else:
+            if keys is None:
+                raise ValueError(
+                    f"version {v} at {path} has no recorded change feed "
+                    "(commit without change_feed=True); pass keys=[...] to "
+                    "allow the O(table) snapshot-diff fallback"
+                )
+            from skopje_spark.operators.cdc import snapshot_diff
+
+            d = snapshot_diff(
+                versioned_read(spark, path, version=v - 1),
+                versioned_read(spark, path, version=v),
+                keys,
+            )
+            frame = d.select(
+                *[c for c in d.columns if c != "__op"],
+                F.when(F.col("__op") == "I", F.lit("insert"))
+                .when(F.col("__op") == "U", F.lit("update_postimage"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+            )
+        parts.append(frame.withColumn("_commit_version", F.lit(v)))
+    if not parts:
+        man = _read_manifest(path, hi)
+        schema = (
+            StructType.fromJson(man["schema"])
+            .add("_change_type", "string")
+            .add("_commit_version", "integer")
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def change_feed_cursor(path: str, checkpoint: str) -> int:
+    """The next unconsumed version for a checkpointed feed consumer:
+    0 for a fresh checkpoint, else one past the last version
+    acknowledged by :func:`change_feed_advance`. The read/advance pair
+    gives exactly-once consumption: read the feed from the cursor to
+    the committed latest, apply it transactionally downstream, THEN
+    advance — a crash between apply and advance replays the same
+    range, which an idempotent (keyed) downstream absorbs."""
+    try:
+        with open(checkpoint) as f:
+            return int(f.read().strip()) + 1
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def change_feed_advance(checkpoint: str, version: int) -> None:
+    """Acknowledge consumption through ``version`` (atomic replace —
+    a torn write can never produce a half-advanced cursor)."""
+    d = os.path.dirname(os.path.abspath(checkpoint)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".cfc")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, checkpoint)
 
 
 def stream_incarnation_id(checkpoint: str) -> str:
@@ -1149,6 +1340,10 @@ def vacuum(
                     referenced.add(os.path.basename(p))
         except FileNotFoundError:
             pass
+        cdc_json = snapshot_meta(path, "cdc_files", version=v)
+        if cdc_json:  # change-feed sidecars ride on commit markers
+            for p in json.loads(cdc_json):
+                referenced.add(os.path.basename(p))
     pool = os.path.join(path, _DATA_DIR)
     if os.path.isdir(pool):
         now = time.time()

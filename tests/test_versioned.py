@@ -785,3 +785,94 @@ def test_vacuum_refcounts_dv_sidecars(spark, tmp_path):
     assert sorted(r["k"] for r in versioned_read(spark, path).collect()) == [
         k for k in range(40) if k % 4 != 1
     ]
+
+
+def test_change_feed_records_serves_and_falls_back(spark, tmp_path):
+    """Write-side CDF: CDF-enabled commits record logical changes as
+    cdc-* pool files and the feed serves exactly those rows with
+    version attribution; v0 serves the creation as inserts; compaction
+    contributes nothing; a commit WITHOUT a recording refuses silently
+    expensive reads unless keys allow the snapshot-diff fallback."""
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_compact,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "cdf")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    versioned_upsert(
+        spark, path, _kv(spark, [(2, "B"), (4, "d")]), ["k"], change_feed=True
+    )
+    versioned_delete(spark, path, "k = 1", change_feed=True)
+    versioned_compact(spark, path)
+    feed = versioned_change_feed(spark, path, from_version=1)
+    rows = sorted(
+        (r["_commit_version"], r["k"], r["v"], r["_change_type"])
+        for r in feed.collect()
+    )
+    assert rows == [
+        (1, 2, "B", "update_postimage"),
+        (1, 4, "d", "insert"),
+        (2, 1, "a", "delete"),
+    ]
+    full = versioned_change_feed(spark, path, from_version=0)
+    assert full.filter("_commit_version = 0").count() == 3  # creation inserts
+    assert full.count() == 6  # compact (v3) contributed nothing
+
+    versioned_upsert(spark, path, _kv(spark, [(5, "e")]), ["k"])  # no CDF
+    with pytest.raises(ValueError, match="pass keys"):
+        versioned_change_feed(spark, path, from_version=4).count()
+    fb = versioned_change_feed(spark, path, from_version=4, keys=["k"]).collect()
+    assert [(r["k"], r["_change_type"]) for r in fb] == [(5, "insert")]
+
+
+def test_change_feed_cursor_exactly_once_protocol(spark, tmp_path):
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        change_feed_advance,
+        change_feed_cursor,
+        versioned_change_feed,
+    )
+
+    path = str(tmp_path / "cfc")
+    cp = _os.path.join(str(tmp_path), "consumer_cursor")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    versioned_upsert(spark, path, _kv(spark, [(2, "b")]), ["k"], change_feed=True)
+    assert change_feed_cursor(path, cp) == 0  # fresh consumer: from creation
+    hi = latest_version(path)
+    n1 = versioned_change_feed(spark, path, from_version=0, to_version=hi).count()
+    assert n1 == 2
+    # crash before advance: the SAME range replays (idempotent apply absorbs)
+    assert change_feed_cursor(path, cp) == 0
+    change_feed_advance(cp, hi)
+    assert change_feed_cursor(path, cp) == hi + 1
+    versioned_upsert(spark, path, _kv(spark, [(3, "c")]), ["k"], change_feed=True)
+    frm = change_feed_cursor(path, cp)
+    got = versioned_change_feed(spark, path, from_version=frm).collect()
+    assert [(r["k"], r["_change_type"]) for r in got] == [(3, "insert")]
+
+
+def test_vacuum_refcounts_cdc_sidecars(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import _DATA_DIR
+
+    path = str(tmp_path / "cdcvac")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    versioned_upsert(spark, path, _kv(spark, [(2, "b")]), ["k"], change_feed=True)
+    pool = _os.path.join(path, _DATA_DIR)
+    old = _time.time() - 3600
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+    vacuum(path, keep=2, min_file_age_s=600)
+    assert [f for f in _os.listdir(pool) if f.startswith("cdc-")]  # referenced
+    # push the CDF commit out of the retention window
+    versioned_write(_kv(spark, [(9, "z")]), path)
+    versioned_write(_kv(spark, [(10, "y")]), path)
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+    vacuum(path, keep=2, min_file_age_s=600)
+    assert not [f for f in _os.listdir(pool) if f.startswith("cdc-")]
