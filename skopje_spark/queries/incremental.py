@@ -656,8 +656,11 @@ def q_versioned_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_versioned_change_feed",
     oracle="""
-    SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
-           'update_postimage' AS _change_type, 1 AS _commit_version
+    SELECT o_orderkey, o_totalprice AS o_totalprice,
+           'update_preimage' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey % 20 = 4
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2, 'update_postimage', 1
     FROM orders WHERE o_orderkey % 20 = 4
     UNION ALL
     SELECT o_orderkey + 100000000, o_totalprice, 'insert', 1
@@ -665,15 +668,16 @@ def q_versioned_dv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT o_orderkey, o_totalprice, 'delete', 2
     FROM orders WHERE o_orderkey % 10 = 7
-    ORDER BY _commit_version, o_orderkey
+    ORDER BY _commit_version, o_orderkey, _change_type
     """,
     tags=("versioned", "cdf", "change-feed", "incremental", "lakeops"),
 )
 def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed under the driver gate
     (sinks/versioned.py:versioned_change_feed): a CDF-enabled MERGE
-    (updates at price*2 plus brand-new keys) and a CDF-enabled
-    deletion-vector DELETE each record their LOGICAL changes at commit
+    (updates at price*2 plus brand-new keys — recorded as preimage,
+    postimage, and insert rows) and a CDF-enabled deletion-vector
+    DELETE each record their LOGICAL changes at commit
     time; the feed read serves exactly those rows with
     ``_change_type``/``_commit_version`` attribution — Delta's
     readChangeFeed contract. The oracle recomputes every expected
@@ -716,7 +720,7 @@ def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned_upsert(spark, path, upd, ["o_orderkey"], change_feed=True)
     versioned_delete(spark, path, "o_orderkey % 10 = 7", change_feed=True)
     return versioned_change_feed(spark, path, from_version=1).orderBy(
-        "_commit_version", "o_orderkey"
+        "_commit_version", "o_orderkey", "_change_type"
     )
 
 

@@ -752,20 +752,29 @@ def versioned_upsert(
     if change_feed:
         # Delta-CDF-style write-side change recording: classify the
         # update rows against the candidate slice's EXISTING keys
-        # (matched → update_postimage, unmatched → insert). Costs one
-        # extra pass over the candidate files — the files the merge
-        # reads anyway — never the carried ones.
+        # (matched → update_preimage + update_postimage, unmatched →
+        # insert). Preimages come from the same candidate slice the
+        # merge reads anyway — never the carried files — and make the
+        # feed self-sufficient for consumers that need OLD values
+        # (IVM sum folding, digest maintenance) without a time-travel
+        # join back into the base.
         if slice_df is not None:
             ex_keys = slice_df.select(*keys).distinct()
             upd_rows = aligned.join(ex_keys, keys, "left_semi")
             ins_rows = aligned.join(ex_keys, keys, "left_anti")
+            upd_keys = aligned.select(*keys).distinct()
+            pre_rows = slice_df.join(upd_keys, keys, "left_semi")
         else:
-            upd_rows, ins_rows = None, aligned
+            upd_rows, pre_rows, ins_rows = None, None, aligned
         cdc = _conform(ins_rows, new_schema).withColumn(
             "_change_type", F.lit("insert")
         )
         if upd_rows is not None:
             cdc = cdc.unionByName(
+                _conform(pre_rows, new_schema).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            ).unionByName(
                 _conform(upd_rows, new_schema).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
@@ -1039,10 +1048,14 @@ def versioned_change_feed(
     """The table's CHANGE DATA FEED over a committed version range
     (``from_version`` .. ``to_version``, both inclusive; ``to``
     defaults to the committed latest): one row per logical change with
-    ``_change_type`` ∈ {insert, update_postimage, delete} and
-    ``_commit_version`` — Delta's ``readChangeFeed`` contract, the
-    pull side every incremental consumer (replica sync, IVM refresh,
-    downstream re-embedding) builds on.
+    ``_change_type`` ∈ {insert, update_preimage, update_postimage,
+    delete} and ``_commit_version`` — Delta's ``readChangeFeed``
+    contract, the pull side every incremental consumer (replica sync,
+    IVM refresh, downstream re-embedding) builds on. Preimages make
+    the feed self-sufficient for consumers that fold OLD values out
+    (signed-aggregate IVM, digest maintenance) — no time-travel join
+    back into the base. The snapshot-diff fallback emits postimages
+    only (the diff cannot see intermediate old values).
 
     Commits written with ``change_feed=True`` serve their recorded
     ``cdc-*`` pool files — native parquet scans, O(changes) however

@@ -813,12 +813,13 @@ def test_change_feed_records_serves_and_falls_back(spark, tmp_path):
     )
     assert rows == [
         (1, 2, "B", "update_postimage"),
+        (1, 2, "b", "update_preimage"),
         (1, 4, "d", "insert"),
         (2, 1, "a", "delete"),
     ]
     full = versioned_change_feed(spark, path, from_version=0)
     assert full.filter("_commit_version = 0").count() == 3  # creation inserts
-    assert full.count() == 6  # compact (v3) contributed nothing
+    assert full.count() == 7  # compact (v3) contributed nothing
 
     versioned_upsert(spark, path, _kv(spark, [(5, "e")]), ["k"])  # no CDF
     with pytest.raises(ValueError, match="pass keys"):
