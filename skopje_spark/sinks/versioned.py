@@ -1510,10 +1510,21 @@ def versioned_ivm_view(
     min_cols: list[str] = (),
     max_cols: list[str] = (),
     touched_keys: DataFrame | None = None,
+    use_change_feed: bool = False,
 ) -> int:
     """Materialized grouped-aggregate view OF a versioned table,
     maintained incrementally ACROSS commits — operators/ivm.py wired
     to time travel.
+
+    ``use_change_feed=True`` refreshes from the base's RECORDED change
+    feed (commits written with ``change_feed=True``) instead of a
+    snapshot diff: delta input becomes O(|changes|) native cdc reads —
+    no full-outer join of two base snapshots, no before-image join
+    (feed preimages serve that), no ``touched_keys`` hint needed.
+    Signed folding telescopes multi-commit chains (insert then update
+    then delete of one key nets to zero) exactly. Loud failure if any
+    commit in the range lacks a recording — silently degrading to
+    per-commit table scans is how 100 TB refreshes die.
 
     First call (no committed view): full :func:`ivm_build` of the
     base's committed latest, committed with a ``base_version`` marker.
@@ -1568,8 +1579,27 @@ def versioned_ivm_view(
     if last_base == base_v:
         return view_v  # already current
 
-    old = versioned_read(spark, base_path, version=last_base)
     new = versioned_read(spark, base_path, version=base_v)
+    if use_change_feed:
+        from skopje_spark.operators.ivm import ivm_apply_feed
+
+        feed = versioned_change_feed(
+            spark, base_path, from_version=last_base + 1, to_version=base_v
+        )
+        folded = ivm_apply_feed(
+            versioned_read(spark, view_path, version=view_v),
+            feed,
+            group_keys=group_keys,
+            sum_cols=sum_cols,
+            min_cols=min_cols,
+            max_cols=max_cols,
+            new=new if (min_cols or max_cols) else None,
+        )
+        return versioned_write(
+            folded, view_path,
+            meta={"base_version": str(base_v), "op": "ivm_feed"},
+        )
+    old = versioned_read(spark, base_path, version=last_base)
     diff_old, diff_new = old, new
     if touched_keys is not None:
         from pyspark.sql import functions as _F

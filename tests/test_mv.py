@@ -265,3 +265,50 @@ def test_first_commit_crash_residue_cleared_and_unserved(spark, tmp_path):
     os.makedirs(os.path.join(p, "v=5"))
     with pytest.raises(FileNotFoundError, match="not committed"):
         versioned_read(spark, p, version=5)
+
+
+def test_ivm_view_refresh_from_change_feed(spark, tmp_path):
+    """use_change_feed=True: the view refresh folds the base's RECORDED
+    feed (no snapshot diff, no before-image join) across MULTIPLE
+    commits — including a key that is inserted then updated then
+    deleted, whose signed micro-rows must telescope to nothing — and
+    lands row-identical to a full rebuild, min/max included."""
+    from skopje_spark.operators.ivm import ivm_build
+    from skopje_spark.sinks.versioned import versioned_delete, versioned_upsert
+
+    base_p, view_p = str(tmp_path / "cfb"), str(tmp_path / "cfv")
+    versioned_write(
+        _base(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]), base_p
+    )
+    kw = dict(
+        table_keys=["id"], group_keys=["grp"], sum_cols=["v"],
+        min_cols=["v"], max_cols=["v"],
+    )
+    versioned_ivm_view(spark, base_p, view_p, **kw)
+
+    # commit chain, all CDF-recorded: insert 9, update it, update 1,
+    # delete 9 and 3 — key 9 must net to zero across the chain
+    versioned_upsert(
+        spark, base_p, _base(spark, [(9, "c", 90)]), ["id"], change_feed=True
+    )
+    versioned_upsert(
+        spark, base_p, _base(spark, [(9, "c", 91), (1, "a", 11)]), ["id"],
+        change_feed=True,
+    )
+    versioned_delete(spark, base_p, "id IN (9, 3)", change_feed=True)
+
+    v = versioned_ivm_view(spark, base_p, view_p, use_change_feed=True, **kw)
+    assert snapshot_meta(view_p, "op", version=v) == "ivm_feed"
+    final_rows = [(1, "a", 11), (2, "a", 20)]
+    expect = ivm_build(
+        _base(spark, final_rows), ["grp"], sum_cols=["v"],
+        min_cols=["v"], max_cols=["v"],
+    )
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+    # base content sanity: the feed described exactly what happened
+    assert _rows(versioned_read(spark, base_p)) == _rows(_base(spark, final_rows))
+
+    # a NON-recorded commit in the range makes the feed refresh refuse
+    versioned_upsert(spark, base_p, _base(spark, [(4, "d", 40)]), ["id"])
+    with pytest.raises(ValueError, match="change_feed=True"):
+        versioned_ivm_view(spark, base_p, view_p, use_change_feed=True, **kw)
