@@ -72,6 +72,7 @@ from skopje_spark.sinks.versioned import (
     versioned_compact,
     versioned_delete,
     versioned_history,
+    versioned_merge,
     versioned_merge_concurrent,
     versioned_read,
     versioned_restore,
@@ -139,6 +140,7 @@ __all__ = [
     "versioned_compact",
     "versioned_delete",
     "versioned_history",
+    "versioned_merge",
     "versioned_merge_concurrent",
     "versioned_read",
     "versioned_restore",

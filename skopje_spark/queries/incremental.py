@@ -725,6 +725,80 @@ def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_merge_clauses",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 <> 3
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 2
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "merge", "clauses", "lakeops"),
+)
+def q_versioned_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO clause semantics under the driver gate
+    (sinks/versioned.py:versioned_merge): one source frame drives all
+    four outcomes — keys ending in 1 UPDATE (doubled price via the
+    source row), keys ending in 3 DELETE, keys ending in 5 MATCH BUT
+    FIRE NO CLAUSE (the source carries a poisoned 9× price precisely
+    to prove the unchanged-target path keeps the TARGET's values),
+    and offset keys INSERT only where the insert condition admits
+    them. The oracle recomputes the end state closed-form; hash
+    equality proves clause precedence, condition evaluation over the
+    src_-prefixed pair, and the no-clause keep path all compose.
+
+    Scale: same partial-rewrite economics as the plain upsert — only
+    key-matched candidate files rewrite, carried files never read."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_merge,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_mrgcl_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    src = (
+        o.filter("o_orderkey % 10 = 1")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter("o_orderkey % 10 = 3"))
+        .unionByName(
+            # matched-but-no-clause rows: poisoned source price must
+            # NOT reach the table
+            o.filter("o_orderkey % 10 = 5").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 9
+            )
+        )
+        .unionByName(
+            o.filter("o_orderkey % 100 IN (2, 52)").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    versioned_merge(
+        spark,
+        path,
+        src,
+        ["o_orderkey"],
+        when_matched_update="src_o_orderkey % 10 = 1",
+        when_matched_delete="src_o_orderkey % 10 = 3",
+        when_not_matched_insert="src_o_orderkey % 100 = 2",
+    )
+    return versioned_read(spark, path).orderBy("o_orderkey")
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,

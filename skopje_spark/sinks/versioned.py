@@ -792,6 +792,155 @@ def versioned_upsert(
     )
 
 
+def versioned_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched_update: str | None = "TRUE",
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: str | None = "TRUE",
+    update_set: dict[str, str] | None = None,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """Full MERGE INTO clause semantics as one snapshot commit —
+    Delta's ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT
+    MATCHED [AND cond] THEN INSERT`` — with the same partial-rewrite
+    economics as :func:`versioned_upsert`: only key-matched candidate
+    files are read and rewritten, every other file rides into the new
+    manifest by reference (sound because :func:`_match_files` proves
+    carried files can hold no matched key, so every clause decision
+    happens inside the candidate slice).
+
+    Conditions and ``update_set`` expressions are SQL strings
+    evaluated over the MATCHED pair: target columns under their own
+    names, source columns prefixed ``src_``. Clause precedence is
+    Delta's: a matched pair first tests ``when_matched_delete``, then
+    ``when_matched_update`` (``update_set`` maps target column →
+    expression; None replaces the whole row with the source's
+    columns); a matched pair satisfying neither keeps the target row
+    unchanged. Unmatched SOURCE rows insert iff
+    ``when_not_matched_insert`` (evaluated over ``src_``-prefixed
+    columns); unmatched TARGET rows always survive. Source must carry
+    the target's exact schema (no evolution on this path — use
+    :func:`versioned_upsert` for that). Multiple source rows matching
+    one target key are rejected loudly (SQL MERGE's cardinality
+    violation) — last-writer-wins silent nondeterminism is how
+    replicas diverge.
+
+    Matched-DELETEs here are rewrite-style, not deletion vectors: the
+    candidate files are being rewritten anyway, so dropping the rows
+    is free; use :func:`versioned_delete` when deletes should touch
+    no data file at all."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base_v = (
+        latest_version(path)
+        if expected_version is _UNGUARDED
+        else expected_version
+    )
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, base_v)
+    table_schema = StructType.fromJson(man["schema"])
+    table_cols = [f.name for f in table_schema.fields]
+    if set(source.columns) != set(table_cols):
+        raise ValueError(
+            f"merge source schema {sorted(source.columns)} differs from "
+            f"table schema {sorted(table_cols)} at {path}"
+        )
+    table_type = {f.name: f.dataType for f in table_schema.fields}
+    src = source.select(
+        *[F.col(c).cast(table_type[c]).alias(f"src_{c}") for c in table_cols]
+    )
+    # cardinality guard: one source row per key, or the merge is
+    # nondeterministic — fail loudly like SQL MERGE
+    dup = (
+        src.groupBy(*[f"src_{k}" for k in keys])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has multiple rows for key "
+            f"{[dup[0][f'src_{k}'] for k in keys]} — SQL MERGE cardinality "
+            "violation"
+        )
+    key_src = source.select(*keys)
+    cand, carried = _match_files(spark, path, man["files"], key_src, keys[0])
+
+    upd_cond = F.expr(when_matched_update) if when_matched_update else F.lit(False)
+    del_cond = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
+    ins_cond = (
+        F.expr(when_not_matched_insert)
+        if when_not_matched_insert
+        else F.lit(False)
+    )
+    if update_set is None:
+        update_set = {c: f"src_{c}" for c in table_cols}
+    upd_proj = [
+        F.expr(update_set[c]).cast(table_type[c]).alias(c)
+        if c in update_set
+        else F.col(c)
+        for c in table_cols
+    ]
+
+    if cand:
+        slice_df = _read_entries(spark, path, cand, table_schema)
+        j = slice_df.join(
+            src.withColumn("__src_present", F.lit(True)),
+            [F.col(k) == F.col(f"src_{k}") for k in keys],
+            "left",
+        )
+        matched = F.col("__src_present").isNotNull()
+        kept_unmatched = j.filter(~matched).select(*table_cols)
+        pairs = j.filter(matched)
+        # precedence: delete first, then update, else keep unchanged
+        survivors = pairs.filter(~del_cond).select(
+            *[
+                F.when(upd_cond, p).otherwise(F.col(c)).alias(c)
+                for c, p in zip(table_cols, upd_proj)
+            ]
+        )
+        rewritten = kept_unmatched.unionByName(survivors)
+        matched_keys = pairs.select(*keys)
+    else:
+        rewritten = None
+        matched_keys = None
+
+    inserts = src.select(
+        *[F.col(f"src_{c}").alias(c) for c in table_cols],
+        ins_cond.alias("__ins"),
+    )
+    if matched_keys is not None:
+        inserts = inserts.join(matched_keys, keys, "left_anti")
+    inserts = inserts.filter(F.col("__ins")).drop("__ins")
+    merged = (
+        inserts if rewritten is None else rewritten.unionByName(inserts)
+    )
+    new_entries = _stage_data_files(merged, path)
+    commit_meta = {
+        "op": "merge",
+        "n_files_rewritten": str(len(cand)),
+        "n_files_carried": str(len(carried)),
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path,
+        man["schema"],
+        carried + new_entries,
+        commit_meta,
+        expected_version,
+        lock_timeout_s,
+    )
+
+
 def versioned_merge_concurrent(
     spark: SparkSession,
     path: str,

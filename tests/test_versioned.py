@@ -877,3 +877,52 @@ def test_vacuum_refcounts_cdc_sidecars(spark, tmp_path):
         _os.utime(_os.path.join(pool, f), (old, old))
     vacuum(path, keep=2, min_file_age_s=600)
     assert not [f for f in _os.listdir(pool) if f.startswith("cdc-")]
+
+
+def test_versioned_merge_clause_semantics(spark, tmp_path):
+    """MERGE INTO clauses: delete-before-update precedence, condition
+    evaluation over the src_-prefixed matched pair, the no-clause path
+    keeping the TARGET row untouched, conditional inserts, the source
+    cardinality guard, and default clauses reducing to plain upsert."""
+    from skopje_spark.sinks.versioned import versioned_merge
+
+    path = str(tmp_path / "mrgcl")
+    t = spark.createDataFrame(
+        [(i, i * 10, "keep") for i in range(20)], "k int, v int, tag string"
+    )
+    versioned_write(t.repartitionByRange(4, "k"), path)
+    src = spark.createDataFrame(
+        [
+            (2, 999, "upd"),   # update clause fires
+            (5, -1, "del"),    # delete clause fires (checked first)
+            (7, 777, "skip"),  # matched, NO clause -> target unchanged
+            (100, 1, "new"),   # insert admitted
+            (101, -5, "new"),  # insert blocked by condition
+        ],
+        "k int, v int, tag string",
+    )
+    versioned_merge(
+        spark, path, src, ["k"],
+        when_matched_update="src_tag = 'upd'",
+        when_matched_delete="src_v < 0",
+        when_not_matched_insert="src_v > 0",
+        update_set={"v": "src_v", "tag": "concat(tag, '+', src_tag)"},
+    )
+    rows = {r["k"]: (r["v"], r["tag"]) for r in versioned_read(spark, path).collect()}
+    assert rows[2] == (999, "keep+upd")  # update_set sees both sides
+    assert 5 not in rows
+    assert rows[7] == (70, "keep")  # source values never leaked
+    assert rows[100] == (1, "new") and 101 not in rows
+    assert all(rows[i] == (i * 10, "keep") for i in range(20) if i not in (2, 5))
+
+    with pytest.raises(ValueError, match="cardinality"):
+        versioned_merge(spark, path, src.unionByName(src.limit(1)), ["k"])
+
+    # default clauses == upsert
+    versioned_merge(
+        spark, path,
+        spark.createDataFrame([(3, 333, "x"), (200, 2, "y")], "k int, v int, tag string"),
+        ["k"],
+    )
+    rows2 = {r["k"]: (r["v"], r["tag"]) for r in versioned_read(spark, path).collect()}
+    assert rows2[3] == (333, "x") and rows2[200] == (2, "y")
