@@ -1362,12 +1362,16 @@ def apply_stream_batch(
     batch_id: int,
     stream_id: str,
     on_commit=None,
+    change_feed: bool = False,
 ) -> bool:
     """One ledgered micro-batch apply (the foreachBatch body of
     :func:`versioned_stream_upsert`, exposed so replay semantics are
     directly unit-testable): MERGE the batch unless this incarnation's
     ledger already covers ``batch_id``; run ``on_commit`` either way.
-    Returns whether the batch was freshly applied."""
+    Returns whether the batch was freshly applied. ``change_feed``
+    passes through to the MERGE so every fresh stream commit records
+    its logical changes (the creation commit needs no recording —
+    version 0 is served as inserts by the feed reader)."""
     last = last_stream_batch(path, stream_id=stream_id)
     fresh = last is None or batch_id > last
     if fresh:
@@ -1376,7 +1380,8 @@ def apply_stream_batch(
             versioned_write(batch_df, path, meta=meta)
         else:
             versioned_upsert(
-                batch_df.sparkSession, path, batch_df, keys, meta=meta
+                batch_df.sparkSession, path, batch_df, keys, meta=meta,
+                change_feed=change_feed,
             )
     # on_commit runs even for replay-SKIPPED batches: a crash in the
     # window between the base commit and the hook's own work would
@@ -1399,6 +1404,7 @@ def versioned_stream_upsert(
     *,
     available_now: bool = True,
     on_commit=None,
+    change_feed: bool = False,
 ):
     """EXACTLY-ONCE streaming MERGE into the versioned table:
     ``foreachBatch`` + :func:`versioned_upsert`, made idempotent by a
@@ -1441,7 +1447,8 @@ def versioned_stream_upsert(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_stream_batch(
-            path, keys, batch_df, batch_id, sid, on_commit=on_commit
+            path, keys, batch_df, batch_id, sid, on_commit=on_commit,
+            change_feed=change_feed,
         )
 
     return foreach_batch_sink(
@@ -1786,6 +1793,7 @@ def versioned_stream_materialized_view(
     min_cols: list[str] = (),
     max_cols: list[str] = (),
     available_now: bool = True,
+    use_change_feed: bool = False,
 ):
     """Stream → versioned base table → incrementally maintained
     rollup, exactly-once end to end: each micro-batch MERGEs into the
@@ -1813,6 +1821,14 @@ def versioned_stream_materialized_view(
         base_v = latest_version(base_path)
         if base_v is None:
             return  # nothing committed yet (first batch empty)
+        if use_change_feed:
+            versioned_ivm_view(
+                spark, base_path, view_path,
+                table_keys=keys, group_keys=group_keys,
+                sum_cols=sum_cols, min_cols=min_cols, max_cols=max_cols,
+                use_change_feed=True,
+            )
+            return
         hint = None
         if fresh:
             # this batch produced commit base_v; if the view is
@@ -1842,6 +1858,7 @@ def versioned_stream_materialized_view(
         checkpoint,
         available_now=available_now,
         on_commit=refresh,
+        change_feed=use_change_feed,
     )
 
 

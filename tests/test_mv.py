@@ -312,3 +312,54 @@ def test_ivm_view_refresh_from_change_feed(spark, tmp_path):
     versioned_upsert(spark, base_p, _base(spark, [(4, "d", 40)]), ["id"])
     with pytest.raises(ValueError, match="change_feed=True"):
         versioned_ivm_view(spark, base_p, view_p, use_change_feed=True, **kw)
+
+
+def test_stream_materialized_view_via_change_feed(spark, tmp_path):
+    """use_change_feed=True end to end: every stream MERGE records its
+    logical changes and the per-batch view refresh folds the FEED —
+    base commits carry cdc markers, view commits carry op=ivm_feed,
+    and the final rollup is row-identical to a rebuild (group move
+    included)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import (
+        versioned_stream_materialized_view,
+    )
+    from skopje_spark.streaming.streams import file_stream
+
+    schema = "id long, grp string, v long"
+    src = tmp_path / "srccf"
+    src.mkdir()
+    batches = [
+        [{"id": 1, "grp": "a", "v": 10}, {"id": 2, "grp": "a", "v": 20}],
+        [{"id": 2, "grp": "b", "v": 21}, {"id": 3, "grp": "b", "v": 30}],
+        [{"id": 4, "grp": "a", "v": 40}],
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in b:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(src / f"b{i}.json", (now - (3 - i) * 10,) * 2)
+
+    base_p, view_p = str(tmp_path / "basecf"), str(tmp_path / "viewcf")
+    stream = file_stream(spark, str(src), schema=schema, max_files_per_trigger=1)
+    q = versioned_stream_materialized_view(
+        stream, base_p, view_p, ["id"], str(tmp_path / "ckcf"),
+        group_keys=["grp"], sum_cols=["v"], use_change_feed=True,
+    )
+    q.awaitTermination()
+
+    final_base = [(1, "a", 10), (2, "b", 21), (3, "b", 30), (4, "a", 40)]
+    expect = ivm_build(
+        spark.createDataFrame(final_base, schema), ["grp"], sum_cols=["v"]
+    )
+    assert _rows(versioned_read(spark, view_p)) == _rows(expect)
+    bv, vv = latest_version(base_p), latest_version(view_p)
+    assert snapshot_meta(view_p, "base_version", version=vv) == str(bv)
+    assert snapshot_meta(view_p, "op", version=vv) == "ivm_feed"
+    # every post-creation base commit recorded its feed
+    for v in range(1, bv + 1):
+        assert snapshot_meta(base_p, "cdc_files", version=v) is not None
