@@ -267,3 +267,109 @@ SELECT {id_col}, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stopwords,
         AND (n_stopwords >= {p["min_stopwords"]})) AS keep
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# C4-style line filtering
+# --------------------------------------------------------------------------
+
+# Raffel et al. 2020 (C4, §2.2): keep lines ending in terminal
+# punctuation with at least `min_line_words` words and no "javascript"
+# mention; drop pages containing lorem ipsum or a curly brace, or with
+# fewer than `min_sentences` sentences after line filtering.
+C4_DEFAULTS = dict(
+    min_line_words=5,
+    min_sentences=3,
+)
+_C4_TERMINAL = r"""[.!?"']\s*$"""
+_C4_SENTENCE = r"[.!?]"
+_C4_LINE_BAD = "javascript"
+_C4_PAGE_BAD = ("lorem ipsum", "{")
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str, text_col: str, **overrides
+) -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020
+    §2.2) as one narrow projection: lines survive iff they end in
+    terminal punctuation, carry at least ``min_line_words`` words, and
+    do not mention javascript; the page survives iff it contains no
+    lorem-ipsum/brace marker and the CLEANED text still holds at least
+    ``min_sentences`` sentences. Emits the cleaned text plus the
+    per-rule measurements so triage can see why a page fell.
+
+    Scale: higher-order array expressions over one line split — a
+    map-only pass, no UDF, no shuffle; at 100 TB it fuses into the
+    scan exactly like :func:`gopher_quality_flags`."""
+    p = {**C4_DEFAULTS, **overrides}
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda L: L.rlike(_C4_TERMINAL)
+        & (
+            F.size(
+                F.filter(
+                    F.split(F.trim(L), r"\s+"), lambda t: t != F.lit("")
+                )
+            )
+            >= p["min_line_words"]
+        )
+        & ~F.lower(L).contains(_C4_LINE_BAD),
+    )
+    text_clean = F.array_join(kept, "\n")
+    lowered = F.lower(F.col(text_col))
+    has_lorem = lowered.contains(_C4_PAGE_BAD[0])
+    has_brace = lowered.contains(_C4_PAGE_BAD[1])
+    n_sentences = F.size(
+        F.regexp_extract_all(text_clean, F.lit(_C4_SENTENCE), 0)
+    )
+    return df.select(
+        F.col(id_col),
+        text_clean.alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        n_sentences.alias("n_sentences"),
+        (
+            ~has_lorem
+            & ~has_brace
+            & (n_sentences >= p["min_sentences"])
+        ).alias("keep_page"),
+    )
+
+
+def c4_filter_sql(table: str, id_col: str, text_col: str, **overrides) -> str:
+    """DuckDB twin of :func:`c4_line_filter` from the same rule
+    constants."""
+    p = {**C4_DEFAULTS, **overrides}
+    term = _C4_TERMINAL.replace("'", "''")
+    return f"""
+WITH split AS (
+  SELECT {id_col},
+         string_split({text_col}, chr(10)) AS lines,
+         lower({text_col}) AS lowered
+  FROM {table}
+), kept AS (
+  SELECT {id_col}, lines, lowered,
+         list_filter(lines, L ->
+           regexp_matches(L, '{term}')
+           AND len(list_filter(string_split_regex(trim(L), '\\s+'), t -> t <> '')) >= {p["min_line_words"]}
+           AND NOT contains(lower(L), '{_C4_LINE_BAD}')
+         ) AS kl
+  FROM split
+), m AS (
+  SELECT {id_col},
+         array_to_string(kl, chr(10)) AS text_clean,
+         len(lines) AS n_lines,
+         len(kl) AS n_lines_kept,
+         contains(lowered, '{_C4_PAGE_BAD[0]}') AS has_lorem,
+         contains(lowered, '{_C4_PAGE_BAD[1]}') AS has_brace
+  FROM kept
+)
+SELECT {id_col}, text_clean, n_lines, n_lines_kept, has_lorem, has_brace,
+       len(regexp_extract_all(text_clean, '{_C4_SENTENCE}')) AS n_sentences,
+       (NOT has_lorem AND NOT has_brace
+        AND len(regexp_extract_all(text_clean, '{_C4_SENTENCE}')) >= {p["min_sentences"]}) AS keep_page
+FROM m
+"""

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skopje_spark.operators.webtext import (
+    c4_filter_sql,
+    c4_line_filter,
     canonical_url,
     gopher_flags_sql,
     gopher_quality_flags,
@@ -104,6 +106,71 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         canonical_url(url).alias("url_canon"),
         url_host(url).alias("host"),
+    ).orderBy("doc_id")
+
+
+# both engines synthesize the SAME multi-line page from each document:
+# L1 kept, L2 (no terminal punct) dropped, L3 (too short) dropped,
+# L4 (javascript) dropped, L5 kept — with an extra closing sentence
+# on doc_id % 3 = 0 (lifting the page over the 3-sentence bar) and a
+# brace line on doc_id % 7 = 0 (killing the page outright)
+_C4_PAGE_SQL = """
+SELECT doc_id,
+  'Here is a good first sentence from ' || source || ' with plenty of words.'
+  || chr(10) || text
+  || chr(10) || 'Too short.'
+  || chr(10) || 'This fine line mentions javascript sadly enough, yes.'
+  || chr(10) || 'Another proper sentence with enough words right here.'
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' And one more closing sentence appears right here!'
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN chr(10) || 'brace { here' ELSE '' END AS text
+FROM documents
+"""
+
+
+@register(
+    "q_c4_line_filter",
+    oracle=(
+        c4_filter_sql(f"({_C4_PAGE_SQL})", "doc_id", "text")
+        + " ORDER BY doc_id"
+    ),
+    tags=("webtext", "quality", "c4", "filter", "crawl"),
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line- and page-level cleaning rules
+    (operators/webtext.py:c4_line_filter, Raffel et al. 2020 §2.2):
+    each document is dressed as a five-line page exercising every
+    line rule (terminal punctuation, minimum words, javascript
+    mention) with per-document variation in the PAGE rules — an
+    extra closing sentence every third doc lifts it over the
+    3-sentence bar, a brace line every seventh kills it. Both
+    engines build the identical page and run the rule tables from
+    one source of truth, so the hash pins the cleaned text, every
+    count, and the keep decision.
+
+    Scale: one line split feeding higher-order array expressions —
+    map-only, no UDF, fuses into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Here is a good first sentence from "),
+        F.col("source"),
+        F.lit(" with plenty of words.\n"),
+        F.col("text"),
+        F.lit("\nToo short.\nThis fine line mentions javascript sadly "
+              "enough, yes.\nAnother proper sentence with enough words "
+              "right here."),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" And one more closing sentence appears right here!"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\nbrace { here")
+        ).otherwise(F.lit("")),
+    )
+    return c4_line_filter(
+        d.select("doc_id", page.alias("text")), "doc_id", "text"
     ).orderBy("doc_id")
 
 

@@ -510,10 +510,15 @@ def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = 200, 900
     man = _read_manifest(path, 0)
     cand, skipped = _interval_split(man["files"], "o_orderkey", lo, hi)
+    # scale-robust economics flag: at least half the files are PROVEN
+    # skippable (at tiny sf the fixed interval spans several of the
+    # sampled range buckets; at sf0.1 it sits inside one)
+    half = len(man["files"]) // 2
     return (
         versioned_pruned_read(spark, path, "o_orderkey", lo, hi)
         .withColumn(
-            "pruned_scan", F.lit(bool(len(cand) <= 2 and len(skipped) >= 6))
+            "pruned_scan",
+            F.lit(bool(len(cand) <= half and len(skipped) >= half)),
         )
         .orderBy("o_orderkey")
     )

@@ -173,3 +173,48 @@ def test_gopher_oracle_identity(spark):
     assert list(sp.columns) == list(dd.columns)
     for c in sp.columns:
         assert (sp[c].values == dd[c].values).all(), c
+
+
+def test_c4_line_filter_rules_and_oracle_identity(spark):
+    from skopje_spark.operators.webtext import c4_filter_sql, c4_line_filter
+
+    docs = [
+        # line rules: kept / no-punct / too-short / javascript / kept(+1 sentence)
+        (0, "Here is a good first sentence with plenty words.\nno punct line"
+            "\nToo short.\nA fine line mentioning javascript badly, yes."
+            "\nAnother proper sentence with enough words here. And one more!"),
+        (1, "lorem ipsum dolor sit amet sentence one is fine.\nSecond proper "
+            "sentence right here with words. Third one too!"),
+        (2, "Contains a brace { in this sentence with words.\nSecond proper "
+            "sentence right here with words. Third one too!"),
+        (3, "One good sentence with enough words right here.\nOnly two "
+            "sentences total here, sadly enough."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert out[0]["n_lines"] == 5 and out[0]["n_lines_kept"] == 2
+    assert out[0]["keep_page"] and out[0]["n_sentences"] == 3
+    assert not out[1]["keep_page"] and out[1]["has_lorem"]
+    assert not out[2]["keep_page"] and out[2]["has_brace"]
+    assert not out[3]["keep_page"] and out[3]["n_sentences"] == 2  # under bar
+    assert out[0]["text_clean"].split("\n") == [
+        "Here is a good first sentence with plenty words.",
+        "Another proper sentence with enough words here. And one more!",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, '{t}')".replace("\n", "' || chr(10) || '") for i, t in docs
+        )
+        + ") v(doc_id, text)"
+    )
+    dd = con.execute(
+        c4_filter_sql("documents", "doc_id", "text") + " ORDER BY doc_id"
+    ).df()
+    sp = (
+        c4_line_filter(df, "doc_id", "text").orderBy("doc_id").toPandas()
+    )
+    assert list(sp.columns) == list(dd.columns)
+    for c in sp.columns:
+        assert (sp[c].values == dd[c].values).all(), c
