@@ -146,6 +146,26 @@ def _op_registry() -> dict:
 
         return lsh_index_probe(df, path, **kw)
 
+    # column-expression extractors exposed as withColumn ops
+    from pyspark.sql import functions as _F
+
+    from skopje_spark.operators.webtext import (
+        c4_line_filter,
+        canonical_url,
+        gopher_quality_flags,
+        html_to_text,
+        url_host,
+    )
+
+    def _html_extract(df, *, src_col, out_col="text"):
+        return df.withColumn(out_col, html_to_text(_F.col(src_col)))
+
+    def _url_canon(df, *, src_col, out_col="url_canon", host_col=None):
+        out = df.withColumn(out_col, canonical_url(_F.col(src_col)))
+        if host_col:
+            out = out.withColumn(host_col, url_host(_F.col(src_col)))
+        return out
+
     return {
         "token_count_bpe": (1, _with_bpe(token_count_bpe)),
         "bpe_encode": (1, _with_bpe(bpe_encode)),
@@ -165,6 +185,11 @@ def _op_registry() -> dict:
         # (lsh_index_write), addressed by path like the BPE model
         "lsh_index_probe": (1, _lsh_probe_op),
         "psi_drift_binned": (2, psi_drift_binned),
+        # crawl text extraction (operators/webtext.py)
+        "html_extract": (1, _html_extract),
+        "url_canonicalize": (1, _url_canon),
+        "gopher_quality_flags": (1, gopher_quality_flags),
+        "c4_line_filter": (1, c4_line_filter),
     }
 
 

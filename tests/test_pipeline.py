@@ -509,3 +509,72 @@ def test_pipeline_spec_lsh_probe_and_numeric_drift(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, res["drift"].collect())) == sorted(
         map(tuple, want_drift.collect())
     )
+
+
+def test_pipeline_spec_webtext_crawl_chain(spark, sf_dir, tmp_path):
+    """Declarative crawl-text chain: html_extract → url_canonicalize →
+    gopher_quality_flags as spec op nodes, equal to direct operator
+    calls."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.webtext import (
+        canonical_url,
+        gopher_quality_flags,
+        html_to_text,
+        url_host,
+    )
+    from skopje_spark.spec import pipeline_from_spec
+    from skopje_spark.tables import load_table
+
+    raw = str(tmp_path / "raw_pages")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"), F.lit(" &amp; tail</p>")
+        ).alias("html"),
+        F.concat(
+            F.lit("HTTP://Site.ORG:80/d/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&q=1#f"),
+        ).alias("url"),
+    )
+    d.write.mode("overwrite").parquet(raw)
+
+    out = str(tmp_path / "crawl_out")
+    spec = {
+        "name": "crawl-extract",
+        "nodes": [
+            {"name": "pages", "kind": "source", "format": "parquet",
+             "path": raw},
+            {"name": "txt", "kind": "transform", "deps": ["pages"],
+             "op": "html_extract",
+             "args": {"src_col": "html", "out_col": "text"}},
+            {"name": "urls", "kind": "transform", "deps": ["txt"],
+             "op": "url_canonicalize",
+             "args": {"src_col": "url", "out_col": "url_canon",
+                      "host_col": "host"}},
+            {"name": "flags", "kind": "transform", "deps": ["urls"],
+             "op": "gopher_quality_flags",
+             "args": {"id_col": "doc_id", "text_col": "text",
+                      "min_words": 10}},
+            {"name": "save", "kind": "sink", "format": "parquet",
+             "dep": "flags", "path": out, "mode": "overwrite"},
+        ],
+    }
+    pipeline_from_spec(spec).run(spark, conf={})
+    got = spark.read.parquet(out)
+
+    direct_txt = d.withColumn("text", html_to_text(F.col("html")))
+    direct = gopher_quality_flags(
+        direct_txt.withColumn("url_canon", canonical_url(F.col("url")))
+        .withColumn("host", url_host(F.col("url"))),
+        "doc_id", "text", min_words=10,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # canonical form sanity on one row
+    sample = (
+        direct_txt.withColumn("c", canonical_url(F.col("url")))
+        .select("doc_id", "c").orderBy("doc_id").first()
+    )
+    assert sample["c"] == f"http://site.org/d/{sample['doc_id']}?q=1"
