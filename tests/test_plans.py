@@ -373,3 +373,74 @@ def test_lsh_tuning_report_is_pure_aggregation(spark):
     rep = lsh_tuning_report(docs)
     assert join_strategies(rep) == []
     assert "CartesianProduct" not in plan_text(rep)
+
+
+def test_dv_read_broadcasts_vectors_and_keeps_clean_fast_path(spark, tmp_path):
+    """DV-applied versioned read (sinks/versioned.py:_read_entries):
+    small deletion vectors must join as a BROADCAST anti-join (never a
+    cartesian, never a sort-merge for kilobyte vectors), and a table
+    with NO vectors must plan a plain parquet scan with zero joins."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.plans import join_strategies, plan_text
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "dvplan")
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    versioned_write(df.repartitionByRange(4, "k"), path)
+    clean = versioned_read(spark, path)
+    assert join_strategies(clean) == []  # pristine fast path
+
+    versioned_delete(spark, path, "k % 10 = 1")
+    dirty = versioned_read(spark, path)
+    strats = join_strategies(dirty)
+    plan = plan_text(dirty)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in strats  # vectors broadcast
+    assert "LeftAnti" in plan  # applied as an anti-join on row identity
+
+
+def test_webtext_filters_are_pure_codegen(spark, sf_dir):
+    """The crawl-text curation queries (gopher, C4, HTML extraction)
+    must stay JVM-side: no Python evaluation node anywhere, whole-stage
+    codegen present, and no shuffle — they are map-only passes that
+    must fuse into the scan (the orderBy presentation sort is the one
+    allowed exchange)."""
+    from skopje_spark.plans import has_codegen, num_shuffles, plan_text
+
+    for name in ("q_gopher_filter", "q_c4_line_filter", "q_html_extract_text"):
+        df = _df(spark, sf_dir, name)
+        plan = plan_text(df)
+        assert "EvalPython" not in plan, f"{name}: Python in the hot path"
+        assert has_codegen(df), f"{name}: no codegen span"
+        # the only exchange is the presentation orderBy (formatted AQE
+        # plans can print it twice); the filters themselves are map-only
+        assert num_shuffles(df) <= 2, f"{name}: unexpected shuffle"
+
+
+def test_change_feed_read_is_scan_only(spark, tmp_path):
+    """Serving a recorded change feed must be a plain union of parquet
+    scans — no joins, no snapshot diff sneaking back in."""
+    from skopje_spark.plans import join_strategies
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "cdfplan")
+    kv = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    versioned_write(kv, path)
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"], change_feed=True,
+    )
+    feed = versioned_change_feed(spark, path, from_version=1)
+    assert join_strategies(feed) == []
