@@ -66,6 +66,7 @@ from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
+    versioned_append,
     change_feed_advance,
     change_feed_cursor,
     versioned_change_feed,
@@ -134,6 +135,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "token_count_bpe",
     "CommitConflict",
+    "versioned_append",
     "change_feed_advance",
     "change_feed_cursor",
     "versioned_change_feed",

@@ -990,6 +990,75 @@ def versioned_merge_concurrent(
     )
 
 
+def versioned_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    *,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
+    change_feed: bool = False,
+) -> int:
+    """Blind APPEND as a snapshot commit: stage the batch's files into
+    the pool and commit a manifest of (every current file, by
+    reference) + (the new files). O(batch) data written however large
+    the table — the ingest op for insert-only feeds (event logs, crawl
+    fetches) where the MERGE anti-join would be pure waste. No key
+    semantics: duplicates are appended verbatim (dedup is an explicit
+    upstream stage, exactly the reference's pre-dedup COPY contract).
+
+    Schema must match the table exactly (columns by name; values cast
+    to the table's physical types so pooled files never fork).
+    ``change_feed=True`` records the batch itself as ``insert`` rows —
+    the cheapest possible CDF recording, one extra write of the batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base_v = (
+        latest_version(path)
+        if expected_version is _UNGUARDED
+        else expected_version
+    )
+    if base_v is None:
+        raise FileNotFoundError(
+            f"no committed version at {path} — use versioned_write to create"
+        )
+    man = _read_manifest(path, base_v)
+    table_schema = StructType.fromJson(man["schema"])
+    if set(batch.columns) != {f.name for f in table_schema.fields}:
+        raise ValueError(
+            f"append schema {sorted(batch.columns)} differs from table "
+            f"schema {sorted(f.name for f in table_schema.fields)} at {path}"
+        )
+    table_type = {f.name: f.dataType for f in table_schema.fields}
+    aligned = batch.select(
+        *[F.col(f.name).cast(table_type[f.name]).alias(f.name)
+          for f in table_schema.fields]
+    )
+    new_entries = _stage_data_files(aligned, path)
+    commit_meta = {
+        "op": "append",
+        "n_files_rewritten": "0",
+        "n_files_carried": str(len(man["files"])),
+        "n_files_appended": str(len(new_entries)),
+    }
+    if change_feed:
+        cdc = aligned.withColumn("_change_type", F.lit("insert"))
+        commit_meta["cdc_files"] = json.dumps(
+            _stage_aux_files(cdc, path, kind="cdc")
+        )
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path,
+        man["schema"],
+        man["files"] + new_entries,
+        commit_meta,
+        expected_version,
+        lock_timeout_s,
+    )
+
+
 def versioned_delete(
     spark: SparkSession,
     path: str,
@@ -1600,6 +1669,7 @@ def versioned_compact(
     target_files: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     guarded: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction as a commit: rewrite the committed latest
     snapshot into fewer, right-sized files and commit the result as
@@ -1622,7 +1692,16 @@ def versioned_compact(
     (each output task reads several input files, no shuffle), which is
     the whole economics of compaction at 100 TB: IO-bound copy, zero
     exchange. Falls back to ``repartition`` only if asked to *grow*
-    the file count."""
+    the file count.
+
+    ``cluster_by``: OPTIMIZE-style re-clustering — range-partition and
+    sort the rewrite on the given columns, paying the one shuffle
+    coalesce avoids, so every output file's [min, max] stats on those
+    columns become tight again. After enough scattered MERGEs a
+    key-clustered table degrades (rewritten files span wide key
+    ranges, so partial-rewrite pruning and pruned reads elect ever
+    more candidates); a clustered compaction restores the skip
+    economics in one pass. Content identical either way."""
     import math
 
     v = latest_version(path)
@@ -1634,12 +1713,17 @@ def versioned_compact(
         # byte sizes come straight off the manifest — no file stats
         nbytes = sum(e["bytes"] for e in _read_manifest(path, v)["files"])
         target_files = max(1, math.ceil(nbytes / target_file_bytes))
-    n_parts = cur.rdd.getNumPartitions()
-    out = (
-        cur.coalesce(target_files)
-        if target_files <= n_parts
-        else cur.repartition(target_files)
-    )
+    if cluster_by:
+        out = cur.repartitionByRange(
+            target_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        n_parts = cur.rdd.getNumPartitions()
+        out = (
+            cur.coalesce(target_files)
+            if target_files <= n_parts
+            else cur.repartition(target_files)
+        )
     # inherit the source commit's markers (base_version for maintained
     # views, stream_batch_id for stream ledgers, ...) so downstream
     # maintenance that reads the LATEST commit's markers keeps working

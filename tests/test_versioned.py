@@ -926,3 +926,75 @@ def test_versioned_merge_clause_semantics(spark, tmp_path):
     )
     rows2 = {r["k"]: (r["v"], r["tag"]) for r in versioned_read(spark, path).collect()}
     assert rows2[3] == (333, "x") and rows2[200] == (2, "y")
+
+
+def test_append_is_blind_and_carries_everything(spark, tmp_path):
+    """versioned_append: O(batch) write, every existing file carried by
+    reference (DVs included), duplicates appended verbatim, optional
+    insert-only CDF recording, schema strictness."""
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_append,
+        versioned_change_feed,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "vapp")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    versioned_delete(spark, path, "k = 2")  # leaves a DV-carrying entry
+    v = versioned_append(
+        spark, path, _kv(spark, [(1, "a"), (3, "c")]), change_feed=True
+    )
+    assert snapshot_meta(path, "op", version=v) == "append"
+    assert snapshot_meta(path, "n_files_rewritten", version=v) == "0"
+    rows = sorted((r["k"], r["v"]) for r in versioned_read(spark, path).collect())
+    # duplicate (1,'a') appended verbatim; DV delete of 2 still applies
+    assert rows == [(1, "a"), (1, "a"), (3, "c")]
+    man_prev = {e["path"] for e in _read_manifest(path, v - 1)["files"]}
+    man_now = {e["path"] for e in _read_manifest(path, v)["files"]}
+    assert man_prev <= man_now  # everything carried
+    feed = versioned_change_feed(spark, path, from_version=v, to_version=v)
+    assert sorted((r["k"], r["_change_type"]) for r in feed.collect()) == [
+        (1, "insert"), (3, "insert"),
+    ]
+    with pytest.raises(ValueError, match="append schema"):
+        versioned_append(
+            spark, path, spark.createDataFrame([(1,)], "k int"),
+        )
+
+
+def test_clustered_compaction_restores_skip_economics(spark, tmp_path):
+    """versioned_compact(cluster_by=): after scattered MERGEs degrade
+    the key clustering, a clustered compaction makes per-file stats
+    tight again — a narrow range read elects fewer candidate files
+    than before, and content is untouched."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_compact,
+    )
+
+    path = str(tmp_path / "vclu")
+    df = spark.range(0, 4000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    # deliberately scattered layout: hash-partitioned, so every file
+    # spans nearly the whole key range
+    versioned_write(df.repartition(8, "v"), path)
+    before_cand, _ = _interval_split(
+        _read_manifest(path, 0)["files"], "k", 100, 200
+    )
+    assert len(before_cand) == 8  # no file skippable
+
+    v = versioned_compact(spark, path, target_files=8, cluster_by=["k"])
+    after_cand, after_skip = _interval_split(
+        _read_manifest(path, v)["files"], "k", 100, 200
+    )
+    assert len(after_cand) <= 2 and len(after_skip) >= 6
+    assert versioned_read(spark, path).count() == 4000
+    assert sorted(
+        r["k"] for r in versioned_read(spark, path).filter("k < 5").collect()
+    ) == [0, 1, 2, 3, 4]
