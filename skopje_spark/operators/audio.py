@@ -218,3 +218,76 @@ def decode_audio(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             "byte_len long, rms double, zcc long"
         ),
     )
+
+
+def audio_fingerprint_hex(b: bytes) -> str:
+    """64-bit audio fingerprint of a WAV payload as 16 hex chars:
+    the energy-gradient ("energy dHash") fingerprint. The decoded
+    samples split into 65 equal frames (trailing remainder dropped);
+    frame energies are EXACT int64 sums of squares; bit f says
+    whether frame f is louder than frame f+1. Byte k packs
+    comparisons 8k..8k+7 LSB-first — the same packing as the image
+    dHash, so the Hamming machinery is shared.
+
+    Amplitude-invariant by construction (scaling multiplies every
+    energy by the same positive factor, leaving all comparisons
+    unchanged up to int16 rounding — near-identical clips land within
+    a few bits, the Hamming-band sweep's regime). Time-structure
+    sensitive: clips with different waveforms diverge across many
+    bits. Spectral-peak landmarking (the Shazam design) would add
+    pitch-shift robustness; this fingerprint deliberately stays
+    integer-exact so a SQL oracle can recompute it closed-form."""
+    import numpy as np
+
+    s = wav_samples(b).astype("int64")
+    n = s.shape[0]
+    if n < 65:
+        raise ValueError(f"clip too short for fingerprint: {n} samples")
+    frame = n // 65
+    e = (s[: 65 * frame] ** 2).reshape(65, frame).sum(axis=1)
+    bits = e[:-1] > e[1:]
+    out = []
+    for k in range(8):
+        byte = 0
+        for j in range(8):
+            if bits[8 * k + j]:
+                byte |= 1 << j
+        out.append(f"{byte:02x}")
+    return "".join(out)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-clip fingerprint column ``(id_col, afp)`` — Arrow-batched
+    mapInPandas over the binary payloads, a narrow map with no
+    shuffle; bytes never leave the executor. Pairs feed
+    :func:`skopje_spark.operators.multimodal.image_neardup_pairs`,
+    which is hash-agnostic (any 16-hex-char column)."""
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    import pandas as pd  # noqa: F401
+
+    dts = dict(df.dtypes)
+    schema = f"{id_col} {dts[id_col]}, afp string"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": [
+                        audio_fingerprint_hex(bytes(p))
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -282,3 +282,107 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _afp_oracle_sql() -> str:
+    """Closed-form DuckDB audio fingerprint of the per-doc WAV: the
+    waveform is pcm_pattern's integer arithmetic on (i, seed), so the
+    65 frame energies (exact int64 sums of squares), the 64
+    energy-gradient bits, and the LSB-first byte packing are all
+    recomputable without the file — bit-for-bit
+    :func:`skopje_spark.operators.audio.audio_fingerprint_hex`."""
+    samp = "((i*i*7 + i*13*s + s*s*3) % 65536 - 32768)"
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             200 + doc_id % 128 AS n,
+             doc_id % 32        AS s,
+             (200 + doc_id % 128) // 65 AS L
+      FROM documents
+    ),
+    e AS (
+      SELECT p.doc_id, r1.f,
+             SUM(CAST({samp} AS BIGINT) * CAST({samp} AS BIGINT)) AS en
+      FROM p,
+           (SELECT range AS f FROM range(65)) r1,
+           (SELECT range AS j FROM range(5)) r2,
+           LATERAL (SELECT r1.f * p.L + r2.j AS i) calc
+      WHERE r2.j < p.L
+      GROUP BY p.doc_id, r1.f
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f,
+             CASE WHEN a.en > b.en THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    bytes AS (
+      SELECT doc_id, f // 8 AS k,
+             SUM(bit * (1 << (f % 8))) AS byte
+      FROM bits GROUP BY doc_id, f // 8
+    ),
+    hashed AS (
+      SELECT doc_id,
+             string_agg(lpad(lower(hex(byte)), 2, '0'), '' ORDER BY k) AS afp
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id, afp,
+           CAST(COUNT(*) OVER (PARTITION BY afp) - 1 AS BIGINT) AS n_same
+    FROM hashed
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_audio_fingerprint_neardup",
+    oracle=_afp_oracle_sql(),
+    tags=("multimodal", "audio", "fingerprint", "dedup", "llm-pipeline"),
+)
+def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup end-to-end (operators/audio.audio_fingerprint +
+    the shared Hamming-band pair sweep): every document gets a REAL
+    WAV (length/seed/rate derived from doc_id — ids congruent mod 128
+    carry IDENTICAL clips), the 64-bit energy-gradient fingerprint is
+    computed from DECODED PCM samples, and identical-clip partners
+    are found through the same band-LSH machinery the image tier uses
+    (4×16-bit bands, exact for distance ≤ 3). The oracle recomputes
+    the full fingerprint closed-form in DuckDB — frame energies as
+    exact integer sums of squares over the pattern arithmetic,
+    gradient bits, hex packing — so a single wrong bit anywhere in
+    container decode → framing → energy → packing → band join fails
+    the hash compare. This closes the multimodal dedup matrix: text
+    (MinHash/SimHash), embeddings (SemDeDup), images (dHash), audio
+    (energy fingerprint).
+
+    Scale: fingerprinting is a narrow Arrow-batched map; pairing is
+    one shuffle on (band_id, band_sig); nothing is all-pairs."""
+    from skopje_spark.operators.audio import (
+        attach_wav_payload,
+        audio_fingerprint,
+    )
+    from skopje_spark.operators.multimodal import image_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = audio_fingerprint(
+        attach_wav_payload(d, "doc_id"), id_col="doc_id",
+        payload_col="payload",
+    ).localCheckpoint(eager=True)
+    pairs = image_neardup_pairs(
+        hashes, id_col="doc_id", hash_col="afp", max_dist=3, bands=4
+    )
+    same = pairs.filter(F.col("hamming") == 0)
+    partners = (
+        same.select(F.col("id_a").alias("doc_id"))
+        .unionAll(same.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "afp",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_same"),
+        )
+        .orderBy("doc_id")
+    )

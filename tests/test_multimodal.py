@@ -211,3 +211,58 @@ def test_image_neardup_pairs_banding_exact(spark):
 
     with _pytest.raises(ValueError, match="bands"):
         image_neardup_pairs(hashes, id_col="doc_id", max_dist=4, bands=4)
+
+
+def test_audio_fingerprint_robustness_and_pairing(spark):
+    """Energy-gradient audio fingerprint (operators/audio.py):
+    deterministic; amplitude-invariant (half-volume and mildly noisy
+    copies land within the Hamming-band sweep's max_dist); clips with
+    different waveforms separate by many bits; the shared band sweep
+    finds exactly the identical-clip pairs."""
+    import numpy as np
+    import pytest
+
+    from skopje_spark.operators.audio import (
+        audio_fingerprint,
+        audio_fingerprint_hex,
+        encode_wav,
+        make_wav,
+        wav_samples,
+    )
+    from skopje_spark.operators.multimodal import image_neardup_pairs
+
+    a = make_wav(300, seed=5)
+    assert audio_fingerprint_hex(a) == audio_fingerprint_hex(make_wav(300, seed=5))
+
+    def ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    half = encode_wav(
+        np.round(wav_samples(a).astype("float64") * 0.5).astype("int16")
+    )
+    assert ham(audio_fingerprint_hex(a), audio_fingerprint_hex(half)) <= 3
+    rng = np.random.RandomState(0)
+    noisy = encode_wav(
+        np.clip(
+            np.round(wav_samples(a).astype("float64") * 0.9
+                     + rng.normal(0, 30, 300)),
+            -32768, 32767,
+        ).astype("int16")
+    )
+    assert ham(audio_fingerprint_hex(a), audio_fingerprint_hex(noisy)) <= 3
+    other = make_wav(300, seed=9)
+    assert ham(audio_fingerprint_hex(a), audio_fingerprint_hex(other)) >= 8
+
+    rows = [
+        (1, a), (2, make_wav(300, seed=5)),  # identical pair
+        (3, other), (4, make_wav(280, seed=2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = audio_fingerprint(df, id_col="doc_id", payload_col="payload")
+    pairs = image_neardup_pairs(
+        fps, id_col="doc_id", hash_col="afp", max_dist=3, bands=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+    with pytest.raises(ValueError, match="too short"):
+        audio_fingerprint_hex(make_wav(50, seed=1))
