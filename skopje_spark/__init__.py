@@ -76,6 +76,7 @@ from skopje_spark.sinks.versioned import (
     versioned_merge,
     versioned_merge_concurrent,
     versioned_read,
+    versioned_replicate,
     versioned_restore,
     versioned_upsert,
     versioned_write,
@@ -145,6 +146,7 @@ __all__ = [
     "versioned_merge",
     "versioned_merge_concurrent",
     "versioned_read",
+    "versioned_replicate",
     "versioned_restore",
     "versioned_upsert",
     "versioned_write",

@@ -804,6 +804,73 @@ def q_versioned_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_replica_sync",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 20 = 4 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           TRUE AS replica_sync
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "cdf", "replica", "incremental", "lakeops"),
+)
+def q_versioned_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven replica sync under the driver gate
+    (sinks/versioned.py:versioned_replicate): a source table takes a
+    CDF-recorded MERGE and a CDF-recorded deletion-vector DELETE; the
+    replica syncs purely from the recorded feed — creation inserts
+    bootstrap it, the per-key final-state reduction applies the chain,
+    and a second sync is a cursor-checked no-op (pinned in the
+    ``replica_sync`` flag). The oracle recomputes the expected end
+    state from orders; hash equality proves the replica converged to
+    the source without ever scanning it.
+
+    Scale: the sync reads O(changes) cdc files + writes a partial
+    rewrite — the 100 TB source is never read, which is the entire
+    point of replicating from a feed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_replicate,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src_path = tempfile.mkdtemp(prefix="skopje_repsrc_")
+    dst_path = src_path + "_replica"
+    atexit.register(shutil.rmtree, src_path, ignore_errors=True)
+    atexit.register(shutil.rmtree, dst_path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        src_path,
+    )
+    upd = o.filter("o_orderkey % 20 = 4").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, src_path, upd, ["o_orderkey"], change_feed=True)
+    versioned_delete(spark, src_path, "o_orderkey % 10 = 7", change_feed=True)
+    cursor = src_path + "/_replica_cursor"
+    v = versioned_replicate(
+        spark, src_path, dst_path, cursor, keys=["o_orderkey"]
+    )
+    again = versioned_replicate(
+        spark, src_path, dst_path, cursor, keys=["o_orderkey"]
+    )
+    return (
+        versioned_read(spark, dst_path)
+        .withColumn("replica_sync", F.lit(bool(v is not None and again is None)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,

@@ -805,6 +805,7 @@ def versioned_merge(
     meta: dict[str, str] | None = None,
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
+    change_feed: bool = False,
 ) -> int:
     """Full MERGE INTO clause semantics as one snapshot commit —
     Delta's ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT
@@ -930,6 +931,33 @@ def versioned_merge(
         "n_files_rewritten": str(len(cand)),
         "n_files_carried": str(len(carried)),
     }
+    if change_feed:
+        # clause-accurate CDF recording: deletes and update preimages
+        # carry TARGET values, update postimages the projected values,
+        # inserts the admitted source rows — another pass over the
+        # candidate files the merge reads anyway
+        cdc = inserts.withColumn("_change_type", F.lit("insert"))
+        if cand:
+            del_rows = pairs.filter(del_cond).select(*table_cols)
+            upd_pairs = pairs.filter(~del_cond & upd_cond)
+            cdc = (
+                cdc.unionByName(
+                    del_rows.withColumn("_change_type", F.lit("delete"))
+                )
+                .unionByName(
+                    upd_pairs.select(*table_cols).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                .unionByName(
+                    upd_pairs.select(*upd_proj).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            )
+        commit_meta["cdc_files"] = json.dumps(
+            _stage_aux_files(cdc, path, kind="cdc")
+        )
     commit_meta.update(meta or {})
     return _commit_manifest(
         path,
@@ -1081,8 +1109,11 @@ def versioned_delete(
     (its rewrite goes through the DV-applied read, so the compacted
     snapshot carries no vectors).
 
-    ``condition`` is a Column or SQL string over the table's columns.
-    Rows already deleted by an earlier DV never re-match (the matching
+    ``condition`` is a Column or SQL string over the table's columns,
+    or a key DataFrame — rows whose key tuple (the frame's column set)
+    appears in it are deleted via a semi-join, the replica-sync /
+    feed-apply shape. Rows already deleted by an earlier DV never
+    re-match (the matching
     scan is itself DV-applied), so overlapping deletes stay
     position-disjoint. A file whose every row is now deleted is
     DROPPED from the manifest outright. Returns the new version — or
@@ -1123,8 +1154,17 @@ def versioned_delete(
             .distinct()
         )
         df = df.join(F.broadcast(prior), ["__file", "__pos"], "left_anti")
-    cond = F.expr(condition) if isinstance(condition, str) else condition
-    hit = df.filter(cond)
+    if isinstance(condition, DataFrame):
+        # key-frame delete: rows whose key tuple appears in the frame
+        # (the replica-sync / feed-apply shape) — a semi-join against
+        # the broadcastable key set, never a predicate compile
+        # (no broadcast hint: AQE broadcasts small key sets itself and
+        # a mass-delete key frame must be allowed to shuffle)
+        kcols = list(condition.columns)
+        hit = df.join(condition.distinct(), kcols, "left_semi")
+    else:
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = df.filter(cond)
     if change_feed:
         # the feed needs the deleted ROWS, not just positions — one
         # checkpoint serves both projections
@@ -1354,6 +1394,67 @@ def versioned_change_feed(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def versioned_replicate(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    *,
+    keys: list[str],
+) -> int | None:
+    """Incrementally sync a REPLICA table from the source's recorded
+    change feed — the standard CDF consumer: read the feed from the
+    checkpointed cursor to the source's committed latest, reduce it to
+    each key's FINAL state across the range (a multi-commit chain like
+    insert → update → delete nets to its last action), apply as one
+    upsert + one key-frame DV delete on the replica, then advance the
+    cursor. Returns the replica's new version, or None when already
+    current.
+
+    Cost: O(|feed|) reduction + a partial-rewrite merge + a
+    vectors-only delete — the source table is never scanned, which is
+    the entire point of replicating from the feed at 100 TB.
+
+    Exactly-once by replay: a crash anywhere before the cursor
+    advance re-applies the same range, and both apply steps are
+    content-idempotent (same-value upsert, absent-key delete). First
+    sync (fresh cursor) starts at version 0, whose creation rows the
+    feed serves as inserts — no separate bootstrap copy."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    committed = latest_version(src_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {src_path}")
+    frm = change_feed_cursor(src_path, checkpoint)
+    if frm > committed:
+        return None  # already current
+    feed = versioned_change_feed(
+        spark, src_path, from_version=frm, to_version=committed
+    )
+    # final action per key: newest commit wins; preimages are not
+    # actions (they describe the old state the postimage replaces)
+    act = feed.filter(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    last = (
+        act.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "_commit_version")
+    )
+    last = last.localCheckpoint(eager=True)  # feeds both apply steps
+    ups = last.filter(F.col("_change_type") != "delete").drop("_change_type")
+    dels = last.filter(F.col("_change_type") == "delete").select(*keys)
+    v = None
+    if latest_version(dst_path) is None:
+        v = versioned_write(ups, dst_path)
+    elif ups.limit(1).count():
+        v = versioned_upsert(spark, dst_path, ups, keys)
+    if dels.limit(1).count():
+        v = versioned_delete(spark, dst_path, dels)
+    change_feed_advance(checkpoint, committed)
+    return v
 
 
 def change_feed_cursor(path: str, checkpoint: str) -> int:

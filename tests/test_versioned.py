@@ -998,3 +998,63 @@ def test_clustered_compaction_restores_skip_economics(spark, tmp_path):
     assert sorted(
         r["k"] for r in versioned_read(spark, path).filter("k < 5").collect()
     ) == [0, 1, 2, 3, 4]
+
+
+def test_replicate_from_feed_converges_and_is_exactly_once(spark, tmp_path):
+    """versioned_replicate: bootstrap from creation inserts, mixed
+    upsert/DV-delete/merge-clause commits applied through the per-key
+    final-state reduction (telescoping chains included), cursor-checked
+    idempotence, and a key-frame DV delete on the replica side."""
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_merge,
+        versioned_replicate,
+    )
+
+    src_p = str(tmp_path / "repsrc")
+    dst_p = str(tmp_path / "repdst")
+    cp = str(tmp_path / "cursor")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), src_p)
+    versioned_upsert(
+        spark, src_p, _kv(spark, [(2, "B"), (4, "d")]), ["k"], change_feed=True
+    )
+    versioned_delete(spark, src_p, "k = 1", change_feed=True)
+    v = versioned_replicate(spark, src_p, dst_p, cp, keys=["k"])
+    assert v is not None
+    assert sorted(map(tuple, versioned_read(spark, dst_p).collect())) == sorted(
+        map(tuple, versioned_read(spark, src_p).collect())
+    )
+    assert versioned_replicate(spark, src_p, dst_p, cp, keys=["k"]) is None
+
+    # merge-clauses commit records clause-accurate CDF; chain that
+    # inserts then deletes a key between syncs telescopes away
+    versioned_merge(
+        spark, src_p, _kv(spark, [(3, "DEL"), (4, "D4"), (9, "i")]), ["k"],
+        when_matched_delete="src_v = 'DEL'",
+        when_matched_update="TRUE",
+        when_not_matched_insert="TRUE",
+        change_feed=True,
+    )
+    versioned_upsert(spark, src_p, _kv(spark, [(50, "x")]), ["k"], change_feed=True)
+    versioned_delete(spark, src_p, "k = 50", change_feed=True)
+    versioned_replicate(spark, src_p, dst_p, cp, keys=["k"])
+    got = sorted(map(tuple, versioned_read(spark, dst_p).collect()))
+    assert got == sorted(map(tuple, versioned_read(spark, src_p).collect()))
+    assert (2, "B") in got and (4, "D4") in got and (9, "i") in got
+    assert all(k not in (1, 3, 50) for k, _ in got)
+    # cursor advanced to the source's latest
+    assert int(open(cp).read()) == latest_version(src_p)
+
+
+def test_delete_accepts_key_frame(spark, tmp_path):
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    path = str(tmp_path / "vdelkeys")
+    versioned_write(
+        _kv(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]), path
+    )
+    keys = spark.createDataFrame([(2,), (4,), (99,)], ["k"])
+    versioned_delete(spark, path, keys)
+    assert sorted(r["k"] for r in versioned_read(spark, path).collect()) == [1, 3]
