@@ -592,3 +592,82 @@ def q_text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("bigint").alias("n_bytes"),
         (F.col("ratio") > 0.5).cast("int").alias("is_junk"),
     ).orderBy("cls", "doc_id")
+
+
+@register(
+    "q_bm25_index_query",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('vector', 'hash', 'stream')
+      GROUP BY doc_id, tok
+    ),
+    dft AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ) AS raw
+      FROM tf
+      JOIN dft USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           FLOOR(raw * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "retrieval", "bm25", "index", "llm-pipeline"),
+)
+def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index
+    (operators/invindex.py) — and through an APPEND: the index is
+    built on the even-id half of the corpus, the odd half appended,
+    and the query must score bit-identically to the oracle's direct
+    full-corpus computation. That pins the append-exactness claim (N
+    and Σdl fold exactly; df derives from the postings at query time)
+    together with the bucket-partitioned layout, the denormalized
+    per-posting document length, and the driver-side stats literals.
+
+    avgdl here is sum_dl/n (exact-int inputs, one IEEE division on
+    both engines), matching the index's stored-statistics form.
+
+    Scale: the query plan's only inputs are the terms' partition
+    buckets (pruned driver-side with the same hash that wrote the
+    layout) plus a kilobyte JSON — a retrieval service pays postings
+    cost per query, never a corpus scan; this is what the per-query
+    bm25_scores plan cannot give."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.operators.invindex import (
+        bm25_index_append,
+        bm25_index_query,
+        bm25_index_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="skopje_bm25idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = root + "/idx"
+    bm25_index_write(d.filter("doc_id % 2 = 0"), path)
+    bm25_index_append(spark, d.filter("doc_id % 2 = 1"), path)
+    return bm25_index_query(
+        spark, path, ["vector", "hash", "stream"], k1=1.2, b=0.75, top_k=10
+    )
