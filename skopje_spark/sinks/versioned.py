@@ -292,7 +292,13 @@ def _commit_manifest(
     size; data files were already pooled by the caller. Guarded mode
     (``expected_version`` given) compare-and-swaps on the committed
     version under the commit lock, exactly the pre-manifest protocol:
-    the critical section stays metadata-only."""
+    the critical section stays metadata-only.
+
+    Every commit records a ``commit_ts`` marker (epoch seconds, the
+    writer's clock) for timestamp time travel
+    (:func:`version_as_of_timestamp`). Caller-supplied markers win on
+    collision (tests pin clocks that way)."""
+    meta = {"commit_ts": repr(time.time()), **(meta or {})}
     os.makedirs(path, exist_ok=True)
     if expected_version is not _UNGUARDED:
         staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")
@@ -385,8 +391,46 @@ def snapshot_meta(path: str, key: str, *, version: int) -> str | None:
         return None
 
 
+def commit_timestamp(path: str, version: int) -> float:
+    """Epoch seconds of a commit: its ``commit_ts`` marker, falling
+    back to the manifest directory's mtime for history written before
+    the marker existed."""
+    m = snapshot_meta(path, "commit_ts", version=version)
+    if m is not None:
+        try:
+            return float(m)
+        except ValueError:
+            pass
+    return os.path.getmtime(os.path.join(path, f"v={version}"))
+
+
+def version_as_of_timestamp(path: str, ts: float) -> int:
+    """Timestamp time travel resolution (Delta's ``TIMESTAMP AS OF``):
+    the NEWEST committed version whose commit time is <= ``ts``.
+    Raises if the table had no commit yet at ``ts``. Commit times are
+    writer-clock marker values — a cluster with skewed writer clocks
+    inherits that skew in its history, exactly as Delta does."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    best = None
+    for v in range(committed + 1):
+        try:
+            t = commit_timestamp(path, v)
+        except FileNotFoundError:
+            continue  # vacuumed
+        if t <= ts:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise FileNotFoundError(
+            f"no commit at {path} existed at timestamp {ts}"
+        )
+    return best
+
+
 def versioned_read(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession, path: str, *, version: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Scan one snapshot: the committed latest by default, or a pinned
     ``version`` (time travel). Uncommitted / vacuumed versions raise.
@@ -402,6 +446,10 @@ def versioned_read(
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ts, not both")
+        version = version_as_of_timestamp(path, as_of_ts)
     if version is None:
         version = committed
     elif version > committed:
@@ -1834,6 +1882,9 @@ def versioned_compact(
         for f in os.listdir(snap)
         if f.startswith("_meta_")
     }
+    # the compacted commit gets its own clock — inheriting the source's
+    # commit_ts would backdate it in timestamp time travel
+    meta.pop("commit_ts", None)
     meta.update({"op": "compact", "source_version": str(v)})
     if guarded:
         return versioned_write(out, path, meta=meta, expected_version=v)

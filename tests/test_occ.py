@@ -206,7 +206,9 @@ def test_versioned_history_surface(spark, tmp_path):
     assert [r["is_latest"] for r in h] == [False, True]
     assert [r["n_rows"] for r in h] == [2, 1]
     assert all(r["n_files"] >= 1 and r["n_bytes"] > 0 for r in h)
-    assert json.loads(h[1]["meta"]) == {"op": "shrink", "z": "1"}
+    meta = json.loads(h[1]["meta"])
+    assert float(meta.pop("commit_ts")) > 0  # every commit is timestamped
+    assert meta == {"op": "shrink", "z": "1"}
     # without counts: no job-per-version, no n_rows column
     h2 = versioned_history(spark, path)
     assert "n_rows" not in h2.columns

@@ -1058,3 +1058,33 @@ def test_delete_accepts_key_frame(spark, tmp_path):
     keys = spark.createDataFrame([(2,), (4,), (99,)], ["k"])
     versioned_delete(spark, path, keys)
     assert sorted(r["k"] for r in versioned_read(spark, path).collect()) == [1, 3]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: commits carry commit_ts markers; as_of_ts
+    resolves the newest commit at or before the instant (pinned clocks
+    via caller-supplied markers), refuses pre-creation instants, and
+    rejects version+timestamp together."""
+    from skopje_spark.sinks.versioned import (
+        commit_timestamp,
+        version_as_of_timestamp,
+    )
+
+    path = str(tmp_path / "vts")
+    versioned_write(_kv(spark, [(1, "a")]), path, meta={"commit_ts": "1000.0"})
+    versioned_write(_kv(spark, [(1, "b")]), path, meta={"commit_ts": "2000.0"})
+    versioned_write(_kv(spark, [(1, "c")]), path, meta={"commit_ts": "3000.0"})
+    assert commit_timestamp(path, 1) == 2000.0
+    assert version_as_of_timestamp(path, 2500.0) == 1
+    assert version_as_of_timestamp(path, 2000.0) == 1  # inclusive
+    assert version_as_of_timestamp(path, 99999.0) == 2
+    assert [r["v"] for r in versioned_read(spark, path, as_of_ts=2500.0).collect()] == ["b"]
+    with pytest.raises(FileNotFoundError, match="existed at timestamp"):
+        version_as_of_timestamp(path, 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        versioned_read(spark, path, version=0, as_of_ts=2500.0)
+    # unpinned commits get real clocks: monotone non-decreasing
+    path2 = str(tmp_path / "vts2")
+    versioned_write(_kv(spark, [(1, "x")]), path2)
+    versioned_write(_kv(spark, [(1, "y")]), path2)
+    assert commit_timestamp(path2, 0) <= commit_timestamp(path2, 1)
