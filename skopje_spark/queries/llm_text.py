@@ -671,3 +671,62 @@ def q_bm25_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_query(
         spark, path, ["vector", "hash", "stream"], k1=1.2, b=0.75, top_k=10
     )
+
+
+@register(
+    "q_quality_classifier",
+    oracle="""
+    SELECT doc_id, 1 AS y, 1 AS pred FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, 0, 0 FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "classifier", "quality", "ml", "llm-pipeline"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality classifier end-to-end
+    (operators/classifier.py): every document gets a gibberish twin
+    (md5-hex junk, the q_text_bpe_compression construction), hashed
+    128-slot token features are built statelessly, full-batch
+    logistic regression trains through per-partition Arrow partial
+    gradients (deterministic: zero init, no sampling, driver sums in
+    sorted partition order), and the corpus is scored by a CODEGEN
+    dot-product expression. The oracle pins every prediction to its
+    label — natural-vs-junk is separable by a wide margin (min
+    |p−0.5| ≈ 0.26 at fixture scale), so the hash survives float
+    ulps while still failing on any real training or scoring defect.
+
+    Scale: train on a sample, score everything — iterations are
+    map-only passes collecting one (dim+1)-vector per partition;
+    scoring fuses into the scan with no Python."""
+    from skopje_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+        logreg_train,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    junk = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{i}")))
+                for i in range(6)
+            ],
+        ).alias("text"),
+    )
+    train = d.withColumn("y", F.lit(1)).unionByName(
+        junk.withColumn("y", F.lit(0))
+    )
+    feats = hashed_features(train, "doc_id", "text", dim=128).join(
+        train.select("doc_id", "y"), "doc_id"
+    )
+    w = logreg_train(feats, "y", dim=128, iters=30, lr=1.0)
+    return (
+        logreg_score(feats, w)
+        .select(
+            "doc_id", "y", (F.col("prob") > 0.5).cast("int").alias("pred")
+        )
+        .orderBy("doc_id")
+    )
