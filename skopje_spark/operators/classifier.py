@@ -172,3 +172,55 @@ def logreg_score(
     """Append σ(w·x + b) as ``out_col`` — a narrow map."""
     z = logreg_margin(weights, features_col)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def logreg_model_write(
+    path: str, weights: list[float], *, dim: int, meta: dict | None = None
+) -> None:
+    """Persist a trained model as a JSON artifact (weights are
+    kilobytes — the same driver-artifact class as centroids and BPE
+    merge tables). Atomic replace, so readers never see a torn model."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    _os.makedirs(path, exist_ok=True)
+    fd, tmp = _tempfile.mkstemp(dir=path, prefix="._model")
+    with _os.fdopen(fd, "w") as f:
+        _json.dump(
+            {"weights": [float(w) for w in weights], "dim": int(dim),
+             "meta": meta or {}},
+            f,
+        )
+    _os.replace(tmp, _os.path.join(path, "_MODEL.json"))
+
+
+def logreg_model_read(path: str) -> tuple[list[float], int, dict]:
+    """Load ``(weights, dim, meta)`` written by
+    :func:`logreg_model_write`."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_MODEL.json")) as f:
+        d = _json.load(f)
+    return d["weights"], int(d["dim"]), d.get("meta", {})
+
+
+def quality_score(
+    df: DataFrame,
+    model_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score documents with a persisted model: stateless featurization
+    at the model's recorded dim + the codegen sigmoid margin — the
+    deploy-side half of the train/score split, and the spec-node
+    surface for declarative pipelines."""
+    weights, dim, _ = logreg_model_read(model_path)
+    feats = hashed_features(df, id_col, text_col, dim=dim)
+    return df.join(
+        logreg_score(feats, weights, out_col=out_col).select(id_col, out_col),
+        id_col,
+    )

@@ -160,6 +160,11 @@ def _op_registry() -> dict:
     def _html_extract(df, *, src_col, out_col="text"):
         return df.withColumn(out_col, html_to_text(_F.col(src_col)))
 
+    def _quality_score(df, *, model_path, **kw):
+        from skopje_spark.operators.classifier import quality_score
+
+        return quality_score(df, model_path, **kw)
+
     def _url_canon(df, *, src_col, out_col="url_canon", host_col=None):
         out = df.withColumn(out_col, canonical_url(_F.col(src_col)))
         if host_col:
@@ -190,6 +195,8 @@ def _op_registry() -> dict:
         "url_canonicalize": (1, _url_canon),
         "gopher_quality_flags": (1, gopher_quality_flags),
         "c4_line_filter": (1, c4_line_filter),
+        # persisted-model quality scoring (classifier.logreg_model_write)
+        "quality_score": (1, _quality_score),
     }
 
 

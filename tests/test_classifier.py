@@ -80,3 +80,49 @@ def test_empty_training_set_raises(spark):
     feats = _train_frame(spark, n=2).filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty training set"):
         logreg_train(feats, "y", dim=64, iters=1)
+
+
+def test_model_persistence_and_spec_scoring(spark, tmp_path):
+    """Persisted model round-trip + the declarative quality_score op:
+    train, write, score through the spec registry — equal to direct
+    scoring."""
+    from skopje_spark.operators.classifier import (
+        logreg_model_read,
+        logreg_model_write,
+        quality_score,
+    )
+    from skopje_spark.spec import pipeline_from_spec
+
+    feats = _train_frame(spark, n=20)
+    w = logreg_train(feats, "y", dim=64, iters=20, lr=1.0)
+    mp = str(tmp_path / "model")
+    logreg_model_write(mp, w, dim=64, meta={"trained_on": "unit"})
+    rw, rd, rm = logreg_model_read(mp)
+    assert rw == w and rd == 64 and rm["trained_on"] == "unit"
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and that dog with words"),
+         (2, "zzqx9v jjwq8k xx7yy")],
+        "doc_id long, text string",
+    )
+    direct = {r["doc_id"]: r["quality_prob"]
+              for r in quality_score(docs, mp).collect()}
+    assert direct[1] > 0.5 > direct[2]
+
+    raw = str(tmp_path / "docs")
+    docs.write.parquet(raw)
+    out = str(tmp_path / "scored")
+    spec = {
+        "name": "score",
+        "nodes": [
+            {"name": "d", "kind": "source", "format": "parquet", "path": raw},
+            {"name": "s", "kind": "transform", "deps": ["d"],
+             "op": "quality_score", "args": {"model_path": mp}},
+            {"name": "save", "kind": "sink", "format": "parquet",
+             "dep": "s", "path": out, "mode": "overwrite"},
+        ],
+    }
+    pipeline_from_spec(spec).run(spark, conf={})
+    via_spec = {r["doc_id"]: r["quality_prob"]
+                for r in spark.read.parquet(out).collect()}
+    assert via_spec == direct
