@@ -1088,3 +1088,34 @@ def test_timestamp_time_travel(spark, tmp_path):
     versioned_write(_kv(spark, [(1, "x")]), path2)
     versioned_write(_kv(spark, [(1, "y")]), path2)
     assert commit_timestamp(path2, 0) <= commit_timestamp(path2, 1)
+
+
+def test_deletion_vectors_survive_schema_evolution(spark, tmp_path):
+    """A DV-carrying file read under an EVOLVED schema still applies
+    its vectors (row identity is positional, not value-based), new
+    columns NULL-fill for carried rows, and the change feed conforms
+    evolved commits to the commit's own schema."""
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "vdvevo")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    versioned_delete(spark, path, "k = 2")
+    wide = spark.createDataFrame(
+        [(3, "C", 30), (9, "i", 90)], "k int, v string, extra int"
+    )
+    versioned_upsert(
+        spark, path, wide, ["k"], evolve_schema=True, change_feed=True
+    )
+    rows = {r["k"]: (r["v"], r["extra"])
+            for r in versioned_read(spark, path).collect()}
+    assert rows == {1: ("a", None), 3: ("C", 30), 9: ("i", 90)}  # 2 stays gone
+    feed = versioned_change_feed(
+        spark, path, from_version=2, to_version=2
+    ).collect()
+    by_type = {(r["k"], r["_change_type"]): r for r in feed}
+    assert by_type[(9, "insert")]["extra"] == 90
+    assert by_type[(3, "update_postimage")]["extra"] == 30
+    assert by_type[(3, "update_preimage")]["extra"] is None  # old row lacked it
