@@ -641,7 +641,40 @@ def ivf_index_append(
     }
 
 
+def ivf_index_rebuild(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Retrain and rewrite a persisted IVF index from its OWN indexed
+    vectors — the action the append-path staleness metric exists to
+    trigger. Reads the current ``vectors/`` partitions (checkpointed
+    first, so the overwrite never races its own input), re-runs the
+    quantizer at ``k`` cells (default: the current centroid count),
+    and rewrites layout + centroids + a FRESH build-stats baseline
+    (the append history is intentionally reset — post-rebuild appends
+    measure drift against the new quantizer, not the old one's).
+
+    Cost: one full pass over the indexed vectors — exactly the price
+    the frozen-quantizer appends deferred; ids and vectors are
+    preserved bit-for-bit, only cell assignments change."""
+    cur = spark.read.parquet(f"{path}/vectors").drop("cell")
+    cur = cur.localCheckpoint(eager=True)  # sever lineage from the path
+    if k is None:
+        k = spark.read.parquet(f"{path}/centroids").count()
+        if not k:
+            raise ValueError(f"no centroids found under {path}")
+    return ivf_index_write(
+        cur, path, id_col=id_col, vec_col=vec_col, k=int(k), iters=iters
+    )
+
+
 def ivf_index_topk(
+
     spark,
     path: str,
     query_df: DataFrame,
