@@ -104,7 +104,12 @@ URL_CANON_RULES = (
     (r":443/", "/"),
     (r":80$", ""),
     (r":443$", ""),
-    (r"/+$", ""),                                    # trailing slash(es)
+    # final cleanup strips MIXED trailing runs of slash/separator:
+    # the port/slash rules above can re-expose a dangling '?'/'&'
+    # after the earlier separator repair already ran (".../p/&/" →
+    # ".../p/&"), so the last rule must consume the whole run or
+    # canonicalization loses idempotence (hypothesis-hunted case)
+    (r"[?&/]+$", ""),
 )
 _URL_HEAD = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"    # scheme://host[:port]
 

@@ -116,3 +116,94 @@ def test_jaccard_bounds_and_hash_space_equivalence(spark_global, texts):
 def spark_global(spark):
     """Module-scoped alias so hypothesis examples reuse one session."""
     return spark
+
+
+URL_CHARS = st.text(
+    alphabet="abcXYZ0189-._~/?#&=%",
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(URL_CHARS, min_size=1, max_size=20))
+def test_canonical_url_idempotent_and_cross_engine(spark_global, tails):
+    """canonical_url over adversarial query/fragment tails: always
+    idempotent, always identical between the Spark expression chain
+    and the generated DuckDB twin (one rule table, two engines)."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.webtext import canonical_url, canonical_url_sql
+
+    spark = spark_global
+    urls = [f"HTTPS://Ex.COM:443/p/{t}" for t in tails]
+    sdf = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    once = {
+        r["i"]: r["c"]
+        for r in sdf.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    twice = {
+        r["i"]: r["c"]
+        for r in sdf.select(
+            "i", canonical_url(canonical_url(F.col("u"))).alias("c")
+        ).collect()
+    }
+    assert once == twice
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, '{u.replace(chr(39), chr(39) * 2)}')"
+            for i, u in enumerate(urls)
+        )
+        + ") v(i, u)"
+    )
+    duck = dict(
+        con.execute(f"SELECT i, {canonical_url_sql('u')} FROM u").fetchall()
+    )
+    assert once == duck
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+                whitelist_characters="<>&;#/\"'!.-",
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_html_to_text_never_leaves_markup(spark_global, bodies):
+    """html_to_text over generated bodies wrapped in nested markup:
+    the output never contains a tag, a script/style payload, or an
+    UNDECODED entity from the table — whatever the body contents."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.webtext import HTML_ENTITIES, html_to_text
+
+    spark = spark_global
+    pages = [
+        f"<div a=1><!-- c --><script>var x;</script><p>{b}</p>"
+        f"<style>.z{{}}</style></div>"
+        for b in bodies
+    ]
+    sdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], ["i", "h"]
+    )
+    out = [
+        r["t"] for r in sdf.select(html_to_text(F.col("h")).alias("t")).collect()
+    ]
+    for t in out:
+        assert "<script" not in t.lower() and "<style" not in t.lower()
+        assert "var x;" not in t and ".z{}" not in t
+        # no remaining complete tags (angle brackets may legitimately
+        # survive via decoded entities or raw body text)
+        import re
+
+        assert not re.search(r"<[a-zA-Z/][^>]*>", t), t
