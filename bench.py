@@ -104,6 +104,11 @@ HEADLINE = [
     "q_html_extract_text",
     "q_gopher_filter",
     "q_dv_read_only",
+    # q_bm25_index_query is excluded like the other persisted-index
+    # queries (build+append dominate); the bench-only
+    # q_bm25_query_only times the recurring serving cost — pruned
+    # postings scan + score over a prebuilt index.
+    "q_bm25_query_only",
 ]
 
 
@@ -187,6 +192,31 @@ def _join_size_est_only(spark, sf_dir):
     return sampled_join_size(o, l, "o_orderkey", "l_orderkey", rate=0.05)
 
 
+_BM25IDX_CACHE: dict = {}
+
+
+def _bm25_query_only(spark, sf_dir):
+    """Bench-only: the persisted-BM25 SERVING path alone. The index is
+    built once per sf_dir (the build-once artifact a retrieval service
+    persists); timed passes measure what every query pays — the
+    bucket-pruned postings scan, per-term df, and scoring."""
+    import tempfile
+
+    from skopje_spark.operators.invindex import (
+        bm25_index_query,
+        bm25_index_write,
+    )
+    from skopje_spark.tables import load_table
+
+    if sf_dir not in _BM25IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="skopje_bench_bm25_") + "/idx"
+        bm25_index_write(load_table(spark, sf_dir, "documents"), path)
+        _BM25IDX_CACHE[sf_dir] = path
+    return bm25_index_query(
+        spark, _BM25IDX_CACHE[sf_dir], ["vector", "hash", "stream"], top_k=10
+    )
+
+
 _DV_CACHE: dict = {}
 
 
@@ -236,6 +266,7 @@ def _bench_only():
         "q_join_size_est_only": _join_size_est_only,
         "q_lsh_probe_only": _lsh_probe_only,
         "q_dv_read_only": _dv_read_only,
+        "q_bm25_query_only": _bm25_query_only,
     }
 
 

@@ -391,6 +391,23 @@ def snapshot_meta(path: str, key: str, *, version: int) -> str | None:
         return None
 
 
+def versioned_count(path: str, *, version: int | None = None) -> int:
+    """Exact row count of a snapshot WITHOUT launching a job: manifest
+    per-file footer counts minus each file's deletion-vector rows —
+    O(manifest) driver arithmetic, the same free-metadata trick
+    ``versioned_history(with_counts=True)`` uses. At 100 TB this is
+    the difference between an instant answer and a full scan for the
+    most common dashboard query there is."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = committed if version is None else version
+    man = _read_manifest(path, v)
+    return sum(
+        int(e["rows"]) - int(e.get("dv_rows", 0)) for e in man["files"]
+    )
+
+
 def commit_timestamp(path: str, version: int) -> float:
     """Epoch seconds of a commit: its ``commit_ts`` marker, falling
     back to the manifest directory's mtime for history written before
@@ -1675,7 +1692,8 @@ def versioned_stream_upsert(
 
 
 def vacuum(
-    path: str, *, keep: int = 2, min_file_age_s: float = 600.0
+    path: str, *, keep: int = 2, min_file_age_s: float = 600.0,
+    dry_run: bool = False,
 ) -> list[int]:
     """Drop all but the newest ``keep`` COMMITTED snapshots (never the
     current pointer target), remove uncommitted crash residue above
@@ -1692,7 +1710,11 @@ def vacuum(
     stay safe as long as retention exceeds the longest write/scan.
     Run it with retention matched to the longest running reader — a
     reader pinned to a vacuumed version fails on its next file open,
-    exactly as in Delta."""
+    exactly as in Delta.
+
+    ``dry_run=True`` reports the versions that WOULD be removed and
+    deletes nothing — the safety check before vacuuming a table whose
+    maintained views pin ``base_version`` markers into its history."""
     committed = latest_version(path)
     all_vs = _versions(path)
     vs = [v for v in all_vs if committed is not None and v <= committed]
@@ -1700,8 +1722,11 @@ def vacuum(
     removed = []
     for v in vs:
         if v not in keep_set:
-            shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)
+    if dry_run:
+        return removed
+    for v in removed:
+        shutil.rmtree(os.path.join(path, f"v={v}"))
     # Crash residue past the pointer: age-gate on directory mtime (the
     # same Delta-style guard the pool pass uses) so a vacuum racing an
     # in-flight commit — whose manifest dir has been renamed into place

@@ -1119,3 +1119,25 @@ def test_deletion_vectors_survive_schema_evolution(spark, tmp_path):
     assert by_type[(9, "insert")]["extra"] == 90
     assert by_type[(3, "update_postimage")]["extra"] == 30
     assert by_type[(3, "update_preimage")]["extra"] is None  # old row lacked it
+
+
+def test_versioned_count_is_metadata_only_and_dv_aware(spark, tmp_path):
+    from skopje_spark.sinks.versioned import versioned_count, versioned_delete
+
+    path = str(tmp_path / "vcnt")
+    df = spark.range(0, 500).selectExpr("CAST(id AS INT) AS k", "id * 2 AS v")
+    versioned_write(df.repartitionByRange(4, "k"), path)
+    assert versioned_count(path) == 500
+    versioned_delete(spark, path, "k % 5 = 0")
+    assert versioned_count(path) == 400  # footer rows minus dv rows
+    assert versioned_count(path, version=0) == 500  # time travel
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    path = str(tmp_path / "vdry")
+    for i in range(4):
+        versioned_write(_kv(spark, [(i, str(i))]), path)
+    would = vacuum(path, keep=2, dry_run=True)
+    assert would == [0, 1]
+    assert versioned_read(spark, path, version=0).count() == 1  # untouched
+    assert vacuum(path, keep=2) == [0, 1]  # real run matches the report
