@@ -66,6 +66,7 @@ from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
+    apply_changelog_batch,
     versioned_append,
     change_feed_advance,
     change_feed_cursor,
@@ -81,6 +82,7 @@ from skopje_spark.sinks.versioned import (
     versioned_upsert,
     versioned_write,
     versioned_ivm_view,
+    versioned_stream_apply_changes,
     versioned_stream_materialized_view,
 )
 from skopje_spark.tables import load_table, register_views
@@ -136,6 +138,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "token_count_bpe",
     "CommitConflict",
+    "apply_changelog_batch",
     "versioned_append",
     "change_feed_advance",
     "change_feed_cursor",
@@ -151,6 +154,7 @@ __all__ = [
     "versioned_upsert",
     "versioned_write",
     "versioned_ivm_view",
+    "versioned_stream_apply_changes",
     "versioned_stream_materialized_view",
 ]
 __version__ = "0.1.0"

@@ -871,6 +871,77 @@ def q_versioned_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_cdc_ingest",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 20 = 4 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           TRUE AS cdc_ingest
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice, TRUE
+    FROM orders WHERE o_orderkey % 100 = 2
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "cdc", "changelog", "ingest", "lakeops"),
+)
+def q_versioned_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system CDC ingestion under the driver gate
+    (sinks/versioned.py:apply_changelog_batch): an I/U/D changelog —
+    updates at price*2 (U), scattered deletes (D), brand-new keys (I)
+    — applies as ONE merge commit whose clauses are driven by the
+    op column (an extra source column that never reaches the table).
+    The oracle recomputes the end state from orders; the
+    ``cdc_ingest`` flag additionally pins that the apply was a single
+    commit with zero-rewrite deletes folded into the clause merge
+    (n_versions advanced by exactly one).
+
+    Scale: the ingestion surface for consuming another store's change
+    stream into the lake — one partial-rewrite commit per batch,
+    atomic via the pointer swap, replay-safe under the stream ledger
+    (unit-pinned in test_versioned)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        apply_changelog_batch,
+        latest_version,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_cdcing_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    changelog = (
+        o.filter("o_orderkey % 20 = 4")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("__op", F.lit("U"))
+        .unionByName(
+            o.filter("o_orderkey % 10 = 7").withColumn("__op", F.lit("D"))
+        )
+        .unionByName(
+            o.filter("o_orderkey % 100 = 2")
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+            .withColumn("__op", F.lit("I"))
+        )
+    )
+    apply_changelog_batch(spark, path, changelog, ["o_orderkey"])
+    one_commit = latest_version(path) == 1
+    return (
+        versioned_read(spark, path)
+        .withColumn("cdc_ingest", F.lit(bool(one_commit)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,

@@ -914,14 +914,22 @@ def versioned_merge(
     man = _read_manifest(path, base_v)
     table_schema = StructType.fromJson(man["schema"])
     table_cols = [f.name for f in table_schema.fields]
-    if set(source.columns) != set(table_cols):
+    if not set(table_cols) <= set(source.columns):
         raise ValueError(
-            f"merge source schema {sorted(source.columns)} differs from "
-            f"table schema {sorted(table_cols)} at {path}"
+            f"merge source schema {sorted(source.columns)} lacks table "
+            f"columns {sorted(set(table_cols) - set(source.columns))} at "
+            f"{path}"
         )
+    # EXTRA source columns are legal: they participate in clause
+    # conditions (src_-prefixed) but never reach the table — the
+    # changelog-apply shape, where an __op column drives the clauses
     table_type = {f.name: f.dataType for f in table_schema.fields}
     src = source.select(
-        *[F.col(c).cast(table_type[c]).alias(f"src_{c}") for c in table_cols]
+        *[
+            (F.col(c).cast(table_type[c]) if c in table_type else F.col(c))
+            .alias(f"src_{c}")
+            for c in source.columns
+        ]
     )
     # cardinality guard: one source row per key, or the merge is
     # nondeterministic — fail loudly like SQL MERGE
@@ -2120,6 +2128,96 @@ def versioned_stream_materialized_view(
         available_now=available_now,
         on_commit=refresh,
         change_feed=use_change_feed,
+    )
+
+
+def apply_changelog_batch(
+    spark: SparkSession,
+    path: str,
+    changelog: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "__op",
+    change_feed: bool = False,
+    expected_version: int | None | object = _UNGUARDED,
+    meta: dict[str, str] | None = None,
+) -> int:
+    """Apply one I/U/D changelog batch (the
+    :func:`~skopje_spark.operators.cdc.snapshot_diff` shape — key +
+    value columns + ``op_col`` ∈ {'I','U','D'}) as ONE merge commit:
+    D rows delete their target, I/U rows upsert theirs — the
+    ingestion surface for consuming ANOTHER system's change stream
+    into the lake. Built on :func:`versioned_merge`'s extra-source-
+    column support: the op column drives the clauses and never
+    reaches the table. One commit per batch keeps the apply atomic
+    (no torn delete-then-upsert window) and partial-rewrite cheap.
+
+    Semantic notes: a 'D' for an absent key is a no-op (it matches
+    nothing); an 'I' for a present key behaves as upsert (SQL
+    changelogs replay; strict-insert semantics would make replays
+    poison). One row per key per batch — the MERGE cardinality guard
+    enforces it, so feed a REDUCED changelog (last action per key),
+    exactly what :func:`versioned_replicate`'s reduction produces."""
+    return versioned_merge(
+        spark,
+        path,
+        changelog,
+        keys,
+        when_matched_delete=f"src_{op_col} = 'D'",
+        when_matched_update=f"src_{op_col} IN ('I', 'U')",
+        when_not_matched_insert=f"src_{op_col} <> 'D'",
+        change_feed=change_feed,
+        expected_version=expected_version,
+        meta=meta,
+    )
+
+
+def versioned_stream_apply_changes(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    *,
+    op_col: str = "__op",
+    available_now: bool = True,
+    change_feed: bool = False,
+):
+    """EXACTLY-ONCE streaming changelog ingestion: each micro-batch of
+    I/U/D rows applies through :func:`apply_changelog_batch` under the
+    same incarnation-scoped batch ledger as
+    :func:`versioned_stream_upsert` — replays skip, content is
+    idempotent, and every batch lands as one atomic commit. The
+    downstream half of a cross-system CDC pipe: some OTHER store's
+    change stream (Debezium-style) becomes a versioned lake table
+    with time travel, DVs, and optionally its OWN change feed
+    (``change_feed=True``) for further consumers."""
+    from pyspark.sql import functions as _F
+
+    from skopje_spark.streaming.streams import foreach_batch_sink
+
+    sid = stream_incarnation_id(checkpoint)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_stream_batch(path, stream_id=sid)
+        if last is not None and batch_id <= last:
+            return  # replay: already applied under this incarnation
+        meta = {"stream_batch_id": f"{sid}:{batch_id}"}
+        spark = batch_df.sparkSession
+        if latest_version(path) is None:
+            # bootstrap: first batch's non-delete rows create the table
+            first = batch_df.filter(_F.col(op_col) != "D").drop(op_col)
+            versioned_write(first, path, meta=meta)
+            return
+        # the ledger marker rides INSIDE the commit (atomic with the
+        # data via the pointer swap) — a post-commit stamp would leave
+        # a crash window where a replay re-applies the batch
+        apply_changelog_batch(
+            spark, path, batch_df, keys, op_col=op_col,
+            change_feed=change_feed, meta=meta,
+        )
+
+    return foreach_batch_sink(
+        stream_df, checkpoint, apply_batch, available_now=available_now
     )
 
 

@@ -1141,3 +1141,54 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert would == [0, 1]
     assert versioned_read(spark, path, version=0).count() == 1  # untouched
     assert vacuum(path, keep=2) == [0, 1]  # real run matches the report
+
+
+def test_stream_apply_changes_exactly_once(spark, tmp_path):
+    """Streaming changelog ingestion
+    (versioned_stream_apply_changes): I/U/D batches land as one
+    atomic commit each under the incarnation ledger; a same-checkpoint
+    replay SKIPS (versions unchanged); D-for-absent no-ops and
+    I-for-present upserts."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import versioned_stream_apply_changes
+    from skopje_spark.streaming.streams import file_stream
+
+    src = tmp_path / "cdcsrc"
+    src.mkdir()
+    batches = [
+        [{"k": 1, "v": "a", "__op": "I"}, {"k": 2, "v": "b", "__op": "I"}],
+        [{"k": 2, "v": "B", "__op": "U"}, {"k": 1, "v": None, "__op": "D"},
+         {"k": 4, "v": "d", "__op": "I"}],
+        [{"k": 4, "v": None, "__op": "D"}, {"k": 99, "v": None, "__op": "D"},
+         {"k": 2, "v": "B2", "__op": "I"}],
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in b:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(src / f"b{i}.json", (now - (3 - i) * 10,) * 2)
+    path = str(tmp_path / "cdctab")
+    ck = str(tmp_path / "cdcck")
+
+    def run():
+        stream = file_stream(
+            spark, str(src), schema="k int, v string, __op string",
+            max_files_per_trigger=1,
+        )
+        q = versioned_stream_apply_changes(stream, path, ["k"], ck)
+        q.awaitTermination()
+
+    run()
+    rows = sorted((r["k"], r["v"]) for r in versioned_read(spark, path).collect())
+    assert rows == [(2, "B2")]
+    v = latest_version(path)
+    assert v == 2  # creation + one commit per later batch
+    run()  # same checkpoint: replay skips, nothing changes
+    assert latest_version(path) == v
+    assert sorted(
+        (r["k"], r["v"]) for r in versioned_read(spark, path).collect()
+    ) == rows
