@@ -1852,6 +1852,7 @@ def versioned_compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     guarded: bool = False,
     cluster_by: list[str] | None = None,
+    zorder: bool = False,
 ) -> int:
     """Small-file compaction as a commit: rewrite the committed latest
     snapshot into fewer, right-sized files and commit the result as
@@ -1895,7 +1896,20 @@ def versioned_compact(
         # byte sizes come straight off the manifest — no file stats
         nbytes = sum(e["bytes"] for e in _read_manifest(path, v)["files"])
         target_files = max(1, math.ceil(nbytes / target_file_bytes))
-    if cluster_by:
+    if cluster_by and zorder:
+        from pyspark.sql import functions as F
+
+        from skopje_spark.sources.skipping import column_ranges, zorder_col
+
+        ranges = column_ranges(cur, list(cluster_by))
+        z = zorder_col([F.col(c) for c in cluster_by], ranges)
+        out = (
+            cur.withColumn("__z", z)
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif cluster_by:
         out = cur.repartitionByRange(
             target_files, *cluster_by
         ).sortWithinPartitions(*cluster_by)

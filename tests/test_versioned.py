@@ -1192,3 +1192,47 @@ def test_stream_apply_changes_exactly_once(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in versioned_read(spark, path).collect()
     ) == rows
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """versioned_compact(zorder=True): after the interleaved rewrite,
+    a narrow range on EITHER clustered column skips most files —
+    lexicographic clustering can only serve its leading column (its
+    trailing-column candidate set stays ~everything)."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_compact,
+    )
+
+    path = str(tmp_path / "vzo")
+    n = 64
+    df = (
+        spark.range(0, n * n)
+        .select(
+            (F.col("id") % n).cast("int").alias("a"),
+            (F.col("id") / n).cast("int").alias("b"),
+        )
+    )
+    versioned_write(df.repartition(16), path)
+
+    v_lex = versioned_compact(
+        spark, path, target_files=16, cluster_by=["a", "b"]
+    )
+    lex_files = _read_manifest(path, v_lex)["files"]
+    lex_a, _ = _interval_split(lex_files, "a", 10, 13)
+    lex_b, _ = _interval_split(lex_files, "b", 10, 13)
+
+    v_z = versioned_compact(
+        spark, path, target_files=16, cluster_by=["a", "b"], zorder=True
+    )
+    z_files = _read_manifest(path, v_z)["files"]
+    z_a, _ = _interval_split(z_files, "a", 10, 13)
+    z_b, _ = _interval_split(z_files, "b", 10, 13)
+
+    assert len(lex_a) <= 4              # lexicographic serves column a…
+    assert len(lex_b) >= 12             # …but not b
+    assert len(z_a) <= 8 and len(z_b) <= 8  # z-order serves BOTH
+    assert versioned_read(spark, path).count() == n * n  # content intact
