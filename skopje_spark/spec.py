@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame
 from skopje_spark.pipeline import Pipeline, PipelineContext
 
 _SOURCE_FORMATS = ("parquet", "json", "csv", "binary", "http", "stream_file")
-_SINK_FORMATS = ("parquet", "json", "csv", "versioned", "stream_parquet", "stream_versioned")
+_SINK_FORMATS = ("parquet", "json", "csv", "versioned", "stream_parquet", "stream_versioned", "stream_changes")
 
 
 def _interp(value: str, conf: dict[str, Any]) -> str:
@@ -272,6 +272,19 @@ def _make_sink(node: dict):
                 df, path, list(node["keys"]),
                 _interp(node["checkpoint"], ctx.conf),
                 available_now=node.get("available_now", True),
+            )
+        if fmt == "stream_changes":
+            # exactly-once I/U/D changelog ingestion (one commit/batch)
+            from skopje_spark.sinks.versioned import (
+                versioned_stream_apply_changes,
+            )
+
+            return versioned_stream_apply_changes(
+                df, path, list(node["keys"]),
+                _interp(node["checkpoint"], ctx.conf),
+                op_col=node.get("op_col", "__op"),
+                available_now=node.get("available_now", True),
+                change_feed=node.get("change_feed", False),
             )
         mode = node.get("mode", "append")
         dedup = node.get("dedup_keys")

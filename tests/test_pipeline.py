@@ -578,3 +578,45 @@ def test_pipeline_spec_webtext_crawl_chain(spark, sf_dir, tmp_path):
         .select("doc_id", "c").orderBy("doc_id").first()
     )
     assert sample["c"] == f"http://site.org/d/{sample['doc_id']}?q=1"
+
+
+def test_pipeline_spec_stream_changes_sink(spark, tmp_path):
+    """Declarative CDC ingestion: a stream_changes sink node applies
+    I/U/D micro-batches exactly-once into a versioned table."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import versioned_read
+    from skopje_spark.spec import pipeline_from_spec
+
+    src = tmp_path / "cdcspec"
+    src.mkdir()
+    batches = [
+        [{"k": 1, "v": "a", "__op": "I"}, {"k": 2, "v": "b", "__op": "I"}],
+        [{"k": 1, "v": None, "__op": "D"}, {"k": 2, "v": "B", "__op": "U"}],
+    ]
+    now = _time.time()
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in b:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(src / f"b{i}.json", (now - (2 - i) * 10,) * 2)
+    table = str(tmp_path / "cdctab")
+    spec = {
+        "name": "cdc-ingest",
+        "nodes": [
+            {"name": "changes", "kind": "source", "format": "stream_file",
+             "path": str(src), "schema": "k int, v string, __op string",
+             "max_files_per_trigger": 1},
+            {"name": "load", "kind": "sink", "format": "stream_changes",
+             "dep": "changes", "path": table,
+             "checkpoint": str(tmp_path / "ck"), "keys": ["k"]},
+        ],
+    }
+    res = pipeline_from_spec(spec).run(spark, conf={})
+    for q in res.values():
+        if hasattr(q, "awaitTermination"):
+            q.awaitTermination()
+    rows = sorted((r["k"], r["v"]) for r in versioned_read(spark, table).collect())
+    assert rows == [(2, "B")]
