@@ -67,6 +67,7 @@ from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
     apply_changelog_batch,
+    maintenance_report,
     versioned_append,
     change_feed_advance,
     change_feed_cursor,
@@ -139,6 +140,7 @@ __all__ = [
     "token_count_bpe",
     "CommitConflict",
     "apply_changelog_batch",
+    "maintenance_report",
     "versioned_append",
     "change_feed_advance",
     "change_feed_cursor",

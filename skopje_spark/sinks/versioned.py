@@ -2235,6 +2235,88 @@ def versioned_stream_apply_changes(
     )
 
 
+def maintenance_report(
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_col: str | None = None,
+) -> dict:
+    """Driver-side health card for a versioned table — the planning
+    input for WHEN to run :func:`versioned_compact` / ``cluster_by`` /
+    :func:`vacuum`, computed entirely from the committed manifest
+    (O(files) kilobyte arithmetic, no job; the `join_advice` idea
+    applied to table maintenance):
+
+    - file-size health: file count, small-file count (< ¼ target),
+      mean file size;
+    - deletion-vector debt: deleted rows as a fraction of physical
+      rows (merge-on-read reads pay the anti-join until a compaction
+      materializes);
+    - clustering health on ``cluster_col``: mean number of OTHER
+      files each file's [min, max] range overlaps — 0 on a freshly
+      clustered table, ~n_files on a hash-scattered one; pruning
+      effectiveness degrades linearly in it;
+    - retention: committed version count (vacuum candidates via
+      ``vacuum(dry_run=True)``).
+
+    ``recommendations`` lists the suggested actions; thresholds are
+    deliberately simple and documented here: compact when >half the
+    files are small or DV debt exceeds 10%, recluster when mean
+    overlap exceeds 25% of the file count."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, committed)
+    entries = man["files"]
+    n_files = len(entries)
+    total_bytes = sum(int(e["bytes"]) for e in entries)
+    small = sum(
+        1 for e in entries if int(e["bytes"]) < target_file_bytes // 4
+    )
+    phys_rows = sum(int(e["rows"]) for e in entries)
+    dv_rows = sum(int(e.get("dv_rows", 0)) for e in entries)
+    dv_frac = dv_rows / phys_rows if phys_rows else 0.0
+
+    overlap_mean = None
+    if cluster_col is not None and n_files > 1:
+        spans = []
+        for e in entries:
+            st = (e.get("stats") or {}).get(cluster_col)
+            if st and st.get("min") is not None and st.get("max") is not None:
+                spans.append((st["min"], st["max"]))
+        if len(spans) > 1:
+            total_overlaps = 0
+            for i, (lo, hi) in enumerate(spans):
+                total_overlaps += sum(
+                    1
+                    for j, (lo2, hi2) in enumerate(spans)
+                    if j != i and not (hi2 < lo or lo2 > hi)
+                )
+            overlap_mean = total_overlaps / len(spans)
+
+    recs = []
+    if n_files and small > n_files / 2:
+        recs.append("compact")
+    if dv_frac > 0.10:
+        recs.append("compact")  # materialize the deletion vectors
+    if overlap_mean is not None and overlap_mean > 0.25 * n_files:
+        recs.append("cluster")
+    report = {
+        "version": committed,
+        "n_files": n_files,
+        "n_small_files": small,
+        "total_bytes": total_bytes,
+        "mean_file_bytes": total_bytes // n_files if n_files else 0,
+        "physical_rows": phys_rows,
+        "dv_rows": dv_rows,
+        "dv_debt_frac": dv_frac,
+        "cluster_overlap_mean": overlap_mean,
+        "n_committed_versions": committed + 1,
+        "recommendations": sorted(set(recs)),
+    }
+    return report
+
+
 def versioned_history(
     spark: SparkSession, path: str, *, with_counts: bool = False
 ) -> DataFrame:

@@ -1236,3 +1236,35 @@ def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
     assert len(lex_b) >= 12             # …but not b
     assert len(z_a) <= 8 and len(z_b) <= 8  # z-order serves BOTH
     assert versioned_read(spark, path).count() == n * n  # content intact
+
+
+def test_maintenance_report_flags_and_clears(spark, tmp_path):
+    """maintenance_report: a hash-scattered, DV-indebted, small-file
+    table flags compact+cluster; after a clustered compaction the
+    report comes back clean — all from manifest metadata, no job."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.sinks.versioned import (
+        maintenance_report,
+        versioned_compact,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "vmaint")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 97).cast("int").alias("k"), F.col("id").alias("v")
+    )
+    versioned_write(df.repartition(16, "v"), path)  # scattered on k
+    versioned_delete(spark, path, "k < 20")  # ~20% DV debt
+    rep = maintenance_report(path, cluster_col="k")
+    assert rep["n_files"] == 16 and rep["n_small_files"] == 16
+    assert rep["dv_debt_frac"] > 0.10
+    assert rep["cluster_overlap_mean"] == 15.0  # every file overlaps all
+    assert set(rep["recommendations"]) == {"cluster", "compact"}
+
+    versioned_compact(spark, path, target_files=4, cluster_by=["k"])
+    rep2 = maintenance_report(path, cluster_col="k")
+    assert rep2["dv_rows"] == 0  # materialized away
+    assert rep2["cluster_overlap_mean"] <= 1.0
+    assert "cluster" not in rep2["recommendations"]
+    assert rep2["physical_rows"] == versioned_read(spark, path).count()
