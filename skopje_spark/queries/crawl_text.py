@@ -174,6 +174,96 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "q_crawl_curation_pipeline",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 2 = 0) AS kept_url,
+           (doc_id % 5 <> 0) AS kept_quality,
+           (doc_id % 2 = 0 AND doc_id % 5 <> 0) AS kept
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("webtext", "pipeline", "crawl", "dedup", "quality", "composed"),
+)
+def q_crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE crawl-curation pipeline composed end-to-end, with a
+    closed-form oracle: every document becomes a synthetic fetched
+    page — messy URL (tracking params, port, fragment; consecutive id
+    PAIRS share one canonical resource) wrapping HTML (script/style/
+    entities) whose body is the doc text, except every fifth document
+    which carries symbol-spam junk. The pipeline then runs for real:
+    HTML → text extraction, URL canonicalization, canonical-URL dedup
+    (keep the lowest id per resource — drops every odd id), and the
+    Gopher rule filter (drops the junk docs on symbol/alpha rules).
+    Because each stage's outcome is decided by id arithmetic, the
+    oracle states the survivors closed-form — the hash fails if ANY
+    stage extracts, canonicalizes, dedups, or filters wrongly.
+
+    Scale: extraction/canonicalization/filtering are map-only codegen
+    passes; the dedup is one groupBy on the canonical key — the same
+    plan at 100 TB."""
+    from skopje_spark.operators.webtext import (
+        canonical_url,
+        gopher_quality_flags,
+        html_to_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Crawl.Example.COM:443/res/"),
+            (F.col("doc_id") - F.col("doc_id") % 2).cast("string"),
+            F.lit("/?utm_source=crawler&page="),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><head><script>t("x");</script>'
+                  "<style>.a{}</style></head><body><p>"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat_ws(" ", *[F.lit("###")] * 30),
+            ).otherwise(F.col("text")),
+            F.lit(" &amp; done</p></body></html>"),
+        ).alias("html"),
+    )
+    extracted = pages.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("url_canon"),
+        html_to_text(F.col("html")).alias("text"),
+    )
+    # canonical-URL dedup: lowest id per resource survives. NOTE the
+    # page= query param varies within a pair — canonicalization keeps
+    # real params, so the dedup key must be the canonical URL MINUS
+    # its query (the resource identity), which url_canon exposes as
+    # everything before '?'
+    resource = F.substring_index(F.col("url_canon"), "?", 1)
+    keeper = (
+        extracted.groupBy(resource.alias("__res"))
+        .agg(F.min("doc_id").alias("__keep_id"))
+    )
+    flagged = extracted.join(
+        keeper, resource == F.col("__res"), "left"
+    ).withColumn("kept_url", F.col("doc_id") == F.col("__keep_id"))
+    quality = gopher_quality_flags(
+        flagged, "doc_id", "text",
+        min_words=10, min_stopwords=0, min_mean_word_len=0.0,
+    ).select("doc_id", F.col("keep").alias("kept_quality"))
+    return (
+        flagged.select("doc_id", "kept_url")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "kept_url",
+            "kept_quality",
+            (F.col("kept_url") & F.col("kept_quality")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _GOPHER_ORACLE = f"""
 WITH g AS ({gopher_flags_sql('documents', 'doc_id', 'text')})
 SELECT doc_id, n_words,
