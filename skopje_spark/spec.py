@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame
 from skopje_spark.pipeline import Pipeline, PipelineContext
 
 _SOURCE_FORMATS = ("parquet", "json", "csv", "binary", "http", "stream_file")
-_SINK_FORMATS = ("parquet", "json", "csv", "versioned", "stream_parquet", "stream_versioned", "stream_changes")
+_SINK_FORMATS = ("parquet", "json", "csv", "versioned", "stream_parquet", "stream_versioned", "stream_changes", "tar_shards")
 
 
 def _interp(value: str, conf: dict[str, Any]) -> str:
@@ -285,6 +285,15 @@ def _make_sink(node: dict):
                 op_col=node.get("op_col", "__op"),
                 available_now=node.get("available_now", True),
                 change_feed=node.get("change_feed", False),
+            )
+        if fmt == "tar_shards":
+            # training-delivery shards (sinks/shards.py)
+            from skopje_spark.sinks.shards import write_tar_shards
+
+            return write_tar_shards(
+                df, path, id_col=node["id_col"],
+                members=dict(node["members"]),
+                n_shards=node.get("n_shards", 8),
             )
         mode = node.get("mode", "append")
         dedup = node.get("dedup_keys")

@@ -62,3 +62,23 @@ def test_shards_are_reproducible_byte_for_byte(spark, tmp_path):
         names = [m.name for m in tar.getmembers()]
         assert names == sorted(names)
         assert all(m.mtime == 0 and m.uid == 0 for m in tar.getmembers())
+
+
+def test_tar_shards_spec_sink(spark, tmp_path):
+    from skopje_spark.sinks.shards import read_tar_shards
+    from skopje_spark.spec import pipeline_from_spec
+
+    raw = str(tmp_path / "docs")
+    _corpus(spark, n=20).write.parquet(raw)
+    out = str(tmp_path / "shardspec")
+    spec = {
+        "name": "deliver",
+        "nodes": [
+            {"name": "d", "kind": "source", "format": "parquet", "path": raw},
+            {"name": "ship", "kind": "sink", "format": "tar_shards",
+             "dep": "d", "path": out, "id_col": "doc_id",
+             "members": {"text": "txt"}, "n_shards": 2},
+        ],
+    }
+    pipeline_from_spec(spec).run(spark, conf={})
+    assert read_tar_shards(spark, out).count() == 20
