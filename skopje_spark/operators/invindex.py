@@ -200,3 +200,36 @@ def bm25_index_query(
     return scored.orderBy(
         F.col("score").desc(), F.col(stats["id_col"])
     ).limit(top_k)
+
+
+def bm25_index_compact(
+    spark: SparkSession, path: str, *, files_per_bucket: int = 1
+) -> int:
+    """Defragment the postings layout: every append adds files to each
+    touched ``pb=`` partition, and a busy index accumulates the same
+    small-file debt as any other table. Rewrite the postings
+    partitioned-by-bucket at ``files_per_bucket`` via an atomic staged
+    directory swap — queries and statistics are untouched (content
+    identical; stats live in the JSON sidecar). Returns the post-
+    compaction file count."""
+    import shutil
+    import uuid
+
+    post_dir = os.path.join(path, "postings")
+    cur = spark.read.parquet(post_dir).localCheckpoint(eager=True)
+    staged = os.path.join(path, f".stage-postings-{uuid.uuid4().hex}")
+    (
+        cur.repartition(files_per_bucket, "pb")
+        .sortWithinPartitions("tok")
+        .write.partitionBy("pb")
+        .mode("errorifexists")
+        .parquet(staged)
+    )
+    old = post_dir + f".old-{uuid.uuid4().hex}"
+    os.replace(post_dir, old)
+    os.replace(staged, post_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    n = 0
+    for root, _, files in os.walk(post_dir):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

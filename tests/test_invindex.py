@@ -67,3 +67,35 @@ def test_index_stats_survive_and_tokenless_docs_excluded(spark, tmp_path):
     # doc 2 has no [a-z]+ tokens: outside N and sum_dl, like bm25_scores
     assert st["n_docs"] == 2 and st["sum_dl"] == 3
     assert bm25_index_stats(path)["token_rule"] == "[a-z]+"
+
+
+def test_index_compact_defragments_without_changing_results(spark, tmp_path):
+    import os
+
+    d = _docs(spark)
+    path = str(tmp_path / "idxc")
+    bm25_index_write(d.filter("doc_id <= 2"), path, n_buckets=4)
+    for i in (3, 4, 5, 6):
+        bm25_index_append(spark, d.filter(f"doc_id = {i}") if i <= 6 else d, path)
+
+    def count_files(p):
+        n = 0
+        for root, _, files in os.walk(os.path.join(p, "postings")):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before_files = count_files(path)
+    before = [
+        (r["doc_id"], r["score"])
+        for r in bm25_index_query(spark, path, ["table", "stream"], top_k=10).collect()
+    ]
+    from skopje_spark.operators.invindex import bm25_index_compact
+
+    after_files = bm25_index_compact(spark, path)
+    assert after_files < before_files
+    after = [
+        (r["doc_id"], r["score"])
+        for r in bm25_index_query(spark, path, ["table", "stream"], top_k=10).collect()
+    ]
+    assert after == before
+    assert bm25_index_stats(path)["n_docs"] == 6  # stats untouched
