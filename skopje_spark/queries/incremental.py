@@ -942,6 +942,140 @@ def q_versioned_cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_versioned_restore",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, TRUE AS restored
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "restore", "rollback", "lakeops"),
+)
+def q_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollback under the driver gate
+    (sinks/versioned.py:versioned_restore): two destructive commits
+    (doubled prices, then a scattered DV delete) are rolled back by
+    re-committing version 0's manifest — the read must be
+    row-identical to the original orders (the oracle reads orders
+    directly), the restore marker and version arithmetic must hold,
+    and not one data file is copied (flagged as ``restored`` via a
+    pool-listing comparison around the restore call).
+
+    Scale: rolling a 100 TB table back to yesterday writes one
+    manifest — data files are referenced, never moved."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        snapshot_meta,
+        versioned_delete,
+        versioned_read,
+        versioned_restore,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_restore_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    upd = o.filter("o_orderkey % 7 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"])
+    versioned_delete(spark, path, "o_orderkey % 11 = 3")
+    pool_before = set(_os.listdir(_os.path.join(path, _DATA_DIR)))
+    v = versioned_restore(path, 0)
+    pool_after = set(_os.listdir(_os.path.join(path, _DATA_DIR)))
+    ok = (
+        pool_after == pool_before  # pure metadata
+        and snapshot_meta(path, "op", version=v) == "restore"
+        and snapshot_meta(path, "source_version", version=v) == "0"
+    )
+    return (
+        versioned_read(spark, path)
+        .withColumn("restored", F.lit(bool(ok)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_maintenance_report",
+    oracle="""
+    SELECT 'degraded' AS state, TRUE AS flags_compact, TRUE AS flags_cluster,
+           TRUE AS dv_debt_seen, TRUE AS rows_exact
+    UNION ALL
+    SELECT 'maintained', FALSE, FALSE, FALSE, TRUE
+    ORDER BY state
+    """,
+    tags=("versioned", "maintenance", "advisor", "lakeops"),
+)
+def q_maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance advisor under the driver gate
+    (sinks/versioned.py:maintenance_report): a deliberately degraded
+    orders table (hash-scattered on a non-key column, 16 small files,
+    a >10% DV delete) must flag compact+cluster with visible DV debt,
+    and after the recommended clustered compaction the SAME report
+    must come back clean — with logical row counts exact against a
+    real count both times. The oracle pins the before/after verdict
+    rows; a wrong threshold, a missed DV row, or a stale stat flips a
+    boolean and fails the hash.
+
+    Scale: both reports are O(files) driver arithmetic over the
+    manifest — zero jobs; the advisor is free however large the
+    table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        maintenance_report,
+        versioned_compact,
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_maint_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.repartition(16, "o_totalprice"), path)  # scattered
+    versioned_delete(spark, path, "o_orderkey % 8 = 1")  # ~12.5% debt
+
+    def verdict(state):
+        # tiny byte target so the SIZE rule never fires at fixture
+        # scale (every parquet file exceeds a 256-byte quarter-target)
+        # — the flags under test are the scale-free debt/cluster rules
+        rep = maintenance_report(
+            path, cluster_col="o_orderkey", target_file_bytes=1024
+        )
+        exact = rep["physical_rows"] - rep["dv_rows"] == versioned_read(
+            spark, path
+        ).count()
+        return (
+            state,
+            "compact" in rep["recommendations"],
+            "cluster" in rep["recommendations"],
+            rep["dv_debt_frac"] > 0.10,
+            bool(exact),
+        )
+
+    before = verdict("degraded")
+    versioned_compact(spark, path, target_files=8, cluster_by=["o_orderkey"])
+    after = verdict("maintained")
+    return spark.createDataFrame(
+        [before, after],
+        "state string, flags_compact boolean, flags_cluster boolean, "
+        "dv_debt_seen boolean, rows_exact boolean",
+    ).orderBy("state")
+
+
+@register(
     "q_merge_concurrent",
     oracle="""
     SELECT o_orderkey,
