@@ -1416,6 +1416,13 @@ def versioned_change_feed(
         )
     parts: list[DataFrame] = []
     for v in range(from_version, hi + 1):
+        if not os.path.isdir(os.path.join(path, f"v={v}")):
+            raise FileNotFoundError(
+                f"version {v} at {path} has been vacuumed — the feed "
+                "range is gone. Advance the consumer past it (accepting "
+                "the gap) or run vacuum with retention covering the "
+                "slowest consumer's cursor."
+            )
         op = snapshot_meta(path, "op", version=v) or ""
         if op == "compact":
             continue  # physical motion, zero logical changes

@@ -1268,3 +1268,27 @@ def test_maintenance_report_flags_and_clears(spark, tmp_path):
     assert rep2["cluster_overlap_mean"] <= 1.0
     assert "cluster" not in rep2["recommendations"]
     assert rep2["physical_rows"] == versioned_read(spark, path).count()
+
+
+def test_change_feed_over_vacuumed_history_fails_loudly(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import versioned_change_feed
+
+    path = str(tmp_path / "cfvac")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    for i in range(3):
+        versioned_upsert(
+            spark, path, _kv(spark, [(2 + i, "x")]), ["k"], change_feed=True
+        )
+    old = _time.time() - 3600
+    pool = _os.path.join(path, "data")
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+    vacuum(path, keep=2, min_file_age_s=600)  # drops v0, v1
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        versioned_change_feed(spark, path, from_version=0).count()
+    # the retained tail still serves
+    n = versioned_change_feed(spark, path, from_version=2).count()
+    assert n >= 1
