@@ -1483,6 +1483,7 @@ def versioned_replicate(
     checkpoint: str,
     *,
     keys: list[str],
+    change_feed: bool = False,
 ) -> int | None:
     """Incrementally sync a REPLICA table from the source's recorded
     change feed — the standard CDF consumer: read the feed from the
@@ -1501,7 +1502,12 @@ def versioned_replicate(
     advance re-applies the same range, and both apply steps are
     content-idempotent (same-value upsert, absent-key delete). First
     sync (fresh cursor) starts at version 0, whose creation rows the
-    feed serves as inserts — no separate bootstrap copy."""
+    feed serves as inserts — no separate bootstrap copy.
+
+    ``change_feed=True`` makes the replica record ITS OWN feed, so
+    further consumers can chain off it (a replica of a replica, a
+    view maintained on the replica) without ever touching the
+    original source."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1530,9 +1536,13 @@ def versioned_replicate(
     if latest_version(dst_path) is None:
         v = versioned_write(ups, dst_path)
     elif ups.limit(1).count():
-        v = versioned_upsert(spark, dst_path, ups, keys)
+        v = versioned_upsert(
+            spark, dst_path, ups, keys, change_feed=change_feed
+        )
     if dels.limit(1).count():
-        v = versioned_delete(spark, dst_path, dels)
+        v = versioned_delete(
+            spark, dst_path, dels, change_feed=change_feed
+        )
     change_feed_advance(checkpoint, committed)
     return v
 

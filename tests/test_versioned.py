@@ -1292,3 +1292,26 @@ def test_change_feed_over_vacuumed_history_fails_loudly(spark, tmp_path):
     # the retained tail still serves
     n = versioned_change_feed(spark, path, from_version=2).count()
     assert n >= 1
+
+
+def test_replica_chain_two_hops(spark, tmp_path):
+    """A replica that records its own feed (change_feed=True) can feed
+    a SECOND replica — consumers chain without ever touching the
+    original source."""
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_replicate,
+    )
+
+    s = str(tmp_path / "src")
+    r1, r2 = str(tmp_path / "rep1"), str(tmp_path / "rep2")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), s)
+    versioned_upsert(spark, s, _kv(spark, [(2, "B"), (3, "c")]), ["k"], change_feed=True)
+    versioned_delete(spark, s, "k = 1", change_feed=True)
+    versioned_replicate(
+        spark, s, r1, str(tmp_path / "c1"), keys=["k"], change_feed=True
+    )
+    versioned_replicate(spark, r1, r2, str(tmp_path / "c2"), keys=["k"])
+    assert sorted(map(tuple, versioned_read(spark, r2).collect())) == sorted(
+        map(tuple, versioned_read(spark, s).collect())
+    )
