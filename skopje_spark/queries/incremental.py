@@ -1263,3 +1263,84 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v1_cols", F.lit(v1_cols))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_clone",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 50
+                THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice,
+           TRUE AS zero_copy,
+           TRUE AS src_intact
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "clone", "manifest", "lakeops"),
+)
+def q_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE under the driver gate
+    (sinks/versioned.py:versioned_clone): an orders table takes a
+    price-doubling merge (v1), is cloned AT v0 (time-travel clone,
+    pre-merge state), and the clone then takes its OWN tripling merge
+    for a disjoint key range. The oracle pins the clone's final
+    content closed-form — v0 prices with keys<=50 tripled — which
+    fails if the clone leaked the source's v1 merge, cloned the wrong
+    version, or corrupted rows. Two flag columns pin the mechanics:
+    ``zero_copy`` (every clone pool file shares its source file's
+    inode — hard links, not copies) and ``src_intact`` (after the
+    clone's merge, the SOURCE latest still shows exactly its own
+    merge: row-wise bit-exact, doubling is exact in binary).
+
+    Scale: cloning is O(files) metadata however large the table —
+    the zero-cost way to fork a 100 TB corpus for an experiment."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    import skopje_spark.sinks.versioned as V
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = tempfile.mkdtemp(prefix="skopje_clone_src_")
+    dst = tempfile.mkdtemp(prefix="skopje_clone_dst_")
+    atexit.register(shutil.rmtree, src, ignore_errors=True)
+    atexit.register(shutil.rmtree, dst, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)  # clone target must be fresh
+    base = o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    V.versioned_write(base, src)
+    V.versioned_upsert(
+        spark, src, o.filter("o_orderkey <= 100").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ), ["o_orderkey"],
+    )
+    V.versioned_clone(src, dst, version=0)
+    V.versioned_upsert(
+        spark, dst, o.filter("o_orderkey <= 50").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ), ["o_orderkey"],
+    )
+    zero_copy = all(
+        _os.stat(_os.path.join(dst, e["path"])).st_ino
+        == _os.stat(_os.path.join(src, e["path"])).st_ino
+        and _os.stat(_os.path.join(dst, e["path"])).st_nlink >= 2
+        for e in V._read_manifest(dst, 0)["files"]
+    )
+    src_now = V.versioned_read(spark, src)
+    expected_src = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") <= 100, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    src_intact = (
+        src_now.exceptAll(expected_src).limit(1).count() == 0
+        and expected_src.exceptAll(src_now).limit(1).count() == 0
+    )
+    return (
+        V.versioned_read(spark, dst)
+        .withColumn("zero_copy", F.lit(bool(zero_copy)))
+        .withColumn("src_intact", F.lit(bool(src_intact)))
+        .orderBy("o_orderkey")
+    )

@@ -1368,6 +1368,92 @@ def versioned_restore(
     )
 
 
+def versioned_clone(
+    src_path: str,
+    dst_path: str,
+    *,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """SHALLOW CLONE: publish a chosen snapshot of ``src_path`` as a
+    brand-new independent table at ``dst_path`` WITHOUT copying data
+    (Delta's ``CREATE TABLE ... SHALLOW CLONE``, Iceberg's zero-copy
+    branch-as-table). The source manifest's file entries — stats
+    included — transfer verbatim, and every referenced data/DV pool
+    file is HARD-LINKED into the clone's pool: O(files) metadata
+    syscalls, zero bytes of row data moved, so cloning a 100 TB table
+    costs what a commit costs. Falls back to a real copy only when
+    the link fails (cross-device), keeping semantics identical.
+
+    The clone is a fully independent table from birth:
+
+    - writes to either side stage NEW pool files (pool files are
+      immutable by contract), so neither table can ever see the
+      other's subsequent commits;
+    - ``vacuum`` on either side unlinks only that table's pool NAMES —
+      the shared inode survives until the last referencing table drops
+      it (POSIX link counting), so vacuuming the source never breaks
+      the clone, and vice versa (unit-pinned);
+    - the clone starts its own history at ``v=0`` (history is not
+      cloned — exactly Delta's contract), and its change feed serves
+      that v0 as creation inserts like any other table.
+
+    Time-travel clones: pass ``version`` or ``as_of_ts`` to clone an
+    EARLIER snapshot — the zero-copy way to fork "the corpus as of
+    yesterday's decontamination run" for an experiment. ``dst_path``
+    must not already hold a committed table (clone creates, it never
+    replaces). Object-store note: without hard links a deployment
+    would keep absolute source paths in the entries instead (Delta's
+    shallow-clone layout); the manifest format needs no change, only
+    a resolver that honors absolute entry paths."""
+    committed = latest_version(src_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {src_path}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ts, not both")
+        version = version_as_of_timestamp(src_path, as_of_ts)
+    v = committed if version is None else version
+    if v > committed:
+        raise FileNotFoundError(
+            f"version {v} at {src_path} is not committed "
+            f"(latest committed: {committed})"
+        )
+    if latest_version(dst_path) is not None:
+        raise FileExistsError(
+            f"clone target {dst_path} already holds a committed table"
+        )
+    man = _read_manifest(src_path, v)
+    for e in man["files"]:
+        for rel in [e["path"], *e.get("dv_files", [])]:
+            src_f = os.path.join(src_path, rel)
+            dst_f = os.path.join(dst_path, rel)
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            if os.path.exists(dst_f):
+                continue
+            try:
+                os.link(src_f, dst_f)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"snapshot v={v} at {src_path} references vacuumed "
+                    f"file {rel}; clone a retained version"
+                )
+            except OSError:
+                shutil.copy2(src_f, dst_f)
+    commit_meta = {
+        "op": "clone",
+        "source_path": src_path,
+        "source_version": str(v),
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        dst_path, man["schema"], man["files"], commit_meta,
+        _UNGUARDED, lock_timeout_s,
+    )
+
+
 def versioned_change_feed(
     spark: SparkSession,
     path: str,

@@ -1315,3 +1315,96 @@ def test_replica_chain_two_hops(spark, tmp_path):
     assert sorted(map(tuple, versioned_read(spark, r2).collect())) == sorted(
         map(tuple, versioned_read(spark, s).collect())
     )
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone: content identical at the cloned version, pool
+    files HARD-LINKED (same inode, zero data copied), and divergent
+    writes on either side never leak across."""
+    from skopje_spark.sinks.versioned import versioned_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), src)
+    versioned_upsert(spark, src, _kv(spark, [(2, "B"), (4, "d")]), ["k"])
+    assert versioned_clone(src, dst) == 0
+    want = sorted(map(tuple, versioned_read(spark, src).collect()))
+    assert sorted(map(tuple, versioned_read(spark, dst).collect())) == want
+    # zero-copy: every clone pool file shares the source file's inode
+    import skopje_spark.sinks.versioned as V
+
+    man = V._read_manifest(dst, 0)
+    assert man["files"], "clone manifest lists no files"
+    for e in man["files"]:
+        s_ino = os.stat(os.path.join(src, e["path"])).st_ino
+        d_stat = os.stat(os.path.join(dst, e["path"]))
+        assert d_stat.st_ino == s_ino and d_stat.st_nlink >= 2
+    # divergence: writes to the clone never reach the source and
+    # vice versa (immutable pool files, independent manifests)
+    versioned_upsert(spark, dst, _kv(spark, [(1, "CLONE")]), ["k"])
+    versioned_upsert(spark, src, _kv(spark, [(3, "SRC")]), ["k"])
+    now_src = dict((r["k"], r["v"]) for r in versioned_read(spark, src).collect())
+    now_dst = dict((r["k"], r["v"]) for r in versioned_read(spark, dst).collect())
+    assert now_src == {1: "a", 2: "B", 3: "SRC", 4: "d"}
+    assert now_dst == {1: "CLONE", 2: "B", 3: "c", 4: "d"}
+
+
+def test_clone_time_travel_and_refusals(spark, tmp_path):
+    """Clone of a PINNED earlier version serves that history as the
+    clone's v0; cloning onto an existing table or an uncommitted
+    version refuses."""
+    from skopje_spark.sinks.versioned import versioned_clone
+
+    src = str(tmp_path / "src")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), src)
+    versioned_upsert(spark, src, _kv(spark, [(2, "B2")]), ["k"])
+    old = str(tmp_path / "old")
+    versioned_clone(src, old, version=0)
+    assert dict(
+        (r["k"], r["v"]) for r in versioned_read(spark, old).collect()
+    ) == {1: "a", 2: "b"}
+    # clone history starts fresh: v0 is the only version, marked op=clone
+    from skopje_spark.sinks.versioned import latest_version, snapshot_meta
+
+    assert latest_version(old) == 0
+    assert snapshot_meta(old, "op", version=0) == "clone"
+    assert snapshot_meta(old, "source_version", version=0) == "0"
+    with pytest.raises(FileExistsError):
+        versioned_clone(src, old)
+    with pytest.raises(FileNotFoundError):
+        versioned_clone(src, str(tmp_path / "x"), version=7)
+    with pytest.raises(FileNotFoundError):
+        versioned_clone(str(tmp_path / "nope"), str(tmp_path / "y"))
+
+
+def test_clone_survives_source_vacuum_and_carries_dvs(spark, tmp_path):
+    """The POSIX link-count contract: vacuuming the SOURCE (dropping
+    the cloned-from version and unlinking its pool names) leaves the
+    clone fully readable. Deletion-vector sidecars clone too — a
+    merge-on-read DELETE is visible through the clone."""
+    import os as _os
+    import time as _time
+
+    from skopje_spark.sinks.versioned import versioned_clone, versioned_delete
+
+    src = str(tmp_path / "src")
+    versioned_write(_kv(spark, [(i, f"v{i}") for i in range(8)]), src)
+    versioned_delete(spark, src, "k IN (2, 5)")  # DV sidecars, no rewrite
+    dst = str(tmp_path / "dst")
+    versioned_clone(src, dst)
+    assert {r["k"] for r in versioned_read(spark, dst).collect()} == {
+        0, 1, 3, 4, 6, 7,
+    }
+    # age the pool + advance source history, then vacuum the source
+    # hard enough to drop every version the clone was taken from
+    versioned_write(_kv(spark, [(99, "z")]), src)
+    versioned_write(_kv(spark, [(98, "y")]), src)
+    pool = _os.path.join(src, "data")
+    old = _time.time() - 10_000
+    for f in _os.listdir(pool):
+        _os.utime(_os.path.join(pool, f), (old, old))
+    removed = vacuum(src, keep=1, min_file_age_s=600)
+    assert removed, "vacuum removed nothing; test setup is wrong"
+    assert {r["k"] for r in versioned_read(spark, dst).collect()} == {
+        0, 1, 3, 4, 6, 7,
+    }
