@@ -1344,3 +1344,66 @@ def q_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("src_intact", F.lit(bool(src_intact)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_constraints",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 100
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+           TRUE AS violation_rejected
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "constraints", "lakeops"),
+)
+def q_versioned_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement under the driver gate
+    (sinks/versioned.py:set_check_constraint): an orders table takes
+    a ``o_totalprice > 0`` constraint, a poisoned merge (one row's
+    price negated) is REFUSED atomically — nothing published, flag
+    pinned TRUE — and a clean price-doubling merge then lands through
+    the same inherited constraint. The oracle states the final
+    content closed-form, so a leaked poisoned commit, a lost clean
+    commit, or a constraint that blocked valid rows all hash-fail.
+
+    Scale: enforcement is one JVM-side O(batch) scan per constrained
+    commit; the add itself is a metadata-only commit after a
+    short-circuited existing-data validation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        ConstraintViolation,
+        set_check_constraint,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_constraints_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.repartition(4), path)
+    set_check_constraint(spark, path, "price_positive", "o_totalprice > 0")
+    poisoned = o.filter("o_orderkey <= 100").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") * 2),
+    )
+    rejected = False
+    try:
+        versioned_upsert(spark, path, poisoned, ["o_orderkey"])
+    except ConstraintViolation:
+        rejected = True
+    clean = o.filter("o_orderkey <= 100").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, path, clean, ["o_orderkey"])
+    return (
+        versioned_read(spark, path)
+        .withColumn("violation_rejected", F.lit(bool(rejected)))
+        .orderBy("o_orderkey")
+    )

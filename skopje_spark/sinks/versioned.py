@@ -66,6 +66,14 @@ class CommitConflict(RuntimeError):
     (:func:`versioned_merge_concurrent` does exactly that)."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A commit's data batch falsifies one of the table's CHECK
+    constraints (:func:`set_check_constraint`); nothing was published.
+    The batch's already-pooled files are unreferenced orphans, swept
+    by :func:`vacuum`'s age-gated ref-count pass — the same crash
+    contract every abandoned write relies on."""
+
+
 class PosixPointerStore:
     """The three commit-backend primitives every versioned table needs
     (the correctness boundary called out in the module docstring):
@@ -259,7 +267,77 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
         rel = f"{_DATA_DIR}/{name}"
         entries.append(_file_entry(os.path.join(path, rel), rel))
     shutil.rmtree(staged, ignore_errors=True)
+    _enforce_constraints(df.sparkSession, path, entries)
     return entries
+
+
+def _violation_flags(cons: dict[str, str]):
+    """One boolean column per constraint, TRUE when the row FALSIFIES
+    it. SQL CHECK three-valued semantics: only an expression that
+    evaluates to FALSE violates — TRUE and NULL both pass (so
+    ``price > 0`` admits NULL prices; pair it with ``price IS NOT
+    NULL`` to forbid them, exactly as in ANSI SQL / Delta."""
+    from pyspark.sql import functions as F
+
+    return [
+        (~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))).alias(
+            f"__viol_{i}"
+        )
+        for i, expr in enumerate(cons.values())
+    ]
+
+
+def _find_violations(df: DataFrame, cons: dict[str, str]) -> list[str]:
+    """Names of the constraints in ``cons`` that some row of ``df``
+    falsifies — ONE pass over ``df`` however many constraints, short-
+    circuited by limit(1), predicate fully JVM-side (F.expr)."""
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    if not cons:
+        return []
+    flags = _violation_flags(cons)
+    try:
+        bad = (
+            df.select(*flags)
+            .filter(reduce(or_, [F.col(f"__viol_{i}") for i in range(len(cons))]))
+            .limit(1)
+            .collect()
+        )
+    except AnalysisException as e:
+        raise ConstraintViolation(
+            f"CHECK constraint expression failed to analyze against this "
+            f"commit's schema (constraints: {list(cons)}): {e}"
+        )
+    if not bad:
+        return []
+    row = bad[0]
+    return [n for i, n in enumerate(cons) if row[f"__viol_{i}"]]
+
+
+def _enforce_constraints(
+    spark: SparkSession, path: str, entries: list[dict]
+) -> None:
+    """Validate a freshly staged batch against the table's CHECK
+    constraints before its manifest can be committed. Reads the
+    just-pooled files (O(batch), parquet pushdown, one job, only when
+    constraints exist); a violation raises with nothing published and
+    the batch's files left as vacuum-collectable orphans."""
+    cons = table_constraints(path)
+    if not cons or not entries:
+        return
+    batch = spark.read.parquet(
+        *[os.path.join(path, e["path"]) for e in entries]
+    )
+    broken = _find_violations(batch, cons)
+    if broken:
+        raise ConstraintViolation(
+            f"commit to {path} violates CHECK constraint(s) "
+            f"{broken}: {[cons[n] for n in broken]}"
+        )
 
 
 def _write_manifest_dir(
@@ -297,8 +375,23 @@ def _commit_manifest(
     Every commit records a ``commit_ts`` marker (epoch seconds, the
     writer's clock) for timestamp time travel
     (:func:`version_as_of_timestamp`). Caller-supplied markers win on
-    collision (tests pin clocks that way)."""
+    collision (tests pin clocks that way).
+
+    The ``constraints`` marker is a TABLE property, not a commit fact:
+    when the caller doesn't set it, the current latest's marker is
+    carried forward verbatim, so CHECK constraints persist across
+    every commit until :func:`drop_check_constraint` rewrites them."""
     meta = {"commit_ts": repr(time.time()), **(meta or {})}
+    if "constraints" not in meta:
+        base = (
+            expected_version
+            if isinstance(expected_version, int)
+            else latest_version(path)
+        )
+        if base is not None:
+            inherited = snapshot_meta(path, "constraints", version=base)
+            if inherited is not None:
+                meta["constraints"] = inherited
     os.makedirs(path, exist_ok=True)
     if expected_version is not _UNGUARDED:
         staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")
@@ -389,6 +482,105 @@ def snapshot_meta(path: str, key: str, *, version: int) -> str | None:
             return f.read()
     except FileNotFoundError:
         return None
+
+
+def table_constraints(path: str, *, version: int | None = None) -> dict[str, str]:
+    """The CHECK constraints in force at a snapshot (name → SQL
+    boolean expression), read from the kilobyte ``constraints``
+    marker — no job. Empty dict when the table has none."""
+    committed = latest_version(path)
+    if committed is None:
+        return {}
+    v = committed if version is None else version
+    raw = snapshot_meta(path, "constraints", version=v)
+    return json.loads(raw) if raw else {}
+
+
+def set_check_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    *,
+    validate: bool = True,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """ADD a CHECK constraint (Delta's ``ALTER TABLE ... ADD
+    CONSTRAINT``): from this commit on, every batch of data staged
+    into the table must satisfy ``expr`` (SQL three-valued CHECK —
+    only FALSE violates, NULL passes) or the commit raises
+    :class:`ConstraintViolation` with nothing published. The
+    constraint set rides the ``constraints`` snapshot marker and is
+    inherited by every subsequent commit (and by shallow clones), so
+    it is versioned, time-travelable table metadata — exactly like
+    schema.
+
+    ``validate=True`` (default, as in Delta) first proves the EXISTING
+    table satisfies the new constraint — one O(table) scan,
+    short-circuited at the first counterexample; the commit itself is
+    metadata-only (entries carried verbatim). Enforcement cost
+    afterwards is one O(batch) scan per constrained commit, JVM-side,
+    only while constraints exist."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    cons = table_constraints(path)
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists on {path}: {cons[name]!r}"
+        )
+    if validate:
+        broken = _find_violations(
+            versioned_read(spark, path), {name: expr}
+        )
+        if broken:
+            raise ConstraintViolation(
+                f"existing rows at {path} violate new CHECK constraint "
+                f"{name!r}: {expr!r}"
+            )
+    man = _read_manifest(path, committed)
+    commit_meta = {
+        "op": "set_constraint",
+        "constraint_name": name,
+        "constraints": json.dumps({**cons, name: expr}),
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path, man["schema"], man["files"], commit_meta,
+        _UNGUARDED, lock_timeout_s,
+    )
+
+
+def drop_check_constraint(
+    path: str,
+    name: str,
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """DROP a CHECK constraint: metadata-only commit whose
+    ``constraints`` marker no longer lists it. History keeps the old
+    marker, so time travel shows which constraints governed any past
+    commit."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    cons = table_constraints(path)
+    if name not in cons:
+        raise KeyError(f"no constraint {name!r} on {path} (have {list(cons)})")
+    cons = {k: v for k, v in cons.items() if k != name}
+    man = _read_manifest(path, committed)
+    commit_meta = {
+        "op": "drop_constraint",
+        "constraint_name": name,
+        "constraints": json.dumps(cons),
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path, man["schema"], man["files"], commit_meta,
+        _UNGUARDED, lock_timeout_s,
+    )
 
 
 def versioned_count(path: str, *, version: int | None = None) -> int:
@@ -1447,6 +1639,11 @@ def versioned_clone(
         "source_path": src_path,
         "source_version": str(v),
     }
+    # table properties transfer with the snapshot: the clone enforces
+    # the CHECK constraints that governed the cloned version
+    src_cons = snapshot_meta(src_path, "constraints", version=v)
+    if src_cons is not None:
+        commit_meta["constraints"] = src_cons
     commit_meta.update(meta or {})
     return _commit_manifest(
         dst_path, man["schema"], man["files"], commit_meta,

@@ -1408,3 +1408,73 @@ def test_clone_survives_source_vacuum_and_carries_dvs(spark, tmp_path):
     assert {r["k"] for r in versioned_read(spark, dst).collect()} == {
         0, 1, 3, 4, 6, 7,
     }
+
+
+def test_check_constraints_enforced_and_inherited(spark, tmp_path):
+    """CHECK constraints: violating commits raise with NOTHING
+    published; the constraint marker is inherited by every later
+    commit with no re-declaration; NULL evaluations PASS (SQL
+    three-valued CHECK)."""
+    from skopje_spark.sinks.versioned import (
+        ConstraintViolation,
+        set_check_constraint,
+        table_constraints,
+        versioned_append,
+    )
+
+    path = str(tmp_path / "ct")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    set_check_constraint(spark, path, "k_positive", "k > 0")
+    assert table_constraints(path) == {"k_positive": "k > 0"}
+    # valid commit passes and still carries the constraint
+    versioned_upsert(spark, path, _kv(spark, [(3, "c")]), ["k"])
+    assert table_constraints(path) == {"k_positive": "k > 0"}
+    before = latest_version(path)
+    with pytest.raises(ConstraintViolation, match="k_positive"):
+        versioned_append(spark, path, _kv(spark, [(-7, "bad")]))
+    assert latest_version(path) == before  # nothing published
+    assert dict(
+        (r["k"], r["v"]) for r in versioned_read(spark, path).collect()
+    ) == {1: "a", 2: "b", 3: "c"}
+    # NULL result of the expression passes (ANSI CHECK), FALSE fails
+    null_k = spark.createDataFrame([(None, "n")], "k int, v string")
+    versioned_append(spark, path, null_k)
+    assert {r["v"] for r in versioned_read(spark, path).collect()} == {
+        "a", "b", "c", "n",
+    }
+
+
+def test_check_constraint_validates_existing_drops_and_clones(spark, tmp_path):
+    """Adding a constraint the current rows falsify refuses; DROP
+    re-admits violating writes; a shallow clone inherits the cloned
+    version's constraint set."""
+    from skopje_spark.sinks.versioned import (
+        ConstraintViolation,
+        drop_check_constraint,
+        set_check_constraint,
+        table_constraints,
+        versioned_append,
+        versioned_clone,
+    )
+
+    path = str(tmp_path / "cv")
+    versioned_write(_kv(spark, [(1, "a"), (-2, "neg")]), path)
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        set_check_constraint(spark, path, "k_positive", "k > 0")
+    set_check_constraint(spark, path, "k_positive", "k > 0", validate=False)
+    with pytest.raises(ValueError, match="already exists"):
+        set_check_constraint(spark, path, "k_positive", "k > -10")
+    set_check_constraint(spark, path, "v_nonempty", "length(v) > 0")
+    # clone inherits both constraints and enforces them
+    dst = str(tmp_path / "clone")
+    versioned_clone(path, dst)
+    assert table_constraints(dst) == table_constraints(path)
+    with pytest.raises(ConstraintViolation):
+        versioned_append(spark, dst, _kv(spark, [(5, "")]))
+    # drop on the source; the clone's set is independent
+    drop_check_constraint(path, "k_positive")
+    assert set(table_constraints(path)) == {"v_nonempty"}
+    versioned_append(spark, path, _kv(spark, [(-9, "ok")]))
+    assert "k_positive" in table_constraints(dst)
+    with pytest.raises(KeyError):
+        drop_check_constraint(path, "k_positive")
