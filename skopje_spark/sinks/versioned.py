@@ -247,13 +247,67 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
     }
 
 
-def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
+def _schema_mapping(schema) -> dict[str, str]:
+    """logical column name → PHYSICAL parquet name, read from each
+    field's ``physical`` metadata (set by
+    :func:`versioned_rename_column`); identity for never-renamed
+    columns, so tables that never rename carry zero metadata and pay
+    zero overhead."""
+    return {
+        f.name: (f.metadata or {}).get("physical", f.name)
+        for f in schema.fields
+    }
+
+
+def _ensure_unique_physicals(schema):
+    """Return ``schema`` with every field's physical name distinct:
+    existing ``physical`` metadata is honored, identity names that
+    collide with an already-used physical (a NEW logical column
+    reusing the name a rename freed) get a deterministic ``__2``/
+    ``__3`` suffix recorded as metadata. Walks fields in order, so
+    the result is a pure function of the schema — staging and commit
+    derive the same mapping independently."""
+    from pyspark.sql.types import StructField, StructType
+
+    used: set[str] = set()
+    out = []
+    for f in schema.fields:
+        phys = (f.metadata or {}).get("physical", f.name)
+        if phys in used:
+            i = 2
+            while f"{f.name}__{i}" in used:
+                i += 1
+            phys = f"{f.name}__{i}"
+        used.add(phys)
+        md = dict(f.metadata or {})
+        if phys != f.name:
+            md["physical"] = phys
+        else:
+            md.pop("physical", None)
+        out.append(StructField(f.name, f.dataType, f.nullable, md))
+    return StructType(out)
+
+
+def _stage_data_files(
+    df: DataFrame, path: str, mapping: dict[str, str] | None = None
+) -> list[dict]:
     """Write ``df``'s partitions as immutable files in the table's
     shared ``data/`` pool and return their manifest entries. Files get
     unique names, so concurrent writers never collide and a crashed
     writer's files are mere unreferenced orphans (collected by
-    :func:`vacuum`'s ref-count pass, age-gated)."""
+    :func:`vacuum`'s ref-count pass, age-gated).
+
+    ``mapping`` (logical → physical) renames columns to their stable
+    PHYSICAL parquet names before writing, so files staged after a
+    column rename stay read-compatible with every pre-rename file —
+    the write half of rename-without-rewrite."""
     staged = os.path.join(path, f".stage-data-{uuid.uuid4().hex}")
+    if mapping and any(mapping.get(c, c) != c for c in df.columns):
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
     df.write.mode("errorifexists").parquet(staged)
     pool = os.path.join(path, _DATA_DIR)
     os.makedirs(pool, exist_ok=True)
@@ -267,7 +321,7 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
         rel = f"{_DATA_DIR}/{name}"
         entries.append(_file_entry(os.path.join(path, rel), rel))
     shutil.rmtree(staged, ignore_errors=True)
-    _enforce_constraints(df.sparkSession, path, entries)
+    _enforce_constraints(df.sparkSession, path, entries, mapping)
     return entries
 
 
@@ -319,19 +373,34 @@ def _find_violations(df: DataFrame, cons: dict[str, str]) -> list[str]:
 
 
 def _enforce_constraints(
-    spark: SparkSession, path: str, entries: list[dict]
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    mapping: dict[str, str] | None = None,
 ) -> None:
     """Validate a freshly staged batch against the table's CHECK
     constraints before its manifest can be committed. Reads the
     just-pooled files (O(batch), parquet pushdown, one job, only when
     constraints exist); a violation raises with nothing published and
-    the batch's files left as vacuum-collectable orphans."""
+    the batch's files left as vacuum-collectable orphans. Constraint
+    expressions speak LOGICAL column names; ``mapping`` restores them
+    over the physically-named staged files."""
     cons = table_constraints(path)
     if not cons or not entries:
         return
     batch = spark.read.parquet(
         *[os.path.join(path, e["path"]) for e in entries]
     )
+    if mapping and any(mapping.get(c, c) != c for c in mapping):
+        from pyspark.sql import functions as F
+
+        phys_to_logical = {p: n for n, p in mapping.items()}
+        batch = batch.select(
+            *[
+                F.col(c).alias(phys_to_logical.get(c, c))
+                for c in batch.columns
+            ]
+        )
     broken = _find_violations(batch, cons)
     if broken:
         raise ConstraintViolation(
@@ -583,6 +652,81 @@ def drop_check_constraint(
     )
 
 
+def versioned_rename_column(
+    path: str,
+    old: str,
+    new: str,
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """RENAME a column WITHOUT rewriting any data (Delta column
+    mapping / Iceberg rename): a metadata-only commit whose schema
+    field carries the new LOGICAL name plus a ``physical`` metadata
+    entry pinning the parquet name the pooled files keep forever.
+    Readers scan by physical name and alias to logical in one final
+    projection (:func:`_read_entries`); writers stage by physical
+    name (:func:`_stage_data_files`), so pre- and post-rename files
+    stay mutually compatible and a rename on a 100 TB table writes
+    one kilobyte manifest. Stats pruning (partial-rewrite MERGE,
+    pruned reads) keys footer stats by physical name throughout, so
+    the skip economics survive the rename.
+
+    Time travel serves each version's as-committed logical schema —
+    reads before the rename commit show the old name, exactly like
+    additive evolution. A later new column may REUSE the freed
+    logical name (its physical is suffix-uniquified against the
+    pooled files' names). Compaction materializes renames: it
+    rewrites through the logical schema, resetting the mapping.
+
+    Refused when a CHECK constraint references the column (drop the
+    constraint, rename, re-add under the new name — Delta's rule).
+    Caveat (documented contract): change-feed recordings and
+    snapshot-diff CDC serve each commit range in its AS-RECORDED
+    schema; consumers that span a rename boundary must map old
+    column names themselves — rename commits record no data changes."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, committed)
+    names = [f["name"] for f in man["schema"]["fields"]]
+    if old not in names:
+        raise KeyError(f"no column {old!r} at {path} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {path}")
+    cons = table_constraints(path)
+    referencing = [
+        n
+        for n, expr in cons.items()
+        if re.search(rf"\b{re.escape(old)}\b", expr)
+    ]
+    if referencing:
+        raise ValueError(
+            f"CHECK constraint(s) {referencing} reference column {old!r}; "
+            "drop them before renaming"
+        )
+    fields = []
+    for f in man["schema"]["fields"]:
+        if f["name"] == old:
+            f = dict(f)
+            md = dict(f.get("metadata") or {})
+            md["physical"] = md.get("physical", old)
+            f["name"] = new
+            f["metadata"] = md
+        fields.append(f)
+    schema_json = {**man["schema"], "fields": fields}
+    commit_meta = {
+        "op": "rename_column",
+        "rename_from": old,
+        "rename_to": new,
+    }
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path, schema_json, man["files"], commit_meta,
+        _UNGUARDED, lock_timeout_s,
+    )
+
+
 def versioned_count(path: str, *, version: int | None = None) -> int:
     """Exact row count of a snapshot WITHOUT launching a job: manifest
     per-file footer counts minus each file's deletion-vector rows —
@@ -685,23 +829,50 @@ def _read_entries(spark: SparkSession, path: str, entries: list[dict], schema):
     (file name + row position) and anti-joined against their DV rows.
     The anti-join key is (file, position) — exact row identity, never
     data values — so a delete can never collide with a surviving row
-    that happens to share column values."""
+    that happens to share column values.
+
+    Renamed columns: the scan uses each field's PHYSICAL parquet name
+    (stable across renames — see :func:`versioned_rename_column`) and
+    aliases back to the logical name in one final projection, so a
+    rename costs a zero-copy metadata commit and every read serves
+    the logical schema. Never-renamed tables skip the projection."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    mapping = _schema_mapping(schema)
+    renamed = any(p != n for n, p in mapping.items())
+    read_schema = (
+        StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if renamed
+        else schema
+    )
     clean = [e for e in entries if not e.get("dv_files")]
     dirty = [e for e in entries if e.get("dv_files")]
     parts: list[DataFrame] = []
     if clean:
         parts.append(
-            spark.read.schema(schema).parquet(
+            spark.read.schema(read_schema).parquet(
                 *[os.path.join(path, e["path"]) for e in clean]
             )
         )
     if dirty:
-        parts.append(_apply_dvs(spark, path, dirty, schema).drop("__file", "__pos"))
+        parts.append(
+            _apply_dvs(spark, path, dirty, read_schema).drop("__file", "__pos")
+        )
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if renamed:
+        out = out.select(
+            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields]
+        )
     return out
 
 
@@ -817,7 +988,11 @@ def versioned_pruned_read(
     v = committed if version is None else version
     man = _read_manifest(path, v)
     schema = StructType.fromJson(man["schema"])
-    cand, _ = _interval_split(man["files"], col, lo, hi)
+    # footer stats are keyed by the PHYSICAL column name (stable
+    # across renames); the residual predicate stays logical because
+    # _read_entries aliases back before it applies
+    phys_col = _schema_mapping(schema).get(col, col)
+    cand, _ = _interval_split(man["files"], phys_col, lo, hi)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     return _read_entries(spark, path, cand, schema).filter(pred)
 
@@ -828,6 +1003,7 @@ def _match_files(
     entries: list[dict],
     updates: DataFrame,
     key: str,
+    stats_key: str | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Split a manifest's file entries into (candidates, carried):
     candidates MAY contain a row whose ``key`` matches an update key
@@ -843,16 +1019,22 @@ def _match_files(
     not stats-safe, truncated footer, pre-stats manifest) are always
     candidates. NULL update keys need no candidacy at all: the merge
     anti-join is an equi-join, where NULL never matches (SQL MERGE
-    semantics — NULL-keyed updates insert, they cannot replace)."""
+    semantics — NULL-keyed updates insert, they cannot replace).
+
+    ``stats_key``: the PHYSICAL column name to look stats up under
+    when it differs from the update frame's logical ``key`` (column
+    rename without rewrite — file footers keep the physical name
+    forever)."""
     from pyspark.sql import functions as F
 
+    sk = key if stats_key is None else stats_key
     key_type = None
     for fld in updates.schema.fields:
         if fld.name == key:
             key_type = fld.dataType
     cand, stat_rows = [], []
     for e in entries:
-        st = (e.get("stats") or {}).get(key)
+        st = (e.get("stats") or {}).get(sk)
         mn = None if st is None else st.get("min")
         # NaN-valued stats prove nothing (see _interval_split) — the
         # file stays a conservative rewrite candidate
@@ -870,7 +1052,7 @@ def _match_files(
     from pyspark.sql.types import StringType, StructField, StructType
 
     sdf = spark.createDataFrame(
-        [(e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+        [(e["path"], e["stats"][sk]["min"], e["stats"][sk]["max"])
          for e in stat_rows],
         StructType([
             StructField("__path", StringType()),
@@ -979,9 +1161,15 @@ def versioned_upsert(
     for fld in updates.schema.fields:
         if fld.name not in set(table_cols):
             new_fields.append(fld)
-    new_schema = StructType(new_fields)
+    # physical-name discipline: evolved columns must not collide with
+    # any physical name a rename left behind in the pooled files
+    new_schema = _ensure_unique_physicals(StructType(new_fields))
+    mapping = _schema_mapping(new_schema)
 
-    cand, carried = _match_files(spark, path, man["files"], updates, keys[0])
+    cand, carried = _match_files(
+        spark, path, man["files"], updates, keys[0],
+        stats_key=mapping.get(keys[0], keys[0]),
+    )
     # existing columns are cast to the TABLE's types so pooled files
     # never fork physical types (an int batch into a long column)
     table_type = {f.name: f.dataType for f in table_schema.fields}
@@ -1000,7 +1188,7 @@ def versioned_upsert(
     else:
         slice_df = None
         merged = aligned
-    new_entries = _stage_data_files(merged, path)
+    new_entries = _stage_data_files(merged, path, mapping)
     commit_meta = {
         "op": "merge",
         "n_files_rewritten": str(len(cand)),
@@ -1139,7 +1327,11 @@ def versioned_merge(
             "violation"
         )
     key_src = source.select(*keys)
-    cand, carried = _match_files(spark, path, man["files"], key_src, keys[0])
+    mapping = _schema_mapping(table_schema)
+    cand, carried = _match_files(
+        spark, path, man["files"], key_src, keys[0],
+        stats_key=mapping.get(keys[0], keys[0]),
+    )
 
     upd_cond = F.expr(when_matched_update) if when_matched_update else F.lit(False)
     del_cond = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
@@ -1190,7 +1382,7 @@ def versioned_merge(
     merged = (
         inserts if rewritten is None else rewritten.unionByName(inserts)
     )
-    new_entries = _stage_data_files(merged, path)
+    new_entries = _stage_data_files(merged, path, mapping)
     commit_meta = {
         "op": "merge",
         "n_files_rewritten": str(len(cand)),
@@ -1329,7 +1521,9 @@ def versioned_append(
         *[F.col(f.name).cast(table_type[f.name]).alias(f.name)
           for f in table_schema.fields]
     )
-    new_entries = _stage_data_files(aligned, path)
+    new_entries = _stage_data_files(
+        aligned, path, _schema_mapping(table_schema)
+    )
     commit_meta = {
         "op": "append",
         "n_files_rewritten": "0",
@@ -1392,7 +1586,7 @@ def versioned_delete(
     import math
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     base_v = (
         latest_version(path)
@@ -1406,11 +1600,32 @@ def versioned_delete(
     if not entries:
         return base_v
     schema = StructType.fromJson(man["schema"])
+    # scan by PHYSICAL names (rename-stable), serve the predicate the
+    # LOGICAL names — mirrors _read_entries, but the row-identity
+    # columns must survive the projection here
+    mapping = _schema_mapping(schema)
+    renamed = any(p != n for n, p in mapping.items())
+    read_schema = (
+        StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if renamed
+        else schema
+    )
     df = _with_row_identity(
-        spark.read.schema(schema).parquet(
+        spark.read.schema(read_schema).parquet(
             *[os.path.join(path, e["path"]) for e in entries]
         )
     )
+    if renamed:
+        df = df.select(
+            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields],
+            "__file",
+            "__pos",
+        )
     old_dvs = sorted({p for e in entries for p in e.get("dv_files", [])})
     if old_dvs:
         prior = (

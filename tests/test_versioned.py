@@ -1478,3 +1478,102 @@ def test_check_constraint_validates_existing_drops_and_clones(spark, tmp_path):
     assert "k_positive" in table_constraints(dst)
     with pytest.raises(KeyError):
         drop_check_constraint(path, "k_positive")
+
+
+def test_rename_column_without_rewrite(spark, tmp_path):
+    """Column rename is a metadata-only commit: no data files change,
+    reads serve the new logical name over old physical files, writes
+    after the rename merge correctly with pre-rename files, and time
+    travel shows each version's as-committed name."""
+    import skopje_spark.sinks.versioned as V
+
+    path = str(tmp_path / "rn")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    files_before = {e["path"] for e in V._read_manifest(path, 0)["files"]}
+    V.versioned_rename_column(path, "v", "val")
+    assert {e["path"] for e in V._read_manifest(path, 1)["files"]} == files_before
+    assert versioned_read(spark, path).columns == ["k", "val"]
+    assert dict(
+        (r["k"], r["val"]) for r in versioned_read(spark, path).collect()
+    ) == {1: "a", 2: "b"}
+    # time travel: pre-rename versions keep the old logical name
+    assert versioned_read(spark, path, version=0).columns == ["k", "v"]
+    # post-rename write speaks the new name; old+new files co-serve
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "val"])
+    versioned_upsert(spark, path, upd, ["k"])
+    assert dict(
+        (r["k"], r["val"]) for r in versioned_read(spark, path).collect()
+    ) == {1: "a", 2: "B", 3: "c"}
+    # the new files on disk carry the PHYSICAL (original) column name
+    import pyarrow.parquet as pq
+
+    for e in V._read_manifest(path, 2)["files"]:
+        cols = set(pq.read_schema(str(tmp_path / "rn" / e["path"])).names)
+        assert cols == {"k", "v"}, cols
+    # delete by predicate on the NEW name reaches old physical files
+    V.versioned_delete(spark, path, "val = 'a'")
+    assert {r["k"] for r in versioned_read(spark, path).collect()} == {2, 3}
+
+
+def test_rename_column_preserves_merge_pruning(spark, tmp_path):
+    """Partial-rewrite MERGE still prunes by footer stats after the
+    KEY column itself is renamed (stats stay keyed by the physical
+    name)."""
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_rename_column,
+    )
+
+    path = str(tmp_path / "rp")
+    rows = [(i, f"r{i}") for i in range(80)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    versioned_write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"), path
+    )
+    versioned_rename_column(path, "k", "key_id")
+    upd = spark.createDataFrame([(3, "X")], ["key_id", "v"])
+    versioned_upsert(spark, path, upd, ["key_id"])
+    assert int(snapshot_meta(path, "n_files_rewritten", version=2)) <= 2
+    assert int(snapshot_meta(path, "n_files_carried", version=2)) >= 6
+    got = dict(
+        (r["key_id"], r["v"])
+        for r in versioned_read(spark, path).collect()
+    )
+    assert got[3] == "X" and len(got) == 80
+    # pruned read on the renamed column keeps its file economics too
+    from skopje_spark.sinks.versioned import versioned_pruned_read
+
+    pr = versioned_pruned_read(spark, path, "key_id", 70, 75)
+    assert {r["key_id"] for r in pr.collect()} == set(range(70, 76))
+
+
+def test_rename_refusals_and_name_reuse(spark, tmp_path):
+    """Rename refuses unknown/duplicate names and constraint-referenced
+    columns; a NEW column may reuse the freed logical name (physical
+    uniquified so pooled files never collide)."""
+    from skopje_spark.sinks.versioned import (
+        set_check_constraint,
+        versioned_rename_column,
+    )
+
+    path = str(tmp_path / "rr")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    with pytest.raises(KeyError):
+        versioned_rename_column(path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_rename_column(path, "v", "k")
+    set_check_constraint(spark, path, "v_nonempty", "length(v) > 0")
+    with pytest.raises(ValueError, match="v_nonempty"):
+        versioned_rename_column(path, "v", "val")
+    from skopje_spark.sinks.versioned import drop_check_constraint
+
+    drop_check_constraint(path, "v_nonempty")
+    versioned_rename_column(path, "v", "val")
+    # reuse the freed name "v" as a brand-new column via evolution
+    upd = spark.createDataFrame([(2, "b", 9.5)], ["k", "val", "v"])
+    versioned_upsert(spark, path, upd, ["k"], evolve_schema=True)
+    rows = {
+        r["k"]: (r["val"], r["v"])
+        for r in versioned_read(spark, path).collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
