@@ -1407,3 +1407,64 @@ def q_versioned_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("violation_rejected", F.lit(bool(rejected)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_rename",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 100
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+           TRUE AS metadata_only
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "rename", "evolution", "lakeops"),
+)
+def q_versioned_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename WITHOUT data rewrite under the driver gate
+    (sinks/versioned.py:versioned_rename_column): orders is written,
+    ``o_totalprice`` is renamed to ``price`` as a metadata-only
+    commit (the manifest's file list is pinned IDENTICAL before and
+    after — the ``metadata_only`` flag the oracle pins TRUE), then a
+    post-rename upsert speaking the NEW name merges against the
+    pre-rename files. The oracle recomputes the serial result
+    directly, so the hash proves old and new physical files co-serve
+    one logical schema.
+
+    Scale: a rename on a 100 TB table writes one kilobyte manifest;
+    readers alias physical->logical in a final projection
+    (zero-copy), and footer-stats pruning keys by the stable physical
+    name so MERGE economics survive the rename."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        versioned_read,
+        versioned_rename_column,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_rename_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    before = [e["path"] for e in _read_manifest(path, 0)["files"]]
+    versioned_rename_column(path, "o_totalprice", "price")
+    after = [e["path"] for e in _read_manifest(path, 1)["files"]]
+    upd = (
+        o.filter("o_orderkey <= 100")
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("price"))
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"])
+    return (
+        versioned_read(spark, path)
+        .withColumn("metadata_only", F.lit(bool(before == after)))
+        .orderBy("o_orderkey")
+    )
