@@ -1468,3 +1468,80 @@ def q_versioned_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metadata_only", F.lit(bool(before == after)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_merge_rebase",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 100
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+           TRUE AS rebased
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 2000000000 AS o_orderkey,
+           o_totalprice AS price,
+           TRUE AS rebased
+    FROM orders WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "occ", "rebase", "lakeops"),
+)
+def q_merge_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only commit rebase under the driver gate
+    (sinks/versioned.py:_attempt_rebase): a writer pinned to v0 loses
+    the CAS race to a key-disjoint interloper append, and resolves it
+    by REBASING its already-staged merge onto the new latest — pure
+    driver-side manifest arithmetic plus one CAS, no Spark job, no
+    data rewrite. The ``rebased`` flag pins the commit's own
+    ``rebased_onto``/``n_rebased_over`` markers; content is pinned to
+    the SERIAL result (interloper first, then the merge) the oracle
+    computes directly.
+
+    Scale: N writers on disjoint key ranges of a 100 TB table each
+    pay their own staging once and a kilobyte manifest CAS per lost
+    race — never an O(candidates) re-merge."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_append,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_rebase_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    # interloper: blind append of provably key-disjoint rows -> v1
+    interloper = o.filter("o_orderkey <= 50").select(
+        (F.col("o_orderkey") + F.lit(2000000000)).alias("o_orderkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    versioned_append(spark, path, interloper)
+    # our writer, still pinned to v0, loses the CAS and rebases
+    upd = o.filter("o_orderkey <= 100").select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("price")
+    )
+    v = versioned_upsert(
+        spark, path, upd, ["o_orderkey"],
+        expected_version=0, rebase_on_conflict=True,
+    )
+    rebased = (
+        snapshot_meta(path, "rebased_onto", version=v) == "1"
+        and snapshot_meta(path, "n_rebased_over", version=v) == "1"
+    )
+    return (
+        versioned_read(spark, path)
+        .withColumn("rebased", F.lit(bool(rebased)))
+        .orderBy("o_orderkey")
+    )

@@ -937,6 +937,11 @@ def _interval_split(
     cand: list[dict] = []
     skipped: list[dict] = []
     for e in entries:
+        # a 0-row file proves disjointness trivially (empty staged
+        # partitions carry no footer stats but also no rows)
+        if e.get("rows") == 0:
+            skipped.append(e)
+            continue
         st = (e.get("stats") or {}).get(col)
         mn = None if st is None else st.get("min")
         mx = None if st is None else st.get("max")
@@ -1033,6 +1038,8 @@ def _match_files(
         if fld.name == key:
             key_type = fld.dataType
     cand, stat_rows = [], []
+    zero_rows = [e for e in entries if e.get("rows") == 0]
+    entries = [e for e in entries if e.get("rows") != 0]
     for e in entries:
         st = (e.get("stats") or {}).get(sk)
         mn = None if st is None else st.get("min")
@@ -1048,7 +1055,7 @@ def _match_files(
         else:
             stat_rows.append(e)
     if not stat_rows:
-        return cand, []
+        return cand, zero_rows
     from pyspark.sql.types import StringType, StructField, StructType
 
     sdf = spark.createDataFrame(
@@ -1077,13 +1084,171 @@ def _match_files(
         for r in kdf.join(F.broadcast(sdf), hit)
         .select("__path").distinct().collect()
     }
-    carried = []
+    carried = list(zero_rows)
     for e in stat_rows:
         if e["path"] in matched:
             cand.append(e)
         else:
             carried.append(e)
     return cand, carried
+
+
+def _key_bounds(updates: DataFrame, key: str) -> tuple:
+    """(min, max, has_nan, n_nonnull) of the update keys — one tiny
+    agg job over the (already computed) update frame, run only when a
+    lost commit race makes a rebase worth proving."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, FloatType
+
+    ktype = updates.schema[key].dataType
+    nan_agg = (
+        F.max(F.isnan(F.col(key)))
+        if isinstance(ktype, (FloatType, DoubleType))
+        else F.lit(False)
+    )
+    row = updates.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(key).alias("n"),
+        nan_agg.alias("has_nan"),
+    ).first()
+    return row["lo"], row["hi"], bool(row["has_nan"]), int(row["n"])
+
+
+def _attempt_rebase(
+    spark: SparkSession,
+    path: str,
+    *,
+    base_v: int,
+    base_files: list[dict],
+    cand_paths: set[str],
+    new_entries: list[dict],
+    schema_json: dict,
+    commit_meta: dict,
+    updates: DataFrame | None,
+    key: str | None,
+    stats_key: str | None,
+    lock_timeout_s: float,
+    max_rebases: int = 5,
+    blind_append: bool = False,
+) -> int:
+    """Resolve a LOST COMMIT RACE without re-deriving the merge —
+    Delta-style logical conflict detection. The staged commit (data
+    files already pooled, manifest entries in hand) is re-targeted at
+    the CURRENT latest snapshot when the intervening commits provably
+    cannot conflict; the rebase itself is pure driver-side manifest
+    arithmetic plus one CAS — no Spark job, no data rewrite.
+
+    Serial-equivalence argument (why the result equals re-running the
+    merge on the new base): our candidate set C was a conservative
+    superset of the base files that can hold an update key, so every
+    base file outside C provably holds none. Conditions checked
+    against the new latest L:
+
+    1. schema at L byte-identical to schema at the pinned base (a
+       concurrent rename/evolution changes read semantics — refuse);
+    2. CHECK-constraint marker unchanged (a new constraint must
+       re-validate our staged rows — refuse);
+    3. every file in C appears in L with an IDENTICAL entry,
+       deletion vectors included (a concurrent rewrite/DELETE of a
+       file we merged from would be silently undone — refuse);
+    4. every file ADDED since the base is PROVABLY disjoint from our
+       update keys by its footer stats (min/max interval against the
+       update-key bounds, NaN refusing) — otherwise serial order
+       would have required our merge to rewrite it — refuse.
+
+    When all hold, re-running the merge on L would select exactly C
+    again and produce exactly our staged output, so the rebased
+    manifest ``(files(L) − C) + staged`` IS the serial result: files
+    carried from L keep any deletion vectors or replacements a
+    concurrent writer gave them. Any recorded change-feed files stay
+    valid for the same reason (conditions 3+4 pin the matched/insert
+    classification). Refusals raise :class:`CommitConflict`; the
+    caller's OCC loop falls back to a full re-derive.
+
+    Scale: this is what makes N writers on one 100 TB table viable —
+    disjoint-key writers pay their own staging once and a kilobyte
+    manifest CAS per race, never an O(candidates) re-merge per lost
+    race."""
+    base_by_path = {e["path"]: e for e in base_files}
+    bounds: tuple | None = None
+    last: CommitConflict | None = None
+    for _ in range(max_rebases):
+        latest = latest_version(path)
+        if latest is None:
+            raise CommitConflict(
+                f"rebase refused: table at {path} has no committed version"
+            )
+        man_l = _read_manifest(path, latest)
+        base_man = _read_manifest(path, base_v)
+        if man_l["schema"] != base_man["schema"]:
+            raise CommitConflict(
+                "rebase refused: concurrent commit changed the table "
+                f"schema between v{base_v} and v{latest}"
+            )
+        if snapshot_meta(path, "constraints", version=latest) != snapshot_meta(
+            path, "constraints", version=base_v
+        ):
+            raise CommitConflict(
+                "rebase refused: concurrent commit changed CHECK "
+                f"constraints between v{base_v} and v{latest}"
+            )
+        l_by_path = {e["path"]: e for e in man_l["files"]}
+        for p in sorted(cand_paths):
+            if l_by_path.get(p) != base_by_path.get(p):
+                raise CommitConflict(
+                    "rebase refused: concurrent commit touched rewritten "
+                    f"file {p}"
+                )
+        added = [e for e in man_l["files"] if e["path"] not in base_by_path]
+        # a blind append commutes with every data commit: it reads
+        # nothing and rewrites nothing, so conditions 1-2 suffice and
+        # concurrently added files never conflict with it
+        if added and not blind_append:
+            if updates is None or key is None:
+                raise CommitConflict(
+                    "rebase refused: concurrent commit added "
+                    f"{len(added)} file(s) and this commit carries no "
+                    "key-disjointness proof"
+                )
+            if bounds is None:
+                bounds = _key_bounds(updates, key)
+            lo, hi, has_nan, n_nonnull = bounds
+            if n_nonnull:
+                if (
+                    has_nan
+                    or not isinstance(lo, _STATS_SAFE)
+                    or not isinstance(hi, _STATS_SAFE)
+                ):
+                    raise CommitConflict(
+                        "rebase refused: update keys not provably disjoint "
+                        "from concurrently added files (NaN or stats-unsafe "
+                        "key type)"
+                    )
+                overlap, _ = _interval_split(
+                    added, stats_key if stats_key is not None else key, lo, hi
+                )
+                if overlap:
+                    raise CommitConflict(
+                        f"rebase refused: {len(overlap)} concurrently added "
+                        "file(s) may contain update keys"
+                    )
+        entries = [
+            e for e in man_l["files"] if e["path"] not in cand_paths
+        ] + new_entries
+        meta2 = dict(commit_meta)
+        meta2["rebased_onto"] = str(latest)
+        meta2["n_rebased_over"] = str(latest - base_v)
+        try:
+            return _commit_manifest(
+                path, schema_json, entries, meta2, latest, lock_timeout_s
+            )
+        except CommitConflict as e:  # raced again — re-check against newer L
+            last = e
+            continue
+    raise CommitConflict(
+        f"rebase at {path} lost {max_rebases} further races; last: {last}"
+    )
 
 
 def versioned_upsert(
@@ -1097,10 +1262,21 @@ def versioned_upsert(
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
     change_feed: bool = False,
+    rebase_on_conflict: bool = False,
 ) -> int:
     """MERGE as a snapshot commit: next version = (current rows not
     matching an update key) ∪ updates. The current snapshot is read,
     never mutated — a failed upsert leaves the table exactly as it was.
+
+    ``rebase_on_conflict=True`` (guarded mode only): a lost
+    compare-and-swap race first attempts a METADATA-ONLY rebase onto
+    the new latest (:func:`_attempt_rebase`) — if the intervening
+    commits provably don't conflict (schema/constraints unchanged,
+    our rewritten files untouched, added files key-disjoint by
+    stats), the already-staged output commits against the new base
+    with no Spark job and no data rewrite. Refused rebases raise
+    :class:`CommitConflict` exactly as before, so OCC loops fall back
+    to a full re-derive.
 
     ``change_feed=True`` additionally records the commit's LOGICAL
     changes (insert / update_postimage rows) as ``cdc-*`` pool files
@@ -1227,14 +1403,32 @@ def versioned_upsert(
         cdc_rels = _stage_aux_files(cdc, path, kind="cdc")
         commit_meta["cdc_files"] = json.dumps(cdc_rels)
     commit_meta.update(meta or {})
-    return _commit_manifest(
-        path,
-        new_schema.jsonValue(),
-        carried + new_entries,
-        commit_meta,
-        expected_version,
-        lock_timeout_s,
-    )
+    try:
+        return _commit_manifest(
+            path,
+            new_schema.jsonValue(),
+            carried + new_entries,
+            commit_meta,
+            expected_version,
+            lock_timeout_s,
+        )
+    except CommitConflict:
+        if not rebase_on_conflict or not isinstance(expected_version, int):
+            raise
+        return _attempt_rebase(
+            spark,
+            path,
+            base_v=expected_version,
+            base_files=man["files"],
+            cand_paths={e["path"] for e in cand},
+            new_entries=new_entries,
+            schema_json=new_schema.jsonValue(),
+            commit_meta=commit_meta,
+            updates=aligned,
+            key=keys[0],
+            stats_key=mapping.get(keys[0], keys[0]),
+            lock_timeout_s=lock_timeout_s,
+        )
 
 
 def versioned_merge(
@@ -1251,6 +1445,7 @@ def versioned_merge(
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
     change_feed: bool = False,
+    rebase_on_conflict: bool = False,
 ) -> int:
     """Full MERGE INTO clause semantics as one snapshot commit —
     Delta's ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE, WHEN NOT
@@ -1416,14 +1611,32 @@ def versioned_merge(
             _stage_aux_files(cdc, path, kind="cdc")
         )
     commit_meta.update(meta or {})
-    return _commit_manifest(
-        path,
-        man["schema"],
-        carried + new_entries,
-        commit_meta,
-        expected_version,
-        lock_timeout_s,
-    )
+    try:
+        return _commit_manifest(
+            path,
+            man["schema"],
+            carried + new_entries,
+            commit_meta,
+            expected_version,
+            lock_timeout_s,
+        )
+    except CommitConflict:
+        if not rebase_on_conflict or not isinstance(expected_version, int):
+            raise
+        return _attempt_rebase(
+            spark,
+            path,
+            base_v=expected_version,
+            base_files=man["files"],
+            cand_paths={e["path"] for e in cand},
+            new_entries=new_entries,
+            schema_json=man["schema"],
+            commit_meta=commit_meta,
+            updates=key_src,
+            key=keys[0],
+            stats_key=mapping.get(keys[0], keys[0]),
+            lock_timeout_s=lock_timeout_s,
+        )
 
 
 def versioned_merge_concurrent(
@@ -1436,11 +1649,17 @@ def versioned_merge_concurrent(
     max_retries: int = 5,
     backoff_s: float = 0.1,
     evolve_schema: bool = False,
+    rebase: bool = True,
 ) -> int:
     """MERGE safe under CONCURRENT writers: read the latest snapshot
     (pinned by version), derive merged = (rows not matching an update
     key) ∪ updates, and commit with compare-and-swap on that base
-    version. A lost race (:class:`CommitConflict`) re-reads the NEW
+    version. A lost race (:class:`CommitConflict`) first attempts a
+    METADATA-ONLY rebase onto the new latest (``rebase=True``,
+    :func:`_attempt_rebase`): when the intervening commits provably
+    don't conflict — the common case for writers on disjoint key
+    ranges — the staged output lands with one more manifest CAS and
+    ZERO re-derivation. Only a refused rebase re-reads the NEW
     latest and re-derives the merge — the standard optimistic
     transaction loop, so N writers upserting disjoint keys all land
     and serialize into N consecutive versions with no lost updates
@@ -1466,6 +1685,7 @@ def versioned_merge_concurrent(
                 spark, path, updates, keys,
                 meta=meta, evolve_schema=evolve_schema,
                 expected_version=base,
+                rebase_on_conflict=rebase,
             )
         except CommitConflict as e:
             last = e
@@ -1484,6 +1704,7 @@ def versioned_append(
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
     change_feed: bool = False,
+    rebase_on_conflict: bool = False,
 ) -> int:
     """Blind APPEND as a snapshot commit: stage the batch's files into
     the pool and commit a manifest of (every current file, by
@@ -1536,14 +1757,35 @@ def versioned_append(
             _stage_aux_files(cdc, path, kind="cdc")
         )
     commit_meta.update(meta or {})
-    return _commit_manifest(
-        path,
-        man["schema"],
-        man["files"] + new_entries,
-        commit_meta,
-        expected_version,
-        lock_timeout_s,
-    )
+    try:
+        return _commit_manifest(
+            path,
+            man["schema"],
+            man["files"] + new_entries,
+            commit_meta,
+            expected_version,
+            lock_timeout_s,
+        )
+    except CommitConflict:
+        if not rebase_on_conflict or not isinstance(expected_version, int):
+            raise
+        # an append commutes with every concurrent data commit —
+        # rebase needs only the schema/constraint checks
+        return _attempt_rebase(
+            spark,
+            path,
+            base_v=expected_version,
+            base_files=man["files"],
+            cand_paths=set(),
+            new_entries=new_entries,
+            schema_json=man["schema"],
+            commit_meta=commit_meta,
+            updates=None,
+            key=None,
+            stats_key=None,
+            lock_timeout_s=lock_timeout_s,
+            blind_append=True,
+        )
 
 
 def versioned_delete(

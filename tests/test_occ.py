@@ -212,3 +212,140 @@ def test_versioned_history_surface(spark, tmp_path):
     # without counts: no job-per-version, no n_rows column
     h2 = versioned_history(spark, path)
     assert "n_rows" not in h2.columns
+
+
+def _clustered(spark, path, n=80, files=8):
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(n)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(files, "k").sortWithinPartitions("k"), path
+    )
+    return df
+
+
+def test_rebase_lands_metadata_only_on_disjoint_race(spark, tmp_path):
+    """A lost CAS race against a key-disjoint interloper resolves by
+    manifest rebase: no re-derive, interloper's file carried by
+    reference, rebase markers recorded, content = serial result."""
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_append,
+        versioned_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    # interloper: blind append of provably-disjoint keys → v1
+    versioned_append(
+        spark, path, _df(spark, [(1000, "x"), (1001, "y")])
+    )
+    appended = {
+        e["path"] for e in _read_manifest(path, 1)["files"]
+    } - {e["path"] for e in _read_manifest(path, 0)["files"]}
+    # our writer still pinned to base v0: rebase resolves the race
+    v = versioned_upsert(
+        spark, path, _df(spark, [(3, "NEW")]), ["k"],
+        expected_version=0, rebase_on_conflict=True,
+    )
+    assert v == 2
+    assert snapshot_meta(path, "rebased_onto", version=2) == "1"
+    assert snapshot_meta(path, "n_rebased_over", version=2) == "1"
+    # interloper's appended file rides into v2 BY REFERENCE
+    assert appended <= {e["path"] for e in _read_manifest(path, 2)["files"]}
+    rows = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert rows[3] == "NEW" and rows[1000] == "x" and len(rows) == 82
+    # partial-rewrite economics survived the rebase
+    assert int(snapshot_meta(path, "n_files_rewritten", version=2)) <= 2
+
+
+def test_rebase_refused_when_candidate_file_touched(spark, tmp_path):
+    """An interloper that rewrote (or DV-deleted) a file our merge
+    read from makes the staged output stale — rebase must refuse."""
+    from skopje_spark.sinks.versioned import versioned_delete, versioned_upsert
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    # interloper rewrites the bucket holding key 3
+    versioned_upsert(spark, path, _df(spark, [(4, "theirs")]), ["k"])
+    with pytest.raises(CommitConflict, match="touched rewritten file"):
+        versioned_upsert(
+            spark, path, _df(spark, [(3, "ours")]), ["k"],
+            expected_version=0, rebase_on_conflict=True,
+        )
+    # DV flavor: a concurrent DELETE pinning a vector onto our candidate
+    path2 = str(tmp_path / "t2")
+    _clustered(spark, path2)
+    versioned_delete(spark, path2, "k = 2")
+    with pytest.raises(CommitConflict, match="touched rewritten file"):
+        versioned_upsert(
+            spark, path2, _df(spark, [(3, "ours")]), ["k"],
+            expected_version=0, rebase_on_conflict=True,
+        )
+
+
+def test_rebase_refused_when_added_files_may_match(spark, tmp_path):
+    """Concurrently ADDED files whose stats overlap our update keys
+    would have been merge candidates under serial order — refuse."""
+    from skopje_spark.sinks.versioned import versioned_append, versioned_upsert
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    versioned_append(
+        spark, path, _df(spark, [(200, "x"), (300, "y")]).coalesce(1)
+    )
+    with pytest.raises(CommitConflict, match="may contain update keys"):
+        versioned_upsert(
+            spark, path, _df(spark, [(250, "ours")]), ["k"],
+            expected_version=0, rebase_on_conflict=True,
+        )
+
+
+def test_rebase_refused_on_schema_or_constraint_change(spark, tmp_path):
+    """A concurrent rename or CHECK-constraint change invalidates the
+    staged commit's read/validation premises — refuse both."""
+    from skopje_spark.sinks.versioned import (
+        set_check_constraint,
+        versioned_rename_column,
+        versioned_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    versioned_rename_column(path, "v", "val")
+    with pytest.raises(CommitConflict, match="changed the table schema"):
+        versioned_upsert(
+            spark, path, _df(spark, [(3, "ours")]), ["k"],
+            expected_version=0, rebase_on_conflict=True,
+        )
+    path2 = str(tmp_path / "t2")
+    _clustered(spark, path2)
+    set_check_constraint(spark, path2, "k_small", "k < 10000")
+    with pytest.raises(CommitConflict, match="CHECK"):
+        versioned_upsert(
+            spark, path2, _df(spark, [(3, "ours")]), ["k"],
+            expected_version=0, rebase_on_conflict=True,
+        )
+
+
+def test_append_rebase_commutes_with_any_commit(spark, tmp_path):
+    """A guarded blind append rebases over even a key-overlapping
+    interloper merge: appends read nothing, so they commute."""
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_append,
+        versioned_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    versioned_upsert(spark, path, _df(spark, [(3, "theirs")]), ["k"])
+    v = versioned_append(
+        spark, path, _df(spark, [(3, "dup-ok"), (5000, "new")]),
+        expected_version=0, rebase_on_conflict=True,
+    )
+    assert v == 2 and snapshot_meta(path, "rebased_onto", version=2) == "1"
+    rows = [r["v"] for r in versioned_read(spark, path).collect()]
+    assert "theirs" in rows and "dup-ok" in rows and "new" in rows
+    assert len(rows) == 82  # 80 base + 2 appended (k=3 duplicated verbatim)
