@@ -1545,3 +1545,162 @@ def q_merge_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rebased", F.lit(bool(rebased)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_lake_source_read",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 100
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+           TRUE AS connector_scan
+    FROM orders
+    WHERE o_orderkey BETWEEN 200 AND 900
+      AND NOT (o_orderkey BETWEEN 300 AND 310)
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "datasource", "pushdown", "lakeops"),
+)
+def q_lake_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table through Spark's OWN connector contract
+    (sources/lakesource.py:VersionedTableDataSource): a snapshot that
+    has taken a MERGE, a deletion-vector DELETE, and a column RENAME
+    is read back with ``spark.read.format("skopje_versioned")`` under
+    a range filter — pushFilters prunes files by footer stats (the
+    ``connector_scan`` flag pins that fewer partitions than files
+    were planned), deletion vectors and the rename apply inside the
+    Arrow read, and the oracle recomputes the surviving rows exactly.
+
+    Scale: the connector plans from kilobytes of driver-side manifest
+    (schema, splits, pruning — no job), ships one file per task, and
+    keeps the data path in Arrow batches end to end."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_rename_column,
+        versioned_upsert,
+        versioned_write,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="skopje_lakesrc_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+        path,
+    )
+    upd = o.filter("o_orderkey <= 100").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"])
+    versioned_delete(spark, path, "o_orderkey BETWEEN 300 AND 310")
+    versioned_rename_column(path, "o_totalprice", "price")
+    # pruning economics, asserted from the reader's own planning
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    rd = VersionedTableReader({"path": path})
+    total = len(rd.partitions())
+    list(rd.pushFilters(
+        [GreaterThanOrEqual(("o_orderkey",), 200),
+         LessThanOrEqual(("o_orderkey",), 900)]
+    ))
+    pruned_ok = len(rd.partitions()) < total
+    return (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter("o_orderkey BETWEEN 200 AND 900")
+        .withColumn("connector_scan", F.lit(bool(pruned_ok)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_lake_source_changes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT o_orderkey, o_totalprice AS price,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price, 'update_preimage', 1
+    FROM base WHERE o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2 AS price, 'update_postimage', 1
+    FROM base WHERE o_orderkey <= 100
+    UNION ALL
+    SELECT o_orderkey + 3000000 AS o_orderkey, o_totalprice AS price,
+           'insert', 1
+    FROM base WHERE o_orderkey <= 10
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price, 'delete', 2
+    FROM base WHERE o_orderkey BETWEEN 200 AND 210
+    ORDER BY _commit_version, _change_type, o_orderkey
+    """,
+    tags=("versioned", "datasource", "streaming", "cdc", "lakeops"),
+)
+def q_lake_source_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data-feed STREAMING source under the driver gate
+    (sources/lakesource.py:VersionedChangesDataSource): a real
+    availableNow structured-streaming run reads a versioned table's
+    initial snapshot plus two CDF commits (a clause merge and a
+    DV delete) through ``spark.readStream.format(
+    "skopje_versioned_changes")`` into parquet, and the collected
+    feed — change types, commit versions, pre/postimages — matches
+    the oracle's closed-form reconstruction row for row.
+
+    Scale: offsets are commit versions checkpointed by Spark
+    (exactly-once across restarts, unit-pinned); each micro-batch
+    reads only the recorded cdc pool files — O(changes), the base
+    table is never rescanned."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter("o_orderkey <= 500").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    path = tempfile.mkdtemp(prefix="skopje_lakecdf_")
+    out = tempfile.mkdtemp(prefix="skopje_lakecdf_out_")
+    ckpt = tempfile.mkdtemp(prefix="skopje_lakecdf_ck_")
+    for p in (path, out, ckpt):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    versioned_write(base.coalesce(2), path)                             # v0
+    upd = base.filter("o_orderkey <= 100").withColumn(
+        "price", F.col("price") * 2
+    ).unionByName(
+        base.filter("o_orderkey <= 10").select(
+            (F.col("o_orderkey") + F.lit(3000000)).alias("o_orderkey"),
+            "price",
+        )
+    )
+    versioned_upsert(spark, path, upd, ["o_orderkey"], change_feed=True)  # v1
+    versioned_delete(
+        spark, path, "o_orderkey BETWEEN 200 AND 210", change_feed=True
+    )                                                                     # v2
+    q = (
+        spark.readStream.format("skopje_versioned_changes")
+        .option("path", path).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).orderBy(
+        "_commit_version", "_change_type", "o_orderkey"
+    )

@@ -435,10 +435,21 @@ class NdjsonSinkDataSource(DataSource):
 
 def register_all(spark) -> None:
     """Register every skopje DataSource on a session (idempotent)."""
+    from skopje_spark.sources.lakesource import (
+        VersionedChangesDataSource,
+        VersionedTableDataSource,
+    )
+
     try:
         # runtime-settable; required for pushFilters to be honored
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
-    for ds in (RestJsonDataSource, FeedStreamDataSource, NdjsonSinkDataSource):
+    for ds in (
+        RestJsonDataSource,
+        FeedStreamDataSource,
+        NdjsonSinkDataSource,
+        VersionedTableDataSource,
+        VersionedChangesDataSource,
+    ):
         spark.dataSource.register(ds)

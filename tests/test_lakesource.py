@@ -1,0 +1,237 @@
+"""Versioned-table Spark DataSources (sources/lakesource.py):
+batch scan parity with versioned_read (DVs, renames, evolution, time
+travel), manifest file pruning through pushFilters, and the streaming
+change-feed source's exactly-once version offsets."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from skopje_spark.sinks.versioned import (
+    versioned_append,
+    versioned_compact,
+    versioned_delete,
+    versioned_read,
+    versioned_rename_column,
+    versioned_upsert,
+    versioned_write,
+)
+from skopje_spark.sources.pysource import register_all
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    register_all(spark)
+    return str(tmp_path)
+
+
+def _mk_table(spark, path, n=40, files=4):
+    df = spark.createDataFrame(
+        [(i, f"r{i}", float(i)) for i in range(n)],
+        "k long, v string, x double",
+    )
+    versioned_write(
+        df.repartitionByRange(files, "k").sortWithinPartitions("k"), path
+    )
+    return df
+
+
+def test_batch_source_full_lifecycle_parity(spark, lake):
+    """The connector's rows are identical to versioned_read across the
+    whole feature surface: deletion vectors, rename-without-rewrite,
+    additive evolution, and version/timestamp time travel."""
+    path = os.path.join(lake, "t")
+    _mk_table(spark, path)
+    versioned_delete(spark, path, "k = 7")
+    versioned_rename_column(path, "x", "score")
+    upd = spark.createDataFrame(
+        [(3, "NEW", 9.9, "extra"), (100, "ins", 1.0, "e2")],
+        "k long, v string, score double, tag string",
+    )
+    versioned_upsert(spark, path, upd, ["k"], evolve_schema=True)
+
+    r = spark.read.format("skopje_versioned").option("path", path).load()
+    assert r.columns == ["k", "v", "score", "tag"]
+    got = {t["k"]: (t["v"], t["score"], t["tag"]) for t in r.collect()}
+    exp = {
+        t["k"]: (t["v"], t["score"], t["tag"])
+        for t in versioned_read(spark, path).collect()
+    }
+    assert got == exp
+    assert 7 not in got and got[3] == ("NEW", 9.9, "extra")
+
+    # version time travel serves the as-committed logical schema
+    v0 = (
+        spark.read.format("skopje_versioned")
+        .option("path", path).option("versionAsOf", "0").load()
+    )
+    assert v0.columns == ["k", "v", "x"] and v0.count() == 40
+
+
+def test_batch_source_prunes_files_via_pushdown(spark, lake):
+    """pushFilters turns comparison predicates into manifest pruning:
+    a narrow range plans a fraction of the file partitions, and the
+    result is still exact because every filter is re-applied."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThanOrEqual
+
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    path = os.path.join(lake, "t")
+    _mk_table(spark, path, n=80, files=8)
+
+    rd = VersionedTableReader({"path": path})
+    assert len(rd.partitions()) == 8
+    residual = list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("k",), 70), LessThanOrEqual(("k",), 75)]
+        )
+    )
+    assert len(residual) == 2  # every filter handed back for re-application
+    assert len(rd.partitions()) == 1
+
+    rd2 = VersionedTableReader({"path": path})
+    list(rd2.pushFilters([EqualTo(("k",), 5)]))
+    assert len(rd2.partitions()) == 1
+
+    # end to end: rows exact under the pruned plan
+    got = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter("k >= 70 and k <= 75")
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(70, 76))
+
+
+def test_batch_source_pruning_keys_physical_name_after_rename(spark, lake):
+    """Footer stats stay keyed by the physical name: pruning on the
+    RENAMED key column still skips files."""
+    from pyspark.sql.datasource import EqualTo
+
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    path = os.path.join(lake, "t")
+    _mk_table(spark, path, n=80, files=8)
+    versioned_rename_column(path, "k", "key_id")
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("key_id",), 5)]))
+    assert len(rd.partitions()) == 1
+    got = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter("key_id = 5")
+    )
+    assert [r["key_id"] for r in got.collect()] == [5]
+
+
+def test_changes_stream_serves_snapshot_then_commits(spark, lake, tmp_path):
+    """availableNow run over a table with snapshot + CDF commits +
+    a zero-change compaction: every logical change served once, with
+    commit versions; a restart from the same checkpoint serves ONLY
+    commits landed since (exactly-once offsets)."""
+    path = os.path.join(lake, "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(6)], "k long, v string")
+    versioned_write(df.coalesce(2), path)                               # v0
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(3, "U3"), (20, "I20")], "k long, v string"),
+        ["k"], change_feed=True,
+    )                                                                   # v1
+    versioned_compact(spark, path, target_files=1)                      # v2
+    versioned_delete(spark, path, "k = 5", change_feed=True)            # v3
+
+    def run():
+        q = (
+            spark.readStream.format("skopje_versioned_changes")
+            .option("path", path).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == sorted(
+        [(0, "insert", i, f"r{i}") for i in range(6)]
+        + [
+            (1, "update_preimage", 3, "r3"),
+            (1, "update_postimage", 3, "U3"),
+            (1, "insert", 20, "I20"),
+            (3, "delete", 5, "r5"),
+        ]
+    )
+    # restart: only the commit landed since is served, no replays
+    versioned_append(
+        spark, path,
+        spark.createDataFrame([(30, "A30")], "k long, v string"),
+        change_feed=True,
+    )                                                                   # v4
+    run()
+    g = spark.read.parquet(out)
+    assert g.count() == 11 and g.distinct().count() == 11
+    new = g.filter("_commit_version = 4").collect()
+    assert [(r["_change_type"], r["k"]) for r in new] == [("insert", 30)]
+
+
+def test_changes_stream_refuses_unrecorded_data_commit(spark, lake, tmp_path):
+    """A data commit without change_feed=True fails the stream loudly
+    by default; allowUnrecorded=true downgrades it to a skip."""
+    path = os.path.join(lake, "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    versioned_write(df, path)                                           # v0
+    versioned_upsert(
+        spark, path, spark.createDataFrame([(2, "b")], "k long, v string"),
+        ["k"],  # no change_feed
+    )                                                                   # v1
+
+    def run(tag, extra):
+        q = (
+            spark.readStream.format("skopje_versioned_changes")
+            .option("path", path).options(**extra).load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{tag}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="no.*recorded change feed|recorded change feed"):
+        run("a", {})
+    run("b", {"allowUnrecorded": "true"})
+    served = spark.read.parquet(str(tmp_path / "outb"))
+    assert [r["k"] for r in served.collect()] == [1]  # v1 skipped
+
+
+def test_changes_stream_starting_version_without_snapshot(spark, lake, tmp_path):
+    """startingVersion + initialSnapshot=false serves CHANGES only,
+    from the requested commit onward."""
+    path = os.path.join(lake, "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )                                                                   # v0
+    versioned_upsert(
+        spark, path, spark.createDataFrame([(2, "b")], "k long, v string"),
+        ["k"], change_feed=True,
+    )                                                                   # v1
+    q = (
+        spark.readStream.format("skopje_versioned_changes")
+        .option("path", path)
+        .option("startingVersion", "1")
+        .option("initialSnapshot", "false")
+        .load()
+        .writeStream.format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [(r["_commit_version"], r["_change_type"], r["k"]) for r in rows] == [
+        (1, "insert", 2)
+    ]
