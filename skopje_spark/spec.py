@@ -54,7 +54,10 @@ from pyspark.sql import DataFrame
 
 from skopje_spark.pipeline import Pipeline, PipelineContext
 
-_SOURCE_FORMATS = ("parquet", "json", "csv", "binary", "http", "stream_file")
+_SOURCE_FORMATS = (
+    "parquet", "json", "csv", "binary", "http", "stream_file",
+    "versioned", "stream_versioned_changes",
+)
 _SINK_FORMATS = ("parquet", "json", "csv", "versioned", "stream_parquet", "stream_versioned", "stream_changes", "tar_shards")
 
 
@@ -82,6 +85,35 @@ def _make_source(node: dict):
                 schema=node.get("schema"),
             )
         path = _interp(node["path"], ctx.conf)
+        if fmt == "versioned":
+            # snapshot read through the lake connector: manifest-planned
+            # splits, stats pruning via pushFilters, DV/rename-aware
+            from skopje_spark.sources.pysource import register_all
+
+            register_all(ctx.spark)
+            r = ctx.spark.read.format("skopje_versioned").option("path", path)
+            if node.get("version") is not None:
+                r = r.option("versionAsOf", str(node["version"]))
+            if node.get("timestamp") is not None:
+                r = r.option("timestampAsOf", str(node["timestamp"]))
+            return r.load()
+        if fmt == "stream_versioned_changes":
+            # streaming CDF source: offsets = commit versions
+            from skopje_spark.sources.pysource import register_all
+
+            register_all(ctx.spark)
+            r = (
+                ctx.spark.readStream.format("skopje_versioned_changes")
+                .option("path", path)
+            )
+            for opt, key in (
+                ("starting_version", "startingVersion"),
+                ("initial_snapshot", "initialSnapshot"),
+                ("allow_unrecorded", "allowUnrecorded"),
+            ):
+                if node.get(opt) is not None:
+                    r = r.option(key, str(node[opt]).lower())
+            return r.load()
         if fmt == "stream_file":
             from skopje_spark.streaming.streams import file_stream
 

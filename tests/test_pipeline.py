@@ -620,3 +620,74 @@ def test_pipeline_spec_stream_changes_sink(spark, tmp_path):
             q.awaitTermination()
     rows = sorted((r["k"], r["v"]) for r in versioned_read(spark, table).collect())
     assert rows == [(2, "B")]
+
+
+def test_pipeline_spec_versioned_source_and_cdf_chain(spark, tmp_path):
+    """Declarative LAKE sources: a `versioned` source node reads a
+    snapshot through the connector (rename + DV applied), and a
+    `stream_versioned_changes` source streams the table's change feed
+    into a parquet sink — spec-driven end to end."""
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_rename_column,
+        versioned_upsert,
+        versioned_write,
+    )
+    from skopje_spark.spec import pipeline_from_spec
+
+    table = str(tmp_path / "lake_t")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, x double"
+        ),
+        table,
+    )
+    versioned_delete(spark, table, "k = 4", change_feed=True)
+    versioned_rename_column(table, "x", "score")
+    versioned_upsert(
+        spark, table,
+        spark.createDataFrame([(3, 99.0)], "k long, score double"),
+        ["k"], change_feed=True,
+    )
+
+    out = str(tmp_path / "snap_out")
+    spec = {
+        "name": "lake-read",
+        "nodes": [
+            {"name": "snap", "kind": "source", "format": "versioned",
+             "path": table},
+            {"name": "big", "kind": "transform", "deps": ["snap"],
+             "sql": "SELECT k, score FROM snap WHERE score >= 5"},
+            {"name": "save", "kind": "sink", "format": "parquet",
+             "dep": "big", "path": out},
+        ],
+    }
+    pipeline_from_spec(spec).run(spark)
+    got = {r["k"]: r["score"] for r in spark.read.parquet(out).collect()}
+    assert got == {3: 99.0, 5: 5.0, 6: 6.0, 7: 7.0, 8: 8.0, 9: 9.0}
+
+    cdf_out = str(tmp_path / "cdf_out")
+    spec2 = {
+        "name": "lake-cdf",
+        "nodes": [
+            {"name": "feed", "kind": "source",
+             "format": "stream_versioned_changes", "path": table,
+             "starting_version": 1, "initial_snapshot": False},
+            {"name": "land", "kind": "sink", "format": "stream_parquet",
+             "dep": "feed", "path": cdf_out,
+             "checkpoint": str(tmp_path / "cdf_ck"),
+             "available_now": True},
+        ],
+    }
+    res = pipeline_from_spec(spec2).run(spark)
+    res["land"].awaitTermination()
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"])
+        for r in spark.read.parquet(cdf_out).collect()
+    )
+    # v1 = DV delete of k=4; v2 = rename (zero changes); v3 = merge
+    assert rows == [
+        (1, "delete", 4),
+        (3, "update_postimage", 3),
+        (3, "update_preimage", 3),
+    ]
