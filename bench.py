@@ -109,6 +109,10 @@ HEADLINE = [
     # q_bm25_query_only times the recurring serving cost — pruned
     # postings scan + score over a prebuilt index.
     "q_bm25_query_only",
+    # round-9: the lake CONNECTOR scan (Python DataSource + Arrow
+    # bridge) over the same DV'd table as q_dv_read_only — the two
+    # entries price the connector surface against its native twin.
+    "q_lake_scan_only",
 ]
 
 
@@ -253,6 +257,22 @@ def _dv_read_only(spark, sf_dir):
     return versioned_read(spark, _DV_CACHE[sf_dir])
 
 
+def _lake_scan_only(spark, sf_dir):
+    """Bench-only: the SAME DV'd table as q_dv_read_only, read through
+    the Python DataSource connector (sources/lakesource.py) instead of
+    the JVM-native versioned_read — prices the Arrow-batch bridge the
+    connector surface pays, next to its native twin for an honest
+    delta."""
+    from skopje_spark.sources.pysource import register_all
+
+    _dv_read_only(spark, sf_dir)  # ensure the cached table exists
+    register_all(spark)
+    return (
+        spark.read.format("skopje_versioned")
+        .option("path", _DV_CACHE[sf_dir]).load()
+    )
+
+
 def _bench_only():
     """Callables timed like catalog queries but not oracle-registered
     (their raw outputs are randomized sketches; the catalog twin
@@ -267,6 +287,7 @@ def _bench_only():
         "q_lsh_probe_only": _lsh_probe_only,
         "q_dv_read_only": _dv_read_only,
         "q_bm25_query_only": _bm25_query_only,
+        "q_lake_scan_only": _lake_scan_only,
     }
 
 
