@@ -1704,3 +1704,55 @@ def q_lake_source_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy(
         "_commit_version", "_change_type", "o_orderkey"
     )
+
+
+@register(
+    "q_lake_source_write",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 5000000 AS o_orderkey, o_totalprice AS price
+    FROM orders WHERE o_orderkey <= 50
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "datasource", "writer", "lakeops"),
+)
+def q_lake_source_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE path under the driver gate
+    (sources/lakesource.py:VersionedTableWriter): ``df.write.format(
+    "skopje_versioned")`` creates the table (v0) and appends a second
+    batch (v1) through Spark's two-phase writer contract — executor
+    tasks stream Arrow batches into uniquely-named pool files, the
+    driver commit publishes the manifest with a CAS retry — and the
+    read-back matches the oracle's union exactly.
+
+    Scale: each append writes O(batch) data plus a kilobyte manifest;
+    a failed job publishes nothing (pool orphans, vacuum-collected);
+    racing appends commute through the CAS retry."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    path = tempfile.mkdtemp(prefix="skopje_lakew_") + "/t"
+    atexit.register(shutil.rmtree, os.path.dirname(path), ignore_errors=True)
+    (o.repartitionByRange(8, "o_orderkey")
+      .write.format("skopje_versioned").option("path", path)
+      .mode("append").save())
+    batch2 = o.filter("o_orderkey <= 50").select(
+        (F.col("o_orderkey") + F.lit(5000000)).alias("o_orderkey"), "price"
+    )
+    batch2.write.format("skopje_versioned").option("path", path).mode(
+        "append"
+    ).save()
+    return (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .orderBy("o_orderkey")
+    )

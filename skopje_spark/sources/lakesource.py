@@ -47,6 +47,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -56,6 +57,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -297,6 +299,169 @@ class VersionedTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VersionedTableReader:
         return VersionedTableReader(dict(self.options))
+
+    def writer(
+        self, schema: StructType, overwrite: bool
+    ) -> "VersionedTableWriter":
+        return VersionedTableWriter(schema, dict(self.options), overwrite)
+
+
+@dataclass
+class _PooledFile(WriterCommitMessage):
+    entry: dict | None  # manifest entry, None for an empty task
+
+
+class VersionedTableWriter(DataSourceArrowWriter):
+    """Two-phase commit into the versioned store through Spark's
+    writer contract: each executor task streams its Arrow batches
+    into ONE uniquely-named pool file (unreferenced until commit —
+    a failed job leaves only vacuum-collectable orphans), the driver
+    commit validates CHECK constraints and publishes the manifest
+    with a CAS retry loop (appends commute, so a lost race against
+    any concurrent commit is re-pointed at the new latest — the
+    blind-append rebase argument).
+
+    ``mode("append")`` adds the batch to the current snapshot;
+    ``mode("overwrite")`` commits a snapshot of only the new files
+    (history keeps every prior version — overwrite is a commit, not
+    a destruction). Appends must match the table schema by name
+    (schema evolution stays an explicit ``versioned_upsert(
+    evolve_schema=True)`` decision, not a writer side effect)."""
+
+    def __init__(
+        self, schema: StructType, options: dict[str, str], overwrite: bool
+    ) -> None:
+        from skopje_spark.sinks.versioned import (
+            _read_manifest,
+            latest_version,
+        )
+
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("skopje_versioned: provide option 'path'")
+        self.overwrite = overwrite
+        committed = latest_version(self.path)
+        if committed is None or overwrite:
+            # creating / replacing: the DataFrame's schema is the
+            # table schema (physical = logical for fresh columns)
+            self.schema_json = StructType(
+                [f for f in schema.fields]
+            ).jsonValue()
+            self.map = {f.name: f.name for f in schema.fields}
+            self.table_schema = schema
+        else:
+            man = _read_manifest(self.path, committed)
+            table = _logical_schema(man)
+            if set(schema.fieldNames()) != set(table.fieldNames()):
+                raise ValueError(
+                    f"append schema {sorted(schema.fieldNames())} differs "
+                    f"from table schema {sorted(table.fieldNames())} at "
+                    f"{self.path} — use versioned_upsert(evolve_schema="
+                    "True) for schema evolution"
+                )
+            self.schema_json = man["schema"]
+            self.map = _mapping(man)
+            self.table_schema = table
+
+    def write(self, iterator) -> _PooledFile:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from skopje_spark.sinks.versioned import _DATA_DIR, _file_entry
+
+        # physical arrow schema: table column order/types, pool names
+        logical_arrow = to_arrow_schema(self.table_schema)
+        target = pa.schema(
+            [
+                pa.field(
+                    self.map.get(f.name, f.name),
+                    logical_arrow.field(i).type,
+                )
+                for i, f in enumerate(self.table_schema.fields)
+            ]
+        )
+        pool = os.path.join(self.path, _DATA_DIR)
+        os.makedirs(pool, exist_ok=True)
+        rel = f"{_DATA_DIR}/{uuid.uuid4().hex}-w.parquet"
+        abs_path = os.path.join(self.path, rel)
+        writer = None
+        n = 0
+        for batch in iterator:
+            t = pa.table(batch)
+            cols = []
+            for i, f in enumerate(self.table_schema.fields):
+                col = t.column(f.name)
+                at = target.field(i).type
+                if col.type != at:
+                    col = col.cast(at)
+                cols.append(col)
+            out = pa.table(dict(zip(target.names, cols)))
+            if writer is None:
+                writer = pq.ParquetWriter(abs_path, target)
+            writer.write_table(out)
+            n += out.num_rows
+        if writer is None:
+            return _PooledFile(entry=None)  # empty task: no file
+        writer.close()
+        return _PooledFile(entry=_file_entry(abs_path, rel))
+
+    def commit(self, messages) -> None:
+        from pyspark.sql import SparkSession
+
+        from skopje_spark.sinks.versioned import (
+            CommitConflict,
+            _commit_manifest,
+            _enforce_constraints,
+            _read_manifest,
+            latest_version,
+        )
+
+        entries = [m.entry for m in messages if m and m.entry]
+        if entries:
+            # commit runs on a driver callback thread where the active
+            # session may be unset — getOrCreate rebinds the existing
+            # one; constraint enforcement must never silently skip
+            spark = (
+                SparkSession.getActiveSession()
+                or SparkSession.builder.getOrCreate()
+            )
+            _enforce_constraints(spark, self.path, entries, self.map)
+        op = "overwrite" if self.overwrite else "append"
+        for _ in range(16):  # appends commute: CAS retry always safe
+            base = latest_version(self.path)
+            if base is None or self.overwrite:
+                files = entries
+                schema_json = self.schema_json
+            else:
+                man = _read_manifest(self.path, base)
+                files = man["files"] + entries
+                schema_json = man["schema"]
+            try:
+                _commit_manifest(
+                    self.path, schema_json, files,
+                    {"op": op, "n_files_appended": str(len(entries)),
+                     "n_files_rewritten": "0"},
+                    base, 600.0,
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"writer commit at {self.path} lost 16 consecutive races"
+        )
+
+    def abort(self, messages) -> None:
+        # drop this job's pooled files eagerly (vacuum would collect
+        # them anyway — they are referenced by no manifest)
+        for m in messages or []:
+            if m and m.entry:
+                try:
+                    os.unlink(os.path.join(self.path, m.entry["path"]))
+                except OSError:
+                    pass
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):

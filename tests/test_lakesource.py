@@ -235,3 +235,67 @@ def test_changes_stream_starting_version_without_snapshot(spark, lake, tmp_path)
     assert [(r["_commit_version"], r["_change_type"], r["k"]) for r in rows] == [
         (1, "insert", 2)
     ]
+
+
+def test_writer_create_append_overwrite_history(spark, lake):
+    """df.write.format("skopje_versioned"): create commits v0, append
+    commits O(batch), overwrite is a COMMIT (history retained), and a
+    schema-drifted append is refused (evolution stays explicit)."""
+    from skopje_spark.sinks.versioned import latest_version, snapshot_meta
+
+    path = os.path.join(lake, "w")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(20)], "k long, v string")
+    df.write.format("skopje_versioned").option("path", path).mode("append").save()
+    assert latest_version(path) == 0
+    spark.createDataFrame([(100, "x")], "k long, v string").write.format(
+        "skopje_versioned"
+    ).option("path", path).mode("append").save()
+    assert versioned_read(spark, path).count() == 21
+    assert snapshot_meta(path, "op", version=1) == "append"
+    assert snapshot_meta(path, "n_files_rewritten", version=1) == "0"
+    spark.createDataFrame([(1, "only")], "k long, v string").write.format(
+        "skopje_versioned"
+    ).option("path", path).mode("overwrite").save()
+    assert versioned_read(spark, path).count() == 1
+    assert versioned_read(spark, path, version=1).count() == 21  # time travel
+    with pytest.raises(Exception, match="differs from table schema"):
+        spark.createDataFrame([(1,)], "k long").write.format(
+            "skopje_versioned"
+        ).option("path", path).mode("append").save()
+
+
+def test_writer_respects_rename_and_constraints(spark, lake):
+    """Connector appends after a rename write PHYSICAL column names
+    (old and new files co-serve), and a CHECK violation publishes
+    nothing — the staged pool files stay unreferenced orphans."""
+    import pyarrow.parquet as pq
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        set_check_constraint,
+    )
+
+    path = os.path.join(lake, "w")
+    spark.createDataFrame([(1, 5.0)], "k long, x double").write.format(
+        "skopje_versioned"
+    ).option("path", path).mode("append").save()
+    versioned_rename_column(path, "x", "score")
+    spark.createDataFrame([(2, 7.0)], "k long, score double").write.format(
+        "skopje_versioned"
+    ).option("path", path).mode("append").save()
+    got = {r["k"]: r["score"] for r in (
+        spark.read.format("skopje_versioned").option("path", path).load().collect()
+    )}
+    assert got == {1: 5.0, 2: 7.0}
+    for e in _read_manifest(path, latest_version(path))["files"]:
+        assert set(pq.read_schema(os.path.join(path, e["path"])).names) == {"k", "x"}
+
+    set_check_constraint(spark, path, "score_pos", "score > 0")
+    before = latest_version(path)
+    # the violation surfaces wrapped in Spark's data-source error
+    with pytest.raises(Exception, match="score_pos|Constraint"):
+        spark.createDataFrame([(3, -1.0)], "k long, score double").write.format(
+            "skopje_versioned"
+        ).option("path", path).mode("append").save()
+    assert latest_version(path) == before  # nothing published
