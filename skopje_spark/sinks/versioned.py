@@ -1251,6 +1251,139 @@ def _attempt_rebase(
     )
 
 
+def _attempt_dv_rebase(
+    spark: SparkSession,
+    path: str,
+    *,
+    base_v: int,
+    base_files: list[dict],
+    counts: dict[str, int],
+    new_rels: list[str],
+    commit_meta: dict,
+    key_frame: DataFrame | None,
+    stats_key: str | None,
+    lock_timeout_s: float,
+    max_rebases: int = 5,
+) -> int:
+    """The deletion-vector twin of :func:`_attempt_rebase`: re-target
+    a lost DV-delete commit at the new latest when the race provably
+    cannot conflict. A DV delete stages only position sidecars
+    (``new_rels``) keyed by immutable pool-file basenames, so the
+    rebase re-runs the manifest entry rewrite over the NEW latest's
+    files — pure driver arithmetic. Conditions:
+
+    1-2. schema and CHECK constraints unchanged (as in the merge
+       rebase);
+    3. every file we vectorized (``counts``) appears in the latest
+       IDENTICAL to its base entry — a concurrent rewrite of such a
+       file would orphan our positions, a concurrent DV on it could
+       interleave ours incorrectly;
+    4. files ADDED since the base may contain rows our predicate
+       matches (serial order would delete them). Provable only for
+       KEY-FRAME deletes (the replica-sync shape): the key bounds
+       against the added files' footer stats. Predicate-string
+       deletes refuse whenever any file was added.
+
+    Delete-vs-delete races on disjoint files and delete-vs-merge
+    races away from our vectorized files all land metadata-only —
+    the hot contention shape for replica appliers."""
+    base_by_path = {e["path"]: e for e in base_files}
+    bounds: tuple | None = None
+    last: CommitConflict | None = None
+    for _ in range(max_rebases):
+        latest = latest_version(path)
+        if latest is None:
+            raise CommitConflict(
+                f"rebase refused: table at {path} has no committed version"
+            )
+        man_l = _read_manifest(path, latest)
+        base_man = _read_manifest(path, base_v)
+        if man_l["schema"] != base_man["schema"]:
+            raise CommitConflict(
+                "rebase refused: concurrent commit changed the table "
+                f"schema between v{base_v} and v{latest}"
+            )
+        if snapshot_meta(path, "constraints", version=latest) != snapshot_meta(
+            path, "constraints", version=base_v
+        ):
+            raise CommitConflict(
+                "rebase refused: concurrent commit changed CHECK "
+                f"constraints between v{base_v} and v{latest}"
+            )
+        l_by_base = {
+            os.path.basename(e["path"]): e for e in man_l["files"]
+        }
+        for e in base_files:
+            if counts.get(os.path.basename(e["path"]), 0):
+                cur = l_by_base.get(os.path.basename(e["path"]))
+                if cur != e:
+                    raise CommitConflict(
+                        "rebase refused: concurrent commit touched "
+                        f"vectorized file {e['path']}"
+                    )
+        added = [
+            e for e in man_l["files"] if e["path"] not in base_by_path
+        ]
+        if added:
+            if key_frame is None:
+                raise CommitConflict(
+                    "rebase refused: concurrent commit added "
+                    f"{len(added)} file(s) and a predicate delete "
+                    "cannot prove disjointness"
+                )
+            if bounds is None:
+                bounds = _key_bounds(key_frame, key_frame.columns[0])
+            lo, hi, has_nan, n_nonnull = bounds
+            if n_nonnull:
+                if (
+                    has_nan
+                    or not isinstance(lo, _STATS_SAFE)
+                    or not isinstance(hi, _STATS_SAFE)
+                ):
+                    raise CommitConflict(
+                        "rebase refused: delete keys not provably disjoint "
+                        "from concurrently added files"
+                    )
+                overlap, _ = _interval_split(
+                    added,
+                    stats_key if stats_key is not None else key_frame.columns[0],
+                    lo, hi,
+                )
+                if overlap:
+                    raise CommitConflict(
+                        f"rebase refused: {len(overlap)} concurrently added "
+                        "file(s) may contain delete keys"
+                    )
+        new_entries = []
+        for e in man_l["files"]:
+            n_hit = counts.get(os.path.basename(e["path"]), 0)
+            if not n_hit:
+                new_entries.append(e)
+                continue
+            dv_rows = int(e.get("dv_rows", 0)) + n_hit
+            if dv_rows >= e["rows"]:
+                continue  # every row deleted — drop the entry
+            e2 = dict(e)
+            e2["dv_files"] = list(e.get("dv_files", [])) + new_rels
+            e2["dv_rows"] = dv_rows
+            new_entries.append(e2)
+        meta2 = dict(commit_meta)
+        meta2["n_files_carried"] = str(len(new_entries))
+        meta2["rebased_onto"] = str(latest)
+        meta2["n_rebased_over"] = str(latest - base_v)
+        try:
+            return _commit_manifest(
+                path, man_l["schema"], new_entries, meta2, latest,
+                lock_timeout_s,
+            )
+        except CommitConflict as e:
+            last = e
+            continue
+    raise CommitConflict(
+        f"rebase at {path} lost {max_rebases} further races; last: {last}"
+    )
+
+
 def versioned_upsert(
     spark: SparkSession,
     path: str,
@@ -1797,6 +1930,7 @@ def versioned_delete(
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
     change_feed: bool = False,
+    rebase_on_conflict: bool = False,
 ) -> int:
     """DELETE as a merge-on-read commit — the Delta deletion-vector
     design: matching rows are recorded as (file, row-position) pairs in
@@ -1931,13 +2065,34 @@ def versioned_delete(
         cdc_rels = _stage_aux_files(cdc, path, kind="cdc")
         commit_meta["cdc_files"] = json.dumps(cdc_rels)
     commit_meta.update(meta or {})
-    return _commit_manifest(
-        path,
-        man["schema"],
-        new_entries,
-        commit_meta,
-        expected_version,
-        lock_timeout_s,
+    try:
+        return _commit_manifest(
+            path,
+            man["schema"],
+            new_entries,
+            commit_meta,
+            expected_version,
+            lock_timeout_s,
+        )
+    except CommitConflict:
+        if not rebase_on_conflict or not isinstance(expected_version, int):
+            raise
+        kf = condition if isinstance(condition, DataFrame) else None
+        return _attempt_dv_rebase(
+            spark,
+            path,
+            base_v=expected_version,
+            base_files=entries,
+            counts=counts,
+            new_rels=new_rels,
+            commit_meta=commit_meta,
+            key_frame=kf,
+            stats_key=(
+                mapping.get(kf.columns[0], kf.columns[0])
+                if kf is not None
+                else None
+            ),
+            lock_timeout_s=lock_timeout_s,
     )
 
 

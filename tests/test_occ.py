@@ -349,3 +349,68 @@ def test_append_rebase_commutes_with_any_commit(spark, tmp_path):
     rows = [r["v"] for r in versioned_read(spark, path).collect()]
     assert "theirs" in rows and "dup-ok" in rows and "new" in rows
     assert len(rows) == 82  # 80 base + 2 appended (k=3 duplicated verbatim)
+
+
+def test_dv_delete_rebase_on_disjoint_delete_race(spark, tmp_path):
+    """Two DV deletes racing on DIFFERENT files: the loser rebases
+    metadata-only and BOTH deletes are effective in the final
+    snapshot."""
+    from skopje_spark.sinks.versioned import snapshot_meta, versioned_delete
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)  # keys 0..79 in 8 range files
+    # interloper deletes from the low bucket -> v1
+    versioned_delete(spark, path, "k = 2")
+    # our delete, pinned to v0, targets the HIGH bucket -> rebase
+    v = versioned_delete(
+        spark, path, "k = 75",
+        expected_version=0, rebase_on_conflict=True,
+    )
+    assert v == 2
+    assert snapshot_meta(path, "rebased_onto", version=2) == "1"
+    keys = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert 2 not in keys and 75 not in keys and len(keys) == 78
+
+
+def test_dv_delete_rebase_keyframe_vs_append(spark, tmp_path):
+    """A KEY-FRAME delete (replica-apply shape) proves disjointness
+    against a concurrently appended file by stats and rebases; a
+    PREDICATE delete racing an append must refuse."""
+    from skopje_spark.sinks.versioned import versioned_append, versioned_delete
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    versioned_append(
+        spark, path, _df(spark, [(1000, "x")]).coalesce(1)
+    )                                                                   # v1
+    kf = spark.createDataFrame([(5,)], "k long")
+    v = versioned_delete(
+        spark, path, kf, expected_version=0, rebase_on_conflict=True
+    )
+    assert v == 2
+    keys = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert 5 not in keys and 1000 in keys
+
+    path2 = str(tmp_path / "t2")
+    _clustered(spark, path2)
+    versioned_append(spark, path2, _df(spark, [(1000, "x")]).coalesce(1))
+    with pytest.raises(CommitConflict, match="predicate delete"):
+        versioned_delete(
+            spark, path2, "k = 5",
+            expected_version=0, rebase_on_conflict=True,
+        )
+
+
+def test_dv_delete_rebase_refused_when_vectorized_file_touched(spark, tmp_path):
+    """An interloper that rewrote (or double-vectorized) the file our
+    delete pinned positions into makes the positions stale — refuse."""
+    from skopje_spark.sinks.versioned import versioned_delete, versioned_upsert
+
+    path = str(tmp_path / "t")
+    _clustered(spark, path)
+    versioned_upsert(spark, path, _df(spark, [(6, "theirs")]), ["k"])   # v1
+    with pytest.raises(CommitConflict, match="vectorized file"):
+        versioned_delete(
+            spark, path, "k = 5",
+            expected_version=0, rebase_on_conflict=True,
+        )
