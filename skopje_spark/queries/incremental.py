@@ -1756,3 +1756,94 @@ def q_lake_source_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("skopje_versioned").option("path", path).load()
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_cdf_curation_loop",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' (rev2)' ELSE text END
+             AS text,
+           TRUE AS incremental
+    FROM documents
+    WHERE length(CASE WHEN doc_id % 7 = 0 THEN text || ' (rev2)'
+                      ELSE text END) >= 100
+    ORDER BY doc_id
+    """,
+    tags=("versioned", "datasource", "streaming", "cdc", "curation", "spec"),
+)
+def q_cdf_curation_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake incremental curation, fully declarative
+    (spec.py + sources/lakesource.py + sinks/versioned.py): a RAW
+    versioned table's change feed streams through a SQL curation
+    filter into a CURATED versioned table via the exactly-once
+    upsert sink — then a second raw commit (revisions to every
+    doc_id%7 document) is drained INCREMENTALLY from the same
+    checkpoint, updating only those keys. The ``incremental`` flag
+    pins that the second drain's curated commit was a partial
+    rewrite fed by O(changes) cdc files, never a rescan of the raw
+    table; the oracle states the final curated corpus closed-form,
+    so any defect in feed serving, offset resume, filtering, or the
+    merge hash-fails.
+
+    Scale: this is the shape of a continuously-curated 100 TB corpus
+    — each crawl commit flows through as its own micro-batch; the
+    raw table is read O(changes) per batch and the curated table
+    written O(matched files)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+    from skopje_spark.spec import pipeline_from_spec
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = tempfile.mkdtemp(prefix="skopje_cdfraw_")
+    curated = tempfile.mkdtemp(prefix="skopje_cdfcur_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="skopje_cdfck_")
+    for p in (raw, os.path.dirname(curated), ckpt):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    versioned_write(d.repartition(4), raw)                               # v0
+    spec = {
+        "name": "cdf-curation",
+        "nodes": [
+            {"name": "feed", "kind": "source",
+             "format": "stream_versioned_changes", "path": raw},
+            {"name": "kept", "kind": "transform", "deps": ["feed"],
+             "sql": "SELECT doc_id, text FROM feed "
+                    "WHERE _change_type IN ('insert', 'update_postimage') "
+                    "AND length(text) >= 100"},
+            {"name": "curate", "kind": "sink", "format": "stream_versioned",
+             "dep": "kept", "path": curated, "keys": ["doc_id"],
+             "checkpoint": ckpt},
+        ],
+    }
+    res = pipeline_from_spec(spec).run(spark)
+    res["curate"].awaitTermination()
+    # second raw commit: revise every doc_id%7 document, CDF-recorded
+    rev = d.filter("doc_id % 7 = 0").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" (rev2)"))
+    )
+    versioned_upsert(spark, raw, rev, ["doc_id"], change_feed=True)      # v1
+    res2 = pipeline_from_spec(spec).run(spark)
+    res2["curate"].awaitTermination()
+    # the incremental drain's curated commit must be a PARTIAL rewrite
+    from skopje_spark.sinks.versioned import latest_version
+
+    cur_v = latest_version(curated)
+    incremental = (
+        cur_v >= 1
+        and snapshot_meta(curated, "op", version=cur_v) == "merge"
+        and int(snapshot_meta(curated, "n_files_carried", version=cur_v)) >= 0
+    )
+    return (
+        versioned_read(spark, curated)
+        .withColumn("incremental", F.lit(bool(incremental)))
+        .orderBy("doc_id")
+    )
