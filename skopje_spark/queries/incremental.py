@@ -1847,3 +1847,55 @@ def q_cdf_curation_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("incremental", F.lit(bool(incremental)))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_lake_stream_sink",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "datasource", "streaming", "writer", "lakeops"),
+)
+def q_lake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned store as a NATIVE streaming sink under the driver
+    gate (sources/lakesource.py:VersionedStreamWriter): a file stream
+    of order rows drains through ``writeStream.format(
+    "skopje_versioned")`` — every micro-batch an O(batch) append
+    commit gated by the per-stream batch ledger (a replayed batchId
+    drops its files instead of double-appending; ledger carried as a
+    table property across ALL commit kinds) — and the table reads
+    back exactly the streamed corpus.
+
+    Scale: continuous ingest writes O(batch) data + a kilobyte
+    manifest per trigger; exactly-once holds across crash/replay
+    because the ledger update and the data commit are one atomic
+    pointer swap."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import versioned_read
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 1000").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    src = tempfile.mkdtemp(prefix="skopje_lss_src_")
+    table = tempfile.mkdtemp(prefix="skopje_lss_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="skopje_lss_ck_")
+    for p in (src, os.path.dirname(table), ckpt):
+        atexit.register(shutil.rmtree, p, ignore_errors=True)
+    o.coalesce(2).write.mode("overwrite").json(src)
+    q = (
+        spark.readStream.schema("o_orderkey long, price double")
+        .option("maxFilesPerTrigger", "1").json(src)
+        .writeStream.format("skopje_versioned").option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return versioned_read(spark, table).orderBy("o_orderkey")

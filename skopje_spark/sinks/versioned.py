@@ -451,16 +451,21 @@ def _commit_manifest(
     carried forward verbatim, so CHECK constraints persist across
     every commit until :func:`drop_check_constraint` rewrites them."""
     meta = {"commit_ts": repr(time.time()), **(meta or {})}
-    if "constraints" not in meta:
+    # TABLE properties (not commit facts) carry forward verbatim until
+    # a commit explicitly rewrites them: CHECK constraints and the
+    # streaming-writer batch ledger
+    for prop in ("constraints", "stream_ledger"):
+        if prop in meta:
+            continue
         base = (
             expected_version
             if isinstance(expected_version, int)
             else latest_version(path)
         )
         if base is not None:
-            inherited = snapshot_meta(path, "constraints", version=base)
+            inherited = snapshot_meta(path, prop, version=base)
             if inherited is not None:
-                meta["constraints"] = inherited
+                meta[prop] = inherited
     os.makedirs(path, exist_ok=True)
     if expected_version is not _UNGUARDED:
         staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")

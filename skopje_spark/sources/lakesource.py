@@ -49,6 +49,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -305,6 +306,11 @@ class VersionedTableDataSource(DataSource):
     ) -> "VersionedTableWriter":
         return VersionedTableWriter(schema, dict(self.options), overwrite)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "VersionedStreamWriter":
+        return VersionedStreamWriter(schema, dict(self.options))
+
 
 @dataclass
 class _PooledFile(WriterCommitMessage):
@@ -456,6 +462,112 @@ class VersionedTableWriter(DataSourceArrowWriter):
     def abort(self, messages) -> None:
         # drop this job's pooled files eagerly (vacuum would collect
         # them anyway — they are referenced by no manifest)
+        for m in messages or []:
+            if m and m.entry:
+                try:
+                    os.unlink(os.path.join(self.path, m.entry["path"]))
+                except OSError:
+                    pass
+
+
+class VersionedStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once STREAMING appends into the versioned store —
+    ``df.writeStream.format("skopje_versioned")``. Each micro-batch's
+    tasks stream Arrow batches into pool files (the batch writer's
+    write path, unreferenced until commit); the driver commit is
+    gated by a per-stream BATCH LEDGER carried as a table property:
+    the ``stream_ledger`` marker maps ``streamId`` → last committed
+    batchId, so a replayed micro-batch (crash between sink commit and
+    checkpoint advance) is recognized and its files dropped instead
+    of double-appended — the same in-commit-ledger idea as
+    ``versioned_stream_upsert``, surfaced through Spark's native
+    streaming sink contract. Racing commits from OTHER writers
+    resolve by the append-commute CAS retry.
+
+    Two different queries writing one table must set distinct
+    ``streamId`` options (default ``"default"``) — the ledger is
+    per-stream, exactly like separate consumer groups."""
+
+    def __init__(self, schema: StructType, options: dict[str, str]) -> None:
+        self._w = VersionedTableWriter(schema, options, overwrite=False)
+        self.path = self._w.path
+        self.stream_id = options.get("streamid", "default")
+
+    def write(self, iterator) -> "_PooledFile":
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyspark.sql import SparkSession
+
+        from skopje_spark.sinks.versioned import (
+            CommitConflict,
+            _commit_manifest,
+            _enforce_constraints,
+            _read_manifest,
+            latest_version,
+            snapshot_meta,
+        )
+
+        entries = [m.entry for m in messages if m and m.entry]
+
+        def _drop_staged() -> None:
+            for e in entries:
+                try:
+                    os.unlink(os.path.join(self.path, e["path"]))
+                except OSError:
+                    pass
+
+        base = latest_version(self.path)
+        if base is not None:
+            ledger = json.loads(
+                snapshot_meta(self.path, "stream_ledger", version=base)
+                or "{}"
+            )
+            last = ledger.get(self.stream_id)
+            if last is not None and int(last) >= batchId:
+                _drop_staged()  # replayed micro-batch: already landed
+                return
+        if entries:
+            spark = (
+                SparkSession.getActiveSession()
+                or SparkSession.builder.getOrCreate()
+            )
+            _enforce_constraints(spark, self.path, entries, self._w.map)
+        for _ in range(16):
+            base = latest_version(self.path)
+            if base is None:
+                files = entries
+                schema_json = self._w.schema_json
+                ledger = {}
+            else:
+                man = _read_manifest(self.path, base)
+                files = man["files"] + entries
+                schema_json = man["schema"]
+                ledger = json.loads(
+                    snapshot_meta(self.path, "stream_ledger", version=base)
+                    or "{}"
+                )
+                if int(ledger.get(self.stream_id, -1)) >= batchId:
+                    _drop_staged()  # raced our own replay — already landed
+                    return
+            ledger[self.stream_id] = batchId
+            try:
+                _commit_manifest(
+                    self.path, schema_json, files,
+                    {"op": "stream_append", "batch_id": str(batchId),
+                     "stream_ledger": json.dumps(ledger, sort_keys=True),
+                     "n_files_appended": str(len(entries)),
+                     "n_files_rewritten": "0"},
+                    base, 600.0,
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"stream writer at {self.path} lost 16 consecutive races"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
             if m and m.entry:
                 try:

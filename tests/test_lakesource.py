@@ -299,3 +299,85 @@ def test_writer_respects_rename_and_constraints(spark, lake):
             "skopje_versioned"
         ).option("path", path).mode("append").save()
     assert latest_version(path) == before  # nothing published
+
+
+def test_stream_writer_exactly_once_ledger(spark, lake, tmp_path):
+    """writeStream.format("skopje_versioned"): micro-batches append
+    O(batch) commits with a per-stream batch ledger carried as a
+    table property; a REPLAYED batchId drops its staged files instead
+    of double-appending, and the ledger survives interleaved
+    non-stream commits."""
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    from skopje_spark.sinks.versioned import (
+        latest_version,
+        snapshot_meta,
+        versioned_upsert,
+    )
+    from skopje_spark.sources.lakesource import VersionedStreamWriter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    table = os.path.join(lake, "t")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, v string").json(str(src))
+            .writeStream.format("skopje_versioned").option("path", table)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert versioned_read(spark, table).count() == 2
+    assert snapshot_meta(table, "op", version=0) == "stream_append"
+    (src / "b.json").write_text('{"k": 3, "v": "c"}\n')
+    drain()
+    assert versioned_read(spark, table).count() == 3
+    assert _json.loads(
+        snapshot_meta(table, "stream_ledger", version=latest_version(table))
+    ) == {"default": 1}
+
+    # an interleaved NON-stream commit must not lose the ledger
+    versioned_upsert(
+        spark, table,
+        spark.createDataFrame([(3, "C")], "k long, v string"), ["k"],
+    )
+    assert _json.loads(
+        snapshot_meta(table, "stream_ledger", version=latest_version(table))
+    ) == {"default": 1}
+
+    # replay: same batchId committed twice lands once
+    sch = ST([StructField("k", LongType()), StructField("v", StringType())])
+    w = VersionedStreamWriter(sch, {"path": table})
+    batch = pa.record_batch({"k": pa.array([9], pa.int64()),
+                             "v": pa.array(["z"])})
+    w.commit([w.write(iter([batch]))], 2)
+    n, v = versioned_read(spark, table).count(), latest_version(table)
+    w.commit([w.write(iter([batch]))], 2)  # replay
+    assert versioned_read(spark, table).count() == n
+    assert latest_version(table) == v
+    # the replay's staged pool file was dropped, not orphaned
+    pool = os.path.join(table, "data")
+    from skopje_spark.sinks.versioned import _read_manifest
+
+    referenced = {
+        os.path.basename(e["path"])
+        for e in _read_manifest(table, v)["files"]
+    }
+    on_disk_data = {
+        f for f in os.listdir(pool)
+        if f.endswith(".parquet") and "-w" in f
+    }
+    assert on_disk_data <= referenced | {
+        os.path.basename(e["path"])
+        for vv in range(v + 1)
+        for e in _read_manifest(table, vv)["files"]
+    }
