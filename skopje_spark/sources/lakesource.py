@@ -731,3 +731,35 @@ class VersionedChangesDataSource(DataSource):
         self, schema: StructType
     ) -> VersionedChangesStreamReader:
         return VersionedChangesStreamReader(schema, dict(self.options))
+
+
+def attach_versioned(
+    spark,
+    name: str,
+    path: str,
+    *,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+) -> None:
+    """Register a versioned table under a SQL name so the whole
+    ``spark.sql`` surface — joins, CTEs, window functions, the entire
+    delegated-SQL tier — composes with the lake without any function
+    imports: ``attach_versioned(spark, "docs", path)`` then
+    ``spark.sql("SELECT ... FROM docs JOIN other ...")``. The view
+    reads through the connector (manifest-planned splits, pushFilters
+    pruning, DV/rename/evolution handling), and pinning ``version``/
+    ``as_of_ts`` attaches a time-traveled snapshot under its own
+    name — the SQL spelling of ``VERSION AS OF``.
+
+    The attachment captures the snapshot resolution at call time the
+    way the connector does (latest when unpinned is re-resolved per
+    query planning, since the view re-invokes the source)."""
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    r = spark.read.format("skopje_versioned").option("path", path)
+    if version is not None:
+        r = r.option("versionAsOf", str(version))
+    if as_of_ts is not None:
+        r = r.option("timestampAsOf", repr(float(as_of_ts)))
+    r.load().createOrReplaceTempView(name)

@@ -381,3 +381,27 @@ def test_stream_writer_exactly_once_ledger(spark, lake, tmp_path):
         for vv in range(v + 1)
         for e in _read_manifest(table, vv)["files"]
     }
+
+
+def test_attach_versioned_sql_surface(spark, lake):
+    """attach_versioned: versioned tables join plain SQL — including a
+    time-traveled attachment under its own name."""
+    from skopje_spark.sources.lakesource import attach_versioned
+
+    path = os.path.join(lake, "t")
+    _mk_table(spark, path, n=10, files=2)
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(3, "NEW", 0.0)], "k long, v string, x double"),
+        ["k"],
+    )
+    attach_versioned(spark, "cur", path)
+    attach_versioned(spark, "orig", path, version=0)
+    got = spark.sql(
+        """
+        SELECT c.k, c.v AS now_v, o.v AS then_v
+        FROM cur c JOIN orig o USING (k)
+        WHERE c.v <> o.v
+        """
+    ).collect()
+    assert [(r["k"], r["now_v"], r["then_v"]) for r in got] == [(3, "NEW", "r3")]
