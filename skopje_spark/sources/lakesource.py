@@ -183,17 +183,21 @@ def _read_entry_arrow(
     t = pq.read_table(os.path.join(table_dir, rel_path))
     if dv_files:
         base = os.path.basename(rel_path)
-        dead: set[int] = set()
+        mask = np.ones(t.num_rows, dtype=bool)
+        hit = False
         for dv in dv_files:
+            # row-group pushdown on the file id, numpy positions —
+            # a mass-delete's vectors never become Python objects
             dvt = pq.read_table(
-                os.path.join(table_dir, dv), columns=["__file", "__pos"]
+                os.path.join(table_dir, dv),
+                columns=["__pos"],
+                filters=[("__file", "==", base)],
             )
-            files = dvt.column("__file").to_pylist()
-            poss = dvt.column("__pos").to_pylist()
-            dead.update(p for f, p in zip(files, poss) if f == base)
-        if dead:
-            mask = np.ones(t.num_rows, dtype=bool)
-            mask[np.fromiter(dead, dtype=np.int64)] = False
+            pos = dvt.column("__pos").to_numpy(zero_copy_only=False)
+            if len(pos):
+                mask[pos.astype(np.int64)] = False
+                hit = True
+        if hit:
             t = t.filter(pa.array(mask))
     target = to_arrow_schema(logical)
     cols = []
