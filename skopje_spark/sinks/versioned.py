@@ -409,21 +409,130 @@ def _enforce_constraints(
         )
 
 
+# expected file entries per manifest segment (content-defined cuts,
+# so the EXPECTED size is this; actual segments vary around it)
+_SEG_TARGET = 2000
+
+
+def _seg_cut(path_str: str) -> bool:
+    """Content-defined segment boundary: an entry STARTS a new segment
+    when its path hashes to 0 mod the target size. Because the cut
+    depends only on the entry's own path — never its position — adding
+    or removing one entry re-chunks only the segment it lives in;
+    every other segment keeps its exact byte content and therefore its
+    content hash (the FastCDC idea applied to manifest rows)."""
+    import hashlib
+
+    return (
+        int(hashlib.sha256(path_str.encode()).hexdigest()[:8], 16)
+        % _SEG_TARGET
+        == 0
+    )
+
+
+def _write_segments(table: str, entries: list[dict]) -> list[dict]:
+    """Store ``entries`` as content-addressed manifest SEGMENT files in
+    the table's pool and return the segment references. A segment's
+    file name is the sha256 of its canonical JSON, so a segment whose
+    entries did not change since the last commit resolves to a file
+    that ALREADY EXISTS and is reused by reference — commits write
+    O(changed segments), not O(table files). This is the two-level
+    Iceberg manifest-list design: at ~2000 entries/segment a 100 TB
+    table (~800k files) carries ~400 segment refs per version, and a
+    narrow MERGE rewrites one or two segment files plus the kilobyte
+    version manifest instead of re-serializing 800k entries.
+
+    Entries are sorted by path first — commit code paths assemble
+    (carried + new) in varying orders, and a canonical order is what
+    lets unchanged regions re-hash identically. Each reference also
+    carries the segment's row total and per-column min/max AGGREGATE
+    stats (folded only over columns every member entry has stats
+    for), so future readers can prune whole segments from the
+    kilobyte refs without opening them."""
+    import hashlib
+
+    entries = sorted(entries, key=lambda e: e["path"])
+    chunks: list[list[dict]] = []
+    cur: list[dict] = []
+    for e in entries:
+        if cur and _seg_cut(e["path"]):
+            chunks.append(cur)
+            cur = []
+        cur.append(e)
+    if cur:
+        chunks.append(cur)
+    pool = os.path.join(table, _DATA_DIR)
+    os.makedirs(pool, exist_ok=True)
+    refs: list[dict] = []
+    for chunk in chunks:
+        payload = json.dumps(chunk, sort_keys=True, separators=(",", ":"))
+        h = hashlib.sha256(payload.encode()).hexdigest()[:32]
+        rel = f"{_DATA_DIR}/seg-{h}.json"
+        full = os.path.join(table, rel)
+        if not os.path.exists(full):
+            tmp = f"{full}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, full)  # atomic; identical content if raced
+        # segment-level aggregate stats: a column contributes only when
+        # every member entry has usable stats for it
+        agg: dict[str, dict] = {}
+        first = chunk[0].get("stats") or {}
+        for col, st in first.items():
+            mn, mx = st.get("min"), st.get("max")
+            ok = mn is not None and mx is not None
+            for e in chunk[1:]:
+                st2 = (e.get("stats") or {}).get(col)
+                if not ok or st2 is None:
+                    ok = False
+                    break
+                m2, x2 = st2.get("min"), st2.get("max")
+                if m2 is None or x2 is None:
+                    ok = False
+                    break
+                mn, mx = min(mn, m2), max(mx, x2)
+            if ok:
+                agg[col] = {"min": mn, "max": mx}
+        refs.append(
+            {
+                "path": rel,
+                "n": len(chunk),
+                "rows": sum(int(e.get("rows", 0)) for e in chunk),
+                "stats": agg,
+            }
+        )
+    return refs
+
+
 def _write_manifest_dir(
     target: str, schema_json: dict, entries: list[dict],
     meta: dict[str, str] | None,
 ) -> None:
     os.makedirs(target, exist_ok=True)
+    table = os.path.dirname(os.path.abspath(target))
+    segs = _write_segments(table, entries)
     with open(os.path.join(target, _MANIFEST_NAME), "w") as f:
-        json.dump({"schema": schema_json, "files": entries}, f)
+        json.dump({"schema": schema_json, "segments": segs}, f)
     for k, v in (meta or {}).items():
         with open(os.path.join(target, f"_meta_{k}"), "w") as f:
             f.write(str(v))
 
 
 def _read_manifest(path: str, version: int) -> dict:
+    """Materialize a version's manifest: schema + the FLAT entry list
+    (segments resolved transparently; pre-segment manifests carried a
+    flat ``files`` array and read unchanged). Entries come back sorted
+    by path — the canonical order segments are cut in."""
     with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
-        return json.load(f)
+        man = json.load(f)
+    if "files" in man:
+        return man
+    files: list[dict] = []
+    for ref in man["segments"]:
+        with open(os.path.join(path, ref["path"])) as f:
+            files.extend(json.load(f))
+    man["files"] = files
+    return man
 
 
 def _commit_manifest(
@@ -2667,10 +2776,17 @@ def vacuum(
                     shutil.rmtree(vdir, ignore_errors=True)
             except FileNotFoundError:
                 pass
-    # ref-count the pool across every RETAINED manifest
+    # ref-count the pool across every RETAINED manifest — data files,
+    # DV sidecars, AND the manifest segment files themselves (they are
+    # content-addressed pool citizens shared across versions)
     referenced: set[str] = set()
     for v in keep_set:
         try:
+            raw_path = os.path.join(path, f"v={v}", _MANIFEST_NAME)
+            with open(raw_path) as f:
+                raw = json.load(f)
+            for ref in raw.get("segments", []):
+                referenced.add(os.path.basename(ref["path"]))
             for e in _read_manifest(path, v)["files"]:
                 referenced.add(os.path.basename(e["path"]))
                 for p in e.get("dv_files", []):  # deletion-vector sidecars

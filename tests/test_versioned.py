@@ -165,10 +165,23 @@ def test_vacuum_keep_window_ignores_residue_and_refcounts_pool(spark, tmp_path):
     assert versioned_read(spark, path).count() == 1
     kept_pool = {f"{_DATA_DIR}/{f}" for f in _os.listdir(pool)}
     assert v3_files <= kept_pool
-    # v0/v1's files (unreferenced + aged) are gone from the pool
-    assert len(kept_pool) == len(
+    # v0/v1's files (unreferenced + aged) are gone from the pool;
+    # retained versions' manifest SEGMENT files survive the ref-count,
+    # vacuumed versions' segments go with them
+    kept_data = {p for p in kept_pool if not p.endswith(".json")}
+    kept_segs = {p for p in kept_pool if p.endswith(".json")}
+    assert kept_data == (
         {e["path"] for e in _read_manifest(path, 2)["files"]} | v3_files
     )
+    referenced_segs = set()
+    for v in (2, 3):
+        with open(_os.path.join(path, f"v={v}", "_MANIFEST.json")) as f:
+            import json as _json
+
+            referenced_segs |= {
+                r["path"] for r in _json.load(f)["segments"]
+            }
+    assert kept_segs == referenced_segs
 
 
 def test_vacuum_age_gate_protects_fresh_orphans(spark, tmp_path):
@@ -640,13 +653,18 @@ def test_delete_vectors_rewrite_nothing_and_read_applies(spark, tmp_path):
     )
     versioned_write(df.repartitionByRange(4, "k"), path)
     pool = _os.path.join(path, _DATA_DIR)
-    data_before = {f for f in _os.listdir(pool) if not f.startswith("dv-")}
+    data_before = {
+        f for f in _os.listdir(pool)
+        if not f.startswith(("dv-", "seg-"))  # seg-* = manifest metadata
+    }
 
     v1 = versioned_delete(spark, path, "k % 10 = 3")
     assert snapshot_meta(path, "op", version=v1) == "delete"
     assert snapshot_meta(path, "n_files_rewritten", version=v1) == "0"
     assert snapshot_meta(path, "n_rows_deleted", version=v1) == "10"
-    data_after = {f for f in _os.listdir(pool) if not f.startswith("dv-")}
+    data_after = {
+        f for f in _os.listdir(pool) if not f.startswith(("dv-", "seg-"))
+    }
     assert data_after == data_before  # no data file written or removed
     got = sorted(r["k"] for r in versioned_read(spark, path).collect())
     assert got == [i for i in range(100) if i % 10 != 3]
@@ -1577,3 +1595,44 @@ def test_rename_refusals_and_name_reuse(spark, tmp_path):
         for r in versioned_read(spark, path).collect()
     }
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_manifest_segments_reused_across_commits(spark, tmp_path, monkeypatch):
+    """Two-level manifests: a version stores content-addressed SEGMENT
+    files; a narrow merge re-hashes only the segment(s) holding its
+    rewritten entries, every other segment is reused by reference —
+    commit serialization cost is O(changed segments), not O(table
+    files). Content stays exact throughout."""
+    import json as _json
+    import os as _os
+
+    import skopje_spark.sinks.versioned as V
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)  # tiny segments for the test
+    path = str(tmp_path / "seg")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(80)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(16, "k").sortWithinPartitions("k"), path
+    )
+
+    def seg_refs(v):
+        with open(_os.path.join(path, f"v={v}", "_MANIFEST.json")) as f:
+            return {r["path"] for r in _json.load(f)["segments"]}
+
+    s0 = seg_refs(0)
+    assert len(s0) >= 3  # the table actually spans several segments
+    upd = spark.createDataFrame([(3, "NEW")], "k long, v string")
+    versioned_upsert(spark, path, upd, ["k"])
+    s1 = seg_refs(1)
+    # the narrow merge reused all but a couple of segments
+    assert len(s0 & s1) >= len(s0) - 2
+    assert s1 != s0
+    # segment refs carry aggregate stats usable for pruning
+    with open(_os.path.join(path, "v=1", "_MANIFEST.json")) as f:
+        refs = _json.load(f)["segments"]
+    assert all("stats" in r and r["n"] >= 1 for r in refs)
+    assert any("k" in r["stats"] for r in refs)
+    got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got[3] == "NEW" and len(got) == 80
