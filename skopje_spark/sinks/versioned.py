@@ -535,6 +535,46 @@ def _read_manifest(path: str, version: int) -> dict:
     return man
 
 
+def _pruned_manifest_entries(
+    path: str, version: int, stats_col: str, lo, hi
+) -> tuple[list[dict], dict, int, int]:
+    """Two-level manifest pruning for point/range reads: open ONLY the
+    segment files whose ref-level aggregate [min, max] on
+    ``stats_col`` can intersect [lo, hi] — a narrow lookup on a
+    clustered 800k-file table parses a handful of kilobyte segments,
+    not the whole manifest. Segments without usable aggregate stats
+    (legacy flat manifests, stat-less columns, NaN folds) are opened
+    conservatively; per-entry pruning then re-filters, so the result
+    feeding :func:`_interval_split` is identical to the full read.
+    Returns (entries, schema_json, segments_opened, segments_total)."""
+    with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
+        man = json.load(f)
+    if "files" in man:
+        return man["files"], man["schema"], 1, 1
+    out: list[dict] = []
+    opened = 0
+    for ref in man["segments"]:
+        st = (ref.get("stats") or {}).get(stats_col)
+        if st is not None:
+            mn, mx = st.get("min"), st.get("max")
+            usable = (
+                mn is not None
+                and mx is not None
+                and not _stat_nan(mn)
+                and not _stat_nan(mx)
+            )
+            if usable:
+                try:
+                    if mx < lo or mn > hi:
+                        continue  # proven disjoint: never opened
+                except TypeError:
+                    pass  # cross-type compare proves nothing
+        opened += 1
+        with open(os.path.join(path, ref["path"])) as f:
+            out.extend(json.load(f))
+    return out, man["schema"], opened, len(man["segments"])
+
+
 def _commit_manifest(
     path: str,
     schema_json: dict,
@@ -1105,13 +1145,18 @@ def versioned_pruned_read(
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
     v = committed if version is None else version
-    man = _read_manifest(path, v)
-    schema = StructType.fromJson(man["schema"])
-    # footer stats are keyed by the PHYSICAL column name (stable
-    # across renames); the residual predicate stays logical because
-    # _read_entries aliases back before it applies
+    # two-level pruning: ref-level aggregate stats skip whole manifest
+    # segments unopened (O(matching segments) driver JSON), then
+    # per-entry footer stats skip files within the opened segments.
+    # Physical column name throughout (stable across renames); the
+    # residual predicate stays logical because _read_entries aliases
+    # back before it applies.
+    with open(os.path.join(path, f"v={v}", _MANIFEST_NAME)) as f:
+        schema_json = json.load(f)["schema"]
+    schema = StructType.fromJson(schema_json)
     phys_col = _schema_mapping(schema).get(col, col)
-    cand, _ = _interval_split(man["files"], phys_col, lo, hi)
+    entries, _, _, _ = _pruned_manifest_entries(path, v, phys_col, lo, hi)
+    cand, _ = _interval_split(entries, phys_col, lo, hi)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     return _read_entries(spark, path, cand, schema).filter(pred)
 

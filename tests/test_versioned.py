@@ -1636,3 +1636,31 @@ def test_manifest_segments_reused_across_commits(spark, tmp_path, monkeypatch):
     assert any("k" in r["stats"] for r in refs)
     got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
     assert got[3] == "NEW" and len(got) == 80
+
+
+def test_pruned_read_skips_whole_segments(spark, tmp_path, monkeypatch):
+    """Two-level read pruning: a narrow range over a clustered table
+    opens only the manifest segments whose ref-level aggregate stats
+    can match — the rest are never parsed — and the rows are exact."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import (
+        _pruned_manifest_entries,
+        versioned_pruned_read,
+    )
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "segp")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(200)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(20, "k").sortWithinPartitions("k"), path
+    )
+    entries, _, opened, total = _pruned_manifest_entries(path, 0, "k", 50, 55)
+    assert total >= 4 and opened < total  # segments skipped unopened
+    # the opened segments still hold every candidate file
+    got = {
+        r["k"]
+        for r in versioned_pruned_read(spark, path, "k", 50, 55).collect()
+    }
+    assert got == set(range(50, 56))
