@@ -414,3 +414,50 @@ def test_dv_delete_rebase_refused_when_vectorized_file_touched(spark, tmp_path):
             spark, path, "k = 5",
             expected_version=0, rebase_on_conflict=True,
         )
+
+
+def test_racing_disjoint_range_writers_rebase_under_contention(spark, tmp_path):
+    """6 writers racing on DISJOINT key ranges of a clustered table
+    with rebase enabled (the default): every update lands, versions
+    serialize consecutively, content is the serial union — and the
+    rebase path itself is exercised under real thread contention
+    (any lost race that rebased recorded its marker)."""
+    from skopje_spark.sinks.versioned import snapshot_meta
+
+    path = str(tmp_path / "t")
+    rows = [(i, f"base{i}") for i in range(60)]
+    versioned_write(
+        spark.createDataFrame(rows, "k long, v string")
+        .repartitionByRange(6, "k").sortWithinPartitions("k"),
+        path,
+    )
+    errors = []
+
+    def worker(i: int) -> None:
+        try:
+            upd = spark.createDataFrame(
+                [(i * 10 + j, f"w{i}") for j in range(3)], "k long, v string"
+            )
+            versioned_merge_concurrent(
+                spark, path, upd, ["k"], max_retries=16, backoff_s=0.05
+            )
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert latest_version(path) == 6
+    got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert len(got) == 60
+    for i in range(6):
+        for j in range(3):
+            assert got[i * 10 + j] == f"w{i}"
+    # rebase observability: any commit that rebased carries its markers
+    for v in range(1, 7):
+        onto = snapshot_meta(path, "rebased_onto", version=v)
+        if onto is not None:
+            assert int(onto) == v - 1
