@@ -378,3 +378,76 @@ SELECT {id_col}, text_clean, n_lines, n_lines_kept, has_lorem, has_brace,
         AND len(regexp_extract_all(text_clean, '{_C4_SENTENCE}')) >= {p["min_sentences"]}) AS keep_page
 FROM m
 """
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "host",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+    min_chars: int = 4,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-group BOILERPLATE line removal — the crawl-curation step
+    that strips site chrome (nav bars, cookie banners, copyright
+    footers) the page-level quality filters cannot see: a line is
+    boilerplate for a group (host/site/``source``) when it appears in
+    at least ``min_docs`` documents AND at least ``min_frac`` of the
+    group's documents. Matching is on the TRIMMED line; lines shorter
+    than ``min_chars`` after trimming are never candidates (blank
+    separators and bullets stay). Returns (id, group, text) with the
+    surviving lines rejoined in original order — a document whose
+    every line was boilerplate comes back as an empty string, not a
+    dropped row.
+
+    Scale shape: one posexplode to (doc, position, line) — O(corpus
+    lines), the same fan-out every line-rule filter pays; the
+    boilerplate DICTIONARY is one count-distinct groupBy on (group,
+    line) joined against per-group doc totals — output is tiny (only
+    lines crossing min_docs survive the having-clause) and the strip
+    is a left-anti equi-join on (group, trimmed line) that AQE
+    broadcasts at real scale. Reassembly sorts each document's kept
+    lines inside one higher-order expression (array_sort of
+    (pos, line) structs), never a per-doc window. No pairing, no
+    per-host single tasks — a skewed giant host costs one hot
+    aggregation key, not a hot task."""
+    lines = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__norm", F.trim(F.col("__line")))
+    totals = docs.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("__gdocs")
+    )
+    boiler = (
+        lines.filter(F.length("__norm") >= min_chars)
+        .groupBy(group_col, "__norm")
+        .agg(F.countDistinct(id_col).alias("__n"))
+        .join(totals, group_col)
+        .filter(
+            (F.col("__n") >= F.lit(min_docs))
+            & (F.col("__n") >= F.col("__gdocs") * F.lit(min_frac))
+        )
+        .select(group_col, "__norm")
+    )
+    kept = lines.join(boiler, [group_col, "__norm"], "left_anti")
+    rebuilt = kept.groupBy(id_col, group_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col)
+    )
+    # fully-boilerplate documents come back empty, never dropped
+    return (
+        docs.select(id_col, group_col)
+        .join(rebuilt, [id_col, group_col], "left")
+        .fillna({text_col: ""})
+    )

@@ -309,3 +309,59 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_stopwords",
         "keep",
     ).orderBy("doc_id")
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle="""
+    SELECT doc_id,
+           'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+           CASE WHEN doc_id % 10 = 0
+                THEN text || chr(10) || 'PROMO SPECIAL OFFER TODAY'
+                ELSE text END AS text
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("webtext", "boilerplate", "curation"),
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate removal (operators/webtext.py:
+    boilerplate_strip): pages are synthesized with a host-wide NAV
+    header and copyright footer around each document's real text
+    (plus a rare PROMO line on every 10th doc), and the operator must
+    strip exactly the host-frequent chrome — the oracle states the
+    surviving text closed-form, so over- OR under-stripping
+    hash-fails. The PROMO line (~10% of a host's docs, above
+    min_docs but below min_frac) pins the AND of the two thresholds.
+
+    Scale: one posexplode + one count-distinct aggregation + one
+    anti-join; the boilerplate dictionary is tiny by construction
+    (only lines crossing min_docs survive), reassembly is a
+    higher-order array_sort, never a per-doc window."""
+    from skopje_spark.operators.webtext import boilerplate_strip
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = (
+        d.withColumn(
+            "host",
+            F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .withColumn(
+            "page",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("NAV HOME ABOUT CONTACT "), F.col("host")),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.lit("PROMO SPECIAL OFFER TODAY"),
+                ),
+                F.concat(F.lit("(c) "), F.col("host"), F.lit(" all rights")),
+            ),
+        )
+        .select("doc_id", "host", F.col("page").alias("text"))
+    )
+    return boilerplate_strip(
+        pages, id_col="doc_id", group_col="host", text_col="text",
+        min_frac=0.5, min_docs=3, min_chars=4,
+    ).orderBy("doc_id")

@@ -218,3 +218,62 @@ def test_c4_line_filter_rules_and_oracle_identity(spark):
     assert list(sp.columns) == list(dd.columns)
     for c in sp.columns:
         assert (sp[c].values == dd[c].values).all(), c
+
+
+def test_boilerplate_strip_per_group(spark):
+    """Frequent lines strip per group; rare lines, short lines, and
+    other groups' boilerplate survive; order is preserved; a fully-
+    boilerplate doc returns empty, not dropped."""
+    from skopje_spark.operators.webtext import boilerplate_strip
+
+    rows = []
+    for i in range(6):
+        body = [f"NAV HOME ABOUT", f"unique body {i}"]
+        if i == 0:
+            body.append("PROMO ONLY ONCE")
+        body.append("(c) site-a rights")
+        rows.append((i, "a", "\n".join(body)))
+    # group b shares none of a's chrome; its own footer is frequent
+    for i in range(6, 9):
+        rows.append((i, "b", f"NAV HOME ABOUT\nbody {i}"))
+    # doc that is ALL boilerplate in group a
+    rows.append((9, "a", "NAV HOME ABOUT\n(c) site-a rights"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_strip(
+            df, min_frac=0.5, min_docs=3, min_chars=4
+        ).collect()
+    }
+    assert out[0] == "unique body 0\nPROMO ONLY ONCE"
+    for i in range(1, 6):
+        assert out[i] == f"unique body {i}"
+    # group b: NAV line is frequent there too (3/3 docs) -> stripped
+    for i in range(6, 9):
+        assert out[i] == f"body {i}"
+    assert out[9] == ""  # all-boilerplate doc kept as empty
+    assert len(out) == 10
+
+
+def test_boilerplate_strip_thresholds_and_short_lines(spark):
+    """min_docs gates small groups; sub-min_chars lines are never
+    candidates however frequent."""
+    from skopje_spark.operators.webtext import boilerplate_strip
+
+    rows = [
+        (1, "c", "HEADER LINE\n--\nbody one"),
+        (2, "c", "HEADER LINE\n--\nbody two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    # min_docs=3 > group size: nothing strips
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_strip(df, min_docs=3).collect()
+    }
+    assert out[1] == "HEADER LINE\n--\nbody one"
+    # min_docs=2: HEADER strips, the 2-char "--" separator survives
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_strip(df, min_docs=2, min_chars=4).collect()
+    }
+    assert out2[1] == "--\nbody one" and out2[2] == "--\nbody two"
