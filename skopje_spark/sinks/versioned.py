@@ -2478,8 +2478,13 @@ def versioned_change_feed(
                 "slowest consumer's cursor."
             )
         op = snapshot_meta(path, "op", version=v) or ""
-        if op == "compact":
-            continue  # physical motion, zero logical changes
+        if op in ("compact", "rename_column", "set_constraint",
+                  "drop_constraint"):
+            # physical motion or metadata-only property change: zero
+            # logical row changes (rename serves each range in its
+            # as-recorded schema — consumers spanning a rename map
+            # old names themselves, per versioned_rename_column)
+            continue
         cdc_json = snapshot_meta(path, "cdc_files", version=v)
         if v == 0:
             frame = versioned_read(spark, path, version=0).withColumn(

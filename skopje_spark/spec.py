@@ -182,6 +182,7 @@ def _op_registry() -> dict:
     from pyspark.sql import functions as _F
 
     from skopje_spark.operators.webtext import (
+        boilerplate_strip,
         c4_line_filter,
         canonical_url,
         gopher_quality_flags,
@@ -227,6 +228,7 @@ def _op_registry() -> dict:
         "url_canonicalize": (1, _url_canon),
         "gopher_quality_flags": (1, gopher_quality_flags),
         "c4_line_filter": (1, c4_line_filter),
+        "boilerplate_strip": (1, boilerplate_strip),
         # persisted-model quality scoring (classifier.logreg_model_write)
         "quality_score": (1, _quality_score),
     }

@@ -1664,3 +1664,26 @@ def test_pruned_read_skips_whole_segments(spark, tmp_path, monkeypatch):
         for r in versioned_pruned_read(spark, path, "k", 50, 55).collect()
     }
     assert got == set(range(50, 56))
+
+
+def test_change_feed_skips_metadata_only_commits(spark, tmp_path):
+    """A rename or CHECK-constraint commit contributes ZERO rows to
+    the change feed — consumers never need the O(table) keys
+    fallback to cross one."""
+    from skopje_spark.sinks.versioned import (
+        set_check_constraint,
+        versioned_change_feed,
+        versioned_rename_column,
+    )
+
+    path = str(tmp_path / "cfm")
+    versioned_write(_kv(spark, [(1, "a")]), path)                      # v0
+    versioned_rename_column(path, "v", "val")                          # v1
+    set_check_constraint(spark, path, "k_pos", "k > 0")                # v2
+    upd = spark.createDataFrame([(2, "b")], "k long, val string")
+    versioned_upsert(spark, path, upd, ["k"], change_feed=True)        # v3
+    # NO keys argument: the metadata-only commits must not demand one
+    feed = versioned_change_feed(spark, path, from_version=1).collect()
+    assert [(r["_commit_version"], r["_change_type"], r["k"]) for r in feed] == [
+        (3, "insert", 2)
+    ]
