@@ -504,13 +504,68 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
     return refs
 
 
+def _split_refs_for_merge(
+    path: str, version: int, stats_key: str, bounds: tuple
+) -> tuple[list[dict], list[dict], int] | None:
+    """Segment-diff planning for a MERGE: split the base version's
+    segment refs into (closed_refs, open_entries, total_segments) —
+    closed segments PROVABLY hold no file whose key range intersects
+    the update-key bounds, so they ride into the next manifest BY
+    REFERENCE, never parsed and never re-serialized; only the open
+    segments' entries are materialized for per-file candidacy.
+    Returns None when the fast path cannot apply (legacy flat
+    manifest, NaN keys, stats-unsafe key type, all-NULL keys make it
+    pointless to split — caller falls back to the full
+    materialization, which is always correct)."""
+    lo, hi, has_nan, n_nonnull = bounds
+    if (
+        has_nan
+        or n_nonnull == 0
+        or not isinstance(lo, _STATS_SAFE)
+        or not isinstance(hi, _STATS_SAFE)
+    ):
+        return None
+    with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
+        man = json.load(f)
+    if "segments" not in man:
+        return None
+    closed: list[dict] = []
+    open_entries: list[dict] = []
+    for ref in man["segments"]:
+        st = (ref.get("stats") or {}).get(stats_key)
+        skip = False
+        if st is not None:
+            mn, mx = st.get("min"), st.get("max")
+            if (
+                mn is not None
+                and mx is not None
+                and not _stat_nan(mn)
+                and not _stat_nan(mx)
+            ):
+                try:
+                    skip = mx < lo or mn > hi
+                except TypeError:
+                    skip = False
+        if skip:
+            closed.append(ref)
+        else:
+            with open(os.path.join(path, ref["path"])) as f:
+                open_entries.extend(json.load(f))
+    return closed, open_entries, len(man["segments"])
+
+
 def _write_manifest_dir(
     target: str, schema_json: dict, entries: list[dict],
     meta: dict[str, str] | None,
+    reuse_refs: list[dict] | None = None,
 ) -> None:
+    """``reuse_refs``: segment references carried BY REFERENCE from a
+    prior version (segment-diff commits) — their files are immutable
+    pool citizens and are not re-read or re-written; only ``entries``
+    are chunked into (possibly new) segment files."""
     os.makedirs(target, exist_ok=True)
     table = os.path.dirname(os.path.abspath(target))
-    segs = _write_segments(table, entries)
+    segs = list(reuse_refs or []) + _write_segments(table, entries)
     with open(os.path.join(target, _MANIFEST_NAME), "w") as f:
         json.dump({"schema": schema_json, "segments": segs}, f)
     for k, v in (meta or {}).items():
@@ -582,6 +637,7 @@ def _commit_manifest(
     meta: dict[str, str] | None,
     expected_version,
     lock_timeout_s: float,
+    reuse_refs: list[dict] | None = None,
 ) -> int:
     """Publish (schema, files) as the next version. The manifest is
     kilobytes — staging + rename + pointer swap are all O(1) in table
@@ -618,7 +674,7 @@ def _commit_manifest(
     os.makedirs(path, exist_ok=True)
     if expected_version is not _UNGUARDED:
         staged = os.path.join(path, f".staged-{uuid.uuid4().hex}")
-        _write_manifest_dir(staged, schema_json, entries, meta)
+        _write_manifest_dir(staged, schema_json, entries, meta, reuse_refs)
         try:
             with _commit_lock(path, lock_timeout_s):
                 current = latest_version(path)
@@ -649,7 +705,9 @@ def _commit_manifest(
         if current is None or v > current:
             shutil.rmtree(os.path.join(path, f"v={v}"))
     n = (current + 1) if current is not None else 0
-    _write_manifest_dir(os.path.join(path, f"v={n}"), schema_json, entries, meta)
+    _write_manifest_dir(
+        os.path.join(path, f"v={n}"), schema_json, entries, meta, reuse_refs
+    )
     POINTER_STORE.swap_pointer(path, n)
     return n
 
@@ -1613,8 +1671,9 @@ def versioned_upsert(
     )
     if base_v is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    man = _read_manifest(path, base_v)
-    table_schema = StructType.fromJson(man["schema"])
+    with open(os.path.join(path, f"v={base_v}", _MANIFEST_NAME)) as f:
+        schema_json_base = json.load(f)["schema"]
+    table_schema = StructType.fromJson(schema_json_base)
     table_cols = [f.name for f in table_schema.fields]
     upd_cols = set(updates.columns)
     if upd_cols != set(table_cols) and not evolve_schema:
@@ -1633,10 +1692,25 @@ def versioned_upsert(
     # any physical name a rename left behind in the pooled files
     new_schema = _ensure_unique_physicals(StructType(new_fields))
     mapping = _schema_mapping(new_schema)
+    stats_key = mapping.get(keys[0], keys[0])
+
+    # SEGMENT-DIFF planning: segments whose aggregate key range cannot
+    # intersect the update keys ride into the next manifest by
+    # reference — never parsed, never re-serialized. A 1-bucket MERGE
+    # on an 800k-file table opens a couple of kilobyte segments
+    # instead of the whole manifest.
+    bounds = _key_bounds(updates, keys[0])
+    split = _split_refs_for_merge(path, base_v, stats_key, bounds)
+    if split is None:
+        closed_refs: list[dict] = []
+        open_entries = _read_manifest(path, base_v)["files"]
+        n_segments_total = None
+    else:
+        closed_refs, open_entries, n_segments_total = split
 
     cand, carried = _match_files(
-        spark, path, man["files"], updates, keys[0],
-        stats_key=mapping.get(keys[0], keys[0]),
+        spark, path, open_entries, updates, keys[0],
+        stats_key=stats_key,
     )
     # existing columns are cast to the TABLE's types so pooled files
     # never fork physical types (an int batch into a long column)
@@ -1660,8 +1734,17 @@ def versioned_upsert(
     commit_meta = {
         "op": "merge",
         "n_files_rewritten": str(len(cand)),
-        "n_files_carried": str(len(carried)),
+        "n_files_carried": str(
+            len(carried) + sum(int(r["n"]) for r in closed_refs)
+        ),
     }
+    if n_segments_total is not None:
+        # segment-diff observability: how many kilobyte segments the
+        # commit actually opened vs carried by reference
+        commit_meta["n_segments_total"] = str(n_segments_total)
+        commit_meta["n_segments_opened"] = str(
+            n_segments_total - len(closed_refs)
+        )
     if change_feed:
         # Delta-CDF-style write-side change recording: classify the
         # update rows against the candidate slice's EXISTING keys
@@ -1703,6 +1786,7 @@ def versioned_upsert(
             commit_meta,
             expected_version,
             lock_timeout_s,
+            reuse_refs=closed_refs,
         )
     except CommitConflict:
         if not rebase_on_conflict or not isinstance(expected_version, int):
@@ -1711,7 +1795,7 @@ def versioned_upsert(
             spark,
             path,
             base_v=expected_version,
-            base_files=man["files"],
+            base_files=_read_manifest(path, expected_version)["files"],
             cand_paths={e["path"] for e in cand},
             new_entries=new_entries,
             schema_json=new_schema.jsonValue(),

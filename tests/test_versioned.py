@@ -1687,3 +1687,32 @@ def test_change_feed_skips_metadata_only_commits(spark, tmp_path):
     assert [(r["_commit_version"], r["_change_type"], r["k"]) for r in feed] == [
         (3, "insert", 2)
     ]
+
+
+def test_merge_commit_opens_only_touched_segments(spark, tmp_path, monkeypatch):
+    """Segment-diff MERGE: a narrow upsert on a clustered table parses
+    only the manifest segments whose aggregate key range can match —
+    the rest ride into the next manifest BY REFERENCE (commit markers
+    pin the economics) — and content is exact, DVs on closed
+    segments included."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import snapshot_meta, versioned_delete
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "segm")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(800)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
+    )
+    versioned_delete(spark, path, "k = 790")  # DV on a far segment
+    upd = spark.createDataFrame([(3, "NEW")], "k long, v string")
+    versioned_upsert(spark, path, upd, ["k"])
+    v = 2
+    total = int(snapshot_meta(path, "n_segments_total", version=v))
+    opened = int(snapshot_meta(path, "n_segments_opened", version=v))
+    assert total >= 6 and opened < total
+    assert int(snapshot_meta(path, "n_files_rewritten", version=v)) <= 2
+    got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got[3] == "NEW" and 790 not in got and len(got) == 799
