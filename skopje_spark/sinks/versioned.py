@@ -2214,15 +2214,44 @@ def versioned_delete(
     )
     if base_v is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    man = _read_manifest(path, base_v)
-    entries = man["files"]
-    if not entries:
+    with open(os.path.join(path, f"v={base_v}", _MANIFEST_NAME)) as f:
+        schema_json_base = json.load(f)["schema"]
+    schema = StructType.fromJson(schema_json_base)
+    mapping = _schema_mapping(schema)
+    # KEY-FRAME deletes (the replica-apply shape) prune BOTH tiers
+    # before any data moves: segment-diff carries provably-disjoint
+    # manifest segments by reference (never parsed), and per-file
+    # footer stats drop provably-disjoint files from the SCAN itself —
+    # a narrow key-frame delete on a clustered 100 TB table reads a
+    # handful of files. Predicate-string deletes must scan everything
+    # the predicate could match (the predicate is opaque to stats).
+    closed_refs: list[dict] = []
+    n_segments_total: int | None = None
+    if isinstance(condition, DataFrame):
+        kcol0 = condition.columns[0]
+        bounds = _key_bounds(condition, kcol0)
+        split = _split_refs_for_merge(
+            path, base_v, mapping.get(kcol0, kcol0), bounds
+        )
+        if split is None:
+            open_entries = _read_manifest(path, base_v)["files"]
+        else:
+            closed_refs, open_entries, n_segments_total = split
+        scan_entries, carried_open = _match_files(
+            spark, path, open_entries, condition, kcol0,
+            stats_key=mapping.get(kcol0, kcol0),
+        )
+    else:
+        open_entries = _read_manifest(path, base_v)["files"]
+        scan_entries, carried_open = open_entries, []
+    entries = scan_entries + carried_open
+    if not entries and not closed_refs:
         return base_v
-    schema = StructType.fromJson(man["schema"])
+    if not scan_entries:
+        return base_v  # no file can hold a matching row: no-op
     # scan by PHYSICAL names (rename-stable), serve the predicate the
     # LOGICAL names — mirrors _read_entries, but the row-identity
     # columns must survive the projection here
-    mapping = _schema_mapping(schema)
     renamed = any(p != n for n, p in mapping.items())
     read_schema = (
         StructType(
@@ -2236,7 +2265,7 @@ def versioned_delete(
     )
     df = _with_row_identity(
         spark.read.schema(read_schema).parquet(
-            *[os.path.join(path, e["path"]) for e in entries]
+            *[os.path.join(path, e["path"]) for e in scan_entries]
         )
     )
     if renamed:
@@ -2245,7 +2274,9 @@ def versioned_delete(
             "__file",
             "__pos",
         )
-    old_dvs = sorted({p for e in entries for p in e.get("dv_files", [])})
+    old_dvs = sorted(
+        {p for e in scan_entries for p in e.get("dv_files", [])}
+    )
     if old_dvs:
         prior = (
             spark.read.parquet(*[os.path.join(path, p) for p in old_dvs])
@@ -2297,10 +2328,18 @@ def versioned_delete(
     commit_meta = {
         "op": "delete",
         "n_files_rewritten": "0",
-        "n_files_carried": str(len(new_entries)),
+        "n_files_carried": str(
+            len(new_entries) + sum(int(r["n"]) for r in closed_refs)
+        ),
         "n_dv_files": str(len(new_rels)),
         "n_rows_deleted": str(total),
+        "n_files_scanned": str(len(scan_entries)),
     }
+    if n_segments_total is not None:
+        commit_meta["n_segments_total"] = str(n_segments_total)
+        commit_meta["n_segments_opened"] = str(
+            n_segments_total - len(closed_refs)
+        )
     if change_feed:
         cdc = hit.drop("__file", "__pos").withColumn(
             "_change_type", F.lit("delete")
@@ -2311,11 +2350,12 @@ def versioned_delete(
     try:
         return _commit_manifest(
             path,
-            man["schema"],
+            schema_json_base,
             new_entries,
             commit_meta,
             expected_version,
             lock_timeout_s,
+            reuse_refs=closed_refs,
         )
     except CommitConflict:
         if not rebase_on_conflict or not isinstance(expected_version, int):
@@ -2325,7 +2365,7 @@ def versioned_delete(
             spark,
             path,
             base_v=expected_version,
-            base_files=entries,
+            base_files=_read_manifest(path, expected_version)["files"],
             counts=counts,
             new_rels=new_rels,
             commit_meta=commit_meta,

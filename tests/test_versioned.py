@@ -1651,13 +1651,13 @@ def test_pruned_read_skips_whole_segments(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(V, "_SEG_TARGET", 4)
     path = str(tmp_path / "segp")
     df = spark.createDataFrame(
-        [(i, f"r{i}") for i in range(200)], "k long, v string"
+        [(i, f"r{i}") for i in range(800)], "k long, v string"
     )
     versioned_write(
-        df.repartitionByRange(20, "k").sortWithinPartitions("k"), path
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
     )
     entries, _, opened, total = _pruned_manifest_entries(path, 0, "k", 50, 55)
-    assert total >= 4 and opened < total  # segments skipped unopened
+    assert total >= 6 and opened < total  # segments skipped unopened
     # the opened segments still hold every candidate file
     got = {
         r["k"]
@@ -1716,3 +1716,41 @@ def test_merge_commit_opens_only_touched_segments(spark, tmp_path, monkeypatch):
     assert int(snapshot_meta(path, "n_files_rewritten", version=v)) <= 2
     got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
     assert got[3] == "NEW" and 790 not in got and len(got) == 799
+
+
+def test_keyframe_delete_prunes_scan_and_segments(spark, tmp_path, monkeypatch):
+    """A key-frame DELETE (replica-apply shape) scans only the files
+    whose stats can hold its keys and parses only the matching
+    manifest segments — commit markers pin both economics; predicate
+    deletes still scan everything (stats cannot see an arbitrary
+    predicate)."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import snapshot_meta, versioned_delete
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "kfd")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(800)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
+    )
+    kf = spark.createDataFrame([(3,), (5,)], "k long")
+    versioned_delete(spark, path, kf)
+    assert int(snapshot_meta(path, "n_files_scanned", version=1)) <= 2
+    total = int(snapshot_meta(path, "n_segments_total", version=1))
+    opened = int(snapshot_meta(path, "n_segments_opened", version=1))
+    assert total >= 6 and opened < total
+    got = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert 3 not in got and 5 not in got and len(got) == 798
+    # a key-frame that provably matches nothing is a metadata no-op
+    v = versioned_delete(
+        spark, path, spark.createDataFrame([(10_000,)], "k long")
+    )
+    assert v == 1
+    # predicate deletes scan the open set (no key bounds to prune by)
+    versioned_delete(spark, path, "k = 700")
+    assert int(snapshot_meta(path, "n_files_scanned", version=2)) >= 70
+    assert 700 not in {
+        r["k"] for r in versioned_read(spark, path).collect()
+    }
