@@ -1862,8 +1862,9 @@ def versioned_merge(
     )
     if base_v is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    man = _read_manifest(path, base_v)
-    table_schema = StructType.fromJson(man["schema"])
+    with open(os.path.join(path, f"v={base_v}", _MANIFEST_NAME)) as f:
+        schema_json_base = json.load(f)["schema"]
+    table_schema = StructType.fromJson(schema_json_base)
     table_cols = [f.name for f in table_schema.fields]
     if not set(table_cols) <= set(source.columns):
         raise ValueError(
@@ -1899,9 +1900,20 @@ def versioned_merge(
         )
     key_src = source.select(*keys)
     mapping = _schema_mapping(table_schema)
+    stats_key = mapping.get(keys[0], keys[0])
+    # segment-diff planning, exactly as versioned_upsert: key-disjoint
+    # manifest segments ride by reference, unopened
+    bounds = _key_bounds(key_src, keys[0])
+    split = _split_refs_for_merge(path, base_v, stats_key, bounds)
+    if split is None:
+        closed_refs: list[dict] = []
+        open_entries = _read_manifest(path, base_v)["files"]
+        n_segments_total = None
+    else:
+        closed_refs, open_entries, n_segments_total = split
     cand, carried = _match_files(
-        spark, path, man["files"], key_src, keys[0],
-        stats_key=mapping.get(keys[0], keys[0]),
+        spark, path, open_entries, key_src, keys[0],
+        stats_key=stats_key,
     )
 
     upd_cond = F.expr(when_matched_update) if when_matched_update else F.lit(False)
@@ -1957,8 +1969,15 @@ def versioned_merge(
     commit_meta = {
         "op": "merge",
         "n_files_rewritten": str(len(cand)),
-        "n_files_carried": str(len(carried)),
+        "n_files_carried": str(
+            len(carried) + sum(int(r["n"]) for r in closed_refs)
+        ),
     }
+    if n_segments_total is not None:
+        commit_meta["n_segments_total"] = str(n_segments_total)
+        commit_meta["n_segments_opened"] = str(
+            n_segments_total - len(closed_refs)
+        )
     if change_feed:
         # clause-accurate CDF recording: deletes and update preimages
         # carry TARGET values, update postimages the projected values,
@@ -1990,11 +2009,12 @@ def versioned_merge(
     try:
         return _commit_manifest(
             path,
-            man["schema"],
+            schema_json_base,
             carried + new_entries,
             commit_meta,
             expected_version,
             lock_timeout_s,
+            reuse_refs=closed_refs,
         )
     except CommitConflict:
         if not rebase_on_conflict or not isinstance(expected_version, int):
@@ -2003,10 +2023,10 @@ def versioned_merge(
             spark,
             path,
             base_v=expected_version,
-            base_files=man["files"],
+            base_files=_read_manifest(path, expected_version)["files"],
             cand_paths={e["path"] for e in cand},
             new_entries=new_entries,
-            schema_json=man["schema"],
+            schema_json=schema_json_base,
             commit_meta=commit_meta,
             updates=key_src,
             key=keys[0],
@@ -2106,8 +2126,9 @@ def versioned_append(
         raise FileNotFoundError(
             f"no committed version at {path} — use versioned_write to create"
         )
-    man = _read_manifest(path, base_v)
-    table_schema = StructType.fromJson(man["schema"])
+    with open(os.path.join(path, f"v={base_v}", _MANIFEST_NAME)) as f:
+        raw = json.load(f)
+    table_schema = StructType.fromJson(raw["schema"])
     if set(batch.columns) != {f.name for f in table_schema.fields}:
         raise ValueError(
             f"append schema {sorted(batch.columns)} differs from table "
@@ -2121,10 +2142,20 @@ def versioned_append(
     new_entries = _stage_data_files(
         aligned, path, _schema_mapping(table_schema)
     )
+    # segment-diff: EVERY base segment rides by reference — an append
+    # never reads, parses, or re-serializes existing metadata; legacy
+    # flat manifests re-chunk once and segment from then on
+    closed_refs = raw.get("segments")
+    base_entries = [] if closed_refs is not None else raw["files"]
+    n_base = (
+        sum(int(r["n"]) for r in closed_refs)
+        if closed_refs is not None
+        else len(base_entries)
+    )
     commit_meta = {
         "op": "append",
         "n_files_rewritten": "0",
-        "n_files_carried": str(len(man["files"])),
+        "n_files_carried": str(n_base),
         "n_files_appended": str(len(new_entries)),
     }
     if change_feed:
@@ -2136,11 +2167,12 @@ def versioned_append(
     try:
         return _commit_manifest(
             path,
-            man["schema"],
-            man["files"] + new_entries,
+            raw["schema"],
+            base_entries + new_entries,
             commit_meta,
             expected_version,
             lock_timeout_s,
+            reuse_refs=closed_refs,
         )
     except CommitConflict:
         if not rebase_on_conflict or not isinstance(expected_version, int):
@@ -2151,10 +2183,10 @@ def versioned_append(
             spark,
             path,
             base_v=expected_version,
-            base_files=man["files"],
+            base_files=_read_manifest(path, expected_version)["files"],
             cand_paths=set(),
             new_entries=new_entries,
-            schema_json=man["schema"],
+            schema_json=raw["schema"],
             commit_meta=commit_meta,
             updates=None,
             key=None,

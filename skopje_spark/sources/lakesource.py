@@ -442,19 +442,30 @@ class VersionedTableWriter(DataSourceArrowWriter):
         op = "overwrite" if self.overwrite else "append"
         for _ in range(16):  # appends commute: CAS retry always safe
             base = latest_version(self.path)
+            reuse = None
             if base is None or self.overwrite:
                 files = entries
                 schema_json = self.schema_json
             else:
-                man = _read_manifest(self.path, base)
-                files = man["files"] + entries
-                schema_json = man["schema"]
+                # segment-diff append: base segments ride by reference
+                import json as _json
+
+                with open(
+                    os.path.join(self.path, f"v={base}", "_MANIFEST.json")
+                ) as f:
+                    raw = _json.load(f)
+                schema_json = raw["schema"]
+                reuse = raw.get("segments")
+                files = (
+                    entries if reuse is not None else raw["files"] + entries
+                )
             try:
                 _commit_manifest(
                     self.path, schema_json, files,
                     {"op": op, "n_files_appended": str(len(entries)),
                      "n_files_rewritten": "0"},
                     base, 600.0,
+                    reuse_refs=reuse,
                 )
                 return
             except CommitConflict:
@@ -539,14 +550,21 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
             _enforce_constraints(spark, self.path, entries, self._w.map)
         for _ in range(16):
             base = latest_version(self.path)
+            reuse = None
             if base is None:
                 files = entries
                 schema_json = self._w.schema_json
                 ledger = {}
             else:
-                man = _read_manifest(self.path, base)
-                files = man["files"] + entries
-                schema_json = man["schema"]
+                with open(
+                    os.path.join(self.path, f"v={base}", "_MANIFEST.json")
+                ) as f:
+                    raw = json.load(f)
+                schema_json = raw["schema"]
+                reuse = raw.get("segments")
+                files = (
+                    entries if reuse is not None else raw["files"] + entries
+                )
                 ledger = json.loads(
                     snapshot_meta(self.path, "stream_ledger", version=base)
                     or "{}"
@@ -563,6 +581,7 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                      "n_files_appended": str(len(entries)),
                      "n_files_rewritten": "0"},
                     base, 600.0,
+                    reuse_refs=reuse,
                 )
                 return
             except CommitConflict:

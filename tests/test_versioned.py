@@ -1754,3 +1754,38 @@ def test_keyframe_delete_prunes_scan_and_segments(spark, tmp_path, monkeypatch):
     assert 700 not in {
         r["k"] for r in versioned_read(spark, path).collect()
     }
+
+
+def test_append_never_parses_base_segments(spark, tmp_path, monkeypatch):
+    """APPEND commits carry every base segment by reference — the base
+    manifest's entries are never materialized; the new version's
+    refs are (base refs) + (new-batch refs)."""
+    import json as _json
+    import os as _os
+
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import versioned_append
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "apref")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(400)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(40, "k").sortWithinPartitions("k"), path
+    )
+
+    def refs(v):
+        with open(_os.path.join(path, f"v={v}", "_MANIFEST.json")) as f:
+            return [r["path"] for r in _json.load(f)["segments"]]
+
+    base_refs = refs(0)
+    versioned_append(
+        spark, path,
+        spark.createDataFrame([(10_000, "x")], "k long, v string").coalesce(1),
+    )
+    new_refs = refs(1)
+    assert set(base_refs) <= set(new_refs)  # every base ref reused verbatim
+    assert len(new_refs) > len(base_refs)
+    got = versioned_read(spark, path)
+    assert got.count() == 401
