@@ -3533,6 +3533,16 @@ def maintenance_report(
                 )
             overlap_mean = total_overlaps / len(spans)
 
+    # manifest-segment health: many tiny segments (narrow merges
+    # splitting chunks over time) raise per-commit ref overhead; a
+    # compaction re-chunks to the target size
+    with open(os.path.join(path, f"v={committed}", _MANIFEST_NAME)) as f:
+        raw = json.load(f)
+    n_segments = len(raw.get("segments", [])) or None
+    seg_mean_entries = (
+        n_files / n_segments if n_segments else None
+    )
+
     recs = []
     if n_files and small > n_files / 2:
         recs.append("compact")
@@ -3540,6 +3550,13 @@ def maintenance_report(
         recs.append("compact")  # materialize the deletion vectors
     if overlap_mean is not None and overlap_mean > 0.25 * n_files:
         recs.append("cluster")
+    if (
+        n_segments is not None
+        and n_segments > 4
+        and seg_mean_entries is not None
+        and seg_mean_entries < _SEG_TARGET / 16
+    ):
+        recs.append("compact")  # re-chunk fragmented manifest segments
     report = {
         "version": committed,
         "n_files": n_files,
@@ -3550,6 +3567,8 @@ def maintenance_report(
         "dv_rows": dv_rows,
         "dv_debt_frac": dv_frac,
         "cluster_overlap_mean": overlap_mean,
+        "n_manifest_segments": n_segments,
+        "segment_mean_entries": seg_mean_entries,
         "n_committed_versions": committed + 1,
         "recommendations": sorted(set(recs)),
     }
