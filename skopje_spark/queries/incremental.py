@@ -1899,3 +1899,80 @@ def q_lake_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return versioned_read(spark, table).orderBy("o_orderkey")
+
+
+@register(
+    "q_versioned_segment_diff",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 100
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+           TRUE AS segment_diff
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "manifest", "segments", "lakeops"),
+)
+def q_versioned_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level manifest economics under the driver gate
+    (sinks/versioned.py:_write_segments/_split_refs_for_merge): a
+    key-clustered orders table is committed with small manifest
+    segments, then a narrow MERGE must carry most segments BY
+    REFERENCE — the commit's own ``n_segments_opened`` <
+    ``n_segments_total`` markers and the verbatim reuse of base
+    segment files are folded into the ``segment_diff`` flag the
+    oracle pins TRUE; content is pinned to the full-merge result the
+    oracle computes directly.
+
+    Scale: this is what bounds COMMIT METADATA cost at 100 TB — a
+    1-bucket merge on an ~800k-file table parses and rewrites a
+    couple of kilobyte segments plus a ~400-ref version manifest,
+    never the full entry list."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    path = tempfile.mkdtemp(prefix="skopje_segdiff_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    prior = V._SEG_TARGET
+    V._SEG_TARGET = 4  # small segments so the fixture spans many
+    try:
+        versioned_write(
+            o.repartitionByRange(64, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+            path,
+        )
+        upd = o.filter("o_orderkey <= 100").withColumn(
+            "price", F.col("price") * 2
+        )
+        versioned_upsert(spark, path, upd, ["o_orderkey"])
+    finally:
+        V._SEG_TARGET = prior
+    total = int(snapshot_meta(path, "n_segments_total", version=1))
+    opened = int(snapshot_meta(path, "n_segments_opened", version=1))
+
+    def seg_refs(v):
+        with open(os.path.join(path, f"v={v}", "_MANIFEST.json")) as f:
+            return {r["path"] for r in _json.load(f)["segments"]}
+
+    reused = seg_refs(0) & seg_refs(1)
+    flag = total >= 6 and opened < total and len(reused) >= total - opened
+    return (
+        versioned_read(spark, path)
+        .withColumn("segment_diff", F.lit(bool(flag)))
+        .orderBy("o_orderkey")
+    )
