@@ -207,3 +207,70 @@ def test_html_to_text_never_leaves_markup(spark_global, bodies):
         import re
 
         assert not re.search(r"<[a-zA-Z/][^>]*>", t), t
+
+
+# ---------------------------------------------------------------------------
+# manifest segment chunking (sinks/versioned.py:_write_segments)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.sets(
+        st.text(alphabet="0123456789abcdef", min_size=8, max_size=12),
+        min_size=1,
+        max_size=120,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=40, deadline=None)
+def test_segment_chunking_roundtrip_and_edit_locality(names, rnd):
+    """Content-defined manifest chunking: (a) concatenating the
+    written segments reproduces exactly the sorted entry list —
+    nothing lost, duplicated, or reordered; (b) removing or inserting
+    ONE entry changes at most two segment files on each side of the
+    diff (the FastCDC locality argument the segment-diff commit
+    economics rest on)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    import skopje_spark.sinks.versioned as V
+
+    def entry(name):
+        return {
+            "path": f"data/{name}.parquet",
+            "bytes": 1,
+            "rows": 1,
+            "stats": {},
+        }
+
+    entries = [entry(n) for n in sorted(names)]
+    with tempfile.TemporaryDirectory() as tmp:
+        old_target = V._SEG_TARGET
+        V._SEG_TARGET = 4
+        try:
+            refs = V._write_segments(tmp, list(entries))
+            flat = []
+            for r in refs:
+                with open(_os.path.join(tmp, r["path"])) as f:
+                    flat.extend(_json.load(f))
+            assert flat == sorted(entries, key=lambda e: e["path"])
+            assert sum(r["n"] for r in refs) == len(entries)
+
+            # edit locality: drop one random entry
+            if len(entries) > 1:
+                victim = rnd.randrange(len(entries))
+                smaller = entries[:victim] + entries[victim + 1:]
+                refs2 = V._write_segments(tmp, list(smaller))
+                a = {r["path"] for r in refs}
+                b = {r["path"] for r in refs2}
+                assert len(a - b) <= 2 and len(b - a) <= 2
+            # and insert a fresh one
+            extra = entry("zz" + "f" * 10)
+            bigger = entries + [extra]
+            refs3 = V._write_segments(tmp, list(bigger))
+            a = {r["path"] for r in refs}
+            c = {r["path"] for r in refs3}
+            assert len(a - c) <= 2 and len(c - a) <= 2
+        finally:
+            V._SEG_TARGET = old_target
