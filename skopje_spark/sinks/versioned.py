@@ -498,6 +498,8 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
                 "path": rel,
                 "n": len(chunk),
                 "rows": sum(int(e.get("rows", 0)) for e in chunk),
+                "bytes": sum(int(e.get("bytes", 0)) for e in chunk),
+                "dv_rows": sum(int(e.get("dv_rows", 0)) for e in chunk),
                 "stats": agg,
             }
         )
@@ -939,6 +941,32 @@ def versioned_rename_column(
     )
 
 
+def _manifest_summary(path: str, version: int) -> tuple[int, int, int, int]:
+    """(n_files, n_bytes, physical_rows, dv_rows) of a version from
+    the kilobyte segment refs alone — no segment file is opened. Falls
+    back to materializing for legacy flat manifests (or refs written
+    before the aggregate fields existed)."""
+    with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
+        man = json.load(f)
+    refs = man.get("segments")
+    if refs is not None and all(
+        "bytes" in r and "dv_rows" in r for r in refs
+    ):
+        return (
+            sum(int(r["n"]) for r in refs),
+            sum(int(r["bytes"]) for r in refs),
+            sum(int(r["rows"]) for r in refs),
+            sum(int(r["dv_rows"]) for r in refs),
+        )
+    files = _read_manifest(path, version)["files"]
+    return (
+        len(files),
+        sum(int(e.get("bytes", 0)) for e in files),
+        sum(int(e.get("rows", 0)) for e in files),
+        sum(int(e.get("dv_rows", 0)) for e in files),
+    )
+
+
 def versioned_count(path: str, *, version: int | None = None) -> int:
     """Exact row count of a snapshot WITHOUT launching a job: manifest
     per-file footer counts minus each file's deletion-vector rows —
@@ -950,10 +978,8 @@ def versioned_count(path: str, *, version: int | None = None) -> int:
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
     v = committed if version is None else version
-    man = _read_manifest(path, v)
-    return sum(
-        int(e["rows"]) - int(e.get("dv_rows", 0)) for e in man["files"]
-    )
+    _, _, rows, dv = _manifest_summary(path, v)
+    return rows - dv
 
 
 def commit_timestamp(path: str, version: int) -> float:
@@ -3596,7 +3622,7 @@ def versioned_history(
         if committed is None or v > committed:
             continue
         snap = os.path.join(path, f"v={v}")
-        man = _read_manifest(path, v)
+        n_files, n_bytes, n_rows, _ = _manifest_summary(path, v)
         meta = {
             f[len("_meta_"):]: open(os.path.join(snap, f)).read()
             for f in os.listdir(snap)
@@ -3606,9 +3632,9 @@ def versioned_history(
             (
                 v,
                 v == committed,
-                len(man["files"]),
-                sum(e["bytes"] for e in man["files"]),
-                sum(e["rows"] for e in man["files"]),
+                n_files,
+                n_bytes,
+                n_rows,
                 json.dumps(meta, sort_keys=True),
             )
         )
