@@ -1976,3 +1976,70 @@ def q_versioned_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment_diff", F.lit(bool(flag)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_analyze",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(DISTINCT o_custkey) AS exact_ndv,
+           CAST(0 AS BIGINT) AS n_nulls, TRUE AS within_band
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(DISTINCT o_orderkey), 0, TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority), 0, TRUE
+    FROM orders
+    ORDER BY col_name
+    """,
+    tags=("versioned", "analyze", "statistics", "lakeops"),
+)
+def q_versioned_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE statistics under the driver gate
+    (sinks/versioned.py:versioned_analyze/table_stats): one pass
+    records per-column NDV (HLL++) and null counts as a carried
+    table property in a metadata-only commit; the query emits the
+    EXACT distinct counts (which the oracle recomputes) plus a
+    ``within_band`` flag pinning each recorded estimate inside the
+    HLL error band — the verdict-column pattern every sketch query
+    in this catalog uses.
+
+    Scale: the one ANALYZE scan amortizes into a catalog fact every
+    later broadcast/salt/shuffle decision reads for free (driver-side
+    marker, no job); the commit itself ships zero data and the change
+    feed skips it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        table_stats,
+        versioned_analyze,
+        versioned_write,
+    )
+
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority"]
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    path = tempfile.mkdtemp(prefix="skopje_analyze_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.repartition(4), path)
+    versioned_analyze(spark, path, cols, rsd=0.02)
+    st = table_stats(path)
+    exact = o.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]
+    ).first()
+    rows = []
+    for c in cols:
+        est = st["columns"][c]["ndv"]
+        ex = int(exact[c])
+        rows.append(
+            (
+                c,
+                ex,
+                int(st["columns"][c]["n_nulls"]),
+                bool(abs(est - ex) <= max(2, 0.05 * ex)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "col_name string, exact_ndv long, n_nulls long, within_band boolean"
+    ).orderBy("col_name")

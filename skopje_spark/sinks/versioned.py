@@ -661,7 +661,7 @@ def _commit_manifest(
     # TABLE properties (not commit facts) carry forward verbatim until
     # a commit explicitly rewrites them: CHECK constraints and the
     # streaming-writer batch ledger
-    for prop in ("constraints", "stream_ledger"):
+    for prop in ("constraints", "stream_ledger", "column_stats"):
         if prop in meta:
             continue
         base = (
@@ -939,6 +939,103 @@ def versioned_rename_column(
         path, schema_json, man["files"], commit_meta,
         _UNGUARDED, lock_timeout_s,
     )
+
+
+def versioned_analyze(
+    spark: SparkSession,
+    path: str,
+    cols: list[str] | None = None,
+    *,
+    rsd: float = 0.02,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """ANALYZE TABLE for the lake: one aggregation pass over the
+    current snapshot computes per-column NDV (Spark's built-in HLL++,
+    relative error ``rsd``) and null counts plus the exact row count,
+    and records them as a ``column_stats`` TABLE PROPERTY in a
+    metadata-only commit (``op=analyze`` — zero logical changes, the
+    change feed and CDF stream skip it; every data file rides by
+    reference). The property carries forward across later commits
+    like CHECK constraints, stamped with the snapshot version it
+    described, so consumers can judge staleness.
+
+    This is the statistics side of planning that footer min/max
+    cannot give: NDV drives broadcast/shuffle/salting decisions
+    (the sampling estimator in ``operators/estimate.py`` answers
+    per-join questions; ANALYZE amortizes one scan into a catalog
+    fact every later plan reads for free). One job however many
+    columns — all aggregates ride a single pass."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    with open(os.path.join(path, f"v={committed}", _MANIFEST_NAME)) as f:
+        raw = json.load(f)
+    from pyspark.sql.types import StructType as _ST
+
+    schema = _ST.fromJson(raw["schema"])
+    names = [fld.name for fld in schema.fields]
+    cols = names if cols is None else cols
+    unknown = [c for c in cols if c not in names]
+    if unknown:
+        raise KeyError(f"no column(s) {unknown} at {path} (have {names})")
+    from pyspark.sql import functions as F
+
+    df = versioned_read(spark, path, version=committed)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"ndv__{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}")
+        )
+    row = df.agg(*aggs).first()
+    stats = {
+        c: {
+            "ndv": int(row[f"ndv__{c}"]),
+            "n_nulls": int(row[f"nulls__{c}"] or 0),
+        }
+        for c in cols
+    }
+    commit_meta = {
+        "op": "analyze",
+        "column_stats": json.dumps(
+            {
+                # the analyze commit itself carries exactly the data it
+                # described (zero-change), so the stats are CURRENT at
+                # the commit this marker lands in (committed + 1 on the
+                # single-writer unguarded path)
+                "as_of_version": committed + 1,
+                "n_rows": int(row["__n"]),
+                "rsd": rsd,
+                "columns": stats,
+            },
+            sort_keys=True,
+        ),
+    }
+    commit_meta.update(meta or {})
+    reuse = raw.get("segments")
+    entries = [] if reuse is not None else raw["files"]
+    return _commit_manifest(
+        path, raw["schema"], entries, commit_meta,
+        _UNGUARDED, lock_timeout_s, reuse_refs=reuse,
+    )
+
+
+def table_stats(path: str, *, version: int | None = None) -> dict | None:
+    """The last recorded ANALYZE statistics visible at ``version``
+    (default: latest), plus ``versions_stale`` = commits since the
+    snapshot they describe — None when the table was never analyzed.
+    Pure driver-side marker read, no job."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = committed if version is None else version
+    raw = snapshot_meta(path, "column_stats", version=v)
+    if raw is None:
+        return None
+    out = json.loads(raw)
+    out["versions_stale"] = v - int(out["as_of_version"])
+    return out
 
 
 def _manifest_summary(path: str, version: int) -> tuple[int, int, int, int]:
@@ -2661,7 +2758,7 @@ def versioned_change_feed(
             )
         op = snapshot_meta(path, "op", version=v) or ""
         if op in ("compact", "rename_column", "set_constraint",
-                  "drop_constraint"):
+                  "drop_constraint", "analyze"):
             # physical motion or metadata-only property change: zero
             # logical row changes (rename serves each range in its
             # as-recorded schema — consumers spanning a rename map

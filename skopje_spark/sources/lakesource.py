@@ -66,7 +66,7 @@ from pyspark.sql.types import StructType
 # zero logical changes, so the CDF stream skips them outright
 # (op markers as written by sinks/versioned.py)
 _ZERO_CHANGE_OPS = {"compact", "rename_column", "set_constraint",
-                    "drop_constraint"}
+                    "drop_constraint", "analyze"}
 
 
 def _logical_schema(man: dict) -> StructType:

@@ -1789,3 +1789,50 @@ def test_append_never_parses_base_segments(spark, tmp_path, monkeypatch):
     assert len(new_refs) > len(base_refs)
     got = versioned_read(spark, path)
     assert got.count() == 401
+
+
+def test_analyze_records_carried_column_stats(spark, tmp_path):
+    """versioned_analyze: metadata-only commit (files by reference,
+    change feed skips it), NDV/null stats within the HLL band, stats
+    carried forward across later commits with a staleness counter."""
+    import json as _json
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        table_stats,
+        versioned_analyze,
+        versioned_change_feed,
+        versioned_upsert,
+    )
+
+    path = str(tmp_path / "an")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}", None if i % 5 == 0 else float(i)) for i in range(200)],
+        "k long, g string, x double",
+    )
+    versioned_write(df.repartition(4), path)                           # v0
+    assert table_stats(path) is None
+    v1 = versioned_analyze(spark, path)                                # v1
+    # metadata-only: the manifest references the same files
+    with open(_os.path.join(path, "v=0", "_MANIFEST.json")) as f:
+        r0 = {r["path"] for r in _json.load(f)["segments"]}
+    with open(_os.path.join(path, "v=1", "_MANIFEST.json")) as f:
+        r1 = {r["path"] for r in _json.load(f)["segments"]}
+    assert r0 == r1
+    st = table_stats(path)
+    assert st["n_rows"] == 200 and st["versions_stale"] == 0
+    assert abs(st["columns"]["k"]["ndv"] - 200) <= 8  # HLL++ rsd band
+    assert st["columns"]["g"]["ndv"] == 7
+    assert st["columns"]["x"]["n_nulls"] == 40
+    # the feed never demands a keys fallback to cross the analyze commit
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(500, "new", 1.0)], "k long, g string, x double"),
+        ["k"], change_feed=True,
+    )                                                                  # v2
+    feed = versioned_change_feed(spark, path, from_version=1).collect()
+    assert [(r["_commit_version"], r["k"]) for r in feed] == [(2, 500)]
+    # stats carried forward, staleness visible
+    st2 = table_stats(path)
+    assert st2["columns"]["g"]["ndv"] == 7 and st2["versions_stale"] == 1
+    assert v1 == 1
