@@ -174,3 +174,64 @@ def join_advice(
         top_share.alias("top_key_share"),
         rec.alias("recommendation"),
     )
+
+
+def join_advice_from_stats(
+    path_a: str,
+    a_key: str,
+    path_b: str,
+    b_key: str,
+    *,
+    broadcast_bytes: int = 64 * 1024 * 1024,
+    row_bytes: int = 100,
+) -> dict:
+    """The ZERO-JOB planning card: the same broadcast/shuffle decision
+    as :func:`join_advice`, answered entirely from each versioned
+    table's recorded ANALYZE statistics (``versioned_analyze`` /
+    ``table_stats``) — no scan, no sample, pure driver arithmetic.
+    Join size uses the System-R containment estimate
+    ``rows_a × rows_b / max(ndv_a, ndv_b)``.
+
+    Division of labor with the sampled card: ANALYZE stats are
+    amortized catalog facts (read for free by every later plan) but
+    carry no per-key skew signal — ``skew_share`` decisions still
+    need the coordinated sample. The card therefore recommends only
+    ``broadcast_a`` / ``broadcast_b`` / ``shuffle`` and reports each
+    side's ``versions_stale`` so a planner can decide when the facts
+    are too old to trust. Raises when a side was never analyzed or
+    its key column wasn't covered — a loud prompt to run
+    ``versioned_analyze``, never a silent guess."""
+    from skopje_spark.sinks.versioned import table_stats
+
+    cards = {}
+    for side, (path, key) in (("a", (path_a, a_key)), ("b", (path_b, b_key))):
+        st = table_stats(path)
+        if st is None:
+            raise ValueError(
+                f"side {side} ({path}) has no recorded ANALYZE stats — "
+                "run versioned_analyze first"
+            )
+        if key not in st["columns"]:
+            raise KeyError(
+                f"side {side} ({path}) was analyzed without column "
+                f"{key!r} — re-run versioned_analyze including it"
+            )
+        cards[side] = {
+            "rows": int(st["n_rows"]),
+            "ndv": int(st["columns"][key]["ndv"]),
+            "versions_stale": int(st["versions_stale"]),
+        }
+    ra, rb = cards["a"]["rows"], cards["b"]["rows"]
+    est = ra * rb / max(cards["a"]["ndv"], cards["b"]["ndv"], 1)
+    if ra * row_bytes <= broadcast_bytes:
+        rec = "broadcast_a"
+    elif rb * row_bytes <= broadcast_bytes:
+        rec = "broadcast_b"
+    else:
+        rec = "shuffle"
+    return {
+        "est_join_rows": est,
+        "a": cards["a"],
+        "b": cards["b"],
+        "recommendation": rec,
+    }

@@ -1836,3 +1836,37 @@ def test_analyze_records_carried_column_stats(spark, tmp_path):
     st2 = table_stats(path)
     assert st2["columns"]["g"]["ndv"] == 7 and st2["versions_stale"] == 1
     assert v1 == 1
+
+
+def test_join_advice_from_stats_zero_job(spark, tmp_path):
+    """The catalog-fact planning card: broadcast/shuffle decision and
+    System-R join-size estimate from recorded ANALYZE stats alone —
+    and a loud refusal when a side was never analyzed."""
+    import pytest as _pytest
+
+    from skopje_spark.operators.estimate import join_advice_from_stats
+    from skopje_spark.sinks.versioned import versioned_analyze
+
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    versioned_write(
+        spark.createDataFrame([(i, f"d{i}") for i in range(50)],
+                              "k long, name string"),
+        dim,
+    )
+    versioned_write(
+        spark.createDataFrame([(i % 50, i) for i in range(5000)],
+                              "k long, v long").repartition(4),
+        fact,
+    )
+    with _pytest.raises(ValueError, match="no recorded ANALYZE"):
+        join_advice_from_stats(dim, "k", fact, "k")
+    versioned_analyze(spark, dim)
+    versioned_analyze(spark, fact)
+    card = join_advice_from_stats(dim, "k", fact, "k")
+    assert card["recommendation"] == "broadcast_a"
+    # containment estimate: 50 * 5000 / ~50 ≈ 5000 (HLL band)
+    assert 4000 <= card["est_join_rows"] <= 6500
+    assert card["a"]["versions_stale"] == 0
+    with _pytest.raises(KeyError, match="analyzed without column"):
+        join_advice_from_stats(dim, "name_missing", fact, "k")
