@@ -448,7 +448,13 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
     carries the segment's row total and per-column min/max AGGREGATE
     stats (folded only over columns every member entry has stats
     for), so future readers can prune whole segments from the
-    kilobyte refs without opening them."""
+    kilobyte refs without opening them.
+
+    Object-store note: content addressing makes the exists/replace
+    pair race-safe even WITHOUT conditional put — two writers racing
+    on the same segment write byte-identical content, so last-write-
+    wins is harmless; only the version POINTER swap needs the
+    conditional-put contract (see :class:`PosixPointerStore`)."""
     import hashlib
 
     entries = sorted(entries, key=lambda e: e["path"])
