@@ -480,6 +480,17 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
             with open(tmp, "w") as f:
                 f.write(payload)
             os.replace(tmp, full)  # atomic; identical content if raced
+        else:
+            # re-arm vacuum's age gate: an identical segment left over
+            # from a long-abandoned commit is older than
+            # min_file_age_s, so a vacuum racing the window between
+            # this reuse and the pointer swap could delete it from
+            # under the new manifest. A fresh mtime makes the reused
+            # file as young as a newly staged one.
+            try:
+                os.utime(full, None)
+            except OSError:
+                pass
         # segment-level aggregate stats: a column contributes only when
         # every member entry has usable stats for it
         agg: dict[str, dict] = {}
@@ -2061,6 +2072,12 @@ def versioned_merge(
         for c in table_cols
     ]
 
+    # three-valued clause semantics: only a condition that evaluates
+    # TRUE fires its clause — NULL (e.g. a NULL op column) must behave
+    # like FALSE, never like "delete". Coalescing to FALSE before
+    # negating keeps survivors (~deleted) and the change feed
+    # (deleted) exact complements, so data and CDF can never diverge.
+    deleted = F.coalesce(del_cond.cast("boolean"), F.lit(False))
     if cand:
         slice_df = _read_entries(spark, path, cand, table_schema)
         j = slice_df.join(
@@ -2072,7 +2089,7 @@ def versioned_merge(
         kept_unmatched = j.filter(~matched).select(*table_cols)
         pairs = j.filter(matched)
         # precedence: delete first, then update, else keep unchanged
-        survivors = pairs.filter(~del_cond).select(
+        survivors = pairs.filter(~deleted).select(
             *[
                 F.when(upd_cond, p).otherwise(F.col(c)).alias(c)
                 for c, p in zip(table_cols, upd_proj)
@@ -2114,8 +2131,8 @@ def versioned_merge(
         # candidate files the merge reads anyway
         cdc = inserts.withColumn("_change_type", F.lit("insert"))
         if cand:
-            del_rows = pairs.filter(del_cond).select(*table_cols)
-            upd_pairs = pairs.filter(~del_cond & upd_cond)
+            del_rows = pairs.filter(deleted).select(*table_cols)
+            upd_pairs = pairs.filter(~deleted & upd_cond)
             cdc = (
                 cdc.unionByName(
                     del_rows.withColumn("_change_type", F.lit("delete"))

@@ -946,6 +946,46 @@ def test_versioned_merge_clause_semantics(spark, tmp_path):
     assert rows2[3] == (333, "x") and rows2[200] == (2, "y")
 
 
+def test_merge_null_clause_condition_is_not_a_delete(spark, tmp_path):
+    """Three-valued MERGE clauses: a matched pair whose delete
+    condition evaluates to NULL (e.g. a NULL op column in a changelog
+    batch) keeps the target row — NULL must behave like FALSE, never
+    like 'delete' — and the change feed agrees with the table (the
+    row is neither deleted nor recorded as a delete)."""
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_merge,
+    )
+
+    path = str(tmp_path / "mrg3v")
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    versioned_write(t, path)
+    # changelog shape: extra src-only op column, NULL for key 2
+    src = spark.createDataFrame(
+        [(1, "A", "U"), (2, "B", None), (3, "C", "D")],
+        "k int, v string, op string",
+    )
+    ver = versioned_merge(
+        spark, path, src, ["k"],
+        when_matched_update="src_op = 'U'",
+        when_matched_delete="src_op = 'D'",
+        when_not_matched_insert="TRUE",
+        change_feed=True,
+    )
+    rows = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    # k=1 updated, k=2 kept UNCHANGED (NULL op fires no clause), k=3 deleted
+    assert rows == {1: "A", 2: "b"}
+    feed = versioned_change_feed(spark, path, from_version=ver, to_version=ver)
+    changes = sorted(
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    )
+    assert changes == [
+        (1, "update_postimage"), (1, "update_preimage"), (3, "delete"),
+    ]
+
+
 def test_append_is_blind_and_carries_everything(spark, tmp_path):
     """versioned_append: O(batch) write, every existing file carried by
     reference (DVs included), duplicates appended verbatim, optional
@@ -1610,11 +1650,14 @@ def test_manifest_segments_reused_across_commits(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(V, "_SEG_TARGET", 4)  # tiny segments for the test
     path = str(tmp_path / "seg")
+    # 64 files: segment cuts hash random pool-file names, so with only
+    # ~16 files the ">= 3 segments" assert below fails with P≈8%
+    # (1 + Binomial(15, 1/4)); at 64 files P(<3) is ~1e-7
     df = spark.createDataFrame(
-        [(i, f"r{i}") for i in range(80)], "k long, v string"
+        [(i, f"r{i}") for i in range(320)], "k long, v string"
     )
     versioned_write(
-        df.repartitionByRange(16, "k").sortWithinPartitions("k"), path
+        df.repartitionByRange(64, "k").sortWithinPartitions("k"), path
     )
 
     def seg_refs(v):
@@ -1635,7 +1678,7 @@ def test_manifest_segments_reused_across_commits(spark, tmp_path, monkeypatch):
     assert all("stats" in r and r["n"] >= 1 for r in refs)
     assert any("k" in r["stats"] for r in refs)
     got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
-    assert got[3] == "NEW" and len(got) == 80
+    assert got[3] == "NEW" and len(got) == 320
 
 
 def test_pruned_read_skips_whole_segments(spark, tmp_path, monkeypatch):
