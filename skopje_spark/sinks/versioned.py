@@ -713,22 +713,68 @@ def _commit_manifest(
         except CommitConflict:
             shutil.rmtree(staged, ignore_errors=True)
             raise
-    current = latest_version(path)
     # crash residue: a writer that died between manifest write and
     # pointer swap leaves UNCOMMITTED v=* directories (readers never
     # see them — they follow the pointer). Clear EVERY residue above
     # the pointer — including all of them when no pointer exists yet —
-    # so numbering restarts cleanly; single-writer discipline is
-    # assumed on the unguarded path.
-    for v in _versions(path):
-        if current is None or v > current:
-            shutil.rmtree(os.path.join(path, f"v={v}"))
-    n = (current + 1) if current is not None else 0
-    _write_manifest_dir(
-        os.path.join(path, f"v={n}"), schema_json, entries, meta, reuse_refs
+    # so numbering restarts cleanly. The sweep + publish runs UNDER
+    # the commit lock: a guarded writer renames its staged dir to
+    # ``v=N`` moments before its pointer swap, and an unlocked sweep
+    # racing that window would rmtree the committed-in-flight
+    # snapshot. Single-writer discipline is still the unguarded
+    # path's documented contract — the lock turns an accidental mix
+    # of guarded and unguarded writers from silent data loss into, at
+    # worst, a loud CommitConflict.
+    with _commit_lock(path, lock_timeout_s):
+        current = latest_version(path)
+        for v in _versions(path):
+            if current is None or v > current:
+                shutil.rmtree(os.path.join(path, f"v={v}"))
+        n = (current + 1) if current is not None else 0
+        _write_manifest_dir(
+            os.path.join(path, f"v={n}"), schema_json, entries, meta,
+            reuse_refs,
+        )
+        POINTER_STORE.swap_pointer(path, n)
+        return n
+
+
+def _metadata_commit(path: str, derive, *, lock_timeout_s: float,
+                     max_retries: int = 8) -> int:
+    """Commit a METADATA-ONLY table change (CHECK constraints, column
+    rename, ANALYZE statistics) guarded by compare-and-swap on the
+    CURRENT latest. The carried data entries are re-derived from the
+    latest manifest INSIDE the retry loop, so a racing data commit can
+    never be reverted — its files ride into the metadata commit by
+    reference (the round-9 hazard: an unguarded ANALYZE racing one
+    ingest commit silently re-pointed the table at the stale file
+    set). ``derive(committed, raw_manifest) -> (schema_json,
+    commit_meta)`` re-runs per retry, so existence/collision checks
+    always hold against the manifest actually carried. These are
+    kilobyte commits — segments ride by reference — so a lost race
+    costs one pointer read plus one CAS, never an O(table) re-walk."""
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        committed = latest_version(path)
+        if committed is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        with open(os.path.join(path, f"v={committed}", _MANIFEST_NAME)) as f:
+            raw = json.load(f)
+        schema_json, commit_meta = derive(committed, raw)
+        reuse = raw.get("segments")
+        entries = [] if reuse is not None else raw["files"]
+        try:
+            return _commit_manifest(
+                path, schema_json, entries, commit_meta,
+                committed, lock_timeout_s, reuse_refs=reuse,
+            )
+        except CommitConflict as e:
+            last = e
+            time.sleep(0.05 * (2**attempt))
+    raise CommitConflict(
+        f"metadata commit at {path} lost {max_retries + 1} races; "
+        f"last: {last}"
     )
-    POINTER_STORE.swap_pointer(path, n)
-    return n
 
 
 def versioned_write(
@@ -819,37 +865,42 @@ def set_check_constraint(
     ``validate=True`` (default, as in Delta) first proves the EXISTING
     table satisfies the new constraint — one O(table) scan,
     short-circuited at the first counterexample; the commit itself is
-    metadata-only (entries carried verbatim). Enforcement cost
+    metadata-only (entries carried by reference). Enforcement cost
     afterwards is one O(batch) scan per constrained commit, JVM-side,
-    only while constraints exist."""
-    committed = latest_version(path)
-    if committed is None:
-        raise FileNotFoundError(f"no committed version at {path}")
-    cons = table_constraints(path)
-    if name in cons:
-        raise ValueError(
-            f"constraint {name!r} already exists on {path}: {cons[name]!r}"
-        )
-    if validate:
-        broken = _find_violations(
-            versioned_read(spark, path), {name: expr}
-        )
-        if broken:
-            raise ConstraintViolation(
-                f"existing rows at {path} violate new CHECK constraint "
-                f"{name!r}: {expr!r}"
+    only while constraints exist.
+
+    Safe to run WHILE ingest writers commit: the commit is a guarded
+    CAS re-derived from the latest manifest per retry
+    (:func:`_metadata_commit`), so a racing data commit's files are
+    carried, never reverted — and the validation scan re-runs against
+    the retry's base so rows landed mid-race are proven too."""
+
+    def derive(committed: int, raw: dict):
+        cons = table_constraints(path, version=committed)
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {path}: "
+                f"{cons[name]!r}"
             )
-    man = _read_manifest(path, committed)
-    commit_meta = {
-        "op": "set_constraint",
-        "constraint_name": name,
-        "constraints": json.dumps({**cons, name: expr}),
-    }
-    commit_meta.update(meta or {})
-    return _commit_manifest(
-        path, man["schema"], man["files"], commit_meta,
-        _UNGUARDED, lock_timeout_s,
-    )
+        if validate:
+            broken = _find_violations(
+                versioned_read(spark, path, version=committed),
+                {name: expr},
+            )
+            if broken:
+                raise ConstraintViolation(
+                    f"existing rows at {path} violate new CHECK "
+                    f"constraint {name!r}: {expr!r}"
+                )
+        commit_meta = {
+            "op": "set_constraint",
+            "constraint_name": name,
+            "constraints": json.dumps({**cons, name: expr}),
+        }
+        commit_meta.update(meta or {})
+        return raw["schema"], commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
 
 def drop_check_constraint(
@@ -862,25 +913,26 @@ def drop_check_constraint(
     """DROP a CHECK constraint: metadata-only commit whose
     ``constraints`` marker no longer lists it. History keeps the old
     marker, so time travel shows which constraints governed any past
-    commit."""
-    committed = latest_version(path)
-    if committed is None:
-        raise FileNotFoundError(f"no committed version at {path}")
-    cons = table_constraints(path)
-    if name not in cons:
-        raise KeyError(f"no constraint {name!r} on {path} (have {list(cons)})")
-    cons = {k: v for k, v in cons.items() if k != name}
-    man = _read_manifest(path, committed)
-    commit_meta = {
-        "op": "drop_constraint",
-        "constraint_name": name,
-        "constraints": json.dumps(cons),
-    }
-    commit_meta.update(meta or {})
-    return _commit_manifest(
-        path, man["schema"], man["files"], commit_meta,
-        _UNGUARDED, lock_timeout_s,
-    )
+    commit. Guarded CAS (:func:`_metadata_commit`) — safe to run
+    while data writers commit."""
+
+    def derive(committed: int, raw: dict):
+        cons = table_constraints(path, version=committed)
+        if name not in cons:
+            raise KeyError(
+                f"no constraint {name!r} on {path} (have {list(cons)})"
+            )
+        commit_meta = {
+            "op": "drop_constraint",
+            "constraint_name": name,
+            "constraints": json.dumps(
+                {k: v for k, v in cons.items() if k != name}
+            ),
+        }
+        commit_meta.update(meta or {})
+        return raw["schema"], commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
 
 def versioned_rename_column(
@@ -915,47 +967,45 @@ def versioned_rename_column(
     Caveat (documented contract): change-feed recordings and
     snapshot-diff CDC serve each commit range in its AS-RECORDED
     schema; consumers that span a rename boundary must map old
-    column names themselves — rename commits record no data changes."""
-    committed = latest_version(path)
-    if committed is None:
-        raise FileNotFoundError(f"no committed version at {path}")
-    man = _read_manifest(path, committed)
-    names = [f["name"] for f in man["schema"]["fields"]]
-    if old not in names:
-        raise KeyError(f"no column {old!r} at {path} (have {names})")
-    if new in names:
-        raise ValueError(f"column {new!r} already exists at {path}")
-    cons = table_constraints(path)
-    referencing = [
-        n
-        for n, expr in cons.items()
-        if re.search(rf"\b{re.escape(old)}\b", expr)
-    ]
-    if referencing:
-        raise ValueError(
-            f"CHECK constraint(s) {referencing} reference column {old!r}; "
-            "drop them before renaming"
-        )
-    fields = []
-    for f in man["schema"]["fields"]:
-        if f["name"] == old:
-            f = dict(f)
-            md = dict(f.get("metadata") or {})
-            md["physical"] = md.get("physical", old)
-            f["name"] = new
-            f["metadata"] = md
-        fields.append(f)
-    schema_json = {**man["schema"], "fields": fields}
-    commit_meta = {
-        "op": "rename_column",
-        "rename_from": old,
-        "rename_to": new,
-    }
-    commit_meta.update(meta or {})
-    return _commit_manifest(
-        path, schema_json, man["files"], commit_meta,
-        _UNGUARDED, lock_timeout_s,
-    )
+    column names themselves — rename commits record no data changes.
+    Guarded CAS (:func:`_metadata_commit`) — safe to run while data
+    writers commit; name checks re-run against each retry's base."""
+
+    def derive(committed: int, raw: dict):
+        names = [f["name"] for f in raw["schema"]["fields"]]
+        if old not in names:
+            raise KeyError(f"no column {old!r} at {path} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists at {path}")
+        cons = table_constraints(path, version=committed)
+        referencing = [
+            n
+            for n, expr in cons.items()
+            if re.search(rf"\b{re.escape(old)}\b", expr)
+        ]
+        if referencing:
+            raise ValueError(
+                f"CHECK constraint(s) {referencing} reference column "
+                f"{old!r}; drop them before renaming"
+            )
+        fields = []
+        for f in raw["schema"]["fields"]:
+            if f["name"] == old:
+                f = dict(f)
+                md = dict(f.get("metadata") or {})
+                md["physical"] = md.get("physical", old)
+                f["name"] = new
+                f["metadata"] = md
+            fields.append(f)
+        commit_meta = {
+            "op": "rename_column",
+            "rename_from": old,
+            "rename_to": new,
+        }
+        commit_meta.update(meta or {})
+        return {**raw["schema"], "fields": fields}, commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
 
 def versioned_analyze(
@@ -982,15 +1032,25 @@ def versioned_analyze(
     (the sampling estimator in ``operators/estimate.py`` answers
     per-join questions; ANALYZE amortizes one scan into a catalog
     fact every later plan reads for free). One job however many
-    columns — all aggregates ride a single pass."""
-    committed = latest_version(path)
-    if committed is None:
+    columns — all aggregates ride a single pass.
+
+    Safe background maintenance for real: the commit is a guarded CAS
+    re-derived from the latest manifest per retry
+    (:func:`_metadata_commit`), so ANALYZE racing a concurrent ingest
+    commit carries the ingest's files instead of silently reverting
+    them. The scan itself runs ONCE, pinned to the version current at
+    call time; if a data commit lands before our marker does, the
+    marker's ``as_of_version`` stays the scanned version, so
+    ``versions_stale`` reports the race honestly instead of claiming
+    freshness the stats don't have."""
+    scanned = latest_version(path)
+    if scanned is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    with open(os.path.join(path, f"v={committed}", _MANIFEST_NAME)) as f:
-        raw = json.load(f)
+    with open(os.path.join(path, f"v={scanned}", _MANIFEST_NAME)) as f:
+        raw0 = json.load(f)
     from pyspark.sql.types import StructType as _ST
 
-    schema = _ST.fromJson(raw["schema"])
+    schema = _ST.fromJson(raw0["schema"])
     names = [fld.name for fld in schema.fields]
     cols = names if cols is None else cols
     unknown = [c for c in cols if c not in names]
@@ -998,7 +1058,7 @@ def versioned_analyze(
         raise KeyError(f"no column(s) {unknown} at {path} (have {names})")
     from pyspark.sql import functions as F
 
-    df = versioned_read(spark, path, version=committed)
+    df = versioned_read(spark, path, version=scanned)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.approx_count_distinct(c, rsd).alias(f"ndv__{c}"))
@@ -1013,29 +1073,30 @@ def versioned_analyze(
         }
         for c in cols
     }
-    commit_meta = {
-        "op": "analyze",
-        "column_stats": json.dumps(
-            {
-                # the analyze commit itself carries exactly the data it
-                # described (zero-change), so the stats are CURRENT at
-                # the commit this marker lands in (committed + 1 on the
-                # single-writer unguarded path)
-                "as_of_version": committed + 1,
-                "n_rows": int(row["__n"]),
-                "rsd": rsd,
-                "columns": stats,
-            },
-            sort_keys=True,
-        ),
-    }
-    commit_meta.update(meta or {})
-    reuse = raw.get("segments")
-    entries = [] if reuse is not None else raw["files"]
-    return _commit_manifest(
-        path, raw["schema"], entries, commit_meta,
-        _UNGUARDED, lock_timeout_s, reuse_refs=reuse,
-    )
+
+    def derive(committed: int, raw: dict):
+        commit_meta = {
+            "op": "analyze",
+            "column_stats": json.dumps(
+                {
+                    # no race: the analyze commit carries exactly the
+                    # data it scanned, so the stats are CURRENT at the
+                    # commit the marker lands in. Raced: they describe
+                    # the scanned version, one-or-more commits behind.
+                    "as_of_version": (
+                        committed + 1 if committed == scanned else scanned
+                    ),
+                    "n_rows": int(row["__n"]),
+                    "rsd": rsd,
+                    "columns": stats,
+                },
+                sort_keys=True,
+            ),
+        }
+        commit_meta.update(meta or {})
+        return raw["schema"], commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
 
 def table_stats(path: str, *, version: int | None = None) -> dict | None:
@@ -2606,8 +2667,11 @@ def versioned_restore(
     path: str,
     version: int,
     *,
+    spark: SparkSession | None = None,
+    validate: bool = True,
     meta: dict[str, str] | None = None,
     lock_timeout_s: float = 600.0,
+    max_retries: int = 8,
 ) -> int:
     """RESTORE: re-commit an earlier snapshot's manifest as the new
     latest (Delta's RESTORE TABLE ... VERSION AS OF). Pure metadata —
@@ -2615,7 +2679,21 @@ def versioned_restore(
     table back to yesterday writes one manifest. History is preserved
     (restore is a NEW version; nothing is erased), and vacuum's
     ref-count keeps every file any retained manifest — including the
-    restored one — still lists."""
+    restored one — still lists.
+
+    The commit is a guarded CAS on the current latest, retried on a
+    lost race, so a restore can never silently clobber a concurrent
+    data commit (it serializes after it — restore then wins, which is
+    what "roll the table back" means, but the race is now explicit in
+    history instead of the racing commit's files vanishing).
+
+    CHECK constraints added AFTER ``version`` still govern the table
+    the restore publishes, so ``validate=True`` (default) proves the
+    restored rows satisfy the CURRENT constraint set before
+    committing — one short-circuited scan of the restored snapshot,
+    only when constraints exist (``spark`` or the active session is
+    used). ``validate=False`` skips the scan for the operator who
+    knows the history is clean."""
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -2624,12 +2702,43 @@ def versioned_restore(
             f"version {version} at {path} is not committed "
             f"(latest committed: {committed})"
         )
-    man = _read_manifest(path, version)
-    commit_meta = {"op": "restore", "source_version": str(version)}
-    commit_meta.update(meta or {})
-    return _commit_manifest(
-        path, man["schema"], man["files"], commit_meta,
-        _UNGUARDED, lock_timeout_s,
+    with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
+        raw = json.load(f)
+    reuse = raw.get("segments")
+    entries = [] if reuse is not None else raw["files"]
+    validated: set[str] = set()
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        base = latest_version(path)
+        cons = table_constraints(path, version=base)
+        marker = json.dumps(cons, sort_keys=True)
+        if validate and cons and marker not in validated:
+            s = spark or SparkSession.getActiveSession()
+            if s is None:
+                s = SparkSession.builder.getOrCreate()
+            broken = _find_violations(
+                versioned_read(s, path, version=version), cons
+            )
+            if broken:
+                raise ConstraintViolation(
+                    f"restoring v{version} at {path} would violate "
+                    f"currently active CHECK constraint(s) {broken}: "
+                    f"{[cons[n] for n in broken]} — drop them or pass "
+                    "validate=False to override"
+                )
+            validated.add(marker)
+        commit_meta = {"op": "restore", "source_version": str(version)}
+        commit_meta.update(meta or {})
+        try:
+            return _commit_manifest(
+                path, raw["schema"], entries, commit_meta,
+                base, lock_timeout_s, reuse_refs=reuse,
+            )
+        except CommitConflict as e:
+            last = e
+            time.sleep(0.05 * (2**attempt))
+    raise CommitConflict(
+        f"restore at {path} lost {max_retries + 1} races; last: {last}"
     )
 
 

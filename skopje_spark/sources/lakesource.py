@@ -220,10 +220,32 @@ def _read_entry_arrow(
     yield from out.to_batches(max_chunksize=65536)
 
 
+def _ref_overlaps(ref: dict, stats_col: str, lo, hi) -> bool:
+    """Segment-ref-level twin of :func:`_overlaps`: True unless the
+    ref's AGGREGATE [min, max] on ``stats_col`` proves every member
+    file disjoint from [lo, hi] (either bound may be None). Refs
+    without usable aggregate stats stay conservative."""
+    st = (ref.get("stats") or {}).get(stats_col)
+    if not st:
+        return True
+    mn, mx = st.get("min"), st.get("max")
+    isnan = lambda x: isinstance(x, float) and x != x  # noqa: E731
+    if mn is None or mx is None or isnan(mn) or isnan(mx):
+        return True
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
 class VersionedTableReader(DataSourceReader):
     def __init__(self, options: dict[str, str]) -> None:
         from skopje_spark.sinks.versioned import (
-            _read_manifest,
+            _MANIFEST_NAME,
             latest_version,
             version_as_of_timestamp,
         )
@@ -243,26 +265,62 @@ class VersionedTableReader(DataSourceReader):
         else:
             v = int(options.get("versionasof", committed))
         self.version = v
-        self.man = _read_manifest(self.table, v)
+        # plan from the TOP-LEVEL manifest only — segment files are
+        # opened lazily, and pushFilters prunes whole segments from
+        # their kilobyte aggregate stats before any is parsed. At
+        # 800k files that is the difference between parsing a couple
+        # of segments and parsing the whole manifest per planned scan.
+        with open(
+            os.path.join(self.table, f"v={v}", _MANIFEST_NAME)
+        ) as f:
+            self.man = json.load(f)
         self.logical = _logical_schema(self.man)
         self.map = _mapping(self.man)
-        self.entries = list(self.man["files"])
+        self._bounds: dict[str, tuple] = {}
+        # reader metrics (inspectable by tests/operators): how many
+        # manifest segments the plan opened vs carried unopened
+        self.segments_total = len(self.man.get("segments", [])) or 1
+        self.segments_opened: int | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """File pruning, not filter absorption: fold comparison
-        filters into per-column intervals, drop files whose footer
-        stats prove disjointness, then yield EVERY filter back so
-        Spark re-applies exact predicates. Conservative stats can
-        only widen IO, never change results."""
-        bounds = _bounds_from_filters(
+        filters into per-column intervals, drop manifest SEGMENTS
+        whose aggregate stats prove disjointness (never opened), then
+        drop files within the surviving segments by footer stats, and
+        finally yield EVERY filter back so Spark re-applies exact
+        predicates. Conservative stats can only widen IO, never
+        change results."""
+        self._bounds = _bounds_from_filters(
             filters, {f.name for f in self.logical.fields}
         )
-        for col, (lo, hi) in bounds.items():
-            sk = self.map.get(col, col)
-            self.entries = [
-                e for e in self.entries if _overlaps(e, sk, lo, hi)
-            ]
         yield from filters
+
+    def _resolve_entries(self) -> list[dict]:
+        """Materialize the (segment-pruned, then file-pruned) entry
+        list for this scan; records the segment-open metrics."""
+        phys_bounds = [
+            (self.map.get(col, col), lo, hi)
+            for col, (lo, hi) in self._bounds.items()
+        ]
+        if "files" in self.man:  # legacy flat manifest
+            entries = list(self.man["files"])
+            self.segments_opened = 1
+        else:
+            entries = []
+            opened = 0
+            for ref in self.man["segments"]:
+                if any(
+                    not _ref_overlaps(ref, sk, lo, hi)
+                    for sk, lo, hi in phys_bounds
+                ):
+                    continue  # proven disjoint: never opened
+                opened += 1
+                with open(os.path.join(self.table, ref["path"])) as f:
+                    entries.extend(json.load(f))
+            self.segments_opened = opened
+        for sk, lo, hi in phys_bounds:
+            entries = [e for e in entries if _overlaps(e, sk, lo, hi)]
+        return entries
 
     def partitions(self) -> Sequence[InputPartition]:
         # one pooled file per task — the manifest is the split index
@@ -272,7 +330,7 @@ class VersionedTableReader(DataSourceReader):
                 rel_path=e["path"],
                 dv_files=list(e.get("dv_files", [])),
             )
-            for e in self.entries
+            for e in self._resolve_entries()
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -425,11 +483,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
             CommitConflict,
             _commit_manifest,
             _enforce_constraints,
-            _read_manifest,
             latest_version,
+            snapshot_meta,
         )
 
         entries = [m.entry for m in messages if m and m.entry]
+        base0 = latest_version(self.path)
+        enforced_marker = (
+            snapshot_meta(self.path, "constraints", version=base0)
+            if base0 is not None
+            else None
+        )
         if entries:
             # commit runs on a driver callback thread where the active
             # session may be unset — getOrCreate rebinds the existing
@@ -454,10 +518,32 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     os.path.join(self.path, f"v={base}", "_MANIFEST.json")
                 ) as f:
                     raw = _json.load(f)
+                # the rebase refusal taxonomy, applied to the retry: a
+                # concurrent schema evolution would NULL-fill our rows
+                # through a schema we never saw — refuse rather than
+                # silently absorb (versioned._attempt_rebase cond. 1)
+                if raw["schema"] != self.schema_json:
+                    raise CommitConflict(
+                        f"writer commit at {self.path} refused: concurrent "
+                        "commit changed the table schema after this "
+                        "writer was planned"
+                    )
                 schema_json = raw["schema"]
                 reuse = raw.get("segments")
                 files = (
                     entries if reuse is not None else raw["files"] + entries
+                )
+            # a CHECK constraint added after _enforce_constraints ran
+            # never saw this batch — refuse (rebase condition 2)
+            cur_marker = (
+                snapshot_meta(self.path, "constraints", version=base)
+                if base is not None
+                else None
+            )
+            if entries and cur_marker != enforced_marker:
+                raise CommitConflict(
+                    f"writer commit at {self.path} refused: CHECK "
+                    "constraints changed after this batch was validated"
                 )
             try:
                 _commit_manifest(
@@ -533,6 +619,11 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                     pass
 
         base = latest_version(self.path)
+        enforced_marker = (
+            snapshot_meta(self.path, "constraints", version=base)
+            if base is not None
+            else None
+        )
         if base is not None:
             ledger = json.loads(
                 snapshot_meta(self.path, "stream_ledger", version=base)
@@ -560,6 +651,24 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                     os.path.join(self.path, f"v={base}", "_MANIFEST.json")
                 ) as f:
                     raw = json.load(f)
+                # refuse to absorb a concurrent schema evolution or
+                # constraint change on retry — the rebase refusal
+                # taxonomy (see the batch writer's commit)
+                if raw["schema"] != self._w.schema_json:
+                    raise CommitConflict(
+                        f"stream writer at {self.path} refused: concurrent "
+                        "commit changed the table schema after this "
+                        "writer was planned"
+                    )
+                if entries and (
+                    snapshot_meta(self.path, "constraints", version=base)
+                    != enforced_marker
+                ):
+                    raise CommitConflict(
+                        f"stream writer at {self.path} refused: CHECK "
+                        "constraints changed after this batch was "
+                        "validated"
+                    )
                 schema_json = raw["schema"]
                 reuse = raw.get("segments")
                 files = (
@@ -608,15 +717,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     (option ``allow_unrecorded=true`` downgrades to skipping it)."""
 
     def __init__(self, schema: StructType, options: dict[str, str]) -> None:
-        from skopje_spark.sinks.versioned import latest_version
+        from skopje_spark.sinks.versioned import (
+            _MANIFEST_NAME,
+            latest_version,
+        )
 
         self.table = options.get("path", "")
         if not self.table:
             raise ValueError(
                 "skopje_versioned_changes: provide option 'path'"
             )
-        if latest_version(self.table) is None:
+        lv = latest_version(self.table)
+        if lv is None:
             raise FileNotFoundError(f"no committed version at {self.table}")
+        # the stream's logical name → stable PHYSICAL parquet name,
+        # from the current manifest: the chain that lets cdc files
+        # recorded under a PRE-RENAME logical name resolve to the
+        # stream's post-rename column instead of NULL-filling
+        with open(
+            os.path.join(self.table, f"v={lv}", _MANIFEST_NAME)
+        ) as f:
+            self._phys = _mapping(json.load(f))
+        self._cdc_maps: dict[int, dict] = {}
         self.start_v = int(options.get("startingversion", "0"))
         self.initial_snapshot = (
             options.get("initialsnapshot", "true").lower() == "true"
@@ -625,6 +747,36 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             options.get("allowunrecorded", "false").lower() == "true"
         )
         self.schema_struct = schema
+
+    def _cdc_mapping(self, v: int) -> dict:
+        """stream logical name → the name the column was RECORDED
+        under in commit ``v``'s cdc files. cdc frames carry the
+        logical names of their own epoch; a rename between v and the
+        stream's schema epoch changes the logical name but never the
+        physical, so chaining stream-name → physical → v's logical
+        name re-aligns the columns exactly (versioned_change_feed's
+        as-recorded-schema contract, resolved instead of delegated)."""
+        m = self._cdc_maps.get(v)
+        if m is None:
+            from skopje_spark.sinks.versioned import _MANIFEST_NAME
+
+            with open(
+                os.path.join(self.table, f"v={v}", _MANIFEST_NAME)
+            ) as f:
+                man_v = json.load(f)
+            phys_to_recorded = {
+                (fl.get("metadata") or {}).get("physical", fl["name"]):
+                    fl["name"]
+                for fl in man_v["schema"]["fields"]
+            }
+            m = {
+                name: phys_to_recorded[phys]
+                for name, phys in self._phys.items()
+                if phys in phys_to_recorded
+                and phys_to_recorded[phys] != name
+            }
+            self._cdc_maps[v] = m
+        return m
 
     def initialOffset(self) -> dict:
         # nothing served yet; the starting version itself is the first
@@ -654,6 +806,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             if v == self.start_v and self.initial_snapshot:
                 man = _read_manifest(self.table, v)
+                # data files carry PHYSICAL column names (stable
+                # across renames), so the stream's own logical →
+                # physical map serves any snapshot epoch — a rename
+                # between v and the stream's schema epoch resolves to
+                # real values, never NULL-fill
                 out.extend(
                     _FilePartition(
                         table=self.table,
@@ -661,7 +818,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         dv_files=list(e.get("dv_files", [])),
                         version=v,
                         change_type="insert",
-                        mapping=_mapping(man),
+                        mapping=self._phys,
                     )
                     for e in man["files"]
                 )
@@ -680,7 +837,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             out.extend(
                 _FilePartition(
-                    table=self.table, rel_path=rel, version=v
+                    table=self.table, rel_path=rel, version=v,
+                    mapping=self._cdc_mapping(v),
                 )
                 for rel in json.loads(cdc_json)
             )
@@ -705,11 +863,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 },
             )
         else:
-            # cdc file: _change_type is a data column in the file
+            # cdc file: _change_type is a data column in the file;
+            # the mapping re-aligns columns recorded under a
+            # pre-rename logical name (identity when never renamed)
             cdc_schema = StructType(base.fields).add("_change_type", "string")
             yield from _read_entry_arrow(
                 partition.table, partition.rel_path, [],
-                cdc_schema, {},
+                cdc_schema, partition.mapping,
                 {"_commit_version": (partition.version, pa.int64())},
             )
 

@@ -405,3 +405,151 @@ def test_attach_versioned_sql_surface(spark, lake):
         """
     ).collect()
     assert [(r["k"], r["now_v"], r["then_v"]) for r in got] == [(3, "NEW", "r3")]
+
+
+def test_batch_source_prunes_segments_unopened(spark, lake, monkeypatch):
+    """Two-level connector planning: a narrow pushed filter skips
+    whole manifest SEGMENTS from their kilobyte aggregate stats —
+    never parsed — before per-file footer pruning, and the rows stay
+    exact. The O(all segments) driver parse per planned scan is gone."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = os.path.join(lake, "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(800)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
+    )
+    rd = VersionedTableReader({"path": path})
+    assert rd.segments_total >= 6
+    list(rd.pushFilters(
+        [GreaterThanOrEqual(("k",), 50), LessThanOrEqual(("k",), 55)]
+    ))
+    parts = rd.partitions()
+    assert rd.segments_opened < rd.segments_total  # skipped unopened
+    assert 1 <= len(parts) <= 3
+    got = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter("k >= 50 and k <= 55")
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(50, 56))
+    # no pushdown: every segment opened, full table served
+    rd2 = VersionedTableReader({"path": path})
+    assert len(rd2.partitions()) == 80 and rd2.segments_opened == rd2.segments_total
+
+
+def test_writer_commit_refuses_concurrent_schema_evolution(spark, lake):
+    """The writer pins the table schema at planning; a schema
+    evolution landing before its commit must refuse (the rebase
+    refusal taxonomy), never silently NULL-fill the batch through a
+    schema the writer never saw — and a fresh writer then lands."""
+    import pyarrow as pa
+
+    from skopje_spark.sinks.versioned import CommitConflict
+    from skopje_spark.sources.lakesource import VersionedTableWriter
+
+    path = os.path.join(lake, "t")
+    _mk_table(spark, path, n=8, files=1)
+    tbl = versioned_read(spark, path)
+    w = VersionedTableWriter(tbl.schema, {"path": path}, overwrite=False)
+    # concurrent additive evolution lands after the writer planned
+    wide = spark.createDataFrame(
+        [(200, "w", 1.0, "tag")], "k long, v string, x double, t string"
+    )
+    versioned_upsert(spark, path, wide, ["k"], evolve_schema=True)
+    with pytest.raises(CommitConflict, match="schema"):
+        w.commit([])
+    # fresh writer against the evolved table commits cleanly
+    w2 = VersionedTableWriter(
+        versioned_read(spark, path).schema, {"path": path}, overwrite=False
+    )
+    msg = w2.write(iter([pa.record_batch(
+        {"k": [300], "v": ["z"], "x": [2.0], "t": ["u"]}
+    )]))
+    w2.commit([msg])
+    assert any(r["k"] == 300 for r in versioned_read(spark, path).collect())
+
+
+def test_writer_commit_refuses_constraint_added_after_validation(
+    spark, lake, monkeypatch
+):
+    """A CHECK constraint landing between the writer's validation pass
+    and its manifest CAS never saw the batch — the commit must refuse
+    instead of publishing rows the constraint never proved."""
+    import pyarrow as pa
+
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import (
+        CommitConflict,
+        set_check_constraint,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableWriter
+
+    path = os.path.join(lake, "t")
+    _mk_table(spark, path, n=8, files=1)
+    w = VersionedTableWriter(
+        versioned_read(spark, path).schema, {"path": path}, overwrite=False
+    )
+    msg = w.write(iter([pa.record_batch(
+        {"k": [100], "v": ["z"], "x": [1.0]}
+    )]))
+
+    orig = V._enforce_constraints
+
+    def sneaky(spark_, path_, entries_, mapping_=None):
+        orig(spark_, path_, entries_, mapping_)
+        set_check_constraint(spark, path, "k_small", "k < 1000")
+
+    monkeypatch.setattr(V, "_enforce_constraints", sneaky)
+    with pytest.raises(CommitConflict, match="constraints changed"):
+        w.commit([msg])
+
+
+def test_changes_stream_spans_rename_without_null_fill(spark, lake, tmp_path):
+    """cdc files recorded BEFORE a column rename carry the old logical
+    name; the stream resolves each commit's columns through the stable
+    physical name, so pre-rename changes serve real values under the
+    stream's (post-rename) schema instead of silent NULL-fill."""
+    path = os.path.join(lake, "t")
+    versioned_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        .coalesce(1),
+        path,
+    )                                                                   # v0
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"),
+        ["k"], change_feed=True,
+    )                                                                   # v1
+    versioned_rename_column(path, "v", "val")                           # v2
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(4, "d")], "k long, val string"),
+        ["k"], change_feed=True,
+    )                                                                   # v3
+    q = (
+        spark.readStream.format("skopje_versioned_changes")
+        .option("path", path).load()
+        .writeStream.format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "out"))
+    assert "val" in rows.columns
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["val"])
+        for r in rows.collect()
+    )
+    # v1's pre-rename changes carry REAL values under the new name
+    assert got == sorted([
+        (0, "insert", 1, "a"), (0, "insert", 2, "b"),
+        (1, "update_preimage", 2, "b"), (1, "update_postimage", 2, "B2"),
+        (1, "insert", 3, "c"),
+        (3, "insert", 4, "d"),
+    ])

@@ -461,3 +461,128 @@ def test_racing_disjoint_range_writers_rebase_under_contention(spark, tmp_path):
         onto = snapshot_meta(path, "rebased_onto", version=v)
         if onto is not None:
             assert int(onto) == v - 1
+
+
+# ---------------------------------------------------------------------------
+# metadata-only commits racing data commits: both effects must survive
+# ---------------------------------------------------------------------------
+
+def _inject_append_before_commit(monkeypatch, spark, path, rows, *, on_op):
+    """Deterministically reproduce the round-9 hazard: a data commit
+    lands in the window between a metadata op reading the latest
+    version and publishing its manifest. The wrapper intercepts the
+    metadata op's FIRST commit attempt (identified by its op marker),
+    lands a real append, then lets the original commit proceed — the
+    guarded CAS must lose and the retry must carry the appended
+    files."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import versioned_append
+
+    orig = V._commit_manifest
+    state = {"fired": False}
+
+    def racy(p, schema_json, entries, meta, expected_version,
+             lock_timeout_s, reuse_refs=None):
+        if not state["fired"] and (meta or {}).get("op") == on_op:
+            state["fired"] = True
+            versioned_append(spark, path, _df(spark, rows))
+        return orig(p, schema_json, entries, meta, expected_version,
+                    lock_timeout_s, reuse_refs=reuse_refs)
+
+    monkeypatch.setattr(V, "_commit_manifest", racy)
+    return state
+
+
+def test_analyze_racing_append_loses_cas_and_carries_it(
+    spark, tmp_path, monkeypatch
+):
+    """ANALYZE racing one ingest commit: the ingest's rows survive
+    (never silently reverted), the stats marker lands, and its
+    as_of_version honestly reports the scanned (now stale) version."""
+    from skopje_spark.sinks.versioned import table_stats, versioned_analyze
+
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a"), (2, "b")]), path)        # v0
+    state = _inject_append_before_commit(
+        monkeypatch, spark, path, [(3, "mid-race")], on_op="analyze"
+    )
+    v = versioned_analyze(spark, path)
+    assert state["fired"] and v == 2  # append took v1, analyze v2
+    rows = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert rows == {1: "a", 2: "b", 3: "mid-race"}  # ingest survived
+    st = table_stats(path)
+    assert st["n_rows"] == 2                 # describes the scanned v0
+    assert st["as_of_version"] == 0          # not claimed current
+    assert st["versions_stale"] == 2
+
+
+def test_rename_racing_append_carries_the_ingest(spark, tmp_path, monkeypatch):
+    from skopje_spark.sinks.versioned import versioned_rename_column
+
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a")]), path)                   # v0
+    state = _inject_append_before_commit(
+        monkeypatch, spark, path, [(2, "mid-race")], on_op="rename_column"
+    )
+    v = versioned_rename_column(path, "v", "val")
+    assert state["fired"] and v == 2
+    got = {r["k"]: r["val"] for r in versioned_read(spark, path).collect()}
+    assert got == {1: "a", 2: "mid-race"}  # rename AND ingest both landed
+
+
+def test_constraint_racing_append_validates_the_raced_rows(
+    spark, tmp_path, monkeypatch
+):
+    """set_check_constraint racing an ingest: the retry re-validates
+    against the NEW base, so rows landed mid-race are proven too — a
+    violating mid-race batch turns the constraint commit into a loud
+    ConstraintViolation instead of an unenforced constraint."""
+    from skopje_spark.sinks.versioned import (
+        ConstraintViolation,
+        set_check_constraint,
+        table_constraints,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a")]), path)                   # v0
+    state = _inject_append_before_commit(
+        monkeypatch, spark, path, [(5, "mid-race")], on_op="set_constraint"
+    )
+    v = set_check_constraint(spark, path, "k_pos", "k > 0")
+    assert state["fired"] and v == 2
+    assert table_constraints(path) == {"k_pos": "k > 0"}
+    got = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert got == {1, 5}
+
+    # violating flavor: the mid-race batch falsifies the constraint
+    path2 = str(tmp_path / "t2")
+    versioned_write(_df(spark, [(1, "a")]), path2)
+    _inject_append_before_commit(
+        monkeypatch, spark, path2, [(-9, "bad")], on_op="set_constraint"
+    )
+    with pytest.raises(ConstraintViolation):
+        set_check_constraint(spark, path2, "k_pos", "k > 0")
+    assert table_constraints(path2) == {}  # nothing published
+
+
+def test_restore_racing_append_serializes_after_it(
+    spark, tmp_path, monkeypatch
+):
+    """RESTORE racing an ingest: restore wins the serial order (that
+    is what rolling back means) but the race is explicit — the
+    ingest's commit stays in history, time-travelable, never
+    silently overwritten by a stale manifest."""
+    from skopje_spark.sinks.versioned import versioned_restore
+
+    path = str(tmp_path / "t")
+    versioned_write(_df(spark, [(1, "a")]), path)                   # v0
+    versioned_write(_df(spark, [(1, "a"), (2, "b")]), path)         # v1
+    state = _inject_append_before_commit(
+        monkeypatch, spark, path, [(3, "mid-race")], on_op="restore"
+    )
+    v = versioned_restore(path, 0, spark=spark)
+    assert state["fired"] and v == 3  # append v2, restore v3 (CAS retried)
+    got = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert got == {1}  # restored content is the new latest
+    mid = {r["k"] for r in versioned_read(spark, path, version=2).collect()}
+    assert mid == {1, 2, 3}  # the raced ingest is real, committed history

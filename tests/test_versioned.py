@@ -768,6 +768,35 @@ def test_restore_is_metadata_only_rollback(spark, tmp_path):
     }
 
 
+def test_restore_validates_current_constraints(spark, tmp_path):
+    """A CHECK constraint added AFTER the restored version still
+    governs the table: restoring a snapshot that violates it is
+    refused loudly (the active-constraint contract every data commit
+    honors), with an explicit validate=False override."""
+    from skopje_spark.sinks.versioned import (
+        ConstraintViolation,
+        set_check_constraint,
+        versioned_delete,
+        versioned_restore,
+    )
+
+    path = str(tmp_path / "vrstc")
+    versioned_write(_kv(spark, [(-1, "neg"), (2, "b")]), path)      # v0
+    versioned_delete(spark, path, "k < 0")                          # v1
+    set_check_constraint(spark, path, "k_pos", "k > 0")             # v2
+    with pytest.raises(ConstraintViolation, match="k_pos"):
+        versioned_restore(path, 0, spark=spark)
+    assert latest_version(path) == 2  # nothing published
+    # explicit override for the operator who accepts the violation
+    v = versioned_restore(path, 0, spark=spark, validate=False)
+    assert {r["k"] for r in versioned_read(spark, path, version=v).collect()} == {
+        -1, 2,
+    }
+    # restoring a CLEAN snapshot under the same constraint just works
+    versioned_restore(path, 1, spark=spark)
+    assert {r["k"] for r in versioned_read(spark, path).collect()} == {2}
+
+
 def test_vacuum_refcounts_dv_sidecars(spark, tmp_path):
     """DV files referenced by a retained manifest survive vacuum; once
     compaction materializes them out of the only retained manifest,
