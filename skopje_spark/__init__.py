@@ -68,19 +68,23 @@ from skopje_spark.sinks.versioned import (
     CommitConflict,
     apply_changelog_batch,
     maintenance_report,
+    table_partitioning,
     versioned_append,
     change_feed_advance,
     change_feed_cursor,
     versioned_change_feed,
     versioned_compact,
     versioned_delete,
+    versioned_drop_column,
     versioned_history,
+    versioned_partitions,
     versioned_merge,
     versioned_merge_concurrent,
     versioned_read,
     versioned_replicate,
     versioned_restore,
     versioned_upsert,
+    versioned_widen_column,
     versioned_write,
     versioned_ivm_view,
     versioned_stream_apply_changes,
@@ -141,19 +145,23 @@ __all__ = [
     "CommitConflict",
     "apply_changelog_batch",
     "maintenance_report",
+    "table_partitioning",
     "versioned_append",
     "change_feed_advance",
     "change_feed_cursor",
     "versioned_change_feed",
     "versioned_compact",
     "versioned_delete",
+    "versioned_drop_column",
     "versioned_history",
+    "versioned_partitions",
     "versioned_merge",
     "versioned_merge_concurrent",
     "versioned_read",
     "versioned_replicate",
     "versioned_restore",
     "versioned_upsert",
+    "versioned_widen_column",
     "versioned_write",
     "versioned_ivm_view",
     "versioned_stream_apply_changes",

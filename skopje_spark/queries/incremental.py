@@ -2043,3 +2043,150 @@ def q_versioned_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, exact_ndv long, n_nulls long, within_band boolean"
     ).orderBy("col_name")
+
+
+@register(
+    "q_versioned_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+               AS n_partitions,
+           TRUE AS exact_prune
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    tags=("versioned", "partitioning", "pruning", "lakeops"),
+)
+def q_versioned_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class partition columns under the driver gate
+    (sinks/versioned.py:versioned_write(partition_by=)/
+    versioned_partitions/_stage_data_files): orders is committed
+    partitioned by ``o_orderpriority`` (the date/source/language
+    shape every real lake table routes by — one partition value per
+    file, per-entry partition values, exact min==max injected
+    stats), then a one-partition read must elect EXACTLY that
+    partition's files — proven by comparing the pruned candidate set
+    against the manifest's own partition listing, folded into the
+    ``exact_prune`` flag the oracle pins TRUE. The aggregate content
+    and the SHOW-PARTITIONS count are pinned against the oracle
+    computing both directly.
+
+    Scale: partition pruning is EXACT, not a footer heuristic — a
+    one-day read of a date-partitioned 100 TB table opens that day's
+    files, decided from kilobytes of driver manifest; cross-partition
+    MERGEs rewrite only matched partitions (unit-pinned)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_partitions,
+        versioned_pruned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_partby_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o, path, partition_by=["o_orderpriority"])
+    parts = versioned_partitions(path)
+    target = "1-URGENT"
+    part_files = next(
+        p["n_files"] for p in parts if p["o_orderpriority"] == target
+    )
+    cand, _ = _interval_split(
+        _read_manifest(path, 0)["files"], "o_orderpriority", target, target
+    )
+    exact = len(cand) == part_files  # elected exactly the partition
+    return (
+        versioned_pruned_read(spark, path, "o_orderpriority", target, target)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("n_partitions", F.lit(len(parts)).cast("long"))
+        .withColumn("exact_prune", F.lit(bool(exact)))
+    )
+
+
+@register(
+    "q_versioned_drop_column",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= 50 THEN o_totalprice * 2 END
+               AS price_readd,
+           o_totalprice AS price_v0,
+           TRUE AS drop_metadata_only
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "schema-evolution", "drop-column", "lakeops"),
+)
+def q_versioned_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN + re-add under the driver gate
+    (sinks/versioned.py:versioned_drop_column): orders is committed,
+    ``o_totalprice`` is DROPPED (metadata-only — the commit writes
+    zero pool files, folded into the ``drop_metadata_only`` flag the
+    oracle pins TRUE), then a column of the SAME NAME is re-added via
+    additive evolution carrying doubled prices for keys <= 50. The
+    oracle pins the whole contract closed-form: re-added values only
+    where the evolution wrote them (``price_readd`` NULL elsewhere —
+    the dropped bytes NEVER resurrect through the reused name,
+    because the re-add got a fresh physical column), while TIME
+    TRAVEL to the pre-drop version still serves every original price
+    (``price_v0``).
+
+    Scale: drop is a kilobyte commit on a 100 TB table — parquet is
+    columnar, so the dead column costs zero IO until a compaction
+    sheds its bytes; the retired-physical ledger is what makes the
+    reused name safe."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        versioned_drop_column,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_dropcol_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o, path)                                        # v0
+    pool = _os.path.join(path, _DATA_DIR)
+    before = set(_os.listdir(pool))
+    versioned_drop_column(path, "o_totalprice")                     # v1
+    metadata_only = set(_os.listdir(pool)) == before
+    readd = o.filter("o_orderkey <= 50").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    versioned_upsert(spark, path, readd, ["o_orderkey"],
+                     evolve_schema=True)                            # v2
+    cur = versioned_read(spark, path).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_readd")
+    )
+    v0 = versioned_read(spark, path, version=0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_v0")
+    )
+    return (
+        cur.join(v0, "o_orderkey")
+        .withColumn("drop_metadata_only", F.lit(bool(metadata_only)))
+        .orderBy("o_orderkey")
+    )

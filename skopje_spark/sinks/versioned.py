@@ -55,8 +55,24 @@ _MANIFEST_NAME = "_MANIFEST.json"
 # per-file min/max stats are only recorded for types that round-trip
 # JSON losslessly AND compare consistently between parquet footer
 # values and Spark literals; anything else degrades to "no stats"
-# (the file is then always a rewrite candidate — conservative)
+# (the file is then always a rewrite candidate — conservative).
+# DATE values are canonicalized to ISO 'YYYY-MM-DD' strings — fixed
+# width, so lexicographic order == date order — before they hit this
+# check; _stat_encode is the single choke point for that encoding.
 _STATS_SAFE = (bool, int, float, str)
+
+
+def _stat_encode(v):
+    """Canonical JSON-safe encoding for a stats/partition value: dates
+    become ISO strings (order-preserving), everything else passes
+    through. Apply to BOTH sides of every stats comparison (manifest
+    values at write, query bounds at read) so they meet in one
+    domain."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return v.isoformat()
+    return v
 
 
 class CommitConflict(RuntimeError):
@@ -118,7 +134,89 @@ class PosixPointerStore:
         os.replace(tmp, os.path.join(path, "_LATEST"))
 
 
-POINTER_STORE = PosixPointerStore()
+class LogPointerStore(PosixPointerStore):
+    """Commit-log pointer backend with CONDITIONAL-PUT semantics — the
+    S3-class contract the module docstring describes, proving the
+    three-primitive interface is sufficient for stores that have
+    neither atomic rename nor trustworthy listings:
+
+    - PUBLISH (:meth:`swap_pointer`) is a create-exclusive write of
+      the per-version log object ``_commits/<N>`` (``O_CREAT|O_EXCL``
+      — the filesystem spelling of HTTP ``If-None-Match: *``).
+      Exactly ONE writer can create it, so the store itself
+      arbitrates a commit race: the loser gets a loud
+      :class:`CommitConflict`, never last-write-wins — strictly
+      stronger than the POSIX backend's ``os.replace``.
+    - RESOLUTION (:meth:`read_pointer`) never trusts a directory
+      listing: it reads a monotonic ``_HINT`` object (best-effort,
+      verified before use) and probes per-object EXISTENCE forward
+      until the first gap. The log is gap-free by construction —
+      version N+1 is only ever attempted by a writer that resolved N
+      — so existence probes (HEAD requests, read-after-write
+      consistent on every object store) fully determine the latest.
+    - :meth:`list_versions` still reports on-disk ``v=*`` snapshot
+      dirs (committed or residue; the pointer decides which is
+      which), exactly as the interface documents — only COMMIT
+      correctness is listing-free.
+
+    Select with ``POINTER_STORE = LogPointerStore()`` (or the
+    ``SKOPJE_POINTER_STORE=log`` env var in the test suites). Tables
+    are backend-bound at creation: the two backends keep their
+    pointer state in different places, so switching mid-table is a
+    migration, not a config flip."""
+
+    def read_pointer(self, path: str) -> int | None:
+        logd = os.path.join(path, "_commits")
+        hint = -1
+        try:
+            with open(os.path.join(logd, "_HINT")) as f:
+                hint = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        # a corrupt / foreign hint must not fabricate commits: walk
+        # back to the newest version that actually exists
+        while hint >= 0 and not os.path.exists(
+            os.path.join(logd, str(hint))
+        ):
+            hint -= 1
+        v = hint
+        while os.path.exists(os.path.join(logd, str(v + 1))):
+            v += 1
+        return v if v >= 0 else None
+
+    def swap_pointer(self, path: str, version: int) -> None:
+        logd = os.path.join(path, "_commits")
+        os.makedirs(logd, exist_ok=True)
+        try:
+            fd = os.open(
+                os.path.join(logd, str(version)),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} at {path} was committed by another "
+                "writer (conditional put refused)"
+            )
+        with os.fdopen(fd, "w") as f:
+            f.write(repr(time.time()))
+        # monotonic O(1) resolution hint; pure optimization — readers
+        # verify it and probe forward, so a lost/stale write is benign
+        try:
+            fd2, tmp = tempfile.mkstemp(dir=logd, prefix="._hint")
+            with os.fdopen(fd2, "w") as f:
+                f.write(str(version))
+            os.replace(tmp, os.path.join(logd, "_HINT"))
+        except OSError:
+            pass
+
+
+def _default_pointer_store():
+    if os.environ.get("SKOPJE_POINTER_STORE", "").lower() == "log":
+        return LogPointerStore()
+    return PosixPointerStore()
+
+
+POINTER_STORE = _default_pointer_store()
 
 
 def _versions(path: str) -> list[int]:
@@ -225,7 +323,7 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
                 usable = False
                 break
             try:
-                lo, hi = st.min, st.max
+                lo, hi = _stat_encode(st.min), _stat_encode(st.max)
             except Exception:  # pyarrow can't decode stats for this type
                 usable = False
                 break
@@ -259,17 +357,21 @@ def _schema_mapping(schema) -> dict[str, str]:
     }
 
 
-def _ensure_unique_physicals(schema):
+def _ensure_unique_physicals(schema, reserved=()):
     """Return ``schema`` with every field's physical name distinct:
     existing ``physical`` metadata is honored, identity names that
     collide with an already-used physical (a NEW logical column
     reusing the name a rename freed) get a deterministic ``__2``/
-    ``__3`` suffix recorded as metadata. Walks fields in order, so
-    the result is a pure function of the schema — staging and commit
-    derive the same mapping independently."""
+    ``__3`` suffix recorded as metadata. ``reserved`` adds RETIRED
+    physical names (columns dropped via
+    :func:`versioned_drop_column`) to the collision set, so a
+    re-added column can never resurrect the dropped column's bytes
+    still sitting in pre-drop pool files. Walks fields in order, so
+    the result is a pure function of (schema, reserved) — staging
+    and commit derive the same mapping independently."""
     from pyspark.sql.types import StructField, StructType
 
-    used: set[str] = set()
+    used: set[str] = set(reserved)
     out = []
     for f in schema.fields:
         phys = (f.metadata or {}).get("physical", f.name)
@@ -288,8 +390,57 @@ def _ensure_unique_physicals(schema):
     return StructType(out)
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _check_partition_type(name: str, dtype) -> None:
+    """Partition columns are restricted to types whose values identify
+    a partition exactly and order canonically in the stats domain:
+    integers, strings, booleans, dates. Floats (NaN/precision) and
+    timestamps (zone ambiguity) make terrible partition keys — refuse
+    loudly at write instead of mis-pruning at read."""
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if not isinstance(
+        dtype,
+        (BooleanType, ByteType, ShortType, IntegerType, LongType,
+         StringType, DateType),
+    ):
+        raise TypeError(
+            f"partition column {name!r} has type {dtype.simpleString()}; "
+            "supported partition types: boolean, byte/short/int/long, "
+            "string, date"
+        )
+
+
+def _decode_partition_value(dtype, s: str):
+    """Hive-style directory value → typed JSON-safe value (the
+    canonical stats domain: dates stay ISO strings)."""
+    from pyspark.sql.types import BooleanType, StringType, DateType  # noqa: F401
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if s == _HIVE_NULL:
+        return None
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return int(s)
+    if isinstance(dtype, BooleanType):
+        return s.lower() == "true"
+    return s  # string / date (ISO) — already canonical
+
+
 def _stage_data_files(
-    df: DataFrame, path: str, mapping: dict[str, str] | None = None
+    df: DataFrame,
+    path: str,
+    mapping: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df``'s partitions as immutable files in the table's
     shared ``data/`` pool and return their manifest entries. Files get
@@ -300,7 +451,21 @@ def _stage_data_files(
     ``mapping`` (logical → physical) renames columns to their stable
     PHYSICAL parquet names before writing, so files staged after a
     column rename stay read-compatible with every pre-rename file —
-    the write half of rename-without-rewrite."""
+    the write half of rename-without-rewrite.
+
+    ``partition_by`` (logical column names) enforces the partitioned
+    LAYOUT INVARIANT: every staged file holds exactly ONE value of
+    each partition column (one shuffle on the partition tuple, then a
+    Hive-style ``partitionBy`` write of shadow copies — the data file
+    keeps the real columns, so nothing downstream changes shape). Each
+    entry records its typed partition values (``entry["partition"]``,
+    logical names) and gets EXACT injected stats
+    (``min == max == value``) under the physical name — which is what
+    turns every existing stats consumer (pruned reads, MERGE
+    candidacy, segment aggregates, rebase disjointness proofs, the
+    connector's pushFilters) into an exact partition pruner with no
+    new code path. Injection also fixes what footers can't give:
+    DATE stats (canonical ISO strings) and long-string truncation."""
     staged = os.path.join(path, f".stage-data-{uuid.uuid4().hex}")
     if mapping and any(mapping.get(c, c) != c for c in df.columns):
         from pyspark.sql import functions as F
@@ -308,18 +473,79 @@ def _stage_data_files(
         df = df.select(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
         )
-    df.write.mode("errorifexists").parquet(staged)
     pool = os.path.join(path, _DATA_DIR)
     os.makedirs(pool, exist_ok=True)
     entries = []
     prefix = uuid.uuid4().hex[:12]
-    for i, f in enumerate(sorted(os.listdir(staged))):
-        if not f.endswith(".parquet") or f.startswith(("_", ".")):
-            continue
+    if not partition_by:
+        df.write.mode("errorifexists").parquet(staged)
+        for i, f in enumerate(sorted(os.listdir(staged))):
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            name = f"{prefix}-{i:05d}.parquet"
+            os.replace(os.path.join(staged, f), os.path.join(pool, name))
+            rel = f"{_DATA_DIR}/{name}"
+            entries.append(_file_entry(os.path.join(path, rel), rel))
+        shutil.rmtree(staged, ignore_errors=True)
+        _enforce_constraints(df.sparkSession, path, entries, mapping)
+        return entries
+
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    phys_parts = [
+        (mapping or {}).get(c, c) for c in partition_by
+    ]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for logical, phys in zip(partition_by, phys_parts):
+        if phys not in dtypes:
+            raise KeyError(
+                f"partition column {logical!r} not in frame columns "
+                f"{sorted(df.columns)}"
+            )
+        _check_partition_type(logical, dtypes[phys])
+    shadows = [f"__part_{i}" for i in range(len(phys_parts))]
+    # shadow copies carry the layout; the REAL columns stay in the
+    # data files, so reads, DVs, constraints, CDF all see them as on
+    # any other table. One shuffle co-locates each partition tuple.
+    df2 = df.select(
+        "*", *[F.col(p).alias(s) for p, s in zip(phys_parts, shadows)]
+    )
+    df2.repartition(*shadows).write.mode("errorifexists").partitionBy(
+        *shadows
+    ).parquet(staged)
+    found: list[str] = []
+    for root, _, files in os.walk(staged):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                found.append(os.path.join(root, f))
+    for i, fp in enumerate(sorted(found)):
+        raw_vals: dict[str, str] = {}
+        rel_dir = os.path.relpath(os.path.dirname(fp), staged)
+        for seg in rel_dir.split(os.sep):
+            k, eq, v = seg.partition("=")
+            if eq:
+                raw_vals[k] = urllib.parse.unquote(v)
         name = f"{prefix}-{i:05d}.parquet"
-        os.replace(os.path.join(staged, f), os.path.join(pool, name))
+        os.replace(fp, os.path.join(pool, name))
         rel = f"{_DATA_DIR}/{name}"
-        entries.append(_file_entry(os.path.join(path, rel), rel))
+        entry = _file_entry(os.path.join(path, rel), rel)
+        part: dict[str, object] = {}
+        stats = entry.setdefault("stats", {})
+        for j, (logical, phys) in enumerate(zip(partition_by, phys_parts)):
+            val = _decode_partition_value(
+                dtypes[phys], raw_vals[f"__part_{j}"]
+            )
+            part[logical] = val
+            if val is None:
+                # an all-NULL partition file: min/max prove nothing,
+                # null count is exact
+                stats.pop(phys, None)
+            else:
+                stats[phys] = {"min": val, "max": val, "nulls": 0}
+        entry["partition"] = part
+        entries.append(entry)
     shutil.rmtree(staged, ignore_errors=True)
     _enforce_constraints(df.sparkSession, path, entries, mapping)
     return entries
@@ -678,7 +904,8 @@ def _commit_manifest(
     # TABLE properties (not commit facts) carry forward verbatim until
     # a commit explicitly rewrites them: CHECK constraints and the
     # streaming-writer batch ledger
-    for prop in ("constraints", "stream_ledger", "column_stats"):
+    for prop in ("constraints", "stream_ledger", "column_stats",
+                 "partition_by", "retired_physicals"):
         if prop in meta:
             continue
         base = (
@@ -784,6 +1011,7 @@ def versioned_write(
     meta: dict[str, str] | None = None,
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``;
     returns the new version number.
@@ -811,9 +1039,39 @@ def versioned_write(
     regardless of snapshot size, so a 100 TB write never serializes
     writers on data transfer, exactly the Delta/Iceberg
     commit-protocol shape). Do not mix guarded and unguarded writers
-    on one table: the unguarded path takes no lock."""
+    on one table: the unguarded path takes no lock.
+
+    ``partition_by`` declares FIRST-CLASS partition columns (date,
+    source, language — the fields every real lake table routes by):
+    files are laid out one-partition-value-per-file, each manifest
+    entry records its typed partition values, and every later read /
+    MERGE / connector scan prunes EXACTLY on them (see
+    :func:`_stage_data_files`). The spec is a carried table property
+    (``partition_by`` marker); appends and upserts inherit it
+    automatically. A full ``versioned_write`` REDEFINES the layout —
+    pass ``partition_by`` again (or leave None to drop it), exactly
+    like ``df.write.partitionBy`` on a fresh dataset."""
     os.makedirs(path, exist_ok=True)
-    entries = _stage_data_files(df, path)
+    entries = _stage_data_files(df, path, partition_by=partition_by)
+    # a full rewrite defines its own layout: record the spec when one
+    # is declared, and explicitly CLEAR a previous spec when none is —
+    # a stale inherited marker must never claim a layout the files
+    # don't have. Never-partitioned tables carry zero extra metadata.
+    if partition_by:
+        forced = json.dumps(list(partition_by))
+    else:
+        base = (
+            expected_version
+            if isinstance(expected_version, int)
+            else latest_version(path)
+        )
+        forced = (
+            "[]"
+            if base is not None and table_partitioning(path, version=base)
+            else None
+        )
+    if forced is not None:
+        meta = {"partition_by": forced} | (meta or {})
     return _commit_manifest(
         path, df.schema.jsonValue(), entries, meta,
         expected_version, lock_timeout_s,
@@ -840,6 +1098,52 @@ def table_constraints(path: str, *, version: int | None = None) -> dict[str, str
     v = committed if version is None else version
     raw = snapshot_meta(path, "constraints", version=v)
     return json.loads(raw) if raw else {}
+
+
+def table_partitioning(path: str, *, version: int | None = None) -> list[str]:
+    """The table's partition spec (logical column names) at a
+    snapshot — the carried ``partition_by`` property, kilobyte marker
+    read, no job. Empty list when unpartitioned."""
+    committed = latest_version(path)
+    if committed is None:
+        return []
+    v = committed if version is None else version
+    raw = snapshot_meta(path, "partition_by", version=v)
+    return json.loads(raw) if raw else []
+
+
+def versioned_partitions(
+    path: str, *, version: int | None = None
+) -> list[dict]:
+    """SHOW PARTITIONS from the manifest alone: one row per distinct
+    partition tuple with exact ``n_files`` / ``n_bytes`` /
+    ``n_rows`` (DV-adjusted) — O(manifest) driver arithmetic, no
+    Spark job, the same free-metadata contract as
+    :func:`versioned_count`. Raises on an unpartitioned table (there
+    is nothing to show)."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = committed if version is None else version
+    spec = table_partitioning(path, version=v)
+    if not spec:
+        raise ValueError(f"table at {path} (v{v}) is not partitioned")
+    agg: dict[tuple, dict] = {}
+    for e in _read_manifest(path, v)["files"]:
+        part = e.get("partition") or {}
+        key = tuple(part.get(c) for c in spec)
+        slot = agg.setdefault(
+            key, {"n_files": 0, "n_bytes": 0, "n_rows": 0}
+        )
+        slot["n_files"] += 1
+        slot["n_bytes"] += int(e.get("bytes", 0))
+        slot["n_rows"] += int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
+    return [
+        {**dict(zip(spec, key)), **vals}
+        for key, vals in sorted(
+            agg.items(), key=lambda kv: tuple(map(repr, kv[0]))
+        )
+    ]
 
 
 def set_check_constraint(
@@ -988,6 +1292,12 @@ def versioned_rename_column(
                 f"CHECK constraint(s) {referencing} reference column "
                 f"{old!r}; drop them before renaming"
             )
+        if old in table_partitioning(path, version=committed):
+            raise ValueError(
+                f"column {old!r} is a partition column at {path}; "
+                "rewrite the table with a new partition_by spec before "
+                "renaming it"
+            )
         fields = []
         for f in raw["schema"]["fields"]:
             if f["name"] == old:
@@ -1004,6 +1314,150 @@ def versioned_rename_column(
         }
         commit_meta.update(meta or {})
         return {**raw["schema"], "fields": fields}, commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
+
+
+def versioned_drop_column(
+    path: str,
+    name: str,
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """DROP COLUMN without touching a single data file (Delta column
+    mapping's drop): a metadata-only guarded commit whose schema no
+    longer lists the field — reads project the column away because
+    the scan schema IS the manifest schema, so the bytes still
+    sitting in pooled files are simply never deserialized (parquet is
+    columnar: an unread column costs zero IO). Time travel serves
+    pre-drop versions WITH the column, exactly like every other
+    schema change.
+
+    The dropped field's PHYSICAL name is retired (carried
+    ``retired_physicals`` property): a column later re-added under
+    the same logical name gets a fresh physical name, so pre-drop
+    bytes can never resurrect through it — re-add reads NULL for old
+    files, values for new ones (unit-pinned). Compaction rewrites
+    through the logical schema, which is what physically sheds the
+    dead bytes when storage matters.
+
+    Refused when a CHECK constraint references the column, when it is
+    a partition column, or when it is the last column standing."""
+
+    def derive(committed: int, raw: dict):
+        fields = raw["schema"]["fields"]
+        names = [f["name"] for f in fields]
+        if name not in names:
+            raise KeyError(f"no column {name!r} at {path} (have {names})")
+        if len(fields) == 1:
+            raise ValueError(
+                f"cannot drop {name!r}: it is the only column at {path}"
+            )
+        cons = table_constraints(path, version=committed)
+        referencing = [
+            n
+            for n, expr in cons.items()
+            if re.search(rf"\b{re.escape(name)}\b", expr)
+        ]
+        if referencing:
+            raise ValueError(
+                f"CHECK constraint(s) {referencing} reference column "
+                f"{name!r}; drop them first"
+            )
+        if name in table_partitioning(path, version=committed):
+            raise ValueError(
+                f"column {name!r} is a partition column at {path}; "
+                "rewrite the table with a new partition_by spec first"
+            )
+        dropped = next(f for f in fields if f["name"] == name)
+        phys = (dropped.get("metadata") or {}).get("physical", name)
+        retired = json.loads(
+            snapshot_meta(path, "retired_physicals", version=committed)
+            or "[]"
+        )
+        commit_meta = {
+            "op": "drop_column",
+            "dropped": name,
+            "retired_physicals": json.dumps(sorted({*retired, phys})),
+        }
+        commit_meta.update(meta or {})
+        schema_json = {
+            **raw["schema"],
+            "fields": [f for f in fields if f["name"] != name],
+        }
+        return schema_json, commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
+
+
+# widening promotions parquet + Spark's vectorized reader serve
+# in-place (narrower physical pages decode into the wider logical
+# type): no file rewrite, no read-path change
+_WIDENINGS = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def versioned_widen_column(
+    path: str,
+    name: str,
+    new_type: str,
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """WIDEN a column's type (INT → LONG, FLOAT → DOUBLE, and the
+    smaller integer promotions) as a metadata-only guarded commit —
+    nothing is rewritten: existing files keep their narrower parquet
+    pages and every reader decodes them into the wider logical type
+    (Spark's parquet reader and the connector's Arrow cast both
+    promote losslessly); files staged after the widening carry the
+    wide type (:func:`_stage_data_files` casts to the table schema,
+    so the pool converges forward). Time travel serves each version
+    its as-committed type. Narrowing and cross-family changes are
+    refused — they lose data and need an explicit rewrite."""
+    from pyspark.sql.types import StructType as _ST
+
+    def derive(committed: int, raw: dict):
+        fields = raw["schema"]["fields"]
+        names = [f["name"] for f in fields]
+        if name not in names:
+            raise KeyError(f"no column {name!r} at {path} (have {names})")
+        cur = next(f for f in fields if f["name"] == name)["type"]
+        want = _ST.fromDDL(f"x {new_type}").fields[0].dataType.jsonValue()
+        if cur == want:
+            raise ValueError(
+                f"column {name!r} at {path} already has type {new_type}"
+            )
+        if not (
+            isinstance(cur, str)
+            and isinstance(want, str)
+            and want in _WIDENINGS.get(cur, ())
+        ):
+            raise ValueError(
+                f"cannot widen {name!r} from {cur} to {want}: only "
+                f"lossless promotions are metadata-only ({_WIDENINGS}); "
+                "anything else needs an explicit rewrite"
+            )
+        commit_meta = {
+            "op": "widen_column",
+            "widened": name,
+            "type_from": str(cur),
+            "type_to": str(want),
+        }
+        commit_meta.update(meta or {})
+        schema_json = {
+            **raw["schema"],
+            "fields": [
+                {**f, "type": want} if f["name"] == name else f
+                for f in fields
+            ],
+        }
+        return schema_json, commit_meta
 
     return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
@@ -1414,8 +1868,10 @@ def versioned_pruned_read(
         schema_json = json.load(f)["schema"]
     schema = StructType.fromJson(schema_json)
     phys_col = _schema_mapping(schema).get(col, col)
-    entries, _, _, _ = _pruned_manifest_entries(path, v, phys_col, lo, hi)
-    cand, _ = _interval_split(entries, phys_col, lo, hi)
+    # stats live in the canonical encoded domain (dates → ISO strings)
+    slo, shi = _stat_encode(lo), _stat_encode(hi)
+    entries, _, _, _ = _pruned_manifest_entries(path, v, phys_col, slo, shi)
+    cand, _ = _interval_split(entries, phys_col, slo, shi)
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     return _read_entries(spark, path, cand, schema).filter(pred)
 
@@ -1474,18 +1930,32 @@ def _match_files(
             stat_rows.append(e)
     if not stat_rows:
         return cand, zero_rows
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import (
+        DateType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
+    # DATE keys: manifest stats are canonical ISO strings
+    # (_stat_encode), so the interval join runs in the string domain —
+    # fixed-width ISO order equals date order, and casting the update
+    # keys is one codegen expression
+    cmp_type = key_type
+    key_expr = F.col(key)
+    if isinstance(key_type, DateType):
+        cmp_type = StringType()
+        key_expr = F.col(key).cast("string")
     sdf = spark.createDataFrame(
         [(e["path"], e["stats"][sk]["min"], e["stats"][sk]["max"])
          for e in stat_rows],
         StructType([
             StructField("__path", StringType()),
-            StructField("__mn", key_type),
-            StructField("__mx", key_type),
+            StructField("__mn", cmp_type),
+            StructField("__mx", cmp_type),
         ]),
     )
-    kdf = updates.select(F.col(key).alias("__k")).distinct()
+    kdf = updates.select(key_expr.alias("__k")).distinct()
     # Spark's equi-join treats NaN = NaN as a match, but NaN fails every
     # ordered comparison, so the interval test would wrongly carry a
     # file holding NaN-keyed rows past a NaN-keyed update (the stale row
@@ -1530,7 +2000,14 @@ def _key_bounds(updates: DataFrame, key: str) -> tuple:
         F.count(key).alias("n"),
         nan_agg.alias("has_nan"),
     ).first()
-    return row["lo"], row["hi"], bool(row["has_nan"]), int(row["n"])
+    # canonical stats domain (dates → ISO strings) so the bounds
+    # compare directly against manifest/segment stats values
+    return (
+        _stat_encode(row["lo"]),
+        _stat_encode(row["hi"]),
+        bool(row["has_nan"]),
+        int(row["n"]),
+    )
 
 
 def _attempt_rebase(
@@ -1890,8 +2367,15 @@ def versioned_upsert(
         if fld.name not in set(table_cols):
             new_fields.append(fld)
     # physical-name discipline: evolved columns must not collide with
-    # any physical name a rename left behind in the pooled files
-    new_schema = _ensure_unique_physicals(StructType(new_fields))
+    # any physical name a rename left behind in the pooled files, nor
+    # with a DROPPED column's physical (its bytes still sit in
+    # pre-drop files — a collision would resurrect them)
+    retired = json.loads(
+        snapshot_meta(path, "retired_physicals", version=base_v) or "[]"
+    )
+    new_schema = _ensure_unique_physicals(
+        StructType(new_fields), reserved=retired
+    )
     mapping = _schema_mapping(new_schema)
     stats_key = mapping.get(keys[0], keys[0])
 
@@ -1931,7 +2415,10 @@ def versioned_upsert(
     else:
         slice_df = None
         merged = aligned
-    new_entries = _stage_data_files(merged, path, mapping)
+    new_entries = _stage_data_files(
+        merged, path, mapping,
+        partition_by=table_partitioning(path, version=base_v),
+    )
     commit_meta = {
         "op": "merge",
         "n_files_rewritten": str(len(cand)),
@@ -2172,7 +2659,10 @@ def versioned_merge(
     merged = (
         inserts if rewritten is None else rewritten.unionByName(inserts)
     )
-    new_entries = _stage_data_files(merged, path, mapping)
+    new_entries = _stage_data_files(
+        merged, path, mapping,
+        partition_by=table_partitioning(path, version=base_v),
+    )
     commit_meta = {
         "op": "merge",
         "n_files_rewritten": str(len(cand)),
@@ -2347,7 +2837,8 @@ def versioned_append(
           for f in table_schema.fields]
     )
     new_entries = _stage_data_files(
-        aligned, path, _schema_mapping(table_schema)
+        aligned, path, _schema_mapping(table_schema),
+        partition_by=table_partitioning(path, version=base_v),
     )
     # segment-diff: EVERY base segment rides by reference — an append
     # never reads, parses, or re-serializes existing metadata; legacy
@@ -2727,7 +3218,15 @@ def versioned_restore(
                     "validate=False to override"
                 )
             validated.add(marker)
-        commit_meta = {"op": "restore", "source_version": str(version)}
+        commit_meta = {
+            "op": "restore",
+            "source_version": str(version),
+            # the layout claim follows the CONTENT being re-published,
+            # not the current latest's property
+            "partition_by": snapshot_meta(
+                path, "partition_by", version=version
+            ) or "[]",
+        }
         commit_meta.update(meta or {})
         try:
             return _commit_manifest(
@@ -2822,10 +3321,14 @@ def versioned_clone(
         "source_version": str(v),
     }
     # table properties transfer with the snapshot: the clone enforces
-    # the CHECK constraints that governed the cloned version
+    # the CHECK constraints that governed the cloned version and keeps
+    # its partition layout claim truthful
     src_cons = snapshot_meta(src_path, "constraints", version=v)
     if src_cons is not None:
         commit_meta["constraints"] = src_cons
+    src_part = snapshot_meta(src_path, "partition_by", version=v)
+    if src_part is not None:
+        commit_meta["partition_by"] = src_part
     commit_meta.update(meta or {})
     return _commit_manifest(
         dst_path, man["schema"], man["files"], commit_meta,
@@ -2890,7 +3393,8 @@ def versioned_change_feed(
             )
         op = snapshot_meta(path, "op", version=v) or ""
         if op in ("compact", "rename_column", "set_constraint",
-                  "drop_constraint", "analyze"):
+                  "drop_constraint", "analyze", "drop_column",
+                  "widen_column"):
             # physical motion or metadata-only property change: zero
             # logical row changes (rename serves each range in its
             # as-recorded schema — consumers spanning a rename map
@@ -3427,9 +3931,14 @@ def versioned_compact(
     # commit_ts would backdate it in timestamp time travel
     meta.pop("commit_ts", None)
     meta.update({"op": "compact", "source_version": str(v)})
+    # compaction preserves the partition layout (the rewrite re-splits
+    # per partition value); the inherited marker stays truthful
+    spec = table_partitioning(path, version=v)
     if guarded:
-        return versioned_write(out, path, meta=meta, expected_version=v)
-    return versioned_write(out, path, meta=meta)
+        return versioned_write(
+            out, path, meta=meta, expected_version=v, partition_by=spec
+        )
+    return versioned_write(out, path, meta=meta, partition_by=spec)
 
 
 def versioned_ivm_view(

@@ -66,7 +66,8 @@ from pyspark.sql.types import StructType
 # zero logical changes, so the CDF stream skips them outright
 # (op markers as written by sinks/versioned.py)
 _ZERO_CHANGE_OPS = {"compact", "rename_column", "set_constraint",
-                    "drop_constraint", "analyze"}
+                    "drop_constraint", "analyze", "drop_column",
+                    "widen_column"}
 
 
 def _logical_schema(man: dict) -> StructType:
@@ -134,7 +135,9 @@ def _bounds_from_filters(
         col = attr[0] if attr is not None and len(attr) == 1 else None
         if col is None or col not in columns:
             continue
-        v = getattr(f, "value", None)
+        from skopje_spark.sinks.versioned import _stat_encode
+
+        v = _stat_encode(getattr(f, "value", None))  # dates → ISO strings
         if not isinstance(v, (bool, int, float, str)):
             continue
         if isinstance(v, float) and v != v:  # NaN fails every ordered cmp
@@ -402,6 +405,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
         from skopje_spark.sinks.versioned import (
             _read_manifest,
             latest_version,
+            table_partitioning,
         )
 
         self.path = options.get("path", "")
@@ -409,6 +413,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
             raise ValueError("skopje_versioned: provide option 'path'")
         self.overwrite = overwrite
         committed = latest_version(self.path)
+        if committed is not None and table_partitioning(self.path):
+            # the Arrow writer streams one pool file per task with no
+            # layout shuffle — it cannot honor the one-value-per-file
+            # partition invariant. Loud refusal beats silently
+            # degrading the table's exact pruning to footer stats.
+            raise ValueError(
+                f"table at {self.path} is partitioned "
+                f"({table_partitioning(self.path)}); the skopje_versioned "
+                "writer cannot preserve the partition layout — use "
+                "versioned_append/versioned_upsert"
+            )
         if committed is None or overwrite:
             # creating / replacing: the DataFrame's schema is the
             # table schema (physical = logical for fresh columns)

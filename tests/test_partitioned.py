@@ -1,0 +1,253 @@
+"""First-class partition columns in the versioned store
+(sinks/versioned.py): partition_by layout invariant, exact pruning
+through the existing stats machinery, partition-preserving writes,
+SHOW PARTITIONS, and the connector surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.sinks.versioned import (
+    _read_manifest,
+    latest_version,
+    snapshot_meta,
+    table_partitioning,
+    versioned_append,
+    versioned_compact,
+    versioned_partitions,
+    versioned_pruned_read,
+    versioned_read,
+    versioned_rename_column,
+    versioned_restore,
+    versioned_upsert,
+    versioned_write,
+)
+
+
+def _events(spark, n=60):
+    """n rows over 3 string sources × 5 dates."""
+    rows = [
+        (
+            i,
+            f"src{i % 3}",
+            dt.date(2024, 1, 1 + (i % 5)),
+            f"payload-{i}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, source string, day date, payload string"
+    )
+
+
+def test_partitioned_write_matches_unpartitioned_twin(spark, tmp_path):
+    """Content is identical to the unpartitioned twin; the layout
+    invariant holds (every file carries exactly one partition tuple);
+    the spec is a carried, versioned table property."""
+    df = _events(spark)
+    p1 = str(tmp_path / "part")
+    p2 = str(tmp_path / "flat")
+    versioned_write(df, p1, partition_by=["source", "day"])
+    versioned_write(df, p2)
+    a = sorted(map(tuple, versioned_read(spark, p1).collect()))
+    b = sorted(map(tuple, versioned_read(spark, p2).collect()))
+    assert a == b and len(a) == 60
+    assert table_partitioning(p1) == ["source", "day"]
+    assert table_partitioning(p2) == []
+    # invariant: one partition tuple per file, recorded on the entry,
+    # with EXACT min==max injected stats under the physical name
+    for e in _read_manifest(p1, 0)["files"]:
+        part = e["partition"]
+        assert set(part) == {"source", "day"}
+        assert e["stats"]["source"]["min"] == e["stats"]["source"]["max"] == part["source"]
+        assert e["stats"]["day"]["min"] == e["stats"]["day"]["max"] == part["day"]
+        assert isinstance(part["day"], str)  # canonical ISO string
+    # 3 sources × 5 days = 15 single-tuple files
+    assert len(_read_manifest(p1, 0)["files"]) == 15
+
+
+def test_partition_pruned_read_opens_only_matching_files(spark, tmp_path):
+    """A one-partition read elects exactly that partition's files —
+    exact pruning, not footer heuristics — and string + DATE
+    partitions both prune. Rows are oracle-identical to a filter."""
+    from skopje_spark.sinks.versioned import _interval_split, _stat_encode
+
+    df = _events(spark)
+    path = str(tmp_path / "t")
+    versioned_write(df, path, partition_by=["source", "day"])
+    entries = _read_manifest(path, 0)["files"]
+    cand, skipped = _interval_split(entries, "source", "src1", "src1")
+    assert len(cand) == 5 and len(skipped) == 10  # exactly src1's files
+    d = dt.date(2024, 1, 3)
+    cand_d, skipped_d = _interval_split(
+        entries, "day", _stat_encode(d), _stat_encode(d)
+    )
+    assert len(cand_d) == 3 and len(skipped_d) == 12
+    got = sorted(
+        r["id"]
+        for r in versioned_pruned_read(spark, path, "day", d, d).collect()
+    )
+    assert got == sorted(i for i in range(60) if i % 5 == 2)
+    got2 = sorted(
+        r["id"]
+        for r in versioned_pruned_read(
+            spark, path, "source", "src1", "src1"
+        ).collect()
+    )
+    assert got2 == sorted(i for i in range(60) if i % 3 == 1)
+
+
+def test_cross_partition_merge_rewrites_only_matched_partitions(
+    spark, tmp_path
+):
+    """An upsert whose keys live in ONE partition rewrites only that
+    partition's files; every other partition rides by reference."""
+    df = _events(spark)
+    path = str(tmp_path / "t")
+    versioned_write(df, path, partition_by=["source"])
+    before = {e["path"]: e for e in _read_manifest(path, 0)["files"]}
+    upd = spark.createDataFrame(
+        [(1, "src1", dt.date(2024, 1, 2), "NEW")],
+        "id long, source string, day date, payload string",
+    )
+    # id is NOT clustered, but partitioning on source still bounds the
+    # rewrite: merge on (source, id) prunes on source first
+    versioned_upsert(spark, path, upd, ["source", "id"])
+    assert int(snapshot_meta(path, "n_files_rewritten", version=1)) == 1
+    after = {e["path"]: e for e in _read_manifest(path, 1)["files"]}
+    carried = set(before) & set(after)
+    # src0 and src2 files carried by reference, byte-identical entries
+    assert len(carried) == 2
+    for p in carried:
+        assert before[p] == after[p]
+        assert after[p]["partition"]["source"] != "src1"
+    rows = {r["id"]: r["payload"] for r in versioned_read(spark, path).collect()}
+    assert rows[1] == "NEW" and len(rows) == 60
+    # the rewritten partition kept the layout invariant
+    assert all("partition" in e for e in after.values())
+
+
+def test_append_and_compact_preserve_partition_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark, 30), path, partition_by=["source"])
+    versioned_append(
+        spark, path,
+        spark.createDataFrame(
+            [(100, "src9", dt.date(2024, 2, 1), "x"),
+             (101, "src9", dt.date(2024, 2, 2), "y")],
+            "id long, source string, day date, payload string",
+        ),
+    )
+    parts = {p["source"]: p for p in versioned_partitions(path)}
+    assert set(parts) == {"src0", "src1", "src2", "src9"}
+    assert parts["src9"]["n_rows"] == 2 and parts["src9"]["n_files"] == 1
+    # compaction rewrites but keeps one-tuple-per-file and the spec
+    versioned_compact(spark, path, target_files=1)
+    assert table_partitioning(path) == ["source"]
+    for e in _read_manifest(path, latest_version(path))["files"]:
+        assert set(e["partition"]) == {"source"}
+    assert versioned_read(spark, path).count() == 32
+
+
+def test_partition_null_and_spec_guards(spark, tmp_path):
+    """NULL partition values round-trip (no min/max claim, exact null
+    count); float partition columns are refused; renaming a partition
+    column is refused; restore re-publishes the CONTENT's spec."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "y"), (3, "a", "z")],
+        "id long, grp string, payload string",
+    )
+    versioned_write(df, path, partition_by=["grp"])
+    ent = _read_manifest(path, 0)["files"]
+    nulls = [e for e in ent if e["partition"]["grp"] is None]
+    assert len(nulls) == 1 and "grp" not in nulls[0]["stats"]
+    got = sorted(
+        (r["id"], r["grp"]) for r in versioned_read(spark, path).collect()
+    )
+    assert got == [(1, "a"), (2, None), (3, "a")]
+
+    with pytest.raises(TypeError, match="partition column"):
+        versioned_write(
+            spark.createDataFrame([(1.5, "a")], "score double, v string"),
+            str(tmp_path / "bad"),
+            partition_by=["score"],
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        versioned_rename_column(path, "grp", "grp2")
+
+    # restore: the layout claim follows the restored content
+    versioned_write(  # unpartitioned full rewrite drops the spec
+        df.select("id", "grp", "payload"), path
+    )
+    assert table_partitioning(path) == []
+    versioned_restore(path, 0, spark=spark)
+    assert table_partitioning(path) == ["grp"]
+    assert versioned_partitions(path)  # listable again
+
+
+def test_connector_prunes_on_partition_and_refuses_writes(spark, tmp_path):
+    """pushFilters equality on a partition column (string AND date)
+    plans exactly that partition's files; the Arrow writer refuses a
+    partitioned table loudly."""
+    from pyspark.sql.datasource import EqualTo
+
+    from skopje_spark.sources.lakesource import (
+        VersionedTableReader,
+        VersionedTableWriter,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark), path, partition_by=["source", "day"])
+
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("source",), "src2")]))
+    assert len(rd.partitions()) == 5
+    rd2 = VersionedTableReader({"path": path})
+    list(rd2.pushFilters([EqualTo(("day",), dt.date(2024, 1, 4))]))
+    assert len(rd2.partitions()) == 3
+
+    got = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter("source = 'src2' and day = DATE'2024-01-04'")
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        i for i in range(60) if i % 3 == 2 and i % 5 == 3
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        (
+            _events(spark, 3).write.format("skopje_versioned")
+            .option("path", path).mode("append").save()
+        )
+
+
+def test_partition_disjoint_rebase_lands_metadata_only(spark, tmp_path):
+    """The rebase disjointness proof rides the injected partition
+    stats: two writers merging into DIFFERENT partitions resolve a
+    lost CAS race metadata-only, even though their surrogate ids
+    interleave (footer stats alone could not prove disjointness)."""
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark), path, partition_by=["source"])
+    mk = lambda i, s: spark.createDataFrame(  # noqa: E731
+        [(i, s, dt.date(2024, 3, 1), f"w-{s}")],
+        "id long, source string, day date, payload string",
+    )
+    # writer A lands on src0 → v1
+    versioned_upsert(spark, path, mk(300, "src0"), ["source", "id"])
+    # writer B still pinned to v0, targeting src2: key bounds on
+    # 'source' are disjoint from A's added file → rebase, no re-derive
+    v = versioned_upsert(
+        spark, path, mk(301, "src2"), ["source", "id"],
+        expected_version=0, rebase_on_conflict=True,
+    )
+    assert v == 2
+    assert snapshot_meta(path, "rebased_onto", version=2) == "1"
+    rows = {r["id"]: r["source"] for r in versioned_read(spark, path).collect()}
+    assert rows[300] == "src0" and rows[301] == "src2" and len(rows) == 62

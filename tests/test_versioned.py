@@ -1942,3 +1942,159 @@ def test_join_advice_from_stats_zero_job(spark, tmp_path):
     assert card["a"]["versions_stale"] == 0
     with _pytest.raises(KeyError, match="analyzed without column"):
         join_advice_from_stats(dim, "name_missing", fact, "k")
+
+
+def test_drop_column_is_metadata_only_and_time_travels(spark, tmp_path):
+    """DROP COLUMN: zero pool files touched, reads project the column
+    away, pre-drop versions still serve it, and the change feed skips
+    the commit."""
+    import os as _os
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        versioned_change_feed,
+        versioned_drop_column,
+    )
+
+    path = str(tmp_path / "vdrop")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, score double"
+    )
+    versioned_write(df, path)
+    pool_before = set(_os.listdir(_os.path.join(path, _DATA_DIR)))
+    v = versioned_drop_column(path, "score")
+    assert set(_os.listdir(_os.path.join(path, _DATA_DIR))) == pool_before
+    cur = versioned_read(spark, path)
+    assert cur.columns == ["k", "v"]
+    assert sorted((r["k"], r["v"]) for r in cur.collect()) == [(1, "a"), (2, "b")]
+    old = versioned_read(spark, path, version=0)
+    assert old.columns == ["k", "v", "score"]
+    assert {r["score"] for r in old.collect()} == {10.0, 20.0}
+    feed = versioned_change_feed(spark, path, from_version=v, to_version=v)
+    assert feed.count() == 0  # zero logical changes
+
+
+def test_drop_column_readd_never_resurrects_old_bytes(spark, tmp_path):
+    """A column re-added under a dropped name gets a FRESH physical
+    name: pre-drop files read NULL for it, post-re-add files read the
+    new values — the old bytes are unreachable."""
+    import json as _json
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        versioned_drop_column,
+    )
+
+    path = str(tmp_path / "vreadd")
+    versioned_write(
+        spark.createDataFrame([(1, "OLD1"), (2, "OLD2")], "k long, tag string"),
+        path,
+    )
+    versioned_drop_column(path, "tag")
+    # re-add 'tag' via additive evolution
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(3, "NEW3")], "k long, tag string"),
+        ["k"], evolve_schema=True,
+    )
+    rows = {r["k"]: r["tag"] for r in versioned_read(spark, path).collect()}
+    assert rows == {1: None, 2: None, 3: "NEW3"}  # OLD bytes never leak
+    man = _read_manifest(path, 2)
+    fld = next(f for f in man["schema"]["fields"] if f["name"] == "tag")
+    assert (fld.get("metadata") or {}).get("physical", "tag") != "tag"
+
+
+def test_drop_column_refusals(spark, tmp_path):
+    from skopje_spark.sinks.versioned import (
+        set_check_constraint,
+        versioned_drop_column,
+    )
+
+    path = str(tmp_path / "vdropref")
+    versioned_write(
+        spark.createDataFrame(
+            [(1, "a", "s0")], "k long, v string, src string"
+        ),
+        path,
+        partition_by=["src"],
+    )
+    set_check_constraint(spark, path, "k_pos", "k > 0")
+    with pytest.raises(ValueError, match="reference column"):
+        versioned_drop_column(path, "k")
+    with pytest.raises(ValueError, match="partition column"):
+        versioned_drop_column(path, "src")
+    with pytest.raises(KeyError, match="no column"):
+        versioned_drop_column(path, "ghost")
+
+
+def test_widen_column_reads_narrow_files_in_place(spark, tmp_path):
+    """INT→LONG widening: metadata-only commit, old int32 files decode
+    under the wide schema, post-widen merges write long files into the
+    same pool, time travel serves the narrow type, narrowing refused."""
+    import os as _os
+
+    from pyspark.sql.types import IntegerType, LongType
+
+    from skopje_spark.sinks.versioned import (
+        _DATA_DIR,
+        versioned_widen_column,
+    )
+
+    path = str(tmp_path / "vwide")
+    versioned_write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, n int"), path
+    )
+    pool_before = set(_os.listdir(_os.path.join(path, _DATA_DIR)))
+    versioned_widen_column(path, "n", "long")
+    assert set(_os.listdir(_os.path.join(path, _DATA_DIR))) == pool_before
+    cur = versioned_read(spark, path)
+    assert isinstance(cur.schema["n"].dataType, LongType)
+    assert sorted((r["k"], r["n"]) for r in cur.collect()) == [(1, 10), (2, 20)]
+    # merge AFTER widening: long values beyond int range land fine,
+    # and the rewrite mixes old-int and new-long files correctly
+    big = 2**40
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(2, big), (3, big + 1)], "k long, n long"),
+        ["k"],
+    )
+    rows = {r["k"]: r["n"] for r in versioned_read(spark, path).collect()}
+    assert rows == {1: 10, 2: big, 3: big + 1}
+    assert isinstance(
+        versioned_read(spark, path, version=0).schema["n"].dataType,
+        IntegerType,
+    )
+    with pytest.raises(ValueError, match="widen"):
+        versioned_widen_column(path, "n", "int")
+    with pytest.raises(ValueError, match="widen"):
+        versioned_widen_column(path, "k", "string")
+
+
+def test_drop_and_widen_through_connector(spark, tmp_path):
+    """The Arrow connector serves dropped/widened/re-added schemas
+    identically to versioned_read."""
+    from skopje_spark.sinks.versioned import (
+        versioned_drop_column,
+        versioned_widen_column,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "vconn")
+    versioned_write(
+        spark.createDataFrame([(1, 5, "x"), (2, 6, "y")],
+                              "k long, n int, tag string"),
+        path,
+    )
+    versioned_drop_column(path, "tag")
+    versioned_widen_column(path, "n", "long")
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(3, 2**40)], "k long, n long"), ["k"],
+    )
+    native = sorted(map(tuple, versioned_read(spark, path).collect()))
+    conn = sorted(map(tuple, (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .collect()
+    )))
+    assert conn == native and len(conn) == 3
