@@ -413,6 +413,8 @@ def cosine_topk_batch(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     k: int = 10,
+    allowed_cells: dict | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Top-k by cosine for a BATCH of M query vectors in one pass.
 
@@ -435,6 +437,14 @@ def cosine_topk_batch(
     summation can differ from a sequential fold in the last ulp —
     the 6-dp rounding absorbs it (same accepted risk class as every
     float oracle in this repo).
+
+    ``allowed_cells`` (qid → container of cell ids) restricts each
+    query's candidates to ITS OWN cells — the per-query probe mask an
+    IVF recall sweep needs: the corpus union is still read once for
+    all queries (the matmul scores everything), but a row outside a
+    query's probed cells can never enter that query's top-k. Requires
+    ``cell_col`` on ``embeddings``; queries absent from the dict
+    match nothing.
     """
     import numpy as np
     import pandas as pd
@@ -456,6 +466,12 @@ def cosine_topk_batch(
     qdts = dict(queries_df.dtypes)
     out_schema = f"{qid_col} {qdts[qid_col]}, {id_col} {dts[id_col]}, cos_sim double"
 
+    masks = (
+        {q: np.asarray(sorted(c)) for q, c in allowed_cells.items()}
+        if allowed_cells is not None
+        else None
+    )
+
     def part(it):
         for pdf in it:
             if not len(pdf):
@@ -464,14 +480,22 @@ def cosine_topk_batch(
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             S = dround_np(Xn @ Qn.T, 6)  # n×M, one matmul for all queries
             ids = pdf[id_col].to_numpy()
+            cells = pdf[cell_col].to_numpy() if masks is not None else None
             for j, qid in enumerate(qids):
                 s = S[:, j]
-                take = np.lexsort((ids, -s))[:k]  # (-cos, id) total order
+                ids_j = ids
+                if masks is not None:
+                    keep = np.isin(cells, masks.get(qid, ()))
+                    if not keep.any():
+                        continue
+                    s, ids_j = s[keep], ids[keep]
+                take = np.lexsort((ids_j, -s))[:k]  # (-cos, id) total order
                 yield pd.DataFrame(
-                    {qid_col: qid, id_col: ids[take], "cos_sim": s[take]}
+                    {qid_col: qid, id_col: ids_j[take], "cos_sim": s[take]}
                 )
 
-    partial = embeddings.select(id_col, vec_col).mapInPandas(part, out_schema)
+    scan_cols = [id_col, vec_col] + ([cell_col] if masks is not None else [])
+    partial = embeddings.select(*scan_cols).mapInPandas(part, out_schema)
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         partial.withColumn("__rn", F.row_number().over(w))
@@ -812,34 +836,40 @@ def ann_probe_report(
     sweep = sorted(set(int(p) for p in nprobes))
     acc = {p: {"recall": 0.0, "files": 0, "rows": 0} for p in sweep}
 
-    # id type follows the caller's frame, not a hard-coded long —
-    # string/int32 id columns must build the same single-query frame
-    id_sql = dict(query_df.dtypes)[id_col]
-    for qrow in queries:
-        qv = [float(x) for x in qrow[vec_col]]
-        one_q = spark.createDataFrame(
-            [(qrow[id_col], qv)],
-            f"{id_col} {id_sql}, {vec_col} array<double>",
-        )
-        exact = {
-            r[id_col]
-            for r in cosine_topk(
-                all_vecs, one_q, id_col=id_col, vec_col=vec_col, k=k
-            ).collect()
-        }
-        order = ranked_cells(qv)
-        for p in sweep:
-            probe = order[:p]
-            vecs = all_vecs.where(F.col("cell").isin(probe))
-            approx = {
-                r[id_col]
-                for r in cosine_topk(
-                    vecs, one_q, id_col=id_col, vec_col=vec_col, k=k
-                ).collect()
-            }
-            acc[p]["recall"] += len(approx & exact) / max(len(exact), 1)
-            acc[p]["files"] += sum(files_in(c) for c in probe)
-            acc[p]["rows"] += sum(cell_meta.get(c, 0) for c in probe)
+    # BATCHED measurement: one exact whole-corpus pass scores ALL M
+    # queries (cosine_topk_batch's per-partition matmul), then one
+    # probed pass per n_probe with a per-query cell mask — 1 + |sweep|
+    # corpus-shaped jobs total, against 1 + |sweep| PER QUERY for the
+    # naive loop (M× fewer scans; report values identical because both
+    # paths rank the same dround-6 scores with the same id tiebreak).
+    q_batch = query_df.select(F.col(id_col).alias("__qid"), vec_col)
+    exact: dict[object, set] = {}
+    for r in cosine_topk_batch(
+        all_vecs, q_batch, id_col=id_col, vec_col=vec_col,
+        qid_col="__qid", k=k,
+    ).collect():
+        exact.setdefault(r["__qid"], set()).add(r[id_col])
+    orders = {
+        qrow[id_col]: ranked_cells([float(x) for x in qrow[vec_col]])
+        for qrow in queries
+    }
+    for p in sweep:
+        allowed = {qid: set(order[:p]) for qid, order in orders.items()}
+        union_cells = sorted(set().union(*allowed.values(), set()))
+        probed = all_vecs.where(F.col("cell").isin(union_cells))
+        approx: dict[object, set] = {}
+        for r in cosine_topk_batch(
+            probed, q_batch, id_col=id_col, vec_col=vec_col,
+            qid_col="__qid", k=k, allowed_cells=allowed,
+        ).collect():
+            approx.setdefault(r["__qid"], set()).add(r[id_col])
+        for qid, order_cells in allowed.items():
+            ex = exact.get(qid, set())
+            acc[p]["recall"] += len(approx.get(qid, set()) & ex) / max(
+                len(ex), 1
+            )
+            acc[p]["files"] += sum(files_in(c) for c in order_cells)
+            acc[p]["rows"] += sum(cell_meta.get(c, 0) for c in order_cells)
 
     nq = max(len(queries), 1)
     report = [

@@ -1547,3 +1547,63 @@ def test_ivf_stream_sink_end_to_end(spark, tmp_path):
     q2 = ivf_index_stream_sink(stream2, path, str(tmp_path / "ckpt"))
     q2.awaitTermination()
     assert spark.read.parquet(f"{path}/vectors").count() == n0 + 20
+
+
+def test_ann_probe_report_is_batched_not_per_query(spark, tmp_path):
+    """The tuning sweep is corpus-shaped, not query-shaped: all M
+    queries ride ONE exact pass plus one masked pass per n_probe
+    (cosine_topk_batch), so the Spark job count is independent of M —
+    the naive per-(query, probe) loop would launch 4x per query here.
+    Values keep the recall/cost contract of the sibling test."""
+    import math
+    import random
+
+    from skopje_spark.operators.similarity import (
+        ann_probe_report,
+        ivf_index_write,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(4):
+        center = [0.0] * 8
+        center[c * 2] = 10.0
+        for i in range(40):
+            rows.append(
+                (c * 1000 + i, [x + rng.uniform(-0.5, 0.5) for x in center])
+            )
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ivfbatch")
+    ivf_index_write(e, path, k=4, iters=3)
+    sc = spark.sparkContext
+
+    def run(m: int, tag: str):
+        queries = spark.createDataFrame(
+            [rows[i * 13] for i in range(m)],
+            "vec_id bigint, embedding array<double>",
+        )
+        sc.setJobGroup(tag, "ann_probe_report job count")
+        try:
+            rep = {
+                r["n_probe"]: r
+                for r in ann_probe_report(
+                    spark, path, queries, nprobes=(1, 2, 4), k=5
+                ).collect()
+            }
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return rep, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    _, jobs_small = run(3, "probe-batch-3")
+    rep, jobs_big = run(12, "probe-batch-12")
+    # the job count must NOT scale with the query count: the naive
+    # per-(query, probe) loop adds >= (1 + |sweep|) jobs per extra
+    # query (here: +36 going from 3 to 12 queries); the batched sweep
+    # adds none — allow small AQE jitter only.
+    assert jobs_big <= jobs_small + 4, (
+        f"{jobs_small} jobs @3 queries vs {jobs_big} @12 — "
+        "sweep is scaling with queries"
+    )
+    assert math.isclose(rep[4]["mean_recall_at_k"], 1.0)
+    recalls = [rep[p]["mean_recall_at_k"] for p in (1, 2, 4)]
+    assert recalls == sorted(recalls) and recalls[0] > 0.5
