@@ -113,6 +113,11 @@ HEADLINE = [
     # bridge) over the same DV'd table as q_dv_read_only — the two
     # entries price the connector surface against its native twin.
     "q_lake_scan_only",
+    # round-10: the recurring cost of EXACT partition pruning — a
+    # one-partition pruned read over a build-once partitioned table.
+    # q_versioned_partitioned/q_versioned_drop_column are excluded
+    # like the other build-dominated catalog twins.
+    "q_part_read_only",
 ]
 
 
@@ -273,6 +278,36 @@ def _lake_scan_only(spark, sf_dir):
     )
 
 
+_PART_CACHE: dict = {}
+
+
+def _part_read_only(spark, sf_dir):
+    """Bench-only: the partition-pruned READ path alone. The orders
+    table is written once per sf_dir partitioned by o_orderpriority
+    (the build-once lake state); timed passes measure the recurring
+    serving cost of an exact one-partition read — kilobyte manifest
+    planning electing exactly that partition's files, then the scan."""
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_pruned_read,
+        versioned_write,
+    )
+    from skopje_spark.tables import load_table
+
+    if sf_dir not in _PART_CACHE:
+        path = tempfile.mkdtemp(prefix="skopje_bench_part_")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        versioned_write(o, path, partition_by=["o_orderpriority"])
+        _PART_CACHE[sf_dir] = path
+    return versioned_pruned_read(
+        spark, _PART_CACHE[sf_dir], "o_orderpriority",
+        "1-URGENT", "1-URGENT",
+    )
+
+
 def _bench_only():
     """Callables timed like catalog queries but not oracle-registered
     (their raw outputs are randomized sketches; the catalog twin
@@ -288,6 +323,7 @@ def _bench_only():
         "q_dv_read_only": _dv_read_only,
         "q_bm25_query_only": _bm25_query_only,
         "q_lake_scan_only": _lake_scan_only,
+        "q_part_read_only": _part_read_only,
     }
 
 

@@ -26,14 +26,15 @@ Delta/Iceberg write economics. Concurrent readers pin whatever
 version they resolved, so long scans are immune to in-flight loads.
 
 Commit-backend contract: pointer resolution, version listing, and
-the atomic pointer swap are isolated in :class:`PosixPointerStore`.
-The POSIX implementation's atomicity rests on rename semantics
-(os.replace) and a truthful directory listing — guarantees an
-S3-class object store does NOT provide; a backend for such a store
-must supply an equivalent conditional-put (e.g. If-None-Match on a
-per-version log object, DynamoDB lock, or a commit service) behind
-the same three primitives. Everything above the store is
-backend-agnostic.
+the atomic pointer swap are isolated behind three primitives with
+TWO implementations. :class:`PosixPointerStore` (default) rests on
+rename semantics (os.replace) and a truthful directory listing.
+:class:`LogPointerStore` supplies the S3-class contract — publish is
+a create-exclusive per-version log object (If-None-Match conditional
+put; a raced commit fails loudly, never last-write-wins) and
+resolution probes object existence from a verified hint, trusting no
+listing. The full protocol suite runs green on both, so everything
+above the store is backend-agnostic by test, not just by design.
 """
 
 from __future__ import annotations
@@ -441,6 +442,7 @@ def _stage_data_files(
     path: str,
     mapping: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
 ) -> list[dict]:
     """Write ``df``'s partitions as immutable files in the table's
     shared ``data/`` pool and return their manifest entries. Files get
@@ -508,13 +510,33 @@ def _stage_data_files(
     shadows = [f"__part_{i}" for i in range(len(phys_parts))]
     # shadow copies carry the layout; the REAL columns stay in the
     # data files, so reads, DVs, constraints, CDF all see them as on
-    # any other table. One shuffle co-locates each partition tuple.
+    # any other table. One shuffle co-locates each partition tuple;
+    # the one-value-per-FILE invariant itself comes from partitionBy's
+    # directory split, so the task layout only sets file counts.
     df2 = df.select(
         "*", *[F.col(p).alias(s) for p, s in zip(phys_parts, shadows)]
     )
-    df2.repartition(*shadows).write.mode("errorifexists").partitionBy(
-        *shadows
-    ).parquet(staged)
+    shuffle_keys = [F.col(s) for s in shadows]
+    if files_per_partition > 1:
+        # a 100 TB table's hot partition (one day, one language) must
+        # not funnel into one writer task / one giant file: a
+        # content-hash spread key splits each partition value across
+        # files_per_partition tasks, deterministically (no rand — a
+        # retried stage must re-produce the same layout). The explicit
+        # task count keeps AQE from coalescing the spread away.
+        spread = (
+            F.abs(F.hash(*[F.col(c) for c in df.columns]))
+            % files_per_partition
+        )
+        shuffle_keys.append(spread)
+        shuffled = df2.repartition(
+            max(64, files_per_partition * 16), *shuffle_keys
+        )
+    else:
+        shuffled = df2.repartition(*shuffle_keys)
+    shuffled.write.mode("errorifexists").partitionBy(*shadows).parquet(
+        staged
+    )
     found: list[str] = []
     for root, _, files in os.walk(staged):
         for f in files:
@@ -1012,6 +1034,7 @@ def versioned_write(
     expected_version: int | None | object = _UNGUARDED,
     lock_timeout_s: float = 600.0,
     partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
 ) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``;
     returns the new version number.
@@ -1052,7 +1075,10 @@ def versioned_write(
     pass ``partition_by`` again (or leave None to drop it), exactly
     like ``df.write.partitionBy`` on a fresh dataset."""
     os.makedirs(path, exist_ok=True)
-    entries = _stage_data_files(df, path, partition_by=partition_by)
+    entries = _stage_data_files(
+        df, path, partition_by=partition_by,
+        files_per_partition=files_per_partition,
+    )
     # a full rewrite defines its own layout: record the spec when one
     # is declared, and explicitly CLEAR a previous spec when none is —
     # a stale inherited marker must never claim a layout the files
@@ -3932,13 +3958,27 @@ def versioned_compact(
     meta.pop("commit_ts", None)
     meta.update({"op": "compact", "source_version": str(v)})
     # compaction preserves the partition layout (the rewrite re-splits
-    # per partition value); the inherited marker stays truthful
+    # per partition value); the inherited marker stays truthful, and
+    # the file-count budget is spread across partitions so a big
+    # partition never funnels into one writer task
     spec = table_partitioning(path, version=v)
+    fpp = 1
+    if spec:
+        n_parts = len(
+            {
+                tuple((e.get("partition") or {}).get(c) for c in spec)
+                for e in _read_manifest(path, v)["files"]
+            }
+        ) or 1
+        fpp = max(1, target_files // n_parts)
     if guarded:
         return versioned_write(
-            out, path, meta=meta, expected_version=v, partition_by=spec
+            out, path, meta=meta, expected_version=v, partition_by=spec,
+            files_per_partition=fpp,
         )
-    return versioned_write(out, path, meta=meta, partition_by=spec)
+    return versioned_write(
+        out, path, meta=meta, partition_by=spec, files_per_partition=fpp
+    )
 
 
 def versioned_ivm_view(

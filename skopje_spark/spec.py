@@ -285,13 +285,20 @@ def _make_sink(node: dict):
             )
 
             keys = node.get("keys")
+            # declarative partition spec: applied on table creation;
+            # later MERGEs inherit it from the carried table property
+            pby = node.get("partition_by")
             if keys:  # MERGE by key into the committed table
                 from skopje_spark.sinks.versioned import latest_version
 
                 if latest_version(path) is None:
-                    return versioned_write(df, path)
+                    return versioned_write(
+                        df, path, partition_by=list(pby) if pby else None
+                    )
                 return versioned_upsert(ctx.spark, path, df, list(keys))
-            return versioned_write(df, path)
+            return versioned_write(
+                df, path, partition_by=list(pby) if pby else None
+            )
         if fmt == "stream_parquet":
             from skopje_spark.streaming.streams import parquet_stream_sink
 

@@ -251,3 +251,34 @@ def test_partition_disjoint_rebase_lands_metadata_only(spark, tmp_path):
     assert snapshot_meta(path, "rebased_onto", version=2) == "1"
     rows = {r["id"]: r["source"] for r in versioned_read(spark, path).collect()}
     assert rows[300] == "src0" and rows[301] == "src2" and len(rows) == 62
+
+
+def test_files_per_partition_spreads_hot_partitions(spark, tmp_path):
+    """A hot partition must not funnel into one writer task / one
+    giant file: files_per_partition splits each partition value across
+    N single-value files via a deterministic content-hash spread, and
+    content stays exact."""
+    path = str(tmp_path / "t")
+    df = _events(spark, 120)
+    versioned_write(df, path, partition_by=["source"], files_per_partition=4)
+    ent = _read_manifest(path, 0)["files"]
+    per = {}
+    for e in ent:
+        per.setdefault(e["partition"]["source"], []).append(e)
+    assert set(per) == {"src0", "src1", "src2"}
+    for src, files in per.items():
+        assert 2 <= len(files) <= 4  # spread (hash may leave a residue empty)
+        for e in files:  # invariant survives the spread
+            assert e["stats"]["source"]["min"] == src
+            assert e["stats"]["source"]["max"] == src
+    got = sorted(map(tuple, versioned_read(spark, path).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # compaction spreads its file budget across partitions too
+    versioned_compact(spark, path, target_files=6)
+    ent2 = _read_manifest(path, 1)["files"]
+    per2 = {}
+    for e in ent2:
+        per2.setdefault(e["partition"]["source"], []).append(e)
+    assert set(per2) == {"src0", "src1", "src2"}
+    assert all(1 <= len(v) <= 2 for v in per2.values())
+    assert versioned_read(spark, path).count() == 120

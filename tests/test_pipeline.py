@@ -462,6 +462,28 @@ def test_pipeline_spec_versioned_batch_sink(spark, tmp_path):
     assert latest_version(table) == 1
     assert versioned_read(spark, table).count() == n0
 
+    # declarative partition spec on creation; later keyed runs inherit
+    from skopje_spark.sinks.versioned import table_partitioning
+
+    table2 = str(tmp_path / "vspecp")
+    spec2 = {
+        "name": "versioned-sink-part",
+        "nodes": [
+            {"name": "nation", "kind": "source", "format": "parquet",
+             "path": f"{sf}/nation.parquet"},
+            {"name": "small", "kind": "transform", "deps": ["nation"],
+             "sql": "SELECT n_nationkey, n_regionkey, n_name FROM nation"},
+            {"name": "commit", "kind": "sink", "format": "versioned",
+             "dep": "small", "path": table2, "keys": ["n_nationkey"],
+             "partition_by": ["n_regionkey"]},
+        ],
+    }
+    pipeline_from_spec(spec2).run(spark)
+    assert table_partitioning(table2) == ["n_regionkey"]
+    pipeline_from_spec(spec2).run(spark)  # merge inherits the layout
+    assert table_partitioning(table2) == ["n_regionkey"]
+    assert versioned_read(spark, table2).count() == 25
+
 
 def test_pipeline_spec_lsh_probe_and_numeric_drift(spark, sf_dir, tmp_path):
     """Declarative crawl gate + drift monitor: lsh_index_probe op
