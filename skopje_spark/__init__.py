@@ -81,6 +81,7 @@ from skopje_spark.sinks.versioned import (
     versioned_merge,
     versioned_merge_concurrent,
     versioned_read,
+    versioned_read_where,
     versioned_replicate,
     versioned_restore,
     versioned_upsert,
@@ -158,6 +159,7 @@ __all__ = [
     "versioned_merge",
     "versioned_merge_concurrent",
     "versioned_read",
+    "versioned_read_where",
     "versioned_replicate",
     "versioned_restore",
     "versioned_upsert",

@@ -2190,3 +2190,52 @@ def q_versioned_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("drop_metadata_only", F.lit(bool(metadata_only)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_read_where",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+      AND o_orderkey BETWEEN 1000 AND 5000
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "partitioning", "pruning", "lakeops"),
+)
+def q_versioned_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column pruned read under the driver gate
+    (sinks/versioned.py:versioned_read_where): orders partitioned by
+    o_orderpriority takes the canonical lake lookup — a partition
+    POINT bound ANDed with a key INTERVAL bound — and the result is
+    pinned row-identical to the oracle filtering directly. The
+    partition bound prunes exactly (injected min==max stats); the key
+    bound prunes by footer stats where the files allow and re-filters
+    exactly regardless.
+
+    Scale: this is the one-day-one-source read every partitioned
+    100 TB table serves constantly — file election from kilobytes of
+    driver manifest, never a table scan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_read_where,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="skopje_rwhere_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o, path, partition_by=["o_orderpriority"], files_per_partition=4
+    )
+    return versioned_read_where(
+        spark, path,
+        {"o_orderpriority": "2-HIGH", "o_orderkey": (1000, 5000)},
+    ).orderBy("o_orderkey")

@@ -1902,6 +1902,64 @@ def versioned_pruned_read(
     return _read_entries(spark, path, cand, schema).filter(pred)
 
 
+def versioned_read_where(
+    spark: SparkSession,
+    path: str,
+    bounds: dict,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column pruned read: ``bounds`` maps column → value (point
+    lookup) or ``(lo, hi)`` interval, ANDed. Two-level pruning runs
+    per column — whole manifest segments skipped from ref aggregate
+    stats, then files from per-entry stats (EXACT on partition
+    columns, conservative footer intervals elsewhere) — and the exact
+    residual predicate re-filters, so the result is row-identical to
+    ``versioned_read(...).filter(AND of bounds)``.
+
+    This is the canonical partitioned-lake read shape: ``{"day": d,
+    "source": "web"}`` on a day×source-partitioned 100 TB table opens
+    exactly one partition's files, decided from kilobytes of driver
+    manifest."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if not bounds:
+        raise ValueError("versioned_read_where needs at least one bound")
+    v = committed if version is None else version
+    with open(os.path.join(path, f"v={v}", _MANIFEST_NAME)) as f:
+        schema_json = json.load(f)["schema"]
+    schema = StructType.fromJson(schema_json)
+    mapping = _schema_mapping(schema)
+    norm: list[tuple[str, str, object, object]] = []  # (col, phys, lo, hi)
+    for col, b in bounds.items():
+        lo, hi = b if isinstance(b, tuple) else (b, b)
+        norm.append((col, mapping.get(col, col), lo, hi))
+    # segment tier: prune on the first column's ref aggregates (one
+    # pass over refs), then per-entry tier on every column
+    c0, p0, lo0, hi0 = norm[0]
+    entries, _, _, _ = _pruned_manifest_entries(
+        path, v, p0, _stat_encode(lo0), _stat_encode(hi0)
+    )
+    for _, phys, lo, hi in norm:
+        entries, _ = _interval_split(
+            entries, phys, _stat_encode(lo), _stat_encode(hi)
+        )
+    preds = [
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        for col, _, lo, hi in norm
+    ]
+    return _read_entries(spark, path, entries, schema).filter(
+        reduce(and_, preds)
+    )
+
+
 def _match_files(
     spark: SparkSession,
     path: str,

@@ -282,3 +282,42 @@ def test_files_per_partition_spreads_hot_partitions(spark, tmp_path):
     assert set(per2) == {"src0", "src1", "src2"}
     assert all(1 <= len(v) <= 2 for v in per2.values())
     assert versioned_read(spark, path).count() == 120
+
+
+def test_read_where_multi_column_exact_prune(spark, tmp_path):
+    """versioned_read_where: AND of point/interval bounds prunes per
+    column — a (day, source) lookup on a day x source-partitioned table
+    elects exactly ONE partition's files — and rows are identical to
+    the filtered full read."""
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _stat_encode,
+        versioned_read_where,
+    )
+
+    df = _events(spark)
+    path = str(tmp_path / "t")
+    versioned_write(df, path, partition_by=["source", "day"])
+    d = dt.date(2024, 1, 3)
+    got = versioned_read_where(
+        spark, path, {"source": "src1", "day": d}
+    )
+    exp = versioned_read(spark, path).filter(
+        (F.col("source") == "src1") & (F.col("day") == F.lit(d))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # exactly one of the 15 single-tuple files survives both prunes
+    entries = _read_manifest(path, 0)["files"]
+    e1, _ = _interval_split(entries, "source", "src1", "src1")
+    e2, _ = _interval_split(e1, "day", _stat_encode(d), _stat_encode(d))
+    assert len(e2) == 1
+    # interval bound flavor: two days of one source
+    got2 = versioned_read_where(
+        spark, path,
+        {"source": "src0", "day": (dt.date(2024, 1, 1), dt.date(2024, 1, 2))},
+    )
+    assert sorted(r["id"] for r in got2.collect()) == sorted(
+        i for i in range(60) if i % 3 == 0 and i % 5 in (0, 1)
+    )
