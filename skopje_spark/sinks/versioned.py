@@ -4419,6 +4419,30 @@ def maintenance_report(
         and seg_mean_entries < _SEG_TARGET / 16
     ):
         recs.append("compact")  # re-chunk fragmented manifest segments
+    # partition health: row skew across partitions is what turns one
+    # hot day/source into a straggler partition scan; surfaced here so
+    # the operator sees it before the shuffle does. Thresholds: flag
+    # when the hottest partition carries >10× the mean.
+    spec = table_partitioning(path, version=committed)
+    n_partitions = None
+    partition_skew = None
+    if spec:
+        by_part: dict[tuple, int] = {}
+        for e in entries:
+            key = tuple((e.get("partition") or {}).get(c) for c in spec)
+            by_part[key] = (
+                by_part.get(key, 0)
+                + int(e.get("rows", 0))
+                - int(e.get("dv_rows", 0))
+            )
+        n_partitions = len(by_part)
+        if by_part:
+            mx = max(by_part.values())
+            mean = sum(by_part.values()) / len(by_part)
+            partition_skew = (mx / mean) if mean else None
+            if partition_skew is not None and partition_skew > 10:
+                recs.append("repartition")  # re-spec or salt the hot key
+
     report = {
         "version": committed,
         "n_files": n_files,
@@ -4432,6 +4456,9 @@ def maintenance_report(
         "n_manifest_segments": n_segments,
         "segment_mean_entries": seg_mean_entries,
         "n_committed_versions": committed + 1,
+        "partition_by": spec or None,
+        "n_partitions": n_partitions,
+        "partition_skew": partition_skew,
         "recommendations": sorted(set(recs)),
     }
     return report

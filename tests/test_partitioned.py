@@ -321,3 +321,39 @@ def test_read_where_multi_column_exact_prune(spark, tmp_path):
     assert sorted(r["id"] for r in got2.collect()) == sorted(
         i for i in range(60) if i % 3 == 0 and i % 5 in (0, 1)
     )
+
+
+def test_maintenance_report_surfaces_partition_skew(spark, tmp_path):
+    """The health card reports partition count and row skew for
+    partitioned tables — the straggler-partition early warning — and
+    recommends repartitioning past 10x mean."""
+    from skopje_spark.sinks.versioned import maintenance_report
+
+    path = str(tmp_path / "t")
+    rows = [(i, "hot" if i < 110 else f"cold{i % 5}", "p") for i in range(120)]
+    versioned_write(
+        spark.createDataFrame(rows, "id long, src string, payload string"),
+        path, partition_by=["src"],
+    )
+    rep = maintenance_report(path)
+    assert rep["partition_by"] == ["src"]
+    assert rep["n_partitions"] == 6
+    # hot: 110 rows vs mean 20 → skew 5.5; under threshold, no rec
+    assert 5.0 < rep["partition_skew"] < 6.0
+    assert "repartition" not in rep["recommendations"]
+    # unpartitioned: fields are None and no spurious recs
+    p2 = str(tmp_path / "flat")
+    versioned_write(spark.createDataFrame(rows[:5], "id long, src string, payload string"), p2)
+    rep2 = maintenance_report(p2)
+    assert rep2["partition_by"] is None and rep2["n_partitions"] is None
+
+    # genuinely skewed: one partition carries ~55x the mean
+    p3 = str(tmp_path / "skew")
+    rows3 = [(i, "hot" if i < 550 else f"c{i % 10}", "p") for i in range(560)]
+    versioned_write(
+        spark.createDataFrame(rows3, "id long, src string, payload string"),
+        p3, partition_by=["src"],
+    )
+    rep3 = maintenance_report(p3)
+    assert rep3["partition_skew"] > 10
+    assert "repartition" in rep3["recommendations"]
