@@ -2098,3 +2098,35 @@ def test_drop_and_widen_through_connector(spark, tmp_path):
         .collect()
     )))
     assert conn == native and len(conn) == 3
+
+
+def test_change_feed_spans_type_widening(spark, tmp_path):
+    """A feed range crossing an INT→LONG widening serves one coherent
+    frame: pre-widen cdc files (int32) and post-widen ones (int64)
+    align by name with the union coercing to the wide type."""
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_widen_column,
+    )
+
+    path = str(tmp_path / "vwfeed")
+    versioned_write(
+        spark.createDataFrame([(1, 10)], "k long, n int"), path
+    )                                                                # v0
+    versioned_upsert(
+        spark, path, spark.createDataFrame([(2, 20)], "k long, n int"),
+        ["k"], change_feed=True,
+    )                                                                # v1
+    versioned_widen_column(path, "n", "long")                        # v2
+    big = 2**40
+    versioned_upsert(
+        spark, path, spark.createDataFrame([(3, big)], "k long, n long"),
+        ["k"], change_feed=True,
+    )                                                                # v3
+    feed = versioned_change_feed(spark, path, from_version=1)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["n"])
+        for r in feed.collect()
+    )
+    assert rows == [(1, "insert", 2, 20), (3, "insert", 3, big)]
+    assert dict(feed.dtypes)["n"] == "bigint"
