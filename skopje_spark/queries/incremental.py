@@ -2239,3 +2239,62 @@ def q_versioned_read_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path,
         {"o_orderpriority": "2-HIGH", "o_orderkey": (1000, 5000)},
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q_versioned_partition_drop",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS metadata_only
+    FROM orders
+    WHERE o_orderpriority <> '3-MEDIUM'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("versioned", "partitioning", "delete", "lakeops"),
+)
+def q_versioned_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only partition DROP under the driver gate
+    (sinks/versioned.py:versioned_delete with a bounds dict): orders
+    partitioned by o_orderpriority deletes one whole partition — the
+    GDPR-day / dead-source purge shape. The commit must touch ZERO
+    data bytes: no files scanned, no deletion vectors staged, the
+    covered partition's entries simply leave the manifest
+    (``metadata_only`` folds the commit's own n_files_scanned == 0
+    and n_dv_files == 0 markers; the oracle pins it TRUE and pins the
+    surviving content).
+
+    Scale: dropping one day from a day-partitioned 100 TB table is a
+    kilobyte commit — Hive's DROP PARTITION economics with snapshot
+    isolation and time travel kept (v0 still serves the partition)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_pdrop_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o, path, partition_by=["o_orderpriority"])      # v0
+    v = versioned_delete(spark, path, {"o_orderpriority": "3-MEDIUM"})
+    metadata_only = (
+        snapshot_meta(path, "n_files_scanned", version=v) == "0"
+        and snapshot_meta(path, "n_dv_files", version=v) == "0"
+        and int(snapshot_meta(path, "n_files_dropped", version=v)) >= 1
+    )
+    return (
+        versioned_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("metadata_only", F.lit(bool(metadata_only)))
+        .orderBy("o_orderpriority")
+    )

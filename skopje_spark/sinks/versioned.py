@@ -2978,6 +2978,57 @@ def versioned_append(
         )
 
 
+def _classify_for_delete(
+    entries: list[dict], norm: list[tuple]
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Split entries for a bounds-dict DELETE into (scan, carried,
+    dropped). DROPPED files' stats PROVE every live row satisfies all
+    bounds: ``min >= lo and max <= hi`` with an exact ZERO null count
+    for every bound column (NULL never satisfies a range predicate,
+    so a null-bearing or null-count-unknown file can only be
+    scanned). CARRIED files provably hold no matching row. Exact on
+    partition columns (injected ``min == max`` stats, nulls 0);
+    conservative footer intervals elsewhere — stats imprecision can
+    only demote a file to the scan, never misclassify it."""
+    scan: list[dict] = []
+    carried: list[dict] = []
+    dropped: list[dict] = []
+    for e in entries:
+        if e.get("rows") == 0:
+            carried.append(e)
+            continue
+        covered_all = True
+        disjoint = False
+        for _, phys, lo, hi in norm:
+            lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
+            st = (e.get("stats") or {}).get(phys)
+            mn = None if st is None else st.get("min")
+            mx = None if st is None else st.get("max")
+            if (
+                mn is None
+                or mx is None
+                or _stat_nan(mn)
+                or _stat_nan(mx)
+            ):
+                covered_all = False
+                continue
+            try:
+                if mx < lo_e or mn > hi_e:
+                    disjoint = True
+                    break
+                if not (mn >= lo_e and mx <= hi_e and st.get("nulls") == 0):
+                    covered_all = False
+            except TypeError:  # cross-type compare proves nothing
+                covered_all = False
+        if disjoint:
+            carried.append(e)
+        elif covered_all:
+            dropped.append(e)
+        else:
+            scan.append(e)
+    return scan, carried, dropped
+
+
 def versioned_delete(
     spark: SparkSession,
     path: str,
@@ -3004,18 +3055,27 @@ def versioned_delete(
     ``condition`` is a Column or SQL string over the table's columns,
     or a key DataFrame — rows whose key tuple (the frame's column set)
     appears in it are deleted via a semi-join, the replica-sync /
-    feed-apply shape. Rows already deleted by an earlier DV never
-    re-match (the matching
-    scan is itself DV-applied), so overlapping deletes stay
-    position-disjoint. A file whose every row is now deleted is
-    DROPPED from the manifest outright. Returns the new version — or
-    the CURRENT version unchanged when nothing matched (an empty
-    delete is a no-op, not an empty commit).
+    feed-apply shape — or a BOUNDS DICT (column → value or
+    ``(lo, hi)``, ANDed): the partition-drop shape. With a dict,
+    files whose stats PROVE every live row matches (exact on
+    partition columns: ``min == max == value``, zero nulls) are
+    dropped from the manifest OUTRIGHT — no scan, no DV, no data IO:
+    deleting one day from a day-partitioned 100 TB table is a
+    kilobyte commit (Hive's DROP PARTITION / Delta's partition-DELETE
+    fast path). Provably-disjoint files are carried unopened; only
+    boundary files are scanned and vectorized. Rows already deleted
+    by an earlier DV never re-match (the matching scan is itself
+    DV-applied), so overlapping deletes stay position-disjoint. A
+    file whose every row is now deleted is DROPPED from the manifest
+    outright. Returns the new version — or the CURRENT version
+    unchanged when nothing matched (an empty delete is a no-op, not
+    an empty commit).
 
     Commit markers: ``op=delete``, ``n_files_rewritten=0`` (always —
-    that is the point), ``n_dv_files``, ``n_rows_deleted``. Time
-    travel is untouched: prior snapshots list their own (shorter) DV
-    sets, so a pinned reader still sees the rows."""
+    that is the point), ``n_dv_files``, ``n_rows_deleted``,
+    ``n_files_dropped``. Time travel is untouched: prior snapshots
+    list their own (shorter) DV sets, so a pinned reader still sees
+    the rows."""
     import math
 
     from pyspark.sql import functions as F
@@ -3041,7 +3101,47 @@ def versioned_delete(
     # the predicate could match (the predicate is opaque to stats).
     closed_refs: list[dict] = []
     n_segments_total: int | None = None
-    if isinstance(condition, DataFrame):
+    drop_entries: list[dict] = []
+    if isinstance(condition, dict):
+        # bounds-dict delete (the partition-drop shape): classify
+        # every file from stats alone — fully-covered files drop from
+        # the manifest with zero IO, disjoint files are carried
+        # unopened, only boundary files reach the scan below
+        if not condition:
+            raise ValueError("versioned_delete bounds dict is empty")
+        norm = []
+        for col, b in condition.items():
+            lo, hi = b if isinstance(b, tuple) else (b, b)
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"bound for {col!r} is None — range predicates are "
+                    "null-rejecting; use an explicit IS NULL predicate "
+                    "string to delete NULL rows"
+                )
+            norm.append((col, mapping.get(col, col), lo, hi))
+        c0, p0, lo0, hi0 = norm[0]
+        split = _split_refs_for_merge(
+            path, base_v, p0,
+            (_stat_encode(lo0), _stat_encode(hi0), False, 1),
+        )
+        if split is None:
+            open_entries = _read_manifest(path, base_v)["files"]
+        else:
+            closed_refs, open_entries, n_segments_total = split
+        scan_entries, carried_open, drop_entries = _classify_for_delete(
+            open_entries, norm
+        )
+        from functools import reduce
+        from operator import and_
+
+        condition = reduce(
+            and_,
+            [
+                (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+                for c, _, lo, hi in norm
+            ],
+        )
+    elif isinstance(condition, DataFrame):
         kcol0 = condition.columns[0]
         bounds = _key_bounds(condition, kcol0)
         split = _split_refs_for_merge(
@@ -3059,72 +3159,83 @@ def versioned_delete(
         open_entries = _read_manifest(path, base_v)["files"]
         scan_entries, carried_open = open_entries, []
     entries = scan_entries + carried_open
-    if not entries and not closed_refs:
+    if not entries and not closed_refs and not drop_entries:
         return base_v
-    if not scan_entries:
+    if not scan_entries and not drop_entries:
         return base_v  # no file can hold a matching row: no-op
-    # scan by PHYSICAL names (rename-stable), serve the predicate the
-    # LOGICAL names — mirrors _read_entries, but the row-identity
-    # columns must survive the projection here
-    renamed = any(p != n for n, p in mapping.items())
-    read_schema = (
-        StructType(
-            [
-                StructField(mapping[f.name], f.dataType, f.nullable)
-                for f in schema.fields
-            ]
+    hit = None
+    counts: dict[str, int] = {}
+    if scan_entries:
+        # scan by PHYSICAL names (rename-stable), serve the predicate
+        # the LOGICAL names — mirrors _read_entries, but the
+        # row-identity columns must survive the projection here
+        renamed = any(p != n for n, p in mapping.items())
+        read_schema = (
+            StructType(
+                [
+                    StructField(mapping[f.name], f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            if renamed
+            else schema
         )
-        if renamed
-        else schema
-    )
-    df = _with_row_identity(
-        spark.read.schema(read_schema).parquet(
-            *[os.path.join(path, e["path"]) for e in scan_entries]
+        df = _with_row_identity(
+            spark.read.schema(read_schema).parquet(
+                *[os.path.join(path, e["path"]) for e in scan_entries]
+            )
         )
-    )
-    if renamed:
-        df = df.select(
-            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields],
-            "__file",
-            "__pos",
+        if renamed:
+            df = df.select(
+                *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields],
+                "__file",
+                "__pos",
+            )
+        old_dvs = sorted(
+            {p for e in scan_entries for p in e.get("dv_files", [])}
         )
-    old_dvs = sorted(
-        {p for e in scan_entries for p in e.get("dv_files", [])}
-    )
-    if old_dvs:
-        prior = (
-            spark.read.parquet(*[os.path.join(path, p) for p in old_dvs])
-            .select("__file", "__pos")
-            .distinct()
-        )
-        df = df.join(F.broadcast(prior), ["__file", "__pos"], "left_anti")
-    if isinstance(condition, DataFrame):
-        # key-frame delete: rows whose key tuple appears in the frame
-        # (the replica-sync / feed-apply shape) — a semi-join against
-        # the broadcastable key set, never a predicate compile
-        # (no broadcast hint: AQE broadcasts small key sets itself and
-        # a mass-delete key frame must be allowed to shuffle)
-        kcols = list(condition.columns)
-        hit = df.join(condition.distinct(), kcols, "left_semi")
-    else:
-        cond = F.expr(condition) if isinstance(condition, str) else condition
-        hit = df.filter(cond)
-    if change_feed:
-        # the feed needs the deleted ROWS, not just positions — one
-        # checkpoint serves both projections
-        hit = hit.localCheckpoint(eager=True)
-        matched = hit.select("__file", "__pos")
-    else:
-        matched = hit.select("__file", "__pos").localCheckpoint(eager=True)
-    counts = {
-        r["__file"]: r["n"]
-        for r in matched.groupBy("__file").agg(F.count("*").alias("n")).collect()
-    }
-    if not counts:
+        if old_dvs:
+            prior = (
+                spark.read.parquet(*[os.path.join(path, p) for p in old_dvs])
+                .select("__file", "__pos")
+                .distinct()
+            )
+            df = df.join(F.broadcast(prior), ["__file", "__pos"], "left_anti")
+        if isinstance(condition, DataFrame):
+            # key-frame delete: rows whose key tuple appears in the frame
+            # (the replica-sync / feed-apply shape) — a semi-join against
+            # the broadcastable key set, never a predicate compile
+            # (no broadcast hint: AQE broadcasts small key sets itself and
+            # a mass-delete key frame must be allowed to shuffle)
+            kcols = list(condition.columns)
+            hit = df.join(condition.distinct(), kcols, "left_semi")
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            hit = df.filter(cond)
+        if change_feed:
+            # the feed needs the deleted ROWS, not just positions — one
+            # checkpoint serves both projections
+            hit = hit.localCheckpoint(eager=True)
+            matched = hit.select("__file", "__pos")
+        else:
+            matched = hit.select("__file", "__pos").localCheckpoint(eager=True)
+        counts = {
+            r["__file"]: r["n"]
+            for r in matched.groupBy("__file").agg(F.count("*").alias("n")).collect()
+        }
+    if not counts and not drop_entries:
         return base_v
-    total = sum(counts.values())
-    new_rels = _stage_dv_files(
-        matched, path, n_files=max(1, math.ceil(total / 5_000_000))
+    dropped_live = sum(
+        int(e.get("rows", 0)) - int(e.get("dv_rows", 0)) for e in drop_entries
+    )
+    total = sum(counts.values()) + dropped_live
+    new_rels = (
+        _stage_dv_files(
+            matched, path,
+            n_files=max(1, math.ceil(sum(counts.values()) / 5_000_000)),
+        )
+        if counts
+        else []
     )
     new_entries = []
     for e in entries:
@@ -3148,6 +3259,7 @@ def versioned_delete(
         "n_dv_files": str(len(new_rels)),
         "n_rows_deleted": str(total),
         "n_files_scanned": str(len(scan_entries)),
+        "n_files_dropped": str(len(drop_entries)),
     }
     if n_segments_total is not None:
         commit_meta["n_segments_total"] = str(n_segments_total)
@@ -3155,9 +3267,19 @@ def versioned_delete(
             n_segments_total - len(closed_refs)
         )
     if change_feed:
-        cdc = hit.drop("__file", "__pos").withColumn(
-            "_change_type", F.lit("delete")
-        )
+        # deleted ROWS: the scan's hits plus the full content of
+        # dropped files (their live rows are the delete — read once
+        # here, the only IO a partition drop ever pays, and only when
+        # a feed was asked for)
+        parts = []
+        if hit is not None:
+            parts.append(hit.drop("__file", "__pos"))
+        if drop_entries:
+            parts.append(_read_entries(spark, path, drop_entries, schema))
+        cdc = parts[0]
+        for p in parts[1:]:
+            cdc = cdc.unionByName(p)
+        cdc = cdc.withColumn("_change_type", F.lit("delete"))
         cdc_rels = _stage_aux_files(cdc, path, kind="cdc")
         commit_meta["cdc_files"] = json.dumps(cdc_rels)
     commit_meta.update(meta or {})
@@ -3172,7 +3294,14 @@ def versioned_delete(
             reuse_refs=closed_refs,
         )
     except CommitConflict:
-        if not rebase_on_conflict or not isinstance(expected_version, int):
+        # entry drops cannot be replayed by the DV rebase (it only
+        # extends vectors over the latest's entries) — refuse so the
+        # OCC loop re-derives instead of resurrecting dropped files
+        if (
+            not rebase_on_conflict
+            or not isinstance(expected_version, int)
+            or drop_entries
+        ):
             raise
         kf = condition if isinstance(condition, DataFrame) else None
         return _attempt_dv_rebase(

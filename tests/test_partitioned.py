@@ -357,3 +357,92 @@ def test_maintenance_report_surfaces_partition_skew(spark, tmp_path):
     rep3 = maintenance_report(p3)
     assert rep3["partition_skew"] > 10
     assert "repartition" in rep3["recommendations"]
+
+
+def test_bounds_delete_drops_whole_partitions_metadata_only(spark, tmp_path):
+    """DELETE with a bounds dict on a partitioned table: the covered
+    partition's files drop from the manifest with ZERO data IO (no DV
+    files, no scan), disjoint partitions are carried by identical
+    entries, and content equals the predicate delete."""
+    import os as _os
+
+    from skopje_spark.sinks.versioned import _DATA_DIR, versioned_delete
+
+    path = str(tmp_path / "t")
+    df = _events(spark)  # 3 sources x 5 days
+    versioned_write(df, path, partition_by=["source"])
+    before = {e["path"]: e for e in _read_manifest(path, 0)["files"]}
+    pool_before = set(_os.listdir(_os.path.join(path, _DATA_DIR)))
+    v = versioned_delete(spark, path, {"source": "src1"})
+    assert v == 1
+    # metadata-only: zero DV files staged, zero files scanned
+    assert snapshot_meta(path, "n_dv_files", version=1) == "0"
+    assert snapshot_meta(path, "n_files_scanned", version=1) == "0"
+    assert snapshot_meta(path, "n_files_dropped", version=1) == "1"
+    assert int(snapshot_meta(path, "n_rows_deleted", version=1)) == 20
+    # not a single new pool file (manifest segments aside)
+    new_files = {
+        f for f in _os.listdir(_os.path.join(path, _DATA_DIR))
+        if f.endswith(".parquet")
+    } - {f for f in pool_before if f.endswith(".parquet")}
+    assert new_files == set()
+    after = {e["path"]: e for e in _read_manifest(path, 1)["files"]}
+    assert set(after) == {
+        p for p, e in before.items() if e["partition"]["source"] != "src1"
+    }
+    assert all(before[p] == after[p] for p in after)  # carried verbatim
+    got = {r["source"] for r in versioned_read(spark, path).collect()}
+    assert got == {"src0", "src2"}
+    # time travel still serves the dropped partition
+    assert versioned_read(spark, path, version=0).count() == 60
+
+
+def test_bounds_delete_mixes_drop_and_dv_on_boundary_files(spark, tmp_path):
+    """An interval bound over a clustered UNPARTITIONED table: fully
+    covered files drop outright, boundary files get DVs, result is
+    row-identical to the predicate delete; with change_feed=True the
+    dropped files' rows appear in the feed too."""
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(80)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"), path
+    )  # 8 files of 10 contiguous keys each
+    v = versioned_delete(spark, path, {"k": (15, 44)}, change_feed=True)
+    assert v == 1
+    dropped = int(snapshot_meta(path, "n_files_dropped", version=1))
+    scanned = int(snapshot_meta(path, "n_files_scanned", version=1))
+    assert dropped == 2  # files [20-29], [30-39] fully covered
+    assert scanned <= 2  # only the boundary files [10-19], [40-49]
+    assert int(snapshot_meta(path, "n_rows_deleted", version=1)) == 30
+    got = sorted(r["k"] for r in versioned_read(spark, path).collect())
+    assert got == [k for k in range(80) if not (15 <= k <= 44)]
+    feed = versioned_change_feed(spark, path, from_version=1, to_version=1)
+    assert sorted(r["k"] for r in feed.collect()) == list(range(15, 45))
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+
+
+def test_bounds_delete_null_rows_survive(spark, tmp_path):
+    """Range predicates are null-rejecting: a bounds delete never
+    removes NULL-keyed rows, including in a NULL partition, and a
+    None bound is refused loudly."""
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, grp string"
+    )
+    versioned_write(df, path, partition_by=["grp"])
+    versioned_delete(spark, path, {"grp": "a"})
+    got = sorted(
+        (r["id"], r["grp"]) for r in versioned_read(spark, path).collect()
+    )
+    assert got == [(2, None), (4, "b")]
+    with pytest.raises(ValueError, match="null-rejecting"):
+        versioned_delete(spark, path, {"grp": None})
