@@ -82,6 +82,7 @@ from skopje_spark.sinks.versioned import (
     versioned_merge_concurrent,
     versioned_read,
     versioned_read_where,
+    versioned_replace_where,
     versioned_replicate,
     versioned_restore,
     versioned_upsert,
@@ -160,6 +161,7 @@ __all__ = [
     "versioned_merge_concurrent",
     "versioned_read",
     "versioned_read_where",
+    "versioned_replace_where",
     "versioned_replicate",
     "versioned_restore",
     "versioned_upsert",

@@ -2298,3 +2298,66 @@ def q_versioned_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("metadata_only", F.lit(bool(metadata_only)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_versioned_replace_where",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+           TRUE AS partition_economics
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "partitioning", "replace-where", "lakeops"),
+)
+def q_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic partition backfill under the driver gate
+    (sinks/versioned.py:versioned_replace_where — Delta's
+    replaceWhere): orders partitioned by o_orderpriority rebuilds the
+    '1-URGENT' partition with doubled prices in ONE commit. The
+    covered partition's files must leave the manifest WITHOUT being
+    opened and no boundary file may need a rewrite
+    (``partition_economics`` folds n_files_dropped >= 1 ∧
+    n_files_rewritten == 0); content is pinned to the oracle
+    computing the rebuild directly. Price doubling is exact in
+    binary, so the hash is engine-exact.
+
+    Scale: the idempotent daily-backfill op — "rebuild day D" drops
+    one partition and appends its replacement, zero old bytes read,
+    snapshot-isolated for every concurrent reader."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        snapshot_meta,
+        versioned_read,
+        versioned_replace_where,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    )
+    path = tempfile.mkdtemp(prefix="skopje_repw_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o, path, partition_by=["o_orderpriority"])      # v0
+    rebuilt = o.filter("o_orderpriority = '1-URGENT'").withColumn(
+        "price", F.col("price") * 2
+    )
+    v = versioned_replace_where(
+        spark, path, {"o_orderpriority": "1-URGENT"}, rebuilt
+    )
+    economics = (
+        int(snapshot_meta(path, "n_files_dropped", version=v)) >= 1
+        and snapshot_meta(path, "n_files_rewritten", version=v) == "0"
+    )
+    return (
+        versioned_read(spark, path)
+        .withColumn("partition_economics", F.lit(bool(economics)))
+        .orderBy("o_orderkey")
+    )

@@ -2978,6 +2978,40 @@ def versioned_append(
         )
 
 
+def _normalize_bounds(bounds: dict, mapping: dict[str, str]) -> list[tuple]:
+    """(col, physical, lo, hi) per bound; point values become
+    degenerate intervals; None bounds refused (range predicates are
+    null-rejecting — an IS NULL delete needs an explicit predicate)."""
+    if not bounds:
+        raise ValueError("bounds dict is empty")
+    norm = []
+    for col, b in bounds.items():
+        lo, hi = b if isinstance(b, tuple) else (b, b)
+        if lo is None or hi is None:
+            raise ValueError(
+                f"bound for {col!r} is None — range predicates are "
+                "null-rejecting; use an explicit IS NULL predicate "
+                "string to target NULL rows"
+            )
+        norm.append((col, mapping.get(col, col), lo, hi))
+    return norm
+
+
+def _bounds_predicate(norm: list[tuple]):
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import functions as F
+
+    return reduce(
+        and_,
+        [
+            (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+            for c, _, lo, hi in norm
+        ],
+    )
+
+
 def _classify_for_delete(
     entries: list[dict], norm: list[tuple]
 ) -> tuple[list[dict], list[dict], list[dict]]:
@@ -3107,18 +3141,7 @@ def versioned_delete(
         # every file from stats alone — fully-covered files drop from
         # the manifest with zero IO, disjoint files are carried
         # unopened, only boundary files reach the scan below
-        if not condition:
-            raise ValueError("versioned_delete bounds dict is empty")
-        norm = []
-        for col, b in condition.items():
-            lo, hi = b if isinstance(b, tuple) else (b, b)
-            if lo is None or hi is None:
-                raise ValueError(
-                    f"bound for {col!r} is None — range predicates are "
-                    "null-rejecting; use an explicit IS NULL predicate "
-                    "string to delete NULL rows"
-                )
-            norm.append((col, mapping.get(col, col), lo, hi))
+        norm = _normalize_bounds(condition, mapping)
         c0, p0, lo0, hi0 = norm[0]
         split = _split_refs_for_merge(
             path, base_v, p0,
@@ -3131,16 +3154,7 @@ def versioned_delete(
         scan_entries, carried_open, drop_entries = _classify_for_delete(
             open_entries, norm
         )
-        from functools import reduce
-        from operator import and_
-
-        condition = reduce(
-            and_,
-            [
-                (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
-                for c, _, lo, hi in norm
-            ],
-        )
+        condition = _bounds_predicate(norm)
     elif isinstance(condition, DataFrame):
         kcol0 = condition.columns[0]
         bounds = _key_bounds(condition, kcol0)
@@ -3319,6 +3333,137 @@ def versioned_delete(
                 else None
             ),
             lock_timeout_s=lock_timeout_s,
+    )
+
+
+def versioned_replace_where(
+    spark: SparkSession,
+    path: str,
+    bounds: dict,
+    batch: DataFrame,
+    *,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
+    change_feed: bool = False,
+) -> int:
+    """Delta's ``replaceWhere`` — atomically replace EXACTLY the rows
+    matching ``bounds`` (column → value or ``(lo, hi)``, ANDed) with
+    ``batch``, in ONE commit: the idempotent partition backfill. A
+    daily pipeline re-running "rebuild day D" gets the same table
+    state however many times it runs, and a reader never sees the
+    partition half-rebuilt (pointer-swap isolation).
+
+    Economics ride the same stats classification as the bounds
+    DELETE (:func:`_classify_for_delete`): fully-covered files leave
+    the manifest without being opened, provably-disjoint files carry
+    by reference, and only boundary files are rewritten (their
+    non-matching rows survive into the rewrite alongside the batch).
+    On a day-partitioned table this is drop-one-partition +
+    append-the-new-day — zero old bytes read unless a file straddles
+    the bounds or a feed is recorded.
+
+    Safety rail (Delta's): every batch row must itself satisfy
+    ``bounds`` — writing outside the region being replaced is almost
+    always a bug and is refused loudly before anything stages.
+    ``change_feed=True`` records dropped/boundary-matching rows as
+    deletes and the batch as inserts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base_v = (
+        latest_version(path)
+        if expected_version is _UNGUARDED
+        else expected_version
+    )
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    with open(os.path.join(path, f"v={base_v}", _MANIFEST_NAME)) as f:
+        schema_json_base = json.load(f)["schema"]
+    schema = StructType.fromJson(schema_json_base)
+    table_cols = [f.name for f in schema.fields]
+    if set(batch.columns) != set(table_cols):
+        raise ValueError(
+            f"replace batch schema {sorted(batch.columns)} differs from "
+            f"table schema {sorted(table_cols)} at {path}"
+        )
+    mapping = _schema_mapping(schema)
+    norm = _normalize_bounds(bounds, mapping)
+    pred = _bounds_predicate(norm)
+    table_type = {f.name: f.dataType for f in schema.fields}
+    aligned = batch.select(
+        *[F.col(c).cast(table_type[c]).alias(c) for c in table_cols]
+    )
+    stray = aligned.filter(
+        ~F.coalesce(pred.cast("boolean"), F.lit(False))
+    ).limit(1).collect()
+    if stray:
+        raise ValueError(
+            f"replace batch contains row(s) outside the replaced region "
+            f"{bounds} (e.g. {tuple(stray[0])}) — refusing to write "
+            "outside the bounds being replaced"
+        )
+    c0, p0, lo0, hi0 = norm[0]
+    split = _split_refs_for_merge(
+        path, base_v, p0, (_stat_encode(lo0), _stat_encode(hi0), False, 1)
+    )
+    if split is None:
+        closed_refs: list[dict] = []
+        open_entries = _read_manifest(path, base_v)["files"]
+        n_segments_total = None
+    else:
+        closed_refs, open_entries, n_segments_total = split
+    scan_entries, carried_open, drop_entries = _classify_for_delete(
+        open_entries, norm
+    )
+    matching = F.coalesce(pred.cast("boolean"), F.lit(False))
+    if scan_entries:
+        # boundary files: DV-applied read, non-matching rows survive
+        # into the rewrite next to the batch
+        boundary = _read_entries(spark, path, scan_entries, schema)
+        merged = boundary.filter(~matching).unionByName(aligned)
+    else:
+        merged = aligned
+    new_entries = _stage_data_files(
+        merged, path, mapping,
+        partition_by=table_partitioning(path, version=base_v),
+    )
+    commit_meta = {
+        "op": "replace_where",
+        "n_files_rewritten": str(len(scan_entries)),
+        "n_files_dropped": str(len(drop_entries)),
+        "n_files_carried": str(
+            len(carried_open) + sum(int(r["n"]) for r in closed_refs)
+        ),
+    }
+    if n_segments_total is not None:
+        commit_meta["n_segments_total"] = str(n_segments_total)
+        commit_meta["n_segments_opened"] = str(
+            n_segments_total - len(closed_refs)
+        )
+    if change_feed:
+        del_parts = []
+        if scan_entries:
+            del_parts.append(boundary.filter(matching))
+        if drop_entries:
+            del_parts.append(_read_entries(spark, path, drop_entries, schema))
+        cdc = aligned.withColumn("_change_type", F.lit("insert"))
+        for p in del_parts:
+            cdc = cdc.unionByName(
+                p.withColumn("_change_type", F.lit("delete"))
+            )
+        commit_meta["cdc_files"] = json.dumps(
+            _stage_aux_files(cdc, path, kind="cdc")
+        )
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path,
+        schema_json_base,
+        carried_open + new_entries,
+        commit_meta,
+        expected_version,
+        lock_timeout_s,
+        reuse_refs=closed_refs,
     )
 
 

@@ -446,3 +446,81 @@ def test_bounds_delete_null_rows_survive(spark, tmp_path):
     assert got == [(2, None), (4, "b")]
     with pytest.raises(ValueError, match="null-rejecting"):
         versioned_delete(spark, path, {"grp": None})
+
+
+def test_replace_where_is_idempotent_partition_backfill(spark, tmp_path):
+    """versioned_replace_where: one commit drops the covered
+    partition and lands the new batch; re-running gives the same
+    state (idempotent backfill); out-of-bounds batch rows are refused
+    before anything stages; the feed records deletes + inserts."""
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_replace_where,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark, 30), path, partition_by=["source"])
+    newday = spark.createDataFrame(
+        [(900, "src1", dt.date(2024, 3, 1), "rebuilt-a"),
+         (901, "src1", dt.date(2024, 3, 1), "rebuilt-b")],
+        "id long, source string, day date, payload string",
+    )
+    v1 = versioned_replace_where(
+        spark, path, {"source": "src1"}, newday, change_feed=True
+    )
+    assert snapshot_meta(path, "op", version=v1) == "replace_where"
+    assert int(snapshot_meta(path, "n_files_dropped", version=v1)) == 1
+    assert snapshot_meta(path, "n_files_rewritten", version=v1) == "0"
+    rows = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert {900, 901} <= rows and not any(
+        r["source"] == "src1" and r["id"] < 900
+        for r in versioned_read(spark, path).collect()
+    )
+    n1 = versioned_read(spark, path).count()
+    # idempotent: the re-run replaces its own output
+    versioned_replace_where(spark, path, {"source": "src1"}, newday)
+    assert versioned_read(spark, path).count() == n1
+    got = sorted(map(tuple, versioned_read(spark, path).collect()))
+    # layout invariant held through the replace
+    for e in _read_manifest(path, latest_version(path))["files"]:
+        assert "partition" in e
+    # feed: 10 old src1 rows deleted, 2 inserted
+    feed = versioned_change_feed(spark, path, from_version=v1, to_version=v1)
+    kinds = {}
+    for r in feed.collect():
+        kinds[r["_change_type"]] = kinds.get(r["_change_type"], 0) + 1
+    assert kinds == {"delete": 10, "insert": 2}
+
+    with pytest.raises(ValueError, match="outside the replaced region"):
+        versioned_replace_where(
+            spark, path, {"source": "src1"},
+            spark.createDataFrame(
+                [(999, "src2", dt.date(2024, 3, 1), "stray")],
+                "id long, source string, day date, payload string",
+            ),
+        )
+
+
+def test_replace_where_rewrites_boundary_files_exactly(spark, tmp_path):
+    """Interval replace on a clustered unpartitioned table: covered
+    files drop, boundary files rewrite keeping their non-matching
+    rows, content equals delete-then-insert."""
+    from skopje_spark.sinks.versioned import versioned_replace_where
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(80)], "k long, v string"
+    )
+    versioned_write(
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"), path
+    )
+    batch = spark.createDataFrame(
+        [(k, f"NEW{k}") for k in range(20, 40)], "k long, v string"
+    )
+    v = versioned_replace_where(spark, path, {"k": (15, 44)}, batch)
+    assert int(snapshot_meta(path, "n_files_dropped", version=v)) == 2
+    assert int(snapshot_meta(path, "n_files_rewritten", version=v)) == 2
+    got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    exp = {k: f"r{k}" for k in range(80) if not (15 <= k <= 44)}
+    exp.update({k: f"NEW{k}" for k in range(20, 40)})
+    assert got == exp
