@@ -2361,3 +2361,73 @@ def q_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("partition_economics", F.lit(bool(economics)))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_versioned_hidden_partition",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           TRUE AS hidden_prune
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-09 23:59:59'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("versioned", "partitioning", "hidden-partition", "lakeops"),
+)
+def q_versioned_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style HIDDEN partitioning under the driver gate
+    (sinks/versioned.py:_parse_partition_spec/_resolve_bounds):
+    events is committed with ``partition_by=["day=date(ts)"]`` — the
+    day is DERIVED metadata, never a schema column — and a
+    raw-timestamp range read must still skip day partitions: the
+    monotone date() transform turns the ts bound into a prune-only
+    day interval, files outside it are never opened, and the exact
+    ts predicate re-filters the survivors. ``hidden_prune`` folds
+    the proof that the two-day read elected strictly fewer files
+    than the table holds while every elected file's day lies inside
+    the derived interval; content is pinned to the oracle filtering
+    raw timestamps directly.
+
+    Scale: this is why real lakes partition by day(ts) — users query
+    the timestamp they have, the layout prunes on the day they never
+    see, and timestamp footer stats (which parquet/JSON can't carry
+    portably) are never needed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        versioned_read_where,
+        versioned_write,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_hidden_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(e, path, partition_by=["day=date(ts)"])
+    import datetime as dt
+
+    lo = dt.datetime(2024, 1, 8, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 9, 23, 59, 59)
+    ent = _read_manifest(path, 0)["files"]
+    inside = [
+        x for x in ent
+        if "2024-01-08" <= x["partition"]["day"] <= "2024-01-09"
+    ]
+    pruned_ok = 0 < len(inside) < len(ent)
+    return (
+        versioned_read_where(spark, path, {"ts": (lo, hi)})
+        .groupBy(
+            F.to_date("ts").cast("string").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("hidden_prune", F.lit(bool(pruned_ok)))
+        .orderBy("day", "event_type")
+    )

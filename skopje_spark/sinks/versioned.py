@@ -393,6 +393,32 @@ def _ensure_unique_physicals(schema, reserved=()):
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# hidden-partition transform spec: "target=date(source)" partitions by
+# a value DERIVED from a timestamp/date column without materializing
+# it in the schema (Iceberg's hidden partitioning, the date transform)
+_PART_TRANSFORM = re.compile(r"^(\w+)=date\((\w+)\)$")
+
+
+def _parse_partition_spec(spec: list[str]) -> list[tuple[str, str, str]]:
+    """partition_by entries → (target, source_column, transform).
+    ``"col"`` is the identity transform; ``"day=date(ts)"`` derives a
+    virtual day from a timestamp/date column — the virtual target
+    never appears in the table schema, only in per-entry partition
+    values and injected stats."""
+    out = []
+    for entry in spec:
+        m = _PART_TRANSFORM.match(entry)
+        if m:
+            out.append((m.group(1), m.group(2), "date"))
+        elif re.match(r"^\w+$", entry):
+            out.append((entry, entry, "identity"))
+        else:
+            raise ValueError(
+                f"unsupported partition spec entry {entry!r} — use a "
+                "column name or 'target=date(source)'"
+            )
+    return out
+
 
 def _check_partition_type(name: str, dtype) -> None:
     """Partition columns are restricted to types whose values identify
@@ -495,26 +521,52 @@ def _stage_data_files(
     import urllib.parse
 
     from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-    phys_parts = [
-        (mapping or {}).get(c, c) for c in partition_by
-    ]
+    parsed = _parse_partition_spec(partition_by)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
-    for logical, phys in zip(partition_by, phys_parts):
+    shadow_exprs = []
+    stat_keys: list[str] = []   # name the injected stats live under
+    dec_types = []              # type used to decode the dir value
+    for target, source, transform in parsed:
+        phys = (mapping or {}).get(source, source)
         if phys not in dtypes:
             raise KeyError(
-                f"partition column {logical!r} not in frame columns "
-                f"{sorted(df.columns)}"
+                f"partition source column {source!r} not in frame "
+                f"columns {sorted(df.columns)}"
             )
-        _check_partition_type(logical, dtypes[phys])
-    shadows = [f"__part_{i}" for i in range(len(phys_parts))]
+        if transform == "identity":
+            _check_partition_type(target, dtypes[phys])
+            shadow_exprs.append(F.col(phys))
+            stat_keys.append(phys)
+            dec_types.append(dtypes[phys])
+        else:  # date transform: hidden partitioning
+            if not isinstance(
+                dtypes[phys], (DateType, TimestampType, TimestampNTZType)
+            ):
+                raise TypeError(
+                    f"date() partition transform needs a date/timestamp "
+                    f"source; {source!r} is "
+                    f"{dtypes[phys].simpleString()}"
+                )
+            if target in dtypes or target in (
+                (mapping or {}).get(c, c) for c in dtypes
+            ):
+                raise ValueError(
+                    f"hidden partition target {target!r} collides with "
+                    "an existing column; pick a fresh name"
+                )
+            shadow_exprs.append(F.to_date(F.col(phys)))
+            stat_keys.append(target)  # virtual: stats under the target
+            dec_types.append(DateType())
+    shadows = [f"__part_{i}" for i in range(len(parsed))]
     # shadow copies carry the layout; the REAL columns stay in the
     # data files, so reads, DVs, constraints, CDF all see them as on
     # any other table. One shuffle co-locates each partition tuple;
     # the one-value-per-FILE invariant itself comes from partitionBy's
     # directory split, so the task layout only sets file counts.
     df2 = df.select(
-        "*", *[F.col(p).alias(s) for p, s in zip(phys_parts, shadows)]
+        "*", *[e.alias(s) for e, s in zip(shadow_exprs, shadows)]
     )
     shuffle_keys = [F.col(s) for s in shadows]
     if files_per_partition > 1:
@@ -555,17 +607,17 @@ def _stage_data_files(
         entry = _file_entry(os.path.join(path, rel), rel)
         part: dict[str, object] = {}
         stats = entry.setdefault("stats", {})
-        for j, (logical, phys) in enumerate(zip(partition_by, phys_parts)):
-            val = _decode_partition_value(
-                dtypes[phys], raw_vals[f"__part_{j}"]
-            )
-            part[logical] = val
+        for j, ((target, _, _), sk, dt_) in enumerate(
+            zip(parsed, stat_keys, dec_types)
+        ):
+            val = _decode_partition_value(dt_, raw_vals[f"__part_{j}"])
+            part[target] = val
             if val is None:
                 # an all-NULL partition file: min/max prove nothing,
                 # null count is exact
-                stats.pop(phys, None)
+                stats.pop(sk, None)
             else:
-                stats[phys] = {"min": val, "max": val, "nulls": 0}
+                stats[sk] = {"min": val, "max": val, "nulls": 0}
         entry["partition"] = part
         entries.append(entry)
     shutil.rmtree(staged, ignore_errors=True)
@@ -1154,10 +1206,11 @@ def versioned_partitions(
     spec = table_partitioning(path, version=v)
     if not spec:
         raise ValueError(f"table at {path} (v{v}) is not partitioned")
+    targets = [t for t, _, _ in _parse_partition_spec(spec)]
     agg: dict[tuple, dict] = {}
     for e in _read_manifest(path, v)["files"]:
         part = e.get("partition") or {}
-        key = tuple(part.get(c) for c in spec)
+        key = tuple(part.get(c) for c in targets)
         slot = agg.setdefault(
             key, {"n_files": 0, "n_bytes": 0, "n_rows": 0}
         )
@@ -1165,7 +1218,7 @@ def versioned_partitions(
         slot["n_bytes"] += int(e.get("bytes", 0))
         slot["n_rows"] += int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
     return [
-        {**dict(zip(spec, key)), **vals}
+        {**dict(zip(targets, key)), **vals}
         for key, vals in sorted(
             agg.items(), key=lambda kv: tuple(map(repr, kv[0]))
         )
@@ -1318,11 +1371,18 @@ def versioned_rename_column(
                 f"CHECK constraint(s) {referencing} reference column "
                 f"{old!r}; drop them before renaming"
             )
-        if old in table_partitioning(path, version=committed):
+        part_cols = {
+            n
+            for t, s, _ in _parse_partition_spec(
+                table_partitioning(path, version=committed)
+            )
+            for n in (t, s)
+        }
+        if old in part_cols:
             raise ValueError(
-                f"column {old!r} is a partition column at {path}; "
-                "rewrite the table with a new partition_by spec before "
-                "renaming it"
+                f"column {old!r} is a partition column (or hidden-"
+                f"partition source) at {path}; rewrite the table with "
+                "a new partition_by spec before renaming it"
             )
         fields = []
         for f in raw["schema"]["fields"]:
@@ -1391,10 +1451,18 @@ def versioned_drop_column(
                 f"CHECK constraint(s) {referencing} reference column "
                 f"{name!r}; drop them first"
             )
-        if name in table_partitioning(path, version=committed):
+        part_cols = {
+            n
+            for t, s, _ in _parse_partition_spec(
+                table_partitioning(path, version=committed)
+            )
+            for n in (t, s)
+        }
+        if name in part_cols:
             raise ValueError(
-                f"column {name!r} is a partition column at {path}; "
-                "rewrite the table with a new partition_by spec first"
+                f"column {name!r} is a partition column (or hidden-"
+                f"partition source) at {path}; rewrite the table with "
+                "a new partition_by spec first"
             )
         dropped = next(f for f in fields if f["name"] == name)
         phys = (dropped.get("metadata") or {}).get("physical", name)
@@ -1920,43 +1988,35 @@ def versioned_read_where(
     This is the canonical partitioned-lake read shape: ``{"day": d,
     "source": "web"}`` on a day×source-partitioned 100 TB table opens
     exactly one partition's files, decided from kilobytes of driver
-    manifest."""
-    from functools import reduce
-    from operator import and_
-
-    from pyspark.sql import functions as F
+    manifest. Hidden ``date()`` partitions participate transparently:
+    a raw-timestamp bound derives a prune-only day interval, and a
+    bound on the virtual day target itself filters boundary files
+    through ``to_date(source)`` (see :func:`_resolve_bounds`)."""
     from pyspark.sql.types import StructType
 
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
-    if not bounds:
-        raise ValueError("versioned_read_where needs at least one bound")
     v = committed if version is None else version
     with open(os.path.join(path, f"v={v}", _MANIFEST_NAME)) as f:
         schema_json = json.load(f)["schema"]
     schema = StructType.fromJson(schema_json)
-    mapping = _schema_mapping(schema)
-    norm: list[tuple[str, str, object, object]] = []  # (col, phys, lo, hi)
-    for col, b in bounds.items():
-        lo, hi = b if isinstance(b, tuple) else (b, b)
-        norm.append((col, mapping.get(col, col), lo, hi))
-    # segment tier: prune on the first column's ref aggregates (one
-    # pass over refs), then per-entry tier on every column
-    c0, p0, lo0, hi0 = norm[0]
-    entries, _, _, _ = _pruned_manifest_entries(
-        path, v, p0, _stat_encode(lo0), _stat_encode(hi0)
+    resolved = _resolve_bounds(
+        bounds, schema, _schema_mapping(schema),
+        table_partitioning(path, version=v),
     )
-    for _, phys, lo, hi in norm:
+    # segment tier: prune on the first bound's ref aggregates (one
+    # pass over refs), then per-entry tier on every bound
+    u0 = resolved[0]
+    entries, _, _, _ = _pruned_manifest_entries(
+        path, v, u0["key"], _stat_encode(u0["lo"]), _stat_encode(u0["hi"])
+    )
+    for u in resolved:
         entries, _ = _interval_split(
-            entries, phys, _stat_encode(lo), _stat_encode(hi)
+            entries, u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"])
         )
-    preds = [
-        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-        for col, _, lo, hi in norm
-    ]
     return _read_entries(spark, path, entries, schema).filter(
-        reduce(and_, preds)
+        _bounds_predicate(resolved)
     )
 
 
@@ -2978,13 +3038,60 @@ def versioned_append(
         )
 
 
-def _normalize_bounds(bounds: dict, mapping: dict[str, str]) -> list[tuple]:
-    """(col, physical, lo, hi) per bound; point values become
-    degenerate intervals; None bounds refused (range predicates are
-    null-rejecting — an IS NULL delete needs an explicit predicate)."""
+def _as_date(v):
+    """Coerce a bound value toward the date domain for a hidden
+    day-partition: datetime → its date, ISO string → date, date
+    passes; anything else returns None (no derivation possible)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.date()
+    if isinstance(v, _dt.date):
+        return v
+    if isinstance(v, str):
+        try:
+            return _dt.date.fromisoformat(v)
+        except ValueError:
+            return None
+    return None
+
+
+def _resolve_bounds(
+    bounds: dict, schema, mapping: dict[str, str], spec: list[str]
+) -> list[dict]:
+    """Resolve a user bounds dict against the schema AND the partition
+    spec into pruning/predicate units:
+
+    ``{"key": stats-name, "expr": Column|None, "lo", "hi",
+    "coverage": bool}``
+
+    - a REAL column bounds itself (stats under its physical name,
+      residual predicate on the column). If it is also the SOURCE of
+      a ``date()`` hidden partition, a PRUNE-ONLY derived bound on
+      the virtual target is added for free — date() is monotone, so
+      ``ts ∈ [lo, hi] ⇒ day ∈ [date(lo), date(hi)]`` — which is what
+      lets a raw-timestamp bound skip day partitions even though
+      timestamp footer stats are never recorded (Iceberg's hidden
+      partitioning). Derived bounds prove disjointness, never
+      coverage (a covered day can hold timestamps outside the
+      bound).
+    - the TARGET of a ``date()`` transform may be bounded directly
+      (``{"day": d}``): stats are the exact per-file day values, and
+      the residual predicate evaluates ``to_date(source)`` — real
+      columns only, so boundary/legacy files still filter exactly.
+
+    Point values become degenerate intervals; None bounds refused
+    (range predicates are null-rejecting)."""
+    from pyspark.sql import functions as F
+
     if not bounds:
         raise ValueError("bounds dict is empty")
-    norm = []
+    names = {f.name for f in schema.fields}
+    transforms = {
+        t: s for t, s, tr in _parse_partition_spec(spec) if tr == "date"
+    }
+    sources = {s: t for t, s in transforms.items()}
+    out: list[dict] = []
     for col, b in bounds.items():
         lo, hi = b if isinstance(b, tuple) else (b, b)
         if lo is None or hi is None:
@@ -2993,37 +3100,70 @@ def _normalize_bounds(bounds: dict, mapping: dict[str, str]) -> list[tuple]:
                 "null-rejecting; use an explicit IS NULL predicate "
                 "string to target NULL rows"
             )
-        norm.append((col, mapping.get(col, col), lo, hi))
-    return norm
+        if col in names:
+            out.append({
+                "key": mapping.get(col, col),
+                "expr": F.col(col),
+                "lo": lo, "hi": hi, "coverage": True,
+            })
+            target = sources.get(col)
+            if target is not None:
+                dlo, dhi = _as_date(lo), _as_date(hi)
+                if dlo is not None and dhi is not None:
+                    out.append({
+                        "key": target, "expr": None,
+                        "lo": dlo, "hi": dhi, "coverage": False,
+                    })
+        elif col in transforms:
+            dlo, dhi = _as_date(lo), _as_date(hi)
+            if dlo is None or dhi is None:
+                raise ValueError(
+                    f"bound for hidden partition {col!r} must be a "
+                    f"date/ISO string, got {lo!r}"
+                )
+            out.append({
+                "key": col,
+                "expr": F.to_date(F.col(transforms[col])),
+                "lo": dlo, "hi": dhi, "coverage": True,
+            })
+        else:
+            raise KeyError(
+                f"bound column {col!r} is neither a table column "
+                f"({sorted(names)}) nor a hidden partition target "
+                f"({sorted(transforms)})"
+            )
+    return out
 
 
-def _bounds_predicate(norm: list[tuple]):
+def _bounds_predicate(resolved: list[dict]):
     from functools import reduce
     from operator import and_
 
     from pyspark.sql import functions as F
 
-    return reduce(
-        and_,
-        [
-            (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
-            for c, _, lo, hi in norm
-        ],
-    )
+    preds = [
+        (u["expr"] >= F.lit(u["lo"])) & (u["expr"] <= F.lit(u["hi"]))
+        for u in resolved
+        if u["expr"] is not None
+    ]
+    if not preds:
+        return F.lit(True)
+    return reduce(and_, preds)
 
 
 def _classify_for_delete(
-    entries: list[dict], norm: list[tuple]
+    entries: list[dict], resolved: list[dict]
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Split entries for a bounds-dict DELETE into (scan, carried,
     dropped). DROPPED files' stats PROVE every live row satisfies all
-    bounds: ``min >= lo and max <= hi`` with an exact ZERO null count
-    for every bound column (NULL never satisfies a range predicate,
-    so a null-bearing or null-count-unknown file can only be
-    scanned). CARRIED files provably hold no matching row. Exact on
-    partition columns (injected ``min == max`` stats, nulls 0);
-    conservative footer intervals elsewhere — stats imprecision can
-    only demote a file to the scan, never misclassify it."""
+    coverage-capable bounds: ``min >= lo and max <= hi`` with an
+    exact ZERO null count (NULL never satisfies a range predicate, so
+    a null-bearing or null-count-unknown file can only be scanned).
+    CARRIED files provably hold no matching row (ANY bound — derived
+    prune-only bounds included — proving disjointness suffices).
+    Exact on partition columns (injected ``min == max`` stats, nulls
+    0); conservative footer intervals elsewhere — stats imprecision
+    can only demote a file to the scan, never misclassify it."""
     scan: list[dict] = []
     carried: list[dict] = []
     dropped: list[dict] = []
@@ -3033,9 +3173,9 @@ def _classify_for_delete(
             continue
         covered_all = True
         disjoint = False
-        for _, phys, lo, hi in norm:
-            lo_e, hi_e = _stat_encode(lo), _stat_encode(hi)
-            st = (e.get("stats") or {}).get(phys)
+        for u in resolved:
+            lo_e, hi_e = _stat_encode(u["lo"]), _stat_encode(u["hi"])
+            st = (e.get("stats") or {}).get(u["key"])
             mn = None if st is None else st.get("min")
             mx = None if st is None else st.get("max")
             if (
@@ -3044,16 +3184,20 @@ def _classify_for_delete(
                 or _stat_nan(mn)
                 or _stat_nan(mx)
             ):
-                covered_all = False
+                if u["coverage"]:
+                    covered_all = False
                 continue
             try:
                 if mx < lo_e or mn > hi_e:
                     disjoint = True
                     break
+                if not u["coverage"]:
+                    continue  # prune-only: disjointness proof only
                 if not (mn >= lo_e and mx <= hi_e and st.get("nulls") == 0):
                     covered_all = False
             except TypeError:  # cross-type compare proves nothing
-                covered_all = False
+                if u["coverage"]:
+                    covered_all = False
         if disjoint:
             carried.append(e)
         elif covered_all:
@@ -3141,20 +3285,23 @@ def versioned_delete(
         # every file from stats alone — fully-covered files drop from
         # the manifest with zero IO, disjoint files are carried
         # unopened, only boundary files reach the scan below
-        norm = _normalize_bounds(condition, mapping)
-        c0, p0, lo0, hi0 = norm[0]
+        resolved = _resolve_bounds(
+            condition, schema, mapping,
+            table_partitioning(path, version=base_v),
+        )
+        u0 = resolved[0]
         split = _split_refs_for_merge(
-            path, base_v, p0,
-            (_stat_encode(lo0), _stat_encode(hi0), False, 1),
+            path, base_v, u0["key"],
+            (_stat_encode(u0["lo"]), _stat_encode(u0["hi"]), False, 1),
         )
         if split is None:
             open_entries = _read_manifest(path, base_v)["files"]
         else:
             closed_refs, open_entries, n_segments_total = split
         scan_entries, carried_open, drop_entries = _classify_for_delete(
-            open_entries, norm
+            open_entries, resolved
         )
-        condition = _bounds_predicate(norm)
+        condition = _bounds_predicate(resolved)
     elif isinstance(condition, DataFrame):
         kcol0 = condition.columns[0]
         bounds = _key_bounds(condition, kcol0)
@@ -3388,8 +3535,10 @@ def versioned_replace_where(
             f"table schema {sorted(table_cols)} at {path}"
         )
     mapping = _schema_mapping(schema)
-    norm = _normalize_bounds(bounds, mapping)
-    pred = _bounds_predicate(norm)
+    resolved = _resolve_bounds(
+        bounds, schema, mapping, table_partitioning(path, version=base_v)
+    )
+    pred = _bounds_predicate(resolved)
     table_type = {f.name: f.dataType for f in schema.fields}
     aligned = batch.select(
         *[F.col(c).cast(table_type[c]).alias(c) for c in table_cols]
@@ -3403,9 +3552,10 @@ def versioned_replace_where(
             f"{bounds} (e.g. {tuple(stray[0])}) — refusing to write "
             "outside the bounds being replaced"
         )
-    c0, p0, lo0, hi0 = norm[0]
+    u0 = resolved[0]
     split = _split_refs_for_merge(
-        path, base_v, p0, (_stat_encode(lo0), _stat_encode(hi0), False, 1)
+        path, base_v, u0["key"],
+        (_stat_encode(u0["lo"]), _stat_encode(u0["hi"]), False, 1),
     )
     if split is None:
         closed_refs: list[dict] = []
@@ -3414,7 +3564,7 @@ def versioned_replace_where(
     else:
         closed_refs, open_entries, n_segments_total = split
     scan_entries, carried_open, drop_entries = _classify_for_delete(
-        open_entries, norm
+        open_entries, resolved
     )
     matching = F.coalesce(pred.cast("boolean"), F.lit(False))
     if scan_entries:
@@ -4701,9 +4851,10 @@ def maintenance_report(
     n_partitions = None
     partition_skew = None
     if spec:
+        targets = [t for t, _, _ in _parse_partition_spec(spec)]
         by_part: dict[tuple, int] = {}
         for e in entries:
-            key = tuple((e.get("partition") or {}).get(c) for c in spec)
+            key = tuple((e.get("partition") or {}).get(c) for c in targets)
             by_part[key] = (
                 by_part.get(key, 0)
                 + int(e.get("rows", 0))

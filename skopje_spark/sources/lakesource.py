@@ -135,10 +135,15 @@ def _bounds_from_filters(
         col = attr[0] if attr is not None and len(attr) == 1 else None
         if col is None or col not in columns:
             continue
+        import datetime as _dt
+
         from skopje_spark.sinks.versioned import _stat_encode
 
         v = _stat_encode(getattr(f, "value", None))  # dates → ISO strings
-        if not isinstance(v, (bool, int, float, str)):
+        # datetimes pass through RAW: no file carries timestamp stats
+        # (cross-type compares prove nothing and stay conservative),
+        # but a hidden date() partition derives a day bound from them
+        if not isinstance(v, (bool, int, float, str, _dt.datetime)):
             continue
         if isinstance(v, float) and v != v:  # NaN fails every ordered cmp
             continue
@@ -280,6 +285,21 @@ class VersionedTableReader(DataSourceReader):
         self.logical = _logical_schema(self.man)
         self.map = _mapping(self.man)
         self._bounds: dict[str, tuple] = {}
+        # hidden date() partitions: source column → virtual target,
+        # so a pushed raw-timestamp filter can skip day partitions
+        from skopje_spark.sinks.versioned import (
+            _parse_partition_spec,
+            snapshot_meta,
+        )
+
+        raw_spec = snapshot_meta(self.table, "partition_by", version=v)
+        self._derived = {
+            s: t
+            for t, s, tr in _parse_partition_spec(
+                json.loads(raw_spec) if raw_spec else []
+            )
+            if tr == "date"
+        }
         # reader metrics (inspectable by tests/operators): how many
         # manifest segments the plan opened vs carried unopened
         self.segments_total = len(self.man.get("segments", [])) or 1
@@ -301,10 +321,37 @@ class VersionedTableReader(DataSourceReader):
     def _resolve_entries(self) -> list[dict]:
         """Materialize the (segment-pruned, then file-pruned) entry
         list for this scan; records the segment-open metrics."""
+        import datetime as _dt
+
         phys_bounds = [
             (self.map.get(col, col), lo, hi)
             for col, (lo, hi) in self._bounds.items()
         ]
+
+        def _day(v):
+            if v is None:
+                return None, True  # open side stays open
+            if isinstance(v, _dt.datetime):
+                return v.date().isoformat(), True
+            if isinstance(v, str):
+                try:
+                    _dt.date.fromisoformat(v)
+                    return v, True
+                except ValueError:
+                    return None, False
+            return None, False
+
+        for col, (lo, hi) in self._bounds.items():
+            target = self._derived.get(col)
+            if target is None:
+                continue
+            dlo, ok_lo = _day(lo)
+            dhi, ok_hi = _day(hi)
+            if ok_lo and ok_hi and not (dlo is None and dhi is None):
+                # date() is monotone: ts ∈ [lo, hi] ⇒ day ∈ derived
+                # interval — prune-only, Spark re-applies the exact
+                # timestamp filter on the survivors
+                phys_bounds.append((target, dlo, dhi))
         if "files" in self.man:  # legacy flat manifest
             entries = list(self.man["files"])
             self.segments_opened = 1

@@ -524,3 +524,133 @@ def test_replace_where_rewrites_boundary_files_exactly(spark, tmp_path):
     exp = {k: f"r{k}" for k in range(80) if not (15 <= k <= 44)}
     exp.update({k: f"NEW{k}" for k in range(20, 40)})
     assert got == exp
+
+
+def _ts_events(spark, n=60):
+    """n rows over 5 days of timestamps × 2 sources."""
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 5, 1 + (i % 5), 6 + (i % 12), i % 60),
+            f"s{i % 2}",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, ts timestamp, src string")
+
+
+def test_hidden_partitioning_day_of_timestamp(spark, tmp_path):
+    """Iceberg-style hidden partitioning: partition_by 'day=date(ts)'
+    lays files out by the DERIVED day without adding a column to the
+    schema; raw-timestamp bounds prune day partitions (monotone
+    transform); bounding the virtual target filters exactly through
+    to_date(ts); SHOW PARTITIONS lists the virtual days."""
+    from skopje_spark.sinks.versioned import versioned_read_where
+
+    path = str(tmp_path / "t")
+    df = _ts_events(spark)
+    versioned_write(df, path, partition_by=["day=date(ts)"])
+    # schema untouched — the day column is metadata, not data
+    assert versioned_read(spark, path).columns == ["id", "ts", "src"]
+    parts = versioned_partitions(path)
+    assert [p["day"] for p in parts] == [
+        f"2024-05-0{d}" for d in range(1, 6)
+    ]
+    assert all(p["n_rows"] == 12 for p in parts)
+    ent = _read_manifest(path, 0)["files"]
+    assert len(ent) == 5
+    for e in ent:
+        d = e["partition"]["day"]
+        assert e["stats"]["day"] == {"min": d, "max": d, "nulls": 0}
+        assert "day" not in versioned_read(spark, path).columns
+    # raw timestamp bound: derived day interval prunes to 2 files
+    lo = dt.datetime(2024, 5, 2, 0, 0)
+    hi = dt.datetime(2024, 5, 3, 23, 59)
+    got = versioned_read_where(spark, path, {"ts": (lo, hi)})
+    exp = sorted(i for i in range(60) if i % 5 in (1, 2))
+    assert sorted(r["id"] for r in got.collect()) == exp
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _resolve_bounds,
+        _schema_mapping,
+        _stat_encode,
+        table_partitioning,
+    )
+
+    schema = versioned_read(spark, path).schema
+    resolved = _resolve_bounds(
+        {"ts": (lo, hi)}, schema, _schema_mapping(schema),
+        table_partitioning(path),
+    )
+    derived = [u for u in resolved if u["key"] == "day"]
+    assert len(derived) == 1 and not derived[0]["coverage"]
+    cand, _ = _interval_split(
+        ent, "day", _stat_encode(derived[0]["lo"]),
+        _stat_encode(derived[0]["hi"]),
+    )
+    assert len(cand) == 2  # exactly the two covered days
+    # virtual-target bound: exact via to_date(ts) residual
+    got2 = versioned_read_where(spark, path, {"day": dt.date(2024, 5, 4)})
+    assert sorted(r["id"] for r in got2.collect()) == sorted(
+        i for i in range(60) if i % 5 == 3
+    )
+
+
+def test_hidden_partition_day_drop_is_metadata_only(spark, tmp_path):
+    """DELETE {'day': D} on a day=date(ts) table: the virtual bound's
+    exact per-file stats prove coverage — whole-day purge with zero
+    scan, zero DVs; a raw-ts interval spanning part of a day falls
+    back to boundary DVs."""
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    path = str(tmp_path / "t")
+    versioned_write(_ts_events(spark), path, partition_by=["day=date(ts)"])
+    v = versioned_delete(spark, path, {"day": dt.date(2024, 5, 2)})
+    assert snapshot_meta(path, "n_files_scanned", version=v) == "0"
+    assert snapshot_meta(path, "n_dv_files", version=v) == "0"
+    assert int(snapshot_meta(path, "n_files_dropped", version=v)) == 1
+    assert sorted(
+        {r["ts"].day for r in versioned_read(spark, path).collect()}
+    ) == [1, 3, 4, 5]
+    # partial-day ts interval: boundary DV, not a drop
+    v2 = versioned_delete(
+        spark, path,
+        {"ts": (dt.datetime(2024, 5, 3, 0, 0),
+                dt.datetime(2024, 5, 3, 12, 0))},
+    )
+    assert int(snapshot_meta(path, "n_files_dropped", version=v2)) == 0
+    assert int(snapshot_meta(path, "n_files_scanned", version=v2)) == 1
+    left = [
+        r["ts"] for r in versioned_read(spark, path).collect()
+        if r["ts"].day == 3
+    ]
+    assert left and all(t > dt.datetime(2024, 5, 3, 12, 0) for t in left)
+
+
+def test_hidden_partitioning_through_connector(spark, tmp_path):
+    """Pushed raw-timestamp filters prune hidden day partitions in
+    the connector plan; rows stay exact."""
+    from skopje_spark.sources.lakesource import VersionedTableReader
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "t")
+    versioned_write(_ts_events(spark), path, partition_by=["day=date(ts)"])
+    r = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter(
+            "ts >= TIMESTAMP'2024-05-02 00:00:00' "
+            "AND ts <= TIMESTAMP'2024-05-02 23:59:59'"
+        )
+    )
+    assert sorted(x["id"] for x in r.collect()) == sorted(
+        i for i in range(60) if i % 5 == 1
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([
+        GreaterThanOrEqual(("ts",), dt.datetime(2024, 5, 2, 0, 0)),
+        LessThanOrEqual(("ts",), dt.datetime(2024, 5, 2, 23, 59)),
+    ]))
+    assert len(rd.partitions()) == 1  # one day's file planned
