@@ -4350,6 +4350,81 @@ def versioned_digest_frames(
     return inserts, deletes
 
 
+def _compact_scoped(
+    spark: SparkSession,
+    path: str,
+    v: int,
+    where: dict,
+    *,
+    target_files: int | None,
+    target_file_bytes: int,
+    guarded: bool,
+    cluster_by: list[str] | None,
+) -> int:
+    """Partition-scoped OPTIMIZE: rewrite ONLY the files provably
+    fully inside ``where`` (same coverage proofs as the bounds
+    DELETE — exact on partition columns), carry everything else by
+    identical entries. The rewrite reads DV-applied, so the scoped
+    files shed their deletion vectors; rows are untouched."""
+    import math
+
+    from pyspark.sql.types import StructType
+
+    man = _read_manifest(path, v)
+    schema = StructType.fromJson(man["schema"])
+    mapping = _schema_mapping(schema)
+    spec = table_partitioning(path, version=v)
+    resolved = _resolve_bounds(where, schema, mapping, spec)
+    boundary, carried, covered = _classify_for_delete(
+        man["files"], resolved
+    )
+    carried = carried + boundary  # boundary files wait for full bounds
+    if not covered:
+        return v  # nothing provably in scope: no-op, not an empty commit
+    cur = _read_entries(spark, path, covered, schema)
+    if target_files is None:
+        nbytes = sum(int(e["bytes"]) for e in covered)
+        target_files = max(1, math.ceil(nbytes / target_file_bytes))
+    if cluster_by:
+        out = cur.repartitionByRange(
+            target_files, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        n_parts = cur.rdd.getNumPartitions()
+        out = (
+            cur.coalesce(target_files)
+            if target_files <= n_parts
+            else cur.repartition(target_files)
+        )
+    fpp = 1
+    if spec:
+        tgts = {
+            tuple(
+                (e.get("partition") or {}).get(t)
+                for t, _, _ in _parse_partition_spec(spec)
+            )
+            for e in covered
+        }
+        fpp = max(1, target_files // max(1, len(tgts)))
+    new_entries = _stage_data_files(
+        out, path, mapping,
+        partition_by=spec or None, files_per_partition=fpp,
+    )
+    commit_meta = {
+        "op": "compact",
+        "source_version": str(v),
+        "n_files_compacted": str(len(covered)),
+        "n_files_carried": str(len(carried)),
+        "compact_where": json.dumps(
+            {k: repr(val) for k, val in where.items()}, sort_keys=True
+        ),
+    }
+    return _commit_manifest(
+        path, man["schema"], carried + new_entries, commit_meta,
+        v if guarded else _UNGUARDED, 600.0,
+    )
+
+
 def versioned_compact(
     spark: SparkSession,
     path: str,
@@ -4359,6 +4434,7 @@ def versioned_compact(
     guarded: bool = False,
     cluster_by: list[str] | None = None,
     zorder: bool = False,
+    where: dict | None = None,
 ) -> int:
     """Small-file compaction as a commit: rewrite the committed latest
     snapshot into fewer, right-sized files and commit the result as
@@ -4390,13 +4466,29 @@ def versioned_compact(
     key-clustered table degrades (rewritten files span wide key
     ranges, so partial-rewrite pruning and pruned reads elect ever
     more candidates); a clustered compaction restores the skip
-    economics in one pass. Content identical either way."""
+    economics in one pass. Content identical either way.
+
+    ``where`` (column → value or ``(lo, hi)``, the bounds-dict shape)
+    SCOPES the compaction: only files PROVABLY fully inside the
+    bounds are rewritten — the one-hot-partition OPTIMIZE every
+    streaming ingest needs nightly — and every other file (boundary
+    files included: compaction is an optimization, partial coverage
+    can simply wait) rides into the new version by reference. At
+    100 TB this is the difference between re-copying the table and
+    re-copying one day."""
     import math
 
     v = latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version at {path}")
     snap = os.path.join(path, f"v={v}")
+    if where is not None:
+        return _compact_scoped(
+            spark, path, v, where,
+            target_files=target_files,
+            target_file_bytes=target_file_bytes,
+            guarded=guarded, cluster_by=cluster_by,
+        )
     cur = versioned_read(spark, path, version=v)
     if target_files is None:
         # byte sizes come straight off the manifest — no file stats

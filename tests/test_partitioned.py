@@ -654,3 +654,50 @@ def test_hidden_partitioning_through_connector(spark, tmp_path):
         LessThanOrEqual(("ts",), dt.datetime(2024, 5, 2, 23, 59)),
     ]))
     assert len(rd.partitions()) == 1  # one day's file planned
+
+
+def test_scoped_compact_rewrites_one_partition_only(spark, tmp_path):
+    """versioned_compact(where=): the hot partition's small files
+    merge (DVs materialized away), every other partition's entries
+    ride verbatim, content is untouched — nightly OPTIMIZE of one day
+    without re-copying the table."""
+    from skopje_spark.sinks.versioned import (
+        versioned_compact,
+        versioned_delete,
+    )
+
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark, 30), path, partition_by=["source"])
+    # fragment src1 with appends; other partitions untouched
+    for i in range(3):
+        versioned_append(
+            spark, path,
+            spark.createDataFrame(
+                [(200 + i, "src1", dt.date(2024, 4, 1), f"x{i}")],
+                "id long, source string, day date, payload string",
+            ),
+        )
+    versioned_delete(spark, path, "id = 1")  # leaves a DV on base src1
+    v = latest_version(path)
+    before = {e["path"]: e for e in _read_manifest(path, v)["files"]}
+    src1_before = [
+        p for p, e in before.items() if e["partition"]["source"] == "src1"
+    ]
+    assert len(src1_before) == 4
+    v2 = versioned_compact(spark, path, where={"source": "src1"},
+                           target_files=1)
+    assert snapshot_meta(path, "op", version=v2) == "compact"
+    assert int(snapshot_meta(path, "n_files_compacted", version=v2)) == 4
+    after = {e["path"]: e for e in _read_manifest(path, v2)["files"]}
+    src1_after = [
+        p for p, e in after.items() if e["partition"]["source"] == "src1"
+    ]
+    assert len(src1_after) == 1 and not set(src1_after) & set(src1_before)
+    assert not any(e.get("dv_files") for e in after.values())  # DV shed
+    # every other partition's entry carried byte-identical
+    others_before = {p: e for p, e in before.items() if p not in src1_before}
+    assert all(after[p] == e for p, e in others_before.items())
+    rows = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert rows == (set(range(30)) - {1}) | {200, 201, 202}
+    # a scope nothing provably covers is a no-op, not an empty commit
+    assert versioned_compact(spark, path, where={"id": (0, 1)}) == v2
