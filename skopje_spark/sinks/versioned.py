@@ -2015,6 +2015,21 @@ def versioned_read_where(
         entries, _ = _interval_split(
             entries, u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"])
         )
+        vals = u.get("vals")
+        if vals is not None:
+            # exact IN-list pruning where stats pin one value per
+            # file (partition layout): a multi-day read opens the
+            # listed days, not the whole span between them
+            def _in_set(e, key=u["key"], vals=vals):
+                st = (e.get("stats") or {}).get(key)
+                if not st:
+                    return True  # stat-less: conservative candidate
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None or mn != mx:
+                    return True
+                return mn in vals
+
+            entries = [e for e in entries if _in_set(e)]
     return _read_entries(spark, path, entries, schema).filter(
         _bounds_predicate(resolved)
     )
@@ -3080,6 +3095,12 @@ def _resolve_bounds(
       the residual predicate evaluates ``to_date(source)`` — real
       columns only, so boundary/legacy files still filter exactly.
 
+    An IN-LIST bound (``{"source": ["web", "books"]}``) prunes by the
+    interval [min, max] of the list PLUS exact per-file set
+    membership where stats pin a single value (partition files:
+    ``min == max``) — a multi-day read opens exactly the listed
+    days' files, not the span between them.
+
     Point values become degenerate intervals; None bounds refused
     (range predicates are null-rejecting)."""
     from pyspark.sql import functions as F
@@ -3093,39 +3114,70 @@ def _resolve_bounds(
     sources = {s: t for t, s in transforms.items()}
     out: list[dict] = []
     for col, b in bounds.items():
-        lo, hi = b if isinstance(b, tuple) else (b, b)
+        raw_vals = None
+        if isinstance(b, (list, set, frozenset)):
+            raw_vals = sorted(set(b), key=repr)
+            if not raw_vals or any(v is None for v in raw_vals):
+                raise ValueError(
+                    f"IN-list bound for {col!r} must be non-empty and "
+                    "NULL-free (IN is null-rejecting)"
+                )
+            lo, hi = min(raw_vals), max(raw_vals)
+        else:
+            lo, hi = b if isinstance(b, tuple) else (b, b)
         if lo is None or hi is None:
             raise ValueError(
                 f"bound for {col!r} is None — range predicates are "
                 "null-rejecting; use an explicit IS NULL predicate "
                 "string to target NULL rows"
             )
+
+        def unit(key, expr, lo_, hi_, vals, coverage):
+            u = {"key": key, "expr": expr, "lo": lo_, "hi": hi_,
+                 "coverage": coverage}
+            if vals is not None:
+                u["vals"] = {_stat_encode(v) for v in vals}
+                u["raw_vals"] = list(vals)
+            return u
+
         if col in names:
-            out.append({
-                "key": mapping.get(col, col),
-                "expr": F.col(col),
-                "lo": lo, "hi": hi, "coverage": True,
-            })
+            out.append(unit(
+                mapping.get(col, col), F.col(col), lo, hi, raw_vals, True
+            ))
             target = sources.get(col)
             if target is not None:
                 dlo, dhi = _as_date(lo), _as_date(hi)
                 if dlo is not None and dhi is not None:
-                    out.append({
-                        "key": target, "expr": None,
-                        "lo": dlo, "hi": dhi, "coverage": False,
-                    })
+                    dvals = None
+                    if raw_vals is not None:
+                        dset = [_as_date(v) for v in raw_vals]
+                        dvals = dset if all(
+                            d is not None for d in dset
+                        ) else None
+                    out.append(unit(target, None, dlo, dhi, dvals, False))
         elif col in transforms:
+            if raw_vals is not None:
+                dvals = [_as_date(v) for v in raw_vals]
+                if any(d is None for d in dvals):
+                    raise ValueError(
+                        f"IN-list for hidden partition {col!r} must be "
+                        f"dates/ISO strings, got {raw_vals!r}"
+                    )
+                out.append(unit(
+                    col, F.to_date(F.col(transforms[col])),
+                    min(dvals), max(dvals), dvals, True,
+                ))
+                continue
             dlo, dhi = _as_date(lo), _as_date(hi)
             if dlo is None or dhi is None:
                 raise ValueError(
                     f"bound for hidden partition {col!r} must be a "
                     f"date/ISO string, got {lo!r}"
                 )
-            out.append({
-                "key": col,
-                "expr": F.to_date(F.col(transforms[col])),
-                "lo": dlo, "hi": dhi, "coverage": True,
-            })
+            out.append(unit(
+                col, F.to_date(F.col(transforms[col])), dlo, dhi,
+                None, True,
+            ))
         else:
             raise KeyError(
                 f"bound column {col!r} is neither a table column "
@@ -3141,11 +3193,16 @@ def _bounds_predicate(resolved: list[dict]):
 
     from pyspark.sql import functions as F
 
-    preds = [
-        (u["expr"] >= F.lit(u["lo"])) & (u["expr"] <= F.lit(u["hi"]))
-        for u in resolved
-        if u["expr"] is not None
-    ]
+    preds = []
+    for u in resolved:
+        if u["expr"] is None:
+            continue
+        if "raw_vals" in u:
+            preds.append(u["expr"].isin(u["raw_vals"]))
+        else:
+            preds.append(
+                (u["expr"] >= F.lit(u["lo"])) & (u["expr"] <= F.lit(u["hi"]))
+            )
     if not preds:
         return F.lit(True)
     return reduce(and_, preds)
@@ -3191,9 +3248,22 @@ def _classify_for_delete(
                 if mx < lo_e or mn > hi_e:
                     disjoint = True
                     break
+                vals = u.get("vals")
+                if vals is not None and mn == mx and mn not in vals:
+                    # single-valued file (partition layout) outside
+                    # the IN-list: provably no matching row
+                    disjoint = True
+                    break
                 if not u["coverage"]:
                     continue  # prune-only: disjointness proof only
-                if not (mn >= lo_e and mx <= hi_e and st.get("nulls") == 0):
+                if vals is not None:
+                    if not (
+                        mn == mx and mn in vals and st.get("nulls") == 0
+                    ):
+                        covered_all = False
+                elif not (
+                    mn >= lo_e and mx <= hi_e and st.get("nulls") == 0
+                ):
                     covered_all = False
             except TypeError:  # cross-type compare proves nothing
                 if u["coverage"]:

@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -139,6 +140,21 @@ def _bounds_from_filters(
 
         from skopje_spark.sinks.versioned import _stat_encode
 
+        if isinstance(f, In):
+            # IN-list: the [min, max] interval of the values prunes
+            # conservatively (Spark re-applies the exact membership);
+            # good enough to skip everything outside the listed span
+            vals = [
+                _stat_encode(x) for x in (getattr(f, "value", None) or ())
+            ]
+            if vals and all(
+                isinstance(x, (bool, int, float, str)) for x in vals
+            ) and not any(isinstance(x, float) and x != x for x in vals):
+                try:
+                    tighten(col, min(vals), max(vals))
+                except TypeError:
+                    pass
+            continue
         v = _stat_encode(getattr(f, "value", None))  # dates → ISO strings
         # datetimes pass through RAW: no file carries timestamp stats
         # (cross-type compares prove nothing and stay conservative),

@@ -701,3 +701,60 @@ def test_scoped_compact_rewrites_one_partition_only(spark, tmp_path):
     assert rows == (set(range(30)) - {1}) | {200, 201, 202}
     # a scope nothing provably covers is a no-op, not an empty commit
     assert versioned_compact(spark, path, where={"id": (0, 1)}) == v2
+
+
+def test_in_list_bounds_prune_exactly(spark, tmp_path):
+    """IN-list bounds: a two-day read on a five-day table opens the
+    LISTED days' files (set membership on single-valued stats), not
+    the span between them; delete with a list drops exactly those
+    partitions; the connector prunes In filters by value span."""
+    from pyspark.sql.datasource import In
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_read_where,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "t")
+    df = _events(spark)  # 3 sources x 5 days, 15 files
+    versioned_write(df, path, partition_by=["source", "day"])
+    d1, d4 = dt.date(2024, 1, 1), dt.date(2024, 1, 4)
+    got = versioned_read_where(spark, path, {"day": [d1, d4]})
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        i for i in range(60) if i % 5 in (0, 3)
+    )
+    # exact set pruning: 6 files (2 days x 3 sources), NOT the 12 the
+    # [d1, d4] interval spans
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        _stat_encode,
+    )
+
+    ent = _read_manifest(path, 0)["files"]
+    span, _ = _interval_split(
+        ent, "day", _stat_encode(d1), _stat_encode(d4)
+    )
+    assert len(span) == 12  # the naive interval would open these
+    listed = {
+        e["path"] for e in ent
+        if e["partition"]["day"] in ("2024-01-01", "2024-01-04")
+    }
+    assert len(listed) == 6
+
+    # list delete: drops exactly the two days, metadata-only
+    v = versioned_delete(spark, path, {"day": [d1, d4]})
+    assert int(snapshot_meta(path, "n_files_dropped", version=v)) == 6
+    assert snapshot_meta(path, "n_dv_files", version=v) == "0"
+    assert {r["day"].day for r in versioned_read(spark, path).collect()} == {
+        2, 3, 5,
+    }
+
+    # connector: In filter prunes by the listed span
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([In(("source",), ("src0",))]))
+    parts = rd.partitions()
+    assert len(parts) == 3  # src0's three remaining day files
