@@ -2556,6 +2556,26 @@ def versioned_upsert(
         spark, path, open_entries, updates, keys[0],
         stats_key=stats_key,
     )
+    # composite keys: a file provably disjoint from the update range
+    # on ANY key column cannot hold a full-tuple match — each extra
+    # key costs one tiny agg + driver interval arithmetic, and it is
+    # what lets a merge keyed (id, source) prune on the source
+    # PARTITION even when id leads the key list
+    for k in keys[1:]:
+        if not cand:
+            break
+        lo_k, hi_k, nan_k, n_k = _key_bounds(updates, k)
+        if (
+            nan_k
+            or n_k == 0
+            or not isinstance(lo_k, _STATS_SAFE)
+            or not isinstance(hi_k, _STATS_SAFE)
+        ):
+            continue
+        cand, extra = _interval_split(
+            cand, mapping.get(k, k), lo_k, hi_k
+        )
+        carried = carried + extra
     # existing columns are cast to the TABLE's types so pooled files
     # never fork physical types (an int batch into a long column)
     table_type = {f.name: f.dataType for f in table_schema.fields}
@@ -2762,6 +2782,22 @@ def versioned_merge(
         spark, path, open_entries, key_src, keys[0],
         stats_key=stats_key,
     )
+    # composite keys prune on every column (see versioned_upsert)
+    for k in keys[1:]:
+        if not cand:
+            break
+        lo_k, hi_k, nan_k, n_k = _key_bounds(key_src, k)
+        if (
+            nan_k
+            or n_k == 0
+            or not isinstance(lo_k, _STATS_SAFE)
+            or not isinstance(hi_k, _STATS_SAFE)
+        ):
+            continue
+        cand, extra = _interval_split(
+            cand, mapping.get(k, k), lo_k, hi_k
+        )
+        carried = carried + extra
 
     upd_cond = F.expr(when_matched_update) if when_matched_update else F.lit(False)
     del_cond = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)

@@ -758,3 +758,36 @@ def test_in_list_bounds_prune_exactly(spark, tmp_path):
     list(rd.pushFilters([In(("source",), ("src0",))]))
     parts = rd.partitions()
     assert len(parts) == 3  # src0's three remaining day files
+
+
+def test_composite_key_merge_prunes_on_every_key_column(spark, tmp_path):
+    """A merge keyed (id, source) — partition column SECOND — still
+    rewrites only the matched partition: every key column contributes
+    a disjointness proof, not just keys[0]."""
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark), path, partition_by=["source"])
+    before = {e["path"] for e in _read_manifest(path, 0)["files"]}
+    upd = spark.createDataFrame(
+        [(7, "src1", dt.date(2024, 1, 3), "NEW")],
+        "id long, source string, day date, payload string",
+    )
+    versioned_upsert(spark, path, upd, ["id", "source"])  # id FIRST
+    assert int(snapshot_meta(path, "n_files_rewritten", version=1)) == 1
+    after = {e["path"]: e for e in _read_manifest(path, 1)["files"]}
+    carried = before & set(after)
+    assert len(carried) == 2  # src0 + src2 rode by reference
+    assert all(after[p]["partition"]["source"] != "src1" for p in carried)
+    rows = {r["id"]: r["payload"] for r in versioned_read(spark, path).collect()}
+    assert rows[7] == "NEW" and len(rows) == 60
+
+    # the clause-MERGE path prunes identically
+    from skopje_spark.sinks.versioned import versioned_merge
+
+    src = spark.createDataFrame(
+        [(8, "src2", dt.date(2024, 1, 4), "UPD")],
+        "id long, source string, day date, payload string",
+    )
+    versioned_merge(spark, path, src, ["id", "source"])
+    assert int(snapshot_meta(path, "n_files_rewritten", version=2)) == 1
+    rows2 = {r["id"]: r["payload"] for r in versioned_read(spark, path).collect()}
+    assert rows2[8] == "UPD" and len(rows2) == 60
