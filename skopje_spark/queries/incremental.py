@@ -2387,10 +2387,12 @@ def q_versioned_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone date() transform turns the ts bound into a prune-only
     day interval, files outside it are never opened, and the exact
     ts predicate re-filters the survivors. ``hidden_prune`` folds
-    the proof that the two-day read elected strictly fewer files
-    than the table holds while every elected file's day lies inside
-    the derived interval; content is pinned to the oracle filtering
-    raw timestamps directly.
+    the proof that the derived-bound election itself is exact: the
+    candidate set _interval_split elects from the derived day bound
+    equals the files whose day lies inside the interval, and is
+    strictly smaller than the table — the flag flips FALSE if
+    derived-bound pruning ever breaks; content is pinned to the
+    oracle filtering raw timestamps directly.
 
     Scale: this is why real lakes partition by day(ts) — users query
     the timestamp they have, the layout prunes on the day they never
@@ -2401,7 +2403,12 @@ def q_versioned_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from skopje_spark.sinks.versioned import (
+        _interval_split,
         _read_manifest,
+        _resolve_bounds,
+        _schema_mapping,
+        _stat_encode,
+        table_partitioning,
         versioned_read_where,
         versioned_write,
     )
@@ -2417,11 +2424,28 @@ def q_versioned_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = dt.datetime(2024, 1, 8, 0, 0, 0)
     hi = dt.datetime(2024, 1, 9, 23, 59, 59)
     ent = _read_manifest(path, 0)["files"]
-    inside = [
-        x for x in ent
+    inside = {
+        x["path"] for x in ent
         if "2024-01-08" <= x["partition"]["day"] <= "2024-01-09"
+    }
+    # the actual derived-bound election: resolve the raw-ts bound into
+    # its prune-only day unit and run the same _interval_split the
+    # read path runs — elected files must be EXACTLY those inside the
+    # derived interval, and strictly fewer than the table holds
+    derived = [
+        u for u in _resolve_bounds(
+            {"ts": (lo, hi)}, e.schema, _schema_mapping(e.schema),
+            table_partitioning(path),
+        )
+        if u["key"] == "day"
     ]
-    pruned_ok = 0 < len(inside) < len(ent)
+    cand, _ = _interval_split(
+        ent, "day",
+        _stat_encode(derived[0]["lo"]), _stat_encode(derived[0]["hi"]),
+    ) if len(derived) == 1 else ([], [])
+    pruned_ok = (
+        {x["path"] for x in cand} == inside and 0 < len(inside) < len(ent)
+    )
     return (
         versioned_read_where(spark, path, {"ts": (lo, hi)})
         .groupBy(

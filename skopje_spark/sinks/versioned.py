@@ -420,6 +420,28 @@ def _parse_partition_spec(spec: list[str]) -> list[tuple[str, str, str]]:
     return out
 
 
+def _day_expr(col, dtype):
+    """The ``date()`` partition transform as a Spark expression,
+    pinned ZONE-FREE: for TIMESTAMP (LTZ) sources the day is the UTC
+    epoch day (``floor(epoch / 86400)``), never ``to_date`` — which
+    silently follows ``spark.sql.session.timeZone``, so a writer and
+    reader in different zones would label/prune days differently
+    (silent row loss through a "prune-only" bound that isn't).
+    Iceberg pins its date transform to UTC for exactly this reason.
+    DATE sources are already zone-free; TIMESTAMP_NTZ wall time IS
+    the value, so ``to_date`` is deterministic there."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampType
+
+    if isinstance(dtype, DateType):
+        return col
+    if isinstance(dtype, TimestampType):
+        return F.date_from_unix_date(
+            F.floor(col.cast("double") / F.lit(86400.0)).cast("int")
+        )
+    return F.to_date(col)  # TIMESTAMP_NTZ: wall time is the value
+
+
 def _check_partition_type(name: str, dtype) -> None:
     """Partition columns are restricted to types whose values identify
     a partition exactly and order canonically in the stats domain:
@@ -556,7 +578,7 @@ def _stage_data_files(
                     f"hidden partition target {target!r} collides with "
                     "an existing column; pick a fresh name"
                 )
-            shadow_exprs.append(F.to_date(F.col(phys)))
+            shadow_exprs.append(_day_expr(F.col(phys), dtypes[phys]))
             stat_keys.append(target)  # virtual: stats under the target
             dec_types.append(DateType())
     shadows = [f"__part_{i}" for i in range(len(parsed))]
@@ -873,6 +895,35 @@ def _split_refs_for_merge(
     return closed, open_entries, len(man["segments"])
 
 
+def _split_refs_for_bounds(
+    path: str, version: int, resolved: list[dict]
+) -> tuple[list[dict], list[dict], int] | None:
+    """Multi-bound twin of :func:`_split_refs_for_merge` for the
+    bounds-dict DELETE / REPLACE WHERE shapes: a segment ANY resolved
+    bound's ref aggregates prove disjoint holds no matching row and
+    rides by reference (a {"day": d, "source": s} delete on a
+    source-clustered table closes the day-matching segments the
+    source aggregates close). Returns None on a legacy flat
+    manifest."""
+    with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
+        man = json.load(f)
+    if "segments" not in man:
+        return None
+    closed: list[dict] = []
+    open_entries: list[dict] = []
+    bounds = [
+        (u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"]))
+        for u in resolved
+    ]
+    for ref in man["segments"]:
+        if any(_ref_disjoint(ref, sc, lo, hi) for sc, lo, hi in bounds):
+            closed.append(ref)
+        else:
+            with open(os.path.join(path, ref["path"])) as f:
+                open_entries.extend(json.load(f))
+    return closed, open_entries, len(man["segments"])
+
+
 def _write_manifest_dir(
     target: str, schema_json: dict, entries: list[dict],
     meta: dict[str, str] | None,
@@ -909,18 +960,43 @@ def _read_manifest(path: str, version: int) -> dict:
     return man
 
 
+def _ref_disjoint(ref: dict, stats_col: str, lo, hi) -> bool:
+    """True when a segment ref's AGGREGATE [min, max] on ``stats_col``
+    PROVES every member file disjoint from [lo, hi]; False (open the
+    segment) for stat-less/NaN/cross-type aggregates — conservative,
+    per-entry pruning re-filters whatever is opened."""
+    st = (ref.get("stats") or {}).get(stats_col)
+    if st is None:
+        return False
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
+        return False
+    try:
+        return mx < lo or mn > hi
+    except TypeError:
+        return False  # cross-type compare proves nothing
+
+
 def _pruned_manifest_entries(
-    path: str, version: int, stats_col: str, lo, hi
+    path: str, version: int, stats_col, lo=None, hi=None, *,
+    ref_bounds: list[tuple] | None = None,
 ) -> tuple[list[dict], dict, int, int]:
     """Two-level manifest pruning for point/range reads: open ONLY the
-    segment files whose ref-level aggregate [min, max] on
-    ``stats_col`` can intersect [lo, hi] — a narrow lookup on a
-    clustered 800k-file table parses a handful of kilobyte segments,
-    not the whole manifest. Segments without usable aggregate stats
-    (legacy flat manifests, stat-less columns, NaN folds) are opened
-    conservatively; per-entry pruning then re-filters, so the result
-    feeding :func:`_interval_split` is identical to the full read.
-    Returns (entries, schema_json, segments_opened, segments_total)."""
+    segment files whose ref-level aggregate [min, max] can intersect
+    the given bound(s) — a narrow lookup on a clustered 800k-file
+    table parses a handful of kilobyte segments, not the whole
+    manifest. ``ref_bounds`` passes SEVERAL (stats_col, lo, hi)
+    conjuncts: ANY bound proving disjointness closes the segment, so
+    a {"day": d, "source": s} read on a source-clustered table skips
+    the day-matching segments the source aggregates close. Segments
+    without usable aggregate stats (legacy flat manifests, stat-less
+    columns, NaN folds) are opened conservatively; per-entry pruning
+    then re-filters, so the result feeding :func:`_interval_split` is
+    identical to the full read. Returns (entries, schema_json,
+    segments_opened, segments_total)."""
+    bounds = (
+        ref_bounds if ref_bounds is not None else [(stats_col, lo, hi)]
+    )
     with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
         man = json.load(f)
     if "files" in man:
@@ -928,21 +1004,8 @@ def _pruned_manifest_entries(
     out: list[dict] = []
     opened = 0
     for ref in man["segments"]:
-        st = (ref.get("stats") or {}).get(stats_col)
-        if st is not None:
-            mn, mx = st.get("min"), st.get("max")
-            usable = (
-                mn is not None
-                and mx is not None
-                and not _stat_nan(mn)
-                and not _stat_nan(mx)
-            )
-            if usable:
-                try:
-                    if mx < lo or mn > hi:
-                        continue  # proven disjoint: never opened
-                except TypeError:
-                    pass  # cross-type compare proves nothing
+        if any(_ref_disjoint(ref, sc, lo_, hi_) for sc, lo_, hi_ in bounds):
+            continue  # proven disjoint: never opened
         opened += 1
         with open(os.path.join(path, ref["path"])) as f:
             out.extend(json.load(f))
@@ -1911,7 +1974,15 @@ def _interval_split(
         # false, which would silently mis-skip. Treat as stat-less.
         if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
             cand.append(e)
-        elif mx < lo or mn > hi:
+            continue
+        try:
+            disjoint = mx < lo or mn > hi
+        except TypeError:
+            # cross-type stats (an int bound against string stats, a
+            # legacy manifest) prove nothing — stay a candidate, the
+            # exact predicate/anti-join decides downstream
+            disjoint = False
+        if disjoint:
             skipped.append(e)
         else:
             cand.append(e)
@@ -1976,6 +2047,7 @@ def versioned_read_where(
     bounds: dict,
     *,
     version: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Multi-column pruned read: ``bounds`` maps column → value (point
     lookup) or ``(lo, hi)`` interval, ANDed. Two-level pruning runs
@@ -2005,12 +2077,21 @@ def versioned_read_where(
         bounds, schema, _schema_mapping(schema),
         table_partitioning(path, version=v),
     )
-    # segment tier: prune on the first bound's ref aggregates (one
-    # pass over refs), then per-entry tier on every bound
-    u0 = resolved[0]
-    entries, _, _, _ = _pruned_manifest_entries(
-        path, v, u0["key"], _stat_encode(u0["lo"]), _stat_encode(u0["hi"])
+    # segment tier: EVERY resolved bound prunes on the ref aggregates
+    # (one pass over refs, any disjoint conjunct closes a segment —
+    # a {"day": d, "source": s} read on a source-clustered table
+    # skips day-matching segments the source aggregates close), then
+    # per-entry tier on every bound
+    entries, _, seg_opened, seg_total = _pruned_manifest_entries(
+        path, v, None,
+        ref_bounds=[
+            (u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"]))
+            for u in resolved
+        ],
     )
+    if metrics is not None:
+        metrics["segments_opened"] = seg_opened
+        metrics["segments_total"] = seg_total
     for u in resolved:
         entries, _ = _interval_split(
             entries, u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"])
@@ -2532,18 +2613,41 @@ def versioned_upsert(
     retired = json.loads(
         snapshot_meta(path, "retired_physicals", version=base_v) or "[]"
     )
+    # a physical name the CURRENT schema actively uses is live, not
+    # retired — a RESTORE across a DROP COLUMN re-publishes the
+    # column under its original physical, and treating that name as
+    # reserved would remap the live column to a fresh physical and
+    # silently NULL it for every carried file (whole-column data
+    # loss through drop → restore → upsert)
+    live_phys = {
+        (f.metadata or {}).get("physical", f.name)
+        for f in table_schema.fields
+    }
     new_schema = _ensure_unique_physicals(
-        StructType(new_fields), reserved=retired
+        StructType(new_fields), reserved=set(retired) - live_phys
     )
     mapping = _schema_mapping(new_schema)
     stats_key = mapping.get(keys[0], keys[0])
+    # existing columns are cast to the TABLE's types so pooled files
+    # never fork physical types (an int batch into a long column) —
+    # aligned BEFORE any stats pruning, so key bounds live in the
+    # table's type domain and compare cleanly against manifest stats
+    # (raw pre-cast bounds of a castable-but-different key type would
+    # cross-type-compare against the stats)
+    table_type = {f.name: f.dataType for f in table_schema.fields}
+    aligned = updates.select(
+        *[
+            F.col(c).cast(table_type[c]).alias(c) if c in table_type else F.col(c)
+            for c in updates.columns
+        ]
+    )
 
     # SEGMENT-DIFF planning: segments whose aggregate key range cannot
     # intersect the update keys ride into the next manifest by
     # reference — never parsed, never re-serialized. A 1-bucket MERGE
     # on an 800k-file table opens a couple of kilobyte segments
     # instead of the whole manifest.
-    bounds = _key_bounds(updates, keys[0])
+    bounds = _key_bounds(aligned, keys[0])
     split = _split_refs_for_merge(path, base_v, stats_key, bounds)
     if split is None:
         closed_refs: list[dict] = []
@@ -2553,7 +2657,7 @@ def versioned_upsert(
         closed_refs, open_entries, n_segments_total = split
 
     cand, carried = _match_files(
-        spark, path, open_entries, updates, keys[0],
+        spark, path, open_entries, aligned, keys[0],
         stats_key=stats_key,
     )
     # composite keys: a file provably disjoint from the update range
@@ -2564,7 +2668,7 @@ def versioned_upsert(
     for k in keys[1:]:
         if not cand:
             break
-        lo_k, hi_k, nan_k, n_k = _key_bounds(updates, k)
+        lo_k, hi_k, nan_k, n_k = _key_bounds(aligned, k)
         if (
             nan_k
             or n_k == 0
@@ -2576,15 +2680,6 @@ def versioned_upsert(
             cand, mapping.get(k, k), lo_k, hi_k
         )
         carried = carried + extra
-    # existing columns are cast to the TABLE's types so pooled files
-    # never fork physical types (an int batch into a long column)
-    table_type = {f.name: f.dataType for f in table_schema.fields}
-    aligned = updates.select(
-        *[
-            F.col(c).cast(table_type[c]).alias(c) if c in table_type else F.col(c)
-            for c in updates.columns
-        ]
-    )
     if cand:
         # DV-aware slice: a candidate file's deleted rows must not
         # resurrect through the rewrite
@@ -2765,7 +2860,10 @@ def versioned_merge(
             f"{[dup[0][f'src_{k}'] for k in keys]} — SQL MERGE cardinality "
             "violation"
         )
-    key_src = source.select(*keys)
+    # key frame in the TABLE's types (from the already-cast src
+    # projection), so stats pruning never cross-type-compares a raw
+    # source key type against manifest stats
+    key_src = src.select(*[F.col(f"src_{k}").alias(k) for k in keys])
     mapping = _schema_mapping(table_schema)
     stats_key = mapping.get(keys[0], keys[0])
     # segment-diff planning, exactly as versioned_upsert: key-disjoint
@@ -3089,14 +3187,36 @@ def versioned_append(
         )
 
 
-def _as_date(v):
-    """Coerce a bound value toward the date domain for a hidden
-    day-partition: datetime → its date, ISO string → date, date
-    passes; anything else returns None (no derivation possible)."""
+def _utc_epoch_day(v) -> "datetime.date":
+    """The UTC calendar day of a Python datetime's EPOCH — the exact
+    inverse of :func:`_day_expr`'s write-side stamp. Naive datetimes
+    convert to Spark timestamps through the SYSTEM zone (PySpark's
+    literal/createDataFrame conversion — verified, not session tz),
+    so ``.timestamp()`` (same system-zone rule) reproduces the epoch
+    the residual predicate will compare against; aware datetimes are
+    exact by definition."""
+    import datetime as _dt
+    import math
+
+    return _dt.date(1970, 1, 1) + _dt.timedelta(
+        days=math.floor(v.timestamp() / 86400.0)
+    )
+
+
+def _as_date(v, dtype=None):
+    """Coerce a bound value toward the day-partition stats domain:
+    datetime → the day :func:`_day_expr` would stamp for it (UTC
+    epoch day for TIMESTAMP sources, wall date for TIMESTAMP_NTZ),
+    ISO string → date, date passes; anything else returns None (no
+    derivation possible)."""
     import datetime as _dt
 
+    from pyspark.sql.types import TimestampNTZType
+
     if isinstance(v, _dt.datetime):
-        return v.date()
+        if isinstance(dtype, TimestampNTZType):
+            return v.date()  # NTZ wall time IS the value
+        return _utc_epoch_day(v)
     if isinstance(v, _dt.date):
         return v
     if isinstance(v, str):
@@ -3148,6 +3268,7 @@ def _resolve_bounds(
         t: s for t, s, tr in _parse_partition_spec(spec) if tr == "date"
     }
     sources = {s: t for t, s in transforms.items()}
+    dtypes = {f.name: f.dataType for f in schema.fields}
     out: list[dict] = []
     for col, b in bounds.items():
         raw_vals = None
@@ -3182,16 +3303,19 @@ def _resolve_bounds(
             ))
             target = sources.get(col)
             if target is not None:
-                dlo, dhi = _as_date(lo), _as_date(hi)
+                src_t = dtypes[col]
+                dlo, dhi = _as_date(lo, src_t), _as_date(hi, src_t)
                 if dlo is not None and dhi is not None:
                     dvals = None
                     if raw_vals is not None:
-                        dset = [_as_date(v) for v in raw_vals]
+                        dset = [_as_date(v, src_t) for v in raw_vals]
                         dvals = dset if all(
                             d is not None for d in dset
                         ) else None
                     out.append(unit(target, None, dlo, dhi, dvals, False))
         elif col in transforms:
+            src = transforms[col]
+            day_col = _day_expr(F.col(src), dtypes[src])
             if raw_vals is not None:
                 dvals = [_as_date(v) for v in raw_vals]
                 if any(d is None for d in dvals):
@@ -3200,7 +3324,7 @@ def _resolve_bounds(
                         f"dates/ISO strings, got {raw_vals!r}"
                     )
                 out.append(unit(
-                    col, F.to_date(F.col(transforms[col])),
+                    col, day_col,
                     min(dvals), max(dvals), dvals, True,
                 ))
                 continue
@@ -3211,7 +3335,7 @@ def _resolve_bounds(
                     f"date/ISO string, got {lo!r}"
                 )
             out.append(unit(
-                col, F.to_date(F.col(transforms[col])), dlo, dhi,
+                col, day_col, dlo, dhi,
                 None, True,
             ))
         else:
@@ -3395,11 +3519,7 @@ def versioned_delete(
             condition, schema, mapping,
             table_partitioning(path, version=base_v),
         )
-        u0 = resolved[0]
-        split = _split_refs_for_merge(
-            path, base_v, u0["key"],
-            (_stat_encode(u0["lo"]), _stat_encode(u0["hi"]), False, 1),
-        )
+        split = _split_refs_for_bounds(path, base_v, resolved)
         if split is None:
             open_entries = _read_manifest(path, base_v)["files"]
         else:
@@ -3658,11 +3778,7 @@ def versioned_replace_where(
             f"{bounds} (e.g. {tuple(stray[0])}) — refusing to write "
             "outside the bounds being replaced"
         )
-    u0 = resolved[0]
-    split = _split_refs_for_merge(
-        path, base_v, u0["key"],
-        (_stat_encode(u0["lo"]), _stat_encode(u0["hi"]), False, 1),
-    )
+    split = _split_refs_for_bounds(path, base_v, resolved)
     if split is None:
         closed_refs: list[dict] = []
         open_entries = _read_manifest(path, base_v)["files"]
@@ -3836,9 +3952,16 @@ def versioned_restore(
             "op": "restore",
             "source_version": str(version),
             # the layout claim follows the CONTENT being re-published,
-            # not the current latest's property
+            # not the current latest's property — and so does the
+            # retired-physicals ledger: a restored column's physical
+            # name is LIVE again in the restored schema, and carrying
+            # the post-drop ledger forward would remap it on the next
+            # upsert (silent NULL for every carried file)
             "partition_by": snapshot_meta(
                 path, "partition_by", version=version
+            ) or "[]",
+            "retired_physicals": snapshot_meta(
+                path, "retired_physicals", version=version
             ) or "[]",
         }
         commit_meta.update(meta or {})
@@ -3943,6 +4066,12 @@ def versioned_clone(
     src_part = snapshot_meta(src_path, "partition_by", version=v)
     if src_part is not None:
         commit_meta["partition_by"] = src_part
+    # the retired-physicals ledger guards the clone's pool files too:
+    # they are hard links to pre-drop bytes, so re-adding a dropped
+    # column at the clone without the ledger would resurrect them
+    src_retired = snapshot_meta(src_path, "retired_physicals", version=v)
+    if src_retired is not None:
+        commit_meta["retired_physicals"] = src_retired
     commit_meta.update(meta or {})
     return _commit_manifest(
         dst_path, man["schema"], man["files"], commit_meta,
@@ -4644,9 +4773,14 @@ def versioned_compact(
     spec = table_partitioning(path, version=v)
     fpp = 1
     if spec:
+        # partition dicts are keyed by the transform TARGET (a hidden
+        # 'day=date(ts)' entry records {'day': ...}), so counting by
+        # raw spec strings would collapse every partition into one
+        # and over-split the rewrite
+        tgts = [t for t, _, _ in _parse_partition_spec(spec)]
         n_parts = len(
             {
-                tuple((e.get("partition") or {}).get(c) for c in spec)
+                tuple((e.get("partition") or {}).get(t) for t in tgts)
                 for e in _read_manifest(path, v)["files"]
             }
         ) or 1

@@ -115,13 +115,15 @@ def _overlaps(entry: dict, stats_col: str, lo, hi) -> bool:
 
 def _bounds_from_filters(
     filters: list[Filter], columns: set[str]
-) -> dict[str, tuple]:
+) -> tuple[dict[str, tuple], dict[str, set]]:
     """Fold simple comparison filters into per-column [lo, hi]
-    intervals usable against footer stats. Only single-column
-    comparisons with stats-safe literals (bool/int/float/str)
-    contribute; everything else is ignored (Spark re-applies all
-    filters anyway)."""
+    intervals usable against footer stats, plus per-column IN-list
+    value SETS for exact membership pruning of single-valued
+    (partition-layout) files. Only single-column comparisons with
+    stats-safe literals (bool/int/float/str) contribute; everything
+    else is ignored (Spark re-applies all filters anyway)."""
     bounds: dict[str, tuple] = {}
+    in_sets: dict[str, set] = {}
 
     def tighten(col: str, lo, hi) -> None:
         cur_lo, cur_hi = bounds.get(col, (None, None))
@@ -142,8 +144,10 @@ def _bounds_from_filters(
 
         if isinstance(f, In):
             # IN-list: the [min, max] interval of the values prunes
-            # conservatively (Spark re-applies the exact membership);
-            # good enough to skip everything outside the listed span
+            # conservatively, and the value SET exactly skips
+            # single-valued files (partition layout: min == max) —
+            # a two-day .isin plans exactly those days' files, not
+            # the whole span between them
             vals = [
                 _stat_encode(x) for x in (getattr(f, "value", None) or ())
             ]
@@ -154,6 +158,10 @@ def _bounds_from_filters(
                     tighten(col, min(vals), max(vals))
                 except TypeError:
                     pass
+                if col in in_sets:
+                    in_sets[col] &= set(vals)  # conjunct INs intersect
+                else:
+                    in_sets[col] = set(vals)
             continue
         v = _stat_encode(getattr(f, "value", None))  # dates → ISO strings
         # datetimes pass through RAW: no file carries timestamp stats
@@ -171,7 +179,7 @@ def _bounds_from_filters(
             tighten(col, v, None)
         elif isinstance(f, (LessThan, LessThanOrEqual)):
             tighten(col, None, v)
-    return bounds
+    return bounds, in_sets
 
 
 @dataclass
@@ -301,6 +309,7 @@ class VersionedTableReader(DataSourceReader):
         self.logical = _logical_schema(self.man)
         self.map = _mapping(self.man)
         self._bounds: dict[str, tuple] = {}
+        self._in_sets: dict[str, set] = {}
         # hidden date() partitions: source column → virtual target,
         # so a pushed raw-timestamp filter can skip day partitions
         from skopje_spark.sinks.versioned import (
@@ -329,7 +338,7 @@ class VersionedTableReader(DataSourceReader):
         finally yield EVERY filter back so Spark re-applies exact
         predicates. Conservative stats can only widen IO, never
         change results."""
-        self._bounds = _bounds_from_filters(
+        self._bounds, self._in_sets = _bounds_from_filters(
             filters, {f.name for f in self.logical.fields}
         )
         yield from filters
@@ -344,11 +353,24 @@ class VersionedTableReader(DataSourceReader):
             for col, (lo, hi) in self._bounds.items()
         ]
 
-        def _day(v):
+        from pyspark.sql.types import TimestampNTZType
+
+        from skopje_spark.sinks.versioned import _utc_epoch_day
+
+        dtypes = {f.name: f.dataType for f in self.logical.fields}
+
+        def _day(v, src_type):
             if v is None:
                 return None, True  # open side stays open
             if isinstance(v, _dt.datetime):
-                return v.date().isoformat(), True
+                # the day stamp is the UTC EPOCH day (zone-free, see
+                # versioned._day_expr), and the pushed naive datetime
+                # converts through the system zone — mirror both so
+                # the derived prune-only interval can never drop a
+                # file holding matching rows; NTZ wall time is exact
+                if isinstance(src_type, TimestampNTZType):
+                    return v.date().isoformat(), True
+                return _utc_epoch_day(v).isoformat(), True
             if isinstance(v, str):
                 try:
                     _dt.date.fromisoformat(v)
@@ -361,8 +383,8 @@ class VersionedTableReader(DataSourceReader):
             target = self._derived.get(col)
             if target is None:
                 continue
-            dlo, ok_lo = _day(lo)
-            dhi, ok_hi = _day(hi)
+            dlo, ok_lo = _day(lo, dtypes.get(col))
+            dhi, ok_hi = _day(hi, dtypes.get(col))
             if ok_lo and ok_hi and not (dlo is None and dhi is None):
                 # date() is monotone: ts ∈ [lo, hi] ⇒ day ∈ derived
                 # interval — prune-only, Spark re-applies the exact
@@ -386,6 +408,22 @@ class VersionedTableReader(DataSourceReader):
             self.segments_opened = opened
         for sk, lo, hi in phys_bounds:
             entries = [e for e in entries if _overlaps(e, sk, lo, hi)]
+
+        # exact IN-set membership where stats pin one value per file
+        # (partition layout: min == max) — mirrors the native
+        # versioned_read_where; stat-less / multi-valued files stay
+        # conservative candidates, Spark re-applies the exact filter
+        def _in_set(e, key, vals):
+            st = (e.get("stats") or {}).get(key)
+            if not st:
+                return True
+            mn, mx = st.get("min"), st.get("max")
+            if mn is None or mx is None or mn != mx:
+                return True
+            return mn in vals
+        for col, vals in self._in_sets.items():
+            sk = self.map.get(col, col)
+            entries = [e for e in entries if _in_set(e, sk, vals)]
         return entries
 
     def partitions(self) -> Sequence[InputPartition]:

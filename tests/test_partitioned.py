@@ -791,3 +791,63 @@ def test_composite_key_merge_prunes_on_every_key_column(spark, tmp_path):
     assert int(snapshot_meta(path, "n_files_rewritten", version=2)) == 1
     rows2 = {r["id"]: r["payload"] for r in versioned_read(spark, path).collect()}
     assert rows2[8] == "UPD" and len(rows2) == 60
+
+
+def test_read_where_prunes_segments_on_every_bound(spark, tmp_path, monkeypatch):
+    """The segment tier applies EVERY resolved bound, not just the
+    first: a read whose first bound spans everything but whose second
+    bound is clustered opens only the matching segments (pre-fix:
+    resolved[0] alone decided, so every segment was parsed)."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import versioned_read_where
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 7, f"r{i}") for i in range(800)],
+        "k long, u long, v string",
+    )
+    # clustered by k → tight per-segment k aggregates; u is uniform in
+    # every file, so a u bound alone can close nothing
+    versioned_write(
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
+    )
+    m: dict = {}
+    got = versioned_read_where(
+        spark, path, {"u": (0, 6), "k": (300, 303)}, metrics=m
+    )
+    assert sorted(r["k"] for r in got.collect()) == [300, 301, 302, 303]
+    assert m["segments_total"] >= 6
+    assert m["segments_opened"] < m["segments_total"]
+
+    # bounds-dict DELETE rides the same multi-bound segment split
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    v = versioned_delete(spark, path, {"u": (0, 6), "k": (300, 301)})
+    total = int(snapshot_meta(path, "n_segments_total", version=v))
+    opened = int(snapshot_meta(path, "n_segments_opened", version=v))
+    assert opened < total
+    left = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert 300 not in left and 301 not in left and len(left) == 798
+
+
+def test_connector_in_list_prunes_exact_set(spark, tmp_path):
+    """A pushed .isin over a partition column plans EXACTLY the listed
+    values' files, not the whole span between them (pre-fix: a
+    {day1, day4} IN-list planned day2/day3's files too)."""
+    from pyspark.sql.datasource import In
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark), path, partition_by=["day"])
+    assert len(_read_manifest(path, 0)["files"]) == 5
+    rd = VersionedTableReader({"path": path})
+    d1, d4 = dt.date(2024, 1, 1), dt.date(2024, 1, 4)
+    list(rd.pushFilters([In(("day",), (d1, d4))]))
+    parts = rd.partitions()
+    assert len(parts) == 2  # exactly the two listed days
+    days = set()
+    for e in _read_manifest(path, 0)["files"]:
+        if e["path"] in {p.rel_path for p in parts}:
+            days.add(e["partition"]["day"])
+    assert days == {"2024-01-01", "2024-01-04"}

@@ -1,0 +1,194 @@
+"""Regression units for the retired-physicals ledger across RESTORE /
+CLONE, zone-pinned hidden day partitioning, hidden-spec compaction
+sizing, and cross-type composite-key MERGE pruning (round-11 ADVICE
+findings — each test fails on the pre-fix code)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.sinks.versioned import (
+    _read_manifest,
+    latest_version,
+    snapshot_meta,
+    versioned_clone,
+    versioned_compact,
+    versioned_drop_column,
+    versioned_partitions,
+    versioned_read,
+    versioned_read_where,
+    versioned_restore,
+    versioned_upsert,
+    versioned_write,
+)
+
+
+def _table(spark, path, n=6):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"note-{i}") for i in range(n)],
+        "id long, val string, note string",
+    )
+    versioned_write(df, path)
+    return df
+
+
+def test_restore_across_drop_then_upsert_keeps_column(spark, tmp_path):
+    """drop(note) → restore(v0) → upsert must NOT remap the restored
+    column to a fresh physical name: the pre-drop ledger entry is
+    LIVE again in the restored schema, and remapping it silently
+    NULLs the column for every carried file (whole-column data loss
+    via three public API calls)."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    versioned_drop_column(path, "note")
+    versioned_restore(path, 0, spark=spark)
+    # the restore's ledger follows the restored CONTENT (note is live)
+    assert json.loads(
+        snapshot_meta(path, "retired_physicals",
+                      version=latest_version(path)) or "[]"
+    ) == []
+    upd = spark.createDataFrame(
+        [(0, "V0", "note-NEW")], "id long, val string, note string"
+    )
+    versioned_upsert(spark, path, upd, keys=["id"])
+    got = {r["id"]: r["note"] for r in versioned_read(spark, path).collect()}
+    assert got[0] == "note-NEW"
+    # carried (non-rewritten) rows keep their pre-drop note values —
+    # the pre-fix code read NULL here (live physical remapped)
+    assert got[3] == "note-3" and got[5] == "note-5"
+    # and the schema still maps note to its identity physical
+    man = _read_manifest(path, latest_version(path))
+    note = next(f for f in man["schema"]["fields"] if f["name"] == "note")
+    assert (note.get("metadata") or {}).get("physical", "note") == "note"
+
+
+def test_restore_to_post_drop_version_keeps_ledger(spark, tmp_path):
+    """Restoring to a POST-drop version carries that version's ledger,
+    so a later re-add still gets a fresh physical (no resurrection)."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    versioned_drop_column(path, "note")           # v1: retired=[note]
+    v_post = latest_version(path)
+    upd = spark.createDataFrame([(0, "V0")], "id long, val string")
+    versioned_upsert(spark, path, upd, keys=["id"])  # v2
+    versioned_restore(path, v_post, spark=spark)     # v3
+    assert json.loads(
+        snapshot_meta(path, "retired_physicals",
+                      version=latest_version(path))
+    ) == ["note"]
+    re_add = spark.createDataFrame(
+        [(1, "V1", "fresh")], "id long, val string, note string"
+    )
+    versioned_upsert(spark, path, re_add, keys=["id"], evolve_schema=True)
+    got = {r["id"]: r["note"] for r in versioned_read(spark, path).collect()}
+    assert got[1] == "fresh"
+    # carried pre-drop files must read NULL, never the old bytes
+    assert got[3] is None and got[5] is None
+
+
+def test_clone_carries_retired_ledger(spark, tmp_path):
+    """A shallow clone hard-links pre-drop pool files; without the
+    ledger, re-adding the dropped column at the clone resurrects the
+    dropped bytes."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _table(spark, src)
+    versioned_drop_column(src, "note")
+    versioned_clone(src, dst)
+    assert json.loads(
+        snapshot_meta(dst, "retired_physicals", version=0)
+    ) == ["note"]
+    re_add = spark.createDataFrame(
+        [(0, "V0", "fresh")], "id long, val string, note string"
+    )
+    versioned_upsert(spark, dst, re_add, keys=["id"], evolve_schema=True)
+    got = {r["id"]: r["note"] for r in versioned_read(spark, dst).collect()}
+    assert got[0] == "fresh"
+    assert got[3] is None and got[4] is None  # no resurrection
+
+
+def test_hidden_day_partition_is_session_zone_independent(spark, tmp_path):
+    """day=date(ts) stamps the UTC EPOCH day: a writer session in one
+    zone and a reader in another must agree on day labels and prune
+    exactly — to_date(ts) follows spark.sql.session.timeZone and
+    mislabels (pre-fix: LA writer labels 2024-05-02T00:30 naive-UTC
+    rows as 2024-05-01)."""
+    path = str(tmp_path / "t")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        # naive datetimes convert through the SYSTEM zone (UTC in this
+        # container): wall time == UTC time == the day that must stick
+        rows = [
+            (i, dt.datetime(2024, 5, 1 + (i % 3), 0, 30), f"p{i}")
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, v string")
+        versioned_write(df, path, partition_by=["day=date(ts)"])
+        days = [p["day"] for p in versioned_partitions(path)]
+        assert days == ["2024-05-01", "2024-05-02", "2024-05-03"]
+        # reader in a THIRD zone: target bound elects exactly one day
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got = versioned_read_where(spark, path, {"day": dt.date(2024, 5, 2)})
+        assert sorted(r["id"] for r in got.collect()) == [
+            i for i in range(12) if i % 3 == 1
+        ]
+        # raw-ts bound: derived prune-only day interval stays exact
+        got2 = versioned_read_where(
+            spark, path,
+            {"ts": (dt.datetime(2024, 5, 2, 0, 0),
+                    dt.datetime(2024, 5, 2, 23, 59))},
+        )
+        assert sorted(r["id"] for r in got2.collect()) == [
+            i for i in range(12) if i % 3 == 1
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_unscoped_compact_respects_hidden_partition_count(spark, tmp_path):
+    """versioned_compact on a day=date(ts) table counts partitions by
+    the transform TARGET: target_files spreads across the real day
+    count instead of over-splitting every day (pre-fix: raw spec
+    strings key the partition dicts to None → n_parts=1 →
+    fpp=target_files → n_days × target_files output files)."""
+    rows = [
+        (i, dt.datetime(2024, 5, 1 + (i % 5), 6, i % 60), f"p{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v string")
+    path = str(tmp_path / "t")
+    versioned_write(df, path, partition_by=["day=date(ts)"])
+    v = versioned_compact(spark, path, target_files=5)
+    files = _read_manifest(path, v)["files"]
+    assert len(files) == 5  # one per day, not 25
+    assert versioned_read(spark, path).count() == 60
+
+
+def test_composite_key_merge_with_castable_key_type(spark, tmp_path):
+    """An INT update key against a STRING table key column must stay a
+    conservative candidate, not crash the upsert: bounds are computed
+    from the type-ALIGNED frame (pre-fix: raw int bounds cross-type
+    compare against string stats inside _interval_split →
+    TypeError)."""
+    df = spark.createDataFrame(
+        [(i, str(i % 3), f"v{i}") for i in range(9)],
+        "id long, code string, v string",
+    )
+    path = str(tmp_path / "t")
+    versioned_write(df, path)
+    upd = spark.createDataFrame(
+        [(4, 1, "UPDATED")], "id long, code int, v string"
+    )
+    versioned_upsert(spark, path, upd, keys=["id", "code"])
+    got = {
+        (r["id"], r["code"]): r["v"]
+        for r in versioned_read(spark, path).collect()
+    }
+    assert got[(4, "1")] == "UPDATED"
+    assert got[(5, "2")] == "v5"
+    assert len(got) == 9
