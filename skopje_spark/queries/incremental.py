@@ -2455,3 +2455,93 @@ def q_versioned_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hidden_prune", F.lit(bool(pruned_ok)))
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "q_versioned_spec_evolution",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE AS spec_evolution_ok
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-08'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("versioned", "partitioning", "spec-evolution", "lakeops"),
+)
+def q_versioned_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only PARTITION SPEC EVOLUTION under the driver gate
+    (sinks/versioned.py:versioned_set_partition_spec — Iceberg's
+    spec-evolution model): half of events is committed partitioned by
+    ``event_type``, the spec is EVOLVED to ``day=date(ts)`` as a
+    kilobyte commit, the other half is appended under the new layout,
+    and a one-day read across BOTH epochs must equal the oracle
+    filtering raw timestamps. ``spec_evolution_ok`` folds the proofs:
+    the evolution touched no data file (old entries carried
+    verbatim), appended files follow the new spec with one day value
+    per file, and the day bound's election is EXACT on the new epoch
+    while old-epoch files stay conservative scan candidates (their
+    exact residual re-filters).
+
+    Scale: "switch a 100 TB table from by-type to by-day" is one
+    metadata commit, never a rewrite — old files keep pruning by
+    their recorded layout, new files by the new one, per file from
+    stats the manifest already carries."""
+    import atexit
+    import datetime as dt
+    import json
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_append,
+        versioned_read_where,
+        versioned_set_partition_spec,
+        versioned_write,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_specevo_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    half_a = e.filter(F.col("event_id") % 2 == 0)
+    half_b = e.filter(F.col("event_id") % 2 == 1)
+    versioned_write(half_a, path, partition_by=["event_type"])  # v0
+    old_entries = {
+        x["path"]: json.dumps(x, sort_keys=True)
+        for x in _read_manifest(path, 0)["files"]
+    }
+    v1 = versioned_set_partition_spec(path, ["day=date(ts)"])
+    after_evolve = {
+        x["path"]: json.dumps(x, sort_keys=True)
+        for x in _read_manifest(path, v1)["files"]
+    }
+    metadata_only = after_evolve == old_entries
+    v2 = versioned_append(spark, path, half_b)
+    ent = _read_manifest(path, v2)["files"]
+    new_ent = [x for x in ent if x["path"] not in old_entries]
+    new_layout_ok = bool(new_ent) and all(
+        set(x.get("partition") or {}) == {"day"}
+        and x["stats"]["day"]["min"] == x["stats"]["day"]["max"]
+        for x in new_ent
+    )
+    day = dt.date(2024, 1, 8)
+    # day-bound election: EXACT on the new epoch (only that day's new
+    # files), conservative on the old (no day stats -> candidates)
+    cand, _ = _interval_split(ent, "day", "2024-01-08", "2024-01-08")
+    cand_paths = {x["path"] for x in cand}
+    exact_new = cand_paths == set(old_entries) | {
+        x["path"] for x in new_ent if x["partition"]["day"] == "2024-01-08"
+    }
+    ok = metadata_only and new_layout_ok and exact_new
+    return (
+        versioned_read_where(spark, path, {"day": day})
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("spec_evolution_ok", F.lit(bool(ok)))
+        .orderBy("event_type")
+    )

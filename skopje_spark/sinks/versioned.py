@@ -1042,7 +1042,7 @@ def _commit_manifest(
     # a commit explicitly rewrites them: CHECK constraints and the
     # streaming-writer batch ledger
     for prop in ("constraints", "stream_ledger", "column_stats",
-                 "partition_by", "retired_physicals"):
+                 "partition_by", "retired_physicals", "partition_specs"):
         if prop in meta:
             continue
         base = (
@@ -1212,7 +1212,11 @@ def versioned_write(
             else None
         )
     if forced is not None:
-        meta = {"partition_by": forced} | (meta or {})
+        # a full rewrite replaces EVERY file, so no earlier layout
+        # epoch survives — the spec history resets with the layout
+        meta = {"partition_by": forced, "partition_specs": "[]"} | (
+            meta or {}
+        )
     return _commit_manifest(
         path, df.schema.jsonValue(), entries, meta,
         expected_version, lock_timeout_s,
@@ -1251,6 +1255,132 @@ def table_partitioning(path: str, *, version: int | None = None) -> list[str]:
     v = committed if version is None else version
     raw = snapshot_meta(path, "partition_by", version=v)
     return json.loads(raw) if raw else []
+
+
+def table_partition_specs(
+    path: str, *, version: int | None = None
+) -> list[str]:
+    """The UNION of partition-spec entries relevant at a snapshot: the
+    spec in force (``partition_by``) plus every spec that governed
+    files still carried from earlier layout epochs (the
+    ``partition_specs`` history marker, written by
+    :func:`versioned_set_partition_spec`). Bound resolution derives
+    prune-only bounds from this union, so a read on a table that
+    EVOLVED away from ``day=date(ts)`` still prunes the old-epoch
+    files by their old layout. Kilobyte marker reads, no job."""
+    committed = latest_version(path)
+    if committed is None:
+        return []
+    v = committed if version is None else version
+    current = table_partitioning(path, version=v)
+    raw = snapshot_meta(path, "partition_specs", version=v)
+    out = list(current)
+    for spec in json.loads(raw) if raw else []:
+        for entry in spec:
+            if entry not in out:
+                out.append(entry)
+    return out
+
+
+def versioned_set_partition_spec(
+    path: str,
+    spec: list[str],
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """EVOLVE the table's partition spec WITHOUT rewriting a byte —
+    Iceberg's partition-spec-evolution model: the new spec is a
+    metadata-only guarded commit; files written before it keep their
+    old layout (their manifest entries already record their own
+    partition values and exact injected stats), files staged by every
+    later write follow the new spec, and reads prune PER FILE from
+    stats — new-epoch files exactly on the new targets, old-epoch
+    files exactly on their old targets (via the ``partition_specs``
+    history this commit maintains) and conservatively otherwise.
+    "Switch a 100 TB table from daily to hourly partitioning" is one
+    kilobyte commit, never a rewrite (contrast
+    :func:`versioned_write`, where a full rewrite REDEFINES the
+    layout because it replaces every file).
+
+    ``spec=[]`` un-partitions future writes (old files keep pruning
+    by their recorded layout). Validation mirrors the write path:
+    identity columns must exist with partitionable types; a hidden
+    ``target=date(source)`` needs a date/timestamp source and a
+    target that collides with no schema column and no DIFFERENT
+    historical transform (same-target re-evolution must agree on the
+    source, or cross-epoch residuals would be ambiguous)."""
+    from pyspark.sql.types import (
+        DateType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    parsed = _parse_partition_spec(spec)
+
+    def derive(committed: int, raw: dict):
+        schema = StructType.fromJson(raw["schema"])
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        for target, source, transform in parsed:
+            if source not in dtypes:
+                raise KeyError(
+                    f"partition source column {source!r} not in table "
+                    f"schema {sorted(dtypes)} at {path}"
+                )
+            if transform == "identity":
+                _check_partition_type(target, dtypes[source])
+            else:
+                if not isinstance(
+                    dtypes[source],
+                    (DateType, TimestampType, TimestampNTZType),
+                ):
+                    raise TypeError(
+                        f"date() partition transform needs a date/"
+                        f"timestamp source; {source!r} is "
+                        f"{dtypes[source].simpleString()}"
+                    )
+                if target in dtypes:
+                    raise ValueError(
+                        f"hidden partition target {target!r} collides "
+                        "with an existing column; pick a fresh name"
+                    )
+        old_spec = table_partitioning(path, version=committed)
+        if old_spec == list(spec):
+            raise ValueError(
+                f"table at {path} already has partition spec {spec}"
+            )
+        hist_raw = snapshot_meta(
+            path, "partition_specs", version=committed
+        )
+        hist = json.loads(hist_raw) if hist_raw else []
+        if old_spec and old_spec not in hist:
+            hist.append(old_spec)
+        # same virtual target re-used with a DIFFERENT source across
+        # epochs would make the residual expression ambiguous
+        seen: dict[str, str] = {}
+        for s in [*hist, list(spec)]:
+            for t, src, tr in _parse_partition_spec(s):
+                if tr != "identity":
+                    if seen.get(t, src) != src:
+                        raise ValueError(
+                            f"hidden partition target {t!r} was "
+                            f"derived from {seen[t]!r} in an earlier "
+                            f"spec epoch; deriving it from {src!r} "
+                            "now would be ambiguous — pick a fresh "
+                            "target name"
+                        )
+                    seen[t] = src
+        commit_meta = {
+            "op": "set_partition_spec",
+            "partition_by": json.dumps(list(spec)),
+            "partition_specs": json.dumps(hist),
+            "previous_spec": json.dumps(old_spec),
+        }
+        commit_meta.update(meta or {})
+        return raw["schema"], commit_meta
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
 
 def versioned_partitions(
@@ -2075,7 +2205,7 @@ def versioned_read_where(
     schema = StructType.fromJson(schema_json)
     resolved = _resolve_bounds(
         bounds, schema, _schema_mapping(schema),
-        table_partitioning(path, version=v),
+        table_partition_specs(path, version=v),
     )
     # segment tier: EVERY resolved bound prunes on the ref aggregates
     # (one pass over refs, any disjoint conjunct closes a segment —
@@ -3517,7 +3647,7 @@ def versioned_delete(
         # unopened, only boundary files reach the scan below
         resolved = _resolve_bounds(
             condition, schema, mapping,
-            table_partitioning(path, version=base_v),
+            table_partition_specs(path, version=base_v),
         )
         split = _split_refs_for_bounds(path, base_v, resolved)
         if split is None:
@@ -3762,7 +3892,8 @@ def versioned_replace_where(
         )
     mapping = _schema_mapping(schema)
     resolved = _resolve_bounds(
-        bounds, schema, mapping, table_partitioning(path, version=base_v)
+        bounds, schema, mapping,
+        table_partition_specs(path, version=base_v),
     )
     pred = _bounds_predicate(resolved)
     table_type = {f.name: f.dataType for f in schema.fields}
@@ -3960,6 +4091,9 @@ def versioned_restore(
             "partition_by": snapshot_meta(
                 path, "partition_by", version=version
             ) or "[]",
+            "partition_specs": snapshot_meta(
+                path, "partition_specs", version=version
+            ) or "[]",
             "retired_physicals": snapshot_meta(
                 path, "retired_physicals", version=version
             ) or "[]",
@@ -4066,6 +4200,9 @@ def versioned_clone(
     src_part = snapshot_meta(src_path, "partition_by", version=v)
     if src_part is not None:
         commit_meta["partition_by"] = src_part
+    src_hist = snapshot_meta(src_path, "partition_specs", version=v)
+    if src_hist is not None:
+        commit_meta["partition_specs"] = src_hist
     # the retired-physicals ledger guards the clone's pool files too:
     # they are hard links to pre-drop bytes, so re-adding a dropped
     # column at the clone without the ledger would resurrect them
@@ -4609,7 +4746,9 @@ def _compact_scoped(
     schema = StructType.fromJson(man["schema"])
     mapping = _schema_mapping(schema)
     spec = table_partitioning(path, version=v)
-    resolved = _resolve_bounds(where, schema, mapping, spec)
+    resolved = _resolve_bounds(
+        where, schema, mapping, table_partition_specs(path, version=v)
+    )
     boundary, carried, covered = _classify_for_delete(
         man["files"], resolved
     )

@@ -314,14 +314,16 @@ class VersionedTableReader(DataSourceReader):
         # so a pushed raw-timestamp filter can skip day partitions
         from skopje_spark.sinks.versioned import (
             _parse_partition_spec,
-            snapshot_meta,
+            table_partition_specs,
         )
 
-        raw_spec = snapshot_meta(self.table, "partition_by", version=v)
+        # spec UNION (current + historical epochs), so a pushed
+        # raw-timestamp filter keeps pruning old-epoch day files
+        # after the table evolved to a different layout
         self._derived = {
             s: t
             for t, s, tr in _parse_partition_spec(
-                json.loads(raw_spec) if raw_spec else []
+                table_partition_specs(self.table, version=v)
             )
             if tr == "date"
         }

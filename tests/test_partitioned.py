@@ -851,3 +851,182 @@ def test_connector_in_list_prunes_exact_set(spark, tmp_path):
         if e["path"] in {p.rel_path for p in parts}:
             days.add(e["partition"]["day"])
     assert days == {"2024-01-01", "2024-01-04"}
+
+
+def _spec_table(spark, path):
+    """v0: identity-partitioned by source, 3 sources × 4 days of ts."""
+    from skopje_spark.sinks.versioned import versioned_write
+
+    rows = [
+        (i, dt.datetime(2024, 6, 1 + (i % 4), 8, i % 60), f"s{i % 3}")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, src string")
+    versioned_write(df, path, partition_by=["src"])
+    return df
+
+
+def test_partition_spec_evolution_is_metadata_only(spark, tmp_path):
+    """versioned_set_partition_spec commits a NEW layout without
+    touching a byte: old files keep their entries verbatim, later
+    appends follow the new spec, and cross-epoch reads prune each
+    epoch by its own layout (new exactly, old conservatively with the
+    exact residual)."""
+    from skopje_spark.sinks.versioned import (
+        table_partition_specs,
+        table_partitioning,
+        versioned_append,
+        versioned_read_where,
+        versioned_set_partition_spec,
+    )
+
+    path = str(tmp_path / "t")
+    _spec_table(spark, path)
+    before = {
+        e["path"]: os.path.getmtime(os.path.join(path, e["path"]))
+        for e in _read_manifest(path, 0)["files"]
+    }
+    assert len(before) == 3  # one file per source
+    v1 = versioned_set_partition_spec(path, ["day=date(ts)"])
+    assert table_partitioning(path) == ["day=date(ts)"]
+    assert table_partition_specs(path) == ["day=date(ts)", "src"]
+    # metadata-only: the same entries, the same bytes on disk
+    after = {
+        e["path"]: os.path.getmtime(os.path.join(path, e["path"]))
+        for e in _read_manifest(path, v1)["files"]
+    }
+    assert after == before
+    # appends follow the NEW spec: one file per day
+    rows2 = [
+        (100 + i, dt.datetime(2024, 6, 1 + (i % 4), 20, 0), f"s{i % 3}")
+        for i in range(8)
+    ]
+    df2 = spark.createDataFrame(rows2, "id long, ts timestamp, src string")
+    v2 = versioned_append(spark, path, df2)
+    ent = _read_manifest(path, v2)["files"]
+    new_ent = [e for e in ent if e["path"] not in before]
+    assert len(new_ent) == 4
+    assert {e["partition"]["day"] for e in new_ent} == {
+        f"2024-06-0{d}" for d in range(1, 5)
+    }
+    old_ent = [e for e in ent if e["path"] in before]
+    assert all(e["partition"] == {"src": e["partition"]["src"]}
+               for e in old_ent)
+    # a day bound: new-epoch files elected EXACTLY, old conservatively
+    m: dict = {}
+    got = versioned_read_where(
+        spark, path, {"day": dt.date(2024, 6, 2)}, metrics=m
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        [i for i in range(48) if i % 4 == 1] + [101, 105]
+    )
+    from skopje_spark.sinks.versioned import _interval_split
+
+    cand, _ = _interval_split(ent, "day", "2024-06-02", "2024-06-02")
+    assert {e["path"] for e in cand} == (
+        set(before) | {e["path"] for e in new_ent
+                       if e["partition"]["day"] == "2024-06-02"}
+    )
+    # an src bound: OLD-epoch files elected exactly via injected stats
+    got2 = versioned_read_where(spark, path, {"src": "s1"})
+    assert sorted(r["id"] for r in got2.collect()) == sorted(
+        [i for i in range(48) if i % 3 == 1]
+        + [100 + i for i in range(8) if i % 3 == 1]
+    )
+
+
+def test_partition_spec_evolution_away_keeps_old_epoch_pruning(
+    spark, tmp_path
+):
+    """Evolving AWAY from day=date(ts): old-epoch files still prune
+    from raw-timestamp bounds through the spec HISTORY (native read
+    and connector both), and a whole-day DELETE stays correct across
+    epochs."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from skopje_spark.sinks.versioned import (
+        versioned_append,
+        versioned_delete,
+        versioned_set_partition_spec,
+        versioned_write,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    path = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 6, 1 + (i % 4), 8, i % 60), f"s{i % 3}")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, src string")
+    versioned_write(df, path, partition_by=["day=date(ts)"])  # 4 day files
+    versioned_set_partition_spec(path, ["src"])
+    rows2 = [
+        (100 + i, dt.datetime(2024, 6, 3, 21, 0), f"s{i % 3}")
+        for i in range(6)
+    ]
+    versioned_append(
+        spark, path,
+        spark.createDataFrame(rows2, "id long, ts timestamp, src string"),
+    )
+    # connector: pushed raw-ts filter prunes old-epoch day files via
+    # the historical transform
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([
+        GreaterThanOrEqual(("ts",), dt.datetime(2024, 6, 2, 0, 0)),
+        LessThanOrEqual(("ts",), dt.datetime(2024, 6, 2, 23, 59)),
+    ]))
+    parts = rd.partitions()
+    # old-epoch files prune to the ONE matching day; the 3 new-epoch
+    # src files (no day stats) stay conservative candidates
+    old_paths = {
+        e["path"] for e in _read_manifest(path, 0)["files"]
+    }
+    planned_old = [p for p in parts if p.rel_path in old_paths]
+    assert len(planned_old) == 1 and len(parts) == 4
+    # native whole-day delete across epochs: exact rows survive
+    v = versioned_delete(
+        spark, path, {"day": dt.date(2024, 6, 3)}
+    )
+    got = sorted(
+        r["id"]
+        for r in __import__(
+            "skopje_spark.sinks.versioned", fromlist=["versioned_read"]
+        ).versioned_read(spark, path).collect()
+    )
+    assert got == sorted(i for i in range(48) if i % 4 != 2)
+    # old-epoch day file dropped with zero IO; new-epoch src files
+    # were scanned (no day stats) — conservative, never wrong
+    assert int(snapshot_meta(path, "n_files_dropped", version=v)) == 1
+
+
+def test_partition_spec_evolution_validations(spark, tmp_path):
+    """Refusals: unchanged spec, unknown/ill-typed columns, target
+    colliding with a schema column, same target re-derived from a
+    different source across epochs."""
+    from skopje_spark.sinks.versioned import versioned_set_partition_spec
+
+    path = str(tmp_path / "t")
+    _spec_table(spark, path)
+    with pytest.raises(ValueError, match="already has partition spec"):
+        versioned_set_partition_spec(path, ["src"])
+    with pytest.raises(KeyError, match="nope"):
+        versioned_set_partition_spec(path, ["nope"])
+    with pytest.raises(TypeError, match="date/timestamp"):
+        versioned_set_partition_spec(path, ["d=date(src)"])
+    with pytest.raises(ValueError, match="collides"):
+        versioned_set_partition_spec(path, ["src=date(ts)"])
+    versioned_set_partition_spec(path, ["day=date(ts)"])
+    # same virtual target from a DIFFERENT source is ambiguous
+    path2 = str(tmp_path / "t2")
+    from skopje_spark.sinks.versioned import versioned_write
+
+    df2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1), dt.datetime(2024, 7, 1))],
+        "id long, ts timestamp, ts2 timestamp",
+    )
+    versioned_write(df2, path2, partition_by=["day=date(ts)"])
+    with pytest.raises(ValueError, match="ambiguous"):
+        versioned_set_partition_spec(path2, ["day=date(ts2)"])
