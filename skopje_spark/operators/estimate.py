@@ -235,3 +235,72 @@ def join_advice_from_stats(
         "b": cards["b"],
         "recommendation": rec,
     }
+
+
+def join_advice_auto(
+    spark,
+    path_a: str,
+    a_key: str,
+    path_b: str,
+    b_key: str,
+    *,
+    max_stale: int = 0,
+    rate: float = 0.05,
+    seed: int = 7,
+    broadcast_bytes: int = 64 * 1024 * 1024,
+    row_bytes: int = 100,
+    skew_share: float = 0.2,
+) -> dict:
+    """The planning entry a pipeline actually calls: answer the
+    broadcast/shuffle decision from each table's carried ANALYZE
+    statistics when BOTH sides' stats are fresh enough
+    (``versions_stale <= max_stale``) — zero Spark jobs, pure driver
+    arithmetic over kilobyte markers — and FALL BACK to the
+    coordinated-sample card (:func:`join_advice`, two pushed-down
+    sampled scans) when either side was never analyzed or its stats
+    have gone stale. Returns a dict with ``source`` ∈
+    {"stats", "sample"} so the caller can see which tier answered.
+
+    Scale: on a maintained lake the stats path answers every
+    recurring join plan for free; the sample only runs after enough
+    un-analyzed commits land — the classic catalog-stats-with-
+    sampling-backstop planner split."""
+    from skopje_spark.sinks.versioned import table_stats
+
+    fresh = True
+    for path, key in ((path_a, a_key), (path_b, b_key)):
+        st = table_stats(path)
+        if (
+            st is None
+            or key not in st["columns"]
+            or int(st["versions_stale"]) > max_stale
+        ):
+            fresh = False
+            break
+    if fresh:
+        card = join_advice_from_stats(
+            path_a, a_key, path_b, b_key,
+            broadcast_bytes=broadcast_bytes, row_bytes=row_bytes,
+        )
+        card["source"] = "stats"
+        return card
+    from skopje_spark.sinks.versioned import versioned_read
+
+    row = join_advice(
+        versioned_read(spark, path_a),
+        versioned_read(spark, path_b),
+        a_key, b_key,
+        rate=rate, seed=seed,
+        broadcast_bytes=broadcast_bytes, row_bytes=row_bytes,
+        skew_share=skew_share,
+    ).first()
+    return {
+        "est_join_rows": float(row["est_join_size"]),
+        "a": {"rows": float(row["est_rows_a"]),
+              "ndv": float(row["est_keys_a"])},
+        "b": {"rows": float(row["est_rows_b"]),
+              "ndv": float(row["est_keys_b"])},
+        "top_key_share": float(row["top_key_share"]),
+        "recommendation": row["recommendation"],
+        "source": "sample",
+    }

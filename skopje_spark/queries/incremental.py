@@ -2545,3 +2545,168 @@ def q_versioned_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("spec_evolution_ok", F.lit(bool(ok)))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_versioned_bucketed",
+    oracle="""
+    WITH k AS (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+    SELECT o.o_orderkey,
+           CAST(CASE WHEN o.o_orderkey IN (SELECT o_orderkey FROM k)
+                     THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 2
+                     ELSE CAST(o.o_totalprice AS DECIMAL(18,2)) END
+                AS DOUBLE) AS price,
+           TRUE AS bucket_prune
+    FROM orders o
+    ORDER BY o.o_orderkey
+    """,
+    tags=("versioned", "partitioning", "bucket", "merge", "lakeops"),
+)
+def q_versioned_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket(N, key) hidden partitioning under the driver gate
+    (sinks/versioned.py:_bucket_expr/_bucket_prune_candidates —
+    Iceberg's bucket transform, CRC32-canonical so the bucket is
+    computable on both the Spark and driver side): orders is
+    committed bucketed 16 ways on ``o_orderkey``, a 3-key MERGE
+    doubles those orders' prices, and the content must equal the
+    oracle applying the same update relationally. ``bucket_prune``
+    folds the storage-partitioned-merge proof: the MERGE rewrote
+    EXACTLY the update keys' bucket files (≤3 of 16) — interval
+    pruning can never close a file for hash-scattered keys, only the
+    bucket set can.
+
+    Scale: an m-key MERGE on a bucket(N)-partitioned 100 TB table
+    rewrites at most m buckets at any table size, decided by one
+    ≤N-row distinct over the update keys — the shuffle-free merge
+    economics bucketed layouts exist for."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _bucket_of,
+        _read_manifest,
+        snapshot_meta,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_bucket_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o, path, partition_by=["b=bucket(16,o_orderkey)"])
+    n_files = len(_read_manifest(path, 0)["files"])
+    keys = [
+        r["o_orderkey"]
+        for r in o.orderBy("o_orderkey").limit(3).collect()
+    ]
+    upd = o.filter(F.col("o_orderkey").isin(keys)).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast(dict(o.dtypes)["o_totalprice"])
+        .alias("o_totalprice"),
+    )
+    v = versioned_upsert(spark, path, upd, ["o_orderkey"])
+    rewrote = int(snapshot_meta(path, "n_files_rewritten", version=v))
+    expected_buckets = len({_bucket_of(k, 16) for k in keys})
+    prune_ok = n_files == 16 and rewrote == expected_buckets <= 3
+    return (
+        versioned_read(spark, path)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("price"),
+        )
+        .withColumn("bucket_prune", F.lit(bool(prune_ok)))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_lake_write_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS fanout_layout_ok
+    FROM (SELECT o_orderkey, o_orderpriority FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderkey <= 100) u
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("versioned", "datasource", "writer", "partitioning", "lakeops"),
+)
+def q_lake_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned writes THROUGH the connector under the driver gate
+    (sources/lakesource.py:VersionedTableWriter — Iceberg's fanout
+    writer): ``df.write.format("skopje_versioned").option(
+    "partitionBy", "o_orderpriority")`` creates the table with the
+    layout, a second connector append lands through the same fanout
+    path (each task splits its Arrow batches by partition tuple, one
+    pool file per tuple — no layout shuffle needed), and the content
+    matches the oracle's union. ``fanout_layout_ok`` folds the
+    layout proofs: every entry carries its partition tuple with
+    EXACT min==max injected stats, and a one-partition connector
+    scan plans exactly that partition's files.
+
+    Scale: the connector writer now targets the very tables the
+    engine recommends — partitioned appends from any Spark writer
+    keep the one-value-per-file invariant that makes partition
+    pruning exact, with per-task fanout instead of a shuffle."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.datasource import EqualTo
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_lakewp_") + "/t"
+    atexit.register(shutil.rmtree, os.path.dirname(path), ignore_errors=True)
+    (o.repartition(4)
+      .write.format("skopje_versioned").option("path", path)
+      .option("partitionBy", "o_orderpriority")
+      .mode("append").save())
+    (o.filter("o_orderkey <= 100")
+      .write.format("skopje_versioned").option("path", path)
+      .mode("append").save())
+    ent = _read_manifest(path, latest_version(path))["files"]
+    layout_ok = bool(ent) and all(
+        set(e.get("partition") or {}) == {"o_orderpriority"}
+        and e["stats"]["o_orderpriority"]["min"]
+        == e["stats"]["o_orderpriority"]["max"]
+        == e["partition"]["o_orderpriority"]
+        for e in ent
+    )
+    target = "1-URGENT"
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("o_orderpriority",), target)]))
+    planned = {p.rel_path for p in rd.partitions()}
+    expect = {
+        e["path"] for e in ent
+        if e["partition"]["o_orderpriority"] == target
+    }
+    ok = layout_ok and planned == expect and 0 < len(expect) < len(ent)
+    return (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("fanout_layout_ok", F.lit(bool(ok)))
+        .orderBy("o_orderpriority")
+    )

@@ -393,31 +393,96 @@ def _ensure_unique_physicals(schema, reserved=()):
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
-# hidden-partition transform spec: "target=date(source)" partitions by
-# a value DERIVED from a timestamp/date column without materializing
-# it in the schema (Iceberg's hidden partitioning, the date transform)
+# hidden-partition transform specs: "target=date(source)" partitions
+# by a value DERIVED from a timestamp/date column without
+# materializing it in the schema (Iceberg's hidden partitioning);
+# "target=bucket(N,source)" hash-buckets a key column into N stable
+# buckets (Iceberg's bucket transform — ours uses CRC32 of the
+# canonical string form so the SAME bucket is computable Spark-side
+# (F.crc32) and driver-side (zlib.crc32) without a job)
 _PART_TRANSFORM = re.compile(r"^(\w+)=date\((\w+)\)$")
+_PART_BUCKET = re.compile(r"^(\w+)=bucket\((\d+),\s*(\w+)\)$")
 
 
 def _parse_partition_spec(spec: list[str]) -> list[tuple[str, str, str]]:
     """partition_by entries → (target, source_column, transform).
     ``"col"`` is the identity transform; ``"day=date(ts)"`` derives a
-    virtual day from a timestamp/date column — the virtual target
-    never appears in the table schema, only in per-entry partition
-    values and injected stats."""
+    virtual day from a timestamp/date column; ``"b=bucket(16,id)"``
+    derives a hash bucket in [0, 16) from a key column — virtual
+    targets never appear in the table schema, only in per-entry
+    partition values and injected stats. Bucket transforms are
+    encoded as ``"bucket[N]"`` in the transform slot."""
     out = []
     for entry in spec:
         m = _PART_TRANSFORM.match(entry)
         if m:
             out.append((m.group(1), m.group(2), "date"))
-        elif re.match(r"^\w+$", entry):
+            continue
+        mb = _PART_BUCKET.match(entry)
+        if mb:
+            target, n, source = mb.group(1), int(mb.group(2)), mb.group(3)
+            if n < 2:
+                raise ValueError(
+                    f"bucket count must be >= 2 in {entry!r}"
+                )
+            out.append((target, source, f"bucket[{n}]"))
+            continue
+        if re.match(r"^\w+$", entry):
             out.append((entry, entry, "identity"))
         else:
             raise ValueError(
                 f"unsupported partition spec entry {entry!r} — use a "
-                "column name or 'target=date(source)'"
+                "column name, 'target=date(source)', or "
+                "'target=bucket(N, source)'"
             )
     return out
+
+
+def _bucket_expr(col, n: int):
+    """The bucket transform as a Spark expression: CRC32 over the
+    value's canonical string form, mod N. CAST(x AS STRING) is the
+    canonical form (ints print as decimal digits, strings are
+    themselves), so :func:`_bucket_of` reproduces the same bucket
+    driver-side with zlib.crc32 — no job to prune a point bound.
+    NULL buckets to NULL (the all-NULL partition file, stat-less)."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.crc32(col.cast("string").cast("binary")), F.lit(n))
+
+
+def _bucket_of(value, n: int):
+    """Driver-side twin of :func:`_bucket_expr` (verified equal for
+    int/string values, unicode included)."""
+    import zlib
+
+    if value is None:
+        return None
+    if isinstance(value, bool):  # CAST(bool AS STRING) -> true/false
+        value = "true" if value else "false"
+    return zlib.crc32(str(value).encode("utf-8")) % n
+
+
+def _check_bucket_source_type(name: str, dtype) -> None:
+    """Bucket sources are key-shaped types whose canonical string form
+    is unambiguous on both sides: integers and strings. Floats (NaN,
+    trailing-zero forms) and temporals (zone/format ambiguity) are
+    refused loudly."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    if not isinstance(
+        dtype, (ByteType, ShortType, IntegerType, LongType, StringType)
+    ):
+        raise TypeError(
+            f"bucket() partition source {name!r} has type "
+            f"{dtype.simpleString()}; supported bucket sources: "
+            "byte/short/int/long, string"
+        )
 
 
 def _day_expr(col, dtype):
@@ -562,7 +627,16 @@ def _stage_data_files(
             shadow_exprs.append(F.col(phys))
             stat_keys.append(phys)
             dec_types.append(dtypes[phys])
-        else:  # date transform: hidden partitioning
+            continue
+        # hidden transforms: virtual target, stats under the target
+        if target in dtypes or target in (
+            (mapping or {}).get(c, c) for c in dtypes
+        ):
+            raise ValueError(
+                f"hidden partition target {target!r} collides with "
+                "an existing column; pick a fresh name"
+            )
+        if transform == "date":
             if not isinstance(
                 dtypes[phys], (DateType, TimestampType, TimestampNTZType)
             ):
@@ -571,16 +645,17 @@ def _stage_data_files(
                     f"source; {source!r} is "
                     f"{dtypes[phys].simpleString()}"
                 )
-            if target in dtypes or target in (
-                (mapping or {}).get(c, c) for c in dtypes
-            ):
-                raise ValueError(
-                    f"hidden partition target {target!r} collides with "
-                    "an existing column; pick a fresh name"
-                )
             shadow_exprs.append(_day_expr(F.col(phys), dtypes[phys]))
-            stat_keys.append(target)  # virtual: stats under the target
+            stat_keys.append(target)
             dec_types.append(DateType())
+        else:  # bucket[N]
+            from pyspark.sql.types import LongType
+
+            _check_bucket_source_type(source, dtypes[phys])
+            n = int(transform[len("bucket["):-1])
+            shadow_exprs.append(_bucket_expr(F.col(phys), n))
+            stat_keys.append(target)
+            dec_types.append(LongType())
     shadows = [f"__part_{i}" for i in range(len(parsed))]
     # shadow copies carry the layout; the REAL columns stay in the
     # data files, so reads, DVs, constraints, CDF all see them as on
@@ -832,16 +907,29 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
                 mn, mx = min(mn, m2), max(mx, x2)
             if ok:
                 agg[col] = {"min": mn, "max": mx}
-        refs.append(
-            {
-                "path": rel,
-                "n": len(chunk),
-                "rows": sum(int(e.get("rows", 0)) for e in chunk),
-                "bytes": sum(int(e.get("bytes", 0)) for e in chunk),
-                "dv_rows": sum(int(e.get("dv_rows", 0)) for e in chunk),
-                "stats": agg,
-            }
-        )
+        ref = {
+            "path": rel,
+            "n": len(chunk),
+            "rows": sum(int(e.get("rows", 0)) for e in chunk),
+            "bytes": sum(int(e.get("bytes", 0)) for e in chunk),
+            "dv_rows": sum(int(e.get("dv_rows", 0)) for e in chunk),
+            "stats": agg,
+        }
+        # per-partition-tuple aggregates (only when every member has a
+        # recorded tuple): SHOW PARTITIONS and the advisor's skew card
+        # sum these kilobyte ref rows instead of parsing segments —
+        # O(segments) driver JSON for an 800k-file table. DV changes
+        # rewrite the member entries, so the fold is always fresh.
+        if all(e.get("partition") is not None for e in chunk):
+            parts: dict[str, list] = {}
+            for e in chunk:
+                k = json.dumps(e["partition"], sort_keys=True)
+                slot = parts.setdefault(k, [e["partition"], 0, 0, 0])
+                slot[1] += 1
+                slot[2] += int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
+                slot[3] += int(e.get("bytes", 0))
+            ref["partitions"] = [parts[k] for k in sorted(parts)]
+        refs.append(ref)
     return refs
 
 
@@ -1330,7 +1418,13 @@ def versioned_set_partition_spec(
                 )
             if transform == "identity":
                 _check_partition_type(target, dtypes[source])
-            else:
+                continue
+            if target in dtypes:
+                raise ValueError(
+                    f"hidden partition target {target!r} collides "
+                    "with an existing column; pick a fresh name"
+                )
+            if transform == "date":
                 if not isinstance(
                     dtypes[source],
                     (DateType, TimestampType, TimestampNTZType),
@@ -1340,11 +1434,8 @@ def versioned_set_partition_spec(
                         f"timestamp source; {source!r} is "
                         f"{dtypes[source].simpleString()}"
                     )
-                if target in dtypes:
-                    raise ValueError(
-                        f"hidden partition target {target!r} collides "
-                        "with an existing column; pick a fresh name"
-                    )
+            else:  # bucket[N]
+                _check_bucket_source_type(source, dtypes[source])
         old_spec = table_partitioning(path, version=committed)
         if old_spec == list(spec):
             raise ValueError(
@@ -1356,21 +1447,22 @@ def versioned_set_partition_spec(
         hist = json.loads(hist_raw) if hist_raw else []
         if old_spec and old_spec not in hist:
             hist.append(old_spec)
-        # same virtual target re-used with a DIFFERENT source across
+        # same virtual target re-used with a DIFFERENT derivation
+        # (other source OR other transform/bucket count) across
         # epochs would make the residual expression ambiguous
-        seen: dict[str, str] = {}
+        seen: dict[str, tuple] = {}
         for s in [*hist, list(spec)]:
             for t, src, tr in _parse_partition_spec(s):
                 if tr != "identity":
-                    if seen.get(t, src) != src:
+                    if seen.get(t, (src, tr)) != (src, tr):
                         raise ValueError(
                             f"hidden partition target {t!r} was "
-                            f"derived from {seen[t]!r} in an earlier "
-                            f"spec epoch; deriving it from {src!r} "
-                            "now would be ambiguous — pick a fresh "
-                            "target name"
+                            f"derived as {seen[t]!r} in an earlier "
+                            f"spec epoch; deriving it as "
+                            f"{(src, tr)!r} now would be ambiguous "
+                            "— pick a fresh target name"
                         )
-                    seen[t] = src
+                    seen[t] = (src, tr)
         commit_meta = {
             "op": "set_partition_spec",
             "partition_by": json.dumps(list(spec)),
@@ -1384,14 +1476,18 @@ def versioned_set_partition_spec(
 
 
 def versioned_partitions(
-    path: str, *, version: int | None = None
+    path: str, *, version: int | None = None, metrics: dict | None = None
 ) -> list[dict]:
     """SHOW PARTITIONS from the manifest alone: one row per distinct
     partition tuple with exact ``n_files`` / ``n_bytes`` /
-    ``n_rows`` (DV-adjusted) — O(manifest) driver arithmetic, no
-    Spark job, the same free-metadata contract as
-    :func:`versioned_count`. Raises on an unpartitioned table (there
-    is nothing to show)."""
+    ``n_rows`` (DV-adjusted) — no Spark job, the same free-metadata
+    contract as :func:`versioned_count`. Segment refs carry
+    per-tuple aggregates (:func:`_write_segments`), so a segmented
+    table answers from the KILOBYTE refs without opening a single
+    segment file — O(segments), not O(files), on an 800k-file table;
+    only legacy refs without the fold are opened. Raises on an
+    unpartitioned table (there is nothing to show). ``metrics`` (if
+    given) records ``segments_opened``/``segments_total``."""
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -1401,15 +1497,46 @@ def versioned_partitions(
         raise ValueError(f"table at {path} (v{v}) is not partitioned")
     targets = [t for t, _, _ in _parse_partition_spec(spec)]
     agg: dict[tuple, dict] = {}
-    for e in _read_manifest(path, v)["files"]:
-        part = e.get("partition") or {}
+
+    def fold(part: dict, n_files: int, n_rows: int, n_bytes: int) -> None:
         key = tuple(part.get(c) for c in targets)
         slot = agg.setdefault(
             key, {"n_files": 0, "n_bytes": 0, "n_rows": 0}
         )
-        slot["n_files"] += 1
-        slot["n_bytes"] += int(e.get("bytes", 0))
-        slot["n_rows"] += int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
+        slot["n_files"] += n_files
+        slot["n_bytes"] += n_bytes
+        slot["n_rows"] += n_rows
+
+    with open(os.path.join(path, f"v={v}", _MANIFEST_NAME)) as f:
+        man = json.load(f)
+    opened = 0
+    total = 1
+    if "files" in man:
+        for e in man["files"]:
+            fold(
+                e.get("partition") or {}, 1,
+                int(e.get("rows", 0)) - int(e.get("dv_rows", 0)),
+                int(e.get("bytes", 0)),
+            )
+    else:
+        total = len(man["segments"])
+        for ref in man["segments"]:
+            folded = ref.get("partitions")
+            if folded is not None:
+                for part, n_files, n_rows, n_bytes in folded:
+                    fold(part, n_files, n_rows, n_bytes)
+                continue
+            opened += 1  # legacy ref without the fold: open it
+            with open(os.path.join(path, ref["path"])) as f:
+                for e in json.load(f):
+                    fold(
+                        e.get("partition") or {}, 1,
+                        int(e.get("rows", 0)) - int(e.get("dv_rows", 0)),
+                        int(e.get("bytes", 0)),
+                    )
+    if metrics is not None:
+        metrics["segments_opened"] = opened
+        metrics["segments_total"] = total
     return [
         {**dict(zip(targets, key)), **vals}
         for key, vals in sorted(
@@ -2351,6 +2478,51 @@ def _match_files(
     return cand, carried
 
 
+def _bucket_prune_candidates(
+    path: str,
+    base_v: int,
+    keys: list[str],
+    frame: DataFrame,
+    cand: list[dict],
+    carried: list[dict],
+) -> tuple[list[dict], list[dict]]:
+    """Storage-partitioned MERGE candidacy: when the CURRENT spec
+    bucket-partitions a merge key (``b=bucket(N, key)``), compute the
+    update keys' bucket set Spark-side (one tiny distinct, ≤N rows
+    collected) and carry every single-valued bucket file outside the
+    set — provably match-free, because equal keys hash to equal
+    buckets. An m-key merge on a bucketed 100 TB table rewrites at
+    most m buckets; interval pruning alone can't do this for
+    hash-scattered keys (their [min, max] span covers every file)."""
+    from pyspark.sql import functions as F
+
+    spec = table_partitioning(path, version=base_v)
+    for target, source, tr in _parse_partition_spec(spec):
+        if not tr.startswith("bucket[") or source not in keys or not cand:
+            continue
+        n = int(tr[len("bucket["):-1])
+        rows = (
+            frame.select(_bucket_expr(F.col(source), n).alias("__b"))
+            .distinct()
+            .collect()
+        )
+        # NULL keys never equi-match (SQL MERGE), so a NULL bucket
+        # contributes no candidacy
+        bset = {r["__b"] for r in rows if r["__b"] is not None}
+        still: list[dict] = []
+        extra: list[dict] = []
+        for e in cand:
+            st = (e.get("stats") or {}).get(target)
+            mn = None if st is None else st.get("min")
+            mx = None if st is None else st.get("max")
+            if mn is not None and mn == mx and mn not in bset:
+                extra.append(e)
+            else:
+                still.append(e)  # stat-less / multi-bucket: conservative
+        cand, carried = still, carried + extra
+    return cand, carried
+
+
 def _key_bounds(updates: DataFrame, key: str) -> tuple:
     """(min, max, has_nan, n_nonnull) of the update keys — one tiny
     agg job over the (already computed) update frame, run only when a
@@ -2810,6 +2982,12 @@ def versioned_upsert(
             cand, mapping.get(k, k), lo_k, hi_k
         )
         carried = carried + extra
+    # storage-partitioned candidacy: a bucketed merge key prunes by
+    # the update keys' exact bucket set (hash-scattered keys span
+    # every interval, so only set membership can close files)
+    cand, carried = _bucket_prune_candidates(
+        path, base_v, keys, aligned, cand, carried
+    )
     if cand:
         # DV-aware slice: a candidate file's deleted rows must not
         # resurrect through the rewrite
@@ -3026,6 +3204,10 @@ def versioned_merge(
             cand, mapping.get(k, k), lo_k, hi_k
         )
         carried = carried + extra
+    # storage-partitioned candidacy (see versioned_upsert)
+    cand, carried = _bucket_prune_candidates(
+        path, base_v, keys, key_src, cand, carried
+    )
 
     upd_cond = F.expr(when_matched_update) if when_matched_update else F.lit(False)
     del_cond = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
@@ -3394,10 +3576,15 @@ def _resolve_bounds(
     if not bounds:
         raise ValueError("bounds dict is empty")
     names = {f.name for f in schema.fields}
-    transforms = {
-        t: s for t, s, tr in _parse_partition_spec(spec) if tr == "date"
-    }
+    parsed_spec = _parse_partition_spec(spec)
+    transforms = {t: s for t, s, tr in parsed_spec if tr == "date"}
     sources = {s: t for t, s in transforms.items()}
+    buckets = {
+        t: (s, int(tr[len("bucket["):-1]))
+        for t, s, tr in parsed_spec
+        if tr.startswith("bucket[")
+    }
+    bucket_sources = {s: (t, n) for t, (s, n) in buckets.items()}
     dtypes = {f.name: f.dataType for f in schema.fields}
     out: list[dict] = []
     for col, b in bounds.items():
@@ -3443,6 +3630,31 @@ def _resolve_bounds(
                             d is not None for d in dset
                         ) else None
                     out.append(unit(target, None, dlo, dhi, dvals, False))
+            bt = bucket_sources.get(col)
+            if bt is not None:
+                # bucket is NOT monotone: only EQUALITY bounds derive —
+                # a point value pins one bucket, an IN-list pins the
+                # bucket set (prune-only; the real-column unit above
+                # already carries the exact residual)
+                btarget, n = bt
+                safe = lambda v: isinstance(v, (int, str)) and not (  # noqa: E731
+                    isinstance(v, bool)
+                )
+                if raw_vals is not None and all(safe(v) for v in raw_vals):
+                    bvals = sorted({_bucket_of(v, n) for v in raw_vals})
+                    out.append(unit(
+                        btarget, None, min(bvals), max(bvals), bvals,
+                        False,
+                    ))
+                elif raw_vals is None and lo == hi and safe(lo):
+                    b = _bucket_of(lo, n)
+                    out.append(unit(btarget, None, b, b, None, False))
+        elif col in buckets:
+            # direct bound on the bucket target: exact residual via
+            # the bucket expression over the real source column
+            bsrc, n = buckets[col]
+            bexpr = _bucket_expr(F.col(bsrc), n)
+            out.append(unit(col, bexpr, lo, hi, raw_vals, True))
         elif col in transforms:
             src = transforms[col]
             day_col = _day_expr(F.col(src), dtypes[src])
@@ -3472,7 +3684,7 @@ def _resolve_bounds(
             raise KeyError(
                 f"bound column {col!r} is neither a table column "
                 f"({sorted(names)}) nor a hidden partition target "
-                f"({sorted(transforms)})"
+                f"({sorted([*transforms, *buckets])})"
             )
     return out
 
@@ -5322,15 +5534,14 @@ def maintenance_report(
     n_partitions = None
     partition_skew = None
     if spec:
-        targets = [t for t, _, _ in _parse_partition_spec(spec)]
-        by_part: dict[tuple, int] = {}
-        for e in entries:
-            key = tuple((e.get("partition") or {}).get(c) for c in targets)
-            by_part[key] = (
-                by_part.get(key, 0)
-                + int(e.get("rows", 0))
-                - int(e.get("dv_rows", 0))
-            )
+        # O(segments) when refs carry the per-tuple fold; the row
+        # counts are identical to walking the entries
+        by_part = {
+            tuple(p[t] for t in (
+                t_ for t_, _, _ in _parse_partition_spec(spec)
+            )): p["n_rows"]
+            for p in versioned_partitions(path, version=committed)
+        }
         n_partitions = len(by_part)
         if by_part:
             mx = max(by_part.values())

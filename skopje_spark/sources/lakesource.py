@@ -320,12 +320,17 @@ class VersionedTableReader(DataSourceReader):
         # spec UNION (current + historical epochs), so a pushed
         # raw-timestamp filter keeps pruning old-epoch day files
         # after the table evolved to a different layout
-        self._derived = {
-            s: t
-            for t, s, tr in _parse_partition_spec(
-                table_partition_specs(self.table, version=v)
-            )
-            if tr == "date"
+        union_spec = _parse_partition_spec(
+            table_partition_specs(self.table, version=v)
+        )
+        self._derived = {s: t for t, s, tr in union_spec if tr == "date"}
+        # bucket transforms: a pushed point/IN filter on the source
+        # key derives the exact bucket(s) driver-side (zlib.crc32
+        # twin of the write expression — no job)
+        self._bucketed = {
+            s: (t, int(tr[len("bucket["):-1]))
+            for t, s, tr in union_spec
+            if tr.startswith("bucket[")
         }
         # reader metrics (inspectable by tests/operators): how many
         # manifest segments the plan opened vs carried unopened
@@ -381,17 +386,35 @@ class VersionedTableReader(DataSourceReader):
                     return None, False
             return None, False
 
+        from skopje_spark.sinks.versioned import _bucket_of
+
+        def _bsafe(v):
+            return isinstance(v, (int, str)) and not isinstance(v, bool)
+
+        bucket_sets: list[tuple[str, set]] = []
         for col, (lo, hi) in self._bounds.items():
             target = self._derived.get(col)
-            if target is None:
-                continue
-            dlo, ok_lo = _day(lo, dtypes.get(col))
-            dhi, ok_hi = _day(hi, dtypes.get(col))
-            if ok_lo and ok_hi and not (dlo is None and dhi is None):
-                # date() is monotone: ts ∈ [lo, hi] ⇒ day ∈ derived
-                # interval — prune-only, Spark re-applies the exact
-                # timestamp filter on the survivors
-                phys_bounds.append((target, dlo, dhi))
+            if target is not None:
+                dlo, ok_lo = _day(lo, dtypes.get(col))
+                dhi, ok_hi = _day(hi, dtypes.get(col))
+                if ok_lo and ok_hi and not (dlo is None and dhi is None):
+                    # date() is monotone: ts ∈ [lo, hi] ⇒ day ∈ derived
+                    # interval — prune-only, Spark re-applies the exact
+                    # timestamp filter on the survivors
+                    phys_bounds.append((target, dlo, dhi))
+            bt = self._bucketed.get(col)
+            if bt is not None and lo == hi and lo is not None and _bsafe(lo):
+                # bucket is not monotone: only a POINT bound derives
+                btarget, n = bt
+                b = _bucket_of(lo, n)
+                phys_bounds.append((btarget, b, b))
+        for col, vals in self._in_sets.items():
+            bt = self._bucketed.get(col)
+            if bt is not None and all(_bsafe(v) for v in vals):
+                btarget, n = bt
+                bucket_sets.append(
+                    (btarget, {_bucket_of(v, n) for v in vals})
+                )
         if "files" in self.man:  # legacy flat manifest
             entries = list(self.man["files"])
             self.segments_opened = 1
@@ -426,6 +449,8 @@ class VersionedTableReader(DataSourceReader):
         for col, vals in self._in_sets.items():
             sk = self.map.get(col, col)
             entries = [e for e in entries if _in_set(e, sk, vals)]
+        for btarget, bvals in bucket_sets:
+            entries = [e for e in entries if _in_set(e, btarget, bvals)]
         return entries
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -482,7 +507,71 @@ class VersionedTableDataSource(DataSource):
 
 @dataclass
 class _PooledFile(WriterCommitMessage):
-    entry: dict | None  # manifest entry, None for an empty task
+    # manifest entries staged by one task: one for an unpartitioned
+    # table, one PER PARTITION TUPLE seen by the task (fanout writer),
+    # empty for an empty task
+    entries: list = field(default_factory=list)
+
+
+def _partition_shadow_values(table, parsed_spec, mapping, col_types):
+    """Per-row transformed partition values for an Arrow table, one
+    list per spec entry, as JSON-safe scalars in the canonical stats
+    domain (dates → ISO strings, buckets → ints): the executor-side
+    twin of _stage_data_files' shadow expressions. numpy/pyarrow
+    only — no JVM, no per-row Python except over UNIQUE values for
+    the bucket hash."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from skopje_spark.sinks.versioned import _bucket_of
+
+    out = []
+    for target, source, transform in parsed_spec:
+        phys = mapping.get(source, source)
+        col = table.column(phys)
+        if transform == "identity":
+            vals = col.to_pylist()
+            import datetime as _dt
+
+            vals = [
+                v.isoformat() if isinstance(v, _dt.date) else v
+                for v in vals
+            ]
+        elif transform == "date":
+            t = col.type
+            if pa.types.is_date(t):
+                vals = [
+                    None if v is None else v.isoformat()
+                    for v in col.to_pylist()
+                ]
+            else:
+                # UTC epoch day from the timestamp's epoch micros —
+                # the zone-free _day_expr twin (NTZ wall micros give
+                # the wall date through the same floor)
+                unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                    t.unit
+                ]
+                raw = pc.cast(col, pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                days = np.floor_divide(np.nan_to_num(raw), 86400 * unit)
+                epoch = np.datetime64("1970-01-01")
+                vals = [
+                    str((epoch + np.timedelta64(int(d), "D")))
+                    if ok
+                    else None
+                    for d, ok in zip(days, valid)
+                ]
+        else:  # bucket[N]
+            n = int(transform[len("bucket["):-1])
+            raw = col.to_pylist()
+            uniq = {v: _bucket_of(v, n) for v in set(raw)}
+            vals = [uniq[v] for v in raw]
+        out.append((target, phys if transform == "identity" else target,
+                    vals))
+    return out
 
 
 class VersionedTableWriter(DataSourceArrowWriter):
@@ -506,6 +595,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
         self, schema: StructType, options: dict[str, str], overwrite: bool
     ) -> None:
         from skopje_spark.sinks.versioned import (
+            _parse_partition_spec,
             _read_manifest,
             latest_version,
             table_partitioning,
@@ -516,17 +606,26 @@ class VersionedTableWriter(DataSourceArrowWriter):
             raise ValueError("skopje_versioned: provide option 'path'")
         self.overwrite = overwrite
         committed = latest_version(self.path)
-        if committed is not None and table_partitioning(self.path):
-            # the Arrow writer streams one pool file per task with no
-            # layout shuffle — it cannot honor the one-value-per-file
-            # partition invariant. Loud refusal beats silently
-            # degrading the table's exact pruning to footer stats.
-            raise ValueError(
-                f"table at {self.path} is partitioned "
-                f"({table_partitioning(self.path)}); the skopje_versioned "
-                "writer cannot preserve the partition layout — use "
-                "versioned_append/versioned_upsert"
-            )
+        # partitioned tables write through a FANOUT writer (Iceberg's
+        # unsorted-stream shape): each task splits its Arrow batches
+        # by partition tuple and keeps one pool file per tuple, so
+        # the one-value-per-file invariant and exact injected stats
+        # survive without a layout shuffle. Creating/overwriting can
+        # declare a layout via .option("partitionBy", "a,b=date(ts)").
+        if committed is None or overwrite:
+            import re as _re
+
+            raw_spec = options.get("partitionby", "")
+            # split on TOP-LEVEL commas only — 'b=bucket(4,id)' keeps
+            # its inner comma
+            self.partition_spec = [
+                s.strip()
+                for s in _re.split(r",(?![^()]*\))", raw_spec)
+                if s.strip()
+            ]
+        else:
+            self.partition_spec = table_partitioning(self.path)
+        self.parsed_spec = _parse_partition_spec(self.partition_spec)
         if committed is None or overwrite:
             # creating / replacing: the DataFrame's schema is the
             # table schema (physical = logical for fresh columns)
@@ -548,6 +647,45 @@ class VersionedTableWriter(DataSourceArrowWriter):
             self.schema_json = man["schema"]
             self.map = _mapping(man)
             self.table_schema = table
+        # validate the layout against the frame schema exactly as the
+        # native write path would (_stage_data_files' checks)
+        from pyspark.sql.types import (
+            DateType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        from skopje_spark.sinks.versioned import (
+            _check_bucket_source_type,
+            _check_partition_type,
+        )
+
+        dtypes = {f.name: f.dataType for f in self.table_schema.fields}
+        for tg, src, tr in self.parsed_spec:
+            if src not in dtypes:
+                raise KeyError(
+                    f"partition source column {src!r} not in schema "
+                    f"{sorted(dtypes)}"
+                )
+            if tr == "identity":
+                _check_partition_type(tg, dtypes[src])
+            elif tg in dtypes:
+                raise ValueError(
+                    f"hidden partition target {tg!r} collides with an "
+                    "existing column; pick a fresh name"
+                )
+            elif tr == "date":
+                if not isinstance(
+                    dtypes[src],
+                    (DateType, TimestampType, TimestampNTZType),
+                ):
+                    raise TypeError(
+                        f"date() partition transform needs a date/"
+                        f"timestamp source; {src!r} is "
+                        f"{dtypes[src].simpleString()}"
+                    )
+            else:
+                _check_bucket_source_type(src, dtypes[src])
 
     def write(self, iterator) -> _PooledFile:
         import uuid
@@ -571,10 +709,20 @@ class VersionedTableWriter(DataSourceArrowWriter):
         )
         pool = os.path.join(self.path, _DATA_DIR)
         os.makedirs(pool, exist_ok=True)
-        rel = f"{_DATA_DIR}/{uuid.uuid4().hex}-w.parquet"
-        abs_path = os.path.join(self.path, rel)
-        writer = None
-        n = 0
+        col_types = {f.name: f.dataType for f in self.table_schema.fields}
+        # one open writer per partition tuple (Iceberg fanout writer);
+        # the () tuple is the unpartitioned path — same code, one file
+        writers: dict[tuple, tuple] = {}  # tuple -> (writer, abs, rel)
+
+        def _writer_for(key: tuple):
+            got = writers.get(key)
+            if got is None:
+                rel = f"{_DATA_DIR}/{uuid.uuid4().hex}-w.parquet"
+                abs_path = os.path.join(self.path, rel)
+                got = (pq.ParquetWriter(abs_path, target), abs_path, rel)
+                writers[key] = got
+            return got[0]
+
         for batch in iterator:
             t = pa.table(batch)
             cols = []
@@ -585,14 +733,44 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     col = col.cast(at)
                 cols.append(col)
             out = pa.table(dict(zip(target.names, cols)))
-            if writer is None:
-                writer = pq.ParquetWriter(abs_path, target)
-            writer.write_table(out)
-            n += out.num_rows
-        if writer is None:
-            return _PooledFile(entry=None)  # empty task: no file
-        writer.close()
-        return _PooledFile(entry=_file_entry(abs_path, rel))
+            if not self.parsed_spec:
+                _writer_for(()).write_table(out)
+                continue
+            shadows = _partition_shadow_values(
+                out, self.parsed_spec, self.map, col_types
+            )
+            keys = list(zip(*[vals for _, _, vals in shadows]))
+            groups: dict[tuple, list[int]] = {}
+            for i, k in enumerate(keys):
+                groups.setdefault(k, []).append(i)
+            for key, idxs in groups.items():
+                _writer_for(key).write_table(out.take(idxs))
+        # injected stats under the stat key (physical name for
+        # identity, virtual target for hidden transforms) — exactly
+        # _stage_data_files' contract, so every stats consumer prunes
+        # connector-written partitions identically
+        pairs = [
+            (tg, self.map.get(src, src) if tr == "identity" else tg)
+            for tg, src, tr in self.parsed_spec
+        ]
+        entries = []
+        for key, (w, abs_path, rel) in writers.items():
+            w.close()
+            e = _file_entry(abs_path, rel)
+            if self.parsed_spec:
+                part: dict = {}
+                stats = e.setdefault("stats", {})
+                for (target_name, stat_key), val in zip(pairs, key):
+                    part[target_name] = val
+                    if val is None:
+                        stats.pop(stat_key, None)
+                    else:
+                        stats[stat_key] = {
+                            "min": val, "max": val, "nulls": 0
+                        }
+                e["partition"] = part
+            entries.append(e)
+        return _PooledFile(entries=entries)
 
     def commit(self, messages) -> None:
         from pyspark.sql import SparkSession
@@ -605,7 +783,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
             snapshot_meta,
         )
 
-        entries = [m.entry for m in messages if m and m.entry]
+        entries = [e for m in messages if m for e in (m.entries or [])]
         base0 = latest_version(self.path)
         enforced_marker = (
             snapshot_meta(self.path, "constraints", version=base0)
@@ -663,11 +841,22 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     f"writer commit at {self.path} refused: CHECK "
                     "constraints changed after this batch was validated"
                 )
+            commit_meta = {
+                "op": op, "n_files_appended": str(len(entries)),
+                "n_files_rewritten": "0",
+            }
+            if base is None or self.overwrite:
+                # a create/overwrite defines its own layout, exactly
+                # like versioned_write: record the declared spec (or
+                # clear a stale inherited one) and reset the epoch
+                # history — no earlier-layout file survives
+                commit_meta["partition_by"] = json.dumps(
+                    self.partition_spec
+                )
+                commit_meta["partition_specs"] = "[]"
             try:
                 _commit_manifest(
-                    self.path, schema_json, files,
-                    {"op": op, "n_files_appended": str(len(entries)),
-                     "n_files_rewritten": "0"},
+                    self.path, schema_json, files, commit_meta,
                     base, 600.0,
                     reuse_refs=reuse,
                 )
@@ -682,9 +871,9 @@ class VersionedTableWriter(DataSourceArrowWriter):
         # drop this job's pooled files eagerly (vacuum would collect
         # them anyway — they are referenced by no manifest)
         for m in messages or []:
-            if m and m.entry:
+            for e in (m.entries if m else []) or []:
                 try:
-                    os.unlink(os.path.join(self.path, m.entry["path"]))
+                    os.unlink(os.path.join(self.path, e["path"]))
                 except OSError:
                     pass
 
@@ -727,7 +916,7 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
             snapshot_meta,
         )
 
-        entries = [m.entry for m in messages if m and m.entry]
+        entries = [e for m in messages if m for e in (m.entries or [])]
 
         def _drop_staged() -> None:
             for e in entries:
@@ -819,9 +1008,9 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
-            if m and m.entry:
+            for e in (m.entries if m else []) or []:
                 try:
-                    os.unlink(os.path.join(self.path, m.entry["path"]))
+                    os.unlink(os.path.join(self.path, e["path"]))
                 except OSError:
                     pass
 

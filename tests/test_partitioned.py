@@ -191,16 +191,14 @@ def test_partition_null_and_spec_guards(spark, tmp_path):
     assert versioned_partitions(path)  # listable again
 
 
-def test_connector_prunes_on_partition_and_refuses_writes(spark, tmp_path):
+def test_connector_prunes_on_partition_and_fanout_writes(spark, tmp_path):
     """pushFilters equality on a partition column (string AND date)
-    plans exactly that partition's files; the Arrow writer refuses a
-    partitioned table loudly."""
+    plans exactly that partition's files; the Arrow writer APPENDS to
+    a partitioned table through the fanout path — one-value-per-file
+    preserved, exact injected stats, pruning still exact."""
     from pyspark.sql.datasource import EqualTo
 
-    from skopje_spark.sources.lakesource import (
-        VersionedTableReader,
-        VersionedTableWriter,
-    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
     from skopje_spark.sources.pysource import register_all
 
     register_all(spark)
@@ -221,11 +219,35 @@ def test_connector_prunes_on_partition_and_refuses_writes(spark, tmp_path):
     assert sorted(r["id"] for r in got.collect()) == sorted(
         i for i in range(60) if i % 3 == 2 and i % 5 == 3
     )
-    with pytest.raises(Exception, match="partitioned"):
-        (
-            _events(spark, 3).write.format("skopje_versioned")
-            .option("path", path).mode("append").save()
-        )
+    # connector append preserves the layout invariant + exact stats
+    batch = spark.createDataFrame(
+        [(200, "src0", dt.date(2024, 1, 2), "w-a"),
+         (201, "src1", dt.date(2024, 1, 2), "w-b")],
+        "id long, source string, day date, payload string",
+    ).coalesce(1)
+    (batch.write.format("skopje_versioned")
+     .option("path", path).mode("append").save())
+    v = latest_version(path)
+    ent = _read_manifest(path, v)["files"]
+    new = [e for e in ent if e["path"].endswith("-w.parquet")]
+    assert len(new) == 2  # one file per partition tuple, same task
+    for e in new:
+        part = e["partition"]
+        assert set(part) == {"source", "day"}
+        s = part["source"]
+        assert e["stats"]["source"] == {"min": s, "max": s, "nulls": 0}
+        assert e["stats"]["day"] == {
+            "min": "2024-01-02", "max": "2024-01-02", "nulls": 0
+        }
+    rows = {
+        r["id"]: r["payload"]
+        for r in versioned_read(spark, path).collect()
+    }
+    assert rows[200] == "w-a" and rows[201] == "w-b" and len(rows) == 62
+    # pruning after the connector write stays exact
+    rd3 = VersionedTableReader({"path": path})
+    list(rd3.pushFilters([EqualTo(("day",), dt.date(2024, 1, 2))]))
+    assert len(rd3.partitions()) == 5  # 3 original + 2 appended
 
 
 def test_partition_disjoint_rebase_lands_metadata_only(spark, tmp_path):
@@ -1030,3 +1052,180 @@ def test_partition_spec_evolution_validations(spark, tmp_path):
     versioned_write(df2, path2, partition_by=["day=date(ts)"])
     with pytest.raises(ValueError, match="ambiguous"):
         versioned_set_partition_spec(path2, ["day=date(ts2)"])
+
+
+def test_bucket_partitioning_write_merge_read(spark, tmp_path):
+    """bucket(N, key) transform: layout lands one bucket per file with
+    exact injected stats; an m-key MERGE rewrites at most m buckets
+    (hash-scattered keys span every interval, so only the bucket set
+    can close files); point reads elect one bucket natively and
+    through the connector."""
+    from pyspark.sql.datasource import EqualTo, In
+    from skopje_spark.sinks.versioned import (
+        _bucket_of,
+        versioned_read_where,
+        versioned_write,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(800)], "id long, v string"
+    )
+    versioned_write(df, path, partition_by=["b=bucket(8,id)"])
+    ent = _read_manifest(path, 0)["files"]
+    assert len(ent) == 8
+    for e in ent:
+        b = e["partition"]["b"]
+        assert e["stats"]["b"] == {"min": b, "max": b, "nulls": 0}
+    assert "b" not in versioned_read(spark, path).columns
+    # content identical to the unbucketed twin
+    assert sorted(
+        (r["id"], r["v"]) for r in versioned_read(spark, path).collect()
+    ) == [(i, f"r{i}") for i in range(800)]
+    # m=2 keys -> at most 2 buckets rewritten
+    upd = spark.createDataFrame(
+        [(17, "NEW17"), (530, "NEW530")], "id long, v string"
+    )
+    versioned_upsert(spark, path, upd, ["id"])
+    rewrote = int(snapshot_meta(path, "n_files_rewritten", version=1))
+    assert rewrote == len({_bucket_of(17, 8), _bucket_of(530, 8)}) <= 2
+    got = {r["id"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got[17] == "NEW17" and got[530] == "NEW530" and len(got) == 800
+    # native point read elects exactly one bucket file
+    m: dict = {}
+    r = versioned_read_where(spark, path, {"id": 42}, metrics=m)
+    assert [x["v"] for x in r.collect()] == ["r42"]
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _resolve_bounds,
+        _schema_mapping,
+    )
+
+    schema = versioned_read(spark, path).schema
+    resolved = _resolve_bounds(
+        {"id": 42}, schema, _schema_mapping(schema), ["b=bucket(8,id)"]
+    )
+    derived = [u for u in resolved if u["key"] == "b"]
+    assert len(derived) == 1 and derived[0]["lo"] == _bucket_of(42, 8)
+    ent1 = _read_manifest(path, 1)["files"]
+    cand, _ = _interval_split(ent1, "b", derived[0]["lo"], derived[0]["hi"])
+    assert len(cand) == 1
+    # connector: point + IN filters derive buckets driver-side
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("id",), 42)]))
+    assert len(rd.partitions()) == 1
+    rd2 = VersionedTableReader({"path": path})
+    list(rd2.pushFilters([In(("id",), (17, 530))]))
+    assert len(rd2.partitions()) == len({_bucket_of(17, 8), _bucket_of(530, 8)})
+
+
+def test_bucket_spec_validation_and_evolution(spark, tmp_path):
+    """Bucket sources are int/string keys; bucket(1) is refused; a
+    table can EVOLVE to a bucketed layout metadata-only and the merge
+    pruning applies to post-evolution files."""
+    from skopje_spark.sinks.versioned import (
+        versioned_set_partition_spec,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(40)],
+        "id long, score double, v string",
+    )
+    versioned_write(df, path)
+    with pytest.raises(TypeError, match="bucket"):
+        versioned_set_partition_spec(path, ["b=bucket(4,score)"])
+    with pytest.raises(ValueError, match=">= 2"):
+        versioned_set_partition_spec(path, ["b=bucket(1,id)"])
+    versioned_set_partition_spec(path, ["b=bucket(4,id)"])
+    upd = spark.createDataFrame(
+        [(3, 3.0, "NEW")], "id long, score double, v string"
+    )
+    versioned_upsert(spark, path, upd, ["id"])
+    # the rewrite landed bucketed: every new file single-valued on b
+    ent = _read_manifest(path, latest_version(path))["files"]
+    bucketed = [e for e in ent if "b" in (e.get("partition") or {})]
+    assert bucketed and all(
+        e["stats"]["b"]["min"] == e["stats"]["b"]["max"] for e in bucketed
+    )
+    got = {r["id"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got[3] == "NEW" and len(got) == 40
+
+
+def test_connector_create_with_hidden_spec_fanout(spark, tmp_path):
+    """The connector writer CREATES a table with a declared layout —
+    .option('partitionBy', 'day=date(ts),b=bucket(4,id)') — and the
+    fanout path stamps hidden-transform partition values (UTC epoch
+    day, crc32 bucket) identical to the native write path's."""
+    from skopje_spark.sinks.versioned import (
+        _bucket_of,
+        table_partitioning,
+        versioned_read_where,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 7, 1 + (i % 3), 5, i % 60), f"p{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v string")
+    (df.coalesce(2).write.format("skopje_versioned")
+     .option("path", path)
+     .option("partitionBy", "day=date(ts),b=bucket(4,id)")
+     .mode("append").save())
+    assert table_partitioning(path) == ["day=date(ts)", "b=bucket(4,id)"]
+    ent = _read_manifest(path, 0)["files"]
+    native_twin = str(tmp_path / "twin")
+    versioned_write(
+        df, native_twin, partition_by=["day=date(ts)", "b=bucket(4,id)"]
+    )
+    twin_tuples = {
+        (e["partition"]["day"], e["partition"]["b"])
+        for e in _read_manifest(native_twin, 0)["files"]
+    }
+    conn_tuples = {
+        (e["partition"]["day"], e["partition"]["b"]) for e in ent
+    }
+    assert conn_tuples == twin_tuples  # identical derived labels
+    for e in ent:
+        assert e["stats"]["day"]["min"] == e["partition"]["day"]
+        assert e["stats"]["b"]["min"] == e["partition"]["b"]
+    # reads prune the connector-written layout exactly
+    got = versioned_read_where(
+        spark, path, {"id": 7, "day": dt.date(2024, 7, 2)}
+    )
+    assert [r["v"] for r in got.collect()] == ["p7"]
+    assert versioned_read(spark, path).count() == 60
+
+
+def test_show_partitions_reads_refs_not_segments(spark, tmp_path, monkeypatch):
+    """SHOW PARTITIONS on a segmented table answers from the kilobyte
+    segment refs (per-tuple aggregates folded at write) — zero
+    segment files opened — and the counts equal the full entry walk,
+    DV-adjusted."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(800)], "id long, v string"
+    )
+    versioned_write(df, path, partition_by=["b=bucket(64,id)"])
+    versioned_delete(spark, path, "id = 7")  # DV adjusts one tuple
+    m: dict = {}
+    parts = versioned_partitions(path, metrics=m)
+    assert m["segments_total"] >= 6 and m["segments_opened"] == 0
+    assert sum(p["n_rows"] for p in parts) == 799
+    assert sum(p["n_files"] for p in parts) == 64
+    # identical to the O(files) walk
+    ent = _read_manifest(path, latest_version(path))["files"]
+    walk: dict = {}
+    for e in ent:
+        k = e["partition"]["b"]
+        walk[k] = walk.get(k, 0) + int(e["rows"]) - int(e.get("dv_rows", 0))
+    assert {p["b"]: p["n_rows"] for p in parts} == walk

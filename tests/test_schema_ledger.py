@@ -192,3 +192,50 @@ def test_composite_key_merge_with_castable_key_type(spark, tmp_path):
     assert got[(4, "1")] == "UPDATED"
     assert got[(5, "2")] == "v5"
     assert len(got) == 9
+
+
+def test_join_advice_auto_routes_stats_then_sample(spark, tmp_path):
+    """Fresh ANALYZE stats answer the join-planning card with ZERO
+    Spark jobs (proven by passing spark=None) and agree with the
+    sampled card's recommendation; a post-stats commit makes them
+    stale and the same call falls back to sampling."""
+    from skopje_spark.operators.estimate import join_advice_auto
+    from skopje_spark.sinks.versioned import (
+        versioned_analyze,
+        versioned_append,
+        versioned_write,
+    )
+
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    versioned_write(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(50)], "k long, name string"
+        ),
+        dim,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(i % 50, f"f{i}") for i in range(5000)], "k long, v string"
+        ),
+        fact,
+    )
+    versioned_analyze(spark, dim, ["k"])
+    versioned_analyze(spark, fact, ["k"])
+    # spark=None: the stats path must launch no job and never touch it
+    card = join_advice_auto(None, dim, "k", fact, "k")
+    assert card["source"] == "stats"
+    assert card["recommendation"] == "broadcast_a"
+    # the sampled card agrees on the fixture
+    sampled = join_advice_auto(
+        spark, dim, "k", fact, "k", max_stale=-1, rate=0.5
+    )
+    assert sampled["source"] == "sample"
+    assert sampled["recommendation"] == card["recommendation"]
+    # a commit after ANALYZE staleness-gates the stats tier
+    versioned_append(
+        spark, fact,
+        spark.createDataFrame([(1, "x")], "k long, v string"),
+    )
+    fallback = join_advice_auto(spark, dim, "k", fact, "k", rate=0.5)
+    assert fallback["source"] == "sample"
