@@ -2710,3 +2710,72 @@ def q_lake_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fanout_layout_ok", F.lit(bool(ok)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_versioned_truncate_partition",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE AS truncate_prune
+    FROM orders
+    WHERE o_orderpriority >= '1' AND o_orderpriority <= '2~'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("versioned", "partitioning", "truncate", "lakeops"),
+)
+def q_versioned_truncate_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """truncate(W, source) hidden partitioning under the driver gate
+    (sinks/versioned.py:_truncate_expr — Iceberg's truncate
+    transform): orders is committed partitioned by the FIRST
+    CHARACTER of ``o_orderpriority`` ('1-URGENT' → '1'), and a raw
+    range bound on the source column must prune through the derived
+    prefix interval — truncate is monotone, so
+    ``src ∈ [lo, hi] ⇒ prefix ∈ [trunc(lo), trunc(hi)]`` — while the
+    exact residual re-filters. ``truncate_prune`` folds the election
+    proof: the derived bound elects exactly the two covered prefix
+    partitions of five.
+
+    Scale: truncate is the workhorse for high-cardinality string
+    routing (URL prefixes, id ranges) where identity partitioning
+    would explode the partition count — ranges still prune because
+    the transform preserves order."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        _read_manifest,
+        versioned_read_where,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_trunc_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o, path, partition_by=["pri=truncate(1,o_orderpriority)"]
+    )
+    ent = _read_manifest(path, 0)["files"]
+    cand, _ = _interval_split(ent, "pri", "1", "2")
+    expect = {
+        e["path"] for e in ent if e["partition"]["pri"] in ("1", "2")
+    }
+    prune_ok = (
+        {e["path"] for e in cand} == expect and 0 < len(expect) < len(ent)
+    )
+    return (
+        versioned_read_where(
+            spark, path, {"o_orderpriority": ("1", "2~")}
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("truncate_prune", F.lit(bool(prune_ok)))
+        .orderBy("o_orderpriority")
+    )

@@ -400,8 +400,9 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # buckets (Iceberg's bucket transform — ours uses CRC32 of the
 # canonical string form so the SAME bucket is computable Spark-side
 # (F.crc32) and driver-side (zlib.crc32) without a job)
-_PART_TRANSFORM = re.compile(r"^(\w+)=date\((\w+)\)$")
+_PART_TRANSFORM = re.compile(r"^(\w+)=(date|month|hour)\((\w+)\)$")
 _PART_BUCKET = re.compile(r"^(\w+)=bucket\((\d+),\s*(\w+)\)$")
+_PART_TRUNCATE = re.compile(r"^(\w+)=truncate\((\d+),\s*(\w+)\)$")
 
 
 def _parse_partition_spec(spec: list[str]) -> list[tuple[str, str, str]]:
@@ -416,7 +417,7 @@ def _parse_partition_spec(spec: list[str]) -> list[tuple[str, str, str]]:
     for entry in spec:
         m = _PART_TRANSFORM.match(entry)
         if m:
-            out.append((m.group(1), m.group(2), "date"))
+            out.append((m.group(1), m.group(3), m.group(2)))
             continue
         mb = _PART_BUCKET.match(entry)
         if mb:
@@ -427,13 +428,24 @@ def _parse_partition_spec(spec: list[str]) -> list[tuple[str, str, str]]:
                 )
             out.append((target, source, f"bucket[{n}]"))
             continue
+        mt = _PART_TRUNCATE.match(entry)
+        if mt:
+            target, w, source = mt.group(1), int(mt.group(2)), mt.group(3)
+            if w < 1:
+                raise ValueError(
+                    f"truncate width must be >= 1 in {entry!r}"
+                )
+            out.append((target, source, f"truncate[{w}]"))
+            continue
         if re.match(r"^\w+$", entry):
             out.append((entry, entry, "identity"))
         else:
             raise ValueError(
                 f"unsupported partition spec entry {entry!r} — use a "
-                "column name, 'target=date(source)', or "
-                "'target=bucket(N, source)'"
+                "column name, 'target=date(source)', "
+                "'target=month(source)', 'target=hour(source)', "
+                "'target=bucket(N, source)', or "
+                "'target=truncate(W, source)'"
             )
     return out
 
@@ -505,6 +517,155 @@ def _day_expr(col, dtype):
             F.floor(col.cast("double") / F.lit(86400.0)).cast("int")
         )
     return F.to_date(col)  # TIMESTAMP_NTZ: wall time is the value
+
+
+def _month_expr(col, dtype):
+    """month(source): the 'YYYY-MM' label of the (zone-pinned) day —
+    a substring of the canonical ISO day string, so it inherits
+    :func:`_day_expr`'s zone-freedom and orders chronologically."""
+    from pyspark.sql import functions as F
+
+    return F.substring(_day_expr(col, dtype).cast("string"), 1, 7)
+
+
+def _hour_expr(col, dtype):
+    """hour(source): 'YYYY-MM-DD-HH' label. TIMESTAMP (LTZ) sources
+    use the UTC epoch hour (zone-free, like the day transform);
+    TIMESTAMP_NTZ wall time is the value, so its own calendar fields
+    apply. Fixed width ⇒ lexicographic order == chronological."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        return F.concat(
+            F.to_date(col).cast("string"), F.lit("-"),
+            F.lpad(F.hour(col).cast("string"), 2, "0"),
+        )
+    h = F.floor(col.cast("double") / F.lit(3600.0))
+    return F.concat(
+        F.date_from_unix_date(
+            F.floor(h / F.lit(24.0)).cast("int")
+        ).cast("string"),
+        F.lit("-"),
+        F.lpad(F.pmod(h, F.lit(24)).cast("string"), 2, "0"),
+    )
+
+
+def _truncate_expr(col, w: int, dtype):
+    """truncate(W, source): string prefix of width W, or the integer
+    floored to a multiple of W (``v - pmod(v, W)`` — floor semantics
+    for negatives too). Both are MONOTONE, so range bounds on the
+    source derive prune-only bounds on the target."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if isinstance(dtype, StringType):
+        return F.substring(col, 1, w)
+    return col - F.pmod(col, F.lit(w))
+
+
+_MONO_TRANSFORMS = ("date", "month", "hour")  # + truncate[W]
+
+
+def _is_mono(transform: str) -> bool:
+    return transform in _MONO_TRANSFORMS or transform.startswith(
+        "truncate["
+    )
+
+
+def _hidden_expr(transform: str, col, dtype):
+    """(shadow expression, directory-decode type) for a hidden
+    partition transform over a source column of ``dtype``."""
+    from pyspark.sql.types import DateType, LongType, StringType
+
+    if transform == "date":
+        return _day_expr(col, dtype), DateType()
+    if transform == "month":
+        return _month_expr(col, dtype), StringType()
+    if transform == "hour":
+        return _hour_expr(col, dtype), StringType()
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        return _bucket_expr(col, n), LongType()
+    w = int(transform[len("truncate["):-1])
+    if isinstance(dtype, StringType):
+        return _truncate_expr(col, w, dtype), StringType()
+    return _truncate_expr(col, w, dtype), dtype
+
+
+def _check_hidden_source(transform: str, source: str, dtype) -> None:
+    """Type gate for a hidden transform's source column — mirrors
+    :func:`_check_partition_type` for identity columns."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if transform in ("date", "month"):
+        if not isinstance(
+            dtype, (DateType, TimestampType, TimestampNTZType)
+        ):
+            raise TypeError(
+                f"{transform}() partition transform needs a date/"
+                f"timestamp source; {source!r} is {dtype.simpleString()}"
+            )
+    elif transform == "hour":
+        if not isinstance(dtype, (TimestampType, TimestampNTZType)):
+            raise TypeError(
+                f"hour() partition transform needs a timestamp "
+                f"source; {source!r} is {dtype.simpleString()}"
+            )
+    elif transform.startswith("bucket["):
+        _check_bucket_source_type(source, dtype)
+    elif transform.startswith("truncate["):
+        if not isinstance(
+            dtype,
+            (ByteType, ShortType, IntegerType, LongType, StringType),
+        ):
+            raise TypeError(
+                f"truncate() partition transform needs an integer or "
+                f"string source; {source!r} is {dtype.simpleString()}"
+            )
+
+
+def _derived_value(transform: str, v, dtype=None):
+    """Driver-side stats-domain value of a MONOTONE hidden transform
+    applied to a bound value, or None when underivable — the exact
+    twin of the write-side shadow expression, so derived bounds prune
+    without ever being wrong. (bucket is not monotone; equality
+    bounds derive through :func:`_bucket_of` instead.)"""
+    import datetime as _dt
+    import math
+
+    from pyspark.sql.types import TimestampNTZType
+
+    if transform == "date":
+        return _as_date(v, dtype)
+    if transform == "month":
+        d = _as_date(v, dtype)
+        return None if d is None else d.isoformat()[:7]
+    if transform == "hour":
+        if not isinstance(v, _dt.datetime):
+            return None
+        if isinstance(dtype, TimestampNTZType):
+            return f"{v.date().isoformat()}-{v.hour:02d}"
+        h = math.floor(v.timestamp() / 3600.0)
+        day = _dt.date(1970, 1, 1) + _dt.timedelta(days=h // 24)
+        return f"{day.isoformat()}-{h % 24:02d}"
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate["):-1])
+        if isinstance(v, str):
+            return v[:w]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v - (v % w)
+        return None
+    return None
 
 
 def _check_partition_type(name: str, dtype) -> None:
@@ -636,26 +797,11 @@ def _stage_data_files(
                 f"hidden partition target {target!r} collides with "
                 "an existing column; pick a fresh name"
             )
-        if transform == "date":
-            if not isinstance(
-                dtypes[phys], (DateType, TimestampType, TimestampNTZType)
-            ):
-                raise TypeError(
-                    f"date() partition transform needs a date/timestamp "
-                    f"source; {source!r} is "
-                    f"{dtypes[phys].simpleString()}"
-                )
-            shadow_exprs.append(_day_expr(F.col(phys), dtypes[phys]))
-            stat_keys.append(target)
-            dec_types.append(DateType())
-        else:  # bucket[N]
-            from pyspark.sql.types import LongType
-
-            _check_bucket_source_type(source, dtypes[phys])
-            n = int(transform[len("bucket["):-1])
-            shadow_exprs.append(_bucket_expr(F.col(phys), n))
-            stat_keys.append(target)
-            dec_types.append(LongType())
+        _check_hidden_source(transform, source, dtypes[phys])
+        expr, dec = _hidden_expr(transform, F.col(phys), dtypes[phys])
+        shadow_exprs.append(expr)
+        stat_keys.append(target)
+        dec_types.append(dec)
     shadows = [f"__part_{i}" for i in range(len(parsed))]
     # shadow copies carry the layout; the REAL columns stay in the
     # data files, so reads, DVs, constraints, CDF all see them as on
@@ -1424,18 +1570,7 @@ def versioned_set_partition_spec(
                     f"hidden partition target {target!r} collides "
                     "with an existing column; pick a fresh name"
                 )
-            if transform == "date":
-                if not isinstance(
-                    dtypes[source],
-                    (DateType, TimestampType, TimestampNTZType),
-                ):
-                    raise TypeError(
-                        f"date() partition transform needs a date/"
-                        f"timestamp source; {source!r} is "
-                        f"{dtypes[source].simpleString()}"
-                    )
-            else:  # bucket[N]
-                _check_bucket_source_type(source, dtypes[source])
+            _check_hidden_source(transform, source, dtypes[source])
         old_spec = table_partitioning(path, version=committed)
         if old_spec == list(spec):
             raise ValueError(
@@ -3577,8 +3712,13 @@ def _resolve_bounds(
         raise ValueError("bounds dict is empty")
     names = {f.name for f in schema.fields}
     parsed_spec = _parse_partition_spec(spec)
-    transforms = {t: s for t, s, tr in parsed_spec if tr == "date"}
-    sources = {s: t for t, s in transforms.items()}
+    # monotone hidden transforms (date/month/hour/truncate): a range
+    # bound on the SOURCE derives a prune-only range on each target;
+    # one source may feed several targets (day + month across epochs)
+    mono = {t: (s, tr) for t, s, tr in parsed_spec if _is_mono(tr)}
+    sources_mono: dict[str, list[tuple[str, str]]] = {}
+    for t, (s, tr) in mono.items():
+        sources_mono.setdefault(s, []).append((t, tr))
     buckets = {
         t: (s, int(tr[len("bucket["):-1]))
         for t, s, tr in parsed_spec
@@ -3618,14 +3758,16 @@ def _resolve_bounds(
             out.append(unit(
                 mapping.get(col, col), F.col(col), lo, hi, raw_vals, True
             ))
-            target = sources.get(col)
-            if target is not None:
-                src_t = dtypes[col]
-                dlo, dhi = _as_date(lo, src_t), _as_date(hi, src_t)
+            src_t = dtypes[col]
+            for target, tr in sources_mono.get(col, []):
+                dlo = _derived_value(tr, lo, src_t)
+                dhi = _derived_value(tr, hi, src_t)
                 if dlo is not None and dhi is not None:
                     dvals = None
                     if raw_vals is not None:
-                        dset = [_as_date(v, src_t) for v in raw_vals]
+                        dset = [
+                            _derived_value(tr, v, src_t) for v in raw_vals
+                        ]
                         dvals = dset if all(
                             d is not None for d in dset
                         ) else None
@@ -3655,36 +3797,38 @@ def _resolve_bounds(
             bsrc, n = buckets[col]
             bexpr = _bucket_expr(F.col(bsrc), n)
             out.append(unit(col, bexpr, lo, hi, raw_vals, True))
-        elif col in transforms:
-            src = transforms[col]
-            day_col = _day_expr(F.col(src), dtypes[src])
-            if raw_vals is not None:
-                dvals = [_as_date(v) for v in raw_vals]
-                if any(d is None for d in dvals):
+        elif col in mono:
+            src, tr = mono[col]
+            texpr, _ = _hidden_expr(tr, F.col(src), dtypes[src])
+            if tr == "date":
+                # day targets coerce to the date domain (ISO strings
+                # and datetimes accepted); other transforms take the
+                # label values literally
+                if raw_vals is not None:
+                    dvals = [_as_date(v) for v in raw_vals]
+                    if any(d is None for d in dvals):
+                        raise ValueError(
+                            f"IN-list for hidden partition {col!r} must "
+                            f"be dates/ISO strings, got {raw_vals!r}"
+                        )
+                    out.append(unit(
+                        col, texpr, min(dvals), max(dvals), dvals, True,
+                    ))
+                    continue
+                dlo, dhi = _as_date(lo), _as_date(hi)
+                if dlo is None or dhi is None:
                     raise ValueError(
-                        f"IN-list for hidden partition {col!r} must be "
-                        f"dates/ISO strings, got {raw_vals!r}"
+                        f"bound for hidden partition {col!r} must be a "
+                        f"date/ISO string, got {lo!r}"
                     )
-                out.append(unit(
-                    col, day_col,
-                    min(dvals), max(dvals), dvals, True,
-                ))
-                continue
-            dlo, dhi = _as_date(lo), _as_date(hi)
-            if dlo is None or dhi is None:
-                raise ValueError(
-                    f"bound for hidden partition {col!r} must be a "
-                    f"date/ISO string, got {lo!r}"
-                )
-            out.append(unit(
-                col, day_col, dlo, dhi,
-                None, True,
-            ))
+                out.append(unit(col, texpr, dlo, dhi, None, True))
+            else:
+                out.append(unit(col, texpr, lo, hi, raw_vals, True))
         else:
             raise KeyError(
                 f"bound column {col!r} is neither a table column "
                 f"({sorted(names)}) nor a hidden partition target "
-                f"({sorted([*transforms, *buckets])})"
+                f"({sorted([*mono, *buckets])})"
             )
     return out
 

@@ -320,10 +320,17 @@ class VersionedTableReader(DataSourceReader):
         # spec UNION (current + historical epochs), so a pushed
         # raw-timestamp filter keeps pruning old-epoch day files
         # after the table evolved to a different layout
+        from skopje_spark.sinks.versioned import _is_mono
+
         union_spec = _parse_partition_spec(
             table_partition_specs(self.table, version=v)
         )
-        self._derived = {s: t for t, s, tr in union_spec if tr == "date"}
+        # monotone transforms: source → [(target, transform)] — one
+        # source can feed several targets across spec epochs
+        self._derived: dict[str, list] = {}
+        for t, s, tr in union_spec:
+            if _is_mono(tr):
+                self._derived.setdefault(s, []).append((t, tr))
         # bucket transforms: a pushed point/IN filter on the source
         # key derives the exact bucket(s) driver-side (zlib.crc32
         # twin of the write expression — no job)
@@ -360,47 +367,37 @@ class VersionedTableReader(DataSourceReader):
             for col, (lo, hi) in self._bounds.items()
         ]
 
-        from pyspark.sql.types import TimestampNTZType
-
-        from skopje_spark.sinks.versioned import _utc_epoch_day
+        from skopje_spark.sinks.versioned import (
+            _bucket_of,
+            _derived_value,
+            _stat_encode,
+        )
 
         dtypes = {f.name: f.dataType for f in self.logical.fields}
 
-        def _day(v, src_type):
+        def _derive(tr, v, src_type):
+            """(value, ok): derived stats-domain value of a monotone
+            transform for one bound side; None value with ok=True
+            keeps an open side open."""
             if v is None:
-                return None, True  # open side stays open
-            if isinstance(v, _dt.datetime):
-                # the day stamp is the UTC EPOCH day (zone-free, see
-                # versioned._day_expr), and the pushed naive datetime
-                # converts through the system zone — mirror both so
-                # the derived prune-only interval can never drop a
-                # file holding matching rows; NTZ wall time is exact
-                if isinstance(src_type, TimestampNTZType):
-                    return v.date().isoformat(), True
-                return _utc_epoch_day(v).isoformat(), True
-            if isinstance(v, str):
-                try:
-                    _dt.date.fromisoformat(v)
-                    return v, True
-                except ValueError:
-                    return None, False
-            return None, False
-
-        from skopje_spark.sinks.versioned import _bucket_of
+                return None, True
+            d = _derived_value(tr, v, src_type)
+            if d is None:
+                return None, False
+            return _stat_encode(d), True
 
         def _bsafe(v):
             return isinstance(v, (int, str)) and not isinstance(v, bool)
 
         bucket_sets: list[tuple[str, set]] = []
         for col, (lo, hi) in self._bounds.items():
-            target = self._derived.get(col)
-            if target is not None:
-                dlo, ok_lo = _day(lo, dtypes.get(col))
-                dhi, ok_hi = _day(hi, dtypes.get(col))
+            for target, tr in self._derived.get(col, []):
+                dlo, ok_lo = _derive(tr, lo, dtypes.get(col))
+                dhi, ok_hi = _derive(tr, hi, dtypes.get(col))
                 if ok_lo and ok_hi and not (dlo is None and dhi is None):
-                    # date() is monotone: ts ∈ [lo, hi] ⇒ day ∈ derived
-                    # interval — prune-only, Spark re-applies the exact
-                    # timestamp filter on the survivors
+                    # monotone: src ∈ [lo, hi] ⇒ target ∈ derived
+                    # interval — prune-only, Spark re-applies the
+                    # exact source filter on the survivors
                     phys_bounds.append((target, dlo, dhi))
             bt = self._bucketed.get(col)
             if bt is not None and lo == hi and lo is not None and _bsafe(lo):
@@ -526,6 +523,38 @@ def _partition_shadow_values(table, parsed_spec, mapping, col_types):
 
     from skopje_spark.sinks.versioned import _bucket_of
 
+    def _temporal_labels(col, kind: str):
+        """day/month/hour labels from a temporal Arrow column — the
+        zone-free write-expression twins (epoch micros for tz-aware
+        timestamps, wall micros for NTZ; dates are already days)."""
+        t = col.type
+        epoch = np.datetime64("1970-01-01")
+        if pa.types.is_date(t):
+            pyvals = col.to_pylist()
+            if kind == "day":
+                return [None if v is None else v.isoformat()
+                        for v in pyvals]
+            return [None if v is None else v.isoformat()[:7]
+                    for v in pyvals]  # month; hour refused at init
+        unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[t.unit]
+        raw = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if kind == "hour":
+            hours = np.floor_divide(np.nan_to_num(raw), 3600 * unit)
+            return [
+                f"{epoch + np.timedelta64(int(h) // 24, 'D')}"
+                f"-{int(h) % 24:02d}" if ok else None
+                for h, ok in zip(hours, valid)
+            ]
+        days = np.floor_divide(np.nan_to_num(raw), 86400 * unit)
+        labels = [
+            str(epoch + np.timedelta64(int(d), "D")) if ok else None
+            for d, ok in zip(days, valid)
+        ]
+        if kind == "month":
+            return [None if x is None else x[:7] for x in labels]
+        return labels
+
     out = []
     for target, source, transform in parsed_spec:
         phys = mapping.get(source, source)
@@ -538,37 +567,22 @@ def _partition_shadow_values(table, parsed_spec, mapping, col_types):
                 v.isoformat() if isinstance(v, _dt.date) else v
                 for v in vals
             ]
-        elif transform == "date":
-            t = col.type
-            if pa.types.is_date(t):
-                vals = [
-                    None if v is None else v.isoformat()
-                    for v in col.to_pylist()
-                ]
-            else:
-                # UTC epoch day from the timestamp's epoch micros —
-                # the zone-free _day_expr twin (NTZ wall micros give
-                # the wall date through the same floor)
-                unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
-                    t.unit
-                ]
-                raw = pc.cast(col, pa.int64()).to_numpy(
-                    zero_copy_only=False
-                )
-                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-                days = np.floor_divide(np.nan_to_num(raw), 86400 * unit)
-                epoch = np.datetime64("1970-01-01")
-                vals = [
-                    str((epoch + np.timedelta64(int(d), "D")))
-                    if ok
-                    else None
-                    for d, ok in zip(days, valid)
-                ]
-        else:  # bucket[N]
+        elif transform in ("date", "month", "hour"):
+            vals = _temporal_labels(
+                col, "day" if transform == "date" else transform
+            )
+        elif transform.startswith("bucket["):
             n = int(transform[len("bucket["):-1])
             raw = col.to_pylist()
             uniq = {v: _bucket_of(v, n) for v in set(raw)}
             vals = [uniq[v] for v in raw]
+        else:  # truncate[W]
+            w = int(transform[len("truncate["):-1])
+            vals = [
+                None if v is None
+                else (v[:w] if isinstance(v, str) else v - (v % w))
+                for v in col.to_pylist()
+            ]
         out.append((target, phys if transform == "identity" else target,
                     vals))
     return out
@@ -649,14 +663,8 @@ class VersionedTableWriter(DataSourceArrowWriter):
             self.table_schema = table
         # validate the layout against the frame schema exactly as the
         # native write path would (_stage_data_files' checks)
-        from pyspark.sql.types import (
-            DateType,
-            TimestampNTZType,
-            TimestampType,
-        )
-
         from skopje_spark.sinks.versioned import (
-            _check_bucket_source_type,
+            _check_hidden_source,
             _check_partition_type,
         )
 
@@ -674,18 +682,8 @@ class VersionedTableWriter(DataSourceArrowWriter):
                     f"hidden partition target {tg!r} collides with an "
                     "existing column; pick a fresh name"
                 )
-            elif tr == "date":
-                if not isinstance(
-                    dtypes[src],
-                    (DateType, TimestampType, TimestampNTZType),
-                ):
-                    raise TypeError(
-                        f"date() partition transform needs a date/"
-                        f"timestamp source; {src!r} is "
-                        f"{dtypes[src].simpleString()}"
-                    )
             else:
-                _check_bucket_source_type(src, dtypes[src])
+                _check_hidden_source(tr, src, dtypes[src])
 
     def write(self, iterator) -> _PooledFile:
         import uuid

@@ -1229,3 +1229,97 @@ def test_show_partitions_reads_refs_not_segments(spark, tmp_path, monkeypatch):
         k = e["partition"]["b"]
         walk[k] = walk.get(k, 0) + int(e["rows"]) - int(e.get("dv_rows", 0))
     assert {p["b"]: p["n_rows"] for p in parts} == walk
+
+
+def test_month_hour_transforms_write_and_prune(spark, tmp_path):
+    """month(ts)/hour(ts) hidden transforms: zone-free labels, derived
+    prune-only bounds from raw-timestamp ranges (monotone), exact
+    residuals on direct target bounds."""
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        versioned_read_where,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "m")
+    rows = [
+        (i, dt.datetime(2024, 4 + (i % 3), 10, 6 + (i % 4), 30), f"p{i}")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v string")
+    versioned_write(df, path, partition_by=["m=month(ts)"])
+    ent = _read_manifest(path, 0)["files"]
+    assert {e["partition"]["m"] for e in ent} == {
+        "2024-04", "2024-05", "2024-06"
+    }
+    for e in ent:
+        assert e["stats"]["m"]["min"] == e["stats"]["m"]["max"]
+    # raw-ts range derives a prune-only month interval
+    got = versioned_read_where(
+        spark, path,
+        {"ts": (dt.datetime(2024, 5, 1), dt.datetime(2024, 5, 31))},
+    )
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(48) if i % 3 == 1
+    ]
+    cand, _ = _interval_split(ent, "m", "2024-05", "2024-05")
+    assert len(cand) == 1
+    # direct month-target bound: exact residual
+    got2 = versioned_read_where(spark, path, {"m": "2024-06"})
+    assert sorted(r["id"] for r in got2.collect()) == [
+        i for i in range(48) if i % 3 == 2
+    ]
+
+    path2 = str(tmp_path / "h")
+    versioned_write(df, path2, partition_by=["h=hour(ts)"])
+    ent2 = _read_manifest(path2, 0)["files"]
+    hrs = {e["partition"]["h"] for e in ent2}
+    assert "2024-04-10-06" in hrs and len(hrs) == 12  # 3 months × 4 hours
+    got3 = versioned_read_where(
+        spark, path2,
+        {"ts": (dt.datetime(2024, 5, 10, 7, 0),
+                dt.datetime(2024, 5, 10, 8, 59))},
+    )
+    assert sorted(r["id"] for r in got3.collect()) == [
+        i for i in range(48) if i % 3 == 1 and i % 4 in (1, 2)
+    ]
+    cand3, _ = _interval_split(ent2, "h", "2024-05-10-07", "2024-05-10-08")
+    assert len(cand3) == 2  # exactly the two covered hours
+
+
+def test_truncate_transform_string_and_int(spark, tmp_path):
+    """truncate(W, source): string prefixes and integer flooring, both
+    monotone — a range bound on the source derives a prune-only range
+    on the target; point bounds elect one partition."""
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        versioned_read_where,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [(i, f"{'abcde'[i % 5]}x-{i}", f"p{i}") for i in range(50)],
+        "id long, code string, v string",
+    )
+    versioned_write(df, path, partition_by=["pre=truncate(1,code)"])
+    ent = _read_manifest(path, 0)["files"]
+    assert {e["partition"]["pre"] for e in ent} == set("abcde")
+    got = versioned_read_where(spark, path, {"code": ("b", "c~")})
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(50) if i % 5 in (1, 2)
+    ]
+    cand, _ = _interval_split(ent, "pre", "b", "c")
+    assert len(cand) == 2
+
+    path2 = str(tmp_path / "i")
+    df2 = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(-50, 50)], "id long, v string"
+    )
+    versioned_write(df2, path2, partition_by=["blk=truncate(25,id)"])
+    ent2 = _read_manifest(path2, 0)["files"]
+    assert {e["partition"]["blk"] for e in ent2} == {-50, -25, 0, 25}
+    got2 = versioned_read_where(spark, path2, {"id": (-30, -20)})
+    assert sorted(r["id"] for r in got2.collect()) == list(range(-30, -19))
+    cand2, _ = _interval_split(ent2, "blk", -50, -25)
+    assert len(cand2) == 2  # floor(-30/25)*25=-50, floor(-20/25)*25=-25
