@@ -4028,6 +4028,13 @@ def versioned_delete(
             spark, path, open_entries, condition, kcol0,
             stats_key=mapping.get(kcol0, kcol0),
         )
+        # bucketed layouts: the key frame's exact bucket set closes
+        # hash-scattered files interval stats never could (same
+        # storage-partitioned proof as the MERGE path)
+        scan_entries, carried_open = _bucket_prune_candidates(
+            path, base_v, list(condition.columns), condition,
+            scan_entries, carried_open,
+        )
     else:
         open_entries = _read_manifest(path, base_v)["files"]
         scan_entries, carried_open = open_entries, []

@@ -1323,3 +1323,64 @@ def test_truncate_transform_string_and_int(spark, tmp_path):
     assert sorted(r["id"] for r in got2.collect()) == list(range(-30, -19))
     cand2, _ = _interval_split(ent2, "blk", -50, -25)
     assert len(cand2) == 2  # floor(-30/25)*25=-50, floor(-20/25)*25=-25
+
+
+def test_keyframe_delete_prunes_by_bucket_set(spark, tmp_path):
+    """A key-frame DELETE on a bucketed table scans only the keys'
+    bucket files — hash-scattered key intervals span every file, so
+    only the exact bucket set can close candidates."""
+    from skopje_spark.sinks.versioned import _bucket_of, versioned_delete
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(800)], "id long, v string"
+    )
+    versioned_write(df, path, partition_by=["b=bucket(8,id)"])
+    kf = spark.createDataFrame([(3,), (500,)], "id long")
+    v = versioned_delete(spark, path, kf)
+    scanned = int(snapshot_meta(path, "n_files_scanned", version=v))
+    assert scanned == len({_bucket_of(3, 8), _bucket_of(500, 8)}) <= 2
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert 3 not in got and 500 not in got and len(got) == 798
+
+
+def test_stream_writer_fanout_partitioned_append(spark, tmp_path):
+    """The streaming connector sink appends to a partitioned table
+    through the same fanout path: each micro-batch's files keep the
+    one-value-per-file invariant with exact injected stats."""
+    path = str(tmp_path / "t")
+    versioned_write(_events(spark, 30), path, partition_by=["source"])
+    src_rows = [
+        (100 + i, f"src{i % 2}", dt.date(2024, 2, 1), f"s{i}")
+        for i in range(6)
+    ]
+    src_df = spark.createDataFrame(
+        src_rows, "id long, source string, day date, payload string"
+    )
+    # drive the stream writer directly (deterministic, no timing):
+    from skopje_spark.sources.lakesource import VersionedStreamWriter
+
+    w = VersionedStreamWriter(
+        src_df.schema, {"path": path, "streamid": "s1"}
+    )
+    import pyarrow as pa
+
+    batch = pa.Table.from_pylist(
+        [dict(zip(("id", "source", "day", "payload"), r)) for r in src_rows]
+    ).to_batches()
+    msg = w.write(iter(batch))
+    w.commit([msg], batchId=0)
+    ent = _read_manifest(path, latest_version(path))["files"]
+    new = [e for e in ent if e["path"].endswith("-w.parquet")]
+    assert len(new) == 2  # one per source value in the task
+    for e in new:
+        s = e["partition"]["source"]
+        assert e["stats"]["source"] == {"min": s, "max": s, "nulls": 0}
+    # replay of the same batch id is dropped (ledger), files unchanged
+    msg2 = w.write(iter(pa.Table.from_pylist(
+        [dict(zip(("id", "source", "day", "payload"), r)) for r in src_rows]
+    ).to_batches()))
+    w.commit([msg2], batchId=0)
+    assert len(_read_manifest(path, latest_version(path))["files"]) == len(ent)
+    got = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert set(range(100, 106)) <= got and len(got) == 36
