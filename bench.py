@@ -118,6 +118,14 @@ HEADLINE = [
     # q_versioned_partitioned/q_versioned_drop_column are excluded
     # like the other build-dominated catalog twins.
     "q_part_read_only",
+    # round-11: the recurring cost of storage-partitioned POINT
+    # lookups — a one-key read over a build-once bucket(16)-
+    # partitioned table (derived-bucket election from the driver-side
+    # hash twin, then the one-file scan + exact residual).
+    # q_versioned_bucketed / q_versioned_spec_evolution /
+    # q_lake_write_partitioned are excluded like the other
+    # build-dominated catalog twins.
+    "q_bucket_read_only",
 ]
 
 
@@ -308,6 +316,38 @@ def _part_read_only(spark, sf_dir):
     )
 
 
+_BUCKET_CACHE: dict = {}
+
+
+def _bucket_read_only(spark, sf_dir):
+    """Bench-only: the bucket-pruned POINT READ path alone. The orders
+    table is written once per sf_dir bucketed 16 ways on o_orderkey
+    (the build-once lake state); timed passes measure the recurring
+    key-lookup cost — the driver-side hash twin elects ONE bucket
+    file from kilobyte manifest stats, then the single-file scan plus
+    the exact residual."""
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_read_where,
+        versioned_write,
+    )
+    from skopje_spark.tables import load_table
+
+    if sf_dir not in _BUCKET_CACHE:
+        path = tempfile.mkdtemp(prefix="skopje_bench_bucket_")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        versioned_write(
+            o, path, partition_by=["b=bucket(16,o_orderkey)"]
+        )
+        key = o.orderBy("o_orderkey").first()["o_orderkey"]
+        _BUCKET_CACHE[sf_dir] = (path, int(key))
+    path, key = _BUCKET_CACHE[sf_dir]
+    return versioned_read_where(spark, path, {"o_orderkey": key})
+
+
 def _bench_only():
     """Callables timed like catalog queries but not oracle-registered
     (their raw outputs are randomized sketches; the catalog twin
@@ -316,6 +356,7 @@ def _bench_only():
 
     return {
         "q_sketch_quantile_ops": sketch_quantile_ops,
+        "q_bucket_read_only": _bucket_read_only,
         "q_pq_adc_query": _pq_adc_query,
         "q_bpe_encode_count": _bpe_encode_count,
         "q_join_size_est_only": _join_size_est_only,
