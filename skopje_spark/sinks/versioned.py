@@ -1206,7 +1206,9 @@ def _ref_disjoint(ref: dict, stats_col: str, lo, hi) -> bool:
     if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
         return False
     try:
-        return mx < lo or mn > hi
+        return (lo is not None and mx < lo) or (
+            hi is not None and mn > hi
+        )
     except TypeError:
         return False  # cross-type compare proves nothing
 
@@ -2368,7 +2370,9 @@ def _interval_split(
             cand.append(e)
             continue
         try:
-            disjoint = mx < lo or mn > hi
+            disjoint = (lo is not None and mx < lo) or (
+                hi is not None and mn > hi
+            )
         except TypeError:
             # cross-type stats (an int bound against string stats, a
             # legacy manifest) prove nothing — stay a candidate, the
@@ -2442,7 +2446,10 @@ def versioned_read_where(
     metrics: dict | None = None,
 ) -> DataFrame:
     """Multi-column pruned read: ``bounds`` maps column → value (point
-    lookup) or ``(lo, hi)`` interval, ANDed. Two-level pruning runs
+    lookup) or ``(lo, hi)`` interval, ANDed; either interval side may
+    be ``None`` for an OPEN side (``{"ts": (cutoff, None)}`` — the
+    everything-since-X shape), pruning and residual both one-sided.
+    Two-level pruning runs
     per column — whole manifest segments skipped from ref aggregate
     stats, then files from per-entry stats (EXACT on partition
     columns, conservative footer intervals elsewhere) — and the exact
@@ -3739,10 +3746,16 @@ def _resolve_bounds(
             lo, hi = min(raw_vals), max(raw_vals)
         else:
             lo, hi = b if isinstance(b, tuple) else (b, b)
-        if lo is None or hi is None:
+        if lo is None and hi is None:
             raise ValueError(
-                f"bound for {col!r} is None — range predicates are "
-                "null-rejecting; use an explicit IS NULL predicate "
+                f"bound for {col!r} is (None, None) — range predicates "
+                "are null-rejecting; use an explicit IS NULL predicate "
+                "string to target NULL rows"
+            )
+        if not isinstance(b, tuple) and (lo is None or hi is None):
+            raise ValueError(
+                f"point bound for {col!r} is None — range predicates "
+                "are null-rejecting; use an explicit IS NULL predicate "
                 "string to target NULL rows"
             )
 
@@ -3760,9 +3773,13 @@ def _resolve_bounds(
             ))
             src_t = dtypes[col]
             for target, tr in sources_mono.get(col, []):
-                dlo = _derived_value(tr, lo, src_t)
-                dhi = _derived_value(tr, hi, src_t)
-                if dlo is not None and dhi is not None:
+                # monotone: each present side derives; an OPEN side
+                # stays open on the target too
+                dlo = None if lo is None else _derived_value(tr, lo, src_t)
+                dhi = None if hi is None else _derived_value(tr, hi, src_t)
+                ok_lo = lo is None or dlo is not None
+                ok_hi = hi is None or dhi is not None
+                if ok_lo and ok_hi and not (dlo is None and dhi is None):
                     dvals = None
                     if raw_vals is not None:
                         dset = [
@@ -3815,11 +3832,14 @@ def _resolve_bounds(
                         col, texpr, min(dvals), max(dvals), dvals, True,
                     ))
                     continue
-                dlo, dhi = _as_date(lo), _as_date(hi)
-                if dlo is None or dhi is None:
+                dlo = None if lo is None else _as_date(lo)
+                dhi = None if hi is None else _as_date(hi)
+                if (lo is not None and dlo is None) or (
+                    hi is not None and dhi is None
+                ):
                     raise ValueError(
                         f"bound for hidden partition {col!r} must be a "
-                        f"date/ISO string, got {lo!r}"
+                        f"date/ISO string, got {(lo, hi)!r}"
                     )
                 out.append(unit(col, texpr, dlo, dhi, None, True))
             else:
@@ -3845,10 +3865,11 @@ def _bounds_predicate(resolved: list[dict]):
             continue
         if "raw_vals" in u:
             preds.append(u["expr"].isin(u["raw_vals"]))
-        else:
-            preds.append(
-                (u["expr"] >= F.lit(u["lo"])) & (u["expr"] <= F.lit(u["hi"]))
-            )
+            continue
+        if u["lo"] is not None:
+            preds.append(u["expr"] >= F.lit(u["lo"]))
+        if u["hi"] is not None:
+            preds.append(u["expr"] <= F.lit(u["hi"]))
     if not preds:
         return F.lit(True)
     return reduce(and_, preds)
@@ -3891,7 +3912,9 @@ def _classify_for_delete(
                     covered_all = False
                 continue
             try:
-                if mx < lo_e or mn > hi_e:
+                if (lo_e is not None and mx < lo_e) or (
+                    hi_e is not None and mn > hi_e
+                ):
                     disjoint = True
                     break
                 vals = u.get("vals")
@@ -3908,7 +3931,9 @@ def _classify_for_delete(
                     ):
                         covered_all = False
                 elif not (
-                    mn >= lo_e and mx <= hi_e and st.get("nulls") == 0
+                    (lo_e is None or mn >= lo_e)
+                    and (hi_e is None or mx <= hi_e)
+                    and st.get("nulls") == 0
                 ):
                     covered_all = False
             except TypeError:  # cross-type compare proves nothing

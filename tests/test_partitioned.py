@@ -1384,3 +1384,51 @@ def test_stream_writer_fanout_partitioned_append(spark, tmp_path):
     assert len(_read_manifest(path, latest_version(path))["files"]) == len(ent)
     got = {r["id"] for r in versioned_read(spark, path).collect()}
     assert set(range(100, 106)) <= got and len(got) == 36
+
+
+def test_open_sided_bounds_read_and_delete(spark, tmp_path):
+    """(lo, None) / (None, hi) bounds: one-sided pruning and residuals
+    in reads and DELETEs, including derived hidden-partition bounds
+    from an open raw-ts side."""
+    from skopje_spark.sinks.versioned import (
+        _interval_split,
+        versioned_delete,
+        versioned_read_where,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [
+        (i, dt.datetime(2024, 5, 1 + (i % 5), 6, i % 60), f"s{i % 2}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, src string")
+    versioned_write(df, path, partition_by=["day=date(ts)"])
+    # everything since May 4, open upper side
+    got = versioned_read_where(
+        spark, path, {"ts": (dt.datetime(2024, 5, 4, 0, 0), None)}
+    )
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(60) if i % 5 in (3, 4)
+    ]
+    ent = _read_manifest(path, 0)["files"]
+    cand, _ = _interval_split(ent, "day", "2024-05-04", None)
+    assert len(cand) == 2  # derived open bound elects the tail days
+    # open-sided day-target bound
+    got2 = versioned_read_where(
+        spark, path, {"day": (None, dt.date(2024, 5, 2))}
+    )
+    assert sorted(r["id"] for r in got2.collect()) == [
+        i for i in range(60) if i % 5 in (0, 1)
+    ]
+    # open-sided DELETE: whole tail dropped metadata-only
+    v = versioned_delete(
+        spark, path, {"day": (dt.date(2024, 5, 4), None)}
+    )
+    assert int(snapshot_meta(path, "n_files_dropped", version=v)) == 2
+    assert int(snapshot_meta(path, "n_files_scanned", version=v)) == 0
+    left = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert left == {i for i in range(60) if i % 5 in (0, 1, 2)}
+    # (None, None) still refused
+    with pytest.raises(ValueError, match="None"):
+        versioned_read_where(spark, path, {"id": (None, None)})
