@@ -2779,3 +2779,86 @@ def q_versioned_truncate_partition(
         .withColumn("truncate_prune", F.lit(bool(prune_ok)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_versioned_value_skipping",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS value_skip
+    FROM documents
+    WHERE lang = 'de'
+    GROUP BY lang
+    """,
+    tags=("versioned", "data-skipping", "value-index", "lakeops"),
+)
+def q_versioned_value_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file EXACT value-set skipping under the driver gate
+    (sinks/versioned.py:versioned_value_index — parquet dictionary
+    skipping elevated to the manifest, Delta's data-skipping-index
+    shape): documents is committed clustered loosely by language (a
+    file can span 2+ languages, so footer min/max intervals CANNOT
+    isolate one language), the value index records each file's exact
+    language set in a guarded metadata commit, and a ``lang = 'de'``
+    read must open only files that actually CONTAIN a German row.
+    ``value_skip`` folds the election proof: the pruned candidate set
+    equals exactly the files whose recorded set contains 'de', and is
+    strictly smaller than the table. Content is pinned to the oracle
+    filtering directly.
+
+    Scale: THE routing predicate of a curation pipeline (language,
+    source, license) usually isn't the partition column; the value
+    index buys partition-grade point-lookup pruning for those
+    columns at the cost of one distinct-pairs scan plus a manifest
+    rewrite — no data movement, no re-layout."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        _value_set_disjoint,
+        versioned_read_where,
+        versioned_value_index,
+        versioned_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_validx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # loose language clustering: ~2 languages per file, so min/max
+    # intervals span neighbors and only the exact sets can isolate one
+    versioned_write(
+        d.repartitionByRange(3, "lang", "doc_id")
+        .sortWithinPartitions("lang", "doc_id"),
+        path,
+    )
+    v = versioned_value_index(spark, path, ["lang"])
+    ent = _read_manifest(path, v)["files"]
+    indexed = [e for e in ent if "vals" in (e["stats"].get("lang") or {})]
+    containing = {
+        e["path"] for e in ent
+        if "de" in (e["stats"].get("lang") or {}).get("vals", ())
+    }
+    elected = {
+        e["path"] for e in ent
+        if not _value_set_disjoint(e["stats"].get("lang"), {"de"})
+    }
+    ok = (
+        len(indexed) == len(ent)
+        and elected == containing
+        and 0 < len(containing) < len(ent)
+    )
+    return (
+        versioned_read_where(spark, path, {"lang": "de"})
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn("value_skip", F.lit(bool(ok)))
+    )

@@ -2121,6 +2121,145 @@ def table_stats(path: str, *, version: int | None = None) -> dict | None:
     return out
 
 
+def versioned_value_index(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    *,
+    max_distinct: int = 64,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+    max_retries: int = 8,
+) -> int:
+    """Record per-file EXACT VALUE SETS for low-cardinality columns —
+    parquet dictionary skipping elevated to the manifest (the shape of
+    Delta's data-skipping indexes): one scan collects, per pooled
+    file, the distinct non-NULL values of each column (files exceeding
+    ``max_distinct`` distinct values are left un-indexed), and a
+    guarded commit rewrites the manifest entries with a
+    ``stats[col]["vals"]`` list. From then on every point/IN bound —
+    reads, DELETE classification, connector pushFilters — prunes by
+    exact membership: "language = 'de'" opens only files that actually
+    CONTAIN a German row, even though the table isn't partitioned or
+    clustered by language. Min/max intervals can't do this for
+    categorical columns scattered through every file.
+
+    Soundness: the sets are computed over PHYSICAL rows (a superset of
+    live rows — deletion vectors only shrink), so value-absence proofs
+    can never drop a live match; sets ignore NULLs, which is exactly
+    right for null-rejecting range/IN predicates. Coverage proofs
+    additionally require the footer's exact zero null count. Files
+    staged AFTER the index commit carry no sets and stay conservative
+    candidates until the next index run — rerun after large ingests,
+    like ANALYZE.
+
+    Cost: one distinct-pairs shuffle (bounded by the data) + a
+    manifest rewrite (O(manifest), zero data IO). The collected sets
+    are ≤``max_distinct`` values per file per column — a bounded
+    driver artifact. The commit is a guarded CAS re-derived from the
+    latest manifest per retry, so racing ingest commits are carried
+    (their new files simply stay un-indexed). Column types are
+    restricted to the partitionable set (ints/strings/bools/dates) —
+    floats and timestamps make poor equality keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    scanned = latest_version(path)
+    if scanned is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man0 = _read_manifest(path, scanned)
+    schema = StructType.fromJson(man0["schema"])
+    mapping = _schema_mapping(schema)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    for c in cols:
+        if c not in dtypes:
+            raise KeyError(
+                f"no column {c!r} at {path} (have {sorted(dtypes)})"
+            )
+        _check_partition_type(c, dtypes[c])
+    phys_schema = StructType(
+        [
+            StructField(mapping[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    paths = [os.path.join(path, e["path"]) for e in man0["files"]]
+    per_col: dict[str, dict[str, list]] = {}
+    if paths:
+        raw = spark.read.schema(phys_schema).parquet(*paths)
+        for c in cols:
+            phys = mapping.get(c, c)
+            # distinct (file, value) pairs first, THEN the capped
+            # collect — collect_set never materializes an unbounded
+            # set for a high-cardinality file; such files are simply
+            # not indexed
+            pairs = (
+                raw.select(
+                    F.input_file_name().alias("__f"),
+                    F.col(phys).alias("__v"),
+                )
+                .where(F.col("__v").isNotNull())
+                .distinct()
+            )
+            eligible = (
+                pairs.groupBy("__f")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") <= max_distinct)
+                .select("__f")
+            )
+            rows = (
+                pairs.join(eligible, "__f", "left_semi")
+                .groupBy("__f")
+                .agg(F.sort_array(F.collect_set("__v")).alias("__vals"))
+                .collect()
+            )
+            per_col[phys] = {
+                os.path.basename(r["__f"]): [
+                    _stat_encode(v) for v in r["__vals"]
+                ]
+                for r in rows
+            }
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        base = latest_version(path)
+        man = _read_manifest(path, base)
+        entries = []
+        n_indexed = 0
+        for e in man["files"]:
+            bn = os.path.basename(e["path"])
+            upd = None
+            for phys, vmap in per_col.items():
+                vals = vmap.get(bn)
+                if vals is None:
+                    continue
+                if upd is None:
+                    upd = dict(e)
+                    upd["stats"] = dict(upd.get("stats") or {})
+                slot = dict(upd["stats"].get(phys) or {})
+                slot["vals"] = vals
+                upd["stats"][phys] = slot
+                n_indexed += 1
+            entries.append(upd if upd is not None else e)
+        commit_meta = {
+            "op": "value_index",
+            "indexed_columns": json.dumps(sorted(cols)),
+            "n_files_indexed": str(n_indexed),
+            "as_of_version": str(scanned),
+        }
+        commit_meta.update(meta or {})
+        try:
+            return _commit_manifest(
+                path, man["schema"], entries, commit_meta,
+                base, lock_timeout_s,
+            )
+        except CommitConflict as e2:
+            last = e2
+            time.sleep(0.05 * (2**attempt))
+    raise CommitConflict(
+        f"value index at {path} lost {max_retries + 1} races; last: {last}"
+    )
+
+
 def _manifest_summary(path: str, version: int) -> tuple[int, int, int, int]:
     """(n_files, n_bytes, physical_rows, dv_rows) of a version from
     the kilobyte segment refs alone — no segment file is opened. Falls
@@ -2389,6 +2528,27 @@ def _stat_nan(x) -> bool:
     return isinstance(x, float) and x != x
 
 
+def _value_set_disjoint(st, bound_set) -> bool:
+    """True when a file's stats slot PROVES no row carries any value
+    in ``bound_set``: single-valued files (min == max, the partition
+    layout) by direct membership, value-indexed files
+    (:func:`versioned_value_index` ``vals`` sets) by empty
+    intersection. Stat-less / multi-valued / cross-type slots stay
+    conservative candidates."""
+    if not st:
+        return False
+    try:
+        mn, mx = st.get("min"), st.get("max")
+        if mn is not None and mn == mx:
+            return mn not in bound_set
+        evals = st.get("vals")
+        if evals is not None:
+            return not (set(evals) & set(bound_set))
+    except TypeError:
+        return False
+    return False
+
+
 def versioned_pruned_read(
     spark: SparkSession,
     path: str,
@@ -2495,21 +2655,24 @@ def versioned_read_where(
         entries, _ = _interval_split(
             entries, u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"])
         )
-        vals = u.get("vals")
-        if vals is not None:
-            # exact IN-list pruning where stats pin one value per
-            # file (partition layout): a multi-day read opens the
-            # listed days, not the whole span between them
-            def _in_set(e, key=u["key"], vals=vals):
-                st = (e.get("stats") or {}).get(key)
-                if not st:
-                    return True  # stat-less: conservative candidate
-                mn, mx = st.get("min"), st.get("max")
-                if mn is None or mx is None or mn != mx:
-                    return True
-                return mn in vals
-
-            entries = [e for e in entries if _in_set(e)]
+        bset = u.get("vals")
+        if bset is None:
+            lo_e = _stat_encode(u["lo"])
+            if lo_e is not None and lo_e == _stat_encode(u["hi"]):
+                bset = {lo_e}  # degenerate point interval
+        if bset is not None:
+            # exact membership pruning where the manifest pins the
+            # file's values: single-valued partition files (min==max)
+            # AND recorded per-file value sets (versioned_value_index)
+            # — a multi-day read opens the listed days, a point lookup
+            # on an indexed categorical column opens only files that
+            # actually contain the value
+            entries = [
+                e for e in entries
+                if not _value_set_disjoint(
+                    (e.get("stats") or {}).get(u["key"]), bset
+                )
+            ]
     return _read_entries(spark, path, entries, schema).filter(
         _bounds_predicate(resolved)
     )
@@ -3899,45 +4062,77 @@ def _classify_for_delete(
         disjoint = False
         for u in resolved:
             lo_e, hi_e = _stat_encode(u["lo"]), _stat_encode(u["hi"])
-            st = (e.get("stats") or {}).get(u["key"])
-            mn = None if st is None else st.get("min")
-            mx = None if st is None else st.get("max")
-            if (
-                mn is None
-                or mx is None
-                or _stat_nan(mn)
-                or _stat_nan(mx)
-            ):
-                if u["coverage"]:
-                    covered_all = False
-                continue
+            st = (e.get("stats") or {}).get(u["key"]) or {}
+            mn, mx = st.get("min"), st.get("max")
+            # the bound's exact value set, when it has one: an IN-list,
+            # or a degenerate point interval
+            bset = u.get("vals")
+            if bset is None and lo_e is not None and lo_e == hi_e:
+                bset = {lo_e}
+            # recorded per-file EXACT value set (versioned_value_index)
+            # — NULL-free by construction, so membership disjointness
+            # is sound (range/IN predicates are null-rejecting) and
+            # containment + exact zero nulls proves coverage
+            evals = st.get("vals")
+            u_cov = False
             try:
+                if evals is not None:
+                    es = set(evals)
+                    if bset is not None and not (es & set(bset)):
+                        disjoint = True
+                        break
+                    if (lo_e is not None and all(v < lo_e for v in es)) or (
+                        hi_e is not None and all(v > hi_e for v in es)
+                    ):
+                        disjoint = True
+                        break
+                    if u["coverage"] and st.get("nulls") == 0:
+                        if bset is not None:
+                            u_cov = es <= set(bset)
+                        else:
+                            u_cov = all(
+                                (lo_e is None or v >= lo_e)
+                                and (hi_e is None or v <= hi_e)
+                                for v in es
+                            )
+                if (
+                    mn is None
+                    or mx is None
+                    or _stat_nan(mn)
+                    or _stat_nan(mx)
+                ):
+                    if u["coverage"] and not u_cov:
+                        covered_all = False
+                    continue
                 if (lo_e is not None and mx < lo_e) or (
                     hi_e is not None and mn > hi_e
                 ):
                     disjoint = True
                     break
-                vals = u.get("vals")
-                if vals is not None and mn == mx and mn not in vals:
+                if bset is not None and mn == mx and mn not in bset:
                     # single-valued file (partition layout) outside
                     # the IN-list: provably no matching row
                     disjoint = True
                     break
                 if not u["coverage"]:
                     continue  # prune-only: disjointness proof only
-                if vals is not None:
-                    if not (
-                        mn == mx and mn in vals and st.get("nulls") == 0
-                    ):
-                        covered_all = False
-                elif not (
-                    (lo_e is None or mn >= lo_e)
-                    and (hi_e is None or mx <= hi_e)
-                    and st.get("nulls") == 0
-                ):
+                if not u_cov:
+                    if bset is not None and u.get("vals") is not None:
+                        u_cov = (
+                            mn == mx
+                            and mn in bset
+                            and st.get("nulls") == 0
+                        )
+                    elif u.get("vals") is None:
+                        u_cov = (
+                            (lo_e is None or mn >= lo_e)
+                            and (hi_e is None or mx <= hi_e)
+                            and st.get("nulls") == 0
+                        )
+                if not u_cov:
                     covered_all = False
             except TypeError:  # cross-type compare proves nothing
-                if u["coverage"]:
+                if u["coverage"] and not u_cov:
                     covered_all = False
         if disjoint:
             carried.append(e)
@@ -4662,7 +4857,7 @@ def versioned_change_feed(
         op = snapshot_meta(path, "op", version=v) or ""
         if op in ("compact", "rename_column", "set_constraint",
                   "drop_constraint", "analyze", "drop_column",
-                  "widen_column"):
+                  "widen_column", "set_partition_spec", "value_index"):
             # physical motion or metadata-only property change: zero
             # logical row changes (rename serves each range in its
             # as-recorded schema — consumers spanning a rename map

@@ -68,7 +68,7 @@ from pyspark.sql.types import StructType
 # (op markers as written by sinks/versioned.py)
 _ZERO_CHANGE_OPS = {"compact", "rename_column", "set_constraint",
                     "drop_constraint", "analyze", "drop_column",
-                    "widen_column"}
+                    "widen_column", "set_partition_spec", "value_index"}
 
 
 def _logical_schema(man: dict) -> StructType:
@@ -431,23 +431,27 @@ class VersionedTableReader(DataSourceReader):
         for sk, lo, hi in phys_bounds:
             entries = [e for e in entries if _overlaps(e, sk, lo, hi)]
 
-        # exact IN-set membership where stats pin one value per file
-        # (partition layout: min == max) — mirrors the native
-        # versioned_read_where; stat-less / multi-valued files stay
-        # conservative candidates, Spark re-applies the exact filter
-        def _in_set(e, key, vals):
-            st = (e.get("stats") or {}).get(key)
-            if not st:
-                return True
-            mn, mx = st.get("min"), st.get("max")
-            if mn is None or mx is None or mn != mx:
-                return True
-            return mn in vals
+        # exact membership pruning where the manifest pins a file's
+        # values: single-valued partition files (min == max) AND
+        # recorded per-file value sets (versioned_value_index) —
+        # mirrors the native versioned_read_where; stat-less /
+        # multi-valued files stay conservative candidates, Spark
+        # re-applies the exact filter
+        from skopje_spark.sinks.versioned import _value_set_disjoint
+
+        member_sets: list[tuple[str, set]] = list(bucket_sets)
         for col, vals in self._in_sets.items():
-            sk = self.map.get(col, col)
-            entries = [e for e in entries if _in_set(e, sk, vals)]
-        for btarget, bvals in bucket_sets:
-            entries = [e for e in entries if _in_set(e, btarget, bvals)]
+            member_sets.append((self.map.get(col, col), set(vals)))
+        for col, (lo, hi) in self._bounds.items():
+            if lo is not None and lo == hi:  # pushed equality
+                member_sets.append((self.map.get(col, col), {lo}))
+        for sk, vals in member_sets:
+            entries = [
+                e for e in entries
+                if not _value_set_disjoint(
+                    (e.get("stats") or {}).get(sk), vals
+                )
+            ]
         return entries
 
     def partitions(self) -> Sequence[InputPartition]:

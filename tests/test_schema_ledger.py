@@ -239,3 +239,90 @@ def test_join_advice_auto_routes_stats_then_sample(spark, tmp_path):
     )
     fallback = join_advice_auto(spark, dim, "k", fact, "k", rate=0.5)
     assert fallback["source"] == "sample"
+
+
+def _lang_table(spark, path, n=200):
+    """loosely language-clustered docs: ~2 langs per file, so footer
+    min/max intervals cannot isolate one language."""
+    from skopje_spark.sinks.versioned import versioned_write
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    df = spark.createDataFrame(
+        [(i, langs[i % 5], f"t{i}") for i in range(n)],
+        "id long, lang string, txt string",
+    )
+    versioned_write(
+        df.repartitionByRange(3, "lang", "id")
+        .sortWithinPartitions("lang", "id"),
+        path,
+    )
+    return df
+
+
+def test_value_index_prunes_point_and_in_reads(spark, tmp_path):
+    """versioned_value_index records per-file exact value sets; point
+    and IN bounds prune by membership where intervals span neighbors;
+    content stays exact; the connector prunes pushed equality the
+    same way; the commit is zero-change for the feed."""
+    from pyspark.sql.datasource import EqualTo
+    from skopje_spark.sinks.versioned import (
+        versioned_change_feed,
+        versioned_read_where,
+        versioned_value_index,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    path = str(tmp_path / "t")
+    _lang_table(spark, path)
+    v = versioned_value_index(spark, path, ["lang"])
+    ent = _read_manifest(path, v)["files"]
+    assert all("vals" in e["stats"]["lang"] for e in ent)
+    containing = {
+        e["path"] for e in ent if "de" in e["stats"]["lang"]["vals"]
+    }
+    assert 0 < len(containing) < len(ent)
+    m: dict = {}
+    got = versioned_read_where(spark, path, {"lang": "de"}, metrics=m)
+    assert sorted(r["id"] for r in got.collect()) == list(range(0, 200, 5))
+    # connector: pushed equality elects the same files
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("lang",), "de")]))
+    assert {p.rel_path for p in rd.partitions()} == containing
+    # IN bound prunes by set intersection
+    got2 = versioned_read_where(spark, path, {"lang": ["zh"]})
+    assert sorted(r["id"] for r in got2.collect()) == list(range(4, 200, 5))
+    # zero-change op: the feed crosses it without a keys fallback
+    feed = versioned_change_feed(spark, path, from_version=v)
+    assert feed.count() == 0
+
+
+def test_value_index_coverage_drop_and_cap(spark, tmp_path):
+    """A multi-valued file whose WHOLE value set sits inside an
+    IN-list bound (exact zero nulls) is droppable metadata-only —
+    interval stats alone could not prove that; high-cardinality
+    columns are simply not indexed (cap), staying conservative."""
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_value_index,
+    )
+
+    path = str(tmp_path / "t")
+    _lang_table(spark, path)
+    versioned_value_index(spark, path, ["lang"], max_distinct=4)
+    ent = _read_manifest(path, latest_version(path))["files"]
+    # files span ≥2 langs each (the loose clustering) — find one
+    # file's full set and delete exactly those languages
+    multi = [e for e in ent if len(e["stats"]["lang"]["vals"]) >= 2]
+    assert multi
+    target = multi[0]["stats"]["lang"]["vals"]
+    v = versioned_delete(spark, path, {"lang": list(target)})
+    assert int(snapshot_meta(path, "n_files_dropped", version=v)) >= 1
+    left = {r["lang"] for r in versioned_read(spark, path).collect()}
+    assert not (left & set(target))
+    # cap: id has 200 distinct values per... > max_distinct → no vals
+    path2 = str(tmp_path / "t2")
+    _lang_table(spark, path2)
+    versioned_value_index(spark, path2, ["id"], max_distinct=4)
+    ent2 = _read_manifest(path2, latest_version(path2))["files"]
+    assert all("vals" not in (e["stats"].get("id") or {}) for e in ent2)
