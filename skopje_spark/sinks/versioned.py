@@ -764,6 +764,7 @@ def _stage_data_files(
             entries.append(_file_entry(os.path.join(path, rel), rel))
         shutil.rmtree(staged, ignore_errors=True)
         _enforce_constraints(df.sparkSession, path, entries, mapping)
+        _maintain_value_index(df.sparkSession, path, entries, mapping)
         return entries
 
     import urllib.parse
@@ -865,6 +866,7 @@ def _stage_data_files(
         entries.append(entry)
     shutil.rmtree(staged, ignore_errors=True)
     _enforce_constraints(df.sparkSession, path, entries, mapping)
+    _maintain_value_index(df.sparkSession, path, entries, mapping)
     return entries
 
 
@@ -1278,7 +1280,8 @@ def _commit_manifest(
     # a commit explicitly rewrites them: CHECK constraints and the
     # streaming-writer batch ledger
     for prop in ("constraints", "stream_ledger", "column_stats",
-                 "partition_by", "retired_physicals", "partition_specs"):
+                 "partition_by", "retired_physicals", "partition_specs",
+                 "value_index"):
         if prop in meta:
             continue
         base = (
@@ -2121,6 +2124,99 @@ def table_stats(path: str, *, version: int | None = None) -> dict | None:
     return out
 
 
+def _collect_value_sets(
+    spark: SparkSession,
+    abs_paths: list[str],
+    phys_cols: list[str],
+    max_distinct: int,
+    *,
+    read_schema=None,
+) -> dict[str, dict[str, list]]:
+    """{physical column → {file basename → sorted encoded value set}}
+    over the given pooled files (PHYSICAL rows, NULLs ignored).
+    Distinct (file, value) pairs first, THEN the capped collect —
+    ``collect_set`` never materializes an unbounded set for a
+    high-cardinality file; such files simply get no entry."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict[str, list]] = {}
+    if not abs_paths:
+        return out
+    reader = spark.read
+    if read_schema is not None:
+        reader = reader.schema(read_schema)
+    raw = reader.parquet(*abs_paths)
+    for phys in phys_cols:
+        if phys not in raw.columns:
+            continue
+        pairs = (
+            raw.select(
+                F.input_file_name().alias("__f"),
+                F.col(phys).alias("__v"),
+            )
+            .where(F.col("__v").isNotNull())
+            .distinct()
+        )
+        eligible = (
+            pairs.groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_distinct)
+            .select("__f")
+        )
+        rows = (
+            pairs.join(eligible, "__f", "left_semi")
+            .groupBy("__f")
+            .agg(F.sort_array(F.collect_set("__v")).alias("__vals"))
+            .collect()
+        )
+        out[phys] = {
+            os.path.basename(r["__f"]): [
+                _stat_encode(v) for v in r["__vals"]
+            ]
+            for r in rows
+        }
+    return out
+
+
+def _maintain_value_index(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    mapping: dict[str, str] | None,
+) -> None:
+    """Write-side index maintenance: when the table carries a
+    ``value_index`` property (set by :func:`versioned_value_index`),
+    inject each freshly STAGED file's exact value sets into its entry
+    before commit — one extra scan of the just-written batch, only
+    when the property exists, so membership pruning stays exact
+    across later ingests instead of degrading to conservative on
+    every new file."""
+    committed = latest_version(path)
+    if committed is None or not entries:
+        return
+    raw = snapshot_meta(path, "value_index", version=committed)
+    if not raw:
+        return
+    cfg = json.loads(raw)
+    phys_cols = [(mapping or {}).get(c, c) for c in cfg.get("cols", [])]
+    per_col = _collect_value_sets(
+        spark,
+        [os.path.join(path, e["path"]) for e in entries],
+        phys_cols,
+        int(cfg.get("max_distinct", 64)),
+    )
+    for e in entries:
+        bn = os.path.basename(e["path"])
+        for phys, vmap in per_col.items():
+            vals = vmap.get(bn)
+            if vals is None:
+                continue
+            stats = e.setdefault("stats", {})
+            slot = dict(stats.get(phys) or {})
+            slot["vals"] = vals
+            stats[phys] = slot
+
+
 def versioned_value_index(
     spark: SparkSession,
     path: str,
@@ -2184,41 +2280,10 @@ def versioned_value_index(
         ]
     )
     paths = [os.path.join(path, e["path"]) for e in man0["files"]]
-    per_col: dict[str, dict[str, list]] = {}
-    if paths:
-        raw = spark.read.schema(phys_schema).parquet(*paths)
-        for c in cols:
-            phys = mapping.get(c, c)
-            # distinct (file, value) pairs first, THEN the capped
-            # collect — collect_set never materializes an unbounded
-            # set for a high-cardinality file; such files are simply
-            # not indexed
-            pairs = (
-                raw.select(
-                    F.input_file_name().alias("__f"),
-                    F.col(phys).alias("__v"),
-                )
-                .where(F.col("__v").isNotNull())
-                .distinct()
-            )
-            eligible = (
-                pairs.groupBy("__f")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") <= max_distinct)
-                .select("__f")
-            )
-            rows = (
-                pairs.join(eligible, "__f", "left_semi")
-                .groupBy("__f")
-                .agg(F.sort_array(F.collect_set("__v")).alias("__vals"))
-                .collect()
-            )
-            per_col[phys] = {
-                os.path.basename(r["__f"]): [
-                    _stat_encode(v) for v in r["__vals"]
-                ]
-                for r in rows
-            }
+    per_col = _collect_value_sets(
+        spark, paths, [mapping.get(c, c) for c in cols], max_distinct,
+        read_schema=phys_schema,
+    )
     last: CommitConflict | None = None
     for attempt in range(max_retries + 1):
         base = latest_version(path)
@@ -2245,6 +2310,12 @@ def versioned_value_index(
             "indexed_columns": json.dumps(sorted(cols)),
             "n_files_indexed": str(n_indexed),
             "as_of_version": str(scanned),
+            # carried TABLE property: every later write indexes its
+            # own staged files (_maintain_value_index), so membership
+            # pruning stays exact across ingests without re-runs
+            "value_index": json.dumps(
+                {"cols": sorted(cols), "max_distinct": max_distinct}
+            ),
         }
         commit_meta.update(meta or {})
         try:

@@ -796,11 +796,14 @@ class VersionedTableWriter(DataSourceArrowWriter):
             # commit runs on a driver callback thread where the active
             # session may be unset — getOrCreate rebinds the existing
             # one; constraint enforcement must never silently skip
+            from skopje_spark.sinks.versioned import _maintain_value_index
+
             spark = (
                 SparkSession.getActiveSession()
                 or SparkSession.builder.getOrCreate()
             )
             _enforce_constraints(spark, self.path, entries, self.map)
+            _maintain_value_index(spark, self.path, entries, self.map)
         op = "overwrite" if self.overwrite else "append"
         for _ in range(16):  # appends commute: CAS retry always safe
             base = latest_version(self.path)
@@ -943,11 +946,14 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                 _drop_staged()  # replayed micro-batch: already landed
                 return
         if entries:
+            from skopje_spark.sinks.versioned import _maintain_value_index
+
             spark = (
                 SparkSession.getActiveSession()
                 or SparkSession.builder.getOrCreate()
             )
             _enforce_constraints(spark, self.path, entries, self._w.map)
+            _maintain_value_index(spark, self.path, entries, self._w.map)
         for _ in range(16):
             base = latest_version(self.path)
             reuse = None

@@ -288,17 +288,41 @@ def _make_sink(node: dict):
             # declarative partition spec: applied on table creation;
             # later MERGEs inherit it from the carried table property
             pby = node.get("partition_by")
+            # declarative value index: installed once right after the
+            # table exists; the carried property then self-maintains
+            # on every later write (_maintain_value_index)
+            vi = node.get("value_index")
+
+            def _ensure_value_index(version: int) -> int:
+                if not vi:
+                    return version
+                from skopje_spark.sinks.versioned import (
+                    snapshot_meta,
+                    versioned_value_index,
+                )
+
+                if snapshot_meta(
+                    path, "value_index", version=version
+                ) is None:
+                    return versioned_value_index(
+                        ctx.spark, path, list(vi["cols"]),
+                        max_distinct=int(vi.get("max_distinct", 64)),
+                    )
+                return version
+
             if keys:  # MERGE by key into the committed table
                 from skopje_spark.sinks.versioned import latest_version
 
                 if latest_version(path) is None:
-                    return versioned_write(
+                    return _ensure_value_index(versioned_write(
                         df, path, partition_by=list(pby) if pby else None
-                    )
-                return versioned_upsert(ctx.spark, path, df, list(keys))
-            return versioned_write(
+                    ))
+                return _ensure_value_index(
+                    versioned_upsert(ctx.spark, path, df, list(keys))
+                )
+            return _ensure_value_index(versioned_write(
                 df, path, partition_by=list(pby) if pby else None
-            )
+            ))
         if fmt == "stream_parquet":
             from skopje_spark.streaming.streams import parquet_stream_sink
 

@@ -713,3 +713,50 @@ def test_pipeline_spec_versioned_source_and_cdf_chain(spark, tmp_path):
         (3, "update_postimage", 3),
         (3, "update_preimage", 3),
     ]
+
+
+def test_pipeline_spec_value_index_install_and_maintain(spark, tmp_path):
+    """Declarative value_index on the versioned sink: installed once
+    after the table exists, then SELF-maintained — a second keyed run
+    stamps its rewritten files with value sets, and membership
+    pruning serves point reads exactly."""
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        snapshot_meta,
+        versioned_read_where,
+    )
+    from skopje_spark.spec import pipeline_from_spec
+
+    table = str(tmp_path / "vidx")
+    sf = "/root/testdata/sf0.001"
+    spec = {
+        "name": "versioned-value-index",
+        "nodes": [
+            {"name": "nation", "kind": "source", "format": "parquet",
+             "path": f"{sf}/nation.parquet"},
+            {"name": "small", "kind": "transform", "deps": ["nation"],
+             "sql": "SELECT n_nationkey, n_regionkey, n_name FROM nation"},
+            {"name": "commit", "kind": "sink", "format": "versioned",
+             "dep": "small", "path": table, "keys": ["n_nationkey"],
+             "value_index": {"cols": ["n_regionkey"]}},
+        ],
+    }
+    pipeline_from_spec(spec).run(spark)
+    v = latest_version(table)
+    assert snapshot_meta(table, "op", version=v) == "value_index"
+    ent = _read_manifest(table, v)["files"]
+    assert all(
+        "vals" in (e["stats"].get("n_regionkey") or {})
+        for e in ent if e.get("rows")
+    )
+    pipeline_from_spec(spec).run(spark)  # keyed re-run: merge, no re-install
+    v2 = latest_version(table)
+    assert snapshot_meta(table, "op", version=v2) == "merge"
+    ent2 = _read_manifest(table, v2)["files"]
+    assert all(
+        "vals" in (e["stats"].get("n_regionkey") or {})
+        for e in ent2 if e.get("rows")
+    )
+    got = versioned_read_where(spark, table, {"n_regionkey": 2})
+    assert got.count() == 5

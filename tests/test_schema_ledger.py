@@ -326,3 +326,56 @@ def test_value_index_coverage_drop_and_cap(spark, tmp_path):
     versioned_value_index(spark, path2, ["id"], max_distinct=4)
     ent2 = _read_manifest(path2, latest_version(path2))["files"]
     assert all("vals" not in (e["stats"].get("id") or {}) for e in ent2)
+
+
+def test_value_index_maintained_by_later_writes(spark, tmp_path):
+    """The value_index table property makes the index SELF-MAINTAINING:
+    appends, upserts, and connector writes after the index commit
+    stamp their own staged files with value sets, so membership
+    pruning never degrades on fresh ingests."""
+    from skopje_spark.sinks.versioned import (
+        versioned_append,
+        versioned_read_where,
+        versioned_upsert,
+        versioned_value_index,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "t")
+    _lang_table(spark, path)
+    versioned_value_index(spark, path, ["lang"])
+    # native append: new file gets its set stamped at stage time
+    batch = spark.createDataFrame(
+        [(1000, "it", "x"), (1001, "it", "y")],
+        "id long, lang string, txt string",
+    )
+    v1 = versioned_append(spark, path, batch)
+    ent = _read_manifest(path, v1)["files"]
+    fresh = [e for e in ent if 1000 in range(1000, 1002) and
+             (e["stats"].get("lang") or {}).get("vals") == ["it"]]
+    assert fresh, "appended file must carry its value set"
+    # ...and the point read elects it exactly
+    got = versioned_read_where(spark, path, {"lang": "it"})
+    assert sorted(r["id"] for r in got.collect()) == [1000, 1001]
+    # upsert rewrite: rewritten files re-stamped
+    upd = spark.createDataFrame(
+        [(0, "de", "NEW")], "id long, lang string, txt string"
+    )
+    v2 = versioned_upsert(spark, path, upd, ["id"])
+    ent2 = _read_manifest(path, v2)["files"]
+    assert all(
+        "vals" in (e["stats"].get("lang") or {})
+        for e in ent2 if e.get("rows")
+    ), "every non-empty file (carried + rewritten) keeps a value set"
+    # connector append: stamped through the writer commit too
+    (spark.createDataFrame([(2000, "pt", "z")],
+                           "id long, lang string, txt string")
+     .write.format("skopje_versioned").option("path", path)
+     .mode("append").save())
+    ent3 = _read_manifest(path, latest_version(path))["files"]
+    pt = [e for e in ent3
+          if (e["stats"].get("lang") or {}).get("vals") == ["pt"]]
+    assert pt
+    got2 = versioned_read_where(spark, path, {"lang": "pt"})
+    assert [r["id"] for r in got2.collect()] == [2000]
