@@ -764,7 +764,7 @@ def _stage_data_files(
             entries.append(_file_entry(os.path.join(path, rel), rel))
         shutil.rmtree(staged, ignore_errors=True)
         _enforce_constraints(df.sparkSession, path, entries, mapping)
-        _maintain_value_index(df.sparkSession, path, entries, mapping)
+        _maintain_value_index(df.sparkSession, path, entries)
         return entries
 
     import urllib.parse
@@ -866,7 +866,7 @@ def _stage_data_files(
         entries.append(entry)
     shutil.rmtree(staged, ignore_errors=True)
     _enforce_constraints(df.sparkSession, path, entries, mapping)
-    _maintain_value_index(df.sparkSession, path, entries, mapping)
+    _maintain_value_index(df.sparkSession, path, entries)
     return entries
 
 
@@ -2182,7 +2182,6 @@ def _maintain_value_index(
     spark: SparkSession,
     path: str,
     entries: list[dict],
-    mapping: dict[str, str] | None,
 ) -> None:
     """Write-side index maintenance: when the table carries a
     ``value_index`` property (set by :func:`versioned_value_index`),
@@ -2198,7 +2197,9 @@ def _maintain_value_index(
     if not raw:
         return
     cfg = json.loads(raw)
-    phys_cols = [(mapping or {}).get(c, c) for c in cfg.get("cols", [])]
+    # the property carries PHYSICAL names (rename-stable); pooled
+    # files are written under physical names, so no mapping applies
+    phys_cols = list(cfg.get("cols", []))
     per_col = _collect_value_sets(
         spark,
         [os.path.join(path, e["path"]) for e in entries],
@@ -2312,10 +2313,13 @@ def versioned_value_index(
             "as_of_version": str(scanned),
             # carried TABLE property: every later write indexes its
             # own staged files (_maintain_value_index), so membership
-            # pruning stays exact across ingests without re-runs
-            "value_index": json.dumps(
-                {"cols": sorted(cols), "max_distinct": max_distinct}
-            ),
+            # pruning stays exact across ingests without re-runs.
+            # PHYSICAL names — stable across renames forever, so the
+            # maintenance can never silently detach from its column
+            "value_index": json.dumps({
+                "cols": sorted(mapping.get(c, c) for c in cols),
+                "max_distinct": max_distinct,
+            }),
         }
         commit_meta.update(meta or {})
         try:

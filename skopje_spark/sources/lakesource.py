@@ -803,7 +803,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
                 or SparkSession.builder.getOrCreate()
             )
             _enforce_constraints(spark, self.path, entries, self.map)
-            _maintain_value_index(spark, self.path, entries, self.map)
+            _maintain_value_index(spark, self.path, entries)
         op = "overwrite" if self.overwrite else "append"
         for _ in range(16):  # appends commute: CAS retry always safe
             base = latest_version(self.path)
@@ -953,7 +953,7 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                 or SparkSession.builder.getOrCreate()
             )
             _enforce_constraints(spark, self.path, entries, self._w.map)
-            _maintain_value_index(spark, self.path, entries, self._w.map)
+            _maintain_value_index(spark, self.path, entries)
         for _ in range(16):
             base = latest_version(self.path)
             reuse = None

@@ -379,3 +379,33 @@ def test_value_index_maintained_by_later_writes(spark, tmp_path):
     assert pt
     got2 = versioned_read_where(spark, path, {"lang": "pt"})
     assert [r["id"] for r in got2.collect()] == [2000]
+
+
+def test_value_index_survives_column_rename(spark, tmp_path):
+    """The value_index property carries PHYSICAL names, so renaming
+    the indexed column never detaches maintenance: post-rename
+    appends still stamp their files, and reads bound by the NEW
+    logical name prune by membership."""
+    from skopje_spark.sinks.versioned import (
+        versioned_append,
+        versioned_read_where,
+        versioned_rename_column,
+        versioned_value_index,
+    )
+
+    path = str(tmp_path / "t")
+    _lang_table(spark, path)
+    versioned_value_index(spark, path, ["lang"])
+    versioned_rename_column(path, "lang", "language")
+    batch = spark.createDataFrame(
+        [(1000, "it", "x")], "id long, language string, txt string"
+    )
+    v = versioned_append(spark, path, batch)
+    ent = _read_manifest(path, v)["files"]
+    it_files = [
+        e for e in ent
+        if (e["stats"].get("lang") or {}).get("vals") == ["it"]
+    ]
+    assert it_files, "post-rename append still stamped (physical name)"
+    got = versioned_read_where(spark, path, {"language": "it"})
+    assert [r["id"] for r in got.collect()] == [1000]
