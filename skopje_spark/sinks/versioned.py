@@ -588,8 +588,8 @@ def _hidden_expr(transform: str, col, dtype):
         n = int(transform[len("bucket["):-1])
         return _bucket_expr(col, n), LongType()
     w = int(transform[len("truncate["):-1])
-    if isinstance(dtype, StringType):
-        return _truncate_expr(col, w, dtype), StringType()
+    # decode type == source type: string prefixes stay strings,
+    # floored ints keep the source's integer type
     return _truncate_expr(col, w, dtype), dtype
 
 
