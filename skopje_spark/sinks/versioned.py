@@ -957,6 +957,9 @@ def _enforce_constraints(
 # expected file entries per manifest segment (content-defined cuts,
 # so the EXPECTED size is this; actual segments vary around it)
 _SEG_TARGET = 2000
+# ref-level value-set unions stay kilobyte refs: fold only while the
+# union of a segment's per-file value sets is at most this many values
+_SEG_VALS_CAP = 64
 
 
 def _seg_cut(path_str: str) -> bool:
@@ -1052,9 +1055,39 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
                 if m2 is None or x2 is None:
                     ok = False
                     break
-                mn, mx = min(mn, m2), max(mx, x2)
+                try:
+                    mn, mx = min(mn, m2), max(mx, x2)
+                except TypeError:
+                    ok = False
+                    break
             if ok:
                 agg[col] = {"min": mn, "max": mx}
+            # ref-level VALUE-SET union: every member pins its values
+            # (a recorded vals set, or min==max single-valued layout)
+            # and the union stays small → point/IN bounds close the
+            # whole segment by membership even when the interval fold
+            # spans everything (scattered categoricals). Partition
+            # layouts get this for free from their singleton stats.
+            union: set = set()
+            for e in chunk:
+                st2 = (e.get("stats") or {}).get(col) or {}
+                evals = st2.get("vals")
+                if evals is None:
+                    m2, x2 = st2.get("min"), st2.get("max")
+                    if m2 is None or m2 != x2:
+                        union = None
+                        break
+                    evals = [m2]
+                union.update(evals)
+                if len(union) > _SEG_VALS_CAP:
+                    union = None
+                    break
+            if union:
+                try:
+                    vals_sorted = sorted(union)
+                except TypeError:
+                    vals_sorted = sorted(union, key=repr)
+                agg.setdefault(col, {})["vals"] = vals_sorted
         ref = {
             "path": rel,
             "n": len(chunk),
@@ -1148,11 +1181,16 @@ def _split_refs_for_bounds(
     closed: list[dict] = []
     open_entries: list[dict] = []
     bounds = [
-        (u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"]))
+        (
+            u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"]),
+            u.get("vals"),
+        )
         for u in resolved
     ]
     for ref in man["segments"]:
-        if any(_ref_disjoint(ref, sc, lo, hi) for sc, lo, hi in bounds):
+        if any(
+            _ref_disjoint(ref, sc, lo, hi, vs) for sc, lo, hi, vs in bounds
+        ):
             closed.append(ref)
         else:
             with open(os.path.join(path, ref["path"])) as f:
@@ -1196,14 +1234,27 @@ def _read_manifest(path: str, version: int) -> dict:
     return man
 
 
-def _ref_disjoint(ref: dict, stats_col: str, lo, hi) -> bool:
-    """True when a segment ref's AGGREGATE [min, max] on ``stats_col``
-    PROVES every member file disjoint from [lo, hi]; False (open the
-    segment) for stat-less/NaN/cross-type aggregates — conservative,
-    per-entry pruning re-filters whatever is opened."""
+def _ref_disjoint(ref: dict, stats_col: str, lo, hi, vals=None) -> bool:
+    """True when a segment ref's AGGREGATE stats on ``stats_col``
+    PROVE every member file disjoint from the bound: the [min, max]
+    interval fold, or — for point/IN bounds — empty intersection with
+    the ref's value-set UNION (which closes segments of scattered
+    categoricals whose interval fold spans everything). False (open
+    the segment) for stat-less/NaN/cross-type aggregates —
+    conservative, per-entry pruning re-filters whatever is opened."""
     st = (ref.get("stats") or {}).get(stats_col)
     if st is None:
         return False
+    bset = vals
+    if bset is None and lo is not None and lo == hi:
+        bset = {lo}
+    evals = st.get("vals")
+    if evals is not None and bset is not None:
+        try:
+            if not (set(evals) & set(bset)):
+                return True
+        except TypeError:
+            pass
     mn, mx = st.get("min"), st.get("max")
     if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
         return False
@@ -1235,6 +1286,7 @@ def _pruned_manifest_entries(
     bounds = (
         ref_bounds if ref_bounds is not None else [(stats_col, lo, hi)]
     )
+    bounds = [b if len(b) == 4 else (*b, None) for b in bounds]
     with open(os.path.join(path, f"v={version}", _MANIFEST_NAME)) as f:
         man = json.load(f)
     if "files" in man:
@@ -1242,7 +1294,10 @@ def _pruned_manifest_entries(
     out: list[dict] = []
     opened = 0
     for ref in man["segments"]:
-        if any(_ref_disjoint(ref, sc, lo_, hi_) for sc, lo_, hi_ in bounds):
+        if any(
+            _ref_disjoint(ref, sc, lo_, hi_, vs)
+            for sc, lo_, hi_, vs in bounds
+        ):
             continue  # proven disjoint: never opened
         opened += 1
         with open(os.path.join(path, ref["path"])) as f:
@@ -2719,7 +2774,10 @@ def versioned_read_where(
     entries, _, seg_opened, seg_total = _pruned_manifest_entries(
         path, v, None,
         ref_bounds=[
-            (u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"]))
+            (
+                u["key"], _stat_encode(u["lo"]), _stat_encode(u["hi"]),
+                u.get("vals"),
+            )
             for u in resolved
         ],
     )

@@ -255,11 +255,19 @@ def _read_entry_arrow(
 def _ref_overlaps(ref: dict, stats_col: str, lo, hi) -> bool:
     """Segment-ref-level twin of :func:`_overlaps`: True unless the
     ref's AGGREGATE [min, max] on ``stats_col`` proves every member
-    file disjoint from [lo, hi] (either bound may be None). Refs
-    without usable aggregate stats stay conservative."""
+    file disjoint from [lo, hi] (either bound may be None), or — for
+    a pushed equality — the ref's value-set union excludes the value.
+    Refs without usable aggregate stats stay conservative."""
     st = (ref.get("stats") or {}).get(stats_col)
     if not st:
         return True
+    evals = st.get("vals")
+    if evals is not None and lo is not None and lo == hi:
+        try:
+            if lo not in set(evals):
+                return False  # union excludes the point: never opened
+        except TypeError:
+            pass
     mn, mx = st.get("min"), st.get("max")
     isnan = lambda x: isinstance(x, float) and x != x  # noqa: E731
     if mn is None or mx is None or isnan(mn) or isnan(mx):

@@ -409,3 +409,45 @@ def test_value_index_survives_column_rename(spark, tmp_path):
     assert it_files, "post-rename append still stamped (physical name)"
     got = versioned_read_where(spark, path, {"language": "it"})
     assert [r["id"] for r in got.collect()] == [1000]
+
+
+def test_segment_tier_value_union_closes_scattered_categorical(
+    spark, tmp_path, monkeypatch
+):
+    """Segment refs fold a value-set UNION (from recorded vals or
+    singleton min==max stats): a point bound on a SCATTERED
+    categorical — whose interval folds span everything — still closes
+    whole segments by membership, natively and in the connector."""
+    import skopje_spark.sinks.versioned as V
+    from pyspark.sql.datasource import EqualTo
+    from skopje_spark.sinks.versioned import (
+        versioned_read_where,
+        versioned_write,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "t")
+    # 80 files clustered by k; lang cycles L0..L7 per 10-row block, so
+    # every segment's [min, max] fold spans most of the alphabet while
+    # its 4-ish distinct langs stay far under the union cap
+    df = spark.createDataFrame(
+        [(i, f"L{(i // 10) % 8}", f"r{i}") for i in range(800)],
+        "k long, lang string, v string",
+    )
+    versioned_write(
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
+    )
+    m: dict = {}
+    got = versioned_read_where(spark, path, {"lang": "L5"}, metrics=m)
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(800) if (i // 10) % 8 == 5
+    ]
+    assert m["segments_total"] >= 6
+    assert m["segments_opened"] < m["segments_total"]
+    # connector pushed equality closes the same segments
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("lang",), "L5")]))
+    parts = rd.partitions()
+    assert rd.segments_opened < rd.segments_total
+    assert len(parts) == 10  # exactly the L5 files (single-valued)
