@@ -474,6 +474,25 @@ def _bucket_of(value, n: int):
     return zlib.crc32(str(value).encode("utf-8")) % n
 
 
+def _bucket_bound_ok(value, dtype) -> bool:
+    """A pushed bound derives a bucket only when its Python type
+    matches the source column's Spark type. Spark's coercing equality
+    can hold across canonical string forms ('05' = 5 is true against
+    a STRING column) while crc32('05') != crc32('5') — so a
+    cross-typed bound proves nothing about which bucket the matching
+    rows live in. The exact residual on the real column (which Spark
+    re-applies with its own coercion) stays correct either way; this
+    guard only refuses the prune-tier derivation."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(value, bool):
+        return False
+    if isinstance(dtype, StringType):
+        return isinstance(value, str)
+    # bucket sources are restricted to integral/string at write time
+    return isinstance(value, int)
+
+
 def _check_bucket_source_type(name: str, dtype) -> None:
     """Bucket sources are key-shaped types whose canonical string form
     is unambiguous on both sides: integers and strings. Floats (NaN,
@@ -1251,7 +1270,9 @@ def _ref_disjoint(ref: dict, stats_col: str, lo, hi, vals=None) -> bool:
     evals = st.get("vals")
     if evals is not None and bset is not None:
         try:
-            if not (set(evals) & set(bset)):
+            if _member_provable(evals, bset) and not (
+                set(evals) & set(bset)
+            ):
                 return True
         except TypeError:
             pass
@@ -2658,6 +2679,25 @@ def _stat_nan(x) -> bool:
     return isinstance(x, float) and x != x
 
 
+def _member_provable(stat_vals, bound_vals) -> bool:
+    """Membership pruning (single-valued files, value-set indexes,
+    segment-ref value unions) proves disjointness with PYTHON set
+    semantics — faithful to Spark's coercing equality only when the
+    two sides live in one type class. ``'05' not in {5}`` is True in
+    Python while ``'05' = 5`` coerces true in Spark, so a str/numeric
+    mix proves nothing (bool↔int agree in both systems: True == 1
+    both sides). Returns False when the proof is not allowed."""
+    def has_str(vs):
+        return any(isinstance(v, str) for v in vs)
+
+    def has_num(vs):
+        return any(isinstance(v, (int, float)) for v in vs)
+
+    s1, n1 = has_str(stat_vals), has_num(stat_vals)
+    s2, n2 = has_str(bound_vals), has_num(bound_vals)
+    return not ((s1 and n2) or (s2 and n1))
+
+
 def _value_set_disjoint(st, bound_set) -> bool:
     """True when a file's stats slot PROVES no row carries any value
     in ``bound_set``: single-valued files (min == max, the partition
@@ -2670,9 +2710,13 @@ def _value_set_disjoint(st, bound_set) -> bool:
     try:
         mn, mx = st.get("min"), st.get("max")
         if mn is not None and mn == mx:
+            if not _member_provable([mn], bound_set):
+                return False  # cross-type membership proves nothing
             return mn not in bound_set
         evals = st.get("vals")
         if evals is not None:
+            if not _member_provable(evals, bound_set):
+                return False
             return not (set(evals) & set(bound_set))
     except TypeError:
         return False
@@ -4092,9 +4136,9 @@ def _resolve_bounds(
                 # bucket set (prune-only; the real-column unit above
                 # already carries the exact residual)
                 btarget, n = bt
-                safe = lambda v: isinstance(v, (int, str)) and not (  # noqa: E731
-                    isinstance(v, bool)
-                )
+                # derive only when the bound's Python type matches the
+                # source column type — see _bucket_bound_ok
+                safe = lambda v: _bucket_bound_ok(v, src_t)  # noqa: E731
                 if raw_vals is not None and all(safe(v) for v in raw_vals):
                     bvals = sorted({_bucket_of(v, n) for v in raw_vals})
                     out.append(unit(
@@ -4368,6 +4412,19 @@ def versioned_delete(
         )
         condition = _bounds_predicate(resolved)
     elif isinstance(condition, DataFrame):
+        # key frame cast to the TABLE's types BEFORE any stats
+        # pruning (the upsert `aligned` / merge `key_src` discipline):
+        # a castable-but-different key type would derive buckets and
+        # bounds from a different canonical form than the rows the
+        # coercing anti-join below would delete — silent under-delete
+        table_type = {f.name: f.dataType for f in schema.fields}
+        condition = condition.select(
+            *[
+                F.col(c).cast(table_type[c]).alias(c)
+                if c in table_type else F.col(c)
+                for c in condition.columns
+            ]
+        )
         kcol0 = condition.columns[0]
         bounds = _key_bounds(condition, kcol0)
         split = _split_refs_for_merge(

@@ -252,20 +252,30 @@ def _read_entry_arrow(
     yield from out.to_batches(max_chunksize=65536)
 
 
-def _ref_overlaps(ref: dict, stats_col: str, lo, hi) -> bool:
+def _ref_overlaps(ref: dict, stats_col: str, lo, hi, vals=None) -> bool:
     """Segment-ref-level twin of :func:`_overlaps`: True unless the
     ref's AGGREGATE [min, max] on ``stats_col`` proves every member
     file disjoint from [lo, hi] (either bound may be None), or — for
-    a pushed equality — the ref's value-set union excludes the value.
-    Refs without usable aggregate stats stay conservative."""
+    a pushed equality / IN value-set ``vals`` — the ref's value-set
+    union excludes every sought value. Refs without usable aggregate
+    stats stay conservative; cross-type membership (an int bound
+    against string stats) proves nothing (see
+    versioned._member_provable)."""
+    from skopje_spark.sinks.versioned import _member_provable
+
     st = (ref.get("stats") or {}).get(stats_col)
     if not st:
         return True
+    bset = vals
+    if bset is None and lo is not None and lo == hi:
+        bset = {lo}
     evals = st.get("vals")
-    if evals is not None and lo is not None and lo == hi:
+    if evals is not None and bset is not None:
         try:
-            if lo not in set(evals):
-                return False  # union excludes the point: never opened
+            if _member_provable(evals, bset) and not (
+                set(evals) & set(bset)
+            ):
+                return False  # union excludes the set: never opened
         except TypeError:
             pass
     mn, mx = st.get("min"), st.get("max")
@@ -376,6 +386,7 @@ class VersionedTableReader(DataSourceReader):
         ]
 
         from skopje_spark.sinks.versioned import (
+            _bucket_bound_ok,
             _bucket_of,
             _derived_value,
             _stat_encode,
@@ -394,8 +405,11 @@ class VersionedTableReader(DataSourceReader):
                 return None, False
             return _stat_encode(d), True
 
-        def _bsafe(v):
-            return isinstance(v, (int, str)) and not isinstance(v, bool)
+        def _bsafe(col, v):
+            # bucket derives only from a bound whose Python type
+            # matches the source column type (the cross-type-proves-
+            # nothing discipline — see versioned._bucket_bound_ok)
+            return _bucket_bound_ok(v, dtypes.get(col))
 
         bucket_sets: list[tuple[str, set]] = []
         for col, (lo, hi) in self._bounds.items():
@@ -408,28 +422,46 @@ class VersionedTableReader(DataSourceReader):
                     # exact source filter on the survivors
                     phys_bounds.append((target, dlo, dhi))
             bt = self._bucketed.get(col)
-            if bt is not None and lo == hi and lo is not None and _bsafe(lo):
+            if (
+                bt is not None and lo == hi and lo is not None
+                and _bsafe(col, lo)
+            ):
                 # bucket is not monotone: only a POINT bound derives
                 btarget, n = bt
                 b = _bucket_of(lo, n)
                 phys_bounds.append((btarget, b, b))
         for col, vals in self._in_sets.items():
             bt = self._bucketed.get(col)
-            if bt is not None and all(_bsafe(v) for v in vals):
+            if bt is not None and all(_bsafe(col, v) for v in vals):
                 btarget, n = bt
                 bucket_sets.append(
                     (btarget, {_bucket_of(v, n) for v in vals})
                 )
+        # membership sets (physical name → sought values): derived
+        # bucket sets, pushed IN lists, and pushed equalities — used
+        # at BOTH tiers: segment-ref value-set unions close whole
+        # segments of scattered categoricals the interval fold never
+        # could, then per-file sets prune within opened segments
+        member_sets: list[tuple[str, set]] = list(bucket_sets)
+        for col, vals in self._in_sets.items():
+            member_sets.append((self.map.get(col, col), set(vals)))
+        for col, (lo, hi) in self._bounds.items():
+            if lo is not None and lo == hi:  # pushed equality
+                member_sets.append((self.map.get(col, col), {lo}))
+
         if "files" in self.man:  # legacy flat manifest
             entries = list(self.man["files"])
             self.segments_opened = 1
         else:
+            ref_units = [
+                (sk, lo, hi, None) for sk, lo, hi in phys_bounds
+            ] + [(sk, None, None, vals) for sk, vals in member_sets]
             entries = []
             opened = 0
             for ref in self.man["segments"]:
                 if any(
-                    not _ref_overlaps(ref, sk, lo, hi)
-                    for sk, lo, hi in phys_bounds
+                    not _ref_overlaps(ref, sk, lo, hi, vs)
+                    for sk, lo, hi, vs in ref_units
                 ):
                     continue  # proven disjoint: never opened
                 opened += 1
@@ -447,12 +479,6 @@ class VersionedTableReader(DataSourceReader):
         # re-applies the exact filter
         from skopje_spark.sinks.versioned import _value_set_disjoint
 
-        member_sets: list[tuple[str, set]] = list(bucket_sets)
-        for col, vals in self._in_sets.items():
-            member_sets.append((self.map.get(col, col), set(vals)))
-        for col, (lo, hi) in self._bounds.items():
-            if lo is not None and lo == hi:  # pushed equality
-                member_sets.append((self.map.get(col, col), {lo}))
         for sk, vals in member_sets:
             entries = [
                 e for e in entries
@@ -638,19 +664,30 @@ class VersionedTableWriter(DataSourceArrowWriter):
         # the one-value-per-file invariant and exact injected stats
         # survive without a layout shuffle. Creating/overwriting can
         # declare a layout via .option("partitionBy", "a,b=date(ts)").
-        if committed is None or overwrite:
-            import re as _re
+        import re as _re
 
-            raw_spec = options.get("partitionby", "")
-            # split on TOP-LEVEL commas only — 'b=bucket(4,id)' keeps
-            # its inner comma
-            self.partition_spec = [
-                s.strip()
-                for s in _re.split(r",(?![^()]*\))", raw_spec)
-                if s.strip()
-            ]
+        raw_spec = options.get("partitionby")
+        # split on TOP-LEVEL commas only — 'b=bucket(4,id)' keeps
+        # its inner comma
+        declared = [
+            s.strip()
+            for s in _re.split(r",(?![^()]*\))", raw_spec or "")
+            if s.strip()
+        ]
+        if committed is None or overwrite:
+            self.partition_spec = declared
         else:
             self.partition_spec = table_partitioning(self.path)
+            # an append inherits the table's layout; a DECLARED spec
+            # that conflicts with it would silently produce a layout
+            # the user didn't ask for — refuse instead of ignore
+            if raw_spec is not None and declared != self.partition_spec:
+                raise ValueError(
+                    f"partitionBy {declared!r} conflicts with the "
+                    f"existing layout {self.partition_spec!r} at "
+                    f"{self.path} — appends inherit the table's spec; "
+                    "use versioned_set_partition_spec to evolve it"
+                )
         self.parsed_spec = _parse_partition_spec(self.partition_spec)
         if committed is None or overwrite:
             # creating / replacing: the DataFrame's schema is the
@@ -1005,13 +1042,25 @@ class VersionedStreamWriter(DataSourceStreamArrowWriter):
                     _drop_staged()  # raced our own replay — already landed
                     return
             ledger[self.stream_id] = batchId
+            commit_meta = {
+                "op": "stream_append", "batch_id": str(batchId),
+                "stream_ledger": json.dumps(ledger, sort_keys=True),
+                "n_files_appended": str(len(entries)),
+                "n_files_rewritten": "0",
+            }
+            if base is None:
+                # a stream that CREATES the table defines its layout,
+                # exactly like the batch writer's create branch: record
+                # the declared spec so table_partitioning() answers,
+                # hidden-target reads resolve, and later appends
+                # preserve the layout
+                commit_meta["partition_by"] = json.dumps(
+                    self._w.partition_spec
+                )
+                commit_meta["partition_specs"] = "[]"
             try:
                 _commit_manifest(
-                    self.path, schema_json, files,
-                    {"op": "stream_append", "batch_id": str(batchId),
-                     "stream_ledger": json.dumps(ledger, sort_keys=True),
-                     "n_files_appended": str(len(entries)),
-                     "n_files_rewritten": "0"},
+                    self.path, schema_json, files, commit_meta,
                     base, 600.0,
                     reuse_refs=reuse,
                 )

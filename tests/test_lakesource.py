@@ -553,3 +553,110 @@ def test_changes_stream_spans_rename_without_null_fill(spark, lake, tmp_path):
         (1, "insert", 3, "c"),
         (3, "insert", 4, "d"),
     ])
+
+
+def test_stream_create_records_partition_spec(spark, lake, tmp_path):
+    """A stream that CREATES the table must record its declared
+    layout exactly like the batch writer's create branch: without it
+    the fanout files land correctly but table_partitioning() answers
+    [], hidden-target reads KeyError, and later appends silently
+    drop the layout."""
+    import json as _json
+
+    from skopje_spark.sinks.versioned import (
+        latest_version,
+        snapshot_meta,
+        table_partitioning,
+        versioned_append,
+        versioned_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"k": 1, "s": "web"}\n{"k": 2, "s": "pdf"}\n'
+        '{"k": 3, "s": "web"}\n'
+    )
+    table = os.path.join(lake, "t")
+    q = (
+        spark.readStream.schema("k long, s string").json(str(src))
+        .writeStream.format("skopje_versioned").option("path", table)
+        .option("partitionBy", "s")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    assert table_partitioning(table) == ["s"]
+    assert _json.loads(
+        snapshot_meta(table, "partition_specs", version=latest_version(table))
+        or "x"
+    ) == []
+    assert {
+        p["s"]: p["n_rows"] for p in versioned_partitions(table)
+    } == {"web": 2, "pdf": 1}
+    # a later native append preserves the layout
+    versioned_append(
+        spark, table,
+        spark.createDataFrame([(4, "web")], "k long, s string"),
+    )
+    assert {
+        p["s"]: p["n_rows"] for p in versioned_partitions(table)
+    } == {"web": 3, "pdf": 1}
+
+
+def test_writer_append_refuses_conflicting_partitionby(spark, lake):
+    """An append with a DECLARED partitionBy that conflicts with the
+    table's layout must refuse loudly, not silently inherit; a
+    matching declaration is accepted."""
+    from skopje_spark.sinks.versioned import versioned_write
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = os.path.join(lake, "t")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    versioned_write(df, path, partition_by=["s"])
+    with pytest.raises(Exception, match="conflicts with the existing"):
+        (df.write.format("skopje_versioned").option("path", path)
+         .option("partitionBy", "k").mode("append").save())
+    # matching declaration: accepted
+    (df.write.format("skopje_versioned").option("path", path)
+     .option("partitionBy", "s").mode("append").save())
+    assert versioned_read(spark, path).count() == 2
+
+
+def test_connector_ref_tier_prunes_by_in_value_sets(spark, lake, monkeypatch):
+    """Ref-tier IN pruning: a two-value IN on a value-indexed
+    scattered categorical closes whole manifest segments whose
+    value-set UNION excludes both sought values — fewer segments
+    opened than the interval span (which covers everything for a
+    categorical scattered by range on another key)."""
+    from pyspark.sql.datasource import In
+
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import versioned_value_index
+    from skopje_spark.sources.lakesource import VersionedTableReader
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = os.path.join(lake, "t")
+    # lang clusters with k ranges, but lang intervals per segment
+    # overlap lexicographically (l0..l9 scattered): only the value
+    # union proves absence
+    df = spark.createDataFrame(
+        [(i, f"l{i // 100}", f"r{i}") for i in range(800)],
+        "k long, lang string, v string",
+    )
+    versioned_write(
+        df.repartitionByRange(80, "k").sortWithinPartitions("k"), path
+    )
+    versioned_value_index(spark, path, ["lang"])
+    rd = VersionedTableReader({"path": path})
+    assert rd.segments_total >= 6
+    list(rd.pushFilters([In(("lang",), ("l2", "l3"))]))
+    parts = rd.partitions()
+    assert rd.segments_opened < rd.segments_total
+    got = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+        .filter("lang in ('l2','l3')")
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(200, 400))
+    assert len(parts) <= 25  # file tier also pruned by membership

@@ -1432,3 +1432,85 @@ def test_open_sided_bounds_read_and_delete(spark, tmp_path):
     # (None, None) still refused
     with pytest.raises(ValueError, match="None"):
         versioned_read_where(spark, path, {"id": (None, None)})
+
+
+def test_bucket_bound_cross_type_derives_nothing(spark, tmp_path):
+    """A pushed bound whose Python type differs from the bucket
+    SOURCE column's type must not derive a bucket: '05' = 5 coerces
+    true in Spark while crc32('05') != crc32('5'), so an int-typed
+    bound against a string bucket source would prune the file holding
+    the coercing match as "provably match-free" — silent row loss.
+    The read stays conservative and the exact residual (with Spark's
+    own coercion) finds the row."""
+    from skopje_spark.sinks.versioned import (
+        _bucket_bound_ok,
+        _resolve_bounds,
+        _schema_mapping,
+        versioned_read_where,
+        versioned_write,
+    )
+    from pyspark.sql.types import LongType, StringType
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("05", "leading-zero"), ("5", "plain"), ("7", "other")],
+        "k string, v string",
+    )
+    versioned_write(df, path, partition_by=["b=bucket(8,k)"])
+    schema = versioned_read(spark, path).schema
+    # int bound on a string source: no derived bucket unit
+    resolved = _resolve_bounds(
+        {"k": 5}, schema, _schema_mapping(schema), ["b=bucket(8,k)"]
+    )
+    assert [u for u in resolved if u["key"] == "b"] == []
+    # matching str bound still derives
+    resolved2 = _resolve_bounds(
+        {"k": "5"}, schema, _schema_mapping(schema), ["b=bucket(8,k)"]
+    )
+    assert len([u for u in resolved2 if u["key"] == "b"]) == 1
+    # end-to-end: the coercing read returns BOTH '05' and '5'
+    got = versioned_read_where(spark, path, {"k": 5})
+    assert sorted(r["v"] for r in got.collect()) == [
+        "leading-zero", "plain"
+    ]
+    # the guard itself
+    assert _bucket_bound_ok("x", StringType())
+    assert not _bucket_bound_ok(5, StringType())
+    assert _bucket_bound_ok(5, LongType())
+    assert not _bucket_bound_ok("5", LongType())
+    assert not _bucket_bound_ok(True, LongType())
+
+
+def test_keyframe_delete_casts_to_table_types(spark, tmp_path):
+    """versioned_delete casts the key frame to the TABLE's types
+    before stats/bucket pruning (the upsert/merge `aligned`
+    discipline): a castable-but-different key type must neither
+    under-delete via a wrong-canonical-form bucket derivation nor
+    diverge from what MERGE/upsert would match for the same keys."""
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_write,
+    )
+
+    # int-keyed bucketed table, STRING key frame: '05' casts to 5 —
+    # pre-fix the bucket of the raw string '05' (crc32('05')) carried
+    # the file holding key 5 as match-free and the delete missed it
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(40)], "id long, v string"
+    )
+    versioned_write(df, path, partition_by=["b=bucket(8,id)"])
+    keys = spark.createDataFrame([("05",), ("17",)], "id string")
+    versioned_delete(spark, path, keys)
+    left = {r["id"] for r in versioned_read(spark, path).collect()}
+    assert left == set(range(40)) - {5, 17}
+    # string-keyed table, INT key frame: interpreted in the table's
+    # type domain (5 -> '5'), consistent with upsert/merge semantics
+    path2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame(
+        [("05", "a"), ("5", "b"), ("7", "c")], "k string, v string"
+    )
+    versioned_write(df2, path2, partition_by=["b=bucket(8,k)"])
+    versioned_delete(spark, path2, spark.createDataFrame([(5,)], "k long"))
+    left2 = sorted(r["k"] for r in versioned_read(spark, path2).collect())
+    assert left2 == ["05", "7"]
