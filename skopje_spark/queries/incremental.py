@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skopje_spark.queries import register
-from skopje_spark.queries.rounding import dround_sql
+from skopje_spark.queries.rounding import dround, dround_sql
 from skopje_spark.tables import load_table
 
 _IVM_ORACLE = f"""
@@ -2861,4 +2861,128 @@ def q_versioned_value_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
         .withColumn("value_skip", F.lit(bool(ok)))
+    )
+
+
+@register(
+    "q_versioned_nested",
+    oracle="""
+    WITH joined AS (
+      SELECT d.doc_id, e.embedding, d.lang, d.source, d.n_chars
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), merged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 40
+                  THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+                  ELSE CAST(embedding AS DOUBLE[]) END      AS emb,
+             lang,
+             CASE WHEN doc_id < 40 THEN 'merged' ELSE source END AS src,
+             n_chars
+      FROM joined
+    )
+    SELECT doc_id,
+           len(emb) AS dim,
+           (CASE WHEN (SQRT(list_sum(list_transform(emb, x -> x * x)))) < 0
+                 THEN -(FLOOR((-(SQRT(list_sum(list_transform(emb, x -> x * x))))) * 10000.0 + 0.5) / 10000.0)
+                 ELSE FLOOR((SQRT(list_sum(list_transform(emb, x -> x * x)))) * 10000.0 + 0.5) / 10000.0 END) AS l2_norm,
+           lang     AS meta_lang,
+           src      AS meta_source,
+           n_chars  AS meta_chars,
+           TRUE     AS paths_agree
+    FROM merged
+    WHERE doc_id % 7 <> 3
+    ORDER BY doc_id
+    """,
+    tags=("versioned", "nested", "lakeops", "connector"),
+)
+def q_versioned_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type columns first-class through the versioned store
+    AND the Arrow connector: an ``array<float>`` embedding column and
+    a struct metadata column survive write → MERGE (both the array
+    elements and a struct field rewritten for the matched keys) →
+    DV-delete → read, and the native read and the
+    ``spark.read.format("skopje_versioned")`` Arrow path return
+    row-identical frames (pinned in-query as ``paths_agree``; the
+    emitted rows come from the CONNECTOR read). The oracle recomputes
+    the whole lifecycle relationally from the raw tables and flattens
+    the nested values (per-doc L2 norm, struct fields) — value-level
+    proof that no lake tier corrupted, reordered, or NULL-filled a
+    nested payload.
+
+    Scale: nested columns carry no footer stats (conservative
+    candidates by design — versioned.py:_file_entry), so pruning and
+    MERGE candidacy ride the top-level key exactly as for flat
+    tables; the Arrow fanout/read path streams the nested batches
+    without row materialization."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_read,
+        versioned_upsert,
+        versioned_write,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id",
+            "embedding",
+            F.struct("lang", "source", "n_chars").alias("meta"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="skopje_nested_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        base.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id"),
+        path,
+    )
+    # MERGE: for the matched keys rewrite BOTH nested payloads — the
+    # array elements (doubled) and one struct field (source='merged')
+    upd = base.filter("doc_id < 40").select(
+        "doc_id",
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+        F.struct(
+            F.col("meta.lang").alias("lang"),
+            F.lit("merged").alias("source"),
+            F.col("meta.n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+    versioned_upsert(spark, path, upd, ["doc_id"])
+    # DV-delete a scattered slice: positions recorded, no rewrite
+    versioned_delete(spark, path, "doc_id % 7 = 3")
+    native = versioned_read(spark, path)
+    conn = (
+        spark.read.format("skopje_versioned").option("path", path).load()
+    )
+    agree = (
+        native.exceptAll(conn).isEmpty() and conn.exceptAll(native).isEmpty()
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        conn.select(
+            "doc_id",
+            F.size("embedding").alias("dim"),
+            dround(
+                F.sqrt(
+                    F.aggregate(
+                        dbl, F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ),
+                4,
+            ).alias("l2_norm"),
+            F.col("meta.lang").alias("meta_lang"),
+            F.col("meta.source").alias("meta_source"),
+            F.col("meta.n_chars").alias("meta_chars"),
+            F.lit(bool(agree)).alias("paths_agree"),
+        )
+        .orderBy("doc_id")
     )

@@ -2130,3 +2130,81 @@ def test_change_feed_spans_type_widening(spark, tmp_path):
     )
     assert rows == [(1, "insert", 2, 20), (3, "insert", 3, big)]
     assert dict(feed.dtypes)["n"] == "bigint"
+
+
+def test_nested_columns_full_lifecycle(spark, tmp_path):
+    """array<float> + struct columns through the whole lake surface:
+    stats-less manifest entries (nested paths carry no footer stats by
+    design) stay conservative MERGE candidates while top-level key
+    stats still prune; DV-delete, rename-without-rewrite, and
+    additive evolution all survive nested schemas; native read and
+    the Arrow connector agree at every step."""
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_delete,
+        versioned_rename_column,
+        versioned_restore,
+    )
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)], (f"l{i % 3}", i * 10))
+         for i in range(40)],
+        "k long, emb array<float>, meta struct<lang:string,n:long>",
+    )
+    versioned_write(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"), path
+    )
+    # nested columns carry NO stats slots; the key does
+    for e in _read_manifest(path, 0)["files"]:
+        assert "k" in e["stats"]
+        assert "emb" not in e["stats"] and "meta" not in e["stats"]
+        assert not any("." in s for s in e["stats"])
+    # narrow MERGE still prunes by the key: nested stats-less columns
+    # must not break candidacy (most files carried by reference)
+    upd = spark.createDataFrame(
+        [(2, [9.0, 9.0], ("xx", 999))],
+        "k long, emb array<float>, meta struct<lang:string,n:long>",
+    )
+    versioned_upsert(spark, path, upd, ["k"])
+    assert int(snapshot_meta(path, "n_files_rewritten", version=1)) == 1
+    assert int(snapshot_meta(path, "n_files_carried", version=1)) == 3
+    # DV-delete: merge-on-read anti-join over nested rows
+    versioned_delete(spark, path, "k = 7")
+    got = {r["k"]: (r["emb"], r["meta"]["lang"], r["meta"]["n"])
+           for r in versioned_read(spark, path).collect()}
+    assert 7 not in got and len(got) == 39
+    assert got[2] == ([9.0, 9.0], "xx", 999)
+    assert got[3] == ([3.0, 4.0], "l0", 30)
+    # connector Arrow path row-identical
+    conn = spark.read.format("skopje_versioned").option("path", path).load()
+    native = versioned_read(spark, path)
+    assert conn.exceptAll(native).isEmpty()
+    assert native.exceptAll(conn).isEmpty()
+    # rename the nested columns without rewrite; reads follow
+    versioned_rename_column(path, "emb", "vec")
+    versioned_rename_column(path, "meta", "info")
+    r2 = versioned_read(spark, path)
+    assert r2.columns == ["k", "vec", "info"]
+    assert r2.filter("k = 2").collect()[0]["vec"] == [9.0, 9.0]
+    conn2 = spark.read.format("skopje_versioned").option("path", path).load()
+    assert conn2.columns == ["k", "vec", "info"]
+    assert conn2.exceptAll(r2).isEmpty()
+    # additive evolution alongside nested columns
+    upd2 = spark.createDataFrame(
+        [(5, [1.5, 2.5], ("zz", 50), "tagged")],
+        "k long, vec array<float>, info struct<lang:string,n:long>, "
+        "tag string",
+    )
+    versioned_upsert(spark, path, upd2, ["k"], evolve_schema=True)
+    r3 = versioned_read(spark, path)
+    assert r3.columns == ["k", "vec", "info", "tag"]
+    rows = {r["k"]: r["tag"] for r in r3.collect()}
+    assert rows[5] == "tagged" and rows[2] is None
+    # restore across the nested lifecycle
+    versioned_restore(path, 0, spark=spark)
+    r0 = versioned_read(spark, path)
+    assert r0.columns == ["k", "emb", "meta"] and r0.count() == 40
