@@ -2986,3 +2986,77 @@ def q_versioned_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_versioned_bloom_lookup",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           TRUE AS bloom_sound, TRUE AS bloom_prunes
+    FROM orders WHERE o_orderkey = 7
+    """,
+    tags=("versioned", "skipping", "bloom", "lakeops"),
+)
+def q_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM tier for high-cardinality point lookups
+    (sinks/versioned.py:versioned_value_index bloom_cols=): orders
+    lands in a RANDOM layout — every file's [min,max] interval spans
+    the whole key domain, so interval skipping elects everything and
+    the exact value-set tier refuses (per-file distinct count blows
+    its cap). The per-file bitmap (sha256-probe, self-describing
+    geometry, shared with sources/skipping.py via
+    operators/bloom.py) answers "key 7 is definitely absent from
+    this file": the query proves in-emission that the bloom election
+    is SOUND (a superset of the files that actually contain the key
+    — computed from the data itself) and USEFUL (strictly smaller
+    than the interval span, i.e. fewer than all files), then returns
+    the pruned read's rows, pinned by the oracle to the exact filter
+    result.
+
+    Scale: the probe is driver-side arithmetic over kilobyte manifest
+    slots — a doc_id lookup on an unclustered 100 TB table opens
+    O(containing + fpp) files instead of the interval span, no job
+    launched to decide."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        _value_set_disjoint,
+        latest_version,
+        versioned_read,
+        versioned_read_where,
+        versioned_value_index,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_bloom_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.repartition(8), path)  # random layout: no span help
+    versioned_value_index(
+        spark, path, [], bloom_cols=["o_orderkey"], bloom_bits=1 << 17
+    )
+    key = 7
+    ent = _read_manifest(path, latest_version(path))["files"]
+    elected = {
+        e["path"] for e in ent
+        if not _value_set_disjoint(e["stats"].get("o_orderkey"), {key})
+    }
+    containing = {
+        _os.path.relpath(r["__f"].removeprefix("file://"), path)
+        for r in versioned_read(spark, path)
+        .withColumn("__f", F.input_file_name())
+        .filter(F.col("o_orderkey") == key)
+        .select("__f").distinct().collect()
+    }
+    return versioned_read_where(spark, path, {"o_orderkey": key}).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(bool(containing <= elected)).alias("bloom_sound"),
+        F.lit(bool(len(elected) < len(ent))).alias("bloom_prunes"),
+    )

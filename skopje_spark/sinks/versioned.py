@@ -1107,6 +1107,40 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
                 except TypeError:
                     vals_sorted = sorted(union, key=repr)
                 agg.setdefault(col, {})["vals"] = vals_sorted
+            # ref-level BLOOM union: OR of member bitmaps (same
+            # geometry required) still answers definitely-absent, so
+            # a point lookup can close the whole segment unopened.
+            # A union past half density proves almost nothing —
+            # dropped rather than carried as dead weight.
+            blooms = [
+                ((e.get("stats") or {}).get(col) or {}).get("bloom")
+                for e in chunk
+            ]
+            if all(b is not None for b in blooms):
+                geos = {
+                    (b["bits"], b["k"], b.get("t")) for b in blooms
+                }
+                if len(geos) == 1:
+                    import base64 as _b64
+
+                    import numpy as _np
+
+                    bits_, k_, t_ = next(iter(geos))
+                    u = _np.zeros((bits_ + 7) // 8, dtype=_np.uint8)
+                    for b in blooms:
+                        u |= _np.frombuffer(
+                            _b64.b64decode(b["b64"]), dtype=_np.uint8
+                        )
+                    density = int(
+                        _np.unpackbits(u).sum()
+                    ) / float(bits_)
+                    if density <= 0.5:
+                        agg.setdefault(col, {})["bloom"] = {
+                            "b64": _b64.b64encode(
+                                u.tobytes()
+                            ).decode("ascii"),
+                            "bits": bits_, "k": k_, "t": t_,
+                        }
         ref = {
             "path": rel,
             "n": len(chunk),
@@ -1276,6 +1310,9 @@ def _ref_disjoint(ref: dict, stats_col: str, lo, hi, vals=None) -> bool:
                 return True
         except TypeError:
             pass
+    bl = st.get("bloom")
+    if bl is not None and bset is not None and _bloom_absent(bl, bset):
+        return True  # segment-level bitmap union excludes every value
     mn, mx = st.get("min"), st.get("max")
     if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
         return False
@@ -2254,6 +2291,142 @@ def _collect_value_sets(
     return out
 
 
+def _bloom_type_class(dtype) -> str:
+    """One-letter type class recorded in each bloom slot so probes can
+    enforce the cross-type-proves-nothing discipline: the bitmap was
+    built from CAST(col AS STRING) forms, so only a bound whose
+    canonical string form is UNAMBIGUOUSLY the column's can probe."""
+    from pyspark.sql.types import BooleanType, DateType, StringType
+
+    if isinstance(dtype, StringType):
+        return "s"
+    if isinstance(dtype, BooleanType):
+        return "b"
+    if isinstance(dtype, DateType):
+        return "d"
+    return "i"  # integral (the only other _check_partition_type type)
+
+
+def _bloom_canon(value, tclass: str) -> str | None:
+    """The bound value's canonical CAST-AS-STRING form for a bloom
+    probe, or None when the value's Python type does not match the
+    column's type class (no proof allowed — '05' = 5 coerces true in
+    Spark while their string forms hash to different bits). Dates
+    arrive either as date objects or already _stat_encode'd ISO
+    strings; both map to the column's cast form."""
+    import datetime as _dt
+    import re as _re
+
+    if tclass == "s":
+        return value if isinstance(value, str) else None
+    if tclass == "b":
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        return None
+    if tclass == "d":
+        if isinstance(value, _dt.date) and not isinstance(
+            value, _dt.datetime
+        ):
+            return value.isoformat()
+        if isinstance(value, str) and _re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}", value
+        ):
+            return value
+        return None
+    # integral
+    if isinstance(value, int) and not isinstance(value, bool):
+        return str(value)
+    return None
+
+
+def _bloom_absent(slot: dict, bound_set) -> bool:
+    """True when a file's (or segment's) bloom slot PROVES every value
+    in ``bound_set`` absent: all k probe bits must be set for a value
+    to be possibly present. Any cross-typed / geometry-broken probe
+    returns False — conservative, the exact residual decides."""
+    import base64
+
+    from skopje_spark.operators.bloom import bit_positions_py
+
+    try:
+        bm = base64.b64decode(slot["b64"])
+        bits, k, tclass = int(slot["bits"]), int(slot["k"]), slot["t"]
+    except (KeyError, TypeError, ValueError):
+        return False
+    for v in bound_set:
+        canon = _bloom_canon(v, tclass)
+        if canon is None:
+            return False  # cross-type probe proves nothing
+        ps = bit_positions_py(canon, num_bits=bits, k=k)
+        if all(bm[p >> 3] & (1 << (p & 7)) for p in ps):
+            return False  # possibly present: cannot prove absence
+    return True
+
+
+def _collect_bloom_maps(
+    spark: SparkSession,
+    abs_paths: list[str],
+    phys_cols: list[str],
+    bits: int,
+    k: int,
+    *,
+    read_schema=None,
+) -> dict[str, dict[str, str]]:
+    """{physical column → {file basename → base64 bitmap}} over the
+    given pooled files — the versioned-manifest twin of
+    sources/skipping.py's bloom build, sharing operators/bloom.py's
+    position recipe and fold so build and probe can never diverge.
+    One scan computes every column's probe positions; per-file
+    bitmaps fold executor-side (applyInPandas), the driver holds
+    O(files × bits/8) — same order as the manifest itself."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.bloom import _bit_positions, fold_positions
+
+    out: dict[str, dict[str, str]] = {c: {} for c in phys_cols}
+    if not abs_paths or not phys_cols:
+        return out
+    reader = spark.read
+    if read_schema is not None:
+        reader = reader.schema(read_schema)
+    raw = reader.parquet(*abs_paths)
+    cols = [c for c in phys_cols if c in raw.columns]
+    if not cols:
+        return out
+    nbytes = (bits + 7) // 8
+    prj = raw.select(
+        F.input_file_name().alias("__f"),
+        *[
+            F.array(
+                *_bit_positions(F.col(c), num_bits=bits, k=k)
+            ).alias(f"__pos_{c}")
+            for c in cols
+        ],
+    )
+    out_schema = "__f string, " + ", ".join(
+        f"__bm_{c} binary" for c in cols
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"__f": [pdf["__f"].iloc[0]]}
+        for c in cols:
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            for ps in pdf[f"__pos_{c}"]:
+                fold_positions(bm, ps)
+            row[f"__bm_{c}"] = [bm.tobytes()]
+        return pd.DataFrame(row)
+
+    for r in prj.groupBy("__f").applyInPandas(fold, out_schema).collect():
+        bn = os.path.basename(r["__f"])
+        for c in cols:
+            out[c][bn] = base64.b64encode(r[f"__bm_{c}"]).decode("ascii")
+    return out
+
+
 def _maintain_value_index(
     spark: SparkSession,
     path: str,
@@ -2276,11 +2449,9 @@ def _maintain_value_index(
     # the property carries PHYSICAL names (rename-stable); pooled
     # files are written under physical names, so no mapping applies
     phys_cols = list(cfg.get("cols", []))
+    staged = [os.path.join(path, e["path"]) for e in entries]
     per_col = _collect_value_sets(
-        spark,
-        [os.path.join(path, e["path"]) for e in entries],
-        phys_cols,
-        int(cfg.get("max_distinct", 64)),
+        spark, staged, phys_cols, int(cfg.get("max_distinct", 64)),
     )
     for e in entries:
         bn = os.path.basename(e["path"])
@@ -2292,6 +2463,28 @@ def _maintain_value_index(
             slot = dict(stats.get(phys) or {})
             slot["vals"] = vals
             stats[phys] = slot
+    # bloom tier maintenance: same parity contract as the value sets —
+    # every staged file gets its bitmap before commit, so point-lookup
+    # pruning never degrades on fresh ingests
+    bloom_cols = list(cfg.get("bloom_cols", []))
+    if bloom_cols:
+        bits = int(cfg.get("bloom_bits", 1 << 17))
+        bk = int(cfg.get("bloom_k", 5))
+        tmap = dict(cfg.get("bloom_types", {}))
+        per_bloom = _collect_bloom_maps(spark, staged, bloom_cols, bits, bk)
+        for e in entries:
+            bn = os.path.basename(e["path"])
+            for phys, bmap in per_bloom.items():
+                b64 = bmap.get(bn)
+                if b64 is None:
+                    continue
+                stats = e.setdefault("stats", {})
+                slot = dict(stats.get(phys) or {})
+                slot["bloom"] = {
+                    "b64": b64, "bits": bits, "k": bk,
+                    "t": tmap.get(phys, "s"),
+                }
+                stats[phys] = slot
 
 
 def versioned_value_index(
@@ -2300,6 +2493,9 @@ def versioned_value_index(
     cols: list[str],
     *,
     max_distinct: int = 64,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 17,
+    bloom_k: int = 5,
     meta: dict[str, str] | None = None,
     lock_timeout_s: float = 600.0,
     max_retries: int = 8,
@@ -2333,7 +2529,26 @@ def versioned_value_index(
     latest manifest per retry, so racing ingest commits are carried
     (their new files simply stay un-indexed). Column types are
     restricted to the partitionable set (ints/strings/bools/dates) —
-    floats and timestamps make poor equality keys."""
+    floats and timestamps make poor equality keys.
+
+    ``bloom_cols`` is the HIGH-cardinality complement: a ``doc_id``
+    point lookup gets no value-set tier (the per-file distinct count
+    blows the cap) and its interval stats span every file on an
+    unclustered layout — the per-file bloom bitmap answers "this
+    exact value is definitely absent from this file" regardless of
+    cardinality (the Parquet bloom-filter / Delta index idea at
+    manifest granularity, sharing operators/bloom.py's sha256 probe
+    recipe with sources/skipping.py so build and probe can never
+    diverge). Each slot is self-describing
+    (``stats[col]["bloom"] = {b64, bits, k, t}``) — readers probe at
+    the recorded geometry and refuse cross-typed bounds (the type
+    class ``t`` pins the CAST-AS-STRING domain). Size ``bloom_bits``
+    at ~10× the expected rows per file for ~1% false positives
+    (default 2^17 bits = 16 KiB/file/column, JSON-inlined in the
+    manifest entry). Same false-positive-only guarantee as every
+    bloom: absence proofs are exact, presence is re-checked by the
+    residual predicate. Write-side maintenance covers bloom columns
+    exactly like value-set columns."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
@@ -2344,7 +2559,24 @@ def versioned_value_index(
     schema = StructType.fromJson(man0["schema"])
     mapping = _schema_mapping(schema)
     dtypes = {f.name: f.dataType for f in schema.fields}
-    for c in cols:
+    if bloom_cols is None:
+        # a vals-only re-run must not silently drop an existing bloom
+        # config: inherit it (pass bloom_cols=[] to clear explicitly)
+        prior = snapshot_meta(path, "value_index", version=scanned)
+        if prior:
+            pcfg = json.loads(prior)
+            inv = {p: n for n, p in mapping.items()}
+            bloom_cols = [
+                inv.get(p, p) for p in pcfg.get("bloom_cols", [])
+            ]
+            bloom_bits = int(pcfg.get("bloom_bits", bloom_bits))
+            bloom_k = int(pcfg.get("bloom_k", bloom_k))
+    bloom_cols = list(bloom_cols or [])
+    if bloom_bits < 64 or bloom_k < 1:
+        raise ValueError(
+            f"bloom geometry bits={bloom_bits}, k={bloom_k} out of range"
+        )
+    for c in [*cols, *bloom_cols]:
         if c not in dtypes:
             raise KeyError(
                 f"no column {c!r} at {path} (have {sorted(dtypes)})"
@@ -2360,6 +2592,13 @@ def versioned_value_index(
     per_col = _collect_value_sets(
         spark, paths, [mapping.get(c, c) for c in cols], max_distinct,
         read_schema=phys_schema,
+    )
+    bloom_types = {
+        mapping.get(c, c): _bloom_type_class(dtypes[c]) for c in bloom_cols
+    }
+    per_bloom = _collect_bloom_maps(
+        spark, paths, [mapping.get(c, c) for c in bloom_cols],
+        bloom_bits, bloom_k, read_schema=phys_schema,
     )
     last: CommitConflict | None = None
     for attempt in range(max_retries + 1):
@@ -2381,10 +2620,35 @@ def versioned_value_index(
                 slot["vals"] = vals
                 upd["stats"][phys] = slot
                 n_indexed += 1
+            for phys, bmap in per_bloom.items():
+                b64 = bmap.get(bn)
+                if b64 is None:
+                    continue
+                if upd is None:
+                    upd = dict(e)
+                    upd["stats"] = dict(upd.get("stats") or {})
+                slot = dict(upd["stats"].get(phys) or {})
+                slot["bloom"] = {
+                    "b64": b64, "bits": bloom_bits, "k": bloom_k,
+                    "t": bloom_types[phys],
+                }
+                upd["stats"][phys] = slot
+                n_indexed += 1
             entries.append(upd if upd is not None else e)
+        vindex = {
+            "cols": sorted(mapping.get(c, c) for c in cols),
+            "max_distinct": max_distinct,
+        }
+        if bloom_cols:
+            vindex.update({
+                "bloom_cols": sorted(bloom_types),
+                "bloom_bits": bloom_bits,
+                "bloom_k": bloom_k,
+                "bloom_types": bloom_types,
+            })
         commit_meta = {
             "op": "value_index",
-            "indexed_columns": json.dumps(sorted(cols)),
+            "indexed_columns": json.dumps(sorted([*cols, *bloom_cols])),
             "n_files_indexed": str(n_indexed),
             "as_of_version": str(scanned),
             # carried TABLE property: every later write indexes its
@@ -2392,10 +2656,7 @@ def versioned_value_index(
             # pruning stays exact across ingests without re-runs.
             # PHYSICAL names — stable across renames forever, so the
             # maintenance can never silently detach from its column
-            "value_index": json.dumps({
-                "cols": sorted(mapping.get(c, c) for c in cols),
-                "max_distinct": max_distinct,
-            }),
+            "value_index": json.dumps(vindex),
         }
         commit_meta.update(meta or {})
         try:
@@ -2703,21 +2964,25 @@ def _value_set_disjoint(st, bound_set) -> bool:
     in ``bound_set``: single-valued files (min == max, the partition
     layout) by direct membership, value-indexed files
     (:func:`versioned_value_index` ``vals`` sets) by empty
-    intersection. Stat-less / multi-valued / cross-type slots stay
-    conservative candidates."""
+    intersection, bloom-indexed files (the high-cardinality tier) by
+    all-bits-unset probes. Stat-less / multi-valued / cross-type
+    slots stay conservative candidates."""
     if not st:
         return False
     try:
         mn, mx = st.get("min"), st.get("max")
         if mn is not None and mn == mx:
-            if not _member_provable([mn], bound_set):
-                return False  # cross-type membership proves nothing
-            return mn not in bound_set
+            if _member_provable([mn], bound_set) and mn not in bound_set:
+                return True
         evals = st.get("vals")
         if evals is not None:
-            if not _member_provable(evals, bound_set):
-                return False
-            return not (set(evals) & set(bound_set))
+            if _member_provable(evals, bound_set) and not (
+                set(evals) & set(bound_set)
+            ):
+                return True
+        bl = st.get("bloom")
+        if bl is not None:
+            return _bloom_absent(bl, bound_set)
     except TypeError:
         return False
     return False
@@ -4255,7 +4520,11 @@ def _classify_for_delete(
             try:
                 if evals is not None:
                     es = set(evals)
-                    if bset is not None and not (es & set(bset)):
+                    if (
+                        bset is not None
+                        and _member_provable(es, bset)
+                        and not (es & set(bset))
+                    ):
                         disjoint = True
                         break
                     if (lo_e is not None and all(v < lo_e for v in es)) or (
@@ -4286,9 +4555,22 @@ def _classify_for_delete(
                 ):
                     disjoint = True
                     break
-                if bset is not None and mn == mx and mn not in bset:
+                if (
+                    bset is not None
+                    and mn == mx
+                    and _member_provable([mn], bset)
+                    and mn not in bset
+                ):
                     # single-valued file (partition layout) outside
                     # the IN-list: provably no matching row
+                    disjoint = True
+                    break
+                if (
+                    bset is not None
+                    and st.get("bloom") is not None
+                    and _bloom_absent(st["bloom"], bset)
+                ):
+                    # bloom tier: every sought value provably absent
                     disjoint = True
                     break
                 if not u["coverage"]:

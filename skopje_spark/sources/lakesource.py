@@ -261,7 +261,7 @@ def _ref_overlaps(ref: dict, stats_col: str, lo, hi, vals=None) -> bool:
     stats stay conservative; cross-type membership (an int bound
     against string stats) proves nothing (see
     versioned._member_provable)."""
-    from skopje_spark.sinks.versioned import _member_provable
+    from skopje_spark.sinks.versioned import _bloom_absent, _member_provable
 
     st = (ref.get("stats") or {}).get(stats_col)
     if not st:
@@ -278,6 +278,9 @@ def _ref_overlaps(ref: dict, stats_col: str, lo, hi, vals=None) -> bool:
                 return False  # union excludes the set: never opened
         except TypeError:
             pass
+    bl = st.get("bloom")
+    if bl is not None and bset is not None and _bloom_absent(bl, bset):
+        return False  # segment bitmap union excludes every value
     mn, mx = st.get("min"), st.get("max")
     isnan = lambda x: isinstance(x, float) and x != x  # noqa: E731
     if mn is None or mx is None or isnan(mn) or isnan(mx):

@@ -2208,3 +2208,120 @@ def test_nested_columns_full_lifecycle(spark, tmp_path):
     versioned_restore(path, 0, spark=spark)
     r0 = versioned_read(spark, path)
     assert r0.columns == ["k", "emb", "meta"] and r0.count() == 40
+
+
+def test_bloom_index_point_lookup_tier(spark, tmp_path):
+    """Per-file bloom tier (versioned_value_index bloom_cols=): a
+    point lookup on an UNCLUSTERED high-cardinality key — where every
+    file's [min,max] spans the domain and the value-set tier refuses
+    (cardinality blows the cap) — elects a subset of files that is
+    (a) a superset of the files actually containing the key, and
+    (b) strictly smaller than the interval span. Write-side
+    maintenance blooms freshly staged files; segment refs carry the
+    OR-union so whole segments close unopened; cross-typed bounds
+    probe nothing."""
+    import duckdb
+
+    from skopje_spark.sinks.versioned import (
+        _bloom_absent,
+        _read_manifest,
+        _value_set_disjoint,
+        versioned_append,
+        versioned_read_where,
+        versioned_value_index,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i * 37 % 10007, f"r{i}") for i in range(4000)],
+        "doc_id long, v string",
+    )
+    versioned_write(df.repartition(8), path)  # random layout
+    versioned_value_index(
+        spark, path, [], bloom_cols=["doc_id"], bloom_bits=1 << 16
+    )
+    ent = _read_manifest(path, latest_version(path))["files"]
+    assert all(
+        "bloom" in (e["stats"].get("doc_id") or {}) for e in ent
+    )
+    key = 37 * 123 % 10007
+    containing = {
+        e["path"] for e in ent
+        if duckdb.sql(
+            f"select count(*) from read_parquet('"
+            f"{os.path.join(path, e['path'])}') where doc_id = {key}"
+        ).fetchone()[0]
+    }
+    elected = {
+        e["path"] for e in ent
+        if not _value_set_disjoint(e["stats"].get("doc_id"), {key})
+    }
+    # sound AND useful: superset of truth, strictly below the span
+    assert containing <= elected
+    assert len(elected) < len(ent)
+    got = versioned_read_where(spark, path, {"doc_id": key}).collect()
+    assert sorted(r["doc_id"] for r in got) == [key]
+    # cross-typed bound probes nothing (no proof, conservative)
+    bl = ent[0]["stats"]["doc_id"]["bloom"]
+    assert not _bloom_absent(bl, {"definitely-not-an-int"})
+    # write-side maintenance parity: appended files carry bitmaps
+    versioned_append(
+        spark, path,
+        spark.createDataFrame([(99991, "new")], "doc_id long, v string")
+        .coalesce(1),
+    )
+    ent2 = _read_manifest(path, latest_version(path))["files"]
+    fresh = [e for e in ent2 if e["path"] not in {x["path"] for x in ent}]
+    assert fresh and all(
+        "bloom" in (e["stats"].get("doc_id") or {})
+        for e in fresh if e.get("rows")
+    )
+    assert [
+        r["v"] for r in
+        versioned_read_where(spark, path, {"doc_id": 99991}).collect()
+    ] == ["new"]
+
+
+def test_bloom_segment_union_closes_refs(spark, tmp_path, monkeypatch):
+    """Segment refs fold the OR-union of member bitmaps (same
+    geometry): a point lookup closes whole segments UNOPENED on both
+    the native and connector read paths, even though every interval
+    spans the domain."""
+    from pyspark.sql.datasource import EqualTo
+
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import (
+        versioned_read_where,
+        versioned_value_index,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableReader
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i * 37 % 100003, f"r{i}") for i in range(8000)],
+        "doc_id long, v string",
+    )
+    versioned_write(df.repartition(40), path)
+    versioned_value_index(
+        spark, path, [], bloom_cols=["doc_id"], bloom_bits=1 << 17
+    )
+    # a rewrite re-segments so refs fold the bloom union
+    versioned_upsert(
+        spark, path,
+        spark.createDataFrame([(5, "U")], "doc_id long, v string"), 
+        ["doc_id"],
+    )
+    key = 37 * 1234 % 100003
+    m: dict = {}
+    got = versioned_read_where(spark, path, {"doc_id": key}, metrics=m)
+    assert sorted(r["doc_id"] for r in got.collect()) == [key]
+    assert m["segments_total"] >= 6
+    assert m["segments_opened"] < m["segments_total"]
+    rd = VersionedTableReader({"path": path})
+    list(rd.pushFilters([EqualTo(("doc_id",), key)]))
+    parts = rd.partitions()
+    assert rd.segments_opened < rd.segments_total
+    assert 1 <= len(parts) <= 6
