@@ -660,6 +660,17 @@ class VersionedTableWriter(DataSourceArrowWriter):
         if not self.path:
             raise ValueError("skopje_versioned: provide option 'path'")
         self.overwrite = overwrite
+        # fanout memory bound: at most this many ParquetWriters (each
+        # holding row-group buffers) open per task. Unclustered input
+        # into a fine-grained layout (hour=, bucket(1024)) would
+        # otherwise hold hundreds — the LRU eviction closes a tuple's
+        # writer and opens a FRESH pool file on next sight (the
+        # one-value-per-FILE invariant allows several files per
+        # tuple), trading file count for bounded memory, exactly
+        # Iceberg's fanout/clustered writer tradeoff.
+        self.max_open_writers = int(options.get("maxopenwriters", "32"))
+        if self.max_open_writers < 1:
+            raise ValueError("maxOpenWriters must be >= 1")
         committed = latest_version(self.path)
         # partitioned tables write through a FANOUT writer (Iceberg's
         # unsorted-stream shape): each task splits its Arrow batches
@@ -761,16 +772,29 @@ class VersionedTableWriter(DataSourceArrowWriter):
         os.makedirs(pool, exist_ok=True)
         col_types = {f.name: f.dataType for f in self.table_schema.fields}
         # one open writer per partition tuple (Iceberg fanout writer);
-        # the () tuple is the unpartitioned path — same code, one file
-        writers: dict[tuple, tuple] = {}  # tuple -> (writer, abs, rel)
+        # the () tuple is the unpartitioned path — same code, one file.
+        # Open-writer count is CAPPED (self.max_open_writers): the
+        # least-recently-written tuple is closed and finalized, and a
+        # fresh pool file opens if that tuple reappears — per-task
+        # memory stays O(cap × row-group buffer) on any layout.
+        from collections import OrderedDict
+
+        writers: OrderedDict[tuple, tuple] = OrderedDict()
+        finalized: list[tuple] = []  # (key, abs, rel) of closed files
 
         def _writer_for(key: tuple):
             got = writers.get(key)
-            if got is None:
-                rel = f"{_DATA_DIR}/{uuid.uuid4().hex}-w.parquet"
-                abs_path = os.path.join(self.path, rel)
-                got = (pq.ParquetWriter(abs_path, target), abs_path, rel)
-                writers[key] = got
+            if got is not None:
+                writers.move_to_end(key)
+                return got[0]
+            if len(writers) >= self.max_open_writers:
+                okey, (ow, oabs, orel) = writers.popitem(last=False)
+                ow.close()
+                finalized.append((okey, oabs, orel))
+            rel = f"{_DATA_DIR}/{uuid.uuid4().hex}-w.parquet"
+            abs_path = os.path.join(self.path, rel)
+            got = (pq.ParquetWriter(abs_path, target), abs_path, rel)
+            writers[key] = got
             return got[0]
 
         for batch in iterator:
@@ -803,9 +827,11 @@ class VersionedTableWriter(DataSourceArrowWriter):
             (tg, self.map.get(src, src) if tr == "identity" else tg)
             for tg, src, tr in self.parsed_spec
         ]
-        entries = []
         for key, (w, abs_path, rel) in writers.items():
             w.close()
+            finalized.append((key, abs_path, rel))
+        entries = []
+        for key, abs_path, rel in finalized:
             e = _file_entry(abs_path, rel)
             if self.parsed_spec:
                 part: dict = {}

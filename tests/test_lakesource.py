@@ -660,3 +660,80 @@ def test_connector_ref_tier_prunes_by_in_value_sets(spark, lake, monkeypatch):
     )
     assert sorted(r["k"] for r in got.collect()) == list(range(200, 400))
     assert len(parts) <= 25  # file tier also pruned by membership
+
+
+def test_fanout_writer_caps_open_writers(spark, lake, monkeypatch):
+    """The fanout writer's per-task memory is bounded: a single task
+    spanning 100 partition tuples with maxOpenWriters=8 never holds
+    more than 8 open ParquetWriters (LRU eviction closes-and-
+    finalizes; a re-seen tuple opens a FRESH pool file), and the
+    committed layout still satisfies every one-value-per-file and
+    stats invariant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        versioned_read,
+    )
+    from skopje_spark.sources.lakesource import VersionedTableWriter
+
+    real_writer = pq.ParquetWriter
+    state = {"open": 0, "peak": 0, "total": 0}
+
+    class CountingWriter(real_writer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            state["open"] += 1
+            state["total"] += 1
+            state["peak"] = max(state["peak"], state["open"])
+
+        def close(self):
+            if not self.is_open:
+                return
+            super().close()
+            state["open"] -= 1
+
+    monkeypatch.setattr(pq, "ParquetWriter", CountingWriter)
+    path = os.path.join(lake, "t")
+    schema = ST([
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+    ])
+    w = VersionedTableWriter(
+        schema,
+        {"path": path, "partitionby": "k", "maxopenwriters": "8"},
+        overwrite=False,
+    )
+    # one task, 100 tuples, interleaved so eviction must re-open:
+    # batches of k = i % 100 arriving round-robin
+    batches = [
+        pa.record_batch(
+            {"k": [int(j % 100) for j in range(i, i + 10)],
+             "v": [f"r{j}" for j in range(i, i + 10)]},
+            schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
+        )
+        for i in range(0, 1000, 10)
+    ]
+    msg = w.write(iter(batches))
+    assert state["peak"] <= 8
+    assert state["open"] == 0  # everything closed at task end
+    assert state["total"] >= 100  # evicted tuples re-opened fresh files
+    # the staged entries keep the fanout invariants: single-valued
+    # stats per file, several files per tuple allowed
+    tuples = {}
+    for e in msg.entries:
+        st = e["stats"]["k"]
+        assert st["min"] == st["max"] == e["partition"]["k"]
+        tuples.setdefault(e["partition"]["k"], 0)
+        tuples[e["partition"]["k"]] += 1
+    assert len(tuples) == 100
+    w.commit([msg])
+    assert latest_version(path) == 0
+    got = versioned_read(spark, path)
+    assert got.count() == 1000
+    assert got.filter("k = 42").count() == 10
+    assert len(_read_manifest(path, 0)["files"]) == len(msg.entries)
