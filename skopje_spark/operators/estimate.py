@@ -184,26 +184,34 @@ def join_advice_from_stats(
     *,
     broadcast_bytes: int = 64 * 1024 * 1024,
     row_bytes: int = 100,
+    skew_share: float = 0.2,
 ) -> dict:
-    """The ZERO-JOB planning card: the same broadcast/shuffle decision
-    as :func:`join_advice`, answered entirely from each versioned
-    table's recorded ANALYZE statistics (``versioned_analyze`` /
-    ``table_stats``) — no scan, no sample, pure driver arithmetic.
-    Join size uses the System-R containment estimate
-    ``rows_a × rows_b / max(ndv_a, ndv_b)``.
+    """The ZERO-JOB planning card: the same
+    broadcast/salt/shuffle decision as :func:`join_advice`, answered
+    entirely from each versioned table's recorded ANALYZE statistics
+    (``versioned_analyze`` / ``table_stats``) — no scan, no sample,
+    pure driver arithmetic. Join size uses the System-R containment
+    estimate ``rows_a × rows_b / max(ndv_a, ndv_b)``.
 
-    Division of labor with the sampled card: ANALYZE stats are
-    amortized catalog facts (read for free by every later plan) but
-    carry no per-key skew signal — ``skew_share`` decisions still
-    need the coordinated sample. The card therefore recommends only
-    ``broadcast_a`` / ``broadcast_b`` / ``shuffle`` and reports each
-    side's ``versions_stale`` so a planner can decide when the facts
-    are too old to trust. Raises when a side was never analyzed or
-    its key column wasn't covered — a loud prompt to run
-    ``versioned_analyze``, never a silent guess."""
+    Skew: ANALYZE folds a Misra-Gries top-k per column into
+    ``column_stats`` (``top`` item/estimate pairs, canonical-string
+    keys), so the card estimates the heaviest key's share of the
+    join output the same way the sampled card does — per-key output
+    ``f_A(k)·f_B(k)`` maximized over the union of both sides' top
+    lists, a side's frequency defaulting to ``rows/ndv`` for a key
+    absent from its list (the containment assumption). ``salt`` is
+    recommended when that share crosses ``skew_share`` and neither
+    side broadcasts; tables analyzed BEFORE the skew fold carry no
+    ``top`` lists and degrade to broadcast/shuffle-only exactly as
+    before. Each side's ``versions_stale`` is reported so a planner
+    can decide when the facts are too old to trust. Raises when a
+    side was never analyzed or its key column wasn't covered — a
+    loud prompt to run ``versioned_analyze``, never a silent
+    guess."""
     from skopje_spark.sinks.versioned import table_stats
 
     cards = {}
+    tops = {}
     for side, (path, key) in (("a", (path_a, a_key)), ("b", (path_b, b_key))):
         st = table_stats(path)
         if st is None:
@@ -221,18 +229,32 @@ def join_advice_from_stats(
             "ndv": int(st["columns"][key]["ndv"]),
             "versions_stale": int(st["versions_stale"]),
         }
+        tops[side] = dict(st["columns"][key].get("top") or [])
     ra, rb = cards["a"]["rows"], cards["b"]["rows"]
-    est = ra * rb / max(cards["a"]["ndv"], cards["b"]["ndv"], 1)
+    nda = max(cards["a"]["ndv"], 1)
+    ndb = max(cards["b"]["ndv"], 1)
+    est = ra * rb / max(nda, ndb)
+    top_share = 0.0
+    if (tops["a"] or tops["b"]) and est > 0:
+        top_out = 0.0
+        for k in set(tops["a"]) | set(tops["b"]):
+            fa = float(tops["a"].get(k, ra / nda))
+            fb = float(tops["b"].get(k, rb / ndb))
+            top_out = max(top_out, fa * fb)
+        top_share = min(1.0, top_out / est)
     if ra * row_bytes <= broadcast_bytes:
         rec = "broadcast_a"
     elif rb * row_bytes <= broadcast_bytes:
         rec = "broadcast_b"
+    elif top_share > skew_share:
+        rec = "salt"
     else:
         rec = "shuffle"
     return {
         "est_join_rows": est,
         "a": cards["a"],
         "b": cards["b"],
+        "top_key_share": top_share,
         "recommendation": rec,
     }
 
@@ -281,6 +303,7 @@ def join_advice_auto(
         card = join_advice_from_stats(
             path_a, a_key, path_b, b_key,
             broadcast_bytes=broadcast_bytes, row_bytes=row_bytes,
+            skew_share=skew_share,
         )
         card["source"] = "stats"
         return card

@@ -2129,6 +2129,53 @@ def versioned_widen_column(
     return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
 
 
+def _mg_multi_column(
+    spark: SparkSession, df, cols: list[str], m: int
+) -> dict[str, dict[str, int]]:
+    """{column → {item (canonical string) → merged MG estimate}} in
+    ONE mapInPandas pass over ``df`` — the multi-column twin of
+    operators/freq.py's kernel (same ``_mg_compress`` decrement, same
+    mergeable-summaries bound: est ∈ [f − n/(m+1), f] per column).
+    Driver state is O(partitions × m × cols) partial rows."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.freq import _mg_compress
+
+    def part(batches):
+        import pandas as pd
+
+        counters: dict[str, dict] = {c: {} for c in cols}
+        for pdf in batches:
+            for c in cols:
+                vc = pdf[c].astype("string").value_counts(dropna=True)
+                cc = counters[c]
+                for k, v in vc.items():
+                    cc[k] = cc.get(k, 0) + int(v)
+                counters[c] = _mg_compress(cc, m)
+        rows = [
+            {"col": c, "item": str(k), "cnt": int(v)}
+            for c, cc in counters.items()
+            for k, v in cc.items()
+        ]
+        yield pd.DataFrame(
+            rows, columns=["col", "item", "cnt"]
+        ).astype({"col": "string", "item": "string", "cnt": "int64"})
+
+    partials = df.select(*cols).mapInPandas(
+        part, "col string, item string, cnt long"
+    )
+    merged: dict[str, dict[str, int]] = {c: {} for c in cols}
+    for r in (
+        partials.groupBy("col", "item")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    ):
+        merged[r["col"]][r["item"]] = int(r["cnt"])
+    # the driver-side merge is itself compressed back to m counters
+    # per column so the carried marker stays kilobytes
+    return {c: _mg_compress(cc, m) for c, cc in merged.items()}
+
+
 def versioned_analyze(
     spark: SparkSession,
     path: str,
@@ -2194,6 +2241,43 @@ def versioned_analyze(
         }
         for c in cols
     }
+    # skew signal: per-column Misra-Gries top-k folded into the same
+    # ANALYZE scan budget (one multi-column mapInPandas pass over the
+    # snapshot — bounded state, O(partitions × m × cols) partial rows
+    # driver-side). Items are recorded as canonical strings with their
+    # merged ESTIMATE (est <= f <= est + n/(m+1)); the mg_err bound is
+    # carried so consumers can judge the estimate honestly. Only
+    # atomic-typed columns participate — arrays/structs/maps make no
+    # join keys.
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    atomic = (
+        BooleanType, ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, StringType, DateType, TimestampType,
+    )
+    dtypes_a = {f.name: f.dataType for f in schema.fields}
+    mg_cols = [c for c in cols if isinstance(dtypes_a[c], atomic)]
+    m = 64
+    if mg_cols:
+        merged = _mg_multi_column(spark, df, mg_cols, m)
+        n_total = int(row["__n"])
+        for c in mg_cols:
+            tops = sorted(
+                merged.get(c, {}).items(), key=lambda kv: -kv[1]
+            )[:8]
+            stats[c]["top"] = [[k, int(v)] for k, v in tops]
+            stats[c]["mg_err"] = n_total // (m + 1)
 
     def derive(committed: int, raw: dict):
         commit_meta = {

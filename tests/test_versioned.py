@@ -2325,3 +2325,73 @@ def test_bloom_segment_union_closes_refs(spark, tmp_path, monkeypatch):
     parts = rd.partitions()
     assert rd.segments_opened < rd.segments_total
     assert 1 <= len(parts) <= 6
+
+
+def test_join_advice_stats_tier_is_skew_aware(spark, tmp_path):
+    """ANALYZE folds a Misra-Gries top-k per column into
+    column_stats, so the ZERO-JOB stats tier recommends 'salt' on the
+    skewed fixture exactly as the sample tier would — and a
+    non-skewed twin stays 'shuffle'. join_advice_auto answers from
+    stats (source='stats') with the salt verdict."""
+    from skopje_spark.operators.estimate import (
+        join_advice,
+        join_advice_auto,
+        join_advice_from_stats,
+    )
+    from skopje_spark.sinks.versioned import table_stats, versioned_analyze
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    flat = str(tmp_path / "flat")
+    # side A: 60% of rows on key 0 — the salted-join regime
+    versioned_write(
+        spark.createDataFrame(
+            [(0 if i % 5 < 3 else i % 400, i) for i in range(8000)],
+            "k long, v long",
+        ).repartition(8),
+        a,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(i % 400, f"d{i}") for i in range(8000)], "k long, w string"
+        ).repartition(8),
+        b,
+    )
+    versioned_write(
+        spark.createDataFrame(
+            [(i % 400, i) for i in range(8000)], "k long, v long"
+        ).repartition(8),
+        flat,
+    )
+    for p in (a, b, flat):
+        versioned_analyze(spark, p)
+    # the marker carries the top-k skew signal
+    st = table_stats(a)
+    tops = dict(st["columns"]["k"]["top"])
+    assert tops and max(tops.values()) >= 4000  # ~60% of 8000, MG-underest
+    assert st["columns"]["k"]["mg_err"] == 8000 // 65
+    # stats tier: salt on the skewed side, no broadcast possible
+    card = join_advice_from_stats(
+        a, "k", b, "k", broadcast_bytes=1, skew_share=0.2
+    )
+    assert card["recommendation"] == "salt"
+    assert card["top_key_share"] > 0.2
+    # agreement with the sample tier on the same fixture
+    from skopje_spark.sinks.versioned import versioned_read
+
+    srow = join_advice(
+        versioned_read(spark, a), versioned_read(spark, b), "k", "k",
+        broadcast_bytes=1, skew_share=0.2,
+    ).first()
+    assert srow["recommendation"] == "salt"
+    # the flat twin stays shuffle under the same thresholds
+    card2 = join_advice_from_stats(
+        flat, "k", b, "k", broadcast_bytes=1, skew_share=0.2
+    )
+    assert card2["recommendation"] == "shuffle"
+    assert card2["top_key_share"] <= 0.2
+    # auto answers from stats with the salt verdict, zero jobs
+    auto = join_advice_auto(
+        spark, a, "k", b, "k", broadcast_bytes=1, skew_share=0.2
+    )
+    assert auto["source"] == "stats" and auto["recommendation"] == "salt"
