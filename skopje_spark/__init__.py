@@ -85,13 +85,17 @@ from skopje_spark.sinks.versioned import (
     versioned_replace_where,
     versioned_replicate,
     versioned_restore,
+    versioned_refold_refs,
+    versioned_update,
     versioned_upsert,
+    versioned_value_index,
     versioned_widen_column,
     versioned_write,
     versioned_ivm_view,
     versioned_stream_apply_changes,
     versioned_stream_materialized_view,
 )
+from skopje_spark.sqlfront import versioned_sql
 from skopje_spark.tables import load_table, register_views
 
 __all__ = [

@@ -3060,3 +3060,90 @@ def q_versioned_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(containing <= elected)).alias("bloom_sound"),
         F.lit(bool(len(elected) < len(ent))).alias("bloom_prunes"),
     )
+
+
+@register(
+    "q_versioned_sql_dml",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+                WHEN o_orderkey % 10 = 7 THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 NOT IN (3, 9)
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 2
+    ORDER BY o_orderkey
+    """,
+    tags=("versioned", "sql", "merge", "dml", "lakeops"),
+)
+def q_versioned_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string DML front end (sqlfront.py:versioned_sql):
+    MERGE INTO / UPDATE / DELETE written as standard SQL text drive
+    the native versioned operators — the q_versioned_merge_clauses
+    semantics routed through the parser (alias rewriting to the
+    src_-pair domain, clause conditions, INSERT *), then an UPDATE
+    with an arithmetic SET over the pre-update row, then a predicate
+    DELETE (deletion vectors, no rewrite). The oracle recomputes the
+    final state closed-form from the raw table; hash equality proves
+    the parser changed nothing about the operators' semantics.
+
+    Scale: the strings compile to the same partial-rewrite /
+    DV commits the Python API issues — a SQL user gets the identical
+    economics (no full-table rewrite anywhere in this query)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_read,
+        versioned_write,
+    )
+    from skopje_spark.sqlfront import versioned_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_sqldml_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+    )
+    src = (
+        o.filter("o_orderkey % 10 = 1")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter("o_orderkey % 10 = 3"))
+        .unionByName(
+            o.filter("o_orderkey % 100 = 2").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    src.createOrReplaceTempView("sqldml_updates")
+    versioned_sql(
+        spark,
+        """
+        MERGE INTO tgt AS t USING sqldml_updates AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderkey % 10 = 1
+          THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN MATCHED AND s.o_orderkey % 10 = 3 THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"tgt": path},
+    )
+    versioned_sql(
+        spark,
+        "UPDATE tgt SET o_totalprice = o_totalprice + 1 "
+        "WHERE o_orderkey % 10 = 7",
+        tables={"tgt": path},
+    )
+    versioned_sql(
+        spark,
+        "DELETE FROM tgt WHERE o_orderkey % 10 = 9",
+        tables={"tgt": path},
+    )
+    return versioned_read(spark, path).orderBy("o_orderkey")

@@ -1058,113 +1058,188 @@ def _write_segments(table: str, entries: list[dict]) -> list[dict]:
                 os.utime(full, None)
             except OSError:
                 pass
-        # segment-level aggregate stats: a column contributes only when
-        # every member entry has usable stats for it
-        agg: dict[str, dict] = {}
-        first = chunk[0].get("stats") or {}
-        for col, st in first.items():
-            mn, mx = st.get("min"), st.get("max")
-            ok = mn is not None and mx is not None
-            for e in chunk[1:]:
-                st2 = (e.get("stats") or {}).get(col)
-                if not ok or st2 is None:
-                    ok = False
-                    break
+        refs.append(_fold_ref(rel, chunk))
+    return refs
+
+
+def _fold_ref(rel: str, chunk: list[dict]) -> dict:
+    """Compute a segment REF (aggregate stats, value-set unions,
+    bloom unions, per-partition-tuple aggregates) from its member
+    entries — THE single fold, shared by :func:`_write_segments` at
+    commit time and :func:`versioned_refold_refs` for metadata-only
+    upgrades of legacy refs, so the two can never diverge."""
+    # segment-level aggregate stats: a column contributes only when
+    # every member entry has usable stats for it
+    agg: dict[str, dict] = {}
+    first = chunk[0].get("stats") or {}
+    for col, st in first.items():
+        mn, mx = st.get("min"), st.get("max")
+        ok = mn is not None and mx is not None
+        for e in chunk[1:]:
+            st2 = (e.get("stats") or {}).get(col)
+            if not ok or st2 is None:
+                ok = False
+                break
+            m2, x2 = st2.get("min"), st2.get("max")
+            if m2 is None or x2 is None:
+                ok = False
+                break
+            try:
+                mn, mx = min(mn, m2), max(mx, x2)
+            except TypeError:
+                ok = False
+                break
+        if ok:
+            agg[col] = {"min": mn, "max": mx}
+        # ref-level VALUE-SET union: every member pins its values
+        # (a recorded vals set, or min==max single-valued layout)
+        # and the union stays small -> point/IN bounds close the
+        # whole segment by membership even when the interval fold
+        # spans everything (scattered categoricals). Partition
+        # layouts get this for free from their singleton stats.
+        union: set = set()
+        for e in chunk:
+            st2 = (e.get("stats") or {}).get(col) or {}
+            evals = st2.get("vals")
+            if evals is None:
                 m2, x2 = st2.get("min"), st2.get("max")
-                if m2 is None or x2 is None:
-                    ok = False
-                    break
-                try:
-                    mn, mx = min(mn, m2), max(mx, x2)
-                except TypeError:
-                    ok = False
-                    break
-            if ok:
-                agg[col] = {"min": mn, "max": mx}
-            # ref-level VALUE-SET union: every member pins its values
-            # (a recorded vals set, or min==max single-valued layout)
-            # and the union stays small → point/IN bounds close the
-            # whole segment by membership even when the interval fold
-            # spans everything (scattered categoricals). Partition
-            # layouts get this for free from their singleton stats.
-            union: set = set()
-            for e in chunk:
-                st2 = (e.get("stats") or {}).get(col) or {}
-                evals = st2.get("vals")
-                if evals is None:
-                    m2, x2 = st2.get("min"), st2.get("max")
-                    if m2 is None or m2 != x2:
-                        union = None
-                        break
-                    evals = [m2]
-                union.update(evals)
-                if len(union) > _SEG_VALS_CAP:
+                if m2 is None or m2 != x2:
                     union = None
                     break
-            if union:
-                try:
-                    vals_sorted = sorted(union)
-                except TypeError:
-                    vals_sorted = sorted(union, key=repr)
-                agg.setdefault(col, {})["vals"] = vals_sorted
-            # ref-level BLOOM union: OR of member bitmaps (same
-            # geometry required) still answers definitely-absent, so
-            # a point lookup can close the whole segment unopened.
-            # A union past half density proves almost nothing —
-            # dropped rather than carried as dead weight.
-            blooms = [
-                ((e.get("stats") or {}).get(col) or {}).get("bloom")
-                for e in chunk
-            ]
-            if all(b is not None for b in blooms):
-                geos = {
-                    (b["bits"], b["k"], b.get("t")) for b in blooms
-                }
-                if len(geos) == 1:
-                    import base64 as _b64
+                evals = [m2]
+            union.update(evals)
+            if len(union) > _SEG_VALS_CAP:
+                union = None
+                break
+        if union:
+            try:
+                vals_sorted = sorted(union)
+            except TypeError:
+                vals_sorted = sorted(union, key=repr)
+            agg.setdefault(col, {})["vals"] = vals_sorted
+        # ref-level BLOOM union: OR of member bitmaps (same
+        # geometry required) still answers definitely-absent, so
+        # a point lookup can close the whole segment unopened.
+        # A union past half density proves almost nothing —
+        # dropped rather than carried as dead weight.
+        blooms = [
+            ((e.get("stats") or {}).get(col) or {}).get("bloom")
+            for e in chunk
+        ]
+        if all(b is not None for b in blooms):
+            geos = {
+                (b["bits"], b["k"], b.get("t")) for b in blooms
+            }
+            if len(geos) == 1:
+                import base64 as _b64
 
-                    import numpy as _np
+                import numpy as _np
 
-                    bits_, k_, t_ = next(iter(geos))
-                    u = _np.zeros((bits_ + 7) // 8, dtype=_np.uint8)
-                    for b in blooms:
-                        u |= _np.frombuffer(
-                            _b64.b64decode(b["b64"]), dtype=_np.uint8
-                        )
-                    density = int(
-                        _np.unpackbits(u).sum()
-                    ) / float(bits_)
-                    if density <= 0.5:
-                        agg.setdefault(col, {})["bloom"] = {
-                            "b64": _b64.b64encode(
-                                u.tobytes()
-                            ).decode("ascii"),
-                            "bits": bits_, "k": k_, "t": t_,
-                        }
-        ref = {
-            "path": rel,
-            "n": len(chunk),
-            "rows": sum(int(e.get("rows", 0)) for e in chunk),
-            "bytes": sum(int(e.get("bytes", 0)) for e in chunk),
-            "dv_rows": sum(int(e.get("dv_rows", 0)) for e in chunk),
-            "stats": agg,
+                bits_, k_, t_ = next(iter(geos))
+                u = _np.zeros((bits_ + 7) // 8, dtype=_np.uint8)
+                for b in blooms:
+                    u |= _np.frombuffer(
+                        _b64.b64decode(b["b64"]), dtype=_np.uint8
+                    )
+                density = int(
+                    _np.unpackbits(u).sum()
+                ) / float(bits_)
+                if density <= 0.5:
+                    agg.setdefault(col, {})["bloom"] = {
+                        "b64": _b64.b64encode(
+                            u.tobytes()
+                        ).decode("ascii"),
+                        "bits": bits_, "k": k_, "t": t_,
+                    }
+    ref = {
+        "path": rel,
+        "n": len(chunk),
+        "rows": sum(int(e.get("rows", 0)) for e in chunk),
+        "bytes": sum(int(e.get("bytes", 0)) for e in chunk),
+        "dv_rows": sum(int(e.get("dv_rows", 0)) for e in chunk),
+        "stats": agg,
+    }
+    # per-partition-tuple aggregates (only when every member has a
+    # recorded tuple): SHOW PARTITIONS and the advisor's skew card
+    # sum these kilobyte ref rows instead of parsing segments —
+    # O(segments) driver JSON for an 800k-file table. DV changes
+    # rewrite the member entries, so the fold is always fresh.
+    if all(e.get("partition") is not None for e in chunk):
+        parts: dict[str, list] = {}
+        for e in chunk:
+            k = json.dumps(e["partition"], sort_keys=True)
+            slot = parts.setdefault(k, [e["partition"], 0, 0, 0])
+            slot[1] += 1
+            slot[2] += int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
+            slot[3] += int(e.get("bytes", 0))
+        ref["partitions"] = [parts[k] for k in sorted(parts)]
+    return ref
+
+
+def versioned_refold_refs(
+    path: str,
+    *,
+    meta: dict[str, str] | None = None,
+    lock_timeout_s: float = 600.0,
+    max_retries: int = 8,
+) -> int:
+    """Metadata-only maintenance: re-derive every segment ref's
+    aggregate fields (interval fold, value-set unions, bloom unions,
+    per-partition-tuple aggregates, row/byte totals) from its member
+    entries WITHOUT touching data files or the segments' membership —
+    the segment files themselves are content-addressed and reused
+    byte-identical, only the kilobyte version manifest changes.
+
+    Why it exists: refs written before an aggregate field existed
+    (pre-partition-fold, pre-value-union, pre-bloom-union manifests)
+    degrade their consumers — ``versioned_partitions`` opens every
+    legacy segment per call and membership pruning falls back to
+    intervals — until some rewrite happens to touch the segment. One
+    refold upgrades the whole table in one O(segments + entries)
+    driver JSON pass and one CAS commit; the change feed and CDF
+    stream skip the commit (zero logical changes, op
+    ``refold_refs``)."""
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        committed = latest_version(path)
+        if committed is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+        with open(
+            os.path.join(path, f"v={committed}", _MANIFEST_NAME)
+        ) as f:
+            raw = json.load(f)
+        refs = raw.get("segments")
+        if refs is None:
+            return committed  # legacy flat manifest: nothing to refold
+        new_refs = []
+        changed = 0
+        for ref in refs:
+            with open(os.path.join(path, ref["path"])) as f:
+                chunk = json.load(f)
+            nref = _fold_ref(ref["path"], chunk)
+            if nref != ref:
+                changed += 1
+            new_refs.append(nref)
+        if changed == 0:
+            return committed  # already fully folded: no commit needed
+        commit_meta = {
+            "op": "refold_refs",
+            "n_refs_refolded": str(changed),
+            "n_files_appended": "0",
+            "n_files_rewritten": "0",
         }
-        # per-partition-tuple aggregates (only when every member has a
-        # recorded tuple): SHOW PARTITIONS and the advisor's skew card
-        # sum these kilobyte ref rows instead of parsing segments —
-        # O(segments) driver JSON for an 800k-file table. DV changes
-        # rewrite the member entries, so the fold is always fresh.
-        if all(e.get("partition") is not None for e in chunk):
-            parts: dict[str, list] = {}
-            for e in chunk:
-                k = json.dumps(e["partition"], sort_keys=True)
-                slot = parts.setdefault(k, [e["partition"], 0, 0, 0])
-                slot[1] += 1
-                slot[2] += int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
-                slot[3] += int(e.get("bytes", 0))
-            ref["partitions"] = [parts[k] for k in sorted(parts)]
-        refs.append(ref)
-    return refs
+        commit_meta.update(meta or {})
+        try:
+            return _commit_manifest(
+                path, raw["schema"], [], commit_meta,
+                committed, lock_timeout_s, reuse_refs=new_refs,
+            )
+        except CommitConflict as e:
+            last = e
+            time.sleep(0.05 * (2**attempt))
+    raise CommitConflict(
+        f"refold at {path} lost {max_retries + 1} races; last: {last}"
+    )
 
 
 def _split_refs_for_merge(
@@ -3324,10 +3399,19 @@ def _bucket_prune_candidates(
     set — provably match-free, because equal keys hash to equal
     buckets. An m-key merge on a bucketed 100 TB table rewrites at
     most m buckets; interval pruning alone can't do this for
-    hash-scattered keys (their [min, max] span covers every file)."""
+    hash-scattered keys (their [min, max] span covers every file).
+
+    Spec EVOLUTION: the walk covers the current spec AND every
+    historical epoch (``table_partition_specs``) — a table evolved
+    from ``b=bucket(16,k)`` to ``b2=bucket(32,k)`` prunes new-epoch
+    files by their ``b2`` bucket set and OLD-epoch files by their
+    ``b`` set, each file answering only for the target it carries
+    single-valued stats for (epoch targets are unique — same-target
+    re-derivation is refused at evolution time). One <=N-row distinct
+    per bucket epoch."""
     from pyspark.sql import functions as F
 
-    spec = table_partitioning(path, version=base_v)
+    spec = table_partition_specs(path, version=base_v)
     for target, source, tr in _parse_partition_spec(spec):
         if not tr.startswith("bucket[") or source not in keys or not cand:
             continue
@@ -5154,6 +5238,208 @@ def _stage_dv_files(df: DataFrame, path: str, *, n_files: int) -> list[str]:
     return _stage_aux_files(df, path, kind="dv", n_files=n_files)
 
 
+def versioned_update(
+    spark: SparkSession,
+    path: str,
+    set_map: dict[str, str],
+    condition,
+    *,
+    meta: dict[str, str] | None = None,
+    expected_version: int | None | object = _UNGUARDED,
+    lock_timeout_s: float = 600.0,
+    change_feed: bool = False,
+) -> int:
+    """UPDATE ... SET ... WHERE as a partial-rewrite snapshot commit:
+    only files that actually CONTAIN a matching live row are
+    rewritten (SET expressions applied to matching rows, everything
+    else byte-preserved through the rewrite, deletion vectors
+    materialized away for the rewritten files); every other file
+    rides into the new manifest by reference. ``condition`` is a SQL
+    predicate string, or a bounds dict (the
+    :func:`versioned_read_where` shape) — the dict path prunes
+    provably-disjoint files from the SCAN itself via stats, so a
+    partition-scoped UPDATE on a 100 TB table reads only the
+    partition. All SET expressions evaluate over the PRE-update row
+    (SQL UPDATE semantics) and cast back to the column's type, so
+    pooled files never fork physical types.
+
+    ``change_feed=True`` records update_preimage/update_postimage
+    rows exactly like :func:`versioned_upsert`'s feed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    base_v = (
+        latest_version(path)
+        if expected_version is _UNGUARDED
+        else expected_version
+    )
+    if base_v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    with open(os.path.join(path, f"v={base_v}", _MANIFEST_NAME)) as f:
+        schema_json_base = json.load(f)["schema"]
+    schema = StructType.fromJson(schema_json_base)
+    mapping = _schema_mapping(schema)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    unknown = [c for c in set_map if c not in dtypes]
+    if unknown:
+        raise KeyError(
+            f"UPDATE SET targets {unknown} not in schema {sorted(dtypes)}"
+        )
+    closed_refs: list[dict] = []
+    n_segments_total: int | None = None
+    if isinstance(condition, dict):
+        resolved = _resolve_bounds(
+            condition, schema, mapping,
+            table_partition_specs(path, version=base_v),
+        )
+        split = _split_refs_for_bounds(path, base_v, resolved)
+        if split is None:
+            open_entries = _read_manifest(path, base_v)["files"]
+        else:
+            closed_refs, open_entries, n_segments_total = split
+        scan_b, carried_open, covered = _classify_for_delete(
+            open_entries, resolved
+        )
+        # fully-covered files still REWRITE for an update (the delete
+        # path drops them; here every row changes)
+        scan_entries = scan_b + covered
+        cond_col = _bounds_predicate(resolved)
+    else:
+        open_entries = _read_manifest(path, base_v)["files"]
+        scan_entries, carried_open = open_entries, []
+        cond_col = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+    if not scan_entries:
+        return base_v  # no file can hold a matching row: no-op
+    # pass 1: which files contain a matching LIVE row (row identity +
+    # DV anti-join, the delete scan's shape)
+    df = _with_row_identity_entries(spark, path, scan_entries, schema)
+    counts = {
+        r["__file"]: int(r["n"])
+        for r in df.filter(cond_col)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return base_v
+    hit_names = set(counts)
+    rewrite = [
+        e for e in scan_entries
+        if os.path.basename(e["path"]) in hit_names
+    ]
+    keep = [
+        e for e in scan_entries
+        if os.path.basename(e["path"]) not in hit_names
+    ]
+    # pass 2: rewrite exactly the matched files, SET applied row-wise
+    slice_df = _read_entries(spark, path, rewrite, schema)
+    updated = slice_df.select(
+        *[
+            (
+                F.when(cond_col, F.expr(set_map[f.name]))
+                .otherwise(F.col(f.name))
+                .cast(f.dataType)
+                .alias(f.name)
+                if f.name in set_map
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
+    new_entries = _stage_data_files(
+        updated, path, mapping,
+        partition_by=table_partitioning(path, version=base_v),
+    )
+    commit_meta = {
+        "op": "update",
+        "n_files_rewritten": str(len(rewrite)),
+        "n_files_carried": str(
+            len(keep) + len(carried_open)
+            + sum(int(r["n"]) for r in closed_refs)
+        ),
+        "n_rows_updated": str(sum(counts.values())),
+        "n_files_scanned": str(len(scan_entries)),
+    }
+    if n_segments_total is not None:
+        commit_meta["n_segments_total"] = str(n_segments_total)
+        commit_meta["n_segments_opened"] = str(
+            n_segments_total - len(closed_refs)
+        )
+    if change_feed:
+        pre = slice_df.filter(cond_col).localCheckpoint(eager=True)
+        post = pre.select(
+            *[
+                (
+                    F.expr(set_map[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_map
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        cdc = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        commit_meta["cdc_files"] = json.dumps(
+            _stage_aux_files(cdc, path, kind="cdc")
+        )
+    commit_meta.update(meta or {})
+    return _commit_manifest(
+        path, schema_json_base, keep + carried_open + new_entries,
+        commit_meta, expected_version, lock_timeout_s,
+        reuse_refs=closed_refs,
+    )
+
+
+def _with_row_identity_entries(
+    spark: SparkSession, path: str, entries: list[dict], schema
+) -> DataFrame:
+    """The delete/update scan shape: the given entries read by
+    PHYSICAL name with ``__file``/``__pos`` row identity, prior
+    deletion vectors anti-joined away, served under LOGICAL names."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    mapping = _schema_mapping(schema)
+    renamed = any(p != n for n, p in mapping.items())
+    read_schema = (
+        StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if renamed
+        else schema
+    )
+    df = _with_row_identity(
+        spark.read.schema(read_schema).parquet(
+            *[os.path.join(path, e["path"]) for e in entries]
+        )
+    )
+    if renamed:
+        df = df.select(
+            *[F.col(mapping[f.name]).alias(f.name) for f in schema.fields],
+            "__file",
+            "__pos",
+        )
+    old_dvs = sorted(
+        {p for e in entries for p in e.get("dv_files", [])}
+    )
+    if old_dvs:
+        prior = (
+            spark.read.parquet(*[os.path.join(path, p) for p in old_dvs])
+            .select("__file", "__pos")
+            .distinct()
+        )
+        df = df.join(F.broadcast(prior), ["__file", "__pos"], "left_anti")
+    return df
+
+
 def versioned_restore(
     path: str,
     version: int,
@@ -5413,7 +5699,8 @@ def versioned_change_feed(
         op = snapshot_meta(path, "op", version=v) or ""
         if op in ("compact", "rename_column", "set_constraint",
                   "drop_constraint", "analyze", "drop_column",
-                  "widen_column", "set_partition_spec", "value_index"):
+                  "widen_column", "set_partition_spec", "value_index",
+                  "refold_refs"):
             # physical motion or metadata-only property change: zero
             # logical row changes (rename serves each range in its
             # as-recorded schema — consumers spanning a rename map

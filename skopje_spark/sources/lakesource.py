@@ -68,7 +68,8 @@ from pyspark.sql.types import StructType
 # (op markers as written by sinks/versioned.py)
 _ZERO_CHANGE_OPS = {"compact", "rename_column", "set_constraint",
                     "drop_constraint", "analyze", "drop_column",
-                    "widen_column", "set_partition_spec", "value_index"}
+                    "widen_column", "set_partition_spec", "value_index",
+                    "refold_refs"}
 
 
 def _logical_schema(man: dict) -> StructType:

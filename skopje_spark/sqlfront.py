@@ -1,0 +1,292 @@
+"""SQL string front end for versioned-store DML — ``MERGE INTO`` /
+``UPDATE`` / ``DELETE`` as users actually write them.
+
+The versioned store's DML is a Python function API
+(:func:`~skopje_spark.sinks.versioned.versioned_merge` /
+``versioned_update`` / ``versioned_delete``); real pipelines carry
+their mutations as SQL strings. A full ``spark.sql("MERGE INTO …")``
+integration needs a JVM catalog plugin (DSv2 ``SupportsRowLevelOperations``
+— out of reach from pure Python); this module is the documented
+boundary: a small, loud parser for the STANDARD grammar of the three
+statements that drives the native operators, keeping all of their
+economics (partial rewrite, stats/bucket pruning, deletion vectors,
+OCC, change feed).
+
+Grammar (case-insensitive keywords; ``<path>`` is a filesystem path,
+a quoted path, or a name registered in the ``tables`` mapping;
+``<source>`` is any Spark-resolvable table/view name):
+
+- ``MERGE INTO <path> [AS] t USING <source> [AS] s
+  ON t.k = s.k [AND t.k2 = s.k2 …]
+  [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = <expr>, …]
+  [WHEN MATCHED [AND <cond>] THEN DELETE]
+  [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]``
+- ``UPDATE <path> SET c = <expr>[, …] [WHERE <pred>]``
+- ``DELETE FROM <path> [WHERE <pred>]``
+
+Alias references in conditions and SET expressions are rewritten to
+the native operators' evaluation domain (target columns bare, source
+columns ``src_``-prefixed — the documented ``versioned_merge``
+contract), so the SQL text evaluates over the matched pair exactly as
+Delta's MERGE does. Anything outside the grammar raises ``ValueError``
+with the offending fragment — never a silent partial parse.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+__all__ = ["versioned_sql"]
+
+_WS = r"\s+"
+
+
+def _strip_quotes(tok: str) -> str:
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"`":
+        return tok[1:-1]
+    return tok
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses and quotes."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def _rewrite_aliases(expr: str, t_alias: str | None, s_alias: str | None) -> str:
+    """``t.col`` → ``col``; ``s.col`` → ``src_col`` — the
+    versioned_merge pair-evaluation domain."""
+    if t_alias:
+        expr = re.sub(
+            rf"\b{re.escape(t_alias)}\.(\w+)", r"\1", expr,
+            flags=re.IGNORECASE,
+        )
+    if s_alias:
+        expr = re.sub(
+            rf"\b{re.escape(s_alias)}\.(\w+)", r"src_\1", expr,
+            flags=re.IGNORECASE,
+        )
+    return expr
+
+
+def _resolve_path(tok: str, tables: dict[str, str] | None) -> str:
+    tok = _strip_quotes(tok)
+    if tables and tok in tables:
+        return tables[tok]
+    return tok
+
+
+def versioned_sql(
+    spark: SparkSession,
+    sql: str,
+    *,
+    tables: dict[str, str] | None = None,
+    **kwargs,
+) -> int:
+    """Execute one MERGE/UPDATE/DELETE statement against a versioned
+    table and return the committed version. ``tables`` maps SQL table
+    names to store paths (unmapped names are taken as paths);
+    ``kwargs`` pass through to the native operator (``change_feed``,
+    ``expected_version``, ``meta``, …)."""
+    stmt = sql.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "MERGE":
+        return _merge(spark, stmt, tables, kwargs)
+    if head == "UPDATE":
+        return _update(spark, stmt, tables, kwargs)
+    if head == "DELETE":
+        return _delete(spark, stmt, tables, kwargs)
+    raise ValueError(
+        f"versioned_sql supports MERGE INTO / UPDATE / DELETE FROM; "
+        f"got {stmt[:60]!r}"
+    )
+
+
+def _delete(spark, stmt, tables, kwargs) -> int:
+    from skopje_spark.sinks.versioned import versioned_delete
+
+    m = re.match(
+        rf"DELETE{_WS}FROM{_WS}(\S+)(?:{_WS}WHERE{_WS}(.+))?$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable DELETE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    pred = (m.group(2) or "TRUE").strip()
+    return versioned_delete(spark, path, pred, **kwargs)
+
+
+def _update(spark, stmt, tables, kwargs) -> int:
+    from skopje_spark.sinks.versioned import versioned_update
+
+    m = re.match(
+        rf"UPDATE{_WS}(\S+){_WS}SET{_WS}(.+?)(?:{_WS}WHERE{_WS}(.+))?$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable UPDATE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    set_map: dict[str, str] = {}
+    for part in _split_top_commas(m.group(2)):
+        am = re.match(r"(\w+)\s*=\s*(.+)$", part, flags=re.DOTALL)
+        if not am:
+            raise ValueError(f"unparsable SET assignment: {part!r}")
+        set_map[am.group(1)] = am.group(2).strip()
+    pred = (m.group(3) or "TRUE").strip()
+    return versioned_update(spark, path, set_map, pred, **kwargs)
+
+
+def _merge(spark, stmt, tables, kwargs) -> int:
+    from skopje_spark.sinks.versioned import versioned_merge
+
+    m = re.match(
+        rf"MERGE{_WS}INTO{_WS}(\S+)(?:{_WS}AS)?(?:{_WS}(\w+))?"
+        rf"{_WS}USING{_WS}(\S+)(?:{_WS}AS)?(?:{_WS}(\w+))?"
+        rf"{_WS}ON{_WS}(.+?)(?={_WS}WHEN{_WS})(.+)$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable MERGE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    t_alias = m.group(2)
+    source_name = _strip_quotes(m.group(3))
+    s_alias = m.group(4)
+    on_cond = m.group(5).strip()
+    when_text = m.group(6)
+
+    # aliases that collide with keywords mean the optional alias was
+    # actually the next keyword (regex backtracking handles USING/ON,
+    # but guard WHEN explicitly)
+    if t_alias and t_alias.upper() in ("USING", "ON", "WHEN"):
+        t_alias = None
+    if s_alias and s_alias.upper() in ("ON", "WHEN"):
+        s_alias = None
+
+    # equality-conjunct key extraction: every conjunct must be
+    # t.k = s.k (either order) on the SAME column name
+    keys: list[str] = []
+    for conj in re.split(rf"{_WS}AND{_WS}", on_cond, flags=re.IGNORECASE):
+        em = re.match(
+            r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj
+        )
+        if not em:
+            raise ValueError(
+                f"MERGE ON supports equality conjuncts t.k = s.k; "
+                f"got {conj.strip()!r}"
+            )
+        a1, c1, a2, c2 = em.groups()
+        amap = {a1.lower(): c1, a2.lower(): c2}
+        ta = (t_alias or "").lower()
+        sa = (s_alias or "").lower()
+        if ta not in amap or sa not in amap:
+            raise ValueError(
+                f"MERGE ON conjunct {conj.strip()!r} does not reference "
+                f"both aliases {t_alias!r}/{s_alias!r}"
+            )
+        if amap[ta] != amap[sa]:
+            raise ValueError(
+                f"MERGE ON conjunct {conj.strip()!r} joins differently "
+                "named columns — the native operator keys on shared "
+                "column names; alias the source column first"
+            )
+        keys.append(amap[ta])
+
+    def rw(expr: str) -> str:
+        return _rewrite_aliases(expr, t_alias, s_alias)
+
+    when_matched_update = None
+    when_matched_delete = None
+    when_not_matched_insert = None
+    update_set: dict[str, str] | None = None
+    clause_re = re.compile(
+        rf"WHEN{_WS}(NOT{_WS}MATCHED|MATCHED)(?:{_WS}AND{_WS}(.+?))?"
+        rf"{_WS}THEN{_WS}(UPDATE{_WS}SET{_WS}.+?|DELETE|INSERT{_WS}\*|"
+        rf"INSERT{_WS}.+?)\s*(?=WHEN{_WS}|$)",
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    matched_any = False
+    for cm in clause_re.finditer(when_text):
+        matched_any = True
+        kind = re.sub(r"\s+", " ", cm.group(1).upper())
+        cond = rw(cm.group(2).strip()) if cm.group(2) else "TRUE"
+        action = cm.group(3).strip()
+        act_head = action.split(None, 1)[0].upper()
+        if kind == "MATCHED" and act_head == "UPDATE":
+            if when_matched_update is not None:
+                raise ValueError("duplicate WHEN MATCHED … UPDATE clause")
+            when_matched_update = cond
+            body = re.sub(
+                rf"^UPDATE{_WS}SET{_WS}", "", action,
+                flags=re.IGNORECASE,
+            ).strip()
+            if body == "*":
+                update_set = None
+            else:
+                update_set = {}
+                for part in _split_top_commas(body):
+                    am = re.match(
+                        r"(?:(\w+)\.)?(\w+)\s*=\s*(.+)$", part,
+                        flags=re.DOTALL,
+                    )
+                    if not am or (
+                        am.group(1)
+                        and am.group(1).lower() != (t_alias or "").lower()
+                    ):
+                        raise ValueError(
+                            f"unparsable UPDATE SET assignment: {part!r}"
+                        )
+                    update_set[am.group(2)] = rw(am.group(3).strip())
+        elif kind == "MATCHED" and act_head == "DELETE":
+            if when_matched_delete is not None:
+                raise ValueError("duplicate WHEN MATCHED … DELETE clause")
+            when_matched_delete = cond
+        elif kind == "NOT MATCHED" and act_head == "INSERT":
+            if when_not_matched_insert is not None:
+                raise ValueError("duplicate WHEN NOT MATCHED clause")
+            if re.sub(r"\s+", "", action.upper()) != "INSERT*":
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT * (the source row "
+                    f"carries the target schema); got {action!r}"
+                )
+            when_not_matched_insert = cond
+        else:
+            raise ValueError(
+                f"unsupported MERGE clause: WHEN {kind} THEN {action!r}"
+            )
+    if not matched_any:
+        raise ValueError(f"MERGE has no parsable WHEN clause: {when_text!r}")
+    return versioned_merge(
+        spark,
+        path,
+        spark.table(source_name),
+        keys,
+        when_matched_update=when_matched_update,
+        when_matched_delete=when_matched_delete,
+        when_not_matched_insert=when_not_matched_insert,
+        update_set=update_set,
+        **kwargs,
+    )

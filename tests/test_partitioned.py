@@ -1514,3 +1514,74 @@ def test_keyframe_delete_casts_to_table_types(spark, tmp_path):
     versioned_delete(spark, path2, spark.createDataFrame([(5,)], "k long"))
     left2 = sorted(r["k"] for r in versioned_read(spark, path2).collect())
     assert left2 == ["05", "7"]
+
+
+def test_cross_epoch_bucket_merge_candidacy(spark, tmp_path):
+    """A table evolved b=bucket(8,id) -> b2=bucket(16,id) (fresh
+    target; same-target re-derivation is refused) prunes MERGE
+    candidacy PER EPOCH: old-epoch files carry single-valued 'b'
+    stats and close by the b bucket set, new-epoch files close by
+    b2 — an m-key MERGE rewrites at most m files from each epoch,
+    never the conservative whole."""
+    from skopje_spark.sinks.versioned import (
+        _bucket_of,
+        _bucket_prune_candidates,
+        versioned_set_partition_spec,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(400)], "id long, v string"
+    )
+    versioned_write(df1, path, partition_by=["b=bucket(8,id)"])
+    versioned_set_partition_spec(path, ["b2=bucket(16,id)"])
+    df2 = spark.createDataFrame(
+        [(i, f"new{i}") for i in range(400, 800)], "id long, v string"
+    )
+    versioned_append(spark, path, df2)
+    base_v = latest_version(path)
+    ent = _read_manifest(path, base_v)["files"]
+    old_epoch = [e for e in ent if "b" in (e.get("partition") or {})]
+    new_epoch = [e for e in ent if "b2" in (e.get("partition") or {})]
+    assert len(old_epoch) == 8 and len(new_epoch) >= 8
+    # one key from each epoch
+    keys = spark.createDataFrame([(17,), (555,)], "id long")
+    cand, carried = _bucket_prune_candidates(
+        path, base_v, ["id"], keys, list(ent), []
+    )
+    cand_paths = {e["path"] for e in cand}
+    # exactly one old-epoch file (bucket of 17 under b) and one
+    # new-epoch file (bucket of 555 under b2) stay candidates
+    exp_old = {
+        e["path"] for e in old_epoch
+        if e["partition"]["b"] == _bucket_of(17, 8)
+    }
+    exp_new = {
+        e["path"] for e in new_epoch
+        if e["partition"]["b2"] == _bucket_of(555, 16)
+    }
+    # the OTHER epoch's bucket of each key also stays (key 17 could
+    # live in a new-epoch file and vice versa): candidacy is the
+    # union of each epoch's matching buckets
+    exp_old |= {
+        e["path"] for e in old_epoch
+        if e["partition"]["b"] == _bucket_of(555, 8)
+    }
+    exp_new |= {
+        e["path"] for e in new_epoch
+        if e["partition"]["b2"] == _bucket_of(17, 16)
+    }
+    assert cand_paths == exp_old | exp_new
+    assert len(cand_paths) <= 4
+    # end to end: the MERGE rewrites only those files and lands right
+    upd = spark.createDataFrame(
+        [(17, "U17"), (555, "U555")], "id long, v string"
+    )
+    versioned_upsert(spark, path, upd, ["id"])
+    got = {r["id"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got[17] == "U17" and got[555] == "U555" and len(got) == 800
+    rewrote = int(
+        snapshot_meta(path, "n_files_rewritten", version=base_v + 1)
+    )
+    assert rewrote <= 4

@@ -1,0 +1,127 @@
+"""SQL-string DML front end (sqlfront.py): MERGE/UPDATE/DELETE text
+drives the native versioned operators with identical semantics and
+economics; out-of-grammar statements refuse loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from skopje_spark.sinks.versioned import (
+    latest_version,
+    snapshot_meta,
+    versioned_read,
+    versioned_update,
+    versioned_write,
+)
+from skopje_spark.sqlfront import versioned_sql
+
+
+def _mk(spark, path, n=100, files=4):
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(n)],
+        "k long, x double, v string",
+    )
+    versioned_write(
+        df.repartitionByRange(files, "k").sortWithinPartitions("k"), path
+    )
+    return df
+
+
+def test_sql_merge_clauses_roundtrip(spark, tmp_path):
+    """MERGE text with per-clause conditions, alias rewriting into
+    the src_ pair domain, UPDATE SET expressions mixing both sides,
+    DELETE, and INSERT * — end state identical to the native call."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    src = spark.createDataFrame(
+        [(5, 500.0, "S5"), (7, 0.0, "S7"), (200, 1.0, "NEW"),
+         (300, 2.0, "SKIP")],
+        "k long, x double, v string",
+    )
+    src.createOrReplaceTempView("sqlfront_src")
+    versioned_sql(
+        spark,
+        """
+        MERGE INTO tgt AS t USING sqlfront_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.k = 5 THEN UPDATE SET x = s.x + t.x, v = s.v
+        WHEN MATCHED AND s.k = 7 THEN DELETE
+        WHEN NOT MATCHED AND s.k = 200 THEN INSERT *
+        """,
+        tables={"tgt": path},
+    )
+    got = {r["k"]: (r["x"], r["v"]) for r in versioned_read(spark, path).collect()}
+    assert got[5] == (505.0, "S5")       # s.x + t.x over the pair
+    assert 7 not in got and 300 not in got
+    assert got[200] == (1.0, "NEW") and len(got) == 100
+    # partial rewrite, not table rewrite
+    assert int(snapshot_meta(path, "n_files_rewritten", version=1)) <= 2
+
+
+def test_sql_update_pre_update_semantics(spark, tmp_path):
+    """All SET expressions see the PRE-update row (SQL UPDATE
+    semantics): swapping two columns through each other works; only
+    containing files rewrite; WHERE-less UPDATE touches every row."""
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    versioned_sql(
+        spark,
+        "UPDATE t SET x = x * 2, v = concat(v, '-', cast(x as int)) "
+        "WHERE k between 10 and 12",
+        tables={"t": path},
+    )
+    got = {r["k"]: (r["x"], r["v"]) for r in versioned_read(spark, path).collect()}
+    assert got[10] == (20.0, "r10-10")   # v used PRE-update x
+    assert got[13] == (13.0, "r13")
+    v = latest_version(path)
+    assert int(snapshot_meta(path, "n_files_rewritten", version=v)) == 1
+    assert int(snapshot_meta(path, "n_rows_updated", version=v)) == 3
+
+
+def test_sql_delete_and_dict_update_pruning(spark, tmp_path):
+    """DELETE text lands deletion vectors (zero rewrites); the native
+    versioned_update dict-bounds path scans only the stats-matching
+    files."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, files=4)
+    versioned_sql(spark, f"DELETE FROM '{path}' WHERE k % 10 = 9")
+    v = latest_version(path)
+    assert int(snapshot_meta(path, "n_files_rewritten", version=v)) == 0
+    assert versioned_read(spark, path).count() == 90
+    # dict-bounds update: one range file scanned of four
+    v2 = versioned_update(spark, path, {"x": "x + 0.5"}, {"k": (0, 10)})
+    assert int(snapshot_meta(path, "n_files_scanned", version=v2)) == 1
+    got = {r["k"]: r["x"] for r in versioned_read(spark, path).collect()}
+    assert got[3] == 3.5 and got[50] == 50.0
+
+
+def test_sql_front_end_refusals(spark, tmp_path):
+    """Out-of-grammar statements refuse loudly with the fragment."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, files=1)
+    spark.createDataFrame([(1, 1.0, "a")], "k long, x double, v string") \
+        .createOrReplaceTempView("sqlfront_ref")
+    with pytest.raises(ValueError, match="supports MERGE INTO"):
+        versioned_sql(spark, f"INSERT INTO '{path}' VALUES (1)")
+    with pytest.raises(ValueError, match="equality conjuncts"):
+        versioned_sql(
+            spark,
+            f"MERGE INTO '{path}' AS t USING sqlfront_ref AS s "
+            "ON t.k > s.k WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="differently"):
+        versioned_sql(
+            spark,
+            f"MERGE INTO '{path}' AS t USING sqlfront_ref AS s "
+            "ON t.k = s.x WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="INSERT \\*"):
+        versioned_sql(
+            spark,
+            f"MERGE INTO '{path}' AS t USING sqlfront_ref AS s "
+            "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+        )
+    with pytest.raises(KeyError, match="UPDATE SET targets"):
+        versioned_sql(spark, f"UPDATE '{path}' SET nope = 1 WHERE k = 1")

@@ -2395,3 +2395,81 @@ def test_join_advice_stats_tier_is_skew_aware(spark, tmp_path):
         spark, a, "k", b, "k", broadcast_bytes=1, skew_share=0.2
     )
     assert auto["source"] == "stats" and auto["recommendation"] == "salt"
+
+
+def test_refold_refs_upgrades_legacy_segments(spark, tmp_path, monkeypatch):
+    """versioned_refold_refs: a pre-aggregate-era manifest (refs
+    stripped of 'partitions', value unions, and aggregate stats)
+    answers SHOW PARTITIONS by opening every segment; one metadata-
+    only refold rebuilds the ref fields from the UNCHANGED segment
+    files (byte-identical, content-addressed) and restores
+    segments_opened == 0 for partitions and segment closing on point
+    reads. The change feed skips the commit."""
+    import skopje_spark.sinks.versioned as V
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_change_feed,
+        versioned_partitions,
+        versioned_read_where,
+        versioned_refold_refs,
+    )
+
+    monkeypatch.setattr(V, "_SEG_TARGET", 4)
+    path = str(tmp_path / "t")
+    def slice_df(lo):
+        return spark.createDataFrame(
+            [(i, f"s{i // 100}", f"r{i}") for i in range(lo, lo + 40)],
+            "k long, src string, v string",
+        ).coalesce(1)
+
+    from skopje_spark.sinks.versioned import versioned_append
+
+    versioned_write(slice_df(0), path, partition_by=["src"])
+    for lo in range(40, 400, 40):
+        versioned_append(spark, path, slice_df(lo))
+    v0 = latest_version(path)
+    man_p = os.path.join(path, f"v={v0}", "_MANIFEST.json")
+    with open(man_p) as f:
+        man = json.load(f)
+    assert len(man["segments"]) >= 3
+    before = {r["path"] for r in man["segments"]}
+    # strip to the pre-r11 shape: path/n only
+    man["segments"] = [
+        {"path": r["path"], "n": r["n"]} for r in man["segments"]
+    ]
+    with open(man_p, "w") as f:
+        json.dump(man, f)
+    m1: dict = {}
+    parts1 = versioned_partitions(path, metrics=m1)
+    assert m1["segments_opened"] == m1["segments_total"]  # degraded
+    v1 = versioned_refold_refs(path)
+    assert v1 == v0 + 1
+    assert snapshot_meta(path, "op", version=v1) == "refold_refs"
+    # segment files untouched, membership identical
+    with open(os.path.join(path, f"v={v1}", "_MANIFEST.json")) as f:
+        man2 = json.load(f)
+    assert {r["path"] for r in man2["segments"]} == before
+    assert all("partitions" in r and "stats" in r for r in man2["segments"])
+    m2: dict = {}
+    parts2 = versioned_partitions(path, metrics=m2)
+    assert m2["segments_opened"] == 0
+    assert sorted(
+        (p["src"], p["n_rows"]) for p in parts2
+    ) == sorted((p["src"], p["n_rows"]) for p in parts1)
+    # point read closes segments from the rebuilt aggregates
+    m3: dict = {}
+    got = versioned_read_where(spark, path, {"k": 42}, metrics=m3)
+    assert [r["v"] for r in got.collect()] == ["r42"]
+    assert m3["segments_opened"] < m3["segments_total"]
+    # already-folded: refold is a no-op without a commit
+    assert versioned_refold_refs(path) == v1
+    # zero logical changes: the feed crosses the refold commit
+    feed = versioned_change_feed(
+        spark, path, from_version=v1, to_version=v1
+    )
+    assert feed.count() == 0
+    # entries unchanged byte-level through the refold
+    assert _read_manifest(path, v1)["files"] == _read_manifest(
+        path, v0
+    )["files"]
