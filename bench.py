@@ -126,6 +126,13 @@ HEADLINE = [
     # q_lake_write_partitioned are excluded like the other
     # build-dominated catalog twins.
     "q_bucket_read_only",
+    # round-12: the recurring cost of BLOOM-pruned point lookups on
+    # an UNCLUSTERED high-cardinality key — the layout where interval
+    # stats elect everything and only the manifest bitmap tier can
+    # skip. q_versioned_bloom_lookup / q_versioned_nested /
+    # q_versioned_sql_dml are excluded like the other build-dominated
+    # catalog twins.
+    "q_bloom_lookup_only",
 ]
 
 
@@ -317,6 +324,42 @@ def _part_read_only(spark, sf_dir):
 
 
 _BUCKET_CACHE: dict = {}
+_BLOOM_CACHE: dict = {}
+
+
+def _bloom_lookup_only(spark, sf_dir):
+    """Bench-only: the BLOOM-pruned point lookup path alone. The
+    orders table is written once per sf_dir in a RANDOM layout (every
+    file's interval spans the key domain — the worst case for
+    interval skipping) and bloom-indexed on o_orderkey; timed passes
+    measure the recurring lookup cost — driver-side sha256 probes
+    over the per-file bitmap slots elect the containing file(s), then
+    the scan plus exact residual. Prices the high-cardinality
+    unclustered lookup against its clustered (q_part_read_only) and
+    bucketed (q_bucket_read_only) twins."""
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_read_where,
+        versioned_value_index,
+        versioned_write,
+    )
+    from skopje_spark.tables import load_table
+
+    if sf_dir not in _BLOOM_CACHE:
+        path = tempfile.mkdtemp(prefix="skopje_bench_bloom_")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        versioned_write(o.repartition(16), path)
+        versioned_value_index(
+            spark, path, [], bloom_cols=["o_orderkey"],
+            bloom_bits=1 << 20,
+        )
+        key = o.orderBy("o_orderkey").first()["o_orderkey"]
+        _BLOOM_CACHE[sf_dir] = (path, int(key))
+    path, key = _BLOOM_CACHE[sf_dir]
+    return versioned_read_where(spark, path, {"o_orderkey": key})
 
 
 def _bucket_read_only(spark, sf_dir):
@@ -357,6 +400,7 @@ def _bench_only():
     return {
         "q_sketch_quantile_ops": sketch_quantile_ops,
         "q_bucket_read_only": _bucket_read_only,
+        "q_bloom_lookup_only": _bloom_lookup_only,
         "q_pq_adc_query": _pq_adc_query,
         "q_bpe_encode_count": _bpe_encode_count,
         "q_join_size_est_only": _join_size_est_only,
