@@ -2498,27 +2498,44 @@ def _bloom_canon(value, tclass: str) -> str | None:
     return None
 
 
+def _bloom_bit_set(b64: str, p: int) -> bool:
+    """Probe ONE bit of a base64-encoded bitmap without decoding the
+    whole thing: bit p lives in byte p>>3, which lives in the 3-byte
+    group (p>>3)//3, encoded as 4 base64 chars — so a probe decodes 4
+    characters, not bits/8 bytes. A point lookup over an 800k-file
+    manifest pays O(files × k × 4 chars), not O(files × 16 KiB)."""
+    import base64
+
+    byte_i = p >> 3
+    grp = byte_i // 3
+    chunk = base64.b64decode(
+        b64[grp * 4:grp * 4 + 4] + "=" * (4 - len(b64[grp * 4:grp * 4 + 4]))
+    )
+    return bool(chunk[byte_i % 3] & (1 << (p & 7)))
+
+
 def _bloom_absent(slot: dict, bound_set) -> bool:
     """True when a file's (or segment's) bloom slot PROVES every value
     in ``bound_set`` absent: all k probe bits must be set for a value
     to be possibly present. Any cross-typed / geometry-broken probe
     returns False — conservative, the exact residual decides."""
-    import base64
-
     from skopje_spark.operators.bloom import bit_positions_py
 
     try:
-        bm = base64.b64decode(slot["b64"])
+        b64 = slot["b64"]
         bits, k, tclass = int(slot["bits"]), int(slot["k"]), slot["t"]
-    except (KeyError, TypeError, ValueError):
+    except (KeyError, TypeError):
         return False
     for v in bound_set:
         canon = _bloom_canon(v, tclass)
         if canon is None:
             return False  # cross-type probe proves nothing
         ps = bit_positions_py(canon, num_bits=bits, k=k)
-        if all(bm[p >> 3] & (1 << (p & 7)) for p in ps):
-            return False  # possibly present: cannot prove absence
+        try:
+            if all(_bloom_bit_set(b64, p) for p in ps):
+                return False  # possibly present: cannot prove absence
+        except (ValueError, IndexError, TypeError):
+            return False  # malformed slot: conservative
     return True
 
 
