@@ -23,6 +23,11 @@ a quoted path, or a name registered in the ``tables`` mapping;
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]``
 - ``UPDATE <path> SET c = <expr>[, …] [WHERE <pred>]``
 - ``DELETE FROM <path> [WHERE <pred>]``
+- ``INSERT INTO <path> VALUES (…), (…)`` /
+  ``INSERT INTO <path> SELECT …`` — the tail is compiled by Spark SQL
+  itself (any SELECT/WITH works), aligned to the table schema by name
+  when the names match, positionally when only the arity does, and
+  appended through the store's O(batch) blind-append commit.
 
 Alias references in conditions and SET expressions are rewritten to
 the native operators' evaluation domain (target columns bare, source
@@ -120,10 +125,71 @@ def versioned_sql(
         return _update(spark, stmt, tables, kwargs)
     if head == "DELETE":
         return _delete(spark, stmt, tables, kwargs)
+    if head == "INSERT":
+        return _insert(spark, stmt, tables, kwargs)
     raise ValueError(
-        f"versioned_sql supports MERGE INTO / UPDATE / DELETE FROM; "
-        f"got {stmt[:60]!r}"
+        f"versioned_sql supports MERGE INTO / UPDATE / DELETE FROM / "
+        f"INSERT INTO; got {stmt[:60]!r}"
     )
+
+
+def _insert(spark, stmt, tables, kwargs) -> int:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from skopje_spark.sinks.versioned import (
+        _MANIFEST_NAME,
+        latest_version,
+        versioned_append,
+    )
+
+    m = re.match(
+        rf"INSERT{_WS}INTO{_WS}(\S+){_WS}(.+)$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable INSERT: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    body = m.group(2).strip()
+    bh = body.split(None, 1)[0].upper()
+    if bh == "VALUES":
+        df = spark.sql(f"SELECT * FROM {body}")
+    elif bh in ("SELECT", "WITH") or body.startswith("("):
+        df = spark.sql(body)
+    else:
+        raise ValueError(
+            f"INSERT INTO supports VALUES (...) or SELECT ...; "
+            f"got {body[:60]!r}"
+        )
+    import json as _json
+    import os as _os
+
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(
+            f"INSERT INTO target {path} does not exist — create it "
+            "with versioned_write first"
+        )
+    with open(_os.path.join(path, f"v={committed}", _MANIFEST_NAME)) as f:
+        schema = StructType.fromJson(_json.load(f)["schema"])
+    want = [fld.name for fld in schema.fields]
+    if set(df.columns) == set(want):
+        aligned = df.select(
+            *[F.col(fld.name).cast(fld.dataType).alias(fld.name)
+              for fld in schema.fields]
+        )
+    elif len(df.columns) == len(want):
+        # positional: VALUES tuples carry synthesized column names
+        aligned = df.select(
+            *[F.col(df.columns[i]).cast(fld.dataType).alias(fld.name)
+              for i, fld in enumerate(schema.fields)]
+        )
+    else:
+        raise ValueError(
+            f"INSERT arity {len(df.columns)} does not match table "
+            f"schema {want}"
+        )
+    return versioned_append(spark, path, aligned, **kwargs)
 
 
 def _delete(spark, stmt, tables, kwargs) -> int:

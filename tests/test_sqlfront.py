@@ -104,7 +104,7 @@ def test_sql_front_end_refusals(spark, tmp_path):
     spark.createDataFrame([(1, 1.0, "a")], "k long, x double, v string") \
         .createOrReplaceTempView("sqlfront_ref")
     with pytest.raises(ValueError, match="supports MERGE INTO"):
-        versioned_sql(spark, f"INSERT INTO '{path}' VALUES (1)")
+        versioned_sql(spark, f"TRUNCATE TABLE '{path}'")
     with pytest.raises(ValueError, match="equality conjuncts"):
         versioned_sql(
             spark,
@@ -125,3 +125,39 @@ def test_sql_front_end_refusals(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="UPDATE SET targets"):
         versioned_sql(spark, f"UPDATE '{path}' SET nope = 1 WHERE k = 1")
+
+
+def test_sql_insert_values_and_select(spark, tmp_path):
+    """INSERT INTO completes the DML quartet: VALUES tuples align
+    positionally with casts, SELECT bodies align by name, arity
+    mismatches refuse, and the commit is the store's blind append
+    (zero rewrites)."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=10, files=1)
+    versioned_sql(
+        spark,
+        f"INSERT INTO '{path}' VALUES (100, 1.5, 'ins1'), (101, 2.5, 'ins2')",
+    )
+    v = latest_version(path)
+    assert snapshot_meta(path, "op", version=v) == "append"
+    got = {r["k"]: (r["x"], r["v"]) for r in versioned_read(spark, path).collect()}
+    assert got[100] == (1.5, "ins1") and got[101] == (2.5, "ins2")
+    assert len(got) == 12
+    # SELECT body, aligned by name
+    spark.createDataFrame(
+        [(200, 9.0, "sel")], "k long, x double, v string"
+    ).createOrReplaceTempView("sqlfront_ins")
+    versioned_sql(
+        spark,
+        f"INSERT INTO '{path}' SELECT v, k, x FROM sqlfront_ins".replace(
+            "v, k, x", "v, k, x"
+        ),
+    )
+    got2 = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got2[200] == "sel" and len(got2) == 13
+    with pytest.raises(ValueError, match="arity"):
+        versioned_sql(spark, f"INSERT INTO '{path}' VALUES (1, 2)")
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        versioned_sql(
+            spark, f"INSERT INTO '{tmp_path}/missing' VALUES (1, 1.0, 'a')"
+        )
