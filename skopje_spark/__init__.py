@@ -69,23 +69,29 @@ from skopje_spark.sinks.versioned import (
     apply_changelog_batch,
     maintenance_report,
     table_partitioning,
+    branch_path,
+    table_refs,
     versioned_append,
+    versioned_branch,
     change_feed_advance,
     change_feed_cursor,
     versioned_change_feed,
     versioned_compact,
     versioned_delete,
     versioned_drop_column,
+    versioned_drop_ref,
     versioned_history,
     versioned_partitions,
     versioned_merge,
     versioned_merge_concurrent,
+    versioned_publish,
     versioned_read,
     versioned_read_where,
     versioned_replace_where,
     versioned_replicate,
     versioned_restore,
     versioned_refold_refs,
+    versioned_tag,
     versioned_update,
     versioned_upsert,
     versioned_value_index,
@@ -152,22 +158,28 @@ __all__ = [
     "apply_changelog_batch",
     "maintenance_report",
     "table_partitioning",
+    "branch_path",
+    "table_refs",
     "versioned_append",
+    "versioned_branch",
     "change_feed_advance",
     "change_feed_cursor",
     "versioned_change_feed",
     "versioned_compact",
     "versioned_delete",
     "versioned_drop_column",
+    "versioned_drop_ref",
     "versioned_history",
     "versioned_partitions",
     "versioned_merge",
     "versioned_merge_concurrent",
+    "versioned_publish",
     "versioned_read",
     "versioned_read_where",
     "versioned_replace_where",
     "versioned_replicate",
     "versioned_restore",
+    "versioned_tag",
     "versioned_upsert",
     "versioned_widen_column",
     "versioned_write",

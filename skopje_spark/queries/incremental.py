@@ -3147,3 +3147,120 @@ def q_versioned_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"tgt": path},
     )
     return versioned_read(spark, path).orderBy("o_orderkey")
+
+
+@register(
+    "q_versioned_wap",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(o_orderkey % 10 AS INTEGER) AS bucket
+      FROM orders
+    ), post_state AS (
+      SELECT o_orderkey,
+             CASE WHEN bucket = 4 THEN -1.0 ELSE o_totalprice END AS p,
+             bucket
+      FROM base WHERE bucket <> 6
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, bucket
+      FROM base WHERE bucket = 2
+    ), raw_agg AS (
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS neg
+      FROM base GROUP BY bucket
+    ), post_agg AS (
+      SELECT bucket, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      FROM post_state GROUP BY bucket
+    )
+    SELECT 'post' AS src, bucket, n, key_sum, neg FROM post_agg
+    UNION ALL SELECT 'pre' AS src, bucket, n, key_sum, neg FROM raw_agg
+    UNION ALL SELECT 'tag' AS src, bucket, n, key_sum, neg FROM raw_agg
+    ORDER BY src, bucket
+    """,
+    tags=("versioned", "refs", "wap", "lakeops"),
+)
+def q_versioned_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through named refs (sinks/versioned.py refs
+    tier): TAG the ingested snapshot, fork a zero-copy BRANCH, stage a
+    DV-delete + a MERGE-style upsert (updates and inserts) on the
+    branch, then fast-forward PUBLISH main to the audited state. The
+    result aggregates three reads — the tag (must equal ingest), the
+    pre-publish main snapshot (proves branch writes never leaked), and
+    post-publish main (proves publish adopted exactly the staged
+    state) — and the oracle recomputes all three closed-form from raw
+    ``orders``. Hash equality therefore proves isolation AND the
+    atomic flip in one query.
+
+    Scale: the fork is a hard-linked shallow clone and the publish is
+    O(new files) link syscalls + one kilobyte CAS commit — staging and
+    shipping an audited 100 TB drop costs the audit queries, not a
+    rewrite. Tags pin training snapshots against vacuum for free."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_branch,
+        versioned_delete,
+        versioned_publish,
+        versioned_read,
+        versioned_tag,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_wap_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+    )
+    versioned_tag(path, "baseline")
+    bdir = versioned_branch(path, "audit")
+    # stage on the branch: a DV delete plus MERGE-style updates+inserts
+    versioned_delete(spark, bdir, "o_orderkey % 10 = 6")
+    staged = (
+        o.filter("o_orderkey % 10 = 4")
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .unionByName(
+            o.filter("o_orderkey % 10 = 2").withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    versioned_upsert(spark, bdir, staged, ["o_orderkey"])
+    pre = versioned_read(spark, path)  # pinned pre-publish file set
+    versioned_publish(path, "audit", drop=True)
+    post = versioned_read(spark, path)
+    tag = versioned_read(spark, path, ref="baseline")
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy(
+                (F.col("o_orderkey") % 10).cast("int").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(
+                    F.when(F.col("o_totalprice") < 0, 1).otherwise(0)
+                ).cast("long").alias("neg"),
+            )
+            .select(F.lit(label).alias("src"), "bucket", "n", "key_sum", "neg")
+        )
+
+    return (
+        agg(post, "post")
+        .unionByName(agg(pre, "pre"))
+        .unionByName(agg(tag, "tag"))
+        .orderBy("src", "bucket")
+    )

@@ -1469,7 +1469,7 @@ def _commit_manifest(
     # streaming-writer batch ledger
     for prop in ("constraints", "stream_ledger", "column_stats",
                  "partition_by", "retired_physicals", "partition_specs",
-                 "value_index"):
+                 "value_index", "refs"):
         if prop in meta:
             continue
         base = (
@@ -2928,10 +2928,12 @@ def version_as_of_timestamp(path: str, ts: float) -> int:
 
 def versioned_read(
     spark: SparkSession, path: str, *, version: int | None = None,
-    as_of_ts: float | None = None,
+    as_of_ts: float | None = None, ref: str | None = None,
 ) -> DataFrame:
-    """Scan one snapshot: the committed latest by default, or a pinned
-    ``version`` (time travel). Uncommitted / vacuumed versions raise.
+    """Scan one snapshot: the committed latest by default, a pinned
+    ``version`` (time travel), or a named ``ref`` — a tag serves its
+    pinned version, a branch serves the branch table's committed
+    latest. Uncommitted / vacuumed versions raise.
 
     The scan reads EXACTLY the files the pinned manifest lists, with
     the manifest's own schema — so each version serves its
@@ -2941,6 +2943,10 @@ def versioned_read(
     schema)."""
     from pyspark.sql.types import StructType
 
+    if ref is not None:
+        if version is not None or as_of_ts is not None:
+            raise ValueError("pass ref OR version/as_of_ts, not both")
+        path, version = _resolve_ref(path, ref)
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -5658,6 +5664,297 @@ def versioned_clone(
     )
 
 
+# ---------------------------------------------------------------------------
+# Named refs: tags and branches (Iceberg's ref model, re-expressed over
+# this store's linear version chain + shallow clones). A TAG is an
+# immutable name for a committed version, stored in the carried ``refs``
+# table property — creating one is a kilobyte metadata commit, and
+# :func:`vacuum` protects every tagged snapshot from retention. A BRANCH
+# is an independently writable fork: a zero-copy shallow clone under
+# ``<table>/_branches/<name>`` (hard-linked pool, own version chain)
+# whose base version is recorded in ``refs`` so that
+# :func:`versioned_publish` can later fast-forward main to the branch's
+# state — the write-audit-publish pattern (stage on the branch, audit
+# with any read/DQ query, publish as ONE metadata+links commit).
+# ---------------------------------------------------------------------------
+
+_REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _check_ref_name(name: str) -> None:
+    if not _REF_NAME.match(name) or ".." in name:
+        raise ValueError(
+            f"ref name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]* "
+            "(max 64 chars, no '..')"
+        )
+
+
+def table_refs(path: str, *, version: int | None = None) -> dict:
+    """The table's named refs as ``{name: {"type": "tag"|"branch",
+    ...}}`` — a carried table property, so it reflects the latest
+    commit (or a pinned ``version``)."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    raw = snapshot_meta(path, "refs", version=v)
+    return json.loads(raw) if raw else {}
+
+
+def branch_path(path: str, name: str) -> str:
+    """Filesystem location of branch ``name`` — itself a full
+    versioned table, usable with every read/write API."""
+    _check_ref_name(name)
+    return os.path.join(path, "_branches", name)
+
+
+def _resolve_ref(path: str, name: str) -> tuple[str, int]:
+    """Resolve a ref to ``(table_path, version)``: a tag pins a
+    version of the table itself; a branch resolves to the branch
+    table's committed latest."""
+    refs = table_refs(path)
+    entry = refs.get(name)
+    if entry is None:
+        raise KeyError(f"no ref named {name!r} at {path}")
+    if entry["type"] == "tag":
+        return path, int(entry["version"])
+    bdir = branch_path(path, name)
+    bv = latest_version(bdir)
+    if bv is None:
+        raise FileNotFoundError(
+            f"branch {name!r} at {path} has no committed version "
+            f"(missing {bdir})"
+        )
+    return bdir, bv
+
+
+def versioned_tag(
+    path: str, name: str, *,
+    version: int | None = None, as_of_ts: float | None = None,
+    replace: bool = False, lock_timeout_s: float = 600.0,
+) -> int:
+    """Name a committed snapshot (default: the latest). Metadata-only
+    — one kilobyte commit regardless of table size. Tagged versions
+    are exempt from :func:`vacuum` retention until the tag is dropped
+    (:func:`versioned_drop_ref`), so ``versioned_tag(p, "train-v3")``
+    is the durable way to pin "the corpus this model trained on".
+    ``replace=True`` retargets an existing tag; retargeting is refused
+    otherwise, and a branch name can never be retargeted as a tag."""
+    _check_ref_name(name)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ts, not both")
+        version = version_as_of_timestamp(path, as_of_ts)
+
+    def derive(committed: int, raw: dict):
+        v = committed if version is None else version
+        if v > committed or v < 0:
+            raise FileNotFoundError(
+                f"version {v} at {path} is not committed "
+                f"(latest committed: {committed})"
+            )
+        refs = table_refs(path, version=committed)
+        prior = refs.get(name)
+        if prior is not None and (prior["type"] != "tag" or not replace):
+            raise ValueError(
+                f"ref {name!r} already exists at {path} as a "
+                f"{prior['type']}; "
+                + ("drop the branch first"
+                   if prior["type"] == "branch"
+                   else "pass replace=True to retarget")
+            )
+        refs[name] = {
+            "type": "tag", "version": v, "created_ts": repr(time.time()),
+        }
+        return raw["schema"], {"op": "tag", "refs": json.dumps(refs)}
+
+    return _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
+
+
+def versioned_drop_ref(
+    path: str, name: str, *, lock_timeout_s: float = 600.0,
+) -> int:
+    """Remove a tag or branch. Dropping a tag releases its snapshot to
+    normal vacuum retention; dropping a branch also deletes the branch
+    table directory (its pool held hard links, so shared bytes survive
+    in main's pool — POSIX link counting, same contract as clone)."""
+    _check_ref_name(name)
+    dropped_type: list[str] = []
+
+    def derive(committed: int, raw: dict):
+        refs = table_refs(path, version=committed)
+        if name not in refs:
+            raise KeyError(f"no ref named {name!r} at {path}")
+        dropped_type.append(refs[name]["type"])
+        del refs[name]
+        return raw["schema"], {"op": "drop_ref", "refs": json.dumps(refs)}
+
+    n = _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
+    if dropped_type and dropped_type[-1] == "branch":
+        shutil.rmtree(branch_path(path, name), ignore_errors=True)
+    return n
+
+
+def versioned_branch(
+    path: str, name: str, *,
+    version: int | None = None, as_of_ts: float | None = None,
+    lock_timeout_s: float = 600.0,
+) -> str:
+    """Fork an independently writable branch from a committed snapshot
+    (default: the latest) and record it in the table's refs. The fork
+    is a zero-copy shallow clone (hard-linked pool — O(files) metadata
+    syscalls on a 100 TB table, zero row bytes moved) living under
+    ``<table>/_branches/<name>``; every versioned API works on the
+    returned path. Writes to the branch NEVER touch main; main commits
+    after the fork make the branch unpublishable (fast-forward only —
+    :func:`versioned_publish` refuses loudly). Returns the branch
+    path."""
+    _check_ref_name(name)
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ts, not both")
+        version = version_as_of_timestamp(path, as_of_ts)
+    base = committed if version is None else version
+    if base > committed:
+        raise FileNotFoundError(
+            f"version {base} at {path} is not committed "
+            f"(latest committed: {committed})"
+        )
+    if name in table_refs(path, version=committed):
+        raise ValueError(f"ref {name!r} already exists at {path}")
+    bdir = branch_path(path, name)
+    versioned_clone(
+        path, bdir, version=base,
+        meta={"op": "branch", "branch_of": path,
+              "branch_base_version": str(base)},
+        lock_timeout_s=lock_timeout_s,
+    )
+
+    def derive(cur: int, raw: dict):
+        refs = table_refs(path, version=cur)
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists at {path}")
+        # publishable base = the version THIS refs commit creates
+        # (cur+1 under the CAS) — main's state there is byte-identical
+        # to the forked snapshot, so a later publish that CASes on it
+        # is a true fast-forward. A branch forked from a HISTORICAL
+        # version records no base: publishing it would silently revert
+        # main's newer commits, so versioned_publish refuses it.
+        refs[name] = {
+            "type": "branch", "fork_version": base,
+            "base_version": (cur + 1) if base == cur else None,
+            "created_ts": repr(time.time()),
+        }
+        return raw["schema"], {"op": "branch", "refs": json.dumps(refs)}
+
+    try:
+        _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
+    except BaseException:
+        shutil.rmtree(bdir, ignore_errors=True)
+        raise
+    return bdir
+
+
+# branch table properties adopted by main on publish — the audited
+# state is the WHOLE branch table, schema evolution and layout included
+_PUBLISH_PROPS = (
+    "constraints", "partition_by", "partition_specs",
+    "retired_physicals", "column_stats", "value_index",
+)
+
+
+def versioned_publish(
+    path: str, name: str, *,
+    drop: bool = False, lock_timeout_s: float = 600.0,
+) -> int:
+    """FAST-FORWARD main to branch ``name``'s committed state — the
+    publish step of write-audit-publish. Every pool file the branch's
+    manifest references is hard-linked into main's pool (files main
+    already holds are skipped by name — pool names are uuid-unique and
+    immutable), then the branch's manifest commits onto main as one
+    guarded version: O(new files) metadata syscalls, zero row bytes
+    copied, and readers of main flip atomically from the pre-audit to
+    the post-audit state. The commit compare-and-swaps on the branch's
+    recorded base version, so if main advanced since the fork the
+    publish refuses with :class:`CommitConflict` (re-fork and replay —
+    Iceberg's fast-forward contract; nothing is ever merged silently).
+    The branch's table properties (constraints, partition layout +
+    spec history, rename ledger, stats, value-index config) transfer
+    with it. ``drop=True`` removes the branch after publishing;
+    otherwise its recorded base advances so it can keep staging."""
+    refs = table_refs(path)
+    entry = refs.get(name)
+    if entry is None:
+        raise KeyError(f"no ref named {name!r} at {path}")
+    if entry["type"] != "branch":
+        raise ValueError(f"ref {name!r} at {path} is a tag, not a branch")
+    if entry.get("base_version") is None:
+        raise ValueError(
+            f"branch {name!r} at {path} forked from historical version "
+            f"{entry.get('fork_version')} and is not publishable — "
+            "publishing it would revert main's newer commits; use "
+            "versioned_restore for that, or re-branch from the latest"
+        )
+    base = int(entry["base_version"])
+    committed = latest_version(path)
+    if committed != base:
+        raise CommitConflict(
+            f"publish of branch {name!r} at {path} is not a "
+            f"fast-forward: main is at version {committed}, the branch "
+            f"forked from {base} — re-branch from the current version "
+            "and replay the staged changes"
+        )
+    bdir = branch_path(path, name)
+    bv = latest_version(bdir)
+    if bv is None:
+        raise FileNotFoundError(
+            f"branch {name!r} at {path} has no committed version"
+        )
+    man = _read_manifest(bdir, bv)
+    for e in man["files"]:
+        for rel in [e["path"], *e.get("dv_files", [])]:
+            dst_f = os.path.join(path, rel)
+            if os.path.exists(dst_f):
+                continue  # shared since the fork, or linked by a retry
+            src_f = os.path.join(bdir, rel)
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            try:
+                os.link(src_f, dst_f)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"branch {name!r} references vacuumed file {rel}; "
+                    "the branch is unpublishable"
+                )
+            except OSError:
+                shutil.copy2(src_f, dst_f)
+    commit_meta: dict[str, str] = {
+        "op": "publish_branch", "branch": name,
+        "branch_version": str(bv),
+    }
+    for prop in _PUBLISH_PROPS:
+        pv = snapshot_meta(bdir, prop, version=bv)
+        if pv is not None:
+            commit_meta[prop] = pv
+    new_refs = dict(refs)
+    if drop:
+        del new_refs[name]
+    else:
+        new_refs[name] = {
+            **entry, "base_version": base + 1,
+            "published_ts": repr(time.time()),
+        }
+    commit_meta["refs"] = json.dumps(new_refs)
+    n = _commit_manifest(
+        path, man["schema"], man["files"], commit_meta,
+        base, lock_timeout_s,
+    )
+    if drop:
+        shutil.rmtree(bdir, ignore_errors=True)
+    return n
+
+
 def versioned_change_feed(
     spark: SparkSession,
     path: str,
@@ -6041,6 +6338,15 @@ def vacuum(
     all_vs = _versions(path)
     vs = [v for v in all_vs if committed is not None and v <= committed]
     keep_set = set(vs[-keep:]) | ({committed} if committed is not None else set())
+    # TAGGED snapshots are pinned outside the keep-window: a tag is a
+    # durable promise ("the corpus model X trained on") and vacuum
+    # honors it until versioned_drop_ref releases it. Branches need no
+    # slot here — they are independent tables whose pools hold their
+    # own hard links.
+    if committed is not None:
+        for r in table_refs(path, version=committed).values():
+            if r.get("type") == "tag":
+                keep_set.add(int(r["version"]))
     removed = []
     for v in vs:
         if v not in keep_set:

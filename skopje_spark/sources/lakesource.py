@@ -312,7 +312,20 @@ class VersionedTableReader(DataSourceReader):
             raise FileNotFoundError(
                 f"no committed version at {self.table}"
             )
-        if options.get("timestampasof") is not None:
+        if options.get("ref") is not None:
+            # named ref: tag → pinned version of this table, branch →
+            # the branch table's committed latest (same resolution as
+            # versioned_read(ref=...))
+            if (options.get("versionasof") is not None
+                    or options.get("timestampasof") is not None):
+                raise ValueError(
+                    "skopje_versioned: pass ref OR "
+                    "versionAsOf/timestampAsOf, not both"
+                )
+            from skopje_spark.sinks.versioned import _resolve_ref
+
+            self.table, v = _resolve_ref(self.table, options["ref"])
+        elif options.get("timestampasof") is not None:
             v = version_as_of_timestamp(
                 self.table, float(options["timestampasof"])
             )

@@ -1,0 +1,218 @@
+"""Unit tests: named refs — tags, branches, write-audit-publish
+(sinks/versioned.py refs tier). A tag is a metadata-only name for a
+committed version, exempt from vacuum retention; a branch is a
+zero-copy writable fork under _branches/<name> that versioned_publish
+fast-forwards back onto main as one guarded commit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from skopje_spark.sinks.versioned import (
+    CommitConflict,
+    branch_path,
+    latest_version,
+    table_refs,
+    vacuum,
+    versioned_branch,
+    versioned_delete,
+    versioned_drop_ref,
+    versioned_publish,
+    versioned_read,
+    versioned_tag,
+    versioned_upsert,
+    versioned_write,
+)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, ["k", "v"])
+
+
+def _state(spark, path, **kw):
+    return {(r["k"], r["v"]) for r in versioned_read(spark, path, **kw).collect()}
+
+
+# ---------------------------------------------------------------- tags
+
+def test_tag_pins_a_version_across_later_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    versioned_tag(path, "baseline")  # tags v0, commits v1 (metadata)
+    versioned_write(_kv(spark, [(1, "a2")]), path)  # v2
+    # the ref survives subsequent data commits (carried property)
+    refs = table_refs(path)
+    assert refs["baseline"] == {
+        "type": "tag", "version": 0,
+        "created_ts": refs["baseline"]["created_ts"],
+    }
+    assert _state(spark, path, ref="baseline") == {(1, "a"), (2, "b")}
+    assert _state(spark, path) == {(1, "a2")}
+
+
+def test_tag_explicit_version_replace_and_name_rules(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    versioned_write(_kv(spark, [(1, "b")]), path)
+    versioned_tag(path, "x", version=0)
+    with pytest.raises(ValueError, match="replace"):
+        versioned_tag(path, "x", version=1)
+    versioned_tag(path, "x", version=1, replace=True)
+    assert table_refs(path)["x"]["version"] == 1
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        versioned_tag(path, "future", version=99)
+    for bad in ("", "a/b", "..", "-lead", "a" * 65):
+        with pytest.raises(ValueError, match="ref name"):
+            versioned_tag(path, bad)
+    with pytest.raises(KeyError):
+        versioned_read(spark, path, ref="nosuch")
+    with pytest.raises(ValueError, match="not both"):
+        versioned_read(spark, path, ref="x", version=0)
+
+
+def test_vacuum_keeps_tagged_snapshots_until_drop(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    versioned_write(_kv(spark, [(1, "a")]), path)          # v0
+    versioned_tag(path, "keepme", version=0)               # v1
+    for i in range(4):                                     # v2..v5
+        versioned_write(_kv(spark, [(1, f"x{i}")]), path)
+    removed = vacuum(path, keep=1, min_file_age_s=0.0)
+    assert 0 not in removed
+    # the tagged snapshot still reads exactly as committed
+    assert _state(spark, path, ref="keepme") == {(1, "a")}
+    # dropping the tag releases it to the next vacuum
+    versioned_drop_ref(path, "keepme")
+    removed2 = vacuum(path, keep=1, min_file_age_s=0.0)
+    assert 0 in removed2
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, path, version=0)
+    with pytest.raises(KeyError):
+        versioned_drop_ref(path, "keepme")
+
+
+# ------------------------------------------------------------ branches
+
+def test_branch_isolates_writes_and_publish_fast_forwards(spark, tmp_path):
+    path = str(tmp_path / "b")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+    bdir = versioned_branch(path, "audit")
+    assert bdir == branch_path(path, "audit")
+    assert table_refs(path)["audit"]["type"] == "branch"
+    # stage on the branch: upsert + delete; main never moves
+    versioned_upsert(spark, bdir, _kv(spark, [(2, "B"), (4, "d")]), ["k"])
+    versioned_delete(spark, bdir, "k = 3")
+    assert _state(spark, path) == {(1, "a"), (2, "b"), (3, "c")}
+    # the branch reads through the ref too
+    assert _state(spark, path, ref="audit") == {(1, "a"), (2, "B"), (4, "d")}
+    # publish: main flips atomically to the audited state
+    main_v = latest_version(path)
+    n = versioned_publish(path, "audit")
+    assert n == main_v + 1
+    assert _state(spark, path) == {(1, "a"), (2, "B"), (4, "d")}
+    # pre-publish history is intact (WAP: readers never saw drafts)
+    assert _state(spark, path, version=main_v) == {(1, "a"), (2, "b"), (3, "c")}
+    # base advanced: the branch can keep staging and publish again
+    assert table_refs(path)["audit"]["base_version"] == n
+    versioned_upsert(spark, bdir, _kv(spark, [(5, "e")]), ["k"])
+    versioned_publish(path, "audit", drop=True)
+    assert _state(spark, path) == {(1, "a"), (2, "B"), (4, "d"), (5, "e")}
+    assert "audit" not in table_refs(path)
+    assert not os.path.isdir(bdir)
+
+
+def test_publish_refuses_when_main_advanced(spark, tmp_path):
+    path = str(tmp_path / "b2")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "wap")
+    versioned_upsert(spark, bdir, _kv(spark, [(2, "b")]), ["k"])
+    versioned_write(_kv(spark, [(1, "z")]), path)  # main moves on
+    with pytest.raises(CommitConflict, match="not a fast-forward"):
+        versioned_publish(path, "wap")
+    # main untouched by the refused publish
+    assert _state(spark, path) == {(1, "z")}
+    versioned_drop_ref(path, "wap")
+    assert not os.path.isdir(bdir)
+
+
+def test_branch_from_historical_version_is_not_publishable(spark, tmp_path):
+    path = str(tmp_path / "b2h")
+    versioned_write(_kv(spark, [(1, "a")]), path)  # v0
+    versioned_write(_kv(spark, [(1, "b")]), path)  # v1
+    bdir = versioned_branch(path, "old", version=0)
+    # the fork itself reads the historical state
+    assert _state(spark, bdir) == {(1, "a")}
+    with pytest.raises(ValueError, match="not publishable"):
+        versioned_publish(path, "old")
+    assert _state(spark, path) == {(1, "b")}
+
+
+def test_branch_survives_main_vacuum_and_vice_versa(spark, tmp_path):
+    path = str(tmp_path / "b3")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    bdir = versioned_branch(path, "fork")
+    for i in range(3):
+        versioned_write(_kv(spark, [(1, f"m{i}")]), path)
+    vacuum(path, keep=1, min_file_age_s=0.0)
+    # branch pool holds its own hard links: main's vacuum can't break it
+    assert _state(spark, bdir) == {(1, "a"), (2, "b")}
+    for i in range(3):
+        versioned_upsert(spark, bdir, _kv(spark, [(9, f"b{i}")]), ["k"])
+    vacuum(bdir, keep=1, min_file_age_s=0.0)
+    assert _state(spark, path) == {(1, "m2")}
+
+
+def test_branch_name_collisions_and_tag_branch_cross_rules(spark, tmp_path):
+    path = str(tmp_path / "b4")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    versioned_branch(path, "dev")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_branch(path, "dev")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_tag(path, "dev")
+    versioned_tag(path, "rel")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_branch(path, "rel")
+    with pytest.raises(ValueError, match="tag, not a branch"):
+        versioned_publish(path, "rel")
+
+
+def test_connector_reads_refs(spark, tmp_path):
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "b5")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    versioned_tag(path, "t0")
+    bdir = versioned_branch(path, "dev")
+    versioned_upsert(spark, bdir, _kv(spark, [(2, "B")]), ["k"])
+    versioned_write(_kv(spark, [(3, "c")]), path)
+
+    def rd(**opts):
+        r = spark.read.format("skopje_versioned").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return {(x["k"], x["v"]) for x in r.load().collect()}
+
+    assert rd(ref="t0") == {(1, "a"), (2, "b")}
+    assert rd(ref="dev") == {(1, "a"), (2, "B")}
+    assert rd() == {(3, "c")}
+    with pytest.raises(Exception, match="not both"):
+        rd(ref="t0", versionAsOf="0")
+
+
+def test_publish_carries_branch_schema_evolution(spark, tmp_path):
+    from skopje_spark.sinks.versioned import versioned_rename_column
+
+    path = str(tmp_path / "b6")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    bdir = versioned_branch(path, "schema")
+    versioned_rename_column(bdir, "v", "val")
+    versioned_upsert(spark, bdir, spark.createDataFrame(
+        [(3, "c")], ["k", "val"]), ["k"])
+    versioned_publish(path, "schema", drop=True)
+    got = {(r["k"], r["val"]) for r in versioned_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # rename ledger transferred: physical names stay stable on main
+    assert versioned_read(spark, path).columns == ["k", "val"]
