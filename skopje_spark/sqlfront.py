@@ -28,6 +28,16 @@ a quoted path, or a name registered in the ``tables`` mapping;
   itself (any SELECT/WITH works), aligned to the table schema by name
   when the names match, positionally when only the arity does, and
   appended through the store's O(batch) blind-append commit.
+- ``CREATE TABLE <path> [PARTITIONED BY (<term>[, …])] AS SELECT …``
+  — CTAS: the SELECT/WITH tail compiles through Spark SQL and commits
+  as version 0 (creation is refused on an existing table — no silent
+  replace); partition terms use the store's spec grammar verbatim
+  (``lang``, ``day=date(ts)``, ``bucket(16,k)``, ``truncate(4,s)``).
+- ``ALTER TABLE <path> CREATE [OR REPLACE] TAG <name>
+  [AS OF VERSION <n>]`` / ``ALTER TABLE <path> CREATE BRANCH <name>``
+  / ``ALTER TABLE <path> DROP TAG|BRANCH|REF <name>`` /
+  ``ALTER TABLE <path> PUBLISH BRANCH <name> [AND DROP]`` — the named
+  refs tier (tags, branches, write-audit-publish) as DDL text.
 
 Alias references in conditions and SET expressions are rewritten to
 the native operators' evaluation domain (target columns bare, source
@@ -127,9 +137,110 @@ def versioned_sql(
         return _delete(spark, stmt, tables, kwargs)
     if head == "INSERT":
         return _insert(spark, stmt, tables, kwargs)
+    if head == "CREATE":
+        return _ctas(spark, stmt, tables, kwargs)
+    if head == "ALTER":
+        return _alter_ref(stmt, tables, kwargs)
     raise ValueError(
         f"versioned_sql supports MERGE INTO / UPDATE / DELETE FROM / "
-        f"INSERT INTO; got {stmt[:60]!r}"
+        f"INSERT INTO / CREATE TABLE AS / ALTER TABLE refs; "
+        f"got {stmt[:60]!r}"
+    )
+
+
+def _ctas(spark, stmt, tables, kwargs) -> int:
+    from skopje_spark.sinks.versioned import latest_version, versioned_write
+
+    m = re.match(
+        rf"CREATE{_WS}TABLE{_WS}(\S+)"
+        rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}\((.+?)\))?"
+        rf"{_WS}AS{_WS}(.+)$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable CREATE TABLE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    spec = [t for t in _split_top_commas(m.group(2))] if m.group(2) else None
+    body = m.group(3).strip()
+    if body.split(None, 1)[0].upper() not in ("SELECT", "WITH"):
+        raise ValueError(
+            f"CREATE TABLE supports AS SELECT/WITH; got {body[:60]!r}"
+        )
+    if latest_version(path) is not None:
+        raise FileExistsError(
+            f"CREATE TABLE target {path} already holds a committed "
+            "table — CTAS creates, it never replaces"
+        )
+    return versioned_write(
+        spark.sql(body), path, partition_by=spec, **kwargs
+    )
+
+
+def _alter_ref(stmt, tables, kwargs) -> int:
+    from skopje_spark.sinks.versioned import (
+        versioned_branch,
+        versioned_drop_ref,
+        versioned_publish,
+        versioned_tag,
+    )
+
+    m = re.match(
+        rf"ALTER{_WS}TABLE{_WS}(\S+){_WS}(.+)$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable ALTER TABLE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    action = re.sub(r"\s+", " ", m.group(2).strip())
+
+    tm = re.match(
+        r"CREATE( OR REPLACE)? TAG (\S+)( AS OF VERSION (\d+))?$",
+        action, flags=re.IGNORECASE,
+    )
+    if tm:
+        v = int(tm.group(4)) if tm.group(4) else None
+        return versioned_tag(
+            path, tm.group(2), version=v,
+            replace=bool(tm.group(1)), **kwargs,
+        )
+    bm = re.match(
+        r"CREATE BRANCH (\S+)( AS OF VERSION (\d+))?$",
+        action, flags=re.IGNORECASE,
+    )
+    if bm:
+        v = int(bm.group(3)) if bm.group(3) else None
+        versioned_branch(path, bm.group(1), version=v, **kwargs)
+        from skopje_spark.sinks.versioned import latest_version
+
+        return latest_version(path)
+    dm = re.match(
+        r"DROP (TAG|BRANCH|REF) (\S+)$", action, flags=re.IGNORECASE
+    )
+    if dm:
+        kind, name = dm.group(1).upper(), dm.group(2)
+        if kind != "REF":
+            from skopje_spark.sinks.versioned import table_refs
+
+            actual = table_refs(path).get(name, {}).get("type")
+            if actual is not None and actual != kind.lower():
+                raise ValueError(
+                    f"DROP {kind} {name}: ref is a {actual}, not a "
+                    f"{kind.lower()} — say DROP {actual.upper()} "
+                    f"{name} (or DROP REF)"
+                )
+        return versioned_drop_ref(path, name, **kwargs)
+    pm = re.match(
+        r"PUBLISH BRANCH (\S+)( AND DROP)?$", action, flags=re.IGNORECASE
+    )
+    if pm:
+        return versioned_publish(
+            path, pm.group(1), drop=bool(pm.group(2)), **kwargs
+        )
+    raise ValueError(
+        f"unsupported ALTER TABLE action: {action[:60]!r} — supported: "
+        "CREATE [OR REPLACE] TAG n [AS OF VERSION v], CREATE BRANCH n "
+        "[AS OF VERSION v], DROP TAG|BRANCH|REF n, "
+        "PUBLISH BRANCH n [AND DROP]"
     )
 
 

@@ -161,3 +161,71 @@ def test_sql_insert_values_and_select(spark, tmp_path):
         versioned_sql(
             spark, f"INSERT INTO '{tmp_path}/missing' VALUES (1, 1.0, 'a')"
         )
+
+
+# ------------------------------------------------------- CTAS + ref DDL
+
+def test_ctas_creates_partitioned_table(spark, tmp_path):
+    from skopje_spark.sinks.versioned import (
+        table_partitioning,
+        versioned_read,
+    )
+
+    path = str(tmp_path / "ctas")
+    spark.createDataFrame(
+        [(1, "de", "x"), (2, "en", "y"), (3, "de", "z")],
+        ["k", "lang", "body"],
+    ).createOrReplaceTempView("ctas_src")
+    v = versioned_sql(
+        spark,
+        f"CREATE TABLE '{path}' PARTITIONED BY (lang) AS "
+        "SELECT * FROM ctas_src",
+    )
+    assert v == 0
+    assert table_partitioning(path) == ["lang"]
+    got = {(r["k"], r["lang"]) for r in versioned_read(spark, path).collect()}
+    assert got == {(1, "de"), (2, "en"), (3, "de")}
+    # CTAS never replaces
+    with pytest.raises(FileExistsError, match="never replaces"):
+        versioned_sql(
+            spark, f"CREATE TABLE '{path}' AS SELECT * FROM ctas_src"
+        )
+    with pytest.raises(ValueError, match="AS SELECT"):
+        versioned_sql(
+            spark, f"CREATE TABLE '{tmp_path}/x' AS DELETE FROM y"
+        )
+
+
+def test_alter_table_ref_ddl_roundtrip(spark, tmp_path):
+    from skopje_spark.sinks.versioned import (
+        branch_path,
+        table_refs,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "refddl")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).createOrReplaceTempView(
+        "refddl_src"
+    )
+    versioned_sql(spark, f"CREATE TABLE '{path}' AS SELECT * FROM refddl_src")
+    versioned_sql(spark, f"ALTER TABLE '{path}' CREATE TAG rel AS OF VERSION 0")
+    versioned_sql(spark, f"ALTER TABLE '{path}' CREATE BRANCH dev")
+    refs = table_refs(path)
+    assert refs["rel"]["type"] == "tag" and refs["dev"]["type"] == "branch"
+    # stage through SQL against the branch path, then publish via DDL
+    versioned_sql(
+        spark,
+        f"INSERT INTO '{branch_path(path, 'dev')}' VALUES (3, 'c')",
+    )
+    versioned_sql(spark, f"ALTER TABLE '{path}' PUBLISH BRANCH dev AND DROP")
+    got = {(r["k"], r["v"]) for r in versioned_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert "dev" not in table_refs(path)
+    # kind-checked drops
+    with pytest.raises(ValueError, match="ref is a tag"):
+        versioned_sql(spark, f"ALTER TABLE '{path}' DROP BRANCH rel")
+    versioned_sql(spark, f"ALTER TABLE '{path}' DROP TAG rel")
+    assert table_refs(path) == {}
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        versioned_sql(spark, f"ALTER TABLE '{path}' FROBNICATE x")
