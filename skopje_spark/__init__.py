@@ -101,6 +101,7 @@ from skopje_spark.sinks.versioned import (
     versioned_stream_apply_changes,
     versioned_stream_materialized_view,
 )
+from skopje_spark.sources.lakesource import cluster_for_layout
 from skopje_spark.sqlfront import versioned_sql
 from skopje_spark.tables import load_table, register_views
 
@@ -159,6 +160,7 @@ __all__ = [
     "maintenance_report",
     "table_partitioning",
     "branch_path",
+    "cluster_for_layout",
     "table_refs",
     "versioned_append",
     "versioned_branch",

@@ -557,6 +557,65 @@ class VersionedTableDataSource(DataSource):
         return VersionedStreamWriter(schema, dict(self.options))
 
 
+def cluster_for_layout(
+    df, spec_or_path, *, num_partitions: int | None = None,
+    sort: bool = True,
+):
+    """Pre-shuffle a DataFrame so a partitioned connector write emits
+    the MINIMAL file count — Iceberg's ``write.distribution-mode=hash``
+    as an explicit step (a Python DataSource cannot demand a
+    distribution from Spark, so the shuffle must happen before
+    ``df.write``). Rows are hash-repartitioned on the layout's derived
+    partition tuple — identity columns and hidden transforms
+    (``date()``/``month()``/``hour()``/``bucket(N)``/``truncate(W)``)
+    via the same driver-side expressions the native write path stages
+    with — so every tuple lands in exactly one task, and (with
+    ``sort=True``) tuples arrive contiguously, keeping the fanout
+    writer at ONE live ParquetWriter regardless of ``maxOpenWriters``:
+    one pool file per partition tuple, the floor.
+
+    ``spec_or_path``: a spec list (``["lang", "day=date(ts)"]``) or an
+    existing table path (its committed layout is read). Unpartitioned
+    specs return ``df`` unchanged. Skew note: one giant partition
+    tuple serializes into one task under hash distribution — exactly
+    Iceberg's tradeoff; leave the frame unclustered (fanout handles
+    any order) or split the hot tuple upstream when that bites."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.sinks.versioned import (
+        _hidden_expr,
+        _parse_partition_spec,
+        table_partitioning,
+    )
+
+    if isinstance(spec_or_path, str):
+        spec = table_partitioning(spec_or_path)
+    else:
+        spec = list(spec_or_path or [])
+    parsed = _parse_partition_spec(spec)
+    if not parsed:
+        return df
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    exprs = []
+    for target, source, transform in parsed:
+        if source not in dtypes:
+            raise KeyError(
+                f"partition source column {source!r} not in frame "
+                f"columns {sorted(df.columns)}"
+            )
+        if transform == "identity":
+            exprs.append(F.col(source))
+        else:
+            exprs.append(_hidden_expr(transform, F.col(source),
+                                      dtypes[source])[0])
+    out = (
+        df.repartition(num_partitions, *exprs)
+        if num_partitions
+        else df.repartition(*exprs)
+    )
+    return out.sortWithinPartitions(*exprs) if sort else out
+
+
 @dataclass
 class _PooledFile(WriterCommitMessage):
     # manifest entries staged by one task: one for an unpartitioned

@@ -737,3 +737,56 @@ def test_fanout_writer_caps_open_writers(spark, lake, monkeypatch):
     assert got.count() == 1000
     assert got.filter("k = 42").count() == 10
     assert len(_read_manifest(path, 0)["files"]) == len(msg.entries)
+
+
+def test_cluster_for_layout_hits_file_count_floor(spark, tmp_path):
+    """Hash-clustering on the derived partition tuple before a
+    connector write emits exactly one pool file per tuple (the floor),
+    where the same unclustered input under a small maxOpenWriters cap
+    fans out into strictly more files."""
+    from skopje_spark.sinks.versioned import _read_manifest, latest_version
+    from skopje_spark.sources.lakesource import cluster_for_layout
+
+    register_all(spark)
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 10 AS STRING) AS lang", "id * 2 AS v"
+    ).repartition(8)  # unclustered: every task sees every lang
+
+    def write_to(path, frame):
+        (
+            frame.write.format("skopje_versioned")
+            .option("path", path)
+            .option("partitionBy", "lang")
+            .option("maxOpenWriters", "2")
+            .mode("overwrite")
+            .save()
+        )
+        man = _read_manifest(path, latest_version(path))
+        return man["files"]
+
+    loose = write_to(str(tmp_path / "loose"), df)
+    tight = write_to(
+        str(tmp_path / "tight"), cluster_for_layout(df, ["lang"])
+    )
+    assert len(tight) == 10  # one file per lang — the floor
+    assert len(loose) > len(tight)
+    # identical one-value-per-file layout facts either way
+    assert {e["partition"]["lang"] for e in tight} == {
+        str(i) for i in range(10)
+    }
+    # hidden-transform spec path: bucket tuple derived driver-side
+    b = cluster_for_layout(df, ["b=bucket(4,k)"])
+    bp = str(tmp_path / "bucketed")
+    (
+        b.write.format("skopje_versioned")
+        .option("path", bp)
+        .option("partitionBy", "b=bucket(4,k)")
+        .option("maxOpenWriters", "2")
+        .mode("overwrite")
+        .save()
+    )
+    man = _read_manifest(bp, latest_version(bp))
+    assert len(man["files"]) == 4
+    # reading a table path resolves its committed layout
+    again = cluster_for_layout(df, bp)
+    assert again.rdd.getNumPartitions() >= 1
