@@ -5657,6 +5657,13 @@ def versioned_clone(
     src_retired = snapshot_meta(src_path, "retired_physicals", version=v)
     if src_retired is not None:
         commit_meta["retired_physicals"] = src_retired
+    # the value-index maintenance config is pure per-table policy
+    # (physical cols + geometry, no version references), and the cloned
+    # entries already carry their sets/blooms — transferring it keeps
+    # writes on the clone (branches especially) maintaining the index
+    src_vindex = snapshot_meta(src_path, "value_index", version=v)
+    if src_vindex is not None:
+        commit_meta["value_index"] = src_vindex
     commit_meta.update(meta or {})
     return _commit_manifest(
         dst_path, man["schema"], man["files"], commit_meta,

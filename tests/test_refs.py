@@ -216,3 +216,36 @@ def test_publish_carries_branch_schema_evolution(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
     # rename ledger transferred: physical names stay stable on main
     assert versioned_read(spark, path).columns == ["k", "val"]
+
+
+def test_branch_maintains_value_index_and_publish_carries_it(spark, tmp_path):
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        snapshot_meta,
+        versioned_append,
+        versioned_value_index,
+    )
+
+    path = str(tmp_path / "b7")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)
+    versioned_value_index(spark, path, ["v"])
+    bdir = versioned_branch(path, "idx")
+    # clone transferred the maintenance config
+    assert snapshot_meta(bdir, "value_index",
+                         version=latest_version(bdir)) is not None
+    versioned_append(spark, bdir, _kv(spark, [(3, "c")]))
+    man = _read_manifest(bdir, latest_version(bdir))
+    live = [e for e in man["files"] if e.get("rows")]
+    # every non-empty file (cloned AND branch-written) carries sets
+    assert len(live) >= 2
+    assert all(
+        (e.get("stats") or {}).get("v", {}).get("vals") for e in live
+    )
+    versioned_publish(path, "idx", drop=True)
+    man2 = _read_manifest(path, latest_version(path))
+    assert all(
+        (e.get("stats") or {}).get("v", {}).get("vals")
+        for e in man2["files"] if e.get("rows")
+    )
+    assert snapshot_meta(path, "value_index",
+                         version=latest_version(path)) is not None
