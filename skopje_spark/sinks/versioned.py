@@ -7094,6 +7094,29 @@ def maintenance_report(
             if partition_skew is not None and partition_skew > 10:
                 recs.append("repartition")  # re-spec or salt the hot key
 
+    # named refs: tags pin snapshots outside vacuum retention and
+    # branches hold whole hard-linked file sets — both are storage the
+    # operator chose to keep, surfaced so stale ones get dropped.
+    # Thresholds: a tag is "pinning" when it holds a version the
+    # keep-window would otherwise drop; a branch is "stale" when main
+    # advanced past its recorded base (unpublishable until re-forked).
+    refs = table_refs(path, version=committed)
+    n_tags = sum(1 for r in refs.values() if r.get("type") == "tag")
+    n_branches = len(refs) - n_tags
+    recent = set(range(max(0, committed - 1), committed + 1))
+    pinning = sorted(
+        name for name, r in refs.items()
+        if r.get("type") == "tag" and int(r["version"]) not in recent
+    )
+    stale_branches = sorted(
+        name for name, r in refs.items()
+        if r.get("type") == "branch"
+        and (r.get("base_version") is None
+             or int(r["base_version"]) != committed)
+    )
+    if stale_branches:
+        recs.append("drop_stale_branches")
+
     report = {
         "version": committed,
         "n_files": n_files,
@@ -7110,6 +7133,10 @@ def maintenance_report(
         "partition_by": spec or None,
         "n_partitions": n_partitions,
         "partition_skew": partition_skew,
+        "n_tags": n_tags,
+        "n_branches": n_branches,
+        "pinning_tags": pinning,
+        "stale_branches": stale_branches,
         "recommendations": sorted(set(recs)),
     }
     return report

@@ -249,3 +249,28 @@ def test_branch_maintains_value_index_and_publish_carries_it(spark, tmp_path):
     )
     assert snapshot_meta(path, "value_index",
                          version=latest_version(path)) is not None
+
+
+def test_maintenance_report_surfaces_refs(spark, tmp_path):
+    from skopje_spark.sinks.versioned import maintenance_report
+
+    path = str(tmp_path / "mr")
+    versioned_write(_kv(spark, [(1, "a")]), path)          # v0
+    versioned_tag(path, "pin0")                            # v1 (tags v0)
+    versioned_branch(path, "fresh")                        # v2
+    versioned_branch(path, "gone-stale")                   # v3
+    versioned_write(_kv(spark, [(1, "b")]), path)          # v4: mains on
+    rep = maintenance_report(path)
+    assert rep["n_tags"] == 1 and rep["n_branches"] == 2
+    # the tag holds v0, far outside the recent window → pinning
+    assert rep["pinning_tags"] == ["pin0"]
+    # both branches' bases predate the current committed version
+    assert rep["stale_branches"] == ["fresh", "gone-stale"]
+    assert "drop_stale_branches" in rep["recommendations"]
+    # a just-forked branch on a fresh table is NOT stale
+    p2 = str(tmp_path / "mr2")
+    versioned_write(_kv(spark, [(1, "a")]), p2)
+    versioned_branch(p2, "live")
+    rep2 = maintenance_report(p2)
+    assert rep2["stale_branches"] == [] and rep2["n_branches"] == 1
+    assert "drop_stale_branches" not in rep2["recommendations"]
