@@ -5832,6 +5832,13 @@ def versioned_branch(
     if name in table_refs(path, version=committed):
         raise ValueError(f"ref {name!r} already exists at {path}")
     bdir = branch_path(path, name)
+    # a branch directory with NO refs entry is crash residue: a
+    # drop/publish committed its refs removal but died before the
+    # rmtree. The refs property is the source of truth — clear the
+    # residue so the name is reusable (its pool held hard links; shared
+    # bytes live on in main's pool).
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir, ignore_errors=True)
     versioned_clone(
         path, bdir, version=base,
         meta={"op": "branch", "branch_of": path,

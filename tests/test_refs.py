@@ -274,3 +274,25 @@ def test_maintenance_report_surfaces_refs(spark, tmp_path):
     rep2 = maintenance_report(p2)
     assert rep2["stale_branches"] == [] and rep2["n_branches"] == 1
     assert "drop_stale_branches" not in rep2["recommendations"]
+
+
+def test_orphaned_branch_dir_is_cleared_on_recreate(spark, tmp_path):
+    """Crash residue: a drop/publish that committed its refs removal
+    but died before deleting the branch directory must not block
+    re-creating the branch — the refs property is the source of
+    truth."""
+    import shutil as _sh
+
+    path = str(tmp_path / "b8")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "dev")
+    # simulate the crash window: remove the refs entry the way
+    # drop_ref's commit does, but leave the directory behind
+    saved = str(tmp_path / "saved")
+    _sh.copytree(bdir, saved)
+    versioned_drop_ref(path, "dev")
+    _sh.copytree(saved, bdir)  # the orphan
+    assert "dev" not in table_refs(path) and os.path.isdir(bdir)
+    bdir2 = versioned_branch(path, "dev")  # must not raise
+    assert bdir2 == bdir
+    assert _state(spark, path, ref="dev") == {(1, "a")}
