@@ -296,3 +296,41 @@ def test_orphaned_branch_dir_is_cleared_on_recreate(spark, tmp_path):
     bdir2 = versioned_branch(path, "dev")  # must not raise
     assert bdir2 == bdir
     assert _state(spark, path, ref="dev") == {(1, "a")}
+
+
+def test_streaming_wap_stream_into_branch_then_publish(spark, tmp_path):
+    """Streaming write-audit-publish composes from existing parts: a
+    branch is a full table, so writeStream lands micro-batches on the
+    branch (exactly-once ledger and all) while main serves the last
+    published state; publish flips main atomically to the audited
+    stream output."""
+    import os as _os
+
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    path = str(tmp_path / "swap")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "ingest")
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"k": 2, "v": "b"}\n{"k": 3, "v": "c"}\n')
+    q = (
+        spark.readStream.schema("k long, v string").json(str(src))
+        .writeStream.format("skopje_versioned").option("path", bdir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # audit boundary: the stream landed on the branch only
+    assert _state(spark, path) == {(1, "a")}
+    assert _state(spark, bdir) == {(1, "a"), (2, "b"), (3, "c")}
+    versioned_publish(path, "ingest")
+    assert _state(spark, path) == {(1, "a"), (2, "b"), (3, "c")}
+    # the branch keeps its stream ledger for the next micro-batches
+    from skopje_spark.sinks.versioned import snapshot_meta
+
+    assert snapshot_meta(
+        bdir, "stream_ledger", version=latest_version(bdir)
+    ) is not None
+    assert _os.path.isdir(bdir)
