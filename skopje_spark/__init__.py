@@ -101,6 +101,13 @@ from skopje_spark.sinks.versioned import (
     versioned_stream_apply_changes,
     versioned_stream_materialized_view,
 )
+from skopje_spark.sinks.catalog import (
+    attach_catalog,
+    catalog_commit,
+    catalog_publish,
+    catalog_read,
+    catalog_tables,
+)
 from skopje_spark.sources.lakesource import cluster_for_layout
 from skopje_spark.sqlfront import versioned_sql
 from skopje_spark.tables import load_table, register_views
@@ -159,7 +166,12 @@ __all__ = [
     "apply_changelog_batch",
     "maintenance_report",
     "table_partitioning",
+    "attach_catalog",
     "branch_path",
+    "catalog_commit",
+    "catalog_publish",
+    "catalog_read",
+    "catalog_tables",
     "cluster_for_layout",
     "table_refs",
     "versioned_append",

@@ -3264,3 +3264,107 @@ def q_versioned_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(tag, "tag"))
         .orderBy("src", "bucket")
     )
+
+
+@register(
+    "q_catalog_snapshot",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey % 10 AS INTEGER) AS bucket FROM orders
+    ), cnt AS (
+      SELECT bucket, COUNT(*) AS n FROM base GROUP BY bucket
+    )
+    SELECT 0 AS cat_version, bucket,
+           CAST(n AS BIGINT) AS n_a, CAST(n AS BIGINT) AS n_b,
+           TRUE AS consistent
+    FROM cnt
+    UNION ALL
+    SELECT 1 AS cat_version, bucket,
+           CAST(CASE WHEN bucket = 6 THEN 0 ELSE n END AS BIGINT) AS n_a,
+           CAST(CASE WHEN bucket = 6 THEN 0 ELSE n END AS BIGINT) AS n_b,
+           TRUE AS consistent
+    FROM cnt
+    ORDER BY cat_version, bucket
+    """,
+    tags=("versioned", "catalog", "refs", "wap", "lakeops"),
+)
+def q_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table consistent snapshots (sinks/catalog.py — the Nessie
+    idea over per-table commits): a fact table and its derived rollup
+    are pinned by ONE catalog version; a coordinated change (delete
+    bucket 6 from the facts, zero its rollup row) stages on branches
+    of BOTH tables and flips through catalog_publish in one catalog
+    commit. The result recomputes fact-vs-rollup agreement at BOTH
+    catalog versions — hash equality against the closed-form oracle
+    proves a catalog reader can never observe the torn state (new
+    facts with the old rollup), while both pinned states time-travel.
+
+    Scale: catalog commits are kilobyte mappings and publishes are
+    per-table fast-forwards (hard links + CAS) — the multi-table flip
+    never touches table data."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.catalog import (
+        catalog_commit,
+        catalog_publish,
+        catalog_read,
+    )
+    from skopje_spark.sinks.versioned import (
+        versioned_branch,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    root = tempfile.mkdtemp(prefix="skopje_cat_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    a_path, b_path, cat = (
+        f"{root}/facts", f"{root}/rollup", f"{root}/catalog"
+    )
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 10).cast("int").alias("bucket"),
+        )
+    )
+    versioned_write(
+        facts.repartitionByRange(8, "o_orderkey"), a_path
+    )
+    rollup = facts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    versioned_write(rollup, b_path)
+    v0 = catalog_commit(
+        cat, {"facts": (a_path, None), "rollup": (b_path, None)}
+    )
+    # coordinated change staged on branches of BOTH tables
+    ab = versioned_branch(a_path, "wap")
+    bb = versioned_branch(b_path, "wap")
+    versioned_delete(spark, ab, "bucket = 6")
+    versioned_upsert(
+        spark, bb,
+        spark.createDataFrame([(6, 0)], "bucket int, n long"),
+        ["bucket"],
+    )
+    v1 = catalog_publish(cat, {"facts": "wap", "rollup": "wap"}, drop=True)
+
+    def check(cat_version: int) -> DataFrame:
+        a_cnt = (
+            catalog_read(spark, cat, "facts", version=cat_version)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_a"))
+        )
+        b = catalog_read(spark, cat, "rollup", version=cat_version)
+        return (
+            b.join(a_cnt, "bucket", "left")
+            .select(
+                F.lit(cat_version).alias("cat_version"),
+                "bucket",
+                F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+                F.col("n").cast("long").alias("n_b"),
+            )
+            .withColumn("consistent", F.col("n_a") == F.col("n_b"))
+        )
+
+    return check(v0).unionByName(check(v1)).orderBy("cat_version", "bucket")

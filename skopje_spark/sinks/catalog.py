@@ -1,0 +1,259 @@
+"""Multi-table consistent snapshots — a Nessie-style CATALOG tier over
+the versioned store.
+
+Per-table commits (sinks/versioned.py) make each table individually
+atomic, but a pipeline whose tables must agree — ``documents`` and the
+``embeddings`` derived from them, a fact table and its rollup — needs
+readers to flip between CONSISTENT table-version combinations, never a
+mix of old docs with new embeddings. This module provides that with the
+same three commit primitives the tables themselves use (Project
+Nessie's insight re-expressed over this store: atomicity lives at the
+catalog pointer; tables are just storage):
+
+- a catalog is a directory of versioned KILOBYTE mappings
+  ``{table name -> (path, pinned version)}``, committed with the same
+  staged-rename + pointer-swap (or conditional-put) protocol as table
+  manifests — O(1) regardless of how much data the tables hold;
+- :func:`catalog_read` / :func:`attach_catalog` serve every table AT
+  ITS PINNED VERSION from ONE catalog snapshot, so a reader can never
+  observe a torn multi-table state, no matter how many table commits
+  land mid-query;
+- :func:`catalog_publish` is the multi-table write-audit-publish: each
+  named branch fast-forwards its table (per-table WAP), then ONE
+  catalog commit re-pins every table — catalog readers see all the
+  published tables flip together or not at all. If a table publish
+  fails midway the catalog is untouched: direct-main readers of the
+  already-published tables see their new state (per-table commits are
+  real), but every catalog reader still gets the previous consistent
+  set — exactly the Nessie contract;
+- pinned versions are protected from each table's ``vacuum`` by a
+  per-catalog TAG (``catalog-<name>``, retargeted on every re-pin), so
+  "the versions the catalog serves" can never be retention-collected.
+
+Scale: catalog commits are kilobytes and never touch table data; reads
+add one JSON fetch. 100 TB tables cost the catalog nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from skopje_spark.sinks import versioned as V
+
+__all__ = [
+    "attach_catalog",
+    "catalog_commit",
+    "catalog_publish",
+    "catalog_read",
+    "catalog_tables",
+]
+
+_CAT_NAME = "CATALOG.json"
+
+
+def _cat_tag(cat_path: str) -> str:
+    base = os.path.basename(os.path.normpath(cat_path)) or "catalog"
+    return f"catalog-{base}"
+
+
+def catalog_tables(
+    cat_path: str, *, version: int | None = None
+) -> dict[str, dict]:
+    """The catalog's table mapping ``{name: {"path", "version"}}`` at
+    its committed latest (or a pinned catalog ``version``)."""
+    committed = V.latest_version(cat_path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed catalog at {cat_path}")
+    v = committed if version is None else version
+    if v > committed:
+        raise FileNotFoundError(
+            f"catalog version {v} at {cat_path} is not committed "
+            f"(latest committed: {committed})"
+        )
+    with open(os.path.join(cat_path, f"v={v}", _CAT_NAME)) as f:
+        return json.load(f)["tables"]
+
+
+def catalog_commit(
+    cat_path: str,
+    updates: dict,
+    *,
+    expected_version: int | None | object = V._UNGUARDED,
+    pin_tags: bool = True,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """Commit a new catalog snapshot. ``updates`` maps table names to:
+
+    - ``(path, version)`` — add a table, or move one to another path;
+    - ``version`` (int) — re-pin an existing table; ``None`` for the
+      table's current committed latest;
+    - the string ``"drop"`` — remove the table from the catalog.
+
+    Unmentioned tables carry forward verbatim, so a commit is always a
+    COMPLETE consistent mapping. Guarded mode (``expected_version``)
+    compare-and-swaps on the committed catalog version — the
+    concurrency contract is the table store's, at the catalog level.
+
+    ``pin_tags`` (default) retargets each pinned table's
+    ``catalog-<name>`` tag to the pinned version, exempting it from
+    that table's vacuum retention for as long as the catalog serves it
+    (re-pins release the old version). Pass False when the tables'
+    retention is managed elsewhere."""
+    committed = V.latest_version(cat_path)
+    current: dict[str, dict] = (
+        catalog_tables(cat_path) if committed is not None else {}
+    )
+    tables = dict(current)
+    for name, spec in updates.items():
+        if spec == "drop":
+            if name not in tables:
+                raise KeyError(f"catalog has no table {name!r}")
+            del tables[name]
+            continue
+        if isinstance(spec, tuple):
+            tpath, tv = spec
+        else:
+            if name not in tables:
+                raise KeyError(
+                    f"catalog has no table {name!r} — add it as "
+                    "(path, version)"
+                )
+            tpath, tv = tables[name]["path"], spec
+        tlatest = V.latest_version(tpath)
+        if tlatest is None:
+            raise FileNotFoundError(f"no committed version at {tpath}")
+        tv = tlatest if tv is None else int(tv)
+        if tv > tlatest:
+            raise FileNotFoundError(
+                f"version {tv} at {tpath} is not committed "
+                f"(latest committed: {tlatest})"
+            )
+        tables[name] = {"path": tpath, "version": tv}
+    if pin_tags:
+        tag = _cat_tag(cat_path)
+        for name, spec in tables.items():
+            if current.get(name) == spec:
+                continue  # unchanged pin keeps its tag
+            V.versioned_tag(
+                spec["path"], tag, version=spec["version"],
+                replace=True, lock_timeout_s=lock_timeout_s,
+            )
+    payload = json.dumps(
+        {"tables": tables, "commit_ts": repr(time.time())},
+        sort_keys=True,
+    )
+    os.makedirs(cat_path, exist_ok=True)
+    staged = os.path.join(cat_path, f".staged-{uuid.uuid4().hex}")
+    os.makedirs(staged)
+    with open(os.path.join(staged, _CAT_NAME), "w") as f:
+        f.write(payload)
+    try:
+        with V._commit_lock(cat_path, lock_timeout_s):
+            cur = V.latest_version(cat_path)
+            if (
+                expected_version is not V._UNGUARDED
+                and cur != expected_version
+            ):
+                raise V.CommitConflict(
+                    f"catalog at {cat_path} is at version {cur}, "
+                    f"writer expected {expected_version}"
+                )
+            for v in V._versions(cat_path):
+                if cur is None or v > cur:
+                    shutil.rmtree(os.path.join(cat_path, f"v={v}"))
+            V._gc_staged(cat_path, lock_timeout_s, keep=staged)
+            n = (cur + 1) if cur is not None else 0
+            os.replace(staged, os.path.join(cat_path, f"v={n}"))
+            V.POINTER_STORE.swap_pointer(cat_path, n)
+            return n
+    except V.CommitConflict:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+
+
+def catalog_read(
+    spark: SparkSession, cat_path: str, name: str, *,
+    version: int | None = None,
+) -> DataFrame:
+    """Read one catalog table AT THE VERSION the catalog snapshot pins
+    — time travel the whole multi-table state by pinning the catalog
+    ``version``."""
+    spec = catalog_tables(cat_path, version=version).get(name)
+    if spec is None:
+        raise KeyError(f"catalog at {cat_path} has no table {name!r}")
+    return V.versioned_read(
+        spark, spec["path"], version=spec["version"]
+    )
+
+
+def attach_catalog(
+    spark: SparkSession, cat_path: str, *,
+    version: int | None = None, prefix: str = "",
+) -> dict[str, int]:
+    """Register every catalog table as a temp view pinned to ONE
+    catalog snapshot's versions — SQL over a consistent multi-table
+    state. Returns ``{view name: pinned table version}``."""
+    out = {}
+    for name, spec in catalog_tables(cat_path, version=version).items():
+        df = V.versioned_read(spark, spec["path"], version=spec["version"])
+        df.createOrReplaceTempView(prefix + name)
+        out[prefix + name] = spec["version"]
+    return out
+
+
+def catalog_publish(
+    cat_path: str,
+    branches: dict[str, str],
+    *,
+    drop: bool = False,
+    pin_tags: bool = True,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """Multi-table write-audit-publish: fast-forward each table to its
+    named branch (``{table name: branch name}``), then re-pin them all
+    in ONE catalog commit. Catalog readers flip from the previous
+    consistent set to the new one atomically — never a mix.
+
+    Every branch's publishability is pre-checked so the common failure
+    (one branch went stale) aborts BEFORE any table moves. A failure
+    between the per-table publishes and the catalog commit leaves the
+    catalog serving the previous consistent set (direct-main readers of
+    already-published tables do see their new state — per-table commits
+    are real; re-run the publish after fixing the failure to finish the
+    flip). ``drop`` removes each branch after its publish."""
+    cat_v = V.latest_version(cat_path)
+    if cat_v is None:
+        raise FileNotFoundError(f"no committed catalog at {cat_path}")
+    tables = catalog_tables(cat_path, version=cat_v)
+    todo: list[tuple[str, str, str]] = []
+    for name, branch in branches.items():
+        spec = tables.get(name)
+        if spec is None:
+            raise KeyError(f"catalog at {cat_path} has no table {name!r}")
+        entry = V.table_refs(spec["path"]).get(branch)
+        if entry is None or entry.get("type") != "branch":
+            raise KeyError(
+                f"table {name!r} has no branch {branch!r} at "
+                f"{spec['path']}"
+            )
+        if entry.get("base_version") is None:
+            raise ValueError(
+                f"branch {branch!r} of table {name!r} forked from a "
+                "historical version and is not publishable"
+            )
+        todo.append((name, spec["path"], branch))
+    new_pins: dict = {}
+    for name, tpath, branch in todo:
+        new_pins[name] = V.versioned_publish(
+            tpath, branch, drop=drop, lock_timeout_s=lock_timeout_s,
+        )
+    return catalog_commit(
+        cat_path, new_pins, expected_version=cat_v,
+        pin_tags=pin_tags, lock_timeout_s=lock_timeout_s,
+    )

@@ -1,0 +1,146 @@
+"""Unit tests: the catalog tier (sinks/catalog.py) — multi-table
+consistent snapshots, vacuum-protecting pin tags, and atomic
+multi-table write-audit-publish over per-table branches."""
+
+from __future__ import annotations
+
+import pytest
+
+from skopje_spark.sinks.catalog import (
+    attach_catalog,
+    catalog_commit,
+    catalog_publish,
+    catalog_read,
+    catalog_tables,
+)
+from skopje_spark.sinks.versioned import (
+    CommitConflict,
+    table_refs,
+    vacuum,
+    versioned_branch,
+    versioned_publish,
+    versioned_tag,
+    versioned_upsert,
+    versioned_write,
+)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, ["k", "v"])
+
+
+def _vals(df):
+    return {(r["k"], r["v"]) for r in df.collect()}
+
+
+def test_catalog_pins_consistent_versions(spark, tmp_path):
+    a, b, cat = (str(tmp_path / x) for x in ("a", "b", "cat"))
+    versioned_write(_kv(spark, [(1, "a")]), a)
+    versioned_write(_kv(spark, [(1, "x")]), b)
+    v0 = catalog_commit(cat, {"ta": (a, None), "tb": (b, None)})
+    assert v0 == 0
+    # table mains move on; the catalog still serves the pinned pair
+    versioned_write(_kv(spark, [(1, "a2")]), a)
+    versioned_write(_kv(spark, [(1, "x2")]), b)
+    assert _vals(catalog_read(spark, cat, "ta")) == {(1, "a")}
+    assert _vals(catalog_read(spark, cat, "tb")) == {(1, "x")}
+    # re-pin to current latests in one commit; old catalog version
+    # still serves the OLD consistent pair (multi-table time travel)
+    v1 = catalog_commit(cat, {"ta": None, "tb": None})
+    assert _vals(catalog_read(spark, cat, "ta")) == {(1, "a2")}
+    assert _vals(catalog_read(spark, cat, "ta", version=v0)) == {(1, "a")}
+    assert _vals(catalog_read(spark, cat, "tb", version=v0)) == {(1, "x")}
+    views = attach_catalog(spark, cat, version=v1, prefix="c_")
+    assert set(views) == {"c_ta", "c_tb"}
+    assert _vals(spark.table("c_tb")) == {(1, "x2")}
+    # guarded commits CAS on the catalog version
+    with pytest.raises(CommitConflict, match="expected"):
+        catalog_commit(cat, {"ta": None}, expected_version=v0)
+    with pytest.raises(KeyError):
+        catalog_read(spark, cat, "nosuch")
+    # drop removes the table from the mapping
+    catalog_commit(cat, {"tb": "drop"})
+    assert set(catalog_tables(cat)) == {"ta"}
+
+
+def test_catalog_pin_tags_protect_from_vacuum(spark, tmp_path):
+    a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
+    versioned_write(_kv(spark, [(1, "a")]), a)            # v0
+    catalog_commit(cat, {"ta": (a, 0)})                   # tags v0
+    assert table_refs(a)["catalog-cat"]["version"] == 0
+    for i in range(4):
+        versioned_write(_kv(spark, [(1, f"m{i}")]), a)
+    removed = vacuum(a, keep=1, min_file_age_s=0.0)
+    assert 0 not in removed  # the catalog-pinned snapshot survives
+    assert _vals(catalog_read(spark, cat, "ta")) == {(1, "a")}
+    # re-pinning retargets the tag and releases the old version
+    catalog_commit(cat, {"ta": None})
+    assert table_refs(a)["catalog-cat"]["version"] > 0
+    assert 0 in vacuum(a, keep=1, min_file_age_s=0.0)
+
+
+def test_catalog_publish_flips_tables_together(spark, tmp_path):
+    docs, embs, cat = (str(tmp_path / x) for x in ("docs", "embs", "cat"))
+    versioned_write(_kv(spark, [(1, "d1"), (2, "d2")]), docs)
+    versioned_write(_kv(spark, [(1, "e1"), (2, "e2")]), embs)
+    v0 = catalog_commit(cat, {"docs": (docs, None), "embs": (embs, None)})
+    versioned_upsert(
+        spark, versioned_branch(docs, "wap"), _kv(spark, [(3, "d3")]), ["k"]
+    )
+    versioned_upsert(
+        spark, versioned_branch(embs, "wap"), _kv(spark, [(3, "e3")]), ["k"]
+    )
+    # before publish: catalog serves the old pair
+    assert _vals(catalog_read(spark, cat, "docs")) == {(1, "d1"), (2, "d2")}
+    v1 = catalog_publish(cat, {"docs": "wap", "embs": "wap"}, drop=True)
+    assert _vals(catalog_read(spark, cat, "docs")) == {
+        (1, "d1"), (2, "d2"), (3, "d3")
+    }
+    assert _vals(catalog_read(spark, cat, "embs")) == {
+        (1, "e1"), (2, "e2"), (3, "e3")
+    }
+    # the OLD catalog version still serves the old CONSISTENT pair
+    assert _vals(catalog_read(spark, cat, "docs", version=v0)) == {
+        (1, "d1"), (2, "d2")
+    }
+    assert _vals(catalog_read(spark, cat, "embs", version=v0)) == {
+        (1, "e1"), (2, "e2")
+    }
+    assert v1 == v0 + 1
+    assert "wap" not in table_refs(docs)
+
+
+def test_catalog_publish_prechecks_before_any_table_moves(spark, tmp_path):
+    a, b, cat = (str(tmp_path / x) for x in ("a", "b", "cat"))
+    versioned_write(_kv(spark, [(1, "a")]), a)
+    versioned_write(_kv(spark, [(1, "x")]), b)
+    catalog_commit(cat, {"ta": (a, None), "tb": (b, None)})
+    versioned_upsert(spark, versioned_branch(a, "ok"), _kv(spark, [(2, "n")]), ["k"])
+    versioned_branch(b, "stale")
+    versioned_write(_kv(spark, [(1, "x2")]), b)  # b's branch goes stale
+    va = {e["version"] for e in catalog_tables(cat).values()}
+    with pytest.raises(CommitConflict, match="not a fast-forward"):
+        catalog_publish(cat, {"ta": "ok", "tb": "stale"})
+    # precheck can't see staleness (base recorded, main moved) — but
+    # table a was published BEFORE b failed; the catalog pins are
+    # untouched either way: readers still get the old consistent set
+    assert {e["version"] for e in catalog_tables(cat).values()} == va
+    assert _vals(catalog_read(spark, cat, "ta")) == {(1, "a")}
+    with pytest.raises(KeyError, match="no branch"):
+        catalog_publish(cat, {"ta": "nosuch"})
+
+
+def test_publish_fast_forwards_over_ref_only_commits(spark, tmp_path):
+    path = str(tmp_path / "reffwd")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "wap")
+    versioned_upsert(spark, bdir, _kv(spark, [(2, "b")]), ["k"])
+    # ref-only commits on main (a release tag) must not block publish
+    versioned_tag(path, "rel-1")
+    versioned_tag(path, "rel-2", version=0)
+    versioned_publish(path, "wap", drop=True)
+    got = {(r["k"], r["v"]) for r in
+           __import__("skopje_spark").versioned_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # the tags survived the publish
+    assert {"rel-1", "rel-2"} <= set(table_refs(path))
