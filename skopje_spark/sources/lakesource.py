@@ -1397,6 +1397,7 @@ def attach_versioned(
     *,
     version: int | None = None,
     as_of_ts: float | None = None,
+    ref: str | None = None,
 ) -> None:
     """Register a versioned table under a SQL name so the whole
     ``spark.sql`` surface — joins, CTEs, window functions, the entire
@@ -1406,7 +1407,10 @@ def attach_versioned(
     reads through the connector (manifest-planned splits, pushFilters
     pruning, DV/rename/evolution handling), and pinning ``version``/
     ``as_of_ts`` attaches a time-traveled snapshot under its own
-    name — the SQL spelling of ``VERSION AS OF``.
+    name — the SQL spelling of ``VERSION AS OF`` — and ``ref``
+    attaches a named tag or branch (``attach_versioned(spark,
+    "docs_audit", path, ref="audit")`` — the SQL read surface of
+    write-audit-publish).
 
     The attachment captures the snapshot resolution at call time the
     way the connector does (latest when unpinned is re-resolved per
@@ -1419,4 +1423,6 @@ def attach_versioned(
         r = r.option("versionAsOf", str(version))
     if as_of_ts is not None:
         r = r.option("timestampAsOf", repr(float(as_of_ts)))
+    if ref is not None:
+        r = r.option("ref", ref)
     r.load().createOrReplaceTempView(name)

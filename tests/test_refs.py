@@ -334,3 +334,24 @@ def test_streaming_wap_stream_into_branch_then_publish(spark, tmp_path):
         bdir, "stream_ledger", version=latest_version(bdir)
     ) is not None
     assert _os.path.isdir(bdir)
+
+
+def test_attach_versioned_ref_views(spark, tmp_path):
+    from skopje_spark.sources.lakesource import attach_versioned
+
+    path = str(tmp_path / "b9")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    versioned_tag(path, "t0")
+    bdir = versioned_branch(path, "dev")
+    versioned_upsert(spark, bdir, _kv(spark, [(2, "b")]), ["k"])
+    versioned_write(_kv(spark, [(9, "z")]), path)
+    attach_versioned(spark, "refv_tag", path, ref="t0")
+    attach_versioned(spark, "refv_dev", path, ref="dev")
+    got = {
+        (r["k"], r["v"], r["src"])
+        for r in spark.sql(
+            "SELECT k, v, 'tag' AS src FROM refv_tag "
+            "UNION ALL SELECT k, v, 'dev' FROM refv_dev"
+        ).collect()
+    }
+    assert got == {(1, "a", "tag"), (1, "a", "dev"), (2, "b", "dev")}
