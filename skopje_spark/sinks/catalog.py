@@ -58,8 +58,17 @@ _CAT_NAME = "CATALOG.json"
 
 
 def _cat_tag(cat_path: str) -> str:
-    base = os.path.basename(os.path.normpath(cat_path)) or "catalog"
-    return f"catalog-{base}"
+    # the tag must identify THIS catalog: two catalogs that share a
+    # basename ("prod/catalog", "staging/catalog") pinning the same
+    # table would otherwise retarget each other's tag and silently
+    # un-protect the other's pinned version — so the name carries a
+    # digest of the catalog's absolute path
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(cat_path))
+    base = os.path.basename(ap) or "catalog"
+    digest = hashlib.sha1(ap.encode()).hexdigest()[:8]
+    return f"catalog-{base}-{digest}"
 
 
 def catalog_tables(

@@ -66,8 +66,11 @@ def test_catalog_pins_consistent_versions(spark, tmp_path):
 def test_catalog_pin_tags_protect_from_vacuum(spark, tmp_path):
     a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
     versioned_write(_kv(spark, [(1, "a")]), a)            # v0
+    from skopje_spark.sinks.catalog import _cat_tag
+
     catalog_commit(cat, {"ta": (a, 0)})                   # tags v0
-    assert table_refs(a)["catalog-cat"]["version"] == 0
+    tag = _cat_tag(cat)
+    assert table_refs(a)[tag]["version"] == 0
     for i in range(4):
         versioned_write(_kv(spark, [(1, f"m{i}")]), a)
     removed = vacuum(a, keep=1, min_file_age_s=0.0)
@@ -75,7 +78,7 @@ def test_catalog_pin_tags_protect_from_vacuum(spark, tmp_path):
     assert _vals(catalog_read(spark, cat, "ta")) == {(1, "a")}
     # re-pinning retargets the tag and releases the old version
     catalog_commit(cat, {"ta": None})
-    assert table_refs(a)["catalog-cat"]["version"] > 0
+    assert table_refs(a)[tag]["version"] > 0
     assert 0 in vacuum(a, keep=1, min_file_age_s=0.0)
 
 
@@ -144,3 +147,21 @@ def test_publish_fast_forwards_over_ref_only_commits(spark, tmp_path):
     assert got == {(1, "a"), (2, "b")}
     # the tags survived the publish
     assert {"rel-1", "rel-2"} <= set(table_refs(path))
+
+
+def test_two_catalogs_same_basename_pin_independently(spark, tmp_path):
+    """Two catalogs sharing a basename must not retarget each other's
+    pin tag on a shared table — each tag carries the catalog's path
+    digest."""
+    a = str(tmp_path / "a")
+    versioned_write(_kv(spark, [(1, "x")]), a)            # v0
+    c1 = str(tmp_path / "prod" / "catalog")
+    c2 = str(tmp_path / "staging" / "catalog")
+    catalog_commit(c1, {"ta": (a, 0)})
+    versioned_write(_kv(spark, [(1, "y")]), a)            # v1 (+tag = v2)
+    catalog_commit(c2, {"ta": (a, None)})
+    # both pins protected: vacuum keeps v0 AND the c2-pinned latest
+    removed = vacuum(a, keep=1, min_file_age_s=0.0)
+    assert 0 not in removed
+    assert _vals(catalog_read(spark, c1, "ta")) == {(1, "x")}
+    assert _vals(catalog_read(spark, c2, "ta")) == {(1, "y")}
