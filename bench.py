@@ -130,8 +130,11 @@ HEADLINE = [
     # an UNCLUSTERED high-cardinality key — the layout where interval
     # stats elect everything and only the manifest bitmap tier can
     # skip. q_versioned_bloom_lookup / q_versioned_nested /
-    # q_versioned_sql_dml are excluded like the other build-dominated
-    # catalog twins.
+    # q_versioned_sql_dml / q_versioned_wap / q_catalog_snapshot are
+    # excluded like the other build-dominated catalog twins (tag /
+    # branch / publish / catalog commits are kilobyte metadata ops;
+    # their recurring READ costs are already priced by the pruned-read
+    # entries above).
     "q_bloom_lookup_only",
 ]
 
