@@ -5913,15 +5913,17 @@ def versioned_publish(
         )
     base = int(entry["base_version"])
     committed = latest_version(path)
-    # REF-ONLY commits after the base (tagging a release, dropping a
-    # sibling branch) carry the file set and every non-ref property
-    # verbatim, so main's CONTENT still equals the branch's fork point
-    # — the fast-forward stays sound and the CAS simply moves up to
-    # the current version (the publish re-reads current refs anyway).
-    # Any other op means real divergence and refuses below.
+    # REF-ONLY commits after the base (tagging a release, creating or
+    # dropping a sibling branch) carry the file set and every non-ref
+    # property verbatim, so main's CONTENT still equals the branch's
+    # fork point — the fast-forward stays sound and the CAS simply
+    # moves up to the current version (the publish re-reads current
+    # refs anyway). Any other op means real divergence and refuses
+    # below.
     if committed is not None and committed > base:
         if all(
-            snapshot_meta(path, "op", version=v) in ("tag", "drop_ref")
+            snapshot_meta(path, "op", version=v)
+            in ("tag", "drop_ref", "branch")
             for v in range(base + 1, committed + 1)
         ):
             base = committed

@@ -165,3 +165,81 @@ def test_two_catalogs_same_basename_pin_independently(spark, tmp_path):
     assert 0 not in removed
     assert _vals(catalog_read(spark, c1, "ta")) == {(1, "x")}
     assert _vals(catalog_read(spark, c2, "ta")) == {(1, "y")}
+
+
+def test_racing_taggers_all_land(spark, tmp_path):
+    """Concurrent tag creations on one table are guarded metadata
+    commits: every racer's tag lands (CAS retry loop), none is lost to
+    a torn refs rewrite."""
+    import threading
+
+    path = str(tmp_path / "race")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    errs = []
+
+    def tagger(i):
+        try:
+            versioned_tag(path, f"tag-{i}", version=0)
+        except Exception as e:  # noqa: BLE001 — collected for assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=tagger, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert {f"tag-{i}" for i in range(6)} <= set(table_refs(path))
+
+
+def test_racing_publishes_exactly_one_wins(spark, tmp_path):
+    """Two branches publishing concurrently: the CAS lets exactly one
+    fast-forward; the loser gets a loud CommitConflict and main holds
+    the winner's state plus an intact refs map."""
+    import threading
+
+    path = str(tmp_path / "race2")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    b1 = versioned_branch(path, "w1")
+    versioned_upsert(spark, b1, _kv(spark, [(2, "b")]), ["k"])
+    b2 = versioned_branch(path, "w2")
+    versioned_upsert(spark, b2, _kv(spark, [(3, "c")]), ["k"])
+    results: dict[str, object] = {}
+
+    def pub(name):
+        try:
+            results[name] = versioned_publish(path, name)
+        except CommitConflict as e:
+            results[name] = e
+
+    ts = [threading.Thread(target=pub, args=(n,)) for n in ("w1", "w2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wins = [n for n, r in results.items() if isinstance(r, int)]
+    losses = [n for n, r in results.items() if isinstance(r, CommitConflict)]
+    assert len(wins) == 1 and len(losses) == 1
+    got = _vals(
+        __import__("skopje_spark").versioned_read(spark, path)
+    )
+    expected = {(1, "a"), (2, "b")} if wins == ["w1"] else {(1, "a"), (3, "c")}
+    assert got == expected
+    # both refs still present and well-formed; the loser can re-fork
+    assert {"w1", "w2"} <= set(table_refs(path))
+
+
+def test_sibling_branch_creation_does_not_block_publish(spark, tmp_path):
+    """Creating a second branch is a ref-only commit — it must not
+    make the first branch unpublishable (content never moved)."""
+    path = str(tmp_path / "sib")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    b1 = versioned_branch(path, "exp1")
+    versioned_branch(path, "exp2")  # sibling after exp1
+    versioned_upsert(spark, b1, _kv(spark, [(2, "b")]), ["k"])
+    versioned_publish(path, "exp1")  # must not raise
+    got = _vals(__import__("skopje_spark").versioned_read(spark, path))
+    assert got == {(1, "a"), (2, "b")}
+    # exp2's content DID diverge from main now — publish refuses
+    with pytest.raises(CommitConflict, match="not a fast-forward"):
+        versioned_publish(path, "exp2")
