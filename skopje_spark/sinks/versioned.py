@@ -6042,11 +6042,16 @@ def versioned_change_feed(
         if op in ("compact", "rename_column", "set_constraint",
                   "drop_constraint", "analyze", "drop_column",
                   "widen_column", "set_partition_spec", "value_index",
-                  "refold_refs"):
+                  "refold_refs", "tag", "drop_ref", "branch"):
             # physical motion or metadata-only property change: zero
             # logical row changes (rename serves each range in its
             # as-recorded schema — consumers spanning a rename map
-            # old names themselves, per versioned_rename_column)
+            # old names themselves, per versioned_rename_column).
+            # Ref-only commits (tag/drop_ref/branch) carry the file
+            # set verbatim — nothing to feed. publish_branch is NOT
+            # here: it really changes content, and with no recorded
+            # CDC sidecars it takes the keyed snapshot-diff fallback
+            # below (or raises loudly without keys).
             continue
         cdc_json = snapshot_meta(path, "cdc_files", version=v)
         if v == 0:

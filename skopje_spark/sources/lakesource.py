@@ -69,7 +69,7 @@ from pyspark.sql.types import StructType
 _ZERO_CHANGE_OPS = {"compact", "rename_column", "set_constraint",
                     "drop_constraint", "analyze", "drop_column",
                     "widen_column", "set_partition_spec", "value_index",
-                    "refold_refs"}
+                    "refold_refs", "tag", "drop_ref", "branch"}
 
 
 def _logical_schema(man: dict) -> StructType:

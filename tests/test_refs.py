@@ -355,3 +355,32 @@ def test_attach_versioned_ref_views(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, "a", "tag"), (1, "a", "dev"), (2, "b", "dev")}
+
+
+def test_change_feed_across_ref_and_publish_commits(spark, tmp_path):
+    """Ref-only commits (tag / branch creation / drop_ref) feed ZERO
+    rows — consumers cross them without keys and without a snapshot
+    diff. A publish_branch commit is real content change: with keys it
+    serves the exact staged diff via the snapshot-diff fallback;
+    without keys it raises loudly instead of feeding garbage."""
+    from skopje_spark.sinks.versioned import versioned_change_feed
+
+    path = str(tmp_path / "feed")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), path)   # v0
+    versioned_tag(path, "t0")                                 # v1
+    bdir = versioned_branch(path, "wap")                      # v2
+    versioned_upsert(spark, bdir, _kv(spark, [(3, "c")]), ["k"])
+    versioned_drop_ref(path, "t0")                            # v3
+    versioned_publish(path, "wap", drop=True)                 # v4
+    # ref-only range: zero rows, no keys needed
+    assert versioned_change_feed(
+        spark, path, from_version=1, to_version=3
+    ).count() == 0
+    # the publish version feeds the staged insert via keyed diff
+    rows = versioned_change_feed(
+        spark, path, from_version=4, keys=["k"]
+    ).collect()
+    assert {(r["k"], r["_change_type"]) for r in rows} == {(3, "insert")}
+    # and refuses keyless (no CDC sidecars were recorded)
+    with pytest.raises(ValueError, match="no recorded change feed"):
+        versioned_change_feed(spark, path, from_version=4)
