@@ -96,6 +96,7 @@ def catalog_commit(
     expected_version: int | None | object = V._UNGUARDED,
     pin_tags: bool = True,
     lock_timeout_s: float = 600.0,
+    max_retries: int = 8,
 ) -> int:
     """Commit a new catalog snapshot. ``updates`` maps table names to:
 
@@ -105,85 +106,133 @@ def catalog_commit(
     - the string ``"drop"`` — remove the table from the catalog.
 
     Unmentioned tables carry forward verbatim, so a commit is always a
-    COMPLETE consistent mapping. Guarded mode (``expected_version``)
-    compare-and-swaps on the committed catalog version — the
-    concurrency contract is the table store's, at the catalog level.
+    COMPLETE consistent mapping — and the carried mapping is
+    RE-DERIVED from the committed latest inside the CAS retry loop
+    (the table store's ``_metadata_commit`` discipline at catalog
+    level), so two concurrent commits touching different tables both
+    land with neither's re-pin lost. Guarded mode
+    (``expected_version``) turns a lost race into a loud
+    :class:`CommitConflict` instead of a retry.
 
     ``pin_tags`` (default) retargets each pinned table's
-    ``catalog-<name>`` tag to the pinned version, exempting it from
-    that table's vacuum retention for as long as the catalog serves it
-    (re-pins release the old version). Pass False when the tables'
-    retention is managed elsewhere."""
-    committed = V.latest_version(cat_path)
-    current: dict[str, dict] = (
-        catalog_tables(cat_path) if committed is not None else {}
-    )
-    tables = dict(current)
-    for name, spec in updates.items():
-        if spec == "drop":
-            if name not in tables:
-                raise KeyError(f"catalog has no table {name!r}")
-            del tables[name]
-            continue
-        if isinstance(spec, tuple):
-            tpath, tv = spec
-        else:
-            if name not in tables:
-                raise KeyError(
-                    f"catalog has no table {name!r} — add it as "
-                    "(path, version)"
-                )
-            tpath, tv = tables[name]["path"], spec
-        tlatest = V.latest_version(tpath)
-        if tlatest is None:
-            raise FileNotFoundError(f"no committed version at {tpath}")
-        tv = tlatest if tv is None else int(tv)
-        if tv > tlatest:
-            raise FileNotFoundError(
-                f"version {tv} at {tpath} is not committed "
-                f"(latest committed: {tlatest})"
+    ``catalog-…`` tag to the pinned version AFTER the catalog commit
+    lands — exempting it from that table's vacuum retention for as
+    long as the catalog serves it. Re-pins, drops, and moves release
+    the previously pinned version (old catalog versions' reads become
+    best-effort after that, exactly like any time travel under
+    vacuum). A crash between the commit and the tag pass leaves the
+    new pins served-but-unprotected until the next commit re-runs it;
+    the ordering is deliberate — the reverse (tagging first) would
+    un-protect the STILL-SERVED pins whenever the commit loses its
+    race."""
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        committed = V.latest_version(cat_path)
+        if (
+            expected_version is not V._UNGUARDED
+            and committed != expected_version
+        ):
+            raise V.CommitConflict(
+                f"catalog at {cat_path} is at version {committed}, "
+                f"writer expected {expected_version}"
             )
-        tables[name] = {"path": tpath, "version": tv}
-    if pin_tags:
-        tag = _cat_tag(cat_path)
-        for name, spec in tables.items():
-            if current.get(name) == spec:
-                continue  # unchanged pin keeps its tag
-            V.versioned_tag(
-                spec["path"], tag, version=spec["version"],
-                replace=True, lock_timeout_s=lock_timeout_s,
-            )
-    payload = json.dumps(
-        {"tables": tables, "commit_ts": repr(time.time())},
-        sort_keys=True,
-    )
-    os.makedirs(cat_path, exist_ok=True)
-    staged = os.path.join(cat_path, f".staged-{uuid.uuid4().hex}")
-    os.makedirs(staged)
-    with open(os.path.join(staged, _CAT_NAME), "w") as f:
-        f.write(payload)
-    try:
-        with V._commit_lock(cat_path, lock_timeout_s):
-            cur = V.latest_version(cat_path)
-            if (
-                expected_version is not V._UNGUARDED
-                and cur != expected_version
+        current: dict[str, dict] = (
+            catalog_tables(cat_path, version=committed)
+            if committed is not None
+            else {}
+        )
+        tables = dict(current)
+        for name, spec in updates.items():
+            if spec == "drop":
+                if name not in tables:
+                    raise KeyError(f"catalog has no table {name!r}")
+                del tables[name]
+                continue
+            if isinstance(spec, tuple):
+                tpath, tv = spec
+            else:
+                if name not in tables:
+                    raise KeyError(
+                        f"catalog has no table {name!r} — add it as "
+                        "(path, version)"
+                    )
+                tpath, tv = tables[name]["path"], spec
+            tlatest = V.latest_version(tpath)
+            if tlatest is None:
+                raise FileNotFoundError(f"no committed version at {tpath}")
+            tv = tlatest if tv is None else int(tv)
+            if tv > tlatest or not os.path.isdir(
+                os.path.join(tpath, f"v={tv}")
             ):
-                raise V.CommitConflict(
-                    f"catalog at {cat_path} is at version {cur}, "
-                    f"writer expected {expected_version}"
+                raise FileNotFoundError(
+                    f"version {tv} at {tpath} is not a readable "
+                    f"committed snapshot (latest committed: {tlatest}) "
+                    "— a catalog must pin servable versions"
                 )
-            for v in V._versions(cat_path):
-                if cur is None or v > cur:
-                    shutil.rmtree(os.path.join(cat_path, f"v={v}"))
-            V._gc_staged(cat_path, lock_timeout_s, keep=staged)
-            n = (cur + 1) if cur is not None else 0
-            os.replace(staged, os.path.join(cat_path, f"v={n}"))
-            V.POINTER_STORE.swap_pointer(cat_path, n)
-            return n
-    except V.CommitConflict:
-        shutil.rmtree(staged, ignore_errors=True)
-        raise
+            tables[name] = {"path": tpath, "version": tv}
+        # pin-tag work computed against the mapping actually replaced:
+        # retarget changed/new pins, release pins the new mapping no
+        # longer holds (dropped tables, moved paths)
+        retarget = [
+            spec for name, spec in tables.items()
+            if current.get(name) != spec
+        ]
+        released = [
+            spec for name, spec in current.items()
+            if name not in tables or tables[name]["path"] != spec["path"]
+        ]
+        payload = json.dumps(
+            {"tables": tables, "commit_ts": repr(time.time())},
+            sort_keys=True,
+        )
+        os.makedirs(cat_path, exist_ok=True)
+        staged = os.path.join(cat_path, f".staged-{uuid.uuid4().hex}")
+        os.makedirs(staged)
+        with open(os.path.join(staged, _CAT_NAME), "w") as f:
+            f.write(payload)
+        try:
+            with V._commit_lock(cat_path, lock_timeout_s):
+                cur = V.latest_version(cat_path)
+                if cur != committed:
+                    raise V.CommitConflict(
+                        f"catalog at {cat_path} moved to version "
+                        f"{cur} during commit (derived from "
+                        f"{committed})"
+                    )
+                for v in V._versions(cat_path):
+                    if cur is None or v > cur:
+                        shutil.rmtree(os.path.join(cat_path, f"v={v}"))
+                V._gc_staged(cat_path, lock_timeout_s, keep=staged)
+                n = (cur + 1) if cur is not None else 0
+                os.replace(staged, os.path.join(cat_path, f"v={n}"))
+                V.POINTER_STORE.swap_pointer(cat_path, n)
+        except V.CommitConflict as e:
+            shutil.rmtree(staged, ignore_errors=True)
+            if expected_version is not V._UNGUARDED:
+                raise
+            last = e
+            time.sleep(0.05 * (2**attempt))
+            continue
+        # committed: now (and only now) maintain the vacuum pins
+        if pin_tags:
+            tag = _cat_tag(cat_path)
+            for spec in retarget:
+                V.versioned_tag(
+                    spec["path"], tag, version=spec["version"],
+                    replace=True, lock_timeout_s=lock_timeout_s,
+                )
+            for spec in released:
+                try:
+                    V.versioned_drop_ref(
+                        spec["path"], tag, lock_timeout_s=lock_timeout_s
+                    )
+                except (KeyError, FileNotFoundError):
+                    pass  # never pinned, or the table itself is gone
+        return n
+    raise V.CommitConflict(
+        f"catalog commit at {cat_path} lost {max_retries + 1} races; "
+        f"last: {last}"
+    )
 
 
 def catalog_read(
@@ -229,13 +278,16 @@ def catalog_publish(
     in ONE catalog commit. Catalog readers flip from the previous
     consistent set to the new one atomically — never a mix.
 
-    Every branch's publishability is pre-checked so the common failure
-    (one branch went stale) aborts BEFORE any table moves. A failure
-    between the per-table publishes and the catalog commit leaves the
-    catalog serving the previous consistent set (direct-main readers of
-    already-published tables do see their new state — per-table commits
-    are real; re-run the publish after fixing the failure to finish the
-    flip). ``drop`` removes each branch after its publish."""
+    Every branch's publishability — existence, type, AND fast-forward
+    staleness (the same walk ``versioned_publish`` applies) — is
+    pre-checked so the common failure (one branch went stale) aborts
+    BEFORE any table moves. The precheck is advisory against races (a
+    table commit can still land between it and that table's publish);
+    a failure mid-way leaves the catalog serving the previous
+    consistent set (direct-main readers of already-published tables do
+    see their new state — per-table commits are real; re-run the
+    publish after fixing the failure to finish the flip). ``drop``
+    removes each branch after its publish."""
     cat_v = V.latest_version(cat_path)
     if cat_v is None:
         raise FileNotFoundError(f"no committed catalog at {cat_path}")
@@ -245,18 +297,26 @@ def catalog_publish(
         spec = tables.get(name)
         if spec is None:
             raise KeyError(f"catalog at {cat_path} has no table {name!r}")
-        entry = V.table_refs(spec["path"]).get(branch)
+        tpath = spec["path"]
+        entry = V.table_refs(tpath).get(branch)
         if entry is None or entry.get("type") != "branch":
             raise KeyError(
-                f"table {name!r} has no branch {branch!r} at "
-                f"{spec['path']}"
+                f"table {name!r} has no branch {branch!r} at {tpath}"
             )
         if entry.get("base_version") is None:
             raise ValueError(
                 f"branch {branch!r} of table {name!r} forked from a "
                 "historical version and is not publishable"
             )
-        todo.append((name, spec["path"], branch))
+        committed = V.latest_version(tpath)
+        if V._ff_base(tpath, entry, committed) != committed:
+            raise V.CommitConflict(
+                f"branch {branch!r} of table {name!r} is not a "
+                f"fast-forward (main at {committed}, branch base "
+                f"{entry['base_version']}) — aborting before any "
+                "table publishes; re-fork it and re-run"
+            )
+        todo.append((name, tpath, branch))
     new_pins: dict = {}
     for name, tpath, branch in todo:
         new_pins[name] = V.versioned_publish(

@@ -5568,6 +5568,7 @@ def versioned_clone(
     as_of_ts: float | None = None,
     meta: dict[str, str] | None = None,
     lock_timeout_s: float = 600.0,
+    expected_version: int | None | object = _UNGUARDED,
 ) -> int:
     """SHALLOW CLONE: publish a chosen snapshot of ``src_path`` as a
     brand-new independent table at ``dst_path`` WITHOUT copying data
@@ -5665,9 +5666,12 @@ def versioned_clone(
     if src_vindex is not None:
         commit_meta["value_index"] = src_vindex
     commit_meta.update(meta or {})
+    # pass expected_version=None to turn the pre-flight emptiness check
+    # into an atomic create (two racing cloners: one commits, the
+    # other gets a loud CommitConflict instead of stacking a v1)
     return _commit_manifest(
         dst_path, man["schema"], man["files"], commit_meta,
-        _UNGUARDED, lock_timeout_s,
+        expected_version, lock_timeout_s,
     )
 
 
@@ -5759,6 +5763,11 @@ def versioned_tag(
                 f"version {v} at {path} is not committed "
                 f"(latest committed: {committed})"
             )
+        if not os.path.isdir(os.path.join(path, f"v={v}")):
+            raise FileNotFoundError(
+                f"version {v} at {path} has been vacuumed — a tag "
+                "must pin a readable snapshot"
+            )
         refs = table_refs(path, version=committed)
         prior = refs.get(name)
         if prior is not None and (prior["type"] != "tag" or not replace):
@@ -5783,21 +5792,36 @@ def versioned_drop_ref(
     """Remove a tag or branch. Dropping a tag releases its snapshot to
     normal vacuum retention; dropping a branch also deletes the branch
     table directory (its pool held hard links, so shared bytes survive
-    in main's pool — POSIX link counting, same contract as clone)."""
+    in main's pool — POSIX link counting, same contract as clone).
+    The directory is TOMBSTONE-RENAMED before the refs commit and
+    deleted after, so a concurrent re-create of the same name — which
+    can only begin once the commit removes the refs entry — never has
+    its fresh clone deleted by this drop's cleanup."""
     _check_ref_name(name)
-    dropped_type: list[str] = []
+    is_branch = table_refs(path).get(name, {}).get("type") == "branch"
+    tomb = _retire_branch_dir(path, name) if is_branch else None
 
     def derive(committed: int, raw: dict):
         refs = table_refs(path, version=committed)
         if name not in refs:
             raise KeyError(f"no ref named {name!r} at {path}")
-        dropped_type.append(refs[name]["type"])
         del refs[name]
         return raw["schema"], {"op": "drop_ref", "refs": json.dumps(refs)}
 
-    n = _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
-    if dropped_type and dropped_type[-1] == "branch":
-        shutil.rmtree(branch_path(path, name), ignore_errors=True)
+    try:
+        n = _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
+    except KeyError:
+        # ref vanished under us (a racing drop won): our tombstoned
+        # dir — if any — is that drop's leftover; clear it
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
+        raise
+    except BaseException:
+        if tomb is not None:
+            os.replace(tomb, branch_path(path, name))
+        raise
+    if tomb is not None:
+        shutil.rmtree(tomb, ignore_errors=True)
     return n
 
 
@@ -5833,18 +5857,35 @@ def versioned_branch(
         raise ValueError(f"ref {name!r} already exists at {path}")
     bdir = branch_path(path, name)
     # a branch directory with NO refs entry is crash residue: a
-    # drop/publish committed its refs removal but died before the
-    # rmtree. The refs property is the source of truth — clear the
-    # residue so the name is reusable (its pool held hard links; shared
-    # bytes live on in main's pool).
+    # creator died between clone and refs commit (drops tombstone
+    # their dirs first, so committed drops never leave one). The refs
+    # property is the source of truth — clear the residue so the name
+    # is reusable (its pool held hard links; shared bytes live on in
+    # main's pool). Crashed drops' `.dropped-*` tombstones are swept
+    # here too.
     if os.path.isdir(bdir):
         shutil.rmtree(bdir, ignore_errors=True)
-    versioned_clone(
-        path, bdir, version=base,
-        meta={"op": "branch", "branch_of": path,
-              "branch_base_version": str(base)},
-        lock_timeout_s=lock_timeout_s,
-    )
+    broot = os.path.join(path, "_branches")
+    if os.path.isdir(broot):
+        for d in os.listdir(broot):
+            if d.startswith(".dropped-"):
+                shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
+    try:
+        versioned_clone(
+            path, bdir, version=base,
+            meta={"op": "branch", "branch_of": path,
+                  "branch_base_version": str(base)},
+            lock_timeout_s=lock_timeout_s,
+            # atomic create: a racing creator of the same name loses
+            # with a loud conflict instead of stacking a second commit
+            # on the winner's branch table
+            expected_version=None,
+        )
+    except CommitConflict:
+        raise ValueError(
+            f"ref {name!r} already exists at {path} (concurrent "
+            "branch creation)"
+        )
 
     def derive(cur: int, raw: dict):
         refs = table_refs(path, version=cur)
@@ -5878,6 +5919,47 @@ _PUBLISH_PROPS = (
     "retired_physicals", "column_stats", "value_index",
 )
 
+# commit ops that change ONLY the refs map: the file set and every
+# non-ref table property carry verbatim, so content-level reasoning
+# (fast-forward publishes, branch staleness) walks over them
+_REF_ONLY_OPS = ("tag", "drop_ref", "branch")
+
+
+def _ff_base(path: str, entry: dict, committed: int | None) -> int | None:
+    """The effective fast-forward base of a branch: its recorded base,
+    advanced over any purely ref-only commits (which leave content
+    byte-identical). None when the branch is not publishable — forked
+    historical, or main's content really diverged."""
+    if entry.get("base_version") is None:
+        return None
+    base = int(entry["base_version"])
+    if committed is None or base > committed:
+        return None
+    if base == committed:
+        return base
+    if all(
+        snapshot_meta(path, "op", version=v) in _REF_ONLY_OPS
+        for v in range(base + 1, committed + 1)
+    ):
+        return committed
+    return None
+
+
+def _retire_branch_dir(path: str, name: str) -> str | None:
+    """Atomically move a branch directory aside (tombstone rename) so
+    a concurrent re-create of the same name can never have its fresh
+    clone deleted by our later cleanup. Returns the tombstone path, or
+    None when the directory did not exist."""
+    bdir = branch_path(path, name)
+    tomb = os.path.join(
+        path, "_branches", f".dropped-{name}-{uuid.uuid4().hex}"
+    )
+    try:
+        os.replace(bdir, tomb)
+        return tomb
+    except FileNotFoundError:
+        return None
+
 
 def versioned_publish(
     path: str, name: str, *,
@@ -5898,7 +5980,12 @@ def versioned_publish(
     spec history, rename ledger, stats, value-index config) transfer
     with it. ``drop=True`` removes the branch after publishing;
     otherwise its recorded base advances so it can keep staging."""
-    refs = table_refs(path)
+    committed = latest_version(path)
+    # the refs map read at `committed` is EXACTLY the state the CAS
+    # below asserts is still current — a ref commit landing after this
+    # read bumps the version and fails the publish loudly, so the
+    # committed refs rewrite can never overwrite a concurrent tag
+    refs = table_refs(path, version=committed)
     entry = refs.get(name)
     if entry is None:
         raise KeyError(f"no ref named {name!r} at {path}")
@@ -5911,28 +5998,19 @@ def versioned_publish(
             "publishing it would revert main's newer commits; use "
             "versioned_restore for that, or re-branch from the latest"
         )
-    base = int(entry["base_version"])
-    committed = latest_version(path)
-    # REF-ONLY commits after the base (tagging a release, creating or
-    # dropping a sibling branch) carry the file set and every non-ref
-    # property verbatim, so main's CONTENT still equals the branch's
-    # fork point — the fast-forward stays sound and the CAS simply
-    # moves up to the current version (the publish re-reads current
-    # refs anyway). Any other op means real divergence and refuses
-    # below.
-    if committed is not None and committed > base:
-        if all(
-            snapshot_meta(path, "op", version=v)
-            in ("tag", "drop_ref", "branch")
-            for v in range(base + 1, committed + 1)
-        ):
-            base = committed
-    if committed != base:
+    # REF-ONLY commits after the recorded base (tagging a release,
+    # creating or dropping a sibling branch) carry the file set and
+    # every non-ref property verbatim, so main's CONTENT still equals
+    # the branch's fork point — the fast-forward stays sound and the
+    # CAS simply moves up to the current version. Any other op means
+    # real divergence and refuses here.
+    base = _ff_base(path, entry, committed)
+    if base is None or committed != base:
         raise CommitConflict(
             f"publish of branch {name!r} at {path} is not a "
             f"fast-forward: main is at version {committed}, the branch "
-            f"forked from {base} — re-branch from the current version "
-            "and replay the staged changes"
+            f"forked from {entry['base_version']} — re-branch from the "
+            "current version and replay the staged changes"
         )
     bdir = branch_path(path, name)
     bv = latest_version(bdir)
@@ -5974,12 +6052,22 @@ def versioned_publish(
             "published_ts": repr(time.time()),
         }
     commit_meta["refs"] = json.dumps(new_refs)
-    n = _commit_manifest(
-        path, man["schema"], man["files"], commit_meta,
-        base, lock_timeout_s,
-    )
-    if drop:
-        shutil.rmtree(bdir, ignore_errors=True)
+    # dropping: tombstone-rename the branch dir BEFORE the commit so a
+    # re-creator of the same name (who can only start after our commit
+    # removes the refs entry) never has its fresh clone deleted by our
+    # cleanup; a refused commit renames it back untouched
+    tomb = _retire_branch_dir(path, name) if drop else None
+    try:
+        n = _commit_manifest(
+            path, man["schema"], man["files"], commit_meta,
+            base, lock_timeout_s,
+        )
+    except BaseException:
+        if tomb is not None:
+            os.replace(tomb, bdir)
+        raise
+    if tomb is not None:
+        shutil.rmtree(tomb, ignore_errors=True)
     return n
 
 
@@ -7124,8 +7212,11 @@ def maintenance_report(
     # branches hold whole hard-linked file sets — both are storage the
     # operator chose to keep, surfaced so stale ones get dropped.
     # Thresholds: a tag is "pinning" when it holds a version the
-    # keep-window would otherwise drop; a branch is "stale" when main
-    # advanced past its recorded base (unpublishable until re-forked).
+    # keep-window would otherwise drop; a branch is "stale" when it is
+    # genuinely unpublishable — main's CONTENT moved past its fork
+    # (the same fast-forward-over-ref-only-commits walk
+    # versioned_publish applies, so a branch a sibling fork or release
+    # tag hopped over is NOT flagged).
     refs = table_refs(path, version=committed)
     n_tags = sum(1 for r in refs.values() if r.get("type") == "tag")
     n_branches = len(refs) - n_tags
@@ -7137,8 +7228,7 @@ def maintenance_report(
     stale_branches = sorted(
         name for name, r in refs.items()
         if r.get("type") == "branch"
-        and (r.get("base_version") is None
-             or int(r["base_version"]) != committed)
+        and _ff_base(path, r, committed) is None
     )
     if stale_branches:
         recs.append("drop_stale_branches")

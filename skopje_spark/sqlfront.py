@@ -171,9 +171,22 @@ def _ctas(spark, stmt, tables, kwargs) -> int:
             f"CREATE TABLE target {path} already holds a committed "
             "table — CTAS creates, it never replaces"
         )
-    return versioned_write(
-        spark.sql(body), path, partition_by=spec, **kwargs
-    )
+    # expected_version=None makes creation ATOMIC: two racing CTAS
+    # both pass the friendly pre-check above, but only one commit
+    # lands — the loser gets a loud CommitConflict, never a silent
+    # replace (the pre-check alone would let the second stack a v1)
+    from skopje_spark.sinks.versioned import CommitConflict
+
+    try:
+        return versioned_write(
+            spark.sql(body), path, partition_by=spec,
+            expected_version=None, **kwargs,
+        )
+    except CommitConflict:
+        raise FileExistsError(
+            f"CREATE TABLE target {path} was created concurrently — "
+            "CTAS creates, it never replaces"
+        )
 
 
 def _alter_ref(stmt, tables, kwargs) -> int:

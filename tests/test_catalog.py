@@ -122,13 +122,19 @@ def test_catalog_publish_prechecks_before_any_table_moves(spark, tmp_path):
     versioned_branch(b, "stale")
     versioned_write(_kv(spark, [(1, "x2")]), b)  # b's branch goes stale
     va = {e["version"] for e in catalog_tables(cat).values()}
-    with pytest.raises(CommitConflict, match="not a fast-forward"):
+    with pytest.raises(CommitConflict, match="aborting before any"):
         catalog_publish(cat, {"ta": "ok", "tb": "stale"})
-    # precheck can't see staleness (base recorded, main moved) — but
-    # table a was published BEFORE b failed; the catalog pins are
-    # untouched either way: readers still get the old consistent set
+    # the staleness precheck fired BEFORE any table moved: a's main is
+    # untouched (its publishable branch was NOT consumed), and the
+    # catalog pins still serve the old consistent set
+    from skopje_spark.sinks.versioned import versioned_read
+
+    assert _vals(versioned_read(spark, a)) == {(1, "a")}
     assert {e["version"] for e in catalog_tables(cat).values()} == va
     assert _vals(catalog_read(spark, cat, "ta")) == {(1, "a")}
+    # the untouched branch publishes fine on its own afterwards
+    versioned_publish(a, "ok")
+    assert _vals(versioned_read(spark, a)) == {(1, "a"), (2, "n")}
     with pytest.raises(KeyError, match="no branch"):
         catalog_publish(cat, {"ta": "nosuch"})
 
@@ -243,3 +249,82 @@ def test_sibling_branch_creation_does_not_block_publish(spark, tmp_path):
     # exp2's content DID diverge from main now — publish refuses
     with pytest.raises(CommitConflict, match="not a fast-forward"):
         versioned_publish(path, "exp2")
+
+
+def test_catalog_drop_releases_pin_tag(spark, tmp_path):
+    """Dropping (or moving) a table out of the catalog must release
+    its vacuum pin — otherwise the pinned snapshot leaks forever."""
+    from skopje_spark.sinks.catalog import _cat_tag
+
+    a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
+    versioned_write(_kv(spark, [(1, "x")]), a)
+    catalog_commit(cat, {"ta": (a, 0)})
+    assert _cat_tag(cat) in table_refs(a)
+    catalog_commit(cat, {"ta": "drop"})
+    assert _cat_tag(cat) not in table_refs(a)
+    # the formerly pinned snapshot is back under normal retention
+    for i in range(3):
+        versioned_write(_kv(spark, [(1, f"m{i}")]), a)
+    assert 0 in vacuum(a, keep=1, min_file_age_s=0.0)
+
+
+def test_failed_guarded_catalog_commit_leaves_pins_untouched(spark, tmp_path):
+    """Pin tags move only AFTER the catalog CAS lands: a refused
+    guarded commit must not retarget the tag away from the version the
+    catalog still serves."""
+    from skopje_spark.sinks.catalog import _cat_tag
+
+    a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
+    versioned_write(_kv(spark, [(1, "x")]), a)            # v0
+    v0 = catalog_commit(cat, {"ta": (a, 0)})
+    versioned_write(_kv(spark, [(1, "y")]), a)
+    with pytest.raises(CommitConflict):
+        catalog_commit(cat, {"ta": None}, expected_version=v0 + 7)
+    # the served pin is still protected
+    assert table_refs(a)[_cat_tag(cat)]["version"] == 0
+    for i in range(3):
+        versioned_write(_kv(spark, [(1, f"m{i}")]), a)
+    assert 0 not in vacuum(a, keep=1, min_file_age_s=0.0)
+    assert _vals(catalog_read(spark, cat, "ta")) == {(1, "x")}
+
+
+def test_concurrent_unguarded_catalog_commits_lose_nothing(spark, tmp_path):
+    """Unguarded catalog commits re-derive the carried mapping inside
+    the CAS retry loop, so concurrent commits touching different
+    tables both land."""
+    import threading
+
+    a, b, cat = (str(tmp_path / x) for x in ("a", "b", "cat"))
+    versioned_write(_kv(spark, [(1, "a")]), a)
+    versioned_write(_kv(spark, [(1, "x")]), b)
+    catalog_commit(cat, {"ta": (a, 0), "tb": (b, 0)})
+    versioned_write(_kv(spark, [(1, "a2")]), a)   # ta -> v1 available
+    versioned_write(_kv(spark, [(1, "x2")]), b)   # tb -> v1 available
+    errs = []
+
+    def repin(name):
+        try:
+            catalog_commit(cat, {name: 1})
+        except Exception as e:  # noqa: BLE001 — collected for assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=repin, args=(n,)) for n in ("ta", "tb")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    pins = {n: s["version"] for n, s in catalog_tables(cat).items()}
+    assert pins == {"ta": 1, "tb": 1}  # neither re-pin was lost
+
+
+def test_tag_and_catalog_refuse_vacuumed_versions(spark, tmp_path):
+    a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
+    versioned_write(_kv(spark, [(1, "x")]), a)            # v0
+    for i in range(3):
+        versioned_write(_kv(spark, [(1, f"m{i}")]), a)
+    vacuum(a, keep=1, min_file_age_s=0.0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        versioned_tag(a, "dead", version=0)
+    with pytest.raises(FileNotFoundError, match="servable"):
+        catalog_commit(cat, {"ta": (a, 0)})
