@@ -35,6 +35,18 @@ put; a raced commit fails loudly, never last-write-wins) and
 resolution probes object existence from a verified hint, trusting no
 listing. The full protocol suite runs green on both, so everything
 above the store is backend-agnostic by test, not just by design.
+
+Governance tier (round 12): NAMED REFS — :func:`versioned_tag`
+(metadata-only snapshot names, vacuum-exempt until dropped),
+:func:`versioned_branch` (zero-copy hard-linked writable forks under
+``_branches/<name>``), and :func:`versioned_publish` (fast-forward
+CAS of a branch back onto main: O(new files) links + one kilobyte
+commit — write-audit-publish for batch and streaming writers alike).
+Multi-table consistency lives one level up in
+:mod:`skopje_spark.sinks.catalog`: versioned kilobyte
+table→version mappings whose commits give readers consistent
+cross-table snapshots and make a coordinated multi-branch publish
+atomic at the catalog pointer.
 """
 
 from __future__ import annotations
