@@ -67,6 +67,7 @@ from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
     apply_changelog_batch,
+    versioned_agg_stats,
     maintenance_report,
     table_partitioning,
     branch_path,
@@ -174,6 +175,7 @@ __all__ = [
     "catalog_tables",
     "cluster_for_layout",
     "table_refs",
+    "versioned_agg_stats",
     "versioned_append",
     "versioned_branch",
     "change_feed_advance",

@@ -57,18 +57,23 @@ __all__ = [
 _CAT_NAME = "CATALOG.json"
 
 
-def _cat_tag(cat_path: str) -> str:
-    # the tag must identify THIS catalog: two catalogs that share a
-    # basename ("prod/catalog", "staging/catalog") pinning the same
-    # table would otherwise retarget each other's tag and silently
-    # un-protect the other's pinned version — so the name carries a
-    # digest of the catalog's absolute path
+def _cat_tag(cat_path: str, entry: str) -> str:
+    # the tag must identify THIS catalog AND THIS catalog entry: two
+    # catalogs sharing a basename ("prod/catalog", "staging/catalog")
+    # would otherwise retarget each other's tag, and two ENTRIES of one
+    # catalog pinning the SAME table path (an alias, or a table served
+    # at two versions) would share one tag whose every retarget/release
+    # clobbers the other's pin — letting vacuum collect a version the
+    # catalog still serves. So the name digests (catalog abs path,
+    # entry name) together; each pinned (name, path) pair holds its own
+    # tag and releases independently.
     import hashlib
+    import re as _re
 
     ap = os.path.abspath(os.path.normpath(cat_path))
-    base = os.path.basename(ap) or "catalog"
-    digest = hashlib.sha1(ap.encode()).hexdigest()[:8]
-    return f"catalog-{base}-{digest}"
+    digest = hashlib.sha1(f"{ap}\0{entry}".encode()).hexdigest()[:8]
+    hint = _re.sub(r"[^A-Za-z0-9._-]", "-", entry)[:24] or "t"
+    return f"catalog-{hint}-{digest}"
 
 
 def catalog_tables(
@@ -174,11 +179,11 @@ def catalog_commit(
         # retarget changed/new pins, release pins the new mapping no
         # longer holds (dropped tables, moved paths)
         retarget = [
-            spec for name, spec in tables.items()
+            (name, spec) for name, spec in tables.items()
             if current.get(name) != spec
         ]
         released = [
-            spec for name, spec in current.items()
+            (name, spec) for name, spec in current.items()
             if name not in tables or tables[name]["path"] != spec["path"]
         ]
         payload = json.dumps(
@@ -190,6 +195,7 @@ def catalog_commit(
         os.makedirs(staged)
         with open(os.path.join(staged, _CAT_NAME), "w") as f:
             f.write(payload)
+        landed = False
         try:
             with V._commit_lock(cat_path, lock_timeout_s):
                 cur = V.latest_version(cat_path)
@@ -206,25 +212,34 @@ def catalog_commit(
                 n = (cur + 1) if cur is not None else 0
                 os.replace(staged, os.path.join(cat_path, f"v={n}"))
                 V.POINTER_STORE.swap_pointer(cat_path, n)
+            landed = True
         except V.CommitConflict as e:
-            shutil.rmtree(staged, ignore_errors=True)
             if expected_version is not V._UNGUARDED:
                 raise
             last = e
             time.sleep(0.05 * (2**attempt))
             continue
+        finally:
+            # any exit where the commit did not land — conflict, lock
+            # contention, OR a non-conflict failure inside the critical
+            # section (pointer-store I/O) — must not leak the staged
+            # dir; after a landed os.replace the path no longer exists
+            # and this is a no-op (mirrors _commit_manifest's handling)
+            if not landed:
+                shutil.rmtree(staged, ignore_errors=True)
         # committed: now (and only now) maintain the vacuum pins
         if pin_tags:
-            tag = _cat_tag(cat_path)
-            for spec in retarget:
+            for name, spec in retarget:
                 V.versioned_tag(
-                    spec["path"], tag, version=spec["version"],
+                    spec["path"], _cat_tag(cat_path, name),
+                    version=spec["version"],
                     replace=True, lock_timeout_s=lock_timeout_s,
                 )
-            for spec in released:
+            for name, spec in released:
                 try:
                     V.versioned_drop_ref(
-                        spec["path"], tag, lock_timeout_s=lock_timeout_s
+                        spec["path"], _cat_tag(cat_path, name),
+                        lock_timeout_s=lock_timeout_s,
                     )
                 except (KeyError, FileNotFoundError):
                     pass  # never pinned, or the table itself is gone

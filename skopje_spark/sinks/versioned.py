@@ -88,6 +88,21 @@ def _stat_encode(v):
     return v
 
 
+def _freshen(path: str) -> None:
+    """Reset a pooled file's mtime to NOW. os.link and metadata-
+    preserving copies carry the SOURCE file's mtime into the pool, but
+    :func:`vacuum`'s pool pass promises "unreferenced AND at least
+    min_file_age_s old" before unlinking — a promise that only holds
+    if every freshly staged pool entry actually reads as fresh.
+    Best-effort: a failure here can only make vacuum more aggressive
+    on a file the imminent commit will reference, so surface nothing
+    but don't swallow the commit."""
+    try:
+        os.utime(path)
+    except OSError:
+        pass
+
+
 class CommitConflict(RuntimeError):
     """An optimistic commit lost its race: the table advanced past the
     writer's base version, or another writer holds the commit lock.
@@ -2673,6 +2688,167 @@ def _maintain_value_index(
                     "t": tmap.get(phys, "s"),
                 }
                 stats[phys] = slot
+
+
+def versioned_agg_stats(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    *,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+    ref: str | None = None,
+    max_stat_strlen: int = 1024,
+) -> dict:
+    """Metadata-only aggregates — COUNT(*), and per column MIN / MAX /
+    COUNT(col) — folded from the manifest's per-file footer stats
+    (Iceberg's scan-planning aggregate pushdown / Delta's
+    stats-answered SELECTs): on the pristine path the answer costs
+    ZERO data-file opens however large the table — a 100 TB
+    ``SELECT count(*), min(ts), max(ts)`` reads kilobytes of manifest.
+
+    Exactness is never traded for speed; entries whose stats CANNOT
+    answer exactly are actually scanned (only those) and combined:
+
+    - ``count(*)`` = Σ(rows − dv_rows) over entries — exact for every
+      table shape with no opens (the manifest maintains both counts);
+    - ``min/max/count(col)`` fold per-file ``{min,max,nulls}`` only
+      for entries with NO deletion vectors (a deleted row may have
+      held the extremum or changed the null count) and usable stats
+      (nested / unstatted / all-null / unknown-null-count files fall
+      back to the scan). String bounds at or beyond
+      ``max_stat_strlen`` are distrusted as possibly
+      writer-truncated: a truncated max is a PREFIX of the true max —
+      lexicographically SHORT of it — so trusting it would return a
+      wrong answer, not a loose bound (pruning can live with loose;
+      an aggregate cannot). Float bounds that are NaN are likewise
+      distrusted (writer NaN-ordering is not portable).
+    - SQL semantics throughout: MIN/MAX ignore NULLs (footer stats
+      already do); ``count`` is the NON-NULL count = Σ(rows − nulls).
+
+    Returns ``{"version", "count_rows", "files_total",
+    "files_opened", "columns": {col: {"min", "max", "count"}}}`` with
+    DATE extrema in the manifest's stats domain (ISO strings,
+    :func:`_stat_encode`). ``files_opened`` is the proof surface:
+    0 on the pristine path, and never more than the entries that
+    genuinely need opening.
+
+    Reference parity: the reference delegates its aggregate surface
+    to Postgres (`/root/reference/src/extract/pg.rs:12-22`); this is
+    the lake-native answer where the common case never touches data.
+    Scale: the fold is O(files) driver-side over the already-resolved
+    manifest — the same cost class as planning any read — and the
+    fallback scan opens exactly the DV'd/unstatted slice."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if ref is not None:
+        if version is not None or as_of_ts is not None:
+            raise ValueError("pass ref OR version/as_of_ts, not both")
+        path, version = _resolve_ref(path, ref)
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ts, not both")
+        version = version_as_of_timestamp(path, as_of_ts)
+    v = committed if version is None else version
+    if v > committed:
+        raise FileNotFoundError(
+            f"version {v} at {path} is not committed "
+            f"(latest committed: {committed})"
+        )
+    man = _read_manifest(path, v)
+    schema = StructType.fromJson(man["schema"])
+    names = [f.name for f in schema.fields]
+    unknown = [c for c in cols if c not in names]
+    if unknown:
+        raise KeyError(f"no column(s) {unknown} at {path} (have {names})")
+    mapping = _schema_mapping(schema)
+    entries = man["files"]
+    count_rows = sum(
+        int(e.get("rows", 0)) - int(e.get("dv_rows", 0)) for e in entries
+    )
+
+    def _answerable(e: dict, phys: str):
+        """The entry's stats slot iff it answers ``phys`` EXACTLY."""
+        if e.get("dv_files"):
+            return None
+        st = (e.get("stats") or {}).get(phys)
+        if not st or st.get("nulls") is None:
+            return None
+        for b in (st.get("min"), st.get("max")):
+            if isinstance(b, str) and len(b) >= max_stat_strlen:
+                return None
+            if isinstance(b, float) and math.isnan(b):
+                return None
+        return st
+
+    out_cols: dict[str, dict] = {}
+    # group fallback columns by IDENTICAL scan sets so one Spark job
+    # serves every column that needs the same files
+    scan_groups: dict[tuple, tuple[list[dict], list[str]]] = {}
+    for c in cols:
+        phys = mapping.get(c, c)
+        mn = mx = None
+        cnt = 0
+        need: list[dict] = []
+        for e in entries:
+            st = _answerable(e, phys)
+            if st is None:
+                if int(e.get("rows", 0)) - int(e.get("dv_rows", 0)) > 0:
+                    need.append(e)
+                continue
+            nonnull = int(e.get("rows", 0)) - int(st["nulls"])
+            cnt += nonnull
+            if nonnull > 0:
+                mn = st["min"] if mn is None else min(mn, st["min"])
+                mx = st["max"] if mx is None else max(mx, st["max"])
+        out_cols[c] = {"min": mn, "max": mx, "count": cnt}
+        if need:
+            key = tuple(sorted(e["path"] for e in need))
+            if key in scan_groups:
+                scan_groups[key][1].append(c)
+            else:
+                scan_groups[key] = (need, [c])
+
+    opened: set[str] = set()
+    for need, gcols in scan_groups.values():
+        opened.update(e["path"] for e in need)
+        row = (
+            _read_entries(spark, path, need, schema)
+            .agg(
+                *[
+                    a
+                    for c in gcols
+                    for a in (
+                        F.min(c).alias(f"mn_{c}"),
+                        F.max(c).alias(f"mx_{c}"),
+                        F.count(c).alias(f"ct_{c}"),
+                    )
+                ]
+            )
+            .collect()[0]
+        )
+        for c in gcols:
+            slot = out_cols[c]
+            slot["count"] += int(row[f"ct_{c}"])
+            for side, fn in (("min", min), ("max", max)):
+                sv = row[f"{'mn' if side == 'min' else 'mx'}_{c}"]
+                if sv is None:
+                    continue
+                sv = _stat_encode(sv)
+                slot[side] = sv if slot[side] is None else fn(slot[side], sv)
+    return {
+        "version": v,
+        "count_rows": count_rows,
+        "files_total": len(entries),
+        "files_opened": len(opened),
+        "columns": out_cols,
+    }
 
 
 def versioned_value_index(
@@ -5646,7 +5822,12 @@ def versioned_clone(
                     f"file {rel}; clone a retained version"
                 )
             except OSError:
-                shutil.copy2(src_f, dst_f)
+                shutil.copy(src_f, dst_f)
+            # same vacuum-age hazard as versioned_publish: linked pool
+            # entries inherit the SOURCE file's old mtime, so a vacuum
+            # on the (not-yet-committed) clone target would age-qualify
+            # them instantly — freshen so the age gate means what it says
+            _freshen(dst_f)
     commit_meta = {
         "op": "clone",
         "source_path": src_path,
@@ -5868,20 +6049,45 @@ def versioned_branch(
     if name in table_refs(path, version=committed):
         raise ValueError(f"ref {name!r} already exists at {path}")
     bdir = branch_path(path, name)
-    # a branch directory with NO refs entry is crash residue: a
-    # creator died between clone and refs commit (drops tombstone
-    # their dirs first, so committed drops never leave one). The refs
-    # property is the source of truth — clear the residue so the name
-    # is reusable (its pool held hard links; shared bytes live on in
-    # main's pool). Crashed drops' `.dropped-*` tombstones are swept
-    # here too.
+    # a branch directory with NO refs entry is EITHER crash residue (a
+    # creator died between clone and refs commit; drops tombstone
+    # their dirs first, so committed drops never leave one) OR a
+    # concurrent creator's in-flight clone. The two are separated by
+    # AGE, the same Delta-style gate vacuum and the commit-lock steal
+    # use: an in-flight clone's dir is seconds old (the clone itself
+    # keeps touching it); genuine residue is by definition older than
+    # any live writer. Sweeping unconditionally would delete a racing
+    # winner's fresh clone and leave its refs commit pointing at
+    # nothing — so a FRESH dir refuses loudly instead.
     if os.path.isdir(bdir):
-        shutil.rmtree(bdir, ignore_errors=True)
+        try:
+            residue_age = time.time() - os.path.getmtime(bdir)
+        except FileNotFoundError:
+            residue_age = None  # vanished — the racer cleaned it up
+        if residue_age is not None:
+            if residue_age < lock_timeout_s:
+                raise CommitConflict(
+                    f"branch {name!r} at {path} is being created by a "
+                    f"concurrent writer (dir is {residue_age:.1f}s old; "
+                    f"presumed live under {lock_timeout_s}s)"
+                )
+            shutil.rmtree(bdir, ignore_errors=True)
+    # crashed drops' `.dropped-*` tombstones are swept here too — but
+    # only OLD ones: an in-flight drop renames its dir to a freshened
+    # tombstone BEFORE its commit and renames it back if the commit is
+    # refused, so deleting a fresh tombstone would break that rollback.
     broot = os.path.join(path, "_branches")
     if os.path.isdir(broot):
         for d in os.listdir(broot):
-            if d.startswith(".dropped-"):
-                shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
+            if not d.startswith(".dropped-"):
+                continue
+            full = os.path.join(broot, d)
+            try:
+                if time.time() - os.path.getmtime(full) < lock_timeout_s:
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
     try:
         versioned_clone(
             path, bdir, version=base,
@@ -5898,6 +6104,14 @@ def versioned_branch(
             f"ref {name!r} already exists at {path} (concurrent "
             "branch creation)"
         )
+    # ownership token: the failure cleanup below may only delete a dir
+    # WE cloned. If a racer (correctly) swept us as presumed-crashed
+    # residue and recloned, the dir holds ITS token, not ours — and a
+    # dir serving a committed refs entry is never deleted regardless.
+    token = uuid.uuid4().hex
+    tok_f = os.path.join(bdir, ".creator")
+    with open(tok_f, "w") as f:
+        f.write(token)
 
     def derive(cur: int, raw: dict):
         refs = table_refs(path, version=cur)
@@ -5919,8 +6133,22 @@ def versioned_branch(
     try:
         _metadata_commit(path, derive, lock_timeout_s=lock_timeout_s)
     except BaseException:
-        shutil.rmtree(bdir, ignore_errors=True)
+        # delete only our OWN failed clone, and only while no refs
+        # entry serves the name — if a racer's commit won the name,
+        # whatever dir sits here (possibly its reclone of ours) now
+        # backs a committed branch and must survive our failure
+        try:
+            with open(tok_f) as f:
+                ours = f.read() == token
+        except OSError:
+            ours = False
+        if ours and name not in table_refs(path):
+            shutil.rmtree(bdir, ignore_errors=True)
         raise
+    try:
+        os.unlink(tok_f)
+    except FileNotFoundError:
+        pass
     return bdir
 
 
@@ -5968,6 +6196,11 @@ def _retire_branch_dir(path: str, name: str) -> str | None:
     )
     try:
         os.replace(bdir, tomb)
+        # rename preserves the dir's own mtime (only the parent's
+        # changes), so an in-flight drop of an old branch would read
+        # as ancient residue; freshen so the age-gated tombstone sweep
+        # in versioned_branch leaves live drops' rollback paths alone
+        _freshen(tomb)
         return tomb
     except FileNotFoundError:
         return None
@@ -6046,7 +6279,15 @@ def versioned_publish(
                     "the branch is unpublishable"
                 )
             except OSError:
-                shutil.copy2(src_f, dst_f)
+                shutil.copy(src_f, dst_f)
+            # os.link (and copy2) preserve the BRANCH file's mtime — in
+            # write-audit-publish that is hours old, so vacuum's
+            # min_file_age_s pool guard would see an unreferenced AND
+            # old file between this pass and the CAS commit below and
+            # unlink it, committing a manifest over deleted bytes.
+            # Refreshing the pool entry's mtime makes the age gate hold
+            # the same promise here it holds for freshly staged writes.
+            _freshen(dst_f)
     commit_meta: dict[str, str] = {
         "op": "publish_branch", "branch": name,
         "branch_version": str(bv),

@@ -69,7 +69,7 @@ def test_catalog_pin_tags_protect_from_vacuum(spark, tmp_path):
     from skopje_spark.sinks.catalog import _cat_tag
 
     catalog_commit(cat, {"ta": (a, 0)})                   # tags v0
-    tag = _cat_tag(cat)
+    tag = _cat_tag(cat, "ta")
     assert table_refs(a)[tag]["version"] == 0
     for i in range(4):
         versioned_write(_kv(spark, [(1, f"m{i}")]), a)
@@ -259,9 +259,9 @@ def test_catalog_drop_releases_pin_tag(spark, tmp_path):
     a, cat = str(tmp_path / "a"), str(tmp_path / "cat")
     versioned_write(_kv(spark, [(1, "x")]), a)
     catalog_commit(cat, {"ta": (a, 0)})
-    assert _cat_tag(cat) in table_refs(a)
+    assert _cat_tag(cat, "ta") in table_refs(a)
     catalog_commit(cat, {"ta": "drop"})
-    assert _cat_tag(cat) not in table_refs(a)
+    assert _cat_tag(cat, "ta") not in table_refs(a)
     # the formerly pinned snapshot is back under normal retention
     for i in range(3):
         versioned_write(_kv(spark, [(1, f"m{i}")]), a)
@@ -281,7 +281,7 @@ def test_failed_guarded_catalog_commit_leaves_pins_untouched(spark, tmp_path):
     with pytest.raises(CommitConflict):
         catalog_commit(cat, {"ta": None}, expected_version=v0 + 7)
     # the served pin is still protected
-    assert table_refs(a)[_cat_tag(cat)]["version"] == 0
+    assert table_refs(a)[_cat_tag(cat, "ta")]["version"] == 0
     for i in range(3):
         versioned_write(_kv(spark, [(1, f"m{i}")]), a)
     assert 0 not in vacuum(a, keep=1, min_file_age_s=0.0)
@@ -328,3 +328,62 @@ def test_tag_and_catalog_refuse_vacuumed_versions(spark, tmp_path):
         versioned_tag(a, "dead", version=0)
     with pytest.raises(FileNotFoundError, match="servable"):
         catalog_commit(cat, {"ta": (a, 0)})
+
+
+def test_two_entries_same_path_hold_independent_pins(spark, tmp_path):
+    """Round-13 ADVICE: the vacuum-pin tag is per (entry name, path) —
+    an alias serving one table at TWO versions must hold two tags, so
+    retargeting one entry's pin never un-protects the other's."""
+    from skopje_spark.sinks.catalog import _cat_tag
+
+    a, cat = str(tmp_path / "a2"), str(tmp_path / "cat2")
+    versioned_write(_kv(spark, [(1, "v0")]), a)           # v0
+    versioned_write(_kv(spark, [(1, "v1")]), a)           # v1
+    catalog_commit(cat, {"cur": (a, 1), "prev": (a, 0)})
+    tags = table_refs(a)
+    assert _cat_tag(cat, "cur") in tags
+    assert _cat_tag(cat, "prev") in tags
+    assert _cat_tag(cat, "cur") != _cat_tag(cat, "prev")
+    # advance the table and re-pin ONLY "cur" — "prev"'s pin must hold
+    for i in range(3):
+        versioned_write(_kv(spark, [(1, f"m{i}")]), a)
+    catalog_commit(cat, {"cur": None})
+    removed = vacuum(a, keep=1, min_file_age_s=0.0)
+    assert 0 not in removed  # "prev" still serves v0
+    assert _vals(catalog_read(spark, cat, "prev")) == {(1, "v0")}
+    # dropping "prev" releases exactly its own pin
+    catalog_commit(cat, {"prev": "drop"})
+    assert _cat_tag(cat, "prev") not in table_refs(a)
+    assert _cat_tag(cat, "cur") in table_refs(a)
+    assert 0 in vacuum(a, keep=1, min_file_age_s=0.0)
+
+
+def test_failed_commit_critical_section_cleans_staged_dir(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 ADVICE: a NON-conflict failure inside the commit
+    critical section (pointer-store I/O) must not leak the staged
+    directory."""
+    import os
+
+    import skopje_spark.sinks.versioned as V
+
+    a, cat = str(tmp_path / "a3"), str(tmp_path / "cat3")
+    versioned_write(_kv(spark, [(1, "x")]), a)
+    catalog_commit(cat, {"ta": (a, None)})
+    real = V.POINTER_STORE.swap_pointer
+
+    def boom(path, n):
+        if path == cat:
+            raise RuntimeError("pointer store I/O failure")
+        return real(path, n)
+
+    monkeypatch.setattr(V.POINTER_STORE, "swap_pointer", boom)
+    with pytest.raises(RuntimeError, match="pointer store"):
+        catalog_commit(cat, {"ta": None})
+    monkeypatch.undo()
+    assert not [
+        d for d in os.listdir(cat) if d.startswith(".staged-")
+    ]
+    # the catalog still serves its previous consistent snapshot
+    assert _vals(catalog_read(spark, cat, "ta")) == {(1, "x")}

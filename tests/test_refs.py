@@ -292,6 +292,10 @@ def test_orphaned_branch_dir_is_cleared_on_recreate(spark, tmp_path):
     _sh.copytree(bdir, saved)
     versioned_drop_ref(path, "dev")
     _sh.copytree(saved, bdir)  # the orphan
+    # genuine residue is OLD (the age gate separates it from a live
+    # concurrent creator's fresh clone) — backdate it accordingly
+    old = __import__("time").time() - 3600.0
+    os.utime(bdir, (old, old))
     assert "dev" not in table_refs(path) and os.path.isdir(bdir)
     bdir2 = versioned_branch(path, "dev")  # must not raise
     assert bdir2 == bdir
@@ -384,3 +388,210 @@ def test_change_feed_across_ref_and_publish_commits(spark, tmp_path):
     # and refuses keyless (no CDC sidecars were recorded)
     with pytest.raises(ValueError, match="no recorded change feed"):
         versioned_change_feed(spark, path, from_version=4)
+
+
+# ------------------------------------------- create/drop race hygiene
+# (round-13 ADVICE: the residue sweep must never delete a live racer's
+# in-flight clone, the tombstone sweep must never break a live drop's
+# rollback, and publish/clone must freshen pooled mtimes so vacuum's
+# age gate holds its promise for hours-old audited branch files)
+
+
+def test_fresh_orphan_branch_dir_refuses_instead_of_sweeping(
+    spark, tmp_path
+):
+    """A branch dir with no refs entry that is FRESH is a concurrent
+    creator's in-flight clone, not crash residue — a second creator
+    must refuse loudly rather than delete it from under the racer."""
+    import shutil as _sh
+
+    path = str(tmp_path / "b10")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "dev")
+    saved = str(tmp_path / "saved10")
+    _sh.copytree(bdir, saved)
+    versioned_drop_ref(path, "dev")
+    _sh.copytree(saved, bdir)  # fresh mtime: looks in-flight
+    with pytest.raises(CommitConflict, match="concurrent"):
+        versioned_branch(path, "dev")
+    # the presumed-live dir was NOT deleted
+    assert os.path.isdir(bdir)
+
+
+def test_fresh_drop_tombstone_survives_branch_create(spark, tmp_path):
+    """An in-flight drop tombstone-renames its dir before the refs
+    commit and renames it BACK if the commit is refused — a branch
+    create sweeping fresh tombstones would break that rollback. Old
+    tombstones (a crashed drop's residue) are still swept."""
+    import time as _t
+
+    path = str(tmp_path / "b11")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    broot = os.path.join(path, "_branches")
+    fresh = os.path.join(broot, ".dropped-x-deadbeef")
+    stale = os.path.join(broot, ".dropped-y-cafebabe")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = _t.time() - 3600.0
+    os.utime(stale, (old, old))
+    versioned_branch(path, "dev")
+    assert os.path.isdir(fresh)        # live drop's rollback intact
+    assert not os.path.isdir(stale)    # crashed drop's residue swept
+
+
+def test_retire_branch_dir_freshens_tombstone(spark, tmp_path):
+    """os.replace preserves the moved dir's own mtime, so a drop of an
+    OLD branch would tombstone as instantly-sweepable residue unless
+    the rename freshens it."""
+    import time as _t
+
+    from skopje_spark.sinks.versioned import _retire_branch_dir
+
+    path = str(tmp_path / "b12")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "old")
+    ancient = _t.time() - 7200.0
+    os.utime(bdir, (ancient, ancient))
+    tomb = _retire_branch_dir(path, "old")
+    assert tomb is not None
+    assert _t.time() - os.path.getmtime(tomb) < 60.0
+
+
+def test_branch_failure_cleanup_spares_racing_winner(
+    spark, tmp_path, monkeypatch
+):
+    """The advisor's interleaving: creator A stalls after its clone; a
+    racer (correctly treating A as crashed) sweeps, reclones, and wins
+    the refs commit. A's derive then loses with 'already exists' — and
+    A's failure cleanup must NOT delete the dir now serving the
+    winner's committed branch."""
+    import json as _json
+    import shutil as _sh
+
+    import skopje_spark.sinks.versioned as V
+
+    path = str(tmp_path / "b13")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    real = V._metadata_commit
+    fired = {"done": False}
+
+    def hijack(p, derive, **kw):
+        if not fired["done"] and p == path:
+            fired["done"] = True
+            bdir = V.branch_path(path, "dev")
+            _sh.rmtree(bdir)  # the racer sweeps the "crashed" creator
+            V.versioned_clone(path, bdir, version=0,
+                              expected_version=None)
+
+            def rderive(cur, raw):
+                refs = V.table_refs(path, version=cur)
+                refs["dev"] = {
+                    "type": "branch", "fork_version": 0,
+                    "base_version": cur + 1, "created_ts": "0",
+                }
+                return raw["schema"], {
+                    "op": "branch", "refs": _json.dumps(refs),
+                }
+
+            real(path, rderive, lock_timeout_s=60.0)  # racer wins
+        return real(p, derive, **kw)
+
+    monkeypatch.setattr(V, "_metadata_commit", hijack)
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_branch(path, "dev")
+    # the winner's committed branch survived the loser's cleanup
+    assert os.path.isdir(branch_path(path, "dev"))
+    assert _state(spark, path, ref="dev") == {(1, "a")}
+
+
+def test_branch_own_failure_still_cleans_residue(
+    spark, tmp_path, monkeypatch
+):
+    """When the refs commit fails for a NON-race reason, the creator's
+    own clone is residue and must still be removed (the ownership
+    token says it is ours and no refs entry serves the name)."""
+    import skopje_spark.sinks.versioned as V
+
+    path = str(tmp_path / "b14")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    real = V._metadata_commit
+
+    def boom(p, derive, **kw):
+        if p == path:
+            raise RuntimeError("pointer store I/O failure")
+        return real(p, derive, **kw)
+
+    monkeypatch.setattr(V, "_metadata_commit", boom)
+    with pytest.raises(RuntimeError, match="pointer store"):
+        versioned_branch(path, "dev")
+    assert not os.path.isdir(branch_path(path, "dev"))
+    assert "dev" not in table_refs(path)
+
+
+def test_publish_freshens_pooled_mtimes(spark, tmp_path):
+    """Write-audit-publish stages HOURS-old branch files into main's
+    pool; os.link preserves their old mtimes, so vacuum's
+    min_file_age_s pool guard would see them as unreferenced AND old
+    in the window before the CAS commit and unlink them. Publish must
+    freshen every pooled entry so the age gate means what it says."""
+    import json as _json
+    import time as _t
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest, versioned_publish as _pub,
+    )
+
+    path = str(tmp_path / "b15")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "wap")
+    versioned_upsert(spark, bdir, _kv(spark, [(2, "b")]), ["k"])
+    # the audit took hours: backdate every branch pool file (shared
+    # inodes backdate main's copies too — those are referenced by
+    # main's pre-publish manifest and NOT part of the hazard, so the
+    # freshness assertion below covers only files NEW to main's pool)
+    ancient = _t.time() - 7200.0
+    pool = os.path.join(bdir, "data")
+    for f in os.listdir(pool):
+        os.utime(os.path.join(pool, f), (ancient, ancient))
+    pre = set(os.listdir(os.path.join(path, "data")))
+    t0 = _t.time()
+    versioned_publish(path, "wap")
+    man = _read_manifest(path, latest_version(path))
+    checked = 0
+    for e in man["files"]:
+        for rel in [e["path"], *e.get("dv_files", [])]:
+            if os.path.basename(rel) in pre:
+                continue  # shared since the fork — vacuum ref-counts it
+            full = os.path.join(path, rel)
+            assert os.path.getmtime(full) >= t0 - 60.0, rel
+            checked += 1
+    assert checked >= 1
+    # and the published state is what the branch audited
+    assert _state(spark, path) == {(1, "a"), (2, "b")}
+    # vacuum right after the publish keeps every referenced file
+    vacuum(path, keep=1, min_file_age_s=600.0)
+    assert _state(spark, path) == {(1, "a"), (2, "b")}
+
+
+def test_clone_freshens_pooled_mtimes(spark, tmp_path):
+    """Same hazard on versioned_clone: linked pool entries inherit the
+    source files' mtimes (arbitrarily old on a long-lived table)."""
+    import time as _t
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest, versioned_clone,
+    )
+
+    src, dst = str(tmp_path / "src16"), str(tmp_path / "dst16")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]), src)
+    ancient = _t.time() - 7200.0
+    pool = os.path.join(src, "data")
+    for f in os.listdir(pool):
+        os.utime(os.path.join(pool, f), (ancient, ancient))
+    t0 = _t.time()
+    versioned_clone(src, dst)
+    man = _read_manifest(dst, latest_version(dst))
+    for e in man["files"]:
+        full = os.path.join(dst, e["path"])
+        assert os.path.getmtime(full) >= t0 - 60.0, e["path"]
+    assert _state(spark, dst) == {(1, "a"), (2, "b")}
