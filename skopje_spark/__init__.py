@@ -102,6 +102,11 @@ from skopje_spark.sinks.versioned import (
     versioned_stream_apply_changes,
     versioned_stream_materialized_view,
 )
+from skopje_spark.sinks.expect import (
+    ExpectationViolation,
+    expectation_metrics,
+    expectations_write,
+)
 from skopje_spark.sinks.catalog import (
     attach_catalog,
     catalog_commit,
@@ -175,6 +180,9 @@ __all__ = [
     "catalog_tables",
     "cluster_for_layout",
     "table_refs",
+    "ExpectationViolation",
+    "expectation_metrics",
+    "expectations_write",
     "versioned_agg_stats",
     "versioned_append",
     "versioned_branch",

@@ -3368,3 +3368,213 @@ def q_catalog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return check(v0).unionByName(check(v1)).orderBy("cat_version", "bucket")
+
+
+@register(
+    "q_versioned_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)           AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT)    AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT)    AS max_key,
+           CAST(COUNT(l_orderkey) AS BIGINT)  AS n_key,
+           MIN(l_quantity)                    AS min_qty,
+           MAX(l_quantity)                    AS max_qty,
+           CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS min_ship,
+           CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_ship,
+           MIN(l_returnflag)                  AS min_flag,
+           MAX(l_returnflag)                  AS max_flag,
+           TRUE                               AS stats_only
+    FROM lineitem
+    """,
+    tags=("versioned", "aggpushdown", "lakeops", "metadata"),
+)
+def q_versioned_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates under the driver gate
+    (sinks/versioned.py:versioned_agg_stats — Iceberg's scan-planning
+    aggregate pushdown / Delta's stats-answered SELECTs): lineitem is
+    committed as a multi-file versioned table, and COUNT(*), MIN/MAX/
+    COUNT over an int key, a double measure, a DATE, and a short
+    string column are all answered by folding the manifest's per-file
+    footer stats — ``stats_only`` proves the fold opened ZERO data
+    files, and the oracle recomputes every number from the rows
+    directly, so a hash match proves the fold exact, not just plausible.
+
+    Scale: the common dashboard probe ("how many rows, what date
+    range?") on a 100 TB table costs kilobytes of manifest — the same
+    O(files) driver-side planning cost every read already pays, with
+    no Spark job at all on the pristine path. Files whose stats
+    cannot answer exactly (deletion vectors, all-null chunks,
+    truncation-suspect strings) are scanned — only those — so the
+    answer is exact for every table shape."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from skopje_spark.sinks.versioned import (
+        versioned_agg_stats,
+        versioned_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        F.to_date("l_shipdate").alias("l_shipdate"),
+        "l_returnflag",
+    )
+    path = tempfile.mkdtemp(prefix="skopje_aggstats_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        li.repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey"),
+        path,
+    )
+    res = versioned_agg_stats(
+        spark, path,
+        ["l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"],
+    )
+    c = res["columns"]
+    stats_only = res["files_opened"] == 0 and res["files_total"] >= 2
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("min_key", LongType()),
+            StructField("max_key", LongType()),
+            StructField("n_key", LongType()),
+            StructField("min_qty", DoubleType()),
+            StructField("max_qty", DoubleType()),
+            StructField("min_ship", StringType()),
+            StructField("max_ship", StringType()),
+            StructField("min_flag", StringType()),
+            StructField("max_flag", StringType()),
+            StructField("stats_only", BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                res["count_rows"],
+                c["l_orderkey"]["min"],
+                c["l_orderkey"]["max"],
+                c["l_orderkey"]["count"],
+                float(c["l_quantity"]["min"]),
+                float(c["l_quantity"]["max"]),
+                c["l_shipdate"]["min"],
+                c["l_shipdate"]["max"],
+                c["l_returnflag"]["min"],
+                c["l_returnflag"]["max"],
+                bool(stats_only),
+            )
+        ],
+        schema,
+    )
+
+
+@register(
+    "q_versioned_expectations",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS metrics_ok,
+           TRUE AS quarantine_ok
+    FROM documents
+    WHERE n_chars >= 300 AND lang IN ('en', 'de', 'es', 'fr')
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("versioned", "expectations", "quality", "lakeops"),
+)
+def q_versioned_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side expectations ladder under the driver gate
+    (sinks/expect.py — Delta Live Tables' expectations contract over
+    the versioned store): documents are committed through TWO
+    quarantine-mode expectations (minimum length, allowed-language
+    set), violating rows land in the side quarantine table with a
+    ``_violations`` column naming every failed expectation, and the
+    per-expectation violation counts ride the main commit's metadata.
+
+    The proofs fold the whole ladder into the result:
+    ``metrics_ok`` — admitted + quarantined == rows in, AND each
+    recorded per-expectation count equals an independent recount of
+    the quarantine table's ``_violations`` arrays; ``quarantine_ok``
+    — every quarantined row genuinely violates each expectation its
+    array names (recomputed from the row's own values), and no
+    admitted row violates anything. The oracle recomputes the clean
+    aggregate from the raw rows, so a hash match proves the gate
+    split the batch exactly.
+
+    Scale: the metrics pass is one whole-stage-codegen aggregate over
+    the batch however many expectations; admit/quarantine are
+    filtered writes of the same plan — the quality gate costs two
+    scans of the BATCH (never the table) at any corpus size."""
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.expect import expectations_write
+    from skopje_spark.sinks.versioned import snapshot_meta, versioned_read
+
+    EXPECT = {
+        "long_enough": "n_chars >= 300",
+        "lang_allowed": "lang IN ('en', 'de', 'es', 'fr')",
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_expect_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    atexit.register(
+        shutil.rmtree, path + "_quarantine", ignore_errors=True
+    )
+    shutil.rmtree(path)  # expectations_write creates the table
+    res = expectations_write(docs, path, EXPECT, on_violation="quarantine")
+    admitted = versioned_read(spark, path)
+    quar = versioned_read(spark, path + "_quarantine")
+
+    recorded = _json.loads(
+        snapshot_meta(path, "expectations", version=res["version"])
+    )
+    recount = {
+        name: quar.filter(F.array_contains("_violations", name)).count()
+        for name in EXPECT
+    }
+    metrics_ok = (
+        admitted.count() + quar.count() == res["rows_in"]
+        and all(
+            recorded[n]["violations"] == recount[n] for n in EXPECT
+        )
+        and res["rows_quarantined"] == quar.count()
+    )
+    # every quarantined row violates exactly what its array names
+    # (membership == recomputed violation, with NULL = violation —
+    # the ladder's three-valued contract), and no admitted row
+    # violates anything
+    def _viol(n):
+        return ~F.coalesce(F.expr(EXPECT[n]).cast("boolean"), F.lit(False))
+
+    exact = [
+        F.array_contains("_violations", n) == _viol(n) for n in EXPECT
+    ]
+    q_bad = quar.filter(~(exact[0] & exact[1])).count()
+    a_bad = admitted.filter(_viol("long_enough") | _viol("lang_allowed")).count()
+    quarantine_ok = q_bad == 0 and a_bad == 0
+    return (
+        admitted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("metrics_ok", F.lit(bool(metrics_ok)))
+        .withColumn("quarantine_ok", F.lit(bool(quarantine_ok)))
+        .orderBy("lang")
+    )
