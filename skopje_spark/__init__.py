@@ -66,6 +66,7 @@ from skopje_spark.pipeline import Pipeline
 from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
+    MergeConflict,
     apply_changelog_batch,
     versioned_agg_stats,
     maintenance_report,
@@ -84,6 +85,7 @@ from skopje_spark.sinks.versioned import (
     versioned_history,
     versioned_partitions,
     versioned_merge,
+    versioned_merge_branch,
     versioned_merge_concurrent,
     versioned_publish,
     versioned_read,
@@ -169,6 +171,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "token_count_bpe",
     "CommitConflict",
+    "MergeConflict",
     "apply_changelog_batch",
     "maintenance_report",
     "table_partitioning",
@@ -196,6 +199,7 @@ __all__ = [
     "versioned_history",
     "versioned_partitions",
     "versioned_merge",
+    "versioned_merge_branch",
     "versioned_merge_concurrent",
     "versioned_publish",
     "versioned_read",

@@ -3578,3 +3578,139 @@ def q_versioned_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quarantine_ok", F.lit(bool(quarantine_ok)))
         .orderBy("lang")
     )
+
+
+@register(
+    "q_versioned_branch_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderkey % 10 AS INTEGER) AS bucket
+      FROM orders
+    ), merged AS (
+      SELECT o_orderkey, bucket FROM base WHERE bucket <> 7
+      UNION ALL
+      SELECT o_orderkey + 200000000, bucket FROM base WHERE bucket = 2
+      UNION ALL
+      SELECT o_orderkey + 100000000, bucket FROM base WHERE bucket = 3
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS ff_refused, TRUE AS merge_commit_ok,
+           TRUE AS carried_verbatim
+    FROM merged GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("versioned", "refs", "merge", "lakeops"),
+)
+def q_versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way branch merge under the driver gate
+    (sinks/versioned.py:versioned_merge_branch — the diverged case
+    versioned_publish's fast-forward contract refuses; lakeFS-merge /
+    Nessie-conflict semantics at file granularity). Main ingests
+    orders, a branch stages a DV-delete (bucket 7) plus an append
+    (bucket-2 clones), and main DIVERGES with its own append (bucket-3
+    clones). The publish refusal is captured in-band (``ff_refused``),
+    then the merge replays the branch's file-level delta onto main's
+    current manifest as ONE kilobyte CAS commit. The oracle recomputes
+    the merged state closed-form from raw orders, so hash equality
+    proves the merge produced exactly (main ∪ branch-delta) with the
+    DV-delete applied; ``merge_commit_ok`` pins the commit markers and
+    ``carried_verbatim`` proves the merge was pure manifest arithmetic
+    — every file main held that the branch never touched carries
+    byte-identically (entry equality), every branch-changed entry
+    lands byte-identically, and zero data files were rewritten.
+
+    Scale: merging an audited branch into a 100 TB main that kept
+    ingesting costs O(branch-delta files) hard links + one manifest
+    CAS — no Spark job, no rewrite, any table size."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        CommitConflict,
+        _read_manifest,
+        latest_version,
+        snapshot_meta,
+        versioned_append,
+        versioned_branch,
+        versioned_delete,
+        versioned_merge_branch,
+        versioned_publish,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="skopje_bmerge_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        o.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+    )  # v0
+    bdir = versioned_branch(path, "audit")  # v1 (refs commit)
+    # branch delta: DV-delete one bucket, append shifted bucket-2 clones
+    versioned_delete(spark, bdir, "o_orderkey % 10 = 7")
+    versioned_append(
+        spark, bdir,
+        o.filter("o_orderkey % 10 = 2").withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(200000000)
+        ).coalesce(4),
+    )
+    # main diverges: its own append of shifted bucket-3 clones
+    versioned_append(
+        spark, path,
+        o.filter("o_orderkey % 10 = 3").withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        ).coalesce(4),
+    )
+    try:
+        versioned_publish(path, "audit")
+        ff_refused = False
+    except CommitConflict:
+        ff_refused = True
+    pre_v = latest_version(path)
+    fork_by = {e["path"]: e for e in _read_manifest(path, 0)["files"]}
+    pre_by = {e["path"]: e for e in _read_manifest(path, pre_v)["files"]}
+    b_by = {
+        e["path"]: e
+        for e in _read_manifest(bdir, latest_version(bdir))["files"]
+    }
+    n = versioned_merge_branch(path, "audit")
+    post_by = {e["path"]: e for e in _read_manifest(path, n)["files"]}
+    merge_commit_ok = (
+        n == pre_v + 1
+        and snapshot_meta(path, "op", version=n) == "merge_branch"
+        and snapshot_meta(path, "merge_base_version", version=n) == "0"
+    )
+    b_touched = {
+        p for p, e in b_by.items() if fork_by.get(p) != e
+    } | (set(fork_by) - set(b_by))
+    carried_verbatim = (
+        all(
+            post_by.get(p) == e
+            for p, e in pre_by.items()
+            if p not in b_touched
+        )
+        and all(
+            post_by.get(p) == b_by[p]
+            for p in b_touched
+            if p in b_by  # removed-on-branch paths are gone from post
+        )
+        and all(p not in post_by for p in b_touched if p not in b_by)
+    )
+    merged = versioned_read(spark, path, version=n)
+    return (
+        merged.groupBy(
+            (F.col("o_orderkey") % 10).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("ff_refused", F.lit(bool(ff_refused)))
+        .withColumn("merge_commit_ok", F.lit(bool(merge_commit_ok)))
+        .withColumn("carried_verbatim", F.lit(bool(carried_verbatim)))
+        .orderBy("bucket")
+    )

@@ -6324,6 +6324,329 @@ def versioned_publish(
     return n
 
 
+class MergeConflict(CommitConflict):
+    """A three-way branch merge found changes that cannot be combined
+    mechanically: the same file (or the same table property) was
+    changed differently on the branch and on main since the fork.
+    Resolution is always the same — re-branch from the current main
+    and replay the conflicting work there."""
+
+
+# table properties resolved three-way by versioned_merge_branch; a
+# property BOTH sides changed (differently) is a conflict. column_stats
+# is deliberately absent: stats are advisory and possibly stale on both
+# sides, so the merge keeps main's and lets the next ANALYZE refresh.
+_MERGE_PROPS = (
+    "constraints", "partition_by", "partition_specs",
+    "retired_physicals", "value_index",
+)
+
+
+def _three_way(fork_val, branch_val, main_val, what: str):
+    """Classic three-way resolution on one opaque value: untouched on
+    the branch keeps main's; untouched (or identically changed) on
+    main takes the branch's; changed differently on both refuses."""
+    if branch_val == fork_val:
+        return main_val
+    if main_val == fork_val or main_val == branch_val:
+        return branch_val
+    raise MergeConflict(
+        f"merge refused: {what} changed on BOTH the branch and main "
+        "since the fork — re-branch from the current version and "
+        "replay"
+    )
+
+
+def versioned_merge_branch(
+    path: str, name: str, *,
+    drop: bool = False,
+    key: str | None = None,
+    lock_timeout_s: float = 600.0,
+    max_retries: int = 5,
+) -> int:
+    """THREE-WAY MERGE branch ``name`` into main when both have
+    advanced since the fork — the general case :func:`versioned_publish`
+    (fast-forward only) refuses. Git/Nessie semantics at FILE
+    granularity: the branch's delta since its fork point (files added,
+    files removed, entries changed — deletion vectors included) is
+    replayed onto main's CURRENT manifest, and any file or table
+    property that changed differently on both sides raises
+    :class:`MergeConflict` loudly. Nothing is ever combined silently:
+
+    - a file the branch removed or rewrote must be byte-identical on
+      main to its fork state (or already carry the branch's exact
+      change, from an earlier publish/merge of this same branch —
+      then it is a no-op). Main having compacted, deleted from, or
+      rewritten that file is a conflict: serial order would have
+      required the branch's change to target the NEW file.
+    - files only MAIN touched since the fork carry through untouched —
+      that is the point of the merge.
+    - appends commute: files added on the branch link into main's pool
+      and join the manifest. Pass ``key`` to additionally require the
+      branch's added/changed files PROVABLY key-disjoint (by footer
+      stats) from files main added since the fork — the upsert-grade
+      guarantee; without it the merge is file-level (two appends of
+      the same logical key both survive, exactly like two
+      :func:`versioned_append` writers).
+    - schema and the governed table properties (CHECK constraints,
+      partition layout + spec history, rename/drop ledger, value-index
+      config) resolve three-way; changed-on-both refuses. A constraint
+      ADDED on main since the fork always refuses — the branch's rows
+      were never validated against it.
+
+    The merge itself is pure driver-side manifest arithmetic plus
+    O(new files) hard links and one kilobyte CAS commit
+    (``op=merge_branch``) — no Spark job, zero row bytes copied, any
+    table size. A lost commit race re-derives against the new latest
+    (conflict rules re-checked) up to ``max_retries`` times. After the
+    merge the branch is left unpublishable (main now holds changes the
+    branch lacks — record says ``merged_version``); keep staging ONLY
+    appends for repeat merges, or pass ``drop=True`` / re-branch.
+
+    The merge commit has no recorded CDC sidecars, so the change feed
+    serves it via the keyed snapshot-diff fallback like any
+    publish_branch commit. (Delta/Iceberg have no branch merge; the
+    file-level contract here matches lakeFS's merge and Nessie's
+    content-key conflict detection, one level finer.)"""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    refs = table_refs(path, version=committed)
+    entry = refs.get(name)
+    if entry is None:
+        raise KeyError(f"no ref named {name!r} at {path}")
+    if entry["type"] != "branch":
+        raise ValueError(f"ref {name!r} at {path} is a tag, not a branch")
+    fork_v = int(entry["fork_version"])
+    bdir = branch_path(path, name)
+    bv = latest_version(bdir)
+    if bv is None:
+        raise FileNotFoundError(
+            f"branch {name!r} at {path} has no committed version"
+        )
+    try:
+        fork_man = _read_manifest(path, fork_v)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"fork version {fork_v} at {path} has been vacuumed — the "
+            f"merge base for branch {name!r} is gone; re-branch from "
+            "the current version and replay"
+        )
+    bman = _read_manifest(bdir, bv)
+    fork_by = {e["path"]: e for e in fork_man["files"]}
+    b_by = {e["path"]: e for e in bman["files"]}
+    b_removed = [p for p in fork_by if p not in b_by]
+    b_changed = {
+        p: e for p, e in b_by.items()
+        if p in fork_by and e != fork_by[p]
+    }
+    b_added = {p: e for p, e in b_by.items() if p not in fork_by}
+
+    # branch-side property/schema values are fixed for the whole retry
+    # loop; main's side re-reads each attempt
+    b_props = {
+        prop: snapshot_meta(bdir, prop, version=bv)
+        for prop in _MERGE_PROPS
+    }
+    f_props = {
+        prop: snapshot_meta(path, prop, version=fork_v)
+        for prop in _MERGE_PROPS
+    }
+
+    def _key_interval(e: dict):
+        st = (e.get("stats") or {}).get(key)
+        if st is None:
+            return None
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None or _stat_nan(mn) or _stat_nan(mx):
+            return None
+        return (mn, mx)
+
+    last: CommitConflict | None = None
+    for _ in range(max_retries):
+        latest = latest_version(path)
+        man_l = _read_manifest(path, latest)
+        l_by = {e["path"]: e for e in man_l["files"]}
+
+        # --- schema + governed properties, three-way -----------------
+        schema_json = _three_way(
+            fork_man["schema"], bman["schema"], man_l["schema"],
+            "the table schema",
+        )
+        meta_props: dict[str, str] = {}
+        for prop in _MERGE_PROPS:
+            m_val = snapshot_meta(path, prop, version=latest)
+            merged = _three_way(
+                f_props[prop], b_props[prop], m_val,
+                f"table property {prop!r}",
+            )
+            if (
+                prop == "constraints"
+                and m_val != f_props[prop]
+                and b_props[prop] == f_props[prop]
+            ):
+                # main added/changed CHECK constraints after the fork
+                # and the branch never saw them: the branch's staged
+                # rows were never validated, so carrying them through
+                # would smuggle unvalidated data past the constraint.
+                # (If the branch carries main's exact constraints, its
+                # own commits validated against them — the same trust
+                # versioned_publish extends.)
+                raise MergeConflict(
+                    "merge refused: main's CHECK constraints changed "
+                    f"since fork v{fork_v} — the branch's rows were "
+                    "never validated against them; re-branch and replay"
+                )
+            if merged is not None:
+                meta_props[prop] = merged
+
+        # --- file-level three-way -------------------------------------
+        out_by = dict(l_by)
+        to_link: list[dict] = []
+        for p in b_removed:
+            cur = l_by.get(p)
+            if cur is None:
+                raise MergeConflict(
+                    f"merge refused: file {p} was removed on the branch "
+                    "AND is gone from main (compacted, deleted, or "
+                    "merged before) — whether the two removals agree is "
+                    "undecidable at file level; re-branch and replay"
+                )
+            if cur != fork_by[p]:
+                raise MergeConflict(
+                    f"merge refused: file {p} was removed on the branch "
+                    "but changed on main since the fork"
+                )
+            del out_by[p]
+        for p, be in b_changed.items():
+            cur = l_by.get(p)
+            if cur == be:
+                continue  # main already carries this exact change
+            if cur != fork_by[p]:
+                raise MergeConflict(
+                    f"merge refused: file {p} changed on BOTH the "
+                    "branch and main since the fork"
+                )
+            out_by[p] = be
+            to_link.append(be)
+        for p, be in b_added.items():
+            cur = l_by.get(p)
+            if cur == be:
+                continue  # already published/merged
+            if cur is not None:
+                raise MergeConflict(
+                    f"merge refused: file {p} exists on main with a "
+                    "different entry"
+                )
+            out_by[p] = be
+            to_link.append(be)
+
+        # --- optional upsert-grade key disjointness -------------------
+        if key is not None:
+            m_delta = [
+                e for p, e in l_by.items()
+                if fork_by.get(p) != e  # added or changed on main
+            ]
+            def _live_rows(e: dict) -> int:
+                return int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
+
+            for be in list(b_changed.values()) + list(b_added.values()):
+                if _live_rows(be) == 0:
+                    continue  # provably holds no keys
+                bi = _key_interval(be)
+                if bi is None:
+                    raise MergeConflict(
+                        f"merge refused: branch file {be['path']} has "
+                        f"no usable footer stats on key {key!r} — "
+                        "disjointness unprovable"
+                    )
+                for me in m_delta:
+                    if _live_rows(me) == 0:
+                        continue
+                    mi = _key_interval(me)
+                    if mi is None or not (bi[1] < mi[0] or bi[0] > mi[1]):
+                        raise MergeConflict(
+                            "merge refused: branch file "
+                            f"{be['path']} and main file {me['path']} "
+                            f"may share keys on {key!r}"
+                        )
+
+        # --- pool links for the branch's new bytes --------------------
+        for be in to_link:
+            for rel in [be["path"], *be.get("dv_files", [])]:
+                dst_f = os.path.join(path, rel)
+                if os.path.exists(dst_f):
+                    continue
+                src_f = os.path.join(bdir, rel)
+                os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+                try:
+                    os.link(src_f, dst_f)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"branch {name!r} references vacuumed file "
+                        f"{rel}; the branch is unmergeable"
+                    )
+                except OSError:
+                    shutil.copy(src_f, dst_f)
+                # same vacuum-age hazard as versioned_publish: linked
+                # entries inherit the branch file's old mtime — freshen
+                # so the age gate holds in the pre-commit window
+                _freshen(dst_f)
+
+        new_refs = dict(table_refs(path, version=latest))
+        if name not in new_refs:
+            raise MergeConflict(
+                f"merge refused: branch {name!r} was dropped concurrently"
+            )
+        if drop:
+            del new_refs[name]
+        else:
+            new_refs[name] = {
+                **new_refs[name],
+                # main now holds changes the branch lacks: a later
+                # publish would revert them, so the branch is no longer
+                # fast-forwardable. fork_version stays — repeat merges
+                # of further APPENDS three-way against the same base.
+                "base_version": None,
+                "merged_version": latest + 1,
+                "merged_ts": repr(time.time()),
+            }
+        commit_meta: dict[str, str] = {
+            "op": "merge_branch", "branch": name,
+            "branch_version": str(bv),
+            "merge_base_version": str(fork_v),
+            "refs": json.dumps(new_refs),
+            **meta_props,
+        }
+        entries = sorted(out_by.values(), key=lambda e: e["path"])
+        tomb = _retire_branch_dir(path, name) if drop else None
+        try:
+            return _commit_manifest(
+                path, schema_json, entries, commit_meta,
+                latest, lock_timeout_s,
+            )
+        except MergeConflict:
+            if tomb is not None:
+                os.replace(tomb, bdir)
+            raise
+        except CommitConflict as e:  # raced — re-derive on the new latest
+            if tomb is not None:
+                os.replace(tomb, bdir)
+            last = e
+            continue
+        except BaseException:
+            if tomb is not None:
+                os.replace(tomb, bdir)
+            raise
+        finally:
+            if tomb is not None and not os.path.isdir(bdir):
+                shutil.rmtree(tomb, ignore_errors=True)
+    raise CommitConflict(
+        f"merge of branch {name!r} at {path} lost {max_retries} "
+        f"commit races; last: {last}"
+    )
+
+
 def versioned_change_feed(
     spark: SparkSession,
     path: str,
