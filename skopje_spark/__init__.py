@@ -86,6 +86,7 @@ from skopje_spark.sinks.versioned import (
     versioned_partitions,
     versioned_merge,
     versioned_merge_branch,
+    versioned_meta,
     versioned_merge_concurrent,
     versioned_publish,
     versioned_read,
@@ -200,6 +201,7 @@ __all__ = [
     "versioned_partitions",
     "versioned_merge",
     "versioned_merge_branch",
+    "versioned_meta",
     "versioned_merge_concurrent",
     "versioned_publish",
     "versioned_read",

@@ -3714,3 +3714,82 @@ def q_versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("carried_verbatim", F.lit(bool(carried_verbatim)))
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_versioned_meta_tables",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS meta_consistent,
+           TRUE AS history_ok
+    FROM lineitem
+    WHERE NOT (l_quantity < 5)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("versioned", "metadata", "lakeops"),
+)
+def q_versioned_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable metadata tables under the driver gate
+    (sinks/versioned.py:versioned_meta — Iceberg's ``t$files``/
+    ``t$partitions`` idea). Lineitem is committed partitioned by
+    l_returnflag, a DV-delete knocks out the ``l_quantity < 5`` slice,
+    and the per-partition row counts are answered from the PARTITIONS
+    metadata table — kilobyte manifest folds, zero data files opened —
+    while the oracle recounts the surviving rows from raw data. Hash
+    equality proves the manifest's DV-adjusted aggregates exact.
+    ``meta_consistent`` cross-checks the three metadata surfaces
+    against each other (files-tier live_rows fold == partitions-tier
+    n_rows per partition, total == versioned_count); ``history_ok``
+    pins the commit chain (write then delete) in the HISTORY table.
+
+    Scale: "how many live rows per partition after deletes" on a
+    100 TB table is a metadata read — the exact query a retention
+    dashboard polls every minute."""
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_count,
+        versioned_delete,
+        versioned_meta,
+        versioned_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_meta_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(li, path, partition_by=["l_returnflag"])
+    versioned_delete(spark, path, "l_quantity < 5")
+    parts = versioned_meta(spark, path, "partitions").collect()
+    files = versioned_meta(spark, path, "files").collect()
+    by_part: dict[str, int] = {}
+    for r in files:
+        g = _json.loads(r["partition"])["l_returnflag"]
+        by_part[g] = by_part.get(g, 0) + r["live_rows"]
+    meta_consistent = (
+        {r["l_returnflag"]: r["n_rows"] for r in parts} == by_part
+        and sum(by_part.values()) == versioned_count(path)
+        and all(r["n_files"] >= 1 for r in parts)
+    )
+    hist = versioned_meta(spark, path, "history").collect()
+    ops = [_json.loads(r["meta"]).get("op") for r in hist]
+    history_ok = (
+        [r["version"] for r in hist] == [0, 1]
+        and ops[1] == "delete"
+        and hist[1]["is_latest"]
+    )
+    return spark.createDataFrame(
+        [
+            (r["l_returnflag"], int(r["n_rows"]), bool(meta_consistent),
+             bool(history_ok))
+            for r in sorted(parts, key=lambda r: r["l_returnflag"])
+        ],
+        "l_returnflag string, n_rows long, meta_consistent boolean, "
+        "history_ok boolean",
+    ).orderBy("l_returnflag")

@@ -7834,6 +7834,133 @@ def maintenance_report(
     return report
 
 
+def versioned_meta(
+    spark: SparkSession, path: str, kind: str, *,
+    version: int | None = None,
+) -> DataFrame:
+    """The table's METADATA as queryable DataFrames — Iceberg's
+    ``t$files``-style metadata tables, served straight from the
+    manifest with NO Spark job over data (driver-side kilobyte reads,
+    then one ``createDataFrame`` of metadata rows). Kinds:
+
+    - ``"files"``: one row per manifest entry — ``path``, ``bytes``,
+      ``rows``, ``dv_rows``, ``live_rows`` (DV-adjusted), ``n_dv_files``,
+      ``partition`` (JSON object, ``{}`` when unpartitioned) and
+      ``stats`` (the entry's per-column footer stats, JSON with sorted
+      keys). The audit surface for layout work: file-size skew,
+      DV debt per file, clustering quality.
+    - ``"partitions"``: SHOW PARTITIONS as a frame — one row per
+      distinct tuple with the transform TARGETS as string columns plus
+      exact ``n_files``/``n_bytes``/``n_rows`` (O(segments) via the
+      carried per-ref aggregates, like :func:`versioned_partitions`).
+    - ``"refs"``: one row per named ref — ``name``, ``type``,
+      ``version`` (tags), ``fork_version``/``base_version``/
+      ``merged_version`` (branches), ``detail`` (full entry, JSON).
+    - ``"history"``: :func:`versioned_history` with row counts.
+
+    ``version`` pins any kind to a committed snapshot (refs and
+    history reflect the properties/commits as of that version).
+
+    Scale: every kind is O(manifest metadata) however large the table —
+    the 100 TB answer to "what files back partition X and how much DV
+    debt do they carry" costs kilobytes, not a listing."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = committed if version is None else version
+    if v > committed:
+        raise FileNotFoundError(
+            f"version {v} at {path} is not committed (latest: {committed})"
+        )
+    if kind == "files":
+        man = _read_manifest(path, v)
+        rows = [
+            (
+                e["path"],
+                int(e.get("bytes", 0)),
+                int(e.get("rows", 0)),
+                int(e.get("dv_rows", 0)),
+                int(e.get("rows", 0)) - int(e.get("dv_rows", 0)),
+                len(e.get("dv_files", [])),
+                json.dumps(e.get("partition") or {}, sort_keys=True),
+                json.dumps(e.get("stats") or {}, sort_keys=True),
+            )
+            for e in man["files"]
+        ]
+        schema = StructType([
+            StructField("path", StringType()),
+            StructField("bytes", LongType()),
+            StructField("rows", LongType()),
+            StructField("dv_rows", LongType()),
+            StructField("live_rows", LongType()),
+            StructField("n_dv_files", IntegerType()),
+            StructField("partition", StringType()),
+            StructField("stats", StringType()),
+        ])
+        return spark.createDataFrame(rows, schema).orderBy("path")
+    if kind == "partitions":
+        parts = versioned_partitions(path, version=v)
+        targets = [
+            t for t, _, _ in _parse_partition_spec(
+                table_partitioning(path, version=v)
+            )
+        ]
+        schema = StructType(
+            [StructField(t, StringType()) for t in targets]
+            + [
+                StructField("n_files", LongType()),
+                StructField("n_bytes", LongType()),
+                StructField("n_rows", LongType()),
+            ]
+        )
+        rows = [
+            tuple(
+                [None if p[t] is None else str(p[t]) for t in targets]
+                + [int(p["n_files"]), int(p["n_bytes"]), int(p["n_rows"])]
+            )
+            for p in parts
+        ]
+        return spark.createDataFrame(rows, schema).orderBy(*targets)
+    if kind == "refs":
+        refs = table_refs(path, version=v)
+        schema = StructType([
+            StructField("name", StringType()),
+            StructField("type", StringType()),
+            StructField("version", IntegerType()),
+            StructField("fork_version", IntegerType()),
+            StructField("base_version", IntegerType()),
+            StructField("merged_version", IntegerType()),
+            StructField("detail", StringType()),
+        ])
+        rows = [
+            (
+                name,
+                e.get("type"),
+                e.get("version"),
+                e.get("fork_version"),
+                e.get("base_version"),
+                e.get("merged_version"),
+                json.dumps(e, sort_keys=True),
+            )
+            for name, e in sorted(refs.items())
+        ]
+        return spark.createDataFrame(rows, schema).orderBy("name")
+    if kind == "history":
+        return versioned_history(spark, path, with_counts=True)
+    raise ValueError(
+        f"unknown metadata table {kind!r} — "
+        "one of files, partitions, refs, history"
+    )
+
+
 def versioned_history(
     spark: SparkSession, path: str, *, with_counts: bool = False
 ) -> DataFrame:

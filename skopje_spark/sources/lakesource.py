@@ -1398,6 +1398,7 @@ def attach_versioned(
     version: int | None = None,
     as_of_ts: float | None = None,
     ref: str | None = None,
+    with_meta: bool = False,
 ) -> None:
     """Register a versioned table under a SQL name so the whole
     ``spark.sql`` surface — joins, CTEs, window functions, the entire
@@ -1414,7 +1415,16 @@ def attach_versioned(
 
     The attachment captures the snapshot resolution at call time the
     way the connector does (latest when unpinned is re-resolved per
-    query planning, since the view re-invokes the source)."""
+    query planning, since the view re-invokes the source).
+
+    ``with_meta=True`` additionally registers the table's METADATA
+    tables (``sinks/versioned.py:versioned_meta`` — Iceberg's
+    ``t$files`` idea, spelled ``<name>__files`` / ``__partitions`` /
+    ``__refs`` / ``__history`` since ``$`` is not a valid Spark view
+    name). Metadata views materialize the manifest AT ATTACH TIME
+    (kilobyte driver-side reads, pinned like a snapshot read);
+    re-attach to refresh. ``__partitions`` is skipped when the table
+    is unpartitioned."""
     from skopje_spark.sources.pysource import register_all
 
     register_all(spark)
@@ -1426,3 +1436,21 @@ def attach_versioned(
     if ref is not None:
         r = r.option("ref", ref)
     r.load().createOrReplaceTempView(name)
+    if with_meta:
+        from skopje_spark.sinks.versioned import (
+            _resolve_ref,
+            version_as_of_timestamp,
+            versioned_meta,
+        )
+
+        mpath, mv = path, version
+        if ref is not None:
+            mpath, mv = _resolve_ref(path, ref)
+        elif as_of_ts is not None:
+            mv = version_as_of_timestamp(path, as_of_ts)
+        for kind in ("files", "partitions", "refs", "history"):
+            try:
+                frame = versioned_meta(spark, mpath, kind, version=mv)
+            except ValueError:
+                continue  # unpartitioned: no __partitions view
+            frame.createOrReplaceTempView(f"{name}__{kind}")

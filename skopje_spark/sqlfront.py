@@ -36,8 +36,14 @@ a quoted path, or a name registered in the ``tables`` mapping;
 - ``ALTER TABLE <path> CREATE [OR REPLACE] TAG <name>
   [AS OF VERSION <n>]`` / ``ALTER TABLE <path> CREATE BRANCH <name>``
   / ``ALTER TABLE <path> DROP TAG|BRANCH|REF <name>`` /
-  ``ALTER TABLE <path> PUBLISH BRANCH <name> [AND DROP]`` — the named
-  refs tier (tags, branches, write-audit-publish) as DDL text.
+  ``ALTER TABLE <path> PUBLISH BRANCH <name> [AND DROP]`` /
+  ``ALTER TABLE <path> MERGE BRANCH <name> [AND DROP]`` — the named
+  refs tier (tags, branches, write-audit-publish, three-way merge)
+  as DDL text.
+- ``DESCRIBE HISTORY <path>`` / ``SHOW PARTITIONS <path>`` /
+  ``SHOW FILES <path>`` / ``SHOW REFS <path>`` — the metadata tables
+  (:func:`~skopje_spark.sinks.versioned.versioned_meta`); these
+  return the metadata DataFrame instead of a version number.
 
 Alias references in conditions and SET expressions are rewritten to
 the native operators' evaluation domain (target columns bare, source
@@ -141,11 +147,33 @@ def versioned_sql(
         return _ctas(spark, stmt, tables, kwargs)
     if head == "ALTER":
         return _alter_ref(stmt, tables, kwargs)
+    if head in ("DESCRIBE", "SHOW"):
+        return _meta_stmt(spark, stmt, tables, kwargs)
     raise ValueError(
         f"versioned_sql supports MERGE INTO / UPDATE / DELETE FROM / "
-        f"INSERT INTO / CREATE TABLE AS / ALTER TABLE refs; "
+        f"INSERT INTO / CREATE TABLE AS / ALTER TABLE refs / "
+        f"DESCRIBE HISTORY / SHOW PARTITIONS|FILES|REFS; "
         f"got {stmt[:60]!r}"
     )
+
+
+def _meta_stmt(spark, stmt, tables, kwargs):
+    """``DESCRIBE HISTORY t`` / ``SHOW PARTITIONS|FILES|REFS t`` —
+    the read-only metadata statements. These return a DataFrame (the
+    metadata table, :func:`~skopje_spark.sinks.versioned.versioned_meta`),
+    not a committed version number — they commit nothing."""
+    from skopje_spark.sinks.versioned import versioned_meta
+
+    m = re.match(
+        rf"(?:DESCRIBE{_WS}HISTORY|SHOW{_WS}(PARTITIONS|FILES|REFS))"
+        rf"{_WS}(\S+)$",
+        stmt, flags=re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"unparsable metadata statement: {stmt[:80]!r}")
+    kind = (m.group(1) or "history").lower()
+    path = _resolve_path(m.group(2), tables)
+    return versioned_meta(spark, path, kind, **kwargs)
 
 
 def _ctas(spark, stmt, tables, kwargs) -> int:
@@ -249,11 +277,20 @@ def _alter_ref(stmt, tables, kwargs) -> int:
         return versioned_publish(
             path, pm.group(1), drop=bool(pm.group(2)), **kwargs
         )
+    mm = re.match(
+        r"MERGE BRANCH (\S+)( AND DROP)?$", action, flags=re.IGNORECASE
+    )
+    if mm:
+        from skopje_spark.sinks.versioned import versioned_merge_branch
+
+        return versioned_merge_branch(
+            path, mm.group(1), drop=bool(mm.group(2)), **kwargs
+        )
     raise ValueError(
         f"unsupported ALTER TABLE action: {action[:60]!r} — supported: "
         "CREATE [OR REPLACE] TAG n [AS OF VERSION v], CREATE BRANCH n "
         "[AS OF VERSION v], DROP TAG|BRANCH|REF n, "
-        "PUBLISH BRANCH n [AND DROP]"
+        "PUBLISH BRANCH n [AND DROP], MERGE BRANCH n [AND DROP]"
     )
 
 
