@@ -89,6 +89,7 @@ from skopje_spark.sinks.versioned import (
     versioned_meta,
     versioned_merge_concurrent,
     versioned_publish,
+    versioned_purge,
     versioned_read,
     versioned_read_where,
     versioned_replace_where,
@@ -204,6 +205,7 @@ __all__ = [
     "versioned_meta",
     "versioned_merge_concurrent",
     "versioned_publish",
+    "versioned_purge",
     "versioned_read",
     "versioned_read_where",
     "versioned_replace_where",

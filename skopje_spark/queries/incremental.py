@@ -3793,3 +3793,97 @@ def q_versioned_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag string, n_rows long, meta_consistent boolean, "
         "history_ok boolean",
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q_versioned_dv_purge",
+    oracle="""
+    WITH bound AS (
+      SELECT CAST(MAX(l_orderkey) / 2 AS BIGINT) AS b FROM lineitem
+    )
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS purge_exact
+    FROM lineitem, bound
+    WHERE NOT (l_orderkey % 2 = 1 AND l_orderkey <= bound.b)
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("versioned", "purge", "maintenance", "lakeops"),
+)
+def q_versioned_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-debt purge under the driver gate
+    (sinks/versioned.py:versioned_purge — Iceberg's
+    rewrite_data_files delete-threshold / Delta's REORG ... APPLY
+    (PURGE)). Lineitem is committed range-clustered on l_orderkey, a
+    scattered DV-delete (odd keys in the lower half) loads ~50% debt
+    onto the low-key files while high-key files stay pristine, then
+    the purge rewrites EXACTLY the loaded files. The oracle recounts
+    the surviving rows from raw data — hash equality proves the
+    rewrite content-exact — and ``purge_exact`` proves the targeting
+    in-band: the removed entries are precisely the ≥-threshold set,
+    every carried entry is byte-identical, and every replacement file
+    carries zero deletion vectors.
+
+    Scale: merge-on-read deletes are O(vectors) at write time; this
+    is the read-amortization flip side priced right — a 100 TB table
+    that deleted 1% of rows scattered over 2% of files rewrites those
+    files only, decided by a kilobyte manifest fold."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        versioned_delete,
+        versioned_purge,
+        versioned_read,
+        versioned_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_purge_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        li.repartitionByRange(6, "l_orderkey").sortWithinPartitions(
+            "l_orderkey"
+        ),
+        path,
+    )
+    bound = li.agg((F.max("l_orderkey") / 2).cast("long")).first()[0]
+    versioned_delete(
+        spark, path,
+        f"pmod(l_orderkey, 2) = 1 AND l_orderkey <= {bound}",
+    )
+    v = latest_version(path)
+    pre = {e["path"]: e for e in _read_manifest(path, v)["files"]}
+    n = versioned_purge(spark, path, min_dv_ratio=0.1)
+    post = {e["path"]: e for e in _read_manifest(path, n)["files"]}
+    hot = {
+        p for p, e in pre.items()
+        if e.get("dv_rows", 0) and e["dv_rows"] / e["rows"] >= 0.1
+    }
+    new = {p: e for p, e in post.items() if p not in pre}
+    purge_exact = (
+        len(hot) >= 1
+        and all(p not in post for p in hot)
+        and all(post[p] == pre[p] for p in pre if p not in hot)
+        and all(not e.get("dv_files") for e in new.values())
+        and sum(e["rows"] for e in new.values())
+        == sum(e["rows"] - e.get("dv_rows", 0) for p, e in pre.items()
+               if p in hot)
+    )
+    return (
+        versioned_read(spark, path, version=n)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("purge_exact", F.lit(bool(purge_exact)))
+        .orderBy("l_linestatus")
+    )

@@ -7380,6 +7380,115 @@ def versioned_compact(
     )
 
 
+def versioned_purge(
+    spark: SparkSession,
+    path: str,
+    *,
+    min_dv_ratio: float = 0.1,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    guarded: bool = False,
+    lock_timeout_s: float = 600.0,
+) -> int:
+    """PURGE deletion-vector debt from exactly the files that carry
+    too much of it — Iceberg's ``rewrite_data_files`` with a
+    delete-file threshold / Delta's ``REORG TABLE ... APPLY (PURGE)``.
+    Merge-on-read DELETEs are the right write-side economics (zero
+    data files rewritten), but every subsequent read pays the
+    (file, position) anti-join for DV'd files; once a file's deleted
+    fraction crosses ``min_dv_ratio`` the rewrite pays for itself.
+    Three tiers, all decided from manifest arithmetic:
+
+    - files with ZERO live rows drop from the manifest outright — no
+      read, no write, their bytes await vacuum;
+    - files at or above ``min_dv_ratio`` are read DV-applied and
+      rewritten compacted (they shed their vectors and their dead
+      rows);
+    - everything else — including files below the threshold and all
+      pristine files — carries by identical entry, untouched.
+
+    Content-identical by construction (the rewrite reads exactly the
+    surviving rows); history and pinned readers untouched; partition
+    layout preserved (the rewrite re-fans per recorded tuple).
+    ``guarded=True`` compare-and-swaps on the source version — the
+    same compaction/ingest race contract as :func:`versioned_compact`.
+    Returns the new version (or the current one when nothing
+    qualifies — a clean table is a no-op, not an empty commit).
+
+    Scale: a 100 TB table that deleted 1% of rows scattered across 2%
+    of its files rewrites those files only — O(affected bytes), not
+    O(table) — and the decision costs one kilobyte manifest fold."""
+    import math
+
+    from pyspark.sql.types import StructType
+
+    if not 0.0 < min_dv_ratio <= 1.0:
+        raise ValueError(f"min_dv_ratio must be in (0, 1]: {min_dv_ratio}")
+    v = latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    man = _read_manifest(path, v)
+    dead: list[dict] = []
+    covered: list[dict] = []
+    carried: list[dict] = []
+    for e in man["files"]:
+        rows = int(e.get("rows", 0))
+        dv = int(e.get("dv_rows", 0))
+        if rows and dv >= rows:
+            dead.append(e)
+        elif rows and dv and dv / rows >= min_dv_ratio:
+            covered.append(e)
+        else:
+            carried.append(e)
+    if not dead and not covered:
+        return v
+    new_entries: list[dict] = []
+    if covered:
+        schema = StructType.fromJson(man["schema"])
+        mapping = _schema_mapping(schema)
+        spec = table_partitioning(path, version=v)
+        cur = _read_entries(spark, path, covered, schema)
+        # live-byte estimate sizes the rewrite (dead rows won't come back)
+        live_bytes = sum(
+            int(e["bytes"])
+            * (int(e["rows"]) - int(e.get("dv_rows", 0)))
+            // max(1, int(e["rows"]))
+            for e in covered
+        )
+        target_files = max(1, math.ceil(live_bytes / target_file_bytes))
+        n_parts = cur.rdd.getNumPartitions()
+        out = (
+            cur.coalesce(target_files)
+            if target_files <= n_parts
+            else cur.repartition(target_files)
+        )
+        fpp = 1
+        if spec:
+            tgts = {
+                tuple(
+                    (e.get("partition") or {}).get(t)
+                    for t, _, _ in _parse_partition_spec(spec)
+                )
+                for e in covered
+            }
+            fpp = max(1, target_files // max(1, len(tgts)))
+        new_entries = _stage_data_files(
+            out, path, mapping,
+            partition_by=spec or None, files_per_partition=fpp,
+        )
+    commit_meta = {
+        "op": "compact",  # content-motion only: feed/IVM treat it as such
+        "source_version": str(v),
+        "purge_min_dv_ratio": repr(float(min_dv_ratio)),
+        "n_files_purged": str(len(covered)),
+        "n_files_dropped": str(len(dead)),
+        "n_files_carried": str(len(carried)),
+    }
+    return _commit_manifest(
+        path, man["schema"], carried + new_entries, commit_meta,
+        v if guarded else _UNGUARDED, lock_timeout_s,
+    )
+
+
 def versioned_ivm_view(
     spark: SparkSession,
     base_path: str,
