@@ -82,6 +82,7 @@ from skopje_spark.sinks.versioned import (
     versioned_delete,
     versioned_drop_column,
     versioned_drop_ref,
+    versioned_export_manifest,
     versioned_history,
     versioned_partitions,
     versioned_merge,
@@ -198,6 +199,7 @@ __all__ = [
     "versioned_delete",
     "versioned_drop_column",
     "versioned_drop_ref",
+    "versioned_export_manifest",
     "versioned_history",
     "versioned_partitions",
     "versioned_merge",

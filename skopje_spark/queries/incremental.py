@@ -3887,3 +3887,83 @@ def q_versioned_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("purge_exact", F.lit(bool(purge_exact)))
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q_versioned_export_reads",
+    oracle="""
+    SELECT CAST(o_orderkey % 5 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS dv_refused, TRUE AS export_exact
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 3)
+    GROUP BY CAST(o_orderkey % 5 AS INTEGER)
+    ORDER BY bucket
+    """,
+    tags=("versioned", "export", "interop", "lakeops"),
+)
+def q_versioned_export_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot export for external engines under the driver gate
+    (sinks/versioned.py:versioned_export_manifest — Delta's
+    symlink-format-manifest idea). Orders are committed, a DV-delete
+    knocks out one bucket, the export correctly REFUSES the DV'd
+    snapshot (``dv_refused`` — external readers would resurrect the
+    deleted rows), the debt is purged, and the export of the clean
+    version is then read back through the PLAIN FILE LIST with a
+    stock parquet scan — no store code in the read path. The oracle
+    recomputes the same aggregate from raw orders, so hash equality
+    proves the exported list IS the snapshot; ``export_exact`` pins
+    list == manifest election file-for-file. (The pytest suite
+    additionally reads the same export with DuckDB — a real second
+    engine.)
+
+    Scale: the export is O(files) driver-side text; handing a 100 TB
+    training snapshot to a reader with no lake client costs a
+    manifest walk, not a copy."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        versioned_delete,
+        versioned_export_manifest,
+        versioned_purge,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="skopje_export_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.repartition(4), path)
+    versioned_delete(spark, path, "pmod(o_orderkey, 10) = 3")
+    try:
+        versioned_export_manifest(path)
+        dv_refused = False
+    except ValueError:
+        dv_refused = True
+    v = versioned_purge(spark, path, min_dv_ratio=1e-9)
+    res = versioned_export_manifest(path, version=v)
+    with open(res["manifest_path"]) as f:
+        files = [ln for ln in f.read().splitlines() if ln]
+    man_files = sorted(
+        _os.path.abspath(_os.path.join(path, e["path"]))
+        for e in _read_manifest(path, v)["files"]
+    )
+    export_exact = files == man_files and res["n_files"] == len(man_files)
+    # stock parquet scan over the exported list — no store code
+    ext = spark.read.parquet(*files)
+    return (
+        ext.groupBy(
+            (F.col("o_orderkey") % 5).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("dv_refused", F.lit(bool(dv_refused)))
+        .withColumn("export_exact", F.lit(bool(export_exact)))
+        .orderBy("bucket")
+    )

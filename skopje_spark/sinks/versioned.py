@@ -6767,6 +6767,111 @@ def versioned_change_feed(
     return out
 
 
+def versioned_export_manifest(
+    path: str,
+    out_dir: str | None = None,
+    *,
+    version: int | None = None,
+    ref: str | None = None,
+) -> dict:
+    """Export a committed snapshot as a PLAIN FILE LIST any external
+    parquet reader can consume — Delta's symlink-format-manifest idea
+    (``GENERATE symlink_format_manifest``): one ``manifest`` text file
+    of absolute parquet paths (sorted, one per line), plus — on a
+    partitioned table — one ``<target>=<value>/.../manifest`` per
+    partition tuple so engines that mount partition directories can
+    prune. DuckDB reads it as ``read_parquet([lines])``, Trino/Presto
+    via a symlink table, a shell script via ``xargs``.
+
+    EXACTNESS over convenience: the export refuses loudly when the
+    snapshot's parquet bytes alone do not equal its logical content —
+    any entry carrying deletion vectors (external readers would
+    resurrect deleted rows; run :func:`versioned_purge` with
+    ``min_dv_ratio`` ~0 or :func:`versioned_compact` first) or a
+    schema whose logical names differ from the physical parquet names
+    (post-rename; external readers would see physical names). A
+    refused export names the remediation.
+
+    Pure driver-side metadata: O(files) manifest arithmetic + one text
+    write, no Spark session, no data read. Returns ``{"version",
+    "n_files", "manifest_path"}``. The export is a point-in-time
+    artifact — it references pool files by absolute path and is NOT
+    vacuum-protected; tag the version (:func:`versioned_tag`) to pin
+    it."""
+    committed = latest_version(path)
+    if committed is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version or ref, not both")
+        rpath, v = _resolve_ref(path, ref)
+    else:
+        rpath = path
+        v = committed if version is None else version
+        if v > committed:
+            raise FileNotFoundError(
+                f"version {v} at {path} is not committed "
+                f"(latest: {committed})"
+            )
+    man = _read_manifest(rpath, v)
+    dv_files = [e["path"] for e in man["files"] if e.get("dv_files")]
+    if dv_files:
+        raise ValueError(
+            f"export refused: {len(dv_files)} file(s) carry deletion "
+            "vectors — external readers would resurrect deleted rows. "
+            "Materialize first (versioned_purge(min_dv_ratio=1e-9) or "
+            "versioned_compact), then export the new version."
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(man["schema"])
+    mapping = _schema_mapping(schema)
+    renamed = {n: p for n, p in mapping.items() if n != p}
+    if renamed:
+        raise ValueError(
+            "export refused: renamed column(s) "
+            f"{sorted(renamed)} serve logical names this store maps "
+            "from physical parquet names — external readers would see "
+            "the physical names. versioned_compact rewrites the data "
+            "under the logical names; export that version."
+        )
+    out = (
+        out_dir
+        if out_dir is not None
+        else os.path.join(rpath, "_exports", f"v={v}")
+    )
+    os.makedirs(out, exist_ok=True)
+    abs_paths = sorted(
+        os.path.abspath(os.path.join(rpath, e["path"]))
+        for e in man["files"]
+    )
+    flat = os.path.join(out, "manifest")
+    fd, tmp = tempfile.mkstemp(dir=out, prefix=".manifest-")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(abs_paths) + ("\n" if abs_paths else ""))
+    os.replace(tmp, flat)
+    spec = table_partitioning(rpath, version=v)
+    if spec:
+        targets = [t for t, _, _ in _parse_partition_spec(spec)]
+        by_tuple: dict[tuple, list[str]] = {}
+        for e in man["files"]:
+            part = e.get("partition") or {}
+            key = tuple(str(part.get(t)) for t in targets)
+            by_tuple.setdefault(key, []).append(
+                os.path.abspath(os.path.join(rpath, e["path"]))
+            )
+        for key, files in sorted(by_tuple.items()):
+            pdir = os.path.join(
+                out, *(f"{t}={val}" for t, val in zip(targets, key))
+            )
+            os.makedirs(pdir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".manifest-")
+            with os.fdopen(fd, "w") as f:
+                f.write("\n".join(sorted(files)) + "\n")
+            os.replace(tmp, os.path.join(pdir, "manifest"))
+    return {"version": v, "n_files": len(abs_paths), "manifest_path": flat}
+
+
 def versioned_replicate(
     spark: SparkSession,
     src_path: str,
