@@ -63,6 +63,7 @@ from skopje_spark.operators.similarity import (
     ivf_topk,
 )
 from skopje_spark.pipeline import Pipeline
+from skopje_spark.pipeline_live import LiveNode, LivePipeline
 from skopje_spark.session import get_spark
 from skopje_spark.sinks.versioned import (
     CommitConflict,
@@ -174,6 +175,8 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "token_count_bpe",
     "CommitConflict",
+    "LiveNode",
+    "LivePipeline",
     "MergeConflict",
     "apply_changelog_batch",
     "maintenance_report",

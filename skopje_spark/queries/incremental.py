@@ -3967,3 +3967,117 @@ def q_versioned_export_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("export_exact", F.lit(bool(export_exact)))
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_live_pipeline",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS delta_only, TRUE AS noop_ok, TRUE AS quarantine_ok
+    FROM orders
+    WHERE o_totalprice >= 5000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("pipeline", "incremental", "expectations", "lakeops"),
+)
+def q_live_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative incremental pipeline under the driver gate
+    (pipeline_live.py — the Delta-Live-Tables shape over this store's
+    change feeds + expectation ladder + CAS commits). A two-node DAG —
+    an append streaming table gated by an expectation (quarantining
+    cheap orders) feeding a replace materialized view — runs after an
+    initial ingest, again after an incremental ingest, and a third
+    time with nothing new. The oracle recomputes the final aggregate
+    closed-form from raw orders, so hash equality proves the
+    incremental path produced exactly the full-recompute answer.
+    In-band: ``delta_only`` proves the second run's append processed
+    exactly the second wave's admitted rows (cursor-in-commit
+    incremental reads, not a rescan), ``noop_ok`` proves the idle run
+    committed nothing, and ``quarantine_ok`` proves the quarantine
+    table holds exactly the violating rows with their violation
+    names.
+
+    Scale: each poll of a 100 TB curation DAG costs O(changes since
+    last run) native CDC scans per append node — the cursor rides the
+    node's own commit, so crash-replay is exactly-once with no side
+    checkpoint."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.pipeline_live import LiveNode, LivePipeline
+    from skopje_spark.sinks.versioned import (
+        latest_version,
+        versioned_append,
+        versioned_read,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="skopje_live_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, clean, agg = f"{root}/src", f"{root}/clean", f"{root}/agg"
+    versioned_write(o.filter("pmod(o_orderkey, 3) != 0"), src)
+    pipe = LivePipeline([
+        LiveNode(
+            name="clean",
+            target=clean,
+            inputs=[src],
+            transform=lambda s, f: f[src].withColumn(
+                "bucket", (F.col("o_orderkey") % 7).cast("int")
+            ),
+            expectations={"price_ok": "o_totalprice >= 5000.0"},
+            on_violation="quarantine",
+        ),
+        LiveNode(
+            name="agg",
+            target=agg,
+            inputs=["clean"],
+            transform=lambda s, f: f["clean"]
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            ),
+            mode="replace",
+        ),
+    ])
+    pipe.run(spark)
+    wave2 = o.filter("pmod(o_orderkey, 3) = 0")
+    versioned_append(spark, src, wave2, change_feed=True)
+    r2 = pipe.run(spark)
+    admitted2 = wave2.filter("o_totalprice >= 5000.0").count()
+    delta_only = (
+        r2["clean"]["action"] == "append"
+        and r2["clean"]["rows"] == admitted2
+    )
+    v_clean, v_agg = latest_version(clean), latest_version(agg)
+    r3 = pipe.run(spark)
+    noop_ok = (
+        r3["clean"]["action"] == "noop"
+        and latest_version(clean) == v_clean
+        and versioned_read(spark, agg).agg(F.sum("n")).first()[0]
+        == versioned_read(spark, clean).count()
+    )
+    quar = versioned_read(spark, f"{clean}_quarantine")
+    n_bad_expected = o.filter("o_totalprice < 5000.0").count()
+    quarantine_ok = (
+        quar.count() == n_bad_expected
+        and quar.filter(
+            ~F.array_contains("_violations", "price_ok")
+        ).count() == 0
+        and quar.filter("o_totalprice >= 5000.0").count() == 0
+    )
+    return (
+        versioned_read(spark, agg)
+        .select("o_orderpriority", "n", "key_sum")
+        .withColumn("delta_only", F.lit(bool(delta_only)))
+        .withColumn("noop_ok", F.lit(bool(noop_ok)))
+        .withColumn("quarantine_ok", F.lit(bool(quarantine_ok)))
+        .orderBy("o_orderpriority")
+    )

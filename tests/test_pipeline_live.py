@@ -1,0 +1,217 @@
+"""Unit tests: declarative incremental live pipelines
+(pipeline_live.py) — streaming-table append nodes fed by change
+feeds, materialized-view replace nodes, expectation gating, and the
+exactly-once cursor-in-commit contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from skopje_spark.pipeline_live import LiveNode, LivePipeline
+from skopje_spark.sinks.versioned import (
+    latest_version,
+    snapshot_meta,
+    versioned_append,
+    versioned_delete,
+    versioned_read,
+    versioned_write,
+)
+
+
+def _ingest(spark, path, lo, hi, feed=True):
+    df = spark.range(lo, hi).selectExpr(
+        "CAST(id AS INT) AS k",
+        "CAST(id % 3 AS INT) AS g",
+        "CAST(id * 2.0 AS DOUBLE) AS x",
+    )
+    if latest_version(path) is None:
+        return versioned_write(df, path)
+    return versioned_append(spark, path, df, change_feed=feed)
+
+
+def _clean_node(src, tgt, **kw):
+    return LiveNode(
+        name="clean",
+        target=tgt,
+        inputs=[src],
+        transform=lambda spark, f: f[src].withColumn(
+            "x2", F.col("x") * 2
+        ),
+        mode="append",
+        **kw,
+    )
+
+
+def test_two_node_incremental_run(spark, tmp_path):
+    src = str(tmp_path / "src")
+    clean = str(tmp_path / "clean")
+    agg = str(tmp_path / "agg")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([
+        _clean_node(src, clean),
+        LiveNode(
+            name="agg",
+            target=agg,
+            inputs=["clean"],
+            transform=lambda spark, f: f["clean"]
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x2").alias("sx")),
+            mode="replace",
+            input_keys={"clean": ["k"]},
+        ),
+    ])
+    r1 = pipe.run(spark)
+    assert r1["clean"]["action"] == "build"
+    assert versioned_read(spark, clean).count() == 10
+    assert {row["n"] for row in versioned_read(spark, agg).collect()} == {3, 4}
+    # second ingest: only the delta flows through the append node
+    _ingest(spark, src, 10, 16)
+    r2 = pipe.run(spark)
+    assert r2["clean"]["action"] == "append"
+    assert r2["clean"]["cursors"][src] == latest_version(src)
+    assert versioned_read(spark, clean).count() == 16
+    total = versioned_read(spark, agg).agg(F.sum("n")).first()[0]
+    assert total == 16
+    # no new input: both nodes no-op (exactly-once, no empty commits)
+    v_clean, v_agg = latest_version(clean), latest_version(agg)
+    r3 = pipe.run(spark)
+    assert r3["clean"]["action"] == "noop"
+    assert latest_version(clean) == v_clean
+    # replace nodes recompute only when... they always recompute;
+    # content is unchanged either way
+    assert versioned_read(spark, agg).agg(F.sum("n")).first()[0] == 16
+
+
+def test_append_node_delta_is_only_new_rows(spark, tmp_path):
+    """The second run's transform sees ONLY the new rows — proven by a
+    transform that would produce different output on a rescan."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 5)
+    seen = []
+
+    def spy(spark_, f):
+        rows = sorted(r["k"] for r in f[src].select("k").collect())
+        seen.append(rows)
+        return f[src]
+
+    pipe = LivePipeline([
+        LiveNode(name="n", target=tgt, inputs=[src], transform=spy)
+    ])
+    pipe.run(spark)
+    _ingest(spark, src, 5, 8)
+    pipe.run(spark)
+    assert seen[0] == [0, 1, 2, 3, 4]
+    assert seen[1] == [5, 6, 7]
+
+
+def test_append_node_refuses_upstream_deletes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([_clean_node(src, tgt, input_keys={src: ["k"]})])
+    pipe.run(spark)
+    versioned_delete(spark, src, "k = 3", change_feed=True)
+    with pytest.raises(ValueError, match="cannot fold"):
+        pipe.run(spark)
+
+
+def test_expectations_quarantine_on_append_node(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([
+        _clean_node(
+            src, tgt,
+            expectations={"k_small": "k < 8", "g_ok": "g IS NOT NULL"},
+        )
+    ])
+    pipe.run(spark)
+    assert versioned_read(spark, tgt).count() == 8
+    q = versioned_read(spark, f"{tgt}_quarantine")
+    assert {r["k"] for r in q.collect()} == {8, 9}
+    assert q.columns[-1] == "_violations"
+    # violation counts ride the node commit
+    rec = json.loads(snapshot_meta(tgt, "expectations",
+                                   version=latest_version(tgt)))
+    assert rec["k_small"]["violations"] == 2
+    # incremental run quarantines only new offenders
+    _ingest(spark, src, 10, 12)
+    pipe.run(spark)
+    assert versioned_read(spark, f"{tgt}_quarantine").count() == 4
+
+
+def test_expectations_fail_mode_commits_nothing(spark, tmp_path):
+    from skopje_spark.sinks.expect import ExpectationViolation
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([
+        _clean_node(
+            src, tgt,
+            expectations={"k_small": "k < 8"}, on_violation="fail",
+        )
+    ])
+    with pytest.raises(ExpectationViolation):
+        pipe.run(spark)
+    assert latest_version(tgt) is None
+
+
+def test_static_input_does_not_trigger(spark, tmp_path):
+    """Stream-static join: a dimension update neither reprocesses
+    history nor triggers a run by itself."""
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 5)
+    versioned_write(
+        spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["g", "lab"]),
+        dim,
+    )
+    pipe = LivePipeline([
+        LiveNode(
+            name="j", target=tgt, inputs=[src], static_inputs=[dim],
+            transform=lambda s, f: f[src].join(
+                F.broadcast(f[dim]), "g", "left"
+            ),
+        )
+    ])
+    pipe.run(spark)
+    assert versioned_read(spark, tgt).filter("lab IS NULL").count() == 0
+    v = latest_version(tgt)
+    # dim-only change: no streamed input advanced → noop
+    versioned_write(
+        spark.createDataFrame([(0, "A"), (1, "B"), (2, "C")], ["g", "lab"]),
+        dim,
+    )
+    r = pipe.run(spark)
+    assert r["j"]["action"] == "noop" and latest_version(tgt) == v
+    # new facts join against the CURRENT dim
+    _ingest(spark, src, 5, 6)
+    pipe.run(spark)
+    labs = {
+        r["lab"]
+        for r in versioned_read(spark, tgt).filter("k = 5").collect()
+    }
+    assert labs == {"C"}  # k=5 → g=2 → new dim value
+
+
+def test_cycle_and_validation_errors(spark, tmp_path):
+    with pytest.raises(ValueError, match="cycle"):
+        LivePipeline([
+            LiveNode(name="a", target="x", inputs=["b"],
+                     transform=lambda s, f: None),
+            LiveNode(name="b", target="y", inputs=["a"],
+                     transform=lambda s, f: None),
+        ])
+    with pytest.raises(ValueError, match="no inputs"):
+        LiveNode(name="a", target="x", inputs=[],
+                 transform=lambda s, f: None)
+    with pytest.raises(ValueError, match="mode"):
+        LiveNode(name="a", target="x", inputs=["s"], mode="upsert",
+                 transform=lambda s, f: None)
