@@ -250,3 +250,71 @@ def test_merge_tag_and_missing_ref_errors(spark, tmp_path):
         versioned_merge_branch(path, "rel")
     with pytest.raises(KeyError):
         versioned_merge_branch(path, "nope")
+
+
+def test_merge_rederives_after_lost_commit_race(spark, tmp_path, monkeypatch):
+    """A commit landing on main between the merge's read and its CAS
+    loses the race loudly inside _commit_manifest; the retry loop
+    re-derives against the new latest and the merged result carries
+    BOTH the racer's append and the branch delta."""
+    import skopje_spark.sinks.versioned as V
+
+    path = str(tmp_path / "t")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "b1")
+    versioned_append(spark, bdir, _kv(spark, [(2, "b")]))
+    versioned_append(spark, path, _kv(spark, [(3, "m")]))
+
+    real_commit = V._commit_manifest
+    fired = {"n": 0}
+
+    def racing(path_, schema, entries, meta, expected, lock, **kw):
+        if (
+            meta.get("op") == "merge_branch"
+            and path_ == path
+            and fired["n"] == 0
+        ):
+            fired["n"] = 1
+            # the racer's append lands first — the merge's CAS must lose
+            versioned_append(spark, path, _kv(spark, [(4, "race")]))
+        return real_commit(path_, schema, entries, meta, expected, lock,
+                           **kw)
+
+    monkeypatch.setattr(V, "_commit_manifest", racing)
+    versioned_merge_branch(path, "b1")
+    assert fired["n"] == 1
+    assert _state(spark, path) == {
+        (1, "a"), (2, "b"), (3, "m"), (4, "race"),
+    }
+
+
+def test_merge_race_with_conflicting_change_refuses(spark, tmp_path,
+                                                    monkeypatch):
+    """Same race, but the interleaved commit CONFLICTS (it DVs the file
+    the branch also changed): the re-derivation refuses loudly instead
+    of silently dropping either side."""
+    import skopje_spark.sinks.versioned as V
+
+    path = str(tmp_path / "t")
+    versioned_write(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1), path)
+    bdir = versioned_branch(path, "b1")
+    versioned_delete(spark, bdir, "k = 1")
+
+    real_commit = V._commit_manifest
+    fired = {"n": 0}
+
+    def racing(path_, schema, entries, meta, expected, lock, **kw):
+        if (
+            meta.get("op") == "merge_branch"
+            and path_ == path
+            and fired["n"] == 0
+        ):
+            fired["n"] = 1
+            versioned_delete(spark, path, "k = 2")  # same single file
+        return real_commit(path_, schema, entries, meta, expected, lock,
+                           **kw)
+
+    monkeypatch.setattr(V, "_commit_manifest", racing)
+    with pytest.raises(MergeConflict, match="BOTH"):
+        versioned_merge_branch(path, "b1")
+    assert _state(spark, path) == {(1, "a")}  # racer's delete won; branch's didn't leak
