@@ -19,6 +19,14 @@ inputs (other nodes' targets, or external versioned tables):
   aggregates); cost is the recompute. (For grouped aggregates the
   store's :func:`~skopje_spark.sinks.versioned.versioned_ivm_view`
   folds incrementally instead — use it directly when the shape fits.)
+- ``mode="upsert"`` — APPLY CHANGES (DLT's ``apply_changes`` / SCD
+  type 1): one streaming input, ``keys`` required. Each run reduces
+  the input's feed range to the FINAL action per key (a key inserted
+  then updated then deleted nets to its last action), row-wise
+  transforms the surviving rows, MERGEs them by key, and key-frame
+  DV-deletes the net-deleted keys. The transform must preserve the
+  key columns. Replay after a crash re-applies the same range — both
+  apply steps are idempotent by key, the replicate argument.
 
 ``static_inputs`` are read FULL at their current latest and do not
 gate recomputation — the stream-static join semantic (a dimension
@@ -67,7 +75,7 @@ from skopje_spark.sinks.versioned import (
 
 __all__ = ["LiveNode", "LivePipeline"]
 
-_MODES = ("append", "replace")
+_MODES = ("append", "replace", "upsert")
 _CURSORS_KEY = "live_cursors"
 
 
@@ -84,6 +92,7 @@ class LiveNode:
     inputs: list[str] = field(default_factory=list)
     static_inputs: list[str] = field(default_factory=list)
     mode: str = "append"
+    keys: list[str] | None = None
     expectations: dict[str, str] | None = None
     on_violation: str = "quarantine"
     input_keys: dict[str, list[str]] | None = None
@@ -102,6 +111,16 @@ class LiveNode:
             raise ValueError(
                 f"node {self.name!r}: inputs also listed static: {dup}"
             )
+        if self.mode == "upsert":
+            if not self.keys:
+                raise ValueError(
+                    f"upsert node {self.name!r} requires keys=[...]"
+                )
+            if len(self.inputs) != 1:
+                raise ValueError(
+                    f"upsert node {self.name!r} takes exactly ONE "
+                    "streamed input (apply-changes is per-source)"
+                )
 
 
 def _node_cursors(target: str) -> dict[str, int] | None:
@@ -178,7 +197,7 @@ class LivePipeline:
             latests[ref] = lv
 
         first_run = cursors is None
-        if not first_run and node.mode == "append":
+        if not first_run and node.mode in ("append", "upsert"):
             fresh = {
                 ref: lv
                 for ref, lv in latests.items()
@@ -192,6 +211,8 @@ class LivePipeline:
                     "cursors": cursors,
                 }
 
+        if node.mode == "upsert" and not first_run:
+            return _run_upsert(self, spark, node, cursors, latests)
         frames: dict[str, DataFrame] = {}
         if node.mode == "replace" or first_run:
             for ref in node.inputs:
@@ -287,6 +308,105 @@ class LivePipeline:
             "rows": rows,
             "cursors": new_cursors,
         }
+
+
+def _run_upsert(self: "LivePipeline", spark: SparkSession,
+                node: LiveNode, cursors: dict, latests: dict) -> dict:
+    """Incremental APPLY CHANGES for one upsert node: net-final
+    reduction of the feed range (the replicate reduction), row-wise
+    transform of the survivors, expectation gate, MERGE by key +
+    key-frame delete. The cursor rides the LAST commit of the run;
+    crash-replay re-applies the same range idempotently (merge and
+    key-delete are both idempotent by key)."""
+    from pyspark.sql import Window
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_upsert,
+    )
+
+    ref = node.inputs[0]
+    src = self._path_of(ref)
+    frm = int(cursors.get(ref, -1)) + 1
+    if frm > latests[ref]:
+        return {
+            "version": latest_version(node.target),
+            "action": "noop",
+            "rows": 0,
+            "cursors": cursors,
+        }
+    feed = versioned_change_feed(
+        spark, src, from_version=frm, to_version=latests[ref],
+        keys=(node.input_keys or {}).get(ref),
+    )
+    act = feed.filter(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(*node.keys).orderBy(
+        F.col("_commit_version").desc()
+    )
+    last = (
+        act.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "_commit_version")
+    )
+    last = last.localCheckpoint(eager=True)
+    ups_src = last.filter(F.col("_change_type") != "delete").drop(
+        "_change_type"
+    )
+    dels = last.filter(F.col("_change_type") == "delete").select(
+        *node.keys
+    )
+    out = node.transform(spark, {ref: ups_src})
+    new_cursors = {**cursors, ref: latests[ref]}
+    meta = {
+        _CURSORS_KEY: json.dumps(new_cursors, sort_keys=True),
+        "live_node": node.name,
+        "live_mode": node.mode,
+    }
+    if node.expectations:
+        admitted, n_rows, q_df, exp_meta = _gate(
+            spark, out, node.expectations, node.on_violation, node.name,
+        )
+        meta.update(exp_meta)
+    else:
+        admitted, n_rows, q_df = out, None, None
+    v = latest_version(node.target)
+    did = False
+    if admitted.limit(1).count():
+        v = versioned_upsert(
+            spark, node.target, admitted, node.keys, meta=meta,
+            change_feed=node.change_feed,
+        )
+        did = True
+    if dels.limit(1).count():
+        v = versioned_delete(
+            spark, node.target, dels, meta=meta,
+            change_feed=node.change_feed,
+        )
+        did = True
+    if not did:
+        # versions advanced but net-zero changes (metadata commits,
+        # self-cancelling chains): advance the cursor with an empty
+        # append so the feed range never grows unboundedly
+        v = versioned_append(
+            spark, node.target,
+            versioned_read(spark, node.target).limit(0), meta=meta,
+        )
+    if q_df is not None:
+        qpath = f"{node.target.rstrip('/')}_quarantine"
+        q_meta = {
+            "quarantine_of": node.target,
+            "quarantine_source_version": str(v),
+        }
+        if latest_version(qpath) is None:
+            versioned_write(q_df, qpath, meta=q_meta)
+        else:
+            versioned_append(spark, qpath, q_df, meta=q_meta)
+    return {
+        "version": v,
+        "action": "apply_changes",
+        "rows": n_rows,
+        "cursors": new_cursors,
+    }
 
 
 def _gate(spark, df, expectations, on_violation, node_name):

@@ -4081,3 +4081,99 @@ def q_live_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quarantine_ok", F.lit(bool(quarantine_ok)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_live_apply_changes",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 2
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END AS p,
+             o_orderpriority
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 3)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+           TRUE AS incremental_ok
+    FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("pipeline", "incremental", "cdc", "lakeops"),
+)
+def q_live_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES live node under the driver gate (pipeline_live.py
+    mode='upsert' — DLT's apply_changes / SCD-1 over the store's change
+    feed). A mirror node builds from orders, then the source takes an
+    UPDATE wave (price +100 on one residue class) and a DELETE wave
+    (another class), both recorded in the change feed; one pipeline run
+    nets the feed to the final action per key, MERGEs the updates, and
+    key-frame-deletes the removals. The oracle computes the final state
+    closed-form from raw orders — hash equality proves the incremental
+    apply ≡ full recompute. ``incremental_ok`` pins in-band that the
+    run was the apply_changes path (not a rebuild) and that the idle
+    rerun no-ops.
+
+    Scale: the run's cost is O(|changes|) feed reduction + a partial-
+    rewrite MERGE + a vectors-only delete — the source is never
+    rescanned, the replicate economics inside a declarative DAG."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.pipeline_live import LiveNode, LivePipeline
+    from skopje_spark.sinks.versioned import (
+        latest_version,
+        versioned_delete,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="skopje_applych_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, tgt = f"{root}/src", f"{root}/mirror"
+    versioned_write(o, src)
+    pipe = LivePipeline([
+        LiveNode(
+            name="mirror", target=tgt, inputs=[src], mode="upsert",
+            keys=["o_orderkey"],
+            transform=lambda s, f: f[src],
+        )
+    ])
+    pipe.run(spark)
+    versioned_upsert(
+        spark, src,
+        o.filter("pmod(o_orderkey, 7) = 2").withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + F.lit(100.0)).cast("decimal(18,2)"),
+        ),
+        ["o_orderkey"], change_feed=True,
+    )
+    versioned_delete(
+        spark, src, "pmod(o_orderkey, 7) = 3", change_feed=True
+    )
+    r2 = pipe.run(spark)
+    v = latest_version(tgt)
+    r3 = pipe.run(spark)
+    incremental_ok = (
+        r2["mirror"]["action"] == "apply_changes"
+        and r3["mirror"]["action"] == "noop"
+        and latest_version(tgt) == v
+    )
+    from skopje_spark.sinks.versioned import versioned_read
+
+    return (
+        versioned_read(spark, tgt)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").cast("double").alias("sum_p"),
+        )
+        .withColumn("incremental_ok", F.lit(bool(incremental_ok)))
+        .orderBy("o_orderpriority")
+    )

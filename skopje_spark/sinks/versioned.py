@@ -757,12 +757,26 @@ def _decode_partition_value(dtype, s: str):
     return s  # string / date (ISO) — already canonical
 
 
+def _table_codec(path: str) -> str | None:
+    """The table's carried ``parquet_codec`` property (None = engine
+    default, snappy). Set at creation via ``versioned_write(codec=)``;
+    every later staging write — upsert, merge, append, compact, purge —
+    inherits it here, so one knob governs the whole table's storage.
+    At 100 TB the zstd-vs-snappy delta is double-digit percent of both
+    footprint and scan IO."""
+    committed = latest_version(path)
+    if committed is None:
+        return None
+    return snapshot_meta(path, "parquet_codec", version=committed)
+
+
 def _stage_data_files(
     df: DataFrame,
     path: str,
     mapping: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
     files_per_partition: int = 1,
+    codec: str | None = None,
 ) -> list[dict]:
     """Write ``df``'s partitions as immutable files in the table's
     shared ``data/`` pool and return their manifest entries. Files get
@@ -795,12 +809,19 @@ def _stage_data_files(
         df = df.select(
             *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
         )
+    if codec is None:
+        codec = _table_codec(path)
+
+    def _writer(frame):
+        w = frame.write.mode("errorifexists")
+        return w.option("compression", codec) if codec else w
+
     pool = os.path.join(path, _DATA_DIR)
     os.makedirs(pool, exist_ok=True)
     entries = []
     prefix = uuid.uuid4().hex[:12]
     if not partition_by:
-        df.write.mode("errorifexists").parquet(staged)
+        _writer(df).parquet(staged)
         for i, f in enumerate(sorted(os.listdir(staged))):
             if not f.endswith(".parquet") or f.startswith(("_", ".")):
                 continue
@@ -876,7 +897,7 @@ def _stage_data_files(
         )
     else:
         shuffled = df2.repartition(*shuffle_keys)
-    shuffled.write.mode("errorifexists").partitionBy(*shadows).parquet(
+    _writer(shuffled).partitionBy(*shadows).parquet(
         staged
     )
     found: list[str] = []
@@ -1496,7 +1517,7 @@ def _commit_manifest(
     # streaming-writer batch ledger
     for prop in ("constraints", "stream_ledger", "column_stats",
                  "partition_by", "retired_physicals", "partition_specs",
-                 "value_index", "refs"):
+                 "value_index", "refs", "parquet_codec"):
         if prop in meta:
             continue
         base = (
@@ -1604,9 +1625,18 @@ def versioned_write(
     lock_timeout_s: float = 600.0,
     partition_by: list[str] | None = None,
     files_per_partition: int = 1,
+    codec: str | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``;
     returns the new version number.
+
+    ``codec`` pins the table's parquet compression ("zstd", "snappy",
+    "gzip", "lz4", …) as a CARRIED property: this write and every
+    later staging write (append/upsert/merge/compact/purge) encode
+    with it, so one creation-time knob governs the table's storage.
+    Omitted, an existing property is inherited; absent entirely, the
+    engine default (snappy) applies. At 100 TB zstd-vs-snappy is a
+    double-digit-percent cut of both footprint and scan IO.
 
     The data lands as immutable files in the shared ``data/`` pool, a
     MANIFEST (file list + schema + per-file stats) is written to
@@ -1647,7 +1677,10 @@ def versioned_write(
     entries = _stage_data_files(
         df, path, partition_by=partition_by,
         files_per_partition=files_per_partition,
+        codec=codec,
     )
+    if codec is not None:
+        meta = {"parquet_codec": codec} | (meta or {})
     # a full rewrite defines its own layout: record the spec when one
     # is declared, and explicitly CLEAR a previous spec when none is —
     # a stale inherited marker must never claim a layout the files
@@ -5858,6 +5891,10 @@ def versioned_clone(
     src_vindex = snapshot_meta(src_path, "value_index", version=v)
     if src_vindex is not None:
         commit_meta["value_index"] = src_vindex
+    # the codec is per-table storage policy; a clone's own writes keep it
+    src_codec = snapshot_meta(src_path, "parquet_codec", version=v)
+    if src_codec is not None:
+        commit_meta["parquet_codec"] = src_codec
     commit_meta.update(meta or {})
     # pass expected_version=None to turn the pre-flight emptiness check
     # into an atomic create (two racing cloners: one commits, the
@@ -6156,7 +6193,7 @@ def versioned_branch(
 # state is the WHOLE branch table, schema evolution and layout included
 _PUBLISH_PROPS = (
     "constraints", "partition_by", "partition_specs",
-    "retired_physicals", "column_stats", "value_index",
+    "retired_physicals", "column_stats", "value_index", "parquet_codec",
 )
 
 # commit ops that change ONLY the refs map: the file set and every
@@ -6338,7 +6375,7 @@ class MergeConflict(CommitConflict):
 # sides, so the merge keeps main's and lets the next ANALYZE refresh.
 _MERGE_PROPS = (
     "constraints", "partition_by", "partition_specs",
-    "retired_physicals", "value_index",
+    "retired_physicals", "value_index", "parquet_codec",
 )
 
 

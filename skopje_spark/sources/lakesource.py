@@ -745,6 +745,11 @@ class VersionedTableWriter(DataSourceArrowWriter):
         if self.max_open_writers < 1:
             raise ValueError("maxOpenWriters must be >= 1")
         committed = latest_version(self.path)
+        # the table's carried parquet_codec property governs connector
+        # writes too (resolved driver-side, shipped with the writer)
+        from skopje_spark.sinks.versioned import _table_codec
+
+        self.codec = options.get("compression") or _table_codec(self.path)
         # partitioned tables write through a FANOUT writer (Iceberg's
         # unsorted-stream shape): each task splits its Arrow batches
         # by partition tuple and keeps one pool file per tuple, so
@@ -866,7 +871,13 @@ class VersionedTableWriter(DataSourceArrowWriter):
                 finalized.append((okey, oabs, orel))
             rel = f"{_DATA_DIR}/{uuid.uuid4().hex}-w.parquet"
             abs_path = os.path.join(self.path, rel)
-            got = (pq.ParquetWriter(abs_path, target), abs_path, rel)
+            got = (
+                pq.ParquetWriter(
+                    abs_path, target,
+                    compression=self.codec or "snappy",
+                ),
+                abs_path, rel,
+            )
             writers[key] = got
             return got[0]
 

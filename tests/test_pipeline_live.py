@@ -213,5 +213,86 @@ def test_cycle_and_validation_errors(spark, tmp_path):
         LiveNode(name="a", target="x", inputs=[],
                  transform=lambda s, f: None)
     with pytest.raises(ValueError, match="mode"):
+        LiveNode(name="a", target="x", inputs=["s"], mode="merge",
+                 transform=lambda s, f: None)
+
+
+def test_upsert_node_apply_changes(spark, tmp_path):
+    """mode='upsert': updates and deletes on the source propagate as a
+    net-final MERGE + key-frame delete; multi-commit chains telescope."""
+    from skopje_spark.sinks.versioned import versioned_upsert
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([
+        LiveNode(
+            name="mirror", target=tgt, inputs=[src], mode="upsert",
+            keys=["k"],
+            transform=lambda s, f: f[src].withColumn(
+                "x2", F.col("x") * 2
+            ),
+        )
+    ])
+    r1 = pipe.run(spark)
+    assert r1["mirror"]["action"] == "build"
+    assert versioned_read(spark, tgt).count() == 10
+    # source: update k=1, delete k=2, insert k=50, then delete k=50
+    # (insert+delete telescopes to a delete of a key the target may
+    # or may not hold — the key-frame delete absorbs it)
+    versioned_upsert(
+        spark, src,
+        spark.createDataFrame([(1, 0, 99.0)], ["k", "g", "x"]),
+        ["k"], change_feed=True,
+    )
+    versioned_delete(spark, src, "k = 2", change_feed=True)
+    versioned_upsert(
+        spark, src,
+        spark.createDataFrame([(50, 2, 1.0)], ["k", "g", "x"]),
+        ["k"], change_feed=True,
+    )
+    versioned_delete(spark, src, "k = 50", change_feed=True)
+    r2 = pipe.run(spark)
+    assert r2["mirror"]["action"] == "apply_changes"
+    rows = {r["k"]: (r["x"], r["x2"])
+            for r in versioned_read(spark, tgt).collect()}
+    assert 2 not in rows and 50 not in rows
+    assert rows[1] == (99.0, 198.0)
+    assert len(rows) == 9
+    # idle rerun: noop
+    v = latest_version(tgt)
+    r3 = pipe.run(spark)
+    assert r3["mirror"]["action"] == "noop" and latest_version(tgt) == v
+
+
+def test_upsert_node_cursor_advances_on_net_zero(spark, tmp_path):
+    """A source range that nets to zero changes still advances the
+    cursor (empty append) so the feed range never grows unboundedly."""
+    from skopje_spark.sinks.versioned import versioned_tag
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 5)
+    pipe = LivePipeline([
+        LiveNode(
+            name="m", target=tgt, inputs=[src], mode="upsert",
+            keys=["k"], transform=lambda s, f: f[src],
+        )
+    ])
+    pipe.run(spark)
+    versioned_tag(src, "rel")  # metadata-only source commit
+    r = pipe.run(spark)
+    assert r["m"]["action"] == "apply_changes"
+    assert r["m"]["cursors"][src] == latest_version(src)
+    assert versioned_read(spark, tgt).count() == 5
+    # and the NEXT run is a true noop
+    assert pipe.run(spark)["m"]["action"] == "noop"
+
+
+def test_upsert_node_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="requires keys"):
         LiveNode(name="a", target="x", inputs=["s"], mode="upsert",
                  transform=lambda s, f: None)
+    with pytest.raises(ValueError, match="exactly ONE"):
+        LiveNode(name="a", target="x", inputs=["s", "t"], mode="upsert",
+                 keys=["k"], transform=lambda s, f: None)
