@@ -2,10 +2,13 @@
 typed metadata, processed by Arrow-batched pandas functions.
 
 Container constraint: no image/audio codec *libraries* are installed.
-The kernels are therefore tiered: a REAL pure-struct/numpy BMP codec
-(encode, header decode, nearest-neighbor resize — runs everywhere, see
-the BMP section below), an env-gated PIL kernel for compressed
-formats, and a deterministic stub fallback for opaque payloads.
+The kernels are therefore tiered: REAL pure-stdlib/numpy codecs that
+run everywhere — a struct-level BMP codec AND a full PNG codec (zlib
+DEFLATE + all five scanline filters; encode, header decode, pixel
+reconstruction, nearest-neighbor resize — see the BMP/PNG sections
+below), an env-gated PIL kernel for the remaining compressed formats
+(JPEG/WebP/...), and a deterministic stub fallback for opaque
+payloads.
 Everything Spark-side is real and tested regardless of tier: schema,
 binary source, partition sizing, ``mapInPandas`` batch shape, and
 metadata extraction.
@@ -148,8 +151,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
 
     ``real=None`` auto-selects: the PIL kernel when codecs exist in
     the environment, otherwise the sniffing kernel that REALLY decodes
-    BMP headers (pure struct — works in this container) and falls back
-    to the deterministic stub arithmetic for other payloads. Forcing
+    BMP and PNG headers (pure stdlib — works in this container) and
+    falls back to the deterministic stub arithmetic for other
+    payloads. Forcing
     ``real=True`` without codecs raises up front (on the driver), not
     per-task on executors."""
     if real is None:
@@ -210,6 +214,11 @@ def resize_media(df: DataFrame, *, width: int = 32, height: int = 32,
                 # truncated pixel data): degrade to the stub kernel
                 # instead of failing the whole task
                 pass
+        if is_png(b):
+            try:
+                return resize_png(b, width, height)
+            except ValueError:
+                pass  # malformed scanlines: stub fallback, same policy
         return b[:target].ljust(target, b"\0")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -417,6 +426,192 @@ def resize_bmp(b: bytes, width: int, height: int) -> bytes:
     return encode_bmp(px[yi][:, xi])
 
 
+# ---------------------------------------------------------------------------
+# REAL PNG codec — pure stdlib zlib + numpy, no codec libraries. PNG is
+# DEFLATE (zlib, stdlib) over per-scanline filtered bytes, so a complete
+# compressed-format codec is implementable here: encode (filter 0 +
+# zlib), header decode, and full pixel reconstruction including all
+# five scanline filters (None/Sub/Up/Average/Paeth — Sub/Avg/Paeth
+# reconstruct left-to-right per row; rows vectorize over channels).
+# 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the shapes an
+# ML corpus actually carries. This upgrades the compressed-image tier
+# from env-gated PIL to a codec that runs (and is tested) everywhere.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype → channel count
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        _struct.pack(">I", len(data))
+        + ctype
+        + data
+        + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Encode a top-down uint8 array as a REAL PNG: h×w (gray), h×w×2
+    (gray+alpha), h×w×3 (RGB) or h×w×4 (RGBA); 8-bit, non-interlaced,
+    filter 0 scanlines, one zlib IDAT. Readable by any PNG decoder."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype="uint8")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    flat = px.reshape(h, w * c)
+    for r in range(h):
+        raw.append(0)  # filter type None
+        raw.extend(flat[r].tobytes())
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """A real PNG of the deterministic test pattern (same closed-form
+    pixel arithmetic as :func:`make_bmp`, stored RGB — BGR reversed)."""
+    return encode_png(bmp_pattern(width, height, seed)[:, :, ::-1])
+
+
+def is_png(b: bytes) -> bool:
+    """Sniff: PNG signature + a well-formed IHDR with a supported
+    shape (8-bit, colortype gray/gray+alpha/RGB/RGBA, non-interlaced)."""
+    if len(b) < len(_PNG_SIG) + 25 or b[: len(_PNG_SIG)] != _PNG_SIG:
+        return False
+    if b[12:16] != b"IHDR":
+        return False
+    w, h, depth, ctype, comp, filt, interlace = _struct.unpack(
+        ">IIBBBBB", b[16:29]
+    )
+    return (
+        0 < w <= 1 << 20
+        and 0 < h <= 1 << 20
+        and depth == 8
+        and ctype in _PNG_CHANNELS
+        and comp == 0
+        and filt == 0
+        and interlace == 0
+    )
+
+
+def decode_png_header(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit-depth, channels) from a real PNG IHDR."""
+    if not is_png(b):
+        raise ValueError("not a (supported) PNG payload")
+    w, h, depth, ctype = _struct.unpack(">IIBB", b[16:26])
+    return w, h, depth, _PNG_CHANNELS[ctype]
+
+
+def png_pixels(b: bytes):
+    """Top-down h×w×c uint8 array from a PNG: walk the chunks,
+    zlib-decompress the IDAT stream, reconstruct every scanline
+    filter per the spec. Up/None vectorize; Sub/Average/Paeth
+    reconstruct left-to-right (per-pixel along x, vectorized over
+    channels) — exactness over speed for foreign files; files this
+    repo encodes use filter 0 and take the vectorized path."""
+    import zlib
+
+    import numpy as np
+
+    w, h, _, c = decode_png_header(b)
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = _struct.unpack(">I", b[pos:pos + 4])
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if ctype == b"IDAT":
+            idat.extend(data)
+        if ctype == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        row = np.frombuffer(
+            raw, dtype="uint8", count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        ftype = raw[r * (stride + 1)]
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                up = prev[x]
+                if ftype == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x] = (cur[x] + (a + up) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + up - cc
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else cc
+                    )
+                    cur[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {ftype}")
+        out[r] = cur
+        prev = cur
+    return out.astype("uint8").reshape(h, w, c)
+
+
+def resize_png(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor PNG resize: decode, integer-index remap,
+    re-encode — the compressed-format twin of :func:`resize_bmp`."""
+    import numpy as np
+
+    px = png_pixels(b)
+    h, w = px.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return encode_png(px[yi][:, xi])
+
+
+def media_pixels(b: bytes):
+    """Sniff-and-decode to a top-down uint8 pixel array: 24bpp BMP →
+    h×w×3 BGR; supported PNG → h×w×3 BGR (RGB reversed for hash parity
+    with BMP; gray expands to 3 channels, alpha is dropped). The one
+    entry point the perceptual-hash tier uses, so dHash/pHash answers
+    are format-invariant for the same image content."""
+    import numpy as np
+
+    if is_bmp(b):
+        return bmp_pixels(b)
+    if is_png(b):
+        px = png_pixels(b)
+        c = px.shape[2]
+        if c == 1:
+            return np.repeat(px, 3, axis=2)
+        if c == 2:  # gray + alpha → gray ×3
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        if c == 4:
+            px = px[:, :, :3]
+        return px[:, :, ::-1]  # RGB → BGR (BMP hash parity)
+    raise ValueError("not a decodable media payload (BMP/PNG)")
+
+
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Multimodal fixture with REAL image payloads: a deterministic
     per-row BMP whose dimensions derive from the id (width=8+id%16,
@@ -438,27 +633,89 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Multimodal fixture with REAL compressed payloads: a
+    deterministic per-row PNG of the same closed-form pattern as
+    :func:`attach_bmp_payload` (width=8+id%16, height=8+id%8,
+    seed=id%32) — zlib-compressed for real, so decoding it exercises
+    DEFLATE + scanline reconstruction, not just header reads."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                make_png(8 + int(i) % 16, 8 + int(i) % 8, seed=int(i) % 32)
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def decode_media_pixels(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FULL pixel decode over ``mapInPandas``: sniff BMP/PNG, decode
+    every pixel (:func:`media_pixels` — for PNG that is a real zlib
+    inflate + filter reconstruction), and emit (width, height,
+    gray_sum) where gray_sum = Σ (b+g+r)//3 over all pixels — an
+    integer statistic a SQL oracle recomputes closed-form from the
+    test pattern, so one hash compare proves the entire compressed
+    codec path bit-exact."""
+    import numpy as np
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("gray_sum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for raw in pdf["payload"]:
+                px = media_pixels(bytes(raw)).astype(np.int64)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int((px.sum(axis=2) // 3).sum()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "gray_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return df.select(F.col(id_col), "payload").mapInPandas(run, schema)
+
+
 def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
-    """Sniffing kernel: REAL header decode for BMP payloads, with
-    non-BMP rows delegated to :func:`decode_media_batch` (one source
-    of truth for the stub arithmetic, and the vectorized fast path
-    stays vectorized for stub-only batches — mixed corpora decode in
-    one pass, like a real pipeline sniffing magic bytes)."""
-    mask = payloads.apply(lambda raw: is_bmp(bytes(raw)))
+    """Sniffing kernel: REAL header decode for BMP and PNG payloads,
+    with undecodable rows delegated to :func:`decode_media_batch` (one
+    source of truth for the stub arithmetic, and the vectorized fast
+    path stays vectorized for stub-only batches — mixed corpora decode
+    in one pass, like a real pipeline sniffing magic bytes)."""
+    import numpy as np
+
+    def _dims(raw):
+        b = bytes(raw)
+        if is_bmp(b):
+            return decode_bmp_header(b)[:2]
+        if is_png(b):
+            return decode_png_header(b)[:2]
+        return None
+
+    dims = payloads.apply(_dims)
+    mask = dims.apply(lambda d: d is not None)
     out = decode_media_batch(payloads)
     if mask.any():
-        bmp_rows = payloads[mask].apply(
-            lambda raw: decode_bmp_header(bytes(raw))[:2]
-        )
-        import numpy as np
-
+        real = dims[mask]
         # assign same-dtype arrays: pandas ≥2.2 deprecates implicit
         # int64-list → int32-column assignment
         out.loc[mask.values, "width"] = np.asarray(
-            [w for w, _ in bmp_rows], dtype=out["width"].dtype
+            [w for w, _ in real], dtype=out["width"].dtype
         )
         out.loc[mask.values, "height"] = np.asarray(
-            [h for _, h in bmp_rows], dtype=out["height"].dtype
+            [h for _, h in real], dtype=out["height"].dtype
         )
         out.loc[mask.values, "n_frames"] = np.asarray(1, dtype=out["n_frames"].dtype)
     return out
@@ -498,7 +755,7 @@ def dhash_hex(b: bytes) -> str:
     that byte's 2^j), concatenate row bytes as hex. All-integer, so
     the DuckDB oracle reproduces it bit-for-bit from the closed-form
     test pattern."""
-    g = _gray_resize(bmp_pixels(b), 9, 8)
+    g = _gray_resize(media_pixels(b), 9, 8)
     bits = g[:, 1:] > g[:, :-1]  # 8×8
     out = []
     for i in range(8):
@@ -519,7 +776,7 @@ def phash_hex(b: bytes) -> str:
     (resize-invariance, distinct-image separation) instead."""
     import numpy as np
 
-    g = _gray_resize(bmp_pixels(b), 32, 32).astype(np.float64)
+    g = _gray_resize(media_pixels(b), 32, 32).astype(np.float64)
     n = 32
     k = np.arange(n)[:, None]
     m = np.arange(n)[None, :]

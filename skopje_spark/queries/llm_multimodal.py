@@ -386,3 +386,55 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_multimodal_png_decode",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + doc_id % 8  AS h,
+             doc_id % 32     AS s
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(SUM(
+             (  (x.x + y.y + 3*d.s) % 256
+              + (3*x.x + 5*y.y + 2*d.s) % 256
+              + (7*x.x + 13*y.y + d.s) % 256) // 3
+           ) AS BIGINT) AS gray_sum
+    FROM dims d,
+         UNNEST(range(0, d.w)) AS x(x),
+         UNNEST(range(0, d.h)) AS y(y)
+    GROUP BY d.doc_id, d.w, d.h
+    ORDER BY d.doc_id
+    """,
+    tags=("multimodal", "png", "real-codec", "decode"),
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, zero codec libraries
+    (operators/multimodal.py PNG section — stdlib zlib DEFLATE + full
+    scanline-filter reconstruction): per-doc PNGs of the closed-form
+    test pattern are encoded executor-side (really compressed), then
+    decoded back PIXEL BY PIXEL; the emitted gray_sum = Σ (b+g+r)//3
+    over every pixel, which the oracle recomputes from the pattern
+    arithmetic alone. A single flipped bit anywhere in the DEFLATE
+    round-trip, the filter reconstruction, or the channel order
+    hash-mismatches — this is the compressed-format twin of
+    q_multimodal_bmp_decode, and it upgrades the format tier the
+    PIL gate used to own (PNG no longer needs PIL).
+
+    Scale: Arrow-batched mapInPandas, payloads never leave executors;
+    per-task memory is bounded by maxPartitionBytes like any binary
+    column pipeline."""
+    from skopje_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media_pixels,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = attach_png_payload(d, "doc_id")
+    return decode_media_pixels(m).orderBy("doc_id")

@@ -266,3 +266,152 @@ def test_audio_fingerprint_robustness_and_pairing(spark):
 
     with pytest.raises(ValueError, match="too short"):
         audio_fingerprint_hex(make_wav(50, seed=1))
+
+
+# ---------------------------------------------------------------- PNG
+
+def test_png_roundtrip_all_layouts():
+    """encode→decode is pixel-exact for gray / gray+alpha / RGB / RGBA
+    — a REAL zlib DEFLATE round-trip, no codec libraries."""
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import (
+        bmp_pattern,
+        decode_png_header,
+        encode_png,
+        is_png,
+        png_pixels,
+    )
+
+    rgb = bmp_pattern(13, 7, seed=5)[:, :, ::-1]
+    for px in (
+        rgb,
+        (rgb.sum(axis=2) // 3).astype("uint8"),                 # gray
+        np.dstack([(rgb.sum(axis=2) // 3).astype("uint8"),
+                   np.full(rgb.shape[:2], 9, "uint8")]),        # gray+A
+        np.dstack([rgb, np.full(rgb.shape[:2], 200, "uint8")]), # RGBA
+    ):
+        b = encode_png(px)
+        assert is_png(b)
+        w, h, depth, c = decode_png_header(b)
+        assert (w, h, depth) == (13, 7, 8)
+        got = png_pixels(b)
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want)
+
+
+def test_png_all_five_filters_reconstruct():
+    """A PNG whose scanlines cycle through filters 0-4 (None/Sub/Up/
+    Average/Paeth) decodes pixel-exactly — the filter spec implemented
+    for real, not just our own filter-0 files."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import bmp_pattern, png_pixels
+
+    px = bmp_pattern(11, 10, seed=3)[:, :, ::-1]
+    h, w, c = px.shape
+    flat = px.astype(np.int64).reshape(h, w * c)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for r in range(h):
+        ft = r % 5
+        raw.append(ft)
+        row = flat[r]
+        left = np.concatenate([np.zeros(c, np.int64), row[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = (row - left) & 0xFF
+        elif ft == 2:
+            enc = (row - prev) & 0xFF
+        elif ft == 3:
+            enc = (row - (left + prev) // 2) & 0xFF
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            enc = (row - pred) & 0xFF
+        raw.extend(enc.astype("uint8").tobytes())
+        prev = row
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    b = (b"\x89PNG\r\n\x1a\n"
+         + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(bytes(raw)))
+         + chunk(b"IEND", b""))
+    assert np.array_equal(png_pixels(b), px)
+
+
+def test_png_resize_and_format_invariant_hashes():
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import (
+        decode_png_header,
+        dhash_hex,
+        make_bmp,
+        make_png,
+        media_pixels,
+        phash_hex,
+        resize_png,
+    )
+
+    png = make_png(16, 12, seed=3)
+    small = resize_png(png, 5, 3)
+    assert decode_png_header(small)[:2] == (5, 3)
+    bmp = make_bmp(16, 12, seed=3)
+    # same pattern, two containers: identical pixels and hashes
+    assert np.array_equal(media_pixels(bmp), media_pixels(png))
+    assert dhash_hex(bmp) == dhash_hex(png)
+    assert phash_hex(bmp) == phash_hex(png)
+
+
+def test_png_sniff_rejects_non_png():
+    from skopje_spark.operators.multimodal import is_png, make_bmp
+
+    assert not is_png(b"")
+    assert not is_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+    assert not is_png(make_bmp(8, 8))
+
+
+def test_decode_media_sniffs_mixed_batch(spark):
+    """BMP, PNG, and opaque payloads in ONE batch: real headers for
+    both codecs, stub arithmetic for the rest."""
+    import pandas as pd
+
+    from skopje_spark.operators.multimodal import (
+        decode_media_bmp,
+        make_bmp,
+        make_png,
+    )
+
+    payloads = pd.Series([make_bmp(10, 6), make_png(12, 9), b"opaque!!"])
+    out = decode_media_bmp(payloads)
+    assert (out["width"].iloc[0], out["height"].iloc[0]) == (10, 6)
+    assert (out["width"].iloc[1], out["height"].iloc[1]) == (12, 9)
+    assert out["n_frames"].iloc[2] == (8 % 8) + 1  # stub arithmetic
+
+
+def test_resize_media_png_path(spark):
+    from skopje_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media,
+        resize_media,
+    )
+
+    d = spark.range(6).selectExpr("id AS doc_id")
+    m = attach_png_payload(d, "doc_id")
+    r = resize_media(m, width=5, height=4)
+    dec = decode_media(r).select("doc_id", "width", "height").collect()
+    assert all(row["width"] == 5 and row["height"] == 4 for row in dec)
