@@ -3,12 +3,13 @@ typed metadata, processed by Arrow-batched pandas functions.
 
 Container constraint: no image/audio codec *libraries* are installed.
 The kernels are therefore tiered: REAL pure-stdlib/numpy codecs that
-run everywhere — a struct-level BMP codec AND a full PNG codec (zlib
-DEFLATE + all five scanline filters; encode, header decode, pixel
-reconstruction, nearest-neighbor resize — see the BMP/PNG sections
-below), an env-gated PIL kernel for the remaining compressed formats
-(JPEG/WebP/...), and a deterministic stub fallback for opaque
-payloads.
+run everywhere — a struct-level BMP codec, a full PNG codec (zlib
+DEFLATE + all five scanline filters), and an animated-GIF codec
+(variable-width LZW, frame compositing) covering the multi-frame /
+video-shaped tier; encode, header decode, pixel reconstruction, and
+resize for each — plus an env-gated PIL kernel for the remaining
+compressed formats (JPEG/WebP/...) and a deterministic stub fallback
+for opaque payloads.
 Everything Spark-side is real and tested regardless of tier: schema,
 binary source, partition sizing, ``mapInPandas`` batch shape, and
 metadata extraction.
@@ -239,17 +240,30 @@ def resize_media(df: DataFrame, *, width: int = 32, height: int = 32,
 
 def sample_frames(df: DataFrame, *, every_n: int = 2,
                   id_col: str = "doc_id") -> DataFrame:
-    """STUB frame sampling: the decode stub's n_frames partitions the
-    payload into equal byte slices ("frames"); every ``every_n``-th is
-    emitted — a one-to-many ``mapInPandas`` expansion, the shape real
-    video frame-sampling has (one input row, k output rows, no
-    driver involvement)."""
+    """Frame sampling over a one-to-many ``mapInPandas`` expansion —
+    the shape real video frame-sampling has (one input row, k output
+    rows, no driver involvement). Animated-GIF payloads take the REAL
+    tier: every ``every_n``-th frame is LZW-decoded
+    (:func:`gif_frames`) and re-emitted as a standalone PNG (the two
+    real codecs composed — downstream image ops consume sampled frames
+    like any still). Other payloads keep the deterministic byte-slice
+    stub (a full deployment swaps in ffmpeg here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, chunks = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(payload)
+                if is_gif(b):
+                    try:
+                        frames = gif_frames(b)
+                        for fno in range(0, len(frames), every_n):
+                            ids.append(int(doc_id))
+                            nos.append(fno)
+                            chunks.append(encode_png(frames[fno]))
+                        continue
+                    except ValueError:
+                        pass  # corrupt stream: stub fallback, same policy
                 n_frames = (len(b) % 8) + 1  # decode-stub arithmetic
                 step = max(len(b) // n_frames, 1)
                 for fno in range(0, n_frames, every_n):
@@ -633,6 +647,240 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL GIF codec — pure stdlib + numpy. GIF is LZW over palette
+# indices; LZW needs no library, so the MULTI-FRAME (video-shaped)
+# tier gets a real codec too: encode (valid LZW via the periodic-clear
+# trick), sniff, header decode, and full frame reconstruction
+# (variable-width LZW, frame rectangles composited over the previous
+# frame, global palette). Animated GIF is what makes sample_frames a
+# real frame extractor rather than a byte-slicing stub.
+# ---------------------------------------------------------------------------
+
+
+def gif_pattern(width: int, height: int, seed: int, frame: int):
+    """Deterministic per-frame palette-index raster: closed-form
+    arithmetic on (x, y, seed, frame) so oracles recompute any pixel
+    of any frame without the file."""
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    return ((xx + 2 * yy + 3 * seed + 17 * frame) % 256).astype("uint8")
+
+
+def _gif_lzw_encode(indices) -> bytes:
+    """A VALID GIF-LZW stream the simple way: 8-bit min code size,
+    emit every pixel as a literal 9-bit code, with a CLEAR before the
+    dictionary's implicit growth would widen codes past 9 bits (the
+    decoder adds one dict entry per emitted code, so clearing every
+    253 literals keeps both sides at 9 bits forever). Poor
+    compression, trivially correct — fixtures, not archives."""
+    clear, end = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, px in enumerate(indices):
+        if i and i % 253 == 0:
+            emit(clear)  # dict back to 258 entries: codes stay 9-bit
+        emit(int(px))
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    # wrap in ≤255-byte sub-blocks
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return bytes(blocks)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Full variable-width GIF-LZW decode (any conforming encoder)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: clear + 2]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def encode_gif(frames, palette=None) -> bytes:
+    """Encode a list of top-down h×w uint8 INDEX rasters as a real
+    animated GIF89a with a 256-entry global palette (default:
+    grayscale identity — index i maps to (i, i, i))."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype="uint8") for f in frames]
+    h, w = frames[0].shape
+    if palette is None:
+        palette = bytes(
+            v for i in range(256) for v in (i, i, i)
+        )
+    out = bytearray()
+    out.extend(b"GIF89a")
+    out.extend(_struct.pack("<HHBBB", w, h, 0xF7, 0, 0))  # GCT, 256 entries
+    out.extend(palette)
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all GIF frames must share the logical size")
+        # Graphic Control Extension: disposal=1 (leave), delay 4cs
+        out.extend(b"\x21\xf9\x04\x04\x04\x00\x00\x00")
+        out.extend(b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h, 0))
+        out.append(8)  # LZW min code size
+        out.extend(_gif_lzw_encode(f.reshape(-1)))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def make_gif(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    """A real animated GIF of the deterministic per-frame pattern."""
+    return encode_gif(
+        [gif_pattern(width, height, seed, f) for f in range(n_frames)]
+    )
+
+
+def is_gif(b: bytes) -> bool:
+    return len(b) > 13 and b[:6] in (b"GIF87a", b"GIF89a")
+
+
+def decode_gif_header(b: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) — frames counted by walking the block
+    structure (image descriptors), skipping data without LZW work."""
+    if not is_gif(b):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _, _ = _struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    n = 0
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            n += 1
+            _, _, _, _, lflags = _struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW min code size
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        else:
+            raise ValueError(f"corrupt GIF block marker {marker:#x}")
+    return w, h, n
+
+
+def gif_frames(b: bytes):
+    """Decode EVERY frame to a top-down h×w×3 RGB uint8 array: real
+    LZW inflate per frame, frame rectangles composited over the
+    running canvas (disposal 'leave'), global or local palette
+    applied."""
+    import numpy as np
+
+    if not is_gif(b):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _ = _struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n_ent = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            b, dtype="uint8", count=3 * n_ent, offset=pos
+        ).reshape(n_ent, 3)
+        pos += 3 * n_ent
+    canvas = np.zeros((h, w), dtype="uint8")
+    frames = []
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"corrupt GIF block marker {marker:#x}")
+        fx, fy, fw, fh, lflags = _struct.unpack("<HHHHB", b[pos + 1:pos + 10])
+        pos += 10
+        pal = gct
+        if lflags & 0x80:
+            n_ent = 2 << (lflags & 0x07)
+            pal = np.frombuffer(
+                b, dtype="uint8", count=3 * n_ent, offset=pos
+            ).reshape(n_ent, 3)
+            pos += 3 * n_ent
+        if pal is None:
+            raise ValueError("GIF frame without any palette")
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data.extend(b[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(data), mcs), dtype="uint8",
+            count=fw * fh,
+        ).reshape(fh, fw)
+        canvas[fy:fy + fh, fx:fx + fw] = idx
+        frames.append(pal[canvas])
+    return frames
+
+
 def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Multimodal fixture with REAL compressed payloads: a
     deterministic per-row PNG of the same closed-form pattern as
@@ -644,6 +892,28 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf[id_col].astype("int64")
             payloads = [
                 make_png(8 + int(i) % 16, 8 + int(i) % 8, seed=int(i) % 32)
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )
+
+
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Multimodal fixture with REAL multi-frame payloads: a
+    deterministic per-row animated GIF (width=8+id%16, height=8+id%8,
+    n_frames=1+id%4, seed=id%32) so frame counts, per-frame pixels,
+    and sampling arithmetic are all closed-form for oracles."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                make_gif(
+                    8 + int(i) % 16, 8 + int(i) % 8,
+                    1 + int(i) % 4, seed=int(i) % 32,
+                )
                 for i in ids
             ]
             yield pd.DataFrame({id_col: ids, "payload": payloads})
@@ -699,9 +969,11 @@ def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
     def _dims(raw):
         b = bytes(raw)
         if is_bmp(b):
-            return decode_bmp_header(b)[:2]
+            return (*decode_bmp_header(b)[:2], 1)
         if is_png(b):
-            return decode_png_header(b)[:2]
+            return (*decode_png_header(b)[:2], 1)
+        if is_gif(b):
+            return decode_gif_header(b)  # REAL frame count
         return None
 
     dims = payloads.apply(_dims)
@@ -712,12 +984,14 @@ def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
         # assign same-dtype arrays: pandas ≥2.2 deprecates implicit
         # int64-list → int32-column assignment
         out.loc[mask.values, "width"] = np.asarray(
-            [w for w, _ in real], dtype=out["width"].dtype
+            [w for w, _, _ in real], dtype=out["width"].dtype
         )
         out.loc[mask.values, "height"] = np.asarray(
-            [h for _, h in real], dtype=out["height"].dtype
+            [h for _, h, _ in real], dtype=out["height"].dtype
         )
-        out.loc[mask.values, "n_frames"] = np.asarray(1, dtype=out["n_frames"].dtype)
+        out.loc[mask.values, "n_frames"] = np.asarray(
+            [n for _, _, n in real], dtype=out["n_frames"].dtype
+        )
     return out
 
 

@@ -438,3 +438,79 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     m = attach_png_payload(d, "doc_id")
     return decode_media_pixels(m).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_gif_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + doc_id % 8  AS h,
+             1 + doc_id % 4  AS n,
+             doc_id % 32     AS s
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(f.fno AS INT) AS frame_no,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(SUM((x.x + 2*y.y + 3*d.s + 17*f.fno) % 256) AS BIGINT)
+             AS gray_sum
+    FROM dims d,
+         UNNEST(range(0, d.n, 2)) AS f(fno),
+         UNNEST(range(0, d.w)) AS x(x),
+         UNNEST(range(0, d.h)) AS y(y)
+    GROUP BY d.doc_id, f.fno, d.w, d.h
+    ORDER BY d.doc_id, frame_no
+    """,
+    tags=("multimodal", "gif", "video", "real-codec", "frames"),
+)
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame extraction, zero codec libraries
+    (operators/multimodal.py GIF section — variable-width LZW decode +
+    frame compositing, frames re-encoded as PNG): per-doc animated
+    GIFs (1+id%4 frames of the closed-form pattern) are built
+    executor-side, sample_frames LZW-decodes every 2nd frame and emits
+    it as a standalone PNG, and each sampled frame is then decoded
+    AGAIN through the PNG path to a per-frame integer gray checksum —
+    two real codecs composed end-to-end, verified against pure
+    pattern arithmetic in the oracle. This is the video
+    frame-sampling shape (one row in, k rows out) with the decode
+    step real instead of stubbed.
+
+    Scale: one-to-many mapInPandas, Arrow batches, payloads never on
+    the driver — identical plumbing at ffmpeg scale."""
+    import numpy as np
+    import pandas as pd
+
+    from skopje_spark.operators.multimodal import (
+        attach_gif_payload,
+        png_pixels,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = sample_frames(attach_gif_payload(d, "doc_id"), every_n=2)
+
+    def decode(batches):
+        for pdf in batches:
+            ws, hs, sums = [], [], []
+            for raw in pdf["frame_bytes"]:
+                px = png_pixels(bytes(raw)).astype(np.int64)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px[:, :, 0].sum()))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "frame_no": pdf["frame_no"].astype("int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "gray_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return frames.mapInPandas(
+        decode,
+        schema="doc_id long, frame_no int, width int, height int, "
+               "gray_sum long",
+    ).orderBy("doc_id", "frame_no")

@@ -415,3 +415,76 @@ def test_resize_media_png_path(spark):
     r = resize_media(m, width=5, height=4)
     dec = decode_media(r).select("doc_id", "width", "height").collect()
     assert all(row["width"] == 5 and row["height"] == 4 for row in dec)
+
+
+# ---------------------------------------------------------------- GIF
+
+def test_gif_roundtrip_and_header():
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import (
+        decode_gif_header,
+        gif_frames,
+        gif_pattern,
+        is_gif,
+        make_gif,
+    )
+
+    b = make_gif(19, 11, 4, seed=7)
+    assert is_gif(b)
+    assert decode_gif_header(b) == (19, 11, 4)
+    frames = gif_frames(b)
+    assert len(frames) == 4
+    for f, fr in enumerate(frames):
+        want = gif_pattern(19, 11, 7, f)
+        assert fr.shape == (11, 19, 3)
+        # grayscale palette: every channel equals the index raster
+        for ch in range(3):
+            assert np.array_equal(fr[:, :, ch], want)
+    # wide frames: multiple LZW clear cycles exercised
+    b2 = make_gif(64, 32, 2, seed=1)
+    assert np.array_equal(
+        gif_frames(b2)[1][:, :, 0], gif_pattern(64, 32, 1, 1)
+    )
+
+
+def test_gif_decode_media_counts_real_frames(spark):
+    import pandas as pd
+
+    from skopje_spark.operators.multimodal import (
+        decode_media_bmp,
+        make_gif,
+    )
+
+    out = decode_media_bmp(pd.Series([make_gif(10, 6, 3), b"xx"]))
+    assert (out["width"].iloc[0], out["height"].iloc[0],
+            out["n_frames"].iloc[0]) == (10, 6, 3)
+
+
+def test_gif_sample_frames_real_tier(spark):
+    """Animated GIF → every 2nd REAL frame as a standalone PNG whose
+    pixels equal the closed-form pattern; non-GIF rows keep the stub."""
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import (
+        attach_gif_payload,
+        gif_pattern,
+        png_pixels,
+        sample_frames,
+    )
+
+    d = spark.range(8).selectExpr("id AS doc_id")
+    rows = sample_frames(
+        attach_gif_payload(d, "doc_id"), every_n=2
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(8):
+        n = 1 + i % 4
+        got = sorted(r["frame_no"] for r in by_doc[i])
+        assert got == list(range(0, n, 2))
+        for r in by_doc[i]:
+            px = png_pixels(bytes(r["frame_bytes"]))
+            want = gif_pattern(8 + i % 16, 8 + i % 8, i % 32, r["frame_no"])
+            assert np.array_equal(px[:, :, 0], want)
