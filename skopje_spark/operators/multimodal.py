@@ -974,6 +974,13 @@ def decode_media_bmp(payloads: pd.Series) -> pd.DataFrame:
             return (*decode_png_header(b)[:2], 1)
         if is_gif(b):
             return decode_gif_header(b)  # REAL frame count
+        from skopje_spark.operators.jpeg import decode_jpeg_header, is_jpeg
+
+        if is_jpeg(b):
+            try:
+                return (*decode_jpeg_header(b)[:2], 1)
+            except ValueError:
+                return None  # non-baseline: stub tier
         return None
 
     dims = payloads.apply(_dims)

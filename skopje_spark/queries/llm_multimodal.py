@@ -514,3 +514,65 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_no int, width int, height int, "
                "gray_sum long",
     ).orderBy("doc_id", "frame_no")
+
+
+@register(
+    "q_multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + doc_id % 8 AS INT)  AS height,
+           TRUE AS psnr_ok
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "jpeg", "real-codec", "decode"),
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG under the driver gate (operators/jpeg.py —
+    standard Annex K tables, Huffman entropy coding, DCT, all pure
+    numpy): per-doc JPEGs of the closed-form pattern are encoded
+    executor-side and decoded back through the independent decoder
+    path. JPEG is lossy, so the oracle pins the EXACT header dims
+    closed-form while ``psnr_ok`` pins per-image reconstruction
+    quality in-band (> 25 dB against the original pattern — a wrong
+    quant table, zigzag order, Huffman table, or color transform
+    craters PSNR to single digits, so the bound is a sharp detector
+    even without bit-exactness).
+
+    Scale: Arrow-batched mapInPandas; the full encode+decode runs
+    executor-side like any media kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from skopje_spark.operators.jpeg import (
+        encode_jpeg,
+        jpeg_pixels,
+        psnr,
+    )
+    from skopje_spark.operators.multimodal import bmp_pattern
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w, h, s = 8 + i % 16, 8 + i % 8, i % 32
+                src = bmp_pattern(w, h, s)[:, :, ::-1]
+                dec = jpeg_pixels(encode_jpeg(src))
+                ids.append(i)
+                hs.append(dec.shape[0])
+                ws.append(dec.shape[1])
+                oks.append(bool(psnr(src, dec) > 25.0))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "psnr_ok": pd.Series(oks, dtype="bool"),
+            })
+
+    return d.mapInPandas(
+        run, schema="doc_id long, width int, height int, psnr_ok boolean"
+    ).orderBy("doc_id")

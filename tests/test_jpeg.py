@@ -1,0 +1,100 @@
+"""Unit tests: REAL baseline JPEG codec (operators/jpeg.py) — encode
+and decode are independent walks through the same spec (standard
+Annex K tables, 4:4:4), so round-trip PSNR bounds plus exact header
+dims pin both sides. JPEG is lossy: no SQL oracle can recompute
+pixels, so the bounds here are the contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from skopje_spark.operators.jpeg import (
+    decode_jpeg_header,
+    encode_jpeg,
+    is_jpeg,
+    jpeg_pixels,
+    make_jpeg,
+    psnr,
+)
+from skopje_spark.operators.multimodal import bmp_pattern
+
+
+def _smooth(w=32, h=24):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [(xx * 4) % 256, (yy * 6) % 256, ((xx + yy) * 3) % 256], -1
+    ).astype("uint8")
+
+
+def test_jpeg_roundtrip_rgb_psnr():
+    src = _smooth()
+    b = encode_jpeg(src)
+    assert is_jpeg(b)
+    assert decode_jpeg_header(b) == (32, 24, 3)
+    dec = jpeg_pixels(b)
+    assert dec.shape == (24, 32, 3)
+    assert psnr(src, dec) > 35
+
+
+def test_jpeg_roundtrip_gray_and_odd_dims():
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    g = ((xx * 5 + yy * 7) % 256).astype("uint8")
+    bg = encode_jpeg(g)
+    assert decode_jpeg_header(bg) == (32, 24, 1)
+    assert psnr(g[:, :, None], jpeg_pixels(bg)) > 28
+    # dimensions not multiples of 8: edge-replicated blocks, exact dims
+    pat = bmp_pattern(13, 11, seed=2)[:, :, ::-1]
+    bo = encode_jpeg(pat)
+    assert decode_jpeg_header(bo) == (13, 11, 3)
+    dec = jpeg_pixels(bo)
+    assert dec.shape == (11, 13, 3)
+    assert psnr(pat, dec) > 30
+
+
+def test_jpeg_constant_image_near_exact():
+    c = np.full((16, 16, 3), 77, "uint8")
+    dec = jpeg_pixels(encode_jpeg(c))
+    # one DC coefficient per block; quantization may shift it by ±1
+    assert psnr(c, dec) > 40
+    assert np.all(np.abs(dec.astype(int) - 77) <= 1)
+
+
+def test_jpeg_sniff_and_refusals():
+    from skopje_spark.operators.multimodal import make_bmp
+
+    assert not is_jpeg(make_bmp(8, 8))
+    assert not is_jpeg(b"")
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_header(b"\x00\x01")
+    # a progressive SOF2 header refuses by name
+    b = bytearray(make_jpeg(16, 16))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_header(bytes(b))
+
+
+def test_jpeg_bytes_are_standard_jfif():
+    """Marker-level sanity: SOI, JFIF APP0, two DQTs, SOF0, four DHTs,
+    SOS, EOI — the exact segment set a stock decoder expects."""
+    b = make_jpeg(24, 16, seed=3)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+    assert b.count(b"\xff\xdb") >= 2  # DQT luma + chroma
+    assert b.count(b"\xff\xc4") >= 4  # 4 Huffman tables
+    assert b"\xff\xc0" in b and b"\xff\xda" in b
+
+
+def test_jpeg_decode_media_integration(spark):
+    """decode_media sniffs JPEG: real header dims for JPEG payloads in
+    a mixed batch."""
+    import pandas as pd
+
+    from skopje_spark.operators.multimodal import decode_media_bmp, make_png
+
+    out = decode_media_bmp(
+        pd.Series([make_jpeg(20, 12), make_png(9, 7), b"zz"])
+    )
+    assert (out["width"].iloc[0], out["height"].iloc[0]) == (20, 12)
+    assert (out["width"].iloc[1], out["height"].iloc[1]) == (9, 7)
