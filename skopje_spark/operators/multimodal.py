@@ -608,11 +608,22 @@ def media_pixels(b: bytes):
     h×w×3 BGR; supported PNG → h×w×3 BGR (RGB reversed for hash parity
     with BMP; gray expands to 3 channels, alpha is dropped). The one
     entry point the perceptual-hash tier uses, so dHash/pHash answers
-    are format-invariant for the same image content."""
+    are format-invariant for the same image content (JPEG decodes are
+    lossy — hashes land within a small Hamming distance of the
+    lossless twin rather than equal, which is exactly the
+    recompression-near-dup behavior the Hamming-band sweep exists
+    for)."""
     import numpy as np
 
     if is_bmp(b):
         return bmp_pixels(b)
+    from skopje_spark.operators.jpeg import is_jpeg, jpeg_pixels
+
+    if is_jpeg(b):
+        px = jpeg_pixels(b)
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, ::-1]  # RGB → BGR (hash parity convention)
     if is_png(b):
         px = png_pixels(b)
         c = px.shape[2]
@@ -623,7 +634,7 @@ def media_pixels(b: bytes):
         if c == 4:
             px = px[:, :, :3]
         return px[:, :, ::-1]  # RGB → BGR (BMP hash parity)
-    raise ValueError("not a decodable media payload (BMP/PNG)")
+    raise ValueError("not a decodable media payload (BMP/PNG/JPEG)")
 
 
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

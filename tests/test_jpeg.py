@@ -98,3 +98,38 @@ def test_jpeg_decode_media_integration(spark):
     )
     assert (out["width"].iloc[0], out["height"].iloc[0]) == (20, 12)
     assert (out["width"].iloc[1], out["height"].iloc[1]) == (9, 7)
+
+
+def test_jpeg_perceptual_hash_near_dup_across_recompression():
+    """The canonical pHash/dHash use: the SAME image as lossless BMP
+    and lossy JPEG hashes within a small Hamming distance, while a
+    structurally different image stays far — the cross-format
+    recompression near-dup signal the Hamming-band sweep clusters on.
+    Structured gradients, not the modular noise pattern (noise is
+    perceptually self-similar and would not separate)."""
+    import numpy as np
+
+    from skopje_spark.operators.multimodal import (
+        dhash_hex,
+        encode_bmp,
+        phash_hex,
+    )
+
+    def ham(a: str, b: str) -> int:
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    horiz = np.stack([(xx * 8) % 256] * 3, -1).astype("uint8")
+    vert = np.stack([(yy * 10) % 256] * 3, -1).astype("uint8")
+    bmp = encode_bmp(horiz)
+    jpg = encode_jpeg(horiz[:, :, ::-1])  # same image, lossy container
+    other = encode_bmp(vert)
+    # dHash (gradient sign) is exactly preserved through recompression
+    assert ham(dhash_hex(bmp), dhash_hex(jpg)) <= 8
+    assert ham(dhash_hex(bmp), dhash_hex(other)) > 16
+    # pHash thresholds near-zero AC terms that JPEG noise can flip —
+    # the contract is SEPARATION: the recompressed twin is strictly
+    # closer than a different image, with margin
+    near = ham(phash_hex(bmp), phash_hex(jpg))
+    far = ham(phash_hex(bmp), phash_hex(other))
+    assert near + 8 <= far, (near, far)
