@@ -220,6 +220,24 @@ def resize_media(df: DataFrame, *, width: int = 32, height: int = 32,
                 return resize_png(b, width, height)
             except ValueError:
                 pass  # malformed scanlines: stub fallback, same policy
+        from skopje_spark.operators.jpeg import (
+            encode_jpeg,
+            is_jpeg,
+            jpeg_pixels,
+        )
+
+        if is_jpeg(b):
+            try:
+                import numpy as np
+
+                px = jpeg_pixels(b)
+                h0, w0 = px.shape[:2]
+                yi = (np.arange(height) * h0) // height
+                xi = (np.arange(width) * w0) // width
+                out = px[yi][:, xi]
+                return encode_jpeg(out[:, :, 0] if out.shape[2] == 1 else out)
+            except ValueError:
+                pass  # non-baseline: stub fallback
         return b[:target].ljust(target, b"\0")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -133,3 +133,27 @@ def test_jpeg_perceptual_hash_near_dup_across_recompression():
     near = ham(phash_hex(bmp), phash_hex(jpg))
     far = ham(phash_hex(bmp), phash_hex(other))
     assert near + 8 <= far, (near, far)
+
+
+def test_resize_media_jpeg_path(spark):
+    """resize_media sniffs JPEG: decode → nearest-neighbor remap →
+    re-encode, still a valid JPEG at the target dims."""
+    import pandas as pd
+
+    from skopje_spark.operators.jpeg import decode_jpeg_header
+    from skopje_spark.operators.multimodal import resize_media
+
+    def attach(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [make_jpeg(24, 16, seed=int(i)) for i in ids],
+            })
+
+    d = spark.range(5).selectExpr("id AS doc_id").mapInPandas(
+        attach, schema="doc_id long, payload binary"
+    )
+    rows = resize_media(d, width=10, height=6).collect()
+    for r in rows:
+        assert decode_jpeg_header(bytes(r["payload"]))[:2] == (10, 6)
