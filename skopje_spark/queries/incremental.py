@@ -4177,3 +4177,84 @@ def q_live_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("incremental_ok", F.lit(bool(incremental_ok)))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_versioned_codec_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS all_zstd, TRUE AS inherited
+    FROM lineitem
+    WHERE l_quantity >= 10.0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("versioned", "codec", "storage", "lakeops"),
+)
+def q_versioned_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table parquet codec under the driver gate
+    (sinks/versioned.py:versioned_write(codec=) — one creation-time
+    knob carried as the ``parquet_codec`` property): lineitem is
+    created zstd-compressed, a DV-delete plus a blind append land
+    WITHOUT re-stating the codec, and the final content is read back
+    and aggregated against a raw-data oracle — proving zstd encode/
+    decode is content-transparent across the write paths. In-band:
+    ``all_zstd`` verifies from the parquet FOOTERS that every live
+    data file (creation and append alike) is actually ZSTD, and
+    ``inherited`` pins the property riding the append commit with no
+    explicit codec argument.
+
+    Scale: at 100 TB the zstd-vs-snappy delta is double-digit percent
+    of footprint AND scan IO; making it a carried table property means
+    nobody re-states (or forgets) it per writer."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        snapshot_meta,
+        versioned_append,
+        versioned_delete,
+        versioned_read,
+        versioned_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_codec_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(
+        li.filter("l_orderkey % 2 = 0").repartition(4), path, codec="zstd"
+    )
+    versioned_delete(spark, path, "l_quantity < 10.0")
+    versioned_append(
+        spark, path, li.filter("pmod(l_orderkey, 2) = 1 AND l_quantity >= 10.0").coalesce(2)
+    )
+    v = latest_version(path)
+    codecs = set()
+    for e in _read_manifest(path, v)["files"]:
+        md = pq.read_metadata(_os.path.join(path, e["path"]))
+        if md.num_row_groups == 0:
+            continue  # empty file: no row groups, no codec to check
+        codecs.add(md.row_group(0).column(0).compression)
+    all_zstd = codecs == {"ZSTD"}
+    inherited = snapshot_meta(path, "parquet_codec", version=v) == "zstd"
+    return (
+        versioned_read(spark, path, version=v)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("all_zstd", F.lit(bool(all_zstd)))
+        .withColumn("inherited", F.lit(bool(inherited)))
+        .orderBy("l_returnflag")
+    )
