@@ -182,6 +182,60 @@ class LivePipeline:
             report[name] = self._run_node(spark, self.nodes[name])
         return report
 
+    def full_refresh(self, spark: SparkSession, name: str) -> dict:
+        """DLT's FULL REFRESH of one node: recompute its target from
+        the inputs' CURRENT full snapshots (expectations gate applies)
+        and reset its cursors to those versions — the recovery move
+        after an upstream backfill or a transform fix, without
+        touching the rest of the DAG. The rebuild is one snapshot
+        commit; history (and any pinned readers) keep the old
+        versions. Downstream nodes see the rebuild as a normal new
+        commit (append nodes over a refreshed input need their own
+        refresh or input_keys for the snapshot-diff fallback)."""
+        node = self.nodes[name]
+        latests = {
+            ref: latest_version(self._path_of(ref)) for ref in node.inputs
+        }
+        frames = {
+            ref: versioned_read(spark, self._path_of(ref), version=v)
+            for ref, v in latests.items()
+        }
+        for ref in node.static_inputs:
+            frames[ref] = versioned_read(spark, self._path_of(ref))
+        out = node.transform(spark, frames)
+        meta = {
+            _CURSORS_KEY: json.dumps(latests, sort_keys=True),
+            "live_node": node.name,
+            "live_mode": node.mode,
+            "live_full_refresh": "true",
+        }
+        if node.expectations:
+            admitted, n_rows, q_df, exp_meta = _gate(
+                spark, out, node.expectations, node.on_violation, name,
+            )
+            meta.update(exp_meta)
+        else:
+            admitted, n_rows, q_df = out, None, None
+        v = versioned_write(
+            admitted, node.target, meta=meta,
+            partition_by=node.partition_by,
+            expected_version=latest_version(node.target),
+        )
+        if q_df is not None:
+            qpath = f"{node.target.rstrip('/')}_quarantine"
+            q_meta = {
+                "quarantine_of": node.target,
+                "quarantine_source_version": str(v),
+            }
+            if latest_version(qpath) is None:
+                versioned_write(q_df, qpath, meta=q_meta)
+            else:
+                versioned_append(spark, qpath, q_df, meta=q_meta)
+        return {
+            "version": v, "action": "full_refresh",
+            "rows": n_rows, "cursors": latests,
+        }
+
     # ------------------------------------------------------------------
     def _run_node(self, spark: SparkSession, node: LiveNode) -> dict:
         cursors = _node_cursors(node.target)

@@ -44,6 +44,13 @@ a quoted path, or a name registered in the ``tables`` mapping;
   ``SHOW FILES <path>`` / ``SHOW REFS <path>`` — the metadata tables
   (:func:`~skopje_spark.sinks.versioned.versioned_meta`); these
   return the metadata DataFrame instead of a version number.
+- ``SELECT ... FROM <name> [VERSION AS OF n | TIMESTAMP AS OF 'ts' |
+  @ref] ...`` (and ``WITH`` CTEs) — read-only time travel: mapped
+  names attach through the connector at the pinned snapshot, the
+  rewritten statement compiles through Spark SQL itself (joins
+  between two pinned versions of one table work), and the result
+  DataFrame is returned. Unmapped names resolve in Spark's own
+  catalog, so versioned and ordinary tables join in one statement.
 
 Alias references in conditions and SET expressions are rewritten to
 the native operators' evaluation domain (target columns bare, source
@@ -149,12 +156,72 @@ def versioned_sql(
         return _alter_ref(stmt, tables, kwargs)
     if head in ("DESCRIBE", "SHOW"):
         return _meta_stmt(spark, stmt, tables, kwargs)
+    if head in ("SELECT", "WITH"):
+        return _select(spark, stmt, tables, kwargs)
     raise ValueError(
-        f"versioned_sql supports MERGE INTO / UPDATE / DELETE FROM / "
+        f"versioned_sql supports SELECT/WITH (VERSION|TIMESTAMP AS OF, "
+        f"@ref) / MERGE INTO / UPDATE / DELETE FROM / "
         f"INSERT INTO / CREATE TABLE AS / ALTER TABLE refs / "
         f"DESCRIBE HISTORY / SHOW PARTITIONS|FILES|REFS; "
         f"got {stmt[:60]!r}"
     )
+
+
+# FROM/JOIN <name> [VERSION AS OF n | TIMESTAMP AS OF ts | @ref]
+_TT = re.compile(
+    rf"\b(FROM|JOIN){_WS}([A-Za-z_][A-Za-z0-9_.]*)"
+    rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+    rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)'"
+    rf"|@([A-Za-z0-9][A-Za-z0-9._-]*))?",
+    flags=re.IGNORECASE,
+)
+
+
+def _select(spark, stmt, tables, kwargs):
+    """Read-only SELECT/WITH with TIME TRAVEL syntax over versioned
+    tables — the SQL spelling of the function API's ``version=`` /
+    ``as_of_ts=`` / ``ref=``: every ``FROM/JOIN <name>`` whose name is
+    in ``tables`` is attached through the connector (pinned when
+    ``VERSION AS OF n``, ``TIMESTAMP AS OF 'ts'``, or ``@ref``
+    follows), then the rewritten statement compiles through Spark SQL
+    itself — any projection/join/window/CTE works. Names NOT in
+    ``tables`` are left for Spark's own catalog (temp views compose).
+    Returns the result DataFrame; commits nothing."""
+    from skopje_spark.sources.lakesource import attach_versioned
+
+    n_attached = 0
+
+    def rewrite(m):
+        nonlocal n_attached
+        kw, name, ver, ts, ref = m.groups()
+        if tables is None or name not in tables:
+            return m.group(0)  # Spark-catalog name: untouched
+        path = tables[name]
+        alias = name
+        kw_args = {}
+        if ver is not None:
+            alias = f"{name}__v{ver}"
+            kw_args["version"] = int(ver)
+        elif ts is not None:
+            import datetime as _dt
+
+            t = _dt.datetime.fromisoformat(ts)
+            alias = f"{name}__ts{abs(hash(ts)) % 10**8}"
+            kw_args["as_of_ts"] = t.timestamp()
+        elif ref is not None:
+            alias = f"{name}__ref_{ref.replace('.', '_').replace('-', '_')}"
+            kw_args["ref"] = ref
+        attach_versioned(spark, alias, path, **kw_args)
+        n_attached += 1
+        return f"{kw} {alias}"
+
+    rewritten = _TT.sub(rewrite, stmt)
+    if tables and n_attached == 0:
+        raise ValueError(
+            "SELECT referenced none of the mapped tables "
+            f"{sorted(tables)}: {stmt[:60]!r}"
+        )
+    return spark.sql(rewritten)
 
 
 def _meta_stmt(spark, stmt, tables, kwargs):

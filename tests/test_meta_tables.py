@@ -143,3 +143,35 @@ def test_sqlfront_merge_branch(spark, tmp_path):
     from skopje_spark.sinks.versioned import table_refs
 
     assert "b1" not in table_refs(path)
+
+
+def test_sqlfront_select_time_travel(spark, tmp_path):
+    """versioned_sql SELECT: plain reads, VERSION AS OF, @ref, and a
+    join between two pinned snapshots — the SQL spelling of the
+    function API's time travel."""
+    from skopje_spark.sqlfront import versioned_sql
+
+    path = str(tmp_path / "t")
+    versioned_write(_frame(spark, 10), path)              # v0
+    versioned_tag(path, "rel")                            # v1
+    versioned_delete(spark, path, "k >= 5")               # v2
+    t = {"t": path}
+    assert versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM t", tables=t
+    ).first()["n"] == 5
+    assert versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 0", tables=t
+    ).first()["n"] == 10
+    assert versioned_sql(
+        spark, "SELECT COUNT(*) AS n FROM t@rel", tables=t
+    ).first()["n"] == 10
+    # diff two snapshots in ONE statement
+    gone = versioned_sql(
+        spark,
+        "SELECT a.k FROM t VERSION AS OF 0 a "
+        "LEFT ANTI JOIN t b ON a.k = b.k",
+        tables=t,
+    )
+    assert {r["k"] for r in gone.collect()} == {5, 6, 7, 8, 9}
+    with pytest.raises(ValueError, match="referenced none"):
+        versioned_sql(spark, "SELECT 1 AS x", tables=t)

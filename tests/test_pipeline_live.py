@@ -296,3 +296,27 @@ def test_upsert_node_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="exactly ONE"):
         LiveNode(name="a", target="x", inputs=["s", "t"], mode="upsert",
                  keys=["k"], transform=lambda s, f: None)
+
+
+def test_full_refresh_rebuilds_and_resets_cursors(spark, tmp_path):
+    """full_refresh recomputes a node from the CURRENT full snapshots
+    — the recovery move after an upstream rewrite an append node
+    cannot fold — and the next incremental run continues from there."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([_clean_node(src, tgt, input_keys={src: ["k"]})])
+    pipe.run(spark)
+    # upstream DELETE: the append node refuses...
+    versioned_delete(spark, src, "k >= 8", change_feed=True)
+    with pytest.raises(ValueError, match="cannot fold"):
+        pipe.run(spark)
+    # ...full refresh recovers
+    r = pipe.full_refresh(spark, "clean")
+    assert r["action"] == "full_refresh"
+    assert versioned_read(spark, tgt).count() == 8
+    # and incremental processing resumes cleanly after
+    _ingest(spark, src, 20, 23)
+    r2 = pipe.run(spark)
+    assert r2["clean"]["action"] == "append"
+    assert versioned_read(spark, tgt).count() == 11
