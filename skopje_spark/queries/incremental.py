@@ -4258,3 +4258,80 @@ def q_versioned_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("inherited", F.lit(bool(inherited)))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_versioned_time_travel_sql",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderkey FROM orders WHERE NOT (o_orderkey % 5 = 2)
+    )
+    SELECT 'current' AS src, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM cur
+    UNION ALL
+    SELECT 'v0' AS src, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'gone' AS src, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 5 = 2
+    ORDER BY src
+    """,
+    tags=("versioned", "timetravel", "sql", "lakeops"),
+)
+def q_versioned_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel under the driver gate (sqlfront.py SELECT —
+    ``VERSION AS OF`` / ``@ref`` / cross-version joins as statement
+    text): orders are committed (v0), tagged, and a DV-delete removes
+    one residue class; THREE versioned_sql SELECTs then serve the
+    current state, the ``@baseline`` tag, and — in one statement — the
+    anti-join diff between ``VERSION AS OF 0`` and the current
+    snapshot (exactly the rows the delete removed). The oracle
+    recomputes all three closed-form from raw orders; hash equality
+    proves the SQL surface pins, travels, and diffs snapshots
+    correctly, with zero function-API calls in the read path.
+
+    Scale: each pinned attach is kilobyte manifest planning through
+    the connector; the cross-version diff reads two snapshots that
+    share every unchanged file."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        versioned_delete,
+        versioned_tag,
+        versioned_write,
+    )
+    from skopje_spark.sqlfront import versioned_sql
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    path = tempfile.mkdtemp(prefix="skopje_ttsql_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.repartition(4), path)           # v0
+    versioned_tag(path, "baseline")                   # v1 (refs)
+    versioned_delete(spark, path, "pmod(o_orderkey, 5) = 2")  # v2
+    t = {"t": path}
+    cur = versioned_sql(
+        spark,
+        "SELECT 'current' AS src, COUNT(*) AS n, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM t",
+        tables=t,
+    )
+    v0 = versioned_sql(
+        spark,
+        "SELECT 'v0' AS src, COUNT(*) AS n, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM t@baseline",
+        tables=t,
+    )
+    gone = versioned_sql(
+        spark,
+        "SELECT 'gone' AS src, COUNT(*) AS n, "
+        "CAST(SUM(a.o_orderkey) AS BIGINT) AS key_sum "
+        "FROM t VERSION AS OF 0 a LEFT ANTI JOIN t b "
+        "ON a.o_orderkey = b.o_orderkey",
+        tables=t,
+    )
+    return cur.unionByName(v0).unionByName(gone).orderBy("src")
