@@ -38,9 +38,15 @@ EXACTLY-ONCE BY COMMIT ATOMICITY: each node's input cursors
 the data they produced, under a compare-and-swap on the target's
 version. A crash before the commit leaves the cursor untouched (the
 rerun re-reads the same range); a crash after has the cursor advanced
-with the data. There is no side-channel checkpoint to drift, and two
-racing runners resolve by CAS — one wins, one gets a loud
-CommitConflict.
+with the data. When a run needs MORE than one commit (an upsert run
+with both a merge and a key-frame delete), only the run's FINAL
+commit carries the cursor — a crash between the commits replays the
+whole range, and every apply step is idempotent by key. There is no
+side-channel checkpoint to drift, and two racing runners resolve by
+CAS — one wins, one gets a loud CommitConflict. Quarantine rows are
+staged BEFORE the cursor-carrying commit (at-least-once for the
+audit trail; a post-commit write would lose them forever on a crash
+in between).
 
 Expectations (``sinks/expect.py`` ladder) gate every node commit:
 violating rows warn / drop / quarantine (into ``<target>_quarantine``
@@ -103,6 +109,12 @@ class LiveNode:
         if self.mode not in _MODES:
             raise ValueError(
                 f"node {self.name!r}: mode must be one of {_MODES}"
+            )
+        if self.on_violation not in ("warn", "drop", "quarantine", "fail"):
+            raise ValueError(
+                f"node {self.name!r}: on_violation must be one of "
+                "('warn', 'drop', 'quarantine', 'fail'), got "
+                f"{self.on_violation!r}"
             )
         if not self.inputs and not self.static_inputs:
             raise ValueError(f"node {self.name!r} declares no inputs")
@@ -216,21 +228,13 @@ class LivePipeline:
             meta.update(exp_meta)
         else:
             admitted, n_rows, q_df = out, None, None
+        expected = latest_version(node.target)
+        _stage_quarantine(spark, node, q_df, expected)
         v = versioned_write(
             admitted, node.target, meta=meta,
             partition_by=node.partition_by,
-            expected_version=latest_version(node.target),
+            expected_version=expected,
         )
-        if q_df is not None:
-            qpath = f"{node.target.rstrip('/')}_quarantine"
-            q_meta = {
-                "quarantine_of": node.target,
-                "quarantine_source_version": str(v),
-            }
-            if latest_version(qpath) is None:
-                versioned_write(q_df, qpath, meta=q_meta)
-            else:
-                versioned_append(spark, qpath, q_df, meta=q_meta)
         return {
             "version": v, "action": "full_refresh",
             "rows": n_rows, "cursors": latests,
@@ -251,13 +255,17 @@ class LivePipeline:
             latests[ref] = lv
 
         first_run = cursors is None
-        if not first_run and node.mode in ("append", "upsert"):
+        if not first_run:
             fresh = {
                 ref: lv
                 for ref, lv in latests.items()
                 if lv > int(cursors.get(ref, -1))
             }
-            if not fresh:
+            # replace nodes with ONLY static inputs recompute every run
+            # (static inputs never gate — the stream-static contract);
+            # everything else is a no-op when no streamed input advanced
+            gate = bool(latests) if node.mode == "replace" else True
+            if gate and not fresh:
                 return {
                     "version": latest_version(node.target),
                     "action": "noop",
@@ -330,6 +338,13 @@ class LivePipeline:
         else:
             admitted, n_rows, q_df = out, None, None
 
+        # quarantine is staged BEFORE the cursor-carrying data commit:
+        # a crash between the two replays the range and quarantines
+        # again (at-least-once for the audit trail — duplicates beat
+        # silently losing violating rows forever, which is what a
+        # post-commit write does when the cursor has already advanced)
+        _stage_quarantine(spark, node, q_df, expected)
+
         if node.mode == "replace" or first_run:
             # a full snapshot write has no diff to record; downstream
             # append nodes reading a replace node declare input_keys
@@ -345,16 +360,6 @@ class LivePipeline:
                 expected_version=expected,
                 change_feed=node.change_feed,
             )
-        if q_df is not None:
-            qpath = f"{node.target.rstrip('/')}_quarantine"
-            q_meta = {
-                "quarantine_of": node.target,
-                "quarantine_source_version": str(v),
-            }
-            if latest_version(qpath) is None:
-                versioned_write(q_df, qpath, meta=q_meta)
-            else:
-                versioned_append(spark, qpath, q_df, meta=q_meta)
         rows = n_rows
         return {
             "version": v,
@@ -369,9 +374,26 @@ def _run_upsert(self: "LivePipeline", spark: SparkSession,
     """Incremental APPLY CHANGES for one upsert node: net-final
     reduction of the feed range (the replicate reduction), row-wise
     transform of the survivors, expectation gate, MERGE by key +
-    key-frame delete. The cursor rides the LAST commit of the run;
-    crash-replay re-applies the same range idempotently (merge and
-    key-delete are both idempotent by key)."""
+    key-frame delete.
+
+    EXACTLY-ONCE: the advanced cursor rides ONLY the run's FINAL
+    commit. When the run needs both a merge and a key-frame delete,
+    the merge commits WITHOUT the cursor marker — a crash between the
+    two leaves the cursor at its old value, so the rerun re-reads the
+    same range and re-applies both steps (merge and key-delete are
+    idempotent by key). Attaching the cursor to the first commit
+    would make the rerun see the range consumed and the net-deleted
+    keys would survive forever. Both commits CAS on the version they
+    expect (``expected_version``), so two racing runners resolve with
+    a loud CommitConflict, never a double-apply.
+
+    NET-FINAL TIES: a single commit can record a delete AND an insert
+    for the same key (``versioned_replace_where(change_feed=True)``
+    stages the removal and the replacement in one commit). Within one
+    commit the insert/update_postimage is the final state, so the
+    reduction breaks same-commit ties by change-type priority
+    (delete lowest) — deterministic, never elects the delete of a
+    replaced key."""
     from pyspark.sql import Window
 
     from skopje_spark.sinks.versioned import (
@@ -395,7 +417,10 @@ def _run_upsert(self: "LivePipeline", spark: SparkSession,
     )
     act = feed.filter(F.col("_change_type") != "update_preimage")
     w = Window.partitionBy(*node.keys).orderBy(
-        F.col("_commit_version").desc()
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "delete", F.lit(0))
+        .otherwise(F.lit(1))
+        .desc(),
     )
     last = (
         act.withColumn("__rn", F.row_number().over(w))
@@ -411,8 +436,7 @@ def _run_upsert(self: "LivePipeline", spark: SparkSession,
     )
     out = node.transform(spark, {ref: ups_src})
     new_cursors = {**cursors, ref: latests[ref]}
-    meta = {
-        _CURSORS_KEY: json.dumps(new_cursors, sort_keys=True),
+    base_meta = {
         "live_node": node.name,
         "live_mode": node.mode,
     }
@@ -420,47 +444,85 @@ def _run_upsert(self: "LivePipeline", spark: SparkSession,
         admitted, n_rows, q_df, exp_meta = _gate(
             spark, out, node.expectations, node.on_violation, node.name,
         )
-        meta.update(exp_meta)
+        base_meta.update(exp_meta)
     else:
         admitted, n_rows, q_df = out, None, None
-    v = latest_version(node.target)
-    did = False
-    if admitted.limit(1).count():
+    cursor_meta = {
+        **base_meta,
+        _CURSORS_KEY: json.dumps(new_cursors, sort_keys=True),
+    }
+    expected = latest_version(node.target)
+    # stage quarantine BEFORE any cursor-advancing commit (see
+    # _stage_quarantine: at-least-once beats silent loss)
+    _stage_quarantine(spark, node, q_df, expected)
+    has_ups = bool(admitted.limit(1).count())
+    has_dels = bool(dels.limit(1).count())
+    if has_ups and has_dels:
+        # merge WITHOUT the cursor marker — only the final (delete)
+        # commit advances the cursor; crash between them replays both
         v = versioned_upsert(
-            spark, node.target, admitted, node.keys, meta=meta,
+            spark, node.target, admitted, node.keys, meta=base_meta,
+            expected_version=expected,
             change_feed=node.change_feed,
         )
-        did = True
-    if dels.limit(1).count():
         v = versioned_delete(
-            spark, node.target, dels, meta=meta,
+            spark, node.target, dels, meta=cursor_meta,
+            expected_version=v,
             change_feed=node.change_feed,
         )
-        did = True
-    if not did:
+    elif has_ups:
+        v = versioned_upsert(
+            spark, node.target, admitted, node.keys, meta=cursor_meta,
+            expected_version=expected,
+            change_feed=node.change_feed,
+        )
+    elif has_dels:
+        v = versioned_delete(
+            spark, node.target, dels, meta=cursor_meta,
+            expected_version=expected,
+            change_feed=node.change_feed,
+        )
+    else:
         # versions advanced but net-zero changes (metadata commits,
         # self-cancelling chains): advance the cursor with an empty
         # append so the feed range never grows unboundedly
         v = versioned_append(
             spark, node.target,
-            versioned_read(spark, node.target).limit(0), meta=meta,
+            versioned_read(spark, node.target).limit(0),
+            meta=cursor_meta,
+            expected_version=expected,
         )
-    if q_df is not None:
-        qpath = f"{node.target.rstrip('/')}_quarantine"
-        q_meta = {
-            "quarantine_of": node.target,
-            "quarantine_source_version": str(v),
-        }
-        if latest_version(qpath) is None:
-            versioned_write(q_df, qpath, meta=q_meta)
-        else:
-            versioned_append(spark, qpath, q_df, meta=q_meta)
     return {
         "version": v,
         "action": "apply_changes",
         "rows": n_rows,
         "cursors": new_cursors,
     }
+
+
+def _stage_quarantine(spark, node: LiveNode, q_df, expected) -> None:
+    """Write violating rows to ``<target>_quarantine`` BEFORE the
+    cursor-carrying data commit. A crash after the quarantine write
+    but before the data commit replays the range and may quarantine
+    the same rows again (at-least-once, deduplicable on the
+    back-pointer) — the alternative, writing after the commit, loses
+    the rows FOREVER on a crash between the two because the advanced
+    cursor makes the rerun skip the range. ``quarantine_source_version``
+    back-points at the version the guarded commit WILL take (its CAS
+    on ``expected`` makes that deterministic)."""
+    if q_df is None:
+        return
+    qpath = f"{node.target.rstrip('/')}_quarantine"
+    q_meta = {
+        "quarantine_of": node.target,
+        "quarantine_source_version": str(
+            0 if expected is None else expected + 1
+        ),
+    }
+    if latest_version(qpath) is None:
+        versioned_write(q_df, qpath, meta=q_meta)
+    else:
+        versioned_append(spark, qpath, q_df, meta=q_meta)
 
 
 def _gate(spark, df, expectations, on_violation, node_name):

@@ -298,6 +298,160 @@ def test_upsert_node_validation(spark, tmp_path):
                  keys=["k"], transform=lambda s, f: None)
 
 
+def test_crash_between_upsert_and_delete_replays_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """THE exactly-once crash window: a run needing both a MERGE and a
+    key-frame delete must not advance the cursor on the merge commit.
+    Inject a failure in versioned_delete after the upsert commit; the
+    rerun must NOT noop — it replays the range and the net-deleted key
+    is gone."""
+    import skopje_spark.sinks.versioned as V
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 10)
+    pipe = LivePipeline([
+        LiveNode(
+            name="m", target=tgt, inputs=[src], mode="upsert",
+            keys=["k"], transform=lambda s, f: f[src],
+        )
+    ])
+    pipe.run(spark)
+    # a range with BOTH an update (k=1) and a delete (k=2)
+    from skopje_spark.sinks.versioned import versioned_upsert
+
+    versioned_upsert(
+        spark, src,
+        spark.createDataFrame([(1, 0, 99.0)], ["k", "g", "x"]),
+        ["k"], change_feed=True,
+    )
+    versioned_delete(spark, src, "k = 2", change_feed=True)
+
+    real_delete = V.versioned_delete
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before the delete commit")
+
+    monkeypatch.setattr(V, "versioned_delete", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.run(spark)
+    monkeypatch.setattr(V, "versioned_delete", real_delete)
+    # the merge committed but the cursor must NOT have advanced
+    rows = {r["k"]: r["x"] for r in versioned_read(spark, tgt).collect()}
+    assert rows[1] == 99.0 and 2 in rows  # delete not yet applied
+    r = pipe.run(spark)["m"]
+    assert r["action"] == "apply_changes"  # NOT noop
+    rows = {r["k"]: r["x"] for r in versioned_read(spark, tgt).collect()}
+    assert 2 not in rows and rows[1] == 99.0 and len(rows) == 9
+    # and a further idle run is a clean noop
+    assert pipe.run(spark)["m"]["action"] == "noop"
+
+
+def test_upsert_tie_break_replace_where_converges(spark, tmp_path):
+    """A replace_where(change_feed=True) commit records the delete and
+    the insert of a replaced key in the SAME commit; the net-final
+    reduction must deterministically elect the insert — the key keeps
+    its replaced value, never vanishes."""
+    from skopje_spark.sinks.versioned import versioned_replace_where
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 6)
+    pipe = LivePipeline([
+        LiveNode(
+            name="m", target=tgt, inputs=[src], mode="upsert",
+            keys=["k"], transform=lambda s, f: f[src],
+        )
+    ])
+    pipe.run(spark)
+    versioned_replace_where(
+        spark, src, {"k": (2, 4)},
+        spark.createDataFrame(
+            [(2, 7, -2.0), (3, 7, -3.0), (4, 7, -4.0)], ["k", "g", "x"]
+        ),
+        change_feed=True,
+    )
+    r = pipe.run(spark)["m"]
+    assert r["action"] == "apply_changes"
+    rows = {q["k"]: q["x"] for q in versioned_read(spark, tgt).collect()}
+    # replaced keys converge to the NEW values — present, not deleted
+    assert rows[2] == -2.0 and rows[3] == -3.0 and rows[4] == -4.0
+    assert len(rows) == 6
+
+
+def test_quarantine_survives_crash_before_data_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Quarantine rows are staged BEFORE the cursor-carrying commit:
+    crash the data commit and the violating rows are already on disk;
+    the replayed run still commits the clean rows."""
+    import skopje_spark.pipeline_live as PL
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 5)
+    pipe = LivePipeline([
+        _clean_node(src, tgt, expectations={"k_small": "k < 8"})
+    ])
+    pipe.run(spark)  # clean build, no offenders
+    _ingest(spark, src, 8, 10)  # two offenders
+
+    real_append = PL.versioned_append
+
+    def crash_on_target(s, path, *a, **kw):
+        if path == tgt:
+            raise RuntimeError("injected crash on the data commit")
+        return real_append(s, path, *a, **kw)
+
+    monkeypatch.setattr(PL, "versioned_append", crash_on_target)
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.run(spark)
+    # the audit trail survived the crash
+    q = versioned_read(spark, f"{tgt}_quarantine")
+    assert {r["k"] for r in q.collect()} == {8, 9}
+    monkeypatch.setattr(PL, "versioned_append", real_append)
+    r = pipe.run(spark)["clean"]
+    assert r["action"] == "append"
+    assert versioned_read(spark, tgt).filter("k >= 8").count() == 0
+    # replay may re-stage (at-least-once): same KEYS, possibly twice
+    q2 = versioned_read(spark, f"{tgt}_quarantine")
+    assert {r["k"] for r in q2.collect()} == {8, 9}
+
+
+def test_replace_node_noops_when_inputs_unchanged(spark, tmp_path):
+    """A replace node with streamed inputs skips the recompute (and
+    the commit) when no input advanced — idle polls stop growing
+    version debt."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 6)
+    calls = []
+
+    def xf(s, f):
+        calls.append(1)
+        return f[src].groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+
+    pipe = LivePipeline([
+        LiveNode(name="mv", target=tgt, inputs=[src], mode="replace",
+                 transform=xf)
+    ])
+    pipe.run(spark)
+    v = latest_version(tgt)
+    r = pipe.run(spark)["mv"]
+    assert r["action"] == "noop" and latest_version(tgt) == v
+    assert len(calls) == 1
+    _ingest(spark, src, 6, 9)
+    assert pipe.run(spark)["mv"]["action"] == "replace"
+    assert len(calls) == 2
+
+
+def test_on_violation_validated(spark, tmp_path):
+    with pytest.raises(ValueError, match="on_violation"):
+        LiveNode(name="a", target="x", inputs=["s"],
+                 on_violation="quarentine", transform=lambda s, f: None)
+
+
 def test_full_refresh_rebuilds_and_resets_cursors(spark, tmp_path):
     """full_refresh recomputes a node from the CURRENT full snapshots
     — the recovery move after an upstream rewrite an append node
