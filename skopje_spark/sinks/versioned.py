@@ -6394,10 +6394,36 @@ def _three_way(fork_val, branch_val, main_val, what: str):
     )
 
 
+def _sweep_disjoint(b_ivs: list, m_ivs: list):
+    """Any-overlap test between two interval lists: sort by lower
+    bound, then a two-pointer sweep — O(n log n + m log m) total, not
+    the O(n·m) pair loop (two 50k-file deltas would be 2.5e9
+    comparisons driver-side). Each element is ``(lo, hi, path)``;
+    returns ``((branch_path, main_path) | None, comparisons)`` where
+    the pair is the first overlap found."""
+    b = sorted(b_ivs, key=lambda t: t[0])
+    m = sorted(m_ivs, key=lambda t: t[0])
+    i = j = comp = 0
+    while i < len(b) and j < len(m):
+        comp += 1
+        blo, bhi, bp = b[i]
+        mlo, mhi, mp = m[j]
+        if blo <= mhi and mlo <= bhi:
+            return (bp, mp), comp
+        # the interval that ends first can never overlap anything
+        # later in the other (lo-sorted) list's remaining elements
+        if bhi < mhi:
+            i += 1
+        else:
+            j += 1
+    return None, comp
+
+
 def versioned_merge_branch(
     path: str, name: str, *,
     drop: bool = False,
     key: str | None = None,
+    spark: SparkSession | None = None,
     lock_timeout_s: float = 600.0,
     max_retries: int = 5,
 ) -> int:
@@ -6429,7 +6455,12 @@ def versioned_merge_branch(
       partition layout + spec history, rename/drop ledger, value-index
       config) resolve three-way; changed-on-both refuses. A constraint
       ADDED on main since the fork always refuses — the branch's rows
-      were never validated against it.
+      were never validated against it. Symmetrically, a constraint
+      changed on the BRANCH while main committed data since the fork
+      validates main's post-fork rows against the changed constraints
+      (pass ``spark=``; one O(main's delta) job) — or refuses when no
+      session is supplied, so the merged table never advertises a
+      CHECK its rows were not proven to satisfy.
 
     The merge itself is pure driver-side manifest arithmetic plus
     O(new files) hard links and one kilobyte CAS commit
@@ -6534,6 +6565,53 @@ def versioned_merge_branch(
                     f"since fork v{fork_v} — the branch's rows were "
                     "never validated against them; re-branch and replay"
                 )
+            if prop == "constraints" and merged != m_val:
+                # the SYMMETRIC hole: the merge would advertise the
+                # branch's (changed) constraints, but rows main
+                # committed after the fork were only ever validated
+                # against main's own — carrying them in unvalidated
+                # makes the merged table lie about its CHECK
+                # guarantees. With a session, validate exactly main's
+                # post-fork live entries against exactly the changed
+                # constraints (O(main's delta), one job); without one
+                # refuse loudly (the merge is otherwise job-free).
+                m_new_entries = [
+                    e for p, e in l_by.items()
+                    if fork_by.get(p) != e
+                    and int(e.get("rows", 0)) - int(e.get("dv_rows", 0)) > 0
+                ]
+                if m_new_entries:
+                    if spark is None:
+                        raise MergeConflict(
+                            "merge refused: the branch's CHECK "
+                            f"constraints changed since fork v{fork_v} "
+                            "and main has data commits since — main's "
+                            "new rows were never validated against "
+                            "them; pass spark= to validate them during "
+                            "the merge, or re-branch and replay"
+                        )
+                    all_cons = json.loads(merged) if merged else {}
+                    old_cons = json.loads(m_val) if m_val else {}
+                    delta_cons = {
+                        n: x for n, x in all_cons.items()
+                        if old_cons.get(n) != x
+                    }
+                    if delta_cons:
+                        from pyspark.sql.types import StructType
+
+                        rows = _read_entries(
+                            spark, path, m_new_entries,
+                            StructType.fromJson(man_l["schema"]),
+                        )
+                        broken = _find_violations(rows, delta_cons)
+                        if broken:
+                            raise MergeConflict(
+                                "merge refused: main's post-fork rows "
+                                "violate the branch's CHECK "
+                                f"constraint(s) {broken} — fix the rows "
+                                "on main (or drop the constraint) and "
+                                "retry"
+                            )
             if merged is not None:
                 meta_props[prop] = merged
 
@@ -6587,6 +6665,7 @@ def versioned_merge_branch(
             def _live_rows(e: dict) -> int:
                 return int(e.get("rows", 0)) - int(e.get("dv_rows", 0))
 
+            b_ivs = []
             for be in list(b_changed.values()) + list(b_added.values()):
                 if _live_rows(be) == 0:
                     continue  # provably holds no keys
@@ -6597,16 +6676,27 @@ def versioned_merge_branch(
                         f"no usable footer stats on key {key!r} — "
                         "disjointness unprovable"
                     )
-                for me in m_delta:
-                    if _live_rows(me) == 0:
-                        continue
-                    mi = _key_interval(me)
-                    if mi is None or not (bi[1] < mi[0] or bi[0] > mi[1]):
+                b_ivs.append((bi[0], bi[1], be["path"]))
+            m_ivs = []
+            for me in m_delta:
+                if _live_rows(me) == 0:
+                    continue
+                mi = _key_interval(me)
+                if mi is None:
+                    if b_ivs:
                         raise MergeConflict(
-                            "merge refused: branch file "
-                            f"{be['path']} and main file {me['path']} "
-                            f"may share keys on {key!r}"
+                            f"merge refused: main file {me['path']} has "
+                            f"no usable footer stats on key {key!r} — "
+                            "disjointness unprovable"
                         )
+                    continue
+                m_ivs.append((mi[0], mi[1], me["path"]))
+            hit, _ = _sweep_disjoint(b_ivs, m_ivs)
+            if hit is not None:
+                raise MergeConflict(
+                    f"merge refused: branch file {hit[0]} and main "
+                    f"file {hit[1]} may share keys on {key!r}"
+                )
 
         # --- pool links for the branch's new bytes --------------------
         for be in to_link:

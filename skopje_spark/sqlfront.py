@@ -40,6 +40,12 @@ a quoted path, or a name registered in the ``tables`` mapping;
   ``ALTER TABLE <path> MERGE BRANCH <name> [AND DROP]`` — the named
   refs tier (tags, branches, write-audit-publish, three-way merge)
   as DDL text.
+- ``OPTIMIZE <path> [WHERE col = lit [AND …]] [ZORDER BY (c1, c2)]``
+  / ``VACUUM <path> [RETAIN <n> VERSIONS] [DRY RUN]`` /
+  ``ANALYZE TABLE <path> COMPUTE STATISTICS [FOR COLUMNS c1, c2]`` —
+  the maintenance tier as users coming from Delta/Spark type it,
+  routed to ``versioned_compact`` / ``vacuum`` /
+  ``versioned_analyze``.
 - ``DESCRIBE HISTORY <path>`` / ``SHOW PARTITIONS <path>`` /
   ``SHOW FILES <path>`` / ``SHOW REFS <path>`` — the metadata tables
   (:func:`~skopje_spark.sinks.versioned.versioned_meta`); these
@@ -153,15 +159,22 @@ def versioned_sql(
     if head == "CREATE":
         return _ctas(spark, stmt, tables, kwargs)
     if head == "ALTER":
-        return _alter_ref(stmt, tables, kwargs)
+        return _alter_ref(spark, stmt, tables, kwargs)
     if head in ("DESCRIBE", "SHOW"):
         return _meta_stmt(spark, stmt, tables, kwargs)
     if head in ("SELECT", "WITH"):
         return _select(spark, stmt, tables, kwargs)
+    if head == "OPTIMIZE":
+        return _optimize_stmt(spark, stmt, tables, kwargs)
+    if head == "VACUUM":
+        return _vacuum_stmt(stmt, tables, kwargs)
+    if head == "ANALYZE":
+        return _analyze_stmt(spark, stmt, tables, kwargs)
     raise ValueError(
         f"versioned_sql supports SELECT/WITH (VERSION|TIMESTAMP AS OF, "
         f"@ref) / MERGE INTO / UPDATE / DELETE FROM / "
         f"INSERT INTO / CREATE TABLE AS / ALTER TABLE refs / "
+        f"OPTIMIZE [ZORDER BY] / VACUUM / ANALYZE TABLE / "
         f"DESCRIBE HISTORY / SHOW PARTITIONS|FILES|REFS; "
         f"got {stmt[:60]!r}"
     )
@@ -186,13 +199,36 @@ def _select(spark, stmt, tables, kwargs):
     follows), then the rewritten statement compiles through Spark SQL
     itself — any projection/join/window/CTE works. Names NOT in
     ``tables`` are left for Spark's own catalog (temp views compose).
-    Returns the result DataFrame; commits nothing."""
+    Returns the result DataFrame; commits nothing.
+
+    SIDE-EFFECT-FREE: the attachments are session temp views, so a
+    bare SELECT used to silently clobber any pre-existing temp view
+    sharing a mapped name and leave its attachments registered. Now
+    every clobbered TEMP view is captured first and restored after the
+    statement's plan is built, and every view this call attached is
+    dropped — the analyzed plan keeps the pinned snapshot (resolution
+    happens inside ``spark.sql``), so the returned DataFrame stays
+    valid after the views are gone."""
     from skopje_spark.sources.lakesource import attach_versioned
 
-    n_attached = 0
+    attached: list[str] = []
+    saved: dict[str, object] = {}
+
+    def _attach(alias, path, kw_args):
+        if alias not in saved:
+            try:
+                hit = [
+                    t for t in spark.catalog.listTables()
+                    if t.isTemporary and t.name == alias
+                ]
+                if hit:
+                    saved[alias] = spark.table(alias)
+            except Exception:
+                pass
+        attach_versioned(spark, alias, path, **kw_args)
+        attached.append(alias)
 
     def rewrite(m):
-        nonlocal n_attached
         kw, name, ver, ts, ref = m.groups()
         if tables is None or name not in tables:
             return m.group(0)  # Spark-catalog name: untouched
@@ -211,17 +247,25 @@ def _select(spark, stmt, tables, kwargs):
         elif ref is not None:
             alias = f"{name}__ref_{ref.replace('.', '_').replace('-', '_')}"
             kw_args["ref"] = ref
-        attach_versioned(spark, alias, path, **kw_args)
-        n_attached += 1
+        _attach(alias, path, kw_args)
         return f"{kw} {alias}"
 
     rewritten = _TT.sub(rewrite, stmt)
-    if tables and n_attached == 0:
+    if tables and not attached:
         raise ValueError(
             "SELECT referenced none of the mapped tables "
             f"{sorted(tables)}: {stmt[:60]!r}"
         )
-    return spark.sql(rewritten)
+    try:
+        return spark.sql(rewritten)
+    finally:
+        for alias in set(attached):
+            try:
+                spark.catalog.dropTempView(alias)
+            except Exception:
+                pass
+        for alias, df_saved in saved.items():
+            df_saved.createOrReplaceTempView(alias)
 
 
 def _meta_stmt(spark, stmt, tables, kwargs):
@@ -284,7 +328,7 @@ def _ctas(spark, stmt, tables, kwargs) -> int:
         )
 
 
-def _alter_ref(stmt, tables, kwargs) -> int:
+def _alter_ref(spark, stmt, tables, kwargs) -> int:
     from skopje_spark.sinks.versioned import (
         versioned_branch,
         versioned_drop_ref,
@@ -350,6 +394,7 @@ def _alter_ref(stmt, tables, kwargs) -> int:
     if mm:
         from skopje_spark.sinks.versioned import versioned_merge_branch
 
+        kwargs.setdefault("spark", spark)
         return versioned_merge_branch(
             path, mm.group(1), drop=bool(mm.group(2)), **kwargs
         )
@@ -359,6 +404,107 @@ def _alter_ref(stmt, tables, kwargs) -> int:
         "[AS OF VERSION v], DROP TAG|BRANCH|REF n, "
         "PUBLISH BRANCH n [AND DROP], MERGE BRANCH n [AND DROP]"
     )
+
+
+def _opt_literal(tok: str):
+    """A WHERE-scope literal: quoted → string, else int, float, or
+    the raw token (dates arrive quoted)."""
+    tok = tok.strip()
+    if tok and tok[0] in "'\"" and tok[-1] == tok[0]:
+        return tok[1:-1]
+    for cast in (int, float):
+        try:
+            return cast(tok)
+        except ValueError:
+            pass
+    return tok
+
+
+def _optimize_stmt(spark, stmt, tables, kwargs) -> int:
+    """``OPTIMIZE <path> [WHERE col = lit [AND …]] [ZORDER BY (c, …)]``
+    — the Delta maintenance spelling, routed to
+    :func:`~skopje_spark.sinks.versioned.versioned_compact`:
+    bin-packing compaction by default, linear re-clustering with
+    ``ZORDER BY``, and a bounds-scoped rewrite with ``WHERE``
+    (equality conjuncts over partition-ish columns — only files
+    provably inside the bounds rewrite; everything else rides by
+    reference)."""
+    from skopje_spark.sinks.versioned import versioned_compact
+
+    m = re.match(
+        rf"OPTIMIZE{_WS}(\S+)"
+        rf"(?:{_WS}WHERE{_WS}(.+?))?"
+        rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(?([^()]+?)\)?)?$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable OPTIMIZE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    where = None
+    if m.group(2):
+        where = {}
+        for conj in re.split(rf"{_WS}AND{_WS}", m.group(2).strip(),
+                             flags=re.IGNORECASE):
+            eq = re.match(rf"(\w+){_WS}?={_WS}?(.+)$", conj.strip())
+            if not eq:
+                raise ValueError(
+                    "OPTIMIZE WHERE supports equality conjuncts "
+                    f"(col = literal); got {conj.strip()[:40]!r}"
+                )
+            where[eq.group(1)] = _opt_literal(eq.group(2))
+    cluster = (
+        [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+    )
+    return versioned_compact(
+        spark, path, where=where,
+        cluster_by=cluster, zorder=bool(cluster), **kwargs,
+    )
+
+
+def _vacuum_stmt(stmt, tables, kwargs):
+    """``VACUUM <path> [RETAIN <n> VERSIONS] [DRY RUN]`` — routed to
+    :func:`~skopje_spark.sinks.versioned.vacuum` (version-count
+    retention, not Delta's hours — the store's documented contract).
+    Returns the list of removed (or, under DRY RUN, removable)
+    versions rather than a commit number — vacuum commits nothing."""
+    from skopje_spark.sinks.versioned import vacuum
+
+    m = re.match(
+        rf"VACUUM{_WS}(\S+)"
+        rf"(?:{_WS}RETAIN{_WS}(\d+){_WS}VERSIONS)?"
+        rf"(?:{_WS}(DRY{_WS}RUN))?$",
+        stmt, flags=re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"unparsable VACUUM: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    if m.group(2) is not None:
+        kwargs.setdefault("keep", int(m.group(2)))
+    if m.group(3):
+        kwargs["dry_run"] = True
+    return vacuum(path, **kwargs)
+
+
+def _analyze_stmt(spark, stmt, tables, kwargs) -> int:
+    """``ANALYZE TABLE <path> COMPUTE STATISTICS [FOR COLUMNS c, …]``
+    — Spark's spelling, routed to
+    :func:`~skopje_spark.sinks.versioned.versioned_analyze`: one pass
+    computes NDV/null/row counts and records them as the
+    ``column_stats`` table property in a metadata-only commit."""
+    from skopje_spark.sinks.versioned import versioned_analyze
+
+    m = re.match(
+        rf"ANALYZE{_WS}TABLE{_WS}(\S+){_WS}COMPUTE{_WS}STATISTICS"
+        rf"(?:{_WS}FOR{_WS}COLUMNS{_WS}(.+))?$",
+        stmt, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unparsable ANALYZE: {stmt[:80]!r}")
+    path = _resolve_path(m.group(1), tables)
+    cols = (
+        [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+    )
+    return versioned_analyze(spark, path, cols, **kwargs)
 
 
 def _insert(spark, stmt, tables, kwargs) -> int:

@@ -123,17 +123,83 @@ def test_merge_constraint_added_on_main_refuses(spark, tmp_path):
 
 
 def test_merge_adopts_branch_constraint(spark, tmp_path):
-    """A constraint added on the BRANCH (main untouched) transfers with
-    the merge, same as publish."""
+    """A constraint added on the BRANCH transfers with the merge, same
+    as publish — but when main committed data since the fork, those
+    rows must be VALIDATED against it first (they were only ever
+    checked against main's own constraints): without a session the
+    merge refuses; with one it validates and proceeds."""
     path = str(tmp_path / "t")
     versioned_write(_kv(spark, [(1, "a")]), path)
     bdir = versioned_branch(path, "b1")
     set_check_constraint(spark, bdir, "v_set", "v IS NOT NULL")
     versioned_append(spark, path, _kv(spark, [(9, "z")]))
-    versioned_merge_branch(path, "b1")
+    # job-free merge can't prove main's new row satisfies the branch's
+    # constraint → refuse
+    with pytest.raises(MergeConflict, match="branch's CHECK"):
+        versioned_merge_branch(path, "b1")
+    # with a session the post-fork rows validate and the merge lands
+    versioned_merge_branch(path, "b1", spark=spark)
     assert snapshot_meta(
         path, "constraints", version=latest_version(path)
     ) == snapshot_meta(bdir, "constraints", version=latest_version(bdir))
+
+
+def test_merge_branch_constraint_rejects_violating_main_rows(
+    spark, tmp_path
+):
+    """The symmetric smuggling hole: main committed a row AFTER the
+    fork that violates the constraint the branch added — the merge
+    must refuse even WITH a session, or the merged table would
+    advertise a CHECK its rows break."""
+    path = str(tmp_path / "t")
+    versioned_write(_kv(spark, [(1, "a")]), path)
+    bdir = versioned_branch(path, "b1")
+    set_check_constraint(spark, bdir, "v_set", "v IS NOT NULL")
+    versioned_append(
+        spark, path,
+        spark.createDataFrame([(9, None)], "k INT, v STRING"),
+    )
+    with pytest.raises(MergeConflict, match="violate the branch's"):
+        versioned_merge_branch(path, "b1", spark=spark)
+    # no-data-since-fork merges stay job-free and need no session
+    path2 = str(tmp_path / "t2")
+    versioned_write(_kv(spark, [(1, "a")]), path2)
+    bdir2 = versioned_branch(path2, "b1")
+    set_check_constraint(spark, bdir2, "v_set", "v IS NOT NULL")
+    versioned_merge_branch(path2, "b1")
+    assert snapshot_meta(
+        path2, "constraints", version=latest_version(path2)
+    ) is not None
+
+
+def test_sweep_disjoint_subquadratic_and_correct():
+    """The key-disjointness gate sweeps sorted intervals — two 1k-file
+    deltas decide in O(n+m) comparisons, not the 1e6 pair loop — and
+    agrees with the brute-force answer on overlap detection."""
+    from skopje_spark.sinks.versioned import _sweep_disjoint
+
+    n = 1000
+    # disjoint: branch owns even slots, main odd slots
+    b = [(4 * i, 4 * i + 1, f"b{i}") for i in range(n)]
+    m = [(4 * i + 2, 4 * i + 3, f"m{i}") for i in range(n)]
+    hit, comp = _sweep_disjoint(b, m)
+    assert hit is None
+    assert comp <= 2 * n  # linear sweep, nowhere near n*m
+    # one overlapping pair buried mid-list is found
+    m2 = m + [(4 * 500, 4 * 500 + 1, "mX")]
+    hit, _ = _sweep_disjoint(b, m2)
+    assert hit == ("b500", "mX")
+    # brute-force agreement on a small adversarial mix (touching
+    # endpoints count as overlap, nested intervals, duplicates)
+    b3 = [(0, 10, "b0"), (11, 11, "b1"), (20, 30, "b2")]
+    m3 = [(10, 10, "m0")]
+    assert _sweep_disjoint(b3, m3)[0] == ("b0", "m0")
+    m4 = [(12, 19, "m1"), (31, 40, "m2")]
+    assert _sweep_disjoint(b3, m4)[0] is None
+    m5 = [(21, 22, "m3")]
+    assert _sweep_disjoint(b3, m5)[0] == ("b2", "m3")
+    assert _sweep_disjoint([], m3)[0] is None
+    assert _sweep_disjoint(b3, [])[0] is None
 
 
 def test_merge_key_disjointness_gate(spark, tmp_path):

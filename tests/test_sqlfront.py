@@ -103,7 +103,7 @@ def test_sql_front_end_refusals(spark, tmp_path):
     _mk(spark, path, n=10, files=1)
     spark.createDataFrame([(1, 1.0, "a")], "k long, x double, v string") \
         .createOrReplaceTempView("sqlfront_ref")
-    with pytest.raises(ValueError, match="supports MERGE INTO"):
+    with pytest.raises(ValueError, match="versioned_sql supports"):
         versioned_sql(spark, f"TRUNCATE TABLE '{path}'")
     with pytest.raises(ValueError, match="equality conjuncts"):
         versioned_sql(
@@ -229,3 +229,82 @@ def test_alter_table_ref_ddl_roundtrip(spark, tmp_path):
     assert table_refs(path) == {}
     with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
         versioned_sql(spark, f"ALTER TABLE '{path}' FROBNICATE x")
+
+
+def test_maintenance_sql_optimize_vacuum_analyze(spark, tmp_path):
+    """OPTIMIZE / VACUUM / ANALYZE TABLE as SQL text route to the
+    native maintenance operators: compaction (plain, ZORDER, scoped),
+    version-retention vacuum with DRY RUN, and the column_stats
+    metadata commit."""
+    import json as _json
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        _versions,
+        versioned_append,
+    )
+
+    path = str(tmp_path / "maint")
+    _mk(spark, path, n=200, files=8)
+    for lo in (200, 300):
+        versioned_append(
+            spark, path,
+            spark.createDataFrame(
+                [(i, float(i), f"r{i}") for i in range(lo, lo + 50)],
+                "k long, x double, v string",
+            ),
+        )
+    # plain OPTIMIZE: fewer files, content identical
+    before = versioned_read(spark, path).count()
+    v = versioned_sql(spark, f"OPTIMIZE '{path}'", target_files=2)
+    assert snapshot_meta(path, "op", version=v) == "compact"
+    assert len(_read_manifest(path, v)["files"]) == 2
+    assert versioned_read(spark, path).count() == before
+    # OPTIMIZE ... ZORDER BY: re-clustered, still content identical
+    v2 = versioned_sql(
+        spark, f"OPTIMIZE '{path}' ZORDER BY (k, x)", target_files=2
+    )
+    assert versioned_read(spark, path).count() == before
+    # ANALYZE TABLE: column_stats property commit
+    v3 = versioned_sql(
+        spark,
+        f"ANALYZE TABLE '{path}' COMPUTE STATISTICS FOR COLUMNS k, v",
+    )
+    stats = _json.loads(snapshot_meta(path, "column_stats", version=v3))
+    assert set(stats["columns"]) == {"k", "v"}
+    # VACUUM DRY RUN reports, removes nothing; real VACUUM removes
+    dry = versioned_sql(spark, f"VACUUM '{path}' RETAIN 2 VERSIONS DRY RUN")
+    assert dry and all(v in _versions(path) for v in dry)
+    gone = versioned_sql(spark, f"VACUUM '{path}' RETAIN 2 VERSIONS")
+    assert gone == dry and all(v not in _versions(path) for v in gone)
+    assert versioned_read(spark, path).count() == before
+    with pytest.raises(ValueError, match="equality conjuncts"):
+        versioned_sql(spark, f"OPTIMIZE '{path}' WHERE k > 3")
+
+
+def test_select_is_side_effect_free(spark, tmp_path):
+    """A mapped SELECT must not clobber a same-named pre-existing temp
+    view, and must leave no attachments behind."""
+    path = str(tmp_path / "sel")
+    _mk(spark, path, n=10, files=1)
+    # a user temp view that happens to share the mapped name
+    spark.createDataFrame([(999,)], "k long").createOrReplaceTempView(
+        "sel_t"
+    )
+    df = versioned_sql(
+        spark, "SELECT k FROM sel_t WHERE k < 3", tables={"sel_t": path}
+    )
+    assert sorted(r["k"] for r in df.collect()) == [0, 1, 2]
+    # the result stays valid after the statement (plan already bound)
+    assert df.count() == 3
+    # the pre-existing view is back, not the attachment
+    assert [r["k"] for r in spark.table("sel_t").collect()] == [999]
+    spark.catalog.dropTempView("sel_t")
+    # with no collision, the attachment is dropped afterwards
+    versioned_sql(
+        spark, "SELECT k FROM sel_t VERSION AS OF 0", tables={"sel_t": path}
+    )
+    tmp = {
+        t.name for t in spark.catalog.listTables() if t.isTemporary
+    }
+    assert "sel_t" not in tmp and "sel_t__v0" not in tmp
