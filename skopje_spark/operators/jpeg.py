@@ -1,24 +1,43 @@
-"""REAL baseline JPEG codec — pure stdlib + numpy, no codec libraries.
+"""REAL JPEG codec — pure stdlib + numpy, no codec libraries.
 
 Completes the multimodal tier's real-codec family (BMP struct codec,
-PNG zlib codec, GIF LZW codec — operators/multimodal.py): baseline
-sequential JFIF with the standard Annex K quantization and Huffman
-tables, 4:4:4 sampling (no chroma subsampling — encoder choice;
-decoder refuses subsampled/progressive/restart-interval streams
-loudly rather than guessing).
+PNG zlib codec, GIF LZW codec — operators/multimodal.py). Coverage is
+the shapes a 100 TB web-crawl image corpus actually contains:
 
-Encoder: RGB→YCbCr (JFIF), per-8×8-block level shift + orthonormal
-2-D DCT-II (JPEG's FDCT is exactly the orthonormal transform for
-N=8), quantization, zigzag, DC differential + AC run-length Huffman
-coding with 0xFF byte stuffing. Decoder: full marker parse (DQT/DHT/
-SOF0/SOS), canonical Huffman reconstruction, bit-unstuffing, inverse
-of every step, clip to uint8.
+- **baseline sequential** (SOF0) and extended sequential (SOF1,
+  Huffman) at ANY sampling layout whose factors divide the maxima —
+  4:4:4, 4:2:2, 4:2:0, 4:1:1, grayscale — via the generic
+  interleaved-MCU geometry of ITU T.81 §A.2.3;
+- **progressive** (SOF2): multi-scan spectral selection AND
+  successive approximation, DC + AC first/refinement passes with
+  EOB-run accumulation per Annex G.2 — the dominant web JPEG shape;
+- **restart intervals** (DRI/RSTn): byte-aligned predictor resets,
+  the error-resilience layout camera pipelines emit.
+
+Encoder: RGB→YCbCr (JFIF), box-filter chroma downsampling, per-block
+level shift + orthonormal 2-D DCT-II (JPEG's FDCT is exactly the
+orthonormal transform for N=8), quantization (standard Annex K
+tables), zigzag, DC differential + AC run-length Huffman coding with
+0xFF byte stuffing; optional progressive scan script (DC first at
+Al=1 → per-component AC first at Al=1 → DC refine → AC refine, the
+classic 4-phase progression) and optional restart intervals. Decoder:
+full marker parse (DQT/DHT/SOF/SOS/DRI), canonical Huffman
+reconstruction, per-scan entropy decode into per-component
+coefficient planes, then one vectorized dequantize + IDCT + upsample
++ YCbCr→RGB finish.
 
 JPEG is LOSSY, so unlike the PNG/GIF oracles no SQL can recompute the
 decoded pixels closed-form; correctness is pinned by (a) exact header
-dims, (b) round-trip PSNR bounds on the closed-form test pattern, and
+dims, (b) round-trip PSNR bounds on the closed-form test pattern,
 (c) the decoder being exercised against what the encoder — a separate
-code path through the same spec — produced.
+code path through the same spec — produced, and (d) the progressive
+and restart encodings of one image decoding BIT-IDENTICALLY to its
+sequential encoding (all carry the same quantized coefficients).
+
+Refusals stay loud and precise: arithmetic-coded, lossless,
+differential/hierarchical frames (SOF3/5-7/9-15), 12-bit precision,
+16-bit quant tables, and 4-component (CMYK) color raise ValueError
+naming the feature — never a silent wrong decode.
 
 Scale: kernels run inside Arrow-batched ``mapInPandas`` like every
 other media op; payloads never reach the driver.
@@ -56,7 +75,7 @@ QUANT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int64).reshape(8, 8)
 
-# zigzag scan order: index i of the scan → (row, col)
+# zigzag scan order: index i of the scan → flat natural index
 _ZZ = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -124,6 +143,16 @@ _AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+# fixed AC table for the progressive encoder's scans: EOBn (n=0..14),
+# ZRL, and every (run, size 1..10) symbol, all at code length 9 — a
+# legal (incomplete) canonical code; compression is not the point of
+# the fixture encoder, coverage of the EOB-run decode paths is
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)],
 )
 
 
@@ -197,20 +226,66 @@ class _BitWriter:
             self.acc = 0
             self.n = 0
 
+    def restart(self, i: int):
+        """Byte-align with 1-fill and emit RST(i mod 8)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (i & 7)])
 
-def _encode_block(bw, block, qtab, dc_codes, ac_codes, pred):
-    f = _D8 @ (block.astype(np.float64) - 128.0) @ _D8.T
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return bytes([0xFF, tag]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt(tid: int, tab) -> bytes:
+    zz = tab.reshape(-1)[_ZZ]
+    return _marker(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
+
+
+def _dht(cls: int, tid: int, bits, values) -> bytes:
+    return _marker(
+        0xC4,
+        bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values),
+    )
+
+
+def _pad_edge(plane, ph: int, pw: int):
+    """Pad a 2-D plane to (ph, pw) by edge replication."""
+    h, w = plane.shape
+    p = np.empty((ph, pw))
+    p[:h, :w] = plane
+    if ph > h:
+        p[h:, :w] = plane[-1:, :]
+    if pw > w:
+        p[:, w:] = p[:, w - 1:w]
+    return p
+
+
+def _plane_coefs(plane, qtab):
+    """FDCT + quantize every 8×8 block of a padded plane →
+    (blocks_y, blocks_x, 64) int64 array in ZIGZAG order."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).swapaxes(1, 2) - 128.0
+    f = np.einsum("ab,ijbc,cd->ijad", _D8, blocks, _D8.T)
     q = np.sign(f) * np.floor(np.abs(f) / qtab + 0.5)
-    q = q.astype(np.int64)
-    zz = q.reshape(-1)[_ZZ]
-    # DC: differential
+    return q.astype(np.int64).reshape(bh, bw, 64)[:, :, _ZZ]
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+_SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _emit_seq_block(bw, zz, dc_codes, ac_codes, pred: int) -> int:
+    """Sequential entropy coding of one zigzag block; returns the new
+    DC predictor."""
     diff = int(zz[0]) - pred
     cat = _category(diff)
     code, ln = dc_codes[cat]
     bw.put(code, ln)
     if cat:
         bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-    # AC: run-length
     run = 0
     for i in range(1, 64):
         v = int(zz[i])
@@ -232,96 +307,327 @@ def _encode_block(bw, block, qtab, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def _marker(tag: int, payload: bytes) -> bytes:
-    return bytes([0xFF, tag]) + struct.pack(">H", len(payload) + 2) + payload
+def _sos(comp_sel: list[tuple[int, int, int]], ss: int, se: int,
+         ah: int, al: int) -> bytes:
+    seg = bytes([len(comp_sel)])
+    for cid, dsel, asel in comp_sel:
+        seg += bytes([cid, (dsel << 4) | asel])
+    return _marker(0xDA, seg + bytes([ss, se, (ah << 4) | al]))
 
 
-def _dqt(tid: int, tab) -> bytes:
-    zz = tab.reshape(-1)[_ZZ]
-    return _marker(0xDB, bytes([tid]) + bytes(int(v) for v in zz))
+def _mcu_blocks(coefs, samps, mcux, mcuy):
+    """Yield (ci, block) over the interleaved-MCU order of T.81
+    §A.2.3 — hi×vi blocks per component per MCU."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samps):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        yield ci, coefs[ci][my * vi + byi, mx * hi + bxi]
 
 
-def _dht(cls: int, tid: int, bits, values) -> bytes:
-    return _marker(
-        0xC4,
-        bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values),
-    )
+def _ac_point(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al
+    truncating TOWARD ZERO (T.81 G.1.2.2 — DC uses arithmetic
+    shift, AC does not)."""
+    return -((-v) >> al) if v < 0 else v >> al
 
 
-def encode_jpeg(pixels) -> bytes:
+def _encode_ac_first(bw, blocks, ac_codes, al: int):
+    """Progressive AC first pass (Ah=0) for one component:
+    run-length over point-transformed coefficients with EOB-run
+    accumulation across blocks (T.81 G.2.2)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun <= 0:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for zz in blocks:
+        vals = [_ac_point(int(zz[k]), al) for k in range(64)]
+        last = max((k for k in range(1, 64) if vals[k]), default=0)
+        if last == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(1, last + 1):
+            v = vals[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if last < 63:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _encode_ac_refine(bw, blocks, ac_codes, al: int):
+    """Progressive AC refinement pass (Ah=Al+1 → Al) for one
+    component: newly-significant coefficients as (run,1) symbols,
+    correction bits for already-nonzero ones, EOB runs carrying
+    buffered correction bits (T.81 G.1.2.3 semantics)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed after next symbol
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for bit in pending:
+            bw.put(bit, 1)
+        pending = []
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(64)]
+        # EOB = index of the LAST newly-significant coefficient
+        eob = max((k for k in range(1, 64) if absv[k] == 1), default=0)
+        run = 0
+        br: list[int] = []  # this block's buffered correction bits
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                run += 1
+                continue
+            if t > 1:
+                # history coefficient: one correction bit, run intact
+                br.append(t & 1)
+                continue
+            # newly significant (|v|>>Al == 1)
+            while run > 15 and k <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+                for bit in br:
+                    bw.put(bit, 1)
+                br = []
+            flush_eob()
+            code, ln = ac_codes[(run << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(zz[k]) > 0 else 0, 1)
+            for bit in br:
+                bw.put(bit, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg(pixels, *, subsampling: str = "4:4:4",
+                progressive: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Encode a top-down h×w×3 RGB (or h×w grayscale) uint8 array as
-    a REAL baseline JFIF JPEG: standard tables, 4:4:4, no subsampling.
-    Readable by any JPEG decoder."""
+    a REAL JFIF JPEG readable by any decoder. ``subsampling`` picks
+    the chroma layout (``4:4:4``, ``4:2:2``, ``4:2:0`` — box-filter
+    downsampling, MCU-interleaved per T.81 §A.2.3);
+    ``progressive=True`` emits an SOF2 stream with the classic
+    4-phase scan script (interleaved DC first at Al=1, per-component
+    AC first at Al=1, DC refine, AC refine); ``restart_interval=n``
+    emits DRI + byte-aligned RSTn markers every n MCUs with predictor
+    resets (sequential mode)."""
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive + restart_interval not supported by this "
+            "encoder (the decoder handles both, separately)"
+        )
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
-        comps = [(px.astype(np.float64), QUANT_LUMA, 0)]
+        full = [px.astype(np.float64)]
+        hy, vy = 1, 1
     else:
+        if subsampling not in _SUBSAMPLING:
+            raise ValueError(
+                f"subsampling must be one of {sorted(_SUBSAMPLING)}"
+            )
+        hy, vy = _SUBSAMPLING[subsampling]
         r = px[:, :, 0].astype(np.float64)
         g = px[:, :, 1].astype(np.float64)
         b = px[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [(y, QUANT_LUMA, 0), (cb, QUANT_CHROMA, 1),
-                 (cr, QUANT_CHROMA, 1)]
-    dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
-    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+        full = [y, cb, cr]
+    nc = len(full)
+    samps = [(hy, vy)] + [(1, 1)] * (nc - 1)
+    qids = [0] + [1] * (nc - 1)
+    mcux = -(-w // (8 * hy))
+    mcuy = -(-h // (8 * vy))
+    coefs = []
+    for ci, plane in enumerate(full):
+        p = _pad_edge(plane, mcuy * vy * 8, mcux * hy * 8)
+        if ci > 0 and (hy, vy) != (1, 1):
+            p = p.reshape(
+                p.shape[0] // vy, vy, p.shape[1] // hy, hy
+            ).mean(axis=(1, 3))
+        coefs.append(
+            _plane_coefs(p, QUANT_LUMA if qids[ci] == 0 else QUANT_CHROMA)
+        )
+
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(
         0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
     out += _dqt(0, QUANT_LUMA)
-    if not gray:
+    if nc > 1:
         out += _dqt(1, QUANT_CHROMA)
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += _marker(0xC0, sof)
-    out += _dht(0, 0, *_DC_LUMA) + _dht(1, 0, *_AC_LUMA)
-    if not gray:
-        out += _dht(0, 1, *_DC_CHROMA) + _dht(1, 1, *_AC_CHROMA)
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += _marker(0xDA, sos)
-    # pad each plane to 8 multiples by edge replication
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += _marker(0xC2 if progressive else 0xC0, sof)
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+
+    if not progressive:
+        dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+        dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+        out += _dht(0, 0, *_DC_LUMA) + _dht(1, 0, *_AC_LUMA)
+        if nc > 1:
+            out += _dht(0, 1, *_DC_CHROMA) + _dht(1, 1, *_AC_CHROMA)
+        out += _sos(
+            [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+             for ci in range(nc)],
+            0, 63, 0, 0,
+        )
+        bw = _BitWriter()
+        preds = [0] * nc
+        mcu_i = 0
+        rst_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and (
+                    mcu_i % restart_interval == 0
+                ):
+                    bw.restart(rst_i)
+                    rst_i += 1
+                    preds = [0] * nc
+                for ci in range(nc):
+                    hi, vi = samps[ci]
+                    dc = dc_l if ci == 0 else dc_c
+                    ac = ac_l if ci == 0 else ac_c
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            preds[ci] = _emit_seq_block(
+                                bw,
+                                coefs[ci][my * vi + byi, mx * hi + bxi],
+                                dc, ac, preds[ci],
+                            )
+                mcu_i += 1
+        bw.flush()
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive scan script -------------------------------------
+    dc_l = _huff_codes(*_DC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_p = _huff_codes(*_AC_PROG)
+    out += _dht(0, 0, *_DC_LUMA)
+    if nc > 1:
+        out += _dht(0, 1, *_DC_CHROMA)
+    out += _dht(1, 0, *_AC_PROG)
+    al1 = 1
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift per spec)
+    out += _sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
+                0, 0, 0, al1)
     bw = _BitWriter()
     preds = [0] * nc
-    planes = []
-    for plane, _, _ in comps:
-        p = np.empty((ph, pw))
-        p[:h, :w] = plane
-        p[h:, :w] = plane[-1:, :]
-        p[:h, w:] = p[:h, w - 1:w]
-        p[h:, w:] = plane[-1, -1]
-        planes.append(p)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (plane, qtab, tid) in enumerate(comps):
-                dc = dc_l if tid == 0 else dc_c
-                ac = ac_l if tid == 0 else ac_c
-                preds[ci] = _encode_block(
-                    bw, planes[ci][by:by + 8, bx:bx + 8], qtab,
-                    dc, ac, preds[ci],
-                )
+    for ci, zz in _mcu_blocks(coefs, samps, mcux, mcuy):
+        dcv = int(zz[0]) >> al1
+        diff = dcv - preds[ci]
+        preds[ci] = dcv
+        cat = _category(diff)
+        code, ln = (dc_l if ci == 0 else dc_c)[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
     bw.flush()
     out += bw.out
-    out += b"\xff\xd9"  # EOI
+    # non-interleaved scans cover the component's TRUE block grid
+    # (ceil(comp dims / 8)), not the MCU-padded one — T.81 §A.2.2
+    grids = []
+    for hi, vi in samps:
+        cw = -(-(w * hi) // hy)
+        ch = -(-(h * vi) // vy)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+    # scans 2..: AC first per component, Al=1 (non-interleaved)
+    for ci in range(nc):
+        out += _sos([(ci + 1, 0, 0)], 1, 63, 0, al1)
+        bw = _BitWriter()
+        nbh, nbw = grids[ci]
+        _encode_ac_first(
+            bw,
+            (coefs[ci][by, bx] for by in range(nbh) for bx in range(nbw)),
+            ac_p, al1,
+        )
+        bw.flush()
+        out += bw.out
+    # scan: DC refinement, one raw bit per block
+    out += _sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)],
+                0, 0, al1, 0)
+    bw = _BitWriter()
+    for ci, zz in _mcu_blocks(coefs, samps, mcux, mcuy):
+        bw.put(int(zz[0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # scans: AC refinement per component
+    for ci in range(nc):
+        out += _sos([(ci + 1, 0, 0)], 1, 63, al1, 0)
+        bw = _BitWriter()
+        nbh, nbw = grids[ci]
+        _encode_ac_refine(
+            bw,
+            (coefs[ci][by, bx] for by in range(nbh) for bx in range(nbw)),
+            ac_p, 0,
+        )
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
 
 def is_jpeg(b: bytes) -> bool:
     return len(b) > 3 and b[:3] == b"\xff\xd8\xff"
 
 
 class _BitReader:
-    """Entropy-coded segment reader with 0xFF00 unstuffing."""
+    """Entropy-coded segment reader with 0xFF00 unstuffing and RSTn
+    resynchronization."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
@@ -337,12 +643,15 @@ class _BitReader:
                 nxt = self.d[self.pos]
                 if nxt == 0x00:
                     self.pos += 1
-                elif nxt == 0xD9:  # EOI reached mid-fill: zero-pad
+                elif nxt == 0xD9 or 0xD0 <= nxt <= 0xD7:
+                    # marker reached mid-fill (EOI, or an early RST):
+                    # zero-pad without consuming — the scan/restart
+                    # logic owns the marker
+                    self.pos -= 1
                     b = 0
                 else:
                     raise ValueError(
-                        f"unexpected marker 0xff{nxt:02x} in scan "
-                        "(restart intervals unsupported)"
+                        f"unexpected marker 0xff{nxt:02x} in scan"
                     )
             self.acc = b
             self.n = 8
@@ -354,6 +663,23 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self):
+        """Byte-align, then consume the expected RSTn marker
+        (tolerating 0xFF fill bytes)."""
+        self.n = 0
+        p = self.pos
+        while p + 1 < len(self.d) and self.d[p] == 0xFF and self.d[p + 1] == 0xFF:
+            p += 1  # fill bytes
+        if not (
+            p + 1 < len(self.d)
+            and self.d[p] == 0xFF
+            and 0xD0 <= self.d[p + 1] <= 0xD7
+        ):
+            raise ValueError(
+                "expected restart marker at byte-aligned MCU boundary"
+            )
+        self.pos = p + 2
 
 
 def _receive_extend(br: _BitReader, cat: int) -> int:
@@ -374,9 +700,25 @@ def _huff_read(br: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
+_SOF_OK = (0xC0, 0xC1, 0xC2)  # baseline, extended sequential, progressive
+_SOF_BAD = {
+    0xC3: "lossless (SOF3)", 0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
 def decode_jpeg_header(b: bytes) -> tuple[int, int, int]:
-    """(width, height, components) from the SOF0 marker. Refuses
-    progressive (SOF2) and other non-baseline frames loudly."""
+    """(width, height, components) from the frame header. Accepts
+    baseline (SOF0), extended sequential (SOF1), and progressive
+    (SOF2); refuses lossless / differential / arithmetic frames
+    loudly."""
     if not is_jpeg(b):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -384,41 +726,192 @@ def decode_jpeg_header(b: bytes) -> tuple[int, int, int]:
         if b[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
         tag = b[pos + 1]
-        if tag == 0xC0:
+        if tag in _SOF_OK:
             _, h, w, nc = struct.unpack(">BHHB", b[pos + 4:pos + 10])
             return w, h, nc
-        if tag in (0xC1, 0xC2, 0xC3):
-            raise ValueError(
-                f"non-baseline JPEG (SOF{tag - 0xC0}) unsupported"
-            )
-        if tag == 0xD8 or 0xD0 <= tag <= 0xD7:
+        if tag in _SOF_BAD:
+            raise ValueError(f"unsupported JPEG frame: {_SOF_BAD[tag]}")
+        if tag == 0xD8 or 0xD0 <= tag <= 0xD7 or tag == 0x01:
             pos += 2
             continue
         (ln,) = struct.unpack(">H", b[pos + 2:pos + 4])
         pos += 2 + ln
-    raise ValueError("no SOF0 frame header found")
+    raise ValueError("no SOF frame header found")
 
 
 def jpeg_pixels(b: bytes):
-    """Decode a baseline 4:4:4 (or grayscale) JPEG to a top-down
-    h×w×3 RGB (or h×w×1) uint8 array: marker parse, canonical Huffman
-    reconstruction, entropy decode, dequantize, de-zigzag, inverse
-    DCT, YCbCr→RGB. Subsampled / progressive / restart-interval
-    streams refuse loudly."""
+    """Decode a JPEG to a top-down h×w×3 RGB (or h×w×1 grayscale)
+    uint8 array. Covers baseline/extended sequential (SOF0/SOF1) and
+    PROGRESSIVE (SOF2, spectral selection + successive approximation
+    per T.81 Annex G.2), any sampling layout whose factors divide the
+    frame maxima (4:4:4, 4:2:2, 4:2:0, 4:1:1, grayscale), and restart
+    intervals (DRI/RSTn). Per-scan entropy decode accumulates into
+    per-component coefficient planes; the finish is one vectorized
+    dequantize + IDCT + nearest-neighbor chroma upsample + YCbCr→RGB.
+    Arithmetic/lossless/differential frames, 12-bit precision, 16-bit
+    quant tables, and CMYK refuse loudly."""
     if not is_jpeg(b):
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}
-    w = h = nc = None
-    comp_spec = []  # (cid, qtab_id)
-    while True:
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    ri = 0
+    progressive = False
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, qid)
+    samps: list[tuple[int, int]] = []
+    coefs: list[np.ndarray] = []
+    hmax = vmax = mcux = mcuy = 0
+    comp_grid: list[tuple[int, int]] = []  # non-interleaved (nbh, nbw)
+
+    def decode_scan(br, scomp, ss, se, ah, al):
+        """One SOS's entropy-coded data into the coefficient planes.
+        ``scomp`` = [(ci, dc_table, ac_table)]."""
+        interleaved = len(scomp) > 1
+        eobrun = 0
+        preds = {ci: 0 for ci, _, _ in scomp}
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            nbh, nbw = comp_grid[scomp[0][0]]
+            units = nbh * nbw
+
+        def seq_block(blk, ci, dct, act):
+            cat = _huff_read(br, dct)
+            preds[ci] += _receive_extend(br, cat)
+            blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                blk[k] = _receive_extend(br, size)
+                k += 1
+
+        def dc_block(blk, ci, dct):
+            if ah == 0:
+                cat = _huff_read(br, dct)
+                preds[ci] += _receive_extend(br, cat)
+                blk[0] = preds[ci] << al
+            elif br.bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+        def ac_first(blk):
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _huff_read(br, act0)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run < 15:
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += br.bits(run)
+                        break
+                    k += 16
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _receive_extend(br, size) << al
+                k += 1
+
+        def ac_refine(blk):
+            # T.81 G.1.2.3: newly-significant insertions + correction
+            # bits for already-nonzero coefficients, with EOB runs
+            nonlocal eobrun
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_read(br, act0)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run < 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += br.bits(run)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coefs
+                    else:
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if br.bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if br.bit() and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+        act0 = scomp[0][2]
+        for u in range(units):
+            if ri and u and u % ri == 0:
+                br.restart()
+                preds = {ci: 0 for ci, _, _ in scomp}
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for ci, dct, act in scomp:
+                    hi, vi = samps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            blk = coefs[ci][my * vi + byi, mx * hi + bxi]
+                            if not progressive:
+                                seq_block(blk, ci, dct, act)
+                            elif ss == 0:
+                                dc_block(blk, ci, dct)
+                            else:
+                                raise ValueError(
+                                    "progressive AC scan must be "
+                                    "non-interleaved"
+                                )
+            else:
+                ci, dct, act = scomp[0]
+                nbh, nbw = comp_grid[ci]
+                byy, bxx = divmod(u, nbw)
+                blk = coefs[ci][byy, bxx]
+                if not progressive:
+                    seq_block(blk, ci, dct, act)
+                elif ss == 0:
+                    dc_block(blk, ci, dct)
+                elif ah == 0:
+                    ac_first(blk)
+                else:
+                    ac_refine(blk)
+        return br
+
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
         tag = b[pos + 1]
         if tag == 0xD9:
-            raise ValueError("no scan data before EOI")
-        if 0xD0 <= tag <= 0xD7 or tag == 0xD8:
+            break
+        if tag == 0xD8 or 0xD0 <= tag <= 0xD7 or tag == 0x01:
             pos += 2
             continue
         (ln,) = struct.unpack(">H", b[pos + 2:pos + 4])
@@ -442,73 +935,95 @@ def jpeg_pixels(b: bytes):
                 bits = list(seg[i + 1:i + 17])
                 nvals = sum(bits)
                 values = list(seg[i + 17:i + 17 + nvals])
-                htabs[(cls_id >> 4, cls_id & 0x0F)] = _huff_decoder(
-                    bits, values
-                )
+                dec = _huff_decoder(bits, values)
+                if cls_id >> 4:
+                    hac[cls_id & 0x0F] = dec
+                else:
+                    hdc[cls_id & 0x0F] = dec
                 i += 17 + nvals
-        elif tag == 0xC0:
-            _, h, w, nc = struct.unpack(">BHHB", seg[:6])
+        elif tag in _SOF_OK:
+            progressive = tag == 0xC2
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG precision unsupported")
+            if nc == 4:
+                raise ValueError("4-component (CMYK/YCCK) unsupported")
             for ci in range(nc):
                 cid, samp, qid = seg[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, qid in comps:
+                if not (1 <= hi <= 4 and 1 <= vi <= 4) or (
+                    hmax % hi or vmax % vi
+                ):
                     raise ValueError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                        f"unsupported sampling factors {hi}x{vi} "
+                        f"(maxima {hmax}x{vmax})"
                     )
-                comp_spec.append((cid, qid))
-        elif tag in (0xC1, 0xC2, 0xC3):
-            raise ValueError(
-                f"non-baseline JPEG (SOF{tag - 0xC0}) unsupported"
-            )
-        elif tag == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
-        elif tag == 0xDA:
-            ns = seg[0]
-            scan_tabs = []
-            for ci in range(ns):
-                _, sel = seg[1 + 2 * ci:3 + 2 * ci]
-                scan_tabs.append(
-                    (htabs[(0, sel >> 4)], htabs[(1, sel & 0x0F)])
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            samps = [(hi, vi) for _, hi, vi, _ in comps]
+            for _, hi, vi, _ in comps:
+                coefs.append(
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
                 )
-            pos = pos + 2 + ln
-            break
+                cw = -(-w * hi // hmax)
+                ch = -(-h * vi // vmax)
+                comp_grid.append((-(-ch // 8), -(-cw // 8)))
+        elif tag in _SOF_BAD:
+            raise ValueError(f"unsupported JPEG frame: {_SOF_BAD[tag]}")
+        elif tag == 0xDD:
+            (ri,) = struct.unpack(">H", seg[:2])
+        elif tag == 0xDA:
+            if w is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for si in range(ns):
+                cid, sel = seg[1 + 2 * si:3 + 2 * si]
+                ci = next(
+                    i for i, c in enumerate(comps) if c[0] == cid
+                )
+                scomp.append(
+                    (ci, hdc.get(sel >> 4), hac.get(sel & 0x0F))
+                )
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            br = _BitReader(b, pos + 2 + ln)
+            decode_scan(br, scomp, ss, se, ahal >> 4, ahal & 0x0F)
+            # resynchronize the marker walk after the entropy data
+            pos = br.pos
+            while pos + 1 < len(b):
+                if b[pos] == 0xFF and b[pos + 1] not in (0x00,) and not (
+                    0xD0 <= b[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+            continue
         pos += 2 + ln
     if w is None:
-        raise ValueError("no SOF0 before SOS")
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw)) for _ in range(nc)]
-    br = _BitReader(b, pos)
-    preds = [0] * nc
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(nc):
-                dc_t, ac_t = scan_tabs[ci]
-                qtab = qtabs[comp_spec[ci][1]]
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _huff_read(br, dc_t)
-                preds[ci] += _receive_extend(br, cat)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, ac_t)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _receive_extend(br, size)
-                    k += 1
-                q = np.zeros(64, dtype=np.int64)
-                q[_ZZ] = zz
-                f = q.reshape(8, 8) * qtab
-                blk = _D8.T @ f.astype(np.float64) @ _D8 + 128.0
-                planes[ci][by:by + 8, bx:bx + 8] = blk
-    planes = [p[:h, :w] for p in planes]
-    if nc == 1:
+        raise ValueError("no SOF frame header found")
+
+    # ---- finish: dequantize + IDCT + upsample + color ---------------
+    planes = []
+    for ci, (cid, hi, vi, qid) in enumerate(comps):
+        Z = coefs[ci].astype(np.float64)
+        nat = np.zeros_like(Z)
+        nat[:, :, _ZZ] = Z
+        f = nat * qtabs[qid].reshape(-1).astype(np.float64)
+        bh, bwid = f.shape[:2]
+        blocks = f.reshape(bh, bwid, 8, 8)
+        px = np.einsum("ab,ijbc,cd->ijad", _D8.T, blocks, _D8) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bwid * 8)
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        plane = plane[:ch, :cw]
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
     y, cb, cr = planes
@@ -520,11 +1035,13 @@ def jpeg_pixels(b: bytes):
     ).astype(np.uint8)
 
 
-def make_jpeg(width: int, height: int, seed: int = 0) -> bytes:
-    """A real JPEG of the deterministic test pattern (RGB order)."""
+def make_jpeg(width: int, height: int, seed: int = 0, **kw) -> bytes:
+    """A real JPEG of the deterministic test pattern (RGB order);
+    ``**kw`` passes through to :func:`encode_jpeg` (``subsampling``,
+    ``progressive``, ``restart_interval``)."""
     from skopje_spark.operators.multimodal import bmp_pattern
 
-    return encode_jpeg(bmp_pattern(width, height, seed)[:, :, ::-1])
+    return encode_jpeg(bmp_pattern(width, height, seed)[:, :, ::-1], **kw)
 
 
 def psnr(a, b) -> float:

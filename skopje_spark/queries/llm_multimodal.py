@@ -576,3 +576,90 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         run, schema="doc_id long, width int, height int, psnr_ok boolean"
     ).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_jpeg_subsampled",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 17 AS INT) AS width,
+           CAST(16 + doc_id % 13 AS INT) AS height,
+           TRUE AS psnr_ok,
+           TRUE AS progressive_identical
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "jpeg", "real-codec", "decode", "subsampled",
+          "progressive"),
+)
+def q_multimodal_jpeg_subsampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dominant real-world JPEG shapes under the driver gate:
+    4:2:0 chroma-subsampled MCU layout AND progressive (SOF2,
+    spectral selection + successive approximation) decode
+    (operators/jpeg.py, pure numpy). Per doc, a smooth closed-form
+    gradient is encoded 4:2:0 sequential and 4:2:0 progressive and
+    both decoded back through the independent decoder path:
+
+    - ``width``/``height``: exact header/array dims (odd sizes
+      included — partial MCUs on both axes);
+    - ``psnr_ok``: > 25 dB reconstruction against the source (a wrong
+      MCU block order, chroma upsample, or subsampled geometry
+      craters this);
+    - ``progressive_identical``: the progressive stream decodes
+      BIT-IDENTICALLY to the sequential one — both carry the same
+      quantized coefficients, so any drift in the scan-accumulation
+      (EOB runs, refinement bits) flips it false.
+
+    Scale: Arrow-batched mapInPandas; encode+decode run executor-side
+    like any media kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from skopje_spark.operators.jpeg import (
+        encode_jpeg,
+        jpeg_pixels,
+        psnr,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, oks, idents = [], [], [], [], []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                w, h = 16 + i % 17, 16 + i % 13
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                # smooth NON-WRAPPING ramps (w≤32, h≤28 keeps every
+                # channel <256): modular wraps are 255→0 cliffs that
+                # chroma subsampling legitimately cannot reproduce
+                src = np.stack(
+                    [xx * 3 + i % 64, yy * 4 + (2 * i) % 64,
+                     xx * 2 + yy * 2 + (3 * i) % 64], -1
+                ).astype("uint8")
+                seq = jpeg_pixels(encode_jpeg(src, subsampling="4:2:0"))
+                pro = jpeg_pixels(
+                    encode_jpeg(
+                        src, subsampling="4:2:0", progressive=True
+                    )
+                )
+                ids.append(i)
+                hs.append(seq.shape[0])
+                ws.append(seq.shape[1])
+                oks.append(bool(psnr(src, seq) > 25.0))
+                idents.append(bool(np.array_equal(seq, pro)))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "psnr_ok": pd.Series(oks, dtype="bool"),
+                "progressive_identical": pd.Series(idents, dtype="bool"),
+            })
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, psnr_ok boolean, "
+               "progressive_identical boolean",
+    ).orderBy("doc_id")

@@ -67,12 +67,71 @@ def test_jpeg_sniff_and_refusals():
     assert not is_jpeg(b"")
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_header(b"\x00\x01")
-    # a progressive SOF2 header refuses by name
+    # frames genuinely outside the supported set refuse BY NAME
     b = bytearray(make_jpeg(16, 16))
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    b[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="lossless"):
         decode_jpeg_header(bytes(b))
+    b[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_header(bytes(b))
+    # progressive SOF2 is now ACCEPTED at header level
+    b[i + 1] = 0xC2
+    assert decode_jpeg_header(bytes(b)) == (16, 16, 3)
+    # 12-bit precision refuses loudly at decode
+    b[i + 1] = 0xC0
+    b[i + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        jpeg_pixels(bytes(b))
+
+
+def test_jpeg_subsampled_roundtrips():
+    """4:2:0 and 4:2:2 encode→decode at useful fidelity on smooth
+    content, at exact dims, for even and odd sizes — the dominant
+    real-world crawl-JPEG layouts."""
+    for w, h in [(32, 24), (37, 29), (16, 16), (13, 11)]:
+        src = _smooth(w, h)
+        for sub in ("4:2:0", "4:2:2"):
+            b = encode_jpeg(src, subsampling=sub)
+            assert decode_jpeg_header(b) == (w, h, 3)
+            dec = jpeg_pixels(b)
+            assert dec.shape == (h, w, 3)
+            assert psnr(src, dec) > 25, (w, h, sub, psnr(src, dec))
+
+
+def test_jpeg_progressive_decodes_identical_to_sequential():
+    """Progressive (SOF2, spectral selection + successive
+    approximation) carries the SAME quantized coefficients as the
+    sequential encoding — the decoded pixels must be BIT-IDENTICAL,
+    across subsampling layouts, odd dims, and grayscale."""
+    for w, h in [(32, 24), (37, 29), (50, 21)]:
+        src = bmp_pattern(w, h, seed=4)[:, :, ::-1]
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            seq = jpeg_pixels(encode_jpeg(src, subsampling=sub))
+            pro = jpeg_pixels(
+                encode_jpeg(src, subsampling=sub, progressive=True)
+            )
+            assert np.array_equal(seq, pro), (w, h, sub)
+    g = bmp_pattern(33, 17, seed=1)[:, :, 0]
+    assert np.array_equal(
+        jpeg_pixels(encode_jpeg(g, progressive=True)),
+        jpeg_pixels(encode_jpeg(g)),
+    )
+
+
+def test_jpeg_restart_intervals_decode_identical():
+    """DRI/RSTn streams (byte-aligned predictor resets) decode
+    bit-identically to the marker-free encoding."""
+    src = bmp_pattern(40, 26, seed=5)[:, :, ::-1]
+    for sub in ("4:4:4", "4:2:0"):
+        base = jpeg_pixels(encode_jpeg(src, subsampling=sub))
+        for ri in (1, 2, 5):
+            b = encode_jpeg(src, subsampling=sub, restart_interval=ri)
+            assert b"\xff\xdd" in b  # DRI present
+            assert np.array_equal(jpeg_pixels(b), base), (sub, ri)
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(src, progressive=True, restart_interval=2)
 
 
 def test_jpeg_bytes_are_standard_jfif():
