@@ -65,28 +65,6 @@ def l2_normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
-def _np_dot_udf():
-    """Arrow-batched numpy dot product: the hot path for pairwise
-    scoring. Interpreted HOF lambdas cost ~1 µs/element; numpy einsum
-    over an Arrow batch is ~100× faster and BLAS-vectorized. Values
-    can differ from the sequential fold in the last ulp (pairwise vs
-    sequential summation) — results are rounded to 6 dp downstream,
-    where that difference is invisible."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # no type annotations: this module uses postponed annotation
-    # evaluation, which pandas_udf cannot introspect — the explicit
-    # returnType plus bare args select the scalar pandas-UDF path
-    def np_dot(a, b):
-        am = np.stack(a.to_numpy()).astype("float64")
-        bm = np.stack(b.to_numpy()).astype("float64")
-        return pd.Series(np.einsum("ij,ij->i", am, bm))
-
-    return pandas_udf(np_dot, "double")
-
-
 def cosine_topk(
     embeddings: DataFrame,
     query_df: DataFrame,

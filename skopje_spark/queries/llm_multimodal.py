@@ -663,3 +663,80 @@ def q_multimodal_jpeg_subsampled(
         schema="doc_id long, width int, height int, psnr_ok boolean, "
                "progressive_identical boolean",
     ).orderBy("doc_id")
+
+
+@register(
+    "q_multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3'
+           END AS format,
+           CAST(1 AS INT) AS channels,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 8000 + (doc_id % 4) * 4000
+               WHEN 1 THEN 16000
+               ELSE 44100
+           END AS INT) AS sample_rate,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 200 + doc_id % 128
+               WHEN 1 THEN 300 + doc_id % 200
+               ELSE (5 + doc_id % 20) * 1152
+           END AS BIGINT) AS n_samples
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "real-codec", "mp3", "flac"),
+)
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio metadata under the driver gate: a mixed
+    WAV / FLAC / MP3 corpus built executor-side (real RIFF encoder,
+    the REAL FLAC subset codec — fixed-prediction subframes, Rice
+    residuals, CRC-8/16 — and spec-valid CBR MPEG-1 Layer III frame
+    streams), then sniffed and parsed back by
+    :func:`~skopje_spark.operators.audio.decode_audio_meta`: each
+    format's real header tier recovers channels / sample rate / exact
+    sample totals (for MP3, a full frame-header walk, not a one-frame
+    extrapolation). The oracle recomputes every field closed-form
+    from the doc_id arithmetic.
+
+    Scale: payloads are born and parsed inside Arrow batches; the
+    driver never sees a byte of audio."""
+    import pandas as pd
+
+    from skopje_spark.operators.audio import (
+        decode_audio_meta,
+        make_flac,
+        make_mp3,
+        make_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                if i % 3 == 0:
+                    payloads.append(make_wav(
+                        200 + i % 128, seed=i % 32,
+                        sample_rate=8000 + (i % 4) * 4000,
+                    ))
+                elif i % 3 == 1:
+                    payloads.append(make_flac(
+                        300 + i % 200, seed=i % 16, sample_rate=16000,
+                        block_size=256,
+                    ))
+                else:
+                    payloads.append(make_mp3(
+                        5 + i % 20, bitrate_kbps=128, sample_rate=44100,
+                    ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    corpus = d.mapInPandas(build, schema="doc_id long, payload binary")
+    meta = decode_audio_meta(corpus)
+    return meta.select(
+        "doc_id", "format", "channels", "sample_rate", "n_samples"
+    ).orderBy("doc_id")

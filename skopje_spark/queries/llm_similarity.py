@@ -561,3 +561,125 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(outside.agg(_containment_ok(3))))
         .crossJoin(F.broadcast(top1))
     )
+
+
+@register(
+    "q_similarity_hnsw_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    top1 AS (
+      SELECT vec_id,
+             {dround_sql('list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)', 6)} AS cos_sim
+      FROM embeddings, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS k_in_range,
+           CAST(1 AS INTEGER) AS containment_ok,
+           vec_id AS top1_id, cos_sim AS top1_sim
+    FROM top1
+    """,
+    tags=("similarity", "hnsw", "ann", "graph"),
+)
+def q_similarity_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-10 via shard-and-merge HNSW (operators/hnsw.py):
+    4 hash shards, M=8, efConstruction=64, efSearch=64 — each shard's
+    hierarchical graph built and beam-searched inside one Arrow task,
+    per-shard candidates merged to the global top-k.
+
+    HNSW is a greedy graph walk (not SQL-expressible), so the oracle
+    checks the same deterministic verdict shape as
+    ``q_similarity_ivf_kmeans``: ``k_in_range`` = 1..10 rows returned,
+    ``containment_ok`` = at most 3 of the 10 outside the EXACT top-50
+    by cosine (measured head-room at sf0.001/0.01/0.1: zero outside —
+    the graph is deterministic by construction: hashed level draws,
+    ordered tie-breaks). The exact top-1 — the query vector itself,
+    which DuckDB brute-forces — is a real cross-engine value check.
+    Quantitative recall floors live in tests/test_similarity_index.py.
+    """
+    from skopje_spark.operators.hnsw import hnsw_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(1)
+    approx = hnsw_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        shards=4, M=8, ef_construction=64, ef_search=64,
+    ).drop("q_id")
+    exact50 = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=50)
+    top1 = exact50.limit(1).select(
+        F.col("vec_id").alias("top1_id"), F.col("cos_sim").alias("top1_sim")
+    )
+    outside = approx.join(exact50.select("vec_id"), "vec_id", "left_anti")
+    return (
+        approx.agg(_k_in_range(10))
+        .crossJoin(F.broadcast(outside.agg(_containment_ok(3))))
+        .crossJoin(F.broadcast(top1))
+    )
+
+
+@register(
+    "q_similarity_hnsw_probe",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    top1 AS (
+      SELECT vec_id,
+             {dround_sql('list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)', 6)} AS cos_sim
+      FROM embeddings, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS INTEGER) AS k_in_range,
+           CAST(1 AS INTEGER) AS probe_matches_build,
+           vec_id AS top1_id, cos_sim AS top1_sim
+    FROM top1
+    """,
+    tags=("similarity", "hnsw", "ann", "index", "persisted"),
+)
+def q_similarity_hnsw_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-HNSW lifecycle under the driver gate: build the
+    shard-partitioned parquet index (adjacency + layer-0 vectors,
+    ``shard=`` layout), then PROBE it — the graph reloads structurally
+    (no re-insertion), so probe results must be BIT-IDENTICAL to the
+    one-pass build-and-search (``probe_matches_build``), plus the same
+    top-1 cross-engine value check as the direct query."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.operators.hnsw import (
+        hnsw_index_build,
+        hnsw_index_probe,
+        hnsw_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(1)
+    root = tempfile.mkdtemp(prefix="skopje_hnsw_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = f"{root}/idx"
+    hnsw_index_build(e, path, shards=4, M=8, ef_construction=64)
+    probe = hnsw_index_probe(
+        spark, path, q, k=10, ef_search=64, M=8
+    ).drop("q_id")
+    direct = hnsw_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=10,
+        shards=4, M=8, ef_construction=64, ef_search=64,
+    ).drop("q_id")
+    mismatch = probe.join(direct, ["vec_id", "cos_sim"], "left_anti")
+    top1 = probe.orderBy(F.desc("cos_sim"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("top1_id"), F.col("cos_sim").alias("top1_sim")
+    )
+    return (
+        probe.agg(_k_in_range(10))
+        .crossJoin(F.broadcast(
+            mismatch.agg(
+                (F.count(F.lit(1)) == 0).cast("int")
+                .alias("probe_matches_build")
+            )
+        ))
+        .crossJoin(F.broadcast(top1))
+    )

@@ -145,3 +145,124 @@ def test_wav_empty_data_chunk_resamples_to_empty():
     assert decode_wav_header(empty)[3] == 0
     out = resample_wav(empty, 16000)
     assert decode_wav_header(out)[3] == 0 and decode_wav_header(out)[1] == 16000
+
+
+def test_flac_roundtrip_property():
+    """FLAC is lossless: encode→decode is the IDENTITY on int16
+    samples across lengths, block sizes, and subframe methods —
+    including blocks shorter than the fixed-predictor order and
+    constant blocks."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from skopje_spark.operators.audio import (
+        decode_flac_header,
+        encode_flac,
+        flac_samples,
+        pcm_pattern,
+    )
+
+    @given(
+        n=st.integers(min_value=1, max_value=3000),
+        bs=st.sampled_from([64, 192, 256, 1024]),
+        method=st.sampled_from(["fixed", "verbatim"]),
+        seed=st.integers(min_value=0, max_value=31),
+    )
+    @settings(max_examples=30, deadline=None)
+    def check(n, bs, method, seed):
+        s = np.asarray(pcm_pattern(n, seed), dtype=np.int16)
+        b = encode_flac(s, 8000, block_size=bs, method=method)
+        assert decode_flac_header(b) == (1, 8000, 16, n)
+        assert np.array_equal(flac_samples(b), s)
+
+    check()
+
+
+def test_flac_crc_and_refusals():
+    """Tampered frames fail their CRC loudly; LPC subframe types and
+    non-mono assignments refuse by name; non-FLAC bytes refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from skopje_spark.operators.audio import (
+        decode_flac_header,
+        encode_flac,
+        flac_samples,
+        make_wav,
+        pcm_pattern,
+    )
+
+    b = bytearray(encode_flac(pcm_pattern(500, 3), 8000, block_size=256))
+    with _pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac_header(make_wav(10))
+    # flip one byte inside the first frame's residual data
+    b[-10] ^= 0x55
+    with _pytest.raises(ValueError, match="CRC"):
+        flac_samples(bytes(b))
+    # constant + extreme values survive exactly
+    edge = np.array([-32768, 32767, 0, -1, 1] * 100, dtype=np.int16)
+    from skopje_spark.operators.audio import flac_samples as dec
+    from skopje_spark.operators.audio import encode_flac as enc
+
+    assert np.array_equal(dec(enc(edge, 8000, block_size=128)), edge)
+
+
+def test_mp3_header_walk_and_sniff():
+    """Frame-header arithmetic: the constructed CBR stream walks to
+    the exact frame count, sample total, and duration; ID3v2 tags
+    skip; false 0xFFE syncs and junk refuse."""
+    import pytest as _pytest
+
+    from skopje_spark.operators.audio import (
+        decode_mp3_header,
+        is_mp3,
+        make_flac,
+        make_mp3,
+    )
+
+    b = make_mp3(25, bitrate_kbps=192, sample_rate=48000)
+    ch, rate, kbps, nf, ns, dur = decode_mp3_header(b)
+    assert (ch, rate, kbps, nf, ns) == (1, 48000, 192, 25, 25 * 1152)
+    assert dur == round(25 * 1152 * 1000 / 48000)
+    # ID3v2 prefix skips via the syncsafe size
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 30]) + b"\x00" * 30
+    assert decode_mp3_header(tag + b)[3] == 25
+    # stereo flag and other rates parse
+    st = make_mp3(3, bitrate_kbps=64, sample_rate=32000, channels=2)
+    assert decode_mp3_header(st)[:2] == (2, 32000)
+    assert not is_mp3(b"\xff\xe0\x00\x00" + b"x" * 64)
+    assert not is_mp3(make_flac(100))
+    with _pytest.raises(ValueError, match="not an MP3"):
+        decode_mp3_header(b"junk")
+
+
+def test_decode_audio_meta_mixed_corpus(spark):
+    """The sniffing metadata kernel over a mixed WAV/FLAC/MP3/junk
+    binary column: every format parsed by its real header tier,
+    unknowns rowed out as format='unknown', nothing collected to the
+    driver."""
+    from skopje_spark.operators.audio import (
+        decode_audio_meta,
+        make_flac,
+        make_mp3,
+        make_wav,
+    )
+
+    rows = [
+        (0, make_wav(400, seed=1, sample_rate=8000)),
+        (1, make_flac(600, seed=2, sample_rate=16000)),
+        (2, make_mp3(12, bitrate_kbps=128, sample_rate=44100)),
+        (3, b"not audio at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["format"], r["channels"], r["sample_rate"],
+                      r["n_samples"], r["duration_ms"])
+        for r in decode_audio_meta(df).collect()
+    }
+    assert got[0] == ("wav", 1, 8000, 400, 50)
+    assert got[1] == ("flac", 1, 16000, 600, round(600 * 1000 / 16000))
+    assert got[2] == ("mp3", 1, 44100, 12 * 1152,
+                      round(12 * 1152 * 1000 / 44100))
+    assert got[3] == ("unknown", None, None, None, None)

@@ -45,3 +45,72 @@ def test_ivf_rebuild_resets_baseline_and_preserves_vectors(spark, tmp_path):
     d = frame(np.array([0, 0, 1.0, 0]), 10, 300)
     rep2 = ivf_index_append(d, path)
     assert abs(rep2["staleness_drop"]) < 0.05
+
+
+# --------------------------------------------------------------- HNSW
+
+
+def test_hnsw_topk_recall_and_determinism(spark, sf_dir):
+    """Shard-and-merge HNSW: recall@10 against the exact brute force,
+    exact self-match at rank 1, and run-to-run determinism (hashed
+    levels + ordered tie-breaks, no RNG anywhere)."""
+    import numpy as np
+
+    from skopje_spark.operators.hnsw import hnsw_topk
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(3)
+    got = hnsw_topk(
+        e, q, k=10, shards=4, M=8, ef_construction=64, ef_search=64
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cos_sim"]))
+    # exact ground truth
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1)[:, None]
+    for qid, res in by_q.items():
+        assert len(res) == 10
+        # queries are corpus members: rank 1 is the vector itself
+        assert res[0][0] == qid and res[0][1] == 1.0
+        exact = set(
+            ids[np.argsort(-(V @ V[list(ids).index(qid)]))[:10]]
+        )
+        hit = len({v for v, _ in res} & exact)
+        assert hit >= 8, (qid, hit)
+    # determinism
+    again = hnsw_topk(
+        e, q, k=10, shards=4, M=8, ef_construction=64, ef_search=64
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_hnsw_index_build_probe_identical(spark, sf_dir, tmp_path):
+    """The persisted index reloads STRUCTURALLY (no re-insertion):
+    probe results are bit-identical to the one-pass build-and-search,
+    and the parquet layout is shard-partitioned."""
+    import os
+
+    from skopje_spark.operators.hnsw import (
+        hnsw_index_build,
+        hnsw_index_probe,
+        hnsw_topk,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(2)
+    path = str(tmp_path / "hnsw_idx")
+    n = hnsw_index_build(e, path, shards=4, M=8, ef_construction=64)
+    assert n == 4
+    assert any(d.startswith("shard=") for d in os.listdir(path))
+    probe = hnsw_index_probe(
+        spark, path, q, k=10, ef_search=64, M=8
+    ).collect()
+    direct = hnsw_topk(
+        e, q, k=10, shards=4, M=8, ef_construction=64, ef_search=64
+    ).collect()
+    assert sorted(map(tuple, probe)) == sorted(map(tuple, direct))
