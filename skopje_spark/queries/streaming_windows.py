@@ -223,3 +223,79 @@ def q_stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     spark.catalog.dropTempView(sink)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "q_bus_batch_read",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    recs AS (
+      SELECT CAST(t.i AS BIGINT) AS i,
+             CAST(t.i % 4 AS INT) AS p,
+             CAST(t.i // 4 AS BIGINT) AS off
+      FROM n, UNNEST(range(0, c)) AS t(i)
+    )
+    SELECT p AS partition,
+           COUNT(*) AS n_records,
+           CAST(SUM(i * i) AS BIGINT) AS val_sum,
+           MIN(off) AS min_offset,
+           MAX(off) AS max_offset
+    FROM recs
+    WHERE off >= 10
+    GROUP BY p
+    ORDER BY p
+    """,
+    tags=("source", "bus", "kafka-contract", "offsets"),
+)
+def q_bus_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The message-bus source (sources/bus.py — the Kafka offset
+    contract on the file-backed broker) under the driver gate: a
+    4-partition topic is produced with one record per document row
+    (record i → partition i % 4, value i², dense per-partition
+    offsets), then batch-read through
+    ``spark.read.format("skopje_bus")`` with ``startingOffsets``
+    skipping the first 10 records of EVERY partition — the bounded
+    replay mode. The oracle recomputes the partition/offset
+    arithmetic closed-form from the documents row count, so a wrong
+    offset assignment, a segment-pruning bug, or an off-by-one in the
+    half-open range flips counts, sums, or the offset extrema.
+
+    Scale note: the fixture topic is produced driver-side from the
+    row COUNT (metadata — no table rows are collected); reads plan
+    one InputPartition per bus partition, the executor-parallel
+    layout the streaming reader shares."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from skopje_spark.sources.bus import bus_append
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    n = load_table(spark, sf_dir, "documents").count()
+    topic = tempfile.mkdtemp(prefix="skopje_bus_")
+    atexit.register(shutil.rmtree, topic, ignore_errors=True)
+    per_part: dict[int, list] = {0: [], 1: [], 2: [], 3: []}
+    for i in range(n):
+        per_part[i % 4].append((f"k{i}", str(i * i)))
+    for p, recs in per_part.items():
+        bus_append(topic, recs, partition=p, max_segment_records=64)
+    import json as _json
+
+    df = (
+        spark.read.format("skopje_bus")
+        .option("path", topic)
+        .option("startingOffsets",
+                _json.dumps({str(p): 10 for p in range(4)}))
+        .load()
+    )
+    return (
+        df.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("value").cast("long")).alias("val_sum"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .orderBy("partition")
+    )

@@ -445,11 +445,14 @@ def register_all(spark) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass
+    from skopje_spark.sources.bus import BusDataSource
+
     for ds in (
         RestJsonDataSource,
         FeedStreamDataSource,
         NdjsonSinkDataSource,
         VersionedTableDataSource,
         VersionedChangesDataSource,
+        BusDataSource,
     ):
         spark.dataSource.register(ds)

@@ -1,0 +1,148 @@
+"""Unit tests: the skopje_bus message-bus source (sources/bus.py) —
+the Kafka offset contract (dense per-partition record offsets,
+half-open ranges, deterministic replay, {partition: next_offset}
+checkpoints) on the file-backed broker layout."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from skopje_spark.sources.bus import bus_append, bus_offsets
+
+
+def _mk_topic(path, per_part=25, parts=3, seg=10):
+    for p in range(parts):
+        recs = [(f"k{p}-{i}", str(p * 1000 + i)) for i in range(per_part)]
+        bus_append(str(path), recs, partition=p, max_segment_records=seg)
+    return str(path)
+
+
+def test_bus_layout_offsets_and_segment_roll(tmp_path):
+    topic = _mk_topic(tmp_path / "t", per_part=25, parts=2, seg=10)
+    assert bus_offsets(topic) == {"0": 25, "1": 25}
+    # segments rolled at 10 records with base offsets in the name
+    segs = sorted(os.listdir(os.path.join(topic, "partition=0")))
+    assert segs == ["seg-0.ndjson", "seg-10.ndjson", "seg-20.ndjson"]
+    # appends continue the offset sequence
+    assert bus_append(topic, [("k", "v")], partition=0,
+                      max_segment_records=10) == 26
+
+
+def test_bus_batch_read_and_offset_slicing(spark, tmp_path):
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    topic = _mk_topic(tmp_path / "t", per_part=20, parts=3, seg=7)
+    df = spark.read.format("skopje_bus").option("path", topic).load()
+    assert df.count() == 60
+    rows = df.collect()
+    # Kafka-shaped rows: dense offsets per partition, ordered values
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["partition"], []).append((r["offset"], r["value"]))
+    for p, rs in by_p.items():
+        rs.sort()
+        assert [o for o, _ in rs] == list(range(20))
+        assert [v for _, v in rs] == [str(p * 1000 + i) for i in range(20)]
+    # half-open range slicing straddling segment boundaries
+    sliced = (
+        spark.read.format("skopje_bus")
+        .option("path", topic)
+        .option("startingOffsets", json.dumps({"0": 5, "1": 19, "2": 20}))
+        .option("endingOffsets", json.dumps({"0": 16, "1": 20, "2": 20}))
+        .load()
+        .collect()
+    )
+    got = sorted((r["partition"], r["offset"]) for r in sliced)
+    assert got == [(0, o) for o in range(5, 16)] + [(1, 19)]
+    # deterministic replay: same range, same records
+    again = (
+        spark.read.format("skopje_bus")
+        .option("path", topic)
+        .option("startingOffsets", json.dumps({"0": 5, "1": 19, "2": 20}))
+        .option("endingOffsets", json.dumps({"0": 16, "1": 20, "2": 20}))
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, again)) == sorted(map(tuple, sliced))
+
+
+def test_bus_torn_write_invisible(spark, tmp_path):
+    """A record without its newline (a producer mid-write) does not
+    exist yet — no torn reads, and the offset end excludes it."""
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    topic = str(tmp_path / "t")
+    bus_append(topic, [("a", "1"), ("b", "2")], partition=0)
+    seg = os.path.join(topic, "partition=0", "seg-0.ndjson")
+    with open(seg, "ab") as f:
+        f.write(b'{"k": "c", "v": "3"')  # no newline: torn
+    assert bus_offsets(topic) == {"0": 2}
+    df = spark.read.format("skopje_bus").option("path", topic).load()
+    assert sorted(r["value"] for r in df.collect()) == ["1", "2"]
+
+
+def test_bus_stream_microbatches_and_restart(spark, tmp_path):
+    """Streaming: each microbatch sees exactly the new records; a
+    restart from the checkpoint resumes at the committed offsets with
+    no duplicates and no loss (the exactly-once contract)."""
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    topic = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out: list[tuple] = []
+    bus_append(topic, [("a", "1"), ("b", "2")], partition=0)
+    bus_append(topic, [("c", "10")], partition=1)
+
+    def sink(batch_df, batch_id):
+        out.extend(
+            (r["partition"], r["offset"], r["value"])
+            for r in batch_df.collect()
+        )
+
+    def run_until(n, timeout=60):
+        q = (
+            spark.readStream.format("skopje_bus")
+            .option("path", topic)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while len(out) < n and time.time() < deadline:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert len(out) >= n, out
+
+    run_until(3)
+    assert sorted(out) == [(0, 0, "1"), (0, 1, "2"), (1, 0, "10")]
+    # new records while the stream is DOWN; restart must pick up
+    # exactly the delta
+    bus_append(topic, [("d", "3")], partition=0)
+    bus_append(topic, [("e", "11"), ("f", "12")], partition=1)
+    run_until(6)
+    assert sorted(out) == [
+        (0, 0, "1"), (0, 1, "2"), (0, 2, "3"),
+        (1, 0, "10"), (1, 1, "11"), (1, 2, "12"),
+    ]
+
+
+def test_bus_empty_and_missing_topic(spark, tmp_path):
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    topic = str(tmp_path / "nope")
+    df = spark.read.format("skopje_bus").option("path", topic).load()
+    assert df.count() == 0
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("skopje_bus").load().count()
