@@ -39,7 +39,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hnsw_topk", "hnsw_index_build", "hnsw_index_probe"]
+__all__ = [
+    "hnsw_topk",
+    "hnsw_index_build",
+    "hnsw_index_append",
+    "hnsw_index_probe",
+]
 
 
 def _splitmix64(x: int) -> int:
@@ -370,6 +375,99 @@ def hnsw_index_build(
                "neighbors array<long>, vec array<double>",
     )
     out.write.mode("errorifexists").partitionBy("shard").parquet(path)
+    return shards
+
+
+def hnsw_index_append(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    M: int = 8,
+    ef_construction: int = 64,
+) -> int:
+    """Append new vectors to a persisted index WITHOUT a full
+    rebuild: each touched shard's graph reloads structurally, the new
+    nodes run the real HNSW insert (levels from the same hashed draw,
+    links re-pruned), and ONLY those shards rewrite (dynamic
+    partition overwrite — untouched shards' files never move). Cost ∝
+    touched shards, the same economics as ``ivf_index_append``.
+
+    Note the honest asymmetry: unlike the LSH index, HNSW append is
+    NOT guaranteed graph-identical to a fresh build over the union
+    (insert order shapes the links); search quality is equivalent,
+    and the determinism contract still holds — the same index + the
+    same appends always produce the same graph. Duplicate ids refuse
+    loudly."""
+    spark = embeddings.sparkSession
+    idx = spark.read.parquet(path)
+    shards = idx.select(F.max("shard")).first()[0] + 1
+    new = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _shard_col(id_col, shards).alias("shard"),
+    )
+
+    def run(key, left, right):
+        import pandas as pd
+
+        cols = ["shard", "vec_id", "layer", "neighbors", "vec"]
+        if not len(right):
+            return pd.DataFrame(columns=cols)  # shard untouched
+        shard = int(key[0])
+        base = left[left["layer"] == 0]
+        vecs = {
+            int(i): list(map(float, v))
+            for i, v in zip(base["vec_id"], base["vec"])
+        }
+        g = _ShardGraph.from_rows(
+            base["vec_id"].to_numpy(),
+            np.asarray([list(v) for v in base["vec"]], dtype=np.float64),
+            list(zip(left["vec_id"], left["layer"], left["neighbors"])),
+            M=M,
+        ) if len(base) else _ShardGraph(M=M, ef_construction=ef_construction)
+        g.efc = ef_construction
+        have = set(g.ids)
+        order = right.sort_values("vec_id")
+        for vid, v in zip(order["vec_id"], order["vec"]):
+            vid = int(vid)
+            if vid in have:
+                raise ValueError(
+                    f"hnsw_index_append: id {vid} already indexed in "
+                    f"shard {shard} — appends must be novel ids"
+                )
+            arr = np.asarray(list(v), dtype=np.float64)
+            n = np.linalg.norm(arr)
+            unit = arr / (n if n else 1.0)
+            g.vecs = (
+                unit[None, :] if g.vecs is None
+                else np.vstack([g.vecs, unit[None, :]])
+            )
+            g.ids.append(vid)
+            vecs[vid] = list(map(float, arr))
+            g._insert(len(g.ids) - 1)
+        rows = [
+            (shard, vid, layer, nbrs, vecs[vid] if layer == 0 else None)
+            for vid, layer, nbrs in g.rows()
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    out = (
+        idx.groupBy("shard")
+        .cogroup(new.groupBy("shard"))
+        .applyInPandas(
+            run,
+            schema="shard int, vec_id long, layer int, "
+                   "neighbors array<long>, vec array<double>",
+        )
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path)
+    )
     return shards
 
 

@@ -442,3 +442,77 @@ def bm25_scores(
         .agg(dround(F.sum("__term_score"), 6).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# unicode hygiene: normalization + control stripping + mojibake repair
+# ---------------------------------------------------------------------------
+
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def unicode_clean(
+    col: Column, *, form: str = "NFC", strip_controls: bool = True
+) -> Column:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) and strip
+    the C0/DEL control characters crawls are full of (newline, tab,
+    and CR survive — they are structure, not junk). Spark SQL has no
+    normalization builtin, so the normalize step is an Arrow-batched
+    pandas UDF (unicodedata is a table lookup, not a tokenizer — the
+    batch overhead dominates, not the per-char work); the control
+    strip stays codegen (regexp_replace). The canonical first pass of
+    every web-text pipeline: combining sequences collapse to
+    precomposed forms so downstream hashing/dedup/shingling see one
+    spelling per grapheme."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def make(f):
+        def norm(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize(f, x)
+                if x is not None else None
+            )
+        return pandas_udf(norm, "string")
+
+    out = make(form)(col)
+    if strip_controls:
+        out = F.regexp_replace(out, _CONTROL_RE, "")
+    return out
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the single most common crawl encoding wreck: UTF-8 bytes
+    decoded as Latin-1/cp1252 ("Ã©" for "é"). A row is repaired ONLY
+    when the round trip is proof-positive — the text re-encodes to
+    cp1252 AND those bytes decode as valid UTF-8 AND the repair
+    strictly shrinks the string (real mojibake always does; plain
+    ASCII and legitimate Latin-1 text fail one of the three and pass
+    through untouched). Arrow-batched pandas UDF; apply before
+    :func:`unicode_clean`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def repair_one(x):
+        if x is None or not any(ord(c) > 127 for c in x):
+            return x
+        # cp1252 first (the common read-side codec), latin-1 second
+        # (covers C1 bytes cp1252 leaves undefined)
+        for codec in ("cp1252", "latin-1"):
+            try:
+                fixed = x.encode(codec).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if len(fixed) < len(x):
+                return fixed
+        return x
+
+    def repair(s):
+        return s.map(repair_one)
+
+    return pandas_udf(repair, "string")(col)

@@ -730,3 +730,46 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_text_unicode_clean",
+    oracle="""
+    SELECT doc_id,
+           sha256(regexp_replace(
+               nfc_normalize('Cafe' || chr(769) || '|' || text
+                             || chr(7) || '|tail'),
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'
+           )) AS clean_sha,
+           CAST(length(regexp_replace(
+               nfc_normalize('Cafe' || chr(769) || '|' || text
+                             || chr(7) || '|tail'),
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'
+           )) AS BIGINT) AS clean_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "unicode", "normalization", "pandas-udf"),
+)
+def q_text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene under the driver gate: every document gets a
+    combining sequence ('Cafe' + U+0301 — NFC must collapse it to the
+    precomposed é) and a BEL control character injected, then
+    :func:`~skopje_spark.operators.text.unicode_clean` (Arrow-batched
+    NFC + codegen control strip) runs and the oracle recomputes the
+    exact cleaned text with DuckDB's independent ``nfc_normalize`` —
+    two unrelated normalization implementations agreeing on sha256
+    and character count per document. A wrong form, a missed control
+    class, or an off-by-one strip hash-mismatches every row."""
+    from skopje_spark.operators.text import unicode_clean
+
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("Café|"), F.col("text"), F.lit("\x07|tail")
+    )
+    cleaned = unicode_clean(dirty, form="NFC")
+    return d.select(
+        "doc_id",
+        F.sha2(cleaned, 256).alias("clean_sha"),
+        F.length(cleaned).cast("bigint").alias("clean_chars"),
+    ).orderBy("doc_id")

@@ -1607,3 +1607,57 @@ def test_ann_probe_report_is_batched_not_per_query(spark, tmp_path):
     assert math.isclose(rep[4]["mean_recall_at_k"], 1.0)
     recalls = [rep[p]["mean_recall_at_k"] for p in (1, 2, 4)]
     assert recalls == sorted(recalls) and recalls[0] > 0.5
+
+
+def test_unicode_clean_and_mojibake(spark):
+    """NFC collapses combining sequences, NFKC folds compatibility
+    forms, controls strip (structure survives); mojibake repair fixes
+    the UTF-8-as-cp1252 wreck and NEVER touches text that merely
+    looks Latin."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.text import fix_mojibake, unicode_clean
+
+    rows = [
+        (0, "Café x\x07y\x00z\nok\tt"),   # combining + controls
+        (1, "ﬁne ①"),                   # ﬁ ligature, ① (NFKC)
+        (2, None),
+        (3, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    nfc = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", unicode_clean(F.col("t")).alias("c")
+        ).collect()
+    }
+    assert nfc[0] == "Café xyz\nok\tt"  # é precomposed, \x07 \x00 gone
+    assert nfc[1] == "ﬁne ①"  # NFC keeps compatibility chars
+    assert nfc[2] is None and nfc[3] == "plain ascii"
+    nfkc = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", unicode_clean(F.col("t"), form="NFKC").alias("c")
+        ).collect()
+    }
+    assert nfkc[1] == "fine 1"  # ligature + circled digit folded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        unicode_clean(F.col("t"), form="NFX")
+
+    moji = [
+        (0, "Ã©tÃ©"),          # UTF-8 'été' read as cp1252
+        (1, "café"),            # legitimate Latin-1 text: untouched
+        (2, "naÃ¯ve â\x80\x94 ok"),  # incl. em dash wreck
+        (3, None),
+    ]
+    mdf = spark.createDataFrame(moji, "i long, t string")
+    got = {
+        r["i"]: r["m"]
+        for r in mdf.select("i", fix_mojibake(F.col("t")).alias("m")).collect()
+    }
+    assert got[0] == "été"
+    assert got[1] == "café"
+    assert got[2] == "naïve — ok"
+    assert got[3] is None

@@ -114,3 +114,54 @@ def test_hnsw_index_build_probe_identical(spark, sf_dir, tmp_path):
         e, q, k=10, shards=4, M=8, ef_construction=64, ef_search=64
     ).collect()
     assert sorted(map(tuple, probe)) == sorted(map(tuple, direct))
+
+
+def test_hnsw_index_append_novel_vectors_searchable(spark, sf_dir, tmp_path):
+    """Append inserts into the persisted shard graphs without a
+    rebuild: a planted twin of the query lands at rank 1, only the
+    touched shards rewrite, original content stays searchable, and
+    duplicate ids refuse loudly."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.hnsw import (
+        hnsw_index_append,
+        hnsw_index_build,
+        hnsw_index_probe,
+    )
+    from skopje_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    hnsw_index_build(e, path, shards=4, M=8, ef_construction=64)
+    q = e.orderBy("vec_id").limit(1)
+    before = hnsw_index_probe(spark, path, q, k=5, ef_search=64).collect()
+    # plant an exact twin of the query vector under a fresh id
+    twin = q.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    mtimes = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("shard=")
+    }
+    hnsw_index_append(twin, path, M=8, ef_construction=64)
+    # dynamic partition overwrite: only the twin's shard rewrote
+    untouched = [
+        d for d in mtimes
+        if os.path.getmtime(os.path.join(path, d)) == mtimes[d]
+    ]
+    assert len(untouched) == 3, untouched
+    after = hnsw_index_probe(spark, path, q, k=5, ef_search=64).collect()
+    got = [(r["vec_id"], r["cos_sim"]) for r in after]
+    qid = q.first()["vec_id"]
+    # both the original and its twin score 1.0 and lead the list
+    lead = {v for v, s in got[:2]}
+    assert lead == {qid, qid + 10_000_000}
+    assert got[0][1] == 1.0 and got[1][1] == 1.0
+    # the untouched original results are still present below
+    assert {r["vec_id"] for r in before[:3]} <= {v for v, _ in got}
+    # duplicate id refuses
+    with _pytest.raises(Exception, match="already indexed"):
+        hnsw_index_append(twin, path, M=8)
