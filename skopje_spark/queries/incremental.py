@@ -4335,3 +4335,105 @@ def q_versioned_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables=t,
     )
     return cur.unionByName(v0).unionByName(gone).orderBy("src")
+
+
+@register(
+    "q_versioned_optimize_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS optimize_exact, TRUE AS analyze_ok, TRUE AS vacuum_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("versioned", "maintenance", "sqlfront", "optimize", "vacuum",
+          "analyze"),
+)
+def q_versioned_optimize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance tier as SQL TEXT, end-to-end
+    (sqlfront.py → versioned_compact / versioned_analyze / vacuum):
+    orders lands as three small-file appends, then
+
+    - ``OPTIMIZE '<t>' ZORDER BY (o_orderkey, o_custkey)`` rewrites
+      to 2 interleaved-clustered files — ``optimize_exact`` pins
+      op=compact, the exact file count, and zero row drift in-band
+      while the oracle's hash equality proves content-exactness;
+    - ``ANALYZE TABLE '<t>' COMPUTE STATISTICS FOR COLUMNS …`` —
+      ``analyze_ok`` pins the column_stats property: exact row count,
+      both columns present, stamped with the snapshot it described;
+    - ``VACUUM '<t>' RETAIN 2 VERSIONS DRY RUN`` then the real
+      ``VACUUM`` — ``vacuum_ok`` pins dry-run == actual removal set,
+      old versions gone, current content untouched.
+
+    Scale: OPTIMIZE is the nightly small-file compaction (narrow
+    coalesce copy); ANALYZE is one aggregation pass recorded as
+    kilobyte metadata; VACUUM is ref-counted pool GC — all three
+    routed from the exact SQL spellings users type."""
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    from skopje_spark.sinks.versioned import (
+        _read_manifest,
+        _versions,
+        latest_version,
+        snapshot_meta,
+        versioned_append,
+        versioned_read,
+        versioned_write,
+    )
+    from skopje_spark.sqlfront import versioned_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="skopje_optsql_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    versioned_write(o.filter("o_orderkey % 3 = 0").coalesce(3), path)
+    versioned_append(spark, path, o.filter("o_orderkey % 3 = 1").coalesce(3))
+    versioned_append(spark, path, o.filter("o_orderkey % 3 = 2").coalesce(3))
+    n_before = o.count()
+    v = versioned_sql(
+        spark, f"OPTIMIZE '{path}' ZORDER BY (o_orderkey, o_custkey)",
+        target_files=2,
+    )
+    man = _read_manifest(path, v)
+    optimize_exact = (
+        snapshot_meta(path, "op", version=v) == "compact"
+        and len(man["files"]) == 2
+        and sum(e["rows"] for e in man["files"]) == n_before
+    )
+    va = versioned_sql(
+        spark,
+        f"ANALYZE TABLE '{path}' COMPUTE STATISTICS "
+        "FOR COLUMNS o_orderkey, o_orderpriority",
+    )
+    stats = _json.loads(snapshot_meta(path, "column_stats", version=va))
+    analyze_ok = (
+        set(stats["columns"]) == {"o_orderkey", "o_orderpriority"}
+        and int(stats["n_rows"]) == n_before
+        and int(stats["as_of_version"]) == va
+    )
+    dry = versioned_sql(spark, f"VACUUM '{path}' RETAIN 2 VERSIONS DRY RUN")
+    gone = versioned_sql(spark, f"VACUUM '{path}' RETAIN 2 VERSIONS")
+    vacuum_ok = (
+        sorted(dry) == sorted(gone)
+        and len(gone) >= 1
+        and all(x not in _versions(path) for x in gone)
+        and latest_version(path) in _versions(path)
+    )
+    return (
+        versioned_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("optimize_exact", F.lit(bool(optimize_exact)))
+        .withColumn("analyze_ok", F.lit(bool(analyze_ok)))
+        .withColumn("vacuum_ok", F.lit(bool(vacuum_ok)))
+        .orderBy("o_orderpriority")
+    )
