@@ -602,6 +602,13 @@ def decode_flac_header(b: bytes):
     channels = br.bits(3) + 1
     bps = br.bits(5) + 1
     total = br.bits(36)
+    # STREAMINFO sanity: junk that merely starts with the magic must
+    # refuse here, not crash downstream arithmetic (rate 0 → /0)
+    if rate < 1 or rate > 655350 or bps < 4 or bps > 32:
+        raise ValueError(
+            f"not a FLAC payload: insane STREAMINFO "
+            f"(rate={rate}, bps={bps})"
+        )
     return channels, rate, bps, total
 
 
@@ -834,18 +841,25 @@ def decode_audio_meta(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             for _, r in pdf.iterrows():
                 b = bytes(r["payload"])
                 i = int(r[id_col])
-                if is_wav(b):
-                    ch, rate, _, ns, _ = decode_wav_header(b)
-                    rows.append((i, "wav", ch, rate, ns,
-                                 int(round(ns * 1000.0 / rate))))
-                elif is_flac(b):
-                    ch, rate, _, ns = decode_flac_header(b)
-                    rows.append((i, "flac", ch, rate, ns,
-                                 int(round(ns * 1000.0 / rate))))
-                elif is_mp3(b):
-                    ch, rate, _, _, ns, dur = decode_mp3_header(b)
-                    rows.append((i, "mp3", ch, rate, ns, dur))
-                else:
+                # any parse failure (truncated header, magic-prefixed
+                # junk, zero rates) rows out as unknown — a corpus
+                # scan must never die on one malformed payload
+                try:
+                    if is_wav(b):
+                        ch, rate, _, ns, _ = decode_wav_header(b)
+                        rows.append((i, "wav", ch, rate, ns,
+                                     int(round(ns * 1000.0 / rate))))
+                    elif is_flac(b):
+                        ch, rate, _, ns = decode_flac_header(b)
+                        rows.append((i, "flac", ch, rate, ns,
+                                     int(round(ns * 1000.0 / rate))))
+                    elif is_mp3(b):
+                        ch, rate, _, _, ns, dur = decode_mp3_header(b)
+                        rows.append((i, "mp3", ch, rate, ns, dur))
+                    else:
+                        rows.append((i, "unknown", None, None, None,
+                                     None))
+                except Exception:
                     rows.append((i, "unknown", None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -375,6 +375,19 @@ def hnsw_index_build(
                "neighbors array<long>, vec array<double>",
     )
     out.write.mode("errorifexists").partitionBy("shard").parquet(path)
+    # the hash MODULUS must be recorded, not inferred: max(shard)+1
+    # undercounts whenever the top shards got no rows, and appends
+    # hashed with a different modulus would silently double-index ids
+    # (underscore prefix: invisible to Spark's parquet reader)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_hnsw_meta.json"), "w") as f:
+        _json.dump(
+            {"shards": shards, "M": M,
+             "ef_construction": ef_construction},
+            f,
+        )
     return shards
 
 
@@ -400,9 +413,14 @@ def hnsw_index_append(
     and the determinism contract still holds — the same index + the
     same appends always produce the same graph. Duplicate ids refuse
     loudly."""
+    import json as _json
+    import os as _os
+
     spark = embeddings.sparkSession
     idx = spark.read.parquet(path)
-    shards = idx.select(F.max("shard")).first()[0] + 1
+    meta_file = _os.path.join(path, "_hnsw_meta.json")
+    with open(meta_file) as f:
+        shards = int(_json.load(f)["shards"])
     new = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),

@@ -413,11 +413,11 @@ def _encode_ac_refine(bw, blocks, ac_codes, al: int):
             if t == 0:
                 run += 1
                 continue
-            if t > 1:
-                # history coefficient: one correction bit, run intact
-                br.append(t & 1)
-                continue
-            # newly significant (|v|>>Al == 1)
+            # drain pending ZRLs at EVERY nonzero coefficient (history
+            # included) BEFORE buffering its bit — the decoder's
+            # 16-zero skip-scan consumes correction bits positionally,
+            # so a history bit buffered across a ZRL boundary would
+            # land after the wrong symbol (spec figure G.7 flow)
             while run > 15 and k <= eob:
                 flush_eob()
                 code, ln = ac_codes[0xF0]
@@ -426,6 +426,11 @@ def _encode_ac_refine(bw, blocks, ac_codes, al: int):
                 for bit in br:
                     bw.put(bit, 1)
                 br = []
+            if t > 1:
+                # history coefficient: one correction bit, run intact
+                br.append(t & 1)
+                continue
+            # newly significant (|v|>>Al == 1)
             flush_eob()
             code, ln = ac_codes[(run << 4) | 1]
             bw.put(code, ln)
@@ -758,6 +763,7 @@ def jpeg_pixels(b: bytes):
     hac: dict[int, dict] = {}
     ri = 0
     progressive = False
+    saw_scan = False
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, qid)
     samps: list[tuple[int, int]] = []
@@ -978,6 +984,7 @@ def jpeg_pixels(b: bytes):
         elif tag == 0xDA:
             if w is None:
                 raise ValueError("SOS before SOF")
+            saw_scan = True
             ns = seg[0]
             scomp = []
             for si in range(ns):
@@ -1003,6 +1010,10 @@ def jpeg_pixels(b: bytes):
         pos += 2 + ln
     if w is None:
         raise ValueError("no SOF frame header found")
+    if not saw_scan:
+        # zero entropy data: all-zero coefficient planes would
+        # fabricate a flat image — refuse, never silently invent pixels
+        raise ValueError("no scan data before EOI")
 
     # ---- finish: dequantize + IDCT + upsample + color ---------------
     planes = []

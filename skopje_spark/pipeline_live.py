@@ -28,10 +28,13 @@ inputs (other nodes' targets, or external versioned tables):
   key columns. Replay after a crash re-applies the same range — both
   apply steps are idempotent by key, the replicate argument.
 
-``static_inputs`` are read FULL at their current latest and do not
-gate recomputation — the stream-static join semantic (a dimension
-update does not reprocess history; that is the documented DLT
-contract, not a bug).
+``static_inputs`` are read FULL at their current latest. For append
+and upsert nodes they never gate — the stream-static join semantic (a
+dimension update does not reprocess history; that is the documented
+DLT contract, not a bug). For REPLACE nodes they DO gate: a
+materialized view recomputes when any dependency — streamed or
+static — advanced, and no-ops when nothing changed at all (idle polls
+stop growing version debt).
 
 EXACTLY-ONCE BY COMMIT ATOMICITY: each node's input cursors
 (``{input: last_processed_version}``) ride the SAME manifest commit as
@@ -255,17 +258,24 @@ class LivePipeline:
             latests[ref] = lv
 
         first_run = cursors is None
+        # replace nodes gate on static inputs TOO: a materialized view
+        # must recompute when its dimension changes, and may no-op when
+        # nothing changed at all. Append/upsert nodes never gate on
+        # statics (the stream-static contract: a dimension update does
+        # not reprocess history, and does not trigger a run by itself).
+        gate_latests = dict(latests)
+        if node.mode == "replace":
+            for ref in node.static_inputs:
+                lv = latest_version(self._path_of(ref))
+                if lv is not None:
+                    gate_latests[ref] = lv
         if not first_run:
             fresh = {
                 ref: lv
-                for ref, lv in latests.items()
+                for ref, lv in gate_latests.items()
                 if lv > int(cursors.get(ref, -1))
             }
-            # replace nodes with ONLY static inputs recompute every run
-            # (static inputs never gate — the stream-static contract);
-            # everything else is a no-op when no streamed input advanced
-            gate = bool(latests) if node.mode == "replace" else True
-            if gate and not fresh:
+            if not fresh:
                 return {
                     "version": latest_version(node.target),
                     "action": "noop",
@@ -316,7 +326,8 @@ class LivePipeline:
         out = node.transform(spark, frames)
         new_cursors = {
             **({} if cursors is None else cursors),
-            **{ref: latests[ref] for ref in node.inputs},
+            **(gate_latests if node.mode == "replace"
+               else {ref: latests[ref] for ref in node.inputs}),
         }
         meta = {
             _CURSORS_KEY: json.dumps(new_cursors, sort_keys=True),

@@ -136,27 +136,60 @@ def bus_append(
 ) -> int:
     """Produce ``(key, value)`` records to one partition; returns the
     next offset after the append. Segments roll at
-    ``max_segment_records`` with the base offset in the file name,
-    so consumers locate any offset without scanning."""
+    ``max_segment_records`` with the base offset in the file name, so
+    consumers locate any offset without scanning. Records are grouped
+    per target segment and written in ONE append each (not one
+    open/write/close per record). A torn trailing write from a
+    crashed producer (no final newline — invisible to every reader)
+    is TRUNCATED away before appending: the partial record never
+    became a record, and writing after it would otherwise fuse two
+    records into one corrupt line forever."""
     pdir = _part_dir(topic, partition)
     os.makedirs(pdir, exist_ok=True)
     segs = _segments(pdir)
     if segs:
         base, path = segs[-1]
         n = len(_complete_lines(path))
+        _truncate_torn_tail(path)
     else:
         base, path, n = 0, os.path.join(pdir, "seg-0.ndjson"), 0
     nxt = base + n
+    pend_path, pend = path, []
+
+    def flush():
+        if pend:
+            with open(pend_path, "ab") as f:
+                f.write(b"".join(pend))
+            pend.clear()
+
     for key, value in records:
-        if n >= max_segment_records or not os.path.exists(path):
+        if n >= max_segment_records or (
+            not pend and not os.path.exists(pend_path)
+        ):
+            flush()
             base, n = nxt, 0
-            path = os.path.join(pdir, f"seg-{base}.ndjson")
-        rec = json.dumps({"k": key, "v": value, "ts": ts})
-        with open(path, "ab") as f:
-            f.write(rec.encode() + b"\n")
+            pend_path = os.path.join(pdir, f"seg-{base}.ndjson")
+        pend.append(
+            json.dumps({"k": key, "v": value, "ts": ts}).encode() + b"\n"
+        )
         n += 1
         nxt += 1
+    flush()
     return nxt
+
+
+def _truncate_torn_tail(path: str) -> None:
+    """Discard a trailing partial line (a crashed producer's torn
+    write) so the next append starts on a record boundary."""
+    try:
+        with open(path, "r+b") as f:
+            data = f.read()
+            last = data.rfind(b"\n")
+            keep = last + 1
+            if keep < len(data):
+                f.truncate(keep)
+    except FileNotFoundError:
+        pass
 
 
 def _read_range(topic: str, p: int, start: int, end: int):
@@ -183,6 +216,12 @@ def _read_range(topic: str, p: int, start: int, end: int):
 
 
 def _parse_offsets(raw: str | None, topic: str, default: str) -> dict:
+    """``earliest`` / ``latest`` / JSON ``{partition: offset}``.
+    Partitions ABSENT from an explicit map default to the map's role:
+    0 for a starting map, the partition's current end for an ending
+    map — a partial endingOffsets must never silently drop the
+    unmentioned partitions (Kafka requires them specified; defaulting
+    to latest is the lossless reading)."""
     raw = (raw or default).strip()
     if raw == "earliest":
         return {str(p): 0 for p in _partitions_of(topic)}
@@ -190,7 +229,11 @@ def _parse_offsets(raw: str | None, topic: str, default: str) -> dict:
         return bus_offsets(topic)
     got = {str(k): int(v) for k, v in json.loads(raw).items()}
     for p in _partitions_of(topic):
-        got.setdefault(str(p), 0)
+        if str(p) not in got:
+            got[str(p)] = (
+                0 if default == "earliest"
+                else _partition_end(_part_dir(topic, p))
+            )
     return got
 
 

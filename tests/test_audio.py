@@ -266,3 +266,30 @@ def test_decode_audio_meta_mixed_corpus(spark):
     assert got[2] == ("mp3", 1, 44100, 12 * 1152,
                       round(12 * 1152 * 1000 / 44100))
     assert got[3] == ("unknown", None, None, None, None)
+
+
+def test_audio_meta_never_fails_on_magic_prefixed_junk(spark):
+    """decode_audio_meta's contract: malformed payloads — including
+    junk that merely starts with a format magic — row out as
+    format='unknown', never a task failure."""
+    import pytest as _pytest
+
+    from skopje_spark.operators.audio import (
+        decode_audio_meta,
+        decode_flac_header,
+        make_wav,
+    )
+
+    with _pytest.raises(ValueError, match="insane STREAMINFO"):
+        decode_flac_header(b"fLaC" + b"\x00" * 60)
+    rows = [
+        (0, b"fLaC" + b"\x00" * 60),          # magic + garbage STREAMINFO
+        (1, b"fLaC" + b"\x80\x00\x00\x01Z"),  # truncated metadata block
+        (2, b"RIFF" + b"\x00" * 60),           # WAV near-miss
+        (3, make_wav(50)),                      # one real payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r["format"] for r in decode_audio_meta(df).collect()
+    }
+    assert got == {0: "unknown", 1: "unknown", 2: "unknown", 3: "wav"}

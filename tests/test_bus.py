@@ -146,3 +146,43 @@ def test_bus_empty_and_missing_topic(spark, tmp_path):
     assert df.count() == 0
     with pytest.raises(Exception, match="path"):
         spark.read.format("skopje_bus").load().count()
+
+
+def test_bus_append_truncates_torn_tail(spark, tmp_path):
+    """A crashed producer's partial record is truncated before the
+    next append — never fused into the next record (the corruption
+    would otherwise poison the segment forever)."""
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    topic = str(tmp_path / "t")
+    bus_append(topic, [("a", "1"), ("b", "2")], partition=0)
+    seg = os.path.join(topic, "partition=0", "seg-0.ndjson")
+    with open(seg, "ab") as f:
+        f.write(b'{"k": "c", "v": "3"')  # torn
+    nxt = bus_append(topic, [("d", "4")], partition=0)
+    assert nxt == 3  # torn record never existed
+    df = spark.read.format("skopje_bus").option("path", topic).load()
+    got = sorted((r["offset"], r["value"]) for r in df.collect())
+    assert got == [(0, "1"), (1, "2"), (2, "4")]
+
+
+def test_bus_partial_ending_offsets_default_latest(spark, tmp_path):
+    """Partitions absent from an explicit endingOffsets map read to
+    their LATEST — a partial map must not silently drop them."""
+    from skopje_spark.sources.pysource import register_all
+
+    register_all(spark)
+    topic = _mk_topic(tmp_path / "t", per_part=6, parts=3, seg=10)
+    df = (
+        spark.read.format("skopje_bus")
+        .option("path", topic)
+        .option("endingOffsets", json.dumps({"0": 2}))
+        .load()
+    )
+    got = sorted((r["partition"], r["offset"]) for r in df.collect())
+    assert got == (
+        [(0, 0), (0, 1)]
+        + [(1, o) for o in range(6)]
+        + [(2, o) for o in range(6)]
+    )

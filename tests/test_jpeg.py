@@ -216,3 +216,49 @@ def test_resize_media_jpeg_path(spark):
     rows = resize_media(d, width=10, height=6).collect()
     for r in rows:
         assert decode_jpeg_header(bytes(r["payload"]))[:2] == (10, 6)
+
+
+def test_jpeg_progressive_refine_zrl_history_patterns(monkeypatch):
+    """Entropy-layer regression: a HISTORY coefficient (|v|>1 at the
+    refinement scan) positioned beyond the 16th zero of a >15-zero run
+    must not desynchronize the AC-refinement bitstream — pending ZRLs
+    drain at EVERY nonzero coefficient, history included, before its
+    correction bit buffers (the spec G.7 flow). Coefficients are
+    injected directly under the encoder (monkeypatched _plane_coefs)
+    so the exact adversarial zigzag patterns are pinned, not left to
+    the DCT's mercy."""
+    import numpy as np
+
+    import skopje_spark.operators.jpeg as J
+
+    patterns = [
+        {0: 5, 20: 2, 25: 1},            # history after 19 zeros, then NS
+        {0: -3, 5: 2, 25: 1},            # history inside the first 16
+        {0: 1, 20: -2, 25: -1},          # negative twins of the above
+        {0: 0, 40: 3, 63: 1},            # deep history, NS at band end
+        {0: 2, 18: 2, 19: 2, 40: 1},     # two history coefs mid-run
+        {0: 7, 20: 2},                   # history only → EOB-run carry
+        {0: 7, 35: 1},                   # NS only after a long run
+        {0: 0, 1: 1, 63: 2},             # NS first, trailing history
+    ]
+    for pat in patterns:
+        crafted = np.zeros((1, 1, 64), dtype=np.int64)
+        for k, v in pat.items():
+            crafted[0, 0, k] = v
+        monkeypatch.setattr(
+            J, "_plane_coefs", lambda p, q, c=crafted: c.copy()
+        )
+        g = np.zeros((8, 8), dtype=np.uint8)
+        seq = J.jpeg_pixels(J.encode_jpeg(g))
+        pro = J.jpeg_pixels(J.encode_jpeg(g, progressive=True))
+        assert np.array_equal(seq, pro), pat
+
+
+def test_jpeg_no_scan_data_refuses():
+    """A stream with a valid SOF but zero entropy data must refuse —
+    all-zero coefficient planes would fabricate a flat image."""
+    b = make_jpeg(16, 16)
+    i = b.find(b"\xff\xda")
+    truncated = b[:i] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no scan data"):
+        jpeg_pixels(truncated)

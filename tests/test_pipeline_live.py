@@ -474,3 +474,39 @@ def test_full_refresh_rebuilds_and_resets_cursors(spark, tmp_path):
     r2 = pipe.run(spark)
     assert r2["clean"]["action"] == "append"
     assert versioned_read(spark, tgt).count() == 11
+
+
+def test_replace_node_recomputes_on_static_change(spark, tmp_path):
+    """A replace node with BOTH streamed and static inputs: a
+    static-only (dimension) change must trigger a recompute — and a
+    fully idle poll still no-ops."""
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    tgt = str(tmp_path / "t")
+    _ingest(spark, src, 0, 6)
+    versioned_write(
+        spark.createDataFrame([(0, 1), (1, 10), (2, 100)], ["g", "w"]), dim
+    )
+    pipe = LivePipeline([
+        LiveNode(
+            name="mv", target=tgt, inputs=[src], static_inputs=[dim],
+            mode="replace",
+            transform=lambda s, f: f[src].join(F.broadcast(f[dim]), "g")
+            .groupBy("g").agg(F.sum("w").alias("sw")),
+        )
+    ])
+    pipe.run(spark)
+    v = latest_version(tgt)
+    # fully idle: noop
+    assert pipe.run(spark)["mv"]["action"] == "noop"
+    assert latest_version(tgt) == v
+    # dimension-only change: the materialized view must refresh
+    versioned_write(
+        spark.createDataFrame([(0, 2), (1, 20), (2, 200)], ["g", "w"]), dim
+    )
+    r = pipe.run(spark)["mv"]
+    assert r["action"] == "replace"
+    got = {x["g"]: x["sw"] for x in versioned_read(spark, tgt).collect()}
+    assert got[0] == 2 * 2  # two g=0 rows × new weight
+    # and idle again after the refresh
+    assert pipe.run(spark)["mv"]["action"] == "noop"

@@ -165,3 +165,52 @@ def test_hnsw_index_append_novel_vectors_searchable(spark, sf_dir, tmp_path):
     # duplicate id refuses
     with _pytest.raises(Exception, match="already indexed"):
         hnsw_index_append(twin, path, M=8)
+
+
+def test_hnsw_append_uses_persisted_shard_modulus(spark, tmp_path):
+    """The hash MODULUS is persisted, never inferred from max(shard)+1:
+    a build whose top shards received no rows must still hash appends
+    with the ORIGINAL modulus, so duplicate ids land in their own
+    shard and refuse."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from skopje_spark.operators.hnsw import (
+        hnsw_index_append,
+        hnsw_index_build,
+        hnsw_index_probe,
+    )
+
+    # 3 vectors, 8 shards: most shards empty, max(shard)+1 < 8
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "idx")
+    hnsw_index_build(e, path, shards=8, M=4, ef_construction=16)
+    meta = json.load(open(os.path.join(path, "_hnsw_meta.json")))
+    assert meta["shards"] == 8
+    occupied = {
+        int(d.split("=")[1]) for d in os.listdir(path)
+        if d.startswith("shard=")
+    }
+    assert max(occupied) + 1 < 8  # the inference trap is real here
+    # re-appending an EXISTING id must refuse (same modulus → same shard)
+    with _pytest.raises(Exception, match="already indexed"):
+        hnsw_index_append(e.limit(1), path, M=4)
+    # novel ids append and everything stays searchable
+    new = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    hnsw_index_append(new, path, M=4, ef_construction=16)
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]
+        for r in hnsw_index_probe(spark, path, q, k=5, ef_search=16).collect()
+    }
+    assert {1, 10} <= got
