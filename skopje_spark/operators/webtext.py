@@ -451,3 +451,55 @@ def boilerplate_strip(
         .join(rebuilt, [id_col, group_col], "left")
         .fillna({text_col: ""})
     )
+
+
+# --------------------------------------------------------------------------
+# license-signal detection (training-data compliance screening)
+# --------------------------------------------------------------------------
+
+# (tag, regex) in PRIORITY order: the first match wins — the most
+# restrictive signals outrank permissive ones so a page carrying both
+# "all rights reserved" boilerplate and a CC badge tags restrictive
+# (the conservative read a compliance screen wants). Patterns are
+# RE2/Java-portable (no backrefs/lookarounds) so the DuckDB twin is
+# the same table.
+LICENSE_RULES = (
+    ("all-rights-reserved", r"(?i)all rights reserved"),
+    ("cc-by-nc", r"(?i)creativecommons\.org/licenses/by-nc|CC[ -]BY[ -]NC"),
+    ("cc-by-sa", r"(?i)creativecommons\.org/licenses/by-sa|CC[ -]BY[ -]SA"),
+    ("cc-by-nd", r"(?i)creativecommons\.org/licenses/by-nd|CC[ -]BY[ -]ND"),
+    ("cc-by", r"(?i)creativecommons\.org/licenses/by[/0-9]|CC[ -]BY\b"),
+    ("cc0", r"(?i)creativecommons\.org/publicdomain|\bCC0\b"),
+    ("public-domain", r"(?i)public domain"),
+    ("mit", r"(?i)\bMIT licen[sc]e\b|SPDX-License-Identifier: MIT"),
+    ("apache-2.0",
+     r"(?i)\bApache Licen[sc]e,? Version 2|SPDX-License-Identifier: Apache-2\.0"),
+    ("gpl", r"(?i)GNU General Public Licen[sc]e|SPDX-License-Identifier: GPL"),
+)
+
+
+def license_signal(col: Column) -> Column:
+    """First-match license tag for a text column (``none`` when no
+    signal fires) — the compliance screen training-data pipelines run
+    before mixing a source in (The Stack's license filter, C4's
+    policy screens). Pure codegen CASE over shared regex rules; the
+    DuckDB twin derives from the SAME table
+    (:func:`license_signal_sql`), so the tagging is cross-engine
+    verifiable."""
+    out = F.lit("none")
+    for tag, pat in reversed(LICENSE_RULES):
+        out = F.when(col.rlike(pat), F.lit(tag)).otherwise(out)
+    return out
+
+
+def license_signal_sql(expr: str) -> str:
+    """DuckDB twin of :func:`license_signal`, generated from the same
+    rule table."""
+    out = "'none'"
+    for tag, pat in reversed(LICENSE_RULES):
+        p = pat.replace("'", "''")
+        out = (
+            f"CASE WHEN regexp_matches({expr}, '{p}') "
+            f"THEN '{tag}' ELSE {out} END"
+        )
+    return out

@@ -24,6 +24,7 @@ from skopje_spark.operators.webtext import (
     gopher_quality_flags,
     html_to_text,
     html_to_text_sql,
+    license_signal_sql,
     url_host,
 )
 from skopje_spark.queries import register
@@ -460,4 +461,59 @@ def q_warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", "url", "status", "content_type",
         F.sha2(html_to_text(F.col("html")), 256).alias("text_sha"),
+    ).orderBy("doc_id")
+
+
+_LICENSE_SNIPPETS = (
+    "",  # no signal: the text's own content decides (usually none)
+    "Licensed under https://creativecommons.org/licenses/by/4.0/",
+    "Copyright. All rights reserved.",
+    "SPDX-License-Identifier: Apache-2.0",
+    "Shared as CC BY-NC per creativecommons.org/licenses/by-nc/4.0",
+    "Released into the public domain.",
+)
+
+
+def _license_case_sql() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_LICENSE_SNIPPETS)
+    )
+    return f"(CASE CAST(doc_id % {len(_LICENSE_SNIPPETS)} AS INT) {cases} END)"
+
+
+@register(
+    "q_text_license_tag",
+    oracle=f"""
+    SELECT doc_id,
+           {license_signal_sql("text || ' ' || " + _license_case_sql())}
+             AS license
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "license", "compliance", "crawl"),
+)
+def q_text_license_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-signal screening under the driver gate — the
+    compliance filter run before mixing a source into training data
+    (The Stack's license gate, C4's policy screens). Each document
+    gets a deterministic license snippet appended (CC variants, SPDX
+    ids, all-rights-reserved, none) and
+    :func:`~skopje_spark.operators.webtext.license_signal` tags it via
+    the PRIORITY-ordered shared rule table (most restrictive wins);
+    the oracle applies the DuckDB twin generated from the SAME table
+    to the same concatenation — per-document cross-engine tag
+    equality, pure codegen, no UDF."""
+    from skopje_spark.operators.webtext import license_signal
+
+    d = load_table(spark, sf_dir, "documents")
+    snippet = F.lit(None)
+    expr = None
+    for i, s in enumerate(_LICENSE_SNIPPETS):
+        cond = (F.col("doc_id") % len(_LICENSE_SNIPPETS) == i)
+        expr = F.when(cond, F.lit(s)) if expr is None else expr.when(
+            cond, F.lit(s)
+        )
+    tagged = F.concat(F.col("text"), F.lit(" "), expr)
+    return d.select(
+        "doc_id", license_signal(tagged).alias("license")
     ).orderBy("doc_id")

@@ -277,3 +277,47 @@ def test_boilerplate_strip_thresholds_and_short_lines(spark):
         for r in boilerplate_strip(df, min_docs=2, min_chars=4).collect()
     }
     assert out2[1] == "--\nbody one" and out2[2] == "--\nbody two"
+
+
+def test_license_signal_priority_and_cross_engine(spark):
+    """First-match priority (restrictive beats permissive) and exact
+    agreement with the DuckDB twin generated from the same table."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.webtext import (
+        license_signal,
+        license_signal_sql,
+    )
+
+    rows = [
+        (0, "licensed under creativecommons.org/licenses/by/4.0/ terms"),
+        (1, "CC BY-NC badge creativecommons.org/licenses/by-nc/4.0"),
+        (2, "Copyright 2020. ALL RIGHTS RESERVED."),
+        (3, "SPDX-License-Identifier: Apache-2.0"),
+        (4, "plain text, no licensing language at all"),
+        (5, "dedicated to the public domain (CC0)"),
+        (6, "under the MIT License"),
+        (7, "GNU General Public License, version 3"),
+        # BOTH signals: the restrictive one must win
+        (8, "All rights reserved. Also CC BY creativecommons.org/licenses/by/4.0"),
+        (9, "CC BY-SA share-alike creativecommons.org/licenses/by-sa/3.0"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["lic"]
+        for r in df.select(
+            "i", license_signal(F.col("t")).alias("lic")
+        ).collect()
+    }
+    assert got[2] == "all-rights-reserved" and got[8] == "all-rights-reserved"
+    assert got[0] == "cc-by" and got[1] == "cc-by-nc" and got[9] == "cc-by-sa"
+    assert got[4] == "none" and got[5] == "cc0"
+    assert got[3] == "apache-2.0" and got[6] == "mit" and got[7] == "gpl"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(f"SELECT i, {license_signal_sql('t')} FROM d").fetchall()
+    )
+    assert got == duck
