@@ -69,6 +69,7 @@ def load_all() -> dict[str, QueryDef]:
         keymap_demo,
         layout,
         incremental,
+        jdbc_live,
         linkage,
         llm_dedup,
         llm_multimodal,

@@ -16,9 +16,13 @@ execute (``/root/reference/src/load/pg.rs:63-67``) — Spark batches
 inserts per partition, which is the main reason the Spark path beats a
 row-at-a-time loader at any scale.
 
-No live database in the test environment: the swap statements are
-returned for inspection and the write spec is testable; execution
-happens wherever a JDBC URL is reachable.
+Live execution: embedded Derby (bundled with Spark for the Hive
+metastore) is always reachable, so the whole flow — staged write, swap
+transaction, rollback on failure — runs for real in the test suite via
+:mod:`skopje_spark.sources.derby`. Server-grade databases reuse the
+same code with their own URL; ``dialect`` only changes the DDL
+spelling (Postgres ``ALTER TABLE .. RENAME`` vs Derby
+``RENAME TABLE``).
 """
 
 from __future__ import annotations
@@ -39,46 +43,82 @@ def writer_options(cfg: JdbcConfig, table: str, *,
 def jdbc_sink(df: DataFrame, cfg: JdbcConfig, table: str, *,
               mode: str = "append", batchsize: int = 10_000,
               dedup_keys: list[str] | None = None,
-              num_partitions: int | None = None) -> None:
+              num_partitions: int | None = None,
+              column_types: str | None = None) -> None:
     """Plain append/overwrite (`insert` analog, minus global
     atomicity). ``num_partitions`` caps concurrent DB connections
-    (one per partition task)."""
+    (one per partition task). ``column_types`` feeds Spark's
+    ``createTableColumnTypes`` — needed on dialects whose default
+    string mapping is a large-object type (Derby: string→CLOB, and
+    CLOBs can't appear in predicates or GROUP BY, so pass e.g.
+    ``"name VARCHAR(64)"`` for any string column you'll filter on)."""
     if dedup_keys:
         df = df.dropDuplicates(dedup_keys)
     if num_partitions:
         df = df.coalesce(num_partitions)
-    df.write.format("jdbc").options(
-        **writer_options(cfg, table, batchsize=batchsize)
-    ).mode(mode).save()
+    opts = writer_options(cfg, table, batchsize=batchsize)
+    if column_types:
+        opts["createTableColumnTypes"] = column_types
+    df.write.format("jdbc").options(**opts).mode(mode).save()
 
 
-def staging_swap_statements(table: str, *, stage_suffix: str = "__stage"
+def staging_swap_statements(table: str, *, stage_suffix: str = "__stage",
+                            dialect: str = "postgres",
+                            table_exists: bool = True
                             ) -> tuple[str, list[str]]:
     """(stage_table, swap_ddl): the transaction that promotes a staged
     load, restoring the reference's single-commit semantics
     (``/root/reference/src/load/pg.rs:81``) on top of Spark's
-    per-partition writes."""
+    per-partition writes.
+
+    ``dialect="postgres"`` emits self-delimiting DDL (BEGIN/COMMIT +
+    IF EXISTS). ``dialect="derby"`` emits bare statements — Derby has
+    no IF EXISTS, so the caller states ``table_exists`` (checked
+    against SYS.SYSTABLES) and the executor owns the transaction
+    boundary (see :func:`skopje_spark.sources.derby.derby_atomic_swap`).
+    """
     stage = f"{table}{stage_suffix}"
-    swap = [
-        "BEGIN",
-        f"DROP TABLE IF EXISTS {table}__old",
-        f"ALTER TABLE IF EXISTS {table} RENAME TO {table}__old",
-        f"ALTER TABLE {stage} RENAME TO {table}",
-        f"DROP TABLE IF EXISTS {table}__old",
-        "COMMIT",
-    ]
+    old = f"{table}__old"
+    if dialect == "postgres":
+        swap = [
+            "BEGIN",
+            f"DROP TABLE IF EXISTS {old}",
+            f"ALTER TABLE IF EXISTS {table} RENAME TO {old}",
+            f"ALTER TABLE {stage} RENAME TO {table}",
+            f"DROP TABLE IF EXISTS {old}",
+            "COMMIT",
+        ]
+    elif dialect == "derby":
+        swap = [f"RENAME TABLE {stage} TO {table}"]
+        if table_exists:
+            swap = [
+                f"RENAME TABLE {table} TO {old}",
+                f"RENAME TABLE {stage} TO {table}",
+                f"DROP TABLE {old}",
+            ]
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
     return stage, swap
 
 
 def jdbc_sink_atomic(df: DataFrame, cfg: JdbcConfig, table: str, *,
                      batchsize: int = 10_000,
+                     column_types: str | None = None,
                      run_sql=None) -> list[str]:
     """All-or-nothing load: overwrite the staging table, then swap in
-    one DB transaction. ``run_sql(statements)`` executes the swap
-    (injected so environments without a live DB can test the flow);
-    returns the statements that were (or would be) run."""
+    one DB transaction. ``run_sql(statements)`` executes the swap; when
+    omitted and ``cfg.url`` is an embedded-Derby URL the swap runs LIVE
+    through :func:`~skopje_spark.sources.derby.derby_atomic_swap`
+    (existence-aware, single transaction, rolls back whole on failure).
+    Returns the statements that were (or would be) run."""
+    if run_sql is None and cfg.url.startswith("jdbc:derby:"):
+        jdbc_sink(df, cfg, f"{table}__stage", mode="overwrite",
+                  batchsize=batchsize, column_types=column_types)
+        from skopje_spark.sources.derby import derby_atomic_swap
+        return derby_atomic_swap(df.sparkSession, cfg.url, table)
     stage, swap = staging_swap_statements(table)
-    jdbc_sink(df, cfg, stage, mode="overwrite", batchsize=batchsize)
+    jdbc_sink(df, cfg, stage, mode="overwrite", batchsize=batchsize,
+              column_types=column_types)
     if run_sql is not None:
         run_sql(swap)
     return swap

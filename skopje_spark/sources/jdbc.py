@@ -20,9 +20,11 @@ executed concurrently — the JDBC equivalent of a splittable scan. An
 unpartitioned read funnels everything through one connection and is
 only acceptable for dimensions.
 
-No live database exists in the test environment, so these helpers
-build the reader spec; tests assert on the spec (option dict), and
-integration happens wherever a JDBC URL is actually reachable.
+Live integration: embedded Derby (bundled with Spark) serves as the
+in-JVM database endpoint — every reader spec here executes for real in
+``tests/test_jdbc_live.py`` and under the driver gate
+(``queries/jdbc_live.py``); production reuses the same code with a
+server URL.
 """
 
 from __future__ import annotations

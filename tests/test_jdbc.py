@@ -1,6 +1,7 @@
-"""JDBC source/sink spec tests (no live database in this environment —
-the helpers build reader/writer specs and swap DDL; integration runs
-wherever a JDBC URL is reachable)."""
+"""JDBC source/sink SPEC tests: reader/writer option maps and swap
+DDL as pure functions. The same surfaces run LIVE against embedded
+Derby in ``tests/test_jdbc_live.py`` and under the driver gate in
+``queries/jdbc_live.py``."""
 
 from __future__ import annotations
 
