@@ -123,3 +123,48 @@ def q_jdbc_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     jdbc_sink_atomic(n.filter("n_nationkey >= 5"), db, "nation_pub")
     back = jdbc_table(spark, db, "nation_pub")
     return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_jdbc_upsert",
+    oracle=f"""
+    WITH final AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      WHERE c_custkey % 3 <> 0 OR c_custkey % 2 = 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS customers,
+           {dround_sql("SUM(bal)", 2)} AS total_bal
+    FROM final
+    GROUP BY c_nationkey
+    """,
+    tags=("jdbc", "live", "upsert", "merge"),
+)
+def q_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based MERGE upsert under the gate: a base table takes a
+    delta that UPDATEs overlapping keys (+1000 balance) and INSERTs
+    novel ones, in one database transaction (reference
+    `fetch_or_insert` / ON CONFLICT write path,
+    ``src/extract/pg.rs:67-99``). The oracle computes the final state
+    straight from parquet, so a missed update, doubled insert, or
+    leaked stage row all fail the hash."""
+    from skopje_spark.sinks.jdbc import jdbc_upsert
+
+    db = _fresh_db()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").alias("bal")
+    )
+    base = c.filter("c_custkey % 3 <> 0")
+    jdbc_sink(base, db, "cust_up", mode="overwrite")
+    delta = c.filter("c_custkey % 2 = 0").withColumn(
+        "bal", F.col("bal") + F.lit(1000.0)
+    )
+    jdbc_upsert(delta, db, "cust_up", ["c_custkey"])
+    back = jdbc_table(spark, db, "cust_up")
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("customers"),
+        dround(F.sum("bal"), 2).alias("total_bal"),
+    )
