@@ -65,6 +65,7 @@ def load_all() -> dict[str, QueryDef]:
         analytics,
         cdc_scd,
         crawl_text,
+        formats_scale,
         joins,
         keymap_demo,
         layout,

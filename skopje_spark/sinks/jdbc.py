@@ -225,11 +225,17 @@ def jdbc_exactly_once_batch(cfg: JdbcConfig, table: str, *,
         )
         spark = batch_df.sparkSession
         if not derby_table_exists(spark, cfg.url, marker_table):
-            derby_execute(spark, cfg.url, [
-                f"CREATE TABLE {marker_table} "
-                "(tbl VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL, "
-                f"PRIMARY KEY (tbl, batch_id))"
-            ], transactional=False)
+            try:
+                derby_execute(spark, cfg.url, [
+                    f"CREATE TABLE {marker_table} "
+                    "(tbl VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL, "
+                    f"PRIMARY KEY (tbl, batch_id))"
+                ], transactional=False)
+            except Exception:
+                # two streams sharing one database can race the CREATE;
+                # losing the race is fine as long as the table now exists
+                if not derby_table_exists(spark, cfg.url, marker_table):
+                    raise
         seen = derby_query_rows(
             spark, cfg.url,
             f"SELECT COUNT(*) FROM {marker_table} "
