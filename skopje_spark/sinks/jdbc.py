@@ -139,25 +139,33 @@ def upsert_statement(table: str, stage: str, keys: list[str],
 
     ``postgres`` spells it INSERT .. ON CONFLICT DO UPDATE; ``derby``
     (and any ANSI database) spells it MERGE. Non-key columns update on
-    match; whole rows insert on miss.
+    match; whole rows insert on miss. An all-key delta has nothing to
+    update, so the matched clause degrades to DO NOTHING / insert-only.
     """
     non_keys = [c for c in columns if c not in keys]
     if dialect == "postgres":
         collist = ", ".join(_q(c) for c in columns)
         conflict = ", ".join(_q(k) for k in keys)
-        sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in non_keys)
+        if non_keys:
+            sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in non_keys)
+            action = f"DO UPDATE SET {sets}"
+        else:
+            action = "DO NOTHING"
         return (
             f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {stage} "
-            f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+            f"ON CONFLICT ({conflict}) {action}"
         )
     if dialect == "derby":
         on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
-        sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
         collist = ", ".join(_q(c) for c in columns)
         vals = ", ".join(f"s.{_q(c)}" for c in columns)
+        matched = ""
+        if non_keys:
+            sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in non_keys)
+            matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
         return (
             f"MERGE INTO {table} t USING {stage} s ON {on} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
         )
     raise ValueError(f"unknown dialect {dialect!r}")

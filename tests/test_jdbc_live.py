@@ -297,3 +297,18 @@ def test_exactly_once_batch_sink_from_real_stream(spark, db, tmp_path):
     q2 = foreach_batch_sink(stream2, ckpt, sink, available_now=True)
     q2.awaitTermination(120)
     assert jdbc_table(spark, db, "t_live_stream").count() == 5
+
+
+def test_upsert_all_key_delta_is_insert_only(spark, db):
+    """A delta whose columns are ALL keys has nothing to update —
+    matched rows must no-op, novel keys still insert."""
+    from skopje_spark.sinks.jdbc import jdbc_upsert, upsert_statement
+
+    jdbc_sink(spark.createDataFrame([(1,), (2,)], "id bigint"),
+              db, "t_keys", mode="overwrite")
+    jdbc_upsert(spark.createDataFrame([(2,), (3,)], "id bigint"),
+                db, "t_keys", ["id"])
+    ids = sorted(r.id for r in jdbc_table(spark, db, "t_keys").collect())
+    assert ids == [1, 2, 3]
+    pg = upsert_statement("t", "s", ["k"], ["k"], dialect="postgres")
+    assert pg.endswith("DO NOTHING")
