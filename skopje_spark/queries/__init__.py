@@ -79,6 +79,7 @@ def load_all() -> dict[str, QueryDef]:
         llm_similarity,
         llm_text,
         profiling,
+        recursive,
         relational,
         relational_extra,
         scalars,
