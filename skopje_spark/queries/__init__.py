@@ -86,6 +86,7 @@ def load_all() -> dict[str, QueryDef]:
         scale_ops,
         setops,
         sketch_state,
+        sql_lang,
         streaming_windows,
         subqueries,
         tpch_extra,
