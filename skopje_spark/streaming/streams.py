@@ -349,3 +349,63 @@ def tumbling_distinct_agg(
             F.expr("hll_sketch_estimate(__hll)").alias("approx_distinct"),
         )
     )
+
+
+# -- transformWithState (Spark 4 arbitrary-state v2 API) --------------------
+
+def transform_with_state_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` needs the RocksDB state
+    store AND a Python ``google.protobuf`` install for its state-server
+    protocol. The JVM side always ships; the protobuf client may not —
+    gate call sites on this instead of crashing the streaming query
+    mid-batch. When it returns False, ``applyInPandasWithState`` (the
+    v1 API, no extra deps — see :func:`sessionize_stateful`) covers the
+    same arbitrary-state ground."""
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str):
+    """Per-key running count+sum as a Spark 4 ``StatefulProcessor``
+    (ValueState survives across micro-batches; schema evolution and
+    per-state TTL are the v2 API's additions over v1). Returns the
+    transformed streaming DataFrame; caller attaches the sink.
+
+    Requires :func:`transform_with_state_available` and
+    ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDB provider.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    class _RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "cnt LONG, total LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, total = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                total += int(pdf[value_col].sum())
+            self._agg.update((cnt, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "cnt": [cnt], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = _St([
+        StructField(key_col, StringType()),
+        StructField("cnt", LongType()),
+        StructField("total", LongType()),
+    ])
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        _RunningAgg(), outputStructType=out_schema,
+        outputMode="Update", timeMode="None",
+    )

@@ -670,3 +670,42 @@ def test_versioned_stream_upsert_exactly_once_replay_soak(spark, tmp_path):
     run("ck3")
     got3 = {r["event_id"]: r["value"] for r in versioned_read(spark, table).collect()}
     assert got3 == {**want, 9: 9.0}
+
+
+def test_transform_with_state_gate_or_runs(spark, tmp_path):
+    """transformWithStateInPandas needs google.protobuf (not shipped in
+    this container). The capability gate must say so; where protobuf IS
+    present the running-totals processor must produce exact per-key
+    state across a drained backlog."""
+    import json
+
+    import pytest as _pytest
+
+    from skopje_spark.streaming.streams import (
+        file_stream,
+        running_totals_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        with _pytest.raises(ImportError):
+            import google.protobuf  # noqa: F401
+        return  # gate verified; runtime path is environment-blocked
+
+    src = tmp_path / "twsrc"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"k": f"k{i % 3}", "v": i}) for i in range(10)))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    stream = file_stream(spark, str(src), schema="k string, v long")
+    out = running_totals_tws(stream, "k", "v")
+    q = (out.writeStream.format("memory").queryName("tws_res")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.k: (r.cnt, r.total)
+            for r in spark.sql("SELECT * FROM tws_res").collect()}
+    assert rows == {"k0": (4, 18), "k1": (3, 12), "k2": (3, 15)}
