@@ -124,3 +124,65 @@ def q_provenance_source_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "q_format_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS nations,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("formats", "csv", "roundtrip"),
+)
+def q_format_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → CSV (header) → explicit-schema read-back → aggregate.
+    CSV is schemaless, so the read declares types instead of inferring
+    them (inference is a full extra pass AND nondeterministic on
+    partial data — never acceptable at scale); the oracle proves the
+    declared schema reproduces the original values."""
+    from skopje_spark.sinks.files import csv_sink
+    from skopje_spark.sources.files import csv_source
+
+    out = tempfile.mkdtemp(prefix="skopje_csv_") + "/nation"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    csv_sink(n, out, mode="overwrite")
+    back = csv_source(
+        spark, out,
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@register(
+    "q_format_xml_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name
+    FROM region
+    """,
+    tags=("formats", "xml", "roundtrip"),
+)
+def q_format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → XML (rowTag records) → read-back with declared schema.
+    XML is the interchange format regulators and legacy feeds still
+    speak; Spark 4 ships the reader natively. The oracle reads the
+    original parquet — any escaping/type loss through the XML cycle
+    fails the hash."""
+    from skopje_spark.sinks.files import xml_sink
+    from skopje_spark.sources.files import xml_source
+
+    out = tempfile.mkdtemp(prefix="skopje_xml_") + "/region"
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    xml_sink(r, out, row_tag="region", mode="overwrite")
+    back = xml_source(
+        spark, out, row_tag="region",
+        schema="r_regionkey bigint, r_name string",
+    )
+    return back.select("r_regionkey", "r_name")

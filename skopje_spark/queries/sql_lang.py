@@ -118,3 +118,30 @@ def q_sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE o_totalprice > __price_floor
       GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "q_sql_named_params",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity >= 45.0 AND l_returnflag IN ('R', 'A')
+    GROUP BY l_returnflag
+    """,
+    tags=("parameterized-sql",),
+)
+def q_sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (``:name`` + args dict): values bind as
+    literals at plan time without string splicing — the
+    injection-proof way to templatize a query. The oracle pins the
+    same bound values."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__par_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM __par_li
+        WHERE l_quantity >= :min_qty AND l_returnflag IN (:m1, :m2)
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 45.0, "m1": "R", "m2": "A"},
+    )

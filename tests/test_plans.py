@@ -444,3 +444,33 @@ def test_change_feed_read_is_scan_only(spark, tmp_path):
     )
     feed = versioned_change_feed(spark, path, from_version=1)
     assert join_strategies(feed) == []
+
+
+def test_date_spine_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The calendar-spine fact join buckets each order to its week
+    ARITHMETICALLY so it plans as a hash equi-join; the naive
+    range-predicate spelling would be a BroadcastNestedLoopJoin over
+    the whole fact side — unusable at 100 TB."""
+    df = _df(spark, sf_dir, "q_recursive_date_spine")
+    strats = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in strats
+    assert "CartesianProduct" not in strats
+
+
+def test_salted_join_stays_hash_partitioned(spark, sf_dir):
+    df = _df(spark, sf_dir, "q_join_skew_salted")
+    strats = join_strategies(df)
+    assert "CartesianProduct" not in strats
+    assert "BroadcastNestedLoopJoin" not in strats
+    # the salt column is internal plumbing and must not leak
+    assert "__salt" not in df.columns
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """A SQL UDF body must macro-expand into the plan (no Python
+    evaluation node) — that inlining is the whole argument for SQL
+    UDFs over Python UDFs on the hot path."""
+    df = _df(spark, sf_dir, "q_sql_udf_revenue")
+    plan = plan_text(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_codegen(df)
