@@ -141,3 +141,49 @@ def q_udtf_word_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.r_name, w.word
         """
     )
+
+
+@register(
+    "q_udtf_polymorphic",
+    oracle="""
+    SELECT COUNT(*) AS rows_seen,
+           ROUND(SUM(l_quantity * l_quantity), 2) AS l_quantity_sq,
+           ROUND(SUM(l_discount * l_discount), 6) AS l_discount_sq
+    FROM lineitem
+    WHERE l_quantity < 10
+    """,
+    tags=("udtf", "polymorphic", "analyze"),
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4): the static ``analyze`` hook
+    derives the OUTPUT schema from the input struct's fields at plan
+    time — one ``<field>_sq`` double column per numeric input — so
+    the same function adapts to any row shape without re-registration.
+    (Surface demonstration: per-row Python; the codegen'd equivalent
+    for fixed schemas is a plain select of squared columns.)"""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SquareFields:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            out = StructType()
+            for f in row.dataType.fields:
+                out = out.add(f.name + "_sq", "double")
+            return AnalyzeResult(out)
+
+        def eval(self, row):
+            yield tuple(float(v) * float(v) for v in row)
+
+    spark.udtf.register("square_fields", SquareFields)
+    li = load_table(spark, sf_dir, "lineitem").filter("l_quantity < 10")
+    li.createOrReplaceTempView("__poly_li")
+    return spark.sql("""
+      SELECT COUNT(*) AS rows_seen,
+             ROUND(SUM(u.l_quantity_sq), 2) AS l_quantity_sq,
+             ROUND(SUM(u.l_discount_sq), 6) AS l_discount_sq
+      FROM __poly_li t,
+           LATERAL square_fields(struct(t.l_quantity, t.l_discount)) u
+    """)
