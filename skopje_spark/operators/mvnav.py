@@ -1,0 +1,145 @@
+"""Aggregate navigator: answer aggregation queries FROM a registered
+materialized rollup instead of the base table when compatibility
+allows — the query-rewrite half of the MV story (the maintenance half
+lives in ``queries/incremental.py`` / ``sinks/versioned.py``).
+
+The rewrite rule is the standard aggregate-table criterion
+(Mondrian-style navigators, Oracle query rewrite, BigQuery BI Engine):
+a request (keys K, aggregates A, key-filters F) is answerable from a
+view with grouping keys V when
+
+- K ⊆ V (the view is at least as fine-grained as the request),
+- every filter column ∈ V (filtering pre-rollup is exact),
+- every requested aggregate is derivable from the view's columns:
+  SUM from SUM (re-summed), COUNT from COUNT (re-summed), MIN/MAX
+  from MIN/MAX (re-min/maxed), AVG from SUM+COUNT (never from AVG —
+  averaging averages is the classic wrong answer).
+
+At 100 TB this is the difference between scanning the fact table and
+scanning a few thousand rollup rows: the navigator picks the SMALLEST
+compatible view (fewest grouping keys ⇒ fewest rows) and only falls
+back to the base relation when nothing qualifies. Answering from the
+view is exact, not approximate — the gate proves view-answered ==
+base-computed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# requested aggregate: out_col -> (fn, base_col); fn in the table below
+_DERIVABLE = {"sum", "count", "min", "max", "avg"}
+
+
+@dataclass(frozen=True)
+class AggView:
+    """A registered materialized rollup.
+
+    ``aggs`` maps each view column to what it holds over the base:
+    ``{"qty_sum": ("sum", "l_quantity"), "n": ("count", "*")}``.
+    ``load`` returns the view's current contents (parquet dir,
+    versioned table, anything that yields a DataFrame).
+    """
+
+    name: str
+    keys: tuple[str, ...]
+    aggs: dict[str, tuple[str, str]]
+    load: Callable[[SparkSession], DataFrame] = field(compare=False)
+
+    def _source_for(self, fn: str, col: str) -> str | None:
+        for view_col, (vfn, vcol) in self.aggs.items():
+            if vfn == fn and vcol == col:
+                return view_col
+        return None
+
+
+def _derivation(view: AggView, fn: str, col: str):
+    """Column expression computing the requested aggregate from the
+    view's columns, or None if not derivable."""
+    if fn == "sum":
+        src = view._source_for("sum", col)
+        return F.sum(src) if src else None
+    if fn == "count":
+        src = view._source_for("count", col)
+        return F.sum(src) if src else None
+    if fn == "min":
+        src = view._source_for("min", col)
+        return F.min(src) if src else None
+    if fn == "max":
+        src = view._source_for("max", col)
+        return F.max(src) if src else None
+    if fn == "avg":
+        # AVG ignores nulls, so the divisor must be the PER-MEASURE
+        # count — deriving from count(*) silently undercounts the mean
+        # whenever the measure has nulls. This is why real aggregate
+        # tables record count(col) alongside sum(col).
+        s = view._source_for("sum", col)
+        c = view._source_for("count", col)
+        if s and c:
+            return F.sum(s) / F.sum(c)
+        return None
+    return None
+
+
+def answerable(view: AggView, keys: Sequence[str],
+               aggs: dict[str, tuple[str, str]],
+               filters: dict[str, Sequence] | None = None) -> bool:
+    if not set(keys) <= set(view.keys):
+        return False
+    if filters and not set(filters) <= set(view.keys):
+        return False
+    return all(
+        fn in _DERIVABLE and _derivation(view, fn, col) is not None
+        for fn, col in aggs.values()
+    )
+
+
+def answer_from_view(spark: SparkSession, view: AggView,
+                     keys: Sequence[str],
+                     aggs: dict[str, tuple[str, str]],
+                     filters: dict[str, Sequence] | None = None
+                     ) -> DataFrame:
+    df = view.load(spark)
+    for col, values in (filters or {}).items():
+        df = df.filter(F.col(col).isin(list(values)))
+    exprs = [
+        _derivation(view, fn, col).alias(out)
+        for out, (fn, col) in aggs.items()
+    ]
+    return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+
+
+def _base_answer(base_df: DataFrame, keys: Sequence[str],
+                 aggs: dict[str, tuple[str, str]],
+                 filters: dict[str, Sequence] | None) -> DataFrame:
+    df = base_df
+    for col, values in (filters or {}).items():
+        df = df.filter(F.col(col).isin(list(values)))
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+           "avg": F.avg}
+    exprs = [
+        fns[fn](F.lit(1) if col == "*" else col).alias(out)
+        for out, (fn, col) in aggs.items()
+    ]
+    return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+
+
+def mv_answer(spark: SparkSession, catalog: Sequence[AggView],
+              base_df: DataFrame, keys: Sequence[str],
+              aggs: dict[str, tuple[str, str]],
+              filters: dict[str, Sequence] | None = None
+              ) -> tuple[DataFrame, str]:
+    """Route a (keys, aggs, filters) aggregation request: the smallest
+    compatible view wins; the base relation is the fallback. Returns
+    (result, source_name) where source_name is the chosen view's name
+    or ``"__base__"`` — callers/tests assert the routing decision
+    explicitly instead of inferring it from timings."""
+    candidates = [v for v in catalog if answerable(v, keys, aggs, filters)]
+    if candidates:
+        best = min(candidates, key=lambda v: len(v.keys))
+        return answer_from_view(spark, best, keys, aggs, filters), best.name
+    return _base_answer(base_df, keys, aggs, filters), "__base__"

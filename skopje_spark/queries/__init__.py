@@ -78,6 +78,7 @@ def load_all() -> dict[str, QueryDef]:
         llm_pipeline,
         llm_similarity,
         llm_text,
+        mv_rewrite,
         profiling,
         recursive,
         relational,

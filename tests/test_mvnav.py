@@ -1,0 +1,108 @@
+"""Aggregate-navigator routing and exactness (operators/mvnav.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from skopje_spark.operators.mvnav import (
+    AggView,
+    answerable,
+    mv_answer,
+)
+
+
+@pytest.fixture()
+def base(spark):
+    rows = [
+        ("a", "x", 10.0), ("a", "x", 20.0), ("a", "y", 30.0),
+        ("b", "x", 5.0), ("b", "y", None), ("b", "y", 15.0),
+    ]
+    return spark.createDataFrame(rows, "k1 string, k2 string, v double")
+
+
+def _views(spark, base):
+    from pyspark.sql import functions as F
+
+    fine = base.groupBy("k1", "k2").agg(
+        F.sum("v").alias("v_sum"),
+        F.count("v").alias("v_cnt"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+    coarse = base.groupBy("k1").agg(
+        F.sum("v").alias("v_sum"),
+        F.count("v").alias("v_cnt"),
+    )
+    fine_df, coarse_df = fine.cache(), coarse.cache()
+    return [
+        AggView("fine", ("k1", "k2"),
+                {"v_sum": ("sum", "v"), "v_cnt": ("count", "v"),
+                 "n": ("count", "*"), "v_min": ("min", "v"),
+                 "v_max": ("max", "v")},
+                load=lambda s, d=fine_df: d),
+        AggView("coarse", ("k1",),
+                {"v_sum": ("sum", "v"), "v_cnt": ("count", "v")},
+                load=lambda s, d=coarse_df: d),
+    ]
+
+
+def test_routes_to_smallest_compatible_view(spark, base):
+    views = _views(spark, base)
+    out, src = mv_answer(spark, views, base, ["k1"],
+                         {"total": ("sum", "v")})
+    assert src == "coarse"
+    got = {r.k1: r.total for r in out.collect()}
+    assert got == {"a": 60.0, "b": 20.0}
+
+
+def test_finer_request_uses_fine_view(spark, base):
+    views = _views(spark, base)
+    out, src = mv_answer(spark, views, base, ["k1", "k2"],
+                         {"hi": ("max", "v")})
+    assert src == "fine"
+    got = {(r.k1, r.k2): r.hi for r in out.collect()}
+    assert got[("a", "x")] == 20.0 and got[("b", "y")] == 15.0
+
+
+def test_avg_needs_per_measure_count_and_is_null_exact(spark, base):
+    views = _views(spark, base)
+    # coarse has sum+count(v): avg derivable and must ignore the null
+    out, src = mv_answer(spark, views, base, ["k1"],
+                         {"mean": ("avg", "v")})
+    assert src == "coarse"
+    got = {r.k1: r.mean for r in out.collect()}
+    assert got["b"] == pytest.approx(10.0)  # (5+15)/2, null excluded
+    # a view carrying ONLY count(*) cannot answer avg
+    v = AggView("starred", ("k1",), {"v_sum": ("sum", "v"),
+                                     "n": ("count", "*")},
+                load=lambda s: None)
+    assert not answerable(v, ["k1"], {"mean": ("avg", "v")})
+
+
+def test_fallback_when_no_view_qualifies(spark, base):
+    views = _views(spark, base)
+    out, src = mv_answer(spark, views, base, ["k2"],
+                         {"total": ("sum", "v")})
+    # k2 alone: fine view has it... k2 ⊆ (k1,k2) so fine qualifies
+    assert src == "fine"
+    # but an unknown key falls back to base
+    out, src = mv_answer(spark, views, base.withColumnRenamed("k2", "k3"),
+                         ["k3"], {"total": ("sum", "v")})
+    assert src == "__base__"
+    got = {r.k3: r.total for r in out.collect()}
+    assert got == {"x": 35.0, "y": 45.0}
+
+
+def test_key_filters_apply_pre_rollup(spark, base):
+    views = _views(spark, base)
+    out, src = mv_answer(spark, views, base, ["k1"],
+                         {"total": ("sum", "v")},
+                         filters={"k2": ["x"]})
+    assert src == "fine"  # the filter column forces the finer view
+    got = {r.k1: r.total for r in out.collect()}
+    assert got == {"a": 30.0, "b": 5.0}
+    # filter on a non-key column: no view qualifies
+    _, src = mv_answer(spark, views, base, ["k1"],
+                       {"total": ("sum", "v")}, filters={"v": [5.0]})
+    assert src == "__base__"
