@@ -143,3 +143,101 @@ def mv_answer(spark: SparkSession, catalog: Sequence[AggView],
         best = min(candidates, key=lambda v: len(v.keys))
         return answer_from_view(spark, best, keys, aggs, filters), best.name
     return _base_answer(base_df, keys, aggs, filters), "__base__"
+
+# -- transparent SQL rewrite -------------------------------------------------
+
+_AGG_ITEM = r"(?:(SUM|COUNT|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)|(\w+))"
+_SQL_SHAPE = (
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<base>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*;?\s*$"
+)
+_IN_PRED = r"^\s*(\w+)\s+IN\s*\(\s*([^)]+?)\s*\)\s*$"
+
+
+def parse_agg_select(sql: str):
+    """Parse the navigator-eligible SQL shape:
+
+        SELECT k1, k2, FN(col) AS alias, ... FROM base
+        [WHERE k IN (v, ...) [AND k2 IN (...)]]
+        GROUP BY k1, k2
+
+    Returns (base, keys, aggs, filters) or None when the statement
+    doesn't fit — callers treat None as "run it as plain SQL". The
+    grammar is deliberately narrow: a rewrite layer that half-parses
+    general SQL produces wrong answers silently; this one either
+    recognizes the whole statement or declines loudly.
+    """
+    import re
+
+    m = re.match(_SQL_SHAPE, sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+    aggs: dict[str, tuple[str, str]] = {}
+    sel_keys: list[str] = []
+    for part in _split_top_level(m.group("items")):
+        im = re.match(rf"{_AGG_ITEM}$", part.strip(), re.IGNORECASE)
+        if not im:
+            return None
+        if im.group(4):
+            sel_keys.append(im.group(4))
+        else:
+            aggs[im.group(3)] = (im.group(1).lower(), im.group(2))
+    if sorted(sel_keys) != sorted(keys) or not aggs:
+        return None
+    filters: dict[str, list] = {}
+    if m.group("where"):
+        import ast
+
+        for pred in re.split(r"\s+AND\s+", m.group("where"),
+                             flags=re.IGNORECASE):
+            pm = re.match(_IN_PRED, pred.strip(), re.IGNORECASE)
+            if not pm:
+                return None
+            vals = []
+            for tok in pm.group(2).split(","):
+                tok = tok.strip()
+                try:
+                    vals.append(ast.literal_eval(tok))
+                except (ValueError, SyntaxError):
+                    return None
+            filters[pm.group(1)] = vals
+    return m.group("base"), keys, aggs, filters
+
+
+def _split_top_level(items: str) -> list[str]:
+    """Split a select list on commas that are not inside parens."""
+    out, depth, cur = [], 0, []
+    for ch in items:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def rewrite_sql(spark: SparkSession, catalog: Sequence[AggView],
+                bases: dict[str, DataFrame], sql: str
+                ) -> tuple[DataFrame, str]:
+    """Transparent MV rewrite for SQL text: recognize the aggregate
+    shape, route through :func:`mv_answer`; any statement outside the
+    grammar (or over an unknown base) runs as plain ``spark.sql`` with
+    the bases registered as temp views — same answer, no rewrite.
+    Returns (result, source): a view name, ``"__base__"`` (navigator
+    fallback), or ``"__sql__"`` (not navigator-eligible)."""
+    parsed = parse_agg_select(sql)
+    if parsed and parsed[0] in bases:
+        base, keys, aggs, filters = parsed
+        return mv_answer(spark, catalog, bases[base], keys, aggs,
+                         filters or None)
+    for name, df in bases.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(sql), "__sql__"

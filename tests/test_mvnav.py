@@ -106,3 +106,33 @@ def test_key_filters_apply_pre_rollup(spark, base):
     _, src = mv_answer(spark, views, base, ["k1"],
                        {"total": ("sum", "v")}, filters={"v": [5.0]})
     assert src == "__base__"
+
+
+def test_sql_rewrite_routes_and_matches_plain_sql(spark, base):
+    from skopje_spark.operators.mvnav import rewrite_sql
+
+    views = _views(spark, base)
+    sql = ("SELECT k1, SUM(v) AS total, AVG(v) AS mean "
+           "FROM facts WHERE k2 IN ('x') GROUP BY k1")
+    out, src = rewrite_sql(spark, views, {"facts": base}, sql)
+    assert src == "fine"
+    rewritten = {(r.k1): (r.total, r.mean) for r in out.collect()}
+    base.createOrReplaceTempView("facts")
+    plain = {(r.k1): (r.total, r.mean) for r in spark.sql(sql).collect()}
+    assert rewritten == plain
+
+
+def test_sql_rewrite_declines_unknown_shapes(spark, base):
+    from skopje_spark.operators.mvnav import rewrite_sql
+
+    views = _views(spark, base)
+    # HAVING is outside the grammar: must run as plain SQL, not rewrite
+    sql = ("SELECT k1, SUM(v) AS total FROM facts "
+           "GROUP BY k1 HAVING SUM(v) > 10")
+    out, src = rewrite_sql(spark, views, {"facts": base}, sql)
+    assert src == "__sql__"
+    assert {r.k1: r.total for r in out.collect()} == {"a": 60.0, "b": 20.0}
+    # range predicate (not IN) likewise declines
+    sql2 = "SELECT k1, SUM(v) AS total FROM facts WHERE v > 1 GROUP BY k1"
+    _, src2 = rewrite_sql(spark, views, {"facts": base}, sql2)
+    assert src2 == "__sql__"
