@@ -241,3 +241,27 @@ def rewrite_sql(spark: SparkSession, catalog: Sequence[AggView],
     for name, df in bases.items():
         df.createOrReplaceTempView(name)
     return spark.sql(sql), "__sql__"
+
+
+def agg_view_of_ivm(name: str, group_keys: Sequence[str],
+                    sum_cols: Sequence[str] = (),
+                    min_cols: Sequence[str] = (),
+                    max_cols: Sequence[str] = (),
+                    *, load: Callable[[SparkSession], DataFrame]
+                    ) -> AggView:
+    """Bridge an :func:`skopje_spark.operators.ivm.ivm_build` view into
+    the navigator. IVM views already carry exactly the derivable
+    layout — ``__n`` (count*), ``__sum_<c>`` + ``__nn_<c>`` (the
+    per-measure count AVG needs), ``__min_<c>``/``__max_<c>`` — so a
+    view that is MAINTAINED incrementally (ivm_apply folds each
+    changelog in O(|view|+|changes|)) doubles as a REWRITE target with
+    no extra bookkeeping: refresh and answer are the same table."""
+    aggs: dict[str, tuple[str, str]] = {"__n": ("count", "*")}
+    for c in sum_cols:
+        aggs[f"__sum_{c}"] = ("sum", c)
+        aggs[f"__nn_{c}"] = ("count", c)
+    for c in min_cols:
+        aggs[f"__min_{c}"] = ("min", c)
+    for c in max_cols:
+        aggs[f"__max_{c}"] = ("max", c)
+    return AggView(name, tuple(group_keys), aggs, load=load)

@@ -136,3 +136,32 @@ def test_sql_rewrite_declines_unknown_shapes(spark, base):
     sql2 = "SELECT k1, SUM(v) AS total FROM facts WHERE v > 1 GROUP BY k1"
     _, src2 = rewrite_sql(spark, views, {"facts": base}, sql2)
     assert src2 == "__sql__"
+
+
+def test_ivm_maintained_view_answers_queries(spark):
+    """Composition: a view built by ivm_build, folded forward by
+    ivm_apply after the base changes, must answer navigator requests
+    with the POST-change truth — maintenance and rewrite are the same
+    table."""
+    from skopje_spark.operators.ivm import ivm_build, ivm_apply
+    from skopje_spark.operators.cdc import snapshot_diff
+    from skopje_spark.operators.mvnav import agg_view_of_ivm, mv_answer
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id bigint, seg string, v bigint")
+    new = spark.createDataFrame(
+        [(1, "a", 15), (3, "b", 30), (4, "b", 40)],
+        "id bigint, seg string, v bigint")
+    view0 = ivm_build(old, ["seg"], sum_cols=["v"])
+    diff = snapshot_diff(old, new, keys=["id"])
+    view1 = ivm_apply(view0, diff, old, ["id"], ["seg"],
+                      sum_cols=["v"]).cache()
+    av = agg_view_of_ivm("seg_rollup", ["seg"], sum_cols=["v"],
+                         load=lambda s: view1)
+    out, src = mv_answer(
+        spark, [av], new, ["seg"],
+        {"n": ("count", "*"), "total": ("sum", "v"), "mean": ("avg", "v")})
+    assert src == "seg_rollup"
+    got = {r.seg: (r.n, r.total, float(r.mean)) for r in out.collect()}
+    assert got == {"a": (1, 15, 15.0), "b": (2, 70, 35.0)}
