@@ -37,7 +37,9 @@ a quoted path, or a name registered in the ``tables`` mapping;
   [AS OF VERSION <n>]`` / ``ALTER TABLE <path> CREATE BRANCH <name>``
   / ``ALTER TABLE <path> DROP TAG|BRANCH|REF <name>`` /
   ``ALTER TABLE <path> PUBLISH BRANCH <name> [AND DROP]`` /
-  ``ALTER TABLE <path> MERGE BRANCH <name> [AND DROP]`` — the named
+  ``ALTER TABLE <path> MERGE BRANCH <name> [AND DROP]`` /
+  ``ALTER TABLE <path> ADD CONSTRAINT <n> CHECK (<expr>) [NOVALIDATE]``
+  / ``ALTER TABLE <path> DROP CONSTRAINT <n>`` — the named
   refs tier (tags, branches, write-audit-publish, three-way merge)
   as DDL text.
 - ``OPTIMIZE <path> [WHERE col = lit [AND …]] [ZORDER BY (c1, c2)]``
@@ -398,11 +400,31 @@ def _alter_ref(spark, stmt, tables, kwargs) -> int:
         return versioned_merge_branch(
             path, mm.group(1), drop=bool(mm.group(2)), **kwargs
         )
+    cm = re.match(
+        r"ADD CONSTRAINT (\w+) CHECK \((.+)\)( NOVALIDATE)?$",
+        action, flags=re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        # Delta's spelling; NOVALIDATE skips the one-time proof that
+        # existing rows satisfy the expression (Oracle's keyword —
+        # Delta has no spelling for it, but large backfills need one)
+        from skopje_spark.sinks.versioned import set_check_constraint
+
+        return set_check_constraint(
+            spark, path, cm.group(1), cm.group(2).strip(),
+            validate=not cm.group(3), **kwargs,
+        )
+    xm = re.match(r"DROP CONSTRAINT (\w+)$", action, flags=re.IGNORECASE)
+    if xm:
+        from skopje_spark.sinks.versioned import drop_check_constraint
+
+        return drop_check_constraint(path, xm.group(1), **kwargs)
     raise ValueError(
         f"unsupported ALTER TABLE action: {action[:60]!r} — supported: "
         "CREATE [OR REPLACE] TAG n [AS OF VERSION v], CREATE BRANCH n "
         "[AS OF VERSION v], DROP TAG|BRANCH|REF n, "
-        "PUBLISH BRANCH n [AND DROP], MERGE BRANCH n [AND DROP]"
+        "PUBLISH BRANCH n [AND DROP], MERGE BRANCH n [AND DROP], "
+        "ADD CONSTRAINT n CHECK (expr) [NOVALIDATE], DROP CONSTRAINT n"
     )
 
 

@@ -308,3 +308,39 @@ def test_select_is_side_effect_free(spark, tmp_path):
         t.name for t in spark.catalog.listTables() if t.isTemporary
     }
     assert "sel_t" not in tmp and "sel_t__v0" not in tmp
+
+
+def test_add_and_drop_constraint_sql(spark, tmp_path):
+    """ALTER TABLE .. ADD CONSTRAINT n CHECK (expr) / DROP CONSTRAINT n
+    as SQL text, including the NOVALIDATE form for backfills."""
+    from skopje_spark.sinks.versioned import (
+        ConstraintViolation,
+        table_constraints,
+        versioned_append,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "cons_t")
+    versioned_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double"),
+        path,
+    )
+    versioned_sql(spark, f"ALTER TABLE '{path}' ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert "v_pos" in table_constraints(path)
+    bad = spark.createDataFrame([(3, -1.0)], "k bigint, v double")
+    with pytest.raises(ConstraintViolation):
+        versioned_append(spark, path, bad)
+    # a constraint the current data violates refuses without NOVALIDATE
+    with pytest.raises(ConstraintViolation):
+        versioned_sql(
+            spark, f"ALTER TABLE '{path}' ADD CONSTRAINT v_big CHECK (v > 15)"
+        )
+    versioned_sql(
+        spark,
+        f"ALTER TABLE '{path}' ADD CONSTRAINT v_big CHECK (v > 15) NOVALIDATE",
+    )
+    assert "v_big" in table_constraints(path)
+    versioned_sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINT v_big")
+    versioned_sql(spark, f"ALTER TABLE '{path}' DROP CONSTRAINT v_pos")
+    assert table_constraints(path) == {}
+    versioned_append(spark, path, bad)  # constraints gone: append admits
