@@ -35,20 +35,22 @@ from pyspark.sql import functions as F
 _DERIVABLE = {"sum", "count", "min", "max", "avg"}
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class AggView:
     """A registered materialized rollup.
 
     ``aggs`` maps each view column to what it holds over the base:
     ``{"qty_sum": ("sum", "l_quantity"), "n": ("count", "*")}``.
     ``load`` returns the view's current contents (parquet dir,
-    versioned table, anything that yields a DataFrame).
+    versioned table, anything that yields a DataFrame). ``eq=False``
+    keeps the (dict-carrying) dataclass hashable — views compare and
+    hash by identity, which is what a registration catalog wants.
     """
 
     name: str
     keys: tuple[str, ...]
     aggs: dict[str, tuple[str, str]]
-    load: Callable[[SparkSession], DataFrame] = field(compare=False)
+    load: Callable[[SparkSession], DataFrame]
 
     def _source_for(self, fn: str, col: str) -> str | None:
         for view_col, (vfn, vcol) in self.aggs.items():
@@ -183,7 +185,10 @@ def parse_agg_select(sql: str):
         if im.group(4):
             sel_keys.append(im.group(4))
         else:
-            aggs[im.group(3)] = (im.group(1).lower(), im.group(2))
+            alias = im.group(3)
+            if alias in aggs or alias in keys:
+                return None  # duplicate alias: decline, never collapse
+            aggs[alias] = (im.group(1).lower(), im.group(2))
     if sorted(sel_keys) != sorted(keys) or not aggs:
         return None
     filters: dict[str, list] = {}
@@ -238,9 +243,26 @@ def rewrite_sql(spark: SparkSession, catalog: Sequence[AggView],
         base, keys, aggs, filters = parsed
         return mv_answer(spark, catalog, bases[base], keys, aggs,
                          filters or None)
+    # plain-SQL fallback must be side-effect-free: capture any temp
+    # view we are about to clobber and put it back after the plan is
+    # analyzed (spark.sql resolves eagerly, so restoring immediately
+    # does not change the returned DataFrame)
+    saved: dict[str, DataFrame | None] = {}
     for name, df in bases.items():
+        try:
+            saved[name] = spark.table(name) if spark.catalog.tableExists(name) else None
+        except Exception:
+            saved[name] = None
         df.createOrReplaceTempView(name)
-    return spark.sql(sql), "__sql__"
+    try:
+        out = spark.sql(sql)
+    finally:
+        for name, old in saved.items():
+            if old is not None:
+                old.createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
+    return out, "__sql__"
 
 
 def agg_view_of_ivm(name: str, group_keys: Sequence[str],

@@ -74,8 +74,9 @@ def staging_swap_statements(table: str, *, stage_suffix: str = "__stage",
     ``dialect="postgres"`` emits self-delimiting DDL (BEGIN/COMMIT +
     IF EXISTS). ``dialect="derby"`` emits bare statements — Derby has
     no IF EXISTS, so the caller states ``table_exists`` (checked
-    against SYS.SYSTABLES) and the executor owns the transaction
-    boundary (see :func:`skopje_spark.sources.derby.derby_atomic_swap`).
+    against SYS.SYSTABLES immediately before the swap — see the race
+    caveat on :func:`skopje_spark.sources.derby.derby_atomic_swap`) and
+    the executor owns the transaction boundary.
     """
     stage = f"{table}{stage_suffix}"
     old = f"{table}__old"
@@ -101,27 +102,48 @@ def staging_swap_statements(table: str, *, stage_suffix: str = "__stage",
     return stage, swap
 
 
+def _dialect_of(cfg: JdbcConfig, dialect: str | None) -> str:
+    """DDL dialect follows the DATABASE (the URL), never the executor:
+    an injected ``run_sql`` against Derby must still receive Derby
+    spellings. Explicit ``dialect`` overrides for databases whose URL
+    prefix we don't know."""
+    if dialect is not None:
+        return dialect
+    return "derby" if cfg.url.startswith("jdbc:derby:") else "postgres"
+
+
 def jdbc_sink_atomic(df: DataFrame, cfg: JdbcConfig, table: str, *,
                      batchsize: int = 10_000,
                      column_types: str | None = None,
+                     dialect: str | None = None,
                      run_sql=None) -> list[str]:
     """All-or-nothing load: overwrite the staging table, then swap in
     one DB transaction. ``run_sql(statements)`` executes the swap; when
     omitted and ``cfg.url`` is an embedded-Derby URL the swap runs LIVE
     through :func:`~skopje_spark.sources.derby.derby_atomic_swap`
-    (existence-aware, single transaction, rolls back whole on failure).
-    Returns the statements that were (or would be) run."""
+    (single transaction, rolls back whole on failure). The swap DDL's
+    dialect derives from the URL (override with ``dialect``), so an
+    injected executor on a Derby URL gets Derby spellings, not the
+    Postgres default. Returns the statements that were (or would be)
+    run."""
+    d = _dialect_of(cfg, dialect)
     if run_sql is None and cfg.url.startswith("jdbc:derby:"):
         jdbc_sink(df, cfg, f"{table}__stage", mode="overwrite",
                   batchsize=batchsize, column_types=column_types)
         from skopje_spark.sources.derby import derby_atomic_swap
         return derby_atomic_swap(df.sparkSession, cfg.url, table)
-    stage, swap = staging_swap_statements(table)
+    exists = True
+    if d == "derby" and cfg.url.startswith("jdbc:derby:"):
+        from skopje_spark.sources.derby import derby_table_exists
+        exists = derby_table_exists(df.sparkSession, cfg.url, table)
+    stage, swap = staging_swap_statements(table, dialect=d,
+                                          table_exists=exists)
     jdbc_sink(df, cfg, stage, mode="overwrite", batchsize=batchsize,
               column_types=column_types)
     if run_sql is not None:
         run_sql(swap)
     return swap
+
 
 def _q(ident: str) -> str:
     # Spark's JDBC writer creates quoted (case-preserving) identifiers,
@@ -174,21 +196,24 @@ def upsert_statement(table: str, stage: str, keys: list[str],
 def jdbc_upsert(df: DataFrame, cfg: JdbcConfig, table: str,
                 keys: list[str], *, batchsize: int = 10_000,
                 column_types: str | None = None,
+                dialect: str | None = None,
                 run_sql=None) -> list[str]:
     """Apply ``df`` as an upsert delta to ``table``: stage the delta
     through the batched JDBC writer, then one MERGE (+ stage drop) in a
     single DB transaction. Duplicate keys within the delta are reduced
     first (a MERGE source must hit each target row at most once).
     Live on embedded Derby when ``run_sql`` is omitted; other databases
-    inject their executor. Returns the statements run."""
+    inject their executor. As with :func:`jdbc_sink_atomic`, statement
+    dialect follows the URL (override with ``dialect``), independent of
+    who executes. Returns the statements run."""
     delta = df.dropDuplicates(keys)
     stage = f"{table}__delta"
     jdbc_sink(delta, cfg, stage, mode="overwrite", batchsize=batchsize,
               column_types=column_types)
     live_derby = run_sql is None and cfg.url.startswith("jdbc:derby:")
-    dialect = "derby" if live_derby else "postgres"
     stmts = [
-        upsert_statement(table, stage, keys, delta.columns, dialect=dialect),
+        upsert_statement(table, stage, keys, delta.columns,
+                         dialect=_dialect_of(cfg, dialect)),
         f"DROP TABLE {stage}",
     ]
     if live_derby:

@@ -23,8 +23,9 @@ Dialect deltas handled here (vs the Postgres spellings in
 ``sinks/jdbc.py``):
 
 - rename is ``RENAME TABLE a TO b`` (no ``ALTER TABLE .. RENAME``);
-- there is no ``IF EXISTS`` — existence is checked against
-  ``SYS.SYSTABLES`` inside the same transaction;
+- there is no ``IF EXISTS`` — existence is read from
+  ``SYS.SYSTABLES`` just before the swap transaction (race caveat on
+  :func:`derby_atomic_swap`);
 - DDL is transactional, so a failed swap rolls back atomically (the
   crash-injection test pins this).
 """
@@ -127,8 +128,12 @@ def derby_atomic_swap(spark: SparkSession, url: str, table: str, *,
                       stage_suffix: str = "__stage") -> list[str]:
     """Promote ``<table><stage_suffix>`` to ``<table>`` in ONE
     transaction (Derby DDL is transactional): rename the old table out,
-    rename the stage in, drop the old. Existence checks run against
-    ``SYS.SYSTABLES`` because Derby has no ``IF EXISTS``. Returns the
+    rename the stage in, drop the old. Derby has no ``IF EXISTS``, so
+    existence is read from ``SYS.SYSTABLES`` immediately BEFORE the
+    transaction (not inside it): a concurrent swapper racing the same
+    table can invalidate the precomputed statement list, in which case
+    the transaction fails loudly and rolls back whole — single-writer
+    per table is the intended usage; the loser reruns. Returns the
     statements that ran."""
     stage = f"{table}{stage_suffix}"
     old = f"{table}__old"

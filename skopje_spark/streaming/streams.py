@@ -358,9 +358,12 @@ def transform_with_state_available() -> bool:
     store AND a Python ``google.protobuf`` install for its state-server
     protocol. The JVM side always ships; the protobuf client may not —
     gate call sites on this instead of crashing the streaming query
-    mid-batch. When it returns False, ``applyInPandasWithState`` (the
-    v1 API, no extra deps — see :func:`sessionize_stateful`) covers the
-    same arbitrary-state ground."""
+    mid-batch. (The RocksDB provider is a per-query config that can
+    change after this check, so :func:`running_totals_tws` re-verifies
+    it at build time.) When this returns False,
+    ``applyInPandasWithState`` (the v1 API, no extra deps — see
+    :func:`sessionize_stateful`) covers the same arbitrary-state
+    ground."""
     try:
         import google.protobuf  # noqa: F401
         return True
@@ -382,6 +385,16 @@ def running_totals_tws(stream_df: DataFrame, key_col: str, value_col: str):
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import LongType, StringType, StructField
     from pyspark.sql.types import StructType as _St
+
+    provider = stream_df.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+    if "RocksDB" not in (provider or ""):
+        raise ValueError(
+            "transformWithStateInPandas requires the RocksDB state "
+            "store; set spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider before building the query"
+        )
 
     class _RunningAgg(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -312,3 +312,23 @@ def test_upsert_all_key_delta_is_insert_only(spark, db):
     assert ids == [1, 2, 3]
     pg = upsert_statement("t", "s", ["k"], ["k"], dialect="postgres")
     assert pg.endswith("DO NOTHING")
+
+
+def test_injected_executor_still_gets_database_dialect(spark, db):
+    """DDL dialect follows the database URL, not whether an executor
+    was injected: a custom run_sql against a Derby URL must receive
+    Derby spellings (RENAME TABLE, MERGE), never the Postgres default."""
+    from skopje_spark.sinks.jdbc import jdbc_sink_atomic, jdbc_upsert
+
+    ran: list[list[str]] = []
+    jdbc_sink(_seed(spark, 3), db, "t_dia", mode="overwrite")
+    jdbc_sink_atomic(_seed(spark, 4), db, "t_dia",
+                     run_sql=lambda stmts: ran.append(stmts))
+    swap = ran[0]
+    assert any(s.startswith("RENAME TABLE") for s in swap)
+    assert not any("IF EXISTS" in s or s == "BEGIN" for s in swap)
+    jdbc_upsert(spark.createDataFrame([(1, 9.0)], "id bigint, v double"),
+                db, "t_dia", ["id"],
+                run_sql=lambda stmts: ran.append(stmts))
+    assert any("MERGE INTO" in s for s in ran[1])
+    assert not any("ON CONFLICT" in s for s in ran[1])

@@ -165,3 +165,35 @@ def test_ivm_maintained_view_answers_queries(spark):
     assert src == "seg_rollup"
     got = {r.seg: (r.n, r.total, float(r.mean)) for r in out.collect()}
     assert got == {"a": (1, 15, 15.0), "b": (2, 70, 35.0)}
+
+
+def test_sql_rewrite_declines_duplicate_aliases(spark, base):
+    from skopje_spark.operators.mvnav import parse_agg_select
+
+    assert parse_agg_select(
+        "SELECT k1, SUM(v) AS x, COUNT(v) AS x FROM facts GROUP BY k1"
+    ) is None
+    assert parse_agg_select(
+        "SELECT k1, SUM(v) AS k1 FROM facts GROUP BY k1"
+    ) is None
+
+
+def test_sql_fallback_restores_preexisting_temp_view(spark, base):
+    from skopje_spark.operators.mvnav import rewrite_sql
+
+    mine = spark.createDataFrame([(99,)], "z bigint")
+    mine.createOrReplaceTempView("facts")
+    views = _views(spark, base)
+    sql = ("SELECT k1, SUM(v) AS total FROM facts "
+           "GROUP BY k1 HAVING SUM(v) > 10")
+    out, src = rewrite_sql(spark, views, {"facts": base}, sql)
+    assert src == "__sql__"
+    assert {r.k1: r.total for r in out.collect()} == {"a": 60.0, "b": 20.0}
+    # the session's own 'facts' view is back afterwards
+    assert [r.z for r in spark.table("facts").collect()] == [99]
+    spark.catalog.dropTempView("facts")
+
+
+def test_aggview_is_hashable(spark, base):
+    views = _views(spark, base)
+    assert len({*views}) == 2

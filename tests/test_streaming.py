@@ -696,16 +696,24 @@ def test_transform_with_state_gate_or_runs(spark, tmp_path):
     src.mkdir()
     (src / "a.json").write_text(
         "\n".join(json.dumps({"k": f"k{i % 3}", "v": i}) for i in range(10)))
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        conf_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
-    stream = file_stream(spark, str(src), schema="k string, v long")
-    out = running_totals_tws(stream, "k", "v")
-    q = (out.writeStream.format("memory").queryName("tws_res")
-         .option("checkpointLocation", str(tmp_path / "ck"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
-    rows = {r.k: (r.cnt, r.total)
-            for r in spark.sql("SELECT * FROM tws_res").collect()}
-    assert rows == {"k0": (4, 18), "k1": (3, 12), "k2": (3, 15)}
+    try:
+        stream = file_stream(spark, str(src), schema="k string, v long")
+        out = running_totals_tws(stream, "k", "v")
+        q = (out.writeStream.format("memory").queryName("tws_res")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {r.k: (r.cnt, r.total)
+                for r in spark.sql("SELECT * FROM tws_res").collect()}
+        assert rows == {"k0": (4, 18), "k1": (3, 12), "k2": (3, 15)}
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
