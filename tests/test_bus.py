@@ -96,15 +96,23 @@ def test_bus_stream_microbatches_and_restart(spark, tmp_path):
     register_all(spark)
     topic = str(tmp_path / "t")
     ckpt = str(tmp_path / "ckpt")
-    out: list[tuple] = []
+    # keyed by batch_id: foreachBatch is at-least-once per batch — a
+    # stop() racing the commit record legally replays the same batch id
+    # on restart, and an exactly-once downstream must be idempotent on
+    # it. Distinct batch ids re-delivering a record would still surface
+    # as duplicates in the flattened view below.
+    batches: dict[int, list[tuple]] = {}
     bus_append(topic, [("a", "1"), ("b", "2")], partition=0)
     bus_append(topic, [("c", "10")], partition=1)
 
     def sink(batch_df, batch_id):
-        out.extend(
+        batches[batch_id] = [
             (r["partition"], r["offset"], r["value"])
             for r in batch_df.collect()
-        )
+        ]
+
+    def delivered():
+        return sorted(t for rows in batches.values() for t in rows)
 
     def run_until(n, timeout=60):
         q = (
@@ -118,20 +126,20 @@ def test_bus_stream_microbatches_and_restart(spark, tmp_path):
         )
         try:
             deadline = time.time() + timeout
-            while len(out) < n and time.time() < deadline:
+            while len(delivered()) < n and time.time() < deadline:
                 time.sleep(0.5)
         finally:
             q.stop()
-        assert len(out) >= n, out
+        assert len(delivered()) >= n, delivered()
 
     run_until(3)
-    assert sorted(out) == [(0, 0, "1"), (0, 1, "2"), (1, 0, "10")]
+    assert delivered() == [(0, 0, "1"), (0, 1, "2"), (1, 0, "10")]
     # new records while the stream is DOWN; restart must pick up
     # exactly the delta
     bus_append(topic, [("d", "3")], partition=0)
     bus_append(topic, [("e", "11"), ("f", "12")], partition=1)
     run_until(6)
-    assert sorted(out) == [
+    assert delivered() == [
         (0, 0, "1"), (0, 1, "2"), (0, 2, "3"),
         (1, 0, "10"), (1, 1, "11"), (1, 2, "12"),
     ]

@@ -178,8 +178,15 @@ def test_jpeg_perceptual_hash_near_dup_across_recompression():
         return bin(int(a, 16) ^ int(b, 16)).count("1")
 
     xx, yy = np.meshgrid(np.arange(32), np.arange(24))
-    horiz = np.stack([(xx * 8) % 256] * 3, -1).astype("uint8")
-    vert = np.stack([(yy * 10) % 256] * 3, -1).astype("uint8")
+    # smooth 2D quadratic "blobs": spectral energy spread across many
+    # low frequencies in BOTH axes. A 1D linear ramp is degenerate for
+    # pHash — all but its first DCT row is ±ε, so the median threshold
+    # flips near-zero bits on requantization noise and the distance is
+    # a coin toss, not a perceptual signal.
+    blob_a = (((xx - 10) ** 2 + (yy - 8) ** 2) // 2) % 256
+    blob_b = (((xx - 25) ** 2 + 2 * (yy - 18) ** 2) // 3) % 256
+    horiz = np.stack([blob_a] * 3, -1).astype("uint8")
+    vert = np.stack([blob_b] * 3, -1).astype("uint8")
     bmp = encode_bmp(horiz)
     jpg = encode_jpeg(horiz[:, :, ::-1])  # same image, lossy container
     other = encode_bmp(vert)
