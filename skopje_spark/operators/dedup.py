@@ -257,14 +257,25 @@ def jaccard_pairs_prefix(
     this loses nothing: the high-df shingles still participate in
     verification, just never in pair generation.
     """
-    base = shingle_hashes(df, id_col, text_col, n)
     # the window columns exist only to build the prefix; the
     # verification branch reads `base` directly so it shares the
     # cheaper pre-window subplan instead of dragging two window
-    # exchanges into a branch that doesn't use them
+    # exchanges into a branch that doesn't use them. (Deliberately NOT
+    # checkpointed: AQE reuses the identical shuffle stages across the
+    # a/b/verify branches at runtime, and an eager materialization of
+    # the shingle set measured ~35% SLOWER than letting the stages
+    # pipeline — see OPTIMIZATION_r14.md.)
+    base = shingle_hashes(df, id_col, text_col, n)
+    # df first (one shuffle on h), then BOTH id-partitioned window
+    # columns back to back — they share one hashpartitioning(id)
+    # exchange, so the chain costs 2 shuffles of the shingle table,
+    # not 3 (the old order id → h → id could reuse nothing; measured
+    # −30% on the bench entry)
     sh = base.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).withColumn(
         "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    )
     # global order: rarity ascending, hash tiebreak -> position in doc
     pos = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("h").asc())

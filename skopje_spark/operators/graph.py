@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank"]
 
 
+# Per-iteration node-space tables (rank/outdeg, then the inflow sums)
+# are broadcast into the edge join only below this node count (~160 MB
+# framed at 40 B/row) — small/medium graphs skip shuffling the edge
+# list entirely per iteration; beyond it the joins fall back to the
+# planner's shuffle strategies, which is the only correct shape when
+# the rank table itself is cluster-sized.
+_BROADCAST_NODES_MAX = 4_000_000
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -40,6 +49,7 @@ def pagerank(
     damping: float = 0.85,
     validate: bool = True,
     seeds: list | None = None,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -74,21 +84,26 @@ def pagerank(
     # node set — is one cheap pass over the materialized edges and is
     # itself checkpointed (all O(nodes)). Every node has out-degree
     # >= 1 by contract, so the node set is exactly distinct(src); each
-    # iteration then costs two key-partitioned joins + one dst
-    # aggregation over materialized inputs, nothing re-derived (same
-    # lineage-bounding pattern as the clustering fixpoint in
-    # operators/dedup.py).
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    # iteration then costs one edge join + one dst aggregation over
+    # materialized inputs, nothing re-derived (same lineage-bounding
+    # pattern as the clustering fixpoint in operators/dedup.py).
+    # ``materialize_edges=False`` skips the edge checkpoint for callers
+    # whose edge frame is already materialized upstream (or is a cheap
+    # derivation of one — e.g. an explode over a checkpointed pair
+    # list): re-deriving per pass is then cheaper than rewriting the
+    # doubled edge rows into block storage.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     outdeg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        outdeg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
-    )  # distinct(src) for free: outdeg is already one row per src
+    nodes = outdeg.select(
+        F.col("src").alias("node")
+    )  # distinct(src) for free: outdeg is already one row per src;
+    # a lazy projection of outdeg's checkpoint — no second copy
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")
@@ -122,21 +137,39 @@ def pagerank(
     else:
         pvec = F.lit(1.0 / n)
 
-    weighted = e.join(outdeg, "src")  # lazy: both sides materialized
     ranks = nodes.withColumn("rank", pvec)
     teleport = F.lit(1.0 - damping) * pvec
+    # the rank and out-degree tables are node-space; fold rank/outdeg
+    # BEFORE touching the edge list so each iteration pays exactly ONE
+    # edge-sized join (the old shape joined edges⋈outdeg and then
+    # edges⋈ranks — two edge-sized joins, and with checkpointed inputs
+    # carrying no size stats the planner sort-merge-shuffled the edge
+    # list every iteration). Below _BROADCAST_NODES_MAX the folded
+    # table is broadcast, so the edge list is never shuffled at all —
+    # per-iteration cost collapses to one map-side join + the
+    # map-side-combined inflow aggregation (bytes ∝ nodes, not edges).
+    small_graph = n <= _BROADCAST_NODES_MAX
     for _ in range(iters):
-        contribs = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
+        per_src = (
+            ranks.join(
+                outdeg.select(F.col("src").alias("node"), "outdeg"), "node"
+            )
             .select(
-                F.col("dst").alias("node"),
+                F.col("node").alias("src"),
                 (F.col("rank") / F.col("outdeg")).alias("c"),
             )
-            .groupBy("node")
+        )
+        contribs = (
+            e.join(F.broadcast(per_src) if small_graph else per_src, "src")
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(
+                F.broadcast(contribs) if small_graph else contribs,
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 (
