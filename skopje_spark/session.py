@@ -36,6 +36,19 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is bytes-based; CPU-dense stages over few
+        # shuffled bytes (exploding verification joins, window chains
+        # over narrow rows) otherwise collapse to 2-3 tasks and strand
+        # the other cores (measured: the jaccard-prefix verification
+        # stage ran 1.5 s on 3 tasks under the 1m default floor). The
+        # floor only binds when a stage's total bytes are below
+        # cores × floor — at production scale every real stage clears
+        # that, so this is a small-input parallelism guard, not a
+        # cluster tunable (override via SPARK_GRAFT_MIN_PARTITION_SIZE).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config(
@@ -60,6 +73,9 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+            "SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"
+        ),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
     }.items():
