@@ -77,46 +77,55 @@ def shingle_hashes(
     (distinct, set-size groupBy, the self-join) an 8-byte long instead
     of a ~25-byte string — at 100 TB that is the difference between
     shuffling shingle text and shuffling fixed-width ints.
+
+    The per-document dedup runs in the ARRAY domain (array_distinct
+    over the hashed gram array) BEFORE the explode, so it costs zero
+    shuffles — the old row-level ``.distinct()`` paid a full shuffle
+    of the shingle table just to dedup within documents (ids are
+    unique per document row, so global and per-document dedup are the
+    same set). Guide §2.4: remove shuffles outright.
     """
-    return (
-        _shingles_raw(df, id_col, text_col, n)
-        .select(
-            F.col(id_col),
-            F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, hex_chars), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        )
-        .distinct()
-    )
-
-
-def _shingles_raw(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) with per-document duplicates — callers pick the
-    dedup representation (string or hash space).
-
-    Built with array HOFs (transform over a sequence of start offsets)
-    — stays in whole-stage codegen, no UDF.
-    """
-    # materialize the token array as a real column BEFORE the HOF:
-    # expressions referenced inside transform() lambdas are NOT
-    # common-subexpression-eliminated, so an inline split() would be
-    # re-evaluated for every element_at call — O(len·n_shingles)
-    # per document instead of O(len)
     df = ensure_parallelism(df).withColumn(
         "__toks", F.split(normalize_text(F.col(text_col)), " ")
     )
-    toks = F.col("__toks")
+    hashed = F.transform(
+        _gram_array_col(F.col("__toks"), n),
+        lambda g: F.conv(
+            F.substring(F.sha2(g, 256), 1, hex_chars), 16, 10
+        ).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(hashed)).alias("h")
+    )
+
+
+def _gram_array_col(toks, n: int):
+    """Word-``n``-gram array expression over a MATERIALIZED token-array
+    column (expressions referenced inside transform() lambdas are NOT
+    common-subexpression-eliminated, so callers must bind the split()
+    to a real column first — an inline split would be re-evaluated for
+    every element_at call, O(len·n_shingles) per document instead of
+    O(len)). Stays in whole-stage codegen, no UDF."""
     # guard: sequence(1, 0) would generate a *descending* range, so
     # short documents (< n tokens) must yield an empty shingle set
     idxs = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
+    return F.transform(
         idxs,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+def _shingles_raw(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) with per-document duplicates — callers pick the
+    dedup representation (string or hash space)."""
+    df = ensure_parallelism(df).withColumn(
+        "__toks", F.split(normalize_text(F.col(text_col)), " ")
+    )
+    grams = _gram_array_col(F.col("__toks"), n)
     return df.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
@@ -257,37 +266,47 @@ def jaccard_pairs_prefix(
     this loses nothing: the high-df shingles still participate in
     verification, just never in pair generation.
     """
-    # the window columns exist only to build the prefix; the
-    # verification branch reads `base` directly so it shares the
-    # cheaper pre-window subplan instead of dragging two window
-    # exchanges into a branch that doesn't use them. (Deliberately NOT
-    # checkpointed: AQE reuses the identical shuffle stages across the
-    # a/b/verify branches at runtime, and an eager materialization of
-    # the shingle set measured ~35% SLOWER than letting the stages
-    # pipeline — see OPTIMIZATION_r14.md.)
+    # ONE pass over the shingle table: df (h-partitioned window) then
+    # a single groupBy(id) that builds each document's rarity-sorted
+    # shingle array — 2 shuffles of the shingle table total. The old
+    # shape additionally paid an id-partitioned row_number window for
+    # the prefix AND recomputed the whole shingle base for the
+    # verification branch (the optimizer prunes the unused window
+    # columns out of that branch, which also breaks exchange reuse —
+    # measured as two full duplicate dedup+window chains in the stage
+    # profile). Here prefix selection is an array slice and
+    # verification reads the same per-document arrays, so the shingle
+    # table is scanned, deduped and shuffled exactly once, and the
+    # tiny per-document table is checkpointed for its three readers
+    # (prefix branch + both verify sides).
     base = shingle_hashes(df, id_col, text_col, n)
-    # df first (one shuffle on h), then BOTH id-partitioned window
-    # columns back to back — they share one hashpartitioning(id)
-    # exchange, so the chain costs 2 shuffles of the shingle table,
-    # not 3 (the old order id → h → id could reuse nothing; measured
-    # −30% on the bench entry)
     sh = base.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).withColumn(
-        "set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
-    # global order: rarity ascending, hash tiebreak -> position in doc
-    pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("h").asc())
+    # sort_array over (df, h) structs = the global rarity-ascending,
+    # hash-tiebreak total order the prefix filter needs; hs is the
+    # plain sorted shingle array for exact intersection.
+    sets = (
+        sh.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("h")))
+            ).alias("dhs"),
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("set_size"),
+        )
+        .localCheckpoint(eager=True)
     )
     prefix_len = F.col("set_size") - F.ceil(
         F.lit(float(threshold)) * F.col("set_size")
     ) + F.lit(1)
-    prefix = (
-        sh.withColumn("pos", pos)
-        .filter(F.col("pos") <= prefix_len)
-        .select(id_col, "h", "set_size")
-    )
+    prefix = sets.select(
+        id_col,
+        F.explode(
+            F.slice(F.col("dhs"), F.lit(1), prefix_len.cast("int"))
+        ).alias("dh"),
+        "set_size",
+    ).select(id_col, F.col("dh.h").alias("h"), "set_size")
     a = prefix.select(
         F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
     )
@@ -308,13 +327,31 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b", "size_a", "size_b")
         .distinct()
     )
-    # verification: exact intersection over the FULL sets
-    full = base
+    # verification: exact intersection over the FULL sets, computed as
+    # size(array_intersect(hs_a, hs_b)) over the per-document shingle
+    # arrays instead of the old double row-level join + pair groupBy
+    # (which exploded every candidate pair into |A| joined rows and
+    # re-aggregated them — measured 52 CPU-seconds, the single
+    # hottest stage of the entry). The candidate side is small by
+    # prefix-filter construction, so AQE broadcasts it — the arrays
+    # are never shuffled (guide §2.3/§2.4).
     inter = (
-        cands.join(full.select(F.col(id_col).alias("id_a"), "h"), "id_a")
-        .join(full.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cands.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
+        )
+        .filter(F.col("n_common") > 0)
     )
     return (
         inter.withColumn(

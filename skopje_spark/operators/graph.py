@@ -50,6 +50,7 @@ def pagerank(
     validate: bool = True,
     seeds: list | None = None,
     materialize_edges: bool = True,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -78,6 +79,15 @@ def pagerank(
     the teleport mass). Execution cost is identical to the uniform
     variant — the teleport column is a codegen literal membership
     test, no extra join.
+
+    ``checkpoint_interval`` bounds lineage: ranks are materialized
+    every that-many iterations, keeping plan depth constant for long
+    runs. Each checkpoint is also a driver-side barrier — one extra
+    job submission + AQE replan per iteration — so for SHORT
+    fixed-iteration runs a larger interval (or 0 = never) folds the
+    whole recurrence into one job and removes the per-iteration
+    scheduling gaps. Default 1 (checkpoint every iteration) is the
+    safe long-run behavior.
     """
     # ONE materialization of the (possibly expensively derived) edge
     # list, then every iteration-invariant derived table — out-degree,
@@ -149,7 +159,7 @@ def pagerank(
     # per-iteration cost collapses to one map-side join + the
     # map-side-combined inflow aggregation (bytes ∝ nodes, not edges).
     small_graph = n <= _BROADCAST_NODES_MAX
-    for _ in range(iters):
+    for it in range(iters):
         per_src = (
             ranks.join(
                 outdeg.select(F.col("src").alias("node"), "outdeg"), "node"
@@ -164,21 +174,25 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(
-                F.broadcast(contribs) if small_graph else contribs,
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                (
-                    teleport
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            # O(nodes) rows; truncating per-iteration lineage keeps the
-            # plan depth constant regardless of iters
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            F.broadcast(contribs) if small_graph else contribs,
+            "node",
+            "left",
+        ).select(
+            "node",
+            (
+                teleport
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # O(nodes) rows; truncating lineage every checkpoint_interval
+        # iterations keeps plan depth constant regardless of iters
+        # (skipped after the last iteration — the caller's action
+        # materializes the final plan anyway)
+        if (
+            checkpoint_interval > 0
+            and (it + 1) % checkpoint_interval == 0
+            and it + 1 < iters
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", (F.col("rank") * F.lit(float(n))).alias("norm_rank"))

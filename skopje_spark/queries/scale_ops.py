@@ -329,8 +329,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cn = F.concat(F.lit("c"), F.col("c"))
-    sn = F.concat(F.lit("s"), F.col("s"))
+    # INT node ids inside the recurrence (customer c → 2c, supplier
+    # s → 2s+1 — disjoint namespaces by parity): the rank vector is a
+    # pure function of the graph structure, so ranks are unchanged,
+    # and every per-iteration pass (explode, broadcast-hash probe,
+    # partial inflow agg) hashes/compares 8-byte longs instead of
+    # building and hashing ~2.3M 'c123'/'s45' strings per pass
+    # (guide §2.3 "narrower types"). The 's%' labels the oracle
+    # compares against are reconstructed on the 15-row output only.
+    cn = F.col("c").cast("long") * 2
+    sn = F.col("s").cast("long") * 2 + 1
     edges = pairs.select(
         F.explode(
             F.array(
@@ -341,13 +349,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.src", "e.dst")
     # both directions emitted above => out-degree >= 1 by construction;
     # edges is a narrow map over the checkpointed pairs, so the
-    # operator-side edge materialization would only re-copy it
+    # operator-side edge materialization would only re-copy it.
+    # checkpoint_interval=0: at 2 fixed iterations the uncheckpointed
+    # plan is shallow, and skipping the two per-iteration
+    # materialization barriers removes their job-submission + AQE
+    # replan gaps (measured ~0.5 s of driver idle between stages).
     ranks = pagerank(
-        edges, iters=2, damping=0.85, validate=False, materialize_edges=False
+        edges,
+        iters=2,
+        damping=0.85,
+        validate=False,
+        materialize_edges=False,
+        checkpoint_interval=0,
     )
     return (
-        ranks.filter(F.col("node").startswith("s"))
-        .select("node", dround(F.col("norm_rank"), 6).alias("norm_rank"))
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.concat(
+                F.lit("s"), ((F.col("node") - 1) / 2).cast("long")
+            ).alias("node"),
+            dround(F.col("norm_rank"), 6).alias("norm_rank"),
+        )
         .orderBy(F.desc("norm_rank"), "node")
         .limit(15)
     )

@@ -1,19 +1,26 @@
 #!/usr/bin/env python
 """Per-stage profile of a bench entry — the guide §1/§7.1 empirical
-loop without a UI: runs a query once (after a warmup) under a
-SparkListener that records every stage's wall-clock, task count, and
-shuffle/input byte totals, then prints stages sorted by wall-clock.
+loop without an interactive UI: runs a query once (after a warmup)
+with the status REST API enabled, then prints the timed run's stages
+(wall-clock, task count, input/shuffle byte totals) sorted by
+wall-clock.
 
-Usage: python tools/stageprof.py q_name [--runs N]
+Usage: python tools/stageprof.py q_name [--no-warm]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+import time
+import urllib.request
+from datetime import datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_PORT = 4049
 
 
 def main() -> None:
@@ -28,7 +35,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="skopje-stageprof", cpus=cpus)
+    spark = get_spark(
+        app_name="skopje-stageprof",
+        cpus=cpus,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(_PORT)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     extra = bench._bench_only()
@@ -37,52 +48,50 @@ def main() -> None:
     if not args.no_warm:
         fn(spark, sf_dir).count()
 
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    # AppStatusStore gives completed-stage summaries post-run — no
-    # custom listener class needed from Python.
-    status = sc._jsc.sc().statusStore()
+    app_id = spark.sparkContext.applicationId
 
-    import time
+    def stages_json():
+        url = (
+            f"http://localhost:{_PORT}/api/v1/applications/{app_id}"
+            "/stages?status=complete"
+        )
+        with urllib.request.urlopen(url) as r:
+            return json.loads(r.read())
 
+    def ts(x: str) -> float:
+        return datetime.strptime(x[:23], "%Y-%m-%dT%H:%M:%S.%f").timestamp()
+
+    before_ids = {s["stageId"] for s in stages_json()}
     t0 = time.perf_counter()
     fn(spark, sf_dir).count()
     wall = time.perf_counter() - t0
+    time.sleep(0.5)
 
     rows = []
-    it = status.stageList(None).iterator()
-    while it.hasNext():
-        s = it.next()
-        sub = s.submissionTime()
-        comp = s.completionTime()
-        if not (sub.isDefined() and comp.isDefined()):
+    for s in stages_json():
+        if s["stageId"] in before_ids:
             continue
-        start = sub.get().getTime()
-        end = comp.get().getTime()
+        sub = s.get("firstTaskLaunchedTime") or s.get("submissionTime")
+        comp = s.get("completionTime")
+        if not (sub and comp):
+            continue
         rows.append(
             {
-                "stage": s.stageId(),
-                "name": s.name().split("\n")[0][:70],
-                "desc": (s.description().get() if s.description().isDefined() else "")[:40],
-                "start": start,
-                "ms": end - start,
-                "tasks": s.numCompleteTasks(),
-                "in_mb": round(s.inputBytes() / 1e6, 1),
-                "sh_r_mb": round(s.shuffleReadBytes() / 1e6, 1),
-                "sh_w_mb": round(s.shuffleWriteBytes() / 1e6, 1),
-                "cpu_s": round(s.executorCpuTime() / 1e9, 2),
-                "run_s": round(s.executorRunTime() / 1e3, 2),
+                "stage": s["stageId"],
+                "name": s["name"].split("\n")[0][:70],
+                "ms": int((ts(comp) - ts(sub)) * 1000),
+                "tasks": s["numCompleteTasks"],
+                "in_mb": round(s["inputBytes"] / 1e6, 1),
+                "sh_r_mb": round(s["shuffleReadBytes"] / 1e6, 1),
+                "sh_w_mb": round(s["shuffleWriteBytes"] / 1e6, 1),
+                "cpu_s": round(s["executorCpuTime"] / 1e9, 2),
+                "run_s": round(s["executorRunTime"] / 1e3, 2),
             }
         )
-    # keep only stages from the timed run: the latest contiguous burst
-    rows.sort(key=lambda r: r["start"])
-    if rows:
-        t_last = rows[-1]["start"]
-        cut = t_last - int(wall * 1000) - 1500
-        rows = [r for r in rows if r["start"] >= cut]
     rows.sort(key=lambda r: -r["ms"])
-    print(f"wall {wall:.3f}s  stages {len(rows)}")
-    print(f"{'stage':>5} {'ms':>7} {'tasks':>5} {'in_mb':>8} {'sh_r':>7} {'sh_w':>7} {'cpu_s':>7} {'run_s':>7}  name")
+    print(f"wall {wall:.3f}s  stages {len(rows)}  stage-ms-sum {sum(r['ms'] for r in rows)}")
+    hdr = f"{'stage':>5} {'ms':>7} {'tasks':>5} {'in_mb':>8} {'sh_r':>7} {'sh_w':>7} {'cpu_s':>7} {'run_s':>7}  name"
+    print(hdr)
     for r in rows:
         print(
             f"{r['stage']:>5} {r['ms']:>7} {r['tasks']:>5} {r['in_mb']:>8} "
