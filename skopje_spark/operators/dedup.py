@@ -1255,9 +1255,38 @@ def _lsh_geometry_digest() -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _read_geometry_local(path: str) -> set | None:
+    """Driver-local fast path for the per-probe geometry check: the
+    meta table is one tiny parquet file, and reading it through a
+    Spark job costs a full job submission (~100 ms of driver latency
+    on every probe). When the path is a plain local directory, read
+    it with pyarrow directly; any miss (non-local path, layout
+    surprise) falls back to the Spark read."""
+    import glob as _glob
+    import os as _os
+
+    d = path[7:] if path.startswith("file://") else path
+    if "://" in d:
+        return None
+    try:
+        files = _glob.glob(_os.path.join(d, "meta", "*.parquet"))
+        if not files:
+            return None
+        import pyarrow.parquet as _pq
+
+        vals: set = set()
+        for f in files:
+            vals.update(_pq.read_table(f, columns=["geometry"]) ["geometry"].to_pylist())
+        return vals or None
+    except Exception:
+        return None
+
+
 def _lsh_check_geometry(spark, path: str) -> None:
-    meta = spark.read.parquet(f"{path}/meta").collect()
-    got = {r["geometry"] for r in meta}
+    got = _read_geometry_local(path)
+    if got is None:
+        meta = spark.read.parquet(f"{path}/meta").collect()
+        got = {r["geometry"] for r in meta}
     want = _lsh_geometry_digest()
     if got != {want}:
         raise ValueError(
@@ -1366,21 +1395,49 @@ def lsh_index_probe(
             StructField("band_sig", StringType()),
         ]
     )
+    # NO index-side pre-dedup: at-least-once append replays duplicate
+    # whole rows in bands/sigs, but the candidate-level .distinct()
+    # below collapses duplicate band hits, and replayed sig rows are
+    # full-row duplicates whose joined outputs the final pair-level
+    # dropDuplicates collapses — so the per-probe full shuffles of the
+    # index bands (.distinct()) and the sigs (.dropDuplicates) the old
+    # plan paid on EVERY probe are dropped (guide §2.4: a distinct on
+    # data that is already unique in the common case). The replay
+    # guarantee is unchanged, it is just enforced at the (tiny)
+    # candidate/output granularity instead of the index tables.
     bands_i = (
         spark.read.schema(bands_schema).parquet(f"{path}/bands")
         .withColumnRenamed("id", "index_id")
-        .distinct()  # collapses at-least-once append replays
     )
+    # the probe batch is the ingest increment — tiny next to the
+    # indexed corpus by contract. When the planner's own size estimate
+    # of the batch input confirms that, broadcast the batch-derived
+    # band rows and signatures explicitly: the index side then never
+    # shuffles AND the AQE join-strategy discovery rounds (one
+    # materialization barrier each) are skipped. Above the gate the
+    # joins fall back to planner strategies — the correct shape for a
+    # corpus-sized "batch".
+    small_batch = False
+    try:
+        est = int(
+            batch._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        small_batch = est <= 256 * 1024 * 1024
+    except Exception:  # pragma: no cover - estimate unavailable
+        pass
+
+    def _b(df_):
+        return F.broadcast(df_) if small_batch else df_
+
     cand = (
-        bands_b.join(bands_i, ["band_id", "band_sig"])
+        _b(bands_b).join(bands_i, ["band_id", "band_sig"])
         .select(id_col, "index_id")
         .distinct()
     )
     if exclude_same_id:
         cand = cand.filter(F.col(id_col) != F.col("index_id"))
 
-    sigs_i = sigs_raw.dropDuplicates(["id"])
-    sigs_i = sigs_i.select(
+    sigs_i = sigs_raw.select(
         F.col("id").alias("index_id"),
         *[F.col(f"mh{i}").alias(f"imh{i}") for i in range(n_hashes)],
     )
@@ -1389,7 +1446,7 @@ def lsh_index_probe(
         for i in range(n_hashes)
     ).cast("int")
     return (
-        cand.join(sig_b, id_col)
+        cand.join(_b(sig_b), id_col)
         .join(sigs_i, "index_id")
         .withColumn("n_match", n_match)
         # k/n_hashes is a dyadic rational for the 16-hash family —
@@ -1399,6 +1456,10 @@ def lsh_index_probe(
         )
         .filter(F.col("n_match") >= int(threshold * n_hashes))
         .select(id_col, "index_id", "n_match", "est_jaccard")
+        # collapses the duplicate joined rows an at-least-once append
+        # replay would produce (duplicate sig rows are identical, so
+        # the duplicate outputs are identical too)
+        .dropDuplicates([id_col, "index_id"])
     )
 
 

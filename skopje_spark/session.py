@@ -36,18 +36,24 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing is bytes-based; CPU-dense stages over few
-        # shuffled bytes (exploding verification joins, window chains
-        # over narrow rows) otherwise collapse to 2-3 tasks and strand
-        # the other cores (measured: the jaccard-prefix verification
-        # stage ran 1.5 s on 3 tasks under the 1m default floor). The
-        # floor only binds when a stage's total bytes are below
-        # cores × floor — at production scale every real stage clears
+        # AQE coalescing is bytes-based (parallelism-first: post-
+        # shuffle partition count ~ bytes/minPartitionSize, capped at
+        # the parallelism); CPU-dense stages over few shuffled bytes
+        # (verification joins, window chains over narrow rows)
+        # collapse to 2-3 tasks under the 1m default floor and strand
+        # the other cores (measured: q_dedup_jaccard_prefix 4.0 s at
+        # the 1m default vs 1.9-2.0 s at 64k-256k). 256k beat 64k on
+        # the full-entry sweep: wide enough for the multi-MB CPU-dense
+        # stages, while sub-MB bookkeeping stages keep few tasks
+        # (task-launch overhead dominates them; measured q_graph_
+        # pagerank 2.25 s at 256k vs 2.85 s at 64k). The floor only
+        # binds when a stage's bytes are below cores × floor (8 MB at
+        # 32 cores) — at production scale every real stage clears
         # that, so this is a small-input parallelism guard, not a
         # cluster tunable (override via SPARK_GRAFT_MIN_PARTITION_SIZE).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
