@@ -80,44 +80,100 @@ def chunk_text(
 
 _PREFIX_SUM_RESERVED = ("__pid", "__local", "__base")
 
+# minimum rows per prefix-sum bucket before another bucket pays for its
+# fixed costs (Python task dispatch, totals row)
+_MIN_BUCKET_ROWS = 8192
 
-def _range_bucket_bounds(
-    df: DataFrame, order_cols: list[str], n_parts: int, per_part: int = 32
-) -> list[tuple]:
-    """Sample the order key(s) once on the driver and cut the sample
-    into ``n_parts - 1`` ascending split tuples. The bounds are
-    collected a single time and baked into the downstream plan as
-    **literals**, so every pass over the data assigns the same bucket
-    to the same row — the cross-pass consistency that
-    ``repartitionByRange`` (which re-samples per job) could only
-    provide by persisting the frame.
 
-    Cost: one count + one sampled scan of just the order columns —
-    both column-pruned at the source."""
-    cnt = df.count()
-    if cnt == 0:
-        return []
-    target = n_parts * per_part
-    fraction = min(1.0, target / cnt)
-    sample = [
-        tuple(r)
-        for r in df.select(*order_cols).sample(False, fraction, seed=42).collect()
-        if all(v is not None for v in r)
-    ]
+def _order_key_sample(
+    df: DataFrame, order_cols: list[str], cap: int
+) -> tuple[list[tuple], int]:
+    """ONE pass over just the order columns returning (value-sorted
+    deterministic key sample of ≤ ``cap`` tuples, total row count).
+
+    The sample is the ``cap`` keys with the globally smallest
+    ``xxhash64`` — a uniform pseudo-random sample with no prior count
+    needed, kept bounded per task by a running ``nsmallest`` merge.
+    The old shape paid one ``count()`` job plus one sampled-collect
+    job (the count existed only to size the sample fraction); this is
+    a single Arrow-batched job, and the count rides along for free."""
+    import pandas as pd
+
+    sel = df.select(*order_cols).withColumn(
+        "__h", F.xxhash64(*[F.col(c) for c in order_cols])
+    )
+    fields = sel.schema.fields
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    )
+    schema += ", `__cnt` bigint"
+
+    def stats(batches):
+        samp = None
+        cnt = 0
+        cols = [f.name for f in fields]
+        for pdf in batches:
+            cnt += len(pdf)
+            pdf = pdf.dropna(subset=order_cols)
+            cur = (
+                pdf
+                if samp is None
+                else pd.concat([samp, pdf], ignore_index=True)
+            )
+            samp = cur.nsmallest(cap, "__h") if len(cur) > cap else cur
+        out = (
+            samp
+            if samp is not None
+            else pd.DataFrame({c: [] for c in cols})
+        )
+        out = out.copy()
+        out["__cnt"] = None
+        crow = pd.DataFrame({c: [None] for c in cols} | {"__cnt": [cnt]})
+        yield pd.concat([out, crow], ignore_index=True)
+
+    rows = sel.mapInPandas(stats, schema).collect()
+    cnt = sum(int(r["__cnt"]) for r in rows if r["__cnt"] is not None)
+    keyed = sorted(
+        (
+            (r["__h"], tuple(r[c] for c in order_cols))
+            for r in rows
+            if r["__cnt"] is None
+        ),
+    )[:cap]
+    sample = sorted(t for _, t in keyed)
+    return sample, cnt
+
+
+def _cut_bounds(sample: list[tuple], n_parts: int) -> list[tuple]:
+    """Cut a value-sorted key sample into ≤ ``n_parts - 1`` ascending
+    split tuples (empty sample → single bucket)."""
     if not sample:
-        sample = [
-            tuple(r) for r in df.select(*order_cols).limit(target).collect()
-            if all(v is not None for v in r)
-        ]
-    if not sample:  # every order key null → single bucket
         return []
-    sample.sort()
     bounds: list[tuple] = []
     for i in range(1, n_parts):
         cand = sample[min(i * len(sample) // n_parts, len(sample) - 1)]
         if not bounds or cand > bounds[-1]:
             bounds.append(cand)
     return bounds
+
+
+def _range_bucket_bounds(
+    df: DataFrame, order_cols: list[str], n_parts: int, per_part: int = 32
+) -> list[tuple]:
+    """Sample the order key(s) once and cut the sample into
+    ``n_parts - 1`` ascending split tuples. The bounds are collected a
+    single time and baked into the downstream plan as **literals**, so
+    every pass over the data assigns the same bucket to the same row —
+    the cross-pass consistency that ``repartitionByRange`` (which
+    re-samples per job) could only provide by persisting the frame.
+
+    Cost: ONE column-pruned pass (sample + count fused); bounds
+    quality only affects load balance, never correctness — both
+    passes bake the same literals."""
+    sample, _ = _order_key_sample(
+        df, order_cols, max(n_parts * per_part, 64)
+    )
+    return _cut_bounds(sample, n_parts)
 
 
 def _bucket_of(cols: list[Column], bounds: list[tuple]) -> Column:
@@ -171,28 +227,46 @@ def global_prefix_sum(
         )
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    bounds = _range_bucket_bounds(df, order_cols, n_parts)
+    n_req = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sample, cnt = _order_key_sample(df, order_cols, max(n_req * 32, 64))
+    # scale-adaptive bucket count: below ~8k rows per bucket the
+    # per-bucket fixed costs (Python task dispatch in the cumsum pass,
+    # the totals job) dominate the work they parallelize, so small
+    # inputs collapse to fewer buckets — down to ONE, which also
+    # skips the per-bucket-totals job entirely (base offset is 0 by
+    # definition). At production row counts cnt/8192 >> parallelism
+    # and this clamps to the requested width.
+    if cnt > _MIN_BUCKET_ROWS:
+        n_parts = max(2, min(n_req, cnt // _MIN_BUCKET_ROWS))
+    else:
+        n_parts = 1
+    bounds = _cut_bounds(sample, n_parts) if n_parts > 1 else []
     keyed = df.withColumn(
         "__pid", _bucket_of([F.col(c) for c in order_cols], bounds)
     )
 
-    # pass 1: per-bucket totals → exclusive base offsets (n_parts rows;
-    # map-side partial agg, column-pruned scan of order+weight only)
-    totals = (
-        keyed.groupBy("__pid")
-        .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("tot"))
-        .collect()
-    )
-    base = {}
-    acc = 0
-    for row in sorted(totals, key=lambda r: r["__pid"]):
-        base[row["__pid"]] = acc
-        acc += int(row["tot"] or 0)
-    base_df = df.sparkSession.createDataFrame(
-        [(int(p), int(b)) for p, b in base.items()] or [(0, 0)],
-        "__pid int, __base bigint",
-    )
+    if not bounds:
+        base_df = df.sparkSession.createDataFrame(
+            [(0, 0)], "__pid int, __base bigint"
+        )
+    else:
+        # pass 1: per-bucket totals → exclusive base offsets (n_parts
+        # rows; map-side partial agg, column-pruned scan of
+        # order+weight only)
+        totals = (
+            keyed.groupBy("__pid")
+            .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0))).alias("tot"))
+            .collect()
+        )
+        base = {}
+        acc = 0
+        for row in sorted(totals, key=lambda r: r["__pid"]):
+            base[row["__pid"]] = acc
+            acc += int(row["tot"] or 0)
+        base_df = df.sparkSession.createDataFrame(
+            [(int(p), int(b)) for p, b in base.items()] or [(0, 0)],
+            "__pid int, __base bigint",
+        )
 
     # pass 2: co-locate each bucket (hash on __pid — a bucket must land
     # whole in one partition for the per-bucket carry to be exact; range
