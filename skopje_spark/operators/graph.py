@@ -51,6 +51,7 @@ def pagerank(
     seeds: list | None = None,
     materialize_edges: bool = True,
     checkpoint_interval: int = 1,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -79,6 +80,14 @@ def pagerank(
     the teleport mass). Execution cost is identical to the uniform
     variant — the teleport column is a codegen literal membership
     test, no extra join.
+
+    ``symmetric=True`` declares that every edge's reverse is also
+    present (e.g. an undirected graph emitted in both directions). In
+    that case every node has in-degree >= 1, so the inflow aggregation
+    already covers the whole node set and the per-iteration left join
+    back onto ``nodes`` (plus its broadcast build) is skipped — ranks
+    are read straight off the aggregation, bit-identically (the
+    coalesce(0.0) arm is unreachable for symmetric graphs).
 
     ``checkpoint_interval`` bounds lineage: ranks are materialized
     every that-many iterations, keeping plan depth constant for long
@@ -174,17 +183,25 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes.join(
-            F.broadcast(contribs) if small_graph else contribs,
-            "node",
-            "left",
-        ).select(
-            "node",
-            (
-                teleport
-                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if symmetric:
+            # indeg >= 1 for every node: the aggregation output IS the
+            # node set, no join-back needed
+            ranks = contribs.select(
+                "node",
+                (teleport + F.lit(damping) * F.col("inflow")).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(
+                F.broadcast(contribs) if small_graph else contribs,
+                "node",
+                "left",
+            ).select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
         # O(nodes) rows; truncating lineage every checkpoint_interval
         # iterations keeps plan depth constant regardless of iters
         # (skipped after the last iteration — the caller's action

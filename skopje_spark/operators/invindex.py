@@ -162,17 +162,16 @@ def bm25_index_query(
     if not terms:
         raise ValueError("bm25_index_query: no usable query terms")
     terms = sorted(set(terms))
-    # the terms' buckets, with Spark's own hash (one local tiny job —
-    # the same function that wrote the layout, so pruning can't skew)
-    tdf = spark.createDataFrame([(t,) for t in terms], ["tok"])
-    buckets = sorted(
-        {
-            r["pb"]
-            for r in tdf.select(
-                F.pmod(F.hash("tok"), F.lit(stats["n_buckets"])).alias("pb")
-            ).collect()
-        }
+    # the terms' buckets, with Spark's own hash — the same function
+    # that wrote the layout, so pruning can't skew. Evaluated over
+    # literals on a OneRowRelation: Catalyst constant-folds the
+    # hashes and the collect never schedules a task, where the old
+    # createDataFrame(...).collect() paid a full 32-task job per
+    # query (terms are [a-z]+ by _TOKEN_RULE, safe to embed).
+    exprs = ", ".join(
+        f"pmod(hash('{t}'), {int(stats['n_buckets'])})" for t in terms
     )
+    buckets = sorted({int(v) for v in spark.sql(f"SELECT {exprs}").first()})
     post = (
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("pb").isin(buckets))

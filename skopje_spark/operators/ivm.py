@@ -192,6 +192,17 @@ def ivm_apply(
     if (min_cols or max_cols) and new is None:
         raise ValueError("min/max maintenance requires the new snapshot")
 
+    # cache the changelog: the fold references it from the +I/U, -D
+    # and -U branches (and the min/max touched-group probe), and Spark
+    # replans the subtree per branch — for a snapshot_diff changelog
+    # that means running the full-outer join of the two snapshots
+    # three or four times. The changelog is O(|changes|) by contract,
+    # so caching it is the cheap side of that trade at any scale.
+    # persist() (lazy) rather than an eager localCheckpoint: the first
+    # stage that needs it populates the cache inside the existing job,
+    # with no extra synchronous materialization barrier (measured
+    # ~0.1 s cheaper here, same plan dedup).
+    changelog = changelog.persist()
     delta = changelog_microrows(changelog, old, table_keys, group_keys, sum_cols)
     return _fold_delta(view, delta, group_keys, sum_cols, min_cols, max_cols, new)
 

@@ -361,6 +361,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate=False,
         materialize_edges=False,
         checkpoint_interval=0,
+        # both directions emitted -> indeg >= 1 everywhere; skips the
+        # per-iteration nodes join + broadcast (bit-identical ranks)
+        symmetric=True,
     )
     return (
         ranks.filter(F.col("node") % 2 == 1)
