@@ -67,9 +67,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 def shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, hex_chars: int = 15
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    *,
+    hex_chars: int = 15,
+    unique_ids: bool = False,
 ) -> DataFrame:
-    """(id, h) distinct shingle-hash set per document, h = first
+    """(id, h) distinct shingle-hash set per id, h = first
     ``hex_chars`` hex digits of sha256 (60 bits at 15 — collision-free
     in practice, cross-engine reproducible).
 
@@ -78,12 +84,16 @@ def shingle_hashes(
     of a ~25-byte string — at 100 TB that is the difference between
     shuffling shingle text and shuffling fixed-width ints.
 
-    The per-document dedup runs in the ARRAY domain (array_distinct
-    over the hashed gram array) BEFORE the explode, so it costs zero
-    shuffles — the old row-level ``.distinct()`` paid a full shuffle
-    of the shingle table just to dedup within documents (ids are
-    unique per document row, so global and per-document dedup are the
-    same set). Guide §2.4: remove shuffles outright.
+    Per-row dedup runs in the ARRAY domain (array_distinct over the
+    hashed gram array) BEFORE the explode, so it costs zero shuffles.
+    When ``unique_ids=True`` the caller asserts ``id_col`` is unique
+    per input row (the doc-id case) — per-row dedup IS the per-id set
+    and the row-level distinct (a full shuffle of the shingle table)
+    is skipped entirely (guide §2.4: remove shuffles outright). The
+    default keeps the safe semantics for grouping ids that repeat
+    across rows (e.g. id_col="source"): the array_distinct still
+    shrinks the exploded rows map-side, then a dropDuplicates merges
+    shingle sets across rows of the same id.
     """
     df = ensure_parallelism(df).withColumn(
         "__toks", F.split(normalize_text(F.col(text_col)), " ")
@@ -94,9 +104,12 @@ def shingle_hashes(
             F.substring(F.sha2(g, 256), 1, hex_chars), 16, 10
         ).cast("bigint"),
     )
-    return df.select(
+    out = df.select(
         F.col(id_col), F.explode(F.array_distinct(hashed)).alias("h")
     )
+    if not unique_ids:
+        out = out.dropDuplicates([id_col, "h"])
+    return out
 
 
 def _gram_array_col(toks, n: int):
@@ -165,6 +178,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """D2a exact n-gram Jaccard near-dup pairs.
 
@@ -182,7 +196,7 @@ def jaccard_pairs(
     universe (set sizes included), a standard and well-defined
     approximation; ``None`` keeps exact semantics.
     """
-    sh = shingle_hashes(df, id_col, text_col, n)
+    sh = shingle_hashes(df, id_col, text_col, n, unique_ids=unique_ids)
     if max_df is not None:
         sh = (
             sh.withColumn(
@@ -232,6 +246,7 @@ def jaccard_pairs_prefix(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at ``threshold`` via PREFIX
     FILTERING — same output as :func:`jaccard_pairs`, asymptotically
@@ -279,7 +294,7 @@ def jaccard_pairs_prefix(
     # table is scanned, deduped and shuffled exactly once, and the
     # tiny per-document table is checkpointed for its three readers
     # (prefix branch + both verify sides).
-    base = shingle_hashes(df, id_col, text_col, n)
+    base = shingle_hashes(df, id_col, text_col, n, unique_ids=unique_ids)
     sh = base.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
@@ -1195,6 +1210,7 @@ def contamination_report(
     text_col: str = "text",
     n: int = 8,
     min_shared: int = 1,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination screen: for every TRAIN document, how
     many of its distinct n-gram shingles also occur anywhere in the
@@ -1213,9 +1229,15 @@ def contamination_report(
     two map-side-combined groupBys. Train text never pairs with
     benchmark text; cost is linear in train tokens + bench tokens.
     """
-    tg = shingle_hashes(train, id_col, text_col, n)
+    tg = shingle_hashes(train, id_col, text_col, n, unique_ids=unique_ids)
     sizes = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    bg = shingle_hashes(bench, id_col, text_col, n).select("h").distinct()
+    # bench side collapses to its distinct gram set regardless, so the
+    # per-id dedup shuffle is never needed there
+    bg = (
+        shingle_hashes(bench, id_col, text_col, n, unique_ids=True)
+        .select("h")
+        .distinct()
+    )
     shared = (
         tg.join(bg, "h", "left_semi")
         .groupBy(id_col)

@@ -124,7 +124,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture plants pairs at ~0.98). Join fans out on shared shingles
     only, never all-pairs."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, unique_ids=True)
 
 
 def _minhash_oracle() -> str:
@@ -365,7 +365,9 @@ def q_dedup_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-similarity tractable at corpus scale. Same pipeline as
     q_dedup_ngram_jaccard, max_df=20."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_df=20)
+    return jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_df=20, unique_ids=True
+    )
 
 
 @register(
@@ -449,7 +451,9 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skopje_spark.operators.dedup import jaccard_pairs_prefix
 
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.6)
+    return jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.6, unique_ids=True
+    )
 
 
 @register(
@@ -801,7 +805,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
     bench = d.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
     return contamination_report(
-        train, bench, n=8, min_shared=1
+        train, bench, n=8, min_shared=1, unique_ids=True
     ).orderBy("doc_id")
 
 

@@ -300,7 +300,7 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skopje_spark.operators.dedup import shingle_hashes
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(d, "doc_id", "text", 3)
+    sh = shingle_hashes(d, "doc_id", "text", 3, unique_ids=True)
     is_bench = hash_bucket("doc_id") < _BENCH_CUT
     bench_h = (
         sh.filter(is_bench).select("h").distinct().withColumn("__hit", F.lit(1))

@@ -186,6 +186,38 @@ def test_jaccard_and_minhash_find_planted_near_dup(spark):
     assert (1, 2) in mh_pairs  # exact dups always share every band
 
 
+def test_jaccard_repeated_grouping_ids_merge_shingle_sets(spark):
+    """jaccard_pairs with a GROUPING id (many rows per id, e.g.
+    id_col="source") must treat each id's shingle set as the union
+    over its rows — a shingle occurring in two rows of the same id
+    counts once in set_size and once in any intersection. Pins the
+    default (unique_ids=False) semantics that q_corpus_source_overlap
+    depends on; the unique_ids=True fast path is only claimed when
+    the caller guarantees one row per id."""
+    from skopje_spark.operators.dedup import jaccard_pairs, shingle_hashes
+
+    rows = [
+        # source A: the shared shingle "x y z" appears in BOTH rows
+        ("A", "x y z"),
+        ("A", "x y z q"),
+        # source B: one row, overlapping set {x y z, y z q... }
+        ("B", "x y z"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    sh = shingle_hashes(df, "source", "text", 3)
+    # A's set = {h(x y z), h(y z q)} (deduped across rows), B's = {h(x y z)}
+    sizes = {r["source"]: r["n"] for r in
+             sh.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert sizes == {"A": 2, "B": 1}
+    jp = jaccard_pairs(df, "source", "text", n=3, threshold=0.0).collect()
+    assert len(jp) == 1
+    r = jp[0]
+    # |A∩B| = 1, |A∪B| = 2 → jaccard 0.5 (NOT 2/3, which the per-row-
+    # only dedup would produce by double-counting A's repeated shingle)
+    assert (r["id_a"], r["id_b"], r["n_common"]) == ("A", "B", 1)
+    assert abs(r["jaccard"] - 0.5) < 1e-9
+
+
 def test_jaccard_prefix_equals_plain_and_shrinks_candidates(spark, sf_dir):
     """The prefix filter is provably lossless: jaccard_pairs_prefix
     must be row-identical to jaccard_pairs at the same (n, threshold)
