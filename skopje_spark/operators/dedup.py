@@ -8,12 +8,16 @@ Five tiers (SURVEY.md §2C D1/D2):
 - simhash        — bitwise near-dup fingerprint
 - embedding      — cosine near-dup (see operators.similarity)
 
-Determinism contract: every hash is derived from **sha256** (identical
-across engines/platforms) rather than murmur/xxhash, so the DuckDB
-oracle reproduces results bit-for-bit. Spark's builtin ``hash()`` /
-``xxhash64()`` would be faster; at 100 TB swap `_token_hash` for
-``xxhash64`` (one-line change) once cross-engine parity is no longer
-required — noted per function.
+Determinism contract: a hash is derived from **sha256** (identical
+across engines/platforms) wherever the DuckDB oracle must reproduce
+the HASH VALUES themselves — minhash signatures (`_token_hash`: the
+oracle recomputes sig_i = min (a·H+b) mod P), exact content hashes,
+span keeper election. Hash spaces that are engine-internal — the
+jaccard/contamination gram space (:func:`shingle_hashes`), where every
+consumer emits only set-cardinality-derived counts and ratios — use
+Spark's codegen-native ``xxhash64`` instead: injective in practice is
+the only property those results depend on, and the cryptographic hash
+plus hex/base-conversion string passes were the dominant per-gram CPU.
 """
 
 from __future__ import annotations
@@ -72,12 +76,22 @@ def shingle_hashes(
     text_col: str,
     n: int = 3,
     *,
-    hex_chars: int = 15,
     unique_ids: bool = False,
 ) -> DataFrame:
-    """(id, h) distinct shingle-hash set per id, h = first
-    ``hex_chars`` hex digits of sha256 (60 bits at 15 — collision-free
-    in practice, cross-engine reproducible).
+    """(id, h) distinct shingle-hash set per id, h = xxhash64 of the
+    gram text (64 bits — collision-free in practice).
+
+    The hash space is ENGINE-INTERNAL: every consumer (jaccard
+    plain/prefix/dfcut, contamination, source overlap) emits only
+    counts and ratios derived from set cardinalities, never the hash
+    values, so any injective-in-practice hash yields identical
+    results. xxhash64 is whole-stage-codegen native — no hex string
+    materialization, no base conversion — where the previous
+    sha2+substring+conv chain paid a cryptographic hash plus two
+    string passes per gram (guide §1.2 step 2: per-task work). Paths
+    whose ORACLE reproduces hash values cross-engine (minhash
+    signatures, exact content hashes) keep sha256 — see
+    :func:`_token_hash`.
 
     Hashing BEFORE the distinct keeps every downstream shuffle key
     (distinct, set-size groupBy, the self-join) an 8-byte long instead
@@ -99,10 +113,7 @@ def shingle_hashes(
         "__toks", F.split(normalize_text(F.col(text_col)), " ")
     )
     hashed = F.transform(
-        _gram_array_col(F.col("__toks"), n),
-        lambda g: F.conv(
-            F.substring(F.sha2(g, 256), 1, hex_chars), 16, 10
-        ).cast("bigint"),
+        _gram_array_col(F.col("__toks"), n), lambda g: F.xxhash64(g)
     )
     out = df.select(
         F.col(id_col), F.explode(F.array_distinct(hashed)).alias("h")
@@ -182,7 +193,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """D2a exact n-gram Jaccard near-dup pairs.
 
-    Plan shape: shingle-hash sets (60-bit longs, not strings — see
+    Plan shape: shingle-hash sets (64-bit longs, not strings — see
     :func:`shingle_hashes`) → self equi-join **on the hash** (the
     crucial bit: candidate pairs only materialize where sets overlap —
     never an all-pairs product) → per-pair intersection count →
@@ -392,8 +403,16 @@ def minhash_signatures(
     the same Jaccard space as :func:`jaccard_pairs`; unigram sets are
     degenerate on small vocabularies (every doc resembles every other,
     collapsing LSH bands into O(n²) candidates).
+
     Computed as 16 min-aggregates over the exploded shingle set — one
-    shuffle on doc id, partial mins map-side.
+    shuffle on doc id, partial mins map-side. An array-domain variant
+    (one ``aggregate`` fold carrying all 16 running mins per row, then
+    a 16-long-per-row groupBy merge) was measured 2.5-3x SLOWER here:
+    higher-order array functions are interpreted expressions, while
+    the explode + hash-aggregate path stays in whole-stage codegen
+    end to end, and the map-side partial mins already shrink the
+    shuffle to one row per (map task, id). Guide §1.1: the measured
+    plan wins over the "fewer shuffled rows" first-principles shape.
     """
     # no distinct at all: MIN over a multiset equals MIN over its set,
     # so the per-document shingle dedup shuffle is pure waste here —
@@ -1221,7 +1240,7 @@ def contamination_report(
     contamination = shared / distinct grams (0 for short docs) and
     ``flagged`` = n_shared >= min_shared.
 
-    Plan shape: both sides reduce to 60-bit shingle-hash sets
+    Plan shape: both sides reduce to 64-bit shingle-hash sets
     (shingle_hashes — hashed before distinct, so every shuffle key is
     an 8-byte long); the benchmark side collapses to its DISTINCT
     gram set (tiny next to train — benchmarks are MBs, corpora TBs);

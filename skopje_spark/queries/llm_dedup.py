@@ -795,7 +795,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and contamination fractions, so a single missed or
     phantom overlap anywhere in the corpus hash-mismatches.
 
-    Scale: both sides reduce to 60-bit shingle-hash sets; the check
+    Scale: both sides reduce to 64-bit shingle-hash sets; the check
     is one left-semi join (train grams ⋉ distinct bench grams — the
     bench side is tiny next to any real corpus) plus map-side-
     combined counts. Train and benchmark text never pair."""

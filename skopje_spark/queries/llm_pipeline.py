@@ -293,7 +293,7 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice (~5% of docs by hash). The standard pre-training hygiene
     check (n-gram overlap à la GPT-3/PaLM decontamination).
 
-    Scale plan: grams are compared in 60-bit sha256-hash space
+    Scale plan: grams are compared in 64-bit xxhash space
     (operators/dedup.py:shingle_hashes), so the join key is an 8-byte
     long; the benchmark gram set is tiny relative to the corpus and is
     broadcast — the 100 TB training side never shuffles."""

@@ -174,12 +174,38 @@ def test_passage_dedup_single_shuffle(spark, sf_dir):
 
 def test_packing_has_no_single_partition_window(spark, sf_dir):
     """The packing offset must come from the two-pass prefix sum — a
-    plan containing a partition-less Window (SinglePartition exchange)
-    would collapse the corpus onto one task."""
+    plan containing a partition-less Window would collapse the corpus
+    onto one task at any scale. A SinglePartition exchange is legal
+    ONLY in the documented small-input collapse (global_prefix_sum
+    drops to one bucket when the measured row count is at most
+    _MIN_BUCKET_ROWS, where per-bucket fixed costs dominate); above
+    the threshold the plan must fan out across buckets — asserted on
+    a synthetic frame big enough to clear it, independent of sf_dir."""
+    from pyspark.sql import functions as F
+
+    from skopje_spark.operators.packing import (
+        _MIN_BUCKET_ROWS,
+        global_prefix_sum,
+    )
+    from skopje_spark.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
     for name in ("q_pack_sequences", "q_shuffle_deterministic"):
         txt = plan_text(_df(spark, sf_dir, name))
         assert "Window" not in txt, f"{name} uses a global window"
-        assert "SinglePartition" not in txt, f"{name} funnels to one task"
+        if n_docs > _MIN_BUCKET_ROWS:
+            assert "SinglePartition" not in txt, f"{name} funnels to one task"
+
+    # scale shape: any input above one bucket's rows must never funnel
+    big = spark.range(0, _MIN_BUCKET_ROWS * 4).select(
+        F.col("id").alias("k"), F.lit(3).alias("w")
+    )
+    ps = global_prefix_sum(big, order_col="k", weight_col="w")
+    txt = ps._sc._jvm.PythonSQLUtils.explainString(
+        ps._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in txt, "prefix sum uses a global window"
+    assert "SinglePartition" not in txt, "prefix sum funnels to one task"
 
 
 def test_batch_topk_one_exchange_after_partial_limit(spark, sf_dir):
