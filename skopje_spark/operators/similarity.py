@@ -263,6 +263,7 @@ def kmeans_cells(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 3,
+    train_sample: int = 8192,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd k-means coarse quantizer: ``iters`` assign/update rounds,
     returning (embeddings + ``cell`` assignment column, final centroid
@@ -270,79 +271,52 @@ def kmeans_cells(
     actual vector geometry, so probing few cells still captures the
     query's true neighbors.
 
-    TRAINING rounds run through one Arrow-batched mapInPandas pass
-    each: every task assigns its rows with a numpy matmul against the
-    broadcast centroid matrix and emits k partial (cell, count,
-    sum-vector) rows — a map-side-combined aggregation whose result
-    is k×tasks tiny rows, folded on the driver in a deterministic
-    (value-sorted) order. This replaces the previous per-round
-    literal-codegen assignment (a fresh k×dim expression each round
-    paid a whole-stage-codegen javac compile per Lloyd iteration —
-    ~2/3 of semantic_dedup's cost at bench scale) AND the
-    posexplode mean shuffle (n×dim exploded rows). Only the FINAL
-    assignment uses :func:`kmeans_assign`'s literal-codegen map — the
-    one whose semantics downstream oracles bind; training
-    trajectories may differ from the old path in final-ulp ties,
-    which no oracle pins.
+    TRAINING runs on a deterministic driver-side sample: the
+    ``train_sample`` vectors with the smallest ``xxhash64(id)`` (a
+    TakeOrdered job — no shuffle of the corpus) are collected once,
+    and all Lloyd rounds run locally in numpy. One Spark job replaces
+    ``iters`` full-corpus passes — the standard sample-trained
+    quantizer shape (FAISS trains IVF the same way): at 100 TB the
+    corpus is never scanned for training at all, and the sample
+    (8192 × dim doubles ≈ a few MB) is bounded driver state.
+    Summation order is the hash order of the sample — a pure function
+    of the data, where the previous distributed fold's per-partition
+    partials made final-ulp centroid bits depend on the partition
+    layout (and therefore on the core count). Only the FINAL
+    assignment uses :func:`kmeans_assign`'s literal-codegen map over
+    the full corpus — the one whose semantics downstream oracles
+    bind; training trajectories are explicitly unpinned (verdict-
+    tolerant oracles, see q_similarity_ivf_kmeans).
 
-    Seeds are the k vectors with the smallest ``xxhash64(id)``:
-    deterministic, reproducible, order-independent.
+    Seeds are the k vectors with the smallest ``xxhash64(id)`` —
+    identical to the previous rule (the sample is a prefix-extension
+    of the seed set under the same total order).
     """
     import numpy as np
-    import pandas as pd
 
-    seeds = (
+    m = max(int(train_sample), k)
+    rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
         .withColumn("__h", F.xxhash64(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
-        .limit(k)
+        .limit(m)
         .collect()
     )
-    centroids = [[float(x) for x in row[vec_col]] for row in seeds]
-    if not centroids:
+    if not rows:
         raise ValueError("kmeans_cells: empty input")
+    X = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    centroids = [list(map(float, X[i])) for i in range(min(k, len(rows)))]
     kk = len(centroids)
-    dim = len(centroids[0])
-    vecs = embeddings.select(vec_col)
     for _ in range(iters):
         C = np.asarray(centroids, dtype=np.float64)
         # same zero-norm clamp as cosine(); argmax ties to lowest cell
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-
-        def partials(it, _Cn=Cn):
-            n = np.zeros(kk, dtype=np.int64)
-            s = np.zeros((kk, dim), dtype=np.float64)
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-                Xn = X / np.maximum(
-                    np.linalg.norm(X, axis=1, keepdims=True), 1e-300
-                )
-                cells = np.argmax(Xn @ _Cn.T, axis=1)
-                np.add.at(n, cells, 1)
-                np.add.at(s, cells, X)
-            hit = np.nonzero(n)[0]
-            if len(hit):
-                yield pd.DataFrame(
-                    {
-                        "cell": hit.astype("int32"),
-                        "n": n[hit],
-                        "s": [s[c].tolist() for c in hit],
-                    }
-                )
-
-        rows = vecs.mapInPandas(
-            partials, "cell int, n long, s array<double>"
-        ).collect()
-        # deterministic fold: collect order varies run to run, so sort
-        # partials by VALUE before summing — float addition order is
-        # then a pure function of the data
+        cells = np.argmax(Xn @ Cn.T, axis=1)
         acc_n = np.zeros(kk, dtype=np.int64)
-        acc_s = np.zeros((kk, dim), dtype=np.float64)
-        for r in sorted(rows, key=lambda r: (r["cell"], r["n"], tuple(r["s"]))):
-            acc_n[r["cell"]] += r["n"]
-            acc_s[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+        acc_s = np.zeros((kk, X.shape[1]), dtype=np.float64)
+        np.add.at(acc_n, cells, 1)
+        np.add.at(acc_s, cells, X)
         # empty cells keep their previous centroid (standard Lloyd fix)
         centroids = [
             (acc_s[i] / acc_n[i]).tolist() if acc_n[i] else c
