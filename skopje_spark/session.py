@@ -80,7 +80,7 @@ def tune_for_engine(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-            "SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"
+            "SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"
         ),
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
