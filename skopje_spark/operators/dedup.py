@@ -52,17 +52,29 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct token set per document."""
+def tokens(
+    df: DataFrame, id_col: str, text_col: str, *, unique_ids: bool = False
+) -> DataFrame:
+    """(id, token) distinct token set per id.
+
+    Per-row dedup runs in the ARRAY domain (``array_distinct`` before
+    the explode — zero shuffles), the same shape as
+    :func:`shingle_hashes`. With ``unique_ids=True`` the caller asserts
+    ``id_col`` is unique per input row (the doc-id case): per-row
+    dedup IS the per-id token set, so the row-level ``distinct`` — a
+    full global shuffle of the exploded token table — is skipped
+    outright (guide §2.4). The default keeps the safe semantics for
+    ids repeating across rows."""
     df = ensure_parallelism(df)
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    if not unique_ids:
+        out = out.distinct()
+    return out
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -326,18 +338,44 @@ def jaccard_pairs_prefix(
     prefix_len = F.col("set_size") - F.ceil(
         F.lit(float(threshold)) * F.col("set_size")
     ) + F.lit(1)
+    # posexplode: the element's 1-based position in the GLOBAL
+    # rarity-ascending order rides along (the prefix is the first L
+    # elements of that order, so prefix position == full-order
+    # position) — it feeds the PPJoin positional filter below.
     prefix = sets.select(
         id_col,
-        F.explode(
+        F.posexplode(
             F.slice(F.col("dhs"), F.lit(1), prefix_len.cast("int"))
-        ).alias("dh"),
+        ).alias("pos", "dh"),
         "set_size",
-    ).select(id_col, F.col("dh.h").alias("h"), "set_size")
+    ).select(
+        id_col,
+        F.col("dh.h").alias("h"),
+        "set_size",
+        (F.col("pos") + 1).alias("p"),
+    )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
+        F.col(id_col).alias("id_a"), "h",
+        F.col("set_size").alias("size_a"), F.col("p").alias("pa"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "h", F.col("set_size").alias("size_b")
+        F.col(id_col).alias("id_b"), "h",
+        F.col("set_size").alias("size_b"), F.col("p").alias("pb"),
+    )
+    # PPJoin positional filter (Xiao et al., WWW'08): a match on h at
+    # positions (pa, pb) of the SHARED total order bounds the overlap —
+    # common elements sort consistently, so at most min(pa-1, pb-1) of
+    # them precede h and at most min(|A|-pa, |B|-pb) follow it:
+    #     overlap <= 1 + min(pa-1, pb-1) + min(|A|-pa, |B|-pb).
+    # J >= t is equivalent to overlap >= t/(1+t)·(|A|+|B|); candidates
+    # whose tightest per-match bound cannot reach that are pruned
+    # BEFORE the verify join ships their full shingle arrays. The
+    # comparison is epsilon-relaxed so float noise can only ADMIT an
+    # extra candidate (verification is exact), never drop a true pair.
+    ub = (
+        F.lit(1)
+        + F.least(F.col("pa") - 1, F.col("pb") - 1)
+        + F.least(F.col("size_a") - F.col("pa"), F.col("size_b") - F.col("pb"))
     )
     cands = (
         a.join(b, "h")
@@ -350,8 +388,14 @@ def jaccard_pairs_prefix(
             )
             <= F.least(F.col("size_a"), F.col("size_b"))
         )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.min(ub).alias("__ub"))
+        .filter(
+            F.col("__ub") * F.lit(1.0 + float(threshold))
+            >= F.lit(float(threshold)) * (F.col("size_a") + F.col("size_b"))
+            - F.lit(1e-9)
+        )
         .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
     )
     # verification: exact intersection over the FULL sets, computed as
     # size(array_intersect(hs_a, hs_b)) over the per-document shingle
@@ -498,14 +542,27 @@ def minhash_lsh_pairs(
     return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    *,
+    unique_ids: bool = False,
+) -> DataFrame:
     """D2c SimHash fingerprint: per token-hash bit j, vote +1/-1; the
     fingerprint sets bit j iff the vote is positive.
 
     One aggregate pass: 32 conditional sums over the exploded token
     set, then a single arithmetic recombination — all codegen'd.
+    ``unique_ids=True`` (id unique per row, the doc-id case) keeps the
+    per-document token-set dedup in the array domain and removes the
+    global distinct exchange — the fingerprint is a pure function of
+    each document's token SET, so results are bit-identical.
     """
-    t = tokens(df, id_col, text_col).withColumn("h", _token_hash(F.col("token")))
+    t = tokens(df, id_col, text_col, unique_ids=unique_ids).withColumn(
+        "h", _token_hash(F.col("token"))
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(

@@ -190,7 +190,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     land at small Hamming distance; see q_dedup_clusters for the
     transitive clustering pass over candidate pairs)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text", bits=32)
+    # doc_id is unique per row -> the token-set dedup stays in the
+    # array domain and the global distinct exchange disappears
+    return simhash(d, "doc_id", "text", bits=32, unique_ids=True)
 
 
 @register(

@@ -41,6 +41,58 @@ def dround_sql(expr: str, n: int = 2) -> str:
     )
 
 
+def dsum_sql(expr: str, scale: int = 6, n: int = 2) -> str:
+    """Order-INDEPENDENT deterministic SUM + round, for SQL text shared
+    verbatim by Spark and DuckDB.
+
+    ``dround_sql("SUM(x)", n)`` is only engine-deterministic when the
+    true sum is itself an exact n-dp number (then the .5 boundary is
+    never genuinely hit and the last-ulp summation-order noise is
+    absorbed — the ``davg`` rationale). When the SUMMAND has more
+    decimal places than the rounding (e.g. a 6-dp money product
+    rounded at 2 dp), the true sum can land exactly on a rounding
+    boundary and the two engines' partition-order partial sums flip
+    the last cent nondeterministically — the q_sql_udf_revenue
+    failure class (round 14).
+
+    This helper removes the order dependence instead of absorbing it:
+
+    1. each summand is rounded half-away-from-zero to ``scale`` dp and
+       scaled to an integer (exact whenever the summand is truly a
+       ≤ scale-dp value within half an ulp — IEEE floor/mul only);
+    2. the SUM runs over BIGINT micro-units — exact and associative,
+       identical under any partitioning on any engine;
+    3. the integer sum is rounded to ``n`` dp in integer arithmetic
+       and returned as DOUBLE (one exact IEEE division).
+
+    Caveats: |summand|·10^scale and the running sum must stay under
+    2^53 (doubles) / 2^63 (the BIGINT sum) — money columns at any
+    realistic scale factor clear both by orders of magnitude.
+    """
+    if n > scale:
+        raise ValueError("dsum_sql: n must be <= scale")
+    # every fractional literal is CAST to DOUBLE explicitly: Spark SQL
+    # parses bare decimal-point literals as DECIMAL, which would turn
+    # the divisions into decimal arithmetic (and the output column into
+    # DECIMAL) while DuckDB stays in DOUBLE — the casts pin both
+    # engines to the same IEEE operations and a DOUBLE result type.
+    s = f"CAST({10**scale} AS DOUBLE)"
+    qd = f"CAST({10 ** (scale - n)} AS DOUBLE)"
+    nd = f"CAST({10**n} AS DOUBLE)"
+    half = (10 ** (scale - n)) // 2
+    x = f"({expr}) * {s}"
+    micro_row = (
+        f"(CASE WHEN ({x}) < 0 THEN -FLOOR(-({x}) + CAST(0.5 AS DOUBLE)) "
+        f"ELSE FLOOR(({x}) + CAST(0.5 AS DOUBLE)) END)"
+    )
+    um = f"SUM(CAST({micro_row} AS BIGINT))"
+    return (
+        f"CAST((CASE WHEN ({um}) < 0 "
+        f"THEN -FLOOR((-({um}) + {half}) / {qd}) "
+        f"ELSE FLOOR((({um}) + {half}) / {qd}) END / {nd}) AS DOUBLE)"
+    )
+
+
 def davg(col: Column, n: int = 2) -> Column:
     """Deterministic average of fixed-granularity data: round the SUM
     to its exact decimal granularity (safe — the true sum *is* an

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
 
 from skopje_spark.queries import register
-from skopje_spark.queries.rounding import dround_sql
+from skopje_spark.queries.rounding import dround_sql, dsum_sql  # noqa: F401
 from skopje_spark.tables import load_table
 
 
@@ -25,7 +25,7 @@ from skopje_spark.tables import load_table
     "q_sql_udf_revenue",
     oracle=f"""
     SELECT l_returnflag,
-           {dround_sql("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)}
+           {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, 2)}
              AS taxed_revenue
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -37,7 +37,15 @@ def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A SQL UDF (CREATE FUNCTION .. RETURN expr) used inside an
     aggregate. Catalyst inlines the body into the plan — the hot path
     stays in whole-stage codegen, which is exactly why this is the
-    preferred extension point over a Python UDF for scalar math."""
+    preferred extension point over a Python UDF for scalar math.
+
+    The aggregate uses :func:`dsum_sql` (exact integer-micro-unit
+    summation), not ``dround_sql(SUM(...))``: the summand — a product
+    of three 2-dp values — is an exact 6-dp number, so rounding its
+    double-precision SUM at 2 dp genuinely lands on .xx5000 boundaries
+    where partition-order summation noise flips the last cent between
+    engines (the round-14 driver failure). Micro-unit summation is
+    associative and partition-layout-independent on both engines."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__sqlu_li")
     spark.sql("""
       CREATE OR REPLACE TEMPORARY FUNCTION taxed_net(
@@ -47,7 +55,7 @@ def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
     return spark.sql(f"""
       SELECT l_returnflag,
-             {dround_sql("SUM(taxed_net(l_extendedprice, l_discount, l_tax))", 2)}
+             {dsum_sql("taxed_net(l_extendedprice, l_discount, l_tax)", 6, 2)}
                AS taxed_revenue
       FROM __sqlu_li
       WHERE l_shipdate <= DATE '1998-09-02'

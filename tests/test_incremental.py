@@ -307,3 +307,30 @@ def test_psi_binned_explicit_bounds_clamp(spark):
     assert rep[1]["n_a"] == 1 and rep[1]["n_b"] == 3  # 2.0 in [2,4)
     with pytest.raises(ValueError, match="inverted"):
         psi_drift_binned(a, b, "x", bounds=(8.0, 0.0))
+
+
+def test_ivm_changelog_caches_are_bounded(spark, snaps):
+    """Repeated refreshes must not accumulate persisted changelogs: the
+    generation registry retires superseded caches, so a long-lived
+    session holds at most _CHANGELOG_CACHE_KEEP of them (round-14
+    hygiene item: the fold's persist() was never unpersisted)."""
+    from skopje_spark.operators import ivm as ivm_mod
+
+    old, new = snaps
+    view0 = ivm_build(old, ["grp"], sum_cols=["v"])
+
+    def cached_count():
+        sc = spark.sparkContext
+        return sum(1 for _ in sc._jsc.sc().getRDDStorageInfo())
+
+    base = cached_count()
+    for _ in range(5):
+        cl = snapshot_diff(old, new, ["id"])
+        folded = ivm_apply(
+            view0, cl, old, table_keys=["id"], group_keys=["grp"],
+            sum_cols=["v"],
+        )
+        folded.count()  # materialize -> populates the persist
+    # at most the kept generations remain beyond whatever storage
+    # pre-existed (other tests' checkpoints share the session)
+    assert cached_count() <= base + ivm_mod._CHANGELOG_CACHE_KEEP

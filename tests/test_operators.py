@@ -280,6 +280,39 @@ def test_simhash_properties(spark):
     assert ham13 < ham14  # near-dup closer than unrelated
 
 
+def test_simhash_unique_ids_bit_identical_and_shuffle_free(spark):
+    """unique_ids=True keeps the token-set dedup in the array domain:
+    fingerprints are bit-identical to the row-level-distinct plan, and
+    the global distinct Exchange disappears from the physical plan."""
+    d = _docs(spark)
+    safe = {r["doc_id"]: r["simhash"] for r in simhash(d, "doc_id", "text").collect()}
+    fast_df = simhash(d, "doc_id", "text", unique_ids=True)
+    fast = {r["doc_id"]: r["simhash"] for r in fast_df.collect()}
+    assert safe == fast
+    # plan contract: exactly ONE hash exchange (the groupBy(id) vote
+    # agg) — the row-level distinct's extra hash exchange is gone (the
+    # remaining roundrobin one is ensure_parallelism's scan widening)
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final_plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_tokens_repeated_ids_default_stays_safe(spark):
+    """Default (unique_ids=False) must still merge token sets across
+    rows sharing an id — the grouping-id case array_distinct alone
+    cannot cover."""
+    from skopje_spark.operators.dedup import tokens
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (1, "beta gamma"), (2, "delta")],
+        "id int, text string",
+    )
+    got = {(r["id"], r["token"]) for r in tokens(df, "id", "text").collect()}
+    assert got == {
+        (1, "alpha"), (1, "beta"), (1, "gamma"), (2, "delta"),
+    }
+
+
 # --- similarity ------------------------------------------------------
 
 def test_cosine_topk_self_similarity(spark, sf_dir):
