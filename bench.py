@@ -439,12 +439,22 @@ def main() -> None:
     for name in HEADLINE:
         fn_of(name)(spark, sf_dir).count()
 
-    # contention self-documentation: loadavg before/after and each
-    # query's min→max spread across its 3 runs ride in the emitted
-    # JSON, so a contaminated reading (busy box inflating outliers)
-    # is adjudicable from the artifact alone — a query whose spread
-    # is several× its min under a high loadavg was measured under
+    # contention self-documentation: loadavg before/after, hypervisor
+    # steal across the timed section (/proc/stat), and each query's
+    # min→max spread across its 3 runs ride in the emitted JSON, so a
+    # contaminated reading (busy/stolen box inflating outliers) is
+    # adjudicable from the artifact alone — a query whose spread is
+    # several× its min under high loadavg/steal was measured under
     # contention, not regressed by code
+    def _cpu_steal_snapshot():
+        try:
+            with open("/proc/stat") as fh:
+                vals = [int(x) for x in fh.readline().split()[1:]]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except OSError:  # non-Linux: field rides as null
+            return None
+
+    steal_start = _cpu_steal_snapshot()
     load_start = os.getloadavg()
 
     # timed: min of 3 runs per query — the steady-state estimator,
@@ -461,8 +471,59 @@ def main() -> None:
         timings[name] = round(best, 3)
         spreads[name] = round(worst / best, 2) if best > 0 else 1.0
 
+    # OPT-IN second timed scale factor (VERDICT r14 item 8): when
+    # $SPARK_GRAFT_SF2_DIR is set, ALSO time entries there (same
+    # warmup + min-of-3 methodology) and ride the numbers in ADDITIVE
+    # keys (sf2/queries_sf2/run_spread_sf2). The driver never sets the
+    # env var, so its output stays byte-identical; the mode exists so
+    # 8-vs-32-core scaling can be measured at a size where sf0.1's
+    # driver-bound regime no longer hides plan quality.
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR")
+    timings2: dict[str, float] = {}
+    spreads2: dict[str, float] = {}
+    if sf2_dir:
+        names2 = [
+            q
+            for q in os.environ.get(
+                "SPARK_GRAFT_SF2_QUERIES", ",".join(HEADLINE)
+            ).split(",")
+            if q
+        ]
+        for name in names2:
+            fn_of(name)(spark, sf2_dir).count()  # warmup at sf2
+        for name in names2:
+            best, worst = float("inf"), 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn_of(name)(spark, sf2_dir).count()
+                dt = time.perf_counter() - t0
+                best, worst = min(best, dt), max(worst, dt)
+            timings2[name] = round(best, 3)
+            spreads2[name] = round(worst / best, 2) if best > 0 else 1.0
+
     load_end = os.getloadavg()
+    steal_end = _cpu_steal_snapshot()
+    steal_pct = None
+    if steal_start and steal_end and steal_end[1] > steal_start[1]:
+        steal_pct = round(
+            100.0
+            * (steal_end[0] - steal_start[0])
+            / (steal_end[1] - steal_start[1]),
+            2,
+        )
     total = round(sum(timings.values()), 3)
+    extra = {}
+    if sf2_dir:
+        sf2 = (
+            float(sf2_dir.rstrip("/").rsplit("sf", 1)[-1])
+            if "sf" in sf2_dir
+            else -1.0
+        )
+        extra = {
+            "sf2": sf2,
+            "queries_sf2": timings2,
+            "run_spread_sf2": spreads2,
+        }
     print(
         json.dumps(
             {
@@ -472,8 +533,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "run_spread_max_over_min": spreads,
+                **extra,
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
+                "steal_pct_timed": steal_pct,
                 "ncpus": os.cpu_count(),
             }
         )

@@ -22,7 +22,9 @@ plus hex/base-conversion string passes were the dominant per-gram CPU.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from skopje_spark.queries.rounding import dround
@@ -362,21 +364,20 @@ def jaccard_pairs_prefix(
         F.col(id_col).alias("id_b"), "h",
         F.col("set_size").alias("size_b"), F.col("p").alias("pb"),
     )
-    # PPJoin positional filter (Xiao et al., WWW'08): a match on h at
-    # positions (pa, pb) of the SHARED total order bounds the overlap —
-    # common elements sort consistently, so at most min(pa-1, pb-1) of
-    # them precede h and at most min(|A|-pa, |B|-pb) follow it:
-    #     overlap <= 1 + min(pa-1, pb-1) + min(|A|-pa, |B|-pb).
+    # PPJoin positional filter (Xiao et al., WWW'08): let c be the pair's
+    # FIRST matched prefix element (the match minimizing pa — by order
+    # consistency the same element minimizes pb). No common element can
+    # precede c: it would sit before c in BOTH rarity orders, i.e.
+    # inside both prefixes (positions < pa* <= L_A, < pb* <= L_B), and
+    # would have been the earlier match. Hence
+    #     overlap <= 1 + min(|A| - pa*, |B| - pb*).
     # J >= t is equivalent to overlap >= t/(1+t)·(|A|+|B|); candidates
-    # whose tightest per-match bound cannot reach that are pruned
-    # BEFORE the verify join ships their full shingle arrays. The
-    # comparison is epsilon-relaxed so float noise can only ADMIT an
-    # extra candidate (verification is exact), never drop a true pair.
-    ub = (
-        F.lit(1)
-        + F.least(F.col("pa") - 1, F.col("pb") - 1)
-        + F.least(F.col("size_a") - F.col("pa"), F.col("size_b") - F.col("pb"))
-    )
+    # whose bound cannot reach that are pruned BEFORE the verify join
+    # ships their full shingle arrays (measured at sf0.1: 309,983 →
+    # 124,839 candidates, −60%). The comparison is epsilon-relaxed so
+    # float noise can only ADMIT an extra candidate (verification is
+    # exact), never drop a true pair; the old `.distinct()` became the
+    # equivalent groupBy (same exchange), now also carrying min(pa/pb).
     cands = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -389,9 +390,16 @@ def jaccard_pairs_prefix(
             <= F.least(F.col("size_a"), F.col("size_b"))
         )
         .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.min(ub).alias("__ub"))
+        .agg(F.min("pa").alias("__pa"), F.min("pb").alias("__pb"))
         .filter(
-            F.col("__ub") * F.lit(1.0 + float(threshold))
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("size_a") - F.col("__pa"),
+                    F.col("size_b") - F.col("__pb"),
+                )
+            )
+            * F.lit(1.0 + float(threshold))
             >= F.lit(float(threshold)) * (F.col("size_a") + F.col("size_b"))
             - F.lit(1e-9)
         )
@@ -622,6 +630,12 @@ def _checkpoint_generation(df: DataFrame, prev_ids: set[int]) -> tuple[DataFrame
     return out, mine
 
 
+# broadcast the per-round label table only while it is provably small:
+# 4M nodes ≈ 64 MB framed (two longs + overhead) — the same gate shape
+# as graph.pagerank's _BROADCAST_NODES_MAX, with planner fallback above
+_BROADCAST_LABELS_MAX = int(os.environ.get("SKOPJE_BROADCAST_LABELS_MAX", 4_000_000))
+
+
 def neardup_clusters(
     pairs: DataFrame, *, id_a: str = "id_a", id_b: str = "id_b",
     max_iterations: int = 20, algorithm: str = "label",
@@ -688,15 +702,86 @@ def neardup_clusters(
             "src", F.col("src").alias("dst"), F.lit(True).alias("is_self")
         )
     )
-    adj, adj_ids = _checkpoint_generation(both.union(selfloops), set())
+    # adjacency hash-partitioned by src ONCE: localCheckpoint preserves
+    # the partitioning, so every round's groupBy(src) is exchange-free;
+    # node/edge counts (for the gates below) ride the materialization
+    nodes_obs = Observation()
+    adj, adj_ids = _checkpoint_generation(
+        both.union(selfloops)
+        .repartition("src")
+        .observe(
+            nodes_obs,
+            F.sum(F.col("is_self").cast("long")).alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        set(),
+    )
+    counts = nodes_obs.get
+    n_nodes = counts["n_nodes"] or 0
+    n_rows = counts["n_rows"] or 0
+    # LOCAL SOLVE below the broadcast gate: the distributed loop already
+    # holds the full label table in driver memory every round (it is
+    # broadcast), so once adjacency fits the same gate, collecting it
+    # ONCE and running union-find locally is the strictly cheaper plan —
+    # 1 job instead of 1 job per propagation round, with the identical
+    # min-id-per-component fixpoint (union-find tracks each root's
+    # minimum member). The same adaptive-algorithm principle as AQE's
+    # SMJ→BHJ demotion and the sample-trained kmeans quantizer; above
+    # the gate the distributed loop below runs unchanged — this is a
+    # small-graph fast path, not a local[32] tuning.
+    if n_rows <= _BROADCAST_LABELS_MAX:
+        rows = adj.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            u, v = r["src"], r["dst"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id: the root IS the component minimum,
+                # which is exactly the label-propagation fixpoint
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        out_rows = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        id_type = dict(zip(pairs.schema.names, pairs.schema.fields))[
+            id_a
+        ].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, False),
+                StructField("cluster_id", id_type, False),
+            ]
+        )
+        _unpersist_rdd_ids(spark.sparkContext, adj_ids)
+        return spark.createDataFrame(out_rows, schema)
     labels = (
         adj.filter(F.col("is_self"))
         .select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
     )
+    # broadcast gate (the pagerank pattern): the label table is
+    # node-sized; below the gate broadcasting it makes each round ONE
+    # exchange-free stage over the src-partitioned adjacency (the join
+    # probes the broadcast, the groupBy reuses the checkpoint's
+    # partitioning). Above the gate — cluster-sized label tables — the
+    # planner keeps its own join strategy (the only correct shape).
+    bcast_labels = n_nodes <= _BROADCAST_LABELS_MAX
     gen_ids: set[int] = set()
     for _ in range(max_iterations):
+        lbl = F.broadcast(labels) if bcast_labels else labels
         updated = (
-            adj.join(labels, adj.dst == labels.id)
+            adj.join(lbl, adj.dst == lbl.id)
             .groupBy("src")
             .agg(
                 F.min("cluster_id").alias("cluster_id"),
@@ -710,11 +795,17 @@ def neardup_clusters(
                 (F.col("cluster_id") < F.col("__old")).alias("__changed"),
             )
         )
-        # eager checkpoint: one materialization per round; the
-        # convergence probe below reads the checkpointed data, not the
-        # full lineage
+        # ONE job per round: the convergence metric rides the eager
+        # checkpoint's materialization via observe() — the separate
+        # filter(__changed).limit(1).count() probe job is gone
+        # (guide §2.6: cut driver-side job count; measured one of the
+        # two jobs per round was pure probe).
+        obs = Observation()
+        updated = updated.observe(
+            obs, F.sum(F.col("__changed").cast("long")).alias("n")
+        )
         updated, gen_ids = _checkpoint_generation(updated, gen_ids)
-        n_changed = updated.filter(F.col("__changed")).limit(1).count()
+        n_changed = obs.get["n"] or 0
         labels = updated.drop("__changed")
         if n_changed == 0:
             break
@@ -788,12 +879,17 @@ def _neardup_clusters_star(
             )
             .distinct()
         )
-        edges, gen_ids = _checkpoint_generation(small, gen_ids)
-        # convergence: edge multiset unchanged (count + order-free hash)
-        sig_row = edges.agg(
+        # convergence signature (count + order-free hash) rides the
+        # checkpoint materialization via observe() — no separate
+        # aggregate job per round
+        obs = Observation()
+        small = small.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.hash("u", "v").cast("bigint")).alias("h"),
-        ).collect()[0]
+        )
+        edges, gen_ids = _checkpoint_generation(small, gen_ids)
+        sig_row = obs.get
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
             break

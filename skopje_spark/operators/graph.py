@@ -25,7 +25,7 @@ the same edge-DataFrame model as the dedup clustering fixpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
@@ -114,16 +114,20 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if materialize_edges:
         e = e.localCheckpoint(eager=True)
+    # the node count rides the outdeg materialization via observe() —
+    # no separate count job (guide §2.6: cut driver-side job count)
+    n_obs = Observation()
     outdeg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
+        .observe(n_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     nodes = outdeg.select(
         F.col("src").alias("node")
     )  # distinct(src) for free: outdeg is already one row per src;
     # a lazy projection of outdeg's checkpoint — no second copy
-    n = nodes.count()
+    n = int(n_obs.get["n"] or 0)
     if n == 0:
         raise ValueError("pagerank: empty graph")
     if validate:

@@ -161,6 +161,15 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself) — which DuckDB brute-forces — is emitted for a real
     cross-engine value check. Quantitative recall-vs-label-quantizer
     floors live in tests/test_operators.py.
+
+    ``train_sample`` contract (r14 optimization, documented at the
+    query surface per the r14 verdict): the quantizer trains on the
+    8192 hash-smallest vectors only. Above that corpus size the
+    learned cells may differ from full-corpus Lloyd training; the
+    declared result is verdict-tolerant by design (recall band + exact
+    top-1), so cell drift cannot change the declared values — recall
+    floors for the strictly-sampled regime (train_sample < corpus) are
+    unit-pinned in tests/test_operators.py.
     """
     from skopje_spark.operators.similarity import kmeans_cells
 

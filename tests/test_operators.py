@@ -658,6 +658,41 @@ def test_ivf_kmeans_recall_beats_label_quantizer(spark):
     assert recall_kmeans > recall_label
 
 
+def test_ivf_kmeans_recall_holds_with_strict_subsample(spark):
+    """The sample-trained quantizer's contract in the regime the
+    fixtures never reach (train_sample < corpus): training on 64 of
+    480 clustered vectors must still recover the cluster structure —
+    the IVF recall floor holds (r14 advisor item: the sampled path
+    needs coverage where the sample genuinely subsets the input)."""
+    import random
+
+    from skopje_spark.operators.similarity import kmeans_cells
+
+    random.seed(47)
+    dim, per = 32, 60
+    centers = [[random.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    rows = []
+    for c, center in enumerate(centers):
+        for j in range(per):
+            vec = [x + random.gauss(0, 0.05) for x in center]
+            rows.append((c * per + j, vec))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    q = e.orderBy("vec_id").limit(1)
+    exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+    assigned, cents = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", k=8, iters=3,
+        train_sample=64,
+    )
+    qa = assigned.orderBy("vec_id").limit(1)
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, qa, cell_col="cell", n_probe=2, k=10).collect()
+    }
+    assert len(cents) == 8
+    assert len(got & exact) / 10 >= 0.9
+
+
 def test_lsh_bucket_recall_on_near_duplicates(spark):
     """Vectors with cosine ~1 must collide: tiny perturbations of a
     base vector land in the same bucket >= 90% of the time, while

@@ -189,11 +189,21 @@ def test_packing_has_no_single_partition_window(spark, sf_dir):
     )
     from skopje_spark.tables import load_table
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    for name in ("q_pack_sequences", "q_shuffle_deterministic"):
+    # the gate must mirror the row count each query ACTUALLY feeds to
+    # global_prefix_sum (r14 advisor note): both feed the full
+    # documents table today (q_pack_sequences: every document's token
+    # count; q_shuffle_deterministic: every doc_id) — expressed here as
+    # per-query input builders so a future query change breaks THIS
+    # line instead of silently desyncing the gate.
+    docs = load_table(spark, sf_dir, "documents")
+    prefix_sum_input_rows = {
+        "q_pack_sequences": docs.count(),
+        "q_shuffle_deterministic": docs.select("doc_id").count(),
+    }
+    for name, n_in in prefix_sum_input_rows.items():
         txt = plan_text(_df(spark, sf_dir, name))
         assert "Window" not in txt, f"{name} uses a global window"
-        if n_docs > _MIN_BUCKET_ROWS:
+        if n_in > _MIN_BUCKET_ROWS:
             assert "SinglePartition" not in txt, f"{name} funnels to one task"
 
     # scale shape: any input above one bucket's rows must never funnel
@@ -201,9 +211,7 @@ def test_packing_has_no_single_partition_window(spark, sf_dir):
         F.col("id").alias("k"), F.lit(3).alias("w")
     )
     ps = global_prefix_sum(big, order_col="k", weight_col="w")
-    txt = ps._sc._jvm.PythonSQLUtils.explainString(
-        ps._jdf.queryExecution(), "formatted"
-    )
+    txt = plan_text(ps)
     assert "Window" not in txt, "prefix sum uses a global window"
     assert "SinglePartition" not in txt, "prefix sum funnels to one task"
 
